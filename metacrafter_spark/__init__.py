@@ -1,0 +1,12 @@
+"""metacrafter_spark — PySpark-native semantic classifier + web-corpus
+quality-filter / PII-scrub engine.
+
+A from-scratch re-implementation of the capabilities of
+apicrafter/metacrafter (rule-based semantic data classification) as
+vectorized Spark dataflow, extended with the web-corpus keep/drop +
+scrub pipeline (language ID, perplexity, Gopher/C4 heuristics) and
+large-scale training-data operators (dedup, similarity search, text
+analysis).
+"""
+
+__version__ = "0.1.0"

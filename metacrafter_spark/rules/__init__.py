@@ -1,0 +1,5 @@
+from metacrafter_spark.rules.model import (  # noqa: F401
+    CompiledRule,
+    CompiledRulePack,
+    load_builtin_pack,
+)

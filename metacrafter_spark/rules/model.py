@@ -1,0 +1,328 @@
+"""Compiled rule-pack model + metacrafter-YAML loader.
+
+Re-implements the load semantics of the reference rule compiler
+(``metacrafter/classify/processor.py:400-578``) into a frozen,
+broadcast-friendly :class:`CompiledRulePack`:
+
+- ``Path(pack).rglob('*.yaml')`` traversal (parents before subdirs,
+  entries sorted per directory for determinism);
+- global first-occurrence-wins dedup by rule id (processor.py:430-434);
+- ``imprecise`` normalized via ``int(x) != 0`` (processor.py:437-439);
+- ppr grammars transpiled to anchored possessive regexes (see
+  :mod:`metacrafter_spark.rules.ppr`) instead of live PyParsing objects;
+- text keywords: comma-split, NOT stripped, lowercased set; min/maxlen
+  derived from the raw keyword lengths (processor.py:467-483);
+- non-text default lengths min=3 / max=100 (processor.py:213-214);
+- func rules resolved against a vendored registry
+  (:mod:`metacrafter_spark.rules.validators_compat`); unresolvable func
+  rules are skipped exactly like a failed import in the reference;
+- ``validator:`` hooks ship in ``metacrafterext`` which is absent in a
+  default install → the reference silently skips them
+  (processor.py:489-494); we record the name but never evaluate it;
+- context split on '.', ``is_pii == "True"`` (string compare!) appends
+  the ``pii`` context (processor.py:534-543);
+- fieldrule gates (text keyword set or ppr regex) compiled alongside
+  (processor.py:495-519).
+
+The pack is pure data (strings/ints/frozensets) → cheap to broadcast;
+regexes are re-compiled lazily once per executor process.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+from functools import lru_cache
+from pathlib import Path
+from typing import Any, Iterable, Optional
+
+from metacrafter_spark.rules.ppr import transpile
+from metacrafter_spark.rules.validators_compat import FUNC_REGISTRY
+
+DEFAULT_MIN_LEN = 3
+DEFAULT_MAX_LEN = 100
+# Default confidence threshold used by every reference entry point
+# (MIN_CONFIDENCE_FOR_MATCH, metacrafter/core.py:56).
+MIN_CONFIDENCE_FOR_MATCH = 5.0
+
+
+@dataclass(frozen=True)
+class CompiledRule:
+    seq: int                      # load order — drives stop_on_match & report order
+    id: str
+    dataclass: str                # YAML 'key' — the semantic label emitted
+    rtype: str                    # 'field' | 'data'
+    match: str                    # 'text' | 'ppr' | 'func'
+    lang: str
+    contexts: tuple[str, ...]
+    group: str
+    group_desc: str
+    country: Optional[tuple[str, ...]]
+    imprecise: bool
+    is_pii: bool
+    minlen: int
+    maxlen: int
+    keywords: Optional[frozenset[str]] = None      # text rules (lowercased)
+    pattern: Optional[str] = None                  # ppr: anchored possessive
+    pattern_re2: Optional[str] = None              # ppr: RE2-safe superset
+    func_name: Optional[str] = None                # func rules
+    validator_name: Optional[str] = None           # recorded, never evaluated
+    fieldrule_match: Optional[str] = None          # 'text' | 'ppr'
+    fieldrule_keywords: Optional[frozenset[str]] = None
+    fieldrule_pattern: Optional[str] = None
+
+    def compiled_pattern(self) -> "re.Pattern[str]":
+        return _compile_cached(self.pattern)
+
+    def compiled_fieldrule_pattern(self) -> "re.Pattern[str]":
+        return _compile_cached(self.fieldrule_pattern)
+
+    def func(self):
+        return FUNC_REGISTRY[self.func_name]
+
+
+@lru_cache(maxsize=1024)
+def _compile_cached(pattern: str) -> "re.Pattern[str]":
+    return re.compile(pattern)
+
+
+@dataclass(frozen=True)
+class CompiledRulePack:
+    rules: tuple[CompiledRule, ...]
+
+    @property
+    def field_rules(self) -> tuple[CompiledRule, ...]:
+        return tuple(r for r in self.rules if r.rtype == "field")
+
+    @property
+    def data_rules(self) -> tuple[CompiledRule, ...]:
+        return tuple(r for r in self.rules if r.rtype == "data")
+
+    def filtered(
+        self,
+        rtype: str,
+        contexts: Optional[Iterable[str]] = None,
+        langs: Optional[Iterable[str]] = None,
+        ignore_imprecise: bool = True,
+    ) -> tuple[CompiledRule, ...]:
+        """Reference get_filtered_rules semantics (processor.py:606-653)."""
+        rules = self.field_rules if rtype == "field" else self.data_rules
+        contexts = set(contexts) if contexts else None
+        langs = set(langs) if langs else None
+        if contexts is None and langs is None and not ignore_imprecise:
+            return rules
+        out = []
+        for r in rules:
+            if contexts is not None and not (set(r.contexts) & contexts):
+                continue
+            if langs is not None and r.lang not in langs:
+                continue
+            if ignore_imprecise and r.imprecise:
+                continue
+            out.append(r)
+        return tuple(out)
+
+    # -- (de)serialization — the broadcastable form ------------------------
+    def to_json(self) -> str:
+        rows = []
+        for r in self.rules:
+            d = r.__dict__.copy()
+            d["keywords"] = sorted(r.keywords) if r.keywords is not None else None
+            d["fieldrule_keywords"] = (
+                sorted(r.fieldrule_keywords)
+                if r.fieldrule_keywords is not None
+                else None
+            )
+            d["contexts"] = list(r.contexts)
+            d["country"] = list(r.country) if r.country else None
+            rows.append(d)
+        return json.dumps(rows, ensure_ascii=False, indent=1)
+
+    @staticmethod
+    def from_json(text: str) -> "CompiledRulePack":
+        rows = json.loads(text)
+        rules = []
+        for d in rows:
+            d["keywords"] = (
+                frozenset(d["keywords"]) if d["keywords"] is not None else None
+            )
+            d["fieldrule_keywords"] = (
+                frozenset(d["fieldrule_keywords"])
+                if d["fieldrule_keywords"] is not None
+                else None
+            )
+            d["contexts"] = tuple(d["contexts"])
+            d["country"] = tuple(d["country"]) if d["country"] else None
+            rules.append(CompiledRule(**d))
+        return CompiledRulePack(rules=tuple(rules))
+
+
+def _normalize_countries(value: Any) -> Optional[tuple[str, ...]]:
+    if not value:
+        return None
+    parts = [value] if isinstance(value, str) else list(value)
+    out = []
+    for token in parts:
+        if token is None:
+            continue
+        for piece in str(token).replace(";", ",").split(","):
+            code = piece.strip().lower()
+            if code:
+                out.append(code)
+    return tuple(out) or None
+
+
+def compile_rule(
+    rulekey: str,
+    rule: dict,
+    *,
+    seq: int,
+    lang: str,
+    context: str,
+    group: str,
+    group_desc: str,
+    country: Optional[tuple[str, ...]],
+) -> Optional[CompiledRule]:
+    """Compile one YAML rule dict; return None when the reference would skip it."""
+    match = rule["match"]
+    imprecise = bool(int(rule["imprecise"])) if "imprecise" in rule else False
+    keywords = pattern = pattern_re2 = func_name = None
+    if match == "ppr":
+        try:
+            cg = transpile(rule["rule"])
+        except Exception:
+            return None  # reference logs and skips uncompilable ppr rules
+        pattern, pattern_re2 = cg.pattern, cg.pattern_re2
+    elif match == "func":
+        if rule["rule"] not in FUNC_REGISTRY:
+            return None  # reference skips rules whose import fails
+        func_name = rule["rule"]
+    elif match == "text":
+        raw = rule["rule"].split(",")  # NOT stripped — reference keeps spaces
+        keywords = frozenset(k.lower() for k in raw)
+    if match == "text":
+        minlen = min(len(k) for k in raw)
+        maxlen = max(len(k) for k in raw)
+    else:
+        minlen = int(rule.get("minlen", DEFAULT_MIN_LEN))
+        maxlen = int(rule.get("maxlen", DEFAULT_MAX_LEN))
+
+    fr_match = fr_pattern = None
+    fr_keywords = None
+    if "fieldrule" in rule and "fieldrulematch" in rule:
+        if rule["fieldrulematch"] == "ppr":
+            try:
+                fr_pattern = transpile(rule["fieldrule"]).pattern
+                fr_match = "ppr"
+            except Exception:
+                fr_match = None  # reference continues without the gate
+        elif rule["fieldrulematch"] == "text":
+            fr_keywords = frozenset(
+                k.lower() for k in rule["fieldrule"].split(",")
+            )
+            fr_match = "text"
+
+    is_pii = rule.get("is_pii") == "True"  # string compare, as in the reference
+    contexts = context.split(".")
+    if is_pii and "pii" not in contexts:
+        contexts.append("pii")
+
+    return CompiledRule(
+        seq=seq,
+        id=rulekey,
+        dataclass=rule["key"],
+        rtype=rule["type"],
+        match=match,
+        lang=lang,
+        contexts=tuple(contexts),
+        group=group,
+        group_desc=group_desc,
+        country=country,
+        imprecise=imprecise,
+        is_pii=is_pii,
+        minlen=minlen,
+        maxlen=maxlen,
+        keywords=keywords,
+        pattern=pattern,
+        pattern_re2=pattern_re2,
+        func_name=func_name,
+        validator_name=rule.get("validator"),
+        fieldrule_match=fr_match,
+        fieldrule_keywords=fr_keywords,
+        fieldrule_pattern=fr_pattern,
+    )
+
+
+def _rglob_yaml(root: Path) -> list[Path]:
+    """Deterministic rglob: per-directory sorted, parent files before subdirs."""
+    files = sorted(p for p in root.iterdir() if p.is_file() and p.suffix == ".yaml")
+    for sub in sorted(p for p in root.iterdir() if p.is_dir()):
+        files.extend(_rglob_yaml(sub))
+    return files
+
+
+def load_pack_from_yaml_dir(
+    pathname: str | Path,
+    *,
+    langs: Optional[Iterable[str]] = None,
+    contexts: Optional[Iterable[str]] = None,
+    countries: Optional[Iterable[str]] = None,
+) -> CompiledRulePack:
+    """Load a metacrafter-format YAML rule tree into a CompiledRulePack."""
+    import yaml
+
+    langs = set(langs) if langs else None
+    contexts = set(contexts) if contexts else None
+    countries = set(c.lower() for c in countries) if countries else None
+
+    rules: list[CompiledRule] = []
+    seen: set[str] = set()
+    seq = 0
+    for path in _rglob_yaml(Path(pathname)):
+        with open(path, "r", encoding="utf8") as f:
+            ruledata = yaml.safe_load(f)
+        if langs and ruledata["lang"] not in langs:
+            continue
+        if contexts and ruledata["context"] not in contexts:
+            continue
+        rule_countries = _normalize_countries(ruledata.get("country_code"))
+        if countries:
+            if not rule_countries or not (set(rule_countries) & countries):
+                continue
+        for rulekey, rule in ruledata["rules"].items():
+            if rulekey in seen:
+                continue
+            seen.add(rulekey)
+            compiled = compile_rule(
+                rulekey,
+                rule,
+                seq=seq,
+                lang=ruledata["lang"],
+                context=ruledata["context"],
+                group=ruledata["name"],
+                group_desc=ruledata["description"],
+                country=rule_countries,
+            )
+            if compiled is not None:
+                rules.append(compiled)
+                seq += 1
+    # Field rules are always evaluated before data rules (processor.py:723,858):
+    # renumber so seq is a global evaluation order usable for sorting.
+    field = [r for r in rules if r.rtype == "field"]
+    data = [r for r in rules if r.rtype == "data"]
+    ordered = []
+    for i, r in enumerate(field + data):
+        ordered.append(
+            CompiledRule(**{**r.__dict__, "seq": i})
+        )
+    return CompiledRulePack(rules=tuple(ordered))
+
+
+_BUILTIN_PACK_FILE = Path(__file__).with_name("builtin_pack.json")
+
+
+@lru_cache(maxsize=1)
+def load_builtin_pack() -> CompiledRulePack:
+    """The shipped rule pack (compiled form of the 140-rule census)."""
+    return CompiledRulePack.from_json(_BUILTIN_PACK_FILE.read_text(encoding="utf8"))

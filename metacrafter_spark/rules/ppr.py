@@ -1,0 +1,287 @@
+"""PyParsing-grammar → anchored-regex transpiler.
+
+The reference rule engine (apicrafter/metacrafter,
+``metacrafter/classify/processor.py:441-449``) declares data rules as
+PyParsing expression *strings* (e.g. ``Word(hexnums, exact=64)``) that it
+evals in a restricted namespace, wraps ``lineStart + expr + lineEnd`` and
+applies per value with ``parseString`` — one Python call per cell.
+
+We instead transpile each grammar string to a single anchored regular
+expression, evaluated vectorized (pandas ``.str.match`` inside Arrow
+batches, or JVM ``rlike``).  The transpiler evaluates the same grammar
+string in a restricted namespace where every PyParsing name is bound to a
+tiny regex-emitting node class, so YAML rule packs written for the
+reference work unchanged.
+
+Verified PyParsing 3.x semantics this transpiler reproduces (probed live,
+and locked in by differential tests in ``tests/test_ppr.py``):
+
+- ``parseString`` skips leading whitespace (`` \\t\\n\\r``) and skips the
+  same set *between* tokens (``'45 . 12345'`` parses for
+  ``Word(nums,exact=2)+'.'+Word(nums,1,10)``).
+- ``Word`` is **possessive**: ``Word(nums, max=5)`` + lineEnd FAILS on
+  ``"123456"`` (no backtracking into a matched Word) → possessive
+  quantifiers ``++`` / ``{m,n}+`` (Python ≥3.11, Java regex).
+- ``Optional`` commits once its expression matches
+  (``Optional(Word(printables)) + 'country'`` FAILS on ``"country"``
+  because the optional Word possessively ate the whole token) → ``(?:…)?+``.
+- ``|`` (MatchFirst) and ``^`` (Or/longest) both commit to the chosen
+  alternative → atomic group ``(?>a|b)``.  True longest-match ordering for
+  ``^`` is approximated by the declared order; every ``^`` in the shipped
+  pack has prefix-disjoint alternatives so order is immaterial (verified
+  differentially).
+- ``lineEnd`` skips `` \\t`` then requires ``\\n`` or end-of-string.
+- ``printables`` is printable ASCII 33–126 (not Unicode ``\\S``).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+# Character vocabularies, exactly as pyparsing defines them.
+NUMS = "0123456789"
+ALPHAS = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+ALPHANUMS = ALPHAS + NUMS
+HEXNUMS = NUMS + "ABCDEFabcdef"
+PRINTABLES = "".join(chr(c) for c in range(33, 127))
+
+# Inter-token / leading whitespace skipped by pyparsing's default
+# ParserElement.DEFAULT_WHITE_CHARS = " \n\t\r".  The skip is a greedy
+# unconditional consume — POSSESSIVE — which notably makes a whitespace
+# Literal like Literal(' ') unsatisfiable (the skipper eats it first);
+# e.g. the shipped `passportbypat` rule can never match any value, and we
+# reproduce that faithfully.
+WS = r"[ \t\n\r]*+"
+# LineEnd restricts its own whitespace to " \t".  A LineEnd that matches at
+# end-of-string "consumes" a virtual newline in pyparsing (returns loc+1),
+# so any *subsequent* required element — including the engine's outer
+# lineEnd wrap — fails.  Hence: a non-final LineEnd must see a real '\n';
+# only the final LineEnd of the wrapped expression may match bare EOS.
+LINE_END_FINAL = r"[ \t]*+(?:\n|$)"
+LINE_END_INNER = r"[ \t]*+\n"
+
+_KNOWN_CLASSES = {
+    NUMS: "0-9",
+    HEXNUMS: "0-9A-Fa-f",
+    ALPHAS: "A-Za-z",
+    ALPHANUMS: "0-9A-Za-z",
+    PRINTABLES: "!-~",
+}
+
+
+def _char_class(chars: str) -> str:
+    """Build a regex character class matching exactly the given chars."""
+    if chars in _KNOWN_CLASSES:
+        return "[" + _KNOWN_CLASSES[chars] + "]"
+    out = []
+    for ch in sorted(set(chars)):
+        if ch in r"\]^-":
+            out.append("\\" + ch)
+        else:
+            out.append(re.escape(ch))
+    return "[" + "".join(out) + "]"
+
+
+class Node:
+    """Base regex-emitting node mirroring a PyParsing ParserElement."""
+
+    def regex(self) -> str:
+        raise NotImplementedError
+
+    # -- operator overloads matching pyparsing surface --------------------
+    def __add__(self, other):
+        return And([self, _to_node(other)])
+
+    def __radd__(self, other):
+        return And([_to_node(other), self])
+
+    def __or__(self, other):
+        return Alt([self, _to_node(other)])
+
+    def __ror__(self, other):
+        return Alt([_to_node(other), self])
+
+    def __xor__(self, other):  # pyparsing Or (longest match)
+        return Alt([self, _to_node(other)])
+
+    def __rxor__(self, other):
+        return Alt([_to_node(other), self])
+
+    def suppress(self):  # suppression only affects captured tokens
+        return self
+
+
+def _to_node(x) -> "Node":
+    if isinstance(x, Node):
+        return x
+    if isinstance(x, str):
+        return Literal(x)
+    raise TypeError(f"cannot promote {type(x)!r} to grammar node")
+
+
+class Word(Node):
+    def __init__(self, chars, min=1, max=0, exact=0):
+        self.cls = _char_class(chars)
+        if exact:
+            min = max = exact
+        self.min, self.max = int(min), int(max)
+
+    def regex(self) -> str:
+        if self.max and self.min == self.max:
+            return f"{self.cls}{{{self.min}}}"
+        if self.max:
+            return f"{self.cls}{{{self.min},{self.max}}}+"
+        if self.min == 1:
+            return f"{self.cls}++"
+        return f"{self.cls}{{{self.min},}}+"
+
+
+class Literal(Node):
+    def __init__(self, s: str):
+        self.s = s
+
+    def regex(self) -> str:
+        return re.escape(self.s)
+
+
+class CaselessLiteral(Node):
+    def __init__(self, s: str):
+        self.s = s
+
+    def regex(self) -> str:
+        return f"(?i:{re.escape(self.s)})"
+
+
+class Optional_(Node):
+    def __init__(self, expr):
+        self.expr = _to_node(expr)
+
+    def regex(self) -> str:
+        return f"(?:{self.expr.regex()})?+"
+
+
+class And(Node):
+    def __init__(self, parts):
+        flat = []
+        for p in parts:
+            if isinstance(p, And):
+                flat.extend(p.parts)
+            else:
+                flat.append(p)
+        self.parts = flat
+
+    def regex(self) -> str:
+        return WS.join(p.regex() for p in self.parts)
+
+
+class Alt(Node):
+    """MatchFirst (|) and Or (^): atomic alternation in declared order."""
+
+    def __init__(self, alts):
+        flat = []
+        for a in alts:
+            if isinstance(a, Alt):
+                flat.extend(a.alts)
+            else:
+                flat.append(a)
+        self.alts = flat
+
+    def regex(self) -> str:
+        return "(?>" + "|".join(a.regex() for a in self.alts) + ")"
+
+
+class OneOf(Node):
+    """pyparsing oneOf: longest alternative wins → sort by length desc."""
+
+    def __init__(self, keywords, caseless=False):
+        if isinstance(keywords, str):
+            keywords = keywords.split()
+        self.keywords = sorted(keywords, key=len, reverse=True)
+        self.caseless = caseless
+
+    def regex(self) -> str:
+        body = "|".join(re.escape(k) for k in self.keywords)
+        return f"(?i:(?>{body}))" if self.caseless else f"(?>{body})"
+
+
+class _LineEnd(Node):
+    def regex(self) -> str:
+        return LINE_END_INNER
+
+
+class _LineStart(Node):
+    # parseString starts at offset 0 where LineStart trivially holds.
+    def regex(self) -> str:
+        return ""
+
+
+_SAFE_NAMES = {
+    "Word": Word,
+    "Literal": Literal,
+    "CaselessLiteral": CaselessLiteral,
+    "Optional": Optional_,
+    "oneOf": OneOf,
+    "one_of": OneOf,
+    "lineStart": _LineStart(),
+    "lineEnd": _LineEnd(),
+    "LineStart": _LineStart,
+    "LineEnd": _LineEnd,
+    "alphas": ALPHAS,
+    "alphanums": ALPHANUMS,
+    "hexnums": HEXNUMS,
+    "nums": NUMS,
+    "printables": PRINTABLES,
+    "validators": None,  # placeholder; func rules never reach the transpiler
+}
+
+_BLOCKED = ("__", "import", "exec", "eval", "compile", "open", "getattr",
+            "setattr", "delattr", "globals", "locals", "lambda")
+
+
+@dataclass(frozen=True)
+class CompiledGrammar:
+    """An anchored pattern equivalent to lineStart + grammar + lineEnd."""
+
+    source: str
+    pattern: str        # possessive — exact pyparsing semantics (py3.11 re / Java)
+    pattern_re2: str    # greedy superset for RE2-only engines (DuckDB oracle)
+
+    def compiled(self) -> "re.Pattern[str]":
+        return re.compile(self.pattern)
+
+
+def _strip_possessive(pattern: str) -> str:
+    out = pattern.replace("(?>", "(?:")
+    out = re.sub(r"(\+|\?|\}|\*)\+", r"\1", out)
+    return out
+
+
+def transpile(rule_string: str) -> CompiledGrammar:
+    """Transpile a metacrafter PyParsing rule string to an anchored regex.
+
+    Mirrors the restricted-eval loading of the reference
+    (``processor.py:139-210``) but binds regex-emitting node classes.
+    """
+    low = rule_string.lower()
+    for tok in _BLOCKED:
+        if tok in low:
+            raise ValueError(f"blocked token {tok!r} in rule: {rule_string!r}")
+    node = eval(  # noqa: S307 - restricted namespace, vetted rule strings
+        compile(rule_string, "<rule>", "eval"), {"__builtins__": {}}, dict(_SAFE_NAMES)
+    )
+    node = _to_node(node)
+    # Wrapped form is lineStart + expr + lineEnd (processor.py:449).  The
+    # appended lineEnd is the unique *final* element: if the expression
+    # itself already ends with lineEnd, that inner one must consume a real
+    # newline (see LINE_END_INNER note above).
+    parts = node.parts if isinstance(node, And) else [node]
+    if parts and isinstance(parts[-1], _LineEnd):
+        body = WS.join(p.regex() for p in parts[:-1])
+        pattern = r"\A" + WS + body + LINE_END_INNER + LINE_END_FINAL
+    else:
+        body = node.regex()
+        pattern = r"\A" + WS + body + LINE_END_FINAL
+    return CompiledGrammar(
+        source=rule_string, pattern=pattern, pattern_re2=_strip_possessive(pattern)
+    )

@@ -1,0 +1,73 @@
+"""Vectorizable re-implementations of the two ``match: func`` rules.
+
+The reference pack's only function rules are ``validators.domain`` and
+``validators.url`` (``/root/reference/rules/common/commonurl.yaml:6-23``,
+loaded at ``metacrafter/classify/processor.py:456-466``).  The
+``validators`` pip package is not available in this sandbox, so we vendor
+equivalent logic; the same functions are injected as the ``validators``
+stub when generating golden labels from the reference, making
+reference-vs-spark parity exact by construction.
+
+Both functions accept a single string and return truthy/falsy, and both
+have a ``PATTERN`` regex attribute so the Spark side can evaluate them
+vectorized with ``pandas.Series.str.match`` — no per-row Python.
+"""
+
+from __future__ import annotations
+
+import re
+
+DOMAIN_PATTERN = re.compile(
+    r"^(?:[a-zA-Z0-9](?:[a-zA-Z0-9-_]{0,61}[a-zA-Z0-9])?\.)"
+    r"+[a-zA-Z0-9][a-zA-Z0-9-_]{0,61}[a-zA-Z]$"
+)  # upstream validators lowercases via IDNA first; we match case-insensitively
+
+
+_IPV4_OCTET = r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
+_IPV4 = rf"{_IPV4_OCTET}(?:\.{_IPV4_OCTET}){{3}}"
+_HOSTNAME = (
+    r"(?:[a-zA-Z0-9](?:[a-zA-Z0-9-_]{0,61}[a-zA-Z0-9])?\.)+"
+    r"[a-zA-Z0-9][a-zA-Z0-9-_]{0,61}[a-zA-Z]\.?"
+)
+
+URL_PATTERN = re.compile(
+    r"^(?:(?:https?|ftp)://)"                    # scheme
+    r"(?:[-a-z0-9._~%!$&'()*+,;=:]+"             # optional user[:pass]@
+    r"(?::[-a-z0-9._~%!$&'()*+,;=:]*)?@)?"
+    r"(?:" + _HOSTNAME + r"|" + _IPV4 + r"|localhost)"
+    r"(?::\d{2,5})?"                              # optional port
+    r"(?:/[^\s?#]*)?"                             # path
+    r"(?:\?[^\s#]*)?"                             # query
+    r"(?:#\S*)?$",
+    re.IGNORECASE,
+)
+
+
+def domain(value: str):
+    """Validate a fully-qualified domain name (validators.domain analogue).
+
+    Upstream runs ``value.encode('idna')`` (which lowercases) before the
+    regex; we instead match case-insensitively on the raw string so the
+    exact same predicate can run vectorized (pandas ``str.match``).  For
+    ASCII domains the two are equivalent; IDN edge cases may diverge from
+    the upstream pip package (documented approximation).
+    """
+    if not isinstance(value, str) or not value:
+        return False
+    return DOMAIN_PATTERN.match(value.lower()) is not None
+
+
+def url(value: str):
+    """Validate an absolute http(s)/ftp URL (validators.url analogue)."""
+    if not isinstance(value, str) or not value:
+        return False
+    return URL_PATTERN.match(value) is not None
+
+
+domain.PATTERN = DOMAIN_PATTERN  # type: ignore[attr-defined]
+url.PATTERN = URL_PATTERN  # type: ignore[attr-defined]
+
+FUNC_REGISTRY = {
+    "validators.domain": domain,
+    "validators.url": url,
+}

@@ -1,0 +1,35 @@
+"""Generate metacrafter_spark/rules/builtin_pack.json.
+
+Compiles a metacrafter-format YAML rule tree (default: the reference
+pack at /root/reference/rules, whose semantics SURVEY.md §2.7 documents)
+into this engine's frozen CompiledRulePack JSON — keyword sets, anchored
+possessive regexes transpiled from the PyParsing grammars, fieldrule
+gates, lengths, contexts, and a global evaluation-order ``seq``.
+
+Usage: python scripts/gen_builtin_pack.py [rules_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from metacrafter_spark.rules.model import (  # noqa: E402
+    _BUILTIN_PACK_FILE,
+    load_pack_from_yaml_dir,
+)
+
+
+def main() -> None:
+    rules_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/reference/rules"
+    pack = load_pack_from_yaml_dir(rules_dir)
+    _BUILTIN_PACK_FILE.write_text(pack.to_json(), encoding="utf8")
+    n_field = len(pack.field_rules)
+    n_data = len(pack.data_rules)
+    print(f"wrote {_BUILTIN_PACK_FILE}: {n_field} field + {n_data} data rules")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,274 @@
+"""Differential tests: transpiled regexes vs live PyParsing.
+
+PyParsing itself is installed in this environment, so we use it as the
+oracle for the exact wrap used by the reference engine
+(``lineStart + expr + lineEnd`` + ``parseString``,
+metacrafter/classify/processor.py:449,884-894).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyparsing as pp
+import pytest
+
+from metacrafter_spark.rules.ppr import transpile
+
+# Every distinct ppr grammar string shipped in the reference rule pack
+# (grep over /root/reference/rules/**/*.yaml, `match: ppr` + ppr fieldrules).
+GRAMMARS = [
+    "Word(hexnums, exact=64)",
+    "Word(hexnums, exact=40)",
+    "Word(hexnums, exact=32)",
+    "Word(hexnums, exact=8) + Literal('-').suppress() + Word(hexnums, exact=4) + Literal('-').suppress() + Word(hexnums, exact=4) + Literal('-').suppress() + Word(hexnums, exact=4) + Literal('-').suppress() + Word(hexnums, exact=12)",
+    "Literal('{').suppress() + Word(hexnums, exact=8) + Literal('-').suppress() + Word(hexnums, exact=4) + Literal('-').suppress() + Word(hexnums, exact=4) + Literal('-').suppress() + Word(hexnums, exact=4) + Literal('-').suppress() + Word(hexnums, exact=12) + Literal('}').suppress()",
+    "Literal('AS') + Word(nums, max=5)",
+    "Word(nums, max=5)",
+    "Word(nums, max=6)",
+    '"_asn" + lineEnd',
+    "Literal(\"10.\") + Word(nums,exact=4) + Literal(\"/\") + Word(printables)",
+    "(Literal('1') + Word(nums, exact=3)) ^ (Literal('2') + Word('01', exact=1) + Word(nums, exact=2))",
+    "Optional(Word(printables)) + Literal('year') + Optional(Word(printables))",
+    "Optional(Word(printables)) + (CaselessLiteral('year') | CaselessLiteral('date') | CaselessLiteral('time')) + Optional(Word(printables))",
+    "Optional(Word(printables)) + CaselessLiteral('country') + Optional(Word(printables))",
+    "((Word('012345678', exact=1) + Word(nums, exact=1)) ^ (Literal(\"9\") + Word(nums, exact=1))) + Literal('.') + Word(nums, min=1, max=10)",
+    "((Literal(\"1\") + Word(\"012345678\") + Word(nums, exact=1)) ^ (Word(nums, exact=2))) + Literal(\".\") + Word(nums, min=1, max=10)",
+    "Optional(Word(printables)) + Optional('_') + \"lat\"",
+    "Optional(Word(printables)) + Optional('_') + (Literal(\"lon\") ^ Literal(\"lng\"))",
+    "Word(printables) + Optional('_') + \"latitude\"",
+    "Word(printables) + Optional('_') + \"longitude\"",
+    'Word(printables) + "phone" +  lineEnd',
+    '"phone" + Word(printables) + lineEnd',
+    'Word(printables) + "fax" +  lineEnd',
+    'Word(printables) + "year" +  lineEnd',
+    'Word(printables) + "timestamp" +  lineEnd',
+    'Word(printables) + "timezone" +  lineEnd',
+    'Word(printables) + Literal("month")',
+    'Word(alphanums) + "email" +  lineEnd',
+    '"email_" + Word(alphanums) +  lineEnd',
+    'Word(printables) + "url" +  lineEnd',
+    'Word(printables) + "firstname" +  lineEnd',
+    'Word(printables) + "surname" +  lineEnd',
+    'Word(printables) + "lastname" +  lineEnd',
+    'Word(printables) + "midname" +  lineEnd',
+    "CaselessLiteral('is') + Optional(\"_\") + Optional(Word(printables))",
+    "CaselessLiteral('show')+ Optional(\"_\") + Optional(Word(printables))",
+    "CaselessLiteral('has') + Optional(\"_\") + Optional(Word(printables))",
+    "Word(alphanums) + Optional(\"_\") + CaselessLiteral('flag')",
+    "Literal('_').suppress() + (Literal('percentage') ^ Literal('percent'))",
+    "((Word(nums, exact=2) + Literal(' ').suppress() + Word(nums, exact=2)) | Word(nums,exact=4)) + Literal(' ').suppress() + Word(nums, exact=6)",
+    "Word(nums, exact=3) + Literal('-').suppress() + Word(nums, exact=3) + Literal('-').suppress() + Word(nums, exact=3) + Word(nums, exact=2)",
+    'Literal("с") + Word("012", exact=1) + Word(nums, exact=1) + Literal(":") + Word("012345", exact=1) + Word(nums, exact=1) + Literal("по") + Word("012", exact=1) + Word(nums, exact=1) + Literal(":") + Word("012345", exact=1) + Word(nums, exact=1)',
+    '((Literal("ЛС") | Literal("ЛП")) + Literal("-") + Word(nums, exact=6)) | (Literal("ЛСР") + Literal("-") + Word(nums, exact=6) + Literal("\\/") + Word(nums, exact=2))',
+]
+
+# Inputs chosen to stress: exact hits, whitespace between tokens, newlines,
+# prefixes/suffixes, possessive-Word traps, Optional commit traps,
+# caseless, boundary lengths, empty string.
+INPUTS = [
+    "",
+    " ",
+    "a",
+    "_",
+    "c0a8012e",
+    "C0A8012E",
+    "0" * 64,
+    "f" * 64,
+    "f" * 63,
+    "f" * 65,
+    "f" * 40,
+    "f" * 32,
+    "deadbeef-dead-beef-dead-beefdeadbeef",
+    "deadbeef - dead - beef - dead - beefdeadbeef",
+    "deadbeef-dead-beef-dead-beefdeadbee",
+    "{deadbeef-dead-beef-dead-beefdeadbeef}",
+    "deadbeef-dead-beef-dead-beefdeadbeefX",
+    " deadbeef-dead-beef-dead-beefdeadbeef ",
+    "deadbeef-dead-beef-dead-beefdeadbeef\njunk",
+    "deadbeef-dead-beef-dead-beefdeadbeef\n",
+    "AS123",
+    "AS 123",
+    "as123",
+    "AS123456",
+    "123",
+    "12345",
+    "123456",
+    "1234567",
+    "10.1234/abc.def",
+    "10.1234/",
+    "10.12345/abc",
+    "10.1234/abc def",
+    "1999",
+    "2015",
+    "2199",
+    "2215",
+    "0999",
+    "19999",
+    "year",
+    "report_year",
+    "reportyear",
+    "report year",
+    "my year thing",
+    "YEAR",
+    "report_YEAR",
+    "report date",
+    "the time x",
+    "country",
+    "country_code",
+    "country code",
+    "my country",
+    "45.12345",
+    "45 . 12345",
+    "9 5.12345",
+    "95.12345",
+    "180.1",
+    "18.5",
+    "5.1",
+    "123.1",
+    "99.12345678901",
+    "geo_lat",
+    "geo _ lat",
+    "lat",
+    "_lat",
+    "x _lat",
+    "geo_lon",
+    "x lng",
+    "geo_latitude",
+    "geo latitude",
+    "x _ latitude",
+    "latitude",
+    "home phone",
+    "homephone",
+    "phone number",
+    "phone  number",
+    "x fax",
+    "x timestamp",
+    "x timezone",
+    "x month",
+    "xmonth",
+    "x email",
+    "email_x",
+    "email_ x",
+    "x url",
+    "x firstname",
+    "x surname",
+    "is_valid",
+    "is valid",
+    "is",
+    "IS _ ok",
+    "show_all",
+    "show all",
+    "has_flag",
+    "has flag",
+    "x_flag",
+    "x _ flag",
+    "x_FLAG",
+    "_percentage",
+    "_percent",
+    "_ percent",
+    "percent",
+    "_percentx",
+    "12 34 567890",
+    "1234 567890",
+    "12 34 5678901",
+    "123456 7890",
+    "123-456-78912",
+    "123-456-789 12",
+    "123 - 456 - 789 12",
+    "123-456-7891",
+    "с09:30по18:00",
+    "с 09:30 по 18:00",
+    "с09:70по18:00",
+    "ЛС-123456",
+    "ЛП-123456",
+    "ЛСР-123456\\/12",
+    "ЛСР-123456/12",
+    "_asn",
+    "x_asn",
+    "asn",
+    "\tAS99999",
+    "\nAS99999",
+    "junk\nAS99999",
+    "AS99999\nmore",
+]
+
+
+def pyparsing_oracle(grammar: str, value: str) -> bool:
+    ns = {
+        "Word": pp.Word,
+        "Literal": pp.Literal,
+        "CaselessLiteral": pp.CaselessLiteral,
+        "Optional": pp.Optional,
+        "oneOf": pp.oneOf,
+        "lineStart": pp.lineStart,
+        "lineEnd": pp.lineEnd,
+        "alphas": pp.alphas,
+        "alphanums": pp.alphanums,
+        "hexnums": pp.hexnums,
+        "nums": pp.nums,
+        "printables": pp.printables,
+    }
+    expr = eval(grammar, {"__builtins__": {}}, ns)  # noqa: S307 - test oracle
+    wrapped = pp.lineStart + expr + pp.lineEnd
+    try:
+        wrapped.parseString(value)
+        return True
+    except pp.ParseException:
+        return False
+
+
+@pytest.mark.parametrize("grammar", GRAMMARS)
+def test_differential_vs_pyparsing(grammar):
+    cg = transpile(grammar)
+    rx = re.compile(cg.pattern)
+    mismatches = []
+    for value in INPUTS:
+        got = rx.match(value) is not None
+        want = pyparsing_oracle(grammar, value)
+        if got != want:
+            mismatches.append((value, want, got))
+    assert not mismatches, f"{grammar!r}: {mismatches[:10]}"
+
+
+def test_possessive_word_semantics():
+    cg = transpile("Word(nums, max=5)")
+    rx = re.compile(cg.pattern)
+    assert rx.match("12345")
+    assert not rx.match("123456")  # possessive: no backtrack to 5 digits
+
+
+def test_optional_commit_semantics():
+    cg = transpile(
+        "Optional(Word(printables)) + CaselessLiteral('country') + Optional(Word(printables))"
+    )
+    rx = re.compile(cg.pattern)
+    assert not rx.match("country")  # optional Word ate 'country', committed
+    assert rx.match("my country code")
+
+
+def test_re2_variant_has_no_possessive_syntax():
+    for grammar in GRAMMARS:
+        p = transpile(grammar).pattern_re2
+        assert "(?>" not in p and "++" not in p and "}+" not in p and "?+" not in p
+
+
+def test_fuzz_differential_vs_pyparsing():
+    """Seeded random fuzz over a grammar-relevant alphabet."""
+    import random
+
+    rng = random.Random(42)
+    alphabet = "0123456789abcdefABCDEFxyz -_.{}/:с по ЛСРП\n\t"
+    fuzz_inputs = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 24)))
+        for _ in range(400)
+    ]
+    bad = []
+    for grammar in GRAMMARS:
+        rx = re.compile(transpile(grammar).pattern)
+        for value in fuzz_inputs:
+            got = rx.match(value) is not None
+            want = pyparsing_oracle(grammar, value)
+            if got != want:
+                bad.append((grammar, value, want, got))
+    assert not bad, bad[:10]
