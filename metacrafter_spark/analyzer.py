@@ -1,0 +1,351 @@
+"""Column-stats engine — Spark re-implementation of the reference Analyzer.
+
+Reproduces ``metacrafter/classify/stats.py:211-497`` (``Analyzer.analyze``)
+as ONE wide Spark aggregation instead of a row-at-a-time Python loop:
+
+- per-value normalization (``str(v)``, ``guess_datatype``,
+  ``stats.py:91-146``) becomes Arrow-vectorized helper columns;
+- the per-column accumulator dict becomes a single ``df.agg(...)`` with
+  ~10 expressions per column (partial+final hash agg, no shuffle of raw
+  data, whole-stage codegen for the expression part);
+- dict-value enumeration (``stats.py:444-454``) becomes a
+  ``groupBy(value).agg(min(row_seq))`` per detected dict column — the
+  only stage that shuffles, and it shuffles *distinct values*, not rows.
+
+Semantic quirks faithfully reproduced:
+
+- ``str(None) == 'None'`` participates in lengths & uniq counts
+  (stats.py:346-377) while ``guess_datatype(None)`` is ``empty``;
+- columns whose first dot-path segment is 1 char or digit-leading are
+  skipped (stats.py:341-344);
+- a column's ftype = the unique non-empty value type, else ``str``
+  (stats.py:425-433);
+- booleans stringify as ``True``/``False`` (Python), not
+  ``true``/``false`` (Spark);
+- ``minval``/``maxval`` only over values typed int/float
+  (stats.py:396-407).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+from typing import Any, Optional
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+from pyspark.sql.functions import pandas_udf
+
+DEFAULT_DICT_SHARE = 10
+# Analyzer's empty-marker list (stats.py:33) — used ONLY for the
+# dict/empty tag decision, distinct from the matcher's null/"" emptiness.
+# Compared against str(v), so the None entry never matches (str(None) is
+# the *string* 'None', which IS in the list).
+DEFAULT_EMPTY_VALUES = [None, "", "None", "NaN", "-", "N/A"]
+
+ROW_SEQ = "__row_seq"
+
+STATS_HEADERS = [
+    "key", "ftype", "is_dictkey", "is_uniq", "n_uniq", "share_uniq",
+    "minlen", "maxlen", "avglen", "tags", "has_digit", "has_alphas",
+    "has_special", "minval", "maxval", "has_any_digit", "has_any_alphas",
+    "has_any_special", "dictvalues",
+]
+
+
+@dataclass
+class ColumnStats:
+    key: str
+    ftype: str
+    is_dictkey: bool
+    is_uniq: bool
+    n_uniq: int
+    share_uniq: float
+    minlen: int
+    maxlen: int
+    avglen: float
+    tags: list
+    has_digit: int
+    has_alphas: int
+    has_special: int
+    minval: Optional[float]
+    maxval: Optional[float]
+    has_any_digit: bool
+    has_any_alphas: bool
+    has_any_special: bool
+    dictvalues: Optional[list]
+
+    def as_row(self) -> list:
+        return [getattr(self, h) for h in STATS_HEADERS]
+
+    def as_dict(self) -> dict:
+        return {h: getattr(self, h) for h in STATS_HEADERS}
+
+
+def _python_float_series(s: pd.Series) -> pd.Series:
+    """Vectorized approximation of per-value ``float(v)`` parsing."""
+    nv = pd.to_numeric(s, errors="coerce")
+    # Python float() additionally accepts single underscores between digits.
+    mask = nv.isna() & s.notna() & s.astype("string").str.contains("_", na=False)
+    if mask.any():
+        def _f(v):
+            try:
+                return float(v)
+            except (TypeError, ValueError):
+                return None
+        nv = nv.copy()
+        nv[mask] = s[mask].map(_f)
+    return nv.astype("float64")
+
+
+def _classify_string_fn(s: pd.Series) -> pd.DataFrame:
+    """guess_datatype for string values (stats.py:125-146), vectorized."""
+    vt = pd.Series("str", index=s.index, dtype="object")
+    nv = pd.Series(float("nan"), index=s.index, dtype="float64")
+    isna = s.isna()
+    st = s.astype("string")
+    blank = st.str.strip().str.len().fillna(1).eq(0) | st.str.len().fillna(1).eq(0)
+    vt[isna | blank] = "empty"
+    live = ~(isna | blank)
+    digits = st.str.isdigit().fillna(False) & live
+    leading0 = st.str.startswith("0").fillna(False)
+    vt[digits & leading0] = "numstr"
+    vt[digits & ~leading0] = "int"
+    nv[digits & ~leading0] = pd.to_numeric(st[digits & ~leading0], errors="coerce")
+    floaty = live & ~digits
+    if floaty.any():
+        fv = _python_float_series(s[floaty])
+        ok = fv.notna()
+        idx = fv.index[ok]
+        vt[idx] = "float"
+        nv[idx] = fv[ok]
+        # float('nan') parses in Python → type float with NaN value; keep type.
+        nanlit = s[floaty].astype("string").str.strip().str.lower().isin(["nan", "-nan", "+nan"])
+        vt[fv.index[nanlit.reindex(fv.index, fill_value=False)]] = "float"
+    return pd.DataFrame({"vt": vt, "nv": nv})
+
+
+def _py_str_double_fn(s: pd.Series) -> pd.Series:
+    # Python shortest-repr formatting (str(0.1)='0.1', str(1e-07)='1e-07'),
+    # which differs from Spark's Java Double.toString for |x| ≥ 1e7 / < 1e-3.
+    return s.map(lambda x: None if pd.isna(x) else str(float(x)))
+
+
+def _py_str_timestamp_fn(s: pd.Series) -> pd.Series:
+    # str(datetime): '...HH:MM:SS' or '...HH:MM:SS.ffffff' (6 digits);
+    # Spark's cast trims trailing zeros, Python doesn't.
+    return s.map(lambda x: None if pd.isna(x) else str(x.to_pydatetime()))
+
+
+@lru_cache(maxsize=None)
+def _udfs():
+    """pandas UDFs are created lazily — registration needs a live session."""
+    return {
+        "classify_string": pandas_udf(_classify_string_fn, "struct<vt:string, nv:double>"),
+        "py_str_double": pandas_udf(_py_str_double_fn, "string"),
+        "py_str_timestamp": pandas_udf(_py_str_timestamp_fn, "string"),
+    }
+
+
+@dataclass(frozen=True)
+class ColInfo:
+    name: str            # dot-path column key, as reported
+    safe: str            # sanitized unique id used for helper column names
+    dtype: T.DataType
+    is_string: bool
+
+
+def _first_segment_skipped(key: str) -> bool:
+    """Analyzer's key filter (stats.py:341-344): 1-char or digit-leading
+    first path segment → excluded from stats (but still matched/reported
+    upstream as 'not in stats' → dropped from the final report)."""
+    first = key.split(".")[0]
+    return len(first) == 1 or (first[:1].isdigit())
+
+
+def analyzed_columns(df: DataFrame, columns: Optional[list[str]] = None) -> list[ColInfo]:
+    names = columns if columns is not None else [c for c in df.columns if c != ROW_SEQ]
+    out = []
+    for i, c in enumerate(names):
+        dtype = df.schema[c].dataType
+        out.append(ColInfo(name=c, safe=f"c{i}", dtype=dtype,
+                           is_string=isinstance(dtype, T.StringType)))
+    return out
+
+
+def with_normalized_columns(df: DataFrame, cols: list[ColInfo]) -> DataFrame:
+    """Attach __row_seq plus, per column: {safe}__vs (str(v), null iff v is
+    null), {safe}__vt (guess_datatype base), {safe}__nv (numeric value)."""
+    if ROW_SEQ not in df.columns:
+        df = df.withColumn(ROW_SEQ, F.monotonically_increasing_id())
+    exprs: list[Column] = [F.col(c) for c in df.columns]
+    for ci in cols:
+        col = F.col(f"`{ci.name}`")
+        dt = ci.dtype
+        if isinstance(dt, T.StringType):
+            cls = _udfs()["classify_string"](col)
+            vs, vt, nv = col, cls["vt"], cls["nv"]
+        elif isinstance(dt, T.BooleanType):
+            vs = F.when(col, F.lit("True")).when(~col, F.lit("False"))
+            vt, nv = F.when(col.isNotNull(), F.lit("bool")), F.lit(None).cast("double")
+        elif isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+            vs = col.cast("string")
+            vt = F.when(col.isNotNull(), F.lit("int"))
+            nv = col.cast("double")
+        elif isinstance(dt, (T.DoubleType, T.FloatType)):
+            vs = _udfs()["py_str_double"](col.cast("double"))
+            vt = F.when(col.isNotNull(), F.lit("float"))
+            nv = col.cast("double")
+        elif isinstance(dt, T.TimestampType):
+            vs = _udfs()["py_str_timestamp"](col)
+            vt = F.when(col.isNotNull(), F.lit("datetime"))
+            nv = F.lit(None).cast("double")
+        elif isinstance(dt, T.DateType):
+            vs = col.cast("string")
+            vt = F.when(col.isNotNull(), F.lit("date"))
+            nv = F.lit(None).cast("double")
+        elif isinstance(dt, T.DecimalType):
+            vs = col.cast("string")  # str(Decimal) == its string form
+            vt = F.when(col.isNotNull(), F.lit("typed"))
+            nv = F.lit(None).cast("double")
+        else:  # arrays/structs/maps/binary → 'typed' (stats.py:121-123)
+            vs = col.cast("string")
+            vt = F.when(col.isNotNull(), F.lit("typed"))
+            nv = F.lit(None).cast("double")
+        exprs.append(vs.alias(f"{ci.safe}__vs"))
+        exprs.append(F.coalesce(vt, F.lit("empty")).alias(f"{ci.safe}__vt"))
+        exprs.append(nv.alias(f"{ci.safe}__nv"))
+    return df.select(*exprs)
+
+
+# Unicode-aware analogues of Python's per-char isdigit/isalpha/isalnum
+# (Java regex classes; exact for ASCII, near-exact for general Unicode).
+_RE_DIGIT = r"[\p{Nd}]"
+_RE_ALPHA = r"[\p{L}]"
+_RE_SPECIAL = r"[^\p{L}\p{N}\s]"
+
+
+def compute_stats(
+    ndf: DataFrame,
+    cols: list[ColInfo],
+    *,
+    dictshare: float = DEFAULT_DICT_SHARE,
+    empty_values: Optional[list[str]] = None,
+    with_dictvalues: bool = True,
+) -> dict[str, ColumnStats]:
+    """One-pass stats aggregation + per-dict-column value enumeration.
+
+    Returns {column_name: ColumnStats} for columns not skipped by the
+    1-char/digit-leading filter, in input column order.
+    """
+    empty_values = empty_values if empty_values is not None else DEFAULT_EMPTY_VALUES
+    # Drop the None marker: vs is str(v) (never null here), and a None in
+    # an isin() list would poison the three-valued logic of the negation.
+    empty_values = [e for e in empty_values if e is not None]
+    kept = [ci for ci in cols if not _first_segment_skipped(ci.name)]
+    if not cols:
+        return {}, {}
+    aggs: list[Column] = []
+    for ci in cols:
+        vs = F.coalesce(F.col(f"{ci.safe}__vs"), F.lit("None"))  # str(None)
+        raw = F.col(f"{ci.safe}__vs")
+        vt = F.col(f"{ci.safe}__vt")
+        nv = F.col(f"{ci.safe}__nv")
+        ln = F.length(vs)
+        p = ci.safe
+        aggs += [
+            F.count(vs).alias(f"{p}_total"),
+            F.countDistinct(vs).alias(f"{p}_n_uniq"),
+            F.min(ln).alias(f"{p}_minlen"),
+            F.max(ln).alias(f"{p}_maxlen"),
+            F.sum(ln).alias(f"{p}_totallen"),
+            F.min(nv).alias(f"{p}_minval"),
+            F.max(nv).alias(f"{p}_maxval"),
+            F.collect_set(vt).alias(f"{p}_vtypes"),
+            F.sum(
+                F.when(~vs.isin(*empty_values), 1).otherwise(0)
+            ).alias(f"{p}_nonempty_markers"),
+            # Aux for the matcher's length-fallback (processor.py:822-830):
+            # len(min(data, key=len)) over RAW values — TypeError (→4/4) when
+            # any value is None or the column isn't string-typed.
+            F.max(F.when(raw.isNull(), 1).otherwise(0)).alias(f"{p}_has_null"),
+            F.min(F.length(raw)).alias(f"{p}_raw_minlen"),
+            F.max(F.length(raw)).alias(f"{p}_raw_maxlen"),
+        ]
+        if ci.is_string:
+            live = raw.isNotNull() & (F.length(raw) > 0)
+            aggs += [
+                F.sum(F.when(live & raw.rlike(_RE_DIGIT), 1).otherwise(0)).alias(f"{p}_has_digit"),
+                F.sum(F.when(live & raw.rlike(_RE_ALPHA), 1).otherwise(0)).alias(f"{p}_has_alphas"),
+                F.sum(F.when(live & raw.rlike(_RE_SPECIAL), 1).otherwise(0)).alias(f"{p}_has_special"),
+            ]
+        else:
+            aggs += [
+                F.lit(0).alias(f"{p}_has_digit"),
+                F.lit(0).alias(f"{p}_has_alphas"),
+                F.lit(0).alias(f"{p}_has_special"),
+            ]
+    row = ndf.agg(*aggs).collect()[0].asDict()
+
+    aux: dict[str, dict[str, Any]] = {}
+    for ci in cols:
+        p = ci.safe
+        aux[ci.name] = {
+            "has_null": bool(row[f"{p}_has_null"]),
+            "raw_minlen": row[f"{p}_raw_minlen"],
+            "raw_maxlen": row[f"{p}_raw_maxlen"],
+            "is_string": ci.is_string,
+            "total": row[f"{p}_total"],
+        }
+
+    out: dict[str, ColumnStats] = {}
+    dict_cols: list[ColInfo] = []
+    for ci in kept:
+        p = ci.safe
+        total = row[f"{p}_total"]
+        if not total:
+            continue
+        n_uniq = row[f"{p}_n_uniq"]
+        share_uniq = n_uniq * 100.0 / total
+        vtypes = set(row[f"{p}_vtypes"] or [])
+        vtypes.discard("empty")
+        ftype = next(iter(vtypes)) if len(vtypes) == 1 else "str"
+        is_dictkey = share_uniq <= dictshare
+        tags: list[str] = []
+        if share_uniq == 100:
+            tags.append("uniq")
+        if is_dictkey:
+            tags.append("empty" if row[f"{p}_nonempty_markers"] == 0 else "dict")
+            dict_cols.append(ci)
+        out[ci.name] = ColumnStats(
+            key=ci.name,
+            ftype=ftype,
+            is_dictkey=is_dictkey,
+            is_uniq=share_uniq >= 100,
+            n_uniq=n_uniq,
+            share_uniq=share_uniq,
+            minlen=row[f"{p}_minlen"],
+            maxlen=row[f"{p}_maxlen"],
+            avglen=row[f"{p}_totallen"] / total,
+            tags=tags,
+            has_digit=row[f"{p}_has_digit"],
+            has_alphas=row[f"{p}_has_alphas"],
+            has_special=row[f"{p}_has_special"],
+            minval=row[f"{p}_minval"],
+            maxval=row[f"{p}_maxval"],
+            has_any_digit=row[f"{p}_has_digit"] > 0,
+            has_any_alphas=row[f"{p}_has_alphas"] > 0,
+            has_any_special=row[f"{p}_has_special"] > 0,
+            dictvalues=None,
+        )
+    if with_dictvalues and dict_cols:
+        for ci in dict_cols:
+            vs = F.coalesce(F.col(f"{ci.safe}__vs"), F.lit("None"))
+            vals = (
+                ndf.groupBy(vs.alias("v"))
+                .agg(F.min(ROW_SEQ).alias("first_seen"))
+                .orderBy("first_seen")
+                .collect()
+            )
+            out[ci.name].dictvalues = [r["v"] for r in vals]
+    return out, aux

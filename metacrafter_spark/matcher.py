@@ -1,0 +1,260 @@
+"""Rule-matching engine — Spark re-implementation of ``match_dict``.
+
+Reproduces ``metacrafter/classify/processor.py:655-960`` as:
+
+1. **driver-side field-name matching** (cheap, over ``df.columns``);
+2. **driver-side planning**: ftype shortcuts (processor.py:780-821),
+   rule pruning by column length stats (processor.py:836-841) and
+   fieldrule gates (processor.py:842-854) select the surviving
+   (column, rule) pairs — the analogue of partition pruning: the match
+   job's plan only contains predicates that can possibly win;
+3. **one Spark aggregation over the sampled slice** computing, per
+   column, the empty count and, per surviving pair, the success count:
+   text rules as native ``lower(col).isin(...)`` (whole-stage codegen),
+   ppr/func rules as Arrow-vectorized pandas-UDF regex flags;
+4. **driver-side confidence math**: ``success*100/(total-empty)``,
+   strict ``> confidence`` threshold (processor.py:898-906), rule-seq
+   ordering, stop_on_match truncation.
+
+The raw data never reaches the driver — only the (columns × rules)
+count matrix does.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dc_field
+from functools import lru_cache
+from typing import Any, Optional
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+
+from metacrafter_spark.analyzer import ROW_SEQ, ColInfo, ColumnStats
+from metacrafter_spark.rules.model import CompiledRule, CompiledRulePack
+from metacrafter_spark.rules.validators_compat import FUNC_REGISTRY
+
+
+@dataclass
+class RuleHit:
+    ruleid: str
+    dataclass: str
+    confidence: float
+    ruletype: str  # 'field' | 'data' | 'fieldtype'
+    format: Optional[str] = None
+
+
+@dataclass
+class ColumnMatches:
+    field: str
+    matches: list[RuleHit] = dc_field(default_factory=list)
+
+
+@lru_cache(maxsize=2048)
+def _rx(pattern: str) -> "re.Pattern[str]":
+    return re.compile(pattern)
+
+
+def _regex_flag_udf(pattern: str):
+    """Arrow-vectorized anchored-regex predicate; compiled once per
+    executor process via the lru_cache above."""
+
+    @pandas_udf("boolean")
+    def flag(s: pd.Series) -> pd.Series:
+        rx = _rx(pattern)
+        return s.str.match(rx).astype("object").fillna(False).astype("bool")
+
+    return flag
+
+
+def _func_flag_udf(func_name: str):
+    @pandas_udf("boolean")
+    def flag(s: pd.Series) -> pd.Series:
+        fn = FUNC_REGISTRY[func_name]
+        rx = fn.PATTERN
+        base = s.str.lower() if func_name == "validators.domain" else s
+        return base.str.match(rx).astype("object").fillna(False).astype("bool")
+
+    return flag
+
+
+def match_field_rules(
+    field: str, field_rules: tuple[CompiledRule, ...], stop_on_match: bool
+) -> list[RuleHit]:
+    """Field-name rules: any hit → confidence 100 (processor.py:723-775)."""
+    shortfield = field.rsplit(".", 1)[-1].strip()
+    hits: list[RuleHit] = []
+    for rule in field_rules:
+        matched = False
+        if rule.match == "text":
+            matched = (
+                shortfield.lower() in rule.keywords or field.lower() in rule.keywords
+            )
+        elif rule.match == "ppr":
+            rx = rule.compiled_pattern()
+            matched = rx.match(shortfield) is not None or rx.match(field) is not None
+        elif rule.match == "func":
+            fn = rule.func()
+            matched = bool(fn(shortfield)) or bool(fn(field))
+        if matched:
+            hits.append(
+                RuleHit(ruleid=rule.id, dataclass=rule.dataclass,
+                        confidence=100, ruletype="field")
+            )
+            if stop_on_match:
+                break
+    return hits
+
+
+_FTYPE_SHORTCUTS = {
+    "bool": ("_int_fieldtype_boolean", "boolean"),
+    "datetime": ("_int_fieldtype_datetime", "datetime"),
+    "date": ("_int_fieldtype_date", "date"),
+}
+
+
+def _column_lengths(
+    field: str,
+    stats: dict[str, ColumnStats],
+    aux: dict[str, dict[str, Any]],
+) -> tuple[int, int]:
+    """min_len/max_len used for rule pruning (processor.py:822-830)."""
+    min_len = max_len = 0
+    if field in stats:
+        min_len = stats[field].minlen
+        max_len = stats[field].maxlen
+    if min_len == 0:
+        a = aux.get(field)
+        # Reference recomputes len(min(data, key=len)) over raw values:
+        # TypeError → 4/4 when any value is None or not sized (non-string).
+        if a is None or a["has_null"] or not a["is_string"] or a["raw_minlen"] is None:
+            return 4, 4
+        return a["raw_minlen"], a["raw_maxlen"]
+    return min_len, max_len
+
+
+def _prune_data_rules(
+    field: str,
+    min_len: int,
+    max_len: int,
+    data_rules: tuple[CompiledRule, ...],
+) -> list[CompiledRule]:
+    """Length-interval + fieldrule-gate pruning (processor.py:836-854)."""
+    shortfield = field.rsplit(".", 1)[-1].strip()
+    out = []
+    for rule in data_rules:
+        if not (
+            (rule.minlen <= min_len <= rule.maxlen)
+            or (min_len <= rule.minlen <= max_len)
+        ):
+            continue
+        if rule.fieldrule_match == "ppr":
+            if rule.compiled_fieldrule_pattern().match(shortfield) is None:
+                continue
+        elif rule.fieldrule_match == "text":
+            if shortfield.lower() not in rule.fieldrule_keywords:
+                continue
+        out.append(rule)
+    return out
+
+
+def match_columns(
+    ndf: DataFrame,
+    cols: list[ColInfo],
+    stats: dict[str, ColumnStats],
+    aux: dict[str, dict[str, Any]],
+    pack: CompiledRulePack,
+    *,
+    fields: Optional[list[str]] = None,
+    confidence: float = 95.0,
+    stop_on_match: bool = False,
+    limit: int = 1000,
+    filter_contexts: Optional[list[str]] = None,
+    filter_langs: Optional[list[str]] = None,
+    except_empty: bool = True,
+    ignore_imprecise: bool = True,
+) -> list[ColumnMatches]:
+    """Full match_dict semantics over a normalized DataFrame."""
+    field_rules = pack.filtered("field", filter_contexts, filter_langs, ignore_imprecise)
+    data_rules = pack.filtered("data", filter_contexts, filter_langs, ignore_imprecise)
+    by_name = {ci.name: ci for ci in cols}
+    names = fields if fields else [ci.name for ci in cols]
+
+    results: list[ColumnMatches] = []
+    # -- plan: decide per column what the Spark job must compute ----------
+    plan: dict[str, list[CompiledRule]] = {}
+    shortcut_done: set[str] = set()
+    for name in names:
+        m = ColumnMatches(field=name)
+        m.matches.extend(match_field_rules(name, field_rules, stop_on_match))
+        results.append(m)
+        st = stats.get(name)
+        if st is not None and st.ftype in _FTYPE_SHORTCUTS:
+            ruleid, dclass = _FTYPE_SHORTCUTS[st.ftype]
+            m.matches.append(
+                RuleHit(ruleid=ruleid, dataclass=dclass, confidence=100,
+                        ruletype="fieldtype")
+            )
+            shortcut_done.add(name)
+            continue
+        if st is not None and st.ftype == "float":
+            shortcut_done.add(name)  # float columns skip all data matching
+            continue
+        min_len, max_len = _column_lengths(name, stats, aux)
+        plan[name] = _prune_data_rules(name, min_len, max_len, data_rules)
+
+    # -- the one Spark job over the sampled slice -------------------------
+    pairs = [(n, r) for n, rules in plan.items() for r in rules]
+    agg_row: dict[str, Any] = {}
+    if plan:
+        sdf = ndf.orderBy(ROW_SEQ).limit(limit)
+        aggs: list[Column] = [F.count(F.lit(1)).alias("__slice_total")]
+        for name in plan:
+            ci = by_name[name]
+            raw = F.col(f"{ci.safe}__vs")
+            aggs.append(
+                F.sum(
+                    F.when(raw.isNull() | (F.length(raw) == 0), 1).otherwise(0)
+                ).alias(f"{ci.safe}__empty")
+            )
+        for i, (name, rule) in enumerate(pairs):
+            ci = by_name[name]
+            raw = F.col(f"{ci.safe}__vs")
+            ln = F.length(raw)
+            gate = raw.isNotNull() & (ln > 0) & ln.between(rule.minlen, rule.maxlen)
+            if rule.match == "text":
+                pred = F.lower(raw).isin(*sorted(rule.keywords))
+            elif rule.match == "ppr":
+                pred = _regex_flag_udf(rule.pattern)(raw)
+            else:  # func
+                pred = _func_flag_udf(rule.func_name)(raw)
+            aggs.append(
+                F.sum(F.when(gate & pred, 1).otherwise(0)).alias(f"pair_{i}")
+            )
+        agg_row = sdf.agg(*aggs).collect()[0].asDict()
+
+    # -- confidence math + assembly (processor.py:858-916) ----------------
+    by_field = {m.field: m for m in results}
+    succ: dict[str, list[tuple[CompiledRule, int]]] = {n: [] for n in plan}
+    for i, (name, rule) in enumerate(pairs):
+        succ[name].append((rule, agg_row[f"pair_{i}"] or 0))
+    for name, rules_counts in succ.items():
+        ci = by_name[name]
+        total = agg_row.get("__slice_total", 0) or 0
+        empty = agg_row.get(f"{ci.safe}__empty", 0) or 0
+        m = by_field[name]
+        for rule, success in rules_counts:
+            if except_empty:
+                subtotal = total - empty
+                result = 0 if subtotal == 0 else success * 100.0 / subtotal
+            else:
+                result = success * 100.0 / total if total else 0
+            if result > confidence:
+                m.matches.append(
+                    RuleHit(ruleid=rule.id, dataclass=rule.dataclass,
+                            confidence=result, ruletype="data")
+                )
+                if stop_on_match:
+                    break
+    return results

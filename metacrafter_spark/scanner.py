@@ -1,0 +1,174 @@
+"""scan_dataframe — the engine's `scan_data` equivalent.
+
+Mirrors the reference entry point ``CrafterCmd.scan_data``
+(``metacrafter/core.py:1157-1360``) over a Spark DataFrame:
+
+    stats job (one wide agg)  →  driver planning  →  match job (one agg)
+    →  report assembly
+
+Returns the same report shape the reference returns — ``results`` rows
+``[key, ftype, tags, matches, datatype_url]``, per-field ``data``
+records, the stats dict and the 19-column stats table — plus helpers to
+get the labels as a Spark DataFrame for downstream joins.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Union
+
+from pyspark.sql import DataFrame, SparkSession
+
+from metacrafter_spark.analyzer import (
+    DEFAULT_DICT_SHARE,
+    STATS_HEADERS,
+    analyzed_columns,
+    compute_stats,
+    with_normalized_columns,
+)
+from metacrafter_spark.matcher import ColumnMatches, match_columns
+from metacrafter_spark.rules.model import (
+    MIN_CONFIDENCE_FOR_MATCH,
+    CompiledRulePack,
+    load_builtin_pack,
+)
+
+BASE_URL = "https://registry.apicrafter.io/datatype/{dataclass}"
+
+
+def _listify(v: Optional[Union[str, list]]) -> Optional[list]:
+    if v is None:
+        return None
+    if isinstance(v, str):
+        return [x.strip() for x in v.split(",") if x.strip()]
+    return list(v)
+
+
+def scan_dataframe(
+    df: DataFrame,
+    *,
+    pack: Optional[CompiledRulePack] = None,
+    limit: int = 1000,
+    contexts: Optional[Union[str, list]] = None,
+    langs: Optional[Union[str, list]] = None,
+    confidence: Optional[float] = None,
+    stop_on_match: bool = False,
+    parse_dates: bool = False,
+    ignore_imprecise: bool = True,
+    except_empty: bool = True,
+    fields: Optional[Union[str, list]] = None,
+    stats_only: bool = False,
+    dict_share: Optional[float] = None,
+    empty_values: Optional[list] = None,
+) -> dict[str, Any]:
+    """Classify every column of ``df``; return a reference-shaped report.
+
+    ``parse_dates`` is accepted for signature parity; the qddate
+    fallback battery is not bundled (the reference's supported
+    ``parse_dates=False`` mode is the parity contract — golden labels
+    are generated the same way).
+    """
+    pack = pack or load_builtin_pack()
+    contexts = _listify(contexts)
+    langs = _listify(langs)
+    fields = _listify(fields)
+    threshold = confidence if confidence is not None else MIN_CONFIDENCE_FOR_MATCH
+
+    cols = analyzed_columns(df)
+    ndf = with_normalized_columns(df, cols)
+    stats, aux = compute_stats(
+        ndf,
+        cols,
+        dictshare=dict_share if dict_share is not None else DEFAULT_DICT_SHARE,
+        empty_values=empty_values,
+    )
+    stats_dict = {k: st.as_dict() for k, st in stats.items()}
+    stats_table = [st.as_row() for st in stats.values()]
+    if stats_only:
+        return {"results": [], "data": [], "stats": stats_dict,
+                "stats_table": stats_table}
+
+    matches = match_columns(
+        ndf, cols, stats, aux, pack,
+        fields=fields,
+        confidence=threshold,
+        stop_on_match=stop_on_match,
+        limit=limit,
+        filter_contexts=contexts,
+        filter_langs=langs,
+        except_empty=except_empty,
+        ignore_imprecise=ignore_imprecise,
+    )
+    return assemble_report(matches, stats_dict, stats_table)
+
+
+def assemble_report(
+    matches: list[ColumnMatches],
+    stats_dict: dict[str, dict],
+    stats_table: list[list],
+) -> dict[str, Any]:
+    """Report assembly (core.py:1320-1361): columns absent from stats
+    (1-char / digit-leading keys) are dropped; datatype_url comes from
+    the FIRST match."""
+    output = []
+    outdata = []
+    for res in matches:
+        if res.field not in stats_dict:
+            continue
+        mstrs = []
+        for hit in res.matches:
+            s = "%s %0.2f" % (hit.dataclass, hit.confidence)
+            if hit.format is not None:
+                s += " (%s)" % hit.format
+            mstrs.append(s)
+        url = BASE_URL.format(dataclass=res.matches[0].dataclass) if res.matches else ""
+        st = stats_dict[res.field]
+        output.append([res.field, st["ftype"], ",".join(st["tags"]),
+                       ",".join(mstrs), url])
+        outdata.append({
+            "field": res.field,
+            "matches": [
+                {"ruleid": h.ruleid, "dataclass": h.dataclass,
+                 "confidence": h.confidence, "ruletype": h.ruletype,
+                 "format": h.format}
+                for h in res.matches
+            ],
+            "tags": st["tags"],
+            "ftype": st["ftype"],
+            "datatype_url": url,
+            "stats": st,
+        })
+    return {"results": output, "data": outdata, "stats": stats_dict,
+            "stats_table": stats_table}
+
+
+def labels_dataframe(spark: SparkSession, report: dict[str, Any]) -> DataFrame:
+    """The per-(column, match) label table as a Spark DataFrame."""
+    rows = []
+    for rec in report["data"]:
+        if not rec["matches"]:
+            rows.append((rec["field"], rec["ftype"], None, None, None, None))
+        for h in rec["matches"]:
+            rows.append((rec["field"], rec["ftype"], h["ruleid"],
+                         h["dataclass"], float(h["confidence"]), h["ruletype"]))
+    return spark.createDataFrame(
+        rows, "field string, ftype string, ruleid string, dataclass string, "
+              "confidence double, ruletype string"
+    )
+
+
+def stats_dataframe(spark: SparkSession, report: dict[str, Any]) -> DataFrame:
+    rows = []
+    for st in report["stats"].values():
+        rows.append(tuple(
+            ",".join(st[h]) if h == "tags"
+            else (",".join(st[h] or []) if h == "dictvalues" else st[h])
+            for h in STATS_HEADERS
+        ))
+    return spark.createDataFrame(
+        rows,
+        "key string, ftype string, is_dictkey boolean, is_uniq boolean, "
+        "n_uniq long, share_uniq double, minlen long, maxlen long, "
+        "avglen double, tags string, has_digit long, has_alphas long, "
+        "has_special long, minval double, maxval double, has_any_digit boolean, "
+        "has_any_alphas boolean, has_any_special boolean, dictvalues string",
+    )

@@ -1,0 +1,47 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Used by tests, ``__spark_entry__.py`` and ``bench.py``.  On a real
+cluster the same settings apply (AQE on, Arrow on); only ``master`` and
+partition counts change via arguments / spark-submit conf.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "metacrafter-spark",
+    cores: Optional[int] = None,
+    shuffle_partitions: Optional[int] = None,
+    extra_conf: Optional[dict] = None,
+) -> SparkSession:
+    if cores is not None:
+        master = f"local[{cores}]"
+    else:
+        master = os.environ.get("SPARK_MASTER", "local[*]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # AQE: runtime coalescing of shuffle partitions + skew-join splitting;
+        # at 100 TB this is what keeps reducers balanced without hand-tuning.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for all pandas UDF exchange — the rule kernels depend on it.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
+        .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, str(v))
+    return builder.getOrCreate()

@@ -1,0 +1,19 @@
+import os
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+os.environ.setdefault("SPARK_SHUFFLE_PARTITIONS", "8")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from metacrafter_spark.session import get_spark
+
+    s = get_spark(app_name="metacrafter-tests", cores=4, shuffle_partitions=8)
+    yield s
+    s.stop()

@@ -1,0 +1,72 @@
+"""Deterministic synthetic fixtures (FIXTURES.md F1/F2) shared by the
+golden-label generator and the parity tests.  Every value is a pure
+function of (seed, row_id)."""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta
+
+MIMES = [
+    "application/json", "text/html", "text/plain", "image/png",
+    "application/pdf", "audio/mpeg", "video/mp4",
+]
+ISO2 = ["US", "GB", "DE", "FR", "RU", "CN", "JP", "BR", "IN", "AU"]
+LOREM = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+         "eiusmod tempor incididunt ut labore et dolore magna aliqua").split()
+
+
+def _hex(rng: random.Random, n: int) -> str:
+    return "".join(rng.choice("0123456789abcdef") for _ in range(n))
+
+
+def tiny2col() -> list[dict]:
+    """Mirror of the reference's 2cols6rows.csv smoke fixture."""
+    names = ["John", "Mary", "Michael", "Anna", "Orban", "Lucy"]
+    return [{"id": str(i + 1), "name": n} for i, n in enumerate(names)]
+
+
+def pii_profiles(n: int = 200, seed: int = 42) -> list[dict]:
+    rng = random.Random(seed)
+    rows = []
+    base_ts = datetime(2023, 5, 17, 8, 30, 0)
+    for i in range(n):
+        uuid = f"{_hex(rng,8)}-{_hex(rng,4)}-{_hex(rng,4)}-{_hex(rng,4)}-{_hex(rng,12)}"
+        row = {
+            "row_id": i,
+            "email": f"user{i}@example{i % 7}.com",
+            "phone": f"+1-202-555-{i:04d}",
+            "uuid": uuid if i % 23 else f"{_hex(rng,8)} - {_hex(rng,4)} - {_hex(rng,4)} - {_hex(rng,4)} - {_hex(rng,12)}",
+            "guid": "{" + uuid + "}",
+            "md5": _hex(rng, 32),
+            "sha1": _hex(rng, 40),
+            "sha256": _hex(rng, 64),
+            "active": rng.choice(["true", "false"]),
+            "is_valid": rng.choice(["0", "1"]),
+            "mimetype": rng.choice(MIMES),
+            "country": rng.choice(ISO2),
+            "asn": str(rng.randint(1, 99999)),
+            "lat": f"{rng.randint(0, 89)}.{rng.randint(0, 99999):05d}",
+            "lon": f"1{rng.randint(0, 7)}{rng.randint(0, 9)}.{rng.randint(0, 99999):05d}",
+            "doi": f"10.{rng.randint(1000, 9999)}/zenodo.{rng.randint(100, 999999)}",
+            "homepage": f"https://example{i % 9}.com/page/{i}",
+            "hostname": f"host{i % 13}.example.org",
+            "birthday": f"{rng.randint(1950, 2005)}-{rng.randint(1, 12):02d}-{rng.randint(1, 28):02d}",
+            "password": "".join(rng.choice("abcdefghjkmnpqrstuvwxyz23456789!@#") for _ in range(12)),
+            "username": f"user_{_hex(rng, 6)}",
+            "report_year": str(rng.randint(1900, 2025)),
+            "score": round(rng.uniform(0, 100), 4),
+            "flag_native": rng.random() < 0.5,
+            "created": base_ts + timedelta(minutes=i, seconds=i % 59),
+            "freetext": " ".join(rng.choice(LOREM) for _ in range(6)),
+            "status": rng.choice(["new", "active", "done"]),
+        }
+        # controlled empties exercising except_empty (processor.py:864-873)
+        if i % 29 == 0:
+            row["email"] = None
+        if i % 31 == 0:
+            row["md5"] = ""
+        if i % 37 == 0:
+            row["freetext"] = rng.choice(["N/A", "-", "None", "NaN"])
+        rows.append(row)
+    return rows

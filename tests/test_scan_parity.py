@@ -1,0 +1,105 @@
+"""End-to-end differential parity: our Spark engine vs the reference
+engine (run live via tools/refharness) on identical fixtures.
+
+This is the keep/drop-F1 contract at its strongest form: per-column
+match lists must agree exactly (ruleid, dataclass, ruletype) with
+confidences equal to 1e-9.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+
+from fixtures_gen import pii_profiles, tiny2col  # noqa: E402
+from refharness import reference_scan  # noqa: E402
+
+from metacrafter_spark.scanner import scan_dataframe  # noqa: E402
+
+
+def _spark_columns(report):
+    return {
+        rec["field"]: [
+            {k: m[k] for k in ("ruleid", "dataclass", "confidence", "ruletype", "format")}
+            for m in rec["matches"]
+        ]
+        for rec in report["data"]
+    }
+
+
+def _compare(items, spark, **params):
+    ref = reference_scan(items, **params)
+    df = spark.createDataFrame(items)
+    # preserve fixture column order: createDataFrame(dicts) sorts? no —
+    # Spark preserves dict insertion order for uniform dicts.
+    got = scan_dataframe(df, **params)
+    got_cols = _spark_columns(got)
+
+    # every reference column that survives the report filter must agree
+    ref_cols = {
+        f: v for f, v in ref["columns"].items() if f in ref["stats"]
+    }
+    assert set(got_cols) == set(ref_cols), (
+        set(got_cols) ^ set(ref_cols)
+    )
+    mismatches = []
+    for field, ref_matches in ref_cols.items():
+        ours = got_cols[field]
+        if len(ours) != len(ref_matches):
+            mismatches.append((field, ref_matches, ours))
+            continue
+        for a, b in zip(ref_matches, ours):
+            if (
+                a["ruleid"] != b["ruleid"]
+                or a["dataclass"] != b["dataclass"]
+                or a["ruletype"] != b["ruletype"]
+                or abs(a["confidence"] - b["confidence"]) > 1e-9
+            ):
+                mismatches.append((field, ref_matches, ours))
+                break
+    assert not mismatches, mismatches[:5]
+
+    # stats parity on the fields that drive decisions
+    for field, rst in ref["stats"].items():
+        gst = got["stats"].get(field)
+        assert gst is not None, field
+        for k in ("ftype", "n_uniq", "minlen", "maxlen", "is_dictkey", "is_uniq"):
+            assert gst[k] == rst[k], (field, k, rst[k], gst[k])
+        assert abs(gst["share_uniq"] - rst["share_uniq"]) < 1e-9, field
+        assert abs(gst["avglen"] - rst["avglen"]) < 1e-9, field
+        assert list(gst["tags"]) == list(rst["tags"]), (field, rst["tags"], gst["tags"])
+
+
+def test_tiny2col_parity(spark):
+    _compare(tiny2col(), spark)
+
+
+def test_pii_profiles_parity(spark):
+    _compare(pii_profiles(200), spark)
+
+
+def test_pii_profiles_parity_small_limit(spark):
+    _compare(pii_profiles(200), spark, limit=50)
+
+
+def test_parity_except_empty_false(spark):
+    _compare(pii_profiles(120), spark, except_empty=False)
+
+
+def test_parity_stop_on_match(spark):
+    _compare(pii_profiles(120), spark, stop_on_match=True)
+
+
+def test_parity_contexts_langs(spark):
+    _compare(pii_profiles(120), spark, contexts=["pii", "common"])
+    _compare(pii_profiles(120), spark, langs=["en", "common"])
+
+
+def test_parity_high_threshold(spark):
+    _compare(pii_profiles(120), spark, confidence=99.0)
+    # strictly-greater threshold: a perfect 100.0 match is dropped at 100.0
+    _compare(pii_profiles(120), spark, confidence=100.0)

@@ -1,0 +1,140 @@
+"""Golden-label harness: run the REFERENCE engine in this sandbox.
+
+Imports ``metacrafter.classify.{stats,processor}`` from
+``/root/reference`` (read-only) with stub modules for the pips that are
+unavailable here (``bson``, ``qddate``, ``chardet``) and a ``validators``
+stub bound to our vendored implementations — so the reference and our
+Spark engine see the *same* func-rule predicates and the comparison is
+exact by construction.
+
+Used by tests and ``scripts/gen_golden_labels.py`` only; never imported
+by the engine itself (the shipped repo is standalone).
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+from typing import Any, Optional
+
+REFERENCE_PATH = "/root/reference"
+RULES_PATH = REFERENCE_PATH + "/rules"
+
+# The 19-column stats header list used by scan_data to build the
+# datastats dict handed to match_dict (metacrafter/core.py:1231-1251).
+STATS_HEADERS = [
+    "key", "ftype", "is_dictkey", "is_uniq", "n_uniq", "share_uniq",
+    "minlen", "maxlen", "avglen", "tags", "has_digit", "has_alphas",
+    "has_special", "minval", "maxval", "has_any_digit", "has_any_alphas",
+    "has_any_special", "dictvalues",
+]
+
+
+def _install_stubs() -> None:
+    if "bson" not in sys.modules:
+        bson = types.ModuleType("bson")
+        bson.decode_file_iter = lambda *a, **k: iter(())
+        sys.modules["bson"] = bson
+    if "qddate" not in sys.modules:
+        qddate = types.ModuleType("qddate")
+
+        class DateParser:  # matches the constructor surface used
+            def __init__(self, *a, **k):
+                self.patterns = []
+
+            def match(self, value, noyear=False):
+                return None
+
+        qddate.DateParser = DateParser
+        qddate.patterns = types.SimpleNamespace(PATTERNS_EN=[], PATTERNS_RU=[])
+        sys.modules["qddate"] = qddate
+    if "chardet" not in sys.modules:
+        chardet = types.ModuleType("chardet")
+        chardet.detect = lambda b: {"encoding": "utf-8"}
+        sys.modules["chardet"] = chardet
+    if "validators" not in sys.modules:
+        from metacrafter_spark.rules import validators_compat
+
+        validators = types.ModuleType("validators")
+        validators.domain = validators_compat.domain
+        validators.url = validators_compat.url
+        sys.modules["validators"] = validators
+
+
+_PROC_CACHE: dict[tuple, Any] = {}
+
+
+def _modules():
+    _install_stubs()
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+    from metacrafter.classify import processor, stats  # noqa: PLC0415
+
+    return stats, processor
+
+
+def reference_processor():
+    stats, processor = _modules()
+    key = ("default",)
+    if key not in _PROC_CACHE:
+        proc = processor.RulesProcessor()
+        proc.import_rules_path(RULES_PATH)
+        _PROC_CACHE[key] = proc
+    return _PROC_CACHE[key]
+
+
+def reference_scan(
+    items: list[dict],
+    *,
+    limit: int = 1000,
+    confidence: Optional[float] = None,
+    contexts: Optional[list] = None,
+    langs: Optional[list] = None,
+    stop_on_match: bool = False,
+    except_empty: bool = True,
+    ignore_imprecise: bool = True,
+    fields: Optional[list] = None,
+    dict_share=None,
+) -> dict[str, Any]:
+    """Reference scan_data equivalent (rules mode, parse_dates=False).
+
+    Returns {"stats": {key: {...19 cols...}}, "columns": {field:
+    [ {ruleid, dataclass, confidence, ruletype, format} ]}}.
+    """
+    stats_mod, processor_mod = _modules()
+    analyzer = stats_mod.Analyzer()
+    options = {"delimiter": ",", "format_in": None, "zipfile": None}
+    if dict_share is not None:
+        options["dictshare"] = dict_share
+    table = analyzer.analyze(itemlist=items, options=options)
+    datastats = {}
+    for row in table or []:
+        datastats[row[0]] = dict(zip(STATS_HEADERS, row))
+    proc = reference_processor()
+    res = proc.match_dict(
+        items,
+        fields=fields,
+        datastats=datastats,
+        confidence=confidence if confidence is not None else 5.0,
+        stop_on_match=stop_on_match,
+        dateparser=None,
+        parse_dates=False,
+        limit=limit,
+        filter_contexts=contexts,
+        filter_langs=langs,
+        except_empty=except_empty,
+        ignore_imprecise=ignore_imprecise,
+    )
+    columns = {}
+    for cm in res.results:
+        columns[cm.field] = [
+            {
+                "ruleid": m.ruleid,
+                "dataclass": m.dataclass,
+                "confidence": m.confidence,
+                "ruletype": m.ruletype,
+                "format": m.format,
+            }
+            for m in cm.matches
+        ]
+    return {"stats": datastats, "columns": columns}
