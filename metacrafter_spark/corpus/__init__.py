@@ -1,0 +1,1 @@
+from metacrafter_spark.corpus.pipeline import classify_corpus  # noqa: F401

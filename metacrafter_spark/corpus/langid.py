@@ -1,0 +1,82 @@
+"""Deterministic language identification as native Column expressions.
+
+A from-scratch char-script + stopword n-gram heuristic (the fastText
+replacement the north rule asks for, expressed Spark-first): per
+language, count characteristic-token matches with
+``regexp_extract_all`` (JVM, whole-stage codegen — no Python), normalize
+by token count, add a script-ratio signal for non-Latin scripts, take
+the argmax via an array-of-structs max (deterministic tie-break on the
+score then language name).
+
+Pure function of the text prefix → same label at any parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+LANGID_PREFIX_CHARS = 2000
+UNKNOWN = "und"
+
+# Characteristic high-frequency tokens per language.  Deliberately small
+# and disjoint-ish: this is a heuristic classifier, tuned for web text.
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for", "with",
+           "was", "on", "are", "this", "be", "it", "from", "have", "not"),
+    "fr": ("le", "la", "les", "des", "une", "et", "est", "dans", "pour",
+           "que", "qui", "sur", "avec", "pas", "au", "du", "ce", "vous"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein",
+           "eine", "zu", "den", "von", "sich", "auf", "für", "im", "dem"),
+    "es": ("el", "los", "las", "de", "y", "que", "en", "una", "es",
+           "por", "con", "para", "del", "se", "su", "como", "más"),
+    "ru": ("и", "в", "не", "на", "что", "с", "по", "это", "как", "из",
+           "за", "его", "для", "или", "она", "они", "был", "при"),
+}
+
+_CYRILLIC = r"[Ѐ-ӿ]"
+
+
+def _stopword_pattern(lang: str) -> str:
+    words = "|".join(STOPWORDS[lang])
+    return rf"(?iu)\b(?:{words})\b"
+
+
+def langid_struct(text: Column, *, prefix_chars: int = LANGID_PREFIX_CHARS,
+                  min_tokens: int = 4, min_score: float = 0.05) -> Column:
+    """Returns struct<lang:string, score:double> for a text column."""
+    head = F.substring(text, 1, prefix_chars)
+    n_tokens = F.size(F.split(F.trim(head), r"\s+"))
+    n_tokens_f = F.greatest(n_tokens, F.lit(1)).cast("double")
+    cyr_ratio = (
+        F.size(F.regexp_extract_all(head, F.lit(_CYRILLIC), F.lit(0))).cast("double")
+        / F.greatest(F.length(head), F.lit(1)).cast("double")
+    )
+    scored = []
+    for lang in sorted(STOPWORDS):
+        hits = F.size(
+            F.regexp_extract_all(head, F.lit(_stopword_pattern(lang)), F.lit(0))
+        ).cast("double")
+        score = hits / n_tokens_f
+        if lang == "ru":
+            # script evidence: Cyrillic text is Russian-family even with
+            # few exact stopword hits
+            score = score + cyr_ratio
+        scored.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scored))
+    return F.when(
+        (F.length(F.trim(text)) == 0)
+        | (n_tokens < min_tokens)
+        | (best["score"] < min_score),
+        F.struct(F.lit(UNKNOWN).alias("lang"), F.lit(0.0).alias("score")),
+    ).otherwise(F.struct(best["lang"].alias("lang"), best["score"].alias("score")))
+
+
+def with_langid(df: DataFrame, text_col: str = "text",
+                out_prefix: str = "langid") -> DataFrame:
+    s = langid_struct(F.col(text_col))
+    return (
+        df.withColumn(f"{out_prefix}_tmp", s)
+        .withColumn(f"{out_prefix}_lang", F.col(f"{out_prefix}_tmp.lang"))
+        .withColumn(f"{out_prefix}_score", F.col(f"{out_prefix}_tmp.score"))
+        .drop(f"{out_prefix}_tmp")
+    )

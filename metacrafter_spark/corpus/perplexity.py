@@ -1,0 +1,120 @@
+"""KenLM-style character-trigram perplexity, numpy-vectorized.
+
+A deterministic stand-in for a KenLM n-gram model: a char-trigram
+log-probability table trained once (at import, pure function of the
+embedded seed text) with add-k smoothing over a 64-symbol alphabet.
+The table (~1 MB float32) rides to executors inside the pandas-UDF
+closure — the moral equivalent of a broadcast variable for this size —
+and scoring is pure numpy over the whole Arrow batch: texts are
+concatenated into one byte buffer, trigram indices computed with two
+vectorized shifts, log-probs gathered in one fancy-index, and per-doc
+means taken with ``np.add.reduceat``.  No per-row Python.
+
+Lower perplexity ⇒ more natural (English-like) text; gibberish and
+non-Latin text score high.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+
+ALPHABET = " abcdefghijklmnopqrstuvwxyz0123456789.,;:!?'\"()-\n"
+V = len(ALPHABET) + 1  # +1 = OTHER bucket (id 0)
+SMOOTH_K = 0.1
+
+# Deterministic seed corpus for the trigram table: generic English web
+# prose written for this purpose (public-domain-style filler).
+SEED_TEXT = """
+The quick brown fox jumps over the lazy dog while the morning sun rises
+over the quiet town. People read the news, drink their coffee, and walk
+to work along streets lined with small shops and old trees. In recent
+years, researchers have shown that simple statistical models of language
+can distinguish natural text from random noise with surprising accuracy.
+The model counts how often each sequence of characters appears in a large
+sample of writing and uses those counts to estimate how likely a new
+sentence would be. When the probability is high, the text looks like
+ordinary language; when it is low, the text is probably garbled, encoded,
+or written in another alphabet. This document contains common words and
+punctuation marks, numbers such as 1999 and 42, and a few questions too.
+What makes a sentence easy to read? Short words, clear structure, and
+familiar patterns of letters. Most English text uses the letters e, t, a,
+o, i, n, s, h, and r far more often than q, x, or z. Web pages also
+include headings, lists, and links, but the body of a good article is
+made of full sentences that end with a period. The weather today is mild,
+with light wind from the west and a chance of rain in the evening. Please
+remember to save your work, close the window, and turn off the lights
+before you leave the office at the end of the day. Thank you very much.
+"""
+
+
+def _char_ids(data: bytes) -> np.ndarray:
+    table = np.zeros(256, dtype=np.int32)
+    for i, ch in enumerate(ALPHABET, start=1):
+        table[ord(ch)] = i
+    arr = np.frombuffer(data, dtype=np.uint8)
+    return table[arr]
+
+
+def _train_table() -> np.ndarray:
+    text = " ".join(SEED_TEXT.lower().split())
+    ids = _char_ids(text.encode("ascii", "replace"))
+    tri = (ids[:-2] * V + ids[1:-1]) * V + ids[2:]
+    bi = ids[:-2] * V + ids[1:-1]
+    tri_counts = np.bincount(tri, minlength=V * V * V).astype(np.float32)
+    bi_counts = np.bincount(bi, minlength=V * V).astype(np.float32)
+    logp = np.log(
+        (tri_counts.reshape(V * V, V) + SMOOTH_K)
+        / (bi_counts[:, None] + SMOOTH_K * V)
+    ).astype(np.float32)
+    return logp.reshape(-1)
+
+
+_LOGP = _train_table()
+MAX_PPL = float(math.exp(-float(np.min(_LOGP))))
+
+
+def score_batch(texts: pd.Series, logp: np.ndarray, max_chars: int = 2000) -> pd.Series:
+    """Per-doc char-trigram perplexity over a pandas batch, vectorized.
+
+    Only trigrams strictly inside each document are scored (cumulative-sum
+    segment arithmetic), so a document's score is independent of its batch
+    neighbours and of partitioning — a determinism requirement.
+    """
+    s = texts.fillna("").str.slice(0, max_chars).str.lower()
+    blobs = s.str.encode("utf-8", "replace")
+    lengths = blobs.str.len().to_numpy(np.int64)
+    data = b"".join(blobs.tolist())
+    ids = _char_ids(data)
+    n_tri = max(len(ids) - 2, 0)
+    if n_tri == 0:
+        return pd.Series(np.full(len(texts), MAX_PPL), index=texts.index)
+    tri = (ids[:-2] * V + ids[1:-1]) * V + ids[2:]
+    lp = logp[tri]
+    csum = np.concatenate(([0.0], np.cumsum(lp, dtype=np.float64)))
+    starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    counts = np.maximum(lengths - 2, 0)
+    starts = np.clip(starts, 0, n_tri)
+    ends = np.clip(starts + counts, 0, n_tri)
+    sums = csum[ends] - csum[starts]
+    ppl = np.where(
+        counts > 0, np.exp(-(sums / np.maximum(counts, 1))), MAX_PPL
+    )
+    return pd.Series(np.minimum(ppl, MAX_PPL), index=texts.index)
+
+
+def perplexity_udf():
+    @pandas_udf("double")
+    def _ppl(s: pd.Series) -> pd.Series:
+        return score_batch(s, _LOGP)
+
+    return _ppl
+
+
+def with_perplexity(df: DataFrame, text_col: str = "text",
+                    out_col: str = "ppl") -> DataFrame:
+    return df.withColumn(out_col, perplexity_udf()(F.col(text_col)))

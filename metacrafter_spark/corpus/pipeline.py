@@ -1,0 +1,155 @@
+"""The web-corpus keep/drop + scrub pipeline (north rule).
+
+Input: a table shaped per BASELINE.json `input_hint`:
+    url:string, warc_ts:timestamp, html:binary, text:string, lang:string
+
+Per document: language ID (native expressions) → char-trigram
+perplexity (numpy pandas-UDF) → Gopher/C4 quality flags (native
+expressions) → PII span scan + scrub (vectorized regex kernels) →
+keep/drop decision with a drop_reason.  Everything is a pure function
+of the row → deterministic at any parallelism.
+
+Scale design:
+- one narrow pipeline stage, no shuffle at all for the per-doc part;
+- a deterministic ``bucket_id = pmod(xxhash64(url), n_buckets)`` is the
+  unit of lineage/metrics/resume (stable across runs, unlike
+  spark_partition_id);
+- per-domain aggregations go through two-phase salted aggregation
+  (``salted_domain_stats``) because web domains are zipfian-skewed;
+- metrics per bucket (docs, kept, per-rule hit sums) feed the
+  checkpoint-resume anti-join in :mod:`metacrafter_spark.corpus.resume`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from metacrafter_spark.corpus.langid import UNKNOWN, with_langid
+from metacrafter_spark.corpus.perplexity import with_perplexity
+from metacrafter_spark.corpus.quality import (
+    DEFAULT_THRESHOLDS,
+    QualityThresholds,
+    with_quality,
+)
+from metacrafter_spark.corpus.scrub import (
+    SpanRule,
+    default_scrub_rules,
+    total_hits,
+    with_scrub,
+)
+
+DEFAULT_N_BUCKETS = 256
+
+
+@dataclass(frozen=True)
+class KeepPolicy:
+    max_ppl: float = 2000.0          # applied to Latin-script langs only
+    max_pii_per_kchar: float = 20.0  # PII spans per 1000 chars
+    require_known_lang: bool = True
+    quality: QualityThresholds = DEFAULT_THRESHOLDS
+
+
+DEFAULT_POLICY = KeepPolicy()
+
+
+def domain_of(url: Column) -> Column:
+    return F.lower(F.regexp_extract(url, r"^[a-z]+://([^/:?#]+)", 1))
+
+
+def classify_corpus(
+    df: DataFrame,
+    *,
+    policy: KeepPolicy = DEFAULT_POLICY,
+    scrub_rules: Optional[tuple[SpanRule, ...]] = None,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    text_col: str = "text",
+) -> DataFrame:
+    """Attach langid/ppl/quality/pii/scrub columns + keep & drop_reason."""
+    rules = scrub_rules if scrub_rules is not None else default_scrub_rules()
+    out = (
+        df.withColumn("bucket_id", F.pmod(F.xxhash64("url"), F.lit(n_buckets)))
+        .withColumn("domain", domain_of(F.col("url")))
+    )
+    out = with_langid(out, text_col)
+    out = with_perplexity(out, text_col)
+    out = with_quality(out, text_col, policy.quality)
+    out = with_scrub(out, text_col, rules)
+    pii_total = total_hits("pii_hits", rules)
+    pii_per_kchar = pii_total.cast("double") * 1000.0 / F.greatest(
+        F.length(F.col(text_col)), F.lit(1)
+    ).cast("double")
+    lang_known = F.col("langid_lang") != UNKNOWN
+    ppl_ok = F.when(F.col("langid_lang").isin("en", "fr", "de", "es"),
+                    F.col("ppl") <= policy.max_ppl).otherwise(F.lit(True))
+    pii_ok = pii_per_kchar <= policy.max_pii_per_kchar
+    q_ok = F.col("q_pass")
+    reason = (
+        F.when(~lang_known if policy.require_known_lang else F.lit(False), "lang_unknown")
+        .when(~q_ok, "quality")
+        .when(~ppl_ok, "perplexity")
+        .when(~pii_ok, "pii_density")
+    )
+    out = (
+        out.withColumn("pii_total", pii_total)
+        .withColumn("pii_per_kchar", pii_per_kchar)
+        .withColumn("drop_reason", reason)
+        .withColumn("keep", reason.isNull())
+    )
+    return out
+
+
+def bucket_metrics(
+    classified: DataFrame,
+    rules: Optional[tuple[SpanRule, ...]] = None,
+    run_id: str = "run0",
+) -> DataFrame:
+    """Per-bucket lineage + rule-hit metrics (the checkpoint unit)."""
+    rules = rules if rules is not None else default_scrub_rules()
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        F.min("warc_ts").alias("min_warc_ts"),
+        F.max("warc_ts").alias("max_warc_ts"),
+        F.sum("pii_total").alias("pii_spans"),
+    ]
+    aggs += [
+        F.sum(F.col(f"pii_hits.`{r.name}`")).alias(f"hits_{r.name}") for r in rules
+    ]
+    return (
+        classified.groupBy("bucket_id")
+        .agg(*aggs)
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("completed", F.lit(True))
+    )
+
+
+def salted_domain_stats(
+    classified: DataFrame, n_salts: int = 16
+) -> DataFrame:
+    """Per-domain keep-rate stats via two-phase salted aggregation.
+
+    Web domains are zipfian: one domain can dominate the corpus, so a
+    plain groupBy('domain') sends that key to one reducer.  Phase 1
+    groups by (domain, salt) — the heavy key splits across n_salts
+    reducers — phase 2 re-aggregates the (tiny) partials.
+    """
+    salted = classified.withColumn(
+        "_salt", F.pmod(F.xxhash64("url", F.lit(1)), F.lit(n_salts))
+    )
+    partial = salted.groupBy("domain", "_salt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("keep").cast("long")).alias("k"),
+        F.sum("pii_total").alias("p"),
+    )
+    return (
+        partial.groupBy("domain")
+        .agg(
+            F.sum("n").alias("n_docs"),
+            F.sum("k").alias("n_keep"),
+            F.sum("p").alias("pii_spans"),
+        )
+        .withColumn("keep_rate", F.col("n_keep") / F.col("n_docs"))
+    )

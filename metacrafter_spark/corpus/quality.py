@@ -1,0 +1,110 @@
+"""Gopher/C4-style heuristic quality rules as native Column expressions.
+
+Every metric and flag below is a pure JVM expression (split/filter/
+regexp over the text column) — whole-stage codegen, no Python in the
+hot path.  Thresholds follow the published Gopher (Rae et al. 2021,
+§A1.1) and C4 (Raffel et al. 2020, §2.2) heuristics, adapted to
+per-document columns.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+@dataclass(frozen=True)
+class QualityThresholds:
+    min_words: int = 50
+    max_words: int = 100_000
+    min_mean_word_len: float = 3.0
+    max_mean_word_len: float = 10.0
+    max_symbol_word_ratio: float = 0.1
+    max_bullet_line_frac: float = 0.9
+    max_ellipsis_line_frac: float = 0.3
+    min_alpha_word_frac: float = 0.8
+    min_stopword_hits: int = 2
+    max_dup_line_frac: float = 0.3
+    min_terminal_punct_line_frac: float = 0.0  # C4 uses line filtering; doc-level info only
+
+
+DEFAULT_THRESHOLDS = QualityThresholds()
+
+_STOPWORD_RE = r"(?i)\b(?:the|be|to|of|and|that|have|with|и|в|не|на|le|la|et|der|die|und|el|los|que)\b"
+_BULLET_RE = r"^\s*(?:[-*•‣▪]|\d+[.)])\s"
+_WORD_ALPHA_RE = r"[A-Za-zА-Яа-яЀ-ӿÀ-ÿ]"
+
+
+def quality_columns(text: Column) -> dict[str, Column]:
+    words = F.filter(F.split(text, r"\s+"), lambda w: F.length(w) > 0)
+    n_words = F.size(words)
+    n_words_f = F.greatest(n_words, F.lit(1)).cast("double")
+    lines = F.split(text, r"\n")
+    n_lines_f = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    alpha_chars = F.size(F.regexp_extract_all(text, F.lit(_WORD_ALPHA_RE), F.lit(0)))
+    return {
+        "n_chars": F.length(text),
+        "n_words": n_words,
+        "mean_word_len": (
+            F.length(F.regexp_replace(text, r"\s+", "")).cast("double") / n_words_f
+        ),
+        "symbol_word_ratio": (
+            F.size(F.regexp_extract_all(text, F.lit(r"[#…]|\.{3}"), F.lit(0))).cast("double")
+            / n_words_f
+        ),
+        "bullet_line_frac": (
+            F.size(F.filter(lines, lambda l: l.rlike(_BULLET_RE))).cast("double")
+            / n_lines_f
+        ),
+        "ellipsis_line_frac": (
+            F.size(F.filter(lines, lambda l: l.rlike(r"(?:\.{3}|…)\s*$"))).cast("double")
+            / n_lines_f
+        ),
+        "alpha_word_frac": (
+            F.size(F.filter(words, lambda w: w.rlike(_WORD_ALPHA_RE))).cast("double")
+            / n_words_f
+        ),
+        "stopword_hits": F.size(
+            F.regexp_extract_all(text, F.lit(_STOPWORD_RE), F.lit(0))
+        ),
+        "dup_line_frac": (
+            F.lit(1.0)
+            - F.size(F.array_distinct(lines)).cast("double") / n_lines_f
+        ),
+        "terminal_punct_line_frac": (
+            F.size(F.filter(lines, lambda l: l.rlike(r'[.!?"]\s*$'))).cast("double")
+            / n_lines_f
+        ),
+        "alpha_char_frac": (
+            alpha_chars.cast("double") / F.greatest(F.length(text), F.lit(1)).cast("double")
+        ),
+        "has_lorem": text.rlike(r"(?i)lorem ipsum"),
+        "has_curly": text.contains("{"),
+    }
+
+
+def quality_pass(q: dict[str, Column], t: QualityThresholds = DEFAULT_THRESHOLDS) -> Column:
+    """Gopher-style document keep decision from the metric columns."""
+    return (
+        q["n_words"].between(t.min_words, t.max_words)
+        & q["mean_word_len"].between(t.min_mean_word_len, t.max_mean_word_len)
+        & (q["symbol_word_ratio"] < t.max_symbol_word_ratio)
+        & (q["bullet_line_frac"] < t.max_bullet_line_frac)
+        & (q["ellipsis_line_frac"] < t.max_ellipsis_line_frac)
+        & (q["alpha_word_frac"] > t.min_alpha_word_frac)
+        & (q["stopword_hits"] >= t.min_stopword_hits)
+        & (q["dup_line_frac"] < t.max_dup_line_frac)
+        & ~q["has_lorem"]
+        & ~q["has_curly"]
+    )
+
+
+def with_quality(df: DataFrame, text_col: str = "text",
+                 thresholds: QualityThresholds = DEFAULT_THRESHOLDS,
+                 prefix: str = "q") -> DataFrame:
+    q = quality_columns(F.col(text_col))
+    for name, col in q.items():
+        df = df.withColumn(f"{prefix}_{name}", col)
+    named = {name: F.col(f"{prefix}_{name}") for name in q}
+    return df.withColumn(f"{prefix}_pass", quality_pass(named, thresholds))

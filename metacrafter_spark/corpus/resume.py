@@ -1,0 +1,74 @@
+"""Checkpoint/resume via per-bucket lineage — batch-native, no streaming.
+
+The metrics table (one row per completed ``bucket_id``,
+:func:`metacrafter_spark.corpus.pipeline.bucket_metrics`) doubles as the
+checkpoint: a re-run anti-joins its input against completed buckets and
+processes only the remainder, then appends the new buckets' metrics.
+Writes are idempotent because output is partitioned by ``bucket_id`` and
+a bucket is only marked completed after its data is written.
+
+Iceberg would give this snapshot isolation for free; in this sandbox
+the same layout runs on plain parquet behind the ``TableIO`` seam.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+class TableIO:
+    """Thin table abstraction: parquet dirs now, Iceberg later."""
+
+    def __init__(self, spark: SparkSession, fmt: str = "parquet"):
+        self.spark = spark
+        self.fmt = fmt
+
+    def exists(self, path: str) -> bool:
+        try:
+            self.spark.read.format(self.fmt).load(path).schema
+            return True
+        except Exception:
+            return False
+
+    def read(self, path: str) -> Optional[DataFrame]:
+        if not self.exists(path):
+            return None
+        return self.spark.read.format(self.fmt).load(path)
+
+    def append(self, df: DataFrame, path: str, partition_by: Optional[list] = None):
+        w = df.write.format(self.fmt).mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.save(path)
+
+
+def completed_buckets(io: TableIO, metrics_path: str) -> Optional[DataFrame]:
+    m = io.read(metrics_path)
+    if m is None:
+        return None
+    return m.filter(F.col("completed")).select("bucket_id").distinct()
+
+
+def pending_input(
+    df_with_buckets: DataFrame, io: TableIO, metrics_path: str
+) -> DataFrame:
+    """Anti-join the (tiny, broadcastable) completed-bucket set."""
+    done = completed_buckets(io, metrics_path)
+    if done is None:
+        return df_with_buckets
+    return df_with_buckets.join(F.broadcast(done), on="bucket_id", how="left_anti")
+
+
+def run_with_resume(
+    classified: DataFrame,
+    io: TableIO,
+    out_path: str,
+    metrics_path: str,
+    *,
+    metrics_df: DataFrame,
+) -> None:
+    """Write output partitioned by bucket, then mark buckets complete."""
+    io.append(classified, out_path, partition_by=["bucket_id"])
+    io.append(metrics_df, metrics_path)

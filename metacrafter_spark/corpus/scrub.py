@@ -1,0 +1,204 @@
+"""PII span detection + scrubbing over free text — byte-identical.
+
+The reference engine classifies whole column *values*; the corpus layer
+turns the same rule pack into **span detectors** over document text:
+anchored value patterns (``\\A … (\\n|$)``) are unwrapped to their core
+bodies and guarded with boundary look-arounds, then combined with
+web-PII span rules (email, international phone, credit card with Luhn
+check, IPv4, IBAN-like) that column-value rules cannot express.
+
+Determinism contract (north rule: "byte-identical scrubbed text per
+url"): scrubbing is a pure function of (text, ordered rule list) —
+rules are applied in a fixed sequence, each via a single vectorized
+``Series.str.replace`` (leftmost, non-overlapping, earlier rules win on
+overlap because later rules see already-scrubbed text).  No partition
+or batch context enters the computation, so any parallelism yields the
+same bytes.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from functools import lru_cache
+from typing import Callable, Optional
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+
+from metacrafter_spark.rules.model import CompiledRulePack, load_builtin_pack
+
+
+@dataclass(frozen=True)
+class SpanRule:
+    name: str
+    pattern: str           # Python-re span pattern (unanchored)
+    replacement: str       # literal replacement token
+    validator: Optional[Callable[[str], bool]] = None  # e.g. Luhn
+
+
+def _luhn_ok(digits: str) -> bool:
+    ds = [int(c) for c in re.sub(r"\D", "", digits)]
+    if not 13 <= len(ds) <= 19:
+        return False
+    total = 0
+    for i, d in enumerate(reversed(ds)):
+        if i % 2 == 1:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+# Hex-ish identifiers need boundary guards so a 32-hex scrub doesn't fire
+# inside a 64-hex hash; word identifiers use \b.
+_HEX_GUARD_L = r"(?<![0-9A-Fa-f])"
+_HEX_GUARD_R = r"(?![0-9A-Fa-f])"
+
+WEB_PII_RULES: tuple[SpanRule, ...] = (
+    SpanRule(
+        "email",
+        r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+        "<EMAIL>",
+    ),
+    SpanRule(
+        "uuid",
+        _HEX_GUARD_L
+        + r"[0-9A-Fa-f]{8}-[0-9A-Fa-f]{4}-[0-9A-Fa-f]{4}-[0-9A-Fa-f]{4}-[0-9A-Fa-f]{12}"
+        + _HEX_GUARD_R,
+        "<UUID>",
+    ),
+    SpanRule(
+        "sha256", _HEX_GUARD_L + r"[0-9A-Fa-f]{64}" + _HEX_GUARD_R, "<SHA256>",
+    ),
+    SpanRule(
+        "sha1", _HEX_GUARD_L + r"[0-9A-Fa-f]{40}" + _HEX_GUARD_R, "<SHA1>",
+    ),
+    SpanRule(
+        "md5", _HEX_GUARD_L + r"[0-9A-Fa-f]{32}" + _HEX_GUARD_R, "<MD5>",
+    ),
+    SpanRule(
+        "credit_card",
+        r"(?<!\d)(?:\d[ \-]?){12,18}\d(?!\d)",
+        "<CARD>",
+        validator=_luhn_ok,
+    ),
+    SpanRule(
+        "phone_intl",
+        r"(?<![\w])\+\d{1,3}[\s\-.]?\(?\d{1,4}\)?(?:[\s\-.]?\d{2,4}){2,4}(?![\d])",
+        "<PHONE>",
+    ),
+    SpanRule(
+        "ipv4",
+        r"(?<![\d.])(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
+        r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)(?![\d.])",
+        "<IP>",
+    ),
+    SpanRule(
+        "ssn_like",
+        r"(?<!\d)\d{3}-\d{2}-\d{4}(?!\d)",
+        "<SSN>",
+    ),
+    SpanRule(
+        "ru_snils",
+        r"(?<!\d)\d{3}-\d{3}-\d{3}[ \-]\d{2}(?!\d)",
+        "<SNILS>",
+    ),
+)
+
+
+def pack_span_rules(
+    pack: Optional[CompiledRulePack] = None,
+    rule_ids: tuple[str, ...] = ("doibydata", "asnbyprefixname"),
+) -> tuple[SpanRule, ...]:
+    """Derive extra span detectors from pack ppr rules by unwrapping the
+    anchors the value matcher adds (``\\A ws … lineEnd``)."""
+    pack = pack or load_builtin_pack()
+    out = []
+    for rid in rule_ids:
+        rule = next((r for r in pack.data_rules if r.id == rid), None)
+        if rule is None or rule.pattern is None:
+            continue
+        body = rule.pattern
+        body = body.removeprefix(r"\A[ \t\n\r]*+")
+        body = body.removesuffix(r"[ \t]*+(?:\n|$)")
+        # \b works because both bodies start with a word char; trailing
+        # (?!\w) avoids firing inside a longer token (possessive bodies
+        # don't backtrack, so over-long tokens are rejected outright).
+        out.append(SpanRule(rid, rf"\b(?:{body})(?!\w)", f"<{rule.dataclass.upper()}>"))
+    return tuple(out)
+
+
+def default_scrub_rules(pack: Optional[CompiledRulePack] = None) -> tuple[SpanRule, ...]:
+    return WEB_PII_RULES + pack_span_rules(pack)
+
+
+@lru_cache(maxsize=256)
+def _rx(pattern: str) -> "re.Pattern[str]":
+    return re.compile(pattern)
+
+
+def scrub_series(s: pd.Series, rules: tuple[SpanRule, ...]) -> pd.Series:
+    out = s
+    for rule in rules:
+        rx = _rx(rule.pattern)
+        if rule.validator is None:
+            out = out.str.replace(rx, rule.replacement, regex=True)
+        else:
+            v, repl = rule.validator, rule.replacement
+            out = out.str.replace(
+                rx, lambda m: repl if v(m.group(0)) else m.group(0), regex=True
+            )
+    return out
+
+
+def count_series(s: pd.Series, rules: tuple[SpanRule, ...]) -> pd.DataFrame:
+    """Per-rule hit counts on the ORIGINAL text (pre-scrub), vectorized."""
+    data = {}
+    for rule in rules:
+        rx = _rx(rule.pattern)
+        c = s.str.count(rx)
+        if rule.validator is not None:
+            v = rule.validator
+            c = s.str.findall(rx).map(lambda ms: sum(1 for m in ms if v(m)))
+        data[rule.name] = c.fillna(0).astype("int64")
+    return pd.DataFrame(data)
+
+
+def scrub_udfs(rules: tuple[SpanRule, ...]):
+    """(scrubbed_text_udf, counts_udf) — Arrow-vectorized kernels."""
+    count_schema = ", ".join(f"`{r.name}` long" for r in rules)
+
+    @pandas_udf("string")
+    def scrubbed(s: pd.Series) -> pd.Series:
+        return scrub_series(s.fillna(""), rules)
+
+    @pandas_udf(f"struct<{count_schema}>")
+    def counts(s: pd.Series) -> pd.DataFrame:
+        return count_series(s.fillna(""), rules)
+
+    return scrubbed, counts
+
+
+def with_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    rules: Optional[tuple[SpanRule, ...]] = None,
+    scrubbed_col: str = "text_scrubbed",
+    hits_col: str = "pii_hits",
+) -> DataFrame:
+    rules = rules if rules is not None else default_scrub_rules()
+    scrubbed, counts = scrub_udfs(rules)
+    return df.withColumn(scrubbed_col, scrubbed(F.col(text_col))).withColumn(
+        hits_col, counts(F.col(text_col))
+    )
+
+
+def total_hits(hits_col: str, rules: tuple[SpanRule, ...]) -> Column:
+    cols = [F.col(f"{hits_col}.`{r.name}`") for r in rules]
+    total = cols[0]
+    for c in cols[1:]:
+        total = total + c
+    return total

@@ -1,0 +1,124 @@
+"""Deterministic synthetic web-page corpus (BASELINE.json input_hint).
+
+Schema: url:string, warc_ts:timestamp, html:binary, text:string,
+lang:string.  Every row is a pure function of (seed, doc id), generated
+*distributively* from ``spark.range(n)`` with ``mapInPandas`` — the same
+ids yield the same bytes at any scale factor or parallelism, so golden
+hashes are stable.  ~30% of documents come from one skewed domain
+(exercises salting), texts mix 5 languages, embed PII spans, and include
+deliberate quality failures (too short, bullet walls, duplicate lines,
+lorem ipsum, code with braces).
+"""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from metacrafter_spark.corpus.langid import STOPWORDS
+
+SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+_CONTENT = {
+    "en": ("market report science weather travel music history people city "
+           "water system work school house family morning government").split(),
+    "fr": ("marché rapport science météo voyage musique histoire gens ville "
+           "eau système travail école maison famille matin gouvernement").split(),
+    "de": ("markt bericht wissenschaft wetter reise musik geschichte leute "
+           "stadt wasser system arbeit schule haus familie morgen regierung").split(),
+    "es": ("mercado informe ciencia tiempo viaje música historia gente ciudad "
+           "agua sistema trabajo escuela casa familia mañana gobierno").split(),
+    "ru": ("рынок отчет наука погода поездка музыка история люди город вода "
+           "система работа школа дом семья утро правительство").split(),
+}
+_LANGS = sorted(_CONTENT)
+_DOMAINS = ["news.example.org", "blog.example.net", "shop.example.io",
+            "wiki.example.edu", "forum.example.co"]
+SKEWED_DOMAIN = "big.skewed.example.com"
+
+
+def _sentence(rng: random.Random, lang: str, n: int) -> str:
+    sw = STOPWORDS[lang]
+    cw = _CONTENT[lang]
+    words = []
+    for i in range(n):
+        words.append(rng.choice(sw) if i % 2 == 0 else rng.choice(cw))
+    s = " ".join(words)
+    return s[0].upper() + s[1:] + rng.choice([".", ".", ".", "!", "?"])
+
+
+def _luhn_card(rng: random.Random) -> str:
+    ds = [rng.randint(0, 9) for _ in range(15)]
+    total = 0
+    for i, d in enumerate(reversed(ds)):
+        dd = d * 2 if i % 2 == 0 else d
+        total += dd - 9 if dd > 9 else dd
+    check = (10 - total % 10) % 10
+    all16 = ds + [check]
+    return " ".join(
+        "".join(str(d) for d in all16[i : i + 4]) for i in range(0, 16, 4)
+    )
+
+
+def make_doc(doc_id: int, seed: int = 42) -> dict:
+    rng = random.Random((seed << 32) ^ doc_id)
+    lang = _LANGS[doc_id % len(_LANGS)] if doc_id % 10 else "en"
+    domain = SKEWED_DOMAIN if rng.random() < 0.30 else rng.choice(_DOMAINS)
+    url = f"https://{domain}/{lang}/article/{doc_id}"
+    ts = datetime(2025, 1, 1) + timedelta(seconds=doc_id * 37 % 31_536_000)
+    kind = rng.random()
+    paras = []
+    if kind < 0.06:                      # too short → quality drop
+        paras.append(_sentence(rng, lang, rng.randint(3, 8)))
+    elif kind < 0.10:                    # bullet wall → quality drop
+        paras.extend(f"- {_sentence(rng, lang, 4)}" for _ in range(12))
+    elif kind < 0.13:                    # duplicated lines → quality drop
+        line = _sentence(rng, lang, 10)
+        paras.extend([line] * 10)
+    elif kind < 0.15:                    # lorem ipsum → quality drop
+        paras.append("Lorem ipsum dolor sit amet, " + _sentence(rng, lang, 20))
+    elif kind < 0.17:                    # code-ish with braces → quality drop
+        paras.append("function f() { return " + str(doc_id) + "; } "
+                     + _sentence(rng, lang, 30))
+    else:                                # normal article
+        for _ in range(rng.randint(3, 7)):
+            paras.append(
+                " ".join(_sentence(rng, lang, rng.randint(8, 16))
+                         for _ in range(rng.randint(3, 6)))
+            )
+    # PII injection (known spans, scrub targets)
+    if rng.random() < 0.35:
+        paras.append(
+            f"Contact: user{doc_id}@mail{doc_id % 7}.example.com or call "
+            f"+1-415-555-{doc_id % 10000:04d}."
+        )
+    if rng.random() < 0.15:
+        h = f"{rng.getrandbits(128):032x}"
+        paras.append(
+            f"Session {h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]} "
+            f"logged from {rng.randint(1,223)}.{rng.randint(0,255)}."
+            f"{rng.randint(0,255)}.{rng.randint(1,254)}."
+        )
+    if rng.random() < 0.08:
+        paras.append(f"Card on file: {_luhn_card(rng)}.")
+    text = "\n".join(paras)
+    html = ("<html><head><title>doc %d</title></head><body>%s</body></html>"
+            % (doc_id, text)).encode("utf-8")
+    claimed = lang if rng.random() < 0.9 else rng.choice([*_LANGS, ""])
+    return {"url": url, "warc_ts": ts, "html": html, "text": text, "lang": claimed}
+
+
+def synth_webpages(spark: SparkSession, n: int, seed: int = 42,
+                   partitions: int = 8) -> DataFrame:
+    base = spark.range(0, n, 1, partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = [make_doc(int(i), seed) for i in b["id"]]
+            yield pd.DataFrame(rows)
+
+    return base.mapInPandas(gen, SCHEMA)

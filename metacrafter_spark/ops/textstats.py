@@ -1,0 +1,89 @@
+"""Text-analysis operators: token counting, quality scoring, document
+fingerprinting — all native Column expressions (no Python).
+
+- whitespace tokens and a BPE-ish subword proxy (regex word pieces +
+  punctuation singles — the standard ~token estimate);
+- quality score: a 0-1 blend of length/punctuation/stopword ratios;
+- fingerprint: winnowing-style — min-hash of word 4-gram window minima,
+  robust to small edits (Schleimer et al., MOSS).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from metacrafter_spark.corpus.quality import _STOPWORD_RE
+
+# word pieces: runs of letters (≤4 chars each ≈ BPE granularity), digits,
+# or single punctuation marks
+_PIECE_RE = r"[A-Za-zÀ-ÿА-яЀ-ӿ]{1,4}|\d{1,3}|[^\sA-Za-zÀ-ÿА-яЀ-ӿ\d]"
+
+
+def whitespace_token_count(text: Column) -> Column:
+    return F.size(F.filter(F.split(text, r"\s+"), lambda w: F.length(w) > 0))
+
+
+def subword_token_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(_PIECE_RE), F.lit(0)))
+
+
+def quality_score(text: Column) -> Column:
+    """0–1 heuristic quality blend (higher = cleaner prose)."""
+    n_chars = F.greatest(F.length(text), F.lit(1)).cast("double")
+    n_words = whitespace_token_count(text)
+    n_words_f = F.greatest(n_words, F.lit(1)).cast("double")
+    alpha_frac = (
+        F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-zА-яЀ-ӿÀ-ÿ]"), F.lit(0))).cast("double")
+        / n_chars
+    )
+    stop_frac = F.least(
+        F.size(F.regexp_extract_all(text, F.lit(_STOPWORD_RE), F.lit(0))).cast("double")
+        / n_words_f * 5.0,
+        F.lit(1.0),
+    )
+    len_score = F.least(n_words_f / 50.0, F.lit(1.0))
+    punct_frac = (
+        F.size(F.regexp_extract_all(text, F.lit(r"[.!?]"), F.lit(0))).cast("double")
+        / n_words_f
+    )
+    punct_score = F.lit(1.0) - F.least(F.abs(punct_frac - 0.08) * 5.0, F.lit(1.0))
+    return F.round(
+        alpha_frac * 0.35 + stop_frac * 0.25 + len_score * 0.25 + punct_score * 0.15, 6
+    )
+
+
+def fingerprint64(text: Column, gram: int = 4, window: int = 8,
+                  max_words: int = 2000) -> Column:
+    """Winnowing fingerprint: xxhash64 of the sorted set of per-window
+    minimum 4-gram hashes (robust to small edits)."""
+    words = F.slice(
+        F.filter(F.split(F.lower(text), r"\W+"), lambda w: F.length(w) > 0),
+        1, max_words,
+    )
+    k = F.greatest(F.size(words) - (gram - 1), F.lit(0))
+    gram_hashes = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, gram))),
+    )
+    nwin = F.greatest(F.size(gram_hashes) - (window - 1), F.lit(1))
+    mins = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), nwin),
+            lambda i: F.array_min(F.slice(gram_hashes, i, window)),
+        )
+    )
+    return F.when(
+        k > 0,
+        F.xxhash64(F.concat_ws(",", F.transform(F.array_sort(mins),
+                                                lambda x: x.cast("string")))),
+    ).otherwise(F.xxhash64(F.concat_ws(" ", words)))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return (
+        df.withColumn("n_tokens_ws", whitespace_token_count(t))
+        .withColumn("n_tokens_subword", subword_token_count(t))
+        .withColumn("quality_score", quality_score(t))
+        .withColumn("fingerprint", fingerprint64(t))
+    )

@@ -1,0 +1,153 @@
+"""Web-corpus pipeline tests: determinism across parallelism,
+byte-identical scrub, langid accuracy, keep/drop behavior, resume."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from metacrafter_spark.corpus.langid import STOPWORDS
+from metacrafter_spark.corpus.perplexity import _LOGP, score_batch
+from metacrafter_spark.corpus.pipeline import (
+    bucket_metrics,
+    classify_corpus,
+    salted_domain_stats,
+)
+from metacrafter_spark.corpus.resume import TableIO, pending_input
+from metacrafter_spark.corpus.scrub import default_scrub_rules, scrub_series
+from metacrafter_spark.corpus.webpages import SKEWED_DOMAIN, make_doc, synth_webpages
+
+N_DOCS = 400
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return synth_webpages(spark, N_DOCS, seed=42, partitions=4).cache()
+
+
+@pytest.fixture(scope="module")
+def classified(corpus):
+    return classify_corpus(corpus).cache()
+
+
+def test_corpus_deterministic_across_partitioning(spark):
+    a = synth_webpages(spark, 100, partitions=1).orderBy("url").collect()
+    b = synth_webpages(spark, 100, partitions=7).orderBy("url").collect()
+    assert [r.text for r in a] == [r.text for r in b]
+    assert [bytes(r.html) for r in a] == [bytes(r.html) for r in b]
+
+
+def test_classify_deterministic_across_partitioning(spark, corpus):
+    out1 = classify_corpus(corpus.repartition(1))
+    out13 = classify_corpus(corpus.repartition(13))
+    cols = ["url", "langid_lang", "keep", "drop_reason", "text_scrubbed", "ppl"]
+    r1 = {r["url"]: r for r in out1.select(*cols).collect()}
+    r13 = {r["url"]: r for r in out13.select(*cols).collect()}
+    assert set(r1) == set(r13)
+    for url, a in r1.items():
+        b = r13[url]
+        assert a["text_scrubbed"] == b["text_scrubbed"], url  # byte-identical
+        assert a["keep"] == b["keep"] and a["drop_reason"] == b["drop_reason"]
+        assert abs(a["ppl"] - b["ppl"]) < 1e-12, url
+
+
+def test_langid_accuracy_on_synthetic(classified):
+    rows = classified.select("url", "lang", "langid_lang", "q_n_words").collect()
+    # true language is encoded in the url path segment
+    good = total = 0
+    for r in rows:
+        true_lang = r["url"].split("/")[3]
+        if r["q_n_words"] >= 30:  # langid is only contractual on real docs
+            total += 1
+            good += r["langid_lang"] == true_lang
+    assert total > 100
+    assert good / total >= 0.98, (good, total)
+
+
+def test_scrub_removes_known_pii(classified):
+    kept = classified.select("text", "text_scrubbed").collect()
+    for r in kept:
+        if "@" in r["text"] and "mail" in r["text"]:
+            assert "<EMAIL>" in r["text_scrubbed"]
+            assert "@mail" not in r["text_scrubbed"]
+        assert "+1-415-555-" not in r["text_scrubbed"]
+    # scrub is idempotent on already-scrubbed text
+    rules = default_scrub_rules()
+    s = pd.Series([r["text_scrubbed"] for r in kept[:50]])
+    assert (scrub_series(s, rules) == s).all()
+
+
+def test_scrub_known_spans():
+    rules = default_scrub_rules()
+    s = pd.Series([
+        "mail me at a.b+c@ex-ample.org now",
+        "id 550e8400-e29b-41d4-a716-446655440000 done",
+        "hash d41d8cd98f00b204e9800998ecf8427e!",
+        "card 4539 1488 0343 6467 expires",   # Luhn-valid
+        "card 1234 5678 9012 3456 expires",   # Luhn-invalid → untouched
+        "ip 10.0.0.1 and 999.1.1.1",
+        "ssn 123-45-6789.",
+        "doi 10.1234/abc.def rocks",
+        "as AS15169 peers",
+        "sha 0123456789abcdef0123456789abcdef0123456789abcdef0123456789abcdef end",
+    ])
+    out = scrub_series(s, rules).tolist()
+    assert out[0] == "mail me at <EMAIL> now"
+    assert out[1] == "id <UUID> done"
+    assert out[2] == "hash <MD5>!"
+    assert out[3] == "card <CARD> expires"
+    assert out[4] == "card 1234 5678 9012 3456 expires"
+    assert out[5] == "ip <IP> and 999.1.1.1"
+    assert out[6] == "ssn <SSN>."
+    assert out[7] == "doi <DOI> rocks"
+    assert out[8] == "as <ASN> peers"
+    assert out[9] == "sha <SHA256> end"
+
+
+def test_perplexity_orders_text_quality():
+    natural = pd.Series(["the weather today is mild and people walk to work"])
+    gibberish = pd.Series(["xq zvk qqj wxz kjq vxq zzq jxk qvz xqz kqj zxv"])
+    assert score_batch(natural, _LOGP)[0] < score_batch(gibberish, _LOGP)[0]
+
+
+def test_keep_drop_reasons(classified):
+    reasons = {
+        r["drop_reason"]
+        for r in classified.select("drop_reason").distinct().collect()
+    }
+    assert None in reasons and "quality" in reasons
+    kept_frac = classified.filter("keep").count() / N_DOCS
+    assert 0.3 < kept_frac < 0.95
+
+
+def test_skewed_domain_and_salted_stats(classified):
+    stats = {r["domain"]: r for r in salted_domain_stats(classified).collect()}
+    assert stats[SKEWED_DOMAIN]["n_docs"] >= 0.2 * N_DOCS
+    assert sum(r["n_docs"] for r in stats.values()) == N_DOCS
+
+
+def test_metrics_and_resume(spark, classified, tmp_path):
+    io = TableIO(spark)
+    rules = default_scrub_rules()
+    metrics = bucket_metrics(classified, rules, run_id="r1")
+    mpath = str(tmp_path / "metrics")
+    opath = str(tmp_path / "out")
+    half = metrics.filter(F.col("bucket_id") % 2 == 0)
+    io.append(classified.filter(F.col("bucket_id") % 2 == 0), opath, ["bucket_id"])
+    io.append(half, mpath)
+    remaining = pending_input(classified, io, mpath)
+    assert remaining.filter(F.col("bucket_id") % 2 == 0).count() == 0
+    n_rem = remaining.count()
+    assert 0 < n_rem < N_DOCS
+    # complete the run: append rest, then nothing pending
+    io.append(remaining, opath, ["bucket_id"])
+    io.append(bucket_metrics(remaining, rules, run_id="r2"), mpath)
+    assert pending_input(classified, io, mpath).count() == 0
+    total_written = spark.read.parquet(opath).count()
+    assert total_written == N_DOCS
+
+
+def test_make_doc_pure_function():
+    assert make_doc(7) == make_doc(7)
+    assert make_doc(7) != make_doc(8)
