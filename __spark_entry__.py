@@ -1,38 +1,487 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: full rule-pack classification of the
+sf0.001 tables.  ``queries()`` — one entry per implemented operator
+family (SURVEY.md §2 + training-data ops), each taking
+``(spark, sf_dir)``.  ``oracle_sql()`` — DuckDB-equivalent SQL for every
+SQL-expressible query; hash-dependent ops (xxhash64 minhash/simhash/
+fingerprints, perplexity, LSH) are rows-only by design.
+
+All float outputs are rounded on BOTH sides (Spark and oracle) so the
+driver's value-hash comparison is insensitive to summation order.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F, Window
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------- flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Classify every column of the sf0.001 documents+customer tables
+    with the full builtin rule pack (stats → prune → match → labels)."""
+    from metacrafter_spark.scanner import labels_dataframe, scan_dataframe
+
+    sf = "/root/testdata/sf0.001"
+    docs = _t(spark, sf, "documents")
+    cust = _t(spark, sf, "customer")
+    rep_docs = scan_dataframe(docs)
+    rep_cust = scan_dataframe(cust)
+    return labels_dataframe(spark, rep_docs).unionByName(
+        labels_dataframe(spark, rep_cust)
+    )
+
+
+# ------------------------------------------------------------- sql queries
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_top_customers(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    spend = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    joined = spend.join(F.broadcast(cust), spend.o_custkey == cust.c_custkey)
+    w = Window.orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("c_custkey", "c_name", "total_spend", "n_orders", "rank")
+    )
+
+
+def q_field_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    outs = []
+    for c in ("text", "lang", "source"):
+        col = F.col(c)
+        outs.append(
+            docs.agg(
+                F.lit(c).alias("key"),
+                F.count(col).alias("total"),
+                F.countDistinct(col).alias("n_uniq"),
+                F.min(F.length(col)).alias("minlen"),
+                F.max(F.length(col)).alias("maxlen"),
+                F.round(F.avg(F.length(col)), 4).alias("avglen"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def q_dict_detection(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    outs = []
+    for c in ("lang", "source"):
+        col = F.col(c)
+        outs.append(
+            docs.agg(
+                F.lit(c).alias("key"),
+                F.round(
+                    F.countDistinct(col) * 100.0 / F.count(col), 6
+                ).alias("share_uniq"),
+                (F.countDistinct(col) * 100.0 / F.count(col) <= 10).alias(
+                    "is_dictkey"
+                ),
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
+def _mini_pack():
+    from metacrafter_spark.rules.model import CompiledRule, CompiledRulePack
+
+    rule = CompiledRule(
+        seq=0, id="langtag_mini", dataclass="languagetag", rtype="data",
+        match="text", lang="common", contexts=("common",), group="mini",
+        group_desc="mini pack", country=None, imprecise=False, is_pii=False,
+        minlen=2, maxlen=2,
+        keywords=frozenset({"en", "fr", "de", "es", "zh"}),
+    )
+    return CompiledRulePack(rules=(rule,))
+
+
+def q_rule_confidence(spark, sf_dir):
+    """The rule engine end-to-end (stats → prune → match → confidence)
+    with a 1-rule pack, so the oracle stays one SQL expression."""
+    from metacrafter_spark.scanner import labels_dataframe, scan_dataframe
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "source")
+    rep = scan_dataframe(docs, pack=_mini_pack(), limit=1_000_000)
+    labels = labels_dataframe(spark, rep)
+    return (
+        labels.filter(F.col("ruletype") == "data")
+        .select(
+            "field", "ruleid", "dataclass",
+            F.round("confidence", 6).alias("confidence"),
+        )
+        .orderBy("field")
+    )
+
+
+def q_regex_match_rate(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pat = r"\b(?:join|merge)\b"
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("text").rlike(pat), 1).otherwise(0))
+                * 100.0
+                / F.count(F.lit(1)),
+                4,
+            ).alias("match_rate"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_exact_dedup(spark, sf_dir):
+    from metacrafter_spark.ops.dedup import exact_dedup
+
+    ev = _t(spark, sf_dir, "events")
+    out = exact_dedup(ev, ["user_id", "event_type"], "event_id")
+    return out.select("event_id", "user_id", "event_type").orderBy("event_id")
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    """Exact word-set Jaccard over a capped doc subset (the oracle-checked
+    baseline; the MinHash-LSH scale path is the rows-only twin below)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    words = F.array_distinct(
+        F.filter(F.split(F.lower(F.col("text")), r"\W+"), lambda w: F.length(w) > 0)
+    )
+    t = docs.select(F.col("doc_id"), words.alias("ws"))
+    a, b = t.alias("a"), t.alias("b")
+    jac = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws"))).cast("double") / \
+        F.size(F.array_union(F.col("a.ws"), F.col("b.ws"))).cast("double")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+def q_ann_topk(spark, sf_dir):
+    from metacrafter_spark.ops.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    out = brute_force_topk(emb, [float(x) for x in query], k=10)
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+def q_token_counts(spark, sf_dir):
+    from metacrafter_spark.ops.textstats import (
+        subword_token_count,
+        whitespace_token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id",
+        whitespace_token_count(F.col("text")).alias("n_tokens_ws"),
+        subword_token_count(F.col("text")).alias("n_tokens_subword"),
+    ).orderBy("doc_id")
+
+
+def q_events_json(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.avg(k), 4).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_daily_event_windows(spark, sf_dir):
+    """Tumbling-window daily aggregation (batch form of the streaming op)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date(F.col("ts")).alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .orderBy("day", "event_type")
+    )
+
+
+def q_langid(spark, sf_dir):
+    from metacrafter_spark.corpus.langid import with_langid
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        with_langid(docs)
+        .groupBy(F.col("langid_lang").alias("lang_pred"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang_pred")
+    )
+
+
+def q_quality_flags(spark, sf_dir):
+    from metacrafter_spark.corpus.quality import with_quality
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    out = with_quality(docs)
+    return out.select(
+        "doc_id",
+        "q_n_words",
+        F.round("q_mean_word_len", 4).alias("mean_word_len"),
+        F.round("q_dup_line_frac", 4).alias("dup_line_frac"),
+        "q_pass",
+    ).orderBy("doc_id")
+
+
+# ------------------------------------------------- rows-only (non-SQL ops)
+
+
+def q_minhash_near_dups(spark, sf_dir):
+    from metacrafter_spark.ops.dedup import near_dup_pairs_minhash
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return near_dup_pairs_minhash(docs, "doc_id", threshold=0.5).select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+def q_simhash_dedup(spark, sf_dir):
+    from metacrafter_spark.ops.dedup import simhash_near_dups
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return simhash_near_dups(docs, "doc_id", max_distance=6)
+
+
+def q_fingerprints(spark, sf_dir):
+    from metacrafter_spark.ops.textstats import with_text_stats
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return with_text_stats(docs).select(
+        "doc_id", "fingerprint", "quality_score"
+    )
+
+
+def q_perplexity(spark, sf_dir):
+    from metacrafter_spark.corpus.perplexity import with_perplexity
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return with_perplexity(docs).select(
+        "doc_id", F.round("ppl", 4).alias("ppl")
+    )
+
+
+def q_lsh_topk(spark, sf_dir):
+    from metacrafter_spark.ops.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return lsh_topk(queries, emb, dim=dim, k=5, bits=6).select(
+        "qid", "vec_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
+def q_corpus_pipeline(spark, sf_dir):
+    """Full keep/drop+scrub pipeline on the deterministic synthetic
+    corpus (BASELINE.json input shape; not SQL-expressible)."""
+    from metacrafter_spark.corpus.pipeline import classify_corpus
+    from metacrafter_spark.corpus.webpages import synth_webpages
+
+    n = 500 if "0.001" in sf_dir else 2000
+    corpus = synth_webpages(spark, n, seed=42, partitions=8)
+    out = classify_corpus(corpus)
+    return out.groupBy("langid_lang", "drop_reason").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pii_total").alias("pii_spans"),
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    from metacrafter_spark.corpus.scrub import with_scrub
+    from metacrafter_spark.corpus.webpages import synth_webpages
+
+    corpus = synth_webpages(spark, 300, seed=42, partitions=4)
+    out = with_scrub(corpus)
+    return out.select(
+        "url",
+        F.sha2(F.col("text_scrubbed"), 256).alias("scrub_sha256"),
+        F.col("pii_hits.email").alias("n_email"),
+        F.col("pii_hits.phone_intl").alias("n_phone"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tpch_q1_pricing_summary": q_tpch_q1,
+        "top_customers_by_spend": q_top_customers,
+        "field_stats_documents": q_field_stats,
+        "dict_detection": q_dict_detection,
+        "rule_confidence_minipack": q_rule_confidence,
+        "regex_match_rate": q_regex_match_rate,
+        "exact_dedup_events": q_exact_dedup,
+        "jaccard_pairs_exact": q_jaccard_pairs,
+        "ann_topk_cosine": q_ann_topk,
+        "token_counts": q_token_counts,
+        "events_json_agg": q_events_json,
+        "daily_event_windows": q_daily_event_windows,
+        "langid_documents": q_langid,
+        "quality_flags": q_quality_flags,
+        # rows-only (hash-based / pipeline ops, no SQL oracle by design)
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_near_dups": q_simhash_dedup,
+        "fingerprints": q_fingerprints,
+        "perplexity": q_perplexity,
+        "lsh_topk": q_lsh_topk,
+        "corpus_pipeline": q_corpus_pipeline,
+        "pii_scrub_hashes": q_pii_scrub,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stats_cols = []
+    for c in ("text", "lang", "source"):
+        stats_cols.append(
+            f"SELECT '{c}' AS key, count({c}) AS total, "
+            f"count(DISTINCT {c}) AS n_uniq, min(length({c})) AS minlen, "
+            f"max(length({c})) AS maxlen, round(avg(length({c})), 4) AS avglen "
+            f"FROM documents"
+        )
+    dict_cols = []
+    for c in ("lang", "source"):
+        dict_cols.append(
+            f"SELECT '{c}' AS key, "
+            f"round(count(DISTINCT {c}) * 100.0 / count({c}), 6) AS share_uniq, "
+            f"(count(DISTINCT {c}) * 100.0 / count({c}) <= 10) AS is_dictkey "
+            f"FROM documents"
+        )
+    return {
+        "tpch_q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "top_customers_by_spend": """
+            WITH spend AS (
+              SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend,
+                     count(*) AS n_orders
+              FROM orders GROUP BY 1)
+            SELECT c_custkey, c_name, total_spend, n_orders,
+                   row_number() OVER (ORDER BY total_spend DESC, c_custkey) AS rank
+            FROM spend JOIN customer ON o_custkey = c_custkey
+            QUALIFY rank <= 10
+        """,
+        "field_stats_documents": " UNION ALL ".join(stats_cols),
+        "dict_detection": " UNION ALL ".join(dict_cols),
+        "rule_confidence_minipack": """
+            SELECT 'lang' AS field, 'langtag_mini' AS ruleid,
+                   'languagetag' AS dataclass,
+                   round(100.0 * sum(CASE WHEN length(lang) BETWEEN 2 AND 2
+                                          AND lower(lang) IN ('en','fr','de','es','zh')
+                                     THEN 1 ELSE 0 END)
+                         / sum(CASE WHEN lang IS NOT NULL AND length(lang) > 0
+                                    THEN 1 ELSE 0 END), 6) AS confidence
+            FROM documents
+            HAVING confidence > 5.0
+        """,
+        "regex_match_rate": r"""
+            SELECT source,
+                   round(100.0 * sum(CASE WHEN regexp_matches(text, '\b(?:join|merge)\b')
+                                     THEN 1 ELSE 0 END) / count(*), 4) AS match_rate,
+                   count(*) AS n_docs
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "exact_dedup_events": """
+            SELECT min(event_id) AS event_id, user_id, event_type
+            FROM events GROUP BY user_id, event_type ORDER BY 1
+        """,
+        "jaccard_pairs_exact": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_distinct(list_filter(
+                       string_split_regex(lower(text), '\W+'),
+                       x -> length(x) > 0)) AS ws
+              FROM documents WHERE doc_id < 50)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.ws, b.ws)) * 1.0
+                         / len(list_distinct(list_concat(a.ws, b.ws))), 4) AS jaccard
+            FROM t a JOIN t b ON a.doc_id < b.doc_id
+            WHERE round(len(list_intersect(a.ws, b.ws)) * 1.0
+                        / len(list_distinct(list_concat(a.ws, b.ws))), 4) >= 0.5
+        """,
+        "ann_topk_cosine": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_cosine_similarity(
+                     CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])), 4) AS cosine
+            FROM embeddings, q
+            ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            CAST(qv AS DOUBLE[])) DESC, vec_id
+            LIMIT 10
+        """,
+        "token_counts": r"""
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(text, '\s+'),
+                                   x -> length(x) > 0)) AS n_tokens_ws,
+                   len(regexp_extract_all(text,
+                       '[A-Za-zÀ-ÿА-яЀ-ӿ]{1,4}|\d{1,3}|[^\sA-Za-zÀ-ÿА-яЀ-ӿ\d]'))
+                       AS n_tokens_subword
+            FROM documents WHERE doc_id < 100 ORDER BY doc_id
+        """,
+        "events_json_agg": """
+            SELECT event_type, count(*) AS n,
+                   round(avg(value), 4) AS avg_value,
+                   round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "daily_event_windows": """
+            SELECT CAST(ts AS DATE) AS day, event_type,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+    }

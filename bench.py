@@ -1,0 +1,89 @@
+"""Benchmark harness — prints ONE JSON line with headline timings.
+
+    {"metric": "corpus_docs_per_sec", "value": N, "unit": "sec"??, ...}
+
+Per driver contract: queries run at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].  The headline metric
+is the keep/drop+scrub pipeline throughput (docs/sec) on the synthetic
+web corpus (BASELINE.json input shape); per-query wall times for the
+operator battery are reported under "queries".
+
+Scaling-efficiency evidence (N vs 4N cores) is produced separately by
+scripts/scaling_bench.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# synthetic corpus sized relative to sf (sf0.1 ≈ 600k lineitem → 20k docs)
+N_CORPUS_DOCS = int(os.environ.get("SPARK_GRAFT_CORPUS_DOCS", "20000"))
+
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "top_customers_by_spend",
+    "rule_confidence_minipack",
+    "regex_match_rate",
+    "exact_dedup_events",
+    "minhash_near_dups",
+    "ann_topk_cosine",
+    "token_counts",
+    "langid_documents",
+    "events_json_agg",
+]
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry_mod
+    from metacrafter_spark.corpus.pipeline import classify_corpus
+    from metacrafter_spark.corpus.webpages import synth_webpages
+    from metacrafter_spark.session import get_spark
+
+    spark = get_spark(app_name="metacrafter-bench", cores=CPUS,
+                      shuffle_partitions=max(CPUS, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    qtimes: dict[str, float] = {}
+    qs = entry_mod.queries()
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        qtimes[name] = round(time.perf_counter() - t0, 3)
+
+    # headline: corpus pipeline throughput; generation excluded via cache
+    corpus = synth_webpages(spark, N_CORPUS_DOCS, seed=42,
+                            partitions=CPUS * 2).cache()
+    n = corpus.count()
+    t0 = time.perf_counter()
+    out = classify_corpus(corpus)
+    out.write.format("noop").mode("overwrite").save()
+    pipeline_sec = time.perf_counter() - t0
+    qtimes["corpus_pipeline"] = round(pipeline_sec, 3)
+    docs_per_sec = n / pipeline_sec
+    total = round(sum(qtimes.values()), 3)
+
+    print(json.dumps({
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "corpus_docs": n,
+        "corpus_docs_per_sec": round(docs_per_sec, 1),
+        "cpus": CPUS,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

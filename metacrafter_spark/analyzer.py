@@ -178,7 +178,8 @@ def with_normalized_columns(df: DataFrame, cols: list[ColInfo]) -> DataFrame:
     null), {safe}__vt (guess_datatype base), {safe}__nv (numeric value)."""
     if ROW_SEQ not in df.columns:
         df = df.withColumn(ROW_SEQ, F.monotonically_increasing_id())
-    exprs: list[Column] = [F.col(c) for c in df.columns]
+    # backticks: flattened dot-path names are literal column names
+    exprs: list[Column] = [F.col(f"`{c}`") for c in df.columns]
     for ci in cols:
         col = F.col(f"`{ci.name}`")
         dt = ci.dtype

@@ -1,0 +1,121 @@
+"""Nested-schema flattening with the reference's dict_generator semantics
+(metacrafter/classify/stats.py:149-184, classify/utils.py:9-29):
+
+- nested structs flatten to dot-paths (``user.email``);
+- arrays of structs are descended element-wise — the child path becomes
+  a *bag* of values with no index in the path (one value per element);
+- arrays of scalars are DROPPED (only dict elements recurse);
+- ``_id`` keys are skipped at every level;
+- map columns cannot be flattened statically (keys live in the data) —
+  use ``scan_items`` for dynamic dict payloads, or pre-cast to struct.
+
+A flattened input becomes one *main frame* (row-aligned scalar +
+struct-leaf columns) plus one frame per array path (posexploded, with a
+refined ``__row_seq`` preserving row-major element order).  Columns in
+different frames have different cardinalities — exactly the reference's
+per-column value bags — and the scanner runs its stats/match jobs per
+frame, merging reports in first-seen header order.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from metacrafter_spark.analyzer import ROW_SEQ, ColInfo
+
+# room for nested element indices inside a refined row_seq
+_SEQ_STRIDE = 1_000_000
+
+
+@dataclass
+class FrameGroup:
+    df: DataFrame          # carries ROW_SEQ + the listed columns
+    cols: list[ColInfo]    # name = dotted display path; safe = frame-unique
+
+
+def _leaf_exprs(dtype: T.DataType, path: list[str], prefix_expr):
+    """Yield (dotted_name, Column, DataType) for scalar leaves reachable
+    without crossing an array; collect array-of-struct subtrees."""
+    out, arrays = [], []
+    if isinstance(dtype, T.StructType):
+        for f in dtype.fields:
+            if f.name == "_id":
+                continue
+            child = prefix_expr[f.name] if prefix_expr is not None else F.col(
+                f"`{f.name}`"
+            )
+            o, a = _leaf_exprs(f.dataType, path + [f.name], child)
+            out.extend(o)
+            arrays.extend(a)
+    elif isinstance(dtype, T.ArrayType):
+        if isinstance(dtype.elementType, T.StructType):
+            arrays.append((path, prefix_expr, dtype.elementType))
+        # array of scalars: dropped (stats.py:173-181 recurses dicts only)
+    elif isinstance(dtype, T.MapType):
+        pass  # dynamic keys — not statically flattenable
+    else:
+        out.append((".".join(path), prefix_expr, dtype))
+    return out, arrays
+
+
+def flatten_frames(df: DataFrame) -> list[FrameGroup]:
+    """Split a (possibly nested) DataFrame into scan frame groups."""
+    if ROW_SEQ not in df.columns:
+        df = df.withColumn(ROW_SEQ, F.monotonically_increasing_id())
+    groups: list[FrameGroup] = []
+    counter = [0]
+
+    def build(frame: DataFrame, dtype: T.StructType, prefix: list[str]):
+        leaves, arrays = [], []
+        for f in dtype.fields:
+            if f.name == "_id" or f.name == ROW_SEQ:
+                continue
+            o, a = _leaf_exprs(f.dataType, prefix + [f.name], F.col(f"`{f.name}`"))
+            leaves.extend(o)
+            arrays.extend(a)
+        if leaves:
+            cols = []
+            sel = [F.col(ROW_SEQ)]
+            for i, (name, expr, dt) in enumerate(leaves):
+                sel.append(expr.alias(name))
+                counter[0] += 1
+                cols.append(ColInfo(name=name, safe=f"g{counter[0]}", dtype=dt,
+                                    is_string=isinstance(dt, T.StringType)))
+            groups.append(FrameGroup(df=frame.select(*sel), cols=cols))
+        for path, expr, elem_type in arrays:
+            exploded = frame.select(
+                F.col(ROW_SEQ), F.posexplode(expr).alias("__pos", "__elem")
+            ).select(
+                (F.col(ROW_SEQ) * _SEQ_STRIDE + F.col("__pos")).alias(ROW_SEQ),
+                F.col("__elem.*"),
+            )
+            build(exploded, exploded.drop(ROW_SEQ).schema, path)
+
+    build(df, df.drop(ROW_SEQ).schema, [])
+    return groups
+
+
+def header_order(df: DataFrame) -> list[str]:
+    """First-seen dot-path order (utils.headers analogue) for a schema."""
+    order: list[str] = []
+
+    def walk(dtype: T.DataType, path: list[str]):
+        if isinstance(dtype, T.StructType):
+            for f in dtype.fields:
+                if f.name == "_id" or f.name == ROW_SEQ:
+                    continue
+                walk(f.dataType, path + [f.name])
+        elif isinstance(dtype, T.ArrayType):
+            if isinstance(dtype.elementType, T.StructType):
+                walk(dtype.elementType, path)
+        elif isinstance(dtype, T.MapType):
+            pass
+        else:
+            name = ".".join(path)
+            if name not in order:
+                order.append(name)
+
+    walk(df.schema, [])
+    return order

@@ -1,0 +1,2 @@
+from metacrafter_spark.io.sources import scan_file, scan_bulk  # noqa: F401
+from metacrafter_spark.io.sinks import write_report  # noqa: F401

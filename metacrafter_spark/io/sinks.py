@@ -1,0 +1,57 @@
+"""Report/label sinks (reference core.py:639-878 analogues).
+
+The classification report is tiny (one row per column) → driver-side
+json/yaml/csv writers plus Spark writers for the label/stats
+DataFrames; `short=True` filters to matched columns only
+(core.py:639-647)."""
+
+from __future__ import annotations
+
+import csv
+import json
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame
+
+
+def report_rows(report: dict[str, Any], short: bool = False) -> list[list]:
+    rows = report["results"]
+    if short:
+        rows = [r for r in rows if r[3]]
+    return rows
+
+
+def write_report(report: dict[str, Any], path: str, *,
+                 fmt: str = "json", short: bool = False) -> None:
+    rows = report_rows(report, short)
+    header = ["key", "ftype", "tags", "matches", "datatype_url"]
+    if fmt == "json":
+        with open(path, "w", encoding="utf8") as f:
+            json.dump(
+                {"results": rows, "stats": report["stats"]},
+                f, ensure_ascii=False, indent=1, default=str,
+            )
+    elif fmt == "csv":
+        with open(path, "w", encoding="utf8", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(header)
+            w.writerows(rows)
+    elif fmt == "yaml":
+        import yaml
+
+        with open(path, "w", encoding="utf8") as f:
+            yaml.safe_dump(
+                [dict(zip(header, r)) for r in rows],
+                f, allow_unicode=True, sort_keys=False,
+            )
+    else:
+        raise ValueError(f"unsupported report format {fmt!r}")
+
+
+def write_table(df: DataFrame, path: str, *, fmt: str = "parquet",
+                mode: str = "overwrite",
+                partition_by: Optional[list[str]] = None) -> None:
+    w = df.write.format(fmt).mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)

@@ -1,0 +1,239 @@
+"""File/DB sources — Spark-first re-expression of the reference's scans.
+
+Reference surface (metacrafter/core.py:1363-1565 scan_file, :1568-1641
+scan_bulk, :1824-2175 scan_db): 14 file formats + 8 codecs, encoding/
+delimiter sniffing, bulk directory walks, SQL via SQLAlchemy.  Spark
+equivalents:
+
+- csv/tsv/json/jsonl/ndjson/parquet/orc: native ``spark.read`` (codecs
+  gz/bz2/lz4/zstd/snappy handled by Hadoop transparently);
+- avro: ``spark-avro`` package when present (import-try gated);
+- xml: record-tag discovery on the driver (xmltodict over head bytes),
+  then driver-parse → createDataFrame for small files (spark-xml jar is
+  not bundled here);
+- xlsx/bson/pickle: driver-side pandas/bson parse → createDataFrame,
+  gated behind import-try (these formats are inherently small-file);
+- encoding sniff: UTF-8/16 BOM + heuristic fallback over head bytes
+  (chardet is unavailable — the sniffer is ours);
+- delimiter sniff: argmax count of ``,;\\t|`` in the first line
+  (classify/utils.py:128-150 semantics);
+- JDBC: ``spark.read.jdbc`` with partitioned reads.
+
+Every reader returns a DataFrame ready for ``scan_dataframe``.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+TEXT_FORMATS = {"csv", "tsv", "json", "jsonl", "ndjson"}
+NATIVE_FORMATS = {"parquet", "orc"}
+CODEC_EXTS = {"gz", "bz2", "xz", "lz4", "zst", "br", "snappy", "zip"}
+SUPPORTED = TEXT_FORMATS | NATIVE_FORMATS | {
+    "avro", "xml", "xls", "xlsx", "bson", "pickle", "pkl"
+}
+
+
+def detect_format(path: str) -> tuple[str, Optional[str]]:
+    """(format, codec) from the filename, handling double extensions."""
+    name = os.path.basename(path).lower()
+    parts = name.split(".")
+    codec = None
+    if len(parts) > 1 and parts[-1] in CODEC_EXTS:
+        codec = parts[-1]
+        parts = parts[:-1]
+    fmt = parts[-1] if len(parts) > 1 else ""
+    return fmt, codec
+
+
+def detect_encoding(head: bytes) -> str:
+    """BOM + heuristic encoding sniff (chardet-free)."""
+    if head.startswith(b"\xef\xbb\xbf"):
+        return "UTF-8"
+    if head.startswith(b"\xff\xfe") or head.startswith(b"\xfe\xff"):
+        return "UTF-16"
+    try:
+        head.decode("utf-8")
+        return "UTF-8"
+    except UnicodeDecodeError:
+        return "windows-1251"  # most common non-UTF fallback in the wild
+
+
+def detect_delimiter(first_line: str) -> str:
+    """argmax count over ',;\\t|' (classify/utils.py:128-150)."""
+    counts = {d: first_line.count(d) for d in [",", ";", "\t", "|"]}
+    return max(counts, key=lambda d: (counts[d], d == ","))
+
+
+def _head_bytes(path: str, n: int = 1 << 20) -> bytes:
+    import bz2
+    import gzip
+    import lzma
+
+    opener = open
+    if path.endswith(".gz"):
+        opener = gzip.open
+    elif path.endswith(".bz2"):
+        opener = bz2.open
+    elif path.endswith(".xz"):
+        opener = lzma.open
+    with opener(path, "rb") as f:
+        return f.read(n)
+
+
+def xml_record_tag(head: bytes) -> Optional[str]:
+    """First list-typed tag path — the record container
+    (classify/utils.py:180-221 analogue, via xmltodict on the driver)."""
+    import xmltodict
+
+    try:
+        doc = xmltodict.parse(head)
+    except Exception:
+        return None
+
+    def seek(node, depth=0):
+        if depth > 6 or not isinstance(node, dict):
+            return None
+        for k, v in node.items():
+            if isinstance(v, list):
+                return k
+            found = seek(v, depth + 1)
+            if found:
+                return found
+        return None
+
+    return seek(doc)
+
+
+def scan_file(
+    spark: SparkSession,
+    path: str,
+    *,
+    fmt: Optional[str] = None,
+    delimiter: Optional[str] = None,
+    encoding: Optional[str] = None,
+    tagname: Optional[str] = None,
+    options: Optional[dict[str, Any]] = None,
+) -> DataFrame:
+    detected, _codec = detect_format(path)
+    fmt = (fmt or detected or "csv").lower()
+    options = dict(options or {})
+    if fmt in {"csv", "tsv"}:
+        head = _head_bytes(path, 1 << 16)
+        encoding = encoding or detect_encoding(head)
+        if delimiter is None:
+            first = head.decode(encoding, "replace").splitlines()[:1]
+            delimiter = "\t" if fmt == "tsv" else detect_delimiter(
+                first[0] if first else ","
+            )
+        return (
+            spark.read.option("header", "true")
+            .option("sep", delimiter)
+            .option("encoding", encoding)
+            .options(**options)
+            .csv(path)
+        )
+    if fmt in {"json", "jsonl", "ndjson"}:
+        r = spark.read
+        if fmt == "json":
+            r = r.option("multiLine", "true")
+        return r.options(**options).json(path)
+    if fmt == "parquet":
+        return spark.read.options(**options).parquet(path)
+    if fmt == "orc":
+        return spark.read.options(**options).orc(path)
+    if fmt == "avro":
+        try:
+            return spark.read.format("avro").options(**options).load(path)
+        except Exception as e:  # spark-avro jar not on classpath
+            raise NotImplementedError(
+                "avro requires the spark-avro package (--packages "
+                "org.apache.spark:spark-avro_2.13:<ver>)"
+            ) from e
+    if fmt == "xml":
+        import xmltodict
+
+        head = _head_bytes(path)
+        tag = tagname or xml_record_tag(head)
+        if tag is None:
+            raise ValueError(f"no record tag found in {path}")
+        doc = xmltodict.parse(_head_bytes(path, 1 << 30))
+
+        def find(node):
+            if isinstance(node, dict):
+                for k, v in node.items():
+                    if k == tag:
+                        return v if isinstance(v, list) else [v]
+                    got = find(v)
+                    if got:
+                        return got
+            return None
+
+        records = find(doc) or []
+        return spark.createDataFrame(records)
+    if fmt in {"xls", "xlsx"}:
+        try:
+            import pandas as pd
+
+            return spark.createDataFrame(pd.read_excel(path))
+        except ImportError as e:
+            raise NotImplementedError("xlsx needs openpyxl/xlrd") from e
+    if fmt == "bson":
+        try:
+            import bson  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError("bson needs pymongo/bson") from e
+        with open(path, "rb") as f:
+            items = list(bson.decode_file_iter(f))
+        return spark.createDataFrame(items)
+    if fmt in {"pickle", "pkl"}:
+        import pickle
+
+        with open(path, "rb") as f:
+            items = pickle.load(f)
+        return spark.createDataFrame(items)
+    raise ValueError(f"unsupported format {fmt!r} for {path}")
+
+
+def scan_bulk(spark: SparkSession, dirname: str, *,
+              fmt: Optional[str] = None, **kw) -> dict[str, DataFrame]:
+    """Directory walk → one DataFrame per supported file
+    (core.py:1568-1641 analogue; homogeneous trees should instead use a
+    single glob path in spark.read for one distributed scan)."""
+    out = {}
+    for path in sorted(_glob.glob(os.path.join(dirname, "**", "*"),
+                                  recursive=True)):
+        if not os.path.isfile(path):
+            continue
+        detected, _ = detect_format(path)
+        if (fmt or detected) in SUPPORTED:
+            try:
+                out[path] = scan_file(spark, path, fmt=fmt, **kw)
+            except (NotImplementedError, ValueError):
+                continue
+    return out
+
+
+def scan_jdbc(
+    spark: SparkSession, url: str, table: str, *,
+    properties: Optional[dict] = None,
+    partition_column: Optional[str] = None,
+    num_partitions: int = 8,
+    lower_bound: Optional[int] = None,
+    upper_bound: Optional[int] = None,
+) -> DataFrame:
+    """JDBC scan; with a partition column the read parallelizes
+    (core.py scan_db's fetchmany batching becomes partitioned pushdown)."""
+    r = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in (properties or {}).items():
+        r = r.option(k, v)
+    if partition_column is not None:
+        r = (r.option("partitionColumn", partition_column)
+             .option("numPartitions", num_partitions)
+             .option("lowerBound", lower_bound or 0)
+             .option("upperBound", upper_bound or 1_000_000))
+    return r.load()

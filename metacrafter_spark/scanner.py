@@ -67,38 +67,72 @@ def scan_dataframe(
     ``parse_dates=False`` mode is the parity contract — golden labels
     are generated the same way).
     """
+    from pyspark.sql import types as T
+
+    from metacrafter_spark.flatten import flatten_frames, header_order
+
     pack = pack or load_builtin_pack()
     contexts = _listify(contexts)
     langs = _listify(langs)
     fields = _listify(fields)
     threshold = confidence if confidence is not None else MIN_CONFIDENCE_FOR_MATCH
 
-    cols = analyzed_columns(df)
-    ndf = with_normalized_columns(df, cols)
-    stats, aux = compute_stats(
-        ndf,
-        cols,
-        dictshare=dict_share if dict_share is not None else DEFAULT_DICT_SHARE,
-        empty_values=empty_values,
+    nested = any(
+        isinstance(f.dataType, (T.StructType, T.ArrayType, T.MapType))
+        for f in df.schema.fields
     )
-    stats_dict = {k: st.as_dict() for k, st in stats.items()}
-    stats_table = [st.as_row() for st in stats.values()]
+    if nested:
+        frame_groups = [(g.df, g.cols) for g in flatten_frames(df)]
+        order = header_order(df)
+    else:
+        cols = analyzed_columns(df)
+        frame_groups = [(df, cols)]
+        order = [ci.name for ci in cols]
+
+    dictshare = dict_share if dict_share is not None else DEFAULT_DICT_SHARE
+    stats_dict: dict = {}
+    all_matches: list[ColumnMatches] = []
+    for frame, cols in frame_groups:
+        ndf = with_normalized_columns(frame, cols)
+        stats, aux = compute_stats(
+            ndf, cols, dictshare=dictshare, empty_values=empty_values
+        )
+        for k, st in stats.items():
+            stats_dict[k] = st.as_dict()
+        if stats_only:
+            continue
+        group_fields = (
+            [f for f in fields if any(ci.name == f for ci in cols)]
+            if fields else None
+        )
+        if fields is not None and not group_fields:
+            continue
+        all_matches.extend(
+            match_columns(
+                ndf, cols, stats, aux, pack,
+                fields=group_fields,
+                confidence=threshold,
+                stop_on_match=stop_on_match,
+                limit=limit,
+                filter_contexts=contexts,
+                filter_langs=langs,
+                except_empty=except_empty,
+                ignore_imprecise=ignore_imprecise,
+            )
+        )
+    # merge in first-seen header order (reference report order)
+    order_index = {name: i for i, name in enumerate(order)}
+    stats_dict = dict(
+        sorted(stats_dict.items(), key=lambda kv: order_index.get(kv[0], 1 << 30))
+    )
+    stats_table = [
+        [d[h] for h in STATS_HEADERS] for d in stats_dict.values()
+    ]
     if stats_only:
         return {"results": [], "data": [], "stats": stats_dict,
                 "stats_table": stats_table}
-
-    matches = match_columns(
-        ndf, cols, stats, aux, pack,
-        fields=fields,
-        confidence=threshold,
-        stop_on_match=stop_on_match,
-        limit=limit,
-        filter_contexts=contexts,
-        filter_langs=langs,
-        except_empty=except_empty,
-        ignore_imprecise=ignore_imprecise,
-    )
-    return assemble_report(matches, stats_dict, stats_table)
+    all_matches.sort(key=lambda m: order_index.get(m.field, 1 << 30))
+    return assemble_report(all_matches, stats_dict, stats_table)
 
 
 def assemble_report(
@@ -172,3 +206,18 @@ def stats_dataframe(spark: SparkSession, report: dict[str, Any]) -> DataFrame:
         "has_special long, minval double, maxval double, has_any_digit boolean, "
         "has_any_alphas boolean, has_any_special boolean, dictvalues string",
     )
+
+
+def scan_items(spark: SparkSession, items: list, **kwargs) -> dict[str, Any]:
+    """scan_data parity entry for in-memory list-of-dicts (core.py:1157).
+
+    Nested dicts become struct columns (dot-path flattening happens in
+    scan_dataframe); lists of dicts become array<struct> bags."""
+    conf_key = "spark.sql.pyspark.inferNestedDictAsStruct.enabled"
+    old = spark.conf.get(conf_key, "false")
+    spark.conf.set(conf_key, "true")
+    try:
+        df = spark.createDataFrame(items)
+    finally:
+        spark.conf.set(conf_key, old)
+    return scan_dataframe(df, **kwargs)

@@ -1,0 +1,85 @@
+"""Two-parallelism scaling benchmark → BENCH/BASELINE.md.
+
+The north rule's cluster-size criterion (N vs 4N executors, throughput
+scaling efficiency ≥ 0.8) is evidenced in this sandbox by running the
+SAME corpus pipeline on the SAME input at local[N] and local[4N]
+(default N=8 → 8 vs 32 cores), reporting docs/sec at both and
+efficiency = (T_N / T_4N) / 4.
+
+Usage: python scripts/scaling_bench.py [n_docs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+N_SMALL = int(os.environ.get("SCALE_N_CORES", "8"))
+N_BIG = N_SMALL * 4
+
+
+def run_at(cores: int, n_docs: int) -> dict:
+    from metacrafter_spark.corpus.pipeline import classify_corpus
+    from metacrafter_spark.corpus.webpages import synth_webpages
+    from metacrafter_spark.session import get_spark
+
+    spark = get_spark(app_name=f"scaling-{cores}", cores=cores,
+                      shuffle_partitions=max(cores, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus = synth_webpages(spark, n_docs, seed=42, partitions=cores * 2).cache()
+    n = corpus.count()
+    # warm-up pass so JIT/codegen/Arrow setup doesn't bias either side
+    classify_corpus(corpus.limit(500)).write.format("noop").mode("overwrite").save()
+    t0 = time.perf_counter()
+    classify_corpus(corpus).write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    spark.stop()
+    return {"cores": cores, "docs": n, "sec": round(dt, 3),
+            "docs_per_sec": round(n / dt, 1)}
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    small = run_at(N_SMALL, n_docs)
+    big = run_at(N_BIG, n_docs)
+    speedup = small["sec"] / big["sec"]
+    eff = speedup / (N_BIG / N_SMALL)
+    result = {"small": small, "big": big,
+              "speedup": round(speedup, 3), "efficiency": round(eff, 3)}
+    print(json.dumps(result))
+
+    bench_dir = REPO / "BENCH"
+    bench_dir.mkdir(exist_ok=True)
+    (bench_dir / "BASELINE.md").write_text(f"""# BENCH/BASELINE — scaling evidence
+
+North-rule criterion: throughput scaling efficiency ≥ 0.8 from N to 4N
+executors.  Sandbox protocol (no real cluster): same job, same input,
+`local[{N_SMALL}]` vs `local[{N_BIG}]` (single JVM, {N_SMALL} vs {N_BIG} executor threads).
+
+Job: `classify_corpus` (langid → perplexity → Gopher/C4 quality → PII
+scan+scrub → keep/drop) over {n_docs} synthetic web pages
+(`metacrafter_spark.corpus.webpages.synth_webpages`, seed 42 — the
+BASELINE.json input shape), input cached before timing, `noop` sink.
+
+| cores | docs | wall sec | docs/sec |
+|---|---|---|---|
+| {small['cores']} | {small['docs']} | {small['sec']} | {small['docs_per_sec']} |
+| {big['cores']} | {big['docs']} | {big['sec']} | {big['docs_per_sec']} |
+
+- speedup {N_SMALL}→{N_BIG} cores: **{result['speedup']}×**
+- scaling efficiency: **{result['efficiency']}** (target ≥ 0.8)
+
+Reproduce: `python scripts/scaling_bench.py {n_docs}`
+(raw JSON: `{json.dumps(result)}`)
+""", encoding="utf8")
+    print(f"wrote {bench_dir/'BASELINE.md'}")
+
+
+if __name__ == "__main__":
+    main()

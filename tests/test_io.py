@@ -1,0 +1,97 @@
+"""Source/sink tests: format dispatch, sniffing, report writers."""
+
+from __future__ import annotations
+
+import gzip
+import json
+
+from metacrafter_spark.io.sinks import report_rows, write_report
+from metacrafter_spark.io.sources import (
+    detect_delimiter,
+    detect_encoding,
+    detect_format,
+    scan_bulk,
+    scan_file,
+    xml_record_tag,
+)
+
+CSV = "id,name\n1,John\n2,Mary\n3,Anna\n"
+
+
+def test_detect_format():
+    assert detect_format("/a/b/x.csv") == ("csv", None)
+    assert detect_format("x.csv.gz") == ("csv", "gz")
+    assert detect_format("x.jsonl.zst") == ("jsonl", "zst")
+    assert detect_format("noext") == ("", None)
+
+
+def test_detect_encoding_and_delimiter():
+    assert detect_encoding(b"\xef\xbb\xbfabc") == "UTF-8"
+    assert detect_encoding("привет".encode("utf-8")) == "UTF-8"
+    assert detect_encoding("привет".encode("windows-1251")) == "windows-1251"
+    assert detect_delimiter("a,b,c") == ","
+    assert detect_delimiter("a;b;c") == ";"
+    assert detect_delimiter("a\tb\tc") == "\t"
+    assert detect_delimiter("a|b|c") == "|"
+
+
+def test_scan_csv_and_gz(spark, tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text(CSV)
+    df = scan_file(spark, str(p))
+    assert df.columns == ["id", "name"] and df.count() == 3
+    pz = tmp_path / "t.csv.gz"
+    pz.write_bytes(gzip.compress(CSV.encode()))
+    assert scan_file(spark, str(pz)).count() == 3
+    # semicolon sniffing
+    ps = tmp_path / "semi.csv"
+    ps.write_text("id;name\n1;x\n")
+    assert scan_file(spark, str(ps)).columns == ["id", "name"]
+
+
+def test_scan_jsonl_and_json(spark, tmp_path):
+    pj = tmp_path / "t.jsonl"
+    pj.write_text('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
+    assert scan_file(spark, str(pj)).count() == 2
+    pm = tmp_path / "t.json"
+    pm.write_text('[{"a": 1}, {"a": 2}, {"a": 3}]')
+    assert scan_file(spark, str(pm)).count() == 3
+
+
+def test_scan_xml(spark, tmp_path):
+    px = tmp_path / "books.xml"
+    px.write_text(
+        "<catalog><book><id>1</id><title>A</title></book>"
+        "<book><id>2</id><title>B</title></book></catalog>"
+    )
+    assert xml_record_tag(px.read_bytes()) == "book"
+    df = scan_file(spark, str(px))
+    assert df.count() == 2 and set(df.columns) == {"id", "title"}
+
+
+def test_scan_pickle_and_bulk(spark, tmp_path):
+    import pickle
+
+    pp = tmp_path / "t.pkl"
+    pp.write_bytes(pickle.dumps([{"a": 1}, {"a": 2}]))
+    assert scan_file(spark, str(pp)).count() == 2
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "sub" / "u.csv").write_text(CSV)
+    frames = scan_bulk(spark, str(tmp_path))
+    assert len(frames) == 2  # the pkl + the csv (tmp_path is per-test)
+
+
+def test_write_report(spark, tmp_path):
+    from metacrafter_spark.scanner import scan_dataframe
+
+    df = spark.createDataFrame(
+        [{"email_addr": "a@b.io", "uuid": "550e8400-e29b-41d4-a716-446655440000"}] * 20
+    )
+    rep = scan_dataframe(df)
+    out = tmp_path / "rep.json"
+    write_report(rep, str(out))
+    data = json.loads(out.read_text())
+    assert data["results"] and "stats" in data
+    assert len(report_rows(rep, short=True)) <= len(report_rows(rep))
+    write_report(rep, str(tmp_path / "rep.csv"), fmt="csv")
+    write_report(rep, str(tmp_path / "rep.yaml"), fmt="yaml", short=True)

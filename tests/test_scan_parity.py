@@ -103,3 +103,39 @@ def test_parity_high_threshold(spark):
     _compare(pii_profiles(120), spark, confidence=99.0)
     # strictly-greater threshold: a perfect 100.0 match is dropped at 100.0
     _compare(pii_profiles(120), spark, confidence=100.0)
+
+
+NESTED_ITEMS = [
+    {
+        "_id": f"oid{i}",
+        "user": {"email": f"u{i}@ex.com", "name": f"name{i}", "_id": "inner"},
+        "tags": ["a", "b", "c"],  # scalar list → dropped
+        "events": [
+            {"kind": "click", "ok": "true"},
+            {"kind": "view", "ok": "false"},
+        ][: (i % 3) + 1],
+        "n": i,
+    }
+    for i in range(40)
+]
+
+
+def test_nested_parity(spark):
+    ref = reference_scan(NESTED_ITEMS)
+    from metacrafter_spark.scanner import scan_items
+
+    got = scan_items(spark, NESTED_ITEMS)
+    got_cols = _spark_columns(got)
+    ref_cols = {f: v for f, v in ref["columns"].items() if f in ref["stats"]}
+    # scalar list 'tags' must be dropped; _id keys skipped
+    assert "tags" not in got["stats"] and "_id" not in got["stats"]
+    assert set(got_cols) == set(ref_cols), set(got_cols) ^ set(ref_cols)
+    for field, ref_matches in ref_cols.items():
+        ours = got_cols[field]
+        assert [m["ruleid"] for m in ours] == [m["ruleid"] for m in ref_matches], field
+        for a, b in zip(ref_matches, ours):
+            assert abs(a["confidence"] - b["confidence"]) < 1e-9, field
+    for field, rst in ref["stats"].items():
+        gst = got["stats"][field]
+        for k in ("ftype", "n_uniq", "minlen", "maxlen"):
+            assert gst[k] == rst[k], (field, k, rst[k], gst[k])
