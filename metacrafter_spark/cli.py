@@ -1,0 +1,97 @@
+"""Minimal CLI — the reference's ``metacrafter scan file/data`` surface.
+
+    python -m metacrafter_spark.cli scan-file data.csv [--limit 100] ...
+    python -m metacrafter_spark.cli corpus-run in.parquet out/ metrics/
+
+Kept argparse-only (no typer in this environment).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="metacrafter-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sf = sub.add_parser("scan-file", help="classify every column of a file")
+    sf.add_argument("path")
+    sf.add_argument("--format", dest="fmt")
+    sf.add_argument("--delimiter")
+    sf.add_argument("--limit", type=int, default=100)  # CLI default, core.py:134
+    sf.add_argument("--contexts")
+    sf.add_argument("--langs")
+    sf.add_argument("--confidence", type=float)
+    sf.add_argument("--dates", action="store_true", help="enable date battery")
+    sf.add_argument("--output", "-o")
+    sf.add_argument("--output-format", default="json", choices=["json", "csv", "yaml"])
+    sf.add_argument("--short", action="store_true")
+    sf.add_argument("--cores", type=int)
+
+    cr = sub.add_parser("corpus-run", help="keep/drop + scrub a webpages table")
+    cr.add_argument("input")
+    cr.add_argument("output")
+    cr.add_argument("metrics")
+    cr.add_argument("--resume", action="store_true")
+    cr.add_argument("--cores", type=int)
+
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from metacrafter_spark.session import get_spark
+
+    preexisting = SparkSession.getActiveSession() is not None
+    spark = get_spark(app_name=f"mcs-{args.cmd}", cores=args.cores)
+    try:
+        if args.cmd == "scan-file":
+            from metacrafter_spark.io.sinks import report_rows, write_report
+            from metacrafter_spark.io.sources import scan_file
+            from metacrafter_spark.scanner import scan_dataframe
+
+            df = scan_file(spark, args.path, fmt=args.fmt,
+                           delimiter=args.delimiter)
+            rep = scan_dataframe(
+                df, limit=args.limit, contexts=args.contexts, langs=args.langs,
+                confidence=args.confidence, parse_dates=args.dates,
+            )
+            if args.output:
+                write_report(rep, args.output, fmt=args.output_format,
+                             short=args.short)
+                print(f"wrote {args.output}")
+            else:
+                for row in report_rows(rep, args.short):
+                    print(json.dumps(row, ensure_ascii=False))
+        else:
+            from pyspark.sql import functions as F
+
+            from metacrafter_spark.corpus.pipeline import (
+                bucket_metrics, classify_corpus,
+            )
+            from metacrafter_spark.corpus.resume import (
+                TableIO, pending_input, run_with_resume,
+            )
+
+            src = spark.read.parquet(args.input)
+            classified = classify_corpus(src)
+            io = TableIO(spark)
+            if args.resume:
+                classified = pending_input(classified, io, args.metrics)
+            n = classified.count()
+            run_with_resume(
+                classified, io, args.output, args.metrics,
+                metrics_df=bucket_metrics(classified),
+            )
+            kept = spark.read.parquet(args.output).filter(F.col("keep")).count()
+            print(json.dumps({"processed": n, "kept_total": kept}))
+        return 0
+    finally:
+        if not preexisting:  # don't kill a caller-owned session
+            spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

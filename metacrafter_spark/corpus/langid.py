@@ -3,7 +3,7 @@
 A from-scratch char-script + stopword n-gram heuristic (the fastText
 replacement the north rule asks for, expressed Spark-first): per
 language, count characteristic-token matches with
-``regexp_extract_all`` (JVM, whole-stage codegen — no Python), normalize
+``regexp_count`` (JVM, whole-stage codegen — no Python), normalize
 by token count, add a script-ratio signal for non-Latin scripts, take
 the argmax via an array-of-structs max (deterministic tie-break on the
 score then language name).
@@ -48,14 +48,12 @@ def langid_struct(text: Column, *, prefix_chars: int = LANGID_PREFIX_CHARS,
     n_tokens = F.size(F.split(F.trim(head), r"\s+"))
     n_tokens_f = F.greatest(n_tokens, F.lit(1)).cast("double")
     cyr_ratio = (
-        F.size(F.regexp_extract_all(head, F.lit(_CYRILLIC), F.lit(0))).cast("double")
+        F.regexp_count(head, F.lit(_CYRILLIC)).cast("double")
         / F.greatest(F.length(head), F.lit(1)).cast("double")
     )
     scored = []
     for lang in sorted(STOPWORDS):
-        hits = F.size(
-            F.regexp_extract_all(head, F.lit(_stopword_pattern(lang)), F.lit(0))
-        ).cast("double")
+        hits = F.regexp_count(head, F.lit(_stopword_pattern(lang))).cast("double")
         score = hits / n_tokens_f
         if lang == "ru":
             # script evidence: Cyrillic text is Russian-family even with

@@ -42,7 +42,7 @@ def quality_columns(text: Column) -> dict[str, Column]:
     n_words_f = F.greatest(n_words, F.lit(1)).cast("double")
     lines = F.split(text, r"\n")
     n_lines_f = F.greatest(F.size(lines), F.lit(1)).cast("double")
-    alpha_chars = F.size(F.regexp_extract_all(text, F.lit(_WORD_ALPHA_RE), F.lit(0)))
+    alpha_chars = F.regexp_count(text, F.lit(_WORD_ALPHA_RE))
     return {
         "n_chars": F.length(text),
         "n_words": n_words,
@@ -50,8 +50,7 @@ def quality_columns(text: Column) -> dict[str, Column]:
             F.length(F.regexp_replace(text, r"\s+", "")).cast("double") / n_words_f
         ),
         "symbol_word_ratio": (
-            F.size(F.regexp_extract_all(text, F.lit(r"[#…]|\.{3}"), F.lit(0))).cast("double")
-            / n_words_f
+            F.regexp_count(text, F.lit(r"[#…]|\.{3}")).cast("double") / n_words_f
         ),
         "bullet_line_frac": (
             F.size(F.filter(lines, lambda l: l.rlike(_BULLET_RE))).cast("double")
@@ -65,9 +64,7 @@ def quality_columns(text: Column) -> dict[str, Column]:
             F.size(F.filter(words, lambda w: w.rlike(_WORD_ALPHA_RE))).cast("double")
             / n_words_f
         ),
-        "stopword_hits": F.size(
-            F.regexp_extract_all(text, F.lit(_STOPWORD_RE), F.lit(0))
-        ),
+        "stopword_hits": F.regexp_count(text, F.lit(_STOPWORD_RE)),
         "dup_line_frac": (
             F.lit(1.0)
             - F.size(F.array_distinct(lines)).cast("double") / n_lines_f

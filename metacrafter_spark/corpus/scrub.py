@@ -182,6 +182,29 @@ def scrub_udfs(rules: tuple[SpanRule, ...]):
     return scrubbed, counts
 
 
+def fused_scrub_udf(rules: tuple[SpanRule, ...]):
+    """One kernel: scrub once, then count each rule's replacement token
+    with a cheap literal scan of the scrubbed text — half the regex
+    passes and half the Arrow transfers of scrub+count separately.
+
+    Count semantics: spans actually REPLACED (a span consumed by an
+    earlier rule isn't double-counted by a later one).  Pre-existing
+    literal tokens like ``<EMAIL>`` in the source would inflate counts —
+    acceptable for web text, noted here.
+    """
+    fields = ", ".join(f"`{r.name}` long" for r in rules)
+
+    @pandas_udf(f"struct<scrubbed:string, {fields}>")
+    def kernel(s: pd.Series) -> pd.DataFrame:
+        out = scrub_series(s.fillna(""), rules)
+        data = {"scrubbed": out}
+        for r in rules:
+            data[r.name] = out.str.count(re.escape(r.replacement)).astype("int64")
+        return pd.DataFrame(data)
+
+    return kernel
+
+
 def with_scrub(
     df: DataFrame,
     text_col: str = "text",
@@ -190,10 +213,14 @@ def with_scrub(
     hits_col: str = "pii_hits",
 ) -> DataFrame:
     rules = rules if rules is not None else default_scrub_rules()
-    scrubbed, counts = scrub_udfs(rules)
-    return df.withColumn(scrubbed_col, scrubbed(F.col(text_col))).withColumn(
-        hits_col, counts(F.col(text_col))
+    kernel = fused_scrub_udf(rules)
+    tmp = "__scrub_tmp"
+    df = df.withColumn(tmp, kernel(F.col(text_col)))
+    df = df.withColumn(scrubbed_col, F.col(f"{tmp}.scrubbed")).withColumn(
+        hits_col,
+        F.struct(*[F.col(f"{tmp}.`{r.name}`").alias(r.name) for r in rules]),
     )
+    return df.drop(tmp)
 
 
 def total_hits(hits_col: str, rules: tuple[SpanRule, ...]) -> Column:

@@ -1,0 +1,71 @@
+"""Structured-Streaming variant of the corpus pipeline.
+
+The reference is batch-only (SURVEY.md §2.10); this is the engine's own
+extension: the per-document pipeline is stateless, so the same
+``classify_corpus`` plan runs unchanged on a streaming DataFrame.
+``foreachBatch`` writes each micro-batch's output partitioned by
+``bucket_id`` and appends the per-bucket metrics — giving the same
+lineage/resume table the batch path uses, on top of the streaming
+checkpoint directory.
+
+``trigger(availableNow=True)`` drains whatever input exists and stops —
+the batch-friendly way to run (and test) a stream.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from metacrafter_spark.corpus.pipeline import bucket_metrics, classify_corpus
+from metacrafter_spark.corpus.scrub import SpanRule, default_scrub_rules
+
+WEBPAGE_DDL = ("url string, warc_ts timestamp, html binary, "
+               "text string, lang string")
+
+
+def read_webpage_stream(spark: SparkSession, input_path: str,
+                        fmt: str = "parquet") -> DataFrame:
+    return (
+        spark.readStream.format(fmt)
+        .schema(WEBPAGE_DDL)
+        .option("maxFilesPerTrigger", 8)
+        .load(input_path)
+    )
+
+
+def stream_classify(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    metrics_path: str,
+    checkpoint_path: str,
+    *,
+    scrub_rules: Optional[tuple[SpanRule, ...]] = None,
+    available_now: bool = True,
+):
+    """Start (and by default drain) the streaming classify job."""
+    rules = scrub_rules if scrub_rules is not None else default_scrub_rules()
+    stream = read_webpage_stream(spark, input_path)
+    classified = classify_corpus(stream, scrub_rules=rules)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = batch_df.persist()
+        try:
+            (out.write.mode("append").partitionBy("bucket_id")
+             .parquet(output_path))
+            (bucket_metrics(out, rules, run_id=f"stream-{batch_id}")
+             .write.mode("append").parquet(metrics_path))
+        finally:
+            out.unpersist()
+
+    writer = (
+        classified.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

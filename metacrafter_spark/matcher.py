@@ -174,6 +174,7 @@ def match_columns(
     filter_langs: Optional[list[str]] = None,
     except_empty: bool = True,
     ignore_imprecise: bool = True,
+    parse_dates: bool = False,
 ) -> list[ColumnMatches]:
     """Full match_dict semantics over a normalized DataFrame."""
     field_rules = pack.filtered("field", filter_contexts, filter_langs, ignore_imprecise)
@@ -257,4 +258,80 @@ def match_columns(
                 )
                 if stop_on_match:
                     break
+
+    if parse_dates:
+        _date_fallback(
+            ndf, by_name, stats, results, shortcut_done,
+            confidence=confidence, limit=limit, except_empty=except_empty,
+        )
+    return results
+
+
+def _date_fallback(
+    ndf: DataFrame,
+    by_name: dict[str, ColInfo],
+    stats: dict[str, ColumnStats],
+    results: list[ColumnMatches],
+    shortcut_done: set,
+    *,
+    confidence: float,
+    limit: int,
+    except_empty: bool,
+) -> list[ColumnMatches]:
+    """qddate-style fallback (processor.py:918-958): columns with ZERO
+    matches and ftype 'str' get a date-battery pass; format = the LAST
+    matching value's pattern key; only str values are tried (non-str
+    values silently count toward total)."""
+    from metacrafter_spark.rules.dates import first_match_key_index, pattern_key
+
+    candidates = [
+        m for m in results
+        if not m.matches
+        and m.field not in shortcut_done
+        and m.field in by_name
+        and (m.field not in stats or stats[m.field].ftype == "str")
+    ]
+    if not candidates:
+        return results
+
+    @pandas_udf("int")
+    def date_idx(s: pd.Series) -> pd.Series:
+        # battery scan per value — bounded by the sampling limit
+        return s.map(
+            lambda v: -1 if v is None else first_match_key_index(v)
+        ).astype("int32")
+
+    sdf = ndf.orderBy(ROW_SEQ).limit(limit)
+    aggs = [F.count(F.lit(1)).alias("__slice_total")]
+    for m in candidates:
+        ci = by_name[m.field]
+        raw = F.col(f"{ci.safe}__vs")
+        idx = date_idx(raw)
+        aggs += [
+            F.sum(
+                F.when(raw.isNull() | (F.length(raw) == 0), 1).otherwise(0)
+            ).alias(f"{ci.safe}__empty"),
+            F.sum(F.when(idx >= 0, 1).otherwise(0)).alias(f"{ci.safe}__succ"),
+            F.max_by(idx, F.when(idx >= 0, F.col(ROW_SEQ))).alias(f"{ci.safe}__last"),
+        ]
+    row = sdf.agg(*aggs).collect()[0].asDict()
+    total = row["__slice_total"] or 0
+    for m in candidates:
+        ci = by_name[m.field]
+        empty = row[f"{ci.safe}__empty"] or 0
+        success = row[f"{ci.safe}__succ"] or 0
+        if except_empty:
+            subtotal = total - empty
+            result = 0 if subtotal == 0 else success * 100.0 / subtotal
+        else:
+            result = success * 100.0 / total if total else 0
+        if result > confidence:
+            last = row[f"{ci.safe}__last"]
+            m.matches.append(
+                RuleHit(
+                    ruleid="qddate", dataclass="datetime", confidence=result,
+                    ruletype="data",
+                    format=pattern_key(last) if last is not None and last >= 0 else None,
+                )
+            )
     return results

@@ -123,19 +123,29 @@ def near_dup_pairs_minhash(
     df: DataFrame, id_col: str, *, threshold: float = 0.8,
     n_hashes: int = 64, bands: int = 16, rows: int = 4, text_col: str = "text",
 ) -> DataFrame:
-    """MinHash-LSH candidates verified with exact shingle Jaccard."""
-    base = with_minhash(df, text_col, n_hashes)
-    pairs = lsh_candidate_pairs(base, id_col, bands=bands, rows=rows)
-    sh = base.select(F.col(id_col), F.col("shingles"))
-    return (
-        pairs.join(sh.withColumnRenamed(id_col, "id_a")
-                     .withColumnRenamed("shingles", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed(id_col, "id_b")
-                .withColumnRenamed("shingles", "sh_b"), "id_b")
-        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    """MinHash-LSH candidates verified with exact shingle Jaccard.
+
+    Signatures+shingles are persisted for the two uses (banding and
+    verification) — otherwise the shingle/minhash expressions recompute
+    for each join branch."""
+    base = with_minhash(df, text_col, n_hashes).persist()
+    try:
+        pairs = lsh_candidate_pairs(base, id_col, bands=bands, rows=rows)
+        sh = base.select(F.col(id_col), F.col("shingles"))
+        out = (
+            pairs.join(sh.withColumnRenamed(id_col, "id_a")
+                         .withColumnRenamed("shingles", "sh_a"), "id_a")
+            .join(sh.withColumnRenamed(id_col, "id_b")
+                    .withColumnRenamed("shingles", "sh_b"), "id_b")
+            .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+        # materialize while the persisted plan is alive
+        out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        base.unpersist()
 
 
 def dedup_by_pairs(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:

@@ -24,7 +24,7 @@ def whitespace_token_count(text: Column) -> Column:
 
 
 def subword_token_count(text: Column) -> Column:
-    return F.size(F.regexp_extract_all(text, F.lit(_PIECE_RE), F.lit(0)))
+    return F.regexp_count(text, F.lit(_PIECE_RE))
 
 
 def quality_score(text: Column) -> Column:
@@ -32,20 +32,13 @@ def quality_score(text: Column) -> Column:
     n_chars = F.greatest(F.length(text), F.lit(1)).cast("double")
     n_words = whitespace_token_count(text)
     n_words_f = F.greatest(n_words, F.lit(1)).cast("double")
-    alpha_frac = (
-        F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-zА-яЀ-ӿÀ-ÿ]"), F.lit(0))).cast("double")
-        / n_chars
-    )
+    alpha_frac = F.regexp_count(text, F.lit(r"[A-Za-zА-яЀ-ӿÀ-ÿ]")).cast("double") / n_chars
     stop_frac = F.least(
-        F.size(F.regexp_extract_all(text, F.lit(_STOPWORD_RE), F.lit(0))).cast("double")
-        / n_words_f * 5.0,
+        F.regexp_count(text, F.lit(_STOPWORD_RE)).cast("double") / n_words_f * 5.0,
         F.lit(1.0),
     )
     len_score = F.least(n_words_f / 50.0, F.lit(1.0))
-    punct_frac = (
-        F.size(F.regexp_extract_all(text, F.lit(r"[.!?]"), F.lit(0))).cast("double")
-        / n_words_f
-    )
+    punct_frac = F.regexp_count(text, F.lit(r"[.!?]")).cast("double") / n_words_f
     punct_score = F.lit(1.0) - F.least(F.abs(punct_frac - 0.08) * 5.0, F.lit(1.0))
     return F.round(
         alpha_frac * 0.35 + stop_frac * 0.25 + len_score * 0.25 + punct_score * 0.15, 6

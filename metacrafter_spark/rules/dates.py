@@ -1,0 +1,67 @@
+"""Date-pattern fallback battery (the qddate stage, re-derived).
+
+The reference's last matching stage (``processor.py:918-958``) tries
+qddate's ~312 EN+RU date patterns on columns that got **zero** rule
+matches, emitting ``ruleid='qddate', dataclass='datetime'`` with the
+usual confidence math and ``format`` = the LAST matching value's
+pattern key.  qddate is not installable here, so this module re-derives
+the common EN/RU subset as anchored regexes; per value the FIRST
+matching pattern (battery order) wins, mirroring qddate's ordered
+pattern scan.  Golden parity runs use ``parse_dates=False`` (a
+reference-supported mode); this battery is the engine's own
+``parse_dates=True`` implementation.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+
+_EN_MONTHS = ("january|february|march|april|may|june|july|august|september"
+              "|october|november|december")
+_EN_MON = "jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec"
+_RU_MONTHS = ("января|февраля|марта|апреля|мая|июня|июля|августа|сентября"
+              "|октября|ноября|декабря")
+_TIME = r"(?:[ T]\d{1,2}:\d{2}(?::\d{2})?)?"
+_D = r"(?:0?[1-9]|[12]\d|3[01])"
+_M = r"(?:0?[1-9]|1[0-2])"
+_Y = r"(?:19|20)\d{2}"
+
+# (key, pattern) in priority order — first match per value wins.
+DATE_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("date:iso8601", rf"{_Y}-{_M.replace('0?', '0')}-{_D.replace('0?', '0')}"
+                     rf"(?:[ T]\d{{2}}:\d{{2}}(?::\d{{2}})?(?:\.\d+)?Z?)?"),
+    ("date:iso_loose", rf"{_Y}-{_M}-{_D}{_TIME}"),
+    ("date:dmy_dot", rf"{_D}\.{_M}\.{_Y}{_TIME}"),
+    ("date:dmy_dot_short", rf"{_D}\.{_M}\.\d{{2}}"),
+    ("date:mdy_slash", rf"{_M}/{_D}/{_Y}{_TIME}"),
+    ("date:dmy_slash", rf"{_D}/{_M}/{_Y}{_TIME}"),
+    ("date:ymd_slash", rf"{_Y}/{_M}/{_D}{_TIME}"),
+    ("date:en_dmy", rf"(?i:{_D} (?:{_EN_MONTHS}),? {_Y})"),
+    ("date:en_mdy", rf"(?i:(?:{_EN_MONTHS}) {_D},? {_Y})"),
+    ("date:en_dmy_abbr", rf"(?i:{_D} (?:{_EN_MON})\.? {_Y})"),
+    ("date:en_mdy_abbr", rf"(?i:(?:{_EN_MON})\.? {_D},? {_Y})"),
+    ("date:ru_dmy", rf"(?i:{_D} (?:{_RU_MONTHS}) {_Y}(?: г\.?| года)?)"),
+    ("date:rfc", rf"(?i:(?:mon|tue|wed|thu|fri|sat|sun), \d{{1,2}} "
+                 rf"(?:{_EN_MON}) {_Y} \d{{2}}:\d{{2}}:\d{{2}})"),
+)
+
+
+@lru_cache(maxsize=1)
+def compiled_battery() -> tuple[tuple[str, "re.Pattern[str]"], ...]:
+    return tuple(
+        (key, re.compile(r"\A\s*(?:" + pat + r")\s*\Z"))
+        for key, pat in DATE_PATTERNS
+    )
+
+
+def first_match_key_index(value: str) -> int:
+    """Index of the first battery pattern fully matching value, or -1."""
+    for i, (_key, rx) in enumerate(compiled_battery()):
+        if rx.match(value):
+            return i
+    return -1
+
+
+def pattern_key(idx: int) -> str:
+    return DATE_PATTERNS[idx][0]

@@ -62,10 +62,11 @@ def scan_dataframe(
 ) -> dict[str, Any]:
     """Classify every column of ``df``; return a reference-shaped report.
 
-    ``parse_dates`` is accepted for signature parity; the qddate
-    fallback battery is not bundled (the reference's supported
-    ``parse_dates=False`` mode is the parity contract — golden labels
-    are generated the same way).
+    ``parse_dates=True`` enables the date-battery fallback
+    (:mod:`metacrafter_spark.rules.dates`, the qddate-stage
+    re-derivation).  Golden parity vs the reference uses the
+    reference-supported ``parse_dates=False`` mode, since qddate itself
+    is not installable here.
     """
     from pyspark.sql import types as T
 
@@ -118,6 +119,7 @@ def scan_dataframe(
                 filter_langs=langs,
                 except_empty=except_empty,
                 ignore_imprecise=ignore_imprecise,
+                parse_dates=parse_dates,
             )
         )
     # merge in first-seen header order (reference report order)

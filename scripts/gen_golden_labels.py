@@ -1,0 +1,57 @@
+"""Generate tests/golden/golden_labels.json from the REFERENCE engine.
+
+Runs apicrafter/metacrafter itself (via tools/refharness stubs) over the
+deterministic fixtures and stores its per-column classification
+decisions + stats. The committed goldens let `python -m pytest -x -q`
+enforce the F1/parity contract in a standalone clone with no reference
+checkout present.
+
+Usage: python scripts/gen_golden_labels.py
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tools"))
+sys.path.insert(0, str(REPO / "tests"))
+
+from fixtures_gen import pii_profiles, tiny2col  # noqa: E402
+from refharness import reference_scan  # noqa: E402
+
+FIXTURES = {
+    "tiny2col": (tiny2col(), {}),
+    "pii_profiles_200": (pii_profiles(200), {}),
+    "pii_profiles_limit50": (pii_profiles(200), {"limit": 50}),
+    "pii_profiles_no_empty": (pii_profiles(120), {"except_empty": False}),
+    "pii_profiles_stop": (pii_profiles(120), {"stop_on_match": True}),
+    "pii_profiles_pii_ctx": (pii_profiles(120), {"contexts": ["pii", "common"]}),
+}
+
+
+def main() -> None:
+    out = {}
+    for name, (items, params) in FIXTURES.items():
+        rep = reference_scan(items, **params)
+        out[name] = {
+            "params": params,
+            "columns": rep["columns"],
+            "stats": {
+                k: {kk: v[kk] for kk in ("ftype", "n_uniq", "minlen", "maxlen",
+                                          "share_uniq", "tags")}
+                for k, v in rep["stats"].items()
+            },
+        }
+    dest = REPO / "tests" / "golden" / "golden_labels.json"
+    dest.parent.mkdir(exist_ok=True)
+    dest.write_text(json.dumps(out, indent=1, ensure_ascii=False, default=str),
+                    encoding="utf8")
+    print(f"wrote {dest} ({len(out)} fixtures)")
+
+
+if __name__ == "__main__":
+    main()

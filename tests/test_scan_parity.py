@@ -139,3 +139,28 @@ def test_nested_parity(spark):
         gst = got["stats"][field]
         for k in ("ftype", "n_uniq", "minlen", "maxlen"):
             assert gst[k] == rst[k], (field, k, rst[k], gst[k])
+
+
+def test_date_fallback_battery(spark):
+    rows = [
+        {"when_iso": f"2024-0{1 + i % 9}-1{i % 3}", "when_ru": f"{1 + i % 28} марта 202{i % 4}",
+         "when_us": f"{1 + i % 12}/{1 + i % 28}/19{50 + i % 50}", "note": "plain words here"}
+        for i in range(40)
+    ]
+    from metacrafter_spark.scanner import scan_dataframe
+
+    df = spark.createDataFrame(rows)
+    rep = scan_dataframe(df, parse_dates=True)
+    by = {r["field"]: r["matches"] for r in rep["data"]}
+    for col, keyfrag in [("when_iso", "iso"), ("when_ru", "ru_dmy"), ("when_us", "mdy_slash")]:
+        hits = [m for m in by[col] if m["ruleid"] == "qddate"]
+        assert hits, (col, by[col])
+        assert hits[0]["dataclass"] == "datetime"
+        assert hits[0]["confidence"] == 100.0
+        assert keyfrag in hits[0]["format"], (col, hits[0]["format"])
+    assert not [m for m in by["note"] if m["ruleid"] == "qddate"]
+    # parse_dates=False: no qddate hits at all
+    rep2 = scan_dataframe(df, parse_dates=False)
+    assert not any(
+        m["ruleid"] == "qddate" for r in rep2["data"] for m in r["matches"]
+    )

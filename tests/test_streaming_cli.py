@@ -1,0 +1,59 @@
+"""Streaming pipeline + CLI smoke tests."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from metacrafter_spark.corpus.streaming import stream_classify
+from metacrafter_spark.corpus.webpages import synth_webpages
+
+
+def test_stream_classify_drains_and_checkpoints(spark, tmp_path):
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    metrics = str(tmp_path / "metrics")
+    ckpt = str(tmp_path / "ckpt")
+    corpus = synth_webpages(spark, 120, partitions=3)
+    corpus.write.parquet(src)
+
+    stream_classify(spark, src, out, metrics, ckpt)
+    written = spark.read.parquet(out)
+    assert written.count() == 120
+    assert {"keep", "text_scrubbed", "bucket_id"} <= set(written.columns)
+    m = spark.read.parquet(metrics)
+    assert m.agg(F.sum("n_docs")).first()[0] == 120
+
+    # resume semantics: re-running with the same checkpoint adds nothing
+    stream_classify(spark, src, out, metrics, ckpt)
+    assert spark.read.parquet(out).count() == 120
+
+    # streaming output matches the batch pipeline byte-for-byte
+    from metacrafter_spark.corpus.pipeline import classify_corpus
+
+    batch = {r["url"]: r["text_scrubbed"]
+             for r in classify_corpus(corpus).select("url", "text_scrubbed").collect()}
+    stream = {r["url"]: r["text_scrubbed"]
+              for r in written.select("url", "text_scrubbed").collect()}
+    assert batch == stream
+
+
+def test_cli_scan_file(tmp_path, capsys, spark):
+    # reuse the session fixture so the CLI's getOrCreate attaches to it
+    from metacrafter_spark.cli import main
+
+    p = tmp_path / "people.csv"
+    p.write_text(
+        "email,uuid\n"
+        + "\n".join(
+            f"u{i}@ex.com,550e8400-e29b-41d4-a716-4466554400{i:02d}"
+            for i in range(20)
+        )
+    )
+    out = tmp_path / "report.json"
+    rc = main(["scan-file", str(p), "-o", str(out)])
+    assert rc == 0
+    rep = json.loads(out.read_text())
+    matched = {r[0]: r[3] for r in rep["results"]}
+    assert "uuid 100.00" in matched["uuid"]
