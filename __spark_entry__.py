@@ -257,16 +257,18 @@ def q_langid(spark, sf_dir):
 
 
 def q_quality_flags(spark, sf_dir):
+    """SQL-checkable slice of the Gopher metrics (q_pass itself is
+    covered by q_corpus_pipeline rows-only + corpus tests)."""
     from metacrafter_spark.corpus.quality import with_quality
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     out = with_quality(docs)
     return out.select(
         "doc_id",
-        "q_n_words",
+        F.col("q_n_words").alias("n_words"),
         F.round("q_mean_word_len", 4).alias("mean_word_len"),
         F.round("q_dup_line_frac", 4).alias("dup_line_frac"),
-        "q_pass",
+        F.round("q_alpha_char_frac", 4).alias("alpha_char_frac"),
     ).orderBy("doc_id")
 
 
@@ -483,5 +485,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(ts AS DATE) AS day, event_type,
                    count(*) AS n, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "quality_flags": r"""
+            WITH w AS (
+              SELECT doc_id, text,
+                     len(list_filter(string_split_regex(text, '\s+'),
+                                     x -> length(x) > 0)) AS n_words,
+                     string_split(text, chr(10)) AS lines
+              FROM documents WHERE doc_id < 100)
+            SELECT doc_id, n_words,
+                   round(length(regexp_replace(text, '\s+', '', 'g')) * 1.0
+                         / greatest(n_words, 1), 4) AS mean_word_len,
+                   round(1.0 - len(list_distinct(lines)) * 1.0
+                         / greatest(len(lines), 1), 4) AS dup_line_frac,
+                   round(len(regexp_extract_all(text, '[A-Za-zА-яЀ-ӿÀ-ÿ]')) * 1.0
+                         / greatest(length(text), 1), 4) AS alpha_char_frac
+            FROM w ORDER BY doc_id
+        """,
+        "langid_documents": r"""
+            WITH h AS (
+              SELECT doc_id, substr(text, 1, 2000) AS head, text FROM documents),
+            base AS (
+              SELECT doc_id, head,
+                     greatest(len(string_split_regex(trim(head), '\s+')), 1) AS nt,
+                     len(regexp_extract_all(head, '[Ѐ-ӿ]')) * 1.0
+                       / greatest(length(head), 1) AS cyr,
+                     length(trim(text)) AS trimlen,
+                     len(string_split_regex(trim(head), '\s+')) AS nt_raw
+              FROM h),
+            scores AS (
+              SELECT doc_id, trimlen, nt_raw, lang, score FROM (
+                SELECT b.doc_id, b.trimlen, b.nt_raw, l.lang,
+                       CASE l.lang
+                         WHEN 'ru' THEN len(regexp_extract_all(b.head, l.pat)) * 1.0 / b.nt + b.cyr
+                         ELSE len(regexp_extract_all(b.head, l.pat)) * 1.0 / b.nt
+                       END AS score
+                FROM base b CROSS JOIN (VALUES
+                  ('de', '(?i)\b(?:der|die|das|und|ist|nicht|mit|ein|eine|zu|den|von|sich|auf|für|im|dem)\b'),
+                  ('en', '(?i)\b(?:the|and|of|to|in|is|that|for|with|was|on|are|this|be|it|from|have|not)\b'),
+                  ('es', '(?i)\b(?:el|los|las|de|y|que|en|una|es|por|con|para|del|se|su|como|más)\b'),
+                  ('fr', '(?i)\b(?:le|la|les|des|une|et|est|dans|pour|que|qui|sur|avec|pas|au|du|ce|vous)\b'),
+                  ('ru', '(?i)\b(?:и|в|не|на|что|с|по|это|как|из|за|его|для|или|она|они|был|при)\b')
+                ) AS l(lang, pat))),
+            best AS (
+              SELECT doc_id, trimlen, nt_raw, lang, score,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, lang DESC) AS rn
+              FROM scores),
+            pred AS (
+              SELECT CASE WHEN trimlen = 0 OR nt_raw < 4 OR score < 0.05
+                          THEN 'und' ELSE lang END AS lang_pred
+              FROM best WHERE rn = 1)
+            SELECT lang_pred, count(*) AS n FROM pred
+            GROUP BY 1 ORDER BY 1
         """,
     }

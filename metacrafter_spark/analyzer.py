@@ -16,7 +16,7 @@ Semantic quirks faithfully reproduced:
 
 - ``str(None) == 'None'`` participates in lengths & uniq counts
   (stats.py:346-377) while ``guess_datatype(None)`` is ``empty``;
-- columns whose first dot-path segment is 1 char or digit-leading are
+- columns whose first dot-path segment is 1 char or all-digit are
   skipped (stats.py:341-344);
 - a column's ftype = the unique non-empty value type, else ``str``
   (stats.py:425-433);
@@ -156,11 +156,13 @@ class ColInfo:
 
 
 def _first_segment_skipped(key: str) -> bool:
-    """Analyzer's key filter (stats.py:341-344): 1-char or digit-leading
+    """Analyzer's key filter (stats.py:341-344): 1-char or ALL-DIGIT
     first path segment → excluded from stats (but still matched/reported
-    upstream as 'not in stats' → dropped from the final report)."""
+    upstream as 'not in stats' → dropped from the final report).
+    Note: ``i[0].isdigit()`` is str.isdigit on the whole segment, so
+    '2col' is NOT skipped — only names like '2'/'42'."""
     first = key.split(".")[0]
-    return len(first) == 1 or (first[:1].isdigit())
+    return len(first) == 1 or first.isdigit()
 
 
 def analyzed_columns(df: DataFrame, columns: Optional[list[str]] = None) -> list[ColInfo]:
@@ -237,7 +239,7 @@ def compute_stats(
     """One-pass stats aggregation + per-dict-column value enumeration.
 
     Returns {column_name: ColumnStats} for columns not skipped by the
-    1-char/digit-leading filter, in input column order.
+    1-char/all-digit filter, in input column order.
     """
     empty_values = empty_values if empty_values is not None else DEFAULT_EMPTY_VALUES
     # Drop the None marker: vs is str(v) (never null here), and a None in

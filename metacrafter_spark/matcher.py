@@ -63,7 +63,9 @@ def _regex_flag_udf(pattern: str):
     @pandas_udf("boolean")
     def flag(s: pd.Series) -> pd.Series:
         rx = _rx(pattern)
-        return s.str.match(rx).astype("object").fillna(False).astype("bool")
+        # fillna first: null rows are excluded by the agg gate anyway,
+        # and a NaN-free input keeps the result a clean bool array
+        return s.fillna("").str.match(rx)
 
     return flag
 
@@ -73,8 +75,10 @@ def _func_flag_udf(func_name: str):
     def flag(s: pd.Series) -> pd.Series:
         fn = FUNC_REGISTRY[func_name]
         rx = fn.PATTERN
-        base = s.str.lower() if func_name == "validators.domain" else s
-        return base.str.match(rx).astype("object").fillna(False).astype("bool")
+        base = s.fillna("")
+        if func_name == "validators.domain":
+            base = base.str.lower()
+        return base.str.match(rx)
 
     return flag
 

@@ -54,11 +54,17 @@ def word_shingles(text: Column, n: int = 5, max_words: int = 2000) -> Column:
 
 
 def minhash_signature(shingles: Column, n_hashes: int = 64) -> Column:
-    """k seeded-xxhash64 minima over the shingle set — array<long>."""
+    """k seeded minima over the shingle set — array<long>.
+
+    Two-level hashing: each shingle STRING is hashed once
+    (``xxhash64(s)``), then the k permutations re-hash that 8-byte long
+    with seed k — k×|shingles| long-hashes instead of k×|shingles|
+    string-hashes, an order of magnitude less CPU on word 5-grams."""
+    base = F.transform(shingles, lambda s: F.xxhash64(s))
     return F.transform(
         F.sequence(F.lit(0), F.lit(n_hashes - 1)),
         lambda seed: F.array_min(
-            F.transform(shingles, lambda s: F.xxhash64(s, seed))
+            F.transform(base, lambda h: F.xxhash64(h, seed))
         ),
     )
 

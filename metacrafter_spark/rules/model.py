@@ -324,5 +324,16 @@ _BUILTIN_PACK_FILE = Path(__file__).with_name("builtin_pack.json")
 
 @lru_cache(maxsize=1)
 def load_builtin_pack() -> CompiledRulePack:
-    """The shipped rule pack (compiled form of the 140-rule census)."""
-    return CompiledRulePack.from_json(_BUILTIN_PACK_FILE.read_text(encoding="utf8"))
+    """The shipped rule pack (compiled form of the 140-rule census).
+
+    Read through importlib.resources so it also works when the package
+    ships as a ``--py-files`` zip (``__file__`` then points into the
+    archive and plain filesystem reads fail)."""
+    from importlib import resources
+
+    text = (
+        resources.files("metacrafter_spark.rules")
+        .joinpath("builtin_pack.json")
+        .read_text(encoding="utf8")
+    )
+    return CompiledRulePack.from_json(text)

@@ -143,7 +143,7 @@ def assemble_report(
     stats_table: list[list],
 ) -> dict[str, Any]:
     """Report assembly (core.py:1320-1361): columns absent from stats
-    (1-char / digit-leading keys) are dropped; datatype_url comes from
+    (1-char / all-digit keys) are dropped; datatype_url comes from
     the FIRST match."""
     output = []
     outdata = []

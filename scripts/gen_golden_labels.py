@@ -20,7 +20,7 @@ sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "tools"))
 sys.path.insert(0, str(REPO / "tests"))
 
-from fixtures_gen import pii_profiles, tiny2col  # noqa: E402
+from fixtures_gen import edge_cases, pii_profiles, tiny2col  # noqa: E402
 from refharness import reference_scan  # noqa: E402
 
 FIXTURES = {
@@ -30,6 +30,7 @@ FIXTURES = {
     "pii_profiles_no_empty": (pii_profiles(120), {"except_empty": False}),
     "pii_profiles_stop": (pii_profiles(120), {"stop_on_match": True}),
     "pii_profiles_pii_ctx": (pii_profiles(120), {"contexts": ["pii", "common"]}),
+    "edge_cases_120": (edge_cases(120), {}),
 }
 
 

@@ -1,0 +1,22 @@
+#!/usr/bin/env bash
+# spark-submit deployment path (north rule: "runs via spark-submit
+# --py-files on multi-executor clusters").  Packages the engine as a
+# zip and submits the corpus job; on a real cluster only --master and
+# the executor conf change.
+#
+# usage: scripts/submit_job.sh <input_parquet> <output_dir> <metrics_dir> [master]
+set -euo pipefail
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+INPUT="${1:?input parquet}"; OUTPUT="${2:?output dir}"; METRICS="${3:?metrics dir}"
+MASTER="${4:-local[8]}"
+
+ZIP="$(mktemp -d)/metacrafter_spark.zip"
+(cd "$REPO" && zip -qr "$ZIP" metacrafter_spark -x '*__pycache__*')
+
+spark-submit \
+  --master "$MASTER" \
+  --conf spark.sql.adaptive.enabled=true \
+  --conf spark.sql.execution.arrow.pyspark.enabled=true \
+  --conf spark.sql.shuffle.partitions=32 \
+  --py-files "$ZIP" \
+  "$REPO/metacrafter_spark/cli.py" corpus-run "$INPUT" "$OUTPUT" "$METRICS"

@@ -70,3 +70,33 @@ def pii_profiles(n: int = 200, seed: int = 42) -> list[dict]:
             row["freetext"] = rng.choice(["N/A", "-", "None", "NaN"])
         rows.append(row)
     return rows
+
+
+def edge_cases(n: int = 120, seed: int = 7) -> list[dict]:
+    """Adversarial parity fixture: quirk-triggering values and names."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        rows.append({
+            "row_id": i,
+            "x": f"v{i}",                      # 1-char name → stats-skipped
+            "2col": f"w{i}",                   # digit-leading → stats-skipped
+            "has_data": rng.choice(["0", "1"]),          # hasprefixrule gate
+            "show_all": rng.choice(["0", "1"]),          # showprefixrule gate
+            "x_flag": rng.choice(["0", "1"]),            # flagpostfixrule gate
+            "ru_bool": rng.choice(["да", "нет"]),        # rusyesnobool
+            "leading_zero": f"0{rng.randint(100, 999)}", # numstr ftype
+            "big_int": str(rng.randint(70000, 99999)),   # uint32 path
+            "with_newline": f"line1-{i}\nline2",         # lineEnd quirk
+            "padded": f"  {rng.choice(['true', 'false'])}  ",  # ws around value
+            "empties": rng.choice(["N/A", "-", "None", "NaN", ""]),
+            "mixed": str(i) if i % 2 else f"t{i}",       # mixed int/str → str
+            "mime": rng.choice(MIMES),
+            "latitude": f"{rng.randint(0, 89)}.{rng.randint(0, 99999):05d}",
+            "url_col": f"https://sub{i % 5}.example.org/p?q={i}",
+            "fqdn": f"host{i % 9}.example{i % 3}.net",
+            "as_number": f"AS{rng.randint(1, 99999)}",
+            "year": str(rng.randint(1000, 2199)),        # year rule boundaries
+            "float_str": f"{rng.uniform(-5, 5):.3f}",    # ftype float → skip
+        })
+    return rows

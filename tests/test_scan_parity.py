@@ -164,3 +164,26 @@ def test_date_fallback_battery(spark):
     assert not any(
         m["ruleid"] == "qddate" for r in rep2["data"] for m in r["matches"]
     )
+
+
+def test_edge_cases_parity(spark):
+    from fixtures_gen import edge_cases
+
+    _compare(edge_cases(120), spark)
+
+
+def test_string_param_parity(spark):
+    # contexts/langs/fields accept comma-separated strings (core.py:1199-1205)
+    items = pii_profiles(80)
+    ref = reference_scan(items, contexts=["pii"], langs=["en", "common"],
+                         fields=["email", "uuid", "active"])
+    from metacrafter_spark.scanner import scan_dataframe
+
+    df = spark.createDataFrame(items)
+    got = scan_dataframe(df, contexts="pii", langs="en,common",
+                         fields="email,uuid,active")
+    got_cols = _spark_columns(got)
+    ref_cols = {f: v for f, v in ref["columns"].items() if f in ref["stats"]}
+    assert set(got_cols) == set(ref_cols)
+    for f, ms in ref_cols.items():
+        assert [m["ruleid"] for m in got_cols[f]] == [m["ruleid"] for m in ms], f
