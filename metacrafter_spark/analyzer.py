@@ -1,16 +1,23 @@
 """Column-stats engine — Spark re-implementation of the reference Analyzer.
 
 Reproduces ``metacrafter/classify/stats.py:211-497`` (``Analyzer.analyze``)
-as ONE wide Spark aggregation instead of a row-at-a-time Python loop:
+as a two-phase LONG-FRAME aggregation instead of a row-at-a-time loop:
 
-- per-value normalization (``str(v)``, ``guess_datatype``,
-  ``stats.py:91-146``) becomes Arrow-vectorized helper columns;
-- the per-column accumulator dict becomes a single ``df.agg(...)`` with
-  ~10 expressions per column (partial+final hash agg, no shuffle of raw
-  data, whole-stage codegen for the expression part);
-- dict-value enumeration (``stats.py:444-454``) becomes a
-  ``groupBy(value).agg(min(row_seq))`` per detected dict column — the
-  only stage that shuffles, and it shuffles *distinct values*, not rows.
+1. explode the raw frame to one row per (column, native-cast group key)
+   — pure JVM expressions, no Python;
+2. ``groupBy(column, value)`` — map-side combine means the shuffle
+   carries distinct values, not rows;
+3. per-DISTINCT-value enrichment: ``guess_datatype``
+   (``stats.py:91-146``) and exact Python ``str()`` formatting for
+   double/timestamp display run as Arrow-vectorized kernels over the
+   (much smaller) distinct set — once per value, not once per row;
+4. ``groupBy(column)`` rolls up the 19 stats; dict-value enumeration
+   (``stats.py:444-454``) reuses the persisted distinct frame.
+
+The long shape also keeps the plan a FIXED handful of expressions no
+matter how many columns the table has — the wide per-column-agg
+alternative (~12 exprs × N columns + an N-way distinct Expand) showed
+superlinear planning/codegen cost (~10 s for a 27-column 3k-row table).
 
 Semantic quirks faithfully reproduced:
 
@@ -92,9 +99,9 @@ def _python_float_series(s: pd.Series) -> pd.Series:
             try:
                 return float(v)
             except (TypeError, ValueError):
-                return None
-        nv = nv.copy()
-        nv[mask] = s[mask].map(_f)
+                return float("nan")
+        nv = nv.astype("float64").copy()
+        nv[mask] = s[mask].map(_f).astype("float64")
     return nv.astype("float64")
 
 
@@ -199,7 +206,7 @@ def with_normalized_columns(df: DataFrame, cols: list[ColInfo]) -> DataFrame:
             vs = _udfs()["py_str_double"](col.cast("double"))
             vt = F.when(col.isNotNull(), F.lit("float"))
             nv = col.cast("double")
-        elif isinstance(dt, T.TimestampType):
+        elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
             vs = _udfs()["py_str_timestamp"](col)
             vt = F.when(col.isNotNull(), F.lit("datetime"))
             nv = F.lit(None).cast("double")
@@ -228,127 +235,243 @@ _RE_ALPHA = r"[\p{L}]"
 _RE_SPECIAL = r"[^\p{L}\p{N}\s]"
 
 
+def _raw_long_frame(df: DataFrame, cols: list[ColInfo]) -> DataFrame:
+    """Explode the RAW frame to one row per (column, group-key).
+
+    The long shape keeps the aggregation plan a FIXED handful of
+    expressions no matter how many columns the table has — the wide
+    per-column agg alternative needs ~12 expressions × N columns plus an
+    N-way distinct Expand, whose planning/codegen cost grows superlinearly
+    (observed: ~10s to aggregate a 27-column table of 3k rows).  It is
+    also the right scale shape: groupBy(col, value) partially aggregates
+    duplicate values map-side, so the shuffle carries distinct values.
+
+    Group keys are cheap NATIVE casts (injective per type); the pandas
+    kernels (guess_datatype for strings, Python float/datetime
+    formatting) run AFTER the groupBy, once per distinct value — not
+    once per row.
+    """
+    structs = []
+    for ci in cols:
+        col = F.col(f"`{ci.name}`")
+        dt = ci.dtype
+        vt_typed = F.lit(None).cast("string")  # strings classify post-group
+        nv = F.lit(None).cast("double")
+        rawlen = F.lit(None).cast("int")
+        if isinstance(dt, T.StringType):
+            key = col
+            rawlen = F.length(col)
+        elif isinstance(dt, T.BooleanType):
+            key = F.when(col, F.lit("True")).when(~col, F.lit("False"))
+            vt_typed = F.lit("bool")
+        elif isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+            key = col.cast("string")
+            vt_typed = F.lit("int")
+            nv = col.cast("double")
+        elif isinstance(dt, (T.DoubleType, T.FloatType)):
+            key = col.cast("double").cast("string")  # injective; py-formatted later
+            vt_typed = F.lit("float")
+            nv = col.cast("double")
+        elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            key = col.cast("string")
+            vt_typed = F.lit("datetime")
+        elif isinstance(dt, T.DateType):
+            key = col.cast("string")
+            vt_typed = F.lit("date")
+        else:
+            key = col.cast("string")
+            vt_typed = F.lit("typed")
+        structs.append(
+            F.struct(
+                F.lit(ci.name).alias("c"),
+                F.coalesce(key, F.lit("None")).alias("v"),  # str(None)
+                F.when(col.isNotNull(), vt_typed).alias("vt"),
+                nv.alias("nv"),
+                col.isNull().alias("isnull"),
+                rawlen.alias("rawlen"),
+            )
+        )
+    return df.select(
+        F.col(ROW_SEQ), F.explode(F.array(*structs)).alias("kv")
+    ).select(
+        F.col(ROW_SEQ).alias("seq"),
+        F.col("kv.c").alias("c"), F.col("kv.v").alias("v"),
+        F.col("kv.vt").alias("vt"), F.col("kv.nv").alias("nv"),
+        F.col("kv.isnull").alias("isnull"), F.col("kv.rawlen").alias("rawlen"),
+    )
+
+
 def compute_stats(
-    ndf: DataFrame,
+    df: DataFrame,
     cols: list[ColInfo],
     *,
     dictshare: float = DEFAULT_DICT_SHARE,
     empty_values: Optional[list[str]] = None,
     with_dictvalues: bool = True,
 ) -> dict[str, ColumnStats]:
-    """One-pass stats aggregation + per-dict-column value enumeration.
-
-    Returns {column_name: ColumnStats} for columns not skipped by the
-    1-char/all-digit filter, in input column order.
+    """Two-phase stats over the RAW frame: groupBy(col, value) →
+    per-distinct classification/formatting → groupBy(col), then a small
+    dict-values scan.  Returns ({column_name: ColumnStats}, aux) for
+    columns not skipped by the 1-char/all-digit filter, in column order.
     """
     empty_values = empty_values if empty_values is not None else DEFAULT_EMPTY_VALUES
-    # Drop the None marker: vs is str(v) (never null here), and a None in
+    # Drop the None marker: v is str(raw) (never null here), and a None in
     # an isin() list would poison the three-valued logic of the negation.
     empty_values = [e for e in empty_values if e is not None]
     kept = [ci for ci in cols if not _first_segment_skipped(ci.name)]
     if not cols:
         return {}, {}
-    aggs: list[Column] = []
-    for ci in cols:
-        vs = F.coalesce(F.col(f"{ci.safe}__vs"), F.lit("None"))  # str(None)
-        raw = F.col(f"{ci.safe}__vs")
-        vt = F.col(f"{ci.safe}__vt")
-        nv = F.col(f"{ci.safe}__nv")
-        ln = F.length(vs)
-        p = ci.safe
-        aggs += [
-            F.count(vs).alias(f"{p}_total"),
-            F.countDistinct(vs).alias(f"{p}_n_uniq"),
-            F.min(ln).alias(f"{p}_minlen"),
-            F.max(ln).alias(f"{p}_maxlen"),
-            F.sum(ln).alias(f"{p}_totallen"),
-            F.min(nv).alias(f"{p}_minval"),
-            F.max(nv).alias(f"{p}_maxval"),
-            F.collect_set(vt).alias(f"{p}_vtypes"),
+    if ROW_SEQ not in df.columns:
+        df = df.withColumn(ROW_SEQ, F.monotonically_increasing_id())
+    string_cols = [ci.name for ci in cols if ci.is_string]
+    double_cols = [ci.name for ci in cols
+                   if isinstance(ci.dtype, (T.DoubleType, T.FloatType))]
+    ts_cols = [ci.name for ci in cols
+               if isinstance(ci.dtype, (T.TimestampType, T.TimestampNTZType))]
+
+    def _isin(names):
+        return F.col("c").isin(*names) if names else F.lit(False)
+
+    long = _raw_long_frame(df, cols)
+    # phase 1: per distinct (column, group-key)
+    g0 = long.groupBy("c", "v").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.collect_set("vt").alias("vts0"),
+        F.max("nv").alias("nv0"),
+        F.max(F.col("isnull").cast("int")).alias("any_null"),
+        F.min("rawlen").alias("raw_minlen"),
+        F.max("rawlen").alias("raw_maxlen"),
+        F.sum(F.when(F.col("isnull"), 0).otherwise(1)).alias("n_nonnull"),
+        F.min("seq").alias("first_seen"),
+    )
+    # per-DISTINCT-value enrichment: guess_datatype for string columns,
+    # exact Python str() formatting for double/timestamp display values
+    is_str = _isin(string_cols)
+    is_dbl = _isin(double_cols)
+    is_ts = _isin(ts_cols)
+    cls = _udfs()["classify_string"](F.col("v"))
+    empty_arr = F.array().cast("array<string>")
+    live_val = F.col("n_nonnull") > 0
+    str_vts = F.array_union(
+        F.when(live_val, F.array(cls["vt"])).otherwise(empty_arr),
+        F.when(F.col("any_null") == 1, F.array(F.lit("empty"))).otherwise(empty_arr),
+    )
+    typed_vts = F.array_union(
+        F.col("vts0"),
+        F.when(F.col("any_null") == 1, F.array(F.lit("empty"))).otherwise(empty_arr),
+    )
+    v_disp = (
+        # the gate must sit INSIDE the UDF argument: Python-UDF extraction
+        # evaluates the argument for every row, so non-timestamp strings
+        # must become null before the cast (ANSI + Arrow overflow safety)
+        F.when(is_dbl & (F.col("any_null") == 0),
+               _udfs()["py_str_double"](
+                   F.when(is_dbl, F.col("v")).try_cast("double")))
+        .when(is_ts & (F.col("any_null") == 0),
+              _udfs()["py_str_timestamp"](
+                  F.when(is_ts, F.col("v")).try_cast("timestamp")))
+        .otherwise(F.col("v"))
+    )
+    str_nv = F.when(cls["vt"].isin("int", "float"), cls["nv"])
+    g = g0.select(
+        "c",
+        v_disp.alias("v"),
+        F.col("n"),
+        F.when(is_str, str_vts).otherwise(typed_vts).alias("vts"),
+        F.when(is_str & live_val, str_nv).otherwise(F.col("nv0")).alias("nv"),
+        "any_null", "raw_minlen", "raw_maxlen", "n_nonnull", "first_seen",
+    ).persist()
+    try:
+        ln = F.length(F.col("v"))
+        is_str_col = _isin(string_cols)
+        live_str = is_str_col & (F.col("n_nonnull") > 0) & (ln > 0)
+        percol = g.groupBy("c").agg(
+            F.sum("n").alias("total"),
+            F.count(F.lit(1)).alias("n_uniq"),
+            F.min(ln).alias("minlen"),
+            F.max(ln).alias("maxlen"),
+            F.sum(F.col("n") * ln).alias("totallen"),
+            F.min("nv").alias("minval"),
+            F.max("nv").alias("maxval"),
+            F.array_distinct(F.flatten(F.collect_set("vts"))).alias("vtypes"),
             F.sum(
-                F.when(~vs.isin(*empty_values), 1).otherwise(0)
-            ).alias(f"{p}_nonempty_markers"),
-            # Aux for the matcher's length-fallback (processor.py:822-830):
-            # len(min(data, key=len)) over RAW values — TypeError (→4/4) when
-            # any value is None or the column isn't string-typed.
-            F.max(F.when(raw.isNull(), 1).otherwise(0)).alias(f"{p}_has_null"),
-            F.min(F.length(raw)).alias(f"{p}_raw_minlen"),
-            F.max(F.length(raw)).alias(f"{p}_raw_maxlen"),
-        ]
-        if ci.is_string:
-            live = raw.isNotNull() & (F.length(raw) > 0)
-            aggs += [
-                F.sum(F.when(live & raw.rlike(_RE_DIGIT), 1).otherwise(0)).alias(f"{p}_has_digit"),
-                F.sum(F.when(live & raw.rlike(_RE_ALPHA), 1).otherwise(0)).alias(f"{p}_has_alphas"),
-                F.sum(F.when(live & raw.rlike(_RE_SPECIAL), 1).otherwise(0)).alias(f"{p}_has_special"),
-            ]
-        else:
-            aggs += [
-                F.lit(0).alias(f"{p}_has_digit"),
-                F.lit(0).alias(f"{p}_has_alphas"),
-                F.lit(0).alias(f"{p}_has_special"),
-            ]
-    row = ndf.agg(*aggs).collect()[0].asDict()
+                F.when(~F.col("v").isin(*empty_values), F.col("n")).otherwise(0)
+            ).alias("nonempty_markers"),
+            F.max("any_null").alias("has_null"),
+            F.min("raw_minlen").alias("raw_minlen"),
+            F.max("raw_maxlen").alias("raw_maxlen"),
+            # char-composition counts: only string values (rawlen>0);
+            # nulls have rawlen NULL so n_nonnull scales the live copies
+            F.sum(
+                F.when(live_str & F.col("v").rlike(_RE_DIGIT), F.col("n_nonnull")).otherwise(0)
+            ).alias("has_digit"),
+            F.sum(
+                F.when(live_str & F.col("v").rlike(_RE_ALPHA), F.col("n_nonnull")).otherwise(0)
+            ).alias("has_alphas"),
+            F.sum(
+                F.when(live_str & F.col("v").rlike(_RE_SPECIAL), F.col("n_nonnull")).otherwise(0)
+            ).alias("has_special"),
+        ).collect()
+        rows = {r["c"]: r.asDict() for r in percol}
 
-    aux: dict[str, dict[str, Any]] = {}
-    for ci in cols:
-        p = ci.safe
-        aux[ci.name] = {
-            "has_null": bool(row[f"{p}_has_null"]),
-            "raw_minlen": row[f"{p}_raw_minlen"],
-            "raw_maxlen": row[f"{p}_raw_maxlen"],
-            "is_string": ci.is_string,
-            "total": row[f"{p}_total"],
-        }
+        aux: dict[str, dict[str, Any]] = {}
+        for ci in cols:
+            r = rows.get(ci.name)
+            if r is None:
+                continue
+            aux[ci.name] = {
+                "has_null": bool(r["has_null"]),
+                "raw_minlen": r["raw_minlen"],
+                "raw_maxlen": r["raw_maxlen"],
+                "is_string": ci.is_string,
+                "total": r["total"],
+            }
 
-    out: dict[str, ColumnStats] = {}
-    dict_cols: list[ColInfo] = []
-    for ci in kept:
-        p = ci.safe
-        total = row[f"{p}_total"]
-        if not total:
-            continue
-        n_uniq = row[f"{p}_n_uniq"]
-        share_uniq = n_uniq * 100.0 / total
-        vtypes = set(row[f"{p}_vtypes"] or [])
-        vtypes.discard("empty")
-        ftype = next(iter(vtypes)) if len(vtypes) == 1 else "str"
-        is_dictkey = share_uniq <= dictshare
-        tags: list[str] = []
-        if share_uniq == 100:
-            tags.append("uniq")
-        if is_dictkey:
-            tags.append("empty" if row[f"{p}_nonempty_markers"] == 0 else "dict")
-            dict_cols.append(ci)
-        out[ci.name] = ColumnStats(
-            key=ci.name,
-            ftype=ftype,
-            is_dictkey=is_dictkey,
-            is_uniq=share_uniq >= 100,
-            n_uniq=n_uniq,
-            share_uniq=share_uniq,
-            minlen=row[f"{p}_minlen"],
-            maxlen=row[f"{p}_maxlen"],
-            avglen=row[f"{p}_totallen"] / total,
-            tags=tags,
-            has_digit=row[f"{p}_has_digit"],
-            has_alphas=row[f"{p}_has_alphas"],
-            has_special=row[f"{p}_has_special"],
-            minval=row[f"{p}_minval"],
-            maxval=row[f"{p}_maxval"],
-            has_any_digit=row[f"{p}_has_digit"] > 0,
-            has_any_alphas=row[f"{p}_has_alphas"] > 0,
-            has_any_special=row[f"{p}_has_special"] > 0,
-            dictvalues=None,
-        )
-    if with_dictvalues and dict_cols:
-        for ci in dict_cols:
-            vs = F.coalesce(F.col(f"{ci.safe}__vs"), F.lit("None"))
+        out: dict[str, ColumnStats] = {}
+        dict_cols: list[ColInfo] = []
+        for ci in kept:
+            r = rows.get(ci.name)
+            if r is None or not r["total"]:
+                continue
+            total, n_uniq = r["total"], r["n_uniq"]
+            share_uniq = n_uniq * 100.0 / total
+            vtypes = set(r["vtypes"] or [])
+            vtypes.discard("empty")
+            ftype = next(iter(vtypes)) if len(vtypes) == 1 else "str"
+            is_dictkey = share_uniq <= dictshare
+            tags: list[str] = []
+            if share_uniq == 100:
+                tags.append("uniq")
+            if is_dictkey:
+                tags.append("empty" if r["nonempty_markers"] == 0 else "dict")
+                dict_cols.append(ci)
+            out[ci.name] = ColumnStats(
+                key=ci.name, ftype=ftype, is_dictkey=is_dictkey,
+                is_uniq=share_uniq >= 100, n_uniq=n_uniq, share_uniq=share_uniq,
+                minlen=r["minlen"], maxlen=r["maxlen"],
+                avglen=r["totallen"] / total, tags=tags,
+                has_digit=r["has_digit"], has_alphas=r["has_alphas"],
+                has_special=r["has_special"],
+                minval=r["minval"], maxval=r["maxval"],
+                has_any_digit=r["has_digit"] > 0,
+                has_any_alphas=r["has_alphas"] > 0,
+                has_any_special=r["has_special"] > 0,
+                dictvalues=None,
+            )
+        if with_dictvalues and dict_cols:
+            names = [ci.name for ci in dict_cols]
             vals = (
-                ndf.groupBy(vs.alias("v"))
-                .agg(F.min(ROW_SEQ).alias("first_seen"))
-                .orderBy("first_seen")
+                g.filter(F.col("c").isin(*names))
+                .select("c", "v", "first_seen")
                 .collect()
             )
-            out[ci.name].dictvalues = [r["v"] for r in vals]
-    return out, aux
+            byc: dict[str, list] = {}
+            for r in vals:
+                byc.setdefault(r["c"], []).append((r["first_seen"], r["v"]))
+            for ci in dict_cols:
+                out[ci.name].dictvalues = [
+                    v for _, v in sorted(byc.get(ci.name, []))
+                ]
+        return out, aux
+    finally:
+        g.unpersist()

@@ -210,44 +210,73 @@ def match_columns(
         plan[name] = _prune_data_rules(name, min_len, max_len, data_rules)
 
     # -- the one Spark job over the sampled slice -------------------------
+    # Long-frame shape: explode to (column, value), evaluate each DISTINCT
+    # rule predicate once as a column over the single value column, then
+    # aggregate per (column, rule) pair with simple gated sums.  Keeps the
+    # plan at O(pairs) trivial expressions (no N-column wide agg, whose
+    # planning cost grows superlinearly) and runs each regex kernel once,
+    # not once per (column, rule) pair.
     pairs = [(n, r) for n, rules in plan.items() for r in rules]
     agg_row: dict[str, Any] = {}
     if plan:
         sdf = ndf.orderBy(ROW_SEQ).limit(limit)
-        aggs: list[Column] = [F.count(F.lit(1)).alias("__slice_total")]
-        for name in plan:
-            ci = by_name[name]
-            raw = F.col(f"{ci.safe}__vs")
+        v = F.col("v")
+        structs = [
+            F.struct(F.lit(name).alias("c"),
+                     F.col(f"{by_name[name].safe}__vs").alias("v"))
+            for name in plan
+        ]
+        long = sdf.select(F.explode(F.array(*structs)).alias("kv")).select(
+            F.col("kv.c").alias("c"), F.col("kv.v").alias("v")
+        )
+        distinct_rules: dict[str, CompiledRule] = {}
+        for _, rule in pairs:
+            distinct_rules.setdefault(rule.id, rule)
+        flag_exprs = []
+        for rid, rule in distinct_rules.items():
+            if rule.match == "text":
+                pred = F.lower(v).isin(*sorted(rule.keywords))
+            elif rule.match == "ppr":
+                pred = _regex_flag_udf(rule.pattern)(v)
+            else:  # func
+                pred = _func_flag_udf(rule.func_name)(v)
+            flag_exprs.append(pred.alias(f"flag_{rid}"))
+        long = long.select("c", "v", *flag_exprs)
+
+        # groupBy(column) with ONE gated sum per distinct rule — the agg
+        # plan stays O(#rules) expressions; (column, rule) pair results
+        # are read out driver-side from the per-column rows.
+        ln = F.length(v)
+        live = v.isNotNull() & (ln > 0)
+        aggs: list[Column] = [
+            F.count(F.lit(1)).alias("__total"),
+            F.sum(F.when(v.isNull() | (ln == 0), 1).otherwise(0)).alias("__empty"),
+        ]
+        for rid, rule in distinct_rules.items():
             aggs.append(
                 F.sum(
-                    F.when(raw.isNull() | (F.length(raw) == 0), 1).otherwise(0)
-                ).alias(f"{ci.safe}__empty")
+                    F.when(
+                        live
+                        & ln.between(rule.minlen, rule.maxlen)
+                        & F.col(f"flag_{rid}"),
+                        1,
+                    ).otherwise(0)
+                ).alias(f"succ_{rid}")
             )
-        for i, (name, rule) in enumerate(pairs):
-            ci = by_name[name]
-            raw = F.col(f"{ci.safe}__vs")
-            ln = F.length(raw)
-            gate = raw.isNotNull() & (ln > 0) & ln.between(rule.minlen, rule.maxlen)
-            if rule.match == "text":
-                pred = F.lower(raw).isin(*sorted(rule.keywords))
-            elif rule.match == "ppr":
-                pred = _regex_flag_udf(rule.pattern)(raw)
-            else:  # func
-                pred = _func_flag_udf(rule.func_name)(raw)
-            aggs.append(
-                F.sum(F.when(gate & pred, 1).otherwise(0)).alias(f"pair_{i}")
-            )
-        agg_row = sdf.agg(*aggs).collect()[0].asDict()
+        agg_row = {
+            r["c"]: r.asDict() for r in long.groupBy("c").agg(*aggs).collect()
+        }
 
     # -- confidence math + assembly (processor.py:858-916) ----------------
     by_field = {m.field: m for m in results}
     succ: dict[str, list[tuple[CompiledRule, int]]] = {n: [] for n in plan}
-    for i, (name, rule) in enumerate(pairs):
-        succ[name].append((rule, agg_row[f"pair_{i}"] or 0))
+    for name, rule in pairs:
+        col_row = agg_row.get(name, {})
+        succ[name].append((rule, col_row.get(f"succ_{rule.id}", 0) or 0))
     for name, rules_counts in succ.items():
-        ci = by_name[name]
-        total = agg_row.get("__slice_total", 0) or 0
-        empty = agg_row.get(f"{ci.safe}__empty", 0) or 0
+        col_row = agg_row.get(name, {})
+        total = col_row.get("__total", 0) or 0
+        empty = col_row.get("__empty", 0) or 0
         m = by_field[name]
         for rule, success in rules_counts:
             if except_empty:
@@ -306,31 +335,39 @@ def _date_fallback(
         ).astype("int32")
 
     sdf = ndf.orderBy(ROW_SEQ).limit(limit)
-    aggs = [F.count(F.lit(1)).alias("__slice_total")]
+    structs = [
+        F.struct(F.lit(m.field).alias("c"),
+                 F.col(f"{by_name[m.field].safe}__vs").alias("v"))
+        for m in candidates
+    ]
+    long = sdf.select(
+        F.col(ROW_SEQ).alias("seq"), F.explode(F.array(*structs)).alias("kv")
+    ).select("seq", F.col("kv.c").alias("c"), F.col("kv.v").alias("v"))
+    long = long.withColumn("idx", date_idx(F.col("v")))
+    v = F.col("v")
+    rows = long.groupBy("c").agg(
+        F.count(F.lit(1)).alias("__total"),
+        F.sum(
+            F.when(v.isNull() | (F.length(v) == 0), 1).otherwise(0)
+        ).alias("__empty"),
+        F.sum(F.when(F.col("idx") >= 0, 1).otherwise(0)).alias("__succ"),
+        F.max_by(
+            F.col("idx"), F.when(F.col("idx") >= 0, F.col("seq"))
+        ).alias("__last"),
+    ).collect()
+    row_by_c = {r["c"]: r.asDict() for r in rows}
     for m in candidates:
-        ci = by_name[m.field]
-        raw = F.col(f"{ci.safe}__vs")
-        idx = date_idx(raw)
-        aggs += [
-            F.sum(
-                F.when(raw.isNull() | (F.length(raw) == 0), 1).otherwise(0)
-            ).alias(f"{ci.safe}__empty"),
-            F.sum(F.when(idx >= 0, 1).otherwise(0)).alias(f"{ci.safe}__succ"),
-            F.max_by(idx, F.when(idx >= 0, F.col(ROW_SEQ))).alias(f"{ci.safe}__last"),
-        ]
-    row = sdf.agg(*aggs).collect()[0].asDict()
-    total = row["__slice_total"] or 0
-    for m in candidates:
-        ci = by_name[m.field]
-        empty = row[f"{ci.safe}__empty"] or 0
-        success = row[f"{ci.safe}__succ"] or 0
+        r = row_by_c.get(m.field, {})
+        total = r.get("__total", 0) or 0
+        empty = r.get("__empty", 0) or 0
+        success = r.get("__succ", 0) or 0
         if except_empty:
             subtotal = total - empty
             result = 0 if subtotal == 0 else success * 100.0 / subtotal
         else:
             result = success * 100.0 / total if total else 0
         if result > confidence:
-            last = row[f"{ci.safe}__last"]
+            last = r.get("__last")
             m.matches.append(
                 RuleHit(
                     ruleid="qddate", dataclass="datetime", confidence=result,

@@ -89,6 +89,10 @@ class Node:
     def regex(self) -> str:
         raise NotImplementedError
 
+    def max_len(self) -> float:
+        """Static upper bound on matchable length (inf if unbounded)."""
+        raise NotImplementedError
+
     # -- operator overloads matching pyparsing surface --------------------
     def __add__(self, other):
         return And([self, _to_node(other)])
@@ -96,17 +100,17 @@ class Node:
     def __radd__(self, other):
         return And([_to_node(other), self])
 
-    def __or__(self, other):
-        return Alt([self, _to_node(other)])
+    def __or__(self, other):  # MatchFirst: first match wins
+        return Alt([self, _to_node(other)], longest=False)
 
     def __ror__(self, other):
-        return Alt([_to_node(other), self])
+        return Alt([_to_node(other), self], longest=False)
 
     def __xor__(self, other):  # pyparsing Or (longest match)
-        return Alt([self, _to_node(other)])
+        return Alt([self, _to_node(other)], longest=True)
 
     def __rxor__(self, other):
-        return Alt([_to_node(other), self])
+        return Alt([_to_node(other), self], longest=True)
 
     def suppress(self):  # suppression only affects captured tokens
         return self
@@ -136,6 +140,9 @@ class Word(Node):
             return f"{self.cls}++"
         return f"{self.cls}{{{self.min},}}+"
 
+    def max_len(self) -> float:
+        return float(self.max) if self.max else float("inf")
+
 
 class Literal(Node):
     def __init__(self, s: str):
@@ -143,6 +150,9 @@ class Literal(Node):
 
     def regex(self) -> str:
         return re.escape(self.s)
+
+    def max_len(self) -> float:
+        return float(len(self.s))
 
 
 class CaselessLiteral(Node):
@@ -152,6 +162,9 @@ class CaselessLiteral(Node):
     def regex(self) -> str:
         return f"(?i:{re.escape(self.s)})"
 
+    def max_len(self) -> float:
+        return float(len(self.s))
+
 
 class Optional_(Node):
     def __init__(self, expr):
@@ -159,6 +172,9 @@ class Optional_(Node):
 
     def regex(self) -> str:
         return f"(?:{self.expr.regex()})?+"
+
+    def max_len(self) -> float:
+        return self.expr.max_len()
 
 
 class And(Node):
@@ -174,21 +190,38 @@ class And(Node):
     def regex(self) -> str:
         return WS.join(p.regex() for p in self.parts)
 
+    def max_len(self) -> float:
+        return sum(p.max_len() for p in self.parts)
+
 
 class Alt(Node):
-    """MatchFirst (|) and Or (^): atomic alternation in declared order."""
+    """MatchFirst (|) and Or (^) as atomic alternation.
 
-    def __init__(self, alts):
+    ``|`` commits to the FIRST locally-matching alternative — encoded
+    directly as atomic alternation in declared order.  ``^`` commits to
+    the LONGEST local match; we approximate by ordering alternatives by
+    their static maximum match length (descending, stable): exact for
+    fixed-length alternatives (all shipped-pack uses), approximate when
+    a longer-capable alternative happens to match shorter at runtime."""
+
+    def __init__(self, alts, longest=False):
         flat = []
         for a in alts:
-            if isinstance(a, Alt):
+            if isinstance(a, Alt) and a.longest == longest:
                 flat.extend(a.alts)
             else:
                 flat.append(a)
         self.alts = flat
+        self.longest = longest
 
     def regex(self) -> str:
-        return "(?>" + "|".join(a.regex() for a in self.alts) + ")"
+        alts = self.alts
+        if self.longest:
+            alts = sorted(alts, key=lambda a: -a.max_len())
+        return "(?>" + "|".join(a.regex() for a in alts) + ")"
+
+    def max_len(self) -> float:
+        return max(a.max_len() for a in self.alts)
 
 
 class OneOf(Node):
@@ -204,16 +237,25 @@ class OneOf(Node):
         body = "|".join(re.escape(k) for k in self.keywords)
         return f"(?i:(?>{body}))" if self.caseless else f"(?>{body})"
 
+    def max_len(self) -> float:
+        return float(max((len(k) for k in self.keywords), default=0))
+
 
 class _LineEnd(Node):
     def regex(self) -> str:
         return LINE_END_INNER
+
+    def max_len(self) -> float:
+        return 1.0
 
 
 class _LineStart(Node):
     # parseString starts at offset 0 where LineStart trivially holds.
     def regex(self) -> str:
         return ""
+
+    def max_len(self) -> float:
+        return 0.0
 
 
 _SAFE_NAMES = {

@@ -90,13 +90,21 @@ def scan_dataframe(
         frame_groups = [(df, cols)]
         order = [ci.name for ci in cols]
 
+    from pyspark.sql import functions as F
+
+    from metacrafter_spark.analyzer import ROW_SEQ
+
     dictshare = dict_share if dict_share is not None else DEFAULT_DICT_SHARE
     stats_dict: dict = {}
     all_matches: list[ColumnMatches] = []
     for frame, cols in frame_groups:
-        ndf = with_normalized_columns(frame, cols)
+        if ROW_SEQ not in frame.columns:
+            frame = frame.withColumn(ROW_SEQ, F.monotonically_increasing_id())
+        # stats run on the RAW frame (classification happens per distinct
+        # value inside compute_stats); per-row normalization is only ever
+        # applied to the bounded match slice below
         stats, aux = compute_stats(
-            ndf, cols, dictshare=dictshare, empty_values=empty_values
+            frame, cols, dictshare=dictshare, empty_values=empty_values
         )
         for k, st in stats.items():
             stats_dict[k] = st.as_dict()
@@ -108,9 +116,15 @@ def scan_dataframe(
         )
         if fields is not None and not group_fields:
             continue
+        # Matching samples only the first `limit` rows — slice the RAW
+        # frame first, then normalize: the classify kernels run on ≤limit
+        # rows instead of the whole table (normalization is per-row pure,
+        # so it commutes with the row filter).
+        slice_frame = frame.orderBy(ROW_SEQ).limit(limit)
+        ndf_slice = with_normalized_columns(slice_frame, cols)
         all_matches.extend(
             match_columns(
-                ndf, cols, stats, aux, pack,
+                ndf_slice, cols, stats, aux, pack,
                 fields=group_fields,
                 confidence=threshold,
                 stop_on_match=stop_on_match,

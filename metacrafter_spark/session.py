@@ -36,6 +36,10 @@ def get_spark(
         # Arrow for all pandas UDF exchange — the rule kernels depend on it.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # local mode: the driver JVM IS the executor — the 1g default
+        # throttles everything with GC (this box has 125 GiB)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.driver.maxResultSize", "4g")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")

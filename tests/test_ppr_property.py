@@ -1,0 +1,115 @@
+"""Property-based differential testing of the ppr transpiler.
+
+Hypothesis generates random grammar ASTs (the same node vocabulary the
+reference rule pack uses), renders them to grammar strings, and checks
+our transpiled regex against live PyParsing on random inputs drawn from
+the grammars' own alphabet.  Derandomized for reproducibility.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyparsing as pp
+from hypothesis import given, settings, strategies as st
+
+from metacrafter_spark.rules.ppr import transpile
+
+CHARSETS = ["nums", "hexnums", "alphas", "alphanums", "'012'", "'abcXYZ'"]
+LITERALS = ["x", "AS", "-", ".", "{", "zz", "Q7", ":"]
+
+
+@st.composite
+def atom(draw):
+    kind = draw(st.sampled_from(["word_exact", "word_minmax", "word", "lit",
+                                 "caseless"]))
+    if kind == "word_exact":
+        cs = draw(st.sampled_from(CHARSETS))
+        n = draw(st.integers(1, 4))
+        return f"Word({cs}, exact={n})"
+    if kind == "word_minmax":
+        cs = draw(st.sampled_from(CHARSETS))
+        lo = draw(st.integers(1, 3))
+        hi = lo + draw(st.integers(0, 3))
+        return f"Word({cs}, min={lo}, max={hi})"
+    if kind == "word":
+        return f"Word({draw(st.sampled_from(CHARSETS))})"
+    if kind == "lit":
+        return f"Literal({draw(st.sampled_from(LITERALS))!r})"
+    return f"CaselessLiteral({draw(st.sampled_from(LITERALS))!r})"
+
+
+@st.composite
+def fixed_atom(draw):
+    """Fixed-max-length atoms only — the envelope where our Or (^)
+    longest-match encoding is exact (matches every shipped-pack use)."""
+    kind = draw(st.sampled_from(["word_exact", "lit", "caseless"]))
+    if kind == "word_exact":
+        cs = draw(st.sampled_from(CHARSETS))
+        return f"Word({cs}, exact={draw(st.integers(1, 4))})"
+    if kind == "lit":
+        return f"Literal({draw(st.sampled_from(LITERALS))!r})"
+    return f"CaselessLiteral({draw(st.sampled_from(LITERALS))!r})"
+
+
+@st.composite
+def grammar(draw, depth=2):
+    if depth == 0:
+        return draw(atom())
+    kind = draw(st.sampled_from(["atom", "and", "alt", "or", "opt"]))
+    if kind == "atom":
+        return draw(atom())
+    if kind == "and":
+        parts = [draw(grammar(depth=depth - 1))
+                 for _ in range(draw(st.integers(2, 3)))]
+        return " + ".join(parts)
+    if kind == "alt":  # MatchFirst: first-match-commit is exact for any operands
+        a, b = draw(grammar(depth=depth - 1)), draw(grammar(depth=depth - 1))
+        return f"(({a}) | ({b}))"
+    if kind == "or":   # Or longest-match: exact for fixed-length alternatives;
+        a, b = draw(fixed_atom()), draw(fixed_atom())  # variable-length is a
+        return f"(({a}) ^ ({b}))"                      # documented approximation
+    return f"Optional({draw(grammar(depth=depth - 1))})"
+
+
+_PP_NS = {
+    "Word": pp.Word, "Literal": pp.Literal, "CaselessLiteral": pp.CaselessLiteral,
+    "Optional": pp.Optional, "lineEnd": pp.lineEnd, "lineStart": pp.lineStart,
+    "nums": pp.nums, "hexnums": pp.hexnums, "alphas": pp.alphas,
+    "alphanums": pp.alphanums,
+}
+
+INPUT_ALPHABET = "0123456789abcdefABCxyzXYZ -_.{}:Q7"
+
+
+def _oracle(gram: str, value: str) -> bool:
+    expr = pp.lineStart + eval(gram, {"__builtins__": {}}, dict(_PP_NS)) + pp.lineEnd  # noqa: S307
+    try:
+        expr.parseString(value)
+        return True
+    except pp.ParseException:
+        return False
+
+
+@settings(max_examples=120, derandomize=True, deadline=None)
+@given(
+    gram=grammar(),
+    values=st.lists(
+        st.text(alphabet=INPUT_ALPHABET, min_size=0, max_size=14),
+        min_size=4, max_size=8,
+    ),
+)
+def test_random_grammars_match_pyparsing(gram, values):
+    # pyparsing Or/MatchFirst longest-vs-first divergence is possible for
+    # ambiguous alternations; the reference pack has none, and the atomic
+    # declared-order encoding is our documented semantics — so compare
+    # only grammars whose oracle parse doesn't depend on that: we simply
+    # compare outcomes; a mismatch on an Or-ambiguous case is a real
+    # finding worth seeing in CI.
+    try:
+        rx = re.compile(transpile(gram).pattern)
+    except ValueError:
+        return  # blocked-token guard tripped on a generated literal
+    extra = ["", " ", "abc", "AS12", "0x", "12 34"]
+    for v in list(values) + extra:
+        assert (rx.match(v) is not None) == _oracle(gram, v), (gram, v)
