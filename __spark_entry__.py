@@ -285,10 +285,17 @@ def q_minhash_near_dups(spark, sf_dir):
 
 
 def q_simhash_dedup(spark, sf_dir):
+    """SimHash near-dup pairs, oracle-checked end-to-end: the sha256-
+    parity projection family is reproducible in DuckDB, and for
+    max_distance ≤ 3 the 4×16-bit chunk blocking is LOSSLESS (pigeonhole)
+    — so the DuckDB all-pairs recomputation must agree exactly."""
     from metacrafter_spark.ops.dedup import simhash_near_dups
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return simhash_near_dups(docs, "doc_id", max_distance=6)
+    out = simhash_near_dups(docs, "doc_id", max_distance=3)
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 def q_fingerprints(spark, sf_dir):
@@ -501,6 +508,35 @@ def oracle_sql() -> dict[str, str]:
                    round(len(regexp_extract_all(text, '[A-Za-zА-яЀ-ӿÀ-ÿ]')) * 1.0
                          / greatest(length(text), 1), 4) AS alpha_char_frac
             FROM w ORDER BY doc_id
+        """,
+        "simhash_near_dups": r"""
+            WITH docs AS (
+              SELECT doc_id,
+                     list_slice(list_filter(
+                       string_split_regex(lower(text), '\W+'),
+                       x -> length(x) > 0), 1, 2000) AS ws
+              FROM documents WHERE doc_id < 200),
+            w AS (SELECT doc_id, sha256(unnest(ws)) AS h FROM docs),
+            bits AS (
+              SELECT doc_id, b,
+                     CASE WHEN 2 * sum(CASE WHEN ascii(substr(h, b + 1, 1)) % 2 = 1
+                                       THEN 1 ELSE 0 END) > count(*)
+                          THEN 1 ELSE 0 END AS bit
+              FROM w CROSS JOIN range(64) t(b) GROUP BY doc_id, b),
+            agg AS (
+              SELECT doc_id,
+                     bit_or(CASE WHEN b = 63
+                                 THEN CASE WHEN bit = 1
+                                           THEN -9223372036854775808 ELSE 0 END
+                                 ELSE bit::BIGINT << b END) AS sim
+              FROM bits GROUP BY doc_id),
+            sims AS (
+              SELECT d.doc_id, coalesce(a.sim, 0) AS sim
+              FROM docs d LEFT JOIN agg a USING (doc_id))
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+            FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sim, b.sim)) <= 3
         """,
         "langid_documents": r"""
             WITH h AS (

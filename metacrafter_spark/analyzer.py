@@ -3,16 +3,21 @@
 Reproduces ``metacrafter/classify/stats.py:211-497`` (``Analyzer.analyze``)
 as a two-phase LONG-FRAME aggregation instead of a row-at-a-time loop:
 
-1. explode the raw frame to one row per (column, native-cast group key)
-   — pure JVM expressions, no Python;
-2. ``groupBy(column, value)`` — map-side combine means the shuffle
-   carries distinct values, not rows;
-3. per-DISTINCT-value enrichment: ``guess_datatype``
-   (``stats.py:91-146``) and exact Python ``str()`` formatting for
-   double/timestamp display run as Arrow-vectorized kernels over the
-   (much smaller) distinct set — once per value, not once per row;
+1. explode the raw frame to one row per (column, value) carrying a
+   128-bit value hash + map-side per-value facts (display length,
+   ``guess_datatype`` class via an Arrow kernel, numeric value,
+   char-class flags, empty-marker membership);
+2. ``groupBy(column, h1, h2)`` — map-side combine collapses duplicate
+   values, and the shuffle carries FIXED-WIDTH fact rows, never the
+   value text: a near-unique 100-TB text column shuffles ~60 bytes per
+   distinct value instead of the corpus itself;
+3. per-DISTINCT-value enrichment runs only for short bounded-width
+   columns (exact Python ``str()`` formatting for double/timestamp
+   display), whose ≤40-char keys ride the shuffle as a carried field;
 4. ``groupBy(column)`` rolls up the 19 stats; dict-value enumeration
-   (``stats.py:444-454``) reuses the persisted distinct frame.
+   (``stats.py:444-454``) is a separate column-pruned pass over only
+   the dict-candidate (≤ dictshare% distinct) columns, capped at
+   ``max_dictvalues`` before anything reaches the driver.
 
 The long shape also keeps the plan a FIXED handful of expressions no
 matter how many columns the table has — the wide per-column-agg
@@ -235,69 +240,146 @@ _RE_ALPHA = r"[\p{L}]"
 _RE_SPECIAL = r"[^\p{L}\p{N}\s]"
 
 
-def _raw_long_frame(df: DataFrame, cols: list[ColInfo]) -> DataFrame:
-    """Explode the RAW frame to one row per (column, group-key).
+def _key_exprs(ci: ColInfo):
+    """Native exprs for one column: (key, vt_typed, nv, rawlen, is_text).
+
+    ``key`` is an injective string form of the value (pre-coalesce);
+    ``is_text`` marks unbounded-length columns (strings + complex casts)
+    whose raw value must NOT ride a shuffle — they group by hash.
+    Bool/int/float/date/timestamp/decimal stringify to ≤ ~40 chars, so
+    their raw keys stay (the Python str() display formatting for
+    double/timestamp then runs post-group, once per distinct value).
+    """
+    col = F.col(f"`{ci.name}`")
+    dt = ci.dtype
+    vt_typed = F.lit(None).cast("string")  # strings classify per row
+    nv = F.lit(None).cast("double")
+    rawlen = F.lit(None).cast("int")
+    is_text = False
+    if isinstance(dt, T.StringType):
+        key = col
+        rawlen = F.length(col)
+        is_text = True
+    elif isinstance(dt, T.BooleanType):
+        key = F.when(col, F.lit("True")).when(~col, F.lit("False"))
+        vt_typed = F.lit("bool")
+    elif isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        key = col.cast("string")
+        vt_typed = F.lit("int")
+        nv = col.cast("double")
+    elif isinstance(dt, (T.DoubleType, T.FloatType)):
+        key = col.cast("double").cast("string")  # injective; py-formatted later
+        vt_typed = F.lit("float")
+        nv = col.cast("double")
+    elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        key = col.cast("string")
+        vt_typed = F.lit("datetime")
+    elif isinstance(dt, T.DateType):
+        key = col.cast("string")
+        vt_typed = F.lit("date")
+    elif isinstance(dt, T.DecimalType):
+        key = col.cast("string")
+        vt_typed = F.lit("typed")
+    else:  # arrays/structs/maps/binary → 'typed' (stats.py:121-123)
+        key = col.cast("string")
+        vt_typed = F.lit("typed")
+        is_text = True
+    return col, key, vt_typed, nv, rawlen, is_text
+
+
+def _raw_long_frame(
+    df: DataFrame, cols: list[ColInfo], empty_values: list[str]
+) -> DataFrame:
+    """Explode the RAW frame to one row per (column, value) with a
+    HASH group key and map-side per-value facts.
 
     The long shape keeps the aggregation plan a FIXED handful of
     expressions no matter how many columns the table has — the wide
     per-column agg alternative needs ~12 expressions × N columns plus an
     N-way distinct Expand, whose planning/codegen cost grows superlinearly
-    (observed: ~10s to aggregate a 27-column table of 3k rows).  It is
-    also the right scale shape: groupBy(col, value) partially aggregates
-    duplicate values map-side, so the shuffle carries distinct values.
+    (observed: ~10s to aggregate a 27-column table of 3k rows).
 
-    Group keys are cheap NATIVE casts (injective per type); the pandas
-    kernels (guess_datatype for strings, Python float/datetime
-    formatting) run AFTER the groupBy, once per distinct value — not
-    once per row.
+    Scale contract: the shuffle key is ``(c, h1, h2)`` — a 128-bit
+    xxhash64 pair of the stringified value — and every per-value fact
+    (display length, guess_datatype class, numeric value, char-class
+    flags, empty-marker membership) is computed MAP-SIDE, so unbounded
+    text never rides a shuffle.  A near-unique 100-TB text column
+    shuffles ~60 bytes per distinct value instead of the corpus itself.
+    ``n_uniq`` counts distinct 128-bit hashes — exact up to collision
+    odds ~n²/2¹²⁹ (≪1e-15 even at 10¹² rows; documented trade).
+
+    Short, bounded-width columns (bool/int/float/date/timestamp/decimal)
+    additionally carry their ≤40-char key string ``k`` so the exact
+    Python ``str()`` display formatting can run post-group, once per
+    distinct value (``k`` is constant within a hash group by
+    construction, aggregated with ``max``).
     """
     structs = []
     for ci in cols:
-        col = F.col(f"`{ci.name}`")
-        dt = ci.dtype
-        vt_typed = F.lit(None).cast("string")  # strings classify post-group
-        nv = F.lit(None).cast("double")
-        rawlen = F.lit(None).cast("int")
-        if isinstance(dt, T.StringType):
-            key = col
-            rawlen = F.length(col)
-        elif isinstance(dt, T.BooleanType):
-            key = F.when(col, F.lit("True")).when(~col, F.lit("False"))
-            vt_typed = F.lit("bool")
-        elif isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
-            key = col.cast("string")
-            vt_typed = F.lit("int")
-            nv = col.cast("double")
-        elif isinstance(dt, (T.DoubleType, T.FloatType)):
-            key = col.cast("double").cast("string")  # injective; py-formatted later
-            vt_typed = F.lit("float")
-            nv = col.cast("double")
-        elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
-            key = col.cast("string")
-            vt_typed = F.lit("datetime")
-        elif isinstance(dt, T.DateType):
-            key = col.cast("string")
-            vt_typed = F.lit("date")
+        col, key, vt_typed, nv, rawlen, is_text = _key_exprs(ci)
+        v = F.coalesce(key, F.lit("None"))  # str(None)
+        if isinstance(ci.dtype, T.StringType):
+            # guess_datatype per row (Arrow-vectorized); duplicate
+            # classify-UDF expressions are collapsed by the optimizer
+            cls = _udfs()["classify_string"](col)
+            vt = F.when(col.isNotNull(), cls["vt"])
+            nv = F.when(
+                col.isNotNull() & cls["vt"].isin("int", "float"), cls["nv"]
+            )
+            live = col.isNotNull() & (F.length(col) > 0)
+            dn = F.when(live & col.rlike(_RE_DIGIT), 1).otherwise(0)
+            an = F.when(live & col.rlike(_RE_ALPHA), 1).otherwise(0)
+            sn = F.when(live & col.rlike(_RE_SPECIAL), 1).otherwise(0)
         else:
-            key = col.cast("string")
-            vt_typed = F.lit("typed")
+            vt = F.when(col.isNotNull(), vt_typed)
+            # char-class counts apply to str values only (stats.py:409-423)
+            dn = F.lit(0)
+            an = F.lit(0)
+            sn = F.lit(0)
+        if is_text:
+            k = F.lit(None).cast("string")
+            ln = F.length(v)
+            mk = ~v.isin(*empty_values) if empty_values else F.lit(True)
+        else:
+            k = v
+            ln = F.lit(None).cast("int")        # from display form, post-group
+            mk = F.lit(None).cast("boolean")    # from display form, post-group
         structs.append(
             F.struct(
                 F.lit(ci.name).alias("c"),
-                F.coalesce(key, F.lit("None")).alias("v"),  # str(None)
-                F.when(col.isNotNull(), vt_typed).alias("vt"),
+                F.xxhash64(v).alias("h1"),
+                F.xxhash64(v, F.lit(1)).alias("h2"),
+                k.alias("k"),
+                ln.alias("ln"),
+                vt.alias("vt"),
                 nv.alias("nv"),
                 col.isNull().alias("isnull"),
                 rawlen.alias("rawlen"),
+                dn.cast("int").alias("dn"),
+                an.cast("int").alias("an"),
+                sn.cast("int").alias("sn"),
+                mk.alias("mk"),
             )
         )
     return df.select(
         F.col(ROW_SEQ), F.explode(F.array(*structs)).alias("kv")
-    ).select(
-        F.col(ROW_SEQ).alias("seq"),
-        F.col("kv.c").alias("c"), F.col("kv.v").alias("v"),
-        F.col("kv.vt").alias("vt"), F.col("kv.nv").alias("nv"),
-        F.col("kv.isnull").alias("isnull"), F.col("kv.rawlen").alias("rawlen"),
+    ).select(F.col(ROW_SEQ).alias("seq"), F.col("kv.*"))
+
+
+def _display_expr(
+    v: Column, any_null: Column, is_dbl: Column, is_ts: Column
+) -> Column:
+    """Exact Python ``str()`` display formatting for double/timestamp
+    distinct values (str(0.1)='0.1', trailing-zero microseconds kept)."""
+    return (
+        # the gate must sit INSIDE the UDF argument: Python-UDF extraction
+        # evaluates the argument for every row, so non-timestamp strings
+        # must become null before the cast (ANSI + Arrow overflow safety)
+        F.when(is_dbl & (any_null == 0),
+               _udfs()["py_str_double"](F.when(is_dbl, v).try_cast("double")))
+        .when(is_ts & (any_null == 0),
+              _udfs()["py_str_timestamp"](F.when(is_ts, v).try_cast("timestamp")))
+        .otherwise(v)
     )
 
 
@@ -308,11 +390,19 @@ def compute_stats(
     dictshare: float = DEFAULT_DICT_SHARE,
     empty_values: Optional[list[str]] = None,
     with_dictvalues: bool = True,
+    max_dictvalues: Optional[int] = 10_000,
 ) -> dict[str, ColumnStats]:
-    """Two-phase stats over the RAW frame: groupBy(col, value) →
-    per-distinct classification/formatting → groupBy(col), then a small
-    dict-values scan.  Returns ({column_name: ColumnStats}, aux) for
-    columns not skipped by the 1-char/all-digit filter, in column order.
+    """Two-phase stats over the RAW frame: groupBy(col, hash128(value))
+    with map-side per-value facts → groupBy(col) rollup, then a separate
+    bounded dict-values pass over only the dict-candidate columns.
+    Returns ({column_name: ColumnStats}, aux) for columns not skipped by
+    the 1-char/all-digit filter, in column order.
+
+    ``max_dictvalues`` bounds the driver-side dict-value enumeration
+    (first-seen order) — the reference collects all of them
+    (stats.py:444-454), which this reproduces on any fixture-sized
+    input, but 10% of 10¹⁰ rows must not reach the driver; pass None to
+    disable the cap.
     """
     empty_values = empty_values if empty_values is not None else DEFAULT_EMPTY_VALUES
     # Drop the None marker: v is str(raw) (never null here), and a None in
@@ -323,7 +413,6 @@ def compute_stats(
         return {}, {}
     if ROW_SEQ not in df.columns:
         df = df.withColumn(ROW_SEQ, F.monotonically_increasing_id())
-    string_cols = [ci.name for ci in cols if ci.is_string]
     double_cols = [ci.name for ci in cols
                    if isinstance(ci.dtype, (T.DoubleType, T.FloatType))]
     ts_cols = [ci.name for ci in cols
@@ -332,10 +421,16 @@ def compute_stats(
     def _isin(names):
         return F.col("c").isin(*names) if names else F.lit(False)
 
-    long = _raw_long_frame(df, cols)
-    # phase 1: per distinct (column, group-key)
-    g0 = long.groupBy("c", "v").agg(
+    long = _raw_long_frame(df, cols, empty_values)
+    # phase 1: per distinct (column, 128-bit value hash).  Map-side
+    # combine collapses duplicate values before the shuffle; the shuffle
+    # rows are fixed-width facts, never the value text itself.  ``k``
+    # (the raw key of SHORT columns only, ≤ ~40 chars) is constant
+    # within a group, so max() reconstructs it.
+    g0 = long.groupBy("c", "h1", "h2").agg(
         F.count(F.lit(1)).alias("n"),
+        F.max("k").alias("k"),
+        F.max("ln").alias("t_ln"),
         F.collect_set("vt").alias("vts0"),
         F.max("nv").alias("nv0"),
         F.max(F.col("isnull").cast("int")).alias("any_null"),
@@ -343,135 +438,161 @@ def compute_stats(
         F.max("rawlen").alias("raw_maxlen"),
         F.sum(F.when(F.col("isnull"), 0).otherwise(1)).alias("n_nonnull"),
         F.min("seq").alias("first_seen"),
+        F.sum("dn").alias("dn"),
+        F.sum("an").alias("an"),
+        F.sum("sn").alias("sn"),
+        F.max("mk").alias("mk"),
     )
-    # per-DISTINCT-value enrichment: guess_datatype for string columns,
-    # exact Python str() formatting for double/timestamp display values
-    is_str = _isin(string_cols)
+    # per-DISTINCT-value enrichment for SHORT columns only: Python str()
+    # display formatting decides their length/marker facts.  TEXT columns
+    # (k IS NULL) carry their facts from the map side.
     is_dbl = _isin(double_cols)
     is_ts = _isin(ts_cols)
-    cls = _udfs()["classify_string"](F.col("v"))
+    is_short = F.col("k").isNotNull()
+    v_disp = _display_expr(F.col("k"), F.col("any_null"), is_dbl, is_ts)
     empty_arr = F.array().cast("array<string>")
-    live_val = F.col("n_nonnull") > 0
-    str_vts = F.array_union(
-        F.when(live_val, F.array(cls["vt"])).otherwise(empty_arr),
-        F.when(F.col("any_null") == 1, F.array(F.lit("empty"))).otherwise(empty_arr),
-    )
-    typed_vts = F.array_union(
-        F.col("vts0"),
-        F.when(F.col("any_null") == 1, F.array(F.lit("empty"))).otherwise(empty_arr),
-    )
-    v_disp = (
-        # the gate must sit INSIDE the UDF argument: Python-UDF extraction
-        # evaluates the argument for every row, so non-timestamp strings
-        # must become null before the cast (ANSI + Arrow overflow safety)
-        F.when(is_dbl & (F.col("any_null") == 0),
-               _udfs()["py_str_double"](
-                   F.when(is_dbl, F.col("v")).try_cast("double")))
-        .when(is_ts & (F.col("any_null") == 0),
-              _udfs()["py_str_timestamp"](
-                  F.when(is_ts, F.col("v")).try_cast("timestamp")))
-        .otherwise(F.col("v"))
-    )
-    str_nv = F.when(cls["vt"].isin("int", "float"), cls["nv"])
     g = g0.select(
-        "c",
-        v_disp.alias("v"),
-        F.col("n"),
-        F.when(is_str, str_vts).otherwise(typed_vts).alias("vts"),
-        F.when(is_str & live_val, str_nv).otherwise(F.col("nv0")).alias("nv"),
-        "any_null", "raw_minlen", "raw_maxlen", "n_nonnull", "first_seen",
-    ).persist()
-    try:
-        ln = F.length(F.col("v"))
-        is_str_col = _isin(string_cols)
-        live_str = is_str_col & (F.col("n_nonnull") > 0) & (ln > 0)
-        percol = g.groupBy("c").agg(
-            F.sum("n").alias("total"),
-            F.count(F.lit(1)).alias("n_uniq"),
-            F.min(ln).alias("minlen"),
-            F.max(ln).alias("maxlen"),
-            F.sum(F.col("n") * ln).alias("totallen"),
-            F.min("nv").alias("minval"),
-            F.max("nv").alias("maxval"),
-            F.array_distinct(F.flatten(F.collect_set("vts"))).alias("vtypes"),
-            F.sum(
-                F.when(~F.col("v").isin(*empty_values), F.col("n")).otherwise(0)
-            ).alias("nonempty_markers"),
-            F.max("any_null").alias("has_null"),
-            F.min("raw_minlen").alias("raw_minlen"),
-            F.max("raw_maxlen").alias("raw_maxlen"),
-            # char-composition counts: only string values (rawlen>0);
-            # nulls have rawlen NULL so n_nonnull scales the live copies
-            F.sum(
-                F.when(live_str & F.col("v").rlike(_RE_DIGIT), F.col("n_nonnull")).otherwise(0)
-            ).alias("has_digit"),
-            F.sum(
-                F.when(live_str & F.col("v").rlike(_RE_ALPHA), F.col("n_nonnull")).otherwise(0)
-            ).alias("has_alphas"),
-            F.sum(
-                F.when(live_str & F.col("v").rlike(_RE_SPECIAL), F.col("n_nonnull")).otherwise(0)
-            ).alias("has_special"),
-        ).collect()
-        rows = {r["c"]: r.asDict() for r in percol}
+        "c", "n", "nv0", "any_null", "raw_minlen", "raw_maxlen",
+        "n_nonnull", "first_seen", "dn", "an", "sn",
+        F.when(is_short, F.length(v_disp)).otherwise(F.col("t_ln")).alias("ln"),
+        F.array_union(
+            F.col("vts0"),
+            F.when(F.col("any_null") == 1,
+                   F.array(F.lit("empty"))).otherwise(empty_arr),
+        ).alias("vts"),
+        F.when(is_short,
+               ~v_disp.isin(*empty_values) if empty_values else F.lit(True))
+        .otherwise(F.col("mk")).alias("mk"),
+    )
+    percol = g.groupBy("c").agg(
+        F.sum("n").alias("total"),
+        F.count(F.lit(1)).alias("n_uniq"),
+        F.min("ln").alias("minlen"),
+        F.max("ln").alias("maxlen"),
+        F.sum(F.col("n") * F.col("ln")).alias("totallen"),
+        F.min("nv0").alias("minval"),
+        F.max("nv0").alias("maxval"),
+        F.array_distinct(F.flatten(F.collect_set("vts"))).alias("vtypes"),
+        F.sum(F.when(F.col("mk"), F.col("n")).otherwise(0)).alias("nonempty_markers"),
+        F.max("any_null").alias("has_null"),
+        F.min("raw_minlen").alias("raw_minlen"),
+        F.max("raw_maxlen").alias("raw_maxlen"),
+        # char-composition counts (string columns only): per-row flags
+        # summed map-side; a matching distinct value contributes its
+        # n_nonnull copies (stats.py:409-423 semantics)
+        F.sum("dn").alias("has_digit"),
+        F.sum("an").alias("has_alphas"),
+        F.sum("sn").alias("has_special"),
+    ).collect()
+    rows = {r["c"]: r.asDict() for r in percol}
 
-        aux: dict[str, dict[str, Any]] = {}
-        for ci in cols:
-            r = rows.get(ci.name)
-            if r is None:
-                continue
-            aux[ci.name] = {
-                "has_null": bool(r["has_null"]),
-                "raw_minlen": r["raw_minlen"],
-                "raw_maxlen": r["raw_maxlen"],
-                "is_string": ci.is_string,
-                "total": r["total"],
-            }
+    aux: dict[str, dict[str, Any]] = {}
+    for ci in cols:
+        r = rows.get(ci.name)
+        if r is None:
+            continue
+        aux[ci.name] = {
+            "has_null": bool(r["has_null"]),
+            "raw_minlen": r["raw_minlen"],
+            "raw_maxlen": r["raw_maxlen"],
+            "is_string": ci.is_string,
+            "total": r["total"],
+        }
 
-        out: dict[str, ColumnStats] = {}
-        dict_cols: list[ColInfo] = []
-        for ci in kept:
-            r = rows.get(ci.name)
-            if r is None or not r["total"]:
-                continue
-            total, n_uniq = r["total"], r["n_uniq"]
-            share_uniq = n_uniq * 100.0 / total
-            vtypes = set(r["vtypes"] or [])
-            vtypes.discard("empty")
-            ftype = next(iter(vtypes)) if len(vtypes) == 1 else "str"
-            is_dictkey = share_uniq <= dictshare
-            tags: list[str] = []
-            if share_uniq == 100:
-                tags.append("uniq")
-            if is_dictkey:
-                tags.append("empty" if r["nonempty_markers"] == 0 else "dict")
-                dict_cols.append(ci)
-            out[ci.name] = ColumnStats(
-                key=ci.name, ftype=ftype, is_dictkey=is_dictkey,
-                is_uniq=share_uniq >= 100, n_uniq=n_uniq, share_uniq=share_uniq,
-                minlen=r["minlen"], maxlen=r["maxlen"],
-                avglen=r["totallen"] / total, tags=tags,
-                has_digit=r["has_digit"], has_alphas=r["has_alphas"],
-                has_special=r["has_special"],
-                minval=r["minval"], maxval=r["maxval"],
-                has_any_digit=r["has_digit"] > 0,
-                has_any_alphas=r["has_alphas"] > 0,
-                has_any_special=r["has_special"] > 0,
-                dictvalues=None,
+    out: dict[str, ColumnStats] = {}
+    dict_cols: list[ColInfo] = []
+    for ci in kept:
+        r = rows.get(ci.name)
+        if r is None or not r["total"]:
+            continue
+        total, n_uniq = r["total"], r["n_uniq"]
+        share_uniq = n_uniq * 100.0 / total
+        vtypes = set(r["vtypes"] or [])
+        vtypes.discard("empty")
+        ftype = next(iter(vtypes)) if len(vtypes) == 1 else "str"
+        is_dictkey = share_uniq <= dictshare
+        tags: list[str] = []
+        if share_uniq == 100:
+            tags.append("uniq")
+        if is_dictkey:
+            tags.append("empty" if r["nonempty_markers"] == 0 else "dict")
+            dict_cols.append(ci)
+        out[ci.name] = ColumnStats(
+            key=ci.name, ftype=ftype, is_dictkey=is_dictkey,
+            is_uniq=share_uniq >= 100, n_uniq=n_uniq, share_uniq=share_uniq,
+            minlen=r["minlen"], maxlen=r["maxlen"],
+            avglen=r["totallen"] / total, tags=tags,
+            has_digit=r["has_digit"], has_alphas=r["has_alphas"],
+            has_special=r["has_special"],
+            minval=r["minval"], maxval=r["maxval"],
+            has_any_digit=r["has_digit"] > 0,
+            has_any_alphas=r["has_alphas"] > 0,
+            has_any_special=r["has_special"] > 0,
+            dictvalues=None,
+        )
+    if with_dictvalues and dict_cols:
+        for name, values in _dictvalues_pass(
+            df, dict_cols, empty_values, max_dictvalues
+        ).items():
+            out[name].dictvalues = values
+    return out, aux
+
+
+def _dictvalues_pass(
+    df: DataFrame,
+    dict_cols: list[ColInfo],
+    empty_values: list[str],
+    max_dictvalues: Optional[int],
+) -> dict[str, list]:
+    """Enumerate distinct display values per dict-candidate column in
+    first-seen order (stats.py:444-454).
+
+    A second, column-pruned scan over only the dict candidates: these
+    are ≤ dictshare% distinct by definition, so groupBy(c, value)
+    collapses map-side to the small distinct set.  ``max_dictvalues``
+    caps what reaches the driver (first-seen order kept)."""
+    from pyspark.sql import Window
+
+    double_names = [ci.name for ci in dict_cols
+                    if isinstance(ci.dtype, (T.DoubleType, T.FloatType))]
+    ts_names = [ci.name for ci in dict_cols
+                if isinstance(ci.dtype, (T.TimestampType, T.TimestampNTZType))]
+    structs = []
+    for ci in dict_cols:
+        col, key, _vt, _nv, _rawlen, _is_text = _key_exprs(ci)
+        structs.append(
+            F.struct(
+                F.lit(ci.name).alias("c"),
+                F.coalesce(key, F.lit("None")).alias("v"),
+                col.isNull().alias("isnull"),
             )
-        if with_dictvalues and dict_cols:
-            names = [ci.name for ci in dict_cols]
-            vals = (
-                g.filter(F.col("c").isin(*names))
-                .select("c", "v", "first_seen")
-                .collect()
-            )
-            byc: dict[str, list] = {}
-            for r in vals:
-                byc.setdefault(r["c"], []).append((r["first_seen"], r["v"]))
-            for ci in dict_cols:
-                out[ci.name].dictvalues = [
-                    v for _, v in sorted(byc.get(ci.name, []))
-                ]
-        return out, aux
-    finally:
-        g.unpersist()
+        )
+    long = df.select(
+        F.col(ROW_SEQ), F.explode(F.array(*structs)).alias("kv")
+    ).select(F.col(ROW_SEQ).alias("seq"), F.col("kv.*"))
+    g = long.groupBy("c", "v").agg(
+        F.min("seq").alias("first_seen"),
+        F.max(F.col("isnull").cast("int")).alias("any_null"),
+    )
+
+    def _isin(names):
+        return F.col("c").isin(*names) if names else F.lit(False)
+
+    v_disp = _display_expr(
+        F.col("v"), F.col("any_null"), _isin(double_names), _isin(ts_names)
+    )
+    g = g.select("c", v_disp.alias("v"), "first_seen")
+    if max_dictvalues is not None:
+        w = Window.partitionBy("c").orderBy("first_seen")
+        g = (
+            g.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_dictvalues)
+            .drop("__rn")
+        )
+    byc: dict[str, list] = {}
+    for r in g.collect():
+        byc.setdefault(r["c"], []).append((r["first_seen"], r["v"]))
+    return {
+        ci.name: [v for _, v in sorted(byc.get(ci.name, []))]
+        for ci in dict_cols
+    }

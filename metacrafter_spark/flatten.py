@@ -25,8 +25,15 @@ from pyspark.sql import DataFrame, functions as F, types as T
 
 from metacrafter_spark.analyzer import ROW_SEQ, ColInfo
 
-# room for nested element indices inside a refined row_seq
-_SEQ_STRIDE = 1_000_000
+# Refined row sequence for exploded array elements: a STRUCT sort key
+# (parent_seq, element_pos) instead of arithmetic packing.  Structs are
+# orderable in Spark (orderBy / min / max_by), compare lexicographically
+# — exactly row-major order — and cannot overflow: the old
+# ``parent * STRIDE + pos`` scheme broke because
+# ``monotonically_increasing_id`` encodes the partition index in the
+# upper 31 bits, so >~1000 input partitions (or any two-level nesting
+# with >=2 partitions) overflowed long under ANSI mode.  Nesting just
+# nests the struct one level deeper per array.
 
 
 @dataclass
@@ -88,7 +95,9 @@ def flatten_frames(df: DataFrame) -> list[FrameGroup]:
             exploded = frame.select(
                 F.col(ROW_SEQ), F.posexplode(expr).alias("__pos", "__elem")
             ).select(
-                (F.col(ROW_SEQ) * _SEQ_STRIDE + F.col("__pos")).alias(ROW_SEQ),
+                F.struct(
+                    F.col(ROW_SEQ).alias("p"), F.col("__pos").alias("i")
+                ).alias(ROW_SEQ),
                 F.col("__elem.*"),
             )
             build(exploded, exploded.drop(ROW_SEQ).schema, path)

@@ -59,7 +59,13 @@ def minhash_signature(shingles: Column, n_hashes: int = 64) -> Column:
     Two-level hashing: each shingle STRING is hashed once
     (``xxhash64(s)``), then the k permutations re-hash that 8-byte long
     with seed k — k×|shingles| long-hashes instead of k×|shingles|
-    string-hashes, an order of magnitude less CPU on word 5-grams."""
+    string-hashes, an order of magnitude less CPU on word 5-grams.
+
+    IMPORTANT: pass a MATERIALIZED column (an attribute), not a derived
+    expression — the ``shingles`` tree is embedded inside the per-seed
+    lambda, so a non-trivial expression would be re-evaluated n_hashes
+    times per row (observed 6× wall-clock).  :func:`with_minhash` does
+    the materialization for you."""
     base = F.transform(shingles, lambda s: F.xxhash64(s))
     return F.transform(
         F.sequence(F.lit(0), F.lit(n_hashes - 1)),
@@ -73,12 +79,27 @@ def with_minhash(
     df: DataFrame, text_col: str = "text", n_hashes: int = 64, shingle: int = 5,
     sig_col: str = "minhash", shingles_col: str = "shingles",
 ) -> DataFrame:
-    sh = word_shingles(F.col(text_col), shingle)
-    return df.withColumn(shingles_col, sh).withColumn(
-        sig_col,
-        F.when(F.size(shingles_col_ := F.col(shingles_col)) > 0,
-               minhash_signature(shingles_col_, n_hashes)),
+    """Attach shingles + minhash signature.
+
+    Each stage is materialized as its own column (shingles, then the
+    per-shingle base hashes) so the per-seed lambda re-hashes cheap
+    attribute references; CollapseProject keeps multi-referenced
+    non-cheap aliases in separate projections, so nothing is inlined
+    back into the 64-seed loop."""
+    base_col = "__mh_base"
+    out = df.withColumn(shingles_col, word_shingles(F.col(text_col), shingle))
+    out = out.withColumn(
+        base_col, F.transform(F.col(shingles_col), lambda s: F.xxhash64(s))
     )
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda seed: F.array_min(
+            F.transform(F.col(base_col), lambda h: F.xxhash64(h, seed))
+        ),
+    )
+    return out.withColumn(
+        sig_col, F.when(F.size(F.col(shingles_col)) > 0, sig)
+    ).drop(base_col)
 
 
 def lsh_candidate_pairs(
@@ -131,13 +152,35 @@ def near_dup_pairs_minhash(
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact shingle Jaccard.
 
-    Signatures+shingles are persisted for the two uses (banding and
-    verification) — otherwise the shingle/minhash expressions recompute
-    for each join branch."""
-    base = with_minhash(df, text_col, n_hashes).persist()
+    Memory diet (the 100-TB shape): only the ``(id, minhash)`` signature
+    frame is persisted for banding — ~0.5 KB/doc instead of caching
+    text+shingles (several × the corpus).  Shingles are re-derived from
+    the source ONLY for ids that appear in candidate pairs (semi-join
+    pushdown), a tiny fraction of the corpus; recomputing that
+    projection twice beats materializing it once."""
+    base = df.select(F.col(id_col), F.col(text_col))
+    sh_expr = word_shingles(F.col(text_col))
+    sig = (
+        with_minhash(base, text_col, n_hashes)
+        .select(F.col(id_col), "minhash")  # column-pruned: text/shingles dropped
+        .persist()
+    )
+    pairs = lsh_candidate_pairs(sig, id_col, bands=bands, rows=rows).persist()
+    # materialize the persisted stages NOW: the shingle/minhash
+    # expression trees are large, and letting them ride un-materialized
+    # into the verify plan makes Catalyst re-canonicalize the composite
+    # tree (observed ~6× planning blow-up); a forced count() keeps each
+    # optimization unit small
+    pairs.count()
     try:
-        pairs = lsh_candidate_pairs(base, id_col, bands=bands, rows=rows)
-        sh = base.select(F.col(id_col), F.col("shingles"))
+        ids = (
+            pairs.select(F.col("id_a").alias(id_col))
+            .union(pairs.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        sh = base.join(ids, id_col, "left_semi").select(
+            F.col(id_col), sh_expr.alias("shingles")
+        )
         out = (
             pairs.join(sh.withColumnRenamed(id_col, "id_a")
                          .withColumnRenamed("shingles", "sh_a"), "id_a")
@@ -147,11 +190,12 @@ def near_dup_pairs_minhash(
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard")
         )
-        # materialize while the persisted plan is alive
+        # materialize while the persisted plans are alive
         out = out.localCheckpoint(eager=True)
         return out
     finally:
-        base.unpersist()
+        pairs.unpersist()
+        sig.unpersist()
 
 
 def dedup_by_pairs(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
@@ -160,25 +204,43 @@ def dedup_by_pairs(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
     return df.join(losers, id_col, "left_anti")
 
 
-def simhash64(text: Column, max_words: int = 2000) -> Column:
+def with_simhash(
+    df: DataFrame, text_col: str = "text", sim_col: str = "sim",
+    max_words: int = 2000,
+) -> DataFrame:
     """64-bit SimHash via per-bit majority vote — all native expressions.
 
-    Bit b uses the sign of ``xxhash64(word, b)`` as its random ±1
-    projection (an equally valid SimHash family that avoids non-literal
-    shift amounts, which Spark's shiftleft doesn't accept)."""
+    Bit b of a word's projection = parity of hex char b of
+    ``sha2(word, 256)`` — an unbiased ±1 family whose every primitive
+    (sha256, ascii, substring) exists identically in DuckDB, so the full
+    near-dup operator is oracle-checkable end-to-end.  The sha array is
+    materialized in its own projection: each word is hashed ONCE
+    (CollapseProject keeps multi-referenced non-cheap aliases
+    un-inlined), and the 64 per-bit counters are cheap char-parity scans
+    over that array."""
     words = F.slice(
-        F.filter(F.split(F.lower(text), r"\W+"), lambda w: F.length(w) > 0),
+        F.filter(F.split(F.lower(F.col(text_col)), r"\W+"),
+                 lambda w: F.length(w) > 0),
         1, max_words,
     )
-    n = F.size(words)
+    tmp_sh = "__sim_shas"
+    out = df.withColumn(tmp_sh, F.transform(words, lambda w: F.sha2(w, 256)))
+    shas = F.col(tmp_sh)
+    n = F.size(shas)
+
+    def _parity(pos: int):
+        # one-arg closure factory: a `lambda h, b=b:` default-arg capture
+        # would give the lambda TWO parameters, which pyspark's HOF
+        # binding reads as (element, index) — shadowing the constant
+        return lambda h: F.ascii(F.substring(h, pos, 1)) % 2 == 1
+
     sim = F.lit(0).cast("long")
     for b in range(64):  # static shift amounts; bitwise OR cannot overflow
-        bit = F.when(
-            F.size(F.filter(words, lambda w, b=b: F.xxhash64(w, F.lit(b)) > 0)) * 2 > n,
-            F.lit(1).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
+        cnt = F.size(F.filter(shas, _parity(b + 1)))
+        bit = F.when(cnt * 2 > n, F.lit(1).cast("long")) \
+            .otherwise(F.lit(0).cast("long"))
         sim = sim.bitwiseOR(F.shiftleft(bit, b))
-    return sim
+    return out.withColumn(sim_col, sim).drop(tmp_sh)
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -187,11 +249,23 @@ def hamming64(a: Column, b: Column) -> Column:
 
 def simhash_near_dups(
     df: DataFrame, id_col: str, text_col: str = "text", max_distance: int = 3,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on 4×16-bit chunks (a pair within
     Hamming distance ≤3 must agree exactly on ≥1 of 4 chunks), verify
-    with bit_count — the classic Manku/Charikar chunking trick."""
-    sh = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("sim"))
+    with bit_count — the classic Manku/Charikar chunking trick.
+
+    ``max_bucket`` is the same skew guard as :func:`lsh_candidate_pairs`:
+    a hot 16-bit chunk key (template boilerplate, empty texts all
+    hashing to sim=0) would otherwise make the self-join quadratic on
+    one reducer.  Exactness note: for distance ≤ 3 the blocking is
+    lossless *except* pairs inside dropped hot buckets — size the cap to
+    your dup-cluster ceiling (or post-process hot buckets separately)."""
+    # (id, sim) is 16 bytes/doc — persist it so the signature pass runs
+    # once (the frame feeds bucket counts AND both self-join sides)
+    sh = with_simhash(
+        df.select(F.col(id_col), F.col(text_col)), text_col
+    ).select(id_col, "sim").persist()
     chunk_structs = [
         F.struct(
             F.lit(i).alias("chunk"),
@@ -203,16 +277,26 @@ def simhash_near_dups(
     chunks = sh.select(
         id_col, "sim", F.explode(F.array(*chunk_structs)).alias("c")
     ).select(id_col, "sim", "c.chunk", "c.key")
-    a, b = chunks.alias("a"), chunks.alias("b")
-    return (
-        a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
-               & (F.col("a.key") == F.col("b.key"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            hamming64(F.col("a.sim"), F.col("b.sim")).alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_distance)
-        .distinct()
+    counts = chunks.groupBy("chunk", "key").agg(F.count(F.lit(1)).alias("n"))
+    ok = chunks.join(
+        F.broadcast(counts.filter(F.col("n").between(2, max_bucket))),
+        ["chunk", "key"],
     )
+    a, b = ok.alias("a"), ok.alias("b")
+    try:
+        out = (
+            a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                hamming64(F.col("a.sim"), F.col("b.sim")).alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_distance)
+            .distinct()
+        )
+        # materialize while the persisted signature frame is alive
+        return out.localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
