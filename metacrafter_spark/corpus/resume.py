@@ -3,9 +3,14 @@
 The metrics table (one row per completed ``bucket_id``,
 :func:`metacrafter_spark.corpus.pipeline.bucket_metrics`) doubles as the
 checkpoint: a re-run anti-joins its input against completed buckets and
-processes only the remainder, then appends the new buckets' metrics.
-Writes are idempotent because output is partitioned by ``bucket_id`` and
-a bucket is only marked completed after its data is written.
+processes only the remainder, then writes the new buckets' metrics.
+
+Idempotency: both the data and the metrics writes use DYNAMIC PARTITION
+OVERWRITE on ``bucket_id`` — a crash between the data write and the
+metrics write (or a replayed streaming micro-batch) reprocesses those
+buckets and OVERWRITES their partitions instead of appending duplicate
+rows.  A bucket is only marked completed after its data is written, so
+the worst case is redundant work, never double rows.
 
 Iceberg would give this snapshot isolation for free; in this sandbox
 the same layout runs on plain parquet behind the ``TableIO`` seam.
@@ -43,6 +48,18 @@ class TableIO:
             w = w.partitionBy(*partition_by)
         w.save(path)
 
+    def overwrite_partitions(self, df: DataFrame, path: str, partition_by: list):
+        """Dynamic partition overwrite: replaces ONLY the partitions
+        present in ``df`` — retries/replays overwrite instead of
+        duplicating (Iceberg's overwrite-by-filter equivalent)."""
+        (
+            df.write.format(self.fmt)
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_by)
+            .save(path)
+        )
+
 
 def completed_buckets(io: TableIO, metrics_path: str) -> Optional[DataFrame]:
     m = io.read(metrics_path)
@@ -69,6 +86,11 @@ def run_with_resume(
     *,
     metrics_df: DataFrame,
 ) -> None:
-    """Write output partitioned by bucket, then mark buckets complete."""
-    io.append(classified, out_path, partition_by=["bucket_id"])
-    io.append(metrics_df, metrics_path)
+    """Write output partitioned by bucket, then mark buckets complete.
+
+    Both writes are dynamic-partition-overwrites on ``bucket_id``: a
+    crash between them leaves data written but buckets unmarked — the
+    re-run reprocesses those buckets and overwrites their partitions
+    (idempotent), never appending duplicates."""
+    io.overwrite_partitions(classified, out_path, partition_by=["bucket_id"])
+    io.overwrite_partitions(metrics_df, metrics_path, partition_by=["bucket_id"])

@@ -189,17 +189,25 @@ def fused_scrub_udf(rules: tuple[SpanRule, ...]):
 
     Count semantics: spans actually REPLACED (a span consumed by an
     earlier rule isn't double-counted by a later one).  Pre-existing
-    literal tokens like ``<EMAIL>`` in the source would inflate counts —
-    acceptable for web text, noted here.
+    literal tokens like ``<EMAIL>`` in the source are counted on the
+    INPUT and subtracted, so they don't inflate ``pii_hits`` (and thus
+    ``pii_per_kchar`` drop decisions); a pre-existing token whose bytes
+    an earlier rule mangles could still undercount by one — the
+    conservative direction.
     """
     fields = ", ".join(f"`{r.name}` long" for r in rules)
 
     @pandas_udf(f"struct<scrubbed:string, {fields}>")
     def kernel(s: pd.Series) -> pd.DataFrame:
-        out = scrub_series(s.fillna(""), rules)
+        src = s.fillna("")
+        out = scrub_series(src, rules)
         data = {"scrubbed": out}
         for r in rules:
-            data[r.name] = out.str.count(re.escape(r.replacement)).astype("int64")
+            tok = re.escape(r.replacement)
+            pre = src.str.count(tok)
+            data[r.name] = (
+                (out.str.count(tok) - pre).clip(lower=0).astype("int64")
+            )
         return pd.DataFrame(data)
 
     return kernel

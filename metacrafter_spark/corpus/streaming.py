@@ -4,9 +4,10 @@ The reference is batch-only (SURVEY.md §2.10); this is the engine's own
 extension: the per-document pipeline is stateless, so the same
 ``classify_corpus`` plan runs unchanged on a streaming DataFrame.
 ``foreachBatch`` writes each micro-batch's output partitioned by
-``bucket_id`` and appends the per-bucket metrics — giving the same
-lineage/resume table the batch path uses, on top of the streaming
-checkpoint directory.
+``(batch_id, bucket_id)`` with dynamic partition overwrite (replays
+overwrite their own partitions — no duplicate rows) plus the per-bucket
+metrics — giving the same lineage/resume table the batch path uses, on
+top of the streaming checkpoint directory.
 
 ``trigger(availableNow=True)`` drains whatever input exists and stops —
 the batch-friendly way to run (and test) a stream.
@@ -51,12 +52,25 @@ def stream_classify(
     classified = classify_corpus(stream, scrub_rules=rules)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        out = batch_df.persist()
+        # Exactly-once-per-batch: partitions are keyed by (batch_id,
+        # bucket_id) and written with dynamic partition overwrite, so a
+        # REPLAYED micro-batch (restart between sink and checkpoint
+        # commit) overwrites ITS OWN deterministic partitions instead of
+        # appending duplicates — while different batches sharing a
+        # bucket_id never clobber each other.
+        from pyspark.sql import functions as F
+
+        out = batch_df.withColumn("batch_id", F.lit(batch_id)).persist()
         try:
-            (out.write.mode("append").partitionBy("bucket_id")
-             .parquet(output_path))
-            (bucket_metrics(out, rules, run_id=f"stream-{batch_id}")
-             .write.mode("append").parquet(metrics_path))
+            (out.write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("batch_id", "bucket_id").parquet(output_path))
+            (bucket_metrics(out.drop("batch_id"), rules,
+                            run_id=f"stream-{batch_id}")
+             .withColumn("batch_id", F.lit(batch_id))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("batch_id", "bucket_id").parquet(metrics_path))
         finally:
             out.unpersist()
 

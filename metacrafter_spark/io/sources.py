@@ -70,10 +70,44 @@ def detect_delimiter(first_line: str) -> str:
 
 
 def _head_bytes(path: str, n: int = 1 << 20) -> bytes:
+    """First n DECOMPRESSED bytes — encoding/delimiter sniffing must see
+    plaintext, so every codec we can open locally is handled here; for
+    codecs with no stdlib/installed decoder (zst/lz4/br without their
+    libs) raise, so callers fall back to explicit options instead of
+    sniffing garbage from compressed bytes."""
     import bz2
     import gzip
     import lzma
+    import zipfile
 
+    if path.endswith(".zip"):
+        with zipfile.ZipFile(path) as z:
+            names = z.namelist()
+            if not names:
+                return b""
+            with z.open(names[0]) as f:
+                return f.read(n)
+    if path.endswith(".zst"):
+        try:
+            import zstandard
+        except ImportError as e:
+            raise NotImplementedError("zst head read needs zstandard") from e
+        with open(path, "rb") as f:
+            return zstandard.ZstdDecompressor().stream_reader(f).read(n)
+    if path.endswith(".lz4"):
+        try:
+            import lz4.frame
+        except ImportError as e:
+            raise NotImplementedError("lz4 head read needs lz4") from e
+        with lz4.frame.open(path, "rb") as f:
+            return f.read(n)
+    if path.endswith(".br"):
+        try:
+            import brotli
+        except ImportError as e:
+            raise NotImplementedError("br head read needs brotli") from e
+        with open(path, "rb") as f:
+            return brotli.decompress(f.read())[:n]
     opener = open
     if path.endswith(".gz"):
         opener = gzip.open
@@ -123,13 +157,20 @@ def scan_file(
     fmt = (fmt or detected or "csv").lower()
     options = dict(options or {})
     if fmt in {"csv", "tsv"}:
-        head = _head_bytes(path, 1 << 16)
-        encoding = encoding or detect_encoding(head)
-        if delimiter is None:
-            first = head.decode(encoding, "replace").splitlines()[:1]
-            delimiter = "\t" if fmt == "tsv" else detect_delimiter(
-                first[0] if first else ","
-            )
+        if encoding is None or delimiter is None:
+            try:
+                head = _head_bytes(path, 1 << 16)
+            except NotImplementedError:
+                head = None  # undecodable codec: don't sniff compressed bytes
+            if head is not None:
+                encoding = encoding or detect_encoding(head)
+                if delimiter is None:
+                    first = head.decode(encoding, "replace").splitlines()[:1]
+                    delimiter = "\t" if fmt == "tsv" else detect_delimiter(
+                        first[0] if first else ","
+                    )
+        encoding = encoding or "UTF-8"
+        delimiter = delimiter or ("\t" if fmt == "tsv" else ",")
         return (
             spark.read.option("header", "true")
             .option("sep", delimiter)

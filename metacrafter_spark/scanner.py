@@ -62,11 +62,17 @@ def scan_dataframe(
 ) -> dict[str, Any]:
     """Classify every column of ``df``; return a reference-shaped report.
 
-    ``parse_dates=True`` enables the date-battery fallback
-    (:mod:`metacrafter_spark.rules.dates`, the qddate-stage
-    re-derivation).  Golden parity vs the reference uses the
-    reference-supported ``parse_dates=False`` mode, since qddate itself
-    is not installable here.
+    .. warning:: **Default divergence from the reference.**  The
+       reference ``scan_data`` defaults ``parse_dates=True``; this
+       engine defaults ``parse_dates=False`` because the date battery
+       (:mod:`metacrafter_spark.rules.dates`, the qddate-stage
+       re-derivation) emits its own ``date:*``/``dt:*`` format keys
+       rather than qddate pattern keys — callers porting reference code
+       that rely on date-fallback labels must pass
+       ``parse_dates=True`` explicitly and expect the different format
+       keys.  Golden parity vs the reference runs ``parse_dates=False``
+       (a reference-supported mode), since qddate itself is not
+       installable here.
     """
     from pyspark.sql import types as T
 

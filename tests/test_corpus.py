@@ -148,6 +148,44 @@ def test_metrics_and_resume(spark, classified, tmp_path):
     assert total_written == N_DOCS
 
 
+def test_run_with_resume_idempotent(spark, classified, tmp_path):
+    """A replayed write (crash between data and metrics, or a retried
+    job) must overwrite its bucket partitions, not append duplicates."""
+    from metacrafter_spark.corpus.resume import run_with_resume
+
+    io = TableIO(spark)
+    rules = default_scrub_rules()
+    opath, mpath = str(tmp_path / "out"), str(tmp_path / "metrics")
+    metrics = bucket_metrics(classified, rules, run_id="r1")
+    run_with_resume(classified, io, opath, mpath, metrics_df=metrics)
+    n1 = spark.read.parquet(opath).count()
+    m1 = spark.read.parquet(mpath).count()
+    # full replay of the same buckets — e.g. the metrics write crashed
+    run_with_resume(classified, io, opath, mpath,
+                    metrics_df=bucket_metrics(classified, rules, run_id="r1b"))
+    assert spark.read.parquet(opath).count() == n1 == N_DOCS
+    assert spark.read.parquet(mpath).count() == m1
+    assert pending_input(classified, io, mpath).count() == 0
+
+
+def test_scrub_counts_ignore_preexisting_tokens(spark):
+    """pii_hits counts spans actually replaced — literal '<EMAIL>'
+    already in the source must not inflate the count."""
+    from metacrafter_spark.corpus.scrub import with_scrub
+
+    df = spark.createDataFrame(
+        [("a", "write to real@example.com or the literal token <EMAIL> ok"),
+         ("b", "tokens only: <EMAIL> <IP> <SSN>"),
+         ("c", "two mails x@y.io z@w.co")],
+        "url string, text string",
+    )
+    rows = {r["url"]: r for r in with_scrub(df).collect()}
+    assert rows["a"]["pii_hits"]["email"] == 1
+    assert rows["b"]["pii_hits"]["email"] == 0
+    assert rows["b"]["pii_hits"]["ipv4"] == 0
+    assert rows["c"]["pii_hits"]["email"] == 2
+
+
 def test_make_doc_pure_function():
     assert make_doc(7) == make_doc(7)
     assert make_doc(7) != make_doc(8)
