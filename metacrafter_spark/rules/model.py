@@ -255,11 +255,16 @@ def compile_rule(
 
 
 def _rglob_yaml(root: Path) -> list[Path]:
-    """Deterministic rglob: per-directory sorted, parent files before subdirs."""
-    files = sorted(p for p in root.iterdir() if p.is_file() and p.suffix == ".yaml")
-    for sub in sorted(p for p in root.iterdir() if p.is_dir()):
-        files.extend(_rglob_yaml(sub))
-    return files
+    """Rule-file discovery order = ``Path.rglob`` (processor.py:577),
+    i.e. the checkout's os.scandir order.  This matters: rule ``seq``
+    (match-output order, stop_on_match truncation) and first-wins
+    duplicate-key resolution follow file order, and the reference
+    inherits the filesystem's order rather than sorting — so the
+    compiled pack snapshots the same order to stay bit-compatible.
+    (A sorted walk would be more portable, but would e.g. emit
+    booleanyesno before languagetag on columns both rules hit, where
+    the reference emits the reverse.)"""
+    return [p for p in Path(root).rglob("*.yaml")]
 
 
 def load_pack_from_yaml_dir(

@@ -20,7 +20,13 @@ sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "tools"))
 sys.path.insert(0, str(REPO / "tests"))
 
-from fixtures_gen import edge_cases, pii_profiles, tiny2col  # noqa: E402
+from fixtures_gen import (  # noqa: E402
+    edge_cases,
+    pii_profiles,
+    rule_zoo_data,
+    rule_zoo_fields,
+    tiny2col,
+)
 from refharness import reference_scan  # noqa: E402
 
 FIXTURES = {
@@ -31,6 +37,10 @@ FIXTURES = {
     "pii_profiles_stop": (pii_profiles(120), {"stop_on_match": True}),
     "pii_profiles_pii_ctx": (pii_profiles(120), {"contexts": ["pii", "common"]}),
     "edge_cases_120": (edge_cases(120), {}),
+    # rule zoo: every pack rule either hits or is documented dead
+    "rule_zoo_fields": (rule_zoo_fields(12), {}),
+    "rule_zoo_data": (rule_zoo_data(30), {}),
+    "rule_zoo_imprecise": (rule_zoo_data(30), {"ignore_imprecise": False}),
 }
 
 

@@ -72,6 +72,105 @@ def pii_profiles(n: int = 200, seed: int = 42) -> list[dict]:
     return rows
 
 
+def _field_zoo_names() -> list[str]:
+    """One column name per field TEXT rule (first unused keyword,
+    dot-free preferred) so every field rule gets a positive hit, plus
+    the one satisfiable field PPR rule (percentagebyfield — the other
+    17 transpile to dead patterns: possessive ``[!-~]++`` swallowing the
+    required literal, or a lineEnd that needs a literal newline a
+    stripped column name cannot carry)."""
+    from metacrafter_spark.rules.model import load_builtin_pack
+
+    used: set[str] = set()
+    names: list[str] = []
+    for r in load_builtin_pack().rules:
+        if r.rtype != "field" or r.match != "text":
+            continue
+        kws = sorted(r.keywords)
+        pick = next((k for k in kws if k not in used and "." not in k), kws[0])
+        if pick not in used:
+            used.add(pick)
+            names.append(pick)
+    names.append("_percentage")  # percentagebyfield (live: literal '_' prefix)
+    return names
+
+
+def rule_zoo_fields(n: int = 12, seed: int = 5) -> list[dict]:
+    """Every field rule gets a column whose NAME matches it; values are
+    inert short strings (field rules ignore values)."""
+    rows = []
+    names = _field_zoo_names()
+    for i in range(n):
+        row = {"row_id": i}
+        for j, nm in enumerate(names):
+            row[nm] = f"zz{(i * 7 + j) % 10}"
+        rows.append(row)
+    return rows
+
+
+def rule_zoo_data(n: int = 30, seed: int = 11) -> list[dict]:
+    """Every data rule gets a column of positive values (100% match);
+    gate-dead rules get EVIDENCE columns whose values would match if
+    their fieldrule gate were satisfiable (golden shows no hit):
+    yearbydatafiltered/imprecise, iso3166-alpha2/3, latitudevalue,
+    longitudevalue (possessive ``(?:[!-~]++)?+`` eats the required
+    literal), asnbyvalueandpostfix (lineEnd), passportbypat (possessive
+    ws-run eats the required literal space)."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        uuid = f"{_hex(rng,8)}-{_hex(rng,4)}-{_hex(rng,4)}-{_hex(rng,4)}-{_hex(rng,12)}"
+        rows.append({
+            "row_id": i,
+            "d_sha256": _hex(rng, 64),
+            "d_sha1": _hex(rng, 40),
+            "d_md5": _hex(rng, 32),
+            "d_uuid": uuid,
+            "d_guid": "{" + uuid + "}",
+            "d_bool": rng.choice(["true", "false"]),
+            "d_yesno": rng.choice(["yes", "no"]),
+            "deleted": rng.choice(["0", "1"]),       # participleprefixrule
+            "is_deleted": rng.choice(["0", "1"]),    # isprefixrule
+            "show_hidden": rng.choice(["0", "1"]),   # showprefixrule
+            "has_access": rng.choice(["0", "1"]),    # hasprefixrule
+            "admin_flag": rng.choice(["0", "1"]),    # flagpostfixrule
+            "d_mime": rng.choice(MIMES),
+            "d_domain": f"host{i % 7}.example.org",  # fqdnbyvalidators
+            "d_url": f"https://example{i % 5}.com/a/{i}",  # urlbyvalidators
+            "d_iso3": rng.choice(["usa", "deu", "fra", "gbr", "jpn"]),
+            "d_langtag": rng.choice(["en", "fr", "de", "es"]),
+            "d_asnpfx": f"AS{rng.randint(1, 99999)}",      # asnbyprefixname
+            "asn": str(rng.randint(1, 99999)),             # asnbyvalue (gate 'asn')
+            "d_doi": f"10.{rng.randint(1000, 9999)}/x{i}",
+            "d_vehicle": rng.choice(["vehicle_number", "vehiclenumber"]),
+            "d_endow": rng.choice(["monday", "friday", "saturday"]),
+            "d_enmonth": rng.choice(["april", "august", "december"]),
+            "d_enmon": rng.choice(["apr", "aug", "dec"]),
+            "d_encountry": rng.choice(["albania", "algeria", "afghanistan"]),
+            "d_uscity": rng.choice(["akron", "abilene", "albuquerque"]),
+            # 17 chars (3 leading spaces) — rusnils length gate is [17,17]
+            "d_snils": "   %03d-%03d-%03d %02d" % (
+                rng.randint(0, 999), rng.randint(0, 999),
+                rng.randint(0, 999), rng.randint(0, 99)),
+            "d_rutime": "с %02d:%02d по %02d:%02d" % (
+                rng.randint(8, 19), rng.randint(0, 59),
+                rng.randint(8, 23), rng.randint(0, 59)),
+            "d_rumed": "ЛС-%06d" % rng.randint(0, 999999),
+            "d_ruyesno": rng.choice(["да", "нет"]),
+            "d_rudow": rng.choice(["вторник", "пятница", "суббота"]),
+            # --- dead-gate evidence candidates (expect NO data hits) ---
+            "year": str(rng.randint(1900, 2020)),
+            "latitude": f"{rng.randint(0, 89)}.{rng.randint(0, 99999):05d}",
+            "longitude": f"1{rng.randint(0, 6)}{rng.randint(0, 9)}.{rng.randint(0, 99999):05d}",
+            "country": rng.choice(["US", "GB", "DE", "FR"]),
+            "x_asn": str(rng.randint(1, 99999)),
+            "d_passport": "%02d %02d %06d" % (
+                rng.randint(10, 99), rng.randint(10, 99),
+                rng.randint(100000, 999999)),
+        })
+    return rows
+
+
 def edge_cases(n: int = 120, seed: int = 7) -> list[dict]:
     """Adversarial parity fixture: quirk-triggering values and names."""
     rng = random.Random(seed)
