@@ -1,15 +1,30 @@
 """Date-pattern fallback battery (the qddate stage, re-derived).
 
 The reference's last matching stage (``processor.py:918-958``) tries
-qddate's ~312 EN+RU date patterns on columns that got **zero** rule
+qddate's ~312 EN+RU date patterns (``core.py:351-353`` builds
+``PATTERNS_EN + PATTERNS_RU``) on columns that got **zero** rule
 matches, emitting ``ruleid='qddate', dataclass='datetime'`` with the
 usual confidence math and ``format`` = the LAST matching value's
 pattern key.  qddate is not installable here, so this module re-derives
-the common EN/RU subset as anchored regexes; per value the FIRST
+the EN/RU pattern families as anchored regexes; per value the FIRST
 matching pattern (battery order) wins, mirroring qddate's ordered
 pattern scan.  Golden parity runs use ``parse_dates=False`` (a
 reference-supported mode); this battery is the engine's own
-``parse_dates=True`` implementation.
+``parse_dates=True`` implementation and emits its OWN format keys
+(``date:*``), not qddate's pattern names.
+
+Families covered (66 patterns): ISO 8601 (with time/fraction/zone),
+numeric d-m-y / m-d-y / y-m-d with ``./-//`` separators and 2- or
+4-digit years, compact ``yyyymmdd``, time-leading forms, EN month-name
+dates (full + abbreviated, ordinal suffixes, ``'yy`` years, weekday
+prefixes, RFC 2822), RU month-genitive dates (full + abbreviated, with
+``г./года`` suffixes, ``в HH:MM`` time forms, weekday prefixes), and
+month-year / day-month partial dates.
+
+Ordering contract: more specific patterns come first (ISO before loose,
+4-digit years before 2-digit, weekday-prefixed before bare); the test
+suite pins the full key order and asserts each pattern's canonical
+example first-matches ITSELF, so reordering or shadowing breaks tests.
 """
 
 from __future__ import annotations
@@ -19,31 +34,125 @@ from functools import lru_cache
 
 _EN_MONTHS = ("january|february|march|april|may|june|july|august|september"
               "|october|november|december")
-_EN_MON = "jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec"
+_EN_MON = "jan|feb|mar|apr|may|jun|jul|aug|sep|sept|oct|nov|dec"
+_EN_DOW = ("monday|tuesday|wednesday|thursday|friday|saturday|sunday")
+_EN_DOW_ABBR = "mon|tue|tues|wed|thu|thur|thurs|fri|sat|sun"
 _RU_MONTHS = ("января|февраля|марта|апреля|мая|июня|июля|августа|сентября"
               "|октября|ноября|декабря")
-_TIME = r"(?:[ T]\d{1,2}:\d{2}(?::\d{2})?)?"
-_D = r"(?:0?[1-9]|[12]\d|3[01])"
-_M = r"(?:0?[1-9]|1[0-2])"
-_Y = r"(?:19|20)\d{2}"
+_RU_MONTHS_NOM = ("январь|февраль|март|апрель|май|июнь|июль|август|сентябрь"
+                  "|октябрь|ноябрь|декабрь")
+_RU_MON = "янв|февр?|мар|апр|мая|май|июн|июл|авг|сент?|окт|нояб?|дек"
+_RU_DOW = ("понедельник|вторник|среда|четверг|пятница|суббота|воскресенье")
+
+# time fragments
+_TIME = r"(?:[ T]\d{1,2}:\d{2}(?::\d{2})?)?"        # optional trailing time
+_TIME_REQ = r"\d{1,2}:\d{2}(?::\d{2})?"             # required time
+_RU_TIME = r"(?:,? ?в \d{1,2}:\d{2}(?::\d{2})?)?"   # optional "в HH:MM"
+
+# date components
+_D = r"(?:0?[1-9]|[12]\d|3[01])"     # day 1-31, optional leading zero
+_D2 = r"(?:0[1-9]|[12]\d|3[01])"     # day, exactly two digits
+_M = r"(?:0?[1-9]|1[0-2])"           # month 1-12
+_M2 = r"(?:0[1-9]|1[0-2])"           # month, exactly two digits
+_Y = r"(?:19|20)\d{2}"               # 4-digit year
+_Y2 = r"\d{2}"                       # 2-digit year
+_ORD = r"(?:st|nd|rd|th)?"           # English ordinal suffix
+_RU_YSUF = r"(?: ?г\.?| года)?"      # Russian year suffix
 
 # (key, pattern) in priority order — first match per value wins.
+# The original 13 round-1 keys keep their relative order; new families
+# are interleaved only where specificity demands it (never shadowing a
+# round-1 key's canonical values).
 DATE_PATTERNS: tuple[tuple[str, str], ...] = (
-    ("date:iso8601", rf"{_Y}-{_M.replace('0?', '0')}-{_D.replace('0?', '0')}"
+    # --- ISO 8601 family ------------------------------------------------
+    ("date:iso8601", rf"{_Y}-{_M2}-{_D2}"
                      rf"(?:[ T]\d{{2}}:\d{{2}}(?::\d{{2}})?(?:\.\d+)?Z?)?"),
+    ("date:iso8601_tz", rf"{_Y}-{_M2}-{_D2}T\d{{2}}:\d{{2}}(?::\d{{2}})?"
+                        rf"(?:\.\d+)?[+-]\d{{2}}:?\d{{2}}"),
     ("date:iso_loose", rf"{_Y}-{_M}-{_D}{_TIME}"),
+    ("date:iso_dot", rf"{_Y}\.{_M}\.{_D}{_TIME}"),
+    ("date:iso_compact", rf"{_Y}{_M2}{_D2}"),
+    ("date:ym_dash", rf"{_Y}-{_M2}"),
+    # --- numeric d.m.y / d-m-y / d/m/y ----------------------------------
     ("date:dmy_dot", rf"{_D}\.{_M}\.{_Y}{_TIME}"),
     ("date:dmy_dot_short", rf"{_D}\.{_M}\.\d{{2}}"),
+    ("date:dmy_dash", rf"{_D}-{_M}-{_Y}{_TIME}"),
+    ("date:dmy_dash_short", rf"{_D2}-{_M2}-{_Y2}"),
     ("date:mdy_slash", rf"{_M}/{_D}/{_Y}{_TIME}"),
+    ("date:mdy_slash_short", rf"{_M2}/{_D2}/{_Y2}"),
+    ("date:mdy_dash", rf"{_M2}-{_D2}-{_Y}{_TIME}"),
     ("date:dmy_slash", rf"{_D}/{_M}/{_Y}{_TIME}"),
     ("date:ymd_slash", rf"{_Y}/{_M}/{_D}{_TIME}"),
-    ("date:en_dmy", rf"(?i:{_D} (?:{_EN_MONTHS}),? {_Y})"),
-    ("date:en_mdy", rf"(?i:(?:{_EN_MONTHS}) {_D},? {_Y})"),
+    ("date:dm_slash", rf"{_D2}/{_M2}"),
+    # --- time-leading forms ----------------------------------------------
+    ("date:time_dmy_dot", rf"{_TIME_REQ} {_D}\.{_M}\.{_Y}"),
+    ("date:time_iso", rf"{_TIME_REQ} {_Y}-{_M2}-{_D2}"),
+    ("date:time_dmy_slash", rf"{_TIME_REQ} {_D}/{_M}/{_Y}"),
+    # --- RU numeric with time / year suffix ------------------------------
+    ("date:ru_dmy_dot_time", rf"{_D}\.{_M}\.{_Y} ?в {_TIME_REQ}"),
+    ("date:ru_dmy_dot_g", rf"{_D}\.{_M}\.{_Y} ?г\.?"),
+    # --- EN weekday-prefixed ---------------------------------------------
+    ("date:rfc", rf"(?i:(?:{_EN_DOW_ABBR}), \d{{1,2}} "
+                 rf"(?:{_EN_MON})\.? {_Y} \d{{2}}:\d{{2}}:\d{{2}}"
+                 rf"(?: (?:GMT|UTC|[+-]\d{{4}}))?)"),
+    ("date:en_dow_dmy", rf"(?i:(?:{_EN_DOW}),? {_D}{_ORD} (?:{_EN_MONTHS}),? {_Y})"),
+    ("date:en_dow_mdy", rf"(?i:(?:{_EN_DOW}),? (?:{_EN_MONTHS}) {_D}{_ORD},? {_Y})"),
+    ("date:en_dow_abbr_dmy", rf"(?i:(?:{_EN_DOW_ABBR})\.?,? {_D} (?:{_EN_MON})\.? {_Y})"),
+    ("date:en_dow_abbr_mdy", rf"(?i:(?:{_EN_DOW_ABBR})\.?,? (?:{_EN_MON})\.? {_D},? {_Y})"),
+    # --- EN month-name full ----------------------------------------------
+    ("date:en_dmy", rf"(?i:{_D}{_ORD} (?:{_EN_MONTHS}),? {_Y}{_TIME})"),
+    ("date:en_mdy", rf"(?i:(?:{_EN_MONTHS}) {_D}{_ORD},? {_Y}{_TIME})"),
+    ("date:en_dmy_of", rf"(?i:{_D}{_ORD} of (?:{_EN_MONTHS}),? {_Y})"),
+    ("date:en_ymd_name", rf"(?i:{_Y},? (?:{_EN_MONTHS}) {_D}{_ORD})"),
+    # --- EN month-name abbreviated ---------------------------------------
     ("date:en_dmy_abbr", rf"(?i:{_D} (?:{_EN_MON})\.? {_Y})"),
-    ("date:en_mdy_abbr", rf"(?i:(?:{_EN_MON})\.? {_D},? {_Y})"),
-    ("date:ru_dmy", rf"(?i:{_D} (?:{_RU_MONTHS}) {_Y}(?: г\.?| года)?)"),
-    ("date:rfc", rf"(?i:(?:mon|tue|wed|thu|fri|sat|sun), \d{{1,2}} "
-                 rf"(?:{_EN_MON}) {_Y} \d{{2}}:\d{{2}}:\d{{2}})"),
+    ("date:en_mdy_abbr", rf"(?i:(?:{_EN_MON})\.? {_D}{_ORD},? {_Y})"),
+    ("date:en_dmy_abbr_dash", rf"(?i:{_D}-(?:{_EN_MON})-{_Y})"),
+    ("date:en_dmy_abbr_dash_short", rf"(?i:{_D}-(?:{_EN_MON})-\d{{2}})"),
+    ("date:en_mdy_abbr_apos", rf"(?i:(?:{_EN_MON})\.? {_D},? '\d{{2}})"),
+    ("date:en_dmy_abbr_apos", rf"(?i:{_D} (?:{_EN_MON})\.? '\d{{2}})"),
+    # --- RU month-genitive -----------------------------------------------
+    ("date:ru_dmy", rf"(?i:{_D} (?:{_RU_MONTHS}) {_Y}{_RU_YSUF}{_RU_TIME})"),
+    ("date:ru_dow_dmy", rf"(?i:(?:{_RU_DOW}),? {_D} (?:{_RU_MONTHS}) {_Y}{_RU_YSUF})"),
+    ("date:ru_dmy_abbr", rf"(?i:{_D} (?:{_RU_MON})\.? {_Y}{_RU_YSUF})"),
+    ("date:ru_my", rf"(?i:(?:{_RU_MONTHS_NOM}) {_Y}{_RU_YSUF})"),
+    ("date:ru_my_gen", rf"(?i:(?:{_RU_MONTHS}) {_Y}{_RU_YSUF})"),
+    ("date:ru_dm", rf"(?i:{_D} (?:{_RU_MONTHS}))"),
+    ("date:ru_y_g", rf"(?i:{_Y} ?(?:г\.?|года))"),
+    # --- EN partial dates -------------------------------------------------
+    ("date:en_my", rf"(?i:(?:{_EN_MONTHS}),? {_Y})"),
+    ("date:en_my_abbr", rf"(?i:(?:{_EN_MON})\.?,? {_Y})"),
+    ("date:en_dm", rf"(?i:{_D}{_ORD} (?:{_EN_MONTHS}))"),
+    ("date:en_md", rf"(?i:(?:{_EN_MONTHS}) {_D}{_ORD})"),
+    # --- misc numeric -----------------------------------------------------
+    ("date:my_slash", rf"{_M2}/{_Y}"),
+    ("date:my_dot", rf"{_M2}\.{_Y}"),
+    ("date:quarter", rf"(?i:q[1-4] {_Y})"),
+    ("date:y_range", rf"{_Y}\s?[-–]\s?{_Y}"),
+    # --- with fractional-second timestamps after the date -----------------
+    # (the ISO variant needs no key: date:iso8601 already allows .ffffff)
+    ("date:dmy_dot_hms_ms", rf"{_D}\.{_M}\.{_Y} {_TIME_REQ}\.\d{{1,6}}"),
+    # --- EN dates with 'the' / commas ------------------------------------
+    ("date:en_the_dm", rf"(?i:the {_D}{_ORD} of (?:{_EN_MONTHS}))"),
+    # --- RU numeric-month written forms ----------------------------------
+    ("date:ru_dow_dmy_dot", rf"(?i:(?:{_RU_DOW}),? {_D}\.{_M}\.{_Y})"),
+    # --- times of day alone are NOT dates; years alone: ------------------
+    ("date:year_paren", rf"\({_Y}\)"),
+    # --- EN slash-month-name ----------------------------------------------
+    ("date:en_d_slash_mon", rf"(?i:{_D}/(?:{_EN_MON})/{_Y})"),
+    ("date:en_d_slash_mon_short", rf"(?i:{_D}/(?:{_EN_MON})/\d{{2}})"),
+    # --- underscore/compact variants --------------------------------------
+    ("date:iso_underscore", rf"{_Y}_{_M2}_{_D2}"),
+    ("date:dmy_space", rf"{_D2} {_M2} {_Y}"),
+    ("date:ymd_space", rf"{_Y} {_M2} {_D2}"),
+    # --- month-name-first with time ----------------------------------------
+    ("date:en_mdy_time", rf"(?i:(?:{_EN_MONTHS}) {_D}{_ORD},? {_Y} at {_TIME_REQ})"),
+    ("date:ru_dmy_dot_comma_time", rf"{_D}\.{_M}\.{_Y}, {_TIME_REQ}"),
+    # --- 2-digit-year dotted with time -------------------------------------
+    ("date:dmy_dot_short_time", rf"{_D}\.{_M}\.\d{{2}} {_TIME_REQ}"),
+    # --- ISO basic with time -----------------------------------------------
+    ("date:iso_compact_hms", rf"{_Y}{_M2}{_D2}T?\d{{2}}:?\d{{2}}:?\d{{2}}"),
+    ("date:en_my_slash", rf"(?i:(?:{_EN_MON})\.?/{_Y})"),
 )
 
 

@@ -1,0 +1,130 @@
+"""Date-battery contract tests (rules/dates.py, the qddate re-derivation).
+
+Three properties the matcher relies on:
+1. every pattern key has a canonical example whose FIRST battery match
+   is that key (no silent shadowing by an earlier pattern);
+2. the key order is pinned — reordering changes first-match semantics
+   and therefore reported ``format`` keys, so it must be deliberate;
+3. non-dates never match.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from metacrafter_spark.rules.dates import (
+    DATE_PATTERNS,
+    first_match_key_index,
+    pattern_key,
+)
+
+# canonical example(s) per key — first match MUST be the key itself
+EXAMPLES: dict[str, list[str]] = {
+    "date:iso8601": ["2024-01-31", "2024-01-31 10:30:00",
+                     "2024-01-31T10:30:00.123456Z"],
+    "date:iso8601_tz": ["2024-01-31T10:30:00+02:00",
+                        "2024-01-31T10:30:00.5-0500"],
+    "date:iso_loose": ["2024-1-5", "2024-1-5 9:30"],
+    "date:iso_dot": ["2024.01.31", "2024.1.5"],
+    "date:iso_compact": ["20240131"],
+    "date:ym_dash": ["2024-07"],
+    "date:dmy_dot": ["31.12.2024", "5.6.2024 10:30"],
+    "date:dmy_dot_short": ["31.12.99"],
+    "date:dmy_dash": ["31-12-2024"],
+    "date:dmy_dash_short": ["31-12-99"],
+    "date:mdy_slash": ["12/31/2024", "3/14/1987"],
+    "date:mdy_slash_short": ["12/31/99"],
+    "date:mdy_dash": ["12-31-2024"],
+    "date:dmy_slash": ["31/12/2024"],
+    "date:ymd_slash": ["2024/12/31"],
+    "date:dm_slash": ["31/12"],
+    "date:time_dmy_dot": ["10:30 31.12.2024"],
+    "date:time_iso": ["10:30 2024-12-31"],
+    "date:time_dmy_slash": ["10:30 31/12/2024"],
+    "date:ru_dmy_dot_time": ["31.12.2024 в 10:30"],
+    "date:ru_dmy_dot_g": ["31.12.2024 г."],
+    "date:rfc": ["Tue, 3 Jun 2008 11:05:30", "Fri, 21 Mar 2024 09:00:00 GMT"],
+    "date:en_dow_dmy": ["Friday, 21 March 2024"],
+    "date:en_dow_mdy": ["Friday, March 21, 2024"],
+    "date:en_dow_abbr_dmy": ["Fri, 21 Mar 2024"],
+    "date:en_dow_abbr_mdy": ["Fri, Mar 21, 2024"],
+    "date:en_dmy": ["21 March 2024", "1st January 2000"],
+    "date:en_mdy": ["March 21, 2024", "January 1 2000"],
+    "date:en_dmy_of": ["21st of March, 2024"],
+    "date:en_ymd_name": ["2024, March 21"],
+    "date:en_dmy_abbr": ["21 Mar 2024", "5 Sept 2019"],
+    "date:en_mdy_abbr": ["Mar 21, 2024"],
+    "date:en_dmy_abbr_dash": ["21-Mar-2024"],
+    "date:en_dmy_abbr_dash_short": ["21-Mar-24"],
+    "date:en_mdy_abbr_apos": ["Jan 5 '19"],
+    "date:en_dmy_abbr_apos": ["5 Jan '19"],
+    "date:ru_dmy": ["5 марта 2023", "5 марта 2023 года",
+                    "5 марта 2023 г. в 10:30"],
+    "date:ru_dow_dmy": ["пятница, 5 марта 2023"],
+    "date:ru_dmy_abbr": ["5 мар. 2023", "5 янв 2023 г."],
+    "date:ru_my": ["март 2024"],
+    "date:ru_my_gen": ["марта 2024"],
+    "date:ru_dm": ["5 марта"],
+    "date:ru_y_g": ["2024 г.", "1999 года"],
+    "date:en_my": ["March 2024"],
+    "date:en_my_abbr": ["Mar 2024", "Sept 2019"],
+    "date:en_dm": ["21 March"],
+    "date:en_md": ["March 21"],
+    "date:my_slash": ["12/2024"],
+    "date:my_dot": ["12.2024"],
+    "date:quarter": ["Q1 2024", "q3 1999"],
+    "date:y_range": ["2020-2024", "1999 - 2001"],
+    "date:dmy_dot_hms_ms": ["31.12.2024 10:30:00.123"],
+    "date:en_the_dm": ["the 21st of March"],
+    "date:ru_dow_dmy_dot": ["пятница, 31.12.2024"],
+    "date:year_paren": ["(2024)"],
+    "date:en_d_slash_mon": ["21/Mar/2024"],
+    "date:en_d_slash_mon_short": ["21/Mar/24"],
+    "date:iso_underscore": ["2024_12_31"],
+    "date:dmy_space": ["31 12 2024"],
+    "date:ymd_space": ["2024 12 31"],
+    "date:en_mdy_time": ["March 21, 2024 at 10:30"],
+    "date:ru_dmy_dot_comma_time": ["31.12.2024, 10:30"],
+    "date:dmy_dot_short_time": ["31.12.99 10:30"],
+    "date:iso_compact_hms": ["20240131T103000", "20240131103000"],
+    "date:en_my_slash": ["Jan/2024"],
+}
+
+NON_DATES = [
+    "plain words here", "hello", "123", "1234567", "99.99.9999",
+    "32.13.2024", "2024-13-45", "v1.2.3", "10.0.0.1", "about 2024 things",
+    "AS1234", "true", "", "  ", "13/45", "March", "год",
+]
+
+
+def test_battery_size_and_unique_keys():
+    keys = [k for k, _ in DATE_PATTERNS]
+    assert len(keys) == len(set(keys))
+    assert len(keys) >= 60, len(keys)
+    assert set(EXAMPLES) == set(keys)  # every pattern has examples
+
+
+@pytest.mark.parametrize("key", [k for k, _ in DATE_PATTERNS])
+def test_canonical_example_first_matches_itself(key):
+    for ex in EXAMPLES[key]:
+        idx = first_match_key_index(ex)
+        assert idx >= 0, (key, ex)
+        assert pattern_key(idx) == key, (ex, "matched", pattern_key(idx))
+
+
+def test_first_match_order_is_stable():
+    """Leading ws tolerated; ambiguous values resolve to the EARLIEST
+    pattern — pin a few known-ambiguous cases."""
+    cases = {
+        "2024-01-31": "date:iso8601",        # not iso_loose
+        "1/2/2024": "date:mdy_slash",        # mdy wins over dmy (US-first)
+        "  31.12.2024  ": "date:dmy_dot",    # surrounding ws stripped
+        "May 2024": "date:en_my",            # full-month partial before abbr
+    }
+    for value, want in cases.items():
+        assert pattern_key(first_match_key_index(value)) == want, value
+
+
+@pytest.mark.parametrize("value", NON_DATES)
+def test_non_dates_do_not_match(value):
+    assert first_match_key_index(value) == -1, value
