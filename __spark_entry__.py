@@ -299,12 +299,59 @@ def q_simhash_dedup(spark, sf_dir):
 
 
 def q_fingerprints(spark, sf_dir):
+    """quality_score is oracle-checked value-for-value (re-derived in
+    DuckDB SQL); the xxhash64 winnowing fingerprint has no SQL twin, so
+    the query carries its contract as a CHECKED INVARIANT instead:
+    recomputing on a repartitioned copy must give identical
+    fingerprints (fp_stable hash-compares against the oracle's TRUE)."""
     from metacrafter_spark.ops.textstats import with_text_stats
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return with_text_stats(docs).select(
-        "doc_id", "fingerprint", "quality_score"
+    a = with_text_stats(docs).select("doc_id", "fingerprint", "quality_score")
+    b = with_text_stats(docs.repartition(7)).select(
+        F.col("doc_id").alias("doc_id_b"), F.col("fingerprint").alias("fp_b")
     )
+    return (
+        a.join(b, a.doc_id == b.doc_id_b)
+        .select(
+            "doc_id",
+            "quality_score",
+            (F.col("fingerprint") == F.col("fp_b")).alias("fp_stable"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_pii_scrub_documents(spark, sf_dir):
+    """Byte-exact scrub oracle: documents.text is digit-free prose, so
+    injecting deterministic PII (email always; ipv4 on even ids; SSN on
+    ids % 3 == 0) makes exactly those three rules fire.  DuckDB rebuilds
+    the same text and replays the rule sequence with lookaround-free
+    twins (the guards are trivially satisfied at the injected
+    boundaries), so the scrubbed sha256 AND per-rule counts must match
+    value-for-value."""
+    from metacrafter_spark.corpus.scrub import with_scrub
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    did = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did.cast("string"), F.lit("@example.com"),
+        F.when(did % 2 == 0,
+               F.concat(F.lit(" ip 10.0."), (did % 250).cast("string"),
+                        F.lit(".7"))).otherwise(F.lit("")),
+        F.when(did % 3 == 0,
+               F.concat(F.lit(" ssn 123-45-"),
+                        F.lpad(did.cast("string"), 4, "0"))).otherwise(F.lit("")),
+    )
+    out = with_scrub(docs.select(did, injected.alias("text")))
+    return out.select(
+        "doc_id",
+        F.sha2(F.col("text_scrubbed"), 256).alias("scrub_sha256"),
+        F.col("pii_hits.email").alias("n_email"),
+        F.col("pii_hits.ipv4").alias("n_ipv4"),
+        F.col("pii_hits.ssn_like").alias("n_ssn"),
+    ).orderBy("doc_id")
 
 
 def q_perplexity(spark, sf_dir):
@@ -374,10 +421,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_event_windows": q_daily_event_windows,
         "langid_documents": q_langid,
         "quality_flags": q_quality_flags,
-        # rows-only (hash-based / pipeline ops, no SQL oracle by design)
-        "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_dedup,
         "fingerprints": q_fingerprints,
+        "pii_scrub_documents": q_pii_scrub_documents,
+        # rows-only, each with its reason no SQL oracle exists:
+        # - minhash_near_dups: xxhash64 signatures (no DuckDB twin);
+        #   its exact-Jaccard twin jaccard_pairs_exact IS oracle-checked
+        #   and determinism-across-partitioning is unit-tested
+        # - perplexity: numpy char-trigram model, not SQL-expressible;
+        #   determinism + ordering contracts unit-tested
+        # - lsh_topk: approximate by construction; its exact twin
+        #   ann_topk_cosine is oracle-checked, recall bound unit-tested
+        # - corpus_pipeline / pii_scrub_hashes: run on the synthetic
+        #   webpage corpus (BASELINE input shape) which DuckDB's parquet
+        #   views cannot see; the scrub bytes + counts are oracle-checked
+        #   on real tables via pii_scrub_documents above
+        "minhash_near_dups": q_minhash_near_dups,
         "perplexity": q_perplexity,
         "lsh_topk": q_lsh_topk,
         "corpus_pipeline": q_corpus_pipeline,
@@ -508,6 +567,60 @@ def oracle_sql() -> dict[str, str]:
                    round(len(regexp_extract_all(text, '[A-Za-zА-яЀ-ӿÀ-ÿ]')) * 1.0
                          / greatest(length(text), 1), 4) AS alpha_char_frac
             FROM w ORDER BY doc_id
+        """,
+        "fingerprints": r"""
+            WITH w AS (
+              SELECT doc_id, text,
+                     greatest(length(text), 1)::DOUBLE AS n_chars,
+                     greatest(len(list_filter(string_split_regex(text, '\s+'),
+                                              x -> length(x) > 0)), 1)::DOUBLE AS nw
+              FROM documents WHERE doc_id < 100),
+            s AS (
+              SELECT doc_id,
+                len(regexp_extract_all(text, '[A-Za-zА-яЀ-ӿÀ-ÿ]')) / n_chars AS alpha_frac,
+                least(len(regexp_extract_all(text,
+                  '(?i)\b(?:the|be|to|of|and|that|have|with|и|в|не|на|le|la|et|der|die|und|el|los|que)\b'))
+                  / nw * 5.0, 1.0) AS stop_frac,
+                least(nw / 50.0, 1.0) AS len_score,
+                1.0 - least(abs(len(regexp_extract_all(text, '[.!?]')) / nw - 0.08)
+                            * 5.0, 1.0) AS punct_score
+              FROM w)
+            SELECT doc_id,
+                   round(alpha_frac * 0.35 + stop_frac * 0.25
+                         + len_score * 0.25 + punct_score * 0.15, 6) AS quality_score,
+                   TRUE AS fp_stable
+            FROM s ORDER BY doc_id
+        """,
+        "pii_scrub_documents": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id || '@example.com'
+                     || CASE WHEN doc_id % 2 = 0
+                             THEN ' ip 10.0.' || (doc_id % 250) || '.7'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 3 = 0
+                             THEN ' ssn 123-45-' || lpad(doc_id::VARCHAR, 4, '0')
+                             ELSE '' END AS t
+              FROM documents WHERE doc_id < 200),
+            scrubbed AS (
+              SELECT doc_id, t,
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(t,
+                           '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                         '(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])',
+                         '<IP>', 'g'),
+                       '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g') AS s
+              FROM base)
+            SELECT doc_id, sha256(s) AS scrub_sha256,
+                   len(regexp_extract_all(t,
+                     '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS n_email,
+                   len(regexp_extract_all(t,
+                     '(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])')) AS n_ipv4,
+                   len(regexp_extract_all(t,
+                     '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS n_ssn
+            FROM scrubbed ORDER BY doc_id
         """,
         "simhash_near_dups": r"""
             WITH docs AS (

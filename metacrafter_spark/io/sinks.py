@@ -48,6 +48,54 @@ def write_report(report: dict[str, Any], path: str, *,
         raise ValueError(f"unsupported report format {fmt!r}")
 
 
+def write_db_report(reports: dict[str, dict[str, Any]], path: str, *,
+                    fmt: str = "json", short: bool = False,
+                    stats_only: bool = False) -> None:
+    """Multi-table report aggregation (core.py:818-878 `_write_db_results`):
+    json/yaml emit one aggregated entry per table ({table, results,
+    fields, stats} — or {table, stats, stats_table} when stats_only);
+    csv prefixes every row with the table name."""
+    header = ["key", "ftype", "tags", "matches", "datatype_url"]
+    if fmt == "csv":
+        with open(path, "w", encoding="utf8", newline="") as f:
+            w = csv.writer(f)
+            if stats_only:
+                from metacrafter_spark.analyzer import STATS_HEADERS
+
+                w.writerow(["table"] + STATS_HEADERS)
+                for table, report in reports.items():
+                    for row in report.get("stats_table", []) or []:
+                        w.writerow([table] + [str(v) for v in row])
+            else:
+                w.writerow(["table"] + header)
+                for table, report in reports.items():
+                    for row in report_rows(report, short):
+                        w.writerow([table] + [str(v) for v in row])
+        return
+    aggregated = []
+    for table, report in reports.items():
+        entry: dict[str, Any] = {"table": table}
+        if stats_only:
+            entry["stats"] = report.get("stats", {})
+            entry["stats_table"] = report.get("stats_table", [])
+        else:
+            entry["results"] = report_rows(report, short)
+            entry["fields"] = report.get("data", [])
+            entry["stats"] = report.get("stats", {})
+        aggregated.append(entry)
+    if fmt == "json":
+        with open(path, "w", encoding="utf8") as f:
+            json.dump(aggregated, f, ensure_ascii=False, indent=1, default=str)
+    elif fmt == "yaml":
+        import yaml
+
+        with open(path, "w", encoding="utf8") as f:
+            yaml.safe_dump(aggregated, f, allow_unicode=True, sort_keys=False,
+                           default_flow_style=False)
+    else:
+        raise ValueError(f"unsupported report format {fmt!r}")
+
+
 def write_table(df: DataFrame, path: str, *, fmt: str = "parquet",
                 mode: str = "overwrite",
                 partition_by: Optional[list[str]] = None) -> None:

@@ -259,6 +259,21 @@ def scan_bulk(spark: SparkSession, dirname: str, *,
     return out
 
 
+def scan_db(
+    spark: SparkSession, url: str, tables: list[str], *,
+    properties: Optional[dict] = None, **kw,
+) -> dict[str, DataFrame]:
+    """Multi-table DB scan (core.py:1824-2175 scan_db analogue): one
+    DataFrame per table, ready for per-table ``scan_dataframe`` +
+    ``io.sinks.write_db_report`` aggregation.  The reference inspects
+    the schema via SQLAlchemy; Spark-side we take the table list
+    explicitly (or query the DB's information_schema upstream)."""
+    return {
+        t: scan_jdbc(spark, url, t, properties=properties, **kw)
+        for t in tables
+    }
+
+
 def scan_jdbc(
     spark: SparkSession, url: str, table: str, *,
     properties: Optional[dict] = None,

@@ -1,0 +1,85 @@
+"""JDBC scan executed for real (embedded Apache Derby, bundled with
+Spark) + the multi-table DB report sink (core.py:818-878 analogue)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from metacrafter_spark.io.sinks import write_db_report
+from metacrafter_spark.io.sources import scan_db, scan_jdbc
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+@pytest.fixture(scope="module")
+def derby(spark, tmp_path_factory):
+    """A real embedded-Derby database with two tables written via
+    Spark's JDBC writer."""
+    db = tmp_path_factory.mktemp("derby") / "db"
+    url = f"jdbc:derby:{db};create=true"
+    props = {"driver": DERBY_DRIVER}
+    people = spark.range(0, 100).select(
+        F.col("id"),
+        F.concat(F.lit("user"), F.col("id").cast("string"),
+                 F.lit("@example.com")).alias("email"),
+        (F.col("id") % 2 == 0).cast("string").alias("active"),
+    )
+    orders = spark.range(0, 40).select(
+        F.col("id").alias("order_id"),
+        (F.col("id") % 7).cast("string").alias("status"),
+    )
+    for name, df in [("people", people), ("orders", orders)]:
+        (df.write.format("jdbc").option("url", url)
+         .option("dbtable", name).option("driver", DERBY_DRIVER)
+         .mode("overwrite").save())
+    return url, props
+
+
+def test_scan_jdbc_roundtrip_partitioned(spark, derby):
+    url, props = derby
+    out = scan_jdbc(
+        spark, url, "people", properties=props,
+        partition_column="id", num_partitions=4,
+        lower_bound=0, upper_bound=100,
+    )
+    assert out.count() == 100
+    # the read plan is genuinely partitioned (4 JDBC range splits)
+    assert out.rdd.getNumPartitions() == 4
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[7]["email"] == "user7@example.com"
+
+
+def test_scan_db_classify_and_db_report(spark, derby, tmp_path):
+    url, props = derby
+    from metacrafter_spark.scanner import scan_dataframe
+
+    frames = scan_db(spark, url, ["people", "orders"], properties=props)
+    reports = {t: scan_dataframe(df) for t, df in frames.items()}
+    # the email column must be classified after the JDBC round-trip
+    email_matches = {
+        m["ruleid"]
+        for rec in reports["people"]["data"] if rec["field"] == "email"
+        for m in rec["matches"]
+    }
+    assert email_matches, reports["people"]["data"]
+
+    p = tmp_path / "db_report.json"
+    write_db_report(reports, str(p), fmt="json")
+    agg = json.loads(p.read_text())
+    assert {e["table"] for e in agg} == {"people", "orders"}
+    by = {e["table"]: e for e in agg}
+    assert any(r[0] == "email" for r in by["people"]["results"])
+    assert "stats" in by["orders"] and by["orders"]["stats"]
+
+    pc = tmp_path / "db_report.csv"
+    write_db_report(reports, str(pc), fmt="csv", short=True)
+    lines = pc.read_text().splitlines()
+    assert lines[0].startswith("table,")
+    assert all(line.split(",")[0] in {"people", "orders"} for line in lines[1:])
+
+    ps = tmp_path / "db_stats.csv"
+    write_db_report(reports, str(ps), fmt="csv", stats_only=True)
+    assert len(ps.read_text().splitlines()) > 3
