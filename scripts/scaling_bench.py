@@ -43,7 +43,10 @@ spark.sparkContext.setLogLevel("ERROR")
 if job == "pipeline":
     from metacrafter_spark.corpus.pipeline import classify_corpus
     from metacrafter_spark.corpus.webpages import synth_webpages
-    src = synth_webpages(spark, n_docs, seed=42, partitions=cores).cache()
+    # 4 partitions per core: with partitions == cores one straggler
+    # partition idles the whole arm's tail; 4x slack lets the scheduler
+    # rebalance (same setting a real cluster job would use)
+    src = synth_webpages(spark, n_docs, seed=42, partitions=cores * 4).cache()
     units = src.count()
     df = classify_corpus(src)
 else:  # sha2 ceiling calibration
