@@ -83,3 +83,55 @@ def stream_classify(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def stream_domain_windows(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    *,
+    window: str = "1 day",
+    watermark: str = "2 days",
+    available_now: bool = True,
+):
+    """Event-time windowed per-domain counts with a late-data watermark.
+
+    The stateful-streaming counterpart of ``salted_domain_stats``:
+    ``withWatermark(warc_ts)`` bounds state (documents later than the
+    watermark are dropped, finalized windows are evicted), the windowed
+    groupBy aggregates per (event-time window, domain), and append mode
+    emits each window exactly once — when the watermark passes its end —
+    into an exactly-once file sink (checkpoint + _spark_metadata).
+    Windows still inside the watermark stay in state for the NEXT run
+    over the same checkpoint, so late arrivals within the allowance are
+    counted, not duplicated."""
+    from pyspark.sql import functions as F
+
+    from metacrafter_spark.corpus.pipeline import domain_of
+
+    stream = read_webpage_stream(spark, input_path)
+    agg = (
+        stream.withColumn("domain", domain_of(F.col("url")))
+        .withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("win"), "domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("n_chars"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "domain", "n_docs", "n_chars",
+        )
+    )
+    writer = (
+        agg.writeStream.outputMode("append").format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

@@ -1,0 +1,45 @@
+"""Analyzer scale guards: bounded driver-side dictvalues, hash-keyed
+stats equivalence across partitionings."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from metacrafter_spark.analyzer import analyzed_columns, compute_stats
+
+
+def _frame(spark, n=400, parts=4):
+    return (
+        spark.range(n)
+        .repartition(parts)
+        .select(
+            F.concat(F.lit("cat"), (F.col("id") % 20).cast("string")).alias("cat"),
+            F.col("id").cast("string").alias("uid"),
+            F.col("id").alias("__row_seq"),
+        )
+    )
+
+
+def test_max_dictvalues_caps_driver_collection(spark):
+    df = _frame(spark)
+    cols = analyzed_columns(df)
+    stats, _ = compute_stats(df, cols, max_dictvalues=5)
+    dv = stats["cat"].dictvalues
+    assert len(dv) == 5
+    # first-seen order: ids 0..4 in __row_seq order
+    assert dv == [f"cat{i}" for i in range(5)]
+    assert stats["uid"].dictvalues is None  # 100% unique, not a dict col
+
+    # uncapped (reference behavior) returns all 20, same prefix order
+    full, _ = compute_stats(df, cols, max_dictvalues=None)
+    assert len(full["cat"].dictvalues) == 20
+    assert full["cat"].dictvalues[:5] == dv
+
+
+def test_stats_invariant_across_partitioning(spark):
+    a, _ = compute_stats(_frame(spark, parts=1),
+                         analyzed_columns(_frame(spark, parts=1)))
+    b, _ = compute_stats(_frame(spark, parts=13),
+                         analyzed_columns(_frame(spark, parts=13)))
+    for k in a:
+        assert a[k].as_dict() == b[k].as_dict(), k

@@ -39,6 +39,53 @@ def test_stream_classify_drains_and_checkpoints(spark, tmp_path):
     assert batch == stream
 
 
+def test_stream_domain_windows_watermark(spark, tmp_path):
+    """Event-time windowed agg with watermark: append mode emits each
+    finalized (window, domain) exactly once; re-running over the same
+    checkpoint emits nothing new; counts never exceed the input."""
+    from metacrafter_spark.corpus.pipeline import domain_of
+    from metacrafter_spark.corpus.streaming import stream_domain_windows
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    corpus = synth_webpages(spark, 400, partitions=16)
+    corpus.write.parquet(src)  # 16 files -> >=2 micro-batches (8/trigger)
+
+    # synth warc_ts spans ~4 hours of event time at 400 docs, so use
+    # 10-minute windows with a 5-minute allowance: the second micro-batch
+    # advances the watermark past most windows' ends and finalizes them
+    stream_domain_windows(spark, src, out, ckpt,
+                          window="10 minutes", watermark="5 minutes")
+    got = spark.read.parquet(out)
+    n1 = got.agg(F.sum("n_docs")).first()[0] or 0
+    # multiple batches advance the watermark, so finalized windows exist,
+    # but windows inside the 2-day allowance are legitimately still open
+    assert 0 < n1 <= 400
+    assert got.count() == got.select("win_start", "domain").distinct().count()
+    domains = {r["domain"] for r in got.select("domain").distinct().collect()}
+    true_domains = {
+        r["d"] for r in corpus.select(domain_of(F.col("url")).alias("d"))
+        .distinct().collect()
+    }
+    assert domains <= true_domains and len(domains) > 1
+    # exactly-once: a replayed drain over the same checkpoint adds nothing
+    stream_domain_windows(spark, src, out, ckpt,
+                          window="10 minutes", watermark="5 minutes")
+    assert (spark.read.parquet(out).agg(F.sum("n_docs")).first()[0] or 0) == n1
+    # every emitted (window, domain) count matches the batch ground truth
+    truth = {
+        (r["w"], r["d"]): r["n"]
+        for r in corpus.select(
+            F.window("warc_ts", "10 minutes").alias("win"),
+            domain_of(F.col("url")).alias("d"),
+        ).select(F.col("win.start").alias("w"), "d")
+        .groupBy("w", "d").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for r in got.collect():
+        assert truth[(r["win_start"], r["domain"])] == r["n_docs"]
+
+
 def test_cli_scan_file(tmp_path, capsys, spark):
     # reuse the session fixture so the CLI's getOrCreate attaches to it
     from metacrafter_spark.cli import main
