@@ -38,6 +38,19 @@ class SpanRule:
     validator: Optional[Callable[[str], bool]] = None  # e.g. Luhn
 
 
+def _iban_ok(s: str) -> bool:
+    """ISO 13616 mod-97 check (letters → 10..35, rotate first 4 chars)."""
+    s = re.sub(r"\s", "", s)
+    if not 15 <= len(s) <= 34:
+        return False
+    t = s[4:] + s[:4]
+    try:
+        num = "".join(str(int(c, 36)) for c in t)
+    except ValueError:
+        return False
+    return int(num) % 97 == 1
+
+
 def _luhn_ok(digits: str) -> bool:
     ds = [int(c) for c in re.sub(r"\D", "", digits)]
     if not 13 <= len(ds) <= 19:
@@ -105,6 +118,35 @@ WEB_PII_RULES: tuple[SpanRule, ...] = (
         "ru_snils",
         r"(?<!\d)\d{3}-\d{3}-\d{3}[ \-]\d{2}(?!\d)",
         "<SNILS>",
+    ),
+    # appended AFTER the original rules: rule order is part of the
+    # byte-identical scrub contract, and none of these match the earlier
+    # rules' replacement tokens, so pre-existing outputs are unchanged
+    SpanRule(
+        # before ipv6: a colon-separated MAC is also a syntactically valid
+        # IPv6 fragment; exactly six 2-hex groups is the more specific read
+        "mac",
+        r"(?<![0-9A-Fa-f:-])(?:[0-9A-Fa-f]{2}:){5}[0-9A-Fa-f]{2}(?![0-9A-Fa-f:])",
+        "<MAC>",
+    ),
+    SpanRule(
+        "ipv6",
+        # ≥3 colon-separated hex groups (full or ::-compressed) — the
+        # group minimum keeps clock times like 12:30:05 unscathed
+        r"(?<![0-9A-Fa-f:.])(?:[0-9A-Fa-f]{1,4}:){3,7}"
+        r"(?:[0-9A-Fa-f]{1,4}|:(?:[0-9A-Fa-f]{1,4}:?){0,4})(?![0-9A-Fa-f:])",
+        "<IPV6>",
+    ),
+    SpanRule(
+        "iban",
+        r"\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\b",
+        "<IBAN>",
+        validator=_iban_ok,
+    ),
+    SpanRule(
+        "aws_key_id",
+        r"\b(?:AKIA|ASIA)[0-9A-Z]{16}\b",
+        "<AWSKEY>",
     ),
 )
 
