@@ -405,6 +405,22 @@ def q_lsh_topk(spark, sf_dir):
     )
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k (train-on-sample spherical k-means →
+    cell-bucketed search).  Approximate by construction — the exact twin
+    ann_topk_cosine is oracle-checked; recall≥0.8 is unit-tested."""
+    from metacrafter_spark.ops.similarity import ivf_topk, train_ivf_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(emb, nlist=16, sample=2048, seed=42)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return ivf_topk(queries, emb, cents, k=5, nprobe=3).select(
+        "qid", "vec_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
 def q_corpus_pipeline(spark, sf_dir):
     """Full keep/drop+scrub pipeline on the deterministic synthetic
     corpus (BASELINE.json input shape; not SQL-expressible)."""
@@ -468,6 +484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": q_minhash_near_dups,
         "perplexity": q_perplexity,
         "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "corpus_pipeline": q_corpus_pipeline,
         "pii_scrub_hashes": q_pii_scrub,
     }

@@ -113,6 +113,83 @@ def lsh_topk(
     )
 
 
+def train_ivf_centroids(
+    emb: DataFrame, nlist: int = 16, *, sample: int = 4096, iters: int = 10,
+    seed: int = 42, vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Train IVF centroids: spherical k-means (Lloyd, cosine) over a
+    BOUNDED sample pulled to the driver — `sample` rows regardless of
+    corpus size (the standard IVF recipe: train on a sample, assign
+    distributively).  Deterministic for a fixed (seed, sample)."""
+    rows = emb.select(vec_col).limit(sample).collect()
+    x = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    n = np.linalg.norm(x, axis=1, keepdims=True)
+    x = x / np.where(n == 0, 1.0, n)
+    rng = np.random.default_rng(seed)
+    nlist = min(nlist, len(x))
+    cent = x[rng.choice(len(x), nlist, replace=False)].copy()
+    for _ in range(iters):
+        assign = (x @ cent.T).argmax(axis=1)
+        for j in range(nlist):
+            members = x[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                nm = np.linalg.norm(m)
+                if nm > 0:
+                    cent[j] = m / nm
+    return [[float(v) for v in c] for c in cent]
+
+
+def ivf_cell_udf(centroids: list[list[float]], nprobe: int = 1):
+    """argmax/top-nprobe centroid assignment — one numpy matmul per
+    Arrow batch.  Returns array<int> of the nprobe nearest cell ids."""
+    c = np.array(centroids, dtype=np.float64).T  # dim × nlist
+
+    @pandas_udf("array<int>")
+    def cells(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        sims = (m / np.where(n == 0, 1.0, n)) @ c
+        k = min(nprobe, sims.shape[1])
+        top = np.argpartition(-sims, k - 1, axis=1)[:, :k].astype(np.int32)
+        return pd.Series(list(top), index=vecs.index).map(lambda a: a.tolist())
+
+    return cells
+
+
+def ivf_topk(
+    queries: DataFrame, corpus: DataFrame, centroids: list[list[float]],
+    k: int = 5, nprobe: int = 2,
+    qid: str = "qid", cid: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their nearest
+    centroid's cell (one int per vector); each query probes its nprobe
+    nearest cells and re-ranks candidates with exact cosine.  The join
+    carries (cell, id, vec) — candidates per query drop from N to
+    ~N·nprobe/nlist, and the shuffle key is the cell id.
+    Raise nlist with corpus size (N/√N cells is the classic setting) and
+    nprobe for recall."""
+    assign1 = ivf_cell_udf(centroids, nprobe=1)
+    assignp = ivf_cell_udf(centroids, nprobe=nprobe)
+    c = corpus.select(
+        F.col(cid), F.col(vec_col).cast("array<double>").alias("cv"),
+        F.element_at(assign1(F.col(vec_col)), 1).alias("cell"),
+    )
+    q = queries.select(
+        F.col(qid), F.col(vec_col).cast("array<double>").alias("qv"),
+        F.explode(assignp(F.col(vec_col))).alias("cell"),
+    )
+    scored = c.join(F.broadcast(q), "cell").withColumn(
+        "cosine", cosine(F.col("qv"), F.col("cv"))
+    )
+    w = Window.partitionBy(qid).orderBy(F.desc("cosine"), F.col(cid))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid, cid, "cosine", "rank")
+    )
+
+
 def cosine_near_dup_pairs(
     emb: DataFrame, threshold: float = 0.95, bits: int = 8, seed: int = 42,
     id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 0,

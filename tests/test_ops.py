@@ -108,6 +108,33 @@ def test_lsh_topk_recall(spark):
     assert recall >= 0.6, recall  # same-cluster buckets dominate
 
 
+def test_ivf_topk_recall(spark):
+    from metacrafter_spark.ops.similarity import ivf_topk, train_ivf_centroids
+
+    emb = _embeddings(spark, n=200)
+    cents = train_ivf_centroids(emb, nlist=8, sample=256, seed=42)
+    # deterministic: same inputs → same centroids
+    assert cents == train_ivf_centroids(emb, nlist=8, sample=256, seed=42)
+    queries = emb.filter("vec_id < 4").select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    exact = topk_join(queries, emb, k=5)
+    approx = ivf_topk(queries, emb, cents, k=5, nprobe=2)
+    e = {(r.qid, r.vec_id) for r in exact.collect()}
+    a = {(r.qid, r.vec_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # 4 natural clusters, 8 cells, 2 probes → same-cluster cells dominate
+    assert recall >= 0.8, recall
+    # per-query result is a proper ranked top-k
+    by_q = {}
+    for r in approx.collect():
+        by_q.setdefault(r.qid, []).append((r.rank, r.cosine))
+    for ranks in by_q.values():
+        ranks.sort()
+        assert [r for r, _ in ranks] == list(range(1, len(ranks) + 1))
+        assert all(ranks[i][1] >= ranks[i + 1][1] for i in range(len(ranks) - 1))
+
+
 def test_cosine_near_dup(spark):
     emb = _embeddings(spark)
     pairs = cosine_near_dup_pairs(emb, threshold=0.999, bits=4)
