@@ -56,18 +56,35 @@ def main() -> None:
         ["PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]", "ReadSchema"],
     ))
 
-    # 2. stats aggregation: one pass, partial+final, no Exchange of raw rows
-    cols = analyzed_columns(docs.select("lang", "source"))
-    ndf = with_normalized_columns(docs.select("lang", "source"), cols)
-    agg = ndf.agg(
-        F.count("c0__vs").alias("t"), F.countDistinct("c0__vs").alias("u"),
-        F.min(F.length("c0__vs")).alias("mn"), F.max(F.length("c0__vs")).alias("mx"),
+    # 2. stats long-frame phase 1: the shuffle key is (c, h1, h2) — the
+    # 128-bit value hash — and the exchange rows are fixed-width partial
+    # aggregates; the raw TEXT column never rides the shuffle (it is
+    # consumed map-side by the per-value fact expressions)
+    from metacrafter_spark.analyzer import ROW_SEQ, _raw_long_frame
+
+    stats_src = docs.select("lang", "source", "text").withColumn(
+        ROW_SEQ, F.monotonically_increasing_id()
     )
+    scols = analyzed_columns(stats_src)
+    long = _raw_long_frame(stats_src, scols, ["", "None"])
+    g0 = long.groupBy("c", "h1", "h2").agg(
+        F.count(F.lit(1)).alias("n"), F.max("k").alias("k"),
+        F.max("ln").alias("ln"), F.sum("dn").alias("dn"),
+    )
+    stats_plan = plan_of(g0)
     sections.append((
-        "Stats aggregation (hash agg partial+final over normalized columns)",
-        plan_of(agg),
-        ["HashAggregate"],
+        "Stats phase 1 (map-side facts; shuffle keyed on 128-bit value "
+        "hash — raw text must NOT appear in the Exchange)",
+        stats_plan,
+        ["xxhash64", "Exchange"],
     ))
+    import re as _re
+
+    blocks = _re.findall(r"\(\d+\) Exchange\n(?:Input \[\d+\]: \[[^\]]*\])",
+                         stats_plan)
+    assert blocks, "no Exchange detail block found"
+    for b in blocks:
+        assert "text#" not in b, "raw text column rides the stats shuffle!"
 
     # 3. corpus pipeline: narrow, zero Exchange
     corpus = synth_webpages(spark, 200, partitions=4)
@@ -100,6 +117,19 @@ def main() -> None:
         plan_of(pairs),
         [],
     ))
+
+    # 6. SimHash signature: each word sha-hashed ONCE (the sha array is
+    # a materialized projection; 64 parity counters reference it)
+    from metacrafter_spark.ops.dedup import with_simhash
+
+    sim = with_simhash(docs.select("doc_id", "text")).select("doc_id", "sim")
+    sim_plan = plan_of(sim)
+    sections.append((
+        "SimHash signature (sha2 must appear exactly once)",
+        sim_plan,
+        [],
+    ))
+    assert sim_plan.count("sha2") <= 2, "sha array inlined into bit loop!"
 
     out = ["# BENCH/EXPLAIN — physical-plan audit\n"]
     ok = True
