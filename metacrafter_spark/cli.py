@@ -1,6 +1,8 @@
-"""Minimal CLI — the reference's ``metacrafter scan file/data`` surface.
+"""Minimal CLI — the reference's ``metacrafter scan file/db/bulk`` surface.
 
     python -m metacrafter_spark.cli scan-file data.csv [--limit 100] ...
+    python -m metacrafter_spark.cli scan-db jdbc:derby:/x people,orders -o r.json
+    python -m metacrafter_spark.cli scan-bulk ./dir -o report.json
     python -m metacrafter_spark.cli corpus-run in.parquet out/ metrics/
 
 Kept argparse-only (no typer in this environment).
@@ -38,6 +40,29 @@ def main(argv=None) -> int:
     cr.add_argument("--resume", action="store_true")
     cr.add_argument("--cores", type=int)
 
+    sdb = sub.add_parser("scan-db", help="classify every table of a JDBC DB")
+    sdb.add_argument("url", help="JDBC url, e.g. jdbc:derby:/path/db")
+    sdb.add_argument("tables", help="comma-separated table names")
+    sdb.add_argument("--driver", help="JDBC driver class")
+    sdb.add_argument("--limit", type=int, default=1000)
+    sdb.add_argument("--output", "-o", required=True)
+    sdb.add_argument("--output-format", default="json",
+                     choices=["json", "csv", "yaml"])
+    sdb.add_argument("--short", action="store_true")
+    sdb.add_argument("--stats-only", action="store_true")
+    sdb.add_argument("--cores", type=int)
+
+    sb = sub.add_parser("scan-bulk",
+                        help="classify every supported file in a directory")
+    sb.add_argument("dirname")
+    sb.add_argument("--limit", type=int, default=100)
+    sb.add_argument("--output", "-o", required=True)
+    sb.add_argument("--output-format", default="json",
+                    choices=["json", "csv", "yaml"])
+    sb.add_argument("--short", action="store_true")
+    sb.add_argument("--stats-only", action="store_true")
+    sb.add_argument("--cores", type=int)
+
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -65,6 +90,37 @@ def main(argv=None) -> int:
             else:
                 for row in report_rows(rep, args.short):
                     print(json.dumps(row, ensure_ascii=False))
+        elif args.cmd == "scan-db":
+            from metacrafter_spark.io.sinks import write_db_report
+            from metacrafter_spark.io.sources import scan_db
+            from metacrafter_spark.scanner import scan_dataframe
+
+            props = {"driver": args.driver} if args.driver else None
+            frames = scan_db(spark, args.url,
+                             [t.strip() for t in args.tables.split(",")],
+                             properties=props)
+            reports = {
+                t: scan_dataframe(df, limit=args.limit,
+                                  stats_only=args.stats_only)
+                for t, df in frames.items()
+            }
+            write_db_report(reports, args.output, fmt=args.output_format,
+                            short=args.short, stats_only=args.stats_only)
+            print(f"wrote {args.output}")
+        elif args.cmd == "scan-bulk":
+            from metacrafter_spark.io.sinks import write_db_report
+            from metacrafter_spark.io.sources import scan_bulk
+            from metacrafter_spark.scanner import scan_dataframe
+
+            frames = scan_bulk(spark, args.dirname)
+            reports = {
+                path: scan_dataframe(df, limit=args.limit,
+                                     stats_only=args.stats_only)
+                for path, df in frames.items()
+            }
+            write_db_report(reports, args.output, fmt=args.output_format,
+                            short=args.short, stats_only=args.stats_only)
+            print(f"wrote {args.output}")
         else:
             from pyspark.sql import functions as F
 

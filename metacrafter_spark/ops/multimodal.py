@@ -1,19 +1,29 @@
-"""Multimodal column plumbing: image/audio/video as opaque binary
-columns with typed metadata.
+"""Multimodal columns: image/audio/video as opaque binary columns with
+typed metadata, processed by Arrow-batched ``mapInPandas`` kernels.
 
-The Spark-side architecture is real and tested — schemas, Arrow batch
-shapes, ``mapInPandas`` kernels, partition sizing — while the actual
-codec work is stubbed: the decode kernels either raise
-``NotImplementedError`` (``strict=True``) or produce a deterministic
-fake derived from the bytes (``strict=False``), because no image/audio
-libraries ship in this container.  Swapping in PIL/ffmpeg later only
-changes the inner function body, not the Spark plan.
+Real decoders (pure numpy/stdlib — no external media libraries):
+
+- **PPM (P6) images**: parse → H×W×3 uint8, block-mean resize,
+  8×8 grayscale feature (64-dim);
+- **WAV (RIFF PCM16) audio**: parse → int16 samples, 64-bin mean-abs
+  envelope feature;
+- **MCVF video** (a length-prefixed PPM-frame stream, the kind of raw
+  frame container a crawler sidecar would emit): per-frame decode,
+  time-spaced frame sampling, mean-frame feature.
+
+Formats that genuinely need PIL/ffmpeg (png/jpeg/mp3/mp4 …) keep the
+documented stub boundary: ``strict=True`` raises ``NotImplementedError``,
+``strict=False`` falls back to a deterministic bytes-hash feature so
+downstream plumbing (ANN, dedup) still exercises stable values.
+Swapping in PIL/ffmpeg later only changes ``_decode_external``, not the
+Spark plan: schemas, batch shapes and partitioning are unchanged.
 """
 
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator
+import struct
+from typing import Iterator, Optional
 
 import numpy as np
 import pandas as pd
@@ -25,37 +35,159 @@ MEDIA_SCHEMA = (
 )
 
 FEATURE_DIM = 64
-FEATURES_SCHEMA = f"media_id long, kind string, feature array<float>"
+FEATURES_SCHEMA = "media_id long, kind string, feature array<float>"
 FRAME_SCHEMA = "media_id long, frame_idx int, frame binary"
+_VIDEO_MAGIC = b"MCVF"
+
+
+# --------------------------------------------------------------- PPM codec
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    if not data.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # header: magic, whitespace, width, height, maxval, single ws, raster
+    parts = data.split(b"\n", 3)
+    w, h = map(int, parts[1].split())
+    raster = parts[3]
+    img = np.frombuffer(raster[: w * h * 3], dtype=np.uint8)
+    return img.reshape(h, w, 3)
+
+
+def block_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Block-mean downsample (trim to a multiple, then average blocks)."""
+    h, w = img.shape[:2]
+    if h < out_h or w < out_w:  # tiny inputs: nearest-neighbor upsample
+        yi = np.linspace(0, h - 1, out_h).astype(int)
+        xi = np.linspace(0, w - 1, out_w).astype(int)
+        return img[yi][:, xi]
+    th, tw = (h // out_h) * out_h, (w // out_w) * out_w
+    c = img[:th, :tw].reshape(out_h, th // out_h, out_w, tw // out_w, -1)
+    return c.mean(axis=(1, 3)).astype(img.dtype)
+
+
+# --------------------------------------------------------------- WAV codec
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    pcm = samples.astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(pcm), b"WAVE", b"fmt ", 16, 1, 1,
+        rate, rate * 2, 2, 16, b"data", len(pcm),
+    )
+    return hdr + pcm
+
+
+def decode_wav(data: bytes) -> np.ndarray:
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    while pos + 8 <= len(data):
+        cid, size = data[pos:pos + 4], struct.unpack("<I", data[pos + 4:pos + 8])[0]
+        if cid == b"data":
+            return np.frombuffer(data[pos + 8:pos + 8 + size], dtype="<i2")
+        pos += 8 + size + (size & 1)
+    raise ValueError("no data chunk")
+
+
+# ------------------------------------------------------- MCVF frame stream
+
+
+def encode_video(frames: list[np.ndarray]) -> bytes:
+    out = [_VIDEO_MAGIC, struct.pack("<H", len(frames))]
+    for f in frames:
+        ppm = encode_ppm(f)
+        out.append(struct.pack("<I", len(ppm)))
+        out.append(ppm)
+    return b"".join(out)
+
+
+def decode_video(data: bytes) -> list[np.ndarray]:
+    if data[:4] != _VIDEO_MAGIC:
+        raise ValueError("not an MCVF stream")
+    (n,) = struct.unpack("<H", data[4:6])
+    pos, frames = 6, []
+    for _ in range(n):
+        (ln,) = struct.unpack("<I", data[pos:pos + 4])
+        frames.append(decode_ppm(data[pos + 4:pos + 4 + ln]))
+        pos += 4 + ln
+    return frames
+
+
+# ------------------------------------------------------------ feature path
+
+
+def _image_feature(img: np.ndarray) -> np.ndarray:
+    gray = img.mean(axis=2)
+    return (block_resize(gray[..., None], 8, 8).reshape(64) / 255.0).astype(
+        np.float32
+    )
+
+
+def _audio_feature(samples: np.ndarray) -> np.ndarray:
+    if len(samples) == 0:
+        return np.zeros(FEATURE_DIM, dtype=np.float32)
+    n = (len(samples) // FEATURE_DIM) * FEATURE_DIM
+    if n == 0:
+        env = np.abs(samples.astype(np.float64))
+        env = np.pad(env, (0, FEATURE_DIM - len(env)))
+        return (env / 32768.0).astype(np.float32)
+    env = np.abs(samples[:n].astype(np.float64)).reshape(FEATURE_DIM, -1).mean(axis=1)
+    return (env / 32768.0).astype(np.float32)
 
 
 def _fake_decode(content: bytes) -> np.ndarray:
-    """Deterministic stand-in for a real decoder: bytes → feature vector.
-
-    Real implementation would decode pixels/samples; the fake hashes the
-    payload into FEATURE_DIM floats so downstream plumbing (ANN, dedup)
-    is exercised with stable values."""
+    """Deterministic stand-in for codecs that need PIL/ffmpeg: bytes →
+    stable FEATURE_DIM floats (hash-seeded)."""
     h = hashlib.sha256(content).digest()
     seed = int.from_bytes(h[:8], "big") % (2**32)
     rng = np.random.default_rng(seed)
     return rng.standard_normal(FEATURE_DIM).astype(np.float32)
 
 
+def _decode_external(content: bytes, strict: bool) -> np.ndarray:
+    if strict:
+        raise NotImplementedError(
+            "media decode for this format requires PIL/ffmpeg — not "
+            "available in this container; run with strict=False for the "
+            "deterministic fallback"
+        )
+    return _fake_decode(content)
+
+
+def _feature_of(content: Optional[bytes], strict: bool) -> Optional[list]:
+    if content is None:
+        return None
+    data = bytes(content)
+    try:
+        if data.startswith(b"P6"):
+            return _image_feature(decode_ppm(data)).tolist()
+        if data[:4] == b"RIFF":
+            return _audio_feature(decode_wav(data)).tolist()
+        if data[:4] == _VIDEO_MAGIC:
+            frames = decode_video(data)
+            mean = np.stack(frames).mean(axis=0) if frames else np.zeros((8, 8, 3))
+            return _image_feature(mean.astype(np.uint8)).tolist()
+    except ValueError:
+        pass
+    return _decode_external(data, strict).tolist()
+
+
 def extract_features(df: DataFrame, *, strict: bool = False) -> DataFrame:
-    """binary content → feature vectors via mapInPandas (Arrow batches)."""
+    """binary content → 64-dim feature vectors via mapInPandas.
+
+    PPM/WAV/MCVF payloads are decoded for real (pure numpy); unknown
+    codecs raise under ``strict=True`` or hash-fallback otherwise."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            if strict:
-                raise NotImplementedError(
-                    "media decode requires PIL/ffmpeg — not available in "
-                    "this container; run with strict=False for the "
-                    "deterministic fake decoder"
-                )
-            feats = [
-                _fake_decode(bytes(c)).tolist() if c is not None else None
-                for c in b["content"]
-            ]
+            feats = [_feature_of(c, strict) for c in b["content"]]
             yield pd.DataFrame(
                 {"media_id": b["media_id"], "kind": b["kind"], "feature": feats}
             )
@@ -65,23 +197,61 @@ def extract_features(df: DataFrame, *, strict: bool = False) -> DataFrame:
     )
 
 
-def sample_frames(df: DataFrame, every_ms: int = 1000, *, strict: bool = False) -> DataFrame:
-    """video rows → sampled frame rows (stubbed frame extraction)."""
+def resize_images(df: DataFrame, out_w: int = 32, out_h: int = 32,
+                  *, strict: bool = False) -> DataFrame:
+    """Decode PPM images, block-mean resize, re-encode — real pixels in,
+    real pixels out.  Non-PPM image payloads follow the strict/fallback
+    contract (fallback: content passed through unchanged)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            if strict:
-                raise NotImplementedError("frame sampling requires ffmpeg")
+            out = []
+            for c in b["content"]:
+                data = bytes(c) if c is not None else None
+                if data is None:
+                    out.append(None)
+                elif data.startswith(b"P6"):
+                    out.append(encode_ppm(block_resize(decode_ppm(data),
+                                                       out_h, out_w)))
+                else:
+                    _decode_external(data, strict)
+                    out.append(data)
+            yield pd.DataFrame({"media_id": b["media_id"], "content": out})
+
+    return df.filter(F.col("kind") == "image").select(
+        "media_id", "content"
+    ).mapInPandas(kernel, "media_id long, content binary")
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000, *,
+                  strict: bool = False) -> DataFrame:
+    """video rows → time-spaced frame rows.  MCVF streams yield REAL
+    frame bytes (PPM); unknown containers follow strict/fallback
+    (fallback: deterministic 32-byte digests as frame stand-ins)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
             out = {"media_id": [], "frame_idx": [], "frame": []}
-            for mid, dur, content in zip(b["media_id"], b["duration_ms"], b["content"]):
-                n = max(int((dur or 0) // every_ms), 1)
-                payload = bytes(content or b"")
-                for i in range(min(n, 16)):
-                    out["media_id"].append(mid)
-                    out["frame_idx"].append(i)
-                    out["frame"].append(
-                        hashlib.sha256(payload + i.to_bytes(4, "big")).digest()
-                    )
+            for mid, dur, content in zip(b["media_id"], b["duration_ms"],
+                                         b["content"]):
+                data = bytes(content or b"")
+                n_wanted = max(int((dur or 0) // every_ms), 1)
+                if data[:4] == _VIDEO_MAGIC:
+                    frames = decode_video(data)
+                    idxs = np.linspace(0, len(frames) - 1,
+                                       min(n_wanted, len(frames))).astype(int)
+                    for j, fi in enumerate(idxs):
+                        out["media_id"].append(mid)
+                        out["frame_idx"].append(j)
+                        out["frame"].append(encode_ppm(frames[fi]))
+                else:
+                    _decode_external(data, strict)
+                    for i in range(min(n_wanted, 16)):
+                        out["media_id"].append(mid)
+                        out["frame_idx"].append(i)
+                        out["frame"].append(
+                            hashlib.sha256(data + i.to_bytes(4, "big")).digest()
+                        )
             yield pd.DataFrame(out)
 
     return df.filter(F.col("kind") == "video").select(
@@ -90,9 +260,31 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, *, strict: bool = False) 
 
 
 def synth_media(spark, n: int, seed: int = 42, partitions: int = 4) -> DataFrame:
-    """Deterministic fake media table matching MEDIA_SCHEMA."""
+    """Deterministic media table with REAL payloads: P6 PPM images, RIFF
+    PCM16 WAV audio, MCVF frame-stream video — every byte a pure
+    function of (seed, media_id)."""
     kinds = ["image", "audio", "video"]
-    mimes = {"image": "image/png", "audio": "audio/mpeg", "video": "video/mp4"}
+    mimes = {"image": "image/x-portable-pixmap", "audio": "audio/wav",
+             "video": "video/x-mcvf"}
+
+    def _payload(i: int, kind: str) -> tuple[bytes, Optional[int],
+                                             Optional[int], Optional[int]]:
+        rng = np.random.default_rng((seed << 20) ^ i)
+        if kind == "image":
+            w, h = 16 * (1 + i % 8), 16 * (1 + i % 6)
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            return encode_ppm(img), w, h, None
+        if kind == "audio":
+            dur = 200 * (1 + i % 10)
+            t = np.arange(int(16000 * dur / 1000))
+            freq = 200 + (i % 20) * 40
+            wave = (np.sin(2 * np.pi * freq * t / 16000) * 12000
+                    + rng.normal(0, 500, len(t)))
+            return encode_wav(wave.astype(np.int16)), None, None, dur
+        n_frames = 2 + i % 6
+        frames = [rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+                  for _ in range(n_frames)]
+        return encode_video(frames), 16, 16, n_frames * 1000
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -100,13 +292,11 @@ def synth_media(spark, n: int, seed: int = 42, partitions: int = 4) -> DataFrame
             for i in b["id"]:
                 i = int(i)
                 kind = kinds[i % 3]
-                payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (4 + i % 5)
+                content, w, h, dur = _payload(i, kind)
                 rows.append({
                     "media_id": i, "kind": kind, "mime": mimes[kind],
-                    "width": 64 * (1 + i % 8) if kind == "image" else None,
-                    "height": 64 * (1 + i % 6) if kind == "image" else None,
-                    "duration_ms": 1000 * (1 + i % 30) if kind != "image" else None,
-                    "content": payload,
+                    "width": w, "height": h, "duration_ms": dur,
+                    "content": content,
                 })
             yield pd.DataFrame(rows)
 

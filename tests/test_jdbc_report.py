@@ -83,3 +83,35 @@ def test_scan_db_classify_and_db_report(spark, derby, tmp_path):
     ps = tmp_path / "db_stats.csv"
     write_db_report(reports, str(ps), fmt="csv", stats_only=True)
     assert len(ps.read_text().splitlines()) > 3
+
+
+def test_cli_scan_db(spark, derby, tmp_path):
+    from metacrafter_spark.cli import main
+
+    url, _props = derby
+    out = tmp_path / "cli_db.json"
+    rc = main(["scan-db", url, "people,orders",
+               "--driver", DERBY_DRIVER, "-o", str(out)])
+    assert rc == 0
+    agg = json.loads(out.read_text())
+    assert {e["table"] for e in agg} == {"people", "orders"}
+
+
+def test_cli_scan_bulk(spark, tmp_path):
+    from metacrafter_spark.cli import main
+
+    d = tmp_path / "files"
+    d.mkdir()
+    (d / "a.csv").write_text(
+        "email,flag\n" + "\n".join(f"u{i}@ex.com,true" for i in range(20)))
+    (d / "b.csv").write_text(
+        "uuid\n" + "\n".join(
+            f"550e8400-e29b-41d4-a716-4466554400{i:02d}" for i in range(20)))
+    out = tmp_path / "bulk.json"
+    rc = main(["scan-bulk", str(d), "-o", str(out)])
+    assert rc == 0
+    agg = json.loads(out.read_text())
+    assert len(agg) == 2
+    by = {e["table"]: e for e in agg}
+    akey = next(k for k in by if k.endswith("a.csv"))
+    assert any(r[0] == "email" and "email" in r[3] for r in by[akey]["results"])

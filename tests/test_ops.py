@@ -155,15 +155,53 @@ def test_text_stats(spark, docs):
     assert by_id[0].fingerprint != by_id[102].fingerprint
 
 
-def test_multimodal_plumbing(spark):
-    media = synth_media(spark, 30)
-    feats = extract_features(media).collect()
+def test_multimodal_real_codecs(spark):
+    from metacrafter_spark.ops.multimodal import (
+        MEDIA_SCHEMA,
+        block_resize,
+        decode_ppm,
+        decode_video,
+        decode_wav,
+        resize_images,
+    )
+
+    media = synth_media(spark, 30).cache()
+    # every synth payload decodes FOR REAL — strict mode must succeed
+    feats = extract_features(media, strict=True).collect()
     assert len(feats) == 30
     assert all(len(r.feature) == 64 for r in feats)
     # deterministic: same content → same features
     again = {r.media_id: r.feature for r in extract_features(media).collect()}
     assert all(again[r.media_id] == r.feature for r in feats)
+
+    # PPM round-trip: decoded shape matches the metadata columns
+    row = media.filter("kind = 'image'").first()
+    img = decode_ppm(bytes(row.content))
+    assert img.shape == (row.height, row.width, 3)
+    # WAV round-trip: sample count matches duration at 16 kHz
+    arow = media.filter("kind = 'audio'").first()
+    samples = decode_wav(bytes(arow.content))
+    assert len(samples) == int(16000 * arow.duration_ms / 1000)
+    # video: real frames inside
+    vrow = media.filter("kind = 'video'").first()
+    assert all(f.shape == (16, 16, 3) for f in decode_video(bytes(vrow.content)))
+
+    # resize: real pixels out, exact requested shape
+    rs = resize_images(media, out_w=8, out_h=8).collect()
+    assert rs and all(decode_ppm(bytes(r.content)).shape == (8, 8, 3) for r in rs)
+    assert block_resize(img, 8, 8).shape == (8, 8, 3)
+
+    # frame sampling yields decodable PPM frames
     frames = sample_frames(media).collect()
-    assert frames and all(len(bytes(r.frame)) == 32 for r in frames)
-    with pytest.raises(Exception, match="NotImplementedError|media decode"):
-        extract_features(media, strict=True).collect()
+    assert frames and all(bytes(r.frame).startswith(b"P6") for r in frames)
+
+    # unknown codecs keep the stub boundary: strict raises, lax falls back
+    unknown = spark.createDataFrame(
+        [(900, "image", "image/png", None, None, None,
+          bytearray(b"\x89PNG\r\n\x1a\n fake"))],
+        MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="NotImplementedError|PIL/ffmpeg"):
+        extract_features(unknown, strict=True).collect()
+    lax = extract_features(unknown, strict=False).collect()
+    assert len(lax) == 1 and len(lax[0].feature) == 64
