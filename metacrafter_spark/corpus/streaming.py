@@ -85,6 +85,94 @@ def stream_classify(
     return writer.start()
 
 
+def stream_exact_dedup(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    *,
+    n_shards: int = 32,
+    bloom_bits: int = 1 << 20,
+    available_now: bool = True,
+):
+    """Custom stateful streaming operator: cross-batch exact dedup via
+    ``applyInPandasWithState``.
+
+    Documents are sharded by content hash; each shard's ``GroupState``
+    holds a fixed-size Bloom filter of every content hash ever seen on
+    that shard (``bloom_bits``/8 bytes — BOUNDED state no matter how
+    many documents flow through, the property an unbounded seen-set
+    would lose at 10¹² docs).  A document is emitted only the first
+    time its content hash is seen; Bloom false positives drop a few
+    never-seen docs instead of duplicating (the conservative direction
+    for training corpora; size ``bloom_bits`` for the expected per-shard
+    cardinality — at 1 MiB/shard and 1% FP that's ~10⁶ docs/shard).
+    State persists in the checkpoint, so dedup spans RUNS, not just
+    batches."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = read_webpage_stream(spark, input_path)
+    hashed = stream.withColumn("__h", F.sha2(F.col("text"), 256)).withColumn(
+        "__shard", F.pmod(F.xxhash64(F.col("__h")), F.lit(n_shards))
+    )
+    out_schema = WEBPAGE_DDL
+    state_schema = "bloom binary, n long"
+    n_bytes = bloom_bits // 8
+
+    def _positions(h: str) -> "np.ndarray":
+        # 4 probe positions from the (already cryptographic) content hash
+        return np.array(
+            [int(h[i * 8: i * 8 + 8], 16) % bloom_bits for i in range(4)]
+        )
+
+    def dedup_fn(key, pdfs, state: GroupState):
+        if state.exists:
+            (bloom_bytes, n_seen) = state.get
+            bloom = np.frombuffer(bytearray(bloom_bytes), dtype=np.uint8).copy()
+        else:
+            bloom, n_seen = np.zeros(n_bytes, dtype=np.uint8), 0
+        for pdf in pdfs:
+            keep_rows = []
+            batch_seen: set[str] = set()
+            for idx, h in zip(pdf.index, pdf["__h"]):
+                pos = _positions(h)
+                hit = bool(
+                    np.all(bloom[pos // 8] & (1 << (pos % 8)).astype(np.uint8))
+                )
+                if (not hit) and h not in batch_seen:
+                    keep_rows.append(idx)
+                    batch_seen.add(h)
+                    bloom[pos // 8] |= (1 << (pos % 8)).astype(np.uint8)
+                    n_seen += 1
+            if keep_rows:
+                yield pdf.loc[keep_rows].drop(columns=["__h", "__shard"])
+        state.update((bloom.tobytes(), n_seen))
+
+    deduped = hashed.groupBy("__shard").applyInPandasWithState(
+        dedup_fn, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+    def sink(batch_df, batch_id: int) -> None:
+        (batch_df.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(output_path))
+
+    writer = (
+        deduped.writeStream.outputMode("update").foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
 def stream_domain_windows(
     spark: SparkSession,
     input_path: str,

@@ -86,6 +86,32 @@ def test_stream_domain_windows_watermark(spark, tmp_path):
         assert truth[(r["win_start"], r["domain"])] == r["n_docs"]
 
 
+def test_stream_exact_dedup_stateful(spark, tmp_path):
+    """applyInPandasWithState cross-RUN dedup: the Bloom state lives in
+    the checkpoint, so a later run drops documents first seen earlier."""
+    from metacrafter_spark.corpus.streaming import stream_exact_dedup
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # run 1: docs 0..199
+    synth_webpages(spark, 200, partitions=4).write.mode("append").parquet(src)
+    stream_exact_dedup(spark, src, out, ckpt)
+    got1 = spark.read.parquet(out)
+    assert got1.count() == 200
+    assert got1.select("url").distinct().count() == 200
+
+    # run 2: docs 0..299 re-written — 200 are exact dupes of run 1
+    synth_webpages(spark, 300, partitions=4).write.mode("append").parquet(src)
+    stream_exact_dedup(spark, src, out, ckpt)
+    got2 = spark.read.parquet(out)
+    texts = [r["text"] for r in got2.select("text").collect()]
+    assert len(texts) == len(set(texts))  # no duplicate content anywhere
+    # all 300 distinct docs survived exactly once (no Bloom FP at this n)
+    assert got2.select("url").distinct().count() == 300
+    assert got2.count() == 300
+
+
 def test_cli_scan_file(tmp_path, capsys, spark):
     # reuse the session fixture so the CLI's getOrCreate attaches to it
     from metacrafter_spark.cli import main
