@@ -128,3 +128,60 @@ def test_first_match_order_is_stable():
 @pytest.mark.parametrize("value", NON_DATES)
 def test_non_dates_do_not_match(value):
     assert first_match_key_index(value) == -1, value
+
+
+# ------------------------- property: strftime-rendered dates classify
+
+
+from datetime import datetime  # noqa: E402
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+# template → expected first-match key for any valid datetime
+_TEMPLATES = {
+    "%Y-%m-%d": "date:iso8601",
+    "%Y-%m-%d %H:%M:%S": "date:iso8601",
+    "%Y-%m-%dT%H:%M:%S": "date:iso8601",
+    "%d.%m.%Y": "date:dmy_dot",
+    "%d.%m.%Y %H:%M": "date:dmy_dot",
+    "%d.%m.%y": "date:dmy_dot_short",
+    "%m/%d/%Y": "date:mdy_slash",
+    "%Y/%m/%d": "date:ymd_slash",
+    "%d-%m-%Y": "date:dmy_dash",
+    "%H:%M %d.%m.%Y": "date:time_dmy_dot",
+    "%d %B %Y": "date:en_dmy",
+    "%B %d, %Y": "date:en_mdy",
+    "%B %Y": "date:en_my",
+    "%Y%m%d": "date:iso_compact",
+}
+# abbreviated-month templates: May renders identically to the full
+# month, which legitimately first-matches the full-month pattern
+_ABBR_TEMPLATES = {
+    "%d %b %Y": ("date:en_dmy_abbr", "date:en_dmy"),
+    "%b %d, %Y": ("date:en_mdy_abbr", "date:en_mdy"),
+    "%d-%b-%Y": ("date:en_dmy_abbr_dash", None),
+}
+
+_DT = st.datetimes(min_value=datetime(1900, 1, 1),
+                   max_value=datetime(2099, 12, 31, 23, 59, 59))
+
+
+@settings(max_examples=300, deadline=None)
+@given(dt=_DT, template=st.sampled_from(sorted(_TEMPLATES)))
+def test_property_rendered_dates_first_match(dt, template):
+    value = dt.strftime(template)
+    idx = first_match_key_index(value)
+    assert idx >= 0, value
+    assert pattern_key(idx) == _TEMPLATES[template], (value, pattern_key(idx))
+
+
+@settings(max_examples=150, deadline=None)
+@given(dt=_DT, template=st.sampled_from(sorted(_ABBR_TEMPLATES)))
+def test_property_abbr_month_dates_first_match(dt, template):
+    value = dt.strftime(template)
+    want, may_alias = _ABBR_TEMPLATES[template]
+    got = pattern_key(first_match_key_index(value))
+    if dt.month == 5 and may_alias:  # 'May' == full month name
+        assert got in (want, may_alias), value
+    else:
+        assert got == want, (value, got)
