@@ -220,6 +220,32 @@ def q_jaccard_pairs(spark, sf_dir):
     )
 
 
+def q_near_dup_clusters(spark, sf_dir):
+    """Iterative distributed algorithm, oracle-checked: exact-Jaccard
+    pair edges → connected components (min-label propagation) — DuckDB
+    recomputes via a recursive CTE."""
+    from metacrafter_spark.ops.dedup import connected_components
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    words = F.array_distinct(
+        F.filter(F.split(F.lower(F.col("text")), r"\W+"),
+                 lambda w: F.length(w) > 0)
+    )
+    t = docs.select(F.col("doc_id"), words.alias("ws"))
+    a, b = t.alias("a"), t.alias("b")
+    jac = (F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws"))).cast("double")
+           / F.size(F.array_union(F.col("a.ws"), F.col("b.ws"))).cast("double"))
+    pairs = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                F.round(jac, 4).alias("j"))
+        .filter(F.col("j") >= 0.5)
+        .select("id_a", "id_b")
+    )
+    return connected_components(pairs).orderBy("id")
+
+
 def q_ann_topk(spark, sf_dir):
     from metacrafter_spark.ops.similarity import brute_force_topk
 
@@ -460,6 +486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_match_rate": q_regex_match_rate,
         "exact_dedup_events": q_exact_dedup,
         "jaccard_pairs_exact": q_jaccard_pairs,
+        "near_dup_clusters": q_near_dup_clusters,
         "ann_topk_cosine": q_ann_topk,
         "token_counts": q_token_counts,
         "events_json_agg": q_events_json,
@@ -569,6 +596,28 @@ def oracle_sql() -> dict[str, str]:
             FROM t a JOIN t b ON a.doc_id < b.doc_id
             WHERE round(len(list_intersect(a.ws, b.ws)) * 1.0
                         / len(list_distinct(list_concat(a.ws, b.ws))), 4) >= 0.5
+        """,
+        "near_dup_clusters": """
+            WITH RECURSIVE t AS (
+              SELECT doc_id,
+                     list_distinct(list_filter(
+                       string_split_regex(lower(text), '\W+'),
+                       x -> length(x) > 0)) AS ws
+              FROM documents WHERE doc_id < 50),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM t a JOIN t b ON a.doc_id < b.doc_id
+              WHERE round(len(list_intersect(a.ws, b.ws)) * 1.0
+                          / len(list_distinct(list_concat(a.ws, b.ws))), 4) >= 0.5),
+            edges AS (SELECT id_a AS a, id_b AS b FROM p
+                      UNION SELECT id_b, id_a FROM p),
+            reach(id, comp) AS (
+              SELECT DISTINCT a, a FROM edges
+              UNION
+              SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id
+            )
+            SELECT id, min(comp) AS component FROM reach
+            GROUP BY id ORDER BY id
         """,
         "ann_topk_cosine": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

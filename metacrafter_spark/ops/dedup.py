@@ -204,6 +204,70 @@ def dedup_by_pairs(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
     return df.join(losers, id_col, "left_anti")
 
 
+def connected_components(
+    pairs: DataFrame, max_iter: int = 25,
+) -> DataFrame:
+    """Near-dup pair edges → ``(id, component)`` where component = the
+    minimum id reachable through the pair graph (the canonical doc of
+    each duplicate cluster).
+
+    Iterative min-label propagation: each round every node takes the
+    smallest label among itself and its neighbours; converges in
+    O(graph diameter) rounds (duplicate clusters are shallow — template
+    families form stars, so 3-5 rounds in practice).  Each round is one
+    shuffle keyed on node id; ``localCheckpoint`` truncates the lineage
+    so plans don't grow with iterations.  For billion-edge graphs swap
+    the body for the alternating small-star/large-star variant — the
+    interface stays the same."""
+    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    sym = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().persist()
+    labels = (
+        sym.select(F.col("a").alias("id")).distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    try:
+        for _ in range(max_iter):
+            prop = (
+                sym.join(labels, sym["a"] == labels["id"])
+                .groupBy(F.col("b").alias("nid"))
+                .agg(F.min("comp").alias("ncomp"))
+            )
+            new = (
+                labels.join(prop, labels["id"] == prop["nid"], "left")
+                .select(
+                    F.col("id"),
+                    F.least(F.col("comp"),
+                            F.coalesce(F.col("ncomp"), F.col("comp")))
+                    .alias("comp"),
+                )
+                .localCheckpoint()
+            )
+            changed = (
+                new.alias("n").join(labels.alias("o"), "id")
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .count()
+            )
+            labels = new
+            if changed == 0:
+                break
+        return labels.select(F.col("id"), F.col("comp").alias("component"))
+    finally:
+        sym.unpersist()
+
+
+def dedup_by_clusters(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
+    """Keep ONE document per connected near-dup cluster (the minimum id)
+    — unlike pair-wise dropping, a chain A-B, B-C keeps A and drops both
+    B and C exactly once."""
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("component")) \
+        .select(F.col("id").alias(id_col))
+    return df.join(losers, id_col, "left_anti")
+
+
 def with_simhash(
     df: DataFrame, text_col: str = "text", sim_col: str = "sim",
     max_words: int = 2000,

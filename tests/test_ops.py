@@ -67,6 +67,25 @@ def test_minhash_deterministic(docs):
     assert {r.doc_id: r.minhash for r in s1} == {r.doc_id: r.minhash for r in s2}
 
 
+def test_connected_components_and_cluster_dedup(spark, docs):
+    from metacrafter_spark.ops.dedup import connected_components, dedup_by_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (3, 9)],
+        "id_a long, id_b long",
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 8: 1, 9: 1, 5: 5, 6: 5}
+    # chain semantics: A-B, B-C keeps only A (pair-drop would too here,
+    # but the cluster id is the canonical doc even without direct edges)
+    base = spark.createDataFrame(
+        [(i, f"t{i}") for i in (1, 2, 3, 5, 6, 7, 8, 9)],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"] for r in dedup_by_clusters(base, "doc_id", pairs).collect()}
+    assert kept == {1, 5, 7}
+
+
 def test_simhash_near_dups(docs):
     pairs = simhash_near_dups(docs, "doc_id", max_distance=3)
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
