@@ -4,8 +4,11 @@
 sf0.001 tables.  ``queries()`` — one entry per implemented operator
 family (SURVEY.md §2 + training-data ops), each taking
 ``(spark, sf_dir)``.  ``oracle_sql()`` — DuckDB-equivalent SQL for every
-SQL-expressible query; hash-dependent ops (xxhash64 minhash/simhash/
-fingerprints, perplexity, LSH) are rows-only by design.
+SQL-expressible query (18 of 24, incl. simhash via its sha256-parity
+family, byte-exact PII scrub, and connected components via a recursive
+CTE); the xxhash64-dependent ops (minhash, LSH/IVF ANN), the numpy
+perplexity model, and the synthetic-corpus pipeline are rows-only, each
+with its justification inline in ``queries()``.
 
 All float outputs are rounded on BOTH sides (Spark and oracle) so the
 driver's value-hash comparison is insensitive to summation order.
