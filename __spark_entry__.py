@@ -43,12 +43,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Classify every column of the sf0.001 documents+customer tables
-    with the full builtin rule pack (stats → prune → match → labels)."""
+    with the full builtin rule pack (stats → prune → match → labels).
+
+    Reads directly (no _t repartition): the engine's match phase samples
+    the FIRST `limit` rows by row-sequence, so the flagship stays
+    deterministic in file order."""
     from metacrafter_spark.scanner import labels_dataframe, scan_dataframe
 
     sf = "/root/testdata/sf0.001"
-    docs = _t(spark, sf, "documents")
-    cust = _t(spark, sf, "customer")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
     rep_docs = scan_dataframe(docs)
     rep_cust = scan_dataframe(cust)
     return labels_dataframe(spark, rep_docs).unionByName(
