@@ -234,12 +234,36 @@ def scan_items(spark: SparkSession, items: list, **kwargs) -> dict[str, Any]:
     """scan_data parity entry for in-memory list-of-dicts (core.py:1157).
 
     Nested dicts become struct columns (dot-path flattening happens in
-    scan_dataframe); lists of dicts become array<struct> bags."""
+    scan_dataframe); lists of dicts become array<struct> bags.  Columns
+    that are None in EVERY item defeat Spark's type inference — the
+    reference still reports them (every value classifies 'empty') — so
+    they're re-attached as null string columns in their original
+    position."""
+    from pyspark.sql import functions as F
+
     conf_key = "spark.sql.pyspark.inferNestedDictAsStruct.enabled"
     old = spark.conf.get(conf_key, "false")
     spark.conf.set(conf_key, "true")
     try:
-        df = spark.createDataFrame(items)
+        try:
+            df = spark.createDataFrame(items)
+        except Exception:
+            order: list[str] = []
+            for it in items:
+                for k in it:
+                    if k not in order:
+                        order.append(k)
+            all_null = [
+                k for k in order if all(it.get(k) is None for it in items)
+            ]
+            stripped = [
+                {k: v for k, v in it.items() if k not in all_null}
+                for it in items
+            ]
+            df = spark.createDataFrame(stripped)
+            for k in all_null:
+                df = df.withColumn(k, F.lit(None).cast("string"))
+            df = df.select(*[F.col(f"`{k}`") for k in order])
     finally:
         spark.conf.set(conf_key, old)
     return scan_dataframe(df, **kwargs)

@@ -187,3 +187,25 @@ def test_string_param_parity(spark):
     assert set(got_cols) == set(ref_cols)
     for f, ms in ref_cols.items():
         assert [m["ruleid"] for m in got_cols[f]] == [m["ruleid"] for m in ms], f
+
+
+def test_all_null_column_parity(spark):
+    """Columns that are None in every item (Spark can't infer a type;
+    the reference still reports them — every value classifies 'empty')."""
+    from metacrafter_spark.scanner import scan_items
+
+    items = [
+        {"allnull": None, "emptystr": "", "mixed": None},
+        {"allnull": None, "emptystr": "", "mixed": "x"},
+        {"allnull": None, "emptystr": "", "mixed": None},
+    ]
+    ref = reference_scan(items)
+    got = scan_items(spark, items)
+    for field, rst in ref["stats"].items():
+        gst = got["stats"][field]
+        for k in ("ftype", "n_uniq", "minlen", "maxlen", "is_dictkey"):
+            assert gst[k] == rst[k], (field, k, rst[k], gst[k])
+        assert list(gst["tags"]) == list(rst["tags"]), field
+    assert _spark_columns(got).keys() == {
+        f for f in ref["columns"] if f in ref["stats"]
+    }
