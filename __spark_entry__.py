@@ -292,6 +292,19 @@ def q_events_json(spark, sf_dir):
     )
 
 
+def q_salted_agg(spark, sf_dir):
+    """Two-phase salted aggregation must equal a plain GROUP BY — the
+    oracle IS the plain form, so the skew-safe plan is value-checked."""
+    from metacrafter_spark.corpus.pipeline import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_agg(ev, "event_type", "value", salt_col="event_id")
+    return out.select(
+        "event_type", "n_rows",
+        F.round(F.col("sum_value").cast("double"), 4).alias("sum_value"),
+    ).orderBy("event_type")
+
+
 def q_daily_event_windows(spark, sf_dir):
     """Tumbling-window daily aggregation (batch form of the streaming op)."""
     ev = _t(spark, sf_dir, "events")
@@ -498,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "events_json_agg": q_events_json,
         "daily_event_windows": q_daily_event_windows,
+        "salted_agg_events": q_salted_agg,
         "langid_documents": q_langid,
         "quality_flags": q_quality_flags,
         "simhash_near_dups": q_simhash_dedup,
@@ -649,6 +663,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n,
                    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_value,
                    round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "salted_agg_events": """
+            SELECT event_type, count(*) AS n_rows,
+                   round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 4) AS sum_value
             FROM events GROUP BY 1 ORDER BY 1
         """,
         "daily_event_windows": """

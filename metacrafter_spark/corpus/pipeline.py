@@ -126,6 +126,33 @@ def bucket_metrics(
     )
 
 
+def salted_agg(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    salt_col: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Generic two-phase salted count+sum for zipfian keys.
+
+    Phase 1 groups by ``(key, pmod(xxhash64(salt_col), n_salts))`` so a
+    hot key's rows spread over n_salts reducers; phase 2 re-aggregates
+    the tiny partials.  ``salt_col`` should be high-cardinality (a row
+    id / url).  The sum runs over an exact DECIMAL cast so the result is
+    independent of partition and salting arrangement."""
+    v = F.col(value_col).cast("decimal(28,6)")
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(n_salts))
+    )
+    partial = salted.groupBy(key_col, "_salt").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(v).alias("s")
+    )
+    return (
+        partial.groupBy(key_col)
+        .agg(F.sum("n").alias("n_rows"), F.sum("s").alias("sum_value"))
+    )
+
+
 def salted_domain_stats(
     classified: DataFrame, n_salts: int = 16
 ) -> DataFrame:
