@@ -344,6 +344,8 @@ def q_quality_flags(spark, sf_dir):
         F.round("q_mean_word_len", 4).alias("mean_word_len"),
         F.round("q_dup_line_frac", 4).alias("dup_line_frac"),
         F.round("q_alpha_char_frac", 4).alias("alpha_char_frac"),
+        F.round("q_dup_para_frac", 4).alias("dup_para_frac"),
+        F.round("q_dup_2gram_frac", 4).alias("dup_2gram_frac"),
     ).orderBy("doc_id")
 
 
@@ -678,18 +680,32 @@ def oracle_sql() -> dict[str, str]:
         "quality_flags": r"""
             WITH w AS (
               SELECT doc_id, text,
-                     len(list_filter(string_split_regex(text, '\s+'),
-                                     x -> length(x) > 0)) AS n_words,
-                     string_split(text, chr(10)) AS lines
-              FROM documents WHERE doc_id < 100)
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> length(x) > 0) AS words,
+                     string_split(text, chr(10)) AS lines,
+                     string_split_regex(text, '\n\n+') AS paras
+              FROM documents WHERE doc_id < 100),
+            g AS (
+              SELECT doc_id, text, lines, paras, words,
+                     len(words) AS n_words,
+                     CASE WHEN len(words) >= 2 THEN
+                       list_transform(range(1, len(words)),
+                                      i -> words[i] || ' ' || words[i + 1])
+                     ELSE [] END AS grams
+              FROM w)
             SELECT doc_id, n_words,
                    round(length(regexp_replace(text, '\s+', '', 'g')) * 1.0
                          / greatest(n_words, 1), 4) AS mean_word_len,
                    round(1.0 - len(list_distinct(lines)) * 1.0
                          / greatest(len(lines), 1), 4) AS dup_line_frac,
                    round(len(regexp_extract_all(text, '[A-Za-zА-яЀ-ӿÀ-ÿ]')) * 1.0
-                         / greatest(length(text), 1), 4) AS alpha_char_frac
-            FROM w ORDER BY doc_id
+                         / greatest(length(text), 1), 4) AS alpha_char_frac,
+                   round(1.0 - len(list_distinct(paras)) * 1.0
+                         / greatest(len(paras), 1), 4) AS dup_para_frac,
+                   round(CASE WHEN len(grams) > 0 THEN
+                           1.0 - len(list_distinct(grams)) * 1.0 / len(grams)
+                         ELSE 0.0 END, 4) AS dup_2gram_frac
+            FROM g ORDER BY doc_id
         """,
         "fingerprints": r"""
             WITH w AS (

@@ -26,6 +26,8 @@ class QualityThresholds:
     min_alpha_word_frac: float = 0.8
     min_stopword_hits: int = 2
     max_dup_line_frac: float = 0.3
+    max_dup_para_frac: float = 0.3
+    max_dup_2gram_frac: float = 0.9  # lenient default; tighten per corpus
     min_terminal_punct_line_frac: float = 0.0  # C4 uses line filtering; doc-level info only
 
 
@@ -34,6 +36,20 @@ DEFAULT_THRESHOLDS = QualityThresholds()
 _STOPWORD_RE = r"(?i)\b(?:the|be|to|of|and|that|have|with|и|в|не|на|le|la|et|der|die|und|el|los|que)\b"
 _BULLET_RE = r"^\s*(?:[-*•‣▪]|\d+[.)])\s"
 _WORD_ALPHA_RE = r"[A-Za-zА-Яа-яЀ-ӿÀ-ÿ]"
+
+
+def _dup_2gram_frac(words: Column, n_words: Column) -> Column:
+    """1 - distinct(word 2-grams)/total — repeated-phrase signal."""
+    k = F.greatest(n_words - 1, F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
+    )
+    return F.when(
+        k > 0,
+        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double")
+        / k.cast("double"),
+    ).otherwise(F.lit(0.0))
 
 
 def quality_columns(text: Column) -> dict[str, Column]:
@@ -69,6 +85,15 @@ def quality_columns(text: Column) -> dict[str, Column]:
             F.lit(1.0)
             - F.size(F.array_distinct(lines)).cast("double") / n_lines_f
         ),
+        # Gopher-style repetition metrics (Rae et al. §A1.1): duplicate
+        # paragraph fraction and duplicate word-2-gram fraction
+        # (1 - distinct/total; linear-time via array ops)
+        "dup_para_frac": (
+            F.lit(1.0)
+            - F.size(F.array_distinct(F.split(text, r"\n\n+"))).cast("double")
+            / F.greatest(F.size(F.split(text, r"\n\n+")), F.lit(1)).cast("double")
+        ),
+        "dup_2gram_frac": _dup_2gram_frac(words, n_words),
         "terminal_punct_line_frac": (
             F.size(F.filter(lines, lambda l: l.rlike(r'[.!?"]\s*$'))).cast("double")
             / n_lines_f
@@ -92,6 +117,8 @@ def quality_pass(q: dict[str, Column], t: QualityThresholds = DEFAULT_THRESHOLDS
         & (q["alpha_word_frac"] > t.min_alpha_word_frac)
         & (q["stopword_hits"] >= t.min_stopword_hits)
         & (q["dup_line_frac"] < t.max_dup_line_frac)
+        & (q["dup_para_frac"] < t.max_dup_para_frac)
+        & (q["dup_2gram_frac"] < t.max_dup_2gram_frac)
         & ~q["has_lorem"]
         & ~q["has_curly"]
     )
