@@ -319,6 +319,20 @@ def q_daily_event_windows(spark, sf_dir):
     )
 
 
+def q_c4_line_filter(spark, sf_dir):
+    """C4-style line cleaning, byte-exact vs a DuckDB list_filter
+    replay (sha256 of the cleaned text per doc)."""
+    from metacrafter_spark.corpus.quality import c4_line_filter
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    out = docs.select(
+        "doc_id",
+        F.sha2(c4_line_filter(F.col("text")), 256).alias("clean_sha256"),
+        F.length(c4_line_filter(F.col("text"))).alias("clean_len"),
+    )
+    return out.orderBy("doc_id")
+
+
 def q_langid(spark, sf_dir):
     from metacrafter_spark.corpus.langid import with_langid
 
@@ -516,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg_events": q_salted_agg,
         "langid_documents": q_langid,
         "quality_flags": q_quality_flags,
+        "c4_line_filter": q_c4_line_filter,
         "simhash_near_dups": q_simhash_dedup,
         "fingerprints": q_fingerprints,
         "pii_scrub_documents": q_pii_scrub_documents,
@@ -676,6 +691,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
                    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "c4_line_filter": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_aggregate(list_filter(string_split(text, chr(10)),
+                       l -> len(list_filter(string_split_regex(l, '\s+'),
+                                            x -> length(x) > 0)) >= 3
+                            AND regexp_matches(l, '[.!?\"]\s*$')
+                            AND NOT regexp_matches(lower(l),
+                              'javascript|cookies? polic|copyright|all rights reserved')),
+                       'string_agg', chr(10)) AS clean
+              FROM documents WHERE doc_id < 200)
+            SELECT doc_id, sha256(coalesce(clean, '')) AS clean_sha256,
+                   length(coalesce(clean, '')) AS clean_len
+            FROM w ORDER BY doc_id
         """,
         "quality_flags": r"""
             WITH w AS (

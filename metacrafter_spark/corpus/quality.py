@@ -124,6 +124,32 @@ def quality_pass(q: dict[str, Column], t: QualityThresholds = DEFAULT_THRESHOLDS
     )
 
 
+def c4_line_filter(
+    text: Column,
+    *,
+    min_words_per_line: int = 3,
+    require_terminal_punct: bool = True,
+) -> Column:
+    """C4-style line cleaning (Raffel et al. §2.2) as one native
+    expression: keep only lines that (a) have ≥ min_words_per_line
+    words, (b) end in terminal punctuation ``.!?"`` (optional), and
+    (c) don't mention javascript/cookies/copyright boilerplate; join
+    the survivors back with newlines.  A doc-level transform — pair
+    with the doc-level ``quality_pass`` gates."""
+    def keep(line: Column) -> Column:
+        n_words = F.size(
+            F.filter(F.split(line, r"\s+"), lambda w: F.length(w) > 0)
+        )
+        ok = n_words >= min_words_per_line
+        if require_terminal_punct:
+            ok = ok & line.rlike(r'[.!?"]\s*$')
+        return ok & ~F.lower(line).rlike(
+            r"javascript|cookies? polic|copyright|all rights reserved"
+        )
+
+    return F.array_join(F.filter(F.split(text, r"\n"), keep), "\n")
+
+
 def with_quality(df: DataFrame, text_col: str = "text",
                  thresholds: QualityThresholds = DEFAULT_THRESHOLDS,
                  prefix: str = "q") -> DataFrame:
