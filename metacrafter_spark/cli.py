@@ -40,6 +40,14 @@ def main(argv=None) -> int:
     cr.add_argument("--resume", action="store_true")
     cr.add_argument("--cores", type=int)
 
+    cs = sub.add_parser("corpus-stream",
+                        help="streaming keep/drop + scrub (availableNow drain)")
+    cs.add_argument("input")
+    cs.add_argument("output")
+    cs.add_argument("metrics")
+    cs.add_argument("checkpoint")
+    cs.add_argument("--cores", type=int)
+
     sdb = sub.add_parser("scan-db", help="classify every table of a JDBC DB")
     sdb.add_argument("url", help="JDBC url, e.g. jdbc:derby:/path/db")
     sdb.add_argument("tables", help="comma-separated table names")
@@ -90,6 +98,13 @@ def main(argv=None) -> int:
             else:
                 for row in report_rows(rep, args.short):
                     print(json.dumps(row, ensure_ascii=False))
+        elif args.cmd == "corpus-stream":
+            from metacrafter_spark.corpus.streaming import stream_classify
+
+            stream_classify(spark, args.input, args.output, args.metrics,
+                            args.checkpoint)
+            n = spark.read.parquet(args.output).count()
+            print(json.dumps({"streamed_total": n}))
         elif args.cmd == "scan-db":
             from metacrafter_spark.io.sinks import write_db_report
             from metacrafter_spark.io.sources import scan_db

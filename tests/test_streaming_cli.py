@@ -130,3 +130,14 @@ def test_cli_scan_file(tmp_path, capsys, spark):
     rep = json.loads(out.read_text())
     matched = {r[0]: r[3] for r in rep["results"]}
     assert "uuid 100.00" in matched["uuid"]
+
+
+def test_cli_corpus_stream(spark, tmp_path):
+    from metacrafter_spark.cli import main
+
+    src = str(tmp_path / "cin")
+    synth_webpages(spark, 60, partitions=2).write.parquet(src)
+    rc = main(["corpus-stream", src, str(tmp_path / "cout"),
+               str(tmp_path / "cmetrics"), str(tmp_path / "cckpt")])
+    assert rc == 0
+    assert spark.read.parquet(str(tmp_path / "cout")).count() == 60
