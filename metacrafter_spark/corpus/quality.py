@@ -39,11 +39,16 @@ _WORD_ALPHA_RE = r"[A-Za-zА-Яа-яЀ-ӿÀ-ÿ]"
 
 
 def _dup_2gram_frac(words: Column, n_words: Column) -> Column:
-    """1 - distinct(word 2-grams)/total — repeated-phrase signal."""
+    """1 - distinct(word 2-grams)/total — repeated-phrase signal.
+
+    Built with zip_with over two shifted slices, NOT an index-lambda
+    (`slice(words, i, 2)` inside a per-element lambda re-evaluates the
+    whole words expression per gram — O(n²), observed 4× pipeline
+    wall-clock)."""
     k = F.greatest(n_words - 1, F.lit(0))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
+    grams = F.zip_with(
+        F.slice(words, 1, k), F.slice(words, 2, k),
+        lambda x, y: F.concat(x, F.lit(" "), y),
     )
     return F.when(
         k > 0,
