@@ -209,3 +209,9 @@ def test_all_null_column_parity(spark):
     assert _spark_columns(got).keys() == {
         f for f in ref["columns"] if f in ref["stats"]
     }
+
+
+def test_parity_custom_dict_share(spark):
+    """dict_share raises the dict-detection threshold on both engines —
+    tags/dictvalues decisions must stay identical."""
+    _compare(pii_profiles(120), spark, dict_share=50)
