@@ -153,9 +153,34 @@ def scan_file(
     tagname: Optional[str] = None,
     options: Optional[dict[str, Any]] = None,
 ) -> DataFrame:
-    detected, _codec = detect_format(path)
+    detected, codec = detect_format(path)
     fmt = (fmt or detected or "csv").lower()
     options = dict(options or {})
+    # zip/xz/br are NOT Hadoop codecs — spark.read would consume raw
+    # compressed bytes.  Like the reference's iterabledata, decompress
+    # on the driver (these are inherently single-file, small-ish
+    # payloads; large data should ship as gz/bz2/zstd/lz4, which the
+    # distributed readers handle natively).
+    if codec in {"zip", "xz", "br"} and fmt in TEXT_FORMATS:
+        import io as _io
+
+        import pandas as _pd
+
+        data = _head_bytes(path, 1 << 31)
+        if fmt in {"csv", "tsv"}:
+            encoding = encoding or detect_encoding(data[: 1 << 16])
+            text = data.decode(encoding, "replace")
+            if delimiter is None:
+                first = text.splitlines()[:1]
+                delimiter = "\t" if fmt == "tsv" else detect_delimiter(
+                    first[0] if first else ","
+                )
+            pdf = _pd.read_csv(_io.StringIO(text), sep=delimiter, dtype=str)
+        else:  # json/jsonl/ndjson
+            pdf = _pd.read_json(
+                _io.BytesIO(data), lines=(fmt in {"jsonl", "ndjson"})
+            )
+        return spark.createDataFrame(pdf)
     if fmt in {"csv", "tsv"}:
         if encoding is None or delimiter is None:
             try:

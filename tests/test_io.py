@@ -95,3 +95,22 @@ def test_write_report(spark, tmp_path):
     assert len(report_rows(rep, short=True)) <= len(report_rows(rep))
     write_report(rep, str(tmp_path / "rep.csv"), fmt="csv")
     write_report(rep, str(tmp_path / "rep.yaml"), fmt="yaml", short=True)
+
+
+def test_scan_zip_and_xz_csv(spark, tmp_path):
+    """zip/xz are not Hadoop codecs — the driver-side decompression
+    fallback must yield the same rows as the plain file."""
+    import lzma
+    import zipfile
+
+    z = tmp_path / "people.csv.zip"
+    with zipfile.ZipFile(z, "w") as f:
+        f.writestr("people.csv", CSV)
+    out = scan_file(spark, str(z))
+    rows = {r["id"]: r["name"] for r in out.collect()}
+    assert rows == {"1": "John", "2": "Mary", "3": "Anna"}
+
+    x = tmp_path / "people.csv.xz"
+    x.write_bytes(lzma.compress(CSV.encode()))
+    out2 = scan_file(spark, str(x))
+    assert out2.count() == 3 and set(out2.columns) == {"id", "name"}
