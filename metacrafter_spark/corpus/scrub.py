@@ -131,10 +131,19 @@ WEB_PII_RULES: tuple[SpanRule, ...] = (
     ),
     SpanRule(
         "ipv6",
-        # ≥3 colon-separated hex groups (full or ::-compressed) — the
-        # group minimum keeps clock times like 12:30:05 unscathed
-        r"(?<![0-9A-Fa-f:.])(?:[0-9A-Fa-f]{1,4}:){3,7}"
-        r"(?:[0-9A-Fa-f]{1,4}|:(?:[0-9A-Fa-f]{1,4}:?){0,4})(?![0-9A-Fa-f:])",
+        # Three alternates: (1) ≥3 leading hex groups (full or
+        # ::-compressed tail) — the group minimum keeps clock times like
+        # 12:30:05 unscathed; (2) 1-2 leading groups followed by a
+        # literal '::' (2001:db8::1, fe80::1) — clock times never
+        # contain '::', so fewer groups are safe here; (3) leading '::'
+        # with a hex tail (::1, ::ffff:c000:280).
+        r"(?<![0-9A-Fa-f:.])"
+        r"(?:"
+        r"(?:[0-9A-Fa-f]{1,4}:){3,7}"
+        r"(?:[0-9A-Fa-f]{1,4}|:(?:[0-9A-Fa-f]{1,4}:?){0,4})"
+        r"|(?:[0-9A-Fa-f]{1,4}:){1,2}:[0-9A-Fa-f]{1,4}(?::[0-9A-Fa-f]{1,4}){0,5}"
+        r"|::(?:[0-9A-Fa-f]{1,4}(?::[0-9A-Fa-f]{1,4}){0,6})"
+        r")(?![0-9A-Fa-f:])",
         "<IPV6>",
     ),
     SpanRule(

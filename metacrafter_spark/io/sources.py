@@ -36,6 +36,9 @@ CODEC_EXTS = {"gz", "bz2", "xz", "lz4", "zst", "br", "snappy", "zip"}
 SUPPORTED = TEXT_FORMATS | NATIVE_FORMATS | {
     "avro", "xml", "xls", "xlsx", "bson", "pickle", "pkl"
 }
+# Driver-side decompression cap for single-file zip/xz/br payloads
+# (2 GiB): beyond this, scan_file raises instead of silently truncating.
+DRIVER_DECOMPRESS_CAP = 1 << 31
 
 
 def detect_format(path: str) -> tuple[str, Optional[str]]:
@@ -166,7 +169,21 @@ def scan_file(
 
         import pandas as _pd
 
-        data = _head_bytes(path, 1 << 31)
+        # Driver-side decompression is capped: a payload that reaches the
+        # cap would otherwise parse cleanly with rows silently missing.
+        # Read cap+1 bytes so truncation is detectable, and point users at
+        # the distributed alternatives.
+        cap = int(options.pop("max_driver_bytes", DRIVER_DECOMPRESS_CAP))
+        data = _head_bytes(path, cap + 1)
+        if len(data) > cap:
+            raise ValueError(
+                f"{path}: decompressed payload exceeds the {cap}-byte "
+                "driver-side cap for zip/xz/br. Re-ship as gz/bz2/zstd/lz4 "
+                "(distributed Hadoop codecs), or for multi-member zip "
+                "archives use scan_zip_members() for an executor-parallel "
+                "read. Override with options={'max_driver_bytes': N} only "
+                "if the driver has the memory."
+            )
         if fmt in {"csv", "tsv"}:
             encoding = encoding or detect_encoding(data[: 1 << 16])
             text = data.decode(encoding, "replace")
@@ -175,11 +192,19 @@ def scan_file(
                 delimiter = "\t" if fmt == "tsv" else detect_delimiter(
                     first[0] if first else ","
                 )
-            pdf = _pd.read_csv(_io.StringIO(text), sep=delimiter, dtype=str)
+            # keep_default_na=False: with dtype=str, pandas would turn
+            # empty cells / NA-like tokens into NaN and createDataFrame
+            # would stringify them to the literal 'nan' — the Spark-native
+            # CSV path yields null for empties, so only "" maps to null.
+            pdf = _pd.read_csv(
+                _io.StringIO(text), sep=delimiter, dtype=str,
+                keep_default_na=False, na_values=[""],
+            )
         else:  # json/jsonl/ndjson
             pdf = _pd.read_json(
                 _io.BytesIO(data), lines=(fmt in {"jsonl", "ndjson"})
             )
+        pdf = pdf.astype(object).where(pdf.notna(), None)
         return spark.createDataFrame(pdf)
     if fmt in {"csv", "tsv"}:
         if encoding is None or delimiter is None:
@@ -263,6 +288,90 @@ def scan_file(
             items = pickle.load(f)
         return spark.createDataFrame(items)
     raise ValueError(f"unsupported format {fmt!r} for {path}")
+
+
+def scan_zip_members(
+    spark: SparkSession,
+    path: str,
+    *,
+    fmt: str = "csv",
+    delimiter: Optional[str] = None,
+    encoding: Optional[str] = None,
+) -> DataFrame:
+    """Executor-parallel read of a multi-member zip archive.
+
+    The driver reads only the central directory (member names) and the
+    head of the first member (schema sniff); each executor task then
+    opens the archive locally and decompresses its assigned members —
+    so a 100-member archive decompresses on up to 100 cores instead of
+    one driver thread.  Requires ``path`` to be reachable from executors
+    (local mode / shared FS / distributed cache), like any Spark input.
+
+    Columns are all strings (like the header'd CSV reader with
+    inferSchema off); members must share one schema.
+    """
+    import zipfile
+
+    import pandas as pd  # noqa: F401 (executor-side import verified early)
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if fmt not in {"csv", "tsv", "jsonl", "ndjson"}:
+        raise ValueError(f"scan_zip_members supports csv/tsv/jsonl, not {fmt}")
+
+    with zipfile.ZipFile(path) as z:
+        members = [i.filename for i in z.infolist() if not i.is_dir()]
+        if not members:
+            raise ValueError(f"{path}: empty archive")
+        with z.open(members[0]) as f:
+            head = f.read(1 << 16)
+    enc = encoding or detect_encoding(head)
+    text_head = head.decode(enc, "replace")
+    first_line = text_head.splitlines()[0] if text_head else ""
+    if fmt in {"csv", "tsv"}:
+        sep = delimiter or ("\t" if fmt == "tsv" else
+                            detect_delimiter(first_line))
+        cols = [c.strip() for c in first_line.split(sep)]
+    else:
+        import json as _json
+
+        sep = None
+        cols = sorted(_json.loads(first_line).keys()) if first_line else []
+    if not cols:
+        raise ValueError(f"{path}: could not sniff a schema from {members[0]}")
+
+    schema = T.StructType([T.StructField(c, T.StringType()) for c in cols])
+    lines = fmt in {"jsonl", "ndjson"}
+
+    def read_members(batches):
+        import io as _io
+        import zipfile as _zf
+
+        import pandas as _pd
+
+        for pdf in batches:
+            with _zf.ZipFile(path) as zf:
+                for name in pdf["member"]:
+                    with zf.open(name) as f:
+                        data = f.read()
+                    if lines:
+                        out = _pd.read_json(_io.BytesIO(data), lines=True,
+                                            dtype=str)
+                    else:
+                        out = _pd.read_csv(
+                            _io.StringIO(data.decode(enc, "replace")),
+                            sep=sep, dtype=str,
+                            keep_default_na=False, na_values=[""],
+                        )
+                    out = out.reindex(columns=cols)
+                    yield out.astype(object).where(out.notna(), None)
+
+    n_tasks = min(len(members), spark.sparkContext.defaultParallelism)
+    member_df = spark.createDataFrame(
+        [(m,) for m in members], "member string"
+    ).repartition(n_tasks, F.col("member"))
+    return member_df.mapInPandas(read_members, schema=schema)
 
 
 def scan_bulk(spark: SparkSession, dirname: str, *,

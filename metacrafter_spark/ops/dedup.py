@@ -232,20 +232,31 @@ def dedup_by_pairs(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    pairs: DataFrame, max_iter: int = 25,
+    pairs: DataFrame, max_iter: int = 25, algorithm: str = "label",
 ) -> DataFrame:
     """Near-dup pair edges → ``(id, component)`` where component = the
     minimum id reachable through the pair graph (the canonical doc of
     each duplicate cluster).
 
-    Iterative min-label propagation: each round every node takes the
-    smallest label among itself and its neighbours; converges in
-    O(graph diameter) rounds (duplicate clusters are shallow — template
-    families form stars, so 3-5 rounds in practice).  Each round is one
-    shuffle keyed on node id; ``localCheckpoint`` truncates the lineage
-    so plans don't grow with iterations.  For billion-edge graphs swap
-    the body for the alternating small-star/large-star variant — the
-    interface stays the same."""
+    ``algorithm="label"``: iterative min-label propagation — every round
+    each node takes the smallest label among itself and its neighbours;
+    converges in O(graph diameter) rounds (duplicate clusters are
+    shallow — template families form stars, so 3-5 rounds in practice).
+    Each round is one shuffle keyed on node id; ``localCheckpoint``
+    truncates the lineage so plans don't grow with iterations
+    (superseded checkpoint blocks are reclaimed by Spark's
+    ContextCleaner once the Python reference drops).  If the graph has
+    diameter > max_iter the labels would be silently wrong, so
+    non-convergence raises.
+
+    ``algorithm="star"``: the alternating large-star/small-star variant
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    converges in O(log² n) rounds regardless of diameter, the right
+    engine for billion-edge or chain-shaped graphs."""
+    if algorithm == "star":
+        return _connected_components_star(pairs, max_iter)
+    if algorithm != "label":
+        raise ValueError(f"algorithm must be 'label' or 'star', got {algorithm!r}")
     edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     sym = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -256,6 +267,7 @@ def connected_components(
         .localCheckpoint()
     )
     try:
+        changed = 0
         for _ in range(max_iter):
             prop = (
                 sym.join(labels, sym["a"] == labels["id"])
@@ -280,9 +292,92 @@ def connected_components(
             labels = new
             if changed == 0:
                 break
+        if changed != 0:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                f"min-label rounds ({changed} labels still moving) — the "
+                "graph diameter exceeds max_iter; raise max_iter or use "
+                "algorithm='star' (diameter-independent)."
+            )
         return labels.select(F.col("id"), F.col("comp").alias("component"))
     finally:
         sym.unpersist()
+
+
+def _connected_components_star(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Alternating large-star/small-star connected components.
+
+    Each round: large-star hangs every node's larger neighbours off the
+    minimum of its closed neighbourhood; small-star re-parents every
+    node's smaller-or-equal neighbourhood onto its minimum.  The edge
+    set monotonically flattens into per-component stars rooted at the
+    component's minimum id in O(log² n) rounds — independent of graph
+    diameter, unlike min-label propagation.  Convergence = the
+    canonically-oriented edge set stops changing (checked with an
+    order-insensitive count + hash-sum signature, one tiny agg row per
+    round)."""
+    edges = (
+        pairs.select(
+            F.greatest("id_a", "id_b").alias("a"),
+            F.least("id_a", "id_b").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _signature(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: a long sum over random 64-bit hashes would
+            # overflow-raise under ANSI mode
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mins = sym.groupBy("a").agg(F.min("b").alias("mn"))
+        m = mins.select("a", F.least("a", "mn").alias("m"))
+        return (
+            sym.join(m, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # e already oriented a > b; group each node with its smaller
+        # neighbours, re-parent all of them (and itself) onto the min
+        mn = e.groupBy("a").agg(F.min("b").alias("m"))
+        nbrs = e.join(mn, "a").select(F.col("b").alias("v"), F.col("m"))
+        selfrows = mn.select(F.col("a").alias("v"), F.col("m"))
+        return (
+            nbrs.union(selfrows)
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+
+    sig = _signature(edges)
+    converged = False
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        new_sig = _signature(edges)
+        if new_sig == sig:
+            converged = True
+            break
+        sig = new_sig
+    if not converged:
+        raise RuntimeError(
+            f"star connected_components did not stabilize in {max_iter} "
+            "rounds — raise max_iter (O(log² n) rounds expected)."
+        )
+    # final state: per-component stars rooted at the minimum id
+    children = edges.select(F.col("a").alias("id"), F.col("b").alias("component"))
+    roots = edges.select(F.col("b").alias("id"), F.col("b").alias("component"))
+    return children.union(roots).distinct()
 
 
 def dedup_by_clusters(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:

@@ -85,22 +85,37 @@ def lsh_bucket_udf(dim: int, bits: int = 8, seed: int = 42):
 
 def lsh_topk(
     queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
-    bits: int = 8, seed: int = 42,
+    bits: int = 8, seed: int = 42, multiprobe: int = 1,
     qid: str = "qid", cid: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: same-bucket candidates, exact cosine re-rank.
 
-    Recall can be raised by multi-probe / multiple tables; this single
-    table keeps the oracle comparison simple while showing the shape.
-    """
+    ``multiprobe`` is the classic recall lever (Lv et al., multi-probe
+    LSH): each QUERY additionally probes every bucket within Hamming
+    distance ``multiprobe`` of its own signature (0 = single-bucket,
+    1 = flip each bit once → ``bits`` extra probes, 2 = also all bit
+    pairs).  Only the tiny broadcast query side fans out — the corpus
+    keeps exactly one bucket per vector, so the shuffle/scan cost is
+    unchanged and candidates per query grow linearly with probes, not
+    with corpus size."""
     b = lsh_bucket_udf(dim, bits, seed)
+    base = b(F.col(vec_col)).alias("bucket")
+    probes = [F.col("bucket")]
+    probes += [F.col("bucket").bitwiseXOR(F.lit(1 << i))
+               for i in range(bits) if multiprobe >= 1]
+    if multiprobe >= 2:
+        probes += [
+            F.col("bucket").bitwiseXOR(F.lit((1 << i) | (1 << j)))
+            for i in range(bits) for j in range(i + 1, bits)
+        ]
     q = queries.select(
-        F.col(qid), F.col(vec_col).cast("array<double>").alias("qv"),
-        b(F.col(vec_col)).alias("bucket"),
+        F.col(qid), F.col(vec_col).cast("array<double>").alias("qv"), base
+    ).select(
+        F.col(qid), F.col("qv"),
+        F.explode(F.array(*probes)).alias("bucket"),
     )
     c = corpus.select(
-        F.col(cid), F.col(vec_col).cast("array<double>").alias("cv"),
-        b(F.col(vec_col)).alias("bucket"),
+        F.col(cid), F.col(vec_col).cast("array<double>").alias("cv"), base
     )
     scored = c.join(F.broadcast(q), "bucket").withColumn(
         "cosine", cosine(F.col("qv"), F.col("cv"))
@@ -120,8 +135,17 @@ def train_ivf_centroids(
     """Train IVF centroids: spherical k-means (Lloyd, cosine) over a
     BOUNDED sample pulled to the driver — `sample` rows regardless of
     corpus size (the standard IVF recipe: train on a sample, assign
-    distributively).  Deterministic for a fixed (seed, sample)."""
-    rows = emb.select(vec_col).limit(sample).collect()
+    distributively).  Deterministic for a fixed (seed, sample): a bare
+    ``limit`` on an unordered distributed frame could pick different
+    rows across partitionings/AQE, so rows are ranked by a seeded
+    content hash first (TakeOrderedAndProject — a top-k selection, not
+    a full sort) — simultaneously a uniform pseudo-random sample."""
+    rows = (
+        emb.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col).cast("string"), F.lit(seed)))
+        .limit(sample)
+        .collect()
+    )
     x = np.array([list(r[0]) for r in rows], dtype=np.float64)
     n = np.linalg.norm(x, axis=1, keepdims=True)
     x = x / np.where(n == 0, 1.0, n)

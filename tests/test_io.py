@@ -114,3 +114,67 @@ def test_scan_zip_and_xz_csv(spark, tmp_path):
     x.write_bytes(lzma.compress(CSV.encode()))
     out2 = scan_file(spark, str(x))
     assert out2.count() == 3 and set(out2.columns) == {"id", "name"}
+
+
+def test_scan_zip_nulls_match_native_csv(spark, tmp_path):
+    """Empty cells / NA-like tokens through the driver-side zip path must
+    behave like the Spark-native CSV reader: '' → null, 'NA' stays the
+    literal string — NOT pandas-NaN stringified to 'nan'."""
+    import zipfile
+
+    csv = "id,city,note\n1,,x\n2,NA,\n3,Paris,ok\n"
+    z = tmp_path / "cities.csv.zip"
+    with zipfile.ZipFile(z, "w") as f:
+        f.writestr("cities.csv", csv)
+    got = {r["id"]: (r["city"], r["note"])
+           for r in scan_file(spark, str(z)).collect()}
+
+    p = tmp_path / "cities.csv"
+    p.write_text(csv)
+    want = {r["id"]: (r["city"], r["note"])
+            for r in scan_file(spark, str(p)).collect()}
+    assert got == want
+    assert got["1"][0] is None and got["2"][0] == "NA" and got["2"][1] is None
+
+
+def test_scan_zip_driver_cap_raises(spark, tmp_path):
+    """A payload at the driver-decompression cap must raise (silent
+    truncation mid-row would return a clean-looking wrong frame)."""
+    import zipfile
+
+    import pytest
+
+    z = tmp_path / "big.csv.zip"
+    with zipfile.ZipFile(z, "w") as f:
+        f.writestr("big.csv", CSV * 50)
+    with pytest.raises(ValueError, match="driver-side cap"):
+        scan_file(spark, str(z), options={"max_driver_bytes": 64})
+    # above the cap: reads fine
+    assert scan_file(
+        spark, str(z), options={"max_driver_bytes": 1 << 20}
+    ).count() == 150 + 49  # 50 blocks, headers of later blocks become rows
+
+
+def test_scan_zip_members_parallel(spark, tmp_path):
+    """Multi-member zip archives read executor-parallel: one task per
+    member, rows identical to concatenating the members."""
+    import zipfile
+
+    from metacrafter_spark.io.sources import scan_zip_members
+
+    z = tmp_path / "parts.csv.zip"
+    with zipfile.ZipFile(z, "w") as f:
+        for part in range(6):
+            rows = "".join(
+                f"{part * 10 + i},name{part * 10 + i},\n" for i in range(10)
+            )
+            f.writestr(f"part{part}.csv", "id,name,gap\n" + rows)
+    df = scan_zip_members(spark, str(z))
+    assert df.columns == ["id", "name", "gap"]
+    rows = df.collect()
+    assert len(rows) == 60
+    assert {r["id"] for r in rows} == {str(i) for i in range(60)}
+    # empty trailing cell → null (same contract as the single-file path)
+    assert all(r["gap"] is None for r in rows)
+    # partitions actually fan out beyond one
+    assert df.rdd.getNumPartitions() > 1

@@ -86,6 +86,35 @@ def test_connected_components_and_cluster_dedup(spark, docs):
     assert kept == {1, 5, 7}
 
 
+def test_connected_components_star_matches_label(spark):
+    from metacrafter_spark.ops.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (3, 9)],
+        "id_a long, id_b long",
+    )
+    label = {(r["id"], r["component"])
+             for r in connected_components(pairs).collect()}
+    star = {(r["id"], r["component"])
+            for r in connected_components(pairs, algorithm="star").collect()}
+    assert star == label
+
+
+def test_connected_components_deep_chain(spark):
+    """Diameter ≫ max_iter: min-label must refuse (not silently return
+    wrong labels); the star variant converges in O(log² n) rounds."""
+    from metacrafter_spark.ops.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=10)
+    comp = connected_components(chain, max_iter=25, algorithm="star").collect()
+    assert {r["id"] for r in comp} == set(range(61))
+    assert all(r["component"] == 0 for r in comp)
+
+
 def test_simhash_near_dups(docs):
     pairs = simhash_near_dups(docs, "doc_id", max_distance=3)
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
@@ -120,11 +149,15 @@ def test_lsh_topk_recall(spark):
         F.col("vec_id").alias("qid"), "embedding"
     )
     exact = topk_join(queries, emb, k=5)
-    approx = lsh_topk(queries, emb, dim=16, k=5, bits=6)
+    approx = lsh_topk(queries, emb, dim=16, k=5, bits=6, multiprobe=1)
     e = {(r.qid, r.vec_id) for r in exact.collect()}
     a = {(r.qid, r.vec_id) for r in approx.collect()}
     recall = len(e & a) / len(e)
-    assert recall >= 0.6, recall  # same-cluster buckets dominate
+    assert recall >= 0.9, recall  # multi-probe covers Hamming-1 buckets
+    # single-bucket probing is strictly weaker or equal
+    single = lsh_topk(queries, emb, dim=16, k=5, bits=6, multiprobe=0)
+    s = {(r.qid, r.vec_id) for r in single.collect()}
+    assert len(e & s) <= len(e & a)
 
 
 def test_ivf_topk_recall(spark):
@@ -138,12 +171,12 @@ def test_ivf_topk_recall(spark):
         F.col("vec_id").alias("qid"), "embedding"
     )
     exact = topk_join(queries, emb, k=5)
-    approx = ivf_topk(queries, emb, cents, k=5, nprobe=2)
+    approx = ivf_topk(queries, emb, cents, k=5, nprobe=4)
     e = {(r.qid, r.vec_id) for r in exact.collect()}
     a = {(r.qid, r.vec_id) for r in approx.collect()}
     recall = len(e & a) / len(e)
-    # 4 natural clusters, 8 cells, 2 probes → same-cluster cells dominate
-    assert recall >= 0.8, recall
+    # 4 natural clusters, 8 cells, 4 probes → same-cluster cells covered
+    assert recall >= 0.9, recall
     # per-query result is a proper ranked top-k
     by_q = {}
     for r in approx.collect():
