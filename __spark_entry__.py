@@ -4,11 +4,14 @@
 sf0.001 tables.  ``queries()`` — one entry per implemented operator
 family (SURVEY.md §2 + training-data ops), each taking
 ``(spark, sf_dir)``.  ``oracle_sql()`` — DuckDB-equivalent SQL for every
-SQL-expressible query (18 of 24, incl. simhash via its sha256-parity
-family, byte-exact PII scrub, and connected components via a recursive
-CTE); the xxhash64-dependent ops (minhash, LSH/IVF ANN), the numpy
-perplexity model, and the synthetic-corpus pipeline are rows-only, each
-with its justification inline in ``queries()``.
+SQL-expressible query (23 of 28): simhash AND minhash via sha256-parity
+signature families, byte-exact PII scrub, connected components via a
+recursive CTE, the char-trigram perplexity model re-trained and replayed
+in double-precision SQL, and the full keep/drop decision tree
+(langid → quality → perplexity → PII density → drop_reason precedence)
+per document.  The 5 rows-only queries are production variants whose
+mechanism has an oracle-checked twin (xxhash64 minhash, LSH/IVF ANN,
+the synthetic-corpus pipeline), each justified inline in ``queries()``.
 
 All float outputs are rounded on BOTH sides (Spark and oracle) so the
 driver's value-hash comparison is insensitive to summation order.
@@ -446,12 +449,23 @@ def q_pii_scrub_documents(spark, sf_dir):
 
 
 def q_perplexity(spark, sf_dir):
+    """Char-trigram perplexity, oracle-checked end-to-end (round-3
+    upgrade from rows-only): the logp table is float64, and the query
+    scores an ASCII projection of the text (non-ASCII chars → '#', one
+    per BMP char) so the scorer's BYTE-level trigram stream equals the
+    CHAR-level stream a SQL engine sees.  The DuckDB oracle re-trains
+    the trigram table from the same embedded seed text and replays
+    add-k scoring in double precision — agreement is ~1 ulp, rounded to
+    4 decimals."""
     from metacrafter_spark.corpus.perplexity import with_perplexity
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return with_perplexity(docs).select(
-        "doc_id", F.round("ppl", 4).alias("ppl")
+    proj = docs.withColumn(
+        "text", F.regexp_replace(F.col("text"), r"[^\x00-\x7F]", "#")
     )
+    return with_perplexity(proj).select(
+        "doc_id", F.round("ppl", 4).alias("ppl")
+    ).orderBy("doc_id")
 
 
 def q_lsh_topk(spark, sf_dir):
@@ -498,6 +512,86 @@ def q_corpus_pipeline(spark, sf_dir):
     )
 
 
+def q_corpus_pipeline_documents(spark, sf_dir):
+    """The north-rule keep/drop decision, oracle-checked per document
+    (round-3 upgrade: corpus_pipeline on the synthetic corpus stays as
+    the shape test; THIS twin runs the same ``classify_corpus`` over the
+    documents parquet the driver's DuckDB can see, and the oracle
+    replays langid → quality gates → trigram perplexity → PII density →
+    drop_reason precedence in pure SQL).
+
+    Construction: text is ASCII-projected (makes the perplexity scorer
+    SQL-replayable; non-Latin docs become '#'-runs and drop as
+    lang_unknown — langid's Cyrillic path is oracle-covered separately
+    by langid_documents); deterministic PII is injected per doc_id
+    (email always, ipv4 on even ids, ssn on %3, a dense email wall on
+    %13 to trip the pii_density gate); policy thresholds (max_ppl=29.0,
+    max_pii_per_kchar=5.0) sit mid-gap in the observed score
+    distribution so every branch of the decision tree fires on sf0.01
+    while both engines agree to ~1 ulp."""
+    from metacrafter_spark.corpus.pipeline import KeepPolicy, classify_corpus
+    from metacrafter_spark.corpus.scrub import WEB_PII_RULES
+
+    rules = tuple(
+        r for r in WEB_PII_RULES if r.name in ("email", "ipv4", "ssn_like")
+    )
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    did = F.col("doc_id")
+    ascii_text = F.regexp_replace(F.col("text"), r"[^\x00-\x7F]", "#")
+    injected = F.concat(
+        ascii_text,
+        F.lit(" contact user"), did.cast("string"), F.lit("@example.com"),
+        F.when(did % 2 == 0,
+               F.concat(F.lit(" ip 10.0."), (did % 250).cast("string"),
+                        F.lit(".7"))).otherwise(F.lit("")),
+        F.when(did % 3 == 0,
+               F.concat(F.lit(" ssn 123-45-"),
+                        F.lpad(did.cast("string"), 4, "0"))).otherwise(F.lit("")),
+        F.when(did % 13 == 0,
+               F.lit(" pii wall a@b.co c@d.co e@f.co g@h.co j@k.co"
+                     " m@n.co p@q.co r@s.co")).otherwise(F.lit("")),
+    )
+    pages = docs.select(
+        did,
+        F.concat(F.lit("https://site"), (did % 7).cast("string"),
+                 F.lit(".example/doc/"), did.cast("string")).alias("url"),
+        injected.alias("text"),
+    )
+    out = classify_corpus(
+        pages,
+        policy=KeepPolicy(max_ppl=29.0, max_pii_per_kchar=5.0),
+        scrub_rules=rules,
+    )
+    return out.select(
+        "doc_id",
+        F.col("langid_lang").alias("lang_pred"),
+        F.col("q_pass"),
+        F.round("ppl", 4).alias("ppl"),
+        "pii_total",
+        F.round("pii_per_kchar", 4).alias("pii_per_kchar"),
+        "keep",
+        F.coalesce(F.col("drop_reason"), F.lit("none")).alias("drop_reason"),
+    ).orderBy("doc_id")
+
+
+def q_minhash_sha(spark, sf_dir):
+    """MinHash-LSH banding + exact-Jaccard verify, oracle-checked
+    value-for-value (round-3 upgrade; the xxhash64 prod path stays
+    rows-only): the sha256-min signature family is reproducible in
+    DuckDB, and banding/bucket-count-guard/verify replay identically."""
+    from metacrafter_spark.ops.dedup import near_dup_pairs_minhash_sha
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    # 2-word shingles + 6 bands × 2 rows + threshold 0 → EVERY banding
+    # candidate pair is emitted with its exact Jaccard, so the oracle
+    # value-checks the full candidate set (58 pairs at sf0.01), not just
+    # the high-similarity survivors
+    return near_dup_pairs_minhash_sha(
+        docs, "doc_id", threshold=0.0, n_hashes=12, bands=6, rows=2,
+        shingle=2,
+    ).orderBy("id_a", "id_b")
+
+
 def q_pii_scrub(spark, sf_dir):
     from metacrafter_spark.corpus.scrub import with_scrub
     from metacrafter_spark.corpus.webpages import synth_webpages
@@ -534,20 +628,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_dedup,
         "fingerprints": q_fingerprints,
         "pii_scrub_documents": q_pii_scrub_documents,
+        "perplexity": q_perplexity,
+        "corpus_pipeline_documents": q_corpus_pipeline_documents,
+        "minhash_near_dups_sha": q_minhash_sha,
         # rows-only, each with its reason no SQL oracle exists:
         # - minhash_near_dups: xxhash64 signatures (no DuckDB twin);
-        #   its exact-Jaccard twin jaccard_pairs_exact IS oracle-checked
-        #   and determinism-across-partitioning is unit-tested
-        # - perplexity: numpy char-trigram model, not SQL-expressible;
-        #   determinism + ordering contracts unit-tested
-        # - lsh_topk: approximate by construction; its exact twin
-        #   ann_topk_cosine is oracle-checked, recall bound unit-tested
+        #   the sha256-family twin minhash_near_dups_sha IS oracle-checked
+        #   end-to-end (same banding/verify mechanism), and determinism-
+        #   across-partitioning is unit-tested
+        # - lsh_topk / ivf_topk: approximate by construction; the exact
+        #   twin ann_topk_cosine is oracle-checked, recall bounds
+        #   (multi-probe ≥0.9, IVF ≥0.9 @ nprobe=4) unit-tested
         # - corpus_pipeline / pii_scrub_hashes: run on the synthetic
         #   webpage corpus (BASELINE input shape) which DuckDB's parquet
-        #   views cannot see; the scrub bytes + counts are oracle-checked
-        #   on real tables via pii_scrub_documents above
+        #   views cannot see; the keep/drop decision tree IS oracle-
+        #   checked per document via corpus_pipeline_documents above, and
+        #   scrub bytes via pii_scrub_documents
         "minhash_near_dups": q_minhash_near_dups,
-        "perplexity": q_perplexity,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "corpus_pipeline": q_corpus_pipeline,
@@ -556,6 +653,139 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from metacrafter_spark.corpus.perplexity import ALPHABET, SEED_TEXT, V
+
+    # ---- char-trigram perplexity fragments (shared by two queries) ----
+    # the oracle RE-TRAINS the trigram table from the same embedded seed
+    # text (counts + add-k smoothing in SQL), rather than serializing the
+    # numpy table — an independent double-precision replay.
+    seed_norm = " ".join(SEED_TEXT.lower().split()).replace("'", "''")
+    alph = "(' " + ALPHABET[1:-1].replace("'", "''") + "' || chr(10))"
+    ppl_model = f"""
+        seed AS (SELECT '{seed_norm}' AS t),
+        seed_ids AS (
+          SELECT list_transform(regexp_extract_all(t, '(?s).'),
+                                c -> strpos({alph}, c)) AS ids FROM seed),
+        seed_tri AS (
+          SELECT unnest(list_transform(range(1, len(ids) - 1),
+                        i -> (ids[i]*{V} + ids[i+1])*{V} + ids[i+2])) AS tri
+          FROM seed_ids),
+        tric AS (SELECT tri, count(*)::DOUBLE AS c FROM seed_tri GROUP BY 1),
+        bic AS (SELECT tri // {V} AS bi, sum(c) AS c FROM tric GROUP BY 1),
+        maxppl AS (SELECT exp(-ln(0.1 / (max(c) + 0.1*{V}))) AS m FROM bic)"""
+    # scores CTE `src(doc_id, t)` where t is already ASCII text
+    ppl_score = f"""
+        pids AS (
+          SELECT doc_id,
+                 list_transform(
+                   regexp_extract_all(lower(substr(coalesce(t, ''), 1, 2000)),
+                                      '(?s).'),
+                   c -> strpos({alph}, c)) AS ids
+          FROM src),
+        ptris AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(ids) - 1),
+                        i -> (ids[i]*{V} + ids[i+1])*{V} + ids[i+2])) AS tri
+          FROM pids WHERE len(ids) >= 3),
+        plp AS (
+          SELECT p.doc_id,
+                 ln((coalesce(tc.c, 0) + 0.1)
+                    / (coalesce(bc.c, 0) + 0.1*{V})) AS lp
+          FROM ptris p LEFT JOIN tric tc USING (tri)
+          LEFT JOIN bic bc ON bc.bi = p.tri // {V}),
+        pagg AS (SELECT doc_id, exp(-avg(lp)) AS ppl FROM plp GROUP BY 1),
+        pfin AS (
+          SELECT s.doc_id,
+                 least(coalesce(pagg.ppl, (SELECT m FROM maxppl)),
+                       (SELECT m FROM maxppl)) AS ppl
+          FROM src s LEFT JOIN pagg USING (doc_id))"""
+
+    langid_values = """(VALUES
+          ('de', '(?i)\\b(?:der|die|das|und|ist|nicht|mit|ein|eine|zu|den|von|sich|auf|für|im|dem)\\b'),
+          ('en', '(?i)\\b(?:the|and|of|to|in|is|that|for|with|was|on|are|this|be|it|from|have|not)\\b'),
+          ('es', '(?i)\\b(?:el|los|las|de|y|que|en|una|es|por|con|para|del|se|su|como|más)\\b'),
+          ('fr', '(?i)\\b(?:le|la|les|des|une|et|est|dans|pour|que|qui|sur|avec|pas|au|du|ce|vous)\\b'),
+          ('ru', '(?i)\\b(?:и|в|не|на|что|с|по|это|как|из|за|его|для|или|она|они|был|при)\\b')
+        ) AS l(lang, pat)"""
+    # per-doc langid over src(doc_id, t) → lpred(doc_id, lang_pred)
+    langid_frag = f"""
+        lbase AS (
+          SELECT doc_id, substr(t, 1, 2000) AS head,
+                 greatest(len(string_split_regex(trim(substr(t, 1, 2000)), '\\s+')), 1) AS nt,
+                 len(regexp_extract_all(substr(t, 1, 2000), '[Ѐ-ӿ]')) * 1.0
+                   / greatest(length(substr(t, 1, 2000)), 1) AS cyr,
+                 length(trim(t)) AS trimlen,
+                 len(string_split_regex(trim(substr(t, 1, 2000)), '\\s+')) AS nt_raw
+          FROM src),
+        lscore AS (
+          SELECT b.doc_id, b.trimlen, b.nt_raw, l.lang,
+                 CASE l.lang
+                   WHEN 'ru' THEN len(regexp_extract_all(b.head, l.pat)) * 1.0 / b.nt + b.cyr
+                   ELSE len(regexp_extract_all(b.head, l.pat)) * 1.0 / b.nt
+                 END AS score
+          FROM lbase b CROSS JOIN {langid_values}),
+        lbest AS (
+          SELECT doc_id, trimlen, nt_raw, lang, score,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, lang DESC) AS rn
+          FROM lscore),
+        lpred AS (
+          SELECT doc_id,
+                 CASE WHEN trimlen = 0 OR nt_raw < 4 OR score < 0.05
+                      THEN 'und' ELSE lang END AS lang_pred
+          FROM lbest WHERE rn = 1)"""
+
+    # Gopher/C4 quality gates over src(doc_id, t) → qp(doc_id, q_pass)
+    quality_frag = r"""
+        qw AS (
+          SELECT doc_id, t,
+                 list_filter(string_split_regex(t, '\s+'),
+                             x -> length(x) > 0) AS words,
+                 string_split(t, chr(10)) AS lines,
+                 string_split_regex(t, '\n\n+') AS paras
+          FROM src),
+        qg AS (
+          SELECT doc_id, t, words, lines, paras,
+                 len(words) AS n_words,
+                 greatest(len(words), 1)::DOUBLE AS nwf,
+                 greatest(len(lines), 1)::DOUBLE AS nlf,
+                 CASE WHEN len(words) >= 2 THEN
+                   list_transform(range(1, len(words)),
+                                  i -> words[i] || ' ' || words[i + 1])
+                 ELSE [] END AS grams
+          FROM qw),
+        qm AS (
+          SELECT doc_id, n_words,
+                 length(regexp_replace(t, '\s+', '', 'g'))::DOUBLE / nwf AS mean_word_len,
+                 len(regexp_extract_all(t, '[#…]|\.{3}'))::DOUBLE / nwf AS symbol_word_ratio,
+                 len(list_filter(lines, l -> regexp_matches(l, '^\s*(?:[-*•‣▪]|\d+[.)])\s')))::DOUBLE / nlf AS bullet_line_frac,
+                 len(list_filter(lines, l -> regexp_matches(l, '(?:\.{3}|…)\s*$')))::DOUBLE / nlf AS ellipsis_line_frac,
+                 len(list_filter(words, w -> regexp_matches(w, '[A-Za-zА-Яа-яЀ-ӿÀ-ÿ]')))::DOUBLE / nwf AS alpha_word_frac,
+                 len(regexp_extract_all(t, '(?i)\b(?:the|be|to|of|and|that|have|with|и|в|не|на|le|la|et|der|die|und|el|los|que)\b')) AS stopword_hits,
+                 1.0 - len(list_distinct(lines))::DOUBLE / nlf AS dup_line_frac,
+                 1.0 - len(list_distinct(paras))::DOUBLE
+                       / greatest(len(paras), 1)::DOUBLE AS dup_para_frac,
+                 CASE WHEN len(grams) > 0 THEN
+                   1.0 - len(list_distinct(grams))::DOUBLE / len(grams)::DOUBLE
+                 ELSE 0.0 END AS dup_2gram_frac,
+                 regexp_matches(t, '(?i)lorem ipsum') AS has_lorem,
+                 contains(t, '{') AS has_curly
+          FROM qg),
+        qp AS (
+          SELECT doc_id,
+                 (n_words BETWEEN 50 AND 100000)
+                 AND (mean_word_len BETWEEN 3.0 AND 10.0)
+                 AND symbol_word_ratio < 0.1
+                 AND bullet_line_frac < 0.9
+                 AND ellipsis_line_frac < 0.3
+                 AND alpha_word_frac > 0.8
+                 AND stopword_hits >= 2
+                 AND dup_line_frac < 0.3
+                 AND dup_para_frac < 0.3
+                 AND dup_2gram_frac < 0.9
+                 AND NOT has_lorem AND NOT has_curly AS q_pass
+          FROM qm)"""
+
     stats_cols = []
     for c in ("text", "lang", "source"):
         stats_cols.append(
@@ -856,5 +1086,101 @@ def oracle_sql() -> dict[str, str]:
               FROM best WHERE rn = 1)
             SELECT lang_pred, count(*) AS n FROM pred
             GROUP BY 1 ORDER BY 1
+        """,
+        "perplexity": (
+            """
+            WITH src AS (
+              SELECT doc_id,
+                     regexp_replace(coalesce(text, ''), '[^\\x00-\\x7f]', '#', 'g') AS t
+              FROM documents WHERE doc_id < 100),"""
+            + ppl_model + "," + ppl_score + """
+            SELECT doc_id, round(ppl, 4) AS ppl FROM pfin ORDER BY doc_id
+        """),
+        "corpus_pipeline_documents": (
+            """
+            WITH src AS (
+              SELECT doc_id,
+                     regexp_replace(text, '[^\\x00-\\x7f]', '#', 'g')
+                     || ' contact user' || doc_id || '@example.com'
+                     || CASE WHEN doc_id % 2 = 0
+                             THEN ' ip 10.0.' || (doc_id % 250) || '.7'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 3 = 0
+                             THEN ' ssn 123-45-' || lpad(doc_id::VARCHAR, 4, '0')
+                             ELSE '' END
+                     || CASE WHEN doc_id % 13 = 0
+                             THEN ' pii wall a@b.co c@d.co e@f.co g@h.co j@k.co m@n.co p@q.co r@s.co'
+                             ELSE '' END AS t
+              FROM documents WHERE doc_id < 300),"""
+            + ppl_model + "," + ppl_score + "," + langid_frag + ","
+            + quality_frag + "," + r"""
+            pii AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(t, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}'))
+                     + len(regexp_extract_all(t, '(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])'))
+                     + len(regexp_extract_all(t, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS pii_total
+              FROM src),
+            dec AS (
+              SELECT s.doc_id, l.lang_pred, q.q_pass, p.ppl, i.pii_total,
+                     i.pii_total * 1000.0 / greatest(length(s.t), 1) AS pii_per_kchar
+              FROM src s JOIN lpred l USING (doc_id) JOIN qp q USING (doc_id)
+                   JOIN pfin p USING (doc_id) JOIN pii i USING (doc_id)),
+            fin AS (
+              SELECT doc_id, lang_pred, q_pass, ppl, pii_total, pii_per_kchar,
+                     CASE WHEN lang_pred = 'und' THEN 'lang_unknown'
+                          WHEN NOT q_pass THEN 'quality'
+                          WHEN lang_pred IN ('en', 'fr', 'de', 'es')
+                               AND ppl > 29.0 THEN 'perplexity'
+                          WHEN pii_per_kchar > 5.0 THEN 'pii_density'
+                          ELSE 'none' END AS drop_reason
+              FROM dec)
+            SELECT doc_id, lang_pred, q_pass, round(ppl, 4) AS ppl, pii_total,
+                   round(pii_per_kchar, 4) AS pii_per_kchar,
+                   drop_reason = 'none' AS keep, drop_reason
+            FROM fin ORDER BY doc_id
+        """),
+        "minhash_near_dups_sha": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_slice(list_filter(
+                       string_split_regex(lower(text), '\W+'),
+                       x -> length(x) > 0), 1, 2000) AS ws
+              FROM documents WHERE doc_id < 150),
+            g AS (
+              SELECT doc_id,
+                     list_distinct(CASE
+                       WHEN len(ws) >= 2 THEN
+                         list_transform(range(1, len(ws)),
+                           i -> ws[i] || ' ' || ws[i+1])
+                       WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+                       ELSE [] END) AS sh
+              FROM w),
+            s AS (
+              SELECT doc_id, sh,
+                     list_transform(range(0, 12),
+                       k -> list_aggregate(
+                              list_transform(sh, x -> sha256(k || ':' || x)),
+                              'min')) AS sig
+              FROM g WHERE len(sh) > 0),
+            b AS (
+              SELECT doc_id, band,
+                     sig[band*2+1] || ',' || sig[band*2+2] AS key
+              FROM s, range(0, 6) r(band)),
+            cnt AS (SELECT band, key, count(*) AS n FROM b GROUP BY 1, 2),
+            ok AS (SELECT b.doc_id, b.band, b.key
+                   FROM b JOIN cnt USING (band, key)
+                   WHERE cnt.n BETWEEN 2 AND 1000),
+            p AS (
+              SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+              FROM ok a JOIN ok b2
+                ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id),
+            j AS (
+              SELECT p.id_a, p.id_b,
+                     len(list_intersect(ga.sh, gb.sh)) * 1.0
+                       / len(list_distinct(list_concat(ga.sh, gb.sh))) AS jac
+              FROM p JOIN g ga ON ga.doc_id = p.id_a
+                     JOIN g gb ON gb.doc_id = p.id_b)
+            SELECT id_a, id_b, round(jac, 4) AS jaccard
+            FROM j WHERE jac >= 0.0 ORDER BY id_a, id_b
         """,
     }

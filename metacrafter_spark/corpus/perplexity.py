@@ -3,7 +3,9 @@
 A deterministic stand-in for a KenLM n-gram model: a char-trigram
 log-probability table trained once (at import, pure function of the
 embedded seed text) with add-k smoothing over a 64-symbol alphabet.
-The table (~1 MB float32) rides to executors inside the pandas-UDF
+The table (~2 MB float64 — double precision so the scorer is exactly
+replayable in any IEEE-double SQL engine, which is how the DuckDB
+oracle value-checks it) rides to executors inside the pandas-UDF
 closure — the moral equivalent of a broadcast variable for this size —
 and scoring is pure numpy over the whole Arrow batch: texts are
 concatenated into one byte buffer, trigram indices computed with two
@@ -65,12 +67,12 @@ def _train_table() -> np.ndarray:
     ids = _char_ids(text.encode("ascii", "replace"))
     tri = (ids[:-2] * V + ids[1:-1]) * V + ids[2:]
     bi = ids[:-2] * V + ids[1:-1]
-    tri_counts = np.bincount(tri, minlength=V * V * V).astype(np.float32)
-    bi_counts = np.bincount(bi, minlength=V * V).astype(np.float32)
+    tri_counts = np.bincount(tri, minlength=V * V * V).astype(np.float64)
+    bi_counts = np.bincount(bi, minlength=V * V).astype(np.float64)
     logp = np.log(
         (tri_counts.reshape(V * V, V) + SMOOTH_K)
         / (bi_counts[:, None] + SMOOTH_K * V)
-    ).astype(np.float32)
+    )
     return logp.reshape(-1)
 
 
@@ -94,13 +96,22 @@ def score_batch(texts: pd.Series, logp: np.ndarray, max_chars: int = 2000) -> pd
     if n_tri == 0:
         return pd.Series(np.full(len(texts), MAX_PPL), index=texts.index)
     tri = (ids[:-2] * V + ids[1:-1]) * V + ids[2:]
-    lp = logp[tri]
-    csum = np.concatenate(([0.0], np.cumsum(lp, dtype=np.float64)))
+    # per-doc segment sums via reduceat: each segment is summed from its
+    # own values only (a batch-wide cumsum would leak neighbouring docs'
+    # float rounding into the subtraction — observed 4e-12 cross-
+    # partitioning drift), so scores are bit-identical at any batching.
+    # Sentinel 0.0 keeps the last segment's end index in bounds.
+    lp = np.append(logp[tri], 0.0)
     starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
     counts = np.maximum(lengths - 2, 0)
-    starts = np.clip(starts, 0, n_tri)
-    ends = np.clip(starts + counts, 0, n_tri)
-    sums = csum[ends] - csum[starts]
+    sums = np.zeros(len(lengths), dtype=np.float64)
+    valid = counts > 0
+    if valid.any():
+        vs = starts[valid]
+        bounds = np.empty(2 * len(vs), dtype=np.int64)
+        bounds[0::2] = vs
+        bounds[1::2] = vs + counts[valid]
+        sums[valid] = np.add.reduceat(lp, bounds)[0::2]
     ppl = np.where(
         counts > 0, np.exp(-(sums / np.maximum(counts, 1))), MAX_PPL
     )

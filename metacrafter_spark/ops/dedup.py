@@ -225,6 +225,84 @@ def near_dup_pairs_minhash(
         sig.unpersist()
 
 
+def near_dup_pairs_minhash_sha(
+    df: DataFrame, id_col: str, *, threshold: float = 0.5,
+    n_hashes: int = 12, bands: int = 4, rows: int = 3,
+    text_col: str = "text", max_bucket: int = 1000, shingle: int = 5,
+) -> DataFrame:
+    """DuckDB-reproducible MinHash-LSH twin of
+    :func:`near_dup_pairs_minhash` (same banding semantics, same
+    verify-with-exact-Jaccard shape): signature k is the LEXICOGRAPHIC
+    minimum over shingles of ``sha2(f"{k}:" + shingle, 256)`` — hash
+    ordering is a random permutation of the shingle universe, so a
+    string min is a valid min-hash, and every primitive (sha256 hex,
+    string min/concat) exists identically in DuckDB for end-to-end
+    value checking.  Band key = the concatenation of ``rows``
+    consecutive minima; same ``max_bucket`` skew guard.
+
+    The production path stays xxhash64+numpy (`with_minhash`): this
+    family pays k× the hashing cost and exists for oracle-scale
+    verification of the banding/verify mechanism."""
+    base = df.select(F.col(id_col), F.col(text_col))
+    t = base.withColumn(
+        "sh", word_shingles(F.col(text_col), shingle)
+    ).filter(F.size("sh") > 0)
+
+    def _seeded(k: int):
+        # one-arg closure factory (see with_simhash: a default-arg lambda
+        # would bind (element, index) in pyspark's HOF)
+        return lambda s: F.sha2(F.concat(F.lit(f"{k}:"), s), 256)
+
+    sig = F.array(*[
+        F.array_min(F.transform(F.col("sh"), _seeded(k)))
+        for k in range(n_hashes)
+    ])
+    t = t.withColumn("sig", sig).persist()
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(",", *[
+                F.element_at(F.col("sig"), b * rows + r + 1)
+                for r in range(rows)
+            ]).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    try:
+        exploded = t.select(
+            F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
+        ).select(id_col, "bk.band", "bk.key")
+        counts = exploded.groupBy("band", "key").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        ok = exploded.join(
+            F.broadcast(counts.filter(F.col("n").between(2, max_bucket))),
+            ["band", "key"],
+        )
+        a, b2 = ok.alias("a"), ok.alias("b")
+        pairs = (
+            a.join(b2, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct()
+        )
+        sh_frame = t.select(F.col(id_col), "sh")
+        out = (
+            pairs.join(sh_frame.withColumnRenamed(id_col, "id_a")
+                       .withColumnRenamed("sh", "sh_a"), "id_a")
+            .join(sh_frame.withColumnRenamed(id_col, "id_b")
+                  .withColumnRenamed("sh", "sh_b"), "id_b")
+            .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        t.unpersist()
+
+
 def dedup_by_pairs(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
     """Drop the larger id of every near-dup pair (keep-first policy)."""
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()

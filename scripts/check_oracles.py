@@ -1,0 +1,82 @@
+"""Driver-style oracle checker: run queries() vs oracle_sql() in DuckDB.
+
+Mimics the round driver's comparison (row count, column-name set, and a
+value comparison with columns sorted by name and rows sorted), so oracle
+regressions surface before the round gate does.
+
+Usage:
+    python scripts/check_oracles.py [query ...]     # default: all with SQL
+    SF_DIR=/root/testdata/sf0.01 python scripts/check_oracles.py
+"""
+
+from __future__ import annotations
+
+import glob
+import math
+import os
+import sys
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.9g}"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def _canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [cols[i] for i in order], out
+
+
+def main(names: list[str]) -> int:
+    import __spark_entry__ as E
+    from metacrafter_spark.session import get_spark
+
+    sf = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    targets = names or [n for n in qs if n in oracles]
+    spark = get_spark()
+    con = duckdb.connect()
+    for p in glob.glob(os.path.join(sf, "*.parquet")):
+        t = os.path.basename(p)[: -len(".parquet")]
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    failed = []
+    for name in targets:
+        if name not in oracles:
+            print(f"{name}: NO ORACLE (rows-only)")
+            continue
+        sdf = qs[name](spark, sf)
+        s_cols, s_rows = _canon(sdf.columns, [tuple(r) for r in sdf.collect()])
+        rel = con.execute(oracles[name])
+        o_cols, o_rows = _canon([d[0] for d in rel.description], rel.fetchall())
+        ok_rows = len(s_rows) == len(o_rows)
+        ok_schema = s_cols == o_cols
+        ok_vals = s_rows == o_rows
+        status = "OK" if (ok_rows and ok_schema and ok_vals) else "FAIL"
+        print(f"{name}: {status} spark={len(s_rows)} oracle={len(o_rows)} "
+              f"schema={'=' if ok_schema else f'{s_cols} vs {o_cols}'}")
+        if not ok_vals and ok_rows and ok_schema:
+            for a, b in zip(s_rows, o_rows):
+                if a != b:
+                    print("  first diff:\n   spark:", a, "\n   duck :", b)
+                    break
+        if status == "FAIL":
+            failed.append(name)
+    spark.stop()
+    print("FAILED:", failed if failed else "none")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

@@ -61,6 +61,20 @@ def test_minhash_near_dups(docs):
     assert 100 not in ids and 101 not in ids and 102 in ids
 
 
+def test_minhash_sha_twin_matches_prod_semantics(docs):
+    """The DuckDB-reproducible sha256-min family must find the same
+    high-similarity pairs as the xxhash64 prod path on the fixture."""
+    from metacrafter_spark.ops.dedup import near_dup_pairs_minhash_sha
+
+    pairs = near_dup_pairs_minhash_sha(docs, "doc_id", threshold=0.6,
+                                       n_hashes=12, bands=6, rows=2)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 100) in got      # exact duplicate: every band collides
+    assert all(102 not in p for p in got)
+    jac = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert jac[(0, 100)] == 1.0
+
+
 def test_minhash_deterministic(docs):
     s1 = with_minhash(docs.repartition(1)).select("doc_id", "minhash").collect()
     s2 = with_minhash(docs.repartition(5)).select("doc_id", "minhash").collect()
