@@ -13,13 +13,17 @@ reference-supported mode); this battery is the engine's own
 ``parse_dates=True`` implementation and emits its OWN format keys
 (``date:*``), not qddate's pattern names.
 
-Families covered (66 patterns): ISO 8601 (with time/fraction/zone),
-numeric d-m-y / m-d-y / y-m-d with ``./-//`` separators and 2- or
-4-digit years, compact ``yyyymmdd``, time-leading forms, EN month-name
+Families covered (151 patterns): ISO 8601 (time/fraction/zone, week
+dates, ordinal dates, compact basic forms), numeric d-m-y / m-d-y /
+y-m-d with ``./-/_/`` separators and 2- or 4-digit years, compact
+``yyyymmdd``, time-leading and 12-hour (am/pm) forms, EN month-name
 dates (full + abbreviated, ordinal suffixes, ``'yy`` years, weekday
-prefixes, RFC 2822), RU month-genitive dates (full + abbreviated, with
-``г./года`` suffixes, ``в HH:MM`` time forms, weekday prefixes), and
-month-year / day-month partial dates.
+prefixes with and without times, RFC 2822 + asctime, ``at``/``on``
+connectors, day and month-day ranges, seasons, quarters), RU
+month-genitive dates (full + abbreviated + nominative + prepositional
+``в январе``, ``г./года/гг.`` suffixes, ``в HH:MM`` time forms, weekday
+prefixes incl. abbreviated, ``от``/``с … по`` official prefixes,
+quarters, seasons), and month-year / day-month partial dates.
 
 Ordering contract: more specific patterns come first (ISO before loose,
 4-digit years before 2-digit, weekday-prefixed before bare); the test
@@ -43,11 +47,18 @@ _RU_MONTHS_NOM = ("январь|февраль|март|апрель|май|ию
                   "|октябрь|ноябрь|декабрь")
 _RU_MON = "янв|февр?|мар|апр|мая|май|июн|июл|авг|сент?|окт|нояб?|дек"
 _RU_DOW = ("понедельник|вторник|среда|четверг|пятница|суббота|воскресенье")
+_RU_DOW_ABBR = "пн|вт|ср|чт|пт|сб|вс"
+_RU_MONTHS_PREP = ("январе|феврале|марте|апреле|мае|июне|июле|августе"
+                   "|сентябре|октябре|ноябре|декабре")
+_EN_SEASONS = "spring|summer|autumn|fall|winter"
+_RU_SEASONS = "весна|лето|осень|зима"
 
 # time fragments
 _TIME = r"(?:[ T]\d{1,2}:\d{2}(?::\d{2})?)?"        # optional trailing time
 _TIME_REQ = r"\d{1,2}:\d{2}(?::\d{2})?"             # required time
 _RU_TIME = r"(?:,? ?в \d{1,2}:\d{2}(?::\d{2})?)?"   # optional "в HH:MM"
+_AMPM = r" ?[AaPp]\.?[Mm]\.?"                       # 12-hour marker
+_TZ = r" ?(?:GMT|UTC|[+-]\d{2}:?\d{2})"             # trailing zone
 
 # date components
 _D = r"(?:0?[1-9]|[12]\d|3[01])"     # day 1-31, optional leading zero
@@ -153,6 +164,102 @@ DATE_PATTERNS: tuple[tuple[str, str], ...] = (
     # --- ISO basic with time -----------------------------------------------
     ("date:iso_compact_hms", rf"{_Y}{_M2}{_D2}T?\d{{2}}:?\d{{2}}:?\d{{2}}"),
     ("date:en_my_slash", rf"(?i:(?:{_EN_MON})\.?/{_Y})"),
+    # ================= round-3 battery extension (appended: first-match
+    # order of every earlier key is untouched by construction) ==========
+    # --- EN 12-hour clock (am/pm) forms ------------------------------------
+    ("date:en_mdy_ampm", rf"(?i:(?:{_EN_MONTHS}) {_D}{_ORD},? {_Y},? {_TIME_REQ}{_AMPM})"),
+    ("date:en_dmy_ampm", rf"(?i:{_D}{_ORD} (?:{_EN_MONTHS}),? {_Y},? {_TIME_REQ}{_AMPM})"),
+    ("date:en_mdy_abbr_ampm", rf"(?i:(?:{_EN_MON})\.? {_D}{_ORD},? {_Y},? {_TIME_REQ}{_AMPM})"),
+    ("date:en_dmy_abbr_ampm", rf"(?i:{_D} (?:{_EN_MON})\.? {_Y},? {_TIME_REQ}{_AMPM})"),
+    ("date:mdy_slash_ampm", rf"{_M}/{_D}/{_Y} {_TIME_REQ}{_AMPM}"),
+    ("date:dmy_slash_ampm", rf"{_D}/{_M}/{_Y} {_TIME_REQ}{_AMPM}"),
+    ("date:dmy_dot_ampm", rf"{_D}\.{_M}\.{_Y} {_TIME_REQ}{_AMPM}"),
+    ("date:iso_ampm", rf"{_Y}-{_M2}-{_D2} {_TIME_REQ}{_AMPM}"),
+    ("date:time_ampm_mdy", rf"{_TIME_REQ}{_AMPM} {_M}/{_D}/{_Y}"),
+    ("date:time_ampm_en_mdy", rf"(?i:{_TIME_REQ}{_AMPM} (?:{_EN_MONTHS}) {_D}{_ORD},? {_Y})"),
+    # --- EN "at"/"on" connector + tz-suffixed -------------------------------
+    ("date:en_hm_on_mdy", rf"(?i:{_TIME_REQ} on (?:{_EN_MONTHS}) {_D}{_ORD},? {_Y})"),
+    ("date:en_mdy_abbr_at", rf"(?i:(?:{_EN_MON})\.? {_D}{_ORD},? {_Y} at {_TIME_REQ})"),
+    ("date:en_dmy_at", rf"(?i:{_D}{_ORD} (?:{_EN_MONTHS}),? {_Y} at {_TIME_REQ})"),
+    ("date:en_mdy_hms_tz", rf"(?i:(?:{_EN_MONTHS}) {_D}{_ORD},? {_Y} {_TIME_REQ}{_TZ})"),
+    ("date:en_mdy_abbr_hms_tz", rf"(?i:(?:{_EN_MON})\.? {_D}{_ORD},? {_Y} {_TIME_REQ}{_TZ})"),
+    # --- EN weekday-prefixed with trailing time ------------------------------
+    ("date:en_dow_dmy_time", rf"(?i:(?:{_EN_DOW}),? {_D}{_ORD} (?:{_EN_MONTHS}),? {_Y},? {_TIME_REQ})"),
+    ("date:en_dow_mdy_time", rf"(?i:(?:{_EN_DOW}),? (?:{_EN_MONTHS}) {_D}{_ORD},? {_Y},? {_TIME_REQ})"),
+    ("date:en_dow_abbr_mdy_time", rf"(?i:(?:{_EN_DOW_ABBR})\.?,? (?:{_EN_MON})\.? {_D},? {_Y},? {_TIME_REQ})"),
+    ("date:rfc_full_dow", rf"(?i:(?:{_EN_DOW}), \d{{1,2}} (?:{_EN_MON})\.? {_Y} "
+                          rf"\d{{2}}:\d{{2}}:\d{{2}}(?:{_TZ})?)"),
+    ("date:asctime", rf"(?i:(?:{_EN_DOW_ABBR}) (?:{_EN_MON})\.? +{_D} {_TIME_REQ} {_Y})"),
+    # --- EN comma-time / apostrophe-year / partial variants ------------------
+    ("date:en_dmy_comma_time", rf"(?i:{_D}{_ORD} (?:{_EN_MONTHS}),? {_Y}, {_TIME_REQ})"),
+    ("date:en_mdy_comma_time", rf"(?i:(?:{_EN_MONTHS}) {_D}{_ORD},? {_Y}, {_TIME_REQ})"),
+    ("date:en_my_apos", rf"(?i:(?:{_EN_MONTHS}) '\d{{2}})"),
+    ("date:en_my_abbr_apos", rf"(?i:(?:{_EN_MON})\.? '\d{{2}})"),
+    ("date:en_dmy_abbr_short", rf"(?i:{_D} (?:{_EN_MON})\.? \d{{2}})"),
+    ("date:en_dm_abbr", rf"(?i:{_D}{_ORD} (?:{_EN_MON})\.?)"),
+    ("date:en_md_abbr", rf"(?i:(?:{_EN_MON})\.? {_D}{_ORD})"),
+    ("date:en_ymd_abbr", rf"(?i:{_Y},? (?:{_EN_MON})\.? {_D}{_ORD})"),
+    ("date:en_ym", rf"(?i:{_Y},? (?:{_EN_MONTHS}))"),
+    ("date:en_dmy_abbr_comma", rf"(?i:{_D} (?:{_EN_MON})\.?, {_Y})"),
+    ("date:en_d_of_my_abbr", rf"(?i:{_D}{_ORD} of (?:{_EN_MON})\.?,? {_Y})"),
+    ("date:en_the_dmy", rf"(?i:the {_D}{_ORD} of (?:{_EN_MONTHS}),? {_Y})"),
+    # --- EN ranges / weekday partials / structured ---------------------------
+    ("date:en_d_range_my", rf"(?i:{_D}{_ORD}\s?[-–]\s?{_D}{_ORD} (?:{_EN_MONTHS}),? {_Y})"),
+    ("date:en_md_range_y", rf"(?i:(?:{_EN_MONTHS}) {_D}{_ORD}\s?[-–]\s?{_D}{_ORD},? {_Y})"),
+    ("date:en_dow_md", rf"(?i:(?:{_EN_DOW}),? (?:{_EN_MONTHS}) {_D}{_ORD})"),
+    ("date:en_dow_abbr_md", rf"(?i:(?:{_EN_DOW_ABBR})\.?,? (?:{_EN_MON})\.? {_D}{_ORD})"),
+    ("date:en_iso_month_full", rf"(?i:{_Y}-(?:{_EN_MONTHS})-{_D})"),
+    ("date:en_iso_mon", rf"(?i:{_Y}-(?:{_EN_MON})\.?-{_D})"),
+    ("date:en_mon_slash_dy", rf"(?i:(?:{_EN_MON})\.?/{_D}/{_Y})"),
+    ("date:en_season_y", rf"(?i:(?:{_EN_SEASONS}) {_Y})"),
+    ("date:en_season_y_slash", rf"(?i:(?:{_EN_SEASONS}) {_Y}/\d{{2}})"),
+    # --- RU: abbreviated/nominative/prepositional months, times, ranges ------
+    ("date:ru_dmy_abbr_time", rf"(?i:{_D} (?:{_RU_MON})\.? {_Y}{_RU_YSUF},? ?в {_TIME_REQ})"),
+    ("date:ru_dow_abbr_dmy", rf"(?i:(?:{_RU_DOW_ABBR})\.?,? {_D} (?:{_RU_MONTHS}) {_Y}{_RU_YSUF})"),
+    ("date:ru_dow_abbr_dmy_dot", rf"(?i:(?:{_RU_DOW_ABBR})\.?,? {_D}\.{_M}\.{_Y})"),
+    ("date:ru_dmy_nom", rf"(?i:{_D} (?:{_RU_MONTHS_NOM}) {_Y}{_RU_YSUF})"),
+    ("date:ru_time_dmy", rf"(?i:{_TIME_REQ} {_D} (?:{_RU_MONTHS}) {_Y}{_RU_YSUF})"),
+    ("date:ru_time_dmy_abbr", rf"(?i:{_TIME_REQ} {_D} (?:{_RU_MON})\.? {_Y}{_RU_YSUF})"),
+    ("date:ru_dmy_comma_time", rf"(?i:{_D} (?:{_RU_MONTHS}) {_Y}{_RU_YSUF}, {_TIME_REQ})"),
+    ("date:ru_dm_time", rf"(?i:{_D} (?:{_RU_MONTHS}) ?в {_TIME_REQ})"),
+    ("date:ru_prep_my", rf"(?i:в (?:{_RU_MONTHS_PREP}) {_Y}{_RU_YSUF})"),
+    ("date:ru_na_my", rf"(?i:на (?:{_RU_MONTHS_NOM}) {_Y}{_RU_YSUF})"),
+    ("date:ru_my_abbr", rf"(?i:(?:{_RU_MON})\.? {_Y}{_RU_YSUF})"),
+    ("date:ru_ymd_name", rf"(?i:{_Y},? {_D} (?:{_RU_MONTHS}))"),
+    ("date:ru_dow_dm", rf"(?i:(?:{_RU_DOW}),? {_D} (?:{_RU_MONTHS}))"),
+    ("date:ru_quarter", rf"(?i:(?:[1-4]|i{{1,3}}|iv) квартал {_Y}{_RU_YSUF})"),
+    ("date:ru_v_y", rf"(?i:в {_Y} году)"),
+    ("date:ru_y_range_g", rf"(?i:{_Y}\s?[-–]\s?{_Y} ?гг\.?)"),
+    ("date:ru_v_time_dmy", rf"(?i:в {_TIME_REQ} {_D}\.{_M}\.{_Y})"),
+    ("date:ru_ot_dmy_dot", rf"(?i:от {_D}\.{_M}\.{_Y}{_RU_YSUF})"),
+    ("date:ru_s_po_range", rf"(?i:с {_D}\.{_M}\.{_Y} по {_D}\.{_M}\.{_Y})"),
+    ("date:ru_season_y", rf"(?i:(?:{_RU_SEASONS}) {_Y}{_RU_YSUF})"),
+    # --- numeric permutations / ISO extensions -------------------------------
+    ("date:mdy_dot", rf"{_M}\.{_D}\.{_Y}{_TIME}"),
+    ("date:mdy_dash_short", rf"{_M2}-{_D2}-{_Y2}"),
+    ("date:dmy_slash_short", rf"{_D2}/{_M2}/{_Y2}"),
+    ("date:mdy_slash_short_time", rf"{_M2}/{_D2}/{_Y2} {_TIME_REQ}"),
+    ("date:ym_slash", rf"{_Y}/{_M2}"),
+    ("date:ym_dot", rf"{_Y}\.{_M2}"),
+    ("date:ym_underscore", rf"{_Y}_{_M2}"),
+    ("date:dmy_underscore", rf"{_D2}_{_M2}_{_Y}"),
+    ("date:dm_dot", rf"{_D2}\.{_M2}"),
+    ("date:md_slash", rf"{_M2}/{_D2}"),
+    ("date:iso_week_day", rf"{_Y}-W[0-5]\d-[1-7]"),
+    ("date:iso_week", rf"{_Y}-W[0-5]\d"),
+    ("date:iso_week_compact", rf"{_Y}W[0-5]\d"),
+    ("date:iso_ordinal_day", rf"{_Y}-[0-3]\d\d"),
+    ("date:iso_compact_hms_z", rf"{_Y}{_M2}{_D2}T?\d{{2}}:?\d{{2}}:?\d{{2}}Z"),
+    ("date:iso_space_tz", rf"{_Y}-{_M2}-{_D2} \d{{2}}:\d{{2}}(?::\d{{2}})?(?:\.\d+)?{_TZ}"),
+    ("date:iso_comma_time", rf"{_Y}-{_M2}-{_D2}, {_TIME_REQ}"),
+    ("date:dmy_dot_range", rf"{_D}\.{_M}\.{_Y}\s?[-–]\s?{_D}\.{_M}\.{_Y}"),
+    ("date:iso_range", rf"{_Y}-{_M2}-{_D2}\s?[-–]\s?{_Y}-{_M2}-{_D2}"),
+    ("date:time_ymd_slash", rf"{_TIME_REQ} {_Y}/{_M}/{_D}"),
+    ("date:time_dmy_dash", rf"{_TIME_REQ} {_D}-{_M}-{_Y}"),
+    ("date:time_en_dmy", rf"(?i:{_TIME_REQ} {_D}{_ORD} (?:{_EN_MONTHS}),? {_Y})"),
+    ("date:quarter_slash", rf"(?i:q[1-4]/{_Y})"),
+    ("date:en_ym_abbr", rf"(?i:{_Y},? (?:{_EN_MON})\.?)"),
+    ("date:dmy_dash_ampm", rf"{_D}-{_M}-{_Y} {_TIME_REQ}{_AMPM}"),
 )
 
 

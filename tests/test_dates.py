@@ -88,6 +88,93 @@ EXAMPLES: dict[str, list[str]] = {
     "date:dmy_dot_short_time": ["31.12.99 10:30"],
     "date:iso_compact_hms": ["20240131T103000", "20240131103000"],
     "date:en_my_slash": ["Jan/2024"],
+    # --- round-3 extension -------------------------------------------------
+    "date:en_mdy_ampm": ["March 21, 2024 10:30 am"],
+    "date:en_dmy_ampm": ["21 March 2024 10:30 pm"],
+    "date:en_mdy_abbr_ampm": ["Mar 21, 2024 10:30 am"],
+    "date:en_dmy_abbr_ampm": ["21 Mar 2024 10:30 pm"],
+    "date:mdy_slash_ampm": ["12/31/2024 10:30 pm"],
+    "date:dmy_slash_ampm": ["31/12/2024 10:30 pm"],
+    "date:dmy_dot_ampm": ["31.12.2024 10:30 am"],
+    "date:dmy_dash_ampm": ["31-12-2024 10:30 pm"],
+    "date:iso_ampm": ["2024-12-31 10:30 pm"],
+    "date:time_ampm_mdy": ["10:30 am 12/31/2024"],
+    "date:time_ampm_en_mdy": ["10:30 am March 21, 2024"],
+    "date:en_hm_on_mdy": ["10:30 on March 21, 2024"],
+    "date:en_mdy_abbr_at": ["Mar 21, 2024 at 10:30"],
+    "date:en_dmy_at": ["21 March 2024 at 10:30"],
+    "date:en_mdy_hms_tz": ["March 21, 2024 10:30:45 GMT"],
+    "date:en_mdy_abbr_hms_tz": ["Mar 21, 2024 10:30:45 GMT"],
+    "date:en_dow_dmy_time": ["Friday, 21 March 2024 10:30"],
+    "date:en_dow_mdy_time": ["Friday, March 21, 2024 10:30"],
+    "date:en_dow_abbr_mdy_time": ["Fri, Mar 21, 2024 10:30"],
+    "date:rfc_full_dow": ["Tuesday, 3 Jun 2008 11:05:30"],
+    "date:asctime": ["Tue Jun  3 11:05:30 2008", "Tue Jun 3 11:05:30 2008"],
+    "date:en_dmy_comma_time": ["21 March 2024, 10:30"],
+    "date:en_mdy_comma_time": ["March 21, 2024, 10:30"],
+    "date:en_my_apos": ["March '24"],
+    "date:en_my_abbr_apos": ["Mar '24"],
+    "date:en_dmy_abbr_short": ["21 Mar 24"],
+    "date:en_dm_abbr": ["21 Mar"],
+    "date:en_md_abbr": ["Mar 21"],
+    "date:en_ymd_abbr": ["2024 Mar 21"],
+    "date:en_ym": ["2024 March"],
+    "date:en_ym_abbr": ["2024 Mar"],
+    "date:en_dmy_abbr_comma": ["21 Mar, 2024"],
+    "date:en_d_of_my_abbr": ["21st of Mar, 2024"],
+    "date:en_the_dmy": ["the 21st of March, 2024"],
+    "date:en_d_range_my": ["21-23 March 2024"],
+    "date:en_md_range_y": ["March 21-23, 2024"],
+    "date:en_dow_md": ["Friday, March 21"],
+    "date:en_dow_abbr_md": ["Fri, Mar 21"],
+    "date:en_iso_month_full": ["2024-March-21"],
+    "date:en_iso_mon": ["2024-Mar-21"],
+    "date:en_mon_slash_dy": ["Mar/21/2024"],
+    "date:en_season_y": ["Spring 2024"],
+    "date:en_season_y_slash": ["Winter 2024/25"],
+    "date:ru_dmy_abbr_time": ["5 янв 2023 в 10:30"],
+    "date:ru_dow_abbr_dmy": ["пт, 5 марта 2023"],
+    "date:ru_dow_abbr_dmy_dot": ["пт, 31.12.2024"],
+    "date:ru_dmy_nom": ["5 март 2023"],
+    "date:ru_time_dmy": ["10:30 5 марта 2023"],
+    "date:ru_time_dmy_abbr": ["10:30 5 янв 2023"],
+    "date:ru_dmy_comma_time": ["5 марта 2023, 10:30"],
+    "date:ru_dm_time": ["5 марта в 10:30"],
+    "date:ru_prep_my": ["в январе 2024"],
+    "date:ru_na_my": ["на январь 2024"],
+    "date:ru_my_abbr": ["янв 2024", "окт. 2019 г."],
+    "date:ru_ymd_name": ["2023, 5 марта"],
+    "date:ru_dow_dm": ["пятница, 5 марта"],
+    "date:ru_quarter": ["1 квартал 2024", "II квартал 2024"],
+    "date:ru_v_y": ["в 2024 году"],
+    "date:ru_y_range_g": ["2019-2020 гг."],
+    "date:ru_v_time_dmy": ["в 10:30 31.12.2024"],
+    "date:ru_ot_dmy_dot": ["от 31.12.2024", "от 31.12.2024 г."],
+    "date:ru_s_po_range": ["с 01.01.2024 по 31.12.2024"],
+    "date:ru_season_y": ["весна 2024", "лето 2024 года"],
+    "date:mdy_dot": ["12.31.2024"],
+    "date:mdy_dash_short": ["12-31-99"],
+    "date:dmy_slash_short": ["31/12/99"],
+    "date:mdy_slash_short_time": ["12/31/99 10:30"],
+    "date:ym_slash": ["2024/12"],
+    "date:ym_dot": ["2024.12"],
+    "date:ym_underscore": ["2024_12"],
+    "date:dmy_underscore": ["31_12_2024"],
+    "date:dm_dot": ["31.12"],
+    "date:md_slash": ["12/31"],
+    "date:iso_week_day": ["2024-W05-3"],
+    "date:iso_week": ["2024-W05"],
+    "date:iso_week_compact": ["2024W05"],
+    "date:iso_ordinal_day": ["2024-123"],
+    "date:iso_compact_hms_z": ["20240131T103000Z"],
+    "date:iso_space_tz": ["2024-01-31 10:30:00+03:00"],
+    "date:iso_comma_time": ["2024-12-31, 10:30"],
+    "date:dmy_dot_range": ["01.01.2024-31.12.2024"],
+    "date:iso_range": ["2024-01-01 - 2024-12-31"],
+    "date:time_ymd_slash": ["10:30 2024/12/31"],
+    "date:time_dmy_dash": ["10:30 31-12-2024"],
+    "date:time_en_dmy": ["10:30 21 March 2024"],
+    "date:quarter_slash": ["Q1/2024"],
 }
 
 NON_DATES = [
@@ -100,7 +187,7 @@ NON_DATES = [
 def test_battery_size_and_unique_keys():
     keys = [k for k, _ in DATE_PATTERNS]
     assert len(keys) == len(set(keys))
-    assert len(keys) >= 60, len(keys)
+    assert len(keys) >= 150, len(keys)
     assert set(EXAMPLES) == set(keys)  # every pattern has examples
 
 
