@@ -31,7 +31,28 @@ def derby(spark, tmp_path_factory):
         F.col("id").alias("order_id"),
         (F.col("id") % 7).cast("string").alias("status"),
     )
-    for name, df in [("people", people), ("orders", orders)]:
+    # mixed types + NULLs: the report aggregation has to survive
+    # timestamps, decimals, doubles, and sparsely-populated columns
+    payments = spark.range(0, 60).select(
+        F.col("id").alias("pay_id"),
+        (F.col("id") * 1.5).cast("decimal(10,2)").alias("amount"),
+        F.when(F.col("id") % 3 == 0, F.lit(None).cast("string"))
+         .otherwise(F.concat(F.lit("inv-"), F.col("id").cast("string")))
+         .alias("invoice"),
+        F.to_timestamp(
+            F.concat(F.lit("2024-01-"),
+                     F.lpad(((F.col("id") % 28) + 1).cast("string"), 2, "0"),
+                     F.lit(" 10:30:00"))
+        ).alias("paid_at"),
+        (F.col("id").cast("double") / 7.0).alias("score"),
+    )
+    empties = spark.range(0, 25).select(
+        F.col("id").alias("row_id"),
+        F.lit(None).cast("string").alias("always_null"),
+        F.when(F.col("id") < 3, F.lit("rare")).otherwise(None).alias("sparse"),
+    )
+    for name, df in [("people", people), ("orders", orders),
+                     ("payments", payments), ("empties", empties)]:
         (df.write.format("jdbc").option("url", url)
          .option("dbtable", name).option("driver", DERBY_DRIVER)
          .mode("overwrite").save())
@@ -83,6 +104,68 @@ def test_scan_db_classify_and_db_report(spark, derby, tmp_path):
     ps = tmp_path / "db_stats.csv"
     write_db_report(reports, str(ps), fmt="csv", stats_only=True)
     assert len(ps.read_text().splitlines()) > 3
+
+
+def test_db_report_four_tables_all_formats(spark, derby, tmp_path):
+    """scan_db over 4 Derby tables with mixed types/NULLs → every report
+    format × short/full/stats_only combination (reference core.py:818-878
+    per-table aggregation ordering)."""
+    url, props = derby
+    from metacrafter_spark.scanner import scan_dataframe
+
+    tables = ["people", "orders", "payments", "empties"]
+    frames = scan_db(spark, url, tables, properties=props)
+    assert list(frames) == tables  # dict preserves requested order
+    reports = {t: scan_dataframe(df) for t, df in frames.items()}
+
+    # stats survived mixed types: decimal/timestamp/double columns are
+    # present, and the all-null column reports zero non-empty values
+    pay_stats = {r[0]: r for r in reports["payments"]["stats_table"]}
+    assert {"pay_id", "amount", "invoice", "paid_at", "score"} <= set(pay_stats)
+    emp = {r["field"]: r for r in reports["empties"]["data"]}
+    assert emp["always_null"]["matches"] == []
+
+    # json full: one aggregated entry per table, in scan order
+    pj = tmp_path / "four.json"
+    write_db_report(reports, str(pj), fmt="json")
+    agg = json.loads(pj.read_text())
+    assert [e["table"] for e in agg] == tables
+    assert all("results" in e and "stats" in e and "fields" in e for e in agg)
+
+    # json short: row tuples shrink but tables stay
+    pjs = tmp_path / "four_short.json"
+    write_db_report(reports, str(pjs), fmt="json", short=True)
+    aggs = json.loads(pjs.read_text())
+    assert [e["table"] for e in aggs] == tables
+    assert all(len(e["results"]) <= len(a["results"])
+               for e, a in zip(aggs, agg))
+
+    # yaml full + short parse back to the same table list
+    import yaml
+
+    for short in (False, True):
+        py = tmp_path / f"four_{short}.yaml"
+        write_db_report(reports, str(py), fmt="yaml", short=short)
+        ya = yaml.safe_load(py.read_text())
+        assert [e["table"] for e in ya] == tables
+
+    # csv full + short: every row is prefixed with a known table
+    for short in (False, True):
+        pc = tmp_path / f"four_{short}.csv"
+        write_db_report(reports, str(pc), fmt="csv", short=short)
+        lines = pc.read_text().splitlines()
+        assert lines[0].startswith("table,")
+        assert {line.split(",")[0] for line in lines[1:]} <= set(tables)
+
+    # csv stats_only: a stats row per column per table
+    ps = tmp_path / "four_stats.csv"
+    write_db_report(reports, str(ps), fmt="csv", stats_only=True)
+    lines = ps.read_text().splitlines()
+    firstcol = [line.split(",")[0] for line in lines[1:]]
+    for t in tables:
+        assert t in firstcol
+    # 3 + 2 + 5 + 3 columns across the four tables
+    assert len(lines) - 1 == 13
 
 
 def test_cli_scan_db(spark, derby, tmp_path):
