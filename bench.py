@@ -101,7 +101,10 @@ def main() -> None:
                             partitions=CPUS * 2).cache()
     n = corpus.count()
     pipeline_sec = float("inf")
-    for _ in range(2):
+    # best-of-3 for the headline row: observed same-process swings of
+    # 5→21s on this box at ~0% accounted steal; 3 draws make the
+    # steady-state min far more likely to surface
+    for _ in range(3):
         t0 = time.perf_counter()
         out = classify_corpus(corpus)
         out.write.format("noop").mode("overwrite").save()
