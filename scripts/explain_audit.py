@@ -131,6 +131,49 @@ def main() -> None:
     ))
     assert sim_plan.count("sha2") <= 2, "sha array inlined into bit loop!"
 
+    # 7. sha-minhash oracle twin: bucket-count skew guard must broadcast,
+    # and the candidate self-join Exchange carries only (band, key, id)
+    from metacrafter_spark.ops.dedup import near_dup_pairs_minhash_sha  # noqa: F401
+    from metacrafter_spark.ops.dedup import jaccard, word_shingles
+
+    t7 = docs.select("doc_id", "text").withColumn(
+        "sh", word_shingles(F.col("text"), 2)
+    ).filter(F.size("sh") > 0)
+    sig7 = F.array(*[
+        F.array_min(F.transform(
+            F.col("sh"),
+            (lambda k: lambda s: F.sha2(F.concat(F.lit(f"{k}:"), s), 256))(k)))
+        for k in range(12)
+    ])
+    t7 = t7.withColumn("sig", sig7)
+    bands7 = [F.struct(F.lit(b).alias("band"),
+                       F.concat_ws(",", F.element_at("sig", b * 2 + 1),
+                                   F.element_at("sig", b * 2 + 2)).alias("key"))
+              for b in range(6)]
+    expl7 = t7.select("doc_id", F.explode(F.array(*bands7)).alias("bk")) \
+        .select("doc_id", "bk.band", "bk.key")
+    cnt7 = expl7.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n"))
+    ok7 = expl7.join(F.broadcast(cnt7.filter(F.col("n").between(2, 1000))),
+                     ["band", "key"])
+    sections.append((
+        "sha-MinHash twin banding (bucket-count guard must broadcast; "
+        "self-join input is (doc_id, band, key) only)",
+        plan_of(ok7),
+        ["BroadcastExchange"],
+    ))
+
+    # 8. multi-probe LSH top-k: query side fans out, corpus side keeps a
+    # single bucket per vector, small side broadcasts
+    from metacrafter_spark.ops.similarity import lsh_topk
+
+    dim = len(emb.select("embedding").first()[0])
+    mp = lsh_topk(queries, emb, dim=dim, k=5, bits=6, multiprobe=1)
+    sections.append((
+        "Multi-probe LSH top-k (probe explode on broadcast query side only)",
+        plan_of(mp),
+        ["BroadcastExchange"],
+    ))
+
     out = ["# BENCH/EXPLAIN — physical-plan audit\n"]
     ok = True
     for title, plan, must in sections:
