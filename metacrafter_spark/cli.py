@@ -71,6 +71,12 @@ def main(argv=None) -> int:
     sb.add_argument("--stats-only", action="store_true")
     sb.add_argument("--cores", type=int)
 
+    sv = sub.add_parser("serve", help="HTTP scan server "
+                        "(POST /api/v1/scan_data, reference server parity)")
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8000)
+    sv.add_argument("--cores", type=int)
+
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -136,6 +142,13 @@ def main(argv=None) -> int:
             write_db_report(reports, args.output, fmt=args.output_format,
                             short=args.short, stats_only=args.stats_only)
             print(f"wrote {args.output}")
+        elif args.cmd == "serve":
+            from metacrafter_spark.server import make_server
+
+            srv = make_server(spark, host=args.host, port=args.port)
+            print(f"serving on http://{args.host}:{srv.server_address[1]}"
+                  "/api/v1/scan_data")
+            srv.serve_forever()
         else:
             from pyspark.sql import functions as F
 

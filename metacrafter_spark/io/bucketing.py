@@ -1,0 +1,75 @@
+"""Bucketed tables — shuffle-free co-located joins for repeated big joins.
+
+At 100 TB the dominant cost of a repeated join (events↔documents,
+corpus↔dedup-verdicts) is re-shuffling both sides on every run.
+Bucketing pays the shuffle ONCE at write time: both tables are
+hash-partitioned into the same number of buckets on the join key, so a
+later join reads bucket i against bucket i directly — the plan shows
+SortMergeJoin with ZERO Exchange (asserted in tests and in
+BENCH/EXPLAIN.md).  This is Spark's native answer to the reference's
+single-node "no repartitioning needed" world: the partitioning is
+persisted, not recomputed.
+
+Sizing rule of thumb: buckets ≈ total_size / 128 MB, rounded to a
+multiple of the executor count; both sides MUST use the same bucket
+count and key, or Spark silently falls back to shuffling the
+mismatched side.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    buckets: int,
+    *,
+    sort_cols: Optional[list[str]] = None,
+    path: Optional[str] = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sort-within-bucket)
+    table.  ``sort_cols`` pre-sorts each bucket file so the later
+    SortMergeJoin also skips its per-task Sort."""
+    w = df.write.format(fmt).mode(mode).bucketBy(buckets, *keys)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def bucket_spec(spark: SparkSession, table: str) -> tuple[list[str], int]:
+    """(bucket columns, bucket count) of a saved table, from the catalog."""
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    cols: list[str] = []
+    n = 0
+    for r in rows:
+        if r["col_name"] == "Num Buckets":
+            n = int(r["data_type"])
+        elif r["col_name"] == "Bucket Columns":
+            cols = [c.strip(" `") for c in r["data_type"].strip("[]").split(",")]
+    return cols, n
+
+
+def colocated_join(
+    spark: SparkSession, left: str, right: str, on: list[str], how: str = "inner",
+) -> DataFrame:
+    """Join two bucketed tables, refusing the silent-shuffle footgun:
+    raises unless both sides are bucketed on ``on`` with the same
+    bucket count (otherwise Spark quietly re-shuffles one side and the
+    'co-located' join costs a full exchange)."""
+    lc, ln = bucket_spec(spark, left)
+    rc, rn = bucket_spec(spark, right)
+    if not ln or not rn or ln != rn or lc != on or rc != on:
+        raise ValueError(
+            f"co-located join needs both tables bucketed on {on} with equal "
+            f"bucket counts; got {left}: ({lc}, {ln}), {right}: ({rc}, {rn})"
+        )
+    return spark.table(left).join(spark.table(right), on, how)

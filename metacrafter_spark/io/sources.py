@@ -290,6 +290,93 @@ def scan_file(
     raise ValueError(f"unsupported format {fmt!r} for {path}")
 
 
+def _xml_record_from_piece(piece: str, tag: str):
+    """Reconstruct one record's XML from a close-tag-split chunk and
+    parse it to a flat dict (attributes keep xmltodict's @ prefix;
+    nested structures are JSON-encoded — one string column per field)."""
+    import json as _json
+    import re as _re
+
+    import xmltodict
+
+    m = None
+    for m in _re.finditer(rf"<{_re.escape(tag)}(?=[\s>/])", piece):
+        pass  # last open tag in the chunk starts the record
+    if m is None:
+        return None
+    try:
+        doc = xmltodict.parse(piece[m.start():] + f"</{tag}>")
+    except Exception:
+        return None
+    rec = doc.get(tag)
+    if not isinstance(rec, dict):
+        return {"#text": None if rec is None else str(rec)}
+    return {
+        k: (None if v is None
+            else v if isinstance(v, str) else _json.dumps(v))
+        for k, v in rec.items()
+    }
+
+
+def scan_xml_distributed(
+    spark: SparkSession,
+    path: str,
+    *,
+    tagname: Optional[str] = None,
+    sample_records: int = 50,
+) -> DataFrame:
+    """Distributed XML record scan WITHOUT the spark-xml jar.
+
+    ``spark.read.text`` with ``lineSep=f"</{tag}>"`` splits the file at
+    record close tags — a safe record boundary, and a splittable read
+    (each executor task parses its own chunk range), unlike the
+    driver-side ``scan_file`` fallback.  Each resulting row holds one
+    record's worth of bytes; executors re-attach the close tag and
+    parse with xmltodict per row inside ``mapInPandas``.
+
+    The driver reads only head bytes: record-tag discovery plus a
+    column sniff over the first ``sample_records`` records (columns =
+    union of keys in first-appearance order; missing keys → null,
+    nested structures → JSON strings)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    head = _head_bytes(path, 1 << 20)
+    tag = tagname or xml_record_tag(head)
+    if tag is None:
+        raise ValueError(f"no record tag found in {path}")
+    enc = detect_encoding(head[: 1 << 16])
+    cols: list[str] = []
+    for piece in head.decode(enc, "replace").split(f"</{tag}>")[:sample_records]:
+        rec = _xml_record_from_piece(piece, tag)
+        if rec:
+            for k in rec:
+                if k not in cols:
+                    cols.append(k)
+    if not cols:
+        raise ValueError(f"no <{tag}> records parseable in head of {path}")
+    schema = T.StructType([T.StructField(c, T.StringType()) for c in cols])
+
+    def parse(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            recs = [
+                _xml_record_from_piece(v, tag)
+                for v in pdf["value"].tolist()
+            ]
+            out = _pd.DataFrame(
+                [r for r in recs if r is not None], columns=cols, dtype=object
+            ).reindex(columns=cols)
+            yield out.where(out.notna(), None)
+
+    raw = spark.read.option("lineSep", f"</{tag}>").text(path)
+    # strip XML prolog/container chunks executor-side (rows with no open
+    # tag yield None and are dropped by the parser)
+    raw = raw.filter(F.length("value") > 0)
+    return raw.mapInPandas(parse, schema=schema)
+
+
 def scan_zip_members(
     spark: SparkSession,
     path: str,

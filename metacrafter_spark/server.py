@@ -1,0 +1,109 @@
+"""HTTP scan server — the reference's server endpoint re-expressed.
+
+Reference surface (metacrafter/server/api.py:95-230): Flask ``POST
+/api/v1/scan_data`` taking a JSON array of items plus query params
+``format`` (accepted but not applied in the current reference version),
+``langs``/``contexts`` (split on ``'.'``), and ``limit``; the response is
+``{"results": [[field, ftype, tags, matches, datatype_url], ...],
+"data": [...]}``, with 400 ``{"error": "Invalid JSON"}`` for empty or
+undecodable bodies, 400 ``"Invalid request data"`` for malformed items,
+and 500 otherwise.  Matching runs at the API's fixed 5.0 minimum
+confidence with ``parse_dates=True`` (api.py:161-170).
+
+Flask is not bundled in this environment, so the server is stdlib
+``http.server`` wrapping :func:`metacrafter_spark.scanner.scan_items`
+(the ``scan_data`` parity entry) over one shared SparkSession — a thin
+driver-side shim; classification itself is the same Spark job the batch
+path runs.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Optional
+from urllib.parse import parse_qs, urlparse
+
+SCAN_PATH = "/api/v1/scan_data"
+API_MIN_CONFIDENCE = 5.0  # reference api.py:161 MIN_CONFIDENCE_FOR_MATCH
+DEFAULT_LIMIT = 1000
+
+
+def _scan_endpoint(spark, body: bytes, query: dict[str, list[str]],
+                   pack=None) -> tuple[int, dict[str, Any]]:
+    """Pure request → (status, payload) function (tested directly)."""
+    from metacrafter_spark.scanner import scan_items
+
+    def _param(name: str, default: Optional[str] = None) -> Optional[str]:
+        vals = query.get(name)
+        return vals[0] if vals else default
+
+    if not body:
+        return 400, {"error": "Invalid JSON", "message": "Request data is empty"}
+    try:
+        items = json.loads(body)
+    except json.JSONDecodeError as ex:
+        return 400, {"error": "Invalid JSON", "message": str(ex)}
+    langs = _param("langs")
+    contexts = _param("contexts")
+    try:
+        limit = int(_param("limit", str(DEFAULT_LIMIT)))
+        report = scan_items(
+            spark, items,
+            pack=pack,
+            langs=langs.split(".") if langs else None,
+            contexts=contexts.split(".") if contexts else None,
+            limit=limit,
+            confidence=API_MIN_CONFIDENCE,
+            parse_dates=True,
+        )
+        # `format` is accepted for parity but, like the reference's
+        # current version, does not change the payload (api.py:118,215)
+        _param("format", "short")
+        return 200, {"results": report["results"], "data": report["data"]}
+    except (ValueError, KeyError, TypeError) as ex:
+        return 400, {"error": "Invalid request data", "message": str(ex)}
+    except Exception as ex:  # noqa: BLE001 — reference returns 500 + message
+        return 500, {"error": "Internal server error", "message": str(ex)}
+
+
+def make_server(spark, *, host: str = "127.0.0.1", port: int = 0,
+                pack=None) -> ThreadingHTTPServer:
+    """Build (but don't start) the scan server; ``port=0`` picks a free
+    port (``server.server_address[1]``)."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802 (http.server API)
+            parsed = urlparse(self.path)
+            if parsed.path != SCAN_PATH:
+                self._reply(404, {"error": "Not found"})
+                return
+            length = int(self.headers.get("Content-Length") or 0)
+            body = self.rfile.read(length) if length else b""
+            status, payload = _scan_endpoint(
+                spark, body, parse_qs(parsed.query), pack=pack
+            )
+            self._reply(status, payload)
+
+        def _reply(self, status: int, payload: dict) -> None:
+            data = json.dumps(payload, ensure_ascii=False,
+                              default=str).encode("utf8")
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *args):  # quiet test runs
+            pass
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve_background(spark, **kw) -> tuple[ThreadingHTTPServer, threading.Thread]:
+    """Start the server on a daemon thread; returns (server, thread)."""
+    srv = make_server(spark, **kw)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, t

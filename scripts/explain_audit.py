@@ -174,6 +174,34 @@ def main() -> None:
         ["BroadcastExchange"],
     ))
 
+    # 9. bucketed co-located join: the persisted hash-partitioning must
+    # eliminate the Exchange entirely (SortMergeJoin, zero shuffles)
+    import tempfile
+
+    from metacrafter_spark.io.bucketing import colocated_join, write_bucketed
+
+    with tempfile.TemporaryDirectory() as td:
+        l9 = spark.range(0, 2000).select(F.col("id").alias("k"),
+                                         (F.col("id") * 2).alias("v"))
+        r9 = spark.range(0, 2000, 3).select(F.col("id").alias("k"))
+        write_bucketed(l9, "xp_l", ["k"], 4, sort_cols=["k"], path=f"{td}/l")
+        write_bucketed(r9, "xp_r", ["k"], 4, sort_cols=["k"], path=f"{td}/r")
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            bplan = plan_of(colocated_join(spark, "xp_l", "xp_r", ["k"]))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            spark.sql("DROP TABLE IF EXISTS xp_l")
+            spark.sql("DROP TABLE IF EXISTS xp_r")
+    sections.append((
+        "Bucketed co-located join (persisted partitioning: SortMergeJoin "
+        "with ZERO Exchange)",
+        bplan,
+        ["SortMergeJoin"],
+    ))
+    assert "Exchange" not in bplan, "bucketed join still shuffles!"
+
     out = ["# BENCH/EXPLAIN — physical-plan audit\n"]
     ok = True
     for title, plan, must in sections:

@@ -1,0 +1,83 @@
+"""Bucketed co-located join: the whole point is ZERO Exchange in the
+join plan — asserted here against the formatted physical plan."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from metacrafter_spark.io.bucketing import bucket_spec, colocated_join, write_bucketed
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("buckets")
+    left = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    right = spark.range(0, 5000, 7).select(
+        F.col("id").alias("k"), F.concat(F.lit("r"), F.col("id")).alias("tag")
+    )
+    write_bucketed(left, "bk_left", ["k"], 8, sort_cols=["k"],
+                   path=str(base / "l"))
+    write_bucketed(right, "bk_right", ["k"], 8, sort_cols=["k"],
+                   path=str(base / "r"))
+    yield "bk_left", "bk_right"
+    spark.sql("DROP TABLE IF EXISTS bk_left")
+    spark.sql("DROP TABLE IF EXISTS bk_right")
+
+
+def test_bucket_spec_roundtrip(spark, bucketed):
+    left, right = bucketed
+    assert bucket_spec(spark, left) == (["k"], 8)
+    assert bucket_spec(spark, right) == (["k"], 8)
+
+
+def test_colocated_join_zero_exchange(spark, bucketed):
+    left, right = bucketed
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = colocated_join(spark, left, right, ["k"])
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan  # the entire point
+        # values correct: every multiple of 7 under 5000 joins once
+        assert joined.count() == len(range(0, 5000, 7))
+        row = joined.filter(F.col("k") == 49).first()
+        assert row["v"] == 98 and row["tag"] == "r49"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_colocated_join_refuses_mismatch(spark, bucketed, tmp_path):
+    left, _right = bucketed
+    other = spark.range(0, 100).select(F.col("id").alias("k"))
+    write_bucketed(other, "bk_other", ["k"], 4, path=str(tmp_path / "o"))
+    try:
+        with pytest.raises(ValueError, match="co-located join needs"):
+            colocated_join(spark, left, "bk_other", ["k"])
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_other")
+
+
+def test_colocated_join_refuses_unbucketed(spark, bucketed, tmp_path):
+    left, _ = bucketed
+    plain = spark.range(0, 10).select(F.col("id").alias("k"))
+    plain.write.mode("overwrite").option("path", str(tmp_path / "p")) \
+        .saveAsTable("bk_plain")
+    try:
+        with pytest.raises(ValueError, match="co-located join needs"):
+            colocated_join(spark, left, "bk_plain", ["k"])
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_plain")

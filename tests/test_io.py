@@ -155,6 +155,38 @@ def test_scan_zip_driver_cap_raises(spark, tmp_path):
     ).count() == 150 + 49  # 50 blocks, headers of later blocks become rows
 
 
+def test_scan_xml_distributed(spark, tmp_path):
+    """Close-tag-split distributed XML read matches the driver-side
+    xmltodict path row-for-row, handles attributes, nested elements
+    (JSON-encoded), and missing fields (null)."""
+    from metacrafter_spark.io.sources import scan_file, scan_xml_distributed
+
+    recs = []
+    for i in range(40):
+        extra = f"<addr><city>town{i}</city></addr>" if i % 2 == 0 else ""
+        note = f"<note>line{i}</note>" if i % 3 == 0 else ""
+        recs.append(
+            f'<person id="{i}"><name>user {i}</name>{extra}{note}</person>'
+        )
+    xml = "<?xml version=\"1.0\"?>\n<people>\n" + "\n".join(recs) + "\n</people>"
+    p = tmp_path / "people.xml"
+    p.write_text(xml)
+
+    df = scan_xml_distributed(spark, str(p))
+    rows = {r["@id"]: r for r in df.collect()}
+    assert len(rows) == 40
+    assert rows["7"]["name"] == "user 7"
+    assert rows["0"]["addr"] == '{"city": "town0"}'   # nested → JSON
+    assert rows["1"]["addr"] is None                  # missing → null
+    assert rows["3"]["note"] == "line3"
+    assert set(df.columns) == {"@id", "name", "addr", "note"}
+
+    # agrees with the driver-side path on the shared scalar column
+    drv = scan_file(spark, str(p), fmt="xml")
+    drv_names = sorted(r["name"] for r in drv.collect())
+    assert drv_names == sorted(r["name"] for r in df.collect())
+
+
 def test_scan_zip_members_parallel(spark, tmp_path):
     """Multi-member zip archives read executor-parallel: one task per
     member, rows identical to concatenating the members."""
