@@ -61,6 +61,63 @@ class TableIO:
         )
 
 
+class IcebergTableIO(TableIO):
+    """Iceberg-backed ``TableIO`` — the production target the north rule
+    names: snapshot-isolated reads, ACID partition overwrite (a replayed
+    bucket rewrite is one atomic snapshot swap, so resume gets
+    serializable semantics instead of relying on parquet's
+    last-writer-wins directory swap).
+
+    ``path`` arguments are Iceberg table identifiers
+    (``catalog.db.table``), not directories.  GATED: the
+    iceberg-spark-runtime jar is not bundled in this sandbox, so
+    construction verifies the class is loadable and raises with the
+    exact ``spark-submit`` incantation otherwise — same honest-gate
+    pattern as the avro reader (io/sources.py)."""
+
+    def __init__(self, spark: SparkSession):
+        try:
+            spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+                "org.apache.iceberg.spark.SparkCatalog"
+            )
+        except Exception as e:
+            raise NotImplementedError(
+                "Iceberg runtime not on the classpath. Launch with "
+                "--packages org.apache.iceberg:iceberg-spark-runtime-"
+                "4.0_2.13:<version> and configure a catalog, e.g. "
+                "--conf spark.sql.catalog.local=org.apache.iceberg.spark."
+                "SparkCatalog --conf spark.sql.catalog.local.type=hadoop "
+                "--conf spark.sql.catalog.local.warehouse=<path>. "
+                "The parquet TableIO (dynamic partition overwrite) is the "
+                "bundled fallback with the same idempotency contract."
+            ) from e
+        super().__init__(spark, fmt="iceberg")
+
+    def exists(self, path: str) -> bool:
+        return self.spark.catalog.tableExists(path)
+
+    def read(self, path: str) -> Optional[DataFrame]:
+        if not self.exists(path):
+            return None
+        return self.spark.table(path)
+
+    def append(self, df: DataFrame, path: str, partition_by: Optional[list] = None):
+        if not self.exists(path):
+            w = df.writeTo(path).using("iceberg")
+            for c in partition_by or []:
+                w = w.partitionedBy(F.col(c))
+            w.create()
+        else:
+            df.writeTo(path).append()
+
+    def overwrite_partitions(self, df: DataFrame, path: str, partition_by: list):
+        if not self.exists(path):
+            self.append(df, path, partition_by)
+        else:
+            # atomic snapshot swap of exactly the partitions present in df
+            df.writeTo(path).overwritePartitions()
+
+
 def completed_buckets(io: TableIO, metrics_path: str) -> Optional[DataFrame]:
     m = io.read(metrics_path)
     if m is None:

@@ -180,6 +180,16 @@ def test_metrics_and_resume(spark, classified, tmp_path):
     assert total_written == N_DOCS
 
 
+def test_iceberg_tableio_gate(spark):
+    """No iceberg jar in this sandbox: the gate must raise the actionable
+    NotImplementedError (same honest-gate pattern as avro), never a raw
+    Py4J error."""
+    from metacrafter_spark.corpus.resume import IcebergTableIO
+
+    with pytest.raises(NotImplementedError, match="--packages org.apache.iceberg"):
+        IcebergTableIO(spark)
+
+
 def test_run_with_resume_idempotent(spark, classified, tmp_path):
     """A replayed write (crash between data and metrics, or a retried
     job) must overwrite its bucket partitions, not append duplicates."""
