@@ -223,3 +223,86 @@ def stream_domain_windows(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def stream_enrich_domains(
+    spark: SparkSession,
+    input_path: str,
+    domains_df: DataFrame,
+    output_path: str,
+    checkpoint_path: str,
+    *,
+    available_now: bool = True,
+):
+    """Stream-static broadcast join: enrich each micro-batch with a
+    (small) static domain table — the allow/block-list pattern a crawl
+    pipeline runs in front of classification.
+
+    The static side is planned per micro-batch, so a refreshed domain
+    table takes effect on the next trigger without restarting the
+    stream; broadcasting it keeps the join shuffle-free (the streaming
+    side never repartitions).  Pages whose domain is marked
+    ``blocked=true`` are dropped; unknown domains pass through with
+    ``reputation`` null — a LEFT join, so the static table can be
+    sparse."""
+    from pyspark.sql import functions as F
+
+    from metacrafter_spark.corpus.pipeline import domain_of
+
+    stream = read_webpage_stream(spark, input_path).withColumn(
+        "domain", domain_of(F.col("url"))
+    )
+    enriched = (
+        stream.join(F.broadcast(domains_df), "domain", "left")
+        .withColumn("blocked", F.coalesce(F.col("blocked"), F.lit(False)))
+        .filter(~F.col("blocked"))
+        .drop("blocked")
+    )
+    writer = (
+        enriched.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
+def stream_dedup_within_watermark(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    *,
+    watermark: str = "1 day",
+    available_now: bool = True,
+):
+    """Built-in bounded-state streaming dedup:
+    ``dropDuplicatesWithinWatermark`` on the content hash keeps one row
+    per duplicate group whose event times fall within the watermark
+    allowance, and EVICTS state once the watermark passes — unlike
+    plain ``dropDuplicates``, whose state grows without bound on an
+    infinite stream.  Complements :func:`stream_exact_dedup` (the
+    custom Bloom operator): this one is exact within the time bound
+    and forgets afterwards; the Bloom one is probabilistic and
+    remembers forever in O(bits)."""
+    from pyspark.sql import functions as F
+
+    stream = read_webpage_stream(spark, input_path)
+    dedup = (
+        stream.withColumn("content_sha", F.sha2(F.col("text"), 256))
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["content_sha"])
+    )
+    writer = (
+        dedup.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

@@ -141,3 +141,55 @@ def test_cli_corpus_stream(spark, tmp_path):
                str(tmp_path / "cmetrics"), str(tmp_path / "cckpt")])
     assert rc == 0
     assert spark.read.parquet(str(tmp_path / "cout")).count() == 60
+
+
+def test_stream_enrich_domains_static_join(spark, tmp_path):
+    """Stream-static broadcast join: blocked domains dropped, known
+    domains enriched, unknown domains pass with null reputation."""
+    from metacrafter_spark.corpus.pipeline import domain_of
+    from metacrafter_spark.corpus.streaming import stream_enrich_domains
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    corpus = synth_webpages(spark, 200, partitions=4)
+    corpus.write.parquet(src)
+    domains = sorted(
+        r["d"] for r in corpus.select(
+            domain_of(F.col("url")).alias("d")).distinct().collect()
+    )
+    assert len(domains) >= 3
+    static = spark.createDataFrame(
+        [(domains[0], True, 0.0), (domains[1], False, 0.9)],
+        "domain string, blocked boolean, reputation double",
+    )
+    stream_enrich_domains(spark, src, static, out, ckpt)
+    got = spark.read.parquet(out)
+    got_domains = {r["domain"] for r in got.select("domain").distinct().collect()}
+    assert domains[0] not in got_domains          # blocked dropped
+    n_blocked = corpus.filter(domain_of(F.col("url")) == domains[0]).count()
+    assert got.count() == 200 - n_blocked
+    rep = {r["domain"]: r["reputation"]
+           for r in got.select("domain", "reputation").distinct().collect()}
+    assert rep[domains[1]] == 0.9                 # enriched
+    assert rep[domains[2]] is None                # unknown passes with null
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Bounded-state built-in dedup: duplicate texts within the
+    watermark collapse to one row; replay over the same checkpoint
+    adds nothing."""
+    from metacrafter_spark.corpus.streaming import stream_dedup_within_watermark
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    corpus = synth_webpages(spark, 150, partitions=2)
+    # re-emit 50 docs under new urls: exact text duplicates
+    dupes = corpus.limit(50).withColumn(
+        "url", F.concat(F.lit("https://mirror.example/"), F.col("url")))
+    corpus.unionByName(dupes).write.parquet(src)
+
+    stream_dedup_within_watermark(spark, src, out, ckpt, watermark="10 days")
+    got = spark.read.parquet(out)
+    assert got.count() == 150
+    assert got.select("content_sha").distinct().count() == 150
+
+    stream_dedup_within_watermark(spark, src, out, ckpt, watermark="10 days")
+    assert spark.read.parquet(out).count() == 150
