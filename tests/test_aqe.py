@@ -1,0 +1,82 @@
+"""AQE runtime re-planning evidence: skew-join split + partition
+coalescing actually engage on a skewed workload (the runtime half of
+the skew story — the compile-time half is the oracled salted_agg)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+AQE_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # thresholds scaled down so a test-sized partition counts as skewed
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+@contextlib.contextmanager
+def _conf(spark, overrides):
+    old = {k: spark.conf.get(k, None) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def _final_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_aqe_splits_skewed_join(spark):
+    """One key holds 75% of the left side: the final adaptive plan must
+    show the skewed partition split (skew=true) — no manual salting
+    needed for plain joins — and results stay correct."""
+    with _conf(spark, AQE_CONF):
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") < 150_000, 0)
+            .otherwise(F.col("id") % 1000).alias("k"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("pad"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), F.lit("dim").alias("d"))
+        joined = left.join(right, "k")
+        rows = joined.collect()  # materialize THIS frame → final plan
+        plan = _final_plan(joined)
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+        assert len(rows) == 200_000
+        # 150k forced to k=0 plus the 50 ids in [150k, 200k) ≡ 0 (mod 1000)
+        assert sum(1 for r in rows if r["k"] == 0) == 150_050
+
+
+def test_aqe_coalesces_tiny_partitions(spark):
+    """Runtime partition coalescing: 200 configured shuffle partitions
+    over a tiny agg collapse into far fewer AQE-read partitions."""
+    with _conf(spark, {**AQE_CONF,
+                       "spark.sql.shuffle.partitions": "200",
+                       "spark.sql.adaptive.coalescePartitions.enabled": "true"}):
+        df = spark.range(0, 10_000).select((F.col("id") % 50).alias("k"))
+        agg = df.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+        rows = agg.collect()
+        assert len(rows) == 50
+        plan = _final_plan(agg)
+        assert "isFinalPlan=true" in plan
+        assert "AQEShuffleRead" in plan and "coalesced" in plan.lower()
+        # the executed read ran on far fewer than 200 partitions
+        assert agg.rdd.getNumPartitions() < 50
