@@ -193,12 +193,12 @@ def near_dup_pairs_minhash(
         .persist()
     )
     pairs = lsh_candidate_pairs(sig, id_col, bands=bands, rows=rows).persist()
-    # materialize the persisted stages NOW: the shingle/minhash
-    # expression trees are large, and letting them ride un-materialized
-    # into the verify plan makes Catalyst re-canonicalize the composite
-    # tree (observed ~6× planning blow-up); a forced count() keeps each
-    # optimization unit small
-    pairs.count()
+    # NOTE(r3): the round-1 forced `pairs.count()` (which worked around a
+    # Catalyst re-canonicalization blow-up) is gone — re-measured on
+    # Spark 4.1: planning is fine without it, and the extra job was
+    # recomputing the candidate join once (14.4s → 4.1s on the sf0.1
+    # documents table).  The eager localCheckpoint below still
+    # materializes the result while the persisted frames are alive.
     try:
         ids = (
             pairs.select(F.col("id_a").alias(id_col))
