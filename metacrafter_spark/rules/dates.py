@@ -13,7 +13,7 @@ reference-supported mode); this battery is the engine's own
 ``parse_dates=True`` implementation and emits its OWN format keys
 (``date:*``), not qddate's pattern names.
 
-Families covered (151 patterns): ISO 8601 (time/fraction/zone, week
+Families covered (167 patterns): ISO 8601 (time/fraction/zone, week
 dates, ordinal dates, compact basic forms), numeric d-m-y / m-d-y /
 y-m-d with ``./-/_/`` separators and 2- or 4-digit years, compact
 ``yyyymmdd``, time-leading and 12-hour (am/pm) forms, EN month-name
@@ -260,6 +260,26 @@ DATE_PATTERNS: tuple[tuple[str, str], ...] = (
     ("date:quarter_slash", rf"(?i:q[1-4]/{_Y})"),
     ("date:en_ym_abbr", rf"(?i:{_Y},? (?:{_EN_MON})\.?)"),
     ("date:dmy_dash_ampm", rf"{_D}-{_M}-{_Y} {_TIME_REQ}{_AMPM}"),
+    # --- round-3b: roman months, mixed dow/month forms, loose partials ---
+    ("date:en_mdy_abbr_at_ampm",
+     rf"(?i:(?:{_EN_MON})\.? {_D}{_ORD},? {_Y} at {_TIME_REQ}{_AMPM})"),
+    ("date:dmy_roman", rf"(?i:{_D}\.(?:XII|XI|X|IX|VIII|VII|VI|V|IV|III|II|I)\.{_Y})"),
+    ("date:dmy_roman_short", rf"(?i:{_D}\.(?:XII|XI|X|IX|VIII|VII|VI|V|IV|III|II|I)\.\d{{2}})"),
+    ("date:mdy_slash_hms_ms", rf"{_M}/{_D}/{_Y} {_TIME_REQ}\.\d{{1,6}}"),
+    ("date:ymd_slash_ampm", rf"{_Y}/{_M}/{_D} {_TIME_REQ}{_AMPM}"),
+    ("date:ym_dash_loose", rf"{_Y}-{_M}"),
+    ("date:my_dash", rf"{_M}-{_Y}"),
+    ("date:my_space", rf"{_M2} {_Y}"),
+    ("date:en_month_the_d", rf"(?i:(?:{_EN_MONTHS}) the {_D}{_ORD}(?:,? {_Y})?)"),
+    ("date:en_dow_abbr_dmy_full",
+     rf"(?i:(?:{_EN_DOW_ABBR})\.?,? {_D}{_ORD} (?:{_EN_MONTHS}),? {_Y})"),
+    ("date:en_dow_mdy_abbr",
+     rf"(?i:(?:{_EN_DOW}),? (?:{_EN_MON})\.? {_D}{_ORD},? {_Y})"),
+    ("date:ru_dmy_dot_goda", rf"(?i:{_D}\.{_M}\.{_Y} ?года)"),
+    ("date:en_week_y", rf"(?i:week \d{{1,2}},? {_Y})"),
+    ("date:ru_my_dot_g", rf"(?i:{_M2}\.{_Y} ?г\.?)"),
+    ("date:time_comma_dmy_dot", rf"{_TIME_REQ}, {_D}\.{_M}\.{_Y}"),
+    ("date:iso_compact_space_hms", rf"{_Y}{_M2}{_D2} \d{{2}}:?\d{{2}}:?\d{{2}}"),
 )
 
 

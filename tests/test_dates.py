@@ -119,7 +119,6 @@ EXAMPLES: dict[str, list[str]] = {
     "date:en_md_abbr": ["Mar 21"],
     "date:en_ymd_abbr": ["2024 Mar 21"],
     "date:en_ym": ["2024 March"],
-    "date:en_ym_abbr": ["2024 Mar"],
     "date:en_dmy_abbr_comma": ["21 Mar, 2024"],
     "date:en_d_of_my_abbr": ["21st of Mar, 2024"],
     "date:en_the_dmy": ["the 21st of March, 2024"],
@@ -175,6 +174,23 @@ EXAMPLES: dict[str, list[str]] = {
     "date:time_dmy_dash": ["10:30 31-12-2024"],
     "date:time_en_dmy": ["10:30 21 March 2024"],
     "date:quarter_slash": ["Q1/2024"],
+    "date:en_ym_abbr": ["2024 Mar"],
+    "date:en_mdy_abbr_at_ampm": ["Mar 21, 2024 at 10:30 am"],
+    "date:dmy_roman": ["31.XII.2024", "5.iv.2023"],
+    "date:dmy_roman_short": ["31.XII.24"],
+    "date:mdy_slash_hms_ms": ["12/31/2024 10:30:00.123"],
+    "date:ymd_slash_ampm": ["2024/12/31 10:30 pm"],
+    "date:ym_dash_loose": ["2024-3"],
+    "date:my_dash": ["3-2024", "03-2024"],
+    "date:my_space": ["12 2024"],
+    "date:en_month_the_d": ["March the 21st", "March the 21st, 2024"],
+    "date:en_dow_abbr_dmy_full": ["Mon, 21 March 2024"],
+    "date:en_dow_mdy_abbr": ["Monday, Mar 21, 2024"],
+    "date:ru_dmy_dot_goda": ["31.12.2024 года"],
+    "date:en_week_y": ["Week 5, 2024"],
+    "date:ru_my_dot_g": ["01.2024 г."],
+    "date:time_comma_dmy_dot": ["10:30, 31.12.2024"],
+    "date:iso_compact_space_hms": ["20240131 103000", "20240131 10:30:00"],
 }
 
 NON_DATES = [
