@@ -4,7 +4,7 @@
 sf0.001 tables.  ``queries()`` — one entry per implemented operator
 family (SURVEY.md §2 + training-data ops), each taking
 ``(spark, sf_dir)``.  ``oracle_sql()`` — DuckDB-equivalent SQL for every
-SQL-expressible query (23 of 28): simhash AND minhash via sha256-parity
+SQL-expressible query (24 of 29): simhash AND minhash via sha256-parity
 signature families, byte-exact PII scrub, connected components via a
 recursive CTE, the char-trigram perplexity model re-trained and replayed
 in double-precision SQL, and the full keep/drop decision tree
@@ -592,6 +592,28 @@ def q_minhash_sha(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_cosine_pairs_exact(spark, sf_dir):
+    """Exact embedding near-dup pairs — the oracle twin of the
+    LSH-bucketed ``cosine_near_dup_pairs`` (same cosine expression, no
+    bucketing, capped input).  Threshold 0.4 sits mid-gap in the
+    fixture's cosine distribution (nearest values ≥1e-5 away at every
+    sf), so last-ulp engine differences cannot flip membership."""
+    from metacrafter_spark.ops.similarity import cosine
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    a = emb.select(F.col("vec_id").alias("id_a"),
+                   F.col("embedding").cast("array<double>").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"),
+                   F.col("embedding").cast("array<double>").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= 0.4)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 def q_pii_scrub(spark, sf_dir):
     from metacrafter_spark.corpus.scrub import with_scrub
     from metacrafter_spark.corpus.webpages import synth_webpages
@@ -631,6 +653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity": q_perplexity,
         "corpus_pipeline_documents": q_corpus_pipeline_documents,
         "minhash_near_dups_sha": q_minhash_sha,
+        "cosine_pairs_exact": q_cosine_pairs_exact,
         # rows-only, each with its reason no SQL oracle exists:
         # - minhash_near_dups: xxhash64 signatures (no DuckDB twin);
         #   the sha256-family twin minhash_near_dups_sha IS oracle-checked
@@ -1139,6 +1162,15 @@ def oracle_sql() -> dict[str, str]:
                    drop_reason = 'none' AS keep, drop_reason
             FROM fin ORDER BY doc_id
         """),
+        "cosine_pairs_exact": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings WHERE vec_id < 300)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+            ORDER BY 1, 2
+        """,
         "minhash_near_dups_sha": r"""
             WITH w AS (
               SELECT doc_id,
