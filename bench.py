@@ -65,14 +65,14 @@ def main() -> None:
     spark.range(0, CPUS * 1000, 1, CPUS).select(_warm("id")).write.format(
         "noop").mode("overwrite").save()
 
-    # Best-of-2 per query: this box sees episodic hypervisor slowdowns
-    # (3x swings between identical back-to-back runs at ~1% accounted
-    # steal) — the min is the honest steady-state number.
+    # Best-of-3 per query: this box sees episodic hypervisor slowdowns
+    # (up to 6x swings between identical back-to-back runs at <5%
+    # accounted steal) — the min is the honest steady-state number.
     qtimes: dict[str, float] = {}
     qs = entry_mod.queries()
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = qs[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
@@ -85,7 +85,7 @@ def main() -> None:
     from metacrafter_spark.scanner import scan_dataframe
 
     best = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         docs = entry_mod._t(spark, SF_DIR, "documents")
         scan_dataframe(docs, stats_only=True)
