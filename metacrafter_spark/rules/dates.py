@@ -13,7 +13,7 @@ reference-supported mode); this battery is the engine's own
 ``parse_dates=True`` implementation and emits its OWN format keys
 (``date:*``), not qddate's pattern names.
 
-Families covered (167 patterns): ISO 8601 (time/fraction/zone, week
+Families covered (175 patterns): ISO 8601 (time/fraction/zone, week
 dates, ordinal dates, compact basic forms), numeric d-m-y / m-d-y /
 y-m-d with ``./-/_/`` separators and 2- or 4-digit years, compact
 ``yyyymmdd``, time-leading and 12-hour (am/pm) forms, EN month-name
@@ -280,6 +280,15 @@ DATE_PATTERNS: tuple[tuple[str, str], ...] = (
     ("date:ru_my_dot_g", rf"(?i:{_M2}\.{_Y} ?г\.?)"),
     ("date:time_comma_dmy_dot", rf"{_TIME_REQ}, {_D}\.{_M}\.{_Y}"),
     ("date:iso_compact_space_hms", rf"{_Y}{_M2}{_D2} \d{{2}}:?\d{{2}}:?\d{{2}}"),
+    # --- round-3c: RU ordinal days, EN/ISO leftovers -----------------------
+    ("date:ru_dmy_ord", rf"(?i:{_D}-(?:го|е|ое) (?:{_RU_MONTHS}) {_Y}{_RU_YSUF})"),
+    ("date:ru_dm_ord", rf"(?i:{_D}-(?:го|е|ое) (?:{_RU_MONTHS}))"),
+    ("date:ru_dmy_comma", rf"(?i:{_D} (?:{_RU_MONTHS}), {_Y}{_RU_YSUF})"),
+    ("date:ru_s_po_y", rf"(?i:с {_Y} по {_Y}(?: года?| гг\.?)?)"),
+    ("date:en_mdy_abbr_dash", rf"(?i:(?:{_EN_MON})-{_D}-{_Y})"),
+    ("date:en_ymd_slash_mon", rf"(?i:{_Y}/(?:{_EN_MON})\.?/{_D})"),
+    ("date:en_dmy_compact", rf"(?i:{_D}(?:{_EN_MON}){_Y})"),
+    ("date:iso_compact_underscore_time", rf"{_Y}{_M2}{_D2}_\d{{2}}:?\d{{2}}:?\d{{2}}"),
 )
 
 

@@ -191,6 +191,14 @@ EXAMPLES: dict[str, list[str]] = {
     "date:ru_my_dot_g": ["01.2024 г."],
     "date:time_comma_dmy_dot": ["10:30, 31.12.2024"],
     "date:iso_compact_space_hms": ["20240131 103000", "20240131 10:30:00"],
+    "date:ru_dmy_ord": ["21-е марта 2024", "1-го января 2024 года"],
+    "date:ru_dm_ord": ["21-е марта"],
+    "date:ru_dmy_comma": ["5 января, 2024"],
+    "date:ru_s_po_y": ["с 2019 по 2024", "с 2019 по 2024 год"],
+    "date:en_mdy_abbr_dash": ["Mar-21-2024"],
+    "date:en_ymd_slash_mon": ["2024/Mar/21"],
+    "date:en_dmy_compact": ["21Mar2024"],
+    "date:iso_compact_underscore_time": ["20240131_103000"],
 }
 
 NON_DATES = [
