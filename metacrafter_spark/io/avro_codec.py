@@ -1,0 +1,256 @@
+"""Pure-Python Avro Object Container File codec (no spark-avro jar).
+
+Clean-room implementation from the public Avro 1.11 specification
+(https://avro.apache.org/docs/1.11.1/specification/): zigzag-varint
+ints/longs, little-endian IEEE floats/doubles, length-prefixed
+bytes/strings, null/deflate block codecs, and the OCF framing
+(magic ``Obj\\x01``, metadata map with ``avro.schema``/``avro.codec``,
+16-byte sync marker, blocks of ``<count><byte-size><data><sync>``).
+
+Scope: flat records of primitives plus ``["null", T]`` unions and
+enums — the shapes a tabular scan cares about.  The writer exists so
+the reader is testable without external fixtures; both are also the
+fallback behind ``scan_file(..., fmt="avro")`` and the block-parallel
+``scan_avro_distributed`` when the spark-avro package is absent.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+import zlib
+from typing import Any, Iterator, Optional
+
+MAGIC = b"Obj\x01"
+
+
+# ----------------------------------------------------------- primitives
+
+
+def zigzag_encode(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def zigzag_decode(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def write_long(buf: io.BytesIO, n: int) -> None:
+    z = zigzag_encode(n)
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            buf.write(bytes([b | 0x80]))
+        else:
+            buf.write(bytes([b]))
+            return
+
+
+def read_long(buf: io.BufferedIOBase) -> int:
+    shift = 0
+    acc = 0
+    while True:
+        raw = buf.read(1)
+        if not raw:
+            raise EOFError("varint truncated")
+        b = raw[0]
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return zigzag_decode(acc)
+        shift += 7
+
+
+def write_bytes(buf: io.BytesIO, data: bytes) -> None:
+    write_long(buf, len(data))
+    buf.write(data)
+
+
+def read_bytes(buf: io.BufferedIOBase) -> bytes:
+    n = read_long(buf)
+    data = buf.read(n)
+    if len(data) != n:
+        raise EOFError("bytes truncated")
+    return data
+
+
+# ------------------------------------------------------- schema + values
+
+
+def _type_name(schema: Any) -> str:
+    if isinstance(schema, str):
+        return schema
+    if isinstance(schema, dict):
+        return schema["type"]
+    if isinstance(schema, list):
+        return "union"
+    raise ValueError(f"unsupported schema node {schema!r}")
+
+
+def write_value(buf: io.BytesIO, schema: Any, v: Any) -> None:
+    t = _type_name(schema)
+    if t == "union":
+        # spec: union encodes the zero-based branch index, then the value
+        if v is None and "null" in schema:
+            write_long(buf, schema.index("null"))
+            return
+        for i, branch in enumerate(schema):
+            if branch != "null":
+                write_long(buf, i)
+                write_value(buf, branch, v)
+                return
+        raise ValueError("no non-null branch in union")
+    if t == "null":
+        return
+    if t == "boolean":
+        buf.write(b"\x01" if v else b"\x00")
+    elif t in ("int", "long"):
+        write_long(buf, int(v))
+    elif t == "float":
+        buf.write(struct.pack("<f", float(v)))
+    elif t == "double":
+        buf.write(struct.pack("<d", float(v)))
+    elif t == "bytes":
+        write_bytes(buf, bytes(v))
+    elif t == "string":
+        write_bytes(buf, str(v).encode("utf8"))
+    elif t == "enum":
+        write_long(buf, schema["symbols"].index(v))
+    elif t == "record":
+        for f in schema["fields"]:
+            write_value(buf, f["type"], v.get(f["name"]))
+    else:
+        raise ValueError(f"unsupported Avro type {t!r}")
+
+
+def read_value(buf: io.BufferedIOBase, schema: Any) -> Any:
+    t = _type_name(schema)
+    if t == "union":
+        idx = read_long(buf)
+        return read_value(buf, schema[idx])
+    if t == "null":
+        return None
+    if t == "boolean":
+        return buf.read(1) == b"\x01"
+    if t in ("int", "long"):
+        return read_long(buf)
+    if t == "float":
+        return struct.unpack("<f", buf.read(4))[0]
+    if t == "double":
+        return struct.unpack("<d", buf.read(8))[0]
+    if t == "bytes":
+        return read_bytes(buf)
+    if t == "string":
+        return read_bytes(buf).decode("utf8")
+    if t == "enum":
+        return schema["symbols"][read_long(buf)]
+    if t == "record":
+        return {f["name"]: read_value(buf, f["type"]) for f in schema["fields"]}
+    raise ValueError(f"unsupported Avro type {t!r}")
+
+
+# ------------------------------------------------------------- container
+
+
+def write_ocf(path: str, schema: dict, records: list[dict], *,
+              codec: str = "deflate", sync: bytes = b"\x00" * 16,
+              records_per_block: int = 1000) -> None:
+    """Write an Object Container File (testability + interchange)."""
+    assert len(sync) == 16
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        meta = io.BytesIO()
+        entries = {
+            "avro.schema": json.dumps(schema).encode("utf8"),
+            "avro.codec": codec.encode("utf8"),
+        }
+        write_long(meta, len(entries))
+        for k, v in entries.items():
+            write_bytes(meta, k.encode("utf8"))
+            write_bytes(meta, v)
+        write_long(meta, 0)  # end of map
+        f.write(meta.getvalue())
+        f.write(sync)
+        for i in range(0, len(records), records_per_block):
+            chunk = records[i:i + records_per_block]
+            body = io.BytesIO()
+            for rec in chunk:
+                write_value(body, schema, rec)
+            data = body.getvalue()
+            if codec == "deflate":  # raw deflate, no zlib header (spec)
+                data = zlib.compress(data)[2:-4]
+            elif codec != "null":
+                raise ValueError(f"unsupported codec {codec!r}")
+            blk = io.BytesIO()
+            write_long(blk, len(chunk))
+            write_long(blk, len(data))
+            f.write(blk.getvalue())
+            f.write(data)
+            f.write(sync)
+
+
+def read_header(f: io.BufferedIOBase) -> tuple[dict, str, bytes]:
+    """(schema, codec, sync) — leaves the stream at the first block."""
+    if f.read(4) != MAGIC:
+        raise ValueError("not an Avro object container file")
+    meta: dict[str, bytes] = {}
+    while True:
+        n = read_long(f)
+        if n == 0:
+            break
+        if n < 0:  # spec: negative count is followed by a byte size
+            n = -n
+            read_long(f)
+        for _ in range(n):
+            k = read_bytes(f).decode("utf8")
+            meta[k] = read_bytes(f)
+    schema = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode("utf8")
+    return schema, codec, f.read(16)
+
+
+def block_spans(path: str) -> tuple[dict, str, list[tuple[int, int, int]]]:
+    """(schema, codec, [(offset, byte_size, n_records), ...]) — reads only
+    block HEADERS (seeks past data), so the driver pass is O(#blocks)."""
+    spans = []
+    with open(path, "rb") as f:
+        schema, codec, sync = read_header(f)
+        while True:
+            pos = f.tell()
+            try:
+                count = read_long(f)
+            except EOFError:
+                break
+            size = read_long(f)
+            data_at = f.tell()
+            f.seek(size, 1)
+            if f.read(16) != sync:
+                raise ValueError(f"sync marker mismatch at block {pos}")
+            spans.append((data_at, size, count))
+    return schema, codec, spans
+
+
+def decode_block(path: str, offset: int, size: int, count: int,
+                 schema: dict, codec: str) -> list[dict]:
+    with open(path, "rb") as f:
+        f.seek(offset)
+        data = f.read(size)
+    if codec == "deflate":
+        data = zlib.decompress(data, -15)
+    elif codec != "null":
+        raise ValueError(f"unsupported codec {codec!r}")
+    buf = io.BytesIO(data)
+    return [read_value(buf, schema) for _ in range(count)]
+
+
+def read_ocf(path: str) -> Iterator[dict]:
+    schema, codec, spans = block_spans(path)
+    for offset, size, count in spans:
+        yield from decode_block(path, offset, size, count, schema, codec)
+
+
+def field_names(schema: dict) -> list[str]:
+    if _type_name(schema) != "record":
+        raise ValueError("top-level Avro schema must be a record")
+    return [f["name"] for f in schema["fields"]]

@@ -240,11 +240,14 @@ def scan_file(
     if fmt == "avro":
         try:
             return spark.read.format("avro").options(**options).load(path)
-        except Exception as e:  # spark-avro jar not on classpath
-            raise NotImplementedError(
-                "avro requires the spark-avro package (--packages "
-                "org.apache.spark:spark-avro_2.13:<ver>)"
-            ) from e
+        except Exception:
+            # spark-avro jar absent: fall back to the pure-Python OCF
+            # reader (io/avro_codec.py — clean-room from the public
+            # spec).  Driver-side; for block-parallel reads of large
+            # files use scan_avro_distributed().
+            from metacrafter_spark.io.avro_codec import read_ocf
+
+            return spark.createDataFrame(list(read_ocf(path)))
     if fmt == "xml":
         import xmltodict
 
@@ -375,6 +378,67 @@ def scan_xml_distributed(
     # tag yield None and are dropped by the parser)
     raw = raw.filter(F.length("value") > 0)
     return raw.mapInPandas(parse, schema=schema)
+
+
+def scan_avro_distributed(spark: SparkSession, path: str) -> DataFrame:
+    """Block-parallel Avro OCF read WITHOUT the spark-avro jar.
+
+    Avro's container format frames records into blocks separated by a
+    sync marker, so blocks are independent decode units.  The driver
+    reads only block HEADERS (count + byte size, seeking past the
+    data — O(#blocks) I/O); executors seek to their assigned blocks and
+    decode with the pure-Python codec (io/avro_codec.py).  Requires the
+    path to be executor-reachable, like any Spark input."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from metacrafter_spark.io.avro_codec import (
+        block_spans,
+        decode_block,
+        field_names,
+    )
+
+    schema, codec, spans = block_spans(path)
+    if not spans:
+        raise ValueError(f"{path}: no Avro blocks")
+    cols = field_names(schema)
+    avro_to_spark = {
+        "boolean": T.BooleanType(), "int": T.LongType(), "long": T.LongType(),
+        "float": T.DoubleType(), "double": T.DoubleType(),
+        "bytes": T.BinaryType(), "string": T.StringType(),
+        "null": T.StringType(), "enum": T.StringType(),
+    }
+
+    def spark_type(node):
+        if isinstance(node, list):  # union: the non-null branch decides
+            branches = [b for b in node if b != "null"]
+            return spark_type(branches[0]) if branches else T.StringType()
+        if isinstance(node, dict):
+            return avro_to_spark.get(node.get("type"), T.StringType())
+        return avro_to_spark.get(node, T.StringType())
+
+    out_schema = T.StructType([
+        T.StructField(f["name"], spark_type(f["type"]))
+        for f in schema["fields"]
+    ])
+
+    def decode(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            recs = []
+            for off, size, cnt in zip(pdf["offset"], pdf["size"], pdf["count"]):
+                recs.extend(decode_block(path, int(off), int(size), int(cnt),
+                                         schema, codec))
+            out = _pd.DataFrame(recs, columns=cols, dtype=object)
+            yield out.where(out.notna(), None)
+
+    n_tasks = min(len(spans), spark.sparkContext.defaultParallelism)
+    spans_df = spark.createDataFrame(
+        [(o, s, c) for o, s, c in spans],
+        "offset long, size long, count long",
+    ).repartition(n_tasks, F.col("offset"))
+    return spans_df.mapInPandas(decode, schema=out_schema)
 
 
 def scan_zip_members(
