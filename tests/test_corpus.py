@@ -180,6 +180,24 @@ def test_metrics_and_resume(spark, classified, tmp_path):
     assert total_written == N_DOCS
 
 
+def test_with_langid_matches_single_expression(spark):
+    """The staged with_langid (one evaluation of head/nt/best) must be
+    row-identical to the single-expression langid_struct semantics."""
+    from pyspark.sql import functions as F
+
+    from metacrafter_spark.corpus.langid import langid_struct, with_langid
+
+    corpus = synth_webpages(spark, 400, seed=7, partitions=8)
+    staged = with_langid(corpus).select("url", "langid_lang", "langid_score")
+    single = (
+        corpus.withColumn("s", langid_struct(F.col("text")))
+        .select("url", F.col("s.lang").alias("langid_lang"),
+                F.col("s.score").alias("langid_score"))
+    )
+    assert staged.exceptAll(single).count() == 0
+    assert single.exceptAll(staged).count() == 0
+
+
 def test_iceberg_tableio_gate(spark):
     """No iceberg jar in this sandbox: the gate must raise the actionable
     NotImplementedError (same honest-gate pattern as avro), never a raw
