@@ -57,11 +57,25 @@ def _dup_2gram_frac(words: Column, n_words: Column) -> Column:
     ).otherwise(F.lit(0.0))
 
 
-def quality_columns(text: Column) -> dict[str, Column]:
-    words = F.filter(F.split(text, r"\s+"), lambda w: F.length(w) > 0)
+def quality_columns(
+    text: Column,
+    *,
+    words: Column | None = None,
+    lines: Column | None = None,
+    paras: Column | None = None,
+) -> dict[str, Column]:
+    """Metric expressions; pass pre-materialized ``words``/``lines``/
+    ``paras`` array columns to pin each split to ONE evaluation — the
+    bare form re-derives them inside every metric expression (a dozen
+    re-splits of the text per row), which :func:`with_quality` avoids."""
+    if words is None:
+        words = F.filter(F.split(text, r"\s+"), lambda w: F.length(w) > 0)
+    if lines is None:
+        lines = F.split(text, r"\n")
+    if paras is None:
+        paras = F.split(text, r"\n\n+")
     n_words = F.size(words)
     n_words_f = F.greatest(n_words, F.lit(1)).cast("double")
-    lines = F.split(text, r"\n")
     n_lines_f = F.greatest(F.size(lines), F.lit(1)).cast("double")
     alpha_chars = F.regexp_count(text, F.lit(_WORD_ALPHA_RE))
     return {
@@ -95,8 +109,8 @@ def quality_columns(text: Column) -> dict[str, Column]:
         # (1 - distinct/total; linear-time via array ops)
         "dup_para_frac": (
             F.lit(1.0)
-            - F.size(F.array_distinct(F.split(text, r"\n\n+"))).cast("double")
-            / F.greatest(F.size(F.split(text, r"\n\n+")), F.lit(1)).cast("double")
+            - F.size(F.array_distinct(paras)).cast("double")
+            / F.greatest(F.size(paras), F.lit(1)).cast("double")
         ),
         "dup_2gram_frac": _dup_2gram_frac(words, n_words),
         "terminal_punct_line_frac": (
@@ -158,8 +172,22 @@ def c4_line_filter(
 def with_quality(df: DataFrame, text_col: str = "text",
                  thresholds: QualityThresholds = DEFAULT_THRESHOLDS,
                  prefix: str = "q") -> DataFrame:
-    q = quality_columns(F.col(text_col))
+    """Staged: words/lines/paras are materialized ONCE as tmp columns —
+    the metric expressions then reference them cheaply instead of each
+    re-splitting the text (same re-evaluation trap as langid's argmax;
+    row-identical results, asserted by the quality_flags oracle)."""
+    text = F.col(text_col)
+    w_c, l_c, p_c = "__q_words", "__q_lines", "__q_paras"
+    df = (
+        df.withColumn(w_c, F.filter(F.split(text, r"\s+"),
+                                    lambda w: F.length(w) > 0))
+        .withColumn(l_c, F.split(text, r"\n"))
+        .withColumn(p_c, F.split(text, r"\n\n+"))
+    )
+    q = quality_columns(text, words=F.col(w_c), lines=F.col(l_c),
+                        paras=F.col(p_c))
     for name, col in q.items():
         df = df.withColumn(f"{prefix}_{name}", col)
     named = {name: F.col(f"{prefix}_{name}") for name in q}
-    return df.withColumn(f"{prefix}_pass", quality_pass(named, thresholds))
+    return df.withColumn(f"{prefix}_pass",
+                         quality_pass(named, thresholds)).drop(w_c, l_c, p_c)
