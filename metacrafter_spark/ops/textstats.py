@@ -45,19 +45,32 @@ def quality_score(text: Column) -> Column:
     )
 
 
-def fingerprint64(text: Column, gram: int = 4, window: int = 8,
-                  max_words: int = 2000) -> Column:
-    """Winnowing fingerprint: xxhash64 of the sorted set of per-window
-    minimum 4-gram hashes (robust to small edits)."""
-    words = F.slice(
+def _fp_words(text: Column, max_words: int = 2000) -> Column:
+    return F.slice(
         F.filter(F.split(F.lower(text), r"\W+"), lambda w: F.length(w) > 0),
         1, max_words,
     )
+
+
+def _fp_gram_hashes(words: Column, gram: int = 4) -> Column:
+    """n-gram hashes via iterated zip_with over ``gram`` shifted slices —
+    LINEAR, unlike ``slice(words, i, gram)`` inside an index lambda,
+    which re-evaluates the whole ``words`` expression per gram (the
+    round-2 O(n²) HOF trap; pass a MATERIALIZED column here anyway so
+    the slices themselves are cheap array refs).  Hash input is the
+    space-joined gram, identical bytes to the old
+    ``concat_ws(" ", slice(...))`` form — fingerprints are unchanged."""
     k = F.greatest(F.size(words) - (gram - 1), F.lit(0))
-    gram_hashes = F.transform(
-        F.sequence(F.lit(1), k),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, gram))),
-    )
+    g = F.slice(words, 1, k)
+    for i in range(1, gram):
+        g = F.zip_with(g, F.slice(words, i + 1, k),
+                       lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.transform(g, lambda s: F.xxhash64(s))
+
+
+def _fp_from(words: Column, gram_hashes: Column, window: int = 8) -> Column:
+    """Fingerprint from MATERIALIZED words/gram-hash columns: per-window
+    minima over an attribute ref are O(window) slices, not re-evals."""
     nwin = F.greatest(F.size(gram_hashes) - (window - 1), F.lit(1))
     mins = F.array_distinct(
         F.transform(
@@ -66,17 +79,34 @@ def fingerprint64(text: Column, gram: int = 4, window: int = 8,
         )
     )
     return F.when(
-        k > 0,
+        F.size(gram_hashes) > 0,
         F.xxhash64(F.concat_ws(",", F.transform(F.array_sort(mins),
                                                 lambda x: x.cast("string")))),
     ).otherwise(F.xxhash64(F.concat_ws(" ", words)))
 
 
+def fingerprint64(text: Column, gram: int = 4, window: int = 8,
+                  max_words: int = 2000) -> Column:
+    """Winnowing fingerprint: xxhash64 of the sorted set of per-window
+    minimum 4-gram hashes (robust to small edits; Schleimer et al.).
+
+    Single-expression form for Column-only contexts; prefer
+    :func:`with_text_stats`, which materializes the words/gram-hash
+    arrays as columns first (this inline form embeds the words tree in
+    each zip_with operand — correct, but the staged path is faster)."""
+    words = _fp_words(text, max_words)
+    return _fp_from(words, _fp_gram_hashes(words, gram), window)
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
+    w_c, gh_c = "__ts_words", "__ts_grams"
     return (
-        df.withColumn("n_tokens_ws", whitespace_token_count(t))
+        df.withColumn(w_c, _fp_words(t))
+        .withColumn(gh_c, _fp_gram_hashes(F.col(w_c)))
+        .withColumn("n_tokens_ws", whitespace_token_count(t))
         .withColumn("n_tokens_subword", subword_token_count(t))
         .withColumn("quality_score", quality_score(t))
-        .withColumn("fingerprint", fingerprint64(t))
+        .withColumn("fingerprint", _fp_from(F.col(w_c), F.col(gh_c)))
+        .drop(w_c, gh_c)
     )
