@@ -42,16 +42,25 @@ def exact_dedup(df: DataFrame, content_cols: list[str], order_col: str) -> DataF
 
 
 def word_shingles(text: Column, n: int = 5, max_words: int = 2000) -> Column:
-    """Distinct word n-grams as an array column (native)."""
+    """Distinct word n-grams as an array column (native).
+
+    Grams are built by iterated ``zip_with`` over ``n`` shifted slices —
+    LINEAR in document length.  The previous ``slice(words, i, n)``
+    inside an index lambda re-evaluated the whole words tree (split +
+    filter + slice) once PER GRAM — the round-2 O(n²) HOF trap, which
+    had been fixed in quality's 2-gram but was still live here.  The
+    words tree is now evaluated n times per row (once per shifted
+    slice), not k times; gram strings are byte-identical
+    (space-joined), so signatures and oracles are unchanged."""
     words = F.slice(
         F.filter(F.split(F.lower(text), r"\W+"), lambda w: F.length(w) > 0),
         1, max_words,
     )
     k = F.greatest(F.size(words) - (n - 1), F.lit(0))
-    grams = F.transform(
-        F.sequence(F.lit(1), k),
-        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-    )
+    grams = F.slice(words, 1, k)
+    for i in range(1, n):
+        grams = F.zip_with(grams, F.slice(words, i + 1, k),
+                           lambda a, b: F.concat(a, F.lit(" "), b))
     single = F.when(F.size(words) > 0, F.array(F.concat_ws(" ", words))).otherwise(
         F.array().cast("array<string>")
     )
