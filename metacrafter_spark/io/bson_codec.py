@@ -1,0 +1,169 @@
+"""Pure-Python BSON codec (clean-room from the public spec, bsonspec.org).
+
+The reference reads .bson dumps through pymongo's ``bson`` module
+(reference classify/stats.py:9, :320 ``bson.decode_file_iter``), which
+is absent here — this module supplies the same surface:
+``decode_file_iter(fileobj)`` yields one dict per top-level document.
+
+BSON grammar (spec §Specification): a document is
+``int32 total_size, e_list, \\x00`` where each element is
+``type_byte, cstring name, payload``.  All integers little-endian.
+Implemented element types (everything mongodump emits for data
+collections):
+
+  0x01 double        0x02 string        0x03 document      0x04 array
+  0x05 binary        0x06 undefined     0x07 ObjectId      0x08 bool
+  0x09 UTC datetime  0x0A null          0x0B regex         0x0D code
+  0x10 int32         0x11 timestamp     0x12 int64         0x13 decimal128
+
+ObjectId → 24-char hex string; datetime → naive UTC ``datetime``;
+regex → its pattern string; decimal128 → raw 16 bytes (opaque);
+timestamp → unsigned int64.  An ``encode_document`` inverse is included
+so tests can round-trip without pymongo.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import struct
+from typing import Any, BinaryIO, Iterator
+
+_EPOCH = _dt.datetime(1970, 1, 1)
+
+
+class BSONError(ValueError):
+    pass
+
+
+def _cstring(data: bytes, i: int) -> tuple[str, int]:
+    j = data.find(b"\x00", i)
+    if j < 0:
+        raise BSONError(f"unterminated cstring at byte {i}")
+    return data[i:j].decode("utf-8"), j + 1
+
+
+def _decode_elements(data: bytes, i: int, end: int) -> tuple[dict, int]:
+    out: dict[str, Any] = {}
+    while i < end:
+        etype = data[i]
+        i += 1
+        if etype == 0x00:
+            return out, i
+        name, i = _cstring(data, i)
+        if etype == 0x01:  # double
+            (out[name],) = struct.unpack_from("<d", data, i)
+            i += 8
+        elif etype == 0x02 or etype == 0x0D:  # string / JS code
+            (n,) = struct.unpack_from("<i", data, i)
+            i += 4
+            out[name] = data[i : i + n - 1].decode("utf-8")
+            i += n
+        elif etype == 0x03:  # embedded document
+            (n,) = struct.unpack_from("<i", data, i)
+            doc, _ = _decode_elements(data, i + 4, i + n)
+            out[name] = doc
+            i += n
+        elif etype == 0x04:  # array: a doc keyed "0","1",…
+            (n,) = struct.unpack_from("<i", data, i)
+            doc, _ = _decode_elements(data, i + 4, i + n)
+            out[name] = [doc[k] for k in sorted(doc, key=int)]
+            i += n
+        elif etype == 0x05:  # binary: int32 len, subtype, bytes
+            (n,) = struct.unpack_from("<i", data, i)
+            out[name] = bytes(data[i + 5 : i + 5 + n])
+            i += 5 + n
+        elif etype == 0x06:  # undefined (deprecated)
+            out[name] = None
+        elif etype == 0x07:  # ObjectId
+            out[name] = data[i : i + 12].hex()
+            i += 12
+        elif etype == 0x08:
+            out[name] = data[i] == 1
+            i += 1
+        elif etype == 0x09:  # UTC datetime, int64 ms since epoch
+            (ms,) = struct.unpack_from("<q", data, i)
+            out[name] = _EPOCH + _dt.timedelta(milliseconds=ms)
+            i += 8
+        elif etype == 0x0A:
+            out[name] = None
+        elif etype == 0x0B:  # regex: two cstrings (pattern, options)
+            pat, i = _cstring(data, i)
+            _opts, i = _cstring(data, i)
+            out[name] = pat
+        elif etype == 0x10:
+            (out[name],) = struct.unpack_from("<i", data, i)
+            i += 4
+        elif etype == 0x11:  # internal timestamp, uint64
+            (out[name],) = struct.unpack_from("<Q", data, i)
+            i += 8
+        elif etype == 0x12:
+            (out[name],) = struct.unpack_from("<q", data, i)
+            i += 8
+        elif etype == 0x13:  # decimal128: opaque 16 bytes
+            out[name] = bytes(data[i : i + 16])
+            i += 16
+        else:
+            raise BSONError(f"unsupported BSON element type 0x{etype:02x} at byte {i - 1}")
+    raise BSONError("document not terminated with 0x00")
+
+
+def decode_document(data: bytes, offset: int = 0) -> tuple[dict, int]:
+    """(document, next_offset) for the document starting at *offset*."""
+    (total,) = struct.unpack_from("<i", data, offset)
+    if total < 5 or offset + total > len(data):
+        raise BSONError(f"bad document length {total} at byte {offset}")
+    doc, end = _decode_elements(data, offset + 4, offset + total)
+    if end != offset + total:
+        raise BSONError("document length mismatch")
+    return doc, offset + total
+
+
+def decode_file_iter(f: BinaryIO) -> Iterator[dict]:
+    """Yield consecutive top-level documents (pymongo-compatible surface)."""
+    while True:
+        head = f.read(4)
+        if not head:
+            return
+        if len(head) < 4:
+            raise BSONError("truncated document length")
+        (total,) = struct.unpack_from("<i", head, 0)
+        body = f.read(total - 4)
+        if len(body) < total - 4:
+            raise BSONError("truncated document body")
+        doc, _ = decode_document(head + body)
+        yield doc
+
+
+# ---------------------------------------------------------------- encoder
+
+def _encode_value(name: bytes, v: Any) -> bytes:
+    if isinstance(v, bool):  # before int — bool is an int subclass
+        return b"\x08" + name + (b"\x01" if v else b"\x00")
+    if v is None:
+        return b"\x0a" + name
+    if isinstance(v, float):
+        return b"\x01" + name + struct.pack("<d", v)
+    if isinstance(v, int):
+        if -(1 << 31) <= v < (1 << 31):
+            return b"\x10" + name + struct.pack("<i", v)
+        return b"\x12" + name + struct.pack("<q", v)
+    if isinstance(v, str):
+        raw = v.encode("utf-8") + b"\x00"
+        return b"\x02" + name + struct.pack("<i", len(raw)) + raw
+    if isinstance(v, _dt.datetime):
+        ms = round((v - _EPOCH).total_seconds() * 1000)
+        return b"\x09" + name + struct.pack("<q", ms)
+    if isinstance(v, (bytes, bytearray)):
+        return b"\x05" + name + struct.pack("<i", len(v)) + b"\x00" + bytes(v)
+    if isinstance(v, dict):
+        return b"\x03" + name + encode_document(v)
+    if isinstance(v, (list, tuple)):
+        return b"\x04" + name + encode_document({str(i): x for i, x in enumerate(v)})
+    raise BSONError(f"cannot encode {type(v).__name__}")
+
+
+def encode_document(doc: dict) -> bytes:
+    body = b"".join(
+        _encode_value(str(k).encode("utf-8") + b"\x00", v) for k, v in doc.items()
+    )
+    return struct.pack("<i", len(body) + 5) + body + b"\x00"

@@ -269,20 +269,37 @@ def scan_file(
 
         records = find(doc) or []
         return spark.createDataFrame(records)
-    if fmt in {"xls", "xlsx"}:
+    if fmt == "xlsx":
+        try:
+            import pandas as pd
+
+            return spark.createDataFrame(pd.read_excel(path))
+        except ImportError:
+            # openpyxl absent: pure-stdlib OOXML reader (io/xlsx_codec.py
+            # — clean-room from ECMA-376; same header-keyed record shape
+            # as the reference's iterabledata rows).
+            from metacrafter_spark.io.xlsx_codec import read_xlsx
+
+            records = read_xlsx(path, sheet=options.get("sheet"))
+            if not records:
+                raise ValueError(f"no data rows in {path}")
+            return spark.createDataFrame(records)
+    if fmt == "xls":
+        # Legacy BIFF binary — genuinely needs xlrd (not installable here).
         try:
             import pandas as pd
 
             return spark.createDataFrame(pd.read_excel(path))
         except ImportError as e:
-            raise NotImplementedError("xlsx needs openpyxl/xlrd") from e
+            raise NotImplementedError("legacy .xls needs xlrd") from e
     if fmt == "bson":
         try:
-            import bson  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError("bson needs pymongo/bson") from e
+            from bson import decode_file_iter  # type: ignore
+        except ImportError:
+            # pymongo absent: clean-room spec codec (io/bson_codec.py).
+            from metacrafter_spark.io.bson_codec import decode_file_iter
         with open(path, "rb") as f:
-            items = list(bson.decode_file_iter(f))
+            items = list(decode_file_iter(f))
         return spark.createDataFrame(items)
     if fmt in {"pickle", "pkl"}:
         import pickle

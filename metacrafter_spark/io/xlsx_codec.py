@@ -1,0 +1,231 @@
+"""Pure-stdlib XLSX reader (clean-room from ECMA-376 / the OOXML spec).
+
+The reference reads Excel through the public ``iterabledata`` package
+(reference core.py:20 ``open_iterable``), which yields one dict per row
+keyed by the header row.  This module reproduces that record shape with
+zero third-party dependencies: an .xlsx file is a ZIP of XML parts —
+``xl/workbook.xml`` (sheet list), ``xl/_rels/workbook.xml.rels``
+(sheet-id → part path), ``xl/sharedStrings.xml`` (string table),
+``xl/styles.xml`` (number formats, needed only to tell dates from plain
+numbers) and one ``xl/worksheets/sheetN.xml`` per sheet — all parsed
+here with ``zipfile`` + ``xml.etree``.
+
+Scope: cell types s (shared string), str (formula string), inlineStr,
+b (boolean), e (error → None) and n (number; date-styled numbers are
+converted from the 1900-epoch serial).  This covers what spreadsheet
+writers emit for data tables; exotic parts (pivot caches, macros) are
+ignored.  Legacy .xls (BIFF binary) is out of scope — that needs xlrd.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import re
+import zipfile
+import xml.etree.ElementTree as ET
+from typing import Any, Iterator, Optional
+
+_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_NS_R = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+_NS_PR = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+
+# Built-in numFmtId values that render as dates/times (ECMA-376 §18.8.30).
+_DATE_BUILTIN = set(range(14, 23)) | set(range(27, 37)) | set(range(45, 48)) | set(range(50, 59))
+# A custom format code is a date format when it contains y/m/d/h/s tokens
+# outside quoted literals and [] sections (e.g. colors like [Red]).
+_FMT_STRIP = re.compile(r'"[^"]*"|\[[^\]]*\]|\\.')
+_FMT_DATE_TOKEN = re.compile(r"[ymdhs]", re.IGNORECASE)
+
+# Excel's day-0 is 1899-12-30 once the fictitious 1900-02-29 (serial 60)
+# is accounted for; serials below 60 are off by one.  Every spreadsheet
+# library uses this same correction.
+_EPOCH = _dt.datetime(1899, 12, 30)
+
+
+def _cell_col(ref: Optional[str]) -> Optional[int]:
+    """0-based column index from an A1-style reference ('BC12' → 54)."""
+    if not ref:
+        return None
+    n = 0
+    for ch in ref:
+        if not ch.isalpha():
+            break
+        n = n * 26 + (ord(ch.upper()) - ord("A") + 1)
+    return n - 1 if n else None
+
+
+def _date_style_ids(zf: zipfile.ZipFile) -> set[int]:
+    """Indices into cellXfs whose number format renders as a date."""
+    try:
+        root = ET.fromstring(zf.read("xl/styles.xml"))
+    except KeyError:
+        return set()
+    custom_date: set[int] = set()
+    for nf in root.iter(f"{_NS}numFmt"):
+        code = _FMT_STRIP.sub("", nf.get("formatCode") or "")
+        if _FMT_DATE_TOKEN.search(code):
+            custom_date.add(int(nf.get("numFmtId", "-1")))
+    out: set[int] = set()
+    cellxfs = root.find(f"{_NS}cellXfs")
+    if cellxfs is None:
+        return out
+    for i, xf in enumerate(cellxfs.findall(f"{_NS}xf")):
+        fmt = int(xf.get("numFmtId", "0"))
+        if fmt in _DATE_BUILTIN or fmt in custom_date:
+            out.add(i)
+    return out
+
+
+def _shared_strings(zf: zipfile.ZipFile) -> list[str]:
+    try:
+        root = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+    except KeyError:
+        return []
+    # Each <si> may be a plain <t> or rich-text runs <r><t>…; the cell
+    # value is the concatenation of all <t> descendants either way.
+    return [
+        "".join(t.text or "" for t in si.iter(f"{_NS}t"))
+        for si in root.findall(f"{_NS}si")
+    ]
+
+
+def _sheet_parts(zf: zipfile.ZipFile) -> list[tuple[str, str]]:
+    """[(sheet name, zip member path)] in workbook order."""
+    wb = ET.fromstring(zf.read("xl/workbook.xml"))
+    rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+    target = {
+        rel.get("Id"): rel.get("Target")
+        for rel in rels.findall(f"{_NS_PR}Relationship")
+    }
+    out = []
+    for sh in wb.iter(f"{_NS}sheet"):
+        t = target.get(sh.get(f"{_NS_R}id"))
+        if t is None:
+            continue
+        if not t.startswith("/"):
+            t = "xl/" + t
+        out.append((sh.get("name") or "", t.lstrip("/")))
+    return out
+
+
+def _serial_to_datetime(serial: float) -> _dt.datetime:
+    if serial < 60:
+        serial += 1  # before the phantom 1900-02-29
+    return _EPOCH + _dt.timedelta(days=serial)
+
+
+def _cell_value(c: ET.Element, shared: list[str], date_styles: set[int]) -> Any:
+    ctype = c.get("t", "n")
+    if ctype == "inlineStr":
+        is_el = c.find(f"{_NS}is")
+        if is_el is None:
+            return None
+        return "".join(t.text or "" for t in is_el.iter(f"{_NS}t"))
+    v = c.find(f"{_NS}v")
+    if v is None or v.text is None:
+        return None
+    raw = v.text
+    if ctype == "s":
+        return shared[int(raw)]
+    if ctype == "str":
+        return raw
+    if ctype == "b":
+        return raw.strip() in ("1", "true", "TRUE")
+    if ctype == "e":
+        return None
+    # numeric; date-styled serials become datetimes
+    num = float(raw)
+    style = int(c.get("s", "-1"))
+    if style in date_styles:
+        dt = _serial_to_datetime(num)
+        return dt.date() if dt.time() == _dt.time(0) and num == int(num) else dt
+    return int(num) if num == int(num) and "e" not in raw.lower() and "." not in raw else num
+
+
+def iter_xlsx_rows(path: str, sheet: Optional[str] = None) -> Iterator[list]:
+    """Yield raw rows (lists, column-aligned) from one sheet."""
+    with zipfile.ZipFile(path) as zf:
+        shared = _shared_strings(zf)
+        date_styles = _date_style_ids(zf)
+        parts = _sheet_parts(zf)
+        if not parts:
+            return
+        part = None
+        if sheet is not None:
+            for name, p in parts:
+                if name == sheet:
+                    part = p
+                    break
+            if part is None:
+                raise ValueError(f"sheet {sheet!r} not in {path}: {[n for n, _ in parts]}")
+        else:
+            part = parts[0][1]
+        root = ET.fromstring(zf.read(part))
+        for row in root.iter(f"{_NS}row"):
+            out: list = []
+            nextcol = 0
+            for c in row.findall(f"{_NS}c"):
+                col = _cell_col(c.get("r"))
+                if col is None:
+                    col = nextcol
+                while len(out) < col:
+                    out.append(None)
+                val = _cell_value(c, shared, date_styles)
+                out.append(val)
+                nextcol = col + 1
+            yield out
+
+
+def read_xlsx(path: str, sheet: Optional[str] = None) -> list[dict]:
+    """Header-keyed records (the reference's iterabledata row shape).
+
+    The first row is the header; later rows become dicts, padded with
+    None for trailing missing cells and ignoring columns beyond the
+    header width (matching pandas/iterabledata behaviour).
+    """
+    rows = iter_xlsx_rows(path, sheet=sheet)
+    header: Optional[list[str]] = None
+    for r in rows:
+        if any(v is not None for v in r):
+            header = [str(v) if v is not None else f"col{i}" for i, v in enumerate(r)]
+            break
+    if header is None:
+        return []
+    out = []
+    for r in rows:
+        rec = {h: (r[i] if i < len(r) else None) for i, h in enumerate(header)}
+        out.append(rec)
+    return _promote_columns(out)
+
+
+def _promote_columns(records: list[dict]) -> list[dict]:
+    """Column-wise type unification, as pandas/iterabledata produce.
+
+    Excel stores every number as a double; the per-cell int conversion
+    above is cosmetic, so a column mixing ints and floats is promoted
+    to float, and one mixing dates and datetimes to datetime — without
+    this, a consumer inferring one type per column (Spark
+    createDataFrame) fails on genuine spreadsheets."""
+    to_float: set[str] = set()
+    to_dt: set[str] = set()
+    seen: dict[str, set[type]] = {}
+    for rec in records:
+        for k, v in rec.items():
+            if v is not None:
+                seen.setdefault(k, set()).add(type(v))
+    for k, types in seen.items():
+        if float in types and int in types:
+            to_float.add(k)
+        if _dt.datetime in types and _dt.date in types:
+            to_dt.add(k)
+    if not to_float and not to_dt:
+        return records
+    for rec in records:
+        for k in to_float:
+            if type(rec.get(k)) is int:
+                rec[k] = float(rec[k])
+        for k in to_dt:
+            v = rec.get(k)
+            if type(v) is _dt.date:
+                rec[k] = _dt.datetime(v.year, v.month, v.day)
+    return records

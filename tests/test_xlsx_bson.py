@@ -1,0 +1,255 @@
+"""Pure-stdlib XLSX + clean-room BSON codecs.
+
+Fixtures are handwritten from the public specs (ECMA-376 OOXML;
+bsonspec.org) — NOT produced by the code under test — so these are
+conformance tests, not self-round-trips (the BSON round-trip test is
+additional, on top of fixed spec bytes).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import io
+import struct
+import zipfile
+
+import pytest
+
+from metacrafter_spark.io.bson_codec import (
+    BSONError,
+    decode_document,
+    decode_file_iter,
+    encode_document,
+)
+from metacrafter_spark.io.xlsx_codec import read_xlsx
+from metacrafter_spark.io.sources import scan_file
+
+_CT = """<?xml version="1.0"?>
+<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+ <Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+ <Default Extension="xml" ContentType="application/xml"/>
+ <Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+</Types>"""
+
+_ROOT_RELS = """<?xml version="1.0"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+ <Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+</Relationships>"""
+
+_WORKBOOK = """<?xml version="1.0"?>
+<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+          xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+ <sheets>
+  <sheet name="people" sheetId="1" r:id="rId1"/>
+  <sheet name="empty" sheetId="2" r:id="rId2"/>
+ </sheets>
+</workbook>"""
+
+_WB_RELS = """<?xml version="1.0"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+ <Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+ <Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet2.xml"/>
+</Relationships>"""
+
+# One shared string is rich-text (two runs) — value must concatenate.
+_SST = """<?xml version="1.0"?>
+<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="3" uniqueCount="3">
+ <si><t>name</t></si>
+ <si><t>John</t></si>
+ <si><r><t>Ma</t></r><r><t>ry</t></r></si>
+</sst>"""
+
+# cellXfs: style 0 = general, style 1 = builtin date 14, style 2 = custom
+# date-like numFmt 164 ("yyyy\\-mm"), style 3 = custom NON-date ([Red]0.00).
+_STYLES = """<?xml version="1.0"?>
+<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+ <numFmts count="2">
+  <numFmt numFmtId="164" formatCode="yyyy\\-mm"/>
+  <numFmt numFmtId="165" formatCode="[Red]0.00"/>
+ </numFmts>
+ <cellXfs count="4">
+  <xf numFmtId="0"/>
+  <xf numFmtId="14"/>
+  <xf numFmtId="164"/>
+  <xf numFmtId="165"/>
+ </cellXfs>
+</styleSheet>"""
+
+# Rows: header; then typed data rows exercising shared strings, inline
+# strings, numbers (int/float/date-styled/custom-styled), booleans,
+# formula strings, an error cell, and a skipped cell (B gap in row 4).
+# Serial 45000 = 2023-03-15; 45000.5 adds 12h.
+_SHEET1 = """<?xml version="1.0"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+ <sheetData>
+  <row r="1">
+   <c r="A1" t="s"><v>0</v></c>
+   <c r="B1" t="inlineStr"><is><t>age</t></is></c>
+   <c r="C1" t="str"><v>joined</v></c>
+   <c r="D1" t="inlineStr"><is><t>active</t></is></c>
+   <c r="E1" t="inlineStr"><is><t>score</t></is></c>
+  </row>
+  <row r="2">
+   <c r="A2" t="s"><v>1</v></c>
+   <c r="B2"><v>34</v></c>
+   <c r="C2" s="1"><v>45000</v></c>
+   <c r="D2" t="b"><v>1</v></c>
+   <c r="E2" s="3"><v>1.5</v></c>
+  </row>
+  <row r="3">
+   <c r="A3" t="s"><v>2</v></c>
+   <c r="B3"><v>28.5</v></c>
+   <c r="C3" s="2"><v>45000.5</v></c>
+   <c r="D3" t="b"><v>0</v></c>
+   <c r="E3" t="e"><v>#DIV/0!</v></c>
+  </row>
+  <row r="4">
+   <c r="A4" t="inlineStr"><is><t>Ann</t></is></c>
+   <c r="C4" s="1"><v>59</v></c>
+  </row>
+ </sheetData>
+</worksheet>"""
+
+_SHEET2 = """<?xml version="1.0"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+ <sheetData/>
+</worksheet>"""
+
+
+@pytest.fixture()
+def xlsx_path(tmp_path):
+    p = tmp_path / "people.xlsx"
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("[Content_Types].xml", _CT)
+        zf.writestr("_rels/.rels", _ROOT_RELS)
+        zf.writestr("xl/workbook.xml", _WORKBOOK)
+        zf.writestr("xl/_rels/workbook.xml.rels", _WB_RELS)
+        zf.writestr("xl/sharedStrings.xml", _SST)
+        zf.writestr("xl/styles.xml", _STYLES)
+        zf.writestr("xl/worksheets/sheet1.xml", _SHEET1)
+        zf.writestr("xl/worksheets/sheet2.xml", _SHEET2)
+    return str(p)
+
+
+def test_read_xlsx_types_and_gaps(xlsx_path):
+    rows = read_xlsx(xlsx_path)
+    assert [r["name"] for r in rows] == ["John", "Mary", "Ann"]
+    r1, r2, r3 = rows
+    # age column mixes 34 and 28.5 → promoted to float (Excel stores
+    # doubles; pandas/iterabledata produce the same column type)
+    assert r1["age"] == 34.0 and isinstance(r1["age"], float)
+    # joined mixes a midnight serial (→ date) with a 12:00 serial
+    # (→ datetime) → promoted to datetime
+    assert r1["joined"] == dt.datetime(2023, 3, 15)   # builtin date style
+    assert r1["active"] is True
+    assert r1["score"] == 1.5                          # custom NON-date fmt stays numeric
+    assert r2["age"] == 28.5
+    assert r2["joined"] == dt.datetime(2023, 3, 15, 12, 0)  # custom date fmt
+    assert r2["active"] is False
+    assert r2["score"] is None                         # error cell
+    # row 4: B missing entirely, serial 59 < 60 → 1900-02-28 (leap-bug side)
+    assert r3["age"] is None
+    assert r3["joined"] == dt.datetime(1900, 2, 28)
+    assert r3["active"] is None
+
+
+def test_read_xlsx_sheet_selection(xlsx_path):
+    assert read_xlsx(xlsx_path, sheet="empty") == []
+    with pytest.raises(ValueError, match="sheet 'nope'"):
+        read_xlsx(xlsx_path, sheet="nope")
+
+
+def test_scan_file_xlsx(spark, xlsx_path):
+    df = scan_file(spark, xlsx_path)
+    got = {r["name"]: r for r in df.collect()}
+    assert set(got) == {"John", "Mary", "Ann"}
+    assert got["John"]["active"] is True
+    assert df.schema["joined"].dataType.typeName() in ("timestamp", "timestamp_ntz", "date")
+
+
+# ------------------------------------------------------------------ BSON
+
+# The spec's own first example: {"hello": "world"} (bsonspec.org §Faq).
+_SPEC_HELLO = (
+    b"\x16\x00\x00\x00"            # total 22 bytes
+    b"\x02hello\x00"               # string element, name "hello"
+    b"\x06\x00\x00\x00world\x00"   # int32 len incl NUL, "world"
+    b"\x00"
+)
+
+# Spec example 2: {"BSON": ["awesome", 5.05, 1986]}
+_SPEC_ARRAY = (
+    b"\x31\x00\x00\x00"
+    b"\x04BSON\x00"
+    b"\x26\x00\x00\x00"
+    b"\x02\x30\x00\x08\x00\x00\x00awesome\x00"
+    b"\x01\x31\x00\x33\x33\x33\x33\x33\x33\x14\x40"
+    b"\x10\x32\x00\xc2\x07\x00\x00"
+    b"\x00"
+    b"\x00"
+)
+
+
+def test_bson_spec_fixtures():
+    doc, n = decode_document(_SPEC_HELLO)
+    assert doc == {"hello": "world"} and n == len(_SPEC_HELLO)
+    doc, n = decode_document(_SPEC_ARRAY)
+    assert doc == {"BSON": ["awesome", 5.05, 1986]} and n == len(_SPEC_ARRAY)
+
+
+def test_bson_hand_built_types():
+    # ObjectId / datetime / null / bool / int64 / binary / regex elements,
+    # assembled by hand from the spec grammar.
+    oid = bytes(range(12))
+    raw = (
+        b"\x07_id\x00" + oid
+        + b"\x09ts\x00" + struct.pack("<q", 86_400_000)
+        + b"\x0anil\x00"
+        + b"\x08ok\x00\x01"
+        + b"\x12big\x00" + struct.pack("<q", 1 << 40)
+        + b"\x05bin\x00" + struct.pack("<i", 3) + b"\x00abc"
+        + b"\x0bre\x00^a+$\x00i\x00"
+    )
+    data = struct.pack("<i", len(raw) + 5) + raw + b"\x00"
+    doc, _ = decode_document(data)
+    assert doc["_id"] == oid.hex() and len(doc["_id"]) == 24
+    assert doc["ts"] == dt.datetime(1970, 1, 2)
+    assert doc["nil"] is None and doc["ok"] is True
+    assert doc["big"] == 1 << 40
+    assert doc["bin"] == b"abc"
+    assert doc["re"] == "^a+$"
+
+
+def test_bson_roundtrip_and_file_iter(tmp_path):
+    docs = [
+        {"id": 1, "name": "John", "tags": ["a", "b"], "meta": {"x": 1.5, "ok": False}},
+        {"id": 2, "name": "Mary", "tags": [], "meta": {"x": -2.0, "ok": True}},
+        {"id": (1 << 40), "name": None, "when": dt.datetime(2024, 5, 1, 12, 30)},
+    ]
+    blob = b"".join(encode_document(d) for d in docs)
+    assert list(decode_file_iter(io.BytesIO(blob))) == docs
+    p = tmp_path / "dump.bson"
+    p.write_bytes(blob)
+    with open(p, "rb") as f:
+        assert list(decode_file_iter(f)) == docs
+
+
+def test_bson_errors():
+    with pytest.raises(BSONError):
+        decode_document(b"\x04\x00\x00\x00")  # length < 5
+    with pytest.raises(BSONError):
+        # valid length but missing terminator
+        decode_document(struct.pack("<i", 6) + b"\x08a")
+    with pytest.raises(BSONError):
+        list(decode_file_iter(io.BytesIO(_SPEC_HELLO[:10])))  # truncated body
+
+
+def test_scan_file_bson(spark, tmp_path):
+    p = tmp_path / "users.bson"
+    docs = [{"user_id": i, "email": f"u{i}@example.com", "active": i % 2 == 0}
+            for i in range(1, 6)]
+    p.write_bytes(b"".join(encode_document(d) for d in docs))
+    df = scan_file(spark, str(p))
+    rows = sorted(df.collect(), key=lambda r: r["user_id"])
+    assert [r["email"] for r in rows] == [f"u{i}@example.com" for i in range(1, 6)]
+    assert rows[0]["active"] is False and rows[1]["active"] is True
