@@ -279,6 +279,17 @@ def q_token_counts(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_dup_span_stats(spark, sf_dir):
+    """Substring-dedup signal (Lee et al. 2021) — per-doc duplicated-span
+    counts over hashed 8-token windows.  This IS the prod path
+    (xxhash64 keys); the oracle groups the gram strings themselves, so
+    the counts match exactly unless xxhash64 collides (~n²/2⁶⁵)."""
+    from metacrafter_spark.ops.dedup import dup_span_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return dup_span_stats(docs, "doc_id", "text", span_words=8).orderBy("doc_id")
+
+
 def q_events_json(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
@@ -638,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_match_rate": q_regex_match_rate,
         "exact_dedup_events": q_exact_dedup,
         "jaccard_pairs_exact": q_jaccard_pairs,
+        "dup_span_stats": q_dup_span_stats,
         "near_dup_clusters": q_near_dup_clusters,
         "ann_topk_cosine": q_ann_topk,
         "token_counts": q_token_counts,
@@ -919,6 +931,32 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
                                             CAST(qv AS DOUBLE[])) DESC, vec_id
             LIMIT 10
+        """,
+        "dup_span_stats": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     (list_filter(string_split_regex(lower(text), '\W+'),
+                                  x -> length(x) > 0))[1:2000] AS words
+              FROM documents),
+            g AS (
+              SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(words) >= 8
+                     THEN list_transform(range(1, len(words) - 6),
+                                         i -> array_to_string(words[i:i+7], ' '))
+                     WHEN len(words) > 0
+                     THEN [array_to_string(words, ' ')]
+                     ELSE [] END)) AS gram
+              FROM w),
+            freq AS (SELECT gram, count(*) AS n_docs FROM g GROUP BY gram)
+            SELECT g.doc_id AS doc_id,
+                   count(*)::BIGINT AS n_spans,
+                   sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_dup_spans,
+                   round(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) * 1.0
+                         / count(*), 4) AS dup_span_frac
+            FROM g JOIN freq f USING (gram)
+            GROUP BY g.doc_id
+            ORDER BY doc_id
         """,
         "token_counts": r"""
             SELECT doc_id,

@@ -41,21 +41,28 @@ def exact_dedup(df: DataFrame, content_cols: list[str], order_col: str) -> DataF
     )
 
 
-def word_shingles(text: Column, n: int = 5, max_words: int = 2000) -> Column:
-    """Distinct word n-grams as an array column (native).
-
-    Grams are built by iterated ``zip_with`` over ``n`` shifted slices —
-    LINEAR in document length.  The previous ``slice(words, i, n)``
-    inside an index lambda re-evaluated the whole words tree (split +
-    filter + slice) once PER GRAM — the round-2 O(n²) HOF trap, which
-    had been fixed in quality's 2-gram but was still live here.  The
-    words tree is now evaluated n times per row (once per shifted
-    slice), not k times; gram strings are byte-identical
-    (space-joined), so signatures and oracles are unchanged."""
-    words = F.slice(
+def split_words(text: Column, max_words: int = 2000) -> Column:
+    """First ``max_words`` non-empty lowercase ``\\W+`` tokens."""
+    return F.slice(
         F.filter(F.split(F.lower(text), r"\W+"), lambda w: F.length(w) > 0),
         1, max_words,
     )
+
+
+def shingles_from_words(words: Column, n: int = 5) -> Column:
+    """Distinct word n-grams from a words array column (native).
+
+    Pass a MATERIALIZED column (an attribute reference), not a derived
+    expression: ``words`` is referenced ~2n times below (each shifted
+    slice plus the length guards), and Catalyst re-inlines non-trivial
+    expression trees per reference — the split+filter would run ~2n
+    times per row (observed in the dup_span_stats plan before staging).
+
+    Grams are built by iterated ``zip_with`` over ``n`` shifted slices —
+    LINEAR in document length.  The previous ``slice(words, i, n)``
+    inside an index lambda re-evaluated the whole words tree once PER
+    GRAM — the round-2 O(n²) HOF trap.  Gram strings are space-joined,
+    byte-identical across variants, so signatures and oracles agree."""
     k = F.greatest(F.size(words) - (n - 1), F.lit(0))
     grams = F.slice(words, 1, k)
     for i in range(1, n):
@@ -65,6 +72,83 @@ def word_shingles(text: Column, n: int = 5, max_words: int = 2000) -> Column:
         F.array().cast("array<string>")
     )
     return F.array_distinct(F.when(k > 0, grams).otherwise(single))
+
+
+def word_shingles(text: Column, n: int = 5, max_words: int = 2000) -> Column:
+    """Distinct word n-grams straight from text (compositional form).
+
+    Prefer staging :func:`split_words` as a tmp column and calling
+    :func:`shingles_from_words` on the attribute when the caller
+    controls the DataFrame — see that function's re-evaluation note."""
+    return shingles_from_words(split_words(text, max_words), n)
+
+
+def dup_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_words: int = 10,
+    max_words: int = 2000,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Per-document duplicated-span statistics (substring-dedup signal).
+
+    Distributed re-expression of the substring-level signal from Lee et
+    al. 2021 ("Deduplicating Training Data Makes Language Models
+    Better"): instead of a global suffix array — inherently sequential —
+    every document's distinct ``span_words``-token windows are hashed
+    and their document frequency counted across the corpus; a span seen
+    in ≥2 documents is duplicated text.  Emits one row per document with
+    ``n_spans`` (distinct windows), ``n_dup_spans`` and
+    ``dup_span_frac`` — threshold the fraction in a keep/drop pipeline
+    to shed boilerplate-heavy documents, or sum ``n_dup_spans`` for a
+    corpus-level duplication report.
+
+    Scale shape: gram strings never ride the shuffle under the default
+    ``xxhash64`` family — the explode output is projected to
+    (id, 8-byte hash) before the Exchange; within-doc de-dup happens in
+    ``word_shingles`` (array_distinct, map-side), so document frequency
+    is a plain partial-aggregable ``count(*)``; the frequency join
+    carries (hash, n_docs) only.  A boilerplate span shared by millions
+    of docs is one counter, not a collected list.  Documents with zero
+    words emit no row (they have no spans).
+
+    ``hash_family='sha256'`` swaps the key for the DuckDB-replayable
+    oracle twin (same mechanism, value-checkable end-to-end).
+    """
+    if hash_family == "xxhash64":
+        key = F.xxhash64(F.col("__gram"))
+    elif hash_family == "sha256":
+        key = F.sha2(F.col("__gram"), 256)
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
+    # Stage words as an attribute so the Generate's shingle expression
+    # references it ~2n times for free instead of re-inlining the
+    # split+filter tree per reference (shingles_from_words docstring).
+    g = (
+        df.select(
+            F.col(id_col),
+            split_words(F.col(text_col), max_words).alias("__words"),
+        )
+        .select(
+            F.col(id_col),
+            F.explode(shingles_from_words(F.col("__words"), n=span_words)).alias("__gram"),
+        )
+        .select(F.col(id_col), key.alias("__gh"))
+    )
+    freq = g.groupBy("__gh").agg(F.count("*").alias("__n_docs"))
+    return (
+        g.join(freq, "__gh")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum((F.col("__n_docs") >= 2).cast("long")).alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_span_frac",
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 4),
+        )
+    )
 
 
 def minhash_signature(shingles: Column, n_hashes: int = 64) -> Column:
@@ -129,7 +213,10 @@ def with_minhash(
     — the k×|shingles| re-hash is memory-bandwidth work in C, not k
     interpreted Column-expression passes."""
     base_col = "__mh_base"
-    out = df.withColumn(shingles_col, word_shingles(F.col(text_col), shingle))
+    out = df.withColumn("__mh_words", split_words(F.col(text_col)))
+    out = out.withColumn(
+        shingles_col, shingles_from_words(F.col("__mh_words"), shingle)
+    ).drop("__mh_words")
     out = out.withColumn(
         base_col, F.transform(F.col(shingles_col), lambda s: F.xxhash64(s))
     )
@@ -195,7 +282,6 @@ def near_dup_pairs_minhash(
     pushdown), a tiny fraction of the corpus; recomputing that
     projection twice beats materializing it once."""
     base = df.select(F.col(id_col), F.col(text_col))
-    sh_expr = word_shingles(F.col(text_col))
     sig = (
         with_minhash(base, text_col, n_hashes)
         .select(F.col(id_col), "minhash")  # column-pruned: text/shingles dropped
@@ -214,8 +300,13 @@ def near_dup_pairs_minhash(
             .union(pairs.select(F.col("id_b").alias(id_col)))
             .distinct()
         )
-        sh = base.join(ids, id_col, "left_semi").select(
-            F.col(id_col), sh_expr.alias("shingles")
+        sh = (
+            base.join(ids, id_col, "left_semi")
+            .select(F.col(id_col), split_words(F.col(text_col)).alias("__words"))
+            .select(
+                F.col(id_col),
+                shingles_from_words(F.col("__words")).alias("shingles"),
+            )
         )
         out = (
             pairs.join(sh.withColumnRenamed(id_col, "id_a")
@@ -253,9 +344,12 @@ def near_dup_pairs_minhash_sha(
     family pays k× the hashing cost and exists for oracle-scale
     verification of the banding/verify mechanism."""
     base = df.select(F.col(id_col), F.col(text_col))
-    t = base.withColumn(
-        "sh", word_shingles(F.col(text_col), shingle)
-    ).filter(F.size("sh") > 0)
+    t = (
+        base.withColumn("__words", split_words(F.col(text_col)))
+        .withColumn("sh", shingles_from_words(F.col("__words"), shingle))
+        .drop("__words")
+        .filter(F.size("sh") > 0)
+    )
 
     def _seeded(k: int):
         # one-arg closure factory (see with_simhash: a default-arg lambda

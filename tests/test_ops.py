@@ -271,3 +271,34 @@ def test_multimodal_real_codecs(spark):
         extract_features(unknown, strict=True).collect()
     lax = extract_features(unknown, strict=False).collect()
     assert len(lax) == 1 and len(lax[0].feature) == 64
+
+
+def test_dup_span_stats(spark):
+    from metacrafter_spark.ops.dedup import dup_span_stats
+
+    # d1/d2 share their first 6 words (4 shared 3-grams); d3 is unique;
+    # d4 is shorter than the span (whole-doc gram fallback); d5 is empty.
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta one two three"),
+        (2, "alpha beta gamma delta epsilon zeta nine ten eleven"),
+        (3, "completely different words with no overlap at all here"),
+        (4, "tiny doc"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in dup_span_stats(df, "doc_id", "text", span_words=3).collect()}
+    # 9 words -> 7 positional 3-grams, all distinct in these texts
+    assert got[1]["n_spans"] == 7 and got[2]["n_spans"] == 7
+    # shared prefix "alpha beta gamma delta epsilon zeta" -> 4 shared 3-grams
+    assert got[1]["n_dup_spans"] == 4 and got[2]["n_dup_spans"] == 4
+    assert got[1]["dup_span_frac"] == round(4 / 7, 4)
+    assert got[3]["n_dup_spans"] == 0 and got[3]["dup_span_frac"] == 0.0
+    assert got[4]["n_spans"] == 1 and got[4]["n_dup_spans"] == 0  # whole-doc gram
+    assert 5 not in got  # zero words -> no spans -> no row
+
+    # counts are exact -> invariant under partitioning; sha256 family
+    # (the oracle twin's key space) produces identical counts
+    re_part = dup_span_stats(df.repartition(7), "doc_id", "text", span_words=3)
+    assert {tuple(r) for r in re_part.collect()} == {tuple(r) for r in got.values()}
+    sha = dup_span_stats(df, "doc_id", "text", span_words=3, hash_family="sha256")
+    assert {tuple(r) for r in sha.collect()} == {tuple(r) for r in got.values()}

@@ -32,8 +32,15 @@ STATS_HEADERS = [
 
 def _install_stubs() -> None:
     if "bson" not in sys.modules:
+        # Delegate to the clean-room codec so the stub is FUNCTIONAL:
+        # scan_file's `from bson import decode_file_iter` resolves this
+        # module when the harness ran first in the same process, and a
+        # lambda returning iter(()) silently decoded every file to zero
+        # rows (caught as an order-dependent test flake).
+        from metacrafter_spark.io import bson_codec
+
         bson = types.ModuleType("bson")
-        bson.decode_file_iter = lambda *a, **k: iter(())
+        bson.decode_file_iter = bson_codec.decode_file_iter
         sys.modules["bson"] = bson
     if "qddate" not in sys.modules:
         qddate = types.ModuleType("qddate")
