@@ -290,6 +290,21 @@ def q_dup_span_stats(spark, sf_dir):
     return dup_span_stats(docs, "doc_id", "text", span_words=8).orderBy("doc_id")
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix C recipe): flag corpus
+    documents sharing any 8-gram with a benchmark/eval set.  Here the
+    benchmark is every 25th document and the corpus is the rest; the
+    bench gram-hash set is broadcast, so corpus grams never shuffle.
+    This IS the prod path (xxhash64 keys); the oracle joins gram
+    strings directly, value-checking the whole pipeline."""
+    from metacrafter_spark.ops.decontam import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    corpus = docs.filter(F.col("doc_id") % 25 != 0)
+    return decontaminate(corpus, bench, "doc_id", "text", n=8).orderBy("doc_id")
+
+
 def q_events_json(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
@@ -650,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_events": q_exact_dedup,
         "jaccard_pairs_exact": q_jaccard_pairs,
         "dup_span_stats": q_dup_span_stats,
+        "decontaminate": q_decontaminate,
         "near_dup_clusters": q_near_dup_clusters,
         "ann_topk_cosine": q_ann_topk,
         "token_counts": q_token_counts,
@@ -956,6 +972,35 @@ def oracle_sql() -> dict[str, str]:
                          / count(*), 4) AS dup_span_frac
             FROM g JOIN freq f USING (gram)
             GROUP BY g.doc_id
+            ORDER BY doc_id
+        """,
+        "decontaminate": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     (list_filter(string_split_regex(lower(text), '\W+'),
+                                  x -> length(x) > 0))[1:2000] AS words
+              FROM documents),
+            g AS (
+              SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(words) >= 8
+                     THEN list_transform(range(1, len(words) - 6),
+                                         i -> array_to_string(words[i:i+7], ' '))
+                     WHEN len(words) > 0
+                     THEN [array_to_string(words, ' ')]
+                     ELSE [] END)) AS gram
+              FROM w),
+            bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 25 = 0),
+            c AS (SELECT doc_id, gram FROM g WHERE doc_id % 25 <> 0)
+            SELECT c.doc_id AS doc_id,
+                   count(*)::BIGINT AS n_grams,
+                   sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                     AS n_hit,
+                   round(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+                         * 1.0 / count(*), 4) AS overlap_frac,
+                   (sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) >= 1)
+                     AS contaminated
+            FROM c LEFT JOIN bench b ON c.gram = b.gram
+            GROUP BY c.doc_id
             ORDER BY doc_id
         """,
         "token_counts": r"""

@@ -1,0 +1,107 @@
+"""Benchmark decontamination — eval-set n-gram overlap detection.
+
+The standard training-data hygiene step (public recipe: GPT-3 appendix C
+/ Brown et al. 2020 used 13-gram collision; PaLM and Llama report the
+same shape): a training document is *contaminated* if it shares at
+least ``min_hits`` word n-grams with any document in a benchmark/eval
+set, and must be dropped (or the spans excised) before training so eval
+scores measure generalization, not memorization.
+
+Spark-first shape (the 100-TB design):
+
+- The benchmark side is SMALL (eval suites are thousands of documents,
+  at most ~10⁷ distinct grams) → its distinct gram hashes are
+  **broadcast**; the corpus side never shuffles its grams.  The plan is
+  scan → stage words → explode shingles → hash → BroadcastHashJoin
+  (LeftOuter, build right = bench) → per-doc partial count agg: the
+  only Exchange carries ``(doc_id, counts)`` — partial-aggregated,
+  fixed-width, corpus-size-independent per distinct doc.
+- Words are staged as an attribute before the shingle ``zip_with``
+  chain (see ``shingles_from_words``) so the split+filter runs once per
+  row.
+- Gram keys are ``xxhash64`` (8 bytes); the DuckDB oracle twin joins
+  the gram STRINGS themselves, so a green oracle checks the whole
+  pipeline including the hash step (counts diverge only on a 64-bit
+  collision, odds ~n²/2⁶⁵).
+
+``decontaminate`` returns per-document overlap statistics; callers
+drop/keep on the ``contaminated`` flag or threshold ``overlap_frac``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import shingles_from_words, split_words
+
+
+def bench_gram_hashes(
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    max_words: int = 2000,
+) -> DataFrame:
+    """Distinct xxhash64 gram hashes of the benchmark set (one column
+    ``__gh``).  Small by construction — broadcast it into the corpus
+    join."""
+    return (
+        benchmark.select(split_words(F.col(text_col), max_words).alias("__words"))
+        .select(F.explode(shingles_from_words(F.col("__words"), n)).alias("__gram"))
+        .select(F.xxhash64("__gram").alias("__gh"))
+        .distinct()
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 8,
+    max_words: int = 2000,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Per-corpus-document benchmark-overlap statistics.
+
+    Returns one row per corpus document that has at least one gram:
+    ``(id_col, n_grams, n_hit, overlap_frac, contaminated)`` where
+    ``n_hit`` counts this document's distinct grams that also occur
+    anywhere in the benchmark, and ``contaminated`` is
+    ``n_hit >= min_hits``.  Documents with zero words emit no row (no
+    grams → nothing to collide).
+
+    The benchmark's distinct gram-hash set is broadcast — corpus grams
+    are joined map-side and never ride an Exchange; the per-document
+    aggregation shuffles partial counts only.
+    """
+    bench = F.broadcast(
+        bench_gram_hashes(benchmark, bench_text_col or text_col, n, max_words)
+        .withColumn("__in_bench", F.lit(1))
+    )
+    grams = (
+        corpus.select(
+            F.col(id_col),
+            split_words(F.col(text_col), max_words).alias("__words"),
+        )
+        .select(
+            F.col(id_col),
+            F.explode(shingles_from_words(F.col("__words"), n)).alias("__gram"),
+        )
+        .select(F.col(id_col), F.xxhash64("__gram").alias("__gh"))
+    )
+    return (
+        grams.join(bench, "__gh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.coalesce(F.sum("__in_bench"), F.lit(0)).alias("n_hit"),
+        )
+        .select(
+            F.col(id_col),
+            "n_grams",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_grams"), 4).alias("overlap_frac"),
+            (F.col("n_hit") >= min_hits).alias("contaminated"),
+        )
+    )

@@ -302,3 +302,32 @@ def test_dup_span_stats(spark):
     assert {tuple(r) for r in re_part.collect()} == {tuple(r) for r in got.values()}
     sha = dup_span_stats(df, "doc_id", "text", span_words=3, hash_family="sha256")
     assert {tuple(r) for r in sha.collect()} == {tuple(r) for r in got.values()}
+
+
+def test_decontaminate(spark):
+    from metacrafter_spark.ops.decontam import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains bench 3-grams "quick brown fox", "brown fox jumps"
+            (1, "a quick brown fox jumps high"),
+            (2, "nothing in common with evaluation data whatsoever"),
+            (3, "dog"),   # shorter than n -> whole-doc gram, not in bench
+            (4, ""),      # zero words -> no row
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in decontaminate(corpus, bench, n=3).collect()}
+    assert got[1]["n_grams"] == 4 and got[1]["n_hit"] == 2
+    assert got[1]["overlap_frac"] == 0.5 and got[1]["contaminated"] is True
+    assert got[2]["n_hit"] == 0 and got[2]["contaminated"] is False
+    assert got[3]["n_grams"] == 1 and got[3]["n_hit"] == 0
+    assert 4 not in got
+
+    # partitioning invariance (exact counts)
+    re_part = decontaminate(corpus.repartition(5), bench.repartition(3), n=3)
+    assert {tuple(r) for r in re_part.collect()} == {tuple(r) for r in got.values()}
