@@ -305,6 +305,35 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(corpus, bench, "doc_id", "text", n=8).orderBy("doc_id")
 
 
+def q_hash_sample(spark, sf_dir):
+    """Deterministic 10% Bernoulli-by-hash sample of documents — the
+    membership predicate is pure integer arithmetic on doc_id (Knuth
+    multiplicative hash), so DuckDB replays it exactly; zero shuffles
+    beyond the final orderBy (map-side filter on the scan)."""
+    from metacrafter_spark.ops.sampling import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        hash_sample(docs, "doc_id", 0.10, seed=7)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Exactly 20 documents per source (the mixing-quota op): the 20
+    smallest id hashes per stratum — deterministic across partitionings;
+    the window only ever sees the hash-thresholded survivor set."""
+    from metacrafter_spark.ops.sampling import stratified_quota_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        stratified_quota_sample(docs, "source", "doc_id", quota=20, seed=7)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
 def q_events_json(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
@@ -666,6 +695,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs_exact": q_jaccard_pairs,
         "dup_span_stats": q_dup_span_stats,
         "decontaminate": q_decontaminate,
+        "hash_sample": q_hash_sample,
+        "stratified_sample": q_stratified_sample,
         "near_dup_clusters": q_near_dup_clusters,
         "ann_topk_cosine": q_ann_topk,
         "token_counts": q_token_counts,
@@ -1002,6 +1033,24 @@ def oracle_sql() -> dict[str, str]:
             FROM c LEFT JOIN bench b ON c.gram = b.gram
             GROUP BY c.doc_id
             ORDER BY doc_id
+        """,
+        "hash_sample": r"""
+            SELECT doc_id, lang, source, n_chars
+            FROM documents
+            WHERE ((doc_id + 7) * 2654435761) % 4294967296 < 429496729
+            ORDER BY doc_id
+        """,
+        "stratified_sample": r"""
+            WITH h AS (
+              SELECT doc_id, source,
+                     ((doc_id + 7) * 2654435761) % 4294967296 AS hv
+              FROM documents),
+            r AS (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY hv, doc_id) AS rk
+              FROM h)
+            SELECT doc_id, source FROM r WHERE rk <= 20 ORDER BY doc_id
         """,
         "token_counts": r"""
             SELECT doc_id,

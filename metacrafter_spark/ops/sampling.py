@@ -1,0 +1,115 @@
+"""Deterministic sampling / data-mixing operators.
+
+Training-data pipelines constantly need *reproducible* subsets: a
+fixed-fraction sample for ablations, per-source quotas to hit a mixing
+recipe (so one crawl dump can't dominate the mix), a held-out slice
+that stays identical across reruns and cluster sizes.  ``df.sample()``
+is none of those — it is seed × partitioning dependent.  These
+operators decide membership from a **multiplicative hash of the row id**
+(Knuth's 2654435761 on the low 32 bits), so the selected set is a pure
+function of the data:
+
+- identical across runs, partitionings, AQE decisions and cluster
+  sizes (tested);
+- exactly replayable in plain SQL (the oracle twin recomputes the same
+  integer arithmetic in DuckDB — no engine-specific RNG anywhere);
+- map-side for the fraction form: ``hash_sample`` adds ZERO shuffles,
+  the filter sits directly on the scan.
+
+Scale notes: ``stratified_quota_sample`` never sorts a whole stratum.
+Phase 1 computes per-stratum counts (one tiny agg, broadcast back);
+phase 2 pre-filters by a hash threshold sized to ``overselect ×``
+the quota, so the window's input is O(quota) rows per stratum rather
+than the full stratum; phase 3 takes the exact quota by rank.  A
+billion-row stratum with quota 10k windows over ~30k rows, not 10⁹.
+The selected rows are the quota lowest hash values — a deterministic
+"random" choice, independent of how the stratum is laid out on disk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# Knuth multiplicative hashing constant (2^32 / phi, odd).
+_KNUTH = 2654435761
+_MOD = 1 << 32
+
+
+def _id_hash(id_col: str, seed: int) -> F.Column:
+    """((id + seed) * 2654435761) mod 2^32 — identical integer
+    arithmetic exists in any SQL engine, unlike xxhash64/rand."""
+    return F.pmod((F.col(id_col) + F.lit(seed)) * F.lit(_KNUTH), F.lit(_MOD))
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, seed: int = 0
+) -> DataFrame:
+    """Deterministic Bernoulli-by-hash sample: keep rows whose id hash
+    falls below ``fraction`` of the hash space.  Map-side only — the
+    predicate is a plain filter on the scan, no shuffle, no RNG state;
+    rerunning at any parallelism selects the same rows."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.filter(_id_hash(id_col, seed) < int(fraction * _MOD))
+
+
+def stratified_quota_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    quota: int,
+    seed: int = 0,
+    overselect: float = 3.0,
+) -> DataFrame:
+    """Exactly ``quota`` rows per stratum (fewer if the stratum is
+    smaller), chosen as the quota smallest id hashes — deterministic
+    across runs and partitionings.
+
+    Two-phase so no stratum is ever fully sorted: per-stratum counts
+    (broadcast) size a hash threshold at ``overselect × quota / n``,
+    the cheap map-side pre-filter keeps ~overselect×quota rows per
+    stratum, and a window rank over that bounded survivor set takes the
+    exact quota.  The pre-filter can only under-select by chance; with
+    overselect=3 the binomial shortfall odds at quota≥100 are < 1e-20,
+    and a correctness guard raises if a stratum that had ≥ quota rows
+    comes up short (bump ``overselect`` — never silently wrong).
+    """
+    if quota <= 0:
+        raise ValueError(f"quota must be positive, got {quota}")
+    h = _id_hash(id_col, seed)
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("__n"))
+    with_n = df.join(F.broadcast(counts), strata_col)
+    # threshold in hash space; strata smaller than quota keep everything
+    thr = F.when(
+        F.col("__n") <= F.lit(quota), F.lit(_MOD)
+    ).otherwise(
+        F.least(
+            F.lit(_MOD),
+            (F.lit(float(_MOD) * overselect * quota) / F.col("__n")).cast("long"),
+        )
+    )
+    survivors = with_n.withColumn("__h", h).filter(F.col("__h") < thr)
+    w = Window.partitionBy(strata_col).orderBy("__h", id_col)
+    picked = (
+        survivors.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= quota)
+    )
+    # materialize once (bounded: <= strata x quota rows) so the guard
+    # aggregation below and the caller's consumption share one pass
+    picked = picked.localCheckpoint(eager=True)
+    # guard: a stratum with >= quota rows must yield exactly quota
+    short = (
+        picked.groupBy(strata_col, "__n")
+        .agg(F.count("*").alias("__got"))
+        .filter((F.col("__n") >= quota) & (F.col("__got") < quota))
+        .limit(1)
+        .collect()
+    )
+    if short:
+        r = short[0]
+        raise RuntimeError(
+            f"stratified_quota_sample under-selected stratum "
+            f"{r[strata_col]!r} ({r['__got']}/{quota} of {r['__n']} rows): "
+            f"raise overselect (currently {overselect})"
+        )
+    return picked.drop("__n", "__h", "__rk")

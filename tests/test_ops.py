@@ -331,3 +331,59 @@ def test_decontaminate(spark):
     # partitioning invariance (exact counts)
     re_part = decontaminate(corpus.repartition(5), bench.repartition(3), n=3)
     assert {tuple(r) for r in re_part.collect()} == {tuple(r) for r in got.values()}
+
+
+def test_hash_sample_deterministic(spark):
+    from metacrafter_spark.ops.sampling import hash_sample
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    s1 = sorted(r["doc_id"] for r in hash_sample(df, "doc_id", 0.2, seed=3).collect())
+    # same rows regardless of partitioning / repeated runs
+    s2 = sorted(r["doc_id"] for r in
+                hash_sample(df.repartition(13), "doc_id", 0.2, seed=3).collect())
+    assert s1 == s2 and len(s1) > 0
+    # roughly the requested fraction (binomial tolerance)
+    assert 0.15 < len(s1) / 5000 < 0.25
+    # different seed -> different (deterministic) set
+    s3 = sorted(r["doc_id"] for r in hash_sample(df, "doc_id", 0.2, seed=4).collect())
+    assert s3 != s1
+    # fraction edge cases
+    assert hash_sample(df, "doc_id", 0.0).count() == 0
+    assert hash_sample(df, "doc_id", 1.0).count() == 5000
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        hash_sample(df, "doc_id", 1.5)
+
+
+def test_stratified_quota_sample(spark):
+    from pyspark.sql import functions as F
+    from metacrafter_spark.ops.sampling import stratified_quota_sample
+
+    df = (spark.range(0, 3000).withColumnRenamed("id", "doc_id")
+          .withColumn("src", (F.col("doc_id") % 4).cast("string")))
+    # stratum "3" truncated to be smaller than the quota
+    df = df.filter(~((F.col("src") == "3") & (F.col("doc_id") > 40)))
+    out = stratified_quota_sample(df, "src", "doc_id", quota=50, seed=1)
+    got = out.groupBy("src").count().collect()
+    by_src = {r["src"]: r["count"] for r in got}
+    assert by_src["0"] == by_src["1"] == by_src["2"] == 50
+    assert by_src["3"] == 10  # only 10 rows exist (3,7,11,...,39)
+    # schema passthrough: helper columns dropped
+    assert set(out.columns) == {"doc_id", "src"}
+    # deterministic across partitionings
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, stratified_quota_sample(
+        df.repartition(17), "src", "doc_id", quota=50, seed=1).collect()))
+    assert a == b
+    # the selected ids are exactly the quota smallest hashes per stratum
+    from metacrafter_spark.ops.sampling import _id_hash
+    hashed = df.withColumn("__h", _id_hash("doc_id", 1)).collect()
+    import collections
+    strata = collections.defaultdict(list)
+    for r in hashed:
+        strata[r["src"]].append((r["__h"], r["doc_id"]))
+    expect = set()
+    for src, rows in strata.items():
+        for _, did in sorted(rows)[:50]:
+            expect.add((did, src))
+    assert {(r["doc_id"], r["src"]) for r in out.collect()} == expect
