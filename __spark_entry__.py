@@ -334,6 +334,21 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
+def q_budget_mix(spark, sf_dir):
+    """Token-budget mixing: down-sample every source to ~3k chars of
+    expected weight via deterministic hash membership — one tiny
+    per-source agg broadcast back plus a map-side filter; the corpus
+    itself never shuffles."""
+    from metacrafter_spark.ops.sampling import budget_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        budget_mix(docs, "source", "doc_id", "n_chars", 3000.0, seed=7)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 def q_events_json(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
@@ -697,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
+        "budget_mix": q_budget_mix,
         "near_dup_clusters": q_near_dup_clusters,
         "ann_topk_cosine": q_ann_topk,
         "token_counts": q_token_counts,
@@ -1051,6 +1067,17 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY hv, doc_id) AS rk
               FROM h)
             SELECT doc_id, source FROM r WHERE rk <= 20 ORDER BY doc_id
+        """,
+        "budget_mix": r"""
+            WITH t AS (
+              SELECT source, sum(n_chars) AS tot FROM documents GROUP BY source)
+            SELECT d.doc_id, d.source, d.n_chars
+            FROM documents d JOIN t USING (source)
+            WHERE ((d.doc_id + 7) * 2654435761) % 4294967296 <
+                  CAST(floor(
+                    CASE WHEN 3000.0 >= t.tot THEN 1.0
+                         ELSE 3000.0 / t.tot END * 4294967296.0) AS BIGINT)
+            ORDER BY doc_id
         """,
         "token_counts": r"""
             SELECT doc_id,

@@ -113,3 +113,46 @@ def stratified_quota_sample(
             f"raise overselect (currently {overselect})"
         )
     return picked.drop("__n", "__h", "__rk")
+
+
+def budget_mix(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    weight_col: str,
+    budgets: "dict[str, float] | float",
+    seed: int = 0,
+) -> DataFrame:
+    """Down-sample each stratum to hit a per-stratum weight budget
+    (the Pile/DoReMi-style mixing step: "at most B tokens from source
+    S").
+
+    ``budgets`` is either one budget applied to every stratum or a
+    per-stratum dict (strata absent from the dict pass through whole).
+    Per stratum the keep fraction is ``min(1, budget / total_weight)``
+    and membership is the same multiplicative id hash as
+    :func:`hash_sample`, so the mix is deterministic and replayable in
+    SQL.  The expected kept weight per stratum is its budget (Bernoulli
+    — exact to sampling noise, the standard trade for a single
+    map-side pass; use :func:`stratified_quota_sample` for exact row
+    quotas).
+
+    Scale shape: one tiny per-stratum agg (broadcast back) + one
+    map-side filter on the big side — the corpus never shuffles.
+    """
+    totals = df.groupBy(strata_col).agg(F.sum(weight_col).alias("__tot"))
+    if isinstance(budgets, dict):
+        pairs = list(budgets.items())
+        bmap = F.create_map(*[F.lit(x) for kv in pairs for x in kv])
+        budget = bmap[F.col(strata_col)]
+    else:
+        budget = F.lit(float(budgets))
+    frac = F.when(
+        budget.isNull() | (budget >= F.col("__tot")), F.lit(1.0)
+    ).otherwise(budget / F.col("__tot"))
+    thr = F.floor(frac * F.lit(float(_MOD))).cast("long")
+    return (
+        df.join(F.broadcast(totals), strata_col)
+        .filter(_id_hash(id_col, seed) < thr)
+        .drop("__tot")
+    )

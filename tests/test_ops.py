@@ -387,3 +387,29 @@ def test_stratified_quota_sample(spark):
         for _, did in sorted(rows)[:50]:
             expect.add((did, src))
     assert {(r["doc_id"], r["src"]) for r in out.collect()} == expect
+
+
+def test_budget_mix(spark):
+    from pyspark.sql import functions as F
+    from metacrafter_spark.ops.sampling import budget_mix
+
+    df = (spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+          .withColumn("src", (F.col("doc_id") % 3).cast("string"))
+          .withColumn("w", F.lit(100)))
+    # each stratum ~667 rows * 100 = ~66700 weight; budget 20000 -> ~30%
+    out = budget_mix(df, "src", "doc_id", "w", 20000.0, seed=2)
+    kept = out.groupBy("src").agg(F.sum("w").alias("kw")).collect()
+    for r in kept:
+        assert 12000 < r["kw"] < 28000  # expected 20000, binomial noise
+    # budget above total -> everything kept
+    assert budget_mix(df, "src", "doc_id", "w", 1e9).count() == 2000
+    # per-stratum dict: absent stratum passes through whole
+    out2 = budget_mix(df, "src", "doc_id", "w", {"0": 10000.0}, seed=2)
+    c = {r["src"]: r["count"] for r in out2.groupBy("src").count().collect()}
+    assert c["1"] == 667 and c["2"] == 666  # absent from dict -> whole stratum
+    assert c["0"] < 300  # ~15% of stratum 0 (10000 / ~66700)
+    # deterministic across partitionings
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in budget_mix(
+        df.repartition(11), "src", "doc_id", "w", 20000.0, seed=2).collect())
+    assert a == b
