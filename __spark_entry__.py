@@ -349,6 +349,32 @@ def q_budget_mix(spark, sf_dir):
     )
 
 
+def q_normalize_text(spark, sf_dir):
+    """Unicode NFC + control-strip + whitespace-collapse normalization,
+    byte-exactness checked via sha256 of the normalized text.  Each doc
+    is deterministically dirtied first (decomposed accents, tabs, a BEL
+    control char, edge whitespace) so the oracle exercises every
+    normalization stage, not a passthrough."""
+    from metacrafter_spark.ops.textstats import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    messy = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("  cafe\u0301\t"), F.col("text"), F.lit(" \x07a\u030a \n")
+        ).alias("text"),
+    )
+    return (
+        normalize_text(messy)
+        .select(
+            "doc_id",
+            F.sha2(F.col("text_norm"), 256).alias("norm_sha"),
+            F.length("text_norm").alias("norm_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_events_json(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
@@ -713,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "budget_mix": q_budget_mix,
+        "normalize_text": q_normalize_text,
         "near_dup_clusters": q_near_dup_clusters,
         "ann_topk_cosine": q_ann_topk,
         "token_counts": q_token_counts,
@@ -1078,6 +1105,23 @@ def oracle_sql() -> dict[str, str]:
                     CASE WHEN 3000.0 >= t.tot THEN 1.0
                          ELSE 3000.0 / t.tot END * 4294967296.0) AS BIGINT)
             ORDER BY doc_id
+        """,
+        "normalize_text": """
+            WITH messy AS (
+              SELECT doc_id,
+                     '  cafe' || chr(769) || chr(9) || text || ' ' ||
+                     chr(7) || 'a' || chr(778) || ' ' || chr(10) AS text
+              FROM documents),
+            norm AS (
+              SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(
+                       nfc_normalize(text),
+                       '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+                       '[ \\t\\n\\r\\f\\v]+', ' ', 'g'), ' ') AS t
+              FROM messy)
+            SELECT doc_id, sha256(t) AS norm_sha,
+                   length(t)::BIGINT AS norm_len
+            FROM norm ORDER BY doc_id
         """,
         "token_counts": r"""
             SELECT doc_id,

@@ -10,7 +10,9 @@ fingerprinting — all native Column expressions (no Python).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
 
 from metacrafter_spark.corpus.quality import _STOPWORD_RE
 
@@ -110,3 +112,45 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("fingerprint", _fp_from(F.col(w_c), F.col(gh_c)))
         .drop(w_c, gh_c)
     )
+
+
+# ---------------------------------------------------------------- normalize
+
+import re as _re
+
+_NORM_WS = _re.compile(r"[ \t\n\r\f\v]+")
+_NORM_CTRL = _re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
+
+
+def normalize_text(df: DataFrame, text_col: str = "text",
+                   out_col: str = "text_norm") -> DataFrame:
+    """Canonical text normalization for corpus preprocessing: Unicode
+    NFC composition (so ``e`` + U+0301 and ``é`` dedup/fingerprint/
+    shingle identically), control-character strip, and horizontal/
+    vertical-whitespace collapse to single spaces with edge trim.
+
+    Order is NFC → control strip → whitespace collapse → trim, and the
+    whitespace class is the explicit ASCII ``[ \\t\\n\\r\\f\\v]`` (NOT
+    regex ``\\s``, which is Unicode-aware in Python but ASCII in RE2) —
+    both choices exist so the op replays byte-identically in DuckDB
+    (``nfc_normalize`` + RE2 ``regexp_replace``), which the oracle
+    exercises end-to-end.
+
+    NFC needs Python's unicodedata, so this is the Arrow-batched slow
+    path — batch-independent (pure per-string function), hence
+    embarrassingly parallel and partitioning-invariant.
+    """
+    import unicodedata
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        def one(x):
+            if x is None:
+                return None
+            x = unicodedata.normalize("NFC", x)
+            x = _NORM_CTRL.sub("", x)
+            return _NORM_WS.sub(" ", x).strip(" ")
+
+        return s.map(one)
+
+    return df.withColumn(out_col, _norm(F.col(text_col)))

@@ -413,3 +413,26 @@ def test_budget_mix(spark):
     b = sorted(r["doc_id"] for r in budget_mix(
         df.repartition(11), "src", "doc_id", "w", 20000.0, seed=2).collect())
     assert a == b
+
+
+def test_normalize_text(spark):
+    from metacrafter_spark.ops.textstats import normalize_text
+
+    rows = [
+        (1, "cafe\u0301 du  monde"),   # decomposed -> composed + collapse
+        (2, "\thello\x07world\r\n"),          # ctrl strip joins words; edge trim
+        (3, "a\x0bb  c"),                     # \x0b is ctrl (stripped), not ws
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text_norm"] for r in normalize_text(df).collect()}
+    assert got[1] == "café du monde"
+    assert got[2] == "helloworld"
+    assert got[3] == "ab c"
+    assert got[4] is None
+    assert got[5] == ""
+    # partitioning invariance (pure per-string function)
+    re_part = {r["doc_id"]: r["text_norm"]
+               for r in normalize_text(df.repartition(4)).collect()}
+    assert re_part == got
