@@ -37,6 +37,8 @@ HEADLINE = [
     "token_counts",
     "langid_documents",
     "events_json_agg",
+    "dup_span_stats",
+    "decontaminate",
 ]
 
 
