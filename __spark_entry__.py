@@ -375,6 +375,33 @@ def q_normalize_text(spark, sf_dir):
     )
 
 
+def q_dedup_paragraphs(spark, sf_dir):
+    """Within-document paragraph dedup (keep first occurrence): each
+    doc is deterministically given a repeated paragraph plus a unique
+    tail, and the oracle replays the same first-occurrence filter with
+    DuckDB's indexed list lambda; byte-exactness via sha256."""
+    from metacrafter_spark.corpus.quality import with_dedup_paragraphs
+
+    docs = _t(spark, sf_dir, "documents")
+    messy = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("\n\n"), F.col("text"),
+            F.lit("\n\nunique tail "), F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return (
+        with_dedup_paragraphs(messy)
+        .select(
+            "doc_id",
+            F.sha2(F.col("text_dedup"), 256).alias("dedup_sha"),
+            F.col("n_paras").cast("long").alias("n_paras"),
+            F.col("n_dup_paras").cast("long").alias("n_dup_paras"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_events_json(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
@@ -740,6 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "budget_mix": q_budget_mix,
         "normalize_text": q_normalize_text,
+        "dedup_paragraphs": q_dedup_paragraphs,
         "near_dup_clusters": q_near_dup_clusters,
         "ann_topk_cosine": q_ann_topk,
         "token_counts": q_token_counts,
@@ -1122,6 +1150,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, sha256(t) AS norm_sha,
                    length(t)::BIGINT AS norm_len
             FROM norm ORDER BY doc_id
+        """,
+        "dedup_paragraphs": """
+            WITH messy AS (
+              SELECT doc_id,
+                     text || chr(10) || chr(10) || text || chr(10) || chr(10)
+                          || 'unique tail ' || CAST(doc_id AS VARCHAR) AS t
+              FROM documents),
+            p AS (
+              SELECT doc_id, t, string_split_regex(t, '\\n{2,}') AS paras
+              FROM messy)
+            SELECT doc_id,
+                   sha256(array_to_string(
+                     list_filter(paras,
+                                 (x, i) -> list_position(paras, x) = i),
+                     chr(10) || chr(10))) AS dedup_sha,
+                   len(paras)::BIGINT AS n_paras,
+                   (len(paras) - len(list_distinct(paras)))::BIGINT
+                     AS n_dup_paras
+            FROM p ORDER BY doc_id
         """,
         "token_counts": r"""
             SELECT doc_id,

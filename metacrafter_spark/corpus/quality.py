@@ -191,3 +191,38 @@ def with_quality(df: DataFrame, text_col: str = "text",
     named = {name: F.col(f"{prefix}_{name}") for name in q}
     return df.withColumn(f"{prefix}_pass",
                          quality_pass(named, thresholds)).drop(w_c, l_c, p_c)
+
+
+def dedup_paragraphs_from(paras: Column) -> Column:
+    """Keep each paragraph's FIRST occurrence, preserving order, and
+    re-join with a blank line — the remedial twin of the Gopher
+    dup-paragraph *metric* (drop-or-fix; this is the fix).
+
+    Pass a MATERIALIZED array column: ``paras`` is referenced from
+    inside the filter lambda (``array_position`` probes the first
+    occurrence), so a derived expression would be re-evaluated per
+    element.  The first-occurrence probe is O(n²) in paragraphs per
+    document — tens, not thousands — and stays fully native: zero
+    shuffles, zero Python, embarrassingly parallel."""
+    return F.array_join(
+        F.filter(paras, lambda p, i: F.array_position(paras, p) == i + F.lit(1)),
+        "\n\n",
+    )
+
+
+def with_dedup_paragraphs(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_dedup"
+) -> DataFrame:
+    """Stage the paragraph split once, then keep-first dedup.  Blank-line
+    runs (``\\n{2,}``) are normalized to exactly one blank line in the
+    output — same normalization in the DuckDB oracle."""
+    return (
+        df.withColumn("__paras", F.split(F.col(text_col), r"\n{2,}"))
+        .withColumn(out_col, dedup_paragraphs_from(F.col("__paras")))
+        .withColumn("n_paras", F.size("__paras"))
+        .withColumn(
+            "n_dup_paras",
+            F.size("__paras") - F.size(F.array_distinct(F.col("__paras"))),
+        )
+        .drop("__paras")
+    )

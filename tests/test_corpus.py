@@ -249,3 +249,27 @@ def test_scrub_counts_ignore_preexisting_tokens(spark):
 def test_make_doc_pure_function():
     assert make_doc(7) == make_doc(7)
     assert make_doc(7) != make_doc(8)
+
+
+def test_dedup_paragraphs(spark):
+    from metacrafter_spark.corpus.quality import with_dedup_paragraphs
+
+    rows = [
+        (1, "para one\n\npara two\n\npara one\n\npara three"),
+        (2, "only one paragraph"),
+        (3, "a\n\n\n\na\n\nb"),   # \n{2,} separator runs normalized
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in with_dedup_paragraphs(df).collect()}
+    assert got[1]["text_dedup"] == "para one\n\npara two\n\npara three"
+    assert got[1]["n_paras"] == 4 and got[1]["n_dup_paras"] == 1
+    assert got[2]["text_dedup"] == "only one paragraph"
+    assert got[2]["n_dup_paras"] == 0
+    assert got[3]["text_dedup"] == "a\n\nb"
+    assert got[3]["n_paras"] == 3 and got[3]["n_dup_paras"] == 1
+    assert got[4]["text_dedup"] == ""  # split("") -> [""] -> joined back
+    # order preserved, partitioning-invariant
+    re_part = {r["doc_id"]: r["text_dedup"]
+               for r in with_dedup_paragraphs(df.repartition(3)).collect()}
+    assert re_part == {k: v["text_dedup"] for k, v in got.items()}
