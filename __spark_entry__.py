@@ -402,6 +402,36 @@ def q_dedup_paragraphs(spark, sf_dir):
     )
 
 
+def q_url_domain_filter(spark, sf_dir):
+    """URL curation: host extraction (userinfo/port-aware), registered
+    domain (public-suffix-lite incl. co.uk-style ccTLD second levels),
+    UT1-style broadcast blocklist anti-join.  URLs are deterministically
+    synthesized from the documents table so the oracle replays every
+    branch (userinfo@, :port, query strings, .co.uk vs .com vs .org)."""
+    from metacrafter_spark.ops.urls import domain_blocklist_filter, with_url_parts
+
+    docs = _t(spark, sf_dir, "documents")
+    tld = (
+        F.when(F.col("doc_id") % 3 == 0, ".co.uk")
+        .when(F.col("doc_id") % 3 == 1, ".com")
+        .otherwise(".org")
+    )
+    prefix = F.when(F.col("doc_id") % 7 == 0, "https://user@www.").otherwise(
+        "https://www."
+    )
+    port = F.when(F.col("doc_id") % 5 == 0, ":8443").otherwise("")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            prefix, F.col("source"), tld, port,
+            F.lit("/a/"), F.col("doc_id").cast("string"), F.lit("?ref=x"),
+        ).alias("url"),
+    )
+    parts = with_url_parts(urls)
+    kept = domain_blocklist_filter(parts, ["src1.com", "src3.co.uk"])
+    return kept.select("doc_id", "host", "domain").orderBy("doc_id")
+
+
 def q_events_json(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
@@ -768,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_mix": q_budget_mix,
         "normalize_text": q_normalize_text,
         "dedup_paragraphs": q_dedup_paragraphs,
+        "url_domain_filter": q_url_domain_filter,
         "near_dup_clusters": q_near_dup_clusters,
         "ann_topk_cosine": q_ann_topk,
         "token_counts": q_token_counts,
@@ -1169,6 +1200,50 @@ def oracle_sql() -> dict[str, str]:
                    (len(paras) - len(list_distinct(paras)))::BIGINT
                      AS n_dup_paras
             FROM p ORDER BY doc_id
+        """,
+        "url_domain_filter": r"""
+            WITH urls AS (
+              SELECT doc_id,
+                     (CASE WHEN doc_id % 7 = 0 THEN 'https://user@www.'
+                           ELSE 'https://www.' END)
+                     || source
+                     || (CASE WHEN doc_id % 3 = 0 THEN '.co.uk'
+                              WHEN doc_id % 3 = 1 THEN '.com'
+                              ELSE '.org' END)
+                     || (CASE WHEN doc_id % 5 = 0 THEN ':8443' ELSE '' END)
+                     || '/a/' || CAST(doc_id AS VARCHAR) || '?ref=x' AS url
+              FROM documents),
+            hosts AS (
+              SELECT doc_id,
+                     lower(regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)',
+                       1)) AS host
+              FROM urls),
+            doms AS (
+              SELECT doc_id, host, string_split(host, '.') AS labels,
+                     len(string_split(host, '.')) AS n
+              FROM hosts),
+            parts AS (
+              SELECT doc_id, host,
+                     CASE WHEN n <= 2 THEN host
+                          WHEN array_to_string(
+                                 labels[greatest(n-1,1):n], '.') IN
+                               ('co.uk','org.uk','ac.uk','gov.uk','me.uk',
+                                'net.uk','co.jp','ne.jp','or.jp','ac.jp',
+                                'go.jp','com.au','net.au','org.au','edu.au',
+                                'gov.au','com.br','net.br','org.br','gov.br',
+                                'co.in','net.in','org.in','gen.in','ac.in',
+                                'co.za','org.za','web.za','com.cn','net.cn',
+                                'org.cn','gov.cn','com.mx','org.mx','com.ar',
+                                'com.tr','com.sg','com.hk','co.kr','or.kr',
+                                'co.nz','net.nz','org.nz')
+                          THEN array_to_string(labels[greatest(n-2,1):n], '.')
+                          ELSE array_to_string(labels[greatest(n-1,1):n], '.')
+                     END AS domain
+              FROM doms)
+            SELECT doc_id, host, domain FROM parts
+            WHERE domain NOT IN ('src1.com', 'src3.co.uk')
+            ORDER BY doc_id
         """,
         "token_counts": r"""
             SELECT doc_id,

@@ -1,0 +1,95 @@
+"""URL / domain curation operators for web-corpus pipelines.
+
+Standard web-corpus hygiene (C4, RefinedWeb, FineWeb all do a variant):
+extract the host from each page URL, reduce it to the *registered
+domain* (the unit people block/cap on), drop blocklisted domains
+(UT1-style lists), and cap per-domain document counts so one site
+can't dominate the mix.
+
+Everything here is native Column expressions — regexp_extract +
+array ops, zero Python, zero shuffles for the extraction and the
+blocklist filter (broadcast anti-join); per-domain caps compose with
+``ops.sampling.stratified_quota_sample`` on the domain column.
+
+The registered-domain logic is a public-suffix *heuristic* (last two
+labels, or three when the two-label tail is a known ccTLD second level
+like ``co.uk``): the full Mozilla public-suffix list is thousands of
+entries and changes monthly — load it into ``cc_slds`` at deploy time
+if exactness matters; the operator shape is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column
+
+# scheme://[userinfo@]host[:port]/... — host stops at : / ? #
+_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)"
+
+# common ccTLD second-level suffixes (public-suffix-lite)
+CC_SLDS = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "com.br", "net.br", "org.br", "gov.br",
+    "co.in", "net.in", "org.in", "gen.in", "ac.in",
+    "co.za", "org.za", "web.za",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "com.mx", "org.mx", "com.ar", "com.tr", "com.sg", "com.hk",
+    "co.kr", "or.kr", "co.nz", "net.nz", "org.nz",
+)
+
+
+def host_of(url: Column) -> Column:
+    """Lower-cased host part of a URL ('' when the URL has no
+    ``scheme://`` prefix — filter on ``!= ''`` for malformed rows)."""
+    return F.lower(F.regexp_extract(url, _HOST_RE, 1))
+
+
+def registered_domain(host: Column) -> Column:
+    """Registered domain of a host: last two labels, or last three when
+    the two-label tail is a known ccTLD second level (``a.b.co.uk`` →
+    ``b.co.uk``); hosts with < 2 labels (``localhost``) pass through."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(".", F.slice(labels, F.greatest(n - 1, F.lit(1)), 2))
+    last3 = F.concat_ws(".", F.slice(labels, F.greatest(n - 2, F.lit(1)), 3))
+    return (
+        F.when(n <= 2, host)
+        .when(last2.isin(*CC_SLDS), last3)
+        .otherwise(last2)
+    )
+
+
+def with_url_parts(
+    df: DataFrame, url_col: str = "url",
+    host_col: str = "host", domain_col: str = "domain",
+) -> DataFrame:
+    """Stage host then domain as columns (host is referenced several
+    times by the domain expression — materialize it, don't inline)."""
+    return (
+        df.withColumn(host_col, host_of(F.col(url_col)))
+        .withColumn(domain_col, registered_domain(F.col(host_col)))
+    )
+
+
+def domain_blocklist_filter(
+    df: DataFrame,
+    blocklist: "DataFrame | list[str]",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Drop rows whose registered domain is blocklisted (UT1-style).
+
+    The blocklist (a one-column DataFrame or a plain list) is broadcast
+    and anti-joined — the corpus never shuffles; a list of a few
+    hundred thousand domains is a few MB, well within broadcast range."""
+    if not isinstance(blocklist, DataFrame):
+        spark = df.sparkSession
+        blocklist = spark.createDataFrame(
+            [(d.lower(),) for d in blocklist], f"{domain_col} string"
+        )
+    else:
+        blocklist = blocklist.select(
+            F.lower(F.col(blocklist.columns[0])).alias(domain_col)
+        )
+    return df.join(F.broadcast(blocklist), domain_col, "left_anti")

@@ -436,3 +436,31 @@ def test_normalize_text(spark):
     re_part = {r["doc_id"]: r["text_norm"]
                for r in normalize_text(df.repartition(4)).collect()}
     assert re_part == got
+
+
+def test_url_domain_ops(spark):
+    from metacrafter_spark.ops.urls import (
+        domain_blocklist_filter,
+        with_url_parts,
+    )
+
+    rows = [
+        (1, "https://WWW.Example.COM/path?q=1"),
+        (2, "http://user:pw@sub.shop.co.uk:8080/x"),
+        (3, "https://a.b.news.com.au/y#frag"),
+        (4, "ftp://localhost/file"),
+        (5, "not a url at all"),
+        (6, "https://blocked.org/z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    parts = {r["doc_id"]: r for r in with_url_parts(df).collect()}
+    assert parts[1]["host"] == "www.example.com"
+    assert parts[1]["domain"] == "example.com"
+    assert parts[2]["host"] == "sub.shop.co.uk"      # userinfo+port stripped
+    assert parts[2]["domain"] == "shop.co.uk"        # ccTLD second level
+    assert parts[3]["domain"] == "news.com.au"
+    assert parts[4]["host"] == "localhost" and parts[4]["domain"] == "localhost"
+    assert parts[5]["host"] == ""                    # malformed -> ''
+    kept = domain_blocklist_filter(with_url_parts(df), ["Blocked.org"])
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 6 not in ids and 1 in ids and len(ids) == 5
