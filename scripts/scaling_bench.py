@@ -103,7 +103,11 @@ def main() -> None:
     p, c = rows["pipeline"], rows["sha2"]
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
-    (bench_dir / "BASELINE.md").write_text(f"""# BENCH/BASELINE — scaling evidence
+    # Never clobber the curated BENCH/BASELINE.md (it accumulates runs
+    # recorded verbatim): write the fresh report alongside it and let a
+    # human merge the raw JSON in as another recorded run.
+    out_path = bench_dir / "BASELINE_latest_run.md"
+    out_path.write_text(f"""# BENCH/BASELINE — scaling evidence (latest run)
 
 North-rule criterion: throughput scaling efficiency ≥ 0.8 from N to 4N
 executors.  Sandbox protocol (no real cluster): same job, same input,
@@ -138,7 +142,7 @@ follows the ceiling there too.
 Reproduce: `python scripts/scaling_bench.py {n_docs} {n_small} {reps}`
 (raw JSON: `{json.dumps(result)}`)
 """, encoding="utf8")
-    print(f"wrote {bench_dir/'BASELINE.md'}")
+    print(f"wrote {out_path} — merge the raw JSON into BENCH/BASELINE.md")
 
 
 if __name__ == "__main__":
