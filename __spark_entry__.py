@@ -432,6 +432,45 @@ def q_url_domain_filter(spark, sf_dir):
     return kept.select("doc_id", "host", "domain").orderBy("doc_id")
 
 
+def q_toxicity_filter(spark, sf_dir):
+    """Toxicity wordlist metrics + C4/density keep decision + masking
+    scrub (the toxicity half of the north rule's PII/toxicity-scrub).
+    Listed words are deterministically injected into a subset of docs
+    so every branch fires; the oracle replays tokenization, counting,
+    the two-policy keep predicate, and the byte-level scrub (sha256)."""
+    from metacrafter_spark.corpus.toxicity import (
+        scrub_toxic,
+        toxicity_pass,
+        with_toxicity,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    inj = (
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" badword Badword slur1"))
+        .when(F.col("doc_id") % 7 == 0, F.lit(" OBSCENITY"))
+        .otherwise(F.lit(""))
+    )
+    messy = docs.select(
+        "doc_id", F.concat(F.col("text"), inj).alias("text")
+    )
+    t = with_toxicity(messy)
+    t = t.withColumn("keep_c4", toxicity_pass(t, max_hits=0))
+    t = t.withColumn("keep_density", toxicity_pass(t, max_hits=None, max_frac=0.02))
+    return (
+        scrub_toxic(t, out_col="text_scrubbed")
+        .select(
+            "doc_id",
+            F.col("tox_n").cast("long").alias("tox_n"),
+            "tox_frac",
+            "tox_any",
+            "keep_c4",
+            "keep_density",
+            F.sha2(F.col("text_scrubbed"), 256).alias("scrub_sha"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_events_json(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
@@ -799,6 +838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "dedup_paragraphs": q_dedup_paragraphs,
         "url_domain_filter": q_url_domain_filter,
+        "toxicity_filter": q_toxicity_filter,
         "near_dup_clusters": q_near_dup_clusters,
         "ann_topk_cosine": q_ann_topk,
         "token_counts": q_token_counts,
@@ -1244,6 +1284,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, host, domain FROM parts
             WHERE domain NOT IN ('src1.com', 'src3.co.uk')
             ORDER BY doc_id
+        """,
+        "toxicity_filter": r"""
+            WITH messy AS (
+              SELECT doc_id,
+                     text || (CASE WHEN doc_id % 11 = 0
+                                   THEN ' badword Badword slur1'
+                                   WHEN doc_id % 7 = 0 THEN ' OBSCENITY'
+                                   ELSE '' END) AS text
+              FROM documents),
+            w AS (
+              SELECT doc_id, text,
+                     (list_filter(string_split_regex(lower(text), '\W+'),
+                                  x -> length(x) > 0))[1:2000] AS words
+              FROM messy),
+            m AS (
+              SELECT doc_id, text,
+                     len(list_filter(words,
+                         x -> x IN ('badword','slur1','slur2','obscenity')))
+                       AS tox_n,
+                     len(words) AS n_words
+              FROM w)
+            SELECT doc_id,
+                   tox_n::BIGINT AS tox_n,
+                   CASE WHEN n_words > 0
+                        THEN round(tox_n * 1.0 / n_words, 6)
+                        ELSE 0.0 END AS tox_frac,
+                   (tox_n > 0) AS tox_any,
+                   (tox_n <= 0) AS keep_c4,
+                   (CASE WHEN n_words > 0
+                         THEN round(tox_n * 1.0 / n_words, 6)
+                         ELSE 0.0 END <= 0.02) AS keep_density,
+                   sha256(regexp_replace(text,
+                     '(?i)\b(?:obscenity|badword|slur1|slur2)\b', '***', 'g'))
+                     AS scrub_sha
+            FROM m ORDER BY doc_id
         """,
         "token_counts": r"""
             SELECT doc_id,

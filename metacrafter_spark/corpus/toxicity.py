@@ -1,0 +1,105 @@
+"""Toxicity / obscenity filtering — the wordlist half of the north
+rule's "PII/toxicity-scrub".
+
+C4 (Raffel et al. 2020 §2.2) drops any page containing a word from the
+public "List of Dirty, Naughty, Obscene and Otherwise Bad Words"
+(LDNOOBW); Gopher-style pipelines threshold a *density* instead so a
+single quoted word doesn't nuke an otherwise-fine document.  Both
+policies are provided over a caller-supplied wordlist — the list is
+DATA, not code (ship LDNOOBW or a customer list at deploy time; the
+default here is a small neutral placeholder so tests stay
+profanity-free).
+
+Shapes:
+
+- ``with_toxicity(df, wordlist)`` — per-doc ``n_toxic`` (total hits),
+  ``toxic_frac`` (hits / words) and ``has_toxic`` flag, all native
+  Column expressions over a staged words array: zero shuffles, zero
+  Python.  The wordlist is compiled into the plan as a literal array
+  (fine to a few thousand entries — C4's list is ~400/language); for
+  million-entry lists use the broadcast-join shape of
+  ``ops.decontam`` instead.
+- ``scrub_toxic(df, wordlist)`` — masks each listed word with ``***``
+  (case-insensitive, word-boundary), mirroring the PII scrub contract:
+  byte-identical, replayable in any regex engine.
+- ``toxicity_pass(...)`` — the keep/drop predicate: C4 mode
+  (``max_hits=0``: any hit drops) or density mode
+  (``max_frac=0.001``-style).
+
+Tokenization reuses ``ops.dedup.split_words`` (lowercased ``\\W+``
+tokens) so metrics agree with the rest of the corpus stack.
+"""
+
+from __future__ import annotations
+
+import re as _re
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from metacrafter_spark.ops.dedup import split_words
+
+#: neutral placeholder — replace with LDNOOBW or a policy list in prod
+DEFAULT_WORDLIST = ("badword", "slur1", "slur2", "obscenity")
+
+
+def with_toxicity(
+    df: DataFrame,
+    text_col: str = "text",
+    wordlist: tuple[str, ...] = DEFAULT_WORDLIST,
+    prefix: str = "tox",
+) -> DataFrame:
+    """Attach ``{prefix}_n`` (total listed-word hits), ``{prefix}_frac``
+    (hits / total words, 0.0 for empty docs) and ``{prefix}_any``."""
+    wl = F.array(*[F.lit(w.lower()) for w in wordlist])
+    staged = df.withColumn("__tox_words", split_words(F.col(text_col)))
+    hits = F.size(
+        F.filter(F.col("__tox_words"), lambda w: F.array_contains(wl, w))
+    )
+    n_words = F.size(F.col("__tox_words"))
+    return (
+        staged.withColumn(f"{prefix}_n", hits)
+        .withColumn(
+            f"{prefix}_frac",
+            F.when(n_words > 0,
+                   F.round(F.col(f"{prefix}_n") / n_words, 6)).otherwise(0.0),
+        )
+        .withColumn(f"{prefix}_any", F.col(f"{prefix}_n") > 0)
+        .drop("__tox_words")
+    )
+
+
+def toxicity_pass(
+    df: DataFrame,
+    prefix: str = "tox",
+    max_hits: int | None = 0,
+    max_frac: float | None = None,
+) -> Column:
+    """Keep predicate over ``with_toxicity`` columns: C4 mode
+    (``max_hits=0`` — any hit drops), density mode (``max_frac``), or
+    both (must satisfy each given bound)."""
+    cond = F.lit(True)
+    if max_hits is not None:
+        cond = cond & (F.col(f"{prefix}_n") <= max_hits)
+    if max_frac is not None:
+        cond = cond & (F.col(f"{prefix}_frac") <= max_frac)
+    return cond
+
+
+def scrub_toxic(
+    df: DataFrame,
+    text_col: str = "text",
+    wordlist: tuple[str, ...] = DEFAULT_WORDLIST,
+    out_col: str | None = None,
+    mask: str = "***",
+) -> DataFrame:
+    """Mask every listed word (case-insensitive, word-boundary) with
+    ``mask`` — one compiled alternation, longest-first so a list
+    containing both ``bad`` and ``badword`` masks the longer form
+    whole.  Same contract as the PII scrub: deterministic bytes,
+    replayable via ``regexp_replace`` in any RE2/Java engine."""
+    pat = "(?i)\\b(?:" + "|".join(
+        _re.escape(w) for w in sorted(wordlist, key=len, reverse=True)
+    ) + ")\\b"
+    return df.withColumn(
+        out_col or text_col, F.regexp_replace(F.col(text_col), pat, mask)
+    )

@@ -273,3 +273,40 @@ def test_dedup_paragraphs(spark):
     re_part = {r["doc_id"]: r["text_dedup"]
                for r in with_dedup_paragraphs(df.repartition(3)).collect()}
     assert re_part == {k: v["text_dedup"] for k, v in got.items()}
+
+
+def test_toxicity_ops(spark):
+    from metacrafter_spark.corpus.toxicity import (
+        scrub_toxic,
+        toxicity_pass,
+        with_toxicity,
+    )
+
+    rows = [
+        (1, "a clean document with nothing wrong"),
+        (2, "contains badword twice badword here"),
+        (3, "one OBSCENITY in a fairly long quoted passage of text"),
+        (4, "badwords are not badword-free but badwordish is safe"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t = with_toxicity(df)
+    got = {r["doc_id"]: r for r in t.collect()}
+    assert got[1]["tox_n"] == 0 and got[1]["tox_any"] is False
+    assert got[2]["tox_n"] == 2 and got[2]["tox_any"] is True
+    assert got[3]["tox_n"] == 1                     # case-insensitive
+    # \W+ tokenization splits 'badword-free' -> 'badword' hits; but
+    # 'badwords'/'badwordish' are distinct tokens -> no hit
+    assert got[4]["tox_n"] == 1
+    assert got[5]["tox_n"] == 0 and got[5]["tox_frac"] == 0.0
+    # keep predicates
+    kept_c4 = {r["doc_id"] for r in t.filter(toxicity_pass(t, max_hits=0)).collect()}
+    assert kept_c4 == {1, 5}
+    dense = {r["doc_id"] for r in
+             t.filter(toxicity_pass(t, max_hits=None, max_frac=0.15)).collect()}
+    assert 3 in dense and 2 not in dense  # 1/10 ok, 2/6 too dense
+    # scrub: word-boundary masking, case-insensitive, longest-first
+    s = {r["doc_id"]: r["text"] for r in scrub_toxic(df).collect()}
+    assert s[2] == "contains *** twice *** here"
+    assert s[3] == "one *** in a fairly long quoted passage of text"
+    assert s[4] == "badwords are not ***-free but badwordish is safe"
