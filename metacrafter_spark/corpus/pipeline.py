@@ -66,8 +66,19 @@ def classify_corpus(
     scrub_rules: Optional[tuple[SpanRule, ...]] = None,
     n_buckets: int = DEFAULT_N_BUCKETS,
     text_col: str = "text",
+    toxicity_wordlist: Optional[tuple[str, ...]] = None,
 ) -> DataFrame:
-    """Attach langid/ppl/quality/pii/scrub columns + keep & drop_reason."""
+    """Attach langid/ppl/quality/pii/scrub columns + keep & drop_reason.
+
+    ``toxicity_wordlist`` (optional) inserts the toxicity stage of the
+    north rule's PII/toxicity-scrub: listed words are counted
+    (``tox_n``/``tox_frac``/``tox_any``), any-hit documents get
+    ``drop_reason='toxicity'`` (checked after quality, before
+    perplexity), and surviving text is mask-scrubbed BEFORE the PII
+    scrub so both scrubs compose on ``text_scrubbed``.  Default None
+    keeps the stage out of the plan entirely (the reference pipeline
+    has no toxicity stage; oracles for the default path are unchanged).
+    """
     rules = scrub_rules if scrub_rules is not None else default_scrub_rules()
     out = (
         df.withColumn("bucket_id", F.pmod(F.xxhash64("url"), F.lit(n_buckets)))
@@ -76,6 +87,11 @@ def classify_corpus(
     out = with_langid(out, text_col)
     out = with_perplexity(out, text_col)
     out = with_quality(out, text_col, policy.quality)
+    if toxicity_wordlist is not None:
+        from metacrafter_spark.corpus.toxicity import scrub_toxic, with_toxicity
+
+        out = with_toxicity(out, text_col, toxicity_wordlist)
+        out = scrub_toxic(out, text_col, toxicity_wordlist)
     out = with_scrub(out, text_col, rules)
     pii_total = total_hits("pii_hits", rules)
     pii_per_kchar = pii_total.cast("double") * 1000.0 / F.greatest(
@@ -89,6 +105,11 @@ def classify_corpus(
     reason = (
         F.when(~lang_known if policy.require_known_lang else F.lit(False), "lang_unknown")
         .when(~q_ok, "quality")
+    )
+    if toxicity_wordlist is not None:
+        reason = reason.when(F.col("tox_any"), "toxicity")
+    reason = (
+        reason
         .when(~ppl_ok, "perplexity")
         .when(~pii_ok, "pii_density")
     )

@@ -310,3 +310,31 @@ def test_toxicity_ops(spark):
     assert s[2] == "contains *** twice *** here"
     assert s[3] == "one *** in a fairly long quoted passage of text"
     assert s[4] == "badwords are not ***-free but badwordish is safe"
+
+
+def test_classify_corpus_toxicity_stage(spark):
+    from metacrafter_spark.corpus.pipeline import classify_corpus
+    from metacrafter_spark.corpus.webpages import synth_webpages
+
+    base = synth_webpages(spark, 30, seed=5)
+    # inject a listed word into a third of the docs
+    dirty = base.withColumn(
+        "text",
+        F.when(F.xxhash64("url") % 3 == 0,
+               F.concat(F.col("text"), F.lit(" badword")))
+        .otherwise(F.col("text")),
+    )
+    out = classify_corpus(dirty, toxicity_wordlist=("badword",)).collect()
+    toxic = [r for r in out if r["tox_any"]]
+    assert toxic, "injection produced no toxic docs"
+    for r in toxic:
+        # toxicity fires only for docs that survived lang+quality gates
+        if r["drop_reason"] in (None, "toxicity", "perplexity", "pii_density"):
+            assert r["drop_reason"] == "toxicity"
+        assert " badword" not in r["text"]       # masked in place
+        assert r["text"].endswith(" ***")
+    clean = [r for r in out if not r["tox_any"]]
+    assert all(r["drop_reason"] != "toxicity" for r in clean)
+    # default path: no toxicity columns, reasons unchanged
+    plain = classify_corpus(base)
+    assert "tox_any" not in plain.columns
