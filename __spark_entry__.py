@@ -471,6 +471,40 @@ def q_toxicity_filter(spark, sf_dir):
     )
 
 
+def q_diversity_sample(spark, sf_dir):
+    """SemDeDup-style semantic balancing: assign every embedding to its
+    nearest of 4 deterministic centroids (the first vector of labels
+    0-3, L2-normalized), then cap each semantic bucket at 30 vectors by
+    deterministic id hash.  The oracle re-derives the same centroids,
+    replays cosine argmax with list_cosine_similarity, and applies the
+    same quota arithmetic."""
+    import numpy as np
+
+    from metacrafter_spark.ops.similarity import diversity_sample
+
+    emb = _t(spark, sf_dir, "embeddings")
+    first = (
+        emb.filter(F.col("label") < 4)
+        .groupBy("label")
+        .agg(F.min("vec_id").alias("vec_id"))
+    )
+    cent_rows = (
+        emb.join(first, ["label", "vec_id"])
+        .select("label", "embedding")
+        .orderBy("label")
+        .collect()
+    )
+    cents = []
+    for r in cent_rows:
+        v = np.asarray(list(r["embedding"]), dtype=np.float64)
+        n = np.linalg.norm(v)
+        cents.append([float(x) for x in (v / n if n > 0 else v)])
+    out = diversity_sample(emb, cents, quota=30, seed=7)
+    return out.select("vec_id", F.col("cluster").cast("int").alias("cluster")).orderBy(
+        "vec_id"
+    )
+
+
 def q_events_json(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
@@ -839,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs": q_dedup_paragraphs,
         "url_domain_filter": q_url_domain_filter,
         "toxicity_filter": q_toxicity_filter,
+        "diversity_sample": q_diversity_sample,
         "near_dup_clusters": q_near_dup_clusters,
         "ann_topk_cosine": q_ann_topk,
         "token_counts": q_token_counts,
@@ -1319,6 +1354,35 @@ def oracle_sql() -> dict[str, str]:
                      '(?i)\b(?:obscenity|badword|slur1|slur2)\b', '***', 'g'))
                      AS scrub_sha
             FROM m ORDER BY doc_id
+        """,
+        "diversity_sample": r"""
+            WITH firsts AS (
+              SELECT label, min(vec_id) AS vec_id FROM embeddings
+              WHERE label < 4 GROUP BY label),
+            cents AS (
+              SELECT e.label AS cid, e.embedding AS cv
+              FROM embeddings e JOIN firsts f
+                ON e.label = f.label AND e.vec_id = f.vec_id),
+            sims AS (
+              SELECT v.vec_id, c.cid,
+                     list_cosine_similarity(v.embedding, c.cv) AS sim
+              FROM embeddings v CROSS JOIN cents c),
+            best AS (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY sim DESC, cid) AS rk
+              FROM sims),
+            assigned AS (
+              SELECT vec_id, cid AS cluster,
+                     ((vec_id + 7) * 2654435761) % 4294967296 AS hv
+              FROM best WHERE rk = 1),
+            ranked AS (
+              SELECT vec_id, cluster,
+                     row_number() OVER (PARTITION BY cluster
+                                        ORDER BY hv, vec_id) AS qrk
+              FROM assigned)
+            SELECT vec_id, cluster::INT AS cluster
+            FROM ranked WHERE qrk <= 30 ORDER BY vec_id
         """,
         "token_counts": r"""
             SELECT doc_id,

@@ -235,3 +235,40 @@ def cosine_near_dup_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"), "cosine")
     )
+
+
+def with_cluster(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Nearest-centroid (cosine) assignment — one int per vector, one
+    numpy matmul per Arrow batch.  The semantic-bucketing primitive:
+    cluster ids feed per-cluster quota sampling (SemDeDup-style
+    diversity balancing), per-cluster dedup, or topic reporting.
+    Centroids come from :func:`train_ivf_centroids` (bounded driver
+    sample) or any external model; they ride into the UDF closure —
+    broadcast-sized data, not a shuffle."""
+    assign = ivf_cell_udf(centroids, nprobe=1)
+    return df.withColumn(out_col, F.element_at(assign(F.col(vec_col)), 1))
+
+
+def diversity_sample(
+    df: DataFrame,
+    centroids: list[list[float]],
+    quota: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Semantically balanced subset: at most ``quota`` vectors per
+    centroid cell, chosen by deterministic id hash — the cluster-quota
+    step of SemDeDup-style curation (cap every semantic bucket so no
+    topic dominates), composed from :func:`with_cluster` +
+    ``ops.sampling.stratified_quota_sample``."""
+    from metacrafter_spark.ops.sampling import stratified_quota_sample
+
+    return stratified_quota_sample(
+        with_cluster(df, centroids, vec_col), "cluster", id_col, quota, seed
+    )

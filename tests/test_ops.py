@@ -464,3 +464,29 @@ def test_url_domain_ops(spark):
     kept = domain_blocklist_filter(with_url_parts(df), ["Blocked.org"])
     ids = {r["doc_id"] for r in kept.collect()}
     assert 6 not in ids and 1 in ids and len(ids) == 5
+
+
+def test_with_cluster_and_diversity_sample(spark):
+    from metacrafter_spark.ops.similarity import diversity_sample, with_cluster
+
+    emb = _embeddings(spark, n=120)  # 4 natural clusters + clone of vec 0
+    # centroids = one normalized member of each cluster
+    rows = {r["vec_id"]: list(r["embedding"]) for r in
+            emb.filter("vec_id < 4").collect()}
+    cents = []
+    for i in range(4):
+        v = np.asarray(rows[i], dtype=np.float64)
+        cents.append([float(x) for x in v / np.linalg.norm(v)])
+    clustered = with_cluster(emb, cents)
+    got = {r["vec_id"]: r["cluster"] for r in clustered.collect()}
+    # members were generated as base[i % 4] + small noise -> cluster i % 4
+    assert all(got[i] == i % 4 for i in range(120)), got
+    assert got[1000] == 0  # the clone of vec 0
+    # quota sampling: at most 10 per cluster, deterministic
+    sampled = diversity_sample(emb, cents, quota=10, seed=3)
+    counts = {r["cluster"]: r["count"]
+              for r in sampled.groupBy("cluster").count().collect()}
+    assert all(c == 10 for c in counts.values()) and len(counts) == 4
+    again = diversity_sample(emb.repartition(9), cents, quota=10, seed=3)
+    assert sorted(map(tuple, sampled.select("vec_id", "cluster").collect())) == \
+           sorted(map(tuple, again.select("vec_id", "cluster").collect()))
