@@ -202,6 +202,58 @@ def main() -> None:
     ))
     assert "Exchange" not in bplan, "bucketed join still shuffles!"
 
+    # 10. substring-dedup signal: grams are hashed BEFORE any Exchange
+    # (the explode output is projected to (id, xxhash64) map-side), the
+    # doc-frequency join broadcasts, and the only wide Exchange carries
+    # partial-aggregated per-doc counts.
+    from metacrafter_spark.ops.dedup import dup_span_stats
+
+    dplan = plan_of(dup_span_stats(docs, "doc_id", "text", span_words=8))
+    sections.append((
+        "dup_span_stats (grams hashed map-side; no gram string in any Exchange)",
+        dplan,
+        ["xxhash64(__gram", "BroadcastExchange", "partial_count"],
+    ))
+    for line in dplan.splitlines():
+        if "Exchange" in line:
+            assert "__gram#" not in line, "gram string rides an Exchange!"
+
+    # 11. decontamination: bench gram hashes broadcast; corpus side's
+    # only Exchange is the partial-aggregated per-doc count.
+    from metacrafter_spark.ops.decontam import decontaminate
+
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    corpus10 = docs.filter(F.col("doc_id") % 25 != 0)
+    cplan = plan_of(decontaminate(corpus10, bench, "doc_id", "text", n=8))
+    sections.append((
+        "decontaminate (bench grams broadcast; corpus grams never shuffle)",
+        cplan,
+        ["BroadcastHashJoin", "LeftOuter", "partial_count"],
+    ))
+
+    # 12. deterministic hash sampling: the membership predicate is a
+    # plain codegen'd filter on the scan — zero Exchange.
+    from metacrafter_spark.ops.sampling import hash_sample
+
+    splan = plan_of(hash_sample(docs, "doc_id", 0.1, seed=7).select("doc_id"))
+    sections.append((
+        "hash_sample (membership = codegen'd filter on the scan, ZERO Exchange)",
+        splan,
+        ["pmod", "Filter"],
+    ))
+    assert "Exchange" not in splan, "hash_sample shuffles!"
+
+    # 13. toxicity metrics: narrow per-row expressions, zero Exchange.
+    from metacrafter_spark.corpus.toxicity import with_toxicity
+
+    tplan = plan_of(with_toxicity(docs, "text"))
+    sections.append((
+        "with_toxicity (narrow per-row stage, ZERO Exchange)",
+        tplan,
+        ["Project"],
+    ))
+    assert "Exchange" not in tplan, "toxicity metrics shuffle!"
+
     out = ["# BENCH/EXPLAIN — physical-plan audit\n"]
     ok = True
     for title, plan, must in sections:
