@@ -13,7 +13,7 @@ reference-supported mode); this battery is the engine's own
 ``parse_dates=True`` implementation and emits its OWN format keys
 (``date:*``), not qddate's pattern names.
 
-Families covered (175 patterns): ISO 8601 (time/fraction/zone, week
+Families covered (195 patterns): ISO 8601 (time/fraction/zone, week
 dates, ordinal dates, compact basic forms), numeric d-m-y / m-d-y /
 y-m-d with ``./-/_/`` separators and 2- or 4-digit years, compact
 ``yyyymmdd``, time-leading and 12-hour (am/pm) forms, EN month-name
@@ -289,6 +289,33 @@ DATE_PATTERNS: tuple[tuple[str, str], ...] = (
     ("date:en_ymd_slash_mon", rf"(?i:{_Y}/(?:{_EN_MON})\.?/{_D})"),
     ("date:en_dmy_compact", rf"(?i:{_D}(?:{_EN_MON}){_Y})"),
     ("date:iso_compact_underscore_time", rf"{_Y}{_M2}{_D2}_\d{{2}}:?\d{{2}}:?\d{{2}}"),
+    # --- round-3d: at/of connectors, dotted/dashed month names, RU
+    # case-prefixed forms, ranges, am/pm time-leading, compact hm ------------
+    ("date:en_dmy_at_time",
+     rf"(?i:{_D}{_ORD} (?:{_EN_MONTHS}),? {_Y} at {_TIME_REQ}(?:{_AMPM})?)"),
+    ("date:en_mdy_abbr_time", rf"(?i:(?:{_EN_MON})\.? {_D}{_ORD},? {_Y} {_TIME_REQ})"),
+    ("date:en_dmy_dotted_mon", rf"(?i:{_D}\.(?:{_EN_MON})\.?\.{_Y})"),
+    ("date:en_d_mon_dash", rf"(?i:{_D}-(?:{_EN_MON})\.?)"),
+    ("date:en_my_dash_name", rf"(?i:(?:{_EN_MON})\.?-{_Y})"),
+    ("date:en_month_of_y", rf"(?i:(?:{_EN_MONTHS}) of {_Y})"),
+    ("date:en_season_of_y", rf"(?i:(?:{_EN_SEASONS}) of {_Y})"),
+    ("date:en_dmy_apos", rf"(?i:{_D}{_ORD} (?:{_EN_MONTHS}) '{_Y2})"),
+    ("date:en_d_range_mon_y",
+     rf"(?i:{_D}{_ORD}\s?[-–]\s?{_D}{_ORD} (?:{_EN_MON})\.?,? {_Y})"),
+    ("date:ampm_time_dmy_slash", rf"(?i:{_TIME_REQ}{_AMPM} {_D}/{_M}/{_Y})"),
+    ("date:ampm_time_dmy_dot", rf"(?i:{_TIME_REQ}{_AMPM} {_D}\.{_M}\.{_Y})"),
+    ("date:iso_compact_hm", rf"{_Y}{_M2}{_D2}T\d{{2}}:?\d{{2}}"),
+    ("date:dmy_slash_hms_ms", rf"{_D}/{_M}/{_Y} {_TIME_REQ}\.\d{{1,6}}"),
+    ("date:y_range_em", rf"{_Y}\s?—\s?{_Y}"),
+    ("date:ru_s_dmy", rf"(?i:с {_D} (?:{_RU_MONTHS}) {_Y}{_RU_YSUF})"),
+    ("date:ru_do_po_dmy", rf"(?i:(?:до|по) {_D} (?:{_RU_MONTHS})(?: {_Y}{_RU_YSUF})?)"),
+    ("date:ru_k_month_dat",
+     r"(?i:к (?:январю|февралю|марту|апрелю|маю|июню|июлю|августу"
+     rf"|сентябрю|октябрю|ноябрю|декабрю)(?: {_Y}{_RU_YSUF})?)"),
+    ("date:ru_d_range_my", rf"(?i:{_D}\s?[-–]\s?{_D} (?:{_RU_MONTHS}) {_Y}{_RU_YSUF})"),
+    ("date:ru_month_range_y",
+     rf"(?i:(?:{_RU_MONTHS_NOM})\s?[-–]\s?(?:{_RU_MONTHS_NOM}) {_Y}{_RU_YSUF})"),
+    ("date:ru_dmy_dot_short_g", rf"(?i:{_D}\.{_M}\.\d{{2}} ?г\.?)"),
 )
 
 

@@ -199,6 +199,27 @@ EXAMPLES: dict[str, list[str]] = {
     "date:en_ymd_slash_mon": ["2024/Mar/21"],
     "date:en_dmy_compact": ["21Mar2024"],
     "date:iso_compact_underscore_time": ["20240131_103000"],
+    "date:en_dmy_at_time": ["21 March 2024 at 10:30 pm",
+                            "1st January 2000 at 9:15 a.m."],
+    "date:en_mdy_abbr_time": ["Mar 21, 2024 10:30"],
+    "date:en_dmy_dotted_mon": ["21.Mar.2024"],
+    "date:en_d_mon_dash": ["21-Mar"],
+    "date:en_my_dash_name": ["Mar-2024"],
+    "date:en_month_of_y": ["March of 2024"],
+    "date:en_season_of_y": ["spring of 2024"],
+    "date:en_dmy_apos": ["21st March '24"],
+    "date:en_d_range_mon_y": ["5th-6th Mar 2024"],
+    "date:ampm_time_dmy_slash": ["10:30 pm 31/12/2024"],
+    "date:ampm_time_dmy_dot": ["10:30pm 31.12.2024"],
+    "date:iso_compact_hm": ["20240131T1030"],
+    "date:dmy_slash_hms_ms": ["31/12/2024 10:30:00.123"],
+    "date:y_range_em": ["1999—2001"],
+    "date:ru_s_dmy": ["с 5 марта 2023", "с 5 марта 2023 года"],
+    "date:ru_do_po_dmy": ["до 5 марта 2023", "по 5 марта"],
+    "date:ru_k_month_dat": ["к марту 2024", "к январю"],
+    "date:ru_d_range_my": ["5-6 марта 2023"],
+    "date:ru_month_range_y": ["март-апрель 2024"],
+    "date:ru_dmy_dot_short_g": ["05.03.23 г."],
 }
 
 NON_DATES = [
