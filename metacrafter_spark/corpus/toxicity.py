@@ -50,6 +50,8 @@ def with_toxicity(
 ) -> DataFrame:
     """Attach ``{prefix}_n`` (total listed-word hits), ``{prefix}_frac``
     (hits / total words, 0.0 for empty docs) and ``{prefix}_any``."""
+    if not wordlist:
+        raise ValueError("toxicity wordlist is empty")
     wl = F.array(*[F.lit(w.lower()) for w in wordlist])
     staged = df.withColumn("__tox_words", split_words(F.col(text_col)))
     hits = F.size(
@@ -97,6 +99,8 @@ def scrub_toxic(
     containing both ``bad`` and ``badword`` masks the longer form
     whole.  Same contract as the PII scrub: deterministic bytes,
     replayable via ``regexp_replace`` in any RE2/Java engine."""
+    if not wordlist:
+        raise ValueError("toxicity wordlist is empty")
     pat = "(?i)\\b(?:" + "|".join(
         _re.escape(w) for w in sorted(wordlist, key=len, reverse=True)
     ) + ")\\b"

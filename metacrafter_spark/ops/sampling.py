@@ -36,9 +36,18 @@ _MOD = 1 << 32
 
 
 def _id_hash(id_col: str, seed: int) -> F.Column:
-    """((id + seed) * 2654435761) mod 2^32 — identical integer
-    arithmetic exists in any SQL engine, unlike xxhash64/rand."""
-    return F.pmod((F.col(id_col) + F.lit(seed)) * F.lit(_KNUTH), F.lit(_MOD))
+    """((id mod 2^31 + seed) * 2654435761) mod 2^32 — identical integer
+    arithmetic exists in any SQL engine, unlike xxhash64/rand.
+
+    The id is reduced into 31 bits BEFORE the multiply: a raw
+    ``id * 2654435761`` overflows int64 once id exceeds ~3.4e9 — which
+    a 10^12-row corpus reaches — and int64 overflow is silent
+    wraparound in Spark but an ERROR in ANSI engines (DuckDB), so the
+    reduced form is the only version that stays both correct at scale
+    and replayable in SQL.  Ids ≥ 2^31 alias onto ``id mod 2^31`` for
+    sampling purposes — harmless for membership decisions."""
+    reduced = F.pmod(F.col(id_col), F.lit(1 << 31))
+    return F.pmod((reduced + F.lit(seed)) * F.lit(_KNUTH), F.lit(_MOD))
 
 
 def hash_sample(

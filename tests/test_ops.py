@@ -490,3 +490,24 @@ def test_with_cluster_and_diversity_sample(spark):
     again = diversity_sample(emb.repartition(9), cents, quota=10, seed=3)
     assert sorted(map(tuple, sampled.select("vec_id", "cluster").collect())) == \
            sorted(map(tuple, again.select("vec_id", "cluster").collect()))
+
+
+def test_hash_sample_huge_ids_no_overflow(spark):
+    """Ids beyond 2^31 (guaranteed at 10^12-row scale) must neither
+    overflow int64 in the multiply nor diverge from the SQL replay."""
+    import duckdb
+
+    from metacrafter_spark.ops.sampling import hash_sample
+
+    big = 3 * (10 ** 12)
+    df = spark.range(big, big + 2000).withColumnRenamed("id", "doc_id")
+    got = sorted(r["doc_id"] for r in hash_sample(df, "doc_id", 0.25, seed=7).collect())
+    assert 300 < len(got) < 700  # ~25%
+    con = duckdb.connect()
+    oracle = con.execute(
+        "SELECT doc_id FROM range(%d, %d) t(doc_id) "
+        "WHERE ((doc_id %% 2147483648 + 7) * 2654435761) %% 4294967296 "
+        "      < CAST(floor(0.25 * 4294967296) AS BIGINT) "
+        "ORDER BY doc_id" % (big, big + 2000)
+    ).fetchall()
+    assert got == [r[0] for r in oracle]
