@@ -1301,6 +1301,9 @@ def oracle_sql() -> dict[str, str]:
             parts AS (
               SELECT doc_id, host,
                      CASE WHEN n <= 2 THEN host
+                          WHEN regexp_matches(host,
+                               '^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$')
+                          THEN host
                           WHEN array_to_string(
                                  labels[greatest(n-1,1):n], '.') IN
                                ('co.uk','org.uk','ac.uk','gov.uk','me.uk',

@@ -49,13 +49,16 @@ def host_of(url: Column) -> Column:
 def registered_domain(host: Column) -> Column:
     """Registered domain of a host: last two labels, or last three when
     the two-label tail is a known ccTLD second level (``a.b.co.uk`` →
-    ``b.co.uk``); hosts with < 2 labels (``localhost``) pass through."""
+    ``b.co.uk``); hosts with < 2 labels (``localhost``) and IPv4
+    literals (``192.168.0.1`` — label suffixes would be nonsense) pass
+    through whole."""
     labels = F.split(host, r"\.")
     n = F.size(labels)
     last2 = F.concat_ws(".", F.slice(labels, F.greatest(n - 1, F.lit(1)), 2))
     last3 = F.concat_ws(".", F.slice(labels, F.greatest(n - 2, F.lit(1)), 3))
     return (
         F.when(n <= 2, host)
+        .when(host.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$"), host)
         .when(last2.isin(*CC_SLDS), last3)
         .otherwise(last2)
     )

@@ -511,3 +511,14 @@ def test_hash_sample_huge_ids_no_overflow(spark):
         "ORDER BY doc_id" % (big, big + 2000)
     ).fetchall()
     assert got == [r[0] for r in oracle]
+
+
+def test_registered_domain_ipv4_passthrough(spark):
+    from metacrafter_spark.ops.urls import with_url_parts
+
+    df = spark.createDataFrame(
+        [(1, "http://192.168.0.1:8080/admin"), (2, "https://10.0.0.1/x")],
+        "doc_id long, url string",
+    )
+    got = {r["doc_id"]: r["domain"] for r in with_url_parts(df).collect()}
+    assert got[1] == "192.168.0.1" and got[2] == "10.0.0.1"
