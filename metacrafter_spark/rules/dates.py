@@ -13,7 +13,7 @@ reference-supported mode); this battery is the engine's own
 ``parse_dates=True`` implementation and emits its OWN format keys
 (``date:*``), not qddate's pattern names.
 
-Families covered (195 patterns): ISO 8601 (time/fraction/zone, week
+Families covered (212 patterns): ISO 8601 (time/fraction/zone, week
 dates, ordinal dates, compact basic forms), numeric d-m-y / m-d-y /
 y-m-d with ``./-/_/`` separators and 2- or 4-digit years, compact
 ``yyyymmdd``, time-leading and 12-hour (am/pm) forms, EN month-name
@@ -316,6 +316,28 @@ DATE_PATTERNS: tuple[tuple[str, str], ...] = (
     ("date:ru_month_range_y",
      rf"(?i:(?:{_RU_MONTHS_NOM})\s?[-–]\s?(?:{_RU_MONTHS_NOM}) {_Y}{_RU_YSUF})"),
     ("date:ru_dmy_dot_short_g", rf"(?i:{_D}\.{_M}\.\d{{2}} ?г\.?)"),
+    # --- round-3e: on/as-of connectors, full-month dotted/slashed, RU
+    # accusative weekdays, hour-words, month-year ranges, tz numerics ------
+    ("date:en_on_dmy", rf"(?i:on {_D}{_ORD} (?:{_EN_MONTHS}),? {_Y})"),
+    ("date:en_on_mdy", rf"(?i:on (?:{_EN_MONTHS}) {_D}{_ORD},? {_Y})"),
+    ("date:en_as_of_mdy_slash", rf"(?i:as of {_M}/{_D}/{_Y})"),
+    ("date:en_as_of_mdy_name", rf"(?i:as of (?:{_EN_MONTHS}) {_D}{_ORD},? {_Y})"),
+    ("date:en_dmy_abbr_with_time", rf"(?i:{_D} (?:{_EN_MON})\.? {_Y} {_TIME_REQ})"),
+    ("date:en_my_compact", rf"(?i:(?:{_EN_MON}){_Y})"),
+    ("date:en_dmy_full_dotted", rf"(?i:{_D}\.(?:{_EN_MONTHS})\.{_Y})"),
+    ("date:en_dmy_full_slash", rf"(?i:{_D}/(?:{_EN_MONTHS})/{_Y})"),
+    ("date:ru_v_dow_dmy",
+     r"(?i:в (?:понедельник|вторник|среду|четверг|пятницу|субботу"
+     rf"|воскресенье),? {_D} (?:{_RU_MONTHS})(?: {_Y}{_RU_YSUF})?)"),
+    ("date:ru_dm_abbr", rf"(?i:{_D} (?:{_RU_MON})\.?)"),
+    ("date:ru_dow_abbr_dm", rf"(?i:(?:{_RU_DOW_ABBR})\.?,? {_D} (?:{_RU_MONTHS}))"),
+    ("date:ru_do_y", rf"(?i:до {_Y}(?: ?г\.?| года)?)"),
+    ("date:ru_ot_y", rf"(?i:от {_Y} ?г\.?)"),
+    ("date:ru_my_range",
+     rf"(?i:(?:{_RU_MONTHS_NOM}) {_Y}\s?[-–—]\s?(?:{_RU_MONTHS_NOM}) {_Y}{_RU_YSUF})"),
+    ("date:ru_dmy_chasov", rf"(?i:{_D} (?:{_RU_MONTHS}) {_Y}{_RU_YSUF} ?в \d{{1,2}} час(?:ов|а)?)"),
+    ("date:dmy_dot_time_tz", rf"{_D}\.{_M}\.{_Y} {_TIME_REQ}{_TZ}"),
+    ("date:mdy_slash_comma_time", rf"{_M}/{_D}/{_Y}, {_TIME_REQ}"),
 )
 
 

@@ -91,7 +91,6 @@ EXAMPLES: dict[str, list[str]] = {
     # --- round-3 extension -------------------------------------------------
     "date:en_mdy_ampm": ["March 21, 2024 10:30 am"],
     "date:en_dmy_ampm": ["21 March 2024 10:30 pm"],
-    "date:en_mdy_abbr_ampm": ["Mar 21, 2024 10:30 am"],
     "date:en_dmy_abbr_ampm": ["21 Mar 2024 10:30 pm"],
     "date:mdy_slash_ampm": ["12/31/2024 10:30 pm"],
     "date:dmy_slash_ampm": ["31/12/2024 10:30 pm"],
@@ -101,6 +100,7 @@ EXAMPLES: dict[str, list[str]] = {
     "date:time_ampm_mdy": ["10:30 am 12/31/2024"],
     "date:time_ampm_en_mdy": ["10:30 am March 21, 2024"],
     "date:en_hm_on_mdy": ["10:30 on March 21, 2024"],
+    "date:en_mdy_abbr_ampm": ["Mar 21, 2024 10:30 am"],
     "date:en_mdy_abbr_at": ["Mar 21, 2024 at 10:30"],
     "date:en_dmy_at": ["21 March 2024 at 10:30"],
     "date:en_mdy_hms_tz": ["March 21, 2024 10:30:45 GMT"],
@@ -220,6 +220,24 @@ EXAMPLES: dict[str, list[str]] = {
     "date:ru_d_range_my": ["5-6 марта 2023"],
     "date:ru_month_range_y": ["март-апрель 2024"],
     "date:ru_dmy_dot_short_g": ["05.03.23 г."],
+    "date:en_on_dmy": ["on 21 March 2024", "on 1st January, 2000"],
+    "date:en_on_mdy": ["on March 21, 2024"],
+    "date:en_as_of_mdy_slash": ["as of 12/31/2024"],
+    "date:en_as_of_mdy_name": ["as of March 21, 2024"],
+    "date:en_dmy_abbr_with_time": ["21 Mar 2024 10:30"],
+    "date:en_my_compact": ["Mar2024"],
+    "date:en_dmy_full_dotted": ["21.March.2024"],
+    "date:en_dmy_full_slash": ["31/December/2024"],
+    "date:ru_v_dow_dmy": ["в пятницу, 5 марта 2023", "в среду 5 марта"],
+    "date:ru_dm_abbr": ["5 мар.", "21 дек"],
+    "date:ru_dow_abbr_dm": ["пт, 5 марта"],
+    "date:ru_do_y": ["до 2024 года", "до 1999"],
+    "date:ru_ot_y": ["от 2024 г."],
+    "date:ru_my_range": ["март 2023 — апрель 2024"],
+    "date:ru_dmy_chasov": ["5 марта 2023 в 10 часов"],
+    "date:dmy_dot_time_tz": ["31.12.2024 10:30 +03:00",
+                             "31.12.2024 10:30:00 UTC"],
+    "date:mdy_slash_comma_time": ["12/31/2024, 10:30"],
 }
 
 NON_DATES = [
