@@ -13,7 +13,7 @@ reference-supported mode); this battery is the engine's own
 ``parse_dates=True`` implementation and emits its OWN format keys
 (``date:*``), not qddate's pattern names.
 
-Families covered (212 patterns): ISO 8601 (time/fraction/zone, week
+Families covered (222 patterns): ISO 8601 (time/fraction/zone, week
 dates, ordinal dates, compact basic forms), numeric d-m-y / m-d-y /
 y-m-d with ``./-/_/`` separators and 2- or 4-digit years, compact
 ``yyyymmdd``, time-leading and 12-hour (am/pm) forms, EN month-name
@@ -338,6 +338,20 @@ DATE_PATTERNS: tuple[tuple[str, str], ...] = (
     ("date:ru_dmy_chasov", rf"(?i:{_D} (?:{_RU_MONTHS}) {_Y}{_RU_YSUF} ?в \d{{1,2}} час(?:ов|а)?)"),
     ("date:dmy_dot_time_tz", rf"{_D}\.{_M}\.{_Y} {_TIME_REQ}{_TZ}"),
     ("date:mdy_slash_comma_time", rf"{_M}/{_D}/{_Y}, {_TIME_REQ}"),
+    # --- round-3f: quarter apostrophes, RU prep/к forms + word-year,
+    # month ranges, compact minute times, slash/em-dash year ranges --------
+    ("date:quarter_apos", rf"(?i:q[1-4] ?'\d{{2}})"),
+    ("date:ru_prep_m", r"(?i:в (?:январе|феврале|марте|апреле|мае|июне"
+                       r"|июле|августе|сентябре|октябре|ноябре|декабре))"),
+    ("date:ru_k_y", rf"(?i:к {_Y} году)"),
+    ("date:ru_s_po_months",
+     rf"(?i:с (?:{_RU_MONTHS}) по (?:{_RU_MONTHS_NOM})(?: {_Y}{_RU_YSUF})?)"),
+    ("date:ru_m_range", rf"(?i:(?:{_RU_MONTHS_NOM})\s?[-–—]\s?(?:{_RU_MONTHS_NOM}))"),
+    ("date:ru_y_god", rf"(?i:{_Y} год)"),
+    ("date:iso_compact_space_hm", rf"{_Y}{_M2}{_D2} \d{{2}}:\d{{2}}"),
+    ("date:mdy_dash_short_time", rf"{_M2}-{_D2}-{_Y2} {_TIME_REQ}"),
+    ("date:y_range_slash", rf"{_Y}/{_Y}"),
+    ("date:ru_y_range_em", rf"(?i:{_Y}\s?—\s?{_Y} ?гг\.?)"),
 )
 
 

@@ -238,6 +238,16 @@ EXAMPLES: dict[str, list[str]] = {
     "date:dmy_dot_time_tz": ["31.12.2024 10:30 +03:00",
                              "31.12.2024 10:30:00 UTC"],
     "date:mdy_slash_comma_time": ["12/31/2024, 10:30"],
+    "date:quarter_apos": ["Q1 '24", "q3'99"],
+    "date:ru_prep_m": ["в январе", "в декабре"],
+    "date:ru_k_y": ["к 2024 году"],
+    "date:ru_s_po_months": ["с января по март", "с января по март 2024"],
+    "date:ru_m_range": ["январь-февраль", "март — апрель"],
+    "date:ru_y_god": ["2024 год"],
+    "date:iso_compact_space_hm": ["20240131 10:30"],
+    "date:mdy_dash_short_time": ["12-31-99 10:30"],
+    "date:y_range_slash": ["1999/2000"],
+    "date:ru_y_range_em": ["1999 — 2001 гг."],
 }
 
 NON_DATES = [
