@@ -505,6 +505,21 @@ def q_diversity_sample(spark, sf_dir):
     )
 
 
+def q_readability(spark, sf_dir):
+    """Flesch reading-ease / Flesch-Kincaid grade over documents —
+    native word/sentence/vowel-group expressions; the oracle replays
+    the identical arithmetic in SQL."""
+    from metacrafter_spark.ops.textstats import with_readability
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        with_readability(docs)
+        .select("doc_id", "read_words", "read_sentences", "read_syllables",
+                "read_ease", "read_grade")
+        .orderBy("doc_id")
+    )
+
+
 def q_events_json(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
@@ -874,6 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_domain_filter": q_url_domain_filter,
         "toxicity_filter": q_toxicity_filter,
         "diversity_sample": q_diversity_sample,
+        "readability": q_readability,
         "near_dup_clusters": q_near_dup_clusters,
         "ann_topk_cosine": q_ann_topk,
         "token_counts": q_token_counts,
@@ -1386,6 +1402,38 @@ def oracle_sql() -> dict[str, str]:
               FROM assigned)
             SELECT vec_id, cluster::INT AS cluster
             FROM ranked WHERE qrk <= 30 ORDER BY vec_id
+        """,
+        "readability": r"""
+            WITH w AS (
+              SELECT doc_id, text,
+                     (list_filter(string_split_regex(lower(text), '\W+'),
+                                  x -> length(x) > 0))[1:2000] AS words
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                     len(words) AS read_words,
+                     greatest(len(string_split_regex(text, '[.!?]+')) - 1, 1)
+                       AS read_sentences,
+                     coalesce(list_sum(list_transform(words,
+                       x -> greatest(len(string_split_regex(x, '[aeiouy]+'))
+                                     - 1, 1))), 0) AS read_syllables
+              FROM w)
+            SELECT doc_id,
+                   read_words::BIGINT AS read_words,
+                   read_sentences::BIGINT AS read_sentences,
+                   read_syllables::BIGINT AS read_syllables,
+                   CASE WHEN read_words > 0
+                        THEN round(206.835
+                                   - 1.015 * (read_words * 1.0 / read_sentences)
+                                   - 84.6 * (read_syllables * 1.0 / read_words),
+                                   4)
+                        ELSE 0.0 END AS read_ease,
+                   CASE WHEN read_words > 0
+                        THEN round(0.39 * (read_words * 1.0 / read_sentences)
+                                   + 11.8 * (read_syllables * 1.0 / read_words)
+                                   - 15.59, 4)
+                        ELSE 0.0 END AS read_grade
+            FROM m ORDER BY doc_id
         """,
         "token_counts": r"""
             SELECT doc_id,

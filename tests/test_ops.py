@@ -522,3 +522,45 @@ def test_registered_domain_ipv4_passthrough(spark):
     )
     got = {r["doc_id"]: r["domain"] for r in with_url_parts(df).collect()}
     assert got[1] == "192.168.0.1" and got[2] == "10.0.0.1"
+
+
+def test_with_readability(spark):
+    from metacrafter_spark.ops.textstats import with_readability
+
+    rows = [
+        (1, "The cat sat. The dog ran fast!"),
+        (2, ""),
+        (3, "word"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in with_readability(df).collect()}
+    r1 = got[1]
+    assert r1["read_words"] == 7 and r1["read_sentences"] == 2
+    # the(1) cat(1) sat(1) the(1) dog(1) ran(1) fast(1) = 7 vowel groups
+    assert r1["read_syllables"] == 7
+    import math
+    ease = 206.835 - 1.015 * (7 / 2) - 84.6 * (7 / 7)
+    assert math.isclose(r1["read_ease"], round(ease, 4))
+    assert got[2]["read_words"] == 0 and got[2]["read_ease"] == 0.0
+    assert got[3]["read_sentences"] == 1  # min 1
+
+
+def test_with_compression_ratio(spark):
+    from metacrafter_spark.ops.textstats import with_compression_ratio
+
+    rows = [
+        (1, "abc " * 500),                      # highly repetitive
+        (2, "The quick brown fox jumps over the lazy dog near a riverbank "
+            "while distant thunder rolls across unexpected autumn valleys."),
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["compression_ratio"]
+           for r in with_compression_ratio(df).collect()}
+    assert got[1] < 0.05                       # boilerplate compresses away
+    assert 0.3 < got[2] < 1.1                  # natural prose does not
+    assert got[3] == 1.0 and got[4] is None
+    re_part = {r["doc_id"]: r["compression_ratio"]
+               for r in with_compression_ratio(df.repartition(3)).collect()}
+    assert re_part == got                      # deterministic
