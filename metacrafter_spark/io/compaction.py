@@ -1,0 +1,79 @@
+"""Small-file compaction + sorted layout — the operational half of a
+100 TB table.
+
+Incremental corpus writes (per-bucket resume, streaming micro-batches)
+leave thousands-to-millions of small parquet files; every downstream
+scan then pays per-file open/footer costs and the driver pays listing
+memory.  Compaction rewrites a table into near-target-size files,
+optionally range-sorted on filter columns so parquet row-group min/max
+stats prune aggressively (the poor-man's Z-order for one sort
+dimension).
+
+Spark-first shape:
+
+- file count is derived from the table's actual on-disk bytes (scanned
+  from the source listing, not guessed), so output files land near
+  ``target_file_mb`` regardless of input skew;
+- ``sort_cols`` uses ``repartitionByRange`` + within-partition
+  ``sortWithinPartitions`` — a single range-exchange, after which every
+  output file covers a tight key range (min/max stats become selective);
+- without ``sort_cols`` a plain ``repartition(n)`` round-robins rows —
+  one shuffle, perfectly even files;
+- ``maxRecordsPerFile`` is intentionally NOT used as the primary lever:
+  it splits within tasks but cannot merge across them.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def plan_compaction(src_path: str, target_file_mb: int = 256) -> dict:
+    """Inspect a parquet directory: current file count/bytes and the
+    output file count compaction would produce."""
+    n_files = 0
+    for root, _dirs, files in os.walk(src_path):
+        n_files += sum(1 for f in files
+                       if f.endswith(".parquet") and not f.startswith((".", "_")))
+    total = _dir_bytes(src_path)
+    target = max(1, round(total / (target_file_mb * 1024 * 1024)) or 1)
+    return {"n_files": n_files, "total_bytes": total, "target_files": target}
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_mb: int = 256,
+    sort_cols: "list[str] | None" = None,
+) -> dict:
+    """Rewrite ``src_path`` (parquet dir) into ``dst_path`` with
+    near-``target_file_mb`` files; optionally range-sorted so row-group
+    stats prune on ``sort_cols``.  Returns the plan dict plus the
+    resulting file count.  Writes to a NEW directory — swap or re-point
+    readers atomically yourself (or use the Iceberg path in
+    ``corpus.resume`` where snapshot isolation exists)."""
+    plan = plan_compaction(src_path, target_file_mb)
+    df: DataFrame = spark.read.parquet(src_path)
+    n = plan["target_files"]
+    if sort_cols:
+        out = df.repartitionByRange(n, *sort_cols).sortWithinPartitions(*sort_cols)
+    else:
+        out = df.repartition(n)
+    out.write.mode("error").parquet(dst_path)
+    n_out = 0
+    for root, _dirs, files in os.walk(dst_path):
+        n_out += sum(1 for f in files
+                     if f.endswith(".parquet") and not f.startswith((".", "_")))
+    return {**plan, "output_files": n_out}
