@@ -38,7 +38,51 @@ def main(argv=None) -> int:
     cr.add_argument("output")
     cr.add_argument("metrics")
     cr.add_argument("--resume", action="store_true")
+    cr.add_argument("--toxicity-wordlist",
+                    help="comma-separated words; enables the toxicity stage")
     cr.add_argument("--cores", type=int)
+
+    dd = sub.add_parser("dedup", help="near-duplicate detection over a "
+                        "parquet table (MinHash-LSH + exact-Jaccard verify)")
+    dd.add_argument("input", help="parquet with id + text columns")
+    dd.add_argument("output", help="output parquet of (id_a, id_b, jaccard)")
+    dd.add_argument("--id-col", default="doc_id")
+    dd.add_argument("--text-col", default="text")
+    dd.add_argument("--threshold", type=float, default=0.8)
+    dd.add_argument("--cores", type=int)
+
+    dc = sub.add_parser("decontaminate", help="flag corpus docs sharing "
+                        "n-grams with a benchmark/eval parquet")
+    dc.add_argument("corpus", help="parquet with id + text columns")
+    dc.add_argument("benchmark", help="parquet with a text column")
+    dc.add_argument("output", help="output parquet of per-doc overlap stats")
+    dc.add_argument("--id-col", default="doc_id")
+    dc.add_argument("--text-col", default="text")
+    dc.add_argument("--ngram", type=int, default=13,
+                    help="collision n-gram size (GPT-3 used 13)")
+    dc.add_argument("--min-hits", type=int, default=1)
+    dc.add_argument("--cores", type=int)
+
+    sp = sub.add_parser("sample", help="deterministic sampling: fraction, "
+                        "per-stratum quota, or per-stratum weight budget")
+    sp.add_argument("input")
+    sp.add_argument("output")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--fraction", type=float)
+    sp.add_argument("--strata-col")
+    sp.add_argument("--quota", type=int)
+    sp.add_argument("--budget", type=float)
+    sp.add_argument("--weight-col")
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--cores", type=int)
+
+    cp = sub.add_parser("compact", help="rewrite a fragmented parquet dir "
+                        "into near-target-size (optionally sorted) files")
+    cp.add_argument("src")
+    cp.add_argument("dst")
+    cp.add_argument("--target-mb", type=int, default=256)
+    cp.add_argument("--sort-cols", help="comma-separated sort columns")
+    cp.add_argument("--cores", type=int)
 
     cs = sub.add_parser("corpus-stream",
                         help="streaming keep/drop + scrub (availableNow drain)")
@@ -142,6 +186,60 @@ def main(argv=None) -> int:
             write_db_report(reports, args.output, fmt=args.output_format,
                             short=args.short, stats_only=args.stats_only)
             print(f"wrote {args.output}")
+        elif args.cmd == "dedup":
+            from metacrafter_spark.ops.dedup import near_dup_pairs_minhash
+
+            docs = spark.read.parquet(args.input)
+            pairs = near_dup_pairs_minhash(
+                docs, args.id_col, threshold=args.threshold,
+                text_col=args.text_col,
+            )
+            pairs.write.mode("error").parquet(args.output)
+            print(json.dumps({"pairs": spark.read.parquet(args.output).count()}))
+        elif args.cmd == "decontaminate":
+            from metacrafter_spark.ops.decontam import decontaminate
+
+            corpus = spark.read.parquet(args.corpus)
+            bench = spark.read.parquet(args.benchmark)
+            out = decontaminate(
+                corpus, bench, args.id_col, args.text_col,
+                n=args.ngram, min_hits=args.min_hits,
+            )
+            out.write.mode("error").parquet(args.output)
+            got = spark.read.parquet(args.output)
+            from pyspark.sql import functions as F
+            n_bad = got.filter(F.col("contaminated")).count()
+            print(json.dumps({"docs": got.count(), "contaminated": n_bad}))
+        elif args.cmd == "sample":
+            from metacrafter_spark.ops.sampling import (
+                budget_mix, hash_sample, stratified_quota_sample,
+            )
+
+            src = spark.read.parquet(args.input)
+            if args.fraction is not None:
+                out = hash_sample(src, args.id_col, args.fraction, args.seed)
+            elif args.quota is not None:
+                if not args.strata_col:
+                    p.error("--quota requires --strata-col")
+                out = stratified_quota_sample(
+                    src, args.strata_col, args.id_col, args.quota, args.seed)
+            elif args.budget is not None:
+                if not (args.strata_col and args.weight_col):
+                    p.error("--budget requires --strata-col and --weight-col")
+                out = budget_mix(src, args.strata_col, args.id_col,
+                                 args.weight_col, args.budget, args.seed)
+            else:
+                p.error("one of --fraction / --quota / --budget is required")
+            out.write.mode("error").parquet(args.output)
+            print(json.dumps({"rows": spark.read.parquet(args.output).count()}))
+        elif args.cmd == "compact":
+            from metacrafter_spark.io.compaction import compact_parquet
+
+            sort_cols = (args.sort_cols.split(",") if args.sort_cols else None)
+            res = compact_parquet(spark, args.src, args.dst,
+                                  target_file_mb=args.target_mb,
+                                  sort_cols=sort_cols)
+            print(json.dumps(res))
         elif args.cmd == "serve":
             from metacrafter_spark.server import make_server
 
@@ -160,7 +258,9 @@ def main(argv=None) -> int:
             )
 
             src = spark.read.parquet(args.input)
-            classified = classify_corpus(src)
+            wl = (tuple(w.strip() for w in args.toxicity_wordlist.split(","))
+                  if args.toxicity_wordlist else None)
+            classified = classify_corpus(src, toxicity_wordlist=wl)
             io = TableIO(spark)
             if args.resume:
                 classified = pending_input(classified, io, args.metrics)

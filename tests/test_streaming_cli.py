@@ -193,3 +193,64 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
 
     stream_dedup_within_watermark(spark, src, out, ckpt, watermark="10 days")
     assert spark.read.parquet(out).count() == 150
+
+
+def test_cli_sample_and_compact(spark, tmp_path):
+    import json
+
+    from metacrafter_spark.cli import main
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "docs")
+    spark.range(0, 3000).withColumnRenamed("id", "doc_id") \
+        .withColumn("src", (F.col("doc_id") % 4).cast("string")) \
+        .withColumn("w", F.lit(10)).repartition(20).write.parquet(src)
+
+    out1 = str(tmp_path / "frac")
+    assert main(["sample", src, out1, "--fraction", "0.2", "--seed", "3"]) == 0
+    n1 = spark.read.parquet(out1).count()
+    assert 450 < n1 < 750
+
+    out2 = str(tmp_path / "quota")
+    assert main(["sample", src, out2, "--quota", "25",
+                 "--strata-col", "src"]) == 0
+    q = spark.read.parquet(out2).groupBy("src").count().collect()
+    assert all(r["count"] == 25 for r in q) and len(q) == 4
+
+    out3 = str(tmp_path / "budget")
+    assert main(["sample", src, out3, "--budget", "2000",
+                 "--strata-col", "src", "--weight-col", "w"]) == 0
+    b = spark.read.parquet(out3).groupBy("src").agg(
+        F.sum("w").alias("kw")).collect()
+    assert all(800 < r["kw"] < 3500 for r in b)
+
+    out4 = str(tmp_path / "compacted")
+    assert main(["compact", src, out4, "--sort-cols", "src,doc_id"]) == 0
+    assert spark.read.parquet(out4).count() == 3000
+
+
+def test_cli_dedup_and_decontaminate(spark, tmp_path):
+    from metacrafter_spark.cli import main
+    from pyspark.sql import functions as F
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep green forest near the old river crossing")
+    rows = [(i, base + f" tail {i}") for i in range(20)]
+    rows.append((100, base + " tail 0"))  # exact dup of doc 0
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "docs2")
+    docs.write.parquet(src)
+
+    out = str(tmp_path / "pairs")
+    assert main(["dedup", src, out, "--threshold", "0.9"]) == 0
+    pairs = {(r["id_a"], r["id_b"]) for r in spark.read.parquet(out).collect()}
+    assert (0, 100) in pairs
+
+    bench = str(tmp_path / "bench")
+    docs.filter(F.col("doc_id") == 5).write.parquet(bench)
+    out2 = str(tmp_path / "contam")
+    assert main(["decontaminate", src, bench, out2, "--ngram", "8"]) == 0
+    got = {r["doc_id"]: r["contaminated"]
+           for r in spark.read.parquet(out2).collect()}
+    # every doc shares the long base prefix with the benchmark doc
+    assert got[0] is True and all(got.values())
