@@ -520,6 +520,26 @@ def q_readability(spark, sf_dir):
     )
 
 
+def q_remove_dup_spans(spark, sf_dir):
+    """Substring-dedup ACTION: excise every token covered by an 8-token
+    window that occurs in ≥2 documents; byte-exactness of the rebuilt
+    text via sha256.  The oracle replays positional grams, cross-doc
+    frequency, window coverage and token rebuild in SQL."""
+    from metacrafter_spark.ops.dedup import remove_dup_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        remove_dup_spans(docs, "doc_id", "text", span_words=8)
+        .select(
+            "doc_id",
+            F.sha2(F.col("text_dedup"), 256).alias("dedup_sha"),
+            "n_tokens",
+            "n_removed",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_events_json(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
@@ -890,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "toxicity_filter": q_toxicity_filter,
         "diversity_sample": q_diversity_sample,
         "readability": q_readability,
+        "remove_dup_spans": q_remove_dup_spans,
         "near_dup_clusters": q_near_dup_clusters,
         "ann_topk_cosine": q_ann_topk,
         "token_counts": q_token_counts,
@@ -1434,6 +1455,46 @@ def oracle_sql() -> dict[str, str]:
                                    - 15.59, 4)
                         ELSE 0.0 END AS read_grade
             FROM m ORDER BY doc_id
+        """,
+        "remove_dup_spans": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     (list_filter(string_split_regex(lower(text), '\W+'),
+                                  x -> length(x) > 0))[1:2000] AS words
+              FROM documents),
+            g AS (
+              SELECT doc_id, unnest(list_transform(
+                       range(1, len(words) - 6),
+                       i -> {'pos': i - 1,
+                             'gram': array_to_string(words[i:i+7], ' ')}))
+                       AS s
+              FROM w WHERE len(words) >= 8),
+            g2 AS (SELECT doc_id, s.pos AS pos, s.gram AS gram FROM g),
+            freq AS (
+              SELECT gram, count(DISTINCT doc_id) AS nd
+              FROM g2 GROUP BY gram),
+            st AS (
+              SELECT g2.doc_id, list_sort(list(DISTINCT g2.pos)) AS starts
+              FROM g2 JOIN freq USING (gram)
+              WHERE freq.nd >= 2
+              GROUP BY g2.doc_id),
+            fin AS (
+              SELECT w.doc_id, w.words,
+                     coalesce(st.starts, []) AS starts
+              FROM w LEFT JOIN st USING (doc_id)),
+            built AS (
+              SELECT doc_id, words,
+                     list_filter(range(0, len(words)),
+                       j -> len(list_filter(starts,
+                              s -> j >= s AND j < s + 8)) = 0) AS kept
+              FROM fin)
+            SELECT doc_id,
+                   sha256(coalesce(array_to_string(
+                     list_transform(kept, j -> words[j + 1]), ' '), ''))
+                     AS dedup_sha,
+                   len(words)::BIGINT AS n_tokens,
+                   (len(words) - len(kept))::BIGINT AS n_removed
+            FROM built ORDER BY doc_id
         """,
         "token_counts": r"""
             SELECT doc_id,

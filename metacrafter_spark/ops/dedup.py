@@ -667,3 +667,88 @@ def simhash_near_dups(
         return out.localCheckpoint(eager=True)
     finally:
         sh.unpersist()
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_words: int = 10,
+    max_words: int = 2000,
+    min_docs: int = 2,
+    out_col: str = "text_dedup",
+) -> DataFrame:
+    """Excise corpus-duplicated token spans from every document — the
+    ACTION half of the substring-dedup recipe (Lee et al. 2021 remove
+    duplicated substrings, not whole documents; ``dup_span_stats`` is
+    the corresponding signal).
+
+    A token is removed when any ``span_words``-window covering it
+    occurs in ≥ ``min_docs`` documents.  Output is the space-joined
+    surviving tokens (token-level reconstruction — original whitespace
+    and casing inside removed regions are gone, as in the reference
+    recipe which operates on token sequences), plus ``n_tokens`` /
+    ``n_removed`` counters.  Documents with no duplicated window pass
+    through with their tokens rejoined unchanged.
+
+    Scale shape: identical to ``dup_span_stats`` — the shuffle carries
+    (id, 8-byte gram hash, 4-byte position) and then (id, duplicated
+    window starts); gram strings never ride an Exchange.  The coverage
+    test is ``exists(starts, s -> s <= j < s+k)`` per token — O(|starts|)
+    per token, bounded by ``max_words`` both ways.
+    """
+    k = span_words
+    staged = df.withColumn("__words", split_words(F.col(text_col), max_words))
+    grams = staged.select(
+        F.col(id_col),
+        F.posexplode(shingles_positional(F.col("__words"), k)).alias("__i", "__gram"),
+    ).select(F.col(id_col), F.col("__i"), F.xxhash64("__gram").alias("__gh"))
+    freq = grams.groupBy("__gh").agg(F.count_distinct(id_col).alias("__nd"))
+    dup_starts = (
+        grams.join(freq.filter(F.col("__nd") >= min_docs), "__gh")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("__i")).alias("__starts"))
+    )
+    out = staged.join(dup_starts, id_col, "left").withColumn(
+        "__starts", F.coalesce(F.col("__starts"), F.array().cast("array<int>"))
+    )
+    idx = F.sequence(F.lit(0), F.greatest(F.size("__words") - 1, F.lit(0)))
+    kept = F.when(
+        F.size("__words") > 0,
+        F.filter(
+            idx,
+            lambda j: ~F.exists(
+                F.col("__starts"), lambda s: (j >= s) & (j < s + F.lit(k))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    out = out.withColumn("__kept", kept)
+    return (
+        out.withColumn(
+            out_col,
+            F.concat_ws(
+                " ",
+                F.transform(F.col("__kept"),
+                            lambda j: F.element_at(F.col("__words"), j + 1)),
+            ),
+        )
+        .withColumn("n_tokens", F.size("__words").cast("long"))
+        .withColumn(
+            "n_removed",
+            (F.size("__words") - F.size("__kept")).cast("long"),
+        )
+        .drop("__words", "__starts", "__kept")
+    )
+
+
+def shingles_positional(words: Column, n: int) -> Column:
+    """Positional word n-grams (NOT distinct — index in the array IS the
+    0-based start token position; whole-doc fallback for short docs is
+    deliberately omitted: a sub-window doc can't contain a full window).
+    Pass a MATERIALIZED column (see :func:`shingles_from_words`)."""
+    k = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    grams = F.slice(words, 1, k)
+    for i in range(1, n):
+        grams = F.zip_with(grams, F.slice(words, i + 1, k),
+                           lambda a, b: F.concat(a, F.lit(" "), b))
+    return grams

@@ -564,3 +564,40 @@ def test_with_compression_ratio(spark):
     re_part = {r["doc_id"]: r["compression_ratio"]
                for r in with_compression_ratio(df.repartition(3)).collect()}
     assert re_part == got                      # deterministic
+
+
+def test_remove_dup_spans(spark):
+    from metacrafter_spark.ops.dedup import remove_dup_spans
+
+    shared = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, shared + " one two three"),
+        (2, shared + " four five six"),
+        (3, "totally different text with no overlap whatsoever here"),
+        (4, "tiny doc"),   # shorter than the span -> nothing to remove
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           remove_dup_spans(df, "doc_id", "text", span_words=5).collect()}
+    # the shared 5-token prefix is excised from both docs
+    assert got[1]["text_dedup"] == "one two three"
+    assert got[2]["text_dedup"] == "four five six"
+    assert got[1]["n_removed"] == 5 and got[1]["n_tokens"] == 8
+    # untouched docs rejoin their tokens unchanged
+    assert got[3]["text_dedup"] == rows[2][1]
+    assert got[3]["n_removed"] == 0
+    assert got[4]["text_dedup"] == "tiny doc" and got[4]["n_removed"] == 0
+    assert got[5]["text_dedup"] == "" and got[5]["n_tokens"] == 0
+    # partitioning invariance
+    again = {r["doc_id"]: r["text_dedup"] for r in
+             remove_dup_spans(df.repartition(7), "doc_id", "text",
+                              span_words=5).collect()}
+    assert again == {k: v["text_dedup"] for k, v in got.items()}
+    # overlapping windows: a 6-token shared run removes all 6 tokens
+    rows2 = [(1, "a b c d e f tailone x"), (2, "a b c d e f tailtwo y")]
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    got2 = {r["doc_id"]: r for r in
+            remove_dup_spans(df2, "doc_id", "text", span_words=5).collect()}
+    assert got2[1]["text_dedup"] == "tailone x"
+    assert got2[1]["n_removed"] == 6
