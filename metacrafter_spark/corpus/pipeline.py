@@ -71,13 +71,17 @@ def classify_corpus(
     """Attach langid/ppl/quality/pii/scrub columns + keep & drop_reason.
 
     ``toxicity_wordlist`` (optional) inserts the toxicity stage of the
-    north rule's PII/toxicity-scrub: listed words are counted
-    (``tox_n``/``tox_frac``/``tox_any``), any-hit documents get
-    ``drop_reason='toxicity'`` (checked after quality, before
-    perplexity), and surviving text is mask-scrubbed BEFORE the PII
-    scrub so both scrubs compose on ``text_scrubbed``.  Default None
-    keeps the stage out of the plan entirely (the reference pipeline
-    has no toxicity stage; oracles for the default path are unchanged).
+    north rule's PII/toxicity-scrub: listed words are counted over the
+    FULL text (``tox_n``/``tox_frac``/``tox_any`` — unbounded
+    ``max_words`` so the any-hit signal agrees with the full-text
+    scrub), any-hit documents get ``drop_reason='toxicity'`` (checked
+    after quality, before perplexity), and the toxicity mask is applied
+    to a staged copy that feeds the PII scrub, so both scrubs compose
+    on ``text_scrubbed`` while the source ``text`` column is left
+    byte-intact (``pii_per_kchar`` is measured against the ORIGINAL
+    text length).  Default None keeps the stage out of the plan
+    entirely (the reference pipeline has no toxicity stage; oracles for
+    the default path are unchanged).
     """
     rules = scrub_rules if scrub_rules is not None else default_scrub_rules()
     out = (
@@ -90,9 +94,12 @@ def classify_corpus(
     if toxicity_wordlist is not None:
         from metacrafter_spark.corpus.toxicity import scrub_toxic, with_toxicity
 
-        out = with_toxicity(out, text_col, toxicity_wordlist)
-        out = scrub_toxic(out, text_col, toxicity_wordlist)
-    out = with_scrub(out, text_col, rules)
+        out = with_toxicity(out, text_col, toxicity_wordlist, max_words=0)
+        out = scrub_toxic(out, text_col, toxicity_wordlist,
+                          out_col="__tox_masked")
+        out = with_scrub(out, "__tox_masked", rules).drop("__tox_masked")
+    else:
+        out = with_scrub(out, text_col, rules)
     pii_total = total_hits("pii_hits", rules)
     pii_per_kchar = pii_total.cast("double") * 1000.0 / F.greatest(
         F.length(F.col(text_col)), F.lit(1)

@@ -47,13 +47,29 @@ def with_toxicity(
     text_col: str = "text",
     wordlist: tuple[str, ...] = DEFAULT_WORDLIST,
     prefix: str = "tox",
+    max_words: int | None = None,
 ) -> DataFrame:
     """Attach ``{prefix}_n`` (total listed-word hits), ``{prefix}_frac``
-    (hits / total words, 0.0 for empty docs) and ``{prefix}_any``."""
+    (hits / total words, 0.0 for empty docs) and ``{prefix}_any``.
+
+    ``max_words`` caps how many leading tokens are counted (default
+    ``split_words``'s cap, 2000 — plenty for density signals, but an
+    any-hit policy that must agree with the full-text
+    :func:`scrub_toxic` should pass ``max_words=0`` = unbounded, so
+    signal and scrub scope match)."""
     if not wordlist:
         raise ValueError("toxicity wordlist is empty")
     wl = F.array(*[F.lit(w.lower()) for w in wordlist])
-    staged = df.withColumn("__tox_words", split_words(F.col(text_col)))
+    if max_words == 0:  # unbounded: count over every token in the doc
+        words = F.filter(
+            F.split(F.lower(F.col(text_col)), r"\W+"),
+            lambda w: F.length(w) > 0,
+        )
+    elif max_words is None:
+        words = split_words(F.col(text_col))
+    else:
+        words = split_words(F.col(text_col), max_words=max_words)
+    staged = df.withColumn("__tox_words", words)
     hits = F.size(
         F.filter(F.col("__tox_words"), lambda w: F.array_contains(wl, w))
     )

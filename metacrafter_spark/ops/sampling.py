@@ -45,9 +45,23 @@ def _id_hash(id_col: str, seed: int) -> F.Column:
     wraparound in Spark but an ERROR in ANSI engines (DuckDB), so the
     reduced form is the only version that stays both correct at scale
     and replayable in SQL.  Ids ≥ 2^31 alias onto ``id mod 2^31`` for
-    sampling purposes — harmless for membership decisions."""
+    sampling purposes — harmless for membership decisions.  The seed is
+    reduced the same way: (2^31-1 + seed) * K would itself overflow
+    int64 for seed ≥ ~1.3e9 (silent wraparound in Spark, error under
+    ANSI / in DuckDB)."""
     reduced = F.pmod(F.col(id_col), F.lit(1 << 31))
-    return F.pmod((reduced + F.lit(seed)) * F.lit(_KNUTH), F.lit(_MOD))
+    return F.pmod((reduced + F.lit(seed % (1 << 31))) * F.lit(_KNUTH), F.lit(_MOD))
+
+
+#: join-key sentinel for NULL strata (NUL prefix — outside normal data)
+_NULL_STRATUM = "\x00__null_stratum__"
+
+
+def _stratum_key(strata_col: str) -> F.Column:
+    """Stratum join key with NULLs coalesced to a sentinel, so rows with
+    a NULL stratum survive the broadcast equi-join as their own stratum
+    instead of silently vanishing (NULL never equi-joins)."""
+    return F.coalesce(F.col(strata_col).cast("string"), F.lit(_NULL_STRATUM))
 
 
 def hash_sample(
@@ -86,8 +100,13 @@ def stratified_quota_sample(
     if quota <= 0:
         raise ValueError(f"quota must be positive, got {quota}")
     h = _id_hash(id_col, seed)
-    counts = df.groupBy(strata_col).agg(F.count("*").alias("__n"))
-    with_n = df.join(F.broadcast(counts), strata_col)
+    # NULL strata form their own stratum: a plain equi-join on
+    # strata_col would silently drop them (NULL != NULL), so the join
+    # key is the stratum coalesced to a sentinel.  The original column
+    # is untouched in the output.
+    df = df.withColumn("__sk", _stratum_key(strata_col))
+    counts = df.groupBy("__sk").agg(F.count("*").alias("__n"))
+    with_n = df.join(F.broadcast(counts), "__sk")
     # threshold in hash space; strata smaller than quota keep everything
     thr = F.when(
         F.col("__n") <= F.lit(quota), F.lit(_MOD)
@@ -98,7 +117,7 @@ def stratified_quota_sample(
         )
     )
     survivors = with_n.withColumn("__h", h).filter(F.col("__h") < thr)
-    w = Window.partitionBy(strata_col).orderBy("__h", id_col)
+    w = Window.partitionBy("__sk").orderBy("__h", id_col)
     picked = (
         survivors.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= quota)
@@ -108,7 +127,7 @@ def stratified_quota_sample(
     picked = picked.localCheckpoint(eager=True)
     # guard: a stratum with >= quota rows must yield exactly quota
     short = (
-        picked.groupBy(strata_col, "__n")
+        picked.groupBy("__sk", "__n")
         .agg(F.count("*").alias("__got"))
         .filter((F.col("__n") >= quota) & (F.col("__got") < quota))
         .limit(1)
@@ -118,10 +137,10 @@ def stratified_quota_sample(
         r = short[0]
         raise RuntimeError(
             f"stratified_quota_sample under-selected stratum "
-            f"{r[strata_col]!r} ({r['__got']}/{quota} of {r['__n']} rows): "
+            f"{r['__sk']!r} ({r['__got']}/{quota} of {r['__n']} rows): "
             f"raise overselect (currently {overselect})"
         )
-    return picked.drop("__n", "__h", "__rk")
+    return picked.drop("__sk", "__n", "__h", "__rk")
 
 
 def budget_mix(
@@ -149,10 +168,12 @@ def budget_mix(
     Scale shape: one tiny per-stratum agg (broadcast back) + one
     map-side filter on the big side — the corpus never shuffles.
     """
-    totals = df.groupBy(strata_col).agg(F.sum(weight_col).alias("__tot"))
+    df = df.withColumn("__sk", _stratum_key(strata_col))
+    totals = df.groupBy("__sk").agg(F.sum(weight_col).alias("__tot"))
     if isinstance(budgets, dict):
         pairs = list(budgets.items())
         bmap = F.create_map(*[F.lit(x) for kv in pairs for x in kv])
+        # NULL strata can't appear in the dict → null budget → pass whole
         budget = bmap[F.col(strata_col)]
     else:
         budget = F.lit(float(budgets))
@@ -161,7 +182,7 @@ def budget_mix(
     ).otherwise(budget / F.col("__tot"))
     thr = F.floor(frac * F.lit(float(_MOD))).cast("long")
     return (
-        df.join(F.broadcast(totals), strata_col)
+        df.join(F.broadcast(totals), "__sk")
         .filter(_id_hash(id_col, seed) < thr)
-        .drop("__tot")
+        .drop("__sk", "__tot")
     )

@@ -164,13 +164,35 @@ def train_ivf_centroids(
     return [[float(v) for v in c] for c in cent]
 
 
-def ivf_cell_udf(centroids: list[list[float]], nprobe: int = 1):
+def ivf_cell_udf(centroids, nprobe: int = 1):
     """argmax/top-nprobe centroid assignment — one numpy matmul per
-    Arrow batch.  Returns array<int> of the nprobe nearest cell ids."""
-    c = np.array(centroids, dtype=np.float64).T  # dim × nlist
+    Arrow batch.  Returns array<int> of the nprobe nearest cell ids.
+
+    ``centroids`` may be a plain ``list[list[float]]`` (ships in the
+    pickled UDF closure — fine for small nlist) or a
+    ``pyspark.Broadcast`` of one (torrent-distributed once per executor
+    — the right shape at production nlist ~10⁴⁺ where the centroid
+    matrix is tens of MB and would otherwise ride every task).  Use
+    :func:`broadcast_centroids` to build the latter."""
+    from pyspark.broadcast import Broadcast
+
+    if isinstance(centroids, Broadcast):
+        _mat = None
+
+        def _c():
+            nonlocal _mat
+            if _mat is None:  # resolve .value executor-side, once per worker
+                _mat = np.array(centroids.value, dtype=np.float64).T
+            return _mat
+    else:
+        mat = np.array(centroids, dtype=np.float64).T  # dim × nlist
+
+        def _c():
+            return mat
 
     @pandas_udf("array<int>")
     def cells(vecs: pd.Series) -> pd.Series:
+        c = _c()
         m = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
         n = np.linalg.norm(m, axis=1, keepdims=True)
         sims = (m / np.where(n == 0, 1.0, n)) @ c
@@ -179,6 +201,12 @@ def ivf_cell_udf(centroids: list[list[float]], nprobe: int = 1):
         return pd.Series(list(top), index=vecs.index).map(lambda a: a.tolist())
 
     return cells
+
+
+def broadcast_centroids(spark, centroids: list[list[float]]):
+    """Wrap trained centroids in a Spark broadcast variable so every
+    IVF/cluster UDF ships a handle instead of the full matrix per task."""
+    return spark.sparkContext.broadcast(centroids)
 
 
 def ivf_topk(
@@ -217,8 +245,18 @@ def ivf_topk(
 def cosine_near_dup_pairs(
     emb: DataFrame, threshold: float = 0.95, bits: int = 8, seed: int = 42,
     id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 0,
+    max_bucket: int = 1000,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs: LSH-bucketed, exact-verified."""
+    """Embedding near-duplicate pairs: LSH-bucketed, exact-verified.
+
+    ``max_bucket`` is the same broadcast count-filter skew guard as
+    ``ops.dedup.lsh_candidate_pairs`` / ``simhash_near_dup_pairs``: a hot
+    bucket (zero vectors, template embeddings, signature collisions at
+    scale) would otherwise make the self-join quadratic on one reducer.
+    Buckets with more than ``max_bucket`` members are dropped before the
+    join — at 100 TB that trades unbounded reducer blow-up for an
+    explicit, tunable recall cap on degenerate buckets.
+    """
     if not dim:
         dim = len(emb.select(vec_col).first()[0])
     b = lsh_bucket_udf(dim, bits, seed)
@@ -226,7 +264,11 @@ def cosine_near_dup_pairs(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"),
         b(F.col(vec_col)).alias("bucket"),
     )
-    a, c = t.alias("a"), t.alias("b")
+    counts = t.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    ok = t.join(
+        F.broadcast(counts.filter(F.col("n").between(2, max_bucket))), "bucket"
+    ).select(id_col, "v", "bucket")
+    a, c = ok.alias("a"), ok.alias("b")
     return (
         a.join(c, (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))

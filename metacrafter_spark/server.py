@@ -48,7 +48,12 @@ def _scan_endpoint(spark, body: bytes, query: dict[str, list[str]],
     langs = _param("langs")
     contexts = _param("contexts")
     try:
+        # reference uses Flask request.args.get(type=int), which silently
+        # falls back to the default on a non-integer value (api.py)
         limit = int(_param("limit", str(DEFAULT_LIMIT)))
+    except ValueError:
+        limit = DEFAULT_LIMIT
+    try:
         report = scan_items(
             spark, items,
             pack=pack,

@@ -331,10 +331,27 @@ def test_classify_corpus_toxicity_stage(spark):
         # toxicity fires only for docs that survived lang+quality gates
         if r["drop_reason"] in (None, "toxicity", "perplexity", "pii_density"):
             assert r["drop_reason"] == "toxicity"
-        assert " badword" not in r["text"]       # masked in place
-        assert r["text"].endswith(" ***")
+        assert r["text"].endswith(" badword")    # source text untouched
+        assert " badword" not in r["text_scrubbed"]  # mask lands downstream
+        assert r["text_scrubbed"].endswith(" ***")
     clean = [r for r in out if not r["tox_any"]]
     assert all(r["drop_reason"] != "toxicity" for r in clean)
     # default path: no toxicity columns, reasons unchanged
     plain = classify_corpus(base)
     assert "tox_any" not in plain.columns
+
+
+def test_with_toxicity_max_words_scope(spark):
+    """Signal/action alignment: a listed word past the default 2000-token
+    counting cap is invisible at the default but counted with
+    max_words=0 (unbounded), matching the full-text scrub's scope."""
+    from metacrafter_spark.corpus.toxicity import scrub_toxic, with_toxicity
+
+    text = " ".join(f"w{i}" for i in range(2500)) + " badword"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    capped = with_toxicity(df, "text", ("badword",)).first()
+    assert capped["tox_n"] == 0 and not capped["tox_any"]
+    full = with_toxicity(df, "text", ("badword",), max_words=0).first()
+    assert full["tox_n"] == 1 and full["tox_any"]
+    # the scrub always masks the full text — with max_words=0 they agree
+    assert scrub_toxic(df, "text", ("badword",)).first()["text"].endswith("***")

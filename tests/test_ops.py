@@ -601,3 +601,88 @@ def test_remove_dup_spans(spark):
             remove_dup_spans(df2, "doc_id", "text", span_words=5).collect()}
     assert got2[1]["text_dedup"] == "tailone x"
     assert got2[1]["n_removed"] == 6
+
+
+def test_cosine_near_dup_hot_bucket_guard(spark):
+    """A hot bucket (1k identical embeddings) must be dropped by the
+    max_bucket broadcast count-filter rather than exploding the
+    self-join quadratically; pairs below the cap are unchanged."""
+    from pyspark.sql import functions as F
+
+    emb = _embeddings(spark)  # 61 vectors, incl. the (0, 1000) clone pair
+    hot = spark.range(10_000, 11_000).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(1.0)] * 16).cast("array<float>").alias("embedding"),
+    )
+    both = emb.unionByName(hot)
+    guarded = cosine_near_dup_pairs(both, threshold=0.999, bits=4,
+                                    max_bucket=500)
+    got = {(r.id_a, r.id_b) for r in guarded.collect()}
+    # the 1000-identical bucket (499,500 potential pairs) is dropped...
+    assert not any(a >= 10_000 for a, _ in got)
+    # ...while pairs in sane buckets are unchanged vs the unguarded run
+    base = {(r.id_a, r.id_b) for r in
+            cosine_near_dup_pairs(emb, threshold=0.999, bits=4).collect()}
+    assert got == base
+    assert (0, 1000) in got
+    # raising the cap above the hot-bucket size readmits it
+    readmitted = cosine_near_dup_pairs(both, threshold=0.999, bits=4,
+                                       max_bucket=2000)
+    n_hot = readmitted.filter("id_a >= 10000").count()
+    assert n_hot == 1000 * 999 // 2
+
+
+def test_ivf_centroids_broadcast(spark):
+    """ivf_cell_udf accepts a Broadcast handle; assignments identical to
+    the closure-captured path, incl. at production-ish nlist=10^4."""
+    import numpy as np
+    from metacrafter_spark.ops.similarity import (
+        broadcast_centroids, ivf_cell_udf, train_ivf_centroids, with_cluster,
+    )
+
+    emb = _embeddings(spark, n=120)
+    cents = train_ivf_centroids(emb, nlist=8, sample=64, seed=3)
+    bc = broadcast_centroids(spark, cents)
+    a = {r["vec_id"]: r["cluster"]
+         for r in with_cluster(emb, cents).collect()}
+    b = {r["vec_id"]: r["cluster"]
+         for r in with_cluster(emb, bc).collect()}
+    assert a == b and len(set(a.values())) > 1
+    # nlist = 10^4 smoke: a 10^4 x 16 centroid matrix rides the torrent
+    # broadcast, not every task closure
+    rng = np.random.default_rng(11)
+    big = [[float(x) for x in row] for row in rng.standard_normal((10_000, 16))]
+    bc_big = broadcast_centroids(spark, big)
+    out = with_cluster(emb, bc_big).select("cluster").distinct().count()
+    assert out > 1
+    bc.destroy(); bc_big.destroy()
+
+
+def test_sampling_null_strata_and_big_seed(spark):
+    from pyspark.sql import functions as F
+    from metacrafter_spark.ops.sampling import (
+        budget_mix, hash_sample, stratified_quota_sample,
+    )
+
+    df = (spark.range(0, 900).withColumnRenamed("id", "doc_id")
+          .withColumn("src", F.when(F.col("doc_id") % 3 == 0, None)
+                      .otherwise((F.col("doc_id") % 3).cast("string")))
+          .withColumn("w", F.lit(10)))
+    # NULL strata form their own stratum instead of silently vanishing
+    out = stratified_quota_sample(df, "src", "doc_id", quota=40, seed=1)
+    by = {r["src"]: r["count"] for r in out.groupBy("src").count().collect()}
+    assert by == {None: 40, "1": 40, "2": 40}
+    assert set(out.columns) == {"doc_id", "src", "w"}
+    mixed = budget_mix(df, "src", "doc_id", "w", 1e9, seed=0)
+    assert mixed.count() == 900  # nothing dropped by the join
+    scoped = budget_mix(df, "src", "doc_id", "w", {"1": 500.0}, seed=0)
+    c = {r["src"]: r["count"] for r in scoped.groupBy("src").count().collect()}
+    assert c[None] == 300 and c["2"] == 300 and c["1"] < 150
+    # seed >= 1.3e9 must not overflow int64 (ANSI mode would raise);
+    # and it must equal the reduced-seed run (seed mod 2^31)
+    big_seed = (7 << 31) + 12345
+    a = sorted(r["doc_id"] for r in
+               hash_sample(df, "doc_id", 0.3, seed=big_seed).collect())
+    b = sorted(r["doc_id"] for r in
+               hash_sample(df, "doc_id", 0.3, seed=12345).collect())
+    assert a == b and 150 < len(a) < 400

@@ -77,3 +77,14 @@ def test_unknown_path_404(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req)
     assert e.value.code == 404
+
+
+def test_non_integer_limit_falls_back_to_default(server):
+    """Reference Flask request.args.get(type=int) silently falls back to
+    the default limit on malformed values — so must we (200, not 400)."""
+    status, rep = _post(
+        f"{server}/api/v1/scan_data?limit=abc",
+        json.dumps(ITEMS).encode(),
+    )
+    assert status == 200
+    assert {r[0] for r in rep["results"]} == {"email", "flag", "note"}
