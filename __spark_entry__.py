@@ -20,6 +20,7 @@ driver's value-hash comparison is insensitive to summation order.
 from __future__ import annotations
 
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, Window
 
@@ -758,19 +759,78 @@ def q_ivf_topk(spark, sf_dir):
     )
 
 
+#: committed materialization of synth_webpages(2000, seed=42) — same
+#: pure function of (seed, doc_id), written by
+#: scripts/gen_webcorpus_fixture.py so the driver's DuckDB can replay
+#: the BASELINE-shape corpus path (tests pin fixture == live generation)
+WEBCORPUS_FIXTURE = str(
+    Path(__file__).resolve().parent
+    / "tests/fixtures/webcorpus/webcorpus_2000.parquet"
+)
+
+#: scrub-rule subset for the hash-green corpus queries: the three rules
+#: whose spans actually occur in the synthetic corpus AND whose regexes
+#: have exact RE2 equivalents in context (the lookaround guards are
+#: vacuous at every occurrence site — space-delimited spans).  The FULL
+#: 14-rule cascade incl. Luhn/mod-97 validators stays byte-exact-green
+#: via pii_scrub_documents; this subset makes the BASELINE-shape path
+#: itself replayable.
+_WEBCORPUS_RULE_NAMES = ("email", "uuid", "phone_intl")
+
+#: RE2/DuckDB-safe equivalents of the three rules' Python regexes: the
+#: patterns are identical minus the lookaround guards, which are vacuous
+#: on this corpus (every span occurrence is space-delimited, never
+#: hex/digit/word-adjacent) — a property the Spark side also relies on
+#: and the hash match verifies end-to-end.
+_EMAIL_RE2 = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+_UUID_RE2 = (r"[0-9A-Fa-f]{8}-[0-9A-Fa-f]{4}-[0-9A-Fa-f]{4}-"
+             r"[0-9A-Fa-f]{4}-[0-9A-Fa-f]{12}")
+_PHONE_RE2 = r"\+\d{1,3}[\s\-.]?\(?\d{1,4}\)?(?:[\s\-.]?\d{2,4}){2,4}"
+
+
+def _webcorpus_rules():
+    from metacrafter_spark.corpus.scrub import WEB_PII_RULES
+
+    return tuple(r for r in WEB_PII_RULES if r.name in _WEBCORPUS_RULE_NAMES)
+
+
 def q_corpus_pipeline(spark, sf_dir):
-    """Full keep/drop+scrub pipeline on the deterministic synthetic
-    corpus (BASELINE.json input shape; not SQL-expressible)."""
-    from metacrafter_spark.corpus.pipeline import classify_corpus
+    """Full keep/drop pipeline on the BASELINE-shape synthetic corpus,
+    oracle-checked PER DOCUMENT (round-4 upgrade from rows-only): the
+    corpus is generated live (synth_webpages — deterministic at any
+    parallelism) while the oracle replays langid → 12 quality gates →
+    BYTE-level trigram perplexity → PII density → drop_reason precedence
+    in DuckDB over the committed parquet materialization of the same
+    2000 rows.  A hash match therefore proves both generation
+    determinism and the decision tree on full-unicode web text (no
+    ASCII projection — the ppl oracle expands each char to its UTF-8
+    byte count, matching the scorer's byte-level trigrams).
+
+    Policy thresholds sit clear of every observed score (nearest ppl
+    0.018 away at ~1e-9 cross-engine agreement; pii_per_kchar is exact
+    integer/length rational arithmetic, identical in both engines), so
+    engine drift cannot flip a decision; all four drop branches fire
+    (10 lang_unknown / 325 quality / 508 perplexity / 14 pii_density /
+    1143 keep)."""
+    from metacrafter_spark.corpus.pipeline import KeepPolicy, classify_corpus
     from metacrafter_spark.corpus.webpages import synth_webpages
 
-    n = 500 if "0.001" in sf_dir else 2000
-    corpus = synth_webpages(spark, n, seed=42, partitions=8)
-    out = classify_corpus(corpus)
-    return out.groupBy("langid_lang", "drop_reason").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("pii_total").alias("pii_spans"),
+    corpus = synth_webpages(spark, 2000, seed=42, partitions=8)
+    out = classify_corpus(
+        corpus,
+        policy=KeepPolicy(max_ppl=33.2, max_pii_per_kchar=2.9),
+        scrub_rules=_webcorpus_rules(),
     )
+    return out.select(
+        F.regexp_extract("url", r"/article/(\d+)$", 1).cast("long").alias("doc_id"),
+        F.col("langid_lang").alias("lang_pred"),
+        "q_pass",
+        F.round("ppl", 4).alias("ppl"),
+        "pii_total",
+        F.round("pii_per_kchar", 4).alias("pii_per_kchar"),
+        "keep",
+        F.coalesce(F.col("drop_reason"), F.lit("none")).alias("drop_reason"),
+    ).orderBy("doc_id")
 
 
 def q_corpus_pipeline_documents(spark, sf_dir):
@@ -876,17 +936,25 @@ def q_cosine_pairs_exact(spark, sf_dir):
 
 
 def q_pii_scrub(spark, sf_dir):
+    """Scrub over the BASELINE-shape corpus, byte-exact-checked
+    (round-4 upgrade from rows-only): the oracle replays the
+    email → uuid → phone cascade in RE2 over the committed fixture and
+    sha256-compares the scrubbed bytes per url.  Rule subset rationale
+    in ``_WEBCORPUS_RULE_NAMES``; the full default cascade stays green
+    via pii_scrub_documents.  First 300 docs == the 300-doc corpus
+    (each row is a pure function of (seed, doc_id))."""
     from metacrafter_spark.corpus.scrub import with_scrub
     from metacrafter_spark.corpus.webpages import synth_webpages
 
     corpus = synth_webpages(spark, 300, seed=42, partitions=4)
-    out = with_scrub(corpus)
+    out = with_scrub(corpus, rules=_webcorpus_rules())
     return out.select(
         "url",
         F.sha2(F.col("text_scrubbed"), 256).alias("scrub_sha256"),
         F.col("pii_hits.email").alias("n_email"),
+        F.col("pii_hits.uuid").alias("n_uuid"),
         F.col("pii_hits.phone_intl").alias("n_phone"),
-    )
+    ).orderBy("url")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -927,6 +995,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pipeline_documents": q_corpus_pipeline_documents,
         "minhash_near_dups_sha": q_minhash_sha,
         "cosine_pairs_exact": q_cosine_pairs_exact,
+        # hash-green since round 4: the oracle reads the committed
+        # parquet materialization of the same deterministic corpus
+        # (WEBCORPUS_FIXTURE) and replays the full pipeline / scrub
+        # cascade in SQL — see the query docstrings
+        "corpus_pipeline": q_corpus_pipeline,
+        "pii_scrub_hashes": q_pii_scrub,
         # rows-only, each with its reason no SQL oracle exists:
         # - minhash_near_dups: xxhash64 signatures (no DuckDB twin);
         #   the sha256-family twin minhash_near_dups_sha IS oracle-checked
@@ -935,16 +1009,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # - lsh_topk / ivf_topk: approximate by construction; the exact
         #   twin ann_topk_cosine is oracle-checked, recall bounds
         #   (multi-probe ≥0.9, IVF ≥0.9 @ nprobe=4) unit-tested
-        # - corpus_pipeline / pii_scrub_hashes: run on the synthetic
-        #   webpage corpus (BASELINE input shape) which DuckDB's parquet
-        #   views cannot see; the keep/drop decision tree IS oracle-
-        #   checked per document via corpus_pipeline_documents above, and
-        #   scrub bytes via pii_scrub_documents
         "minhash_near_dups": q_minhash_near_dups,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
-        "corpus_pipeline": q_corpus_pipeline,
-        "pii_scrub_hashes": q_pii_scrub,
     }
 
 
@@ -995,18 +1062,40 @@ def oracle_sql() -> dict[str, str]:
                  least(coalesce(pagg.ppl, (SELECT m FROM maxppl)),
                        (SELECT m FROM maxppl)) AS ppl
           FROM src s LEFT JOIN pagg USING (doc_id))"""
+    # BYTE-level variant for full-unicode text: the scorer trigram-izes
+    # the UTF-8 BYTES of the lowered 2000-char head, so each non-ASCII
+    # char must expand to strlen(c) OTHER symbols (id 0), not one —
+    # on pure-ASCII text this reduces to the char-level fragment above.
+    ppl_score_bytes = f"""
+        pids AS (
+          SELECT doc_id,
+                 flatten(list_transform(
+                   regexp_extract_all(lower(substr(coalesce(t, ''), 1, 2000)),
+                                      '(?s).'),
+                   c -> CASE WHEN strpos({alph}, c) > 0
+                             THEN [strpos({alph}, c)]
+                             ELSE list_transform(range(strlen(c)), y -> 0)
+                        END)) AS ids
+          FROM src),""" + ppl_score.split("pids AS (", 1)[1].split("FROM src),", 1)[1]
 
+    # token-set stopword lists per language (mirrors corpus/langid.py
+    # STOPWORDS; token counting — not \b regexes — because RE2's \b is
+    # ASCII-only while Java's is Unicode-aware)
     langid_values = """(VALUES
-          ('de', '(?i)\\b(?:der|die|das|und|ist|nicht|mit|ein|eine|zu|den|von|sich|auf|für|im|dem)\\b'),
-          ('en', '(?i)\\b(?:the|and|of|to|in|is|that|for|with|was|on|are|this|be|it|from|have|not)\\b'),
-          ('es', '(?i)\\b(?:el|los|las|de|y|que|en|una|es|por|con|para|del|se|su|como|más)\\b'),
-          ('fr', '(?i)\\b(?:le|la|les|des|une|et|est|dans|pour|que|qui|sur|avec|pas|au|du|ce|vous)\\b'),
-          ('ru', '(?i)\\b(?:и|в|не|на|что|с|по|это|как|из|за|его|для|или|она|они|был|при)\\b')
-        ) AS l(lang, pat)"""
+          ('de', ['der','die','das','und','ist','nicht','mit','ein','eine','zu','den','von','sich','auf','für','im','dem']),
+          ('en', ['the','and','of','to','in','is','that','for','with','was','on','are','this','be','it','from','have','not']),
+          ('es', ['el','los','las','de','y','que','en','una','es','por','con','para','del','se','su','como','más']),
+          ('fr', ['le','la','les','des','une','et','est','dans','pour','que','qui','sur','avec','pas','au','du','ce','vous']),
+          ('ru', ['и','в','не','на','что','с','по','это','как','из','за','его','для','или','она','они','был','при'])
+        ) AS l(lang, words)"""
     # per-doc langid over src(doc_id, t) → lpred(doc_id, lang_pred)
     langid_frag = f"""
         lbase AS (
-          SELECT doc_id, substr(t, 1, 2000) AS head,
+          SELECT doc_id,
+                 list_transform(
+                   list_filter(string_split_regex(trim(substr(t, 1, 2000)), '\\s+'),
+                               x -> length(x) > 0),
+                   w -> lower(regexp_replace(w, '^[^\\pL\\pN]+|[^\\pL\\pN]+$', '', 'g'))) AS toks,
                  greatest(len(string_split_regex(trim(substr(t, 1, 2000)), '\\s+')), 1) AS nt,
                  len(regexp_extract_all(substr(t, 1, 2000), '[Ѐ-ӿ]')) * 1.0
                    / greatest(length(substr(t, 1, 2000)), 1) AS cyr,
@@ -1016,8 +1105,8 @@ def oracle_sql() -> dict[str, str]:
         lscore AS (
           SELECT b.doc_id, b.trimlen, b.nt_raw, l.lang,
                  CASE l.lang
-                   WHEN 'ru' THEN len(regexp_extract_all(b.head, l.pat)) * 1.0 / b.nt + b.cyr
-                   ELSE len(regexp_extract_all(b.head, l.pat)) * 1.0 / b.nt
+                   WHEN 'ru' THEN len(list_filter(b.toks, w -> list_contains(l.words, w))) * 1.0 / b.nt + b.cyr
+                   ELSE len(list_filter(b.toks, w -> list_contains(l.words, w))) * 1.0 / b.nt
                  END AS score
           FROM lbase b CROSS JOIN {langid_values}),
         lbest AS (
@@ -1057,7 +1146,11 @@ def oracle_sql() -> dict[str, str]:
                  len(list_filter(lines, l -> regexp_matches(l, '^\s*(?:[-*•‣▪]|\d+[.)])\s')))::DOUBLE / nlf AS bullet_line_frac,
                  len(list_filter(lines, l -> regexp_matches(l, '(?:\.{3}|…)\s*$')))::DOUBLE / nlf AS ellipsis_line_frac,
                  len(list_filter(words, w -> regexp_matches(w, '[A-Za-zА-Яа-яЀ-ӿÀ-ÿ]')))::DOUBLE / nwf AS alpha_word_frac,
-                 len(regexp_extract_all(t, '(?i)\b(?:the|be|to|of|and|that|have|with|и|в|не|на|le|la|et|der|die|und|el|los|que)\b')) AS stopword_hits,
+                 len(list_filter(words, w -> list_contains(
+                   ['the','be','to','of','and','that','have','with',
+                    'и','в','не','на','le','la','et','der','die','und',
+                    'el','los','que'],
+                   lower(regexp_replace(w, '^[^\pL\pN]+|[^\pL\pN]+$', '', 'g'))))) AS stopword_hits,
                  1.0 - len(list_distinct(lines))::DOUBLE / nlf AS dup_line_frac,
                  1.0 - len(list_distinct(paras))::DOUBLE
                        / greatest(len(paras), 1)::DOUBLE AS dup_para_frac,
@@ -1570,14 +1663,20 @@ def oracle_sql() -> dict[str, str]:
             WITH w AS (
               SELECT doc_id, text,
                      greatest(length(text), 1)::DOUBLE AS n_chars,
+                     list_transform(
+                       list_filter(string_split_regex(text, '\s+'),
+                                   x -> length(x) > 0),
+                       t -> lower(regexp_replace(t, '^[^\pL\pN]+|[^\pL\pN]+$', '', 'g'))) AS toks,
                      greatest(len(list_filter(string_split_regex(text, '\s+'),
                                               x -> length(x) > 0)), 1)::DOUBLE AS nw
               FROM documents WHERE doc_id < 100),
             s AS (
               SELECT doc_id,
                 len(regexp_extract_all(text, '[A-Za-zА-яЀ-ӿÀ-ÿ]')) / n_chars AS alpha_frac,
-                least(len(regexp_extract_all(text,
-                  '(?i)\b(?:the|be|to|of|and|that|have|with|и|в|не|на|le|la|et|der|die|und|el|los|que)\b'))
+                least(len(list_filter(toks, t -> list_contains(
+                  ['the','be','to','of','and','that','have','with',
+                   'и','в','не','на','le','la','et','der','die','und',
+                   'el','los','que'], t)))
                   / nw * 5.0, 1.0) AS stop_frac,
                 least(nw / 50.0, 1.0) AS len_score,
                 1.0 - least(abs(len(regexp_extract_all(text, '[.!?]')) / nw - 0.08)
@@ -1649,43 +1748,13 @@ def oracle_sql() -> dict[str, str]:
             FROM sims a JOIN sims b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.sim, b.sim)) <= 3
         """,
-        "langid_documents": r"""
-            WITH h AS (
-              SELECT doc_id, substr(text, 1, 2000) AS head, text FROM documents),
-            base AS (
-              SELECT doc_id, head,
-                     greatest(len(string_split_regex(trim(head), '\s+')), 1) AS nt,
-                     len(regexp_extract_all(head, '[Ѐ-ӿ]')) * 1.0
-                       / greatest(length(head), 1) AS cyr,
-                     length(trim(text)) AS trimlen,
-                     len(string_split_regex(trim(head), '\s+')) AS nt_raw
-              FROM h),
-            scores AS (
-              SELECT doc_id, trimlen, nt_raw, lang, score FROM (
-                SELECT b.doc_id, b.trimlen, b.nt_raw, l.lang,
-                       CASE l.lang
-                         WHEN 'ru' THEN len(regexp_extract_all(b.head, l.pat)) * 1.0 / b.nt + b.cyr
-                         ELSE len(regexp_extract_all(b.head, l.pat)) * 1.0 / b.nt
-                       END AS score
-                FROM base b CROSS JOIN (VALUES
-                  ('de', '(?i)\b(?:der|die|das|und|ist|nicht|mit|ein|eine|zu|den|von|sich|auf|für|im|dem)\b'),
-                  ('en', '(?i)\b(?:the|and|of|to|in|is|that|for|with|was|on|are|this|be|it|from|have|not)\b'),
-                  ('es', '(?i)\b(?:el|los|las|de|y|que|en|una|es|por|con|para|del|se|su|como|más)\b'),
-                  ('fr', '(?i)\b(?:le|la|les|des|une|et|est|dans|pour|que|qui|sur|avec|pas|au|du|ce|vous)\b'),
-                  ('ru', '(?i)\b(?:и|в|не|на|что|с|по|это|как|из|за|его|для|или|она|они|был|при)\b')
-                ) AS l(lang, pat))),
-            best AS (
-              SELECT doc_id, trimlen, nt_raw, lang, score,
-                     row_number() OVER (PARTITION BY doc_id
-                                        ORDER BY score DESC, lang DESC) AS rn
-              FROM scores),
-            pred AS (
-              SELECT CASE WHEN trimlen = 0 OR nt_raw < 4 OR score < 0.05
-                          THEN 'und' ELSE lang END AS lang_pred
-              FROM best WHERE rn = 1)
-            SELECT lang_pred, count(*) AS n FROM pred
+        "langid_documents": (
+            """
+            WITH src AS (SELECT doc_id, text AS t FROM documents),"""
+            + langid_frag + """
+            SELECT lang_pred, count(*) AS n FROM lpred
             GROUP BY 1 ORDER BY 1
-        """,
+        """),
         "perplexity": (
             """
             WITH src AS (
@@ -1737,6 +1806,64 @@ def oracle_sql() -> dict[str, str]:
                    round(pii_per_kchar, 4) AS pii_per_kchar,
                    drop_reason = 'none' AS keep, drop_reason
             FROM fin ORDER BY doc_id
+        """),
+        # BASELINE-shape corpus path (round 4): src = the committed
+        # parquet materialization of synth_webpages(2000, seed=42); the
+        # Spark side regenerates the corpus live, so a hash match proves
+        # generation determinism AND the full-unicode pipeline replay.
+        "corpus_pipeline": (
+            """
+            WITH src AS (
+              SELECT regexp_extract(url, '/article/(\\d+)$', 1)::BIGINT AS doc_id,
+                     text AS t
+              FROM read_parquet('""" + WEBCORPUS_FIXTURE + """')),"""
+            + ppl_model + "," + ppl_score_bytes + "," + langid_frag + ","
+            + quality_frag + """,
+            pii AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(t, '""" + _EMAIL_RE2 + """'))
+                     + len(regexp_extract_all(t, '""" + _UUID_RE2 + """'))
+                     + len(regexp_extract_all(t, '""" + _PHONE_RE2 + """')) AS pii_total
+              FROM src),
+            dec AS (
+              SELECT s.doc_id, l.lang_pred, q.q_pass, p.ppl, i.pii_total,
+                     i.pii_total * 1000.0 / greatest(length(s.t), 1) AS pii_per_kchar
+              FROM src s JOIN lpred l USING (doc_id) JOIN qp q USING (doc_id)
+                   JOIN pfin p USING (doc_id) JOIN pii i USING (doc_id)),
+            fin AS (
+              SELECT doc_id, lang_pred, q_pass, ppl, pii_total, pii_per_kchar,
+                     CASE WHEN lang_pred = 'und' THEN 'lang_unknown'
+                          WHEN NOT q_pass THEN 'quality'
+                          WHEN lang_pred IN ('en', 'fr', 'de', 'es')
+                               AND ppl > 33.2 THEN 'perplexity'
+                          WHEN pii_per_kchar > 2.9 THEN 'pii_density'
+                          ELSE 'none' END AS drop_reason
+              FROM dec)
+            SELECT doc_id, lang_pred, q_pass, round(ppl, 4) AS ppl, pii_total,
+                   round(pii_per_kchar, 4) AS pii_per_kchar,
+                   drop_reason = 'none' AS keep, drop_reason
+            FROM fin ORDER BY doc_id
+        """),
+        "pii_scrub_hashes": (
+            """
+            WITH src AS (
+              SELECT url, text AS t
+              FROM read_parquet('""" + WEBCORPUS_FIXTURE + """')
+              WHERE regexp_extract(url, '/article/(\\d+)$', 1)::BIGINT < 300),
+            scrub AS (
+              SELECT url,
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(t,
+                           '""" + _EMAIL_RE2 + """', '<EMAIL>', 'g'),
+                         '""" + _UUID_RE2 + """', '<UUID>', 'g'),
+                       '""" + _PHONE_RE2 + """', '<PHONE>', 'g') AS s,
+                     len(regexp_extract_all(t, '""" + _EMAIL_RE2 + """')) AS n_email,
+                     len(regexp_extract_all(t, '""" + _UUID_RE2 + """')) AS n_uuid,
+                     len(regexp_extract_all(t, '""" + _PHONE_RE2 + """')) AS n_phone
+              FROM src)
+            SELECT url, sha256(s) AS scrub_sha256, n_email, n_uuid, n_phone
+            FROM scrub ORDER BY url
         """),
         "cosine_pairs_exact": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -2,11 +2,18 @@
 
 A from-scratch char-script + stopword n-gram heuristic (the fastText
 replacement the north rule asks for, expressed Spark-first): per
-language, count characteristic-token matches with
-``regexp_count`` (JVM, whole-stage codegen — no Python), normalize
-by token count, add a script-ratio signal for non-Latin scripts, take
-the argmax via an array-of-structs max (deterministic tie-break on the
+language, count characteristic tokens of the text head (token-set
+membership over the whitespace-split, punctuation-stripped, lowercased
+tokens — JVM array ops, whole-stage codegen, no Python), normalize by
+token count, add a script-ratio signal for non-Latin scripts, take the
+argmax via an array-of-structs max (deterministic tie-break on the
 score then language name).
+
+Token-set counting (not a ``\\b``-anchored regex) is deliberate: Java's
+``\\b`` is Unicode-aware while RE2's (DuckDB / Go / Rust regex) is
+ASCII-only, so a regex count of Cyrillic stopwords is engine-dependent;
+token arithmetic is identical everywhere, which is what makes the
+pipeline replayable in the SQL oracle.
 
 Pure function of the text prefix → same label at any parallelism.
 """
@@ -34,11 +41,33 @@ STOPWORDS = {
 }
 
 _CYRILLIC = r"[Ѐ-ӿ]"
+# strip leading/trailing punctuation from a token before the set lookup
+# (\p{L}/\p{N} are Unicode-portable: Java and RE2 agree, unlike \w/\b)
+_EDGE_PUNCT_RE = r"^[^\p{L}\p{N}]+|[^\p{L}\p{N}]+$"
 
 
-def _stopword_pattern(lang: str) -> str:
-    words = "|".join(STOPWORDS[lang])
-    return rf"(?iu)\b(?:{words})\b"
+def _tokens(head: Column) -> Column:
+    """Lowercased, edge-punctuation-stripped tokens of the head."""
+    return F.transform(
+        F.filter(F.split(F.trim(head), r"\s+"), lambda w: F.length(w) > 0),
+        lambda w: F.lower(F.regexp_replace(w, _EDGE_PUNCT_RE, "")),
+    )
+
+
+def _lang_hits(toks: Column, lang: str) -> Column:
+    return F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS[lang])))
+
+
+def _scored_structs(toks: Column, cyr_ratio: Column, n_tokens_f: Column) -> list:
+    scored = []
+    for lang in sorted(STOPWORDS):
+        score = _lang_hits(toks, lang).cast("double") / n_tokens_f
+        if lang == "ru":
+            # script evidence: Cyrillic text is Russian-family even with
+            # few exact stopword hits
+            score = score + cyr_ratio
+        scored.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
+    return scored
 
 
 def langid_struct(text: Column, *, prefix_chars: int = LANGID_PREFIX_CHARS,
@@ -51,16 +80,8 @@ def langid_struct(text: Column, *, prefix_chars: int = LANGID_PREFIX_CHARS,
         F.regexp_count(head, F.lit(_CYRILLIC)).cast("double")
         / F.greatest(F.length(head), F.lit(1)).cast("double")
     )
-    scored = []
-    for lang in sorted(STOPWORDS):
-        hits = F.regexp_count(head, F.lit(_stopword_pattern(lang))).cast("double")
-        score = hits / n_tokens_f
-        if lang == "ru":
-            # script evidence: Cyrillic text is Russian-family even with
-            # few exact stopword hits
-            score = score + cyr_ratio
-        scored.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
-    best = F.array_max(F.array(*scored))
+    best = F.array_max(F.array(*_scored_structs(_tokens(head), cyr_ratio,
+                                                n_tokens_f)))
     return F.when(
         (F.length(F.trim(text)) == 0)
         | (n_tokens < min_tokens)
@@ -76,28 +97,28 @@ def with_langid(df: DataFrame, text_col: str = "text",
     """Staged evaluation of :func:`langid_struct`'s exact semantics.
 
     The single-expression form re-evaluates the argmax struct array
-    (and with it all five stopword scans) once per field reference —
-    ``best["lang"]``, ``best["score"]``, and the guard each inline a
-    copy (observed 2.9× wall-clock on a 20k-doc corpus).  Materializing
-    ``head`` / ``n_tokens`` / ``best`` as intermediate columns pins each
-    to one evaluation; results are row-identical to ``langid_struct``
-    (asserted in tests)."""
-    head_c, nt_c, best_c = "__lid_head", "__lid_nt", "__lid_best"
+    (and with it all five per-language token scans — plus the token
+    array itself, which is referenced five times) once per field
+    reference — ``best["lang"]``, ``best["score"]``, and the guard each
+    inline a copy (observed 2.9× wall-clock on a 20k-doc corpus).
+    Materializing ``head`` / ``toks`` / ``n_tokens`` / ``best`` as
+    intermediate columns pins each to one evaluation; results are
+    row-identical to ``langid_struct`` (asserted in tests)."""
+    head_c, toks_c, nt_c, best_c = ("__lid_head", "__lid_toks", "__lid_nt",
+                                    "__lid_best")
     out = df.withColumn(head_c, F.substring(F.col(text_col), 1, prefix_chars))
     h = F.col(head_c)
+    out = out.withColumn(toks_c, _tokens(h))
     out = out.withColumn(nt_c, F.size(F.split(F.trim(h), r"\s+")))
     ntf = F.greatest(F.col(nt_c), F.lit(1)).cast("double")
     cyr = (
         F.regexp_count(h, F.lit(_CYRILLIC)).cast("double")
         / F.greatest(F.length(h), F.lit(1)).cast("double")
     )
-    scored = []
-    for lang in sorted(STOPWORDS):
-        score = F.regexp_count(h, F.lit(_stopword_pattern(lang))).cast("double") / ntf
-        if lang == "ru":
-            score = score + cyr
-        scored.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
-    out = out.withColumn(best_c, F.array_max(F.array(*scored)))
+    out = out.withColumn(
+        best_c,
+        F.array_max(F.array(*_scored_structs(F.col(toks_c), cyr, ntf))),
+    )
     final = F.when(
         (F.length(F.trim(F.col(text_col))) == 0)
         | (F.col(nt_c) < min_tokens)
@@ -109,5 +130,5 @@ def with_langid(df: DataFrame, text_col: str = "text",
         out.withColumn(f"{out_prefix}_tmp", final)
         .withColumn(f"{out_prefix}_lang", F.col(f"{out_prefix}_tmp.lang"))
         .withColumn(f"{out_prefix}_score", F.col(f"{out_prefix}_tmp.score"))
-        .drop(f"{out_prefix}_tmp", head_c, nt_c, best_c)
+        .drop(f"{out_prefix}_tmp", head_c, toks_c, nt_c, best_c)
     )

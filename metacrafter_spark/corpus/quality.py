@@ -33,7 +33,17 @@ class QualityThresholds:
 
 DEFAULT_THRESHOLDS = QualityThresholds()
 
-_STOPWORD_RE = r"(?i)\b(?:the|be|to|of|and|that|have|with|и|в|не|на|le|la|et|der|die|und|el|los|que)\b"
+# Gopher's stopword gate is defined over WORDS ("must contain at least
+# 2 of the following English words…"), so the count is token-based: a
+# word matches if, after stripping leading/trailing punctuation, its
+# lowercase form is in the list.  (An earlier \b-regex count diverged
+# between engines on non-Latin text: Java's \b is Unicode-aware while
+# RE2's — DuckDB, Go, Rust regex — is ASCII-only, so 'и' never matched
+# in the oracle.  Token arithmetic is identical everywhere.)
+_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with",
+              "и", "в", "не", "на", "le", "la", "et", "der", "die", "und",
+              "el", "los", "que")
+_EDGE_PUNCT_RE = r"^[^\p{L}\p{N}]+|[^\p{L}\p{N}]+$"
 _BULLET_RE = r"^\s*(?:[-*•‣▪]|\d+[.)])\s"
 _WORD_ALPHA_RE = r"[A-Za-zА-Яа-яЀ-ӿÀ-ÿ]"
 
@@ -99,7 +109,11 @@ def quality_columns(
             F.size(F.filter(words, lambda w: w.rlike(_WORD_ALPHA_RE))).cast("double")
             / n_words_f
         ),
-        "stopword_hits": F.regexp_count(text, F.lit(_STOPWORD_RE)),
+        "stopword_hits": F.size(F.filter(
+            words,
+            lambda w: F.lower(F.regexp_replace(w, _EDGE_PUNCT_RE, ""))
+            .isin(*_STOPWORDS),
+        )),
         "dup_line_frac": (
             F.lit(1.0)
             - F.size(F.array_distinct(lines)).cast("double") / n_lines_f

@@ -14,7 +14,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 
-from metacrafter_spark.corpus.quality import _STOPWORD_RE
+from metacrafter_spark.corpus.quality import _EDGE_PUNCT_RE, _STOPWORDS
 
 # word pieces: runs of letters (≤4 chars each ≈ BPE granularity), digits,
 # or single punctuation marks
@@ -35,8 +35,15 @@ def quality_score(text: Column) -> Column:
     n_words = whitespace_token_count(text)
     n_words_f = F.greatest(n_words, F.lit(1)).cast("double")
     alpha_frac = F.regexp_count(text, F.lit(r"[A-Za-zА-яЀ-ӿÀ-ÿ]")).cast("double") / n_chars
+    # token-set stopword count (same portability rationale as
+    # corpus.quality: RE2's \b is ASCII-only, Java's is Unicode-aware)
+    stop_hits = F.size(F.filter(
+        F.filter(F.split(text, r"\s+"), lambda w: F.length(w) > 0),
+        lambda w: F.lower(F.regexp_replace(w, _EDGE_PUNCT_RE, ""))
+        .isin(*_STOPWORDS),
+    ))
     stop_frac = F.least(
-        F.regexp_count(text, F.lit(_STOPWORD_RE)).cast("double") / n_words_f * 5.0,
+        stop_hits.cast("double") / n_words_f * 5.0,
         F.lit(1.0),
     )
     len_score = F.least(n_words_f / 50.0, F.lit(1.0))

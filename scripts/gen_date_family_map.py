@@ -1,0 +1,133 @@
+"""Generate the auditable date-family manifest (qddate folding map).
+
+Writes ``tests/golden/date_family_map.json``: one entry per battery
+family in ``rules/dates.py`` with its anchored regex, the canonical
+example strings the test suite pins (each first-matches its own key),
+a category attribution against qddate's PUBLIC README feature areas,
+and a folding note describing which qddate separator/suffix variants
+the family's optional groups absorb.
+
+Honesty note (also in COVERAGE.md): qddate itself is not installable in
+this sandbox and its source is not vendored anywhere reachable, so the
+map attributes families to qddate's *documented categories*, not to its
+internal pattern keys — fabricating ``dt:date:...`` identifiers from
+memory would be worse than the gap.  An auditor with qddate installed
+can drive every example below through ``qddate.DateParser().match`` and
+diff the outcome against ``first_match_key_index`` in minutes; the
+examples are the bridge.
+
+Usage: python scripts/gen_date_family_map.py
+"""
+from __future__ import annotations
+
+import json
+import pathlib
+import re
+import sys
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+sys.path.insert(0, str(ROOT / "tests"))
+
+from metacrafter_spark.rules.dates import (  # noqa: E402
+    DATE_PATTERNS,
+    first_match_key_index,
+)
+from test_dates import EXAMPLES  # noqa: E402  (canonical pinned examples)
+
+OUT = ROOT / "tests/golden/date_family_map.json"
+
+# qddate README feature areas (public documentation of what the ~312
+# PATTERNS_EN + PATTERNS_RU cover), keyed by a stable slug we attribute
+# families to.
+QDDATE_CATEGORIES = {
+    "iso8601": "ISO 8601 dates and datetimes (zone/fraction/compact/week/ordinal)",
+    "numeric": "numeric dates with ./-//_ separators, 2- or 4-digit years (EN+RU base patterns)",
+    "time_leading": "datetime forms with the time component leading",
+    "rfc2822": "RFC 2822 / email-header and asctime dates",
+    "en_textual": "English textual dates (month names full+abbr, ordinals, weekdays, 'of'/'at' connectors)",
+    "ru_textual": "Russian textual dates (genitive/nominative/prepositional months, г./года suffixes, weekdays)",
+    "partial": "partial dates (month-year, day-month, year-only with suffix)",
+    "rare": "rare/unusual formats (seasons, quarters, ranges, apostrophe years)",
+}
+
+
+def categorize(key: str) -> str:
+    k = key.removeprefix("date:")
+    if "season" in k or "quarter" in k or k.startswith("q") or "range" in k:
+        return "rare"
+    if k == "rfc" or "asctime" in k:
+        return "rfc2822"
+    if k.startswith("time_"):
+        return "time_leading"
+    if k.startswith("iso") or k.startswith("ym_dash") or k.startswith("yw"):
+        return "iso8601"
+    if k.startswith("ru_"):
+        return "ru_textual"
+    if k.startswith("en_"):
+        return "en_textual"
+    if re.fullmatch(r"(?:[dmy]{2,3}|dm|md|my|ym)(?:_.*)?", k):
+        numericish = {"dmy", "mdy", "ymd", "dm", "md", "my", "ym"}
+        if k.split("_")[0] in numericish:
+            return "numeric" if "my" != k.split("_")[0] and k.split("_")[0] not in ("dm", "md") else "partial"
+    return "numeric"
+
+
+def folding_note(pattern: str) -> list[str]:
+    """Which qddate per-variant patterns this single family folds."""
+    notes = []
+    if "(?:[ T]" in pattern or "_TIME" in pattern or r"\d{1,2}:\d{2}(?::\d{2})?)?" in pattern:
+        pass
+    if re.search(r"\(\?::\\d\{2\}\)\?", pattern):
+        notes.append("optional seconds → folds qddate's HH:MM vs HH:MM:SS variants")
+    if "(?:[ T]" in pattern:
+        notes.append("optional trailing time → folds qddate's date vs datetime variants")
+    if r"(?:\.\d+)?" in pattern:
+        notes.append("optional fractional seconds variant folded")
+    if "г\\.?| года" in pattern or "г\\.?" in pattern:
+        notes.append("optional Russian year suffix (г. / года) variants folded")
+    if "(?:st|nd|rd|th)?" in pattern:
+        notes.append("optional English ordinal suffix variants folded")
+    if ",? " in pattern:
+        notes.append("optional comma separator variants folded")
+    if "\\.?" in pattern:
+        notes.append("optional abbreviation dot variants folded")
+    return notes
+
+
+def main() -> None:
+    entries = []
+    for idx, (key, pattern) in enumerate(DATE_PATTERNS):
+        examples = EXAMPLES.get(key, [])
+        for ex in examples:
+            got = first_match_key_index(ex)
+            assert got == idx, (key, ex, got)
+        entries.append(
+            {
+                "index": idx,
+                "key": key,
+                "pattern": pattern,
+                "examples": examples,
+                "qddate_category": categorize(key),
+                "folds": folding_note(pattern),
+            }
+        )
+    doc = {
+        "_about": (
+            "Auditable map of the date battery (rules/dates.py) against "
+            "qddate's public feature areas. qddate's source is unavailable "
+            "in this environment, so attribution is to README categories, "
+            "not internal pattern keys; every example first-matches its own "
+            "family (asserted at generation time and in tests)."
+        ),
+        "qddate_categories": QDDATE_CATEGORIES,
+        "n_families": len(entries),
+        "families": entries,
+    }
+    OUT.write_text(json.dumps(doc, ensure_ascii=False, indent=1) + "\n",
+                   encoding="utf8")
+    print(f"wrote {OUT}: {len(entries)} families")
+
+
+if __name__ == "__main__":
+    main()

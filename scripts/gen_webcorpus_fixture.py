@@ -1,0 +1,48 @@
+"""Materialize the deterministic synthetic web corpus to a committed
+parquet fixture so the driver's DuckDB oracle can see the BASELINE-shape
+(url, warc_ts, html, text, lang) input that `corpus_pipeline` /
+`pii_scrub_hashes` run on.
+
+Every row is make_doc(doc_id, seed=42) — the exact same pure function
+`synth_webpages` maps over `spark.range(n)` — so the committed bytes
+equal what the Spark queries generate in memory at any parallelism.
+Regenerate only if make_doc changes (tests pin the content hash).
+
+Usage: python scripts/gen_webcorpus_fixture.py [n]
+"""
+from __future__ import annotations
+
+import pathlib
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from metacrafter_spark.corpus.webpages import make_doc  # noqa: E402
+
+OUT = pathlib.Path(__file__).resolve().parent.parent / (
+    "tests/fixtures/webcorpus/webcorpus_2000.parquet"
+)
+
+
+def main(n: int = 2000) -> None:
+    rows = [make_doc(i, seed=42) for i in range(n)]
+    table = pa.table(
+        {
+            "url": pa.array([r["url"] for r in rows], pa.string()),
+            "warc_ts": pa.array([r["warc_ts"] for r in rows],
+                                pa.timestamp("us")),
+            "html": pa.array([r["html"] for r in rows], pa.binary()),
+            "text": pa.array([r["text"] for r in rows], pa.string()),
+            "lang": pa.array([r["lang"] for r in rows], pa.string()),
+        }
+    )
+    OUT.parent.mkdir(parents=True, exist_ok=True)
+    pq.write_table(table, OUT, compression="zstd")
+    print(f"wrote {OUT} ({OUT.stat().st_size} bytes, {n} rows)")
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 2000)

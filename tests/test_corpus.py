@@ -355,3 +355,20 @@ def test_with_toxicity_max_words_scope(spark):
     assert full["tox_n"] == 1 and full["tox_any"]
     # the scrub always masks the full text — with max_words=0 they agree
     assert scrub_toxic(df, "text", ("badword",)).first()["text"].endswith("***")
+
+
+def test_webcorpus_fixture_matches_live_generation(spark):
+    """The committed parquet fixture (DuckDB oracle input for
+    corpus_pipeline / pii_scrub_hashes) must stay byte-identical to what
+    synth_webpages generates live — both are make_doc(i, seed=42)."""
+    import pathlib
+
+    fx = pathlib.Path(__file__).parent / "fixtures/webcorpus/webcorpus_2000.parquet"
+    disk = spark.read.parquet(str(fx)).orderBy("url").collect()
+    live = synth_webpages(spark, 2000, seed=42, partitions=8).orderBy("url").collect()
+    assert len(disk) == len(live) == 2000
+    for a, b in zip(disk, live):
+        assert a["url"] == b["url"]
+        assert a["text"] == b["text"], a["url"]
+        assert bytes(a["html"]) == bytes(b["html"]), a["url"]
+        assert a["lang"] == b["lang"] and a["warc_ts"] == b["warc_ts"]

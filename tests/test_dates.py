@@ -345,3 +345,25 @@ def test_property_abbr_month_dates_first_match(dt, template):
         assert got in (want, may_alias), value
     else:
         assert got == want, (value, got)
+
+
+def test_date_family_map_in_sync():
+    """The committed auditor manifest (tests/golden/date_family_map.json,
+    the qddate folding map) must track the live battery: same keys in the
+    same order, and every recorded example still first-matches its own
+    family."""
+    import json
+    import pathlib
+
+    doc = json.loads(
+        (pathlib.Path(__file__).parent / "golden/date_family_map.json")
+        .read_text(encoding="utf8")
+    )
+    fams = doc["families"]
+    assert doc["n_families"] == len(fams) == len(DATE_PATTERNS)
+    for idx, ((key, pattern), entry) in enumerate(zip(DATE_PATTERNS, fams)):
+        assert entry["index"] == idx and entry["key"] == key
+        assert entry["pattern"] == pattern
+        assert entry["examples"], key  # every family carries audit examples
+        for ex in entry["examples"]:
+            assert first_match_key_index(ex) == idx, (key, ex)
