@@ -759,6 +759,109 @@ def q_ivf_topk(spark, sf_dir):
     )
 
 
+def _ann_recall(spark, sf_dir, engine: str):
+    """Driver-visible ANN recall on PLANTED near-duplicates (round 4).
+
+    The driver's ``embeddings`` table is unstructured random noise, on
+    which sublinear search has no neighborhood structure to exploit (at
+    bits=8/nprobe=4 both engines recover ~30-70% of arbitrary top-5 —
+    a property of the data, not the index).  The production question —
+    does the index retrieve TRUE near-duplicates? — is answered by
+    planting them deterministically: each of 20 query vectors gets 4
+    clones at per-coordinate perturbations ``x·(1 + 0.02j·(±1 by index
+    parity))`` (cos ≈ 0.997-0.9998 vs noise max ≈ 0.5), built with pure
+    double arithmetic that DuckDB replays exactly.  Exact top-5 per
+    query = self + its 4 clones; the query emits those rows (fully
+    SQL-checkable: cosine + rank) plus ``recall_ok``, computed IN-QUERY:
+    true iff the approximate engine recovered ≥ 90/100 of the exact
+    ids.  The oracle expects TRUE (the fingerprints ``fp_stable``
+    invariant pattern), so a recall regression in the deterministic
+    planes/centroids flips every row and fails the value hash.  The
+    intersection count never leaves the plan — one broadcast 1-row
+    cross join, no driver-side collect; unit bounds on the structured
+    fixtures (multi-probe ≥ 0.9, IVF ≥ 0.9 @ nprobe=4) remain in
+    tests."""
+    from metacrafter_spark.ops.similarity import (
+        ivf_topk,
+        lsh_topk,
+        topk_join,
+        train_ivf_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    queries = base.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("embedding")
+    )
+    # 4 clones per query: vec_id = 1_000_000 + qid*10 + j, j = 1..4
+    sign = lambda i: F.when(i % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))  # noqa: E731
+    clones = queries.crossJoin(spark.range(1, 5).toDF("j")).select(
+        (F.lit(1_000_000) + F.col("qid") * 10 + F.col("j")).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x * (F.lit(1.0) + F.lit(0.02) * F.col("j") * sign(i)),
+        ).alias("embedding"),
+    )
+    corpus = base.select("vec_id", F.col("v").alias("embedding")).unionByName(clones)
+    k, n_queries, threshold = 5, 20, 0.9
+    exact = topk_join(queries, corpus, k=k)
+    if engine == "lsh":
+        dim = len(emb.select("embedding").first()[0])
+        approx = lsh_topk(queries, corpus, dim=dim, k=k, bits=8, multiprobe=2)
+    else:
+        cents = train_ivf_centroids(corpus, nlist=16, sample=2048, seed=42)
+        approx = ivf_topk(queries, corpus, cents, k=k, nprobe=4)
+    need = int(threshold * k * n_queries)  # 90 of the 100 exact ids
+    ok = (
+        exact.select("qid", "vec_id")
+        .join(approx.select("qid", "vec_id"), ["qid", "vec_id"])
+        .agg((F.count(F.lit(1)) >= need).alias("recall_ok"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(ok))
+        .select("qid", "vec_id", F.round("cosine", 4).alias("cosine"),
+                "rank", "recall_ok")
+        .orderBy("qid", "rank")
+    )
+
+
+#: shared oracle for lsh_recall / ivf_recall: the exact top-5 per query
+#: (cosine + deterministic rank tie-break on vec_id) with the expected
+#: recall_ok = TRUE invariant column
+_ANN_RECALL_ORACLE = """
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 20),
+    clones AS (
+      SELECT 1000000 + q.qid * 10 + r.j AS vec_id,
+             list_transform(q.qv, (x, i) ->
+               x * (1.0 + 0.02 * r.j *
+                    CASE WHEN (i - 1) % 2 = 0 THEN 1.0 ELSE -1.0 END)) AS v
+      FROM q CROSS JOIN range(1, 5) r(j)),
+    corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL SELECT vec_id, v FROM clones),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             list_cosine_similarity(e.v, q.qv) AS cos,
+             row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY list_cosine_similarity(e.v, q.qv) DESC,
+                        e.vec_id) AS rank
+      FROM corpus e CROSS JOIN q)
+    SELECT qid, vec_id, round(cos, 4) AS cosine, CAST(rank AS INT) AS rank,
+           TRUE AS recall_ok
+    FROM scored WHERE rank <= 5 ORDER BY qid, rank
+"""
+
+
+def q_lsh_recall(spark, sf_dir):
+    return _ann_recall(spark, sf_dir, "lsh")
+
+
+def q_ivf_recall(spark, sf_dir):
+    return _ann_recall(spark, sf_dir, "ivf")
+
+
 #: committed materialization of synth_webpages(2000, seed=42) — same
 #: pure function of (seed, doc_id), written by
 #: scripts/gen_webcorpus_fixture.py so the driver's DuckDB can replay
@@ -1001,6 +1104,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cascade in SQL — see the query docstrings
         "corpus_pipeline": q_corpus_pipeline,
         "pii_scrub_hashes": q_pii_scrub,
+        # hash-green ANN quality bars (round 4): exact top-k rows are
+        # SQL-replayed; recall_ok is computed in-query vs the exact set
+        # (oracle expects TRUE — the fp_stable invariant pattern)
+        "lsh_recall": q_lsh_recall,
+        "ivf_recall": q_ivf_recall,
         # rows-only, each with its reason no SQL oracle exists:
         # - minhash_near_dups: xxhash64 signatures (no DuckDB twin);
         #   the sha256-family twin minhash_near_dups_sha IS oracle-checked
@@ -1286,6 +1394,12 @@ def oracle_sql() -> dict[str, str]:
                                             CAST(qv AS DOUBLE[])) DESC, vec_id
             LIMIT 10
         """,
+        # exact top-5 per query replayed in SQL; recall_ok is the
+        # in-query ANN quality invariant — the oracle expects TRUE
+        # (same contract as fingerprints.fp_stable): a recall regression
+        # in the deterministic planes/centroids flips every row
+        "lsh_recall": _ANN_RECALL_ORACLE,
+        "ivf_recall": _ANN_RECALL_ORACLE,
         "dup_span_stats": r"""
             WITH w AS (
               SELECT doc_id,
