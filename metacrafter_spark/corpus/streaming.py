@@ -45,8 +45,15 @@ def stream_classify(
     *,
     scrub_rules: Optional[tuple[SpanRule, ...]] = None,
     available_now: bool = True,
+    fault_hook=None,
 ):
-    """Start (and by default drain) the streaming classify job."""
+    """Start (and by default drain) the streaming classify job.
+
+    ``fault_hook(batch_id)`` (test-only) runs between the sink's two
+    writes — after the corpus partitions land but before metrics — so a
+    raise simulates a crash between sink side-effects and the streaming
+    checkpoint commit.  The failure-injection test uses it to prove the
+    dynamic-partition-overwrite replay recovers byte-for-byte."""
     rules = scrub_rules if scrub_rules is not None else default_scrub_rules()
     stream = read_webpage_stream(spark, input_path)
     classified = classify_corpus(stream, scrub_rules=rules)
@@ -65,6 +72,8 @@ def stream_classify(
             (out.write.mode("overwrite")
              .option("partitionOverwriteMode", "dynamic")
              .partitionBy("batch_id", "bucket_id").parquet(output_path))
+            if fault_hook is not None:
+                fault_hook(batch_id)
             (bucket_metrics(out.drop("batch_id"), rules,
                             run_id=f"stream-{batch_id}")
              .withColumn("batch_id", F.lit(batch_id))

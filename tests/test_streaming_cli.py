@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import json
 
+import pytest
 from pyspark.sql import functions as F
 
 from metacrafter_spark.corpus.streaming import stream_classify
@@ -254,3 +255,69 @@ def test_cli_dedup_and_decontaminate(spark, tmp_path):
            for r in spark.read.parquet(out2).collect()}
     # every doc shares the long base prefix with the benchmark doc
     assert got[0] is True and all(got.values())
+
+
+def test_stream_classify_failure_injection_recovers_exactly(spark, tmp_path):
+    """Kill the stream mid-batch — after the corpus partitions land but
+    before metrics / checkpoint commit — simulate a torn partition write
+    on top, restart, and require the recovered tables to equal a clean
+    single run byte-for-byte (the exactly-once claim, previously tested
+    only via replay-adds-nothing)."""
+    import pyspark.errors
+
+    corpus = synth_webpages(spark, 120, partitions=16)  # 16 files → 2 batches
+    src = str(tmp_path / "in")
+    corpus.write.parquet(src)
+
+    # clean reference run
+    out_c, met_c, ck_c = (str(tmp_path / p) for p in ("outc", "metc", "ckc"))
+    stream_classify(spark, src, out_c, met_c, ck_c)
+    clean = spark.read.parquet(out_c)
+    assert clean.count() == 120
+
+    # faulty run: crash inside the FIRST batch's sink, between writes
+    out_f, met_f, ck_f = (str(tmp_path / p) for p in ("outf", "metf", "ckf"))
+
+    def boom(batch_id):
+        raise RuntimeError(f"injected crash in batch {batch_id}")
+
+    with pytest.raises(pyspark.errors.exceptions.base.PySparkException):
+        stream_classify(spark, src, out_f, met_f, ck_f, fault_hook=boom)
+    # partial state: some corpus partitions exist, batch never committed
+    partial = spark.read.parquet(out_f)
+    n_partial = partial.count()
+    assert 0 < n_partial < 120
+    import pathlib
+    assert not pathlib.Path(met_f).exists() or \
+        spark.read.parquet(met_f).count() == 0
+
+    # torn-write simulation: plant garbage rows inside one partition the
+    # replay must overwrite (same batch, same bucket)
+    row = partial.limit(1).collect()[0]
+    garbage_dir = (f"{out_f}/batch_id={row['batch_id']}"
+                   f"/bucket_id={row['bucket_id']}")
+    partial.limit(5).drop("batch_id", "bucket_id").write.mode("append") \
+        .parquet(garbage_dir)
+    assert spark.read.parquet(out_f).count() == n_partial + 5
+
+    # restart with the same checkpoint: uncommitted batch replays and
+    # overwrites its own partitions (incl. the torn one), then batch 2
+    stream_classify(spark, src, out_f, met_f, ck_f)
+    rec = spark.read.parquet(out_f)
+    assert rec.count() == 120
+    assert rec.select("url").distinct().count() == 120  # no duplicates
+    a = {r["url"]: (r["text_scrubbed"], r["keep"], r["drop_reason"])
+         for r in clean.collect()}
+    b = {r["url"]: (r["text_scrubbed"], r["keep"], r["drop_reason"])
+         for r in rec.collect()}
+    assert a == b
+    # metrics equal the clean run per bucket (summed over batches)
+    mc = {r["bucket_id"]: (r["d"], r["k"], r["p"]) for r in
+          spark.read.parquet(met_c).groupBy("bucket_id")
+          .agg(F.sum("n_docs").alias("d"), F.sum("n_keep").alias("k"),
+               F.sum("pii_spans").alias("p")).collect()}
+    mf = {r["bucket_id"]: (r["d"], r["k"], r["p"]) for r in
+          spark.read.parquet(met_f).groupBy("bucket_id")
+          .agg(F.sum("n_docs").alias("d"), F.sum("n_keep").alias("k"),
+               F.sum("pii_spans").alias("p")).collect()}
+    assert mc == mf
