@@ -285,13 +285,21 @@ def scan_file(
                 raise ValueError(f"no data rows in {path}")
             return spark.createDataFrame(records)
     if fmt == "xls":
-        # Legacy BIFF binary — genuinely needs xlrd (not installable here).
         try:
             import pandas as pd
 
             return spark.createDataFrame(pd.read_excel(path))
-        except ImportError as e:
-            raise NotImplementedError("legacy .xls needs xlrd") from e
+        except ImportError:
+            # xlrd absent: pure-stdlib BIFF8 reader (io/xls_codec.py —
+            # clean-room from [MS-CFB]+[MS-XLS]; same header-keyed record
+            # shape as the reference's iterabledata rows).  Pre-BIFF8
+            # workbooks still raise NotImplementedError inside the codec.
+            from metacrafter_spark.io.xls_codec import read_xls
+
+            records = read_xls(path, sheet=options.get("sheet"))
+            if not records:
+                raise ValueError(f"no data rows in {path}")
+            return spark.createDataFrame(records)
     if fmt == "bson":
         try:
             from bson import decode_file_iter  # type: ignore

@@ -1,0 +1,532 @@
+"""Pure-stdlib legacy .xls (BIFF8) reader + minimal writer.
+
+Clean-room from the PUBLIC Microsoft open-specification documents:
+[MS-CFB] (Compound File Binary: the OLE2 container — header, FAT,
+directory, mini stream) and [MS-XLS] (the BIFF8 record grammar inside
+the ``Workbook`` stream).  The reference reads .xls through the
+``iterabledata`` package (reference core.py:20 ``open_iterable``,
+format list core.py:34-49) yielding one dict per row keyed by the
+header row; :func:`read_xls` reproduces that record shape with zero
+third-party dependencies, mirroring ``io/xlsx_codec.py``'s scope.
+
+Reader scope (the records data tables actually use):
+- container: CFB v3 (512-byte sectors), DIFAT header entries + DIFAT
+  sectors, FAT chains, directory, mini FAT / mini stream for streams
+  under the 4096-byte cutoff;
+- globals substream: BOF (BIFF8 only — older BIFF5/7 raises
+  NotImplementedError, same honest gate as before), BOUNDSHEET sheet
+  directory, SST shared strings incl. CONTINUE splits (each
+  continuation restarts with its own compression flag byte —
+  [MS-XLS] 2.5.293 XLUnicodeRichExtendedString);
+- sheet substreams: LABELSST, NUMBER, RK, MULRK, LABEL, BOOLERR,
+  BLANK/MULBLANK (ignored), FORMULA cached numeric/boolean results
+  (string formula results read the following STRING record).
+
+The writer (:func:`write_xls`) emits the same subset — one sheet,
+SST + LABELSST/NUMBER cells inside a spec-shaped CFB container (FAT,
+directory, mini FAT, mini stream) — used both as a sink and as the
+spec fixture generator for the round-trip conformance tests.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Any, Iterator, Optional
+
+# ---------------------------------------------------------------------------
+# [MS-CFB] container reader
+# ---------------------------------------------------------------------------
+
+_CFB_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+_FREESECT = 0xFFFFFFFF
+_ENDOFCHAIN = 0xFFFFFFFE
+_FATSECT = 0xFFFFFFFD
+_DIFSECT = 0xFFFFFFFC
+
+
+class CfbFile:
+    """Minimal [MS-CFB] reader: directory listing + stream extraction."""
+
+    def __init__(self, data: bytes):
+        if data[:8] != _CFB_MAGIC:
+            raise ValueError("not a compound (OLE2) file")
+        (self.sector_shift,) = struct.unpack_from("<H", data, 30)
+        (self.mini_shift,) = struct.unpack_from("<H", data, 32)
+        (self.n_fat,) = struct.unpack_from("<I", data, 44)
+        (self.dir_start,) = struct.unpack_from("<I", data, 48)
+        (self.mini_cutoff,) = struct.unpack_from("<I", data, 56)
+        (self.minifat_start,) = struct.unpack_from("<I", data, 60)
+        (self.n_minifat,) = struct.unpack_from("<I", data, 64)
+        (self.difat_start,) = struct.unpack_from("<I", data, 68)
+        (self.n_difat,) = struct.unpack_from("<I", data, 72)
+        self.data = data
+        self.ssz = 1 << self.sector_shift
+        self.msz = 1 << self.mini_shift
+
+        # DIFAT: 109 entries in the header, then DIFAT sector chain
+        difat = list(struct.unpack_from("<109I", data, 76))
+        sec = self.difat_start
+        for _ in range(self.n_difat):
+            raw = self._sector(sec)
+            entries = struct.unpack(f"<{self.ssz // 4}I", raw)
+            difat.extend(entries[:-1])
+            sec = entries[-1]
+            if sec in (_ENDOFCHAIN, _FREESECT):
+                break
+        self.fat: list[int] = []
+        for s in difat:
+            if s in (_FREESECT, _ENDOFCHAIN):
+                continue
+            self.fat.extend(struct.unpack(f"<{self.ssz // 4}I", self._sector(s)))
+
+        dir_bytes = self._read_chain(self.dir_start)
+        self.entries = []
+        for off in range(0, len(dir_bytes), 128):
+            e = dir_bytes[off:off + 128]
+            if len(e) < 128:
+                break
+            (name_len,) = struct.unpack_from("<H", e, 64)
+            obj_type = e[66]
+            if obj_type == 0 or name_len < 2:
+                continue
+            name = e[: name_len - 2].decode("utf-16-le")
+            (start,) = struct.unpack_from("<I", e, 116)
+            (size,) = struct.unpack_from("<Q", e, 120)
+            self.entries.append((name, obj_type, start, size))
+        root = next(e for e in self.entries if e[1] == 5)
+        self._mini_container = self._read_chain(root[2])[: root[3]]
+        self.minifat: list[int] = []
+        if self.n_minifat:
+            mf = self._read_chain(self.minifat_start)
+            self.minifat = list(struct.unpack(f"<{len(mf) // 4}I", mf))
+
+    def _sector(self, n: int) -> bytes:
+        off = 512 + n * self.ssz
+        return self.data[off:off + self.ssz]
+
+    def _read_chain(self, start: int) -> bytes:
+        out, sec, seen = [], start, set()
+        while sec not in (_ENDOFCHAIN, _FREESECT):
+            if sec in seen:
+                raise ValueError("FAT chain cycle")
+            seen.add(sec)
+            out.append(self._sector(sec))
+            sec = self.fat[sec]
+        return b"".join(out)
+
+    def _read_mini_chain(self, start: int, size: int) -> bytes:
+        out, sec, seen = [], start, set()
+        while sec not in (_ENDOFCHAIN, _FREESECT):
+            if sec in seen:
+                raise ValueError("miniFAT chain cycle")
+            seen.add(sec)
+            off = sec * self.msz
+            out.append(self._mini_container[off:off + self.msz])
+            sec = self.minifat[sec]
+        return b"".join(out)[:size]
+
+    def stream(self, name: str) -> bytes:
+        for n, typ, start, size in self.entries:
+            if typ == 2 and n == name:
+                if size < self.mini_cutoff:
+                    return self._read_mini_chain(start, size)
+                return self._read_chain(start)[:size]
+        raise KeyError(name)
+
+
+# ---------------------------------------------------------------------------
+# [MS-XLS] BIFF8 record grammar
+# ---------------------------------------------------------------------------
+
+_BOF, _EOF, _CONTINUE = 0x0809, 0x000A, 0x003C
+_BOUNDSHEET, _SST = 0x0085, 0x00FC
+_LABELSST, _NUMBER, _RK, _MULRK = 0x00FD, 0x0203, 0x027E, 0x00BD
+_LABEL, _BOOLERR, _FORMULA, _STRING = 0x0204, 0x0205, 0x0006, 0x0207
+
+
+def _records(stream: bytes) -> Iterator[tuple[int, int, bytes]]:
+    """(opcode, offset, payload) triples; CONTINUE stays separate."""
+    pos = 0
+    while pos + 4 <= len(stream):
+        op, ln = struct.unpack_from("<HH", stream, pos)
+        yield op, pos, stream[pos + 4:pos + 4 + ln]
+        pos += 4 + ln
+
+
+def _rk_value(rk: int) -> float:
+    cent = rk & 0x01
+    if rk & 0x02:  # 30-bit signed integer
+        v = rk >> 2
+        if v & (1 << 29):
+            v -= 1 << 30
+        val = float(v)
+    else:          # high 30 bits of an IEEE double
+        val = struct.unpack("<d", struct.pack("<Q", (rk & ~0x3) << 32))[0]
+    return val / 100.0 if cent else val
+
+
+class _SstReader:
+    """XLUnicodeRichExtendedString array across SST + CONTINUE payloads.
+
+    Per [MS-XLS] 2.5.293: a string split across a record boundary
+    restarts in the continuation with a fresh fHighByte flag byte, so
+    the two halves may use different compressions.
+    """
+
+    def __init__(self, parts: list[bytes]):
+        self.parts = parts
+        self.ip = 0          # part index
+        self.off = 0         # offset within part
+        self.fresh_boundary = False
+
+    def _avail(self) -> int:
+        return len(self.parts[self.ip]) - self.off
+
+    def _advance_part(self) -> None:
+        self.ip += 1
+        self.off = 0
+        self.fresh_boundary = True
+
+    def take(self, n: int) -> bytes:
+        out = b""
+        while n:
+            if self._avail() == 0:
+                self._advance_part()
+                continue
+            chunk = self.parts[self.ip][self.off:self.off + n]
+            self.off += len(chunk)
+            n -= len(chunk)
+            out += chunk
+            self.fresh_boundary = False
+        return out
+
+    def read_chars(self, cch: int, high: bool) -> str:
+        """Read cch characters; at each CONTINUE boundary a new flag
+        byte states the (possibly different) compression of the rest."""
+        out = []
+        while cch:
+            if self._avail() == 0:
+                self._advance_part()
+                high = bool(self.take(1)[0] & 0x01)
+            width = 2 if high else 1
+            can = min(cch, self._avail() // width)
+            if can == 0:
+                raise ValueError("string split mid-character (malformed SST)")
+            raw = self.take(can * width)
+            out.append(raw.decode("utf-16-le" if high else "latin-1"))
+            cch -= can
+        return "".join(out)
+
+    def read_string(self) -> str:
+        cch = struct.unpack("<H", self.take(2))[0]
+        flags = self.take(1)[0]
+        high = bool(flags & 0x01)
+        n_runs = struct.unpack("<H", self.take(2))[0] if flags & 0x08 else 0
+        ext = struct.unpack("<I", self.take(4))[0] if flags & 0x04 else 0
+        s = self.read_chars(cch, high)
+        if n_runs:
+            self.take(4 * n_runs)
+        if ext:
+            self.take(ext)
+        return s
+
+
+def _unicode_string_8(payload: bytes, off: int) -> str:
+    """Single-record XLUnicodeString (LABEL / BOUNDSHEET names)."""
+    (cch,) = struct.unpack_from("<H", payload, off)
+    flags = payload[off + 2]
+    if flags & 0x01:
+        return payload[off + 3:off + 3 + 2 * cch].decode("utf-16-le")
+    return payload[off + 3:off + 3 + cch].decode("latin-1")
+
+
+def parse_workbook(stream: bytes) -> dict[str, dict[tuple[int, int], Any]]:
+    """BIFF8 Workbook stream → {sheet_name: {(row, col): value}}."""
+    recs = list(_records(stream))
+    if not recs or recs[0][0] != _BOF:
+        raise ValueError("no BOF record — not a BIFF stream")
+    (vers,) = struct.unpack_from("<H", recs[0][2], 0)
+    if vers != 0x0600:
+        raise NotImplementedError(
+            f"only BIFF8 (version 0x0600) is supported, got 0x{vers:04x}"
+        )
+
+    sst: list[str] = []
+    sheets: list[tuple[int, str]] = []  # (stream offset, name)
+    i = 0
+    while i < len(recs):
+        op, _pos, payload = recs[i]
+        if op == _EOF:
+            i += 1
+            break
+        if op == _BOUNDSHEET:
+            (bof_pos,) = struct.unpack_from("<I", payload, 0)
+            # name is a ShortXLUnicodeString: u8 length
+            cch, flags = payload[6], payload[7]
+            raw = payload[8:8 + cch * (2 if flags & 0x01 else 1)]
+            name = raw.decode("utf-16-le" if flags & 0x01 else "latin-1")
+            sheets.append((bof_pos, name))
+        elif op == _SST:
+            parts = [payload]
+            j = i + 1
+            while j < len(recs) and recs[j][0] == _CONTINUE:
+                parts.append(recs[j][2])
+                j += 1
+            rd = _SstReader(parts)
+            rd.take(8)  # total / unique counts
+            (n_unique,) = struct.unpack_from("<I", payload, 4)
+            for _ in range(n_unique):
+                sst.append(rd.read_string())
+            i = j - 1
+        i += 1
+
+    out: dict[str, dict[tuple[int, int], Any]] = {}
+    for bof_pos, name in sheets:
+        cells: dict[tuple[int, int], Any] = {}
+        pending_formula: Optional[tuple[int, int]] = None
+        for op, _pos, payload in _records(stream[bof_pos:]):
+            if op == _EOF:
+                break
+            if op == _LABELSST:
+                r, c, _xf, isst = struct.unpack_from("<HHHI", payload, 0)
+                cells[(r, c)] = sst[isst]
+            elif op == _NUMBER:
+                r, c, _xf = struct.unpack_from("<HHH", payload, 0)
+                cells[(r, c)] = struct.unpack_from("<d", payload, 6)[0]
+            elif op == _RK:
+                r, c, _xf, rk = struct.unpack_from("<HHHI", payload, 0)
+                cells[(r, c)] = _rk_value(rk)
+            elif op == _MULRK:
+                r, c0 = struct.unpack_from("<HH", payload, 0)
+                (c_last,) = struct.unpack_from("<H", payload, len(payload) - 2)
+                for k in range(c_last - c0 + 1):
+                    (rk,) = struct.unpack_from("<I", payload, 4 + 6 * k + 2)
+                    cells[(r, c0 + k)] = _rk_value(rk)
+            elif op == _LABEL:
+                r, c, _xf = struct.unpack_from("<HHH", payload, 0)
+                cells[(r, c)] = _unicode_string_8(payload, 6)
+            elif op == _BOOLERR:
+                r, c, _xf = struct.unpack_from("<HHH", payload, 0)
+                val, is_err = payload[6], payload[7]
+                cells[(r, c)] = None if is_err else bool(val)
+            elif op == _FORMULA:
+                r, c, _xf = struct.unpack_from("<HHH", payload, 0)
+                res = payload[6:14]
+                if res[6:8] == b"\xff\xff":
+                    kind = res[0]
+                    if kind == 0:        # string result → STRING record next
+                        pending_formula = (r, c)
+                    elif kind == 1:      # boolean
+                        cells[(r, c)] = bool(res[2])
+                    else:                # error / blank
+                        cells[(r, c)] = None
+                else:
+                    cells[(r, c)] = struct.unpack("<d", res)[0]
+            elif op == _STRING and pending_formula is not None:
+                rd = _SstReader([payload])
+                cch = struct.unpack("<H", rd.take(2))[0]
+                high = bool(rd.take(1)[0] & 0x01)
+                cells[pending_formula] = rd.read_chars(cch, high)
+                pending_formula = None
+        out[name] = cells
+    return out
+
+
+def read_xls(path: str, sheet: Optional[str] = None) -> list[dict[str, Any]]:
+    """Header-keyed records from a BIFF8 .xls (iterabledata row shape)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    cfb = CfbFile(data)
+    try:
+        stream = cfb.stream("Workbook")
+    except KeyError:
+        stream = cfb.stream("Book")  # BIFF5 name — parse_workbook gates it
+    books = parse_workbook(stream)
+    if sheet is not None:
+        cells = books[sheet]
+    else:
+        cells = next(iter(books.values())) if books else {}
+    if not cells:
+        return []
+    n_rows = max(r for r, _ in cells) + 1
+    n_cols = max(c for _, c in cells) + 1
+    header = [
+        str(cells.get((0, c), f"col{c}")) for c in range(n_cols)
+    ]
+    out = []
+    for r in range(1, n_rows):
+        rec = {header[c]: cells.get((r, c)) for c in range(n_cols)}
+        if any(v is not None for v in rec.values()):
+            out.append(rec)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Minimal BIFF8 + CFB writer (sink + spec-fixture generator)
+# ---------------------------------------------------------------------------
+
+def _rec(op: int, payload: bytes) -> bytes:
+    return struct.pack("<HH", op, len(payload)) + payload
+
+
+def _xl_unicode(s: str, short: bool = False) -> bytes:
+    """XLUnicodeString (u16 cch) / ShortXLUnicodeString (u8 cch)."""
+    try:
+        raw, flags = s.encode("latin-1"), 0
+    except UnicodeEncodeError:
+        raw, flags = s.encode("utf-16-le"), 1
+    head = struct.pack("<B", len(s)) if short else struct.pack("<H", len(s))
+    return head + struct.pack("<B", flags) + raw
+
+
+def _workbook_stream(rows: list[dict[str, Any]], sheet: str) -> bytes:
+    header = list(rows[0].keys()) if rows else []
+    strings: list[str] = []
+    index: dict[str, int] = {}
+
+    def isst(s: str) -> int:
+        if s not in index:
+            index[s] = len(strings)
+            strings.append(s)
+        return index[s]
+
+    cell_recs = []
+    for c, name in enumerate(header):
+        cell_recs.append(_rec(_LABELSST,
+                              struct.pack("<HHHI", 0, c, 15, isst(name))))
+    n_str_cells = 0
+    for r, row in enumerate(rows, start=1):
+        for c, name in enumerate(header):
+            v = row[name]
+            if v is None:
+                continue
+            if isinstance(v, bool):
+                cell_recs.append(_rec(_BOOLERR,
+                                      struct.pack("<HHHBB", r, c, 15,
+                                                  int(v), 0)))
+            elif isinstance(v, (int, float)):
+                cell_recs.append(_rec(_NUMBER,
+                                      struct.pack("<HHHd", r, c, 15,
+                                                  float(v))))
+            else:
+                cell_recs.append(_rec(_LABELSST,
+                                      struct.pack("<HHHI", r, c, 15,
+                                                  isst(str(v)))))
+                n_str_cells += 1
+    sst_payload = struct.pack("<II", len(header) + n_str_cells, len(strings))
+    for s in strings:
+        sst_payload += _xl_unicode(s)
+
+    def bof(substream_type: int) -> bytes:
+        # [MS-XLS] 2.4.21 BOF: vers, dt, rupBuild, rupYear, bfh, sfo
+        return _rec(_BOF, struct.pack("<HHHHII", 0x0600, substream_type,
+                                      0x0DBB, 0x07CC, 0, 0))
+
+    sheet_stream = bof(0x0010) + b"".join(cell_recs) + _rec(_EOF, b"")
+
+    # globals substream; BOUNDSHEET's BOF offset equals the globals size,
+    # which depends only on the sheet-name length — compute in two passes
+    def globals_part(bof_offset: int) -> bytes:
+        bs = (struct.pack("<IBB", bof_offset, 0, 0)  # pos, visibility, type
+              + _xl_unicode(sheet, short=True))
+        return (
+            bof(0x0005)
+            + _rec(_BOUNDSHEET, bs)
+            + _rec(_SST, sst_payload)
+            + _rec(_EOF, b"")
+        )
+
+    size = len(globals_part(0))
+    return globals_part(size) + sheet_stream
+
+
+def _cfb_container(stream: bytes) -> bytes:
+    """Wrap one 'Workbook' stream in a [MS-CFB] v3 container.
+
+    Streams under the 4096-byte cutoff live in the mini stream (per
+    spec); larger ones get a plain FAT chain.  Layout: sector 0 = FAT,
+    sector 1 = directory, then miniFAT + mini-stream / stream sectors.
+    """
+    ssz, msz = 512, 64
+    use_mini = len(stream) < 4096
+
+    def pad(b: bytes, n: int) -> bytes:
+        return b + b"\x00" * (-len(b) % n)
+
+    if use_mini:
+        mini = pad(stream, msz)
+        n_mini = len(mini) // msz
+        minifat = [i + 1 for i in range(n_mini - 1)] + [_ENDOFCHAIN]
+        minifat_bytes = pad(struct.pack(f"<{n_mini}I", *minifat), ssz)
+        n_minifat_sec = len(minifat_bytes) // ssz
+        container = pad(mini, ssz)
+        n_cont = len(container) // ssz
+        # sectors: 0 FAT, 1 dir, 2..2+n_minifat_sec-1 miniFAT, then container
+        minifat_start, cont_start = 2, 2 + n_minifat_sec
+        fat = [_FATSECT, _ENDOFCHAIN]
+        fat += [minifat_start + i + 1 for i in range(n_minifat_sec - 1)] + [_ENDOFCHAIN]
+        fat += [cont_start + i + 1 for i in range(n_cont - 1)] + [_ENDOFCHAIN]
+        body_sectors = minifat_bytes + container
+        root_start, root_size = cont_start, len(container)
+        wb_start, wb_size = 0, len(stream)
+        n_minifat_entries = n_mini
+    else:
+        body = pad(stream, ssz)
+        n_body = len(body) // ssz
+        fat = [_FATSECT, _ENDOFCHAIN]
+        fat += [2 + i + 1 for i in range(n_body - 1)] + [_ENDOFCHAIN]
+        body_sectors = body
+        minifat_start, n_minifat_sec, n_minifat_entries = _ENDOFCHAIN, 0, 0
+        root_start, root_size = _ENDOFCHAIN, 0
+        wb_start, wb_size = 2, len(stream)
+
+    if len(fat) > ssz // 4:
+        raise ValueError("stream too large for the minimal single-FAT writer")
+    fat_bytes = struct.pack(
+        f"<{ssz // 4}I", *(fat + [_FREESECT] * (ssz // 4 - len(fat)))
+    )
+
+    def dir_entry(name: str, typ: int, start: int, size: int,
+                  color: int = 1, child: int = _FREESECT) -> bytes:
+        raw = name.encode("utf-16-le") + b"\x00\x00"
+        e = raw.ljust(64, b"\x00")
+        e += struct.pack("<HBB", len(raw), typ, color)
+        e += struct.pack("<III", _FREESECT, _FREESECT, child)  # siblings/child
+        e += b"\x00" * 16  # CLSID
+        e += b"\x00" * 4   # state bits
+        e += b"\x00" * 16  # timestamps
+        e += struct.pack("<I", start)
+        e += struct.pack("<Q", size)
+        return e
+
+    directory = (
+        dir_entry("Root Entry", 5, root_start, root_size, child=1)
+        + dir_entry("Workbook", 2, wb_start, wb_size)
+        + b"\x00" * 128 * 2
+    )
+
+    header = bytearray(512)
+    header[0:8] = _CFB_MAGIC
+    struct.pack_into("<H", header, 24, 0x003E)   # minor version
+    struct.pack_into("<H", header, 26, 0x0003)   # major version 3
+    struct.pack_into("<H", header, 28, 0xFFFE)   # little-endian
+    struct.pack_into("<H", header, 30, 9)        # sector shift → 512
+    struct.pack_into("<H", header, 32, 6)        # mini shift → 64
+    struct.pack_into("<I", header, 44, 1)        # one FAT sector
+    struct.pack_into("<I", header, 48, 1)        # directory at sector 1
+    struct.pack_into("<I", header, 56, 4096)     # mini cutoff
+    struct.pack_into("<I", header, 60,
+                     minifat_start if n_minifat_sec else _ENDOFCHAIN)
+    struct.pack_into("<I", header, 64, n_minifat_sec)
+    struct.pack_into("<I", header, 68, _ENDOFCHAIN)  # no DIFAT sectors
+    struct.pack_into("<I", header, 72, 0)
+    difat = [0] + [_FREESECT] * 108
+    struct.pack_into("<109I", header, 76, *difat)
+
+    return bytes(header) + fat_bytes + directory.ljust(ssz, b"\x00") + body_sectors
+
+
+def write_xls(path: str, rows: list[dict[str, Any]],
+              sheet: str = "Sheet1") -> None:
+    with open(path, "wb") as f:
+        f.write(_cfb_container(_workbook_stream(rows, sheet)))

@@ -253,3 +253,127 @@ def test_scan_file_bson(spark, tmp_path):
     rows = sorted(df.collect(), key=lambda r: r["user_id"])
     assert [r["email"] for r in rows] == [f"u{i}@example.com" for i in range(1, 6)]
     assert rows[0]["active"] is False and rows[1]["active"] is True
+
+
+# ---------------------------------------------------------------------------
+# Legacy .xls (BIFF8) codec — clean-room [MS-CFB] + [MS-XLS]
+# ---------------------------------------------------------------------------
+
+from metacrafter_spark.io.xls_codec import (  # noqa: E402
+    CfbFile,
+    _SstReader,
+    _cfb_container,
+    _rec,
+    _rk_value,
+    parse_workbook,
+    read_xls,
+    write_xls,
+)
+
+
+def test_xls_round_trip(tmp_path):
+    rows = [
+        {"id": "1", "name": "John", "score": 12.5, "ok": True},
+        {"id": "2", "name": "Ünïcode ßtr", "score": 3.25, "ok": False},
+        {"id": "3", "name": "Анна Петрова", "score": 100.0, "ok": None},
+    ]
+    p = str(tmp_path / "t.xls")
+    write_xls(p, rows)
+    back = read_xls(p)
+    assert back == rows
+    # sheet selection by name
+    assert read_xls(p, sheet="Sheet1") == rows
+
+
+def test_xls_cfb_container_shape(tmp_path):
+    """The written container parses as spec CFB: magic, FAT, directory,
+    mini stream (stream < 4096 bytes must live in the mini FAT)."""
+    p = str(tmp_path / "t.xls")
+    write_xls(p, [{"a": "x", "b": 1.0}])
+    data = open(p, "rb").read()
+    assert data[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+    cfb = CfbFile(data)
+    names = {n for n, t, _, _ in cfb.entries if t == 2}
+    assert names == {"Workbook"}
+    wb = cfb.stream("Workbook")
+    import struct as _s
+    assert _s.unpack_from("<H", wb, 4)[0] == 0x0600  # BIFF8 BOF version
+    assert len(wb) < 4096 and cfb.n_minifat >= 1     # mini-stream path
+
+
+def test_xls_rk_and_mulrk_decoding():
+    """RK encodings per [MS-XLS] 2.5.276: int, int/100, truncated
+    double, double/100 — exercised via a hand-built sheet stream."""
+    import struct as _s
+
+    assert _rk_value((123 << 2) | 0x02) == 123.0
+    assert _rk_value((12345 << 2) | 0x03) == 123.45
+    packed = _s.unpack("<Q", _s.pack("<d", 2.5))[0]
+    rk_float = ((packed >> 32) & ~0x3)
+    assert _rk_value(rk_float) == 2.5
+    assert _rk_value(rk_float | 0x01) == 0.025
+    neg = (-7 << 2) & 0xFFFFFFFF | 0x02
+    assert _rk_value(neg) == -7.0
+
+    # full stream: globals + one sheet holding RK and MULRK cells
+    def bof(t):
+        return _rec(0x0809, _s.pack("<HHHHII", 0x0600, t, 0, 0, 0, 0))
+
+    sst = _rec(0x00FC, _s.pack("<II", 1, 1) + _s.pack("<HB", 1, 0) + b"h")
+    gl_tail = lambda off: (_rec(0x0085, _s.pack("<IBB", off, 0, 0)
+                                + _s.pack("<BB", 2, 0) + b"S1")
+                           + sst + _rec(0x000A, b""))
+    size = len(bof(0x0005) + gl_tail(0))
+    globals_ = bof(0x0005) + gl_tail(size)
+    mulrk = _s.pack("<HH", 1, 0) + b"".join(
+        _s.pack("<HI", 0, (v << 2) | 0x02) for v in (10, 20, 30)
+    ) + _s.pack("<H", 2)
+    sheet = (bof(0x0010)
+             + _rec(0x00FD, _s.pack("<HHHI", 0, 0, 15, 0))      # LABELSST "h"
+             + _rec(0x027E, _s.pack("<HHHI", 0, 1, 15, (5 << 2) | 0x02))
+             + _rec(0x00BD, mulrk)
+             + _rec(0x000A, b""))
+    books = parse_workbook(globals_ + sheet)
+    cells = books["S1"]
+    assert cells[(0, 0)] == "h" and cells[(0, 1)] == 5.0
+    assert cells[(1, 0)] == 10.0 and cells[(1, 1)] == 20.0 and cells[(1, 2)] == 30.0
+
+
+def test_xls_sst_continue_split_changes_compression():
+    """[MS-XLS] 2.5.293: a string split across SST/CONTINUE restarts
+    with a fresh compression flag — here the first half is compressed,
+    the continuation uncompressed UTF-16."""
+    import struct as _s
+
+    first = _s.pack("<H", 8) + b"\x00" + b"abcd"          # 8 chars, 4 here
+    second = b"\x01" + "efgh".encode("utf-16-le")         # rest, uncompressed
+    rd = _SstReader([first, second])
+    assert rd.read_string() == "abcdefgh"
+    # and a split BETWEEN strings needs no flag byte
+    p1 = _s.pack("<H", 2) + b"\x00" + b"hi"
+    p2 = _s.pack("<H", 2) + b"\x00" + b"yo"
+    rd2 = _SstReader([p1 + p2[:1], p2[1:]])
+    assert rd2.read_string() == "hi" and rd2.read_string() == "yo"
+
+
+def test_xls_biff5_gate():
+    import struct as _s
+
+    old = _rec(0x0809, _s.pack("<HHHHII", 0x0500, 0x0005, 0, 0, 0, 0))
+    with pytest.raises(NotImplementedError, match="BIFF8"):
+        parse_workbook(old + _rec(0x000A, b""))
+    with pytest.raises(ValueError, match="not a compound"):
+        CfbFile(b"PK\x03\x04 definitely not ole2" + b"\x00" * 600)
+
+
+def test_scan_file_xls(spark, tmp_path):
+    p = str(tmp_path / "people.xls")
+    write_xls(p, [
+        {"email": f"u{i}@example.com", "n": float(i), "flag": i % 2 == 0}
+        for i in range(1, 7)
+    ])
+    df = scan_file(spark, p)
+    rows = sorted(df.collect(), key=lambda r: r["n"])
+    assert len(rows) == 6
+    assert rows[0]["email"] == "u1@example.com" and rows[0]["flag"] is False
+    assert rows[5]["n"] == 6.0
