@@ -254,6 +254,22 @@ def main() -> None:
     ))
     assert "Exchange" not in tplan, "toxicity metrics shuffle!"
 
+    # 14. embedding near-dup pairs (round 4): the max_bucket skew guard —
+    # the bucket-count filter must reach the self-join as a BROADCAST
+    # (one small Exchange of (bucket, n) counts, never a corpus-wide
+    # shuffle), mirroring the minhash/simhash guards
+    from metacrafter_spark.ops.similarity import cosine_near_dup_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(400)
+    cplan = plan_of(cosine_near_dup_pairs(emb, threshold=0.9, bits=4))
+    sections.append((
+        "cosine_near_dup_pairs (LSH-bucketed self-join WITH max_bucket "
+        "broadcast count-filter skew guard)",
+        cplan,
+        ["BroadcastExchange", "BroadcastHashJoin"],
+    ))
+    assert "BroadcastExchange" in cplan, "bucket-count guard not broadcast!"
+
     out = ["# BENCH/EXPLAIN — physical-plan audit\n"]
     ok = True
     for title, plan, must in sections:
