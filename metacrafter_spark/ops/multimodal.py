@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from typing import Iterator, Optional
 
 import numpy as np
@@ -38,6 +39,17 @@ FEATURE_DIM = 64
 FEATURES_SCHEMA = "media_id long, kind string, feature array<float>"
 FRAME_SCHEMA = "media_id long, frame_idx int, frame binary"
 _VIDEO_MAGIC = b"MCVF"
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _to_rgb(img: np.ndarray) -> np.ndarray:
+    """Any decode_png output → (h, w, 3) uint8: gray replicates, alpha
+    is dropped (feature extraction and block resize are RGB-shaped)."""
+    if img.ndim == 2:
+        return np.repeat(img[:, :, None], 3, axis=2)
+    if img.shape[2] == 2:      # gray + alpha
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    return img[:, :, :3]       # RGB / RGBA
 
 
 # --------------------------------------------------------------- PPM codec
@@ -154,9 +166,10 @@ def _fake_decode(content: bytes) -> np.ndarray:
 def _decode_external(content: bytes, strict: bool) -> np.ndarray:
     if strict:
         raise NotImplementedError(
-            "media decode for this format requires PIL/ffmpeg — not "
-            "available in this container; run with strict=False for the "
-            "deterministic fallback"
+            "media decode failed: format needs PIL/ffmpeg (jpeg/mp3/mp4 "
+            "— not available in this container) or the payload is "
+            "malformed / an out-of-scope PNG variant; run with "
+            "strict=False for the deterministic fallback"
         )
     return _fake_decode(content)
 
@@ -168,13 +181,19 @@ def _feature_of(content: Optional[bytes], strict: bool) -> Optional[list]:
     try:
         if data.startswith(b"P6"):
             return _image_feature(decode_ppm(data)).tolist()
+        if data[:8] == _PNG_SIG:
+            from metacrafter_spark.ops.png_codec import decode_png
+
+            return _image_feature(_to_rgb(decode_png(data))).tolist()
         if data[:4] == b"RIFF":
             return _audio_feature(decode_wav(data)).tolist()
         if data[:4] == _VIDEO_MAGIC:
             frames = decode_video(data)
             mean = np.stack(frames).mean(axis=0) if frames else np.zeros((8, 8, 3))
             return _image_feature(mean.astype(np.uint8)).tolist()
-    except ValueError:
+    except (ValueError, NotImplementedError, zlib.error):
+        # malformed payloads and documented out-of-scope variants
+        # (Adam7 / 16-bit PNG) follow the strict/fallback contract
         pass
     return _decode_external(data, strict).tolist()
 
@@ -199,11 +218,14 @@ def extract_features(df: DataFrame, *, strict: bool = False) -> DataFrame:
 
 def resize_images(df: DataFrame, out_w: int = 32, out_h: int = 32,
                   *, strict: bool = False) -> DataFrame:
-    """Decode PPM images, block-mean resize, re-encode — real pixels in,
-    real pixels out.  Non-PPM image payloads follow the strict/fallback
-    contract (fallback: content passed through unchanged)."""
+    """Decode PPM/PNG images, block-mean resize, re-encode in the same
+    container — real pixels in, real pixels out.  Other image payloads
+    follow the strict/fallback contract (fallback: content passed
+    through unchanged)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from metacrafter_spark.ops.png_codec import decode_png, encode_png
+
         for b in batches:
             out = []
             for c in b["content"]:
@@ -213,6 +235,13 @@ def resize_images(df: DataFrame, out_w: int = 32, out_h: int = 32,
                 elif data.startswith(b"P6"):
                     out.append(encode_ppm(block_resize(decode_ppm(data),
                                                        out_h, out_w)))
+                elif data[:8] == _PNG_SIG:
+                    try:
+                        img = _to_rgb(decode_png(data))
+                        out.append(encode_png(block_resize(img, out_h, out_w)))
+                    except (ValueError, NotImplementedError, zlib.error):
+                        _decode_external(data, strict)
+                        out.append(data)
                 else:
                     _decode_external(data, strict)
                     out.append(data)
@@ -260,9 +289,11 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, *,
 
 
 def synth_media(spark, n: int, seed: int = 42, partitions: int = 4) -> DataFrame:
-    """Deterministic media table with REAL payloads: P6 PPM images, RIFF
-    PCM16 WAV audio, MCVF frame-stream video — every byte a pure
-    function of (seed, media_id)."""
+    """Deterministic media table with REAL payloads: P6 PPM and PNG
+    images (alternating), RIFF PCM16 WAV audio, MCVF frame-stream video
+    — every byte a pure function of (seed, media_id)."""
+    from metacrafter_spark.ops.png_codec import encode_png
+
     kinds = ["image", "audio", "video"]
     mimes = {"image": "image/x-portable-pixmap", "audio": "audio/wav",
              "video": "video/x-mcvf"}
@@ -273,6 +304,8 @@ def synth_media(spark, n: int, seed: int = 42, partitions: int = 4) -> DataFrame
         if kind == "image":
             w, h = 16 * (1 + i % 8), 16 * (1 + i % 6)
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            if (i // 3) % 2:          # every other image row is a PNG
+                return encode_png(img), w, h, None
             return encode_ppm(img), w, h, None
         if kind == "audio":
             dur = 200 * (1 + i % 10)
@@ -293,8 +326,10 @@ def synth_media(spark, n: int, seed: int = 42, partitions: int = 4) -> DataFrame
                 i = int(i)
                 kind = kinds[i % 3]
                 content, w, h, dur = _payload(i, kind)
+                mime = ("image/png" if content[:8] == _PNG_SIG
+                        else mimes[kind])
                 rows.append({
-                    "media_id": i, "kind": kind, "mime": mimes[kind],
+                    "media_id": i, "kind": kind, "mime": mime,
                     "width": w, "height": h, "duration_ms": dur,
                     "content": content,
                 })

@@ -1,0 +1,199 @@
+"""Pure-stdlib+numpy PNG codec (clean-room from the public PNG spec,
+W3C/RFC 2083).
+
+Gives the multimodal layer a REAL decoder for the most common web image
+format with zero third-party dependencies: a PNG is an 8-byte signature
+plus CRC-framed chunks; pixel data is zlib (stdlib) over per-scanline
+filtered rows.  Decoding = chunk walk → IHDR/PLTE/IDAT → zlib →
+unfilter (None/Sub/Up/Average/Paeth) → channel layout.
+
+Scope (stated, gated honestly):
+- bit depth 8; color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+A),
+  6 (RGBA) — what web images and every test corpus actually use;
+- interlace 0 only (Adam7 raises NotImplementedError);
+- bit depths 1/2/4/16 raise NotImplementedError;
+- ancillary chunks are skipped; chunk CRCs are verified (zlib.crc32).
+
+Conformance is proven TWO-WAY against the JDK's independent ImageIO
+implementation bundled with Spark's JVM (javax.imageio) — the same
+trick the Avro codec uses with the bundled avro jar (see
+tests/test_ops.py::test_png_java_imageio_interop).
+
+The encoder writes filter-0 rows (spec-minimal, universally readable);
+`encode_png(img, filter_type=...)` can force Sub/Up/Average/Paeth rows
+so tests exercise every decoder filter path against the spec formulas.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+#: channels per pixel by PNG color type
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _chunks(data: bytes):
+    pos = 8
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack_from(">I", data, pos)
+        typ = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + ln)
+        if zlib.crc32(typ + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        yield typ, payload
+        pos += 12 + ln
+        if typ == b"IEND":
+            return
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor (spec §6.6), vectorized over a scanline slice."""
+    a16 = a.astype(np.int16)
+    b16 = b.astype(np.int16)
+    c16 = c.astype(np.int16)
+    p = a16 + b16 - c16
+    pa, pb, pc = np.abs(p - a16), np.abs(p - b16), np.abs(p - c16)
+    out = np.where((pa <= pb) & (pa <= pc), a16, np.where(pb <= pc, b16, c16))
+    return out.astype(np.uint8)
+
+
+def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Per-scanline filter reversal.  Up is fully vectorized; Sub /
+    Average / Paeth are sequential in x by definition, so those rows run
+    a per-pixel-group loop (bounded by width — fine for the Arrow-batch
+    UDF shapes this feeds)."""
+    rows = raw.reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    zero = np.zeros(bpp, dtype=np.uint8)
+    for y in range(h):
+        ftype = rows[y, 0]
+        line = rows[y, 1:].copy()
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:
+            out[y] = line
+        elif ftype == 2:  # Up
+            out[y] = line + prev
+        elif ftype == 1:  # Sub
+            for x in range(0, stride, bpp):
+                left = out[y, x - bpp:x] if x else zero
+                out[y, x:x + bpp] = line[x:x + bpp] + left
+        elif ftype == 3:  # Average
+            for x in range(0, stride, bpp):
+                left = out[y, x - bpp:x] if x else zero
+                up = prev[x:x + bpp]
+                avg = ((left.astype(np.uint16) + up.astype(np.uint16)) // 2)
+                out[y, x:x + bpp] = line[x:x + bpp] + avg.astype(np.uint8)
+        elif ftype == 4:  # Paeth
+            for x in range(0, stride, bpp):
+                left = out[y, x - bpp:x] if x else zero
+                up = prev[x:x + bpp]
+                ul = prev[x - bpp:x] if x else zero
+                out[y, x:x + bpp] = line[x:x + bpp] + _paeth(left, up, ul)
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes → uint8 array (h, w) for gray or (h, w, c) otherwise.
+
+    Palette images are expanded to RGB.  Raises ValueError on framing /
+    CRC errors and NotImplementedError on out-of-scope depth/interlace.
+    """
+    if data[:8] != _SIG:
+        raise ValueError("not a PNG (bad signature)")
+    ihdr = None
+    plte = None
+    idat = []
+    for typ, payload in _chunks(data):
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(payload)
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError("PNG nonzero compression/filter method")
+    if interlace != 0:
+        raise NotImplementedError("Adam7 interlace not supported")
+    if depth != 8:
+        raise NotImplementedError(f"bit depth {depth} not supported (8 only)")
+    if ctype not in _CHANNELS:
+        raise ValueError(f"unknown PNG color type {ctype}")
+    ch = _CHANNELS[ctype]
+    stride = w * ch
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if raw.size != h * (stride + 1):
+        raise ValueError("PNG pixel payload size mismatch")
+    img = _unfilter(raw, h, stride, ch)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette image without PLTE")
+        return plte[img.reshape(h, w)]
+    if ch == 1:
+        return img.reshape(h, w)
+    return img.reshape(h, w, ch)
+
+
+def _filter_row(line: np.ndarray, prev: np.ndarray, bpp: int,
+                ftype: int) -> np.ndarray:
+    if ftype == 0:
+        return line
+    if ftype == 2:
+        return line - prev
+    out = np.empty_like(line)
+    zero = np.zeros(bpp, dtype=np.uint8)
+    for x in range(0, len(line), bpp):
+        left = line[x - bpp:x] if x else zero
+        up = prev[x:x + bpp]
+        ul = prev[x - bpp:x] if x else zero
+        if ftype == 1:
+            out[x:x + bpp] = line[x:x + bpp] - left
+        elif ftype == 3:
+            avg = (left.astype(np.uint16) + up.astype(np.uint16)) // 2
+            out[x:x + bpp] = line[x:x + bpp] - avg.astype(np.uint8)
+        elif ftype == 4:
+            out[x:x + bpp] = line[x:x + bpp] - _paeth(left, up, ul)
+        else:
+            raise ValueError(f"unknown filter type {ftype}")
+    return out
+
+
+def _chunk(typ: bytes, payload: bytes) -> bytes:
+    return (struct.pack(">I", len(payload)) + typ + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF))
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """uint8 (h, w) / (h, w, 3) / (h, w, 4) / (h, w, 2) → PNG bytes.
+
+    ``filter_type`` applies one spec filter to every row (0 is the
+    universal default; 1-4 exist so tests drive each decoder path)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        ctype, ch = 0, 1
+    elif img.ndim == 3 and img.shape[2] in (2, 3, 4):
+        ch = img.shape[2]
+        ctype = {2: 4, 3: 2, 4: 6}[ch]
+    else:
+        raise ValueError(f"unsupported image shape {img.shape}")
+    h, w = img.shape[:2]
+    flat = img.reshape(h, w * ch)
+    rows = []
+    prev = np.zeros(w * ch, dtype=np.uint8)
+    for y in range(h):
+        rows.append(bytes([filter_type])
+                    + _filter_row(flat[y], prev, ch, filter_type).tobytes())
+        prev = flat[y]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(b"".join(rows), 6))
+            + _chunk(b"IEND", b""))

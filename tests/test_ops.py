@@ -240,10 +240,18 @@ def test_multimodal_real_codecs(spark):
     again = {r.media_id: r.feature for r in extract_features(media).collect()}
     assert all(again[r.media_id] == r.feature for r in feats)
 
-    # PPM round-trip: decoded shape matches the metadata columns
-    row = media.filter("kind = 'image'").first()
-    img = decode_ppm(bytes(row.content))
-    assert img.shape == (row.height, row.width, 3)
+    # image round-trip: decoded shape matches the metadata columns for
+    # BOTH containers (synth_media alternates PPM and PNG payloads)
+    from metacrafter_spark.ops.png_codec import decode_png
+
+    imgs = media.filter("kind = 'image'").collect()
+    assert {r.mime for r in imgs} == {"image/x-portable-pixmap", "image/png"}
+    for row in imgs:
+        data = bytes(row.content)
+        dec = decode_png(data) if data[:4] == b"\x89PNG"[:4] else decode_ppm(data)
+        assert dec.shape == (row.height, row.width, 3)
+    img = next(decode_ppm(bytes(r.content)) for r in imgs
+               if bytes(r.content).startswith(b"P6"))
     # WAV round-trip: sample count matches duration at 16 kHz
     arow = media.filter("kind = 'audio'").first()
     samples = decode_wav(bytes(arow.content))
@@ -252,9 +260,13 @@ def test_multimodal_real_codecs(spark):
     vrow = media.filter("kind = 'video'").first()
     assert all(f.shape == (16, 16, 3) for f in decode_video(bytes(vrow.content)))
 
-    # resize: real pixels out, exact requested shape
+    # resize: real pixels out, exact requested shape, same container out
     rs = resize_images(media, out_w=8, out_h=8).collect()
-    assert rs and all(decode_ppm(bytes(r.content)).shape == (8, 8, 3) for r in rs)
+    assert rs
+    for r in rs:
+        data = bytes(r.content)
+        dec = decode_png(data) if data[:4] == b"\x89PNG"[:4] else decode_ppm(data)
+        assert dec.shape == (8, 8, 3)
     assert block_resize(img, 8, 8).shape == (8, 8, 3)
 
     # frame sampling yields decodable PPM frames
@@ -686,3 +698,77 @@ def test_sampling_null_strata_and_big_seed(spark):
     b = sorted(r["doc_id"] for r in
                hash_sample(df, "doc_id", 0.3, seed=12345).collect())
     assert a == b and 150 < len(a) < 400
+
+
+def test_png_codec_round_trip_and_errors():
+    import zlib as _z
+
+    import numpy as np
+    from metacrafter_spark.ops.png_codec import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    # every color layout × every filter type the spec defines
+    for shape in [(5, 9), (7, 4, 3), (6, 6, 4), (3, 8, 2)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        for ft in range(5):
+            back = decode_png(encode_png(img, filter_type=ft))
+            assert back.shape == img.shape and (back == img).all(), (shape, ft)
+    # error paths: signature, chunk CRC, truncated IDAT
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"not a png at all")
+    good = bytearray(encode_png(rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)))
+    good[20] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(good))
+    # out-of-scope variants gate honestly
+    import struct as _s
+
+    def chunk(t, p):
+        return _s.pack(">I", len(p)) + t + p + _s.pack(
+            ">I", _z.crc32(t + p) & 0xFFFFFFFF)
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr16 = _s.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    idat = chunk(b"IDAT", _z.compress(b"\x00" * (2 * (2 * 3 * 2 + 1))))
+    with pytest.raises(NotImplementedError, match="bit depth"):
+        decode_png(sig + chunk(b"IHDR", ihdr16) + idat + chunk(b"IEND", b""))
+    adam7 = _s.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    with pytest.raises(NotImplementedError, match="Adam7"):
+        decode_png(sig + chunk(b"IHDR", adam7) + idat + chunk(b"IEND", b""))
+
+
+def test_png_java_imageio_interop(spark):
+    """Two-way conformance against the JDK's independent PNG
+    implementation (javax.imageio, bundled with Spark's JVM) — the same
+    evidence pattern the Avro codec uses with the bundled avro jar."""
+    import numpy as np
+    from metacrafter_spark.ops.png_codec import decode_png, encode_png
+
+    jvm = spark._jvm
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (9, 7, 3), dtype=np.uint8)
+
+    # ours → ImageIO.read: identical pixels
+    data = encode_png(img, filter_type=4)  # exercise Paeth on the way out
+    bais = jvm.java.io.ByteArrayInputStream(bytearray(data))
+    bimg = jvm.javax.imageio.ImageIO.read(bais)
+    assert bimg.getWidth() == 7 and bimg.getHeight() == 9
+    for y in range(9):
+        for x in range(7):
+            argb = bimg.getRGB(x, y) & 0xFFFFFF
+            r, g, b = img[y, x]
+            assert argb == (int(r) << 16) | (int(g) << 8) | int(b), (x, y)
+
+    # ImageIO.write → ours: identical pixels
+    bimg2 = jvm.java.awt.image.BufferedImage(5, 4, 1)  # TYPE_INT_RGB
+    img2 = rng.integers(0, 256, (4, 5, 3), dtype=np.uint8)
+    for y in range(4):
+        for x in range(5):
+            r, g, b = img2[y, x]
+            bimg2.setRGB(x, y, (int(r) << 16) | (int(g) << 8) | int(b))
+    baos = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(bimg2, "png", baos)
+    back = decode_png(bytes(baos.toByteArray()))
+    if back.ndim == 3 and back.shape[2] == 4:
+        back = back[:, :, :3]
+    assert (back == img2).all()
