@@ -185,6 +185,10 @@ def _feature_of(content: Optional[bytes], strict: bool) -> Optional[list]:
             from metacrafter_spark.ops.png_codec import decode_png
 
             return _image_feature(_to_rgb(decode_png(data))).tolist()
+        if data[:2] == b"\xff\xd8":
+            from metacrafter_spark.ops.jpeg_codec import decode_jpeg
+
+            return _image_feature(_to_rgb(decode_jpeg(data))).tolist()
         if data[:4] == b"RIFF":
             return _audio_feature(decode_wav(data)).tolist()
         if data[:4] == _VIDEO_MAGIC:
@@ -235,9 +239,20 @@ def resize_images(df: DataFrame, out_w: int = 32, out_h: int = 32,
                 elif data.startswith(b"P6"):
                     out.append(encode_ppm(block_resize(decode_ppm(data),
                                                        out_h, out_w)))
-                elif data[:8] == _PNG_SIG:
+                elif data[:8] == _PNG_SIG or data[:2] == b"\xff\xd8":
+                    # baseline JPEG decodes for real; the resized result
+                    # re-encodes as PNG (lossless — there is no JPEG
+                    # encoder here, and a resize step should not add a
+                    # second generation of DCT loss anyway)
                     try:
-                        img = _to_rgb(decode_png(data))
+                        if data[:8] == _PNG_SIG:
+                            img = _to_rgb(decode_png(data))
+                        else:
+                            from metacrafter_spark.ops.jpeg_codec import (
+                                decode_jpeg,
+                            )
+
+                            img = _to_rgb(decode_jpeg(data))
                         out.append(encode_png(block_resize(img, out_h, out_w)))
                     except (ValueError, NotImplementedError, zlib.error):
                         _decode_external(data, strict)

@@ -772,3 +772,103 @@ def test_png_java_imageio_interop(spark):
     if back.ndim == 3 and back.shape[2] == 4:
         back = back[:, :, :3]
     assert (back == img2).all()
+
+
+def _java_jpeg_gray(jvm, img):
+    h, w = img.shape
+    b = jvm.java.awt.image.BufferedImage(w, h, 10)  # TYPE_BYTE_GRAY
+    raster = b.getRaster()
+    for y in range(h):
+        for x in range(w):
+            raster.setSample(x, y, 0, int(img[y, x]))
+    baos = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(b, "jpg", baos)
+    return bytes(baos.toByteArray())
+
+
+def _java_jpeg_rgb(jvm, img, progressive=False):
+    h, w = img.shape[:2]
+    b = jvm.java.awt.image.BufferedImage(w, h, 1)  # TYPE_INT_RGB
+    for y in range(h):
+        for x in range(w):
+            r, g, bl = img[y, x]
+            b.setRGB(x, y, (int(r) << 16) | (int(g) << 8) | int(bl))
+    baos = jvm.java.io.ByteArrayOutputStream()
+    if not progressive:
+        assert jvm.javax.imageio.ImageIO.write(b, "jpg", baos)
+        return bytes(baos.toByteArray())
+    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    param = writer.getDefaultWriteParam()
+    param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    out = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(out)
+    writer.write(None, jvm.javax.imageio.IIOImage(b, None, None), param)
+    out.flush()
+    return bytes(baos.toByteArray())
+
+
+def test_jpeg_decoder_conformance_vs_java_imageio(spark):
+    """Baseline JPEG decode vs the JDK's independent implementation.
+    T.81 Annex A permits small IDCT variance between conforming
+    decoders, so grayscale (no chroma path) must agree within ±1 and
+    RGB (JDK writer subsamples chroma; upsampling filters differ)
+    within a small mean error."""
+    import numpy as np
+    from metacrafter_spark.ops.jpeg_codec import decode_jpeg
+
+    jvm = spark._jvm
+    g = np.add.outer(np.arange(24) * 7, np.arange(17) * 9).astype(np.uint8)
+    data = _java_jpeg_gray(jvm, g)
+    ours = decode_jpeg(data)
+    bimg = jvm.javax.imageio.ImageIO.read(
+        jvm.java.io.ByteArrayInputStream(bytearray(data)))
+    r2 = bimg.getRaster()
+    theirs = np.array([[r2.getSample(x, y, 0) for x in range(17)]
+                       for y in range(24)], dtype=np.uint8)
+    assert ours.shape == (24, 17)
+    assert int(np.abs(ours.astype(int) - theirs.astype(int)).max()) <= 1
+
+    yy, xx = np.mgrid[0:20, 0:30]
+    rgb = np.stack([(yy * 8) % 256, (xx * 5) % 256, ((yy + xx) * 3) % 256],
+                   axis=2).astype(np.uint8)
+    d2 = _java_jpeg_rgb(jvm, rgb)
+    o2 = decode_jpeg(d2)
+    bimg2 = jvm.javax.imageio.ImageIO.read(
+        jvm.java.io.ByteArrayInputStream(bytearray(d2)))
+    t2 = np.zeros((20, 30, 3), np.uint8)
+    for y in range(20):
+        for x in range(30):
+            v = bimg2.getRGB(x, y)
+            t2[y, x] = [(v >> 16) & 255, (v >> 8) & 255, v & 255]
+    diff = np.abs(o2.astype(float) - t2.astype(float))
+    assert o2.shape == (20, 30, 3)
+    assert diff.mean() < 3.0 and diff.max() <= 16, (diff.mean(), diff.max())
+
+    # progressive JPEG gates honestly (SOF2)
+    d3 = _java_jpeg_rgb(jvm, rgb, progressive=True)
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(d3)
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"not a jpeg")
+
+
+def test_multimodal_jpeg_path(spark):
+    """JPEG payloads flow through extract_features / resize_images for
+    real (strict mode succeeds; resize re-encodes lossless PNG)."""
+    import numpy as np
+    from metacrafter_spark.ops.multimodal import (
+        MEDIA_SCHEMA, extract_features, resize_images,
+    )
+    from metacrafter_spark.ops.png_codec import decode_png
+
+    yy, xx = np.mgrid[0:16, 0:16]
+    rgb = np.stack([yy * 10, xx * 10, yy + xx], axis=2).astype(np.uint8)
+    data = _java_jpeg_rgb(spark._jvm, rgb)
+    df = spark.createDataFrame(
+        [(1, "image", "image/jpeg", 16, 16, None, bytearray(data))],
+        MEDIA_SCHEMA,
+    )
+    feats = extract_features(df, strict=True).collect()
+    assert len(feats) == 1 and len(feats[0].feature) == 64
+    rs = resize_images(df, out_w=4, out_h=4, strict=True).collect()
+    assert decode_png(bytes(rs[0].content)).shape == (4, 4, 3)
