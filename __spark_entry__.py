@@ -183,6 +183,87 @@ def q_rule_confidence(spark, sf_dir):
     )
 
 
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shape (shipping priority): two big fact joins shuffled
+    on their keys after a broadcast-pruned customer filter; revenue sums
+    over exact DECIMAL casts (q1's determinism pattern), total-order
+    tie-break so the top-10 is unique."""
+    cu = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    one = F.lit(1).cast("decimal(18,4)")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(cu), o["o_custkey"] == cu["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(price * (one - disc)).cast("double"), 2)
+             .alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 shape (local supplier volume): the 6-table join — dims
+    (region→nation) broadcast, facts shuffled on join keys, the
+    c_nationkey = s_nationkey co-location predicate applied post-join;
+    decimal-exact revenue."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cu = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    one = F.lit(1).cast("decimal(18,4)")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(cu, (o["o_custkey"] == cu["c_custkey"])
+              & (cu["c_nationkey"] == s["s_nationkey"]))
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.round(F.sum(price * (one - disc)).cast("double"), 2)
+             .alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 shape (forecasting revenue change): pure scan + pushed
+    filters + one-row agg — the pushdown/pruning benchmark; decimal sum."""
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(price * disc).cast("double"), 2).alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
 def q_regex_match_rate(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     pat = r"\b(?:join|merge)\b"
@@ -1063,6 +1144,9 @@ def q_pii_scrub(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": q_tpch_q1,
+        "tpch_q3_shipping_priority": q_tpch_q3,
+        "tpch_q5_local_supplier": q_tpch_q5,
+        "tpch_q6_forecast_revenue": q_tpch_q6,
         "top_customers_by_spend": q_top_customers,
         "field_stats_documents": q_field_stats,
         "dict_detection": q_dict_detection,
@@ -1312,6 +1396,43 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "tpch_q3_shipping_priority": """
+            SELECT l_orderkey,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                              * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS revenue,
+                   o_orderdate, o_orderpriority
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+              AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderdate, l_orderkey
+            LIMIT 10
+        """,
+        "tpch_q5_local_supplier": """
+            SELECT n_name,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                              * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY n_name ORDER BY revenue DESC, n_name
+        """,
+        "tpch_q6_forecast_revenue": """
+            SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                               * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
         """,
         "top_customers_by_spend": """
             WITH spend AS (

@@ -28,6 +28,8 @@ N_CORPUS_DOCS = int(os.environ.get("SPARK_GRAFT_CORPUS_DOCS", "20000"))
 
 HEADLINE = [
     "tpch_q1_pricing_summary",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
     "top_customers_by_spend",
     "rule_confidence_minipack",
     "regex_match_rate",
