@@ -189,6 +189,14 @@ def _feature_of(content: Optional[bytes], strict: bool) -> Optional[list]:
             from metacrafter_spark.ops.jpeg_codec import decode_jpeg
 
             return _image_feature(_to_rgb(decode_jpeg(data))).tolist()
+        if data[:6] in (b"GIF87a", b"GIF89a"):
+            from metacrafter_spark.ops.gif_bmp_codec import decode_gif
+
+            return _image_feature(decode_gif(data)).tolist()
+        if data[:2] == b"BM":
+            from metacrafter_spark.ops.gif_bmp_codec import decode_bmp
+
+            return _image_feature(_to_rgb(decode_bmp(data))).tolist()
         if data[:4] == b"RIFF":
             return _audio_feature(decode_wav(data)).tolist()
         if data[:4] == _VIDEO_MAGIC:
@@ -239,20 +247,30 @@ def resize_images(df: DataFrame, out_w: int = 32, out_h: int = 32,
                 elif data.startswith(b"P6"):
                     out.append(encode_ppm(block_resize(decode_ppm(data),
                                                        out_h, out_w)))
-                elif data[:8] == _PNG_SIG or data[:2] == b"\xff\xd8":
-                    # baseline JPEG decodes for real; the resized result
-                    # re-encodes as PNG (lossless — there is no JPEG
-                    # encoder here, and a resize step should not add a
-                    # second generation of DCT loss anyway)
+                elif (data[:8] == _PNG_SIG or data[:2] == b"\xff\xd8"
+                      or data[:6] in (b"GIF87a", b"GIF89a")
+                      or data[:2] == b"BM"):
+                    # JPEG/GIF/BMP decode for real; every resized result
+                    # re-encodes as PNG (lossless — no JPEG/GIF encoder
+                    # here, and a resize step should not add a second
+                    # generation of lossy coding anyway)
                     try:
                         if data[:8] == _PNG_SIG:
                             img = _to_rgb(decode_png(data))
-                        else:
+                        elif data[:2] == b"\xff\xd8":
                             from metacrafter_spark.ops.jpeg_codec import (
                                 decode_jpeg,
                             )
 
                             img = _to_rgb(decode_jpeg(data))
+                        else:
+                            from metacrafter_spark.ops.gif_bmp_codec import (
+                                decode_bmp,
+                                decode_gif,
+                            )
+
+                            img = (decode_gif(data) if data[:1] == b"G"
+                                   else _to_rgb(decode_bmp(data)))
                         out.append(encode_png(block_resize(img, out_h, out_w)))
                     except (ValueError, NotImplementedError, zlib.error):
                         _decode_external(data, strict)
@@ -280,8 +298,16 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, *,
                                          b["content"]):
                 data = bytes(content or b"")
                 n_wanted = max(int((dur or 0) // every_ms), 1)
-                if data[:4] == _VIDEO_MAGIC:
-                    frames = decode_video(data)
+                if data[:4] == _VIDEO_MAGIC or data[:6] in (b"GIF87a",
+                                                           b"GIF89a"):
+                    if data[:4] == _VIDEO_MAGIC:
+                        frames = decode_video(data)
+                    else:  # animated GIF: composited frames, real pixels
+                        from metacrafter_spark.ops.gif_bmp_codec import (
+                            decode_gif_frames,
+                        )
+
+                        frames = decode_gif_frames(data)
                     idxs = np.linspace(0, len(frames) - 1,
                                        min(n_wanted, len(frames))).astype(int)
                     for j, fi in enumerate(idxs):

@@ -872,3 +872,127 @@ def test_multimodal_jpeg_path(spark):
     assert len(feats) == 1 and len(feats[0].feature) == 64
     rs = resize_images(df, out_w=4, out_h=4, strict=True).collect()
     assert decode_png(bytes(rs[0].content)).shape == (4, 4, 3)
+
+
+def test_gif_bmp_decoders_conformance_vs_java(spark):
+    """GIF (LZW, palette) and BMP (BI_RGB) decode pixel-exact against
+    the JDK's javax.imageio on ImageIO-written files; malformed inputs
+    and out-of-scope variants raise."""
+    import numpy as np
+    from metacrafter_spark.ops.gif_bmp_codec import (
+        decode_bmp, decode_gif, decode_gif_frames,
+    )
+
+    jvm = spark._jvm
+
+    def jwrite(img, fmt):
+        h, w = img.shape[:2]
+        b = jvm.java.awt.image.BufferedImage(w, h, 1)
+        for y in range(h):
+            for x in range(w):
+                r, g, bl = img[y, x]
+                b.setRGB(x, y, (int(r) << 16) | (int(g) << 8) | int(bl))
+        baos = jvm.java.io.ByteArrayOutputStream()
+        assert jvm.javax.imageio.ImageIO.write(b, fmt, baos)
+        return bytes(baos.toByteArray())
+
+    rng = np.random.default_rng(5)
+    # few distinct colors → GIF's palette quantizer is lossless
+    img = (rng.integers(0, 4, (13, 19, 3)) * 80).astype(np.uint8)
+    gif = jwrite(img, "gif")
+    assert (decode_gif(gif) == img).all()
+    assert len(decode_gif_frames(gif)) == 1
+
+    img2 = rng.integers(0, 256, (9, 14, 3), dtype=np.uint8)
+    bmp = jwrite(img2, "bmp")
+    assert (decode_bmp(bmp) == img2).all()
+
+    with pytest.raises(ValueError, match="signature"):
+        decode_gif(b"JIF89a not really")
+    with pytest.raises(ValueError, match="signature"):
+        decode_bmp(b"MB backwards")
+    # RLE BMP gates honestly: same header with compression=1
+    import struct as _s
+    rle = bytearray(bmp)
+    _s.pack_into("<I", rle, 30, 1)
+    with pytest.raises(NotImplementedError, match="BI_RGB"):
+        decode_bmp(bytes(rle))
+
+
+def test_multimodal_gif_bmp_paths(spark):
+    """GIF/BMP flow through extract_features / resize_images /
+    sample_frames for real in strict mode — incl. animated-GIF frame
+    sampling built from a hand-assembled 2-frame GIF89a stream."""
+    import struct as _s
+
+    import numpy as np
+    from metacrafter_spark.ops.gif_bmp_codec import decode_gif_frames
+    from metacrafter_spark.ops.multimodal import (
+        MEDIA_SCHEMA, decode_ppm, extract_features, resize_images,
+        sample_frames,
+    )
+    from metacrafter_spark.ops.png_codec import decode_png
+
+    # hand-assemble an animated GIF: 2×2 canvas, global 4-color table,
+    # two frames (uncompressed-friendly tiny LZW streams)
+    def lzw_encode_trivial(indices, min_code=2):
+        # emit each index as its own code with CLEAR first (valid, small)
+        clear, eoi, width = 1 << min_code, (1 << min_code) + 1, min_code + 1
+        bits = []
+        def put(code, w):
+            for i in range(w):
+                bits.append((code >> i) & 1)
+        put(clear, width)
+        # table grows as we emit; width bumps exactly like the decoder's
+        next_code = eoi + 1
+        for ix in indices:
+            put(ix, width)
+            if next_code < 4096:
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+        put(eoi, width)
+        by = bytearray()
+        for i in range(0, len(bits), 8):
+            by.append(sum(b << j for j, b in enumerate(bits[i:i + 8])))
+        return bytes(by)
+
+    gct = bytes([255, 0, 0,  0, 255, 0,  0, 0, 255,  255, 255, 0])
+    def frame(indices):
+        lzw = lzw_encode_trivial(indices)
+        return (b"\x2c" + _s.pack("<HHHHB", 0, 0, 2, 2, 0)
+                + bytes([2, len(lzw)]) + lzw + b"\x00")
+    gif = (b"GIF89a" + _s.pack("<HHBBB", 2, 2, 0x91, 0, 0) + gct
+           + frame([0, 1, 2, 3]) + frame([3, 2, 1, 0]) + b"\x3b")
+    frames = decode_gif_frames(gif)
+    assert len(frames) == 2
+    assert tuple(frames[0][0, 0]) == (255, 0, 0)
+    assert tuple(frames[1][0, 0]) == (255, 255, 0)
+
+    df = spark.createDataFrame(
+        [(1, "video", "image/gif", 2, 2, 2000, bytearray(gif))],
+        MEDIA_SCHEMA,
+    )
+    got = sample_frames(df, every_ms=1000, strict=True).collect()
+    assert len(got) == 2
+    assert decode_ppm(bytes(got[0].frame)).shape == (2, 2, 3)
+
+    # BMP through features + resize (JDK-written)
+    jvm = spark._jvm
+    img = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+    b = jvm.java.awt.image.BufferedImage(16, 16, 1)
+    for y in range(16):
+        for x in range(16):
+            r, g, bl = img[y, x]
+            b.setRGB(x, y, (int(r) << 16) | (int(g) << 8) | int(bl))
+    baos = jvm.java.io.ByteArrayOutputStream()
+    jvm.javax.imageio.ImageIO.write(b, "bmp", baos)
+    bmp = bytes(baos.toByteArray())
+    mdf = spark.createDataFrame(
+        [(2, "image", "image/bmp", 16, 16, None, bytearray(bmp))],
+        MEDIA_SCHEMA,
+    )
+    feats = extract_features(mdf, strict=True).collect()
+    assert len(feats) == 1 and len(feats[0].feature) == 64
+    rs = resize_images(mdf, out_w=4, out_h=4, strict=True).collect()
+    assert decode_png(bytes(rs[0].content)).shape == (4, 4, 3)
