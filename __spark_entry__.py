@@ -264,6 +264,35 @@ def q_tpch_q6(spark, sf_dir):
     )
 
 
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item reporting): fact-fact join on
+    orderkey, customer join shuffled on custkey, nation broadcast,
+    decimal-exact revenue, deterministic top-20."""
+    cu = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    one = F.lit(1).cast("decimal(18,4)")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(cu, o["o_custkey"] == cu["c_custkey"])
+        .join(F.broadcast(n), cu["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(price * (one - disc)).cast("double"), 2)
+             .alias("revenue"),
+             F.round(F.max("c_acctbal"), 2).alias("c_acctbal"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
 def q_regex_match_rate(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     pat = r"\b(?:join|merge)\b"
@@ -1147,6 +1176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_shipping_priority": q_tpch_q3,
         "tpch_q5_local_supplier": q_tpch_q5,
         "tpch_q6_forecast_revenue": q_tpch_q6,
+        "tpch_q10_returned_items": q_tpch_q10,
         "top_customers_by_spend": q_top_customers,
         "field_stats_documents": q_field_stats,
         "dict_detection": q_dict_detection,
@@ -1423,6 +1453,21 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
               AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
             GROUP BY n_name ORDER BY revenue DESC, n_name
+        """,
+        "tpch_q10_returned_items": """
+            SELECT c_custkey, c_name, n_name,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                              * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS revenue,
+                   round(max(c_acctbal), 2) AS c_acctbal
+            FROM customer, orders, lineitem, nation
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND c_nationkey = n_nationkey
+              AND l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
         """,
         "tpch_q6_forecast_revenue": """
             SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
