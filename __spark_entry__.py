@@ -1624,13 +1624,13 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": r"""
             SELECT doc_id, lang, source, n_chars
             FROM documents
-            WHERE ((doc_id % 2147483648 + 7) * 2654435761) % 4294967296 < 429496729
+            WHERE (((doc_id % 2147483648 + 7) % 2147483648) * 2654435761) % 4294967296 < 429496729
             ORDER BY doc_id
         """,
         "stratified_sample": r"""
             WITH h AS (
               SELECT doc_id, source,
-                     ((doc_id % 2147483648 + 7) * 2654435761) % 4294967296 AS hv
+                     (((doc_id % 2147483648 + 7) % 2147483648) * 2654435761) % 4294967296 AS hv
               FROM documents),
             r AS (
               SELECT doc_id, source,
@@ -1644,7 +1644,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT source, sum(n_chars) AS tot FROM documents GROUP BY source)
             SELECT d.doc_id, d.source, d.n_chars
             FROM documents d JOIN t USING (source)
-            WHERE ((d.doc_id % 2147483648 + 7) * 2654435761) % 4294967296 <
+            WHERE (((d.doc_id % 2147483648 + 7) % 2147483648) * 2654435761) % 4294967296 <
                   CAST(floor(
                     CASE WHEN 3000.0 >= t.tot THEN 1.0
                          ELSE 3000.0 / t.tot END * 4294967296.0) AS BIGINT)
@@ -1787,7 +1787,7 @@ def oracle_sql() -> dict[str, str]:
               FROM sims),
             assigned AS (
               SELECT vec_id, cid AS cluster,
-                     ((vec_id % 2147483648 + 7) * 2654435761) % 4294967296 AS hv
+                     (((vec_id % 2147483648 + 7) % 2147483648) * 2654435761) % 4294967296 AS hv
               FROM best WHERE rk = 1),
             ranked AS (
               SELECT vec_id, cluster,

@@ -232,12 +232,22 @@ class _SstReader:
 
 
 def _unicode_string_8(payload: bytes, off: int) -> str:
-    """Single-record XLUnicodeString (LABEL / BOUNDSHEET names)."""
+    """Single-record XLUnicodeString (LABEL / BOUNDSHEET names).
+
+    Rich (fRichSt, 0x08) and extended (fExtSt, 0x04) strings interpose a
+    2-byte run count / 4-byte ext size between the flags byte and the
+    character data ([MS-XLS] 2.5.294) — skip those headers like
+    _SstReader.read_string does, or the run-count bytes parse as text."""
     (cch,) = struct.unpack_from("<H", payload, off)
     flags = payload[off + 2]
+    pos = off + 3
+    if flags & 0x08:
+        pos += 2  # cRun (the 4*cRun run array trails the characters)
+    if flags & 0x04:
+        pos += 4  # cbExtRst (the ext block also trails the characters)
     if flags & 0x01:
-        return payload[off + 3:off + 3 + 2 * cch].decode("utf-16-le")
-    return payload[off + 3:off + 3 + cch].decode("latin-1")
+        return payload[pos:pos + 2 * cch].decode("utf-16-le")
+    return payload[pos:pos + cch].decode("latin-1")
 
 
 def parse_workbook(stream: bytes) -> dict[str, dict[tuple[int, int], Any]]:

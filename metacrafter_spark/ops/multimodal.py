@@ -41,6 +41,15 @@ FRAME_SCHEMA = "media_id long, frame_idx int, frame binary"
 _VIDEO_MAGIC = b"MCVF"
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+# Everything a clean-room decoder raises on a malformed/truncated web
+# payload: ValueError (explicit checks), NotImplementedError (honest
+# gates), zlib.error (corrupt DEFLATE), struct.error (unpack past
+# end-of-data on truncation), IndexError (block walkers reading past a
+# truncated buffer).  A crawled image must never crash the task — it
+# follows the strict/fallback contract instead.
+_DECODE_ERRORS = (ValueError, NotImplementedError, zlib.error,
+                  struct.error, IndexError)
+
 
 def _to_rgb(img: np.ndarray) -> np.ndarray:
     """Any decode_png output → (h, w, 3) uint8: gray replicates, alpha
@@ -203,7 +212,7 @@ def _feature_of(content: Optional[bytes], strict: bool) -> Optional[list]:
             frames = decode_video(data)
             mean = np.stack(frames).mean(axis=0) if frames else np.zeros((8, 8, 3))
             return _image_feature(mean.astype(np.uint8)).tolist()
-    except (ValueError, NotImplementedError, zlib.error):
+    except _DECODE_ERRORS:
         # malformed payloads and documented out-of-scope variants
         # (Adam7 / 16-bit PNG) follow the strict/fallback contract
         pass
@@ -272,7 +281,7 @@ def resize_images(df: DataFrame, out_w: int = 32, out_h: int = 32,
                             img = (decode_gif(data) if data[:1] == b"G"
                                    else _to_rgb(decode_bmp(data)))
                         out.append(encode_png(block_resize(img, out_h, out_w)))
-                    except (ValueError, NotImplementedError, zlib.error):
+                    except _DECODE_ERRORS:
                         _decode_external(data, strict)
                         out.append(data)
                 else:
@@ -298,16 +307,24 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, *,
                                          b["content"]):
                 data = bytes(content or b"")
                 n_wanted = max(int((dur or 0) // every_ms), 1)
+                frames = None
                 if data[:4] == _VIDEO_MAGIC or data[:6] in (b"GIF87a",
                                                            b"GIF89a"):
-                    if data[:4] == _VIDEO_MAGIC:
-                        frames = decode_video(data)
-                    else:  # animated GIF: composited frames, real pixels
-                        from metacrafter_spark.ops.gif_bmp_codec import (
-                            decode_gif_frames,
-                        )
+                    # a truncated/corrupt stream (bad LZW, unknown block
+                    # byte, short read) must follow the same
+                    # strict/fallback contract as every other media path
+                    try:
+                        if data[:4] == _VIDEO_MAGIC:
+                            frames = decode_video(data)
+                        else:  # animated GIF: composited, real pixels
+                            from metacrafter_spark.ops.gif_bmp_codec import (
+                                decode_gif_frames,
+                            )
 
-                        frames = decode_gif_frames(data)
+                            frames = decode_gif_frames(data)
+                    except _DECODE_ERRORS:
+                        frames = None
+                if frames is not None:  # [] = valid empty stream, 0 rows
                     idxs = np.linspace(0, len(frames) - 1,
                                        min(n_wanted, len(frames))).astype(int)
                     for j, fi in enumerate(idxs):

@@ -45,12 +45,16 @@ def _id_hash(id_col: str, seed: int) -> F.Column:
     wraparound in Spark but an ERROR in ANSI engines (DuckDB), so the
     reduced form is the only version that stays both correct at scale
     and replayable in SQL.  Ids ≥ 2^31 alias onto ``id mod 2^31`` for
-    sampling purposes — harmless for membership decisions.  The seed is
-    reduced the same way: (2^31-1 + seed) * K would itself overflow
-    int64 for seed ≥ ~1.3e9 (silent wraparound in Spark, error under
-    ANSI / in DuckDB)."""
+    sampling purposes — harmless for membership decisions.  The SUM is
+    reduced, not just the operands: reducing each side alone still lets
+    (id mod 2^31 + seed mod 2^31) reach ~4.29e9, whose product with K
+    (~1.14e19) exceeds int64 max — silent wraparound in Spark, error
+    under ANSI / in DuckDB — for any seed whose residue is ≥ ~1.33e9.
+    pmod-ing the sum back into 31 bits caps the product at
+    (2^31-1) * K ≈ 5.7e18 < 2^63-1 for every id × seed combination."""
     reduced = F.pmod(F.col(id_col), F.lit(1 << 31))
-    return F.pmod((reduced + F.lit(seed % (1 << 31))) * F.lit(_KNUTH), F.lit(_MOD))
+    mixed = F.pmod(reduced + F.lit(seed % (1 << 31)), F.lit(1 << 31))
+    return F.pmod(mixed * F.lit(_KNUTH), F.lit(_MOD))
 
 
 #: join-key sentinel for NULL strata (NUL prefix — outside normal data)

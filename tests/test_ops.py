@@ -518,7 +518,7 @@ def test_hash_sample_huge_ids_no_overflow(spark):
     con = duckdb.connect()
     oracle = con.execute(
         "SELECT doc_id FROM range(%d, %d) t(doc_id) "
-        "WHERE ((doc_id %% 2147483648 + 7) * 2654435761) %% 4294967296 "
+        "WHERE (((doc_id %% 2147483648 + 7) %% 2147483648) * 2654435761) %% 4294967296 "
         "      < CAST(floor(0.25 * 4294967296) AS BIGINT) "
         "ORDER BY doc_id" % (big, big + 2000)
     ).fetchall()
@@ -698,6 +698,19 @@ def test_sampling_null_strata_and_big_seed(spark):
     b = sorted(r["doc_id"] for r in
                hash_sample(df, "doc_id", 0.3, seed=12345).collect())
     assert a == b and 150 < len(a) < 400
+    # overflow REGION: seed residue ~2^31-1 plus ids near 2^31 puts the
+    # pre-fix sum at ~4.29e9, whose product with 2654435761 exceeds
+    # int64 — the pmod-of-the-sum form must stay exact and match a
+    # pure-Python big-int replay of the same arithmetic
+    hot_seed = (1 << 31) - 7          # residue 2147483641 >= 1.33e9
+    hot = (spark.range((1 << 31) - 450, (1 << 31) + 450)
+           .withColumnRenamed("id", "doc_id"))
+    got = sorted(r["doc_id"] for r in
+                 hash_sample(hot, "doc_id", 0.25, seed=hot_seed).collect())
+    want = [i for i in range((1 << 31) - 450, (1 << 31) + 450)
+            if ((i % (1 << 31) + hot_seed % (1 << 31)) % (1 << 31)
+                * 2654435761) % (1 << 32) < int(0.25 * (1 << 32))]
+    assert got == want and len(got) > 0
 
 
 def test_png_codec_round_trip_and_errors():
@@ -996,3 +1009,55 @@ def test_multimodal_gif_bmp_paths(spark):
     assert len(feats) == 1 and len(feats[0].feature) == 64
     rs = resize_images(mdf, out_w=4, out_h=4, strict=True).collect()
     assert decode_png(bytes(rs[0].content)).shape == (4, 4, 3)
+
+
+def test_multimodal_truncated_payloads_follow_fallback(spark):
+    """Web-crawled images are routinely truncated mid-stream.  The
+    decoders raise struct.error / IndexError there (unpack past
+    end-of-data, block walker off the end) — every media path must
+    route those through the strict/fallback contract instead of
+    crashing the Spark task (round-4 ADVICE)."""
+    from metacrafter_spark.ops.multimodal import (
+        MEDIA_SCHEMA, _PNG_SIG, extract_features, resize_images,
+        sample_frames,
+    )
+
+    truncated = [
+        # PNG cut inside IHDR: _chunks unpacks length/CRC past the end
+        (1, "image", "image/png", 8, 8, None,
+         bytearray(_PNG_SIG + b"\x00\x00\x00\x0dIHDR\x00\x00")),
+        # GIF cut right after the header: data[pos] walks off the end
+        (2, "image", "image/gif", 4, 4, None,
+         bytearray(b"GIF89a\x04\x00\x04\x00")),
+        # JPEG cut inside the first marker segment
+        (3, "image", "image/jpeg", 4, 4, None,
+         bytearray(b"\xff\xd8\xff\xe0\x00\x10JF")),
+        # BMP with a header promising more pixels than present
+        (4, "image", "image/bmp", 4, 4, None, bytearray(b"BM\x36\x00")),
+    ]
+    df = spark.createDataFrame(truncated, MEDIA_SCHEMA)
+    # lax mode: hash-fallback features, content passthrough — no crash
+    feats = extract_features(df, strict=False).collect()
+    assert len(feats) == 4 and all(len(r.feature) == 64 for r in feats)
+    rs = {r.media_id: bytes(r.content)
+          for r in resize_images(df, strict=False).collect()}
+    assert rs == {r[0]: bytes(r[6]) for r in truncated}  # passthrough
+    # strict mode: honest NotImplementedError from the fallback gate,
+    # not a raw struct.error/IndexError out of the UDF
+    import pytest as _pt
+    from py4j.protocol import Py4JJavaError
+    with _pt.raises((Py4JJavaError, Exception)) as ei:
+        extract_features(df, strict=True).collect()
+    assert "NotImplementedError" in str(ei.value)
+
+    # corrupt animated GIF through sample_frames: valid signature, body
+    # truncated mid-image-descriptor → digest fallback rows, not an
+    # IndexError/struct.error crash
+    bad_gif = (b"GIF89a" + b"\x02\x00\x02\x00\x91\x00\x00"
+               + bytes(12) + b"\x2c" + bytes(4))
+    vdf = spark.createDataFrame(
+        [(9, "video", "image/gif", 2, 2, 3000, bytearray(bad_gif))],
+        MEDIA_SCHEMA,
+    )
+    rows = sample_frames(vdf, every_ms=1000, strict=False).collect()
+    assert len(rows) == 3 and all(len(bytes(r.frame)) == 32 for r in rows)

@@ -377,3 +377,24 @@ def test_scan_file_xls(spark, tmp_path):
     assert len(rows) == 6
     assert rows[0]["email"] == "u1@example.com" and rows[0]["flag"] is False
     assert rows[5]["n"] == 6.0
+
+
+def test_xls_unicode_string_8_rich_ext_flags():
+    """fRichSt (0x08) / fExtSt (0x04) interpose cRun / cbExtRst headers
+    between the flags byte and the characters ([MS-XLS] 2.5.294) — the
+    LABEL/BOUNDSHEET parser must skip them like the SST reader does
+    (round-4 ADVICE: the run-count bytes parsed as characters)."""
+    from metacrafter_spark.io.xls_codec import _unicode_string_8
+
+    # plain compressed
+    assert _unicode_string_8(b"\x03\x00\x00abc", 0) == "abc"
+    # rich, compressed: cch=3, flags=0x08, cRun=2, chars, 2×4B runs
+    rich = b"\x03\x00\x08\x02\x00" + b"abc" + bytes(8)
+    assert _unicode_string_8(rich, 0) == "abc"
+    # ext, utf-16: cch=2, flags=0x05, cbExtRst=4, chars, ext block
+    ext = b"\x02\x00\x05\x04\x00\x00\x00" + "hé".encode("utf-16-le") + bytes(4)
+    assert _unicode_string_8(ext, 0) == "hé"
+    # rich+ext together, with a leading offset
+    both = (b"XX" + b"\x02\x00\x0d\x01\x00\x04\x00\x00\x00"
+            + "Σπ".encode("utf-16-le") + bytes(8))
+    assert _unicode_string_8(both, 2) == "Σπ"
