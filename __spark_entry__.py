@@ -709,24 +709,52 @@ def q_c4_line_filter(spark, sf_dir):
 
 
 def q_langid(spark, sf_dir):
+    """Language distribution over the real documents table UNIONed with
+    a 19-language synthetic corpus (the flat samples list cycled over
+    doc_ids) — one langid pass covers every language in BUILTIN_PACK,
+    incl. the whitespace-free CJK/Thai script paths, all hash-checked
+    against the DuckDB replay generated from the same pack."""
     from metacrafter_spark.corpus.langid import with_langid
+    from metacrafter_spark.corpus.langid_samples import flat_samples
 
     docs = _t(spark, sf_dir, "documents")
+    snippets = F.array(*[F.lit(t) for (_l, t) in flat_samples()])
+    synth = docs.filter(F.col("doc_id") < 171).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.element_at(snippets,
+                     (F.col("doc_id") % 57 + 1).cast("int")).alias("text"),
+    )
+    both = docs.select("doc_id", "text").unionAll(synth)
     return (
-        with_langid(docs)
-        .groupBy(F.col("langid_lang").alias("lang_pred"))
+        with_langid(both)
+        .groupBy(
+            F.when(F.col("doc_id") >= 1_000_000, F.lit("synth"))
+            .otherwise(F.lit("docs")).alias("corpus"),
+            F.col("langid_lang").alias("lang_pred"),
+        )
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("lang_pred")
+        .orderBy("corpus", "lang_pred")
     )
 
 
 def q_quality_flags(spark, sf_dir):
-    """SQL-checkable slice of the Gopher metrics (q_pass itself is
-    covered by q_corpus_pipeline rows-only + corpus tests)."""
+    """SQL-checkable slice of the Gopher metrics over the real docs
+    UNIONed with the 19-language sample corpus — the round-5 CJK-mode
+    metrics (cjk_char_frac / n_units / dup_cjk_2gram_frac /
+    letter_char_frac) and the script-aware q_pass are hash-checked on
+    genuinely whitespace-free zh/ja/th rows, not just Latin text."""
+    from metacrafter_spark.corpus.langid_samples import flat_samples
     from metacrafter_spark.corpus.quality import with_quality
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    out = with_quality(docs)
+    snippets = F.array(*[F.lit(t) for (_l, t) in flat_samples()])
+    synth = docs.filter(F.col("doc_id") < 57).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.element_at(snippets,
+                     (F.col("doc_id") % 57 + 1).cast("int")).alias("text"),
+    )
+    both = docs.select("doc_id", "text").unionAll(synth)
+    out = with_quality(both)
     return out.select(
         "doc_id",
         F.col("q_n_words").alias("n_words"),
@@ -735,6 +763,11 @@ def q_quality_flags(spark, sf_dir):
         F.round("q_alpha_char_frac", 4).alias("alpha_char_frac"),
         F.round("q_dup_para_frac", 4).alias("dup_para_frac"),
         F.round("q_dup_2gram_frac", 4).alias("dup_2gram_frac"),
+        F.round("q_cjk_char_frac", 4).alias("cjk_char_frac"),
+        F.col("q_n_units").alias("n_units"),
+        F.round("q_dup_cjk_2gram_frac", 4).alias("dup_cjk_2gram_frac"),
+        F.round("q_letter_char_frac", 4).alias("letter_char_frac"),
+        F.col("q_pass").alias("q_pass"),
     ).orderBy("doc_id")
 
 
@@ -1300,66 +1333,48 @@ def oracle_sql() -> dict[str, str]:
                         END)) AS ids
           FROM src),""" + ppl_score.split("pids AS (", 1)[1].split("FROM src),", 1)[1]
 
-    # token-set stopword lists per language (mirrors corpus/langid.py
-    # STOPWORDS; token counting — not \b regexes — because RE2's \b is
-    # ASCII-only while Java's is Unicode-aware)
-    langid_values = """(VALUES
-          ('de', ['der','die','das','und','ist','nicht','mit','ein','eine','zu','den','von','sich','auf','für','im','dem']),
-          ('en', ['the','and','of','to','in','is','that','for','with','was','on','are','this','be','it','from','have','not']),
-          ('es', ['el','los','las','de','y','que','en','una','es','por','con','para','del','se','su','como','más']),
-          ('fr', ['le','la','les','des','une','et','est','dans','pour','que','qui','sur','avec','pas','au','du','ce','vous']),
-          ('ru', ['и','в','не','на','что','с','по','это','как','из','за','его','для','или','она','они','был','при'])
-        ) AS l(lang, words)"""
-    # per-doc langid over src(doc_id, t) → lpred(doc_id, lang_pred)
-    langid_frag = f"""
-        lbase AS (
-          SELECT doc_id,
-                 list_transform(
-                   list_filter(string_split_regex(trim(substr(t, 1, 2000)), '\\s+'),
-                               x -> length(x) > 0),
-                   w -> lower(regexp_replace(w, '^[^\\pL\\pN]+|[^\\pL\\pN]+$', '', 'g'))) AS toks,
-                 greatest(len(string_split_regex(trim(substr(t, 1, 2000)), '\\s+')), 1) AS nt,
-                 len(regexp_extract_all(substr(t, 1, 2000), '[Ѐ-ӿ]')) * 1.0
-                   / greatest(length(substr(t, 1, 2000)), 1) AS cyr,
-                 length(trim(t)) AS trimlen,
-                 len(string_split_regex(trim(substr(t, 1, 2000)), '\\s+')) AS nt_raw
-          FROM src),
-        lscore AS (
-          SELECT b.doc_id, b.trimlen, b.nt_raw, l.lang,
-                 CASE l.lang
-                   WHEN 'ru' THEN len(list_filter(b.toks, w -> list_contains(l.words, w))) * 1.0 / b.nt + b.cyr
-                   ELSE len(list_filter(b.toks, w -> list_contains(l.words, w))) * 1.0 / b.nt
-                 END AS score
-          FROM lbase b CROSS JOIN {langid_values}),
-        lbest AS (
-          SELECT doc_id, trimlen, nt_raw, lang, score,
-                 row_number() OVER (PARTITION BY doc_id
-                                    ORDER BY score DESC, lang DESC) AS rn
-          FROM lscore),
-        lpred AS (
-          SELECT doc_id,
-                 CASE WHEN trimlen = 0 OR nt_raw < 4 OR score < 0.05
-                      THEN 'und' ELSE lang END AS lang_pred
-          FROM lbest WHERE rn = 1)"""
+    # per-doc langid over src(doc_id, t) → lpred(doc_id, lang_pred).
+    # Generated from the SAME LangPack the Spark plan compiles
+    # (corpus/langid.py BUILTIN_PACK, 19 languages incl. CJK/Arabic/…
+    # script signals) — one source of truth, engine and oracle cannot
+    # drift.  Token-set counting, not \b regexes, because RE2's \b is
+    # ASCII-only while Java's is Unicode-aware.
+    from metacrafter_spark.corpus.langid import oracle_sql_fragment
+    from metacrafter_spark.corpus.langid_samples import flat_samples
 
-    # Gopher/C4 quality gates over src(doc_id, t) → qp(doc_id, q_pass)
+    langid_frag = oracle_sql_fragment()
+    _langid_snippet_list = ", ".join(
+        "'" + t.replace("'", "''") + "'" for (_l, t) in flat_samples()
+    )
+
+    # Gopher/C4 quality gates over src(doc_id, t) → qp(doc_id, q_pass).
+    # Script-aware since round 5: the CJK char class is imported from
+    # corpus/quality.py so the Spark plan and this replay share the
+    # literal ranges.
+    from metacrafter_spark.corpus.quality import _CJK_CLASS
+
     quality_frag = r"""
         qw AS (
           SELECT doc_id, t,
                  list_filter(string_split_regex(t, '\s+'),
                              x -> length(x) > 0) AS words,
                  string_split(t, chr(10)) AS lines,
-                 string_split_regex(t, '\n\n+') AS paras
+                 string_split_regex(t, '\n\n+') AS paras,
+                 regexp_extract_all(t, '""" + _CJK_CLASS + r"""') AS cjkc
           FROM src),
         qg AS (
-          SELECT doc_id, t, words, lines, paras,
+          SELECT doc_id, t, words, lines, paras, cjkc,
                  len(words) AS n_words,
                  greatest(len(words), 1)::DOUBLE AS nwf,
                  greatest(len(lines), 1)::DOUBLE AS nlf,
                  CASE WHEN len(words) >= 2 THEN
                    list_transform(range(1, len(words)),
                                   i -> words[i] || ' ' || words[i + 1])
-                 ELSE [] END AS grams
+                 ELSE [] END AS grams,
+                 CASE WHEN len(cjkc) >= 2 THEN
+                   list_transform(range(1, len(cjkc)),
+                                  i -> cjkc[i] || cjkc[i + 1])
+                 ELSE [] END AS cgrams
           FROM qw),
         qm AS (
           SELECT doc_id, n_words,
@@ -1379,21 +1394,34 @@ def oracle_sql() -> dict[str, str]:
                  CASE WHEN len(grams) > 0 THEN
                    1.0 - len(list_distinct(grams))::DOUBLE / len(grams)::DOUBLE
                  ELSE 0.0 END AS dup_2gram_frac,
+                 len(cjkc)::DOUBLE / greatest(length(t), 1) AS cjk_char_frac,
+                 n_words + len(cjkc) AS n_units,
+                 CASE WHEN len(cgrams) > 0 THEN
+                   1.0 - len(list_distinct(cgrams))::DOUBLE / len(cgrams)::DOUBLE
+                 ELSE 0.0 END AS dup_cjk_2gram_frac,
+                 len(regexp_extract_all(t, '[\pL]'))::DOUBLE
+                   / greatest(length(t), 1) AS letter_char_frac,
                  regexp_matches(t, '(?i)lorem ipsum') AS has_lorem,
                  contains(t, '{') AS has_curly
           FROM qg),
         qp AS (
           SELECT doc_id,
-                 (n_words BETWEEN 50 AND 100000)
-                 AND (mean_word_len BETWEEN 3.0 AND 10.0)
-                 AND symbol_word_ratio < 0.1
+                 (CASE WHEN cjk_char_frac >= 0.3 THEN
+                    (n_units BETWEEN 50 AND 100000)
+                    AND letter_char_frac > 0.5
+                    AND dup_cjk_2gram_frac < 0.8
+                  ELSE
+                    (n_words BETWEEN 50 AND 100000)
+                    AND (mean_word_len BETWEEN 3.0 AND 10.0)
+                    AND symbol_word_ratio < 0.1
+                    AND alpha_word_frac > 0.8
+                    AND stopword_hits >= 2
+                    AND dup_2gram_frac < 0.9
+                  END)
                  AND bullet_line_frac < 0.9
                  AND ellipsis_line_frac < 0.3
-                 AND alpha_word_frac > 0.8
-                 AND stopword_hits >= 2
                  AND dup_line_frac < 0.3
                  AND dup_para_frac < 0.3
-                 AND dup_2gram_frac < 0.9
                  AND NOT has_lorem AND NOT has_curly AS q_pass
           FROM qm)"""
 
@@ -1909,36 +1937,34 @@ def oracle_sql() -> dict[str, str]:
                    length(coalesce(clean, '')) AS clean_len
             FROM w ORDER BY doc_id
         """,
-        "quality_flags": r"""
-            WITH w AS (
-              SELECT doc_id, text,
-                     list_filter(string_split_regex(text, '\s+'),
-                                 x -> length(x) > 0) AS words,
-                     string_split(text, chr(10)) AS lines,
-                     string_split_regex(text, '\n\n+') AS paras
-              FROM documents WHERE doc_id < 100),
-            g AS (
-              SELECT doc_id, text, lines, paras, words,
-                     len(words) AS n_words,
-                     CASE WHEN len(words) >= 2 THEN
-                       list_transform(range(1, len(words)),
-                                      i -> words[i] || ' ' || words[i + 1])
-                     ELSE [] END AS grams
-              FROM w)
-            SELECT doc_id, n_words,
-                   round(length(regexp_replace(text, '\s+', '', 'g')) * 1.0
-                         / greatest(n_words, 1), 4) AS mean_word_len,
-                   round(1.0 - len(list_distinct(lines)) * 1.0
-                         / greatest(len(lines), 1), 4) AS dup_line_frac,
-                   round(len(regexp_extract_all(text, '[A-Za-zА-яЀ-ӿÀ-ÿ]')) * 1.0
-                         / greatest(length(text), 1), 4) AS alpha_char_frac,
-                   round(1.0 - len(list_distinct(paras)) * 1.0
-                         / greatest(len(paras), 1), 4) AS dup_para_frac,
-                   round(CASE WHEN len(grams) > 0 THEN
-                           1.0 - len(list_distinct(grams)) * 1.0 / len(grams)
-                         ELSE 0.0 END, 4) AS dup_2gram_frac
-            FROM g ORDER BY doc_id
-        """,
+        "quality_flags": ("""
+            WITH src AS (
+              SELECT doc_id, text AS t FROM documents WHERE doc_id < 100
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id,
+                     (list_value(""" + _langid_snippet_list + """))[
+                       CAST(doc_id % 57 AS INT) + 1] AS t
+              FROM documents WHERE doc_id < 57),"""
+            + quality_frag + r""",
+            ac AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(t, '[A-Za-zА-яЀ-ӿÀ-ÿ]')) * 1.0
+                       / greatest(length(t), 1) AS alpha_char_frac
+              FROM src)
+            SELECT m.doc_id, m.n_words,
+                   round(m.mean_word_len, 4) AS mean_word_len,
+                   round(m.dup_line_frac, 4) AS dup_line_frac,
+                   round(ac.alpha_char_frac, 4) AS alpha_char_frac,
+                   round(m.dup_para_frac, 4) AS dup_para_frac,
+                   round(m.dup_2gram_frac, 4) AS dup_2gram_frac,
+                   round(m.cjk_char_frac, 4) AS cjk_char_frac,
+                   m.n_units,
+                   round(m.dup_cjk_2gram_frac, 4) AS dup_cjk_2gram_frac,
+                   round(m.letter_char_frac, 4) AS letter_char_frac,
+                   p.q_pass
+            FROM qm m JOIN qp p USING (doc_id) JOIN ac USING (doc_id)
+            ORDER BY m.doc_id
+        """),
         "fingerprints": r"""
             WITH w AS (
               SELECT doc_id, text,
@@ -2030,10 +2056,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "langid_documents": (
             """
-            WITH src AS (SELECT doc_id, text AS t FROM documents),"""
+            WITH src AS (
+              SELECT doc_id, text AS t FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id,
+                     (list_value(""" + _langid_snippet_list + """))[
+                       CAST(doc_id % 57 AS INT) + 1] AS t
+              FROM documents WHERE doc_id < 171),"""
             + langid_frag + """
-            SELECT lang_pred, count(*) AS n FROM lpred
-            GROUP BY 1 ORDER BY 1
+            SELECT CASE WHEN doc_id >= 1000000 THEN 'synth' ELSE 'docs' END
+                     AS corpus,
+                   lang_pred, count(*) AS n FROM lpred
+            GROUP BY 1, 2 ORDER BY 1, 2
         """),
         "perplexity": (
             """

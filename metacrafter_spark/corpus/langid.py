@@ -1,24 +1,43 @@
 """Deterministic language identification as native Column expressions.
 
-A from-scratch char-script + stopword n-gram heuristic (the fastText
+A from-scratch char-script + stopword heuristic (the fastText
 replacement the north rule asks for, expressed Spark-first): per
 language, count characteristic tokens of the text head (token-set
 membership over the whitespace-split, punctuation-stripped, lowercased
 tokens — JVM array ops, whole-stage codegen, no Python), normalize by
-token count, add a script-ratio signal for non-Latin scripts, take the
-argmax via an array-of-structs max (deterministic tie-break on the
-score then language name).
+token count, add weighted script-ratio signals for non-Latin scripts,
+take the argmax via an array-of-structs max (deterministic tie-break on
+the score then language name).
+
+**Language packs** (round-5): the language table is a caller-suppliable
+:class:`LangPack` — a tuple of :class:`LangSpec` (stopword tuple +
+``(script, weight)`` signals) — compiled into plan literals, so a
+deployment can swap or extend languages without touching the engine
+(the same pattern as the toxicity wordlists).  The built-in pack covers
+19 languages: ten Latin-script (en fr de es pt it nl pl tr id), one
+Cyrillic (ru — Ukrainian/Bulgarian web text will label ``ru``; supply a
+pack with their stopword sets to split the family), and eight
+script-driven (el ar he hi th ko ja zh).  Whitespace-free scripts
+(th/ja/zh) are handled by the script signal itself: the
+``min_tokens`` short-text guard only fires when no script evidence is
+present, and Japanese/Chinese disambiguate by kana ratio (kana-positive
+→ ja, kana scores *against* zh).
 
 Token-set counting (not a ``\\b``-anchored regex) is deliberate: Java's
 ``\\b`` is Unicode-aware while RE2's (DuckDB / Go / Rust regex) is
 ASCII-only, so a regex count of Cyrillic stopwords is engine-dependent;
-token arithmetic is identical everywhere, which is what makes the
-pipeline replayable in the SQL oracle.
+token arithmetic is identical everywhere.  Script classes are literal
+BMP code-point ranges, which Java regex and RE2 interpret identically —
+together these make the whole classifier replayable in SQL:
+:func:`oracle_sql_fragment` emits the DuckDB CTE chain from the *same*
+pack object, so the Spark plan and the oracle can never drift.
 
 Pure function of the text prefix → same label at any parallelism.
 """
 
 from __future__ import annotations
+
+from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -27,6 +46,9 @@ UNKNOWN = "und"
 
 # Characteristic high-frequency tokens per language.  Deliberately small
 # and disjoint-ish: this is a heuristic classifier, tuned for web text.
+# NOTE: these five legacy tuples are frozen — the synthetic web corpus
+# generator (corpus/webpages.py) derives text from them and the
+# committed webcorpus fixture pins those bytes.
 STOPWORDS = {
     "en": ("the", "and", "of", "to", "in", "is", "that", "for", "with",
            "was", "on", "are", "this", "be", "it", "from", "have", "not"),
@@ -40,10 +62,99 @@ STOPWORDS = {
            "за", "его", "для", "или", "она", "они", "был", "при"),
 }
 
-_CYRILLIC = r"[Ѐ-ӿ]"
+# Script character classes as literal BMP ranges (no \uXXXX escapes in
+# the pattern itself — Python resolves them here, both Java regex and
+# RE2 then see literal code-point ranges and agree on membership).
+SCRIPTS = {
+    "cyr": "[Ѐ-ӿ]",
+    "grk": "[Ͱ-Ͽ]",
+    "ara": "[؀-ۿ]",
+    "heb": "[֐-׿]",
+    "dev": "[ऀ-ॿ]",
+    "tha": "[฀-๿]",
+    "han_syl": "[ᄀ-ᇿ㄰-㆏가-힣]",  # Hangul
+    "kana": "[぀-ヿ]",
+    "han": "[㐀-䶿一-鿿]",                   # CJK ideographs
+}
+
+
+@dataclass(frozen=True)
+class LangSpec:
+    """One language: stopword tokens and/or weighted script signals.
+
+    score = |token hits| / |tokens| + Σ weight × script_char_ratio
+    """
+
+    lang: str
+    stopwords: tuple = ()
+    scripts: tuple = ()  # ((script_key, weight), ...)
+
+
+#: type alias — a pack is an ordered tuple of LangSpecs
+LangPack = tuple
+
+BUILTIN_PACK: LangPack = (
+    # Latin-script languages: stopword evidence only
+    LangSpec("en", STOPWORDS["en"]),
+    LangSpec("fr", STOPWORDS["fr"]),
+    LangSpec("de", STOPWORDS["de"]),
+    LangSpec("es", STOPWORDS["es"]),
+    LangSpec("pt", ("o", "os", "as", "um", "uma", "não", "com", "em",
+                    "do", "da", "dos", "das", "se", "mais", "é", "são",
+                    "pela", "pelo")),
+    LangSpec("it", ("il", "lo", "gli", "di", "che", "e", "è", "per",
+                    "con", "non", "una", "un", "del", "della", "si",
+                    "più", "sono", "anche")),
+    LangSpec("nl", ("de", "het", "een", "van", "en", "is", "dat", "niet",
+                    "met", "voor", "op", "zijn", "aan", "ook", "bij",
+                    "naar", "uit", "maar")),
+    LangSpec("pl", ("i", "w", "nie", "na", "się", "z", "do", "to",
+                    "jest", "że", "o", "po", "jak", "ale", "co", "dla",
+                    "przez", "od")),
+    LangSpec("tr", ("bir", "ve", "bu", "için", "ile", "de", "da",
+                    "olarak", "olan", "en", "çok", "gibi", "daha",
+                    "sonra", "kadar", "ancak", "ama", "her")),
+    LangSpec("id", ("yang", "dan", "di", "ini", "itu", "dengan", "untuk",
+                    "tidak", "dari", "dalam", "pada", "adalah", "akan",
+                    "juga", "ke", "atau", "oleh", "sebagai")),
+    # Script + stopword languages
+    LangSpec("ru", STOPWORDS["ru"], (("cyr", 1.0),)),
+    LangSpec("el", ("και", "το", "του", "της", "να", "με", "που", "για",
+                    "από", "είναι", "την", "στο", "δεν", "τα", "ο", "η"),
+             (("grk", 1.0),)),
+    LangSpec("ar", ("في", "من", "على", "أن", "إلى", "عن", "مع", "هذا",
+                    "التي", "الذي", "كان", "لم", "ما", "هو", "هي"),
+             (("ara", 1.0),)),
+    LangSpec("he", ("של", "את", "על", "הוא", "היא", "זה", "עם", "לא",
+                    "כי", "גם", "אבל", "או", "יש", "אני", "אם"),
+             (("heb", 1.0),)),
+    LangSpec("hi", ("के", "में", "की", "है", "का", "और", "से", "को",
+                    "पर", "यह", "हैं", "था", "नहीं", "एक", "भी"),
+             (("dev", 1.0),)),
+    # Script-only languages (no reliable whitespace stopword tokens)
+    LangSpec("th", (), (("tha", 1.0),)),
+    LangSpec("ko", (), (("han_syl", 1.0),)),
+    # Japanese: kana is decisive, kanji supports; Chinese: ideographs
+    # score, any kana present scores hard against (→ Japanese wins)
+    LangSpec("ja", (), (("kana", 2.0), ("han", 0.5))),
+    LangSpec("zh", (), (("han", 1.0), ("kana", -4.0))),
+)
+
+#: short-text guard: texts with < min_tokens whitespace tokens are
+#: ``und`` *unless* a script signal clears this ratio (whitespace-free
+#: scripts tokenize to one huge token)
+MIN_SCRIPT_RATIO = 0.10
+
 # strip leading/trailing punctuation from a token before the set lookup
 # (\p{L}/\p{N} are Unicode-portable: Java and RE2 agree, unlike \w/\b)
 _EDGE_PUNCT_RE = r"^[^\p{L}\p{N}]+|[^\p{L}\p{N}]+$"
+
+
+def pack_scripts(pack: LangPack) -> list:
+    """Script keys the pack references, in SCRIPTS order (deterministic
+    column order for the staged plan and the SQL twin)."""
+    used = {k for spec in pack for (k, _w) in spec.scripts}
+    return [k for k in SCRIPTS if k in used]
 
 
 def _tokens(head: Column) -> Column:
@@ -54,37 +165,60 @@ def _tokens(head: Column) -> Column:
     )
 
 
-def _lang_hits(toks: Column, lang: str) -> Column:
-    return F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS[lang])))
+def _script_ratio(head: Column, script_key: str) -> Column:
+    return (
+        F.regexp_count(head, F.lit(SCRIPTS[script_key])).cast("double")
+        / F.greatest(F.length(head), F.lit(1)).cast("double")
+    )
 
 
-def _scored_structs(toks: Column, cyr_ratio: Column, n_tokens_f: Column) -> list:
-    scored = []
-    for lang in sorted(STOPWORDS):
-        score = _lang_hits(toks, lang).cast("double") / n_tokens_f
-        if lang == "ru":
-            # script evidence: Cyrillic text is Russian-family even with
-            # few exact stopword hits
-            score = score + cyr_ratio
-        scored.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
-    return scored
+def _spec_score(spec: LangSpec, toks: Column, n_tokens_f: Column,
+                script_cols: dict) -> Column:
+    """token_hits/n + Σ w×ratio, terms added left-to-right in spec order
+    (the SQL twin mirrors the exact operation order for bit-equality)."""
+    score = None
+    if spec.stopwords:
+        hits = F.size(F.filter(toks, lambda w: w.isin(*spec.stopwords)))
+        score = hits.cast("double") / n_tokens_f
+    for key, w in spec.scripts:
+        term = F.lit(float(w)) * script_cols[key]
+        score = term if score is None else score + term
+    return score if score is not None else F.lit(0.0)
 
 
-def langid_struct(text: Column, *, prefix_chars: int = LANGID_PREFIX_CHARS,
-                  min_tokens: int = 4, min_score: float = 0.05) -> Column:
+def _scored_structs(pack: LangPack, toks: Column, n_tokens_f: Column,
+                    script_cols: dict) -> list:
+    return [
+        F.struct(
+            _spec_score(spec, toks, n_tokens_f, script_cols).alias("score"),
+            F.lit(spec.lang).alias("lang"),
+        )
+        for spec in sorted(pack, key=lambda s: s.lang)
+    ]
+
+
+def _script_max(script_cols: dict) -> Column:
+    cols = list(script_cols.values())
+    if not cols:
+        return F.lit(0.0)
+    return cols[0] if len(cols) == 1 else F.greatest(*cols)
+
+
+def langid_struct(text: Column, pack: LangPack = BUILTIN_PACK, *,
+                  prefix_chars: int = LANGID_PREFIX_CHARS,
+                  min_tokens: int = 4, min_score: float = 0.05,
+                  min_script: float = MIN_SCRIPT_RATIO) -> Column:
     """Returns struct<lang:string, score:double> for a text column."""
     head = F.substring(text, 1, prefix_chars)
     n_tokens = F.size(F.split(F.trim(head), r"\s+"))
     n_tokens_f = F.greatest(n_tokens, F.lit(1)).cast("double")
-    cyr_ratio = (
-        F.regexp_count(head, F.lit(_CYRILLIC)).cast("double")
-        / F.greatest(F.length(head), F.lit(1)).cast("double")
-    )
-    best = F.array_max(F.array(*_scored_structs(_tokens(head), cyr_ratio,
-                                                n_tokens_f)))
+    script_cols = {k: _script_ratio(head, k) for k in pack_scripts(pack)}
+    best = F.array_max(F.array(*_scored_structs(pack, _tokens(head),
+                                                n_tokens_f, script_cols)))
     return F.when(
         (F.length(F.trim(text)) == 0)
-        | (n_tokens < min_tokens)
+        | ((n_tokens < min_tokens) & (_script_max(script_cols)
+                                      < F.lit(min_script)))
         | (best["score"] < min_score),
         F.struct(F.lit(UNKNOWN).alias("lang"), F.lit(0.0).alias("score")),
     ).otherwise(F.struct(best["lang"].alias("lang"), best["score"].alias("score")))
@@ -92,36 +226,42 @@ def langid_struct(text: Column, *, prefix_chars: int = LANGID_PREFIX_CHARS,
 
 def with_langid(df: DataFrame, text_col: str = "text",
                 out_prefix: str = "langid",
+                pack: LangPack = BUILTIN_PACK,
                 *, prefix_chars: int = LANGID_PREFIX_CHARS,
-                min_tokens: int = 4, min_score: float = 0.05) -> DataFrame:
+                min_tokens: int = 4, min_score: float = 0.05,
+                min_script: float = MIN_SCRIPT_RATIO) -> DataFrame:
     """Staged evaluation of :func:`langid_struct`'s exact semantics.
 
     The single-expression form re-evaluates the argmax struct array
-    (and with it all five per-language token scans — plus the token
-    array itself, which is referenced five times) once per field
+    (and with it all per-language token scans — plus the token array
+    itself, which is referenced once per language) once per field
     reference — ``best["lang"]``, ``best["score"]``, and the guard each
     inline a copy (observed 2.9× wall-clock on a 20k-doc corpus).
-    Materializing ``head`` / ``toks`` / ``n_tokens`` / ``best`` as
-    intermediate columns pins each to one evaluation; results are
-    row-identical to ``langid_struct`` (asserted in tests)."""
+    Materializing ``head`` / ``toks`` / ``n_tokens`` / per-script ratios
+    / ``best`` as intermediate columns pins each to one evaluation;
+    results are row-identical to ``langid_struct`` (asserted in
+    tests)."""
     head_c, toks_c, nt_c, best_c = ("__lid_head", "__lid_toks", "__lid_nt",
                                     "__lid_best")
+    scripts = pack_scripts(pack)
+    script_c = {k: f"__lid_s_{k}" for k in scripts}
     out = df.withColumn(head_c, F.substring(F.col(text_col), 1, prefix_chars))
     h = F.col(head_c)
     out = out.withColumn(toks_c, _tokens(h))
     out = out.withColumn(nt_c, F.size(F.split(F.trim(h), r"\s+")))
     ntf = F.greatest(F.col(nt_c), F.lit(1)).cast("double")
-    cyr = (
-        F.regexp_count(h, F.lit(_CYRILLIC)).cast("double")
-        / F.greatest(F.length(h), F.lit(1)).cast("double")
-    )
+    for k in scripts:
+        out = out.withColumn(script_c[k], _script_ratio(h, k))
+    script_cols = {k: F.col(script_c[k]) for k in scripts}
     out = out.withColumn(
         best_c,
-        F.array_max(F.array(*_scored_structs(F.col(toks_c), cyr, ntf))),
+        F.array_max(F.array(*_scored_structs(pack, F.col(toks_c), ntf,
+                                             script_cols))),
     )
     final = F.when(
         (F.length(F.trim(F.col(text_col))) == 0)
-        | (F.col(nt_c) < min_tokens)
+        | ((F.col(nt_c) < min_tokens) & (_script_max(script_cols)
+                                         < F.lit(min_script)))
         | (F.col(best_c)["score"] < min_score),
         F.struct(F.lit(UNKNOWN).alias("lang"), F.lit(0.0).alias("score")),
     ).otherwise(F.struct(F.col(best_c)["lang"].alias("lang"),
@@ -130,5 +270,97 @@ def with_langid(df: DataFrame, text_col: str = "text",
         out.withColumn(f"{out_prefix}_tmp", final)
         .withColumn(f"{out_prefix}_lang", F.col(f"{out_prefix}_tmp.lang"))
         .withColumn(f"{out_prefix}_score", F.col(f"{out_prefix}_tmp.score"))
-        .drop(f"{out_prefix}_tmp", head_c, toks_c, nt_c, best_c)
+        .drop(f"{out_prefix}_tmp", head_c, toks_c, nt_c, best_c,
+              *script_c.values())
     )
+
+
+# ------------------------------------------------------------------ SQL twin
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def oracle_sql_fragment(pack: LangPack = BUILTIN_PACK, *,
+                        prefix_chars: int = LANGID_PREFIX_CHARS,
+                        min_tokens: int = 4, min_score: float = 0.05,
+                        min_script: float = MIN_SCRIPT_RATIO) -> str:
+    """DuckDB CTE chain replaying this exact classifier over
+    ``src(doc_id, t)`` → ``lpred(doc_id, lang_pred)``.
+
+    Generated from the SAME pack object the Spark plan compiles, so the
+    oracle and the engine cannot drift: stopword lists become a VALUES
+    table, script ratios become ``regexp_extract_all`` counts over the
+    same literal ranges, and each language's score is emitted with the
+    identical term order (token ratio first, then weighted script terms
+    left-to-right — IEEE addition order matters for hash equality)."""
+    scripts = pack_scripts(pack)
+    head = f"substr(t, 1, {prefix_chars})"
+    script_cols = ",\n                 ".join(
+        f"len(regexp_extract_all({head}, {_sql_quote(SCRIPTS[k])})) * 1.0"
+        f" / greatest(length({head}), 1) AS s_{k}"
+        for k in scripts
+    )
+    script_cols = (",\n                 " + script_cols) if script_cols else ""
+    smax = (
+        "greatest(" + ", ".join(f"s_{k}" for k in scripts) + ")"
+        if len(scripts) > 1 else (f"s_{scripts[0]}" if scripts else "0.0")
+    )
+
+    values = ",\n          ".join(
+        "({}, [{}])".format(
+            _sql_quote(spec.lang),
+            ",".join(_sql_quote(w) for w in spec.stopwords),
+        )
+        for spec in sorted(pack, key=lambda s: s.lang)
+    )
+
+    base = ("len(list_filter(b.toks, w -> list_contains(l.words, w)))"
+            " * 1.0 / b.nt")
+    whens = []
+    for spec in sorted(pack, key=lambda s: s.lang):
+        if not spec.scripts:
+            continue
+        terms = []
+        if spec.stopwords:
+            terms.append(base)
+        terms += [f"({float(w)}) * b.s_{k}" for k, w in spec.scripts]
+        whens.append(f"WHEN {_sql_quote(spec.lang)} THEN "
+                     + " + ".join(terms))
+    case = ("CASE l.lang\n                   "
+            + "\n                   ".join(whens)
+            + f"\n                   ELSE {base}\n                 END"
+            if whens else base)
+
+    return f"""
+        lbase AS (
+          SELECT doc_id,
+                 list_transform(
+                   list_filter(string_split_regex(trim({head}), '\\s+'),
+                               x -> length(x) > 0),
+                   w -> lower(regexp_replace(w, '^[^\\pL\\pN]+|[^\\pL\\pN]+$', '', 'g'))) AS toks,
+                 greatest(len(string_split_regex(trim({head}), '\\s+')), 1) AS nt,
+                 length(trim(t)) AS trimlen,
+                 len(string_split_regex(trim({head}), '\\s+')) AS nt_raw{script_cols}
+          FROM src),
+        lsig AS (
+          SELECT *, {smax} AS smax FROM lbase),
+        lscore AS (
+          SELECT b.doc_id, b.trimlen, b.nt_raw, b.smax, l.lang,
+                 {case} AS score
+          FROM lsig b CROSS JOIN (VALUES
+          {values}
+        ) AS l(lang, words)),
+        lbest AS (
+          SELECT doc_id, trimlen, nt_raw, smax, lang, score,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, lang DESC) AS rn
+          FROM lscore),
+        lpred AS (
+          SELECT doc_id,
+                 CASE WHEN trimlen = 0
+                        OR (nt_raw < {min_tokens} AND smax < {min_script})
+                        OR score < {min_score}
+                      THEN 'und' ELSE lang END AS lang_pred
+          FROM lbest WHERE rn = 1)"""

@@ -1,0 +1,168 @@
+"""Per-language sample snippets for langid tests and oracle queries.
+
+Three natural-text snippets for every language in the built-in pack
+(:data:`metacrafter_spark.corpus.langid.BUILTIN_PACK`).  Written for
+this repo (no external corpus); deliberately apostrophe-free so the
+snippets embed directly into SQL literals.  Tests assert the classifier
+reaches ≥ 95% accuracy on this multi-script corpus; the
+``langid_documents`` oracle query cycles the flattened list over
+doc_ids so the full 19-language scoring path is hash-checked against
+the DuckDB replay.
+"""
+
+from __future__ import annotations
+
+SAMPLES: dict[str, tuple[str, ...]] = {
+    "en": (
+        "the weather report for this week shows that rain is expected in "
+        "the northern region and the schools have decided to close early",
+        "many people from the city travel to the coast in summer because "
+        "the beaches are quiet and the water is warm at that time",
+        "this book was written for students who are learning about the "
+        "history of science and it has not been translated before",
+    ),
+    "fr": (
+        "les enfants jouent dans le jardin pendant que les parents "
+        "préparent le repas du soir pour toute la famille",
+        "le gouvernement a annoncé une nouvelle réforme des transports qui "
+        "sera mise en place dans les grandes villes au printemps",
+        "ce musée est connu pour ses collections de peintures et vous "
+        "pouvez le visiter avec un guide pendant la semaine",
+    ),
+    "de": (
+        "der schnelle zug fährt am morgen von der stadt in die berge und "
+        "viele leute nehmen ihn für den ausflug am wochenende",
+        "die regierung hat ein neues gesetz für den schutz der umwelt "
+        "beschlossen und es ist nicht bei allen beliebt",
+        "das alte haus an dem fluss wurde im letzten jahr renoviert und "
+        "eine junge familie ist mit ihren kindern eingezogen",
+    ),
+    "es": (
+        "el mercado de la ciudad abre por la mañana y los vecinos compran "
+        "fruta y verdura para toda la semana",
+        "una parte del dinero se usa para mejorar las escuelas y el resto "
+        "se destina a los hospitales de la región",
+        "los estudiantes leen el informe sobre la historia de su país y "
+        "escriben un resumen como tarea para el viernes",
+    ),
+    "pt": (
+        "o mercado da cidade é um dos mais antigos do país e as pessoas "
+        "compram frutas em todas as manhãs",
+        "não se sabe se o projeto vai continuar mas os moradores do bairro "
+        "são contra a obra e pedem uma reunião com a prefeitura",
+        "as crianças brincam em um parque perto da escola e os pais "
+        "conversam enquanto esperam pela saída da tarde",
+    ),
+    "it": (
+        "il mercato della città è uno dei più antichi del paese e le "
+        "persone comprano frutta e verdura ogni mattina",
+        "non si sa se il progetto andrà avanti ma gli abitanti del "
+        "quartiere sono contrari e chiedono un incontro con il sindaco",
+        "ogni anno molti turisti visitano la città per vedere i monumenti "
+        "e una parte di loro torna anche in estate",
+    ),
+    "nl": (
+        "de trein vertrekt in de ochtend van het station en veel mensen "
+        "nemen hem voor een dagje uit naar de kust",
+        "het oude huis aan de rivier is vorig jaar verbouwd en er woont nu "
+        "een jong gezin met twee kinderen",
+        "niet iedereen is het eens met het nieuwe plan maar de gemeente "
+        "wil toch beginnen met de bouw van de school",
+    ),
+    "pl": (
+        "w zeszłym roku wiele osób wyjechało z miasta na wieś i teraz "
+        "pracuje w domu przez internet",
+        "nie wiadomo jeszcze czy projekt będzie kontynuowany ale "
+        "mieszkańcy dzielnicy są przeciwni i proszą o spotkanie",
+        "dzieci bawią się na placu obok szkoły a rodzice rozmawiają "
+        "czekając na koniec zajęć po południu",
+    ),
+    "tr": (
+        "bu şehirde her sabah pazar kurulur ve insanlar hafta için taze "
+        "meyve ile sebze alır",
+        "yeni yol projesi ile ilgili karar daha sonra açıklanacak ama "
+        "mahalle sakinleri bu plana karşı çıkıyor",
+        "çocuklar okuldan sonra parkta oynar ve aileler akşam yemeğine "
+        "kadar orada sohbet eder",
+    ),
+    "id": (
+        "pasar di kota ini buka setiap pagi dan warga membeli buah serta "
+        "sayur untuk kebutuhan selama satu minggu",
+        "keputusan tentang proyek jalan baru itu akan diumumkan kemudian "
+        "dan warga yang tinggal di sekitar lokasi tidak setuju",
+        "anak anak bermain di taman dekat sekolah dan para orang tua "
+        "menunggu sampai pelajaran selesai pada sore hari",
+    ),
+    "ru": (
+        "рынок в центре города открыт с утра и жители покупают фрукты и "
+        "овощи на всю неделю",
+        "пока не известно будет ли проект продолжен но жители района "
+        "против и просят провести встречу",
+        "дети играют на площадке возле школы а родители разговаривают и "
+        "ждут конца занятий",
+    ),
+    "el": (
+        "η αγορά της πόλης ανοίγει το πρωί και οι κάτοικοι αγοράζουν "
+        "φρούτα και λαχανικά για όλη την εβδομάδα",
+        "δεν είναι ακόμη γνωστό αν το έργο θα συνεχιστεί και οι κάτοικοι "
+        "της περιοχής ζητούν μια συνάντηση με τον δήμαρχο",
+        "τα παιδιά παίζουν στην πλατεία κοντά στο σχολείο και οι γονείς "
+        "περιμένουν να τελειώσουν τα μαθήματα",
+    ),
+    "ar": (
+        "يفتح السوق في وسط المدينة كل صباح ويشتري السكان الفواكه "
+        "والخضروات لكل الأسبوع من الباعة",
+        "لم يتم الإعلان عن قرار المشروع الجديد حتى الآن وسكان الحي "
+        "يعترضون على الخطة المقترحة",
+        "يلعب الأطفال في الحديقة القريبة من المدرسة وينتظر الآباء حتى "
+        "نهاية اليوم الدراسي",
+    ),
+    "he": (
+        "השוק של העיר נפתח בבוקר והתושבים קונים פירות וירקות לכל השבוע "
+        "של המשפחה",
+        "עדיין לא ידוע אם הפרויקט החדש יימשך אבל התושבים של השכונה "
+        "מתנגדים לתוכנית",
+        "הילדים משחקים בגן ליד בית הספר וההורים מחכים עם החברים עד סוף "
+        "היום",
+    ),
+    "hi": (
+        "शहर के बीच का बाजार हर सुबह खुलता है और लोग पूरे सप्ताह के लिए "
+        "फल और सब्जियां खरीदते हैं",
+        "नई सड़क परियोजना पर निर्णय की घोषणा अभी नहीं हुई है और मोहल्ले "
+        "के लोग इस योजना से नाराज हैं",
+        "बच्चे स्कूल के पास वाले मैदान में खेलते हैं और माता पिता शाम तक "
+        "उनका इंतजार करते हैं",
+    ),
+    "th": (
+        "ตลาดกลางเมืองเปิดทุกเช้าและชาวบ้านมาซื้อผักผลไม้สำหรับทั้งสัปดาห์",
+        "ยังไม่มีการประกาศเกี่ยวกับโครงการถนนสายใหม่และชาวบ้านในละแวกนั้น"
+        "ไม่เห็นด้วยกับแผนนี้",
+        "เด็กๆเล่นอยู่ที่สนามใกล้โรงเรียนและผู้ปกครองรออยู่จนถึงเวลาเลิกเรียน",
+    ),
+    "ko": (
+        "도시의 시장은 매일 아침 열리고 주민들은 한 주 동안 먹을 과일과 "
+        "채소를 산다",
+        "새 도로 계획에 대한 결정은 아직 발표되지 않았고 동네 주민들은 그 "
+        "계획에 반대한다",
+        "아이들은 학교 근처 놀이터에서 놀고 부모들은 수업이 끝날 때까지 "
+        "기다린다",
+    ),
+    "ja": (
+        "町の市場は毎朝開かれており住民は一週間分の果物と野菜を買いに来る",
+        "新しい道路計画についての決定はまだ発表されておらず近所の住民は"
+        "その計画に反対している",
+        "子供たちは学校の近くの公園で遊び親たちは授業が終わるまで待っている",
+    ),
+    "zh": (
+        "城市中心的市场每天早上开门居民们为整个星期购买水果和蔬菜",
+        "关于新道路项目的决定尚未公布附近的居民反对这个计划",
+        "孩子们在学校附近的操场上玩耍父母们一直等到放学",
+    ),
+}
+
+
+def flat_samples() -> list[tuple[str, str]]:
+    """(lang, text) pairs in deterministic order: langs sorted, then the
+    three variants — the order both the Spark literal array and the SQL
+    list_value in the oracle query are built in."""
+    return [(lang, s) for lang in sorted(SAMPLES) for s in SAMPLES[lang]]

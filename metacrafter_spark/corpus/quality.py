@@ -29,6 +29,17 @@ class QualityThresholds:
     max_dup_para_frac: float = 0.3
     max_dup_2gram_frac: float = 0.9  # lenient default; tighten per corpus
     min_terminal_punct_line_frac: float = 0.0  # C4 uses line filtering; doc-level info only
+    # CJK mode (round 5): whitespace-word metrics silently degrade on
+    # whitespace-free scripts (a zh/ja/th document tokenizes to a
+    # handful of huge "words" and fails every Gopher word gate).  When
+    # the CJK-char ratio clears cjk_mode_char_frac the pass decision
+    # switches to char-unit gates: text units (CJK chars + whitespace
+    # words) replace words, a CJK char-bigram dup fraction replaces the
+    # word-2gram one, and a Unicode-letter ratio replaces the
+    # Latin/Cyrillic alpha gates.
+    cjk_mode_char_frac: float = 0.3
+    min_letter_char_frac: float = 0.5
+    max_dup_cjk_2gram_frac: float = 0.8
 
 
 DEFAULT_THRESHOLDS = QualityThresholds()
@@ -46,10 +57,17 @@ _STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with",
 _EDGE_PUNCT_RE = r"^[^\p{L}\p{N}]+|[^\p{L}\p{N}]+$"
 _BULLET_RE = r"^\s*(?:[-*•‣▪]|\d+[.)])\s"
 _WORD_ALPHA_RE = r"[A-Za-zА-Яа-яЀ-ӿÀ-ÿ]"
+# Whitespace-free scripts (CJK ideographs + ext A, kana, hangul
+# syllables, Thai) as literal BMP ranges — Java regex and RE2 agree on
+# literal ranges, so the ratio is replayable in the DuckDB oracle.
+_CJK_CLASS = "[㐀-䶿一-鿿぀-ヿ가-힣฀-๿]"
+# any Unicode letter — portable (\p{L} means the same in Java and RE2)
+_LETTER_RE = r"[\p{L}]"
 
 
-def _dup_2gram_frac(words: Column, n_words: Column) -> Column:
-    """1 - distinct(word 2-grams)/total — repeated-phrase signal.
+def _dup_2gram_frac(words: Column, n_words: Column, sep: str = " ") -> Column:
+    """1 - distinct(2-grams)/total — repeated-phrase signal (over
+    whitespace words, or over CJK chars with ``sep=""``).
 
     Built with zip_with over two shifted slices, NOT an index-lambda
     (`slice(words, i, 2)` inside a per-element lambda re-evaluates the
@@ -58,7 +76,8 @@ def _dup_2gram_frac(words: Column, n_words: Column) -> Column:
     k = F.greatest(n_words - 1, F.lit(0))
     grams = F.zip_with(
         F.slice(words, 1, k), F.slice(words, 2, k),
-        lambda x, y: F.concat(x, F.lit(" "), y),
+        (lambda x, y: F.concat(x, y)) if sep == "" else
+        (lambda x, y: F.concat(x, F.lit(sep), y)),
     )
     return F.when(
         k > 0,
@@ -73,18 +92,23 @@ def quality_columns(
     words: Column | None = None,
     lines: Column | None = None,
     paras: Column | None = None,
+    cjk_chars: Column | None = None,
 ) -> dict[str, Column]:
     """Metric expressions; pass pre-materialized ``words``/``lines``/
-    ``paras`` array columns to pin each split to ONE evaluation — the
-    bare form re-derives them inside every metric expression (a dozen
-    re-splits of the text per row), which :func:`with_quality` avoids."""
+    ``paras``/``cjk_chars`` array columns to pin each split to ONE
+    evaluation — the bare form re-derives them inside every metric
+    expression (a dozen re-splits of the text per row), which
+    :func:`with_quality` avoids."""
     if words is None:
         words = F.filter(F.split(text, r"\s+"), lambda w: F.length(w) > 0)
     if lines is None:
         lines = F.split(text, r"\n")
     if paras is None:
         paras = F.split(text, r"\n\n+")
+    if cjk_chars is None:
+        cjk_chars = F.regexp_extract_all(text, F.lit(_CJK_CLASS), 0)
     n_words = F.size(words)
+    n_cjk = F.size(cjk_chars)
     n_words_f = F.greatest(n_words, F.lit(1)).cast("double")
     n_lines_f = F.greatest(F.size(lines), F.lit(1)).cast("double")
     alpha_chars = F.regexp_count(text, F.lit(_WORD_ALPHA_RE))
@@ -134,26 +158,56 @@ def quality_columns(
         "alpha_char_frac": (
             alpha_chars.cast("double") / F.greatest(F.length(text), F.lit(1)).cast("double")
         ),
+        # CJK-mode metrics (round 5): char-unit replacements for the
+        # whitespace-word metrics on whitespace-free scripts
+        "cjk_char_frac": (
+            n_cjk.cast("double")
+            / F.greatest(F.length(text), F.lit(1)).cast("double")
+        ),
+        "n_units": n_words + n_cjk,
+        "dup_cjk_2gram_frac": _dup_2gram_frac(cjk_chars, n_cjk, sep=""),
+        "letter_char_frac": (
+            F.regexp_count(text, F.lit(_LETTER_RE)).cast("double")
+            / F.greatest(F.length(text), F.lit(1)).cast("double")
+        ),
         "has_lorem": text.rlike(r"(?i)lorem ipsum"),
         "has_curly": text.contains("{"),
     }
 
 
 def quality_pass(q: dict[str, Column], t: QualityThresholds = DEFAULT_THRESHOLDS) -> Column:
-    """Gopher-style document keep decision from the metric columns."""
-    return (
+    """Gopher-style document keep decision from the metric columns.
+
+    Script-aware (round 5): documents whose CJK-char ratio clears
+    ``t.cjk_mode_char_frac`` are judged by char-unit gates instead of
+    the whitespace-word gates (which a zh/ja/th document always fails —
+    it tokenizes to a handful of huge "words").  Line/paragraph gates
+    and the boilerplate flags apply in both modes."""
+    latin = (
         q["n_words"].between(t.min_words, t.max_words)
         & q["mean_word_len"].between(t.min_mean_word_len, t.max_mean_word_len)
         & (q["symbol_word_ratio"] < t.max_symbol_word_ratio)
-        & (q["bullet_line_frac"] < t.max_bullet_line_frac)
-        & (q["ellipsis_line_frac"] < t.max_ellipsis_line_frac)
         & (q["alpha_word_frac"] > t.min_alpha_word_frac)
         & (q["stopword_hits"] >= t.min_stopword_hits)
+        & (q["dup_2gram_frac"] < t.max_dup_2gram_frac)
+    )
+    cjk = (
+        q["n_units"].between(t.min_words, t.max_words)
+        & (q["letter_char_frac"] > t.min_letter_char_frac)
+        & (q["dup_cjk_2gram_frac"] < t.max_dup_cjk_2gram_frac)
+    )
+    both = (
+        (q["bullet_line_frac"] < t.max_bullet_line_frac)
+        & (q["ellipsis_line_frac"] < t.max_ellipsis_line_frac)
         & (q["dup_line_frac"] < t.max_dup_line_frac)
         & (q["dup_para_frac"] < t.max_dup_para_frac)
-        & (q["dup_2gram_frac"] < t.max_dup_2gram_frac)
         & ~q["has_lorem"]
         & ~q["has_curly"]
+    )
+    return (
+        F.when(q["cjk_char_frac"] >= F.lit(t.cjk_mode_char_frac), cjk)
+        .otherwise(latin)
+        & both
     )
 
 
@@ -191,20 +245,22 @@ def with_quality(df: DataFrame, text_col: str = "text",
     re-splitting the text (same re-evaluation trap as langid's argmax;
     row-identical results, asserted by the quality_flags oracle)."""
     text = F.col(text_col)
-    w_c, l_c, p_c = "__q_words", "__q_lines", "__q_paras"
+    w_c, l_c, p_c, c_c = "__q_words", "__q_lines", "__q_paras", "__q_cjk"
     df = (
         df.withColumn(w_c, F.filter(F.split(text, r"\s+"),
                                     lambda w: F.length(w) > 0))
         .withColumn(l_c, F.split(text, r"\n"))
         .withColumn(p_c, F.split(text, r"\n\n+"))
+        .withColumn(c_c, F.regexp_extract_all(text, F.lit(_CJK_CLASS), 0))
     )
     q = quality_columns(text, words=F.col(w_c), lines=F.col(l_c),
-                        paras=F.col(p_c))
+                        paras=F.col(p_c), cjk_chars=F.col(c_c))
     for name, col in q.items():
         df = df.withColumn(f"{prefix}_{name}", col)
     named = {name: F.col(f"{prefix}_{name}") for name in q}
     return df.withColumn(f"{prefix}_pass",
-                         quality_pass(named, thresholds)).drop(w_c, l_c, p_c)
+                         quality_pass(named, thresholds)).drop(w_c, l_c, p_c,
+                                                               c_c)
 
 
 def dedup_paragraphs_from(paras: Column) -> Column:

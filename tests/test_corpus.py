@@ -372,3 +372,95 @@ def test_webcorpus_fixture_matches_live_generation(spark):
         assert a["text"] == b["text"], a["url"]
         assert bytes(a["html"]) == bytes(b["html"]), a["url"]
         assert a["lang"] == b["lang"] and a["warc_ts"] == b["warc_ts"]
+
+
+def test_langid_pack_accuracy_multiscript(spark):
+    """Built-in pack must reach ≥ 95% accuracy on the 19-language
+    multi-script sample corpus (57 docs), incl. the whitespace-free
+    scripts (th/ja/zh) that bypass the min_tokens guard via script
+    evidence, and ja/zh disambiguation by kana ratio."""
+    from pyspark.sql import functions as F
+
+    from metacrafter_spark.corpus.langid import BUILTIN_PACK, with_langid
+    from metacrafter_spark.corpus.langid_samples import SAMPLES, flat_samples
+
+    assert len(BUILTIN_PACK) == 19 and len(SAMPLES) == 19
+    rows = [(lang, text) for lang, text in flat_samples()]
+    df = spark.createDataFrame(rows, "lang_true string, text string")
+    got = with_langid(df).select("lang_true", "langid_lang").collect()
+    n_ok = sum(r.lang_true == r.langid_lang for r in got)
+    acc = n_ok / len(got)
+    misses = [(r.lang_true, r.langid_lang) for r in got
+              if r.lang_true != r.langid_lang]
+    assert acc >= 0.95, f"accuracy {acc:.3f}, misses: {misses}"
+    # every one of the 19 languages must be reachable (no lang whose
+    # snippets all misclassify)
+    langs_hit = {r.langid_lang for r in got if r.lang_true == r.langid_lang}
+    assert len(langs_hit) == 19, sorted(langs_hit)
+
+
+def test_langid_custom_pack_and_guards(spark):
+    """LangPack is caller-suppliable: a two-language pack classifies
+    with only those labels; short texts stay und unless script evidence
+    overrides; und fallbacks unchanged."""
+    from pyspark.sql import functions as F
+
+    from metacrafter_spark.corpus.langid import (
+        LangSpec, langid_struct, with_langid,
+    )
+
+    tiny = (LangSpec("en", ("the", "and", "of", "is")),
+            LangSpec("zh", (), (("han", 1.0),)))
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog is here of course"),
+         (2, "关于新道路项目的决定尚未公布附近的居民反对这个计划"),
+         (3, "le gouvernement a annoncé une réforme des transports publics"),
+         (4, "the and"),          # < min_tokens, no script → und
+         (5, "关于新道路项目"),     # < min_tokens but han ratio ≥ 0.1 → zh
+         (6, "   ")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.langid_lang
+           for r in with_langid(df, pack=tiny).collect()}
+    assert got[1] == "en" and got[2] == "zh" and got[5] == "zh"
+    assert got[3] == "und" and got[4] == "und" and got[6] == "und"
+    # single-expression form agrees with the staged form on this pack
+    single = {r.doc_id: r.lang for r in df.select(
+        "doc_id", langid_struct(F.col("text"), pack=tiny).alias("s")
+    ).select("doc_id", "s.lang").collect()}
+    assert single == got
+
+
+def test_quality_gates_cjk_mode(spark):
+    """Whitespace-free scripts must be able to PASS the quality gates
+    (pre-round-5 every zh/ja/th doc failed min_words=50 because the
+    whole text tokenized to a handful of huge words), while junky CJK
+    (heavy char-bigram repetition, too short) still fails."""
+    from pyspark.sql import functions as F
+
+    from metacrafter_spark.corpus.langid_samples import SAMPLES
+    from metacrafter_spark.corpus.quality import with_quality
+
+    zh_good = "\n".join(SAMPLES["zh"]) + "\n" + "\n".join(
+        s[::-1] for s in SAMPLES["zh"])          # 6 distinct lines, ~160 chars
+    ja_good = "\n".join(SAMPLES["ja"]) + "\n" + "\n".join(
+        s[::-1] for s in SAMPLES["ja"])
+    th_good = "\n".join(SAMPLES["th"]) + "\n" + "\n".join(
+        s[::-1] for s in SAMPLES["th"])
+    zh_repeat = "重复" * 100                      # bigram dup ≈ 1 → fail
+    zh_short = SAMPLES["zh"][0][:20]             # < 50 units → fail
+    en_good = (" ".join(SAMPLES["en"]) + " " +
+               " ".join(s.upper() for s in SAMPLES["en"]))
+    df = spark.createDataFrame(
+        [(1, zh_good), (2, ja_good), (3, th_good),
+         (4, zh_repeat), (5, zh_short), (6, en_good)],
+        "doc_id long, text string")
+    q = {r.doc_id: r for r in with_quality(df).collect()}
+    # sane CJK docs pass; latin path unaffected
+    assert q[1].q_pass and q[2].q_pass and q[3].q_pass and q[6].q_pass
+    assert not q[4].q_pass and not q[5].q_pass
+    # the mode key and unit counts are what flipped them
+    assert q[1].q_cjk_char_frac > 0.8 and q[1].q_n_units > 100
+    assert q[4].q_dup_cjk_2gram_frac > 0.9
+    assert q[6].q_cjk_char_frac == 0.0
+    # words-only metrics still show why latin gates would have failed
+    assert q[1].q_n_words < 50
