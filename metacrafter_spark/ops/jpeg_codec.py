@@ -1,21 +1,29 @@
-"""Pure-numpy baseline JPEG decoder (clean-room from the public
-ITU-T T.81 / JFIF specifications).
+"""Pure-numpy JPEG decoder (clean-room from the public ITU-T T.81 /
+JFIF specifications).
 
-Scope: baseline sequential DCT (SOF0), 8-bit precision, Huffman
-entropy coding, grayscale or YCbCr (1 or 3 components), chroma
-subsampling via per-component sampling factors (box/nearest
-upsampling), restart markers, FF00 byte stuffing.  Progressive (SOF2),
-arithmetic coding, 12-bit precision and hierarchical modes raise
+Scope: baseline + extended sequential DCT (SOF0/SOF1) and **progressive
+DCT (SOF2, round 5)** — 8-bit precision, Huffman entropy coding,
+grayscale or YCbCr (1 or 3 components), chroma subsampling via
+per-component sampling factors (box/nearest upsampling), restart
+markers, FF00 byte stuffing, and for progressive: spectral selection,
+successive approximation (DC and AC first/refinement passes, T.81
+§G.1.2), EOB runs, multi-scan table redefinition.  Arithmetic coding,
+12-bit precision, hierarchical and lossless modes raise
 NotImplementedError — the honest gate stays for those.
 
-Decoding path: marker walk (DQT/DHT/SOF0/SOS) → Huffman bit reader →
-per-MCU 8×8 blocks (DC diff + run/size AC) → dequantize → dezigzag →
-IDCT as two 8×8 matrix multiplies with the orthonormal DCT-III basis →
-level shift → component planes → upsample → JFIF YCbCr→RGB.
+Decoding model: marker walk (DQT/DHT/DRI/SOF/SOS…) accumulates
+quantized coefficients per component block grid across however many
+scans the stream carries (a sequential stream is simply the one-scan
+special case: its AC EOB code is an EOB-run of length 1, so the same
+band decoder serves both modes).  After EOI: vectorized dezigzag →
+dequantize → IDCT (einsum with the orthonormal DCT-III basis over all
+blocks at once) → level shift → upsample → JFIF YCbCr→RGB.
 
 Conformance: decoded pixels are compared against the JDK's independent
 javax.imageio implementation (bundled with Spark's JVM) on
-ImageIO-written JPEGs; T.81 Annex A allows small IDCT variance between
+ImageIO-written JPEGs — sequential AND progressive
+(``ImageWriteParam.MODE_DEFAULT`` drives the standard multi-scan
+progression script); T.81 Annex A allows small IDCT variance between
 conforming decoders, so the tests assert a ±2 tolerance per sample
 (exactness is not defined by the spec for lossy DCT).
 """
@@ -26,7 +34,7 @@ import struct
 
 import numpy as np
 
-# zig-zag order (T.81 Figure 5): index in stream → (row, col)
+# zig-zag order (T.81 Figure 5): index in stream → raster index
 _ZIGZAG = np.array([
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
@@ -70,7 +78,7 @@ class _BitReader:
         d = self.data
         while True:
             if self.pos >= len(d):
-                return 0  # spec: pad with 1s/0s at the end; 0 is fine here
+                return 0  # spec: pad at the end; 0 is fine here
             b = d[self.pos]
             self.pos += 1
             if b != 0xFF:
@@ -79,7 +87,7 @@ class _BitReader:
             if nxt == 0x00:
                 self.pos += 1
                 return 0xFF
-            # a real marker (RSTn handled by sync(); EOI ends data)
+            # a real marker (RSTn handled by sync(); EOI/next ends data)
             self.pos -= 1
             return 0
 
@@ -124,6 +132,113 @@ def _extend(v: int, t: int) -> int:
     return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+def _next_marker(data: bytes, pos: int) -> int:
+    """First position ≥ pos of a real marker (FF + non-00/non-RST)."""
+    while pos + 1 < len(data):
+        if data[pos] == 0xFF and data[pos + 1] != 0x00 and not (
+            0xD0 <= data[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    return len(data)
+
+
+class _Component:
+    """Per-component geometry + accumulated coefficient grid.
+
+    Coefficients live in ZIGZAG-stream order (the order scans deliver
+    them); dezigzag happens once, vectorized, at output time."""
+
+    def __init__(self, cid: int, h: int, v: int, tq: int):
+        self.cid, self.h, self.v, self.tq = cid, h, v, tq
+        self.coefs: np.ndarray | None = None  # (by, bx, 64) int32
+        # non-interleaved scan grid (T.81 A.2.2), set at frame setup
+        self.du_x = 0
+        self.du_y = 0
+
+
+def _refine_nonzero(rd: _BitReader, coef: np.ndarray, k: int, p1: int) -> None:
+    """Apply one correction bit to an already-nonzero coefficient
+    (T.81 G.1.2.3): magnitude grows toward ±∞ only when the bit is 1
+    and the position is still empty at this approximation level."""
+    if rd.bit():
+        if coef[k] >= 0:
+            if (coef[k] & p1) == 0:
+                coef[k] += p1
+        else:
+            if (coef[k] & p1) == 0:
+                coef[k] -= p1
+
+
+def _decode_ac_first(rd, coef, ss, se, al, act, eobrun):
+    """AC band, first pass at this approximation (Ah=0) — also the
+    sequential AC path (EOB there is an EOB-run of exactly 1)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = rd.decode(act)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:         # ZRL: 16 zeros
+                k += 16
+                continue
+            # EOB run: this block done, plus (run-1) more blocks
+            return (1 << r) + rd.bits(r) - 1
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        coef[k] = _extend(rd.bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _decode_ac_refine(rd, coef, ss, se, al, act, eobrun):
+    """AC band, successive-approximation refinement (Ah≠0, T.81
+    G.1.2.3): newly-significant coefficients arrive as ±1<<al; every
+    already-nonzero coefficient traversed consumes a correction bit."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = rd.decode(act)
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s == 0:
+                if r < 15:
+                    # EOB run INCLUDING this block; even a plain EOB
+                    # (r=0) still owes correction bits for the rest of
+                    # this block's band — handled by the tail below
+                    eobrun = (1 << r) + rd.bits(r)
+                    break
+                # r == 15: run of 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("refinement magnitude must be ±1")
+                val = p1 if rd.bit() else -p1
+            while k <= se:
+                if coef[k] != 0:
+                    _refine_nonzero(rd, coef, k, p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                coef[k] = val
+            k += 1
+    if eobrun > 0:
+        # inside an EOB run (entered with one, or just started one):
+        # the band's remaining nonzero history still gets correction
+        # bits, then this block counts against the run
+        while k <= se:
+            if coef[k] != 0:
+                _refine_nonzero(rd, coef, k, p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
     """JPEG bytes → uint8 (h, w) grayscale or (h, w, 3) RGB."""
     if data[:2] != b"\xff\xd8":
@@ -132,15 +247,24 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff_dc: dict[int, _Huff] = {}
     huff_ac: dict[int, _Huff] = {}
     frame = None
+    comps: list[_Component] = []
+    by_id: dict[int, _Component] = {}
     restart_interval = 0
+    progressive = False
+    hmax = vmax = mcus_x = mcus_y = 0
     pos = 2
-    scan = None
-    while pos + 4 <= len(data):
+    saw_scan = False
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM/RSTn: no length
+            pos += 2
+            continue
+        if pos + 4 > len(data):
+            raise ValueError("truncated marker segment")
         (seglen,) = struct.unpack_from(">H", data, pos + 2)
         seg = data[pos + 4:pos + 2 + seglen]
         if marker == 0xDB:  # DQT
@@ -155,7 +279,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     tbl = np.frombuffer(seg[p:p + 64], dtype=np.uint8).astype(np.int32)
                     p += 64
                 qt[tq] = tbl
-        elif marker == 0xC4:  # DHT
+        elif marker == 0xC4:  # DHT — may be redefined between scans
             p = 0
             while p < len(seg):
                 tc, th = seg[p] >> 4, seg[p] & 0xF
@@ -164,113 +288,71 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 syms = seg[p + 17:p + 17 + n]
                 (huff_ac if tc else huff_dc)[th] = _Huff(counts, syms)
                 p += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, ncomp = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit precision (8 only)")
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1,):  # extended sequential — same decode path
-            prec, h, w, ncomp = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
-            if prec != 8:
-                raise NotImplementedError(f"{prec}-bit precision (8 only)")
-            comps = []
-            for i in range(ncomp):
-                cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                comps.append(_Component(cid, hv >> 4, hv & 0xF, tq))
+            by_id = {c.cid: c for c in comps}
+            frame = {"h": h, "w": w}
+            hmax = max(c.h for c in comps)
+            vmax = max(c.v for c in comps)
+            mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+            for c in comps:
+                c.coefs = np.zeros((mcus_y * c.v, mcus_x * c.h, 64),
+                                   dtype=np.int32)
+                c.du_x = (-(-w * c.h // hmax) + 7) // 8
+                c.du_y = (-(-h * c.v // vmax) + 7) // 8
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG mode SOF{marker - 0xC0} not supported (baseline only)"
+                f"JPEG mode SOF{marker - 0xC0} not supported "
+                "(sequential + progressive DCT only)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — decode one scan, then keep walking
+            if frame is None:
+                raise ValueError("SOS before SOF")
             ns = seg[0]
-            scan = []
+            scomps = []
             for i in range(ns):
                 cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
-                scan.append({"id": cs, "dc": tables >> 4, "ac": tables & 0xF})
-            pos = pos + 2 + seglen
-            break
+                scomps.append((by_id[cs], tables >> 4, tables & 0xF))
+            ss, se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            ah, al = a >> 4, a & 0xF
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0
+            rd = _BitReader(data, pos + 2 + seglen)
+            _decode_scan(rd, scomps, ss, se, ah, al, huff_dc, huff_ac,
+                         restart_interval, mcus_x, mcus_y, progressive)
+            saw_scan = True
+            pos = _next_marker(data, rd.pos)
+            continue
         pos += 2 + seglen
-    if frame is None or scan is None:
+    if frame is None or not saw_scan:
         raise ValueError("JPEG missing SOF/SOS")
 
-    comps = frame["comps"]
-    by_id = {c["id"]: c for c in comps}
-    for s in scan:
-        by_id[s["id"]]["dc_t"] = s["dc"]
-        by_id[s["id"]]["ac_t"] = s["ac"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
     h, w = frame["h"], frame["w"]
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcus_x = (w + mcu_w - 1) // mcu_w
-    mcus_y = (h + mcu_h - 1) // mcu_h
-
-    planes = {
-        c["id"]: np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8),
-                          dtype=np.float64)
-        for c in comps
-    }
-    pred = {c["id"]: 0 for c in comps}
-    rd = _BitReader(data, pos)
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and \
-                    mcu_count % restart_interval == 0:
-                rd.sync_restart()
-                for cid in pred:
-                    pred[cid] = 0
-            mcu_count += 1
-            for c in comps:
-                cid = c["id"]
-                q = qt[c["tq"]]
-                dct = huff_dc[c["dc_t"]]
-                act = huff_ac[c["ac_t"]]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        coef = np.zeros(64, dtype=np.int32)
-                        t = rd.decode(dct)
-                        diff = _extend(rd.bits(t), t) if t else 0
-                        pred[cid] += diff
-                        coef[0] = pred[cid]
-                        k = 1
-                        while k < 64:
-                            rs = rd.decode(act)
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if r == 15:     # ZRL: 16 zeros
-                                    k += 16
-                                    continue
-                                break           # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC run past block end")
-                            coef[k] = _extend(rd.bits(s), s)
-                            k += 1
-                        block = np.zeros(64, dtype=np.float64)
-                        block[_ZIGZAG] = coef * q
-                        m = block.reshape(8, 8)
-                        # IDCT: orthonormal basis, two matmuls
-                        px = _C.T @ m @ _C
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[cid][y0:y0 + 8, x0:x0 + 8] = px + 128.0
-    # upsample to full resolution and crop
     out_planes = []
     for c in comps:
-        p = planes[c["id"]]
-        ry, rx = vmax // c["v"], hmax // c["h"]
+        q = qt[c.tq]
+        by, bx, _ = c.coefs.shape
+        nat = np.zeros((by, bx, 64), dtype=np.float64)
+        nat[:, :, _ZIGZAG] = c.coefs * q          # dezigzag + dequantize
+        m = nat.reshape(by, bx, 8, 8)
+        # IDCT over every block at once: px = C.T @ m @ C
+        px = np.einsum("ia,yxab,bj->yxij", _C.T, m, _C) + 128.0
+        plane = px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        ry, rx = vmax // c.v, hmax // c.h
         if ry > 1 or rx > 1:
-            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
-        out_planes.append(p[:h, :w])
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        out_planes.append(plane[:h, :w])
     if len(out_planes) == 1:
         return np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
     y, cb, cr = out_planes
@@ -279,3 +361,64 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_scan(rd, scomps, ss, se, ah, al, huff_dc, huff_ac,
+                 restart_interval, mcus_x, mcus_y, progressive) -> None:
+    """One entropy-coded scan into the components' coefficient grids.
+
+    Interleaved scans walk the MCU grid; single-component scans walk
+    that component's own data-unit grid (T.81 A.2.2).  DC and AC bands
+    share a scan only in sequential mode (ss=0, se=63)."""
+    if progressive and ss > 0 and len(scomps) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    pred = {c.cid: 0 for c, _dc, _ac in scomps}
+    eobrun = 0
+    interleaved = len(scomps) > 1
+
+    def units():
+        """Yield (component, block_y, block_x, dc_t, ac_t) in scan order,
+        grouped per MCU for the restart cadence."""
+        if interleaved:
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    group = []
+                    for c, dc_t, ac_t in scomps:
+                        for by in range(c.v):
+                            for bx in range(c.h):
+                                group.append((c, my * c.v + by,
+                                              mx * c.h + bx, dc_t, ac_t))
+                    yield group
+        else:
+            c, dc_t, ac_t = scomps[0]
+            for by in range(c.du_y):
+                for bx in range(c.du_x):
+                    yield [(c, by, bx, dc_t, ac_t)]
+
+    count = 0
+    for group in units():
+        if restart_interval and count and count % restart_interval == 0:
+            rd.sync_restart()
+            for cid in pred:
+                pred[cid] = 0
+            eobrun = 0
+        count += 1
+        for c, by, bx, dc_t, ac_t in group:
+            coef = c.coefs[by, bx]
+            if ss == 0:
+                if ah == 0:  # DC first pass (or sequential)
+                    t = rd.decode(huff_dc[dc_t])
+                    diff = _extend(rd.bits(t), t) if t else 0
+                    pred[c.cid] += diff
+                    coef[0] = pred[c.cid] << al
+                else:        # DC refinement: one bit per block
+                    if rd.bit():
+                        coef[0] |= 1 << al
+            if se > 0 and (ss > 0 or not progressive):
+                band_ss = max(ss, 1)
+                if ah == 0:
+                    eobrun = _decode_ac_first(
+                        rd, coef, band_ss, se, al, huff_ac[ac_t], eobrun)
+                else:
+                    eobrun = _decode_ac_refine(
+                        rd, coef, band_ss, se, al, huff_ac[ac_t], eobrun)

@@ -857,10 +857,18 @@ def test_jpeg_decoder_conformance_vs_java_imageio(spark):
     assert o2.shape == (20, 30, 3)
     assert diff.mean() < 3.0 and diff.max() <= 16, (diff.mean(), diff.max())
 
-    # progressive JPEG gates honestly (SOF2)
+    # progressive JPEG (SOF2, round 5): decoded for real now.  The
+    # multi-scan coefficient reconstruction must be IDENTICAL to the
+    # sequential one (same encoder, same quantized coefficients), so
+    # the progressive decode must match the sequential decode exactly —
+    # a much tighter bar than the ±JDK tolerance.
     d3 = _java_jpeg_rgb(jvm, rgb, progressive=True)
-    with pytest.raises(NotImplementedError, match="baseline"):
-        decode_jpeg(d3)
+    assert b"\xff\xc2" in d3  # really SOF2
+    o3 = decode_jpeg(d3)
+    assert np.array_equal(o3, o2)  # progressive ≡ sequential, bit-exact
+    diff3 = np.abs(o3.astype(float) - t2.astype(float))
+    assert o3.shape == (20, 30, 3)
+    assert diff3.mean() < 3.0 and diff3.max() <= 16, (diff3.mean(), diff3.max())
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"not a jpeg")
 
@@ -1061,3 +1069,71 @@ def test_multimodal_truncated_payloads_follow_fallback(spark):
     )
     rows = sample_frames(vdf, every_ms=1000, strict=False).collect()
     assert len(rows) == 3 and all(len(bytes(r.frame)) == 32 for r in rows)
+
+
+def test_jpeg_progressive_decoder_stress(spark):
+    """Progressive (SOF2) decode across the shapes web JPEGs actually
+    take: grayscale (±1 vs the JDK — no chroma path), larger 4:2:0
+    color with hard edges (stresses EOB runs + AC refinement), odd
+    non-multiple-of-MCU dimensions.  Every progressive decode must also
+    equal its sequential twin bit-exactly (same encoder → same
+    quantized coefficients; only the entropy coding differs)."""
+    import numpy as np
+    from metacrafter_spark.ops.jpeg_codec import decode_jpeg
+
+    jvm = spark._jvm
+
+    def write(img, progressive, gray=False, quality=0.85):
+        h, w = img.shape[:2]
+        b = jvm.java.awt.image.BufferedImage(w, h, 10 if gray else 1)
+        if gray:
+            r = b.getRaster()
+            for y in range(h):
+                for x in range(w):
+                    r.setSample(x, y, 0, int(img[y, x]))
+        else:
+            for y in range(h):
+                for x in range(w):
+                    rr, gg, bb = img[y, x]
+                    b.setRGB(x, y, (int(rr) << 16) | (int(gg) << 8) | int(bb))
+        wi = jvm.javax.imageio.ImageIO.getImageWritersByFormatName(
+            "jpeg").next()
+        p = wi.getDefaultWriteParam()
+        p.setCompressionMode(jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        p.setCompressionQuality(quality)
+        if progressive:
+            p.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+        baos = jvm.java.io.ByteArrayOutputStream()
+        ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+        wi.setOutput(ios)
+        wi.write(None, jvm.javax.imageio.IIOImage(b, None, None), p)
+        ios.flush()
+        return bytes(baos.toByteArray())
+
+    # grayscale, odd dims: scan machinery without the chroma path
+    yy, xx = np.mgrid[0:41, 0:53]
+    g = ((xx * 7 + yy * 3) % 256).astype(np.uint8)
+    dp = write(g, True, gray=True, quality=0.9)
+    assert b"\xff\xc2" in dp
+    ours = decode_jpeg(dp)
+    bimg = jvm.javax.imageio.ImageIO.read(
+        jvm.java.io.ByteArrayInputStream(bytearray(dp)))
+    r2 = bimg.getRaster()
+    theirs = np.array([[r2.getSample(x, y, 0) for x in range(53)]
+                       for y in range(41)], dtype=np.uint8)
+    assert ours.shape == (41, 53)
+    assert int(np.abs(ours.astype(int) - theirs.astype(int)).max()) <= 1
+    assert np.array_equal(ours, decode_jpeg(write(g, False, gray=True,
+                                                  quality=0.9)))
+
+    # 4:2:0 color with hard edges + gradients, two quality levels
+    yy, xx = np.mgrid[0:40, 0:56]
+    img = np.zeros((40, 56, 3), np.uint8)
+    img[..., 0] = (xx * 4) % 256
+    img[..., 1] = (yy * 5) % 256
+    img[..., 2] = ((xx + yy) * 3) % 256
+    img[10:20, 10:30] = [255, 0, 0]
+    for q in (0.7, 0.95):
+        seq = decode_jpeg(write(img, False, quality=q))
+        prog = decode_jpeg(write(img, True, quality=q))
+        assert np.array_equal(seq, prog), f"quality {q}"
