@@ -1,0 +1,111 @@
+"""Structural profile of rule_confidence_minipack (round-5 verdict #6).
+
+The query has been the most expensive headline row for three rounds
+(~2.9-3.7s at sf0.1), always inside the documented noise band.  This
+script breaks the wall down by PHASE in a controlled session so the
+dominant term is named instead of guessed:
+
+  A. session + read + repartition          (shared fixture cost)
+  B. stats job: compute_stats (one wide agg over the hash-keyed long frame)
+  C. slice + normalize + match job
+  D. report assembly + labels_dataframe (driver-side)
+
+Run:  python scripts/profile_rule_confidence.py [SF_DIR] [N_REPS]
+Prints one JSON line per rep plus a summary (best-of, per-phase).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .appName("profile_rule_confidence")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as entry
+    from metacrafter_spark.analyzer import ROW_SEQ, compute_stats, with_normalized_columns
+    from metacrafter_spark.analyzer import analyzed_columns
+    from metacrafter_spark.matcher import match_columns
+    from metacrafter_spark.rules.model import MIN_CONFIDENCE_FOR_MATCH
+    from metacrafter_spark.scanner import assemble_report, labels_dataframe
+
+    # warm up the JVM + pandas UDF workers once
+    spark.range(1000).select(F.sha2(F.col("id").cast("string"), 256)).count()
+
+    results = []
+    for rep in range(reps):
+        t0 = time.perf_counter()
+        docs = entry._t(spark, sf_dir, "documents").select("lang", "source")
+        pack = entry._mini_pack()
+        cols = analyzed_columns(docs)
+        frame = docs.withColumn(ROW_SEQ, F.monotonically_increasing_id())
+        t1 = time.perf_counter()
+
+        stats, aux = compute_stats(frame, cols)
+        t2 = time.perf_counter()
+
+        slice_frame = frame.orderBy(ROW_SEQ).limit(1_000_000)
+        ndf = with_normalized_columns(slice_frame, cols)
+        matches = match_columns(
+            ndf, cols, stats, aux, pack,
+            confidence=MIN_CONFIDENCE_FOR_MATCH, limit=1_000_000,
+        )
+        t3 = time.perf_counter()
+
+        stats_dict = {k: v.as_dict() for k, v in stats.items()}
+        rep_dict = assemble_report(
+            matches, stats_dict,
+            [[d[h] for h in d] for d in stats_dict.values()])
+        labels = labels_dataframe(spark, rep_dict)
+        n = labels.count()
+        t4 = time.perf_counter()
+
+        row = {
+            "rep": rep,
+            "setup_s": round(t1 - t0, 3),
+            "stats_job_s": round(t2 - t1, 3),
+            "match_job_s": round(t3 - t2, 3),
+            "report_s": round(t4 - t3, 3),
+            "total_s": round(t4 - t0, 3),
+            "labels": n,
+        }
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    best = {
+        k: min(r[k] for r in results)
+        for k in ("setup_s", "stats_job_s", "match_job_s", "report_s", "total_s")
+    }
+    steal = None
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+            tot = sum(int(x) for x in parts[1:])
+            steal = round(int(parts[8]) / tot, 4)
+    except Exception:
+        pass
+    print(json.dumps({"best_of": best, "reps": reps, "sf_dir": sf_dir,
+                      "cpu_steal_cum": steal}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

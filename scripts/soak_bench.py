@@ -1,0 +1,103 @@
+"""sf1 scale soak (round-5 verdict #5): corpus pipeline at 10× docs.
+
+Runs the keep/drop+scrub pipeline at 20k docs (the sf0.1 bench size)
+and at 200k docs (10×) in ONE controlled session — same protocol as
+bench.py (generation excluded via cache + count, pandas-UDF warm-up,
+best-of-N per size, /proc/stat steal sampled around each run) — and
+reports docs/s at both sizes plus the throughput ratio and the JVM's
+peak RSS.  Done-bar: 200k docs/s within ~15% of 20k docs/s (flat
+scaling into the next decade, no memory cliff).
+
+Run:  python scripts/soak_bench.py [REPS]
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def _steal() -> tuple[int, int]:
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    return vals[7], sum(vals)  # steal, total
+
+
+def _jvm_peak_rss_mb() -> float | None:
+    import glob
+    best = 0
+    for status in glob.glob("/proc/[0-9]*/status"):
+        try:
+            txt = open(status).read()
+        except OSError:
+            continue
+        if "java" not in txt.split("\n", 1)[0]:
+            continue
+        for line in txt.splitlines():
+            if line.startswith("VmHWM"):
+                best = max(best, int(line.split()[1]))
+    return round(best / 1024, 1) if best else None
+
+
+def main() -> None:
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .appName("soak_bench")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from metacrafter_spark.corpus.pipeline import classify_corpus
+    from metacrafter_spark.corpus.webpages import synth_webpages
+
+    # pandas-UDF worker warm-up (same as bench.py)
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+    spark.range(1000).select(_warm("id")).count()
+
+    out = {"cpus": int(cpus), "reps": reps, "sizes": {}}
+    for n_docs in (20_000, 200_000):
+        parts = max(int(cpus) * 4, 8)
+        corpus = synth_webpages(spark, n_docs, seed=42,
+                                partitions=parts).cache()
+        n = corpus.count()  # generation excluded from the timed region
+        best = None
+        for _ in range(reps):
+            s0, t0c = _steal()
+            t0 = time.perf_counter()
+            res = classify_corpus(corpus)
+            res.select(F.count(F.lit(1)), F.sum(F.col("keep").cast("int"))).collect()
+            dt = time.perf_counter() - t0
+            s1, t1c = _steal()
+            steal = (s1 - s0) / max(t1c - t0c, 1)
+            if best is None or dt < best[0]:
+                best = (dt, steal)
+        corpus.unpersist()
+        out["sizes"][str(n_docs)] = {
+            "docs": n,
+            "pipeline_sec": round(best[0], 3),
+            "docs_per_sec": round(n / best[0], 1),
+            "cpu_steal_frac": round(best[1], 4),
+        }
+    small = out["sizes"]["20000"]["docs_per_sec"]
+    big = out["sizes"]["200000"]["docs_per_sec"]
+    out["throughput_ratio_10x"] = round(big / small, 3)
+    out["jvm_peak_rss_mb"] = _jvm_peak_rss_mb()
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
