@@ -62,20 +62,37 @@ STOPWORDS = {
            "за", "его", "для", "или", "она", "они", "был", "при"),
 }
 
-# Script character classes as literal BMP ranges (no \uXXXX escapes in
-# the pattern itself — Python resolves them here, both Java regex and
-# RE2 then see literal code-point ranges and agree on membership).
-SCRIPTS = {
-    "cyr": "[Ѐ-ӿ]",
-    "grk": "[Ͱ-Ͽ]",
-    "ara": "[؀-ۿ]",
-    "heb": "[֐-׿]",
-    "dev": "[ऀ-ॿ]",
-    "tha": "[฀-๿]",
-    "han_syl": "[ᄀ-ᇿ㄰-㆏가-힣]",  # Hangul
-    "kana": "[぀-ヿ]",
-    "han": "[㐀-䶿一-鿿]",                   # CJK ideographs
+# Script character classes as literal BMP (lo, hi) code-point ranges —
+# no \uXXXX escapes survive into the expressions: Python resolves them
+# here, and BOTH engines then see literal characters.  One combined
+# ``regexp_extract_all`` pulls every script character in a single scan
+# (web text is overwhelmingly Latin → the array is empty ≈ free), and
+# per-script counts are range-comparison filters over that array.
+# Single-char string comparison is code-point order in Java (UTF-16,
+# BMP) AND DuckDB (UTF-8 bytes) alike, so the counts replay exactly.
+SCRIPT_RANGES = {
+    "cyr": (("Ѐ", "ӿ"),),
+    "grk": (("Ͱ", "Ͽ"),),
+    "ara": (("؀", "ۿ"),),
+    "heb": (("֐", "׿"),),
+    "dev": (("ऀ", "ॿ"),),
+    "tha": (("฀", "๿"),),
+    "han_syl": (("ᄀ", "ᇿ"), ("㄰", "㆏"), ("가", "힣")),  # Hangul
+    "kana": (("぀", "ヿ"),),
+    "han": (("㐀", "䶿"), ("一", "鿿")),                   # CJK ideographs
 }
+
+#: regex char class per script (kept for callers/tests that match text)
+SCRIPTS = {
+    k: "[" + "".join(f"{lo}-{hi}" for lo, hi in v) + "]"
+    for k, v in SCRIPT_RANGES.items()
+}
+
+
+def _union_class(script_keys) -> str:
+    return "[" + "".join(
+        f"{lo}-{hi}" for k in script_keys for lo, hi in SCRIPT_RANGES[k]
+    ) + "]"
 
 
 @dataclass(frozen=True)
@@ -165,9 +182,20 @@ def _tokens(head: Column) -> Column:
     )
 
 
-def _script_ratio(head: Column, script_key: str) -> Column:
+def _in_ranges(c: Column, script_key: str) -> Column:
+    cond = None
+    for lo, hi in SCRIPT_RANGES[script_key]:
+        term = (c >= F.lit(lo)) & (c <= F.lit(hi))
+        cond = term if cond is None else cond | term
+    return cond
+
+
+def _script_ratio(nl: Column, head: Column, script_key: str) -> Column:
+    """Count of this script's chars in the pre-extracted non-Latin char
+    array, over the head length."""
     return (
-        F.regexp_count(head, F.lit(SCRIPTS[script_key])).cast("double")
+        F.size(F.filter(nl, lambda c: _in_ranges(c, script_key)))
+        .cast("double")
         / F.greatest(F.length(head), F.lit(1)).cast("double")
     )
 
@@ -212,7 +240,10 @@ def langid_struct(text: Column, pack: LangPack = BUILTIN_PACK, *,
     head = F.substring(text, 1, prefix_chars)
     n_tokens = F.size(F.split(F.trim(head), r"\s+"))
     n_tokens_f = F.greatest(n_tokens, F.lit(1)).cast("double")
-    script_cols = {k: _script_ratio(head, k) for k in pack_scripts(pack)}
+    scripts = pack_scripts(pack)
+    nl = (F.regexp_extract_all(head, F.lit(_union_class(scripts)), 0)
+          if scripts else F.array().cast("array<string>"))
+    script_cols = {k: _script_ratio(nl, head, k) for k in scripts}
     best = F.array_max(F.array(*_scored_structs(pack, _tokens(head),
                                                 n_tokens_f, script_cols)))
     return F.when(
@@ -241,8 +272,8 @@ def with_langid(df: DataFrame, text_col: str = "text",
     / ``best`` as intermediate columns pins each to one evaluation;
     results are row-identical to ``langid_struct`` (asserted in
     tests)."""
-    head_c, toks_c, nt_c, best_c = ("__lid_head", "__lid_toks", "__lid_nt",
-                                    "__lid_best")
+    head_c, toks_c, nt_c, best_c, nl_c = (
+        "__lid_head", "__lid_toks", "__lid_nt", "__lid_best", "__lid_nl")
     scripts = pack_scripts(pack)
     script_c = {k: f"__lid_s_{k}" for k in scripts}
     out = df.withColumn(head_c, F.substring(F.col(text_col), 1, prefix_chars))
@@ -250,8 +281,15 @@ def with_langid(df: DataFrame, text_col: str = "text",
     out = out.withColumn(toks_c, _tokens(h))
     out = out.withColumn(nt_c, F.size(F.split(F.trim(h), r"\s+")))
     ntf = F.greatest(F.col(nt_c), F.lit(1)).cast("double")
+    # ONE regex pass pulls every script char; per-script ratios are
+    # range filters over that (usually empty) array
+    out = out.withColumn(
+        nl_c,
+        F.regexp_extract_all(h, F.lit(_union_class(scripts)), 0)
+        if scripts else F.array().cast("array<string>"),
+    )
     for k in scripts:
-        out = out.withColumn(script_c[k], _script_ratio(h, k))
+        out = out.withColumn(script_c[k], _script_ratio(F.col(nl_c), h, k))
     script_cols = {k: F.col(script_c[k]) for k in scripts}
     out = out.withColumn(
         best_c,
@@ -270,7 +308,7 @@ def with_langid(df: DataFrame, text_col: str = "text",
         out.withColumn(f"{out_prefix}_tmp", final)
         .withColumn(f"{out_prefix}_lang", F.col(f"{out_prefix}_tmp.lang"))
         .withColumn(f"{out_prefix}_score", F.col(f"{out_prefix}_tmp.score"))
-        .drop(f"{out_prefix}_tmp", head_c, toks_c, nt_c, best_c,
+        .drop(f"{out_prefix}_tmp", head_c, toks_c, nt_c, best_c, nl_c,
               *script_c.values())
     )
 
@@ -297,9 +335,21 @@ def oracle_sql_fragment(pack: LangPack = BUILTIN_PACK, *,
     left-to-right — IEEE addition order matters for hash equality)."""
     scripts = pack_scripts(pack)
     head = f"substr(t, 1, {prefix_chars})"
+
+    def _range_cond(key: str) -> str:
+        return " OR ".join(
+            f"(c >= {_sql_quote(lo)} AND c <= {_sql_quote(hi)})"
+            for lo, hi in SCRIPT_RANGES[key]
+        )
+
+    nl_col = (
+        f",\n                 regexp_extract_all({head}, "
+        f"{_sql_quote(_union_class(scripts))}) AS nl"
+        if scripts else ""
+    )
     script_cols = ",\n                 ".join(
-        f"len(regexp_extract_all({head}, {_sql_quote(SCRIPTS[k])})) * 1.0"
-        f" / greatest(length({head}), 1) AS s_{k}"
+        f"len(list_filter(nl, c -> {_range_cond(k)})) * 1.0"
+        f" / hlen AS s_{k}"
         for k in scripts
     )
     script_cols = (",\n                 " + script_cols) if script_cols else ""
@@ -342,10 +392,13 @@ def oracle_sql_fragment(pack: LangPack = BUILTIN_PACK, *,
                    w -> lower(regexp_replace(w, '^[^\\pL\\pN]+|[^\\pL\\pN]+$', '', 'g'))) AS toks,
                  greatest(len(string_split_regex(trim({head}), '\\s+')), 1) AS nt,
                  length(trim(t)) AS trimlen,
-                 len(string_split_regex(trim({head}), '\\s+')) AS nt_raw{script_cols}
+                 len(string_split_regex(trim({head}), '\\s+')) AS nt_raw,
+                 greatest(length({head}), 1) AS hlen{nl_col}
           FROM src),
+        lsc AS (
+          SELECT *{script_cols} FROM lbase),
         lsig AS (
-          SELECT *, {smax} AS smax FROM lbase),
+          SELECT *, {smax} AS smax FROM lsc),
         lscore AS (
           SELECT b.doc_id, b.trimlen, b.nt_raw, b.smax, l.lang,
                  {case} AS score
