@@ -28,15 +28,13 @@ def main() -> None:
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
-    from pyspark.sql import SparkSession, functions as F
+    from pyspark.sql import functions as F
 
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.ui.enabled", "false")
-        .appName("profile_rule_confidence")
-        .getOrCreate()
-    )
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from metacrafter_spark.session import get_spark
+
+    spark = get_spark(app_name="profile_rule_confidence", cores=int(cpus),
+                      shuffle_partitions=int(cpus))
     spark.sparkContext.setLogLevel("ERROR")
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

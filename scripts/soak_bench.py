@@ -41,18 +41,16 @@ def _jvm_peak_rss_mb() -> float | None:
 
 
 def main() -> None:
-    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
-    from pyspark.sql import SparkSession, functions as F
+    from pyspark.sql import functions as F
 
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.ui.enabled", "false")
-        .appName("soak_bench")
-        .getOrCreate()
-    )
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from metacrafter_spark.session import get_spark
+
+    spark = get_spark(app_name="soak_bench", cores=int(cpus),
+                      shuffle_partitions=int(cpus))
     spark.sparkContext.setLogLevel("ERROR")
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from metacrafter_spark.corpus.pipeline import classify_corpus
@@ -69,7 +67,7 @@ def main() -> None:
 
     out = {"cpus": int(cpus), "reps": reps, "sizes": {}}
     for n_docs in (20_000, 200_000):
-        parts = max(int(cpus) * 4, 8)
+        parts = max(int(cpus) * 2, 8)  # bench.py protocol
         corpus = synth_webpages(spark, n_docs, seed=42,
                                 partitions=parts).cache()
         n = corpus.count()  # generation excluded from the timed region
@@ -78,7 +76,7 @@ def main() -> None:
             s0, t0c = _steal()
             t0 = time.perf_counter()
             res = classify_corpus(corpus)
-            res.select(F.count(F.lit(1)), F.sum(F.col("keep").cast("int"))).collect()
+            res.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             s1, t1c = _steal()
             steal = (s1 - s0) / max(t1c - t0c, 1)
