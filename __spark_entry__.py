@@ -1099,6 +1099,28 @@ def _webcorpus_rules():
     return tuple(r for r in WEB_PII_RULES if r.name in _WEBCORPUS_RULE_NAMES)
 
 
+def q_html_extract_text(spark, sf_dir):
+    """HTML → text extraction under the north rule's byte-identity
+    contract (round 5): the corpus is regenerated live, text is
+    extracted FROM THE HTML BYTES by the stdlib-clean-room parser
+    (head/script/style dropped, entities decoded, body text kept
+    byte-faithfully), and the oracle hashes the committed fixture's
+    ``text`` column directly — the sha256s can only match if the
+    extractor reproduces the extracted-text column byte-for-byte on
+    every one of the 2000 documents."""
+    from metacrafter_spark.corpus.html import with_extracted_text
+    from metacrafter_spark.corpus.webpages import synth_webpages
+
+    corpus = synth_webpages(spark, 2000, seed=42, partitions=8)
+    out = with_extracted_text(corpus, "html", "tx")
+    return out.select(
+        F.regexp_extract("url", r"/article/(\d+)$", 1).cast("long")
+        .alias("doc_id"),
+        F.sha2(F.col("tx"), 256).alias("extract_sha"),
+        F.length("tx").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
 def q_corpus_pipeline(spark, sf_dir):
     """Full keep/drop pipeline on the BASELINE-shape synthetic corpus,
     oracle-checked PER DOCUMENT (round-4 upgrade from rows-only): the
@@ -1310,6 +1332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cascade in SQL — see the query docstrings
         "corpus_pipeline": q_corpus_pipeline,
         "pii_scrub_hashes": q_pii_scrub,
+        # html:binary → text extraction, byte-identity per url (round 5)
+        "html_extract_text": q_html_extract_text,
         # hash-green ANN quality bars (round 4): exact top-k rows are
         # SQL-replayed; recall_ok is computed in-query vs the exact set
         # (oracle expects TRUE — the fp_stable invariant pattern)
@@ -2191,6 +2215,16 @@ def oracle_sql() -> dict[str, str]:
         # parquet materialization of synth_webpages(2000, seed=42); the
         # Spark side regenerates the corpus live, so a hash match proves
         # generation determinism AND the full-unicode pipeline replay.
+        # byte-identity: the Spark side extracts text FROM html bytes;
+        # this twin hashes the fixture's text column directly — equal
+        # hashes prove the extractor reproduces it byte-for-byte
+        "html_extract_text": ("""
+            SELECT regexp_extract(url, '/article/(\\d+)$', 1)::BIGINT AS doc_id,
+                   sha256(text) AS extract_sha,
+                   length(text)::BIGINT AS n_chars
+            FROM read_parquet('""" + WEBCORPUS_FIXTURE + """')
+            ORDER BY doc_id
+        """),
         "corpus_pipeline": (
             """
             WITH src AS (

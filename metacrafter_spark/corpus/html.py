@@ -1,0 +1,141 @@
+"""HTML → text extraction for the web-page input table.
+
+The BASELINE input shape carries ``html:binary`` next to ``text:string``
+(the extracted text).  This module is the extraction step itself — a
+clean-room, stdlib-only (``html.parser``) extractor run as an
+Arrow-batched ``mapInPandas`` kernel, so a corpus that arrives as raw
+WARC payloads can be brought to the pipeline's text contract inside
+Spark, no external parsing library.
+
+Semantics (the common text-extraction contract):
+
+- ``script`` / ``style`` / ``noscript`` / ``template`` subtrees and
+  comments/CDATA are dropped;
+- only text inside ``<body>`` is kept (titles/meta live in ``head``);
+  documents with no explicit body/head structure keep all text;
+- character/entity references decode (``&amp;`` → ``&``), via the
+  parser's ``convert_charrefs``;
+- ``raw`` mode concatenates text nodes byte-faithfully (whatever
+  whitespace the author wrote survives) — this is the mode under the
+  byte-identity oracle; ``block`` mode additionally inserts a newline
+  at block-element boundaries (p/div/br/li/tr/h1-h6/…) and collapses
+  runs of blank lines, the usual shape for crawled pages whose source
+  uses markup, not whitespace, for layout.
+
+The per-url byte-identity invariant (north rule) is oracle-checked:
+``html_extract_text`` regenerates the synthetic corpus live, extracts
+text from the html bytes, and the DuckDB twin hashes the committed
+fixture's ``text`` column — the hashes can only match if extraction
+reproduces the extracted-text column byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+_DROP = {"script", "style", "noscript", "template"}
+_BLOCK = {
+    "p", "div", "br", "li", "ul", "ol", "tr", "table", "section",
+    "article", "header", "footer", "nav", "aside", "blockquote", "pre",
+    "h1", "h2", "h3", "h4", "h5", "h6", "hr", "form", "fieldset",
+}
+
+
+class _TextExtractor(HTMLParser):
+    def __init__(self, block: bool):
+        super().__init__(convert_charrefs=True)
+        self.block = block
+        self.parts: list[str] = []
+        self.in_body = False
+        self.saw_body = False
+        self.in_head = False
+        self.drop_depth = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "head":
+            self.in_head = True
+        elif tag == "body":
+            self.in_body = True
+            self.saw_body = True
+            self.in_head = False  # malformed pages may never close head
+        if tag in _DROP:
+            self.drop_depth += 1
+        elif self.block and tag in _BLOCK:
+            self.parts.append("\n")
+
+    def handle_endtag(self, tag):
+        if tag == "head":
+            self.in_head = False
+        elif tag == "body":
+            self.in_body = False
+        if tag in _DROP:
+            self.drop_depth = max(0, self.drop_depth - 1)
+        elif self.block and tag in _BLOCK:
+            self.parts.append("\n")
+
+    def handle_startendtag(self, tag, attrs):
+        if self.block and tag in _BLOCK:
+            self.parts.append("\n")
+
+    def handle_data(self, data):
+        if self.drop_depth or self.in_head:
+            return
+        if self.saw_body and not self.in_body:
+            return
+        self.parts.append(data)
+
+
+def extract_text(html: bytes | str, *, mode: str = "raw",
+                 encoding: str = "utf-8") -> str:
+    """One document's html → extracted text (driver-side helper; the
+    Spark path is :func:`with_extracted_text`)."""
+    if mode not in ("raw", "block"):
+        raise ValueError(f"mode must be 'raw' or 'block', got {mode!r}")
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode(encoding, errors="replace")
+    p = _TextExtractor(block=(mode == "block"))
+    p.feed(html)
+    p.close()
+    out = "".join(p.parts)
+    if mode == "block":
+        lines = [ln.strip() for ln in out.split("\n")]
+        out = "\n".join(ln for ln in lines if ln)
+    return out
+
+
+def with_extracted_text(
+    df: DataFrame,
+    html_col: str = "html",
+    out_col: str = "text_extracted",
+    *,
+    mode: str = "raw",
+    encoding: str = "utf-8",
+) -> DataFrame:
+    """Attach the extracted text of ``html_col`` (binary or string).
+
+    Arrow-batched ``mapInPandas`` — the parser is pure stdlib Python,
+    but it runs per batch on executors with zero driver involvement and
+    the html column never shuffles (map-side only)."""
+    if mode not in ("raw", "block"):
+        raise ValueError(f"mode must be 'raw' or 'block', got {mode!r}")
+    out_schema = ", ".join(
+        [f"`{f}` {df.schema[f].dataType.simpleString()}"
+         for f in df.schema.fieldNames()]
+        + [f"`{out_col}` string"]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            b = b.copy()
+            b[out_col] = [
+                None if v is None else extract_text(v, mode=mode,
+                                                    encoding=encoding)
+                for v in b[html_col]
+            ]
+            yield b
+
+    return df.mapInPandas(kernel, out_schema)

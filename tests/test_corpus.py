@@ -464,3 +464,39 @@ def test_quality_gates_cjk_mode(spark):
     assert q[6].q_cjk_char_frac == 0.0
     # words-only metrics still show why latin gates would have failed
     assert q[1].q_n_words < 50
+
+
+def test_html_extract_text(spark):
+    """Clean-room stdlib HTML→text: head/script/style dropped, entities
+    decoded, body text byte-faithful in raw mode, block-boundary
+    newlines in block mode; Spark path is map-side mapInPandas
+    preserving the input schema + one new column."""
+    from pyspark.sql import functions as F
+
+    from metacrafter_spark.corpus.html import extract_text, with_extracted_text
+    from metacrafter_spark.corpus.webpages import make_doc, synth_webpages
+
+    # byte-identity on the generated corpus (the oracle's contract)
+    for i in (0, 7, 123, 999):
+        d = make_doc(i, 42)
+        assert extract_text(d["html"]) == d["text"]
+
+    h = (b"<html><head><title>T</title><style>p{x}</style>"
+         b"<script>s()</script></head><body><p>a &amp; b</p>"
+         b"<!-- comment --><noscript>n</noscript>"
+         b"<div>c &lt;tag&gt;</div></body><p>after body dropped</p></html>")
+    assert extract_text(h) == "a & bc <tag>"
+    assert extract_text(h, mode="block") == "a & b\nc <tag>"
+    # fragments (no head/body) keep all text; bad bytes don't raise
+    assert extract_text(b"plain text") == "plain text"
+    assert extract_text(b"<p>x<br>y</p>", mode="block") == "x\ny"
+    assert "�" in extract_text(b"a\xff\xfeb")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="mode"):
+        extract_text(b"x", mode="weird")
+
+    corpus = synth_webpages(spark, 50, seed=42, partitions=4)
+    out = with_extracted_text(corpus, "html", "tx")
+    assert out.columns == [*corpus.columns, "tx"]
+    n_match = out.filter(F.col("tx") == F.col("text")).count()
+    assert n_match == 50
