@@ -53,7 +53,11 @@ _DECODE_ERRORS = (ValueError, NotImplementedError, zlib.error,
 
 def _to_rgb(img: np.ndarray) -> np.ndarray:
     """Any decode_png output → (h, w, 3) uint8: gray replicates, alpha
-    is dropped (feature extraction and block resize are RGB-shaped)."""
+    is dropped (feature extraction and block resize are RGB-shaped);
+    16-bit samples (uint16, round-5 PNG depth support) take their high
+    byte — the standard 16→8 display reduction."""
+    if img.dtype == np.uint16:
+        img = (img >> 8).astype(np.uint8)
     if img.ndim == 2:
         return np.repeat(img[:, :, None], 3, axis=2)
     if img.shape[2] == 2:      # gray + alpha
@@ -214,7 +218,8 @@ def _feature_of(content: Optional[bytes], strict: bool) -> Optional[list]:
             return _image_feature(mean.astype(np.uint8)).tolist()
     except _DECODE_ERRORS:
         # malformed payloads and documented out-of-scope variants
-        # (Adam7 / 16-bit PNG) follow the strict/fallback contract
+        # (BMP-RLE, progressive-arithmetic JPEG, …) follow the
+        # strict/fallback contract
         pass
     return _decode_external(data, strict).tolist()
 

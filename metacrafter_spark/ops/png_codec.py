@@ -7,11 +7,14 @@ plus CRC-framed chunks; pixel data is zlib (stdlib) over per-scanline
 filtered rows.  Decoding = chunk walk → IHDR/PLTE/IDAT → zlib →
 unfilter (None/Sub/Up/Average/Paeth) → channel layout.
 
-Scope (stated, gated honestly):
-- bit depth 8; color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+A),
-  6 (RGBA) — what web images and every test corpus actually use;
-- interlace 0 only (Adam7 raises NotImplementedError);
-- bit depths 1/2/4/16 raise NotImplementedError;
+Scope:
+- color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+A), 6 (RGBA);
+- bit depths 1/2/4/8/16 (round 5 — previously 8 only): 16-bit images
+  decode to uint16 arrays (big-endian sample pairs), sub-byte depths
+  bit-unpack MSB-first, gray low-depth samples scale to 0..255 per the
+  spec's sample-depth scaling, palette indices stay raw;
+- interlace 0 AND Adam7 (round 5): the 7 passes decode as independent
+  sub-images from the shared zlib stream and scatter into place;
 - ancillary chunks are skipped; chunk CRCs are verified (zlib.crc32).
 
 Conformance is proven TWO-WAY against the JDK's independent ImageIO
@@ -99,11 +102,37 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+#: Adam7 pass grid: (x0, y0, dx, dy) per pass (spec §8.2)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _row_samples(rows: np.ndarray, w: int, ch: int, depth: int) -> np.ndarray:
+    """(h, stride_bytes) unfiltered rows → (h, w*ch) sample array.
+
+    depth 8 is identity; 16 recombines big-endian byte pairs into
+    uint16; 1/2/4 bit-unpack MSB-first and drop row padding bits."""
+    h = rows.shape[0]
+    n = w * ch
+    if depth == 8:
+        return rows[:, :n]
+    if depth == 16:
+        return ((rows[:, 0:2 * n:2].astype(np.uint16) << 8)
+                | rows[:, 1:2 * n:2].astype(np.uint16))
+    bits = np.unpackbits(rows, axis=1)[:, :n * depth]
+    smp = np.zeros((h, n), dtype=np.uint8)
+    for b in range(depth):
+        smp = (smp << 1) | bits[:, b::depth]
+    return smp
+
+
 def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes → uint8 array (h, w) for gray or (h, w, c) otherwise.
+    """PNG bytes → array (h, w) for gray or (h, w, c) otherwise; uint8
+    for depths ≤ 8 (low-depth gray scales to 0..255 per the spec's
+    sample scaling), uint16 for depth 16.
 
     Palette images are expanded to RGB.  Raises ValueError on framing /
-    CRC errors and NotImplementedError on out-of-scope depth/interlace.
+    CRC errors.
     """
     if data[:8] != _SIG:
         raise ValueError("not a PNG (bad signature)")
@@ -122,22 +151,46 @@ def decode_png(data: bytes) -> np.ndarray:
     w, h, depth, ctype, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError("PNG nonzero compression/filter method")
-    if interlace != 0:
-        raise NotImplementedError("Adam7 interlace not supported")
-    if depth != 8:
-        raise NotImplementedError(f"bit depth {depth} not supported (8 only)")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"invalid PNG bit depth {depth}")
     if ctype not in _CHANNELS:
         raise ValueError(f"unknown PNG color type {ctype}")
+    if depth < 8 and ctype not in (0, 3):
+        raise ValueError(f"bit depth {depth} invalid for color type {ctype}")
     ch = _CHANNELS[ctype]
-    stride = w * ch
+    bpp = max(1, ch * depth // 8)
+    dtype = np.uint16 if depth == 16 else np.uint8
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    if raw.size != h * (stride + 1):
+
+    passes = _ADAM7 if interlace == 1 else ((0, 0, 1, 1),)
+    img = np.zeros((h, w, ch), dtype=dtype)
+    pos = 0
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = (pw * ch * depth + 7) // 8
+        nbytes = ph * (stride + 1)
+        if pos + nbytes > raw.size:
+            raise ValueError("PNG pixel payload size mismatch")
+        sub = raw[pos:pos + nbytes]
+        pos += nbytes
+        un = _unfilter(sub, ph, stride, bpp)
+        smp = _row_samples(un, pw, ch, depth).reshape(ph, pw, ch)
+        img[y0::dy, x0::dx] = smp
+    if pos != raw.size:
         raise ValueError("PNG pixel payload size mismatch")
-    img = _unfilter(raw, h, stride, ch)
+
     if ctype == 3:
         if plte is None:
             raise ValueError("palette image without PLTE")
         return plte[img.reshape(h, w)]
+    if ctype == 0 and depth < 8:
+        img = (img.astype(np.uint16) * (255 // ((1 << depth) - 1))
+               ).astype(np.uint8)
     if ch == 1:
         return img.reshape(h, w)
     return img.reshape(h, w, ch)

@@ -733,7 +733,8 @@ def test_png_codec_round_trip_and_errors():
     good[20] ^= 0xFF
     with pytest.raises(ValueError, match="CRC"):
         decode_png(bytes(good))
-    # out-of-scope variants gate honestly
+    # 16-bit / Adam7 decode for real since round 5; truly invalid
+    # combinations still raise
     import struct as _s
 
     def chunk(t, p):
@@ -743,11 +744,27 @@ def test_png_codec_round_trip_and_errors():
     sig = b"\x89PNG\r\n\x1a\n"
     ihdr16 = _s.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
     idat = chunk(b"IDAT", _z.compress(b"\x00" * (2 * (2 * 3 * 2 + 1))))
-    with pytest.raises(NotImplementedError, match="bit depth"):
-        decode_png(sig + chunk(b"IHDR", ihdr16) + idat + chunk(b"IEND", b""))
+    got16 = decode_png(sig + chunk(b"IHDR", ihdr16) + idat
+                       + chunk(b"IEND", b""))
+    assert got16.dtype == np.uint16 and got16.shape == (2, 2, 3)
     adam7 = _s.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
-    with pytest.raises(NotImplementedError, match="Adam7"):
-        decode_png(sig + chunk(b"IHDR", adam7) + idat + chunk(b"IEND", b""))
+    # Adam7 2x2 RGB: passes 1 (1px), 6 (1px), 7 (one 2px row)
+    a7_idat = chunk(b"IDAT", _z.compress(
+        b"\x00" + b"\x11\x22\x33"          # pass 1: (0,0)
+        + b"\x00" + b"\x44\x55\x66"        # pass 6: (1,0)
+        + b"\x00" + b"\x77\x88\x99\xaa\xbb\xcc"))  # pass 7: row y=1
+    a7 = decode_png(sig + chunk(b"IHDR", adam7) + a7_idat
+                    + chunk(b"IEND", b""))
+    assert tuple(a7[0, 0]) == (0x11, 0x22, 0x33)
+    assert tuple(a7[0, 1]) == (0x44, 0x55, 0x66)
+    assert tuple(a7[1, 0]) == (0x77, 0x88, 0x99)
+    assert tuple(a7[1, 1]) == (0xAA, 0xBB, 0xCC)
+    bad_depth = _s.pack(">IIBBBBB", 2, 2, 3, 2, 0, 0, 0)
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(sig + chunk(b"IHDR", bad_depth) + idat + chunk(b"IEND", b""))
+    low_rgb = _s.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)  # 4-bit RGB invalid
+    with pytest.raises(ValueError, match="color type"):
+        decode_png(sig + chunk(b"IHDR", low_rgb) + idat + chunk(b"IEND", b""))
 
 
 def test_png_java_imageio_interop(spark):
@@ -1137,3 +1154,61 @@ def test_jpeg_progressive_decoder_stress(spark):
         seq = decode_jpeg(write(img, False, quality=q))
         prog = decode_jpeg(write(img, True, quality=q))
         assert np.array_equal(seq, prog), f"quality {q}"
+
+
+def test_png_adam7_and_depths_vs_java_imageio(spark):
+    """Round-5 PNG depth/interlace coverage vs the JDK's independent
+    implementation: Adam7-interlaced RGB (ImageIO progressive mode),
+    16-bit gray (exact uint16), 16-bit + Adam7 combined, and 1-bit
+    binary (scaled to 0/255 per the spec's sample scaling)."""
+    import numpy as np
+    from metacrafter_spark.ops.png_codec import decode_png
+
+    jvm = spark._jvm
+
+    def write(img, t, progressive=False):
+        h, w = img.shape[:2]
+        b = jvm.java.awt.image.BufferedImage(w, h, t)
+        r = b.getRaster()
+        if img.ndim == 2:
+            for y in range(h):
+                for x in range(w):
+                    r.setSample(x, y, 0, int(img[y, x]))
+        else:
+            for y in range(h):
+                for x in range(w):
+                    for c in range(img.shape[2]):
+                        r.setSample(x, y, c, int(img[y, x, c]))
+        wi = jvm.javax.imageio.ImageIO.getImageWritersByFormatName(
+            "png").next()
+        p = wi.getDefaultWriteParam()
+        if progressive:
+            p.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+        baos = jvm.java.io.ByteArrayOutputStream()
+        ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+        wi.setOutput(ios)
+        wi.write(None, jvm.javax.imageio.IIOImage(b, None, None), p)
+        ios.flush()
+        return bytes(baos.toByteArray())
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (21, 13, 3), dtype=np.uint8)
+    data = write(img, 1, progressive=True)          # TYPE_INT_RGB
+    assert data[8 + 8 + 12] == 1                    # interlace byte set
+    assert np.array_equal(decode_png(data), img)
+
+    g16 = rng.integers(0, 65536, (9, 17), dtype=np.uint16)
+    got16 = decode_png(write(g16, 11))              # TYPE_USHORT_GRAY
+    assert got16.dtype == np.uint16 and np.array_equal(got16, g16)
+    assert np.array_equal(decode_png(write(g16, 11, progressive=True)), g16)
+
+    b1 = rng.integers(0, 2, (10, 11)).astype(np.uint8)
+    assert np.array_equal(decode_png(write(b1, 12)), b1 * 255)  # BYTE_BINARY
+
+    # 16-bit PNGs flow through extract_features (high-byte reduction)
+    from metacrafter_spark.ops.multimodal import MEDIA_SCHEMA, extract_features
+    df = spark.createDataFrame(
+        [(1, "image", "image/png", 17, 9, None, bytearray(write(g16, 11)))],
+        MEDIA_SCHEMA)
+    feats = extract_features(df, strict=True).collect()
+    assert len(feats) == 1 and len(feats[0].feature) == 64
