@@ -175,8 +175,72 @@ def decode_gif(data: bytes) -> np.ndarray:
 # BMP
 # ---------------------------------------------------------------------------
 
+def _bmp_rle_indices(data: bytes, pos: int, w: int, h: int,
+                     rle4: bool) -> np.ndarray:
+    """BI_RLE8 / BI_RLE4 pixel stream → (h, w) palette indices in FILE
+    row order (row 0 = bottom).  Encoded runs, escapes (end-of-line,
+    end-of-bitmap, delta) and absolute mode per the public BMP spec;
+    RLE4 runs alternate the byte's two nibbles, absolute nibbles pack
+    MSB-first, both modes pad absolute chunks to a word boundary."""
+    idx = np.zeros((h, w), dtype=np.uint8)
+    x = y = 0
+    i = pos
+    while i + 1 < len(data) and y < h:
+        cnt, val = data[i], data[i + 1]
+        i += 2
+        if cnt:
+            if rle4:
+                pix = ((val >> 4) & 0xF, val & 0xF)
+                for k in range(cnt):
+                    if x < w:
+                        idx[y, x] = pix[k & 1]
+                    x += 1
+            else:
+                end = min(x + cnt, w)
+                if end > x:
+                    idx[y, x:end] = val
+                x += cnt
+        elif val == 0:          # end of line
+            x, y = 0, y + 1
+        elif val == 1:          # end of bitmap
+            break
+        elif val == 2:          # delta
+            if i + 1 >= len(data):
+                raise ValueError("BMP RLE truncated delta")
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+        else:                   # absolute run of `val` pixels
+            n = val
+            if rle4:
+                nbytes = (n + 1) // 2
+                chunk = data[i:i + nbytes]
+                if len(chunk) < nbytes:
+                    raise ValueError("BMP RLE truncated absolute run")
+                i += nbytes + (nbytes & 1)
+                for k in range(n):
+                    b = chunk[k // 2]
+                    p = (b >> 4) & 0xF if k % 2 == 0 else b & 0xF
+                    if x < w:
+                        idx[y, x] = p
+                    x += 1
+            else:
+                chunk = data[i:i + n]
+                if len(chunk) < n:
+                    raise ValueError("BMP RLE truncated absolute run")
+                i += n + (n & 1)
+                end = min(x + n, w)
+                if end > x:
+                    idx[y, x:end] = np.frombuffer(chunk[:end - x], np.uint8)
+                x += n
+    return idx
+
+
 def decode_bmp(data: bytes) -> np.ndarray:
-    """BMP bytes → (h, w, 3) uint8 (BI_RGB 24/32 bpp or 8-bpp palette)."""
+    """BMP bytes → (h, w, 3) uint8.
+
+    BI_RGB at 1/4/8-bpp palette and 24/32-bpp truecolor, plus BI_RLE8
+    and BI_RLE4 compressed palette images (round 5)."""
     if data[:2] != b"BM":
         raise ValueError("not a BMP (bad signature)")
     (pix_off,) = struct.unpack_from("<I", data, 10)
@@ -186,15 +250,41 @@ def decode_bmp(data: bytes) -> np.ndarray:
     w, h_raw = struct.unpack_from("<iI", data, 18)[0], struct.unpack_from("<i", data, 22)[0]
     (bpp,) = struct.unpack_from("<H", data, 28)
     (comp,) = struct.unpack_from("<I", data, 30)
-    if comp != 0:
-        raise NotImplementedError(f"BMP compression {comp} (BI_RGB only)")
+    if comp not in (0, 1, 2):
+        raise NotImplementedError(
+            f"BMP compression {comp} (BI_RGB/BI_RLE8/BI_RLE4 only)")
     top_down = h_raw < 0
     h = abs(h_raw)
-    if bpp == 8:
+
+    def palette(default_n: int) -> np.ndarray:
         (used,) = struct.unpack_from("<I", data, 46)
-        n = used or 256
-        pal = np.frombuffer(data[14 + hdr_size:14 + hdr_size + 4 * n],
-                            dtype=np.uint8).reshape(-1, 4)[:, 2::-1]  # BGRx→RGB
+        n = used or default_n
+        return np.frombuffer(data[14 + hdr_size:14 + hdr_size + 4 * n],
+                             dtype=np.uint8).reshape(-1, 4)[:, 2::-1]
+
+    if comp == 1 or comp == 2:  # BI_RLE8 / BI_RLE4
+        if (comp == 1 and bpp != 8) or (comp == 2 and bpp != 4):
+            raise ValueError(f"BMP BI_RLE{8 if comp == 1 else 4} "
+                             f"requires matching bpp, got {bpp}")
+        if top_down:
+            raise ValueError("RLE BMPs cannot be top-down")
+        pal = palette(256 if comp == 1 else 16)
+        idx = _bmp_rle_indices(data, pix_off, w, h, rle4=(comp == 2))
+        return pal[idx][::-1].copy()
+    if bpp in (1, 4):
+        pal = palette(2 if bpp == 1 else 16)
+        stride = ((w * bpp + 7) // 8 + 3) & ~3
+        rows = np.frombuffer(data[pix_off:pix_off + stride * h],
+                             dtype=np.uint8).reshape(h, stride)
+        bits = np.unpackbits(rows, axis=1)
+        if bpp == 1:
+            idx = bits[:, :w]
+        else:
+            idx = ((bits[:, 0::4] << 3) | (bits[:, 1::4] << 2)
+                   | (bits[:, 2::4] << 1) | bits[:, 3::4])[:, :w]
+        img = pal[idx]
+    elif bpp == 8:
+        pal = palette(256)
         stride = (w + 3) & ~3
         rows = np.frombuffer(data[pix_off:pix_off + stride * h],
                              dtype=np.uint8).reshape(h, stride)[:, :w]

@@ -1212,3 +1212,82 @@ def test_png_adam7_and_depths_vs_java_imageio(spark):
         MEDIA_SCHEMA)
     feats = extract_features(df, strict=True).collect()
     assert len(feats) == 1 and len(feats[0].feature) == 64
+
+
+def test_bmp_rle_and_low_bpp(spark):
+    """Round-5 BMP coverage: BI_RLE8 conformance against a JDK-written
+    file (encoded runs + absolute mode, the OpenJDK encoder emits
+    both), a hand-built BI_RLE4 exercising runs / absolute / delta /
+    EOL / EOB escapes, and 4-bpp/1-bpp uncompressed palette images."""
+    import struct as _s
+
+    import numpy as np
+    from metacrafter_spark.ops.gif_bmp_codec import decode_bmp
+
+    jvm = spark._jvm
+    h, w = 13, 17
+    rng = np.random.default_rng(5)
+    idx = rng.integers(0, 8, (h, w)).astype(np.uint8)
+    idx[3:7, :] = 5                       # flat runs → real RLE output
+    rs = bytearray((i * 7) % 256 for i in range(256))
+    gs = bytearray((i * 13) % 256 for i in range(256))
+    bs = bytearray((i * 29) % 256 for i in range(256))
+    icm = jvm.java.awt.image.IndexColorModel(8, 256, rs, gs, bs)
+    BI = jvm.java.awt.image.BufferedImage
+    im = BI(w, h, BI.TYPE_BYTE_INDEXED, icm)
+    r = im.getRaster()
+    for y in range(h):
+        for x in range(w):
+            r.setSample(x, y, 0, int(idx[y, x]))
+    wi = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("bmp").next()
+    p = wi.getDefaultWriteParam()
+    p.setCompressionMode(jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionType("BI_RLE8")
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    wi.setOutput(ios)
+    wi.write(None, jvm.javax.imageio.IIOImage(im, None, None), p)
+    ios.flush()
+    data = bytes(baos.toByteArray())
+    assert _s.unpack_from("<I", data, 30)[0] == 1          # really BI_RLE8
+    pal = np.stack([np.frombuffer(bytes(b), np.uint8)
+                    for b in (rs, gs, bs)], axis=1)
+    assert np.array_equal(decode_bmp(data), pal[idx])
+
+    # hand-built BI_RLE4, 6x3 bottom-up: every escape type
+    def bmp(comp, bpp, w_, h_, pal_rgb, pix):
+        n = len(pal_rgb)
+        pal_bytes = b"".join(bytes([b_, g_, r_, 0]) for r_, g_, b_ in pal_rgb)
+        off = 14 + 40 + len(pal_bytes)
+        hdr = (b"BM" + _s.pack("<IHHI", off + len(pix), 0, 0, off)
+               + _s.pack("<IiiHHIIiiII", 40, w_, h_, 1, bpp, comp,
+                         len(pix), 0, 0, n, 0))
+        return hdr + pal_bytes + pix
+    pal4 = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 0)]
+    rle4 = bytes([
+        4, 0x01,          # run of 4 px alternating 0,1 → 0 1 0 1
+        0, 3, 0x23, 0x20, # absolute 3 px: 2 3 2 (padded to word)
+        0, 0,             # EOL
+        0, 2, 2, 1,       # delta +2x +1y (skips row 1 and 2 cols of row 2)
+        3, 0x33,          # 3 px of 3 → at row 2, x=2..4
+        0, 1,             # EOB
+    ])
+    got = decode_bmp(bmp(2, 4, 6, 3, pal4, rle4))
+    p4 = np.array(pal4, np.uint8)
+    # expected indices in FILE order (row 0 = bottom): run 0101 +
+    # absolute 232 (3rd px at x=6 clips), EOL to row 1, delta +2x+1y to
+    # (2, row 2), run of three 3s; untouched pixels stay index 0
+    eidx = np.zeros((3, 6), np.uint8)
+    eidx[0] = [0, 1, 0, 1, 2, 3]
+    eidx[2, 2:5] = 3
+    assert np.array_equal(got, p4[eidx][::-1])
+
+    # 1-bpp and 4-bpp uncompressed hand-built
+    rows1 = bytes([0b10110000, 0, 0, 0]) + bytes([0b01000000, 0, 0, 0])
+    got1 = decode_bmp(bmp(0, 1, 4, 2, [(0, 0, 0), (255, 255, 255)], rows1))
+    e1 = np.array([[0, 1, 0, 0], [1, 0, 1, 1]], np.uint8)  # top row after flip
+    assert np.array_equal(got1, np.array([(0, 0, 0), (255, 255, 255)],
+                                         np.uint8)[e1])
+    rows4 = bytes([0x01, 0x23, 0, 0])
+    got4 = decode_bmp(bmp(0, 4, 4, 1, pal4, rows4))
+    assert np.array_equal(got4[0], p4[[0, 1, 2, 3]])
