@@ -239,8 +239,10 @@ def _bmp_rle_indices(data: bytes, pos: int, w: int, h: int,
 def decode_bmp(data: bytes) -> np.ndarray:
     """BMP bytes → (h, w, 3) uint8.
 
-    BI_RGB at 1/4/8-bpp palette and 24/32-bpp truecolor, plus BI_RLE8
-    and BI_RLE4 compressed palette images (round 5)."""
+    BI_RGB at 1/4/8-bpp palette and 24/32-bpp truecolor, BI_RLE8 /
+    BI_RLE4 compressed palette images, and BI_BITFIELDS 16/32-bpp with
+    arbitrary contiguous channel masks (5-6-5 etc. scale to 0..255)
+    — all round 5."""
     if data[:2] != b"BM":
         raise ValueError("not a BMP (bad signature)")
     (pix_off,) = struct.unpack_from("<I", data, 10)
@@ -250,9 +252,10 @@ def decode_bmp(data: bytes) -> np.ndarray:
     w, h_raw = struct.unpack_from("<iI", data, 18)[0], struct.unpack_from("<i", data, 22)[0]
     (bpp,) = struct.unpack_from("<H", data, 28)
     (comp,) = struct.unpack_from("<I", data, 30)
-    if comp not in (0, 1, 2):
+    if comp not in (0, 1, 2, 3):
         raise NotImplementedError(
-            f"BMP compression {comp} (BI_RGB/BI_RLE8/BI_RLE4 only)")
+            f"BMP compression {comp} "
+            "(BI_RGB/BI_RLE8/BI_RLE4/BI_BITFIELDS only)")
     top_down = h_raw < 0
     h = abs(h_raw)
 
@@ -262,6 +265,34 @@ def decode_bmp(data: bytes) -> np.ndarray:
         return np.frombuffer(data[14 + hdr_size:14 + hdr_size + 4 * n],
                              dtype=np.uint8).reshape(-1, 4)[:, 2::-1]
 
+    if comp == 3:  # BI_BITFIELDS: per-channel masks, 16/32 bpp
+        if bpp not in (16, 32):
+            raise ValueError(f"BI_BITFIELDS requires 16/32 bpp, got {bpp}")
+        if hdr_size >= 52:  # V2+ info header carries the masks
+            mr, mg, mb = struct.unpack_from("<III", data, 54)
+        else:               # BITMAPINFOHEADER: three DWORDs follow it
+            mr, mg, mb = struct.unpack_from("<III", data, 14 + hdr_size)
+        if not (mr and mg and mb):
+            raise ValueError("BI_BITFIELDS with empty channel mask")
+        stride = (w * (bpp // 8) + 3) & ~3
+        rows = np.frombuffer(data[pix_off:pix_off + stride * h],
+                             dtype=np.uint8).reshape(h, stride)
+        px = rows[:, :w * (bpp // 8)].reshape(h, w, bpp // 8)
+        vals = np.zeros((h, w), dtype=np.uint32)
+        for i in range(bpp // 8):
+            vals |= px[:, :, i].astype(np.uint32) << (8 * i)  # little-endian
+        chans = []
+        for m in (mr, mg, mb):
+            shift = (m & -m).bit_length() - 1
+            width = int(m >> shift).bit_length()
+            c = (vals & m) >> shift
+            # expand to 8 bits by ROUNDED scaling round(c·255/(2^w−1))
+            # — the JDK's convention (bit replication differs by 1 at
+            # e.g. 5-bit c=24), exact for 8-bit channels
+            full = (1 << width) - 1
+            chans.append(((c * 255 + full // 2) // full).astype(np.uint8))
+        img = np.stack(chans, axis=2)
+        return img if top_down else img[::-1].copy()
     if comp == 1 or comp == 2:  # BI_RLE8 / BI_RLE4
         if (comp == 1 and bpp != 8) or (comp == 2 and bpp != 4):
             raise ValueError(f"BMP BI_RLE{8 if comp == 1 else 4} "

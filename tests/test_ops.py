@@ -949,11 +949,15 @@ def test_gif_bmp_decoders_conformance_vs_java(spark):
         decode_gif(b"JIF89a not really")
     with pytest.raises(ValueError, match="signature"):
         decode_bmp(b"MB backwards")
-    # RLE BMP gates honestly: same header with compression=1
+    # RLE decodes for real since round 5 (test_bmp_rle_and_low_bpp);
+    # a compression/bpp mismatch and unknown compressions still raise
     import struct as _s
     rle = bytearray(bmp)
-    _s.pack_into("<I", rle, 30, 1)
-    with pytest.raises(NotImplementedError, match="BI_RGB"):
+    _s.pack_into("<I", rle, 30, 1)          # RLE8 claimed on a 24-bpp file
+    with pytest.raises(ValueError, match="matching bpp"):
+        decode_bmp(bytes(rle))
+    _s.pack_into("<I", rle, 30, 6)          # BI_ALPHABITFIELDS: unsupported
+    with pytest.raises(NotImplementedError, match="compression"):
         decode_bmp(bytes(rle))
 
 
@@ -1291,3 +1295,46 @@ def test_bmp_rle_and_low_bpp(spark):
     rows4 = bytes([0x01, 0x23, 0, 0])
     got4 = decode_bmp(bmp(0, 4, 4, 1, pal4, rows4))
     assert np.array_equal(got4[0], p4[[0, 1, 2, 3]])
+
+
+def test_bmp_bitfields_565(spark):
+    """BI_BITFIELDS 16-bpp (5-6-5 masks) decodes EXACTLY against the
+    JDK's read of its own BI_BITFIELDS write — channel masks located,
+    shifted, and expanded with the JDK's rounded scaling convention;
+    odd widths exercise the row padding."""
+    import struct as _s
+
+    import numpy as np
+    from metacrafter_spark.ops.gif_bmp_codec import decode_bmp
+
+    jvm = spark._jvm
+    h, w = 9, 15
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    BI = jvm.java.awt.image.BufferedImage
+    im = BI(w, h, BI.TYPE_USHORT_565_RGB)
+    for y in range(h):
+        for x in range(w):
+            rr, gg, bb = img[y, x]
+            im.setRGB(x, y, (int(rr) << 16) | (int(gg) << 8) | int(bb))
+    wi = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("bmp").next()
+    p = wi.getDefaultWriteParam()
+    p.setCompressionMode(jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionType("BI_BITFIELDS")
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    wi.setOutput(ios)
+    wi.write(None, jvm.javax.imageio.IIOImage(im, None, None), p)
+    ios.flush()
+    data = bytes(baos.toByteArray())
+    assert _s.unpack_from("<I", data, 30)[0] == 3      # really bitfields
+    assert _s.unpack_from("<H", data, 28)[0] == 16
+    ours = decode_bmp(data)
+    bimg = jvm.javax.imageio.ImageIO.read(
+        jvm.java.io.ByteArrayInputStream(data))
+    exp = np.zeros((h, w, 3), np.uint8)
+    for y in range(h):
+        for x in range(w):
+            v = bimg.getRGB(x, y)
+            exp[y, x] = [(v >> 16) & 255, (v >> 8) & 255, v & 255]
+    assert np.array_equal(ours, exp)
