@@ -15,8 +15,10 @@ disposal method 3 "restore previous" is rare and treated as
 first frame, :func:`decode_gif_frames` every composited frame.
 
 BMP scope: 'BM' files with BITMAPINFOHEADER (40+ bytes), bottom-up or
-top-down rows, uncompressed BI_RGB at 24/32 bpp or palette 8 bpp.
-RLE and bitfield compressions raise NotImplementedError.
+top-down rows, BI_RGB at 1/4/8-bpp palette or 24/32-bpp truecolor,
+BI_RLE8/BI_RLE4 compressed palette images, and BI_BITFIELDS 16/32-bpp
+masked (round 5).  Embedded-JPEG/PNG compression and the old
+BITMAPCOREHEADER raise NotImplementedError.
 """
 
 from __future__ import annotations

@@ -270,6 +270,21 @@ def main() -> None:
     ))
     assert "BroadcastExchange" in cplan, "bucket-count guard not broadcast!"
 
+    # 15. html → text extraction (round 5): a single narrow
+    # MapInPandas stage — the html binary column is consumed map-side
+    # and never rides an Exchange
+    from metacrafter_spark.corpus.html import with_extracted_text
+
+    hx = with_extracted_text(synth_webpages(spark, 100, partitions=4),
+                             "html", "tx").select("url", "tx")
+    hplan = plan_of(hx)
+    sections.append((
+        "html_extract_text (map-side MapInPandas, zero Exchange)",
+        hplan,
+        ["MapInPandas"],
+    ))
+    assert "Exchange" not in hplan, "html extraction shuffles!"
+
     out = ["# BENCH/EXPLAIN — physical-plan audit\n"]
     ok = True
     for title, plan, must in sections:
