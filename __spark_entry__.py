@@ -710,19 +710,22 @@ def q_c4_line_filter(spark, sf_dir):
 
 def q_langid(spark, sf_dir):
     """Language distribution over the real documents table UNIONed with
-    a 19-language synthetic corpus (the flat samples list cycled over
-    doc_ids) — one langid pass covers every language in BUILTIN_PACK,
+    a multi-language synthetic corpus (the flat samples list cycled over
+    doc_ids, 3 docs per snippet) — one langid pass covers every
+    language in BUILTIN_PACK,
     incl. the whitespace-free CJK/Thai script paths, all hash-checked
     against the DuckDB replay generated from the same pack."""
     from metacrafter_spark.corpus.langid import with_langid
     from metacrafter_spark.corpus.langid_samples import flat_samples
 
     docs = _t(spark, sf_dir, "documents")
-    snippets = F.array(*[F.lit(t) for (_l, t) in flat_samples()])
-    synth = docs.filter(F.col("doc_id") < 171).select(
+    flat = flat_samples()
+    snippets = F.array(*[F.lit(t) for (_l, t) in flat])
+    n_snip = len(flat)
+    synth = docs.filter(F.col("doc_id") < 3 * n_snip).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.element_at(snippets,
-                     (F.col("doc_id") % 57 + 1).cast("int")).alias("text"),
+                     (F.col("doc_id") % n_snip + 1).cast("int")).alias("text"),
     )
     both = docs.select("doc_id", "text").unionAll(synth)
     return (
@@ -739,7 +742,7 @@ def q_langid(spark, sf_dir):
 
 def q_quality_flags(spark, sf_dir):
     """SQL-checkable slice of the Gopher metrics over the real docs
-    UNIONed with the 19-language sample corpus — the round-5 CJK-mode
+    UNIONed with the multi-language sample corpus — the round-5 CJK-mode
     metrics (cjk_char_frac / n_units / dup_cjk_2gram_frac /
     letter_char_frac) and the script-aware q_pass are hash-checked on
     genuinely whitespace-free zh/ja/th rows, not just Latin text."""
@@ -747,11 +750,13 @@ def q_quality_flags(spark, sf_dir):
     from metacrafter_spark.corpus.quality import with_quality
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    snippets = F.array(*[F.lit(t) for (_l, t) in flat_samples()])
-    synth = docs.filter(F.col("doc_id") < 57).select(
+    flat = flat_samples()
+    snippets = F.array(*[F.lit(t) for (_l, t) in flat])
+    n_snip = len(flat)
+    synth = docs.filter(F.col("doc_id") < n_snip).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.element_at(snippets,
-                     (F.col("doc_id") % 57 + 1).cast("int")).alias("text"),
+                     (F.col("doc_id") % n_snip + 1).cast("int")).alias("text"),
     )
     both = docs.select("doc_id", "text").unionAll(synth)
     out = with_quality(both)
@@ -1425,7 +1430,7 @@ def oracle_sql() -> dict[str, str]:
 
     # per-doc langid over src(doc_id, t) → lpred(doc_id, lang_pred).
     # Generated from the SAME LangPack the Spark plan compiles
-    # (corpus/langid.py BUILTIN_PACK, 19 languages incl. CJK/Arabic/…
+    # (corpus/langid.py BUILTIN_PACK, 20 languages incl. CJK/Arabic/…
     # script signals) — one source of truth, engine and oracle cannot
     # drift.  Token-set counting, not \b regexes, because RE2's \b is
     # ASCII-only while Java's is Unicode-aware.
@@ -1433,6 +1438,7 @@ def oracle_sql() -> dict[str, str]:
     from metacrafter_spark.corpus.langid_samples import flat_samples
 
     langid_frag = oracle_sql_fragment()
+    _n_snippets = len(flat_samples())
     _langid_snippet_list = ", ".join(
         "'" + t.replace("'", "''") + "'" for (_l, t) in flat_samples()
     )
@@ -2032,9 +2038,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, text AS t FROM documents WHERE doc_id < 100
               UNION ALL
               SELECT doc_id + 1000000 AS doc_id,
-                     (list_value(""" + _langid_snippet_list + """))[
-                       CAST(doc_id % 57 AS INT) + 1] AS t
-              FROM documents WHERE doc_id < 57),"""
+                     (list_value(""" + _langid_snippet_list + f"""))[
+                       CAST(doc_id % {_n_snippets} AS INT) + 1] AS t
+              FROM documents WHERE doc_id < {_n_snippets}),"""
             + quality_frag + r""",
             ac AS (
               SELECT doc_id,
@@ -2150,9 +2156,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, text AS t FROM documents
               UNION ALL
               SELECT doc_id + 1000000 AS doc_id,
-                     (list_value(""" + _langid_snippet_list + """))[
-                       CAST(doc_id % 57 AS INT) + 1] AS t
-              FROM documents WHERE doc_id < 171),"""
+                     (list_value(""" + _langid_snippet_list + f"""))[
+                       CAST(doc_id % {_n_snippets} AS INT) + 1] AS t
+              FROM documents WHERE doc_id < {3 * _n_snippets}),"""
             + langid_frag + """
             SELECT CASE WHEN doc_id >= 1000000 THEN 'synth' ELSE 'docs' END
                      AS corpus,

@@ -14,7 +14,7 @@ the score then language name).
 ``(script, weight)`` signals) — compiled into plan literals, so a
 deployment can swap or extend languages without touching the engine
 (the same pattern as the toxicity wordlists).  The built-in pack covers
-19 languages: ten Latin-script (en fr de es pt it nl pl tr id), one
+20 languages: eleven Latin-script (en fr de es pt it nl pl tr id vi), one
 Cyrillic (ru — Ukrainian/Bulgarian web text will label ``ru``; supply a
 pack with their stopword sets to split the family), and eight
 script-driven (el ar he hi th ko ja zh).  Whitespace-free scripts
@@ -134,6 +134,9 @@ BUILTIN_PACK: LangPack = (
     LangSpec("id", ("yang", "dan", "di", "ini", "itu", "dengan", "untuk",
                     "tidak", "dari", "dalam", "pada", "adalah", "akan",
                     "juga", "ke", "atau", "oleh", "sebagai")),
+    LangSpec("vi", ("của", "và", "là", "có", "không", "được", "trong",
+                    "cho", "người", "này", "với", "các", "một", "để",
+                    "những", "khi", "cũng", "đã")),
     # Script + stopword languages
     LangSpec("ru", STOPWORDS["ru"], (("cyr", 1.0),)),
     LangSpec("el", ("και", "το", "του", "της", "να", "με", "που", "για",

@@ -93,6 +93,14 @@ SAMPLES: dict[str, tuple[str, ...]] = {
         "anak anak bermain di taman dekat sekolah dan para orang tua "
         "menunggu sampai pelajaran selesai pada sore hari",
     ),
+    "vi": (
+        "chợ ở trung tâm thành phố mở cửa mỗi sáng và người dân mua trái "
+        "cây cùng rau củ cho cả tuần",
+        "quyết định về dự án đường mới vẫn chưa được công bố và người dân "
+        "trong khu phố không đồng ý với kế hoạch này",
+        "trẻ em chơi ở sân gần trường học và cha mẹ của các em chờ đến "
+        "khi buổi học kết thúc",
+    ),
     "ru": (
         "рынок в центре города открыт с утра и жители покупают фрукты и "
         "овощи на всю неделю",
