@@ -14,9 +14,10 @@ the score then language name).
 ``(script, weight)`` signals) — compiled into plan literals, so a
 deployment can swap or extend languages without touching the engine
 (the same pattern as the toxicity wordlists).  The built-in pack covers
-20 languages: eleven Latin-script (en fr de es pt it nl pl tr id vi), one
-Cyrillic (ru — Ukrainian/Bulgarian web text will label ``ru``; supply a
-pack with their stopword sets to split the family), and eight
+21 languages: eleven Latin-script (en fr de es pt it nl pl tr id vi),
+two Cyrillic (ru and uk, split by their disjoint stopword sets over the
+shared script signal; Bulgarian/Serbian web text will label ru — supply
+a pack with their stopword sets to split further), and eight
 script-driven (el ar he hi th ko ja zh).  Whitespace-free scripts
 (th/ja/zh) are handled by the script signal itself: the
 ``min_tokens`` short-text guard only fires when no script evidence is
@@ -137,8 +138,15 @@ BUILTIN_PACK: LangPack = (
     LangSpec("vi", ("của", "và", "là", "có", "không", "được", "trong",
                     "cho", "người", "này", "với", "các", "một", "để",
                     "những", "khi", "cũng", "đã")),
-    # Script + stopword languages
+    # Script + stopword languages.  ru and uk share the Cyrillic signal
+    # (equal weight), so the stopword sets decide between them — uk's
+    # tokens are chosen to be distinctly Ukrainian (і≠и, його≠его,
+    # був≠был …), none of them Russian function words.
     LangSpec("ru", STOPWORDS["ru"], (("cyr", 1.0),)),
+    LangSpec("uk", ("і", "та", "це", "є", "що", "як", "до", "від", "або",
+                    "але", "вже", "його", "була", "був", "цього",
+                    "також", "може", "щоб"),
+             (("cyr", 1.0),)),
     LangSpec("el", ("και", "το", "του", "της", "να", "με", "που", "για",
                     "από", "είναι", "την", "στο", "δεν", "τα", "ο", "η"),
              (("grk", 1.0),)),

@@ -109,6 +109,14 @@ SAMPLES: dict[str, tuple[str, ...]] = {
         "дети играют на площадке возле школы а родители разговаривают и "
         "ждут конца занятий",
     ),
+    "uk": (
+        "ринок у центрі міста відкритий з ранку і мешканці купують "
+        "фрукти та овочі але ціни вже трохи вищі ніж минулого тижня",
+        "поки невідомо чи буде проект продовжено але мешканці району "
+        "проти цього і просять провести зустріч щоб обговорити деталі",
+        "діти граються біля школи і батьки чекають на них але іноді це "
+        "триває довго як і кожного дня",
+    ),
     "el": (
         "η αγορά της πόλης ανοίγει το πρωί και οι κάτοικοι αγοράζουν "
         "φρούτα και λαχανικά για όλη την εβδομάδα",
