@@ -6,7 +6,7 @@ this repo (no external corpus); deliberately apostrophe-free so the
 snippets embed directly into SQL literals.  Tests assert the classifier
 reaches ≥ 95% accuracy on this multi-script corpus; the
 ``langid_documents`` oracle query cycles the flattened list over
-doc_ids so the full 19-language scoring path is hash-checked against
+doc_ids so the full multi-language scoring path is hash-checked against
 the DuckDB replay.
 """
 
