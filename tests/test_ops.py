@@ -1338,3 +1338,66 @@ def test_bmp_bitfields_565(spark):
             v = bimg.getRGB(x, y)
             exp[y, x] = [(v >> 16) & 255, (v >> 8) & 255, v & 255]
     assert np.array_equal(ours, exp)
+
+
+def test_gif_disposal_methods():
+    """Animated-GIF disposal (round 5): method 2 restores the frame
+    rect to the BACKGROUND color before the next frame composites;
+    method 3 restores the pre-frame canvas; 0/1 leave in place."""
+    import struct as _s
+
+    import numpy as np
+    from metacrafter_spark.ops.gif_bmp_codec import decode_gif_frames
+
+    def lzw_trivial(indices, min_code=2):
+        # CLEAR before every symbol: the table never grows, so the code
+        # width stays min_code+1 — valid LZW, repeat-friendly
+        clear, eoi, width = 1 << min_code, (1 << min_code) + 1, min_code + 1
+        bits = []
+        def put(code):
+            for i in range(width):
+                bits.append((code >> i) & 1)
+        for ix in indices:
+            put(clear)
+            put(ix)
+        put(eoi)
+        by = bytearray()
+        for i in range(0, len(bits), 8):
+            by.append(sum(b << j for j, b in enumerate(bits[i:i + 8])))
+        return bytes(by)
+
+    gct = bytes([10, 20, 30,   255, 0, 0,   0, 255, 0,   0, 0, 255])
+    P = np.array([[10, 20, 30], [255, 0, 0], [0, 255, 0], [0, 0, 255]],
+                 np.uint8)
+
+    def gce(disposal):
+        return bytes([0x21, 0xF9, 0x04, disposal << 2, 0, 0, 0, 0x00])
+
+    def frame(x, y, w_, h_, indices):
+        lzw = lzw_trivial(indices)
+        return (b"\x2c" + _s.pack("<HHHHB", x, y, w_, h_, 0)
+                + bytes([2, len(lzw)]) + lzw + b"\x00")
+
+    # canvas 2x2, bg index 0; frame A fills all 4 px with color 1
+    # (disposal 2), frame B paints only the top-left px with color 2
+    hdr = b"GIF89a" + _s.pack("<HHBBB", 2, 2, 0x91, 0, 0) + gct
+    gif2 = (hdr + gce(2) + frame(0, 0, 2, 2, [1, 1, 1, 1])
+            + gce(0) + frame(0, 0, 1, 1, [2]) + b"\x3b")
+    f = decode_gif_frames(gif2)
+    assert len(f) == 2
+    assert (f[0] == P[1]).all()                       # frame A all red
+    assert tuple(f[1][0, 0]) == tuple(P[2])           # B's pixel
+    assert (f[1][0, 1] == P[0]).all()                 # rest = BACKGROUND
+    assert (f[1][1, :] == P[0]).all()
+
+    # disposal 3: frame A color 1, frame B (disposal 3) paints color 2
+    # over everything, frame C paints one px color 3 → C composites on
+    # the RESTORED frame-A canvas, not on B
+    gif3 = (hdr + gce(0) + frame(0, 0, 2, 2, [1, 1, 1, 1])
+            + gce(3) + frame(0, 0, 2, 2, [2, 2, 2, 2])
+            + gce(0) + frame(1, 1, 1, 1, [3]) + b"\x3b")
+    f = decode_gif_frames(gif3)
+    assert len(f) == 3
+    assert (f[1] == P[2]).all()                       # B shows green
+    assert tuple(f[2][1, 1]) == tuple(P[3])           # C's pixel
+    assert (f[2][0, 0] == P[1]).all()                 # restored to A
