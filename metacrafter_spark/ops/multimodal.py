@@ -109,14 +109,79 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
     return hdr + pcm
 
 
+def _mulaw_expand(u: np.ndarray) -> np.ndarray:
+    """G.711 µ-law byte → 16-bit linear (audioop/G.711 convention:
+    magnitude ((mant<<3)+0x84)<<exp − 0x84, sign applied)."""
+    u = (~u) & 0xFF
+    sign = (u & 0x80) != 0
+    exp = (u >> 4) & 0x07
+    mant = (u & 0x0F).astype(np.int32)
+    mag = ((((mant << 3) + 0x84) << exp) - 0x84).astype(np.int32)
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def _alaw_expand(a: np.ndarray) -> np.ndarray:
+    """G.711 A-law byte → 16-bit linear (audioop/G.711 convention;
+    after the 0x55 toggle, a CLEAR msb means negative)."""
+    a = a ^ 0x55
+    sign = (a & 0x80) == 0
+    exp = (a >> 4) & 0x07
+    mant = (a & 0x0F).astype(np.int32)
+    mag = np.where(exp == 0, (mant << 4) + 8,
+                   ((mant << 4) + 0x108) << (exp - 1)).astype(np.int32)
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
 def decode_wav(data: bytes) -> np.ndarray:
+    """RIFF/WAVE bytes → int16 samples (interleaved if multichannel).
+
+    Formats (round 5 — previously raw PCM16 only): PCM 8-bit unsigned /
+    16-bit / 24-bit / 32-bit, IEEE float32/64 (scaled to int16), G.711
+    µ-law and A-law (codes 7/6), and WAVE_FORMAT_EXTENSIBLE wrapping
+    any of those.  A missing fmt chunk falls back to PCM16."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos = 12
+    fmt_code, bits = 1, 16
     while pos + 8 <= len(data):
         cid, size = data[pos:pos + 4], struct.unpack("<I", data[pos + 4:pos + 8])[0]
-        if cid == b"data":
-            return np.frombuffer(data[pos + 8:pos + 8 + size], dtype="<i2")
+        body = data[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_code, _nch = struct.unpack_from("<HH", body, 0)
+            (bits,) = struct.unpack_from("<H", body, 14)
+            if fmt_code == 0xFFFE and size >= 26:  # EXTENSIBLE
+                # SubFormat GUID starts at fmt-body offset 24 (base 16
+                # + cbSize 2 + validbits 2 + channel mask 4); its first
+                # two bytes are the wrapped format code
+                (fmt_code,) = struct.unpack_from("<H", body, 24)
+        elif cid == b"data":
+            if fmt_code == 1:      # integer PCM
+                if bits == 16:
+                    return np.frombuffer(body, dtype="<i2")
+                if bits == 8:      # unsigned by convention
+                    s = np.frombuffer(body, dtype=np.uint8).astype(np.int16)
+                    return ((s - 128) << 8).astype(np.int16)
+                if bits == 24:
+                    b3 = np.frombuffer(body[:len(body) - len(body) % 3],
+                                       dtype=np.uint8).reshape(-1, 3)
+                    v = (b3[:, 0].astype(np.int32)
+                         | (b3[:, 1].astype(np.int32) << 8)
+                         | (b3[:, 2].astype(np.int32) << 16))
+                    v = np.where(v & 0x800000, v - (1 << 24), v)
+                    return (v >> 8).astype(np.int16)
+                if bits == 32:
+                    return (np.frombuffer(body, dtype="<i4") >> 16).astype(np.int16)
+                raise NotImplementedError(f"{bits}-bit integer PCM")
+            if fmt_code == 3:      # IEEE float
+                dt = "<f4" if bits == 32 else "<f8"
+                f = np.frombuffer(body, dtype=dt)
+                return np.clip(f, -1.0, 1.0).astype(np.float64)\
+                    .__mul__(32767.0).round().astype(np.int16)
+            if fmt_code == 7:      # µ-law
+                return _mulaw_expand(np.frombuffer(body, dtype=np.uint8))
+            if fmt_code == 6:      # A-law
+                return _alaw_expand(np.frombuffer(body, dtype=np.uint8))
+            raise NotImplementedError(f"WAVE format code {fmt_code}")
         pos += 8 + size + (size & 1)
     raise ValueError("no data chunk")
 

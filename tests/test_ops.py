@@ -1401,3 +1401,63 @@ def test_gif_disposal_methods():
     assert (f[1] == P[2]).all()                       # B shows green
     assert tuple(f[2][1, 1]) == tuple(P[3])           # C's pixel
     assert (f[2][0, 0] == P[1]).all()                 # restored to A
+
+
+def test_wav_formats_and_g711():
+    """Round-5 WAV coverage: PCM 8/16/24/32, IEEE float, G.711 µ-law /
+    A-law (EXACT against the stdlib's independent audioop tables on all
+    256 bytes), and WAVE_FORMAT_EXTENSIBLE unwrapping."""
+    import struct as _s
+
+    import numpy as np
+    from metacrafter_spark.ops.multimodal import (
+        _alaw_expand, _mulaw_expand, decode_wav,
+    )
+
+    try:
+        import audioop  # removed in 3.13 — conformance only where present
+    except ImportError:
+        audioop = None
+    all_bytes = bytes(range(256))
+    if audioop is not None:
+        ref_u = np.frombuffer(audioop.ulaw2lin(all_bytes, 2), dtype="<i2")
+        assert np.array_equal(
+            _mulaw_expand(np.frombuffer(all_bytes, np.uint8)), ref_u)
+        ref_a = np.frombuffer(audioop.alaw2lin(all_bytes, 2), dtype="<i2")
+        assert np.array_equal(
+            _alaw_expand(np.frombuffer(all_bytes, np.uint8)), ref_a)
+    # spot values from the G.711 tables
+    assert _mulaw_expand(np.array([0], np.uint8))[0] == -32124
+    assert _alaw_expand(np.array([0x55], np.uint8))[0] == -8
+
+    def wav(fmt_code, bits, payload):
+        block = max(1, bits // 8)
+        fmt = _s.pack("<HHIIHH", fmt_code, 1, 8000, 8000 * block, block, bits)
+        ch = (b"fmt " + _s.pack("<I", len(fmt)) + fmt
+              + b"data" + _s.pack("<I", len(payload)) + payload)
+        return b"RIFF" + _s.pack("<I", 4 + len(ch)) + b"WAVE" + ch
+
+    s16 = np.array([0, 1000, -1000, 32767, -32768], dtype="<i2")
+    assert np.array_equal(decode_wav(wav(1, 16, s16.tobytes())), s16)
+    assert decode_wav(wav(1, 8, bytes([0, 128, 255]))).tolist() == \
+        [-32768, 0, 32512]
+    f32 = np.array([0.0, 0.5, -1.0, 2.0], dtype="<f4")   # 2.0 clips
+    assert decode_wav(wav(3, 32, f32.tobytes())).tolist() == \
+        [0, 16384, -32767, 32767]
+    p24 = bytes([0x56, 0x34, 0x12, 0x00, 0x00, 0x80])    # 0x123456, min
+    got24 = decode_wav(wav(1, 24, p24))
+    assert got24[0] == 0x1234 and got24[1] == -32768
+    mw = decode_wav(wav(7, 8, all_bytes))
+    assert np.array_equal(mw, _mulaw_expand(np.frombuffer(all_bytes,
+                                                          np.uint8)))
+    # EXTENSIBLE wrapping PCM16
+    fmt = (_s.pack("<HHIIHH", 0xFFFE, 1, 8000, 16000, 2, 16)
+           + _s.pack("<HHI", 22, 16, 1)
+           + _s.pack("<H", 1) + b"\x00" * 14)
+    ch = (b"fmt " + _s.pack("<I", len(fmt)) + fmt
+          + b"data" + _s.pack("<I", len(s16.tobytes())) + s16.tobytes())
+    ext = b"RIFF" + _s.pack("<I", 4 + len(ch)) + b"WAVE" + ch
+    assert np.array_equal(decode_wav(ext), s16)
+    import pytest as _pt
+    with _pt.raises(NotImplementedError, match="format code"):
+        decode_wav(wav(2, 16, b"\x00\x00"))  # ADPCM stays gated
