@@ -100,10 +100,25 @@ def _head_bytes(path: str, n: int = 1 << 20) -> bytes:
     if path.endswith(".lz4"):
         try:
             import lz4.frame
-        except ImportError as e:
-            raise NotImplementedError("lz4 head read needs lz4") from e
+        except ImportError:
+            # round 5: clean-room pure-Python frame decoder (conformance
+            # vs the JVM's lz4-java in tests) — the gate is gone
+            from metacrafter_spark.io.lz4_snappy import decompress_lz4_frame
+
+            with open(path, "rb") as f:
+                return decompress_lz4_frame(f.read(), max_out=n)
         with lz4.frame.open(path, "rb") as f:
             return f.read(n)
+    if path.endswith(".snappy"):
+        try:
+            import snappy as _snappy
+        except ImportError:
+            from metacrafter_spark.io.lz4_snappy import decompress_snappy
+
+            with open(path, "rb") as f:
+                return decompress_snappy(f.read())[:n]
+        with open(path, "rb") as f:
+            return _snappy.uncompress(f.read())[:n]
     if path.endswith(".br"):
         try:
             import brotli
