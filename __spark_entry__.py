@@ -293,6 +293,81 @@ def q_tpch_q10(spark, sf_dir):
     )
 
 
+def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 shape (order-priority checking, adapted to the columns
+    this lineitem carries): EXISTS becomes a LEFT SEMI join — orders in
+    1996-Q3 having at least one deep-discount line item, counted per
+    priority.  The semi join never widens the row and ships only the
+    distinct orderkeys of the matching side."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    ).select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_discount") >= 0.08
+    ).select("l_orderkey")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 shape (promotion effect): one-month lineitem scan with
+    the part dimension broadcast; the promo/total revenue ratio is
+    computed decimal-exact then rounded once."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    one = F.lit(1).cast("decimal(18,4)")
+    rev = price * (one - disc)
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.round(
+                (F.lit(100.0)
+                 * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev)
+                         .otherwise(F.lit(0).cast("decimal(18,4)")))
+                 .cast("double"))
+                / F.sum(rev).cast("double"), 4).alias("promo_revenue")
+        )
+    )
+
+
+def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 shape (discounted revenue): DISJUNCTIVE brand/size/
+    quantity predicates spanning both join sides — the planner must
+    keep the OR intact across the broadcast join rather than losing
+    rows to a wrong pushdown; revenue decimal-exact."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    one = F.lit(1).cast("decimal(18,4)")
+    cond = (
+        ((F.col("p_brand") == "Brand#1")
+         & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2")
+           & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(10, 40))
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(cond)
+        .agg(F.round(F.sum(price * (one - disc)).cast("double"), 2)
+             .alias("revenue"),
+             F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
 def q_regex_match_rate(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     pat = r"\b(?:join|merge)\b"
@@ -1296,6 +1371,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5_local_supplier": q_tpch_q5,
         "tpch_q6_forecast_revenue": q_tpch_q6,
         "tpch_q10_returned_items": q_tpch_q10,
+        "tpch_q4_priority_check": q_tpch_q4,
+        "tpch_q14_promo_effect": q_tpch_q14,
+        "tpch_q19_discounted_revenue": q_tpch_q19,
         "top_customers_by_spend": q_top_customers,
         "field_stats_documents": q_field_stats,
         "dict_detection": q_dict_detection,
@@ -1577,6 +1655,42 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
               AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
             GROUP BY n_name ORDER BY revenue DESC, n_name
+        """,
+        "tpch_q4_priority_check": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= '1996-07-01'
+              AND o.o_orderdate < '1996-10-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_discount >= 0.08)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "tpch_q14_promo_effect": """
+            SELECT round(CAST(
+                     100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                       THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                            * (CAST(1 AS DECIMAL(18,4))
+                               - CAST(l_discount AS DECIMAL(18,4)))
+                       ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                     / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                            * (CAST(1 AS DECIMAL(18,4))
+                               - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+                   AS DOUBLE), 4) AS promo_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= '1996-09-01' AND l_shipdate < '1996-10-01'
+        """,
+        "tpch_q19_discounted_revenue": """
+            SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * (CAST(1 AS DECIMAL(18,4))
+                        - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2)
+                     AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 20)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+                   AND l_quantity BETWEEN 10 AND 40)
         """,
         "tpch_q10_returned_items": """
             SELECT c_custkey, c_name, n_name,
