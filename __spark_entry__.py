@@ -19,6 +19,7 @@ driver's value-hash comparison is insensitive to summation order.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from pathlib import Path
 
@@ -1364,6 +1365,57 @@ def q_pii_scrub(spark, sf_dir):
     ).orderBy("url")
 
 
+def q_iceberg_scan(spark, sf_dir):
+    """Pure-Python Iceberg v2 round-trip (io/iceberg.py — clean-room
+    from the public table spec; the reference has no table-format layer,
+    this serves the north rule's "over Iceberg tables"): documents →
+    identity-partitioned table (append = snapshot 1), then a dynamic
+    partition overwrite of lang='de' with tagged text (snapshot 2).
+    BOTH snapshots are read back through the metadata/manifest layer
+    (manifest list → manifests → pruned distributed parquet scan) and
+    aggregated per (snapshot_id, lang); the oracle recomputes the same
+    aggregates from the raw parquet with the overwrite replayed as a
+    CASE.  Lost files, failed tombstones, wrong partition values or
+    broken time travel all change the counts/hashes."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from metacrafter_spark.io.iceberg import IcebergTable
+
+    loc = os.path.join(
+        tempfile.gettempdir(),
+        "mc_iceberg_q_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    if os.path.exists(loc):
+        shutil.rmtree(loc)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    t = IcebergTable.create(loc, docs.schema, partition_by=["lang"])
+    t.append(docs)
+    t.overwrite_partitions(
+        docs.filter(F.col("lang") == "de")
+        .withColumn("text", F.concat(F.lit("DE::"), F.col("text")))
+    )
+    t = IcebergTable.load(loc)
+
+    def agg(df, snap):
+        return df.groupBy("lang").agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("doc_id").alias("n_ids"),
+            F.sum(F.length("text")).alias("sum_chars"),
+            F.min(F.md5(F.encode("text", "utf-8"))).alias("min_md5"),
+            F.max(F.md5(F.encode("text", "utf-8"))).alias("max_md5"),
+        ).withColumn("snapshot_id", F.lit(snap))
+
+    out = agg(t.read(spark, snapshot_id=1), 1).unionByName(
+        agg(t.read(spark, snapshot_id=2), 2)
+    )
+    return out.select(
+        "snapshot_id", "lang", "n_docs", "n_ids", "sum_chars",
+        "min_md5", "max_md5",
+    ).orderBy("snapshot_id", "lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": q_tpch_q1,
@@ -1417,6 +1469,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub_hashes": q_pii_scrub,
         # html:binary → text extraction, byte-identity per url (round 5)
         "html_extract_text": q_html_extract_text,
+        # pure-Python Iceberg v2 layer: append + dynamic partition
+        # overwrite + time travel, read back through the manifest
+        # metadata (round 5)
+        "iceberg_scan": q_iceberg_scan,
         # hash-green ANN quality bars (round 4): exact top-k rows are
         # SQL-replayed; recall_ok is computed in-query vs the exact set
         # (oracle expects TRUE — the fp_stable invariant pattern)
@@ -2338,6 +2394,28 @@ def oracle_sql() -> dict[str, str]:
         # byte-identity: the Spark side extracts text FROM html bytes;
         # this twin hashes the fixture's text column directly — equal
         # hashes prove the extractor reproduces it byte-for-byte
+        # iceberg_scan: snapshot 1 = raw documents; snapshot 2 = the
+        # same with the lang='de' partition's text tagged by the
+        # dynamic overwrite — replayed here as a CASE over the raw
+        # parquet, so every manifest-layer defect flips a hash
+        "iceberg_scan": """
+            WITH u AS (
+              SELECT 1 AS snapshot_id, doc_id, lang, text FROM documents
+              UNION ALL
+              SELECT 2, doc_id, lang,
+                     CASE WHEN lang = 'de' THEN 'DE::' || text ELSE text END
+              FROM documents
+            )
+            SELECT snapshot_id, lang,
+                   count(*) AS n_docs,
+                   count(DISTINCT doc_id) AS n_ids,
+                   sum(length(text)) AS sum_chars,
+                   min(md5(text)) AS min_md5,
+                   max(md5(text)) AS max_md5
+            FROM u
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
         "html_extract_text": ("""
             SELECT regexp_extract(url, '/article/(\\d+)$', 1)::BIGINT AS doc_id,
                    sha256(text) AS extract_sha,

@@ -7,9 +7,11 @@ bytes/strings, null/deflate block codecs, and the OCF framing
 (magic ``Obj\\x01``, metadata map with ``avro.schema``/``avro.codec``,
 16-byte sync marker, blocks of ``<count><byte-size><data><sync>``).
 
-Scope: flat records of primitives plus ``["null", T]`` unions and
-enums — the shapes a tabular scan cares about.  The writer exists so
-the reader is testable without external fixtures; both are also the
+Scope: records of primitives plus ``["null", T]`` unions, enums,
+nested records, arrays, maps, and fixed — the shapes a tabular scan
+cares about plus everything Iceberg manifest files use (io/iceberg.py
+reads/writes manifests through this codec).  The writer exists so the
+reader is testable without external fixtures; both are also the
 fallback behind ``scan_file(..., fmt="avro")`` and the block-parallel
 ``scan_avro_distributed`` when the spark-avro package is absent.
 """
@@ -120,6 +122,29 @@ def write_value(buf: io.BytesIO, schema: Any, v: Any) -> None:
     elif t == "record":
         for f in schema["fields"]:
             write_value(buf, f["type"], v.get(f["name"]))
+    elif t == "array":
+        # spec: blocks of <count><items...>, a zero count terminates
+        items = list(v or [])
+        if items:
+            write_long(buf, len(items))
+            for item in items:
+                write_value(buf, schema["items"], item)
+        write_long(buf, 0)
+    elif t == "map":
+        entries = dict(v or {})
+        if entries:
+            write_long(buf, len(entries))
+            for k, mv in entries.items():
+                write_bytes(buf, str(k).encode("utf8"))
+                write_value(buf, schema["values"], mv)
+        write_long(buf, 0)
+    elif t == "fixed":
+        data = bytes(v)
+        if len(data) != schema["size"]:
+            raise ValueError(
+                f"fixed size mismatch: {len(data)} != {schema['size']}"
+            )
+        buf.write(data)
     else:
         raise ValueError(f"unsupported Avro type {t!r}")
 
@@ -147,6 +172,34 @@ def read_value(buf: io.BufferedIOBase, schema: Any) -> Any:
         return schema["symbols"][read_long(buf)]
     if t == "record":
         return {f["name"]: read_value(buf, f["type"]) for f in schema["fields"]}
+    if t == "array":
+        out = []
+        while True:
+            n = read_long(buf)
+            if n == 0:
+                return out
+            if n < 0:  # spec: negative count is followed by a block byte size
+                n = -n
+                read_long(buf)
+            for _ in range(n):
+                out.append(read_value(buf, schema["items"]))
+    if t == "map":
+        out = {}
+        while True:
+            n = read_long(buf)
+            if n == 0:
+                return out
+            if n < 0:
+                n = -n
+                read_long(buf)
+            for _ in range(n):
+                k = read_bytes(buf).decode("utf8")
+                out[k] = read_value(buf, schema["values"])
+    if t == "fixed":
+        data = buf.read(schema["size"])
+        if len(data) != schema["size"]:
+            raise EOFError("fixed truncated")
+        return data
     raise ValueError(f"unsupported Avro type {t!r}")
 
 
@@ -155,8 +208,13 @@ def read_value(buf: io.BufferedIOBase, schema: Any) -> Any:
 
 def write_ocf(path: str, schema: dict, records: list[dict], *,
               codec: str = "deflate", sync: bytes = b"\x00" * 16,
-              records_per_block: int = 1000) -> None:
-    """Write an Object Container File (testability + interchange)."""
+              records_per_block: int = 1000,
+              extra_meta: Optional[dict] = None) -> None:
+    """Write an Object Container File (testability + interchange).
+
+    ``extra_meta`` adds application metadata entries (str or bytes
+    values) to the header map — Iceberg manifests carry their schema /
+    partition-spec / format-version there (io/iceberg.py)."""
     assert len(sync) == 16
     with open(path, "wb") as f:
         f.write(MAGIC)
@@ -165,6 +223,8 @@ def write_ocf(path: str, schema: dict, records: list[dict], *,
             "avro.schema": json.dumps(schema).encode("utf8"),
             "avro.codec": codec.encode("utf8"),
         }
+        for k, v in (extra_meta or {}).items():
+            entries[k] = v.encode("utf8") if isinstance(v, str) else bytes(v)
         write_long(meta, len(entries))
         for k, v in entries.items():
             write_bytes(meta, k.encode("utf8"))
@@ -188,6 +248,24 @@ def write_ocf(path: str, schema: dict, records: list[dict], *,
             f.write(blk.getvalue())
             f.write(data)
             f.write(sync)
+
+
+def ocf_metadata(path: str) -> dict[str, bytes]:
+    """The full header metadata map (avro.* plus application entries)."""
+    with open(path, "rb") as f:
+        if f.read(4) != MAGIC:
+            raise ValueError("not an Avro object container file")
+        meta: dict[str, bytes] = {}
+        while True:
+            n = read_long(f)
+            if n == 0:
+                return meta
+            if n < 0:
+                n = -n
+                read_long(f)
+            for _ in range(n):
+                k = read_bytes(f).decode("utf8")
+                meta[k] = read_bytes(f)
 
 
 def read_header(f: io.BufferedIOBase) -> tuple[dict, str, bytes]:

@@ -1,0 +1,974 @@
+"""Pure-Python Apache Iceberg v2 table layer (no iceberg-spark jar).
+
+Clean-room implementation from the public Iceberg Table Spec
+(https://iceberg.apache.org/spec/, format-version 2) over the
+pure-Python Avro codec in :mod:`metacrafter_spark.io.avro_codec`:
+
+- table metadata JSON (``metadata/vN.metadata.json`` + hadoop-catalog
+  ``version-hint.text``), schemas with field-ids, identity partition
+  specs, snapshot log;
+- manifest lists (``snap-*.avro``) with per-manifest ``field_summary``
+  partition bounds (Iceberg single-value binary serialization);
+- manifest files (``manifest-*.avro``) with v2 ``manifest_entry``
+  records (status ADDED/EXISTING/DELETED, inherited snapshot ids,
+  ``data_file`` structs with record counts + sizes).
+
+Division of labor is Spark-first and matches Iceberg's own planning
+model: metadata (KBs per snapshot) is resolved on the DRIVER —
+snapshot → manifest list → manifests → live file set, with
+manifest-level pruning from partition ``field_summary`` bounds and
+file-level pruning on partition values — and the surviving parquet
+paths feed one distributed ``spark.read.parquet`` scan.  At 100 TB the
+driver cost is O(#manifests + #files in surviving manifests), i.e. the
+same asymptotics as Iceberg's own ``planFiles``; the data path is pure
+distributed parquet with pushdown/pruning intact.
+
+Commits are atomic and optimistic exactly like the hadoop catalog:
+metadata is staged to a temp file and published with ``os.link`` (fails
+if the version exists → conflicting committer detected → reread +
+retry), so concurrent writers serialize on version numbers instead of
+corrupting the table.
+
+Reference parity note: the reference engine (apicrafter/metacrafter)
+has no table-format layer at all — files/DBs only (core.py scan
+commands); this module exists for the north rule's "over Iceberg
+tables" requirement.  The jar-backed ``IcebergTableIO``
+(corpus/resume.py) remains the production fast path when a real
+iceberg-spark runtime is on the classpath; this layer is the bundled,
+sandbox-runnable implementation of the same contract and doubles as a
+fixture generator whose files any real Iceberg reader should accept.
+
+Scope (documented honest boundary): identity partition transforms only
+(bucket/truncate/day/... raise), parquet data files, copy-on-write
+overwrite (no v2 delete files), single-table hadoop-style directories.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Iterable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from metacrafter_spark.io.avro_codec import read_ocf, write_ocf
+
+# manifest_entry.status (spec: Manifests)
+STATUS_EXISTING = 0
+STATUS_ADDED = 1
+STATUS_DELETED = 2
+
+_INITIAL_SPEC_ID = 0
+_PARTITION_FIELD_ID_START = 1000  # spec: partition field IDs start at 1000
+
+
+# ---------------------------------------------------------------- schema
+
+_SPARK_TO_ICEBERG = {
+    T.BooleanType: "boolean",
+    T.IntegerType: "int",
+    T.ShortType: "int",
+    T.ByteType: "int",
+    T.LongType: "long",
+    T.FloatType: "float",
+    T.DoubleType: "double",
+    T.StringType: "string",
+    T.BinaryType: "binary",
+    T.DateType: "date",
+    T.TimestampType: "timestamptz",
+    T.TimestampNTZType: "timestamp",
+}
+
+_ICEBERG_TO_SPARK = {
+    "boolean": T.BooleanType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "string": T.StringType(),
+    "binary": T.BinaryType(),
+    "date": T.DateType(),
+    "timestamptz": T.TimestampType(),
+    "timestamp": T.TimestampNTZType(),
+}
+
+
+def spark_schema_to_iceberg(schema: T.StructType) -> dict:
+    """Spark StructType → Iceberg schema JSON (field-ids assigned 1..N
+    in field order, the same rule Iceberg's schema conversion uses for
+    fresh tables)."""
+    fields = []
+    for i, f in enumerate(schema.fields, start=1):
+        ice_t = _spark_type_to_iceberg(f.dataType)
+        fields.append(
+            {
+                "id": i,
+                "name": f.name,
+                "required": not f.nullable,
+                "type": ice_t,
+            }
+        )
+    return {"type": "struct", "schema-id": 0, "fields": fields}
+
+
+def _spark_type_to_iceberg(dt: T.DataType) -> Any:
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision}, {dt.scale})"
+    for cls, name in _SPARK_TO_ICEBERG.items():
+        if isinstance(dt, cls):
+            return name
+    raise NotImplementedError(
+        f"Spark type {dt.simpleString()} has no Iceberg mapping in this "
+        "layer (nested/array/map columns: store as binary/string or use "
+        "the jar-backed IcebergTableIO)"
+    )
+
+
+def iceberg_schema_to_spark(schema: dict) -> T.StructType:
+    fields = []
+    for f in schema["fields"]:
+        t = f["type"]
+        if isinstance(t, str) and t.startswith("decimal"):
+            p, s = t[t.index("(") + 1 : t.index(")")].split(",")
+            spark_t: T.DataType = T.DecimalType(int(p), int(s))
+        elif isinstance(t, str) and t in _ICEBERG_TO_SPARK:
+            spark_t = _ICEBERG_TO_SPARK[t]
+        else:
+            raise NotImplementedError(f"Iceberg type {t!r} unsupported here")
+        fields.append(T.StructField(f["name"], spark_t, not f["required"]))
+    return T.StructType(fields)
+
+
+# ---------------------------------------- single-value binary serialization
+
+def single_value_serialize(ice_type: str, v: Any) -> Optional[bytes]:
+    """Iceberg 'Binary single-value serialization' (spec Appendix D) for
+    the types identity partitions use here.  Used for field_summary
+    lower/upper bounds."""
+    if v is None:
+        return None
+    if ice_type == "int":
+        return struct.pack("<i", int(v))
+    if ice_type == "long":
+        return struct.pack("<q", int(v))
+    if ice_type == "float":
+        return struct.pack("<f", float(v))
+    if ice_type == "double":
+        return struct.pack("<d", float(v))
+    if ice_type == "boolean":
+        return b"\x01" if v else b"\x00"
+    if ice_type == "string":
+        return str(v).encode("utf8")
+    if ice_type == "binary":
+        return bytes(v)
+    if ice_type == "date":  # days from epoch, 4-byte little-endian
+        import datetime as _dt
+
+        if isinstance(v, _dt.date):
+            v = (v - _dt.date(1970, 1, 1)).days
+        return struct.pack("<i", int(v))
+    raise NotImplementedError(f"single-value serialization for {ice_type!r}")
+
+
+def single_value_deserialize(ice_type: str, b: Optional[bytes]) -> Any:
+    if b is None:
+        return None
+    if ice_type == "int":
+        return struct.unpack("<i", b)[0]
+    if ice_type == "long":
+        return struct.unpack("<q", b)[0]
+    if ice_type == "float":
+        return struct.unpack("<f", b)[0]
+    if ice_type == "double":
+        return struct.unpack("<d", b)[0]
+    if ice_type == "boolean":
+        return b == b"\x01"
+    if ice_type == "string":
+        return b.decode("utf8")
+    if ice_type == "binary":
+        return bytes(b)
+    if ice_type == "date":
+        return struct.unpack("<i", b)[0]
+    raise NotImplementedError(f"single-value deserialization for {ice_type!r}")
+
+
+# ------------------------------------------------------------ avro schemas
+
+def _avro_type_for(ice_type: str, field_id: int) -> Any:
+    prim = {
+        "boolean": "boolean",
+        "int": "int",
+        "long": "long",
+        "float": "float",
+        "double": "double",
+        "string": "string",
+        "binary": "bytes",
+        "date": {"type": "int", "logicalType": "date"},
+    }
+    if ice_type in prim:
+        return prim[ice_type]
+    if ice_type in ("timestamp", "timestamptz"):
+        return {"type": "long", "logicalType": "timestamp-micros"}
+    if ice_type.startswith("decimal"):
+        # spec: decimals are fixed; for partition values we store the
+        # unscaled big-endian bytes
+        return "bytes"
+    raise NotImplementedError(f"avro mapping for iceberg type {ice_type!r}")
+
+
+def _partition_record_schema(spec_fields: list[dict], source_types: dict) -> dict:
+    """Avro record for data_file.partition (field name r102 per the
+    convention Iceberg's own Avro files use)."""
+    return {
+        "type": "record",
+        "name": "r102",
+        "fields": [
+            {
+                "name": pf["name"],
+                "type": ["null", _avro_type_for(source_types[pf["source-id"]],
+                                                pf["field-id"])],
+                "field-id": pf["field-id"],
+            }
+            for pf in spec_fields
+        ],
+    }
+
+
+def manifest_entry_schema(partition_schema: dict) -> dict:
+    """v2 manifest_entry Avro schema (spec: Manifests), field-ids from
+    the spec's column list."""
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {"name": "partition", "type": partition_schema, "field-id": 102},
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            {"name": "split_offsets",
+             "type": ["null", {"type": "array", "items": "long"}],
+             "field-id": 132},
+            {"name": "sort_order_id", "type": ["null", "int"], "field-id": 140},
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
+            {"name": "sequence_number", "type": ["null", "long"], "field-id": 3},
+            {"name": "file_sequence_number", "type": ["null", "long"],
+             "field-id": 4},
+            {"name": "data_file", "type": data_file, "field-id": 2},
+        ],
+    }
+
+
+MANIFEST_FILE_SCHEMA = {
+    # manifest list entries (spec: Manifest Lists), v2 field-ids
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        {"name": "partitions", "type": ["null", {
+            "type": "array",
+            "items": {
+                "type": "record",
+                "name": "field_summary",
+                "fields": [
+                    {"name": "contains_null", "type": "boolean",
+                     "field-id": 509},
+                    {"name": "contains_nan", "type": ["null", "boolean"],
+                     "field-id": 518},
+                    {"name": "lower_bound", "type": ["null", "bytes"],
+                     "field-id": 510},
+                    {"name": "upper_bound", "type": ["null", "bytes"],
+                     "field-id": 511},
+                ],
+            },
+        }], "field-id": 507},
+        {"name": "key_metadata", "type": ["null", "bytes"], "field-id": 519},
+    ],
+}
+
+
+# ------------------------------------------------------------------ table
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    sequence_number: int
+    timestamp_ms: int
+    manifest_list: str
+    operation: str
+    summary: dict = field(default_factory=dict)
+    parent_snapshot_id: Optional[int] = None
+
+    def to_json(self) -> dict:
+        d = {
+            "snapshot-id": self.snapshot_id,
+            "sequence-number": self.sequence_number,
+            "timestamp-ms": self.timestamp_ms,
+            "manifest-list": self.manifest_list,
+            "summary": {"operation": self.operation, **self.summary},
+            "schema-id": 0,
+        }
+        if self.parent_snapshot_id is not None:
+            d["parent-snapshot-id"] = self.parent_snapshot_id
+        return d
+
+    @staticmethod
+    def from_json(d: dict) -> "Snapshot":
+        summary = dict(d.get("summary", {}))
+        op = summary.pop("operation", "append")
+        return Snapshot(
+            snapshot_id=d["snapshot-id"],
+            sequence_number=d.get("sequence-number", 0),
+            timestamp_ms=d["timestamp-ms"],
+            manifest_list=d["manifest-list"],
+            operation=op,
+            summary=summary,
+            parent_snapshot_id=d.get("parent-snapshot-id"),
+        )
+
+
+class CommitConflict(Exception):
+    """Another writer published this metadata version first — reread and
+    retry (the hadoop-catalog optimistic-concurrency contract)."""
+
+
+class IcebergTable:
+    """A hadoop-catalog-style Iceberg v2 table rooted at ``location``."""
+
+    def __init__(self, location: str, metadata: dict, version: int):
+        self.location = location
+        self.metadata = metadata
+        self.version = version
+
+    # -------------------------------------------------------- lifecycle
+
+    @staticmethod
+    def create(
+        location: str,
+        schema: T.StructType,
+        *,
+        partition_by: Iterable[str] = (),
+        now_ms: Optional[int] = None,
+    ) -> "IcebergTable":
+        os.makedirs(os.path.join(location, "metadata"), exist_ok=False)
+        os.makedirs(os.path.join(location, "data"), exist_ok=True)
+        ice_schema = spark_schema_to_iceberg(schema)
+        by_name = {f["name"]: f for f in ice_schema["fields"]}
+        spec_fields = []
+        for i, col in enumerate(partition_by):
+            if col not in by_name:
+                raise ValueError(f"partition column {col!r} not in schema")
+            spec_fields.append(
+                {
+                    "name": col,
+                    "transform": "identity",
+                    "source-id": by_name[col]["id"],
+                    "field-id": _PARTITION_FIELD_ID_START + i,
+                }
+            )
+        metadata = {
+            "format-version": 2,
+            "table-uuid": str(uuid.uuid4()),
+            "location": location,
+            "last-sequence-number": 0,
+            "last-updated-ms": now_ms if now_ms is not None
+            else int(time.time() * 1000),
+            "last-column-id": len(ice_schema["fields"]),
+            "current-schema-id": 0,
+            "schemas": [ice_schema],
+            "default-spec-id": _INITIAL_SPEC_ID,
+            "partition-specs": [
+                {"spec-id": _INITIAL_SPEC_ID, "fields": spec_fields}
+            ],
+            "last-partition-id": (
+                spec_fields[-1]["field-id"] if spec_fields
+                else _PARTITION_FIELD_ID_START - 1
+            ),
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "current-snapshot-id": -1,
+            "snapshots": [],
+            "snapshot-log": [],
+            "metadata-log": [],
+            "properties": {},
+        }
+        t = IcebergTable(location, metadata, version=0)
+        t._publish_metadata(1)
+        return t
+
+    @staticmethod
+    def load(location: str) -> "IcebergTable":
+        hint = os.path.join(location, "metadata", "version-hint.text")
+        if os.path.exists(hint):
+            with open(hint) as f:
+                version = int(f.read().strip())
+        else:  # fall back to a listing (hint is advisory in hadoop tables)
+            versions = [
+                int(n[1 : -len(".metadata.json")])
+                for n in os.listdir(os.path.join(location, "metadata"))
+                if n.startswith("v") and n.endswith(".metadata.json")
+            ]
+            if not versions:
+                raise FileNotFoundError(f"no Iceberg metadata in {location}")
+            version = max(versions)
+        path = os.path.join(location, "metadata", f"v{version}.metadata.json")
+        with open(path) as f:
+            metadata = json.load(f)
+        if metadata.get("format-version") != 2:
+            raise NotImplementedError(
+                f"format-version {metadata.get('format-version')} (v2 only)"
+            )
+        return IcebergTable(location, metadata, version)
+
+    @staticmethod
+    def exists(location: str) -> bool:
+        meta = os.path.join(location, "metadata")
+        if not os.path.isdir(meta):
+            return False
+        if os.path.exists(os.path.join(meta, "version-hint.text")):
+            return True
+        return any(
+            n.startswith("v") and n.endswith(".metadata.json")
+            for n in os.listdir(meta)
+        )
+
+    # ------------------------------------------------------- properties
+
+    @property
+    def schema(self) -> dict:
+        sid = self.metadata["current-schema-id"]
+        return next(s for s in self.metadata["schemas"]
+                    if s.get("schema-id", 0) == sid)
+
+    @property
+    def spark_schema(self) -> T.StructType:
+        return iceberg_schema_to_spark(self.schema)
+
+    @property
+    def spec(self) -> dict:
+        sid = self.metadata["default-spec-id"]
+        return next(s for s in self.metadata["partition-specs"]
+                    if s["spec-id"] == sid)
+
+    @property
+    def partition_columns(self) -> list[str]:
+        for pf in self.spec["fields"]:
+            if pf["transform"] != "identity":
+                raise NotImplementedError(
+                    f"transform {pf['transform']!r} (identity only)"
+                )
+        return [pf["name"] for pf in self.spec["fields"]]
+
+    def _source_types(self) -> dict:
+        return {f["id"]: f["type"] for f in self.schema["fields"]}
+
+    @property
+    def snapshots(self) -> list[Snapshot]:
+        return [Snapshot.from_json(s) for s in self.metadata["snapshots"]]
+
+    @property
+    def current_snapshot(self) -> Optional[Snapshot]:
+        sid = self.metadata.get("current-snapshot-id", -1)
+        if sid in (-1, None):
+            return None
+        return next(s for s in self.snapshots if s.snapshot_id == sid)
+
+    # ----------------------------------------------------------- commit
+
+    def _publish_metadata(self, new_version: int) -> None:
+        """Atomic optimistic publish: stage → hard-link to the version
+        path (``link`` fails with EEXIST if a concurrent committer won)
+        → advance the hint.  Readers only ever see complete files."""
+        meta_dir = os.path.join(self.location, "metadata")
+        staged = os.path.join(meta_dir, f".staged-{uuid.uuid4().hex}.json")
+        target = os.path.join(meta_dir, f"v{new_version}.metadata.json")
+        with open(staged, "w") as f:
+            json.dump(self.metadata, f, indent=1)
+        try:
+            os.link(staged, target)
+        except FileExistsError as e:
+            raise CommitConflict(
+                f"version {new_version} already committed — reload and retry"
+            ) from e
+        finally:
+            os.unlink(staged)
+        hint = os.path.join(meta_dir, "version-hint.text")
+        hint_tmp = hint + f".{uuid.uuid4().hex}"
+        with open(hint_tmp, "w") as f:
+            f.write(str(new_version))
+        os.replace(hint_tmp, hint)  # atomic on POSIX
+        self.version = new_version
+
+    # ------------------------------------------------------ write paths
+
+    def _write_manifest(
+        self, entries: list[dict], snapshot_id: int, sequence_number: int
+    ) -> dict:
+        """Write one manifest avro; returns its manifest_file row
+        (including field_summary partition bounds for list-level
+        pruning)."""
+        src = self._source_types()
+        part_schema = _partition_record_schema(self.spec["fields"], src)
+        schema = manifest_entry_schema(part_schema)
+        name = f"manifest-{uuid.uuid4().hex}.avro"
+        path = os.path.join(self.location, "metadata", name)
+        meta_entries = {
+            "schema": json.dumps(self.schema),
+            "partition-spec": json.dumps(self.spec["fields"]),
+            "partition-spec-id": str(self.spec["spec-id"]),
+            "format-version": "2",
+            "content": "data",
+        }
+        write_ocf(path, schema, entries, extra_meta=meta_entries)
+
+        added = [e for e in entries if e["status"] == STATUS_ADDED]
+        existing = [e for e in entries if e["status"] == STATUS_EXISTING]
+        deleted = [e for e in entries if e["status"] == STATUS_DELETED]
+        summaries = []
+        for pf in self.spec["fields"]:
+            ice_t = src[pf["source-id"]]
+            vals = [
+                e["data_file"]["partition"].get(pf["name"])
+                for e in entries
+                if e["status"] != STATUS_DELETED
+            ]
+            non_null = [v for v in vals if v is not None]
+            summaries.append(
+                {
+                    "contains_null": any(v is None for v in vals),
+                    "contains_nan": None,
+                    "lower_bound": single_value_serialize(
+                        ice_t, min(non_null)) if non_null else None,
+                    "upper_bound": single_value_serialize(
+                        ice_t, max(non_null)) if non_null else None,
+                }
+            )
+        return {
+            "manifest_path": path,
+            "manifest_length": os.path.getsize(path),
+            "partition_spec_id": self.spec["spec-id"],
+            "content": 0,
+            "sequence_number": sequence_number,
+            "min_sequence_number": min(
+                (e["sequence_number"] for e in entries
+                 if e["sequence_number"] is not None),
+                default=sequence_number,
+            ),
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(added),
+            "existing_files_count": len(existing),
+            "deleted_files_count": len(deleted),
+            "added_rows_count": sum(
+                e["data_file"]["record_count"] for e in added),
+            "existing_rows_count": sum(
+                e["data_file"]["record_count"] for e in existing),
+            "deleted_rows_count": sum(
+                e["data_file"]["record_count"] for e in deleted),
+            "partitions": summaries if self.spec["fields"] else None,
+            "key_metadata": None,
+        }
+
+    def _commit_snapshot(
+        self,
+        manifest_files: list[dict],
+        *,
+        operation: str,
+        summary: dict,
+        now_ms: Optional[int],
+    ) -> Snapshot:
+        parent = self.current_snapshot
+        seq = self.metadata["last-sequence-number"] + 1
+        snap_id = (parent.snapshot_id + 1) if parent else 1
+        list_name = f"snap-{snap_id}-1-{uuid.uuid4().hex}.avro"
+        list_path = os.path.join(self.location, "metadata", list_name)
+        write_ocf(
+            list_path, MANIFEST_FILE_SCHEMA, manifest_files,
+            extra_meta={"format-version": "2",
+                        "snapshot-id": str(snap_id),
+                        "sequence-number": str(seq),
+                        "parent-snapshot-id": str(
+                            parent.snapshot_id if parent else "null")},
+        )
+        ts = now_ms if now_ms is not None else int(time.time() * 1000)
+        snap = Snapshot(
+            snapshot_id=snap_id,
+            sequence_number=seq,
+            timestamp_ms=ts,
+            manifest_list=list_path,
+            operation=operation,
+            summary=summary,
+            parent_snapshot_id=parent.snapshot_id if parent else None,
+        )
+        self.metadata["snapshots"].append(snap.to_json())
+        self.metadata["current-snapshot-id"] = snap_id
+        self.metadata["last-sequence-number"] = seq
+        self.metadata["last-updated-ms"] = ts
+        self.metadata["snapshot-log"].append(
+            {"timestamp-ms": ts, "snapshot-id": snap_id}
+        )
+        self._publish_metadata(self.version + 1)
+        return snap
+
+    # ---------------------------------------------------- file tracking
+
+    def _collect_data_files(self, root: str) -> list[dict]:
+        """Walk newly written parquet under ``root`` into data_file
+        structs — record counts come from parquet footers (pyarrow),
+        partition values from the hive-style directory names Spark's
+        ``partitionBy`` writes."""
+        import pyarrow.parquet as pq
+        from urllib.parse import unquote
+
+        src = self._source_types()
+        by_name = {f["name"]: src[f["id"]] for f in self.schema["fields"]}
+        part_cols = self.partition_columns
+        out = []
+        for dirpath, _dirs, files in os.walk(root):
+            rel = os.path.relpath(dirpath, root)
+            pvals: dict[str, Any] = {}
+            if rel != ".":
+                for piece in rel.split(os.sep):
+                    if "=" not in piece:
+                        continue
+                    k, v = piece.split("=", 1)
+                    v = unquote(v)
+                    pvals[k] = None if v == "__HIVE_DEFAULT_PARTITION__" \
+                        else _parse_partition_value(by_name[k], v)
+            for fn in sorted(files):
+                if not fn.endswith(".parquet"):
+                    continue
+                fpath = os.path.join(dirpath, fn)
+                meta = pq.ParquetFile(fpath).metadata
+                out.append(
+                    {
+                        "content": 0,
+                        "file_path": fpath,
+                        "file_format": "PARQUET",
+                        "partition": {c: pvals.get(c) for c in part_cols},
+                        "record_count": meta.num_rows,
+                        "file_size_in_bytes": os.path.getsize(fpath),
+                        "split_offsets": None,
+                        "sort_order_id": None,
+                    }
+                )
+        return out
+
+    def append(
+        self, df: DataFrame, *, now_ms: Optional[int] = None
+    ) -> Snapshot:
+        """New append snapshot: write parquet (partitioned by the spec's
+        identity columns), one new manifest for the added files, reuse
+        the parent's manifests untouched (Iceberg's fast-append)."""
+        added = self._write_data(df)
+        seq = self.metadata["last-sequence-number"] + 1
+        parent = self.current_snapshot
+        snap_id = (parent.snapshot_id + 1) if parent else 1
+        entries = [
+            {
+                "status": STATUS_ADDED,
+                "snapshot_id": snap_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": f,
+            }
+            for f in added
+        ]
+        manifests = []
+        if entries:
+            manifests.append(self._write_manifest(entries, snap_id, seq))
+        if parent:
+            manifests.extend(self._read_manifest_list(parent))
+        return self._commit_snapshot(
+            manifests,
+            operation="append",
+            summary={
+                "added-data-files": str(len(added)),
+                "added-records": str(
+                    sum(f["record_count"] for f in added)),
+            },
+            now_ms=now_ms,
+        )
+
+    def overwrite_partitions(
+        self, df: DataFrame, *, now_ms: Optional[int] = None
+    ) -> Snapshot:
+        """Dynamic-partition overwrite as one atomic snapshot: manifests
+        are rewritten to DELETE entries whose partition appears in
+        ``df``, and a new manifest adds the replacement files.  A replay
+        of the same buckets swaps partitions instead of duplicating —
+        the resume-path idempotency contract with real snapshot
+        isolation."""
+        part_cols = self.partition_columns
+        if not part_cols:
+            raise ValueError("overwrite_partitions needs a partitioned table")
+        added = self._write_data(df)
+        touched = {tuple(f["partition"][c] for c in part_cols) for f in added}
+        seq = self.metadata["last-sequence-number"] + 1
+        parent = self.current_snapshot
+        snap_id = (parent.snapshot_id + 1) if parent else 1
+
+        manifests: list[dict] = []
+        deleted_rows = 0
+        if parent:
+            for mf in self._read_manifest_list(parent):
+                entries = list(read_ocf(mf["manifest_path"]))
+                live = [e for e in entries if e["status"] != STATUS_DELETED]
+                keep, drop = [], []
+                for e in live:
+                    key = tuple(e["data_file"]["partition"].get(c)
+                                for c in part_cols)
+                    (drop if key in touched else keep).append(e)
+                if not drop:
+                    manifests.append(mf)  # untouched manifest rides along
+                    continue
+                deleted_rows += sum(
+                    e["data_file"]["record_count"] for e in drop)
+                rewritten = [
+                    {**e, "status": STATUS_EXISTING} for e in keep
+                ] + [
+                    {**e, "status": STATUS_DELETED, "snapshot_id": snap_id}
+                    for e in drop
+                ]
+                if rewritten:
+                    manifests.append(
+                        self._write_manifest(rewritten, snap_id, seq))
+        entries = [
+            {
+                "status": STATUS_ADDED,
+                "snapshot_id": snap_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": f,
+            }
+            for f in added
+        ]
+        if entries:
+            manifests.insert(0, self._write_manifest(entries, snap_id, seq))
+        return self._commit_snapshot(
+            manifests,
+            operation="overwrite",
+            summary={
+                "added-data-files": str(len(added)),
+                "deleted-records": str(deleted_rows),
+                "replace-partitions": "true",
+            },
+            now_ms=now_ms,
+        )
+
+    def _write_data(self, df: DataFrame) -> list[dict]:
+        """Distributed parquet write into a unique job directory under
+        data/ (no two snapshots ever share files), then footer-stat
+        collection.  The write itself is pure Spark — partitioned,
+        parallel, no driver data movement."""
+        job_dir = os.path.join(
+            self.location, "data", f"job-{uuid.uuid4().hex}")
+        part_cols = self.partition_columns
+        expected = self.spark_schema
+        got = {f.name for f in df.schema.fields}
+        want = {f.name for f in expected.fields}
+        if got != want:
+            raise ValueError(
+                f"dataframe columns {sorted(got)} != table columns "
+                f"{sorted(want)}"
+            )
+        w = df.select(*[f.name for f in expected.fields]).write
+        if part_cols:
+            w = w.partitionBy(*part_cols)
+        w.mode("errorifexists").parquet(job_dir)
+        return self._collect_data_files(job_dir)
+
+    # ------------------------------------------------------- read paths
+
+    def _read_manifest_list(self, snap: Snapshot) -> list[dict]:
+        return list(read_ocf(snap.manifest_list))
+
+    def plan_files(
+        self,
+        *,
+        snapshot_id: Optional[int] = None,
+        partition_filter: Optional[dict] = None,
+    ) -> list[dict]:
+        """Driver-side scan planning: snapshot → manifest list (pruned
+        on field_summary bounds) → manifests (pruned on partition
+        values) → live data_file structs.  Mirrors Iceberg planFiles."""
+        if snapshot_id is None:
+            snap = self.current_snapshot
+            if snap is None:
+                return []
+        else:
+            snap = next(
+                (s for s in self.snapshots if s.snapshot_id == snapshot_id),
+                None,
+            )
+            if snap is None:
+                raise ValueError(f"no snapshot {snapshot_id}")
+        src = self._source_types()
+        spec_fields = self.spec["fields"]
+        part_types = {pf["name"]: src[pf["source-id"]] for pf in spec_fields}
+        pf_idx = {pf["name"]: i for i, pf in enumerate(spec_fields)}
+
+        files = []
+        for mf in self._read_manifest_list(snap):
+            if partition_filter and mf.get("partitions"):
+                skip = False
+                for col, want in partition_filter.items():
+                    if col not in pf_idx:
+                        continue
+                    s = mf["partitions"][pf_idx[col]]
+                    lo = single_value_deserialize(
+                        part_types[col], s["lower_bound"])
+                    hi = single_value_deserialize(
+                        part_types[col], s["upper_bound"])
+                    if want is None:
+                        if not s["contains_null"]:
+                            skip = True
+                            break
+                    elif lo is not None and hi is not None and not (
+                            lo <= want <= hi):
+                        skip = True
+                        break
+                if skip:
+                    continue  # manifest pruned without opening it
+            for e in read_ocf(mf["manifest_path"]):
+                if e["status"] == STATUS_DELETED:
+                    continue
+                part = e["data_file"]["partition"]
+                if partition_filter and any(
+                    col in part and part[col] != want
+                    for col, want in partition_filter.items()
+                ):
+                    continue
+                files.append(e["data_file"])
+        return files
+
+    def read(
+        self,
+        spark: SparkSession,
+        *,
+        snapshot_id: Optional[int] = None,
+        partition_filter: Optional[dict] = None,
+    ) -> DataFrame:
+        """Distributed read of the (pruned) live file set.  Partition
+        values are not stored in the data files (spec: identity
+        partitions may omit them — Spark's partitionBy does), so they
+        are re-attached as literals per partition group, keeping the
+        scan whole-stage-codegen parquet."""
+        from pyspark.sql import functions as F
+        from functools import reduce
+
+        files = self.plan_files(
+            snapshot_id=snapshot_id, partition_filter=partition_filter)
+        schema = self.spark_schema
+        part_cols = self.partition_columns
+        data_cols = [f.name for f in schema.fields
+                     if f.name not in part_cols]
+        data_schema = T.StructType(
+            [f for f in schema.fields if f.name not in part_cols])
+        if not files:
+            return spark.createDataFrame(
+                [], T.StructType([T.StructField(f.name, f.dataType, True)
+                                  for f in schema.fields]))
+        groups: dict[tuple, list[str]] = {}
+        for f in files:
+            key = tuple(f["partition"].get(c) for c in part_cols)
+            groups.setdefault(key, []).append(f["file_path"])
+        parts = []
+        for key, paths in sorted(groups.items(),
+                                 key=lambda kv: str(kv[0])):
+            d = spark.read.schema(data_schema).parquet(*paths)
+            for c, v in zip(part_cols, key):
+                d = d.withColumn(
+                    c, F.lit(v).cast(dict(
+                        (f.name, f.dataType) for f in schema.fields)[c]))
+            parts.append(d.select(*[f.name for f in schema.fields]))
+        # Column order/types are re-applied via .to(); nullability
+        # follows Spark's file-scan convention (all columns nullable —
+        # forcing required flags would need an RDD round-trip, which is
+        # not worth it at scale; Iceberg's required-ness is enforced on
+        # the WRITE side by the schema check in _write_data).
+        read_schema = T.StructType(
+            [T.StructField(f.name, f.dataType, True)
+             for f in schema.fields])
+        return reduce(DataFrame.unionByName, parts).to(read_schema)
+
+
+class PyIcebergTableIO:
+    """``corpus.resume.TableIO`` contract over the pure-Python Iceberg
+    layer: every write is an atomic snapshot commit, so the resume
+    pipeline gets real snapshot isolation in-sandbox (the jar-backed
+    ``IcebergTableIO`` remains the cluster fast path).  ``path``
+    arguments are table directory locations; tables are created lazily
+    on first write with the frame's schema, partitioned by the
+    ``partition_by`` columns."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def exists(self, path: str) -> bool:
+        return IcebergTable.exists(path)
+
+    def read(self, path: str) -> Optional[DataFrame]:
+        if not self.exists(path):
+            return None
+        return IcebergTable.load(path).read(self.spark)
+
+    def _ensure(self, df: DataFrame, path: str,
+                partition_by: Optional[list]) -> IcebergTable:
+        if self.exists(path):
+            return IcebergTable.load(path)
+        return IcebergTable.create(
+            path, df.schema, partition_by=partition_by or ())
+
+    def append(self, df: DataFrame, path: str,
+               partition_by: Optional[list] = None):
+        self._ensure(df, path, partition_by).append(df)
+
+    def overwrite_partitions(self, df: DataFrame, path: str,
+                             partition_by: list):
+        t = self._ensure(df, path, partition_by)
+        if t.current_snapshot is None:
+            t.append(df)
+        else:
+            t.overwrite_partitions(df)
+
+
+def _parse_partition_value(ice_type: str, s: str) -> Any:
+    if ice_type == "int" or ice_type == "long":
+        return int(s)
+    if ice_type == "float" or ice_type == "double":
+        return float(s)
+    if ice_type == "boolean":
+        return s.lower() == "true"
+    if ice_type == "string":
+        return s
+    if ice_type == "date":
+        import datetime as _dt
+
+        return (_dt.date.fromisoformat(s) - _dt.date(1970, 1, 1)).days
+    raise NotImplementedError(
+        f"identity partition on iceberg type {ice_type!r}")

@@ -1,0 +1,267 @@
+"""Pure-Python Iceberg v2 layer (io/iceberg.py) — spec-shape metadata,
+snapshot commits, time travel, manifest/file pruning, atomic-commit
+conflicts, and the resume-path TableIO contract.
+
+No iceberg jar exists in this sandbox, so conformance is asserted
+against the public spec's shapes (v2 field names/ids in the Avro
+schemas, metadata JSON keys, single-value bound serialization) plus
+behavioral contracts (snapshot isolation, dynamic overwrite) — the
+honest boundary is documented in the module docstring."""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from metacrafter_spark.io.avro_codec import ocf_metadata, read_ocf
+from metacrafter_spark.io.iceberg import (
+    MANIFEST_FILE_SCHEMA,
+    CommitConflict,
+    IcebergTable,
+    PyIcebergTableIO,
+    STATUS_ADDED,
+    STATUS_DELETED,
+    STATUS_EXISTING,
+    single_value_deserialize,
+    single_value_serialize,
+)
+
+SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("bucket_id", T.LongType(), False),
+    T.StructField("text", T.StringType(), True),
+])
+
+
+def _docs(spark, lo, hi, tag="a"):
+    return spark.range(lo, hi).select(
+        F.concat(F.lit(f"https://{tag}.example.com/p"), F.col("id"))
+        .alias("url"),
+        (F.col("id") % 4).alias("bucket_id"),
+        F.concat(F.lit(f"body-{tag}-"), F.col("id")).alias("text"),
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    loc = str(tmp_path / "tbl")
+    t = IcebergTable.create(loc, SCHEMA, partition_by=["bucket_id"],
+                            now_ms=1_700_000_000_000)
+    return t
+
+
+def test_create_writes_v2_metadata(table):
+    hint = os.path.join(table.location, "metadata", "version-hint.text")
+    assert open(hint).read().strip() == "1"
+    meta = json.load(open(os.path.join(
+        table.location, "metadata", "v1.metadata.json")))
+    assert meta["format-version"] == 2
+    assert meta["current-snapshot-id"] == -1
+    [schema] = meta["schemas"]
+    assert [f["id"] for f in schema["fields"]] == [1, 2, 3]
+    [spec] = meta["partition-specs"]
+    assert spec["fields"] == [{"name": "bucket_id", "transform": "identity",
+                               "source-id": 2, "field-id": 1000}]
+
+
+def test_append_read_roundtrip(spark, table):
+    df = _docs(spark, 0, 100)
+    table.append(df, now_ms=1_700_000_001_000)
+    t2 = IcebergTable.load(table.location)
+    got = t2.read(spark)
+    # names+types round-trip; nullability follows Spark's file-scan
+    # convention (reads are nullable) — documented in IcebergTable.read
+    assert [(f.name, f.dataType) for f in got.schema.fields] == [
+        (f.name, f.dataType) for f in SCHEMA.fields]
+    assert got.count() == 100
+    a = sorted((r.url, r.bucket_id, r.text) for r in got.collect())
+    b = sorted((r.url, r.bucket_id, r.text) for r in df.collect())
+    assert a == b
+
+
+def test_manifest_shapes_match_spec(spark, table):
+    """The Avro files carry the v2 spec's field names and ids and the
+    manifest-list row totals agree with the data."""
+    table.append(_docs(spark, 0, 40))
+    snap = IcebergTable.load(table.location).current_snapshot
+    rows = list(read_ocf(snap.manifest_list))
+    assert sum(r["added_rows_count"] for r in rows) == 40
+    assert all(r["content"] == 0 for r in rows)
+    # v2 ids on the manifest-list schema
+    ids = {f["name"]: f["field-id"] for f in MANIFEST_FILE_SCHEMA["fields"]}
+    assert ids["manifest_path"] == 500 and ids["sequence_number"] == 515
+    # manifest entries: ADDED status, per-file record counts from footers
+    entries = [e for r in rows for e in read_ocf(r["manifest_path"])]
+    assert all(e["status"] == STATUS_ADDED for e in entries)
+    assert sum(e["data_file"]["record_count"] for e in entries) == 40
+    assert all(e["data_file"]["file_format"] == "PARQUET" for e in entries)
+    assert all(os.path.exists(e["data_file"]["file_path"]) for e in entries)
+    # manifest header metadata names the table schema + spec
+    hdr = ocf_metadata(rows[0]["manifest_path"])
+    assert json.loads(hdr["schema"])["type"] == "struct"
+    assert hdr["format-version"] == b"2"
+
+
+def test_second_append_fast_appends(spark, table):
+    """Fast-append: parent manifests ride along untouched; only one new
+    manifest is written per append."""
+    table.append(_docs(spark, 0, 20, tag="a"))
+    first = IcebergTable.load(table.location)
+    first_manifests = {r["manifest_path"]
+                       for r in read_ocf(first.current_snapshot.manifest_list)}
+    first.append(_docs(spark, 20, 50, tag="b"))
+    t = IcebergTable.load(table.location)
+    rows = list(read_ocf(t.current_snapshot.manifest_list))
+    assert first_manifests < {r["manifest_path"] for r in rows}
+    assert t.read(spark).count() == 50
+    assert t.current_snapshot.parent_snapshot_id == 1
+
+
+def test_time_travel(spark, table):
+    table.append(_docs(spark, 0, 30))
+    t = IcebergTable.load(table.location)
+    t.append(_docs(spark, 30, 75))
+    t = IcebergTable.load(table.location)
+    assert [s.snapshot_id for s in t.snapshots] == [1, 2]
+    assert t.read(spark, snapshot_id=1).count() == 30
+    assert t.read(spark, snapshot_id=2).count() == 75
+    assert t.read(spark).count() == 75
+
+
+def test_overwrite_partitions_swaps_atomically(spark, table):
+    """Dynamic overwrite: exactly the touched buckets are replaced, the
+    rest survive byte-identically; old snapshot still reads the old
+    data (snapshot isolation)."""
+    table.append(_docs(spark, 0, 100, tag="old"))
+    t = IcebergTable.load(table.location)
+    repl = _docs(spark, 0, 100, tag="new").filter(
+        F.col("bucket_id").isin(1, 3))
+    t.overwrite_partitions(repl)
+    t = IcebergTable.load(table.location)
+    cur = t.read(spark)
+    assert cur.count() == 100
+    got = {(r.bucket_id, r.text.split("-")[1]) for r in cur.collect()}
+    assert got == {(0, "old"), (2, "old"), (1, "new"), (3, "new")}
+    # time travel: snapshot 1 is still fully "old"
+    old = t.read(spark, snapshot_id=1)
+    assert {r.text.split("-")[1] for r in old.collect()} == {"old"}
+    # manifests carry DELETED tombstones for the swapped buckets
+    rows = list(read_ocf(t.current_snapshot.manifest_list))
+    st = [e["status"] for r in rows for e in read_ocf(r["manifest_path"])]
+    assert STATUS_DELETED in st and STATUS_ADDED in st
+    assert t.current_snapshot.operation == "overwrite"
+
+
+def test_replay_is_idempotent(spark, table):
+    """The resume contract: re-running the same bucket write overwrites
+    instead of appending — row counts stay flat."""
+    table.append(_docs(spark, 0, 80))
+    t = IcebergTable.load(table.location)
+    repl = _docs(spark, 0, 80, tag="r1").filter(F.col("bucket_id") == 2)
+    t.overwrite_partitions(repl)
+    t = IcebergTable.load(table.location)
+    t.overwrite_partitions(repl)  # replayed micro-batch / crashed retry
+    t = IcebergTable.load(table.location)
+    df = t.read(spark)
+    assert df.count() == 80
+    assert df.filter(F.col("bucket_id") == 2).count() == 20
+
+
+def test_partition_pruning_plan(spark, table):
+    """plan_files with an equality partition filter touches only the
+    matching files; manifest-level field_summary bounds prune whole
+    manifests without opening them."""
+    table.append(_docs(spark, 0, 200))
+    t = IcebergTable.load(table.location)
+    all_files = t.plan_files()
+    pruned = t.plan_files(partition_filter={"bucket_id": 1})
+    assert {f["partition"]["bucket_id"] for f in pruned} == {1}
+    assert len(pruned) < len(all_files)
+    got = t.read(spark, partition_filter={"bucket_id": 1})
+    assert got.count() == 50
+    assert {r.bucket_id for r in got.collect()} == {1}
+    # field_summary bounds round-trip through single-value serialization
+    rows = list(read_ocf(t.current_snapshot.manifest_list))
+    s = rows[0]["partitions"][0]
+    assert single_value_deserialize("long", s["lower_bound"]) == 0
+    assert single_value_deserialize("long", s["upper_bound"]) == 3
+
+
+def test_single_value_serialization_shapes():
+    """Spec Appendix D: little-endian fixed-width numerics, raw UTF-8
+    strings."""
+    assert single_value_serialize("long", 1) == b"\x01\x00\x00\x00\x00\x00\x00\x00"
+    assert single_value_serialize("int", -2) == b"\xfe\xff\xff\xff"
+    assert single_value_serialize("string", "héllo") == "héllo".encode("utf8")
+    assert single_value_deserialize("double",
+                                    single_value_serialize("double", 2.5)) == 2.5
+    assert single_value_serialize("boolean", True) == b"\x01"
+    assert single_value_serialize("long", None) is None
+
+
+def test_commit_conflict_detected(spark, table):
+    """Two writers loading the same version: the second commit must
+    raise CommitConflict, not clobber the first (os.link publish)."""
+    t1 = IcebergTable.load(table.location)
+    t2 = IcebergTable.load(table.location)
+    t1.append(_docs(spark, 0, 10))
+    with pytest.raises(CommitConflict):
+        t2.append(_docs(spark, 10, 20))
+    # the losing writer re-reads and retries cleanly
+    t2 = IcebergTable.load(table.location)
+    t2.append(_docs(spark, 10, 20))
+    assert IcebergTable.load(table.location).read(spark).count() == 20
+
+
+def test_unpartitioned_table(spark, tmp_path):
+    loc = str(tmp_path / "flat")
+    t = IcebergTable.create(loc, SCHEMA)
+    t.append(_docs(spark, 0, 25))
+    t = IcebergTable.load(loc)
+    assert t.read(spark).count() == 25
+    rows = list(read_ocf(t.current_snapshot.manifest_list))
+    assert all(r["partitions"] is None for r in rows)
+
+
+def test_identity_only_transform_gate(tmp_path):
+    loc = str(tmp_path / "tbl")
+    t = IcebergTable.create(loc, SCHEMA, partition_by=["bucket_id"])
+    t.metadata["partition-specs"][0]["fields"][0]["transform"] = "bucket[16]"
+    with pytest.raises(NotImplementedError, match="identity"):
+        _ = t.partition_columns
+
+
+def test_tableio_bridge_resume_flow(spark, tmp_path):
+    """run_with_resume over PyIcebergTableIO: crash-between-writes
+    replay converges to exactly-once output, same as the parquet
+    TableIO contract but with snapshot commits."""
+    from metacrafter_spark.corpus.resume import pending_input, run_with_resume
+
+    io_ = PyIcebergTableIO(spark)
+    out = str(tmp_path / "out_tbl")
+    met = str(tmp_path / "metrics_tbl")
+    df = _docs(spark, 0, 60).withColumn("kept", F.lit(True))
+    metrics = (df.groupBy("bucket_id")
+               .agg(F.count("*").alias("n_docs"))
+               .withColumn("completed", F.lit(True)))
+    # first run: only buckets 0/1 "complete" (simulated partial run)
+    part = df.filter(F.col("bucket_id") < 2)
+    run_with_resume(part, io_, out, met,
+                    metrics_df=metrics.filter(F.col("bucket_id") < 2))
+    pend = pending_input(df, io_, met)
+    assert set(r.bucket_id for r in pend.select("bucket_id")
+               .distinct().collect()) == {2, 3}
+    # resumed run writes the remainder (replaying bucket 1 too — must
+    # overwrite, not duplicate)
+    rest = df.filter(F.col("bucket_id") >= 1)
+    run_with_resume(rest, io_, out, met,
+                    metrics_df=metrics.filter(F.col("bucket_id") >= 1))
+    final = io_.read(out)
+    assert final.count() == 60
+    assert final.select("url").distinct().count() == 60
+    # both tables are real Iceberg tables with snapshot history
+    assert len(IcebergTable.load(out).snapshots) == 2
