@@ -93,8 +93,16 @@ def _head_bytes(path: str, n: int = 1 << 20) -> bytes:
     if path.endswith(".zst"):
         try:
             import zstandard
-        except ImportError as e:
-            raise NotImplementedError("zst head read needs zstandard") from e
+        except ImportError:
+            # round 5: clean-room RFC 8878 decoder (conformance vs
+            # pyarrow's bundled libzstd in tests) — the gate is gone.
+            # A bounded compressed prefix is plenty for a plaintext
+            # head; truncation mid-block just ends the head early.
+            from metacrafter_spark.io.zstd_codec import decompress
+
+            with open(path, "rb") as f:
+                prefix = f.read(max(4 * n, 1 << 23))
+            return decompress(prefix, max_out=n, allow_truncated=True)[:n]
         with open(path, "rb") as f:
             return zstandard.ZstdDecompressor().stream_reader(f).read(n)
     if path.endswith(".lz4"):

@@ -1,0 +1,660 @@
+"""Pure-Python Zstandard frame decoder (RFC 8878), decompression only.
+
+Clean-room implementation from the public spec
+(https://www.rfc-editor.org/rfc/rfc8878): frame header parsing,
+raw/RLE/compressed blocks, literals in all four forms (raw, RLE,
+Huffman 1-stream and 4-stream, treeless reuse), Huffman table
+descriptions (direct 4-bit weights and FSE-compressed weights with two
+interleaved states), FSE table descriptions + the three predefined
+sequence distributions, backward bitstreams, sequence execution with
+the three repeat offsets (including the literals-length-0 index shift
+and the rep1−1 special case), skippable frames, multi-frame input, and
+xxh64 content-checksum verification.
+
+Closes the ``.zst`` head-read gate in io/sources.py the same way the
+LZ4/Snappy decoders closed theirs (io/lz4_snappy.py): scan-time head
+sniffs run on the driver over bounded prefixes, so a pure-Python
+decoder is plenty — ``max_out`` stops decoding once enough plaintext
+is produced.  Conformance is tested against pyarrow's bundled libzstd
+encoder (an independent C implementation) across levels and payload
+shapes, and the xxh64 primitive against Spark's independent JVM
+xxhash64.
+
+Out of scope (honest gates): dictionary-compressed frames (dict-ID
+raises), window sizes beyond the buffer-backed decode (irrelevant
+here — output is fully buffered).
+"""
+
+from __future__ import annotations
+
+import struct
+
+ZSTD_MAGIC = 0xFD2FB528
+SKIPPABLE_MAGIC_MIN = 0x184D2A50
+SKIPPABLE_MAGIC_MAX = 0x184D2A5F
+
+
+class ZstdError(ValueError):
+    pass
+
+
+# ------------------------------------------------------------------ xxh64
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _round(acc: int, inp: int) -> int:
+    acc = (acc + inp * _P2) & _M64
+    return (_rotl(acc, 31) * _P1) & _M64
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    """XXH64 (public xxHash spec) — used for zstd content checksums and
+    cross-checked against Spark's JVM xxhash64 in tests."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P1) & _M64
+        while i + 32 <= n:
+            x1, x2, x3, x4 = struct.unpack_from("<QQQQ", data, i)
+            v1 = _round(v1, x1)
+            v2 = _round(v2, x2)
+            v3 = _round(v3, x3)
+            v4 = _round(v4, x4)
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ _round(0, v)) * _P1 + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        (k,) = struct.unpack_from("<Q", data, i)
+        h = ((_rotl(h ^ _round(0, k), 27) * _P1) + _P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        (k,) = struct.unpack_from("<I", data, i)
+        h = ((_rotl(h ^ ((k * _P1) & _M64), 23) * _P2) + _P3) & _M64
+        i += 4
+    while i < n:
+        h = (_rotl(h ^ ((data[i] * _P5) & _M64), 11) * _P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+# ------------------------------------------------- backward bitstream
+
+class _BackBits:
+    """Backward bitstream (spec §3.1.1.2): bytes are consumed from the
+    end; the last byte's highest set bit is a padding sentinel.  Bit i
+    of the conceptual stream is bit (i mod 8), LSB-first, of byte
+    (i div 8); reads return the n bits just below the cursor."""
+
+    __slots__ = ("data", "offset")
+
+    def __init__(self, data: bytes):
+        if not data or data[-1] == 0:
+            raise ZstdError("corrupt backward bitstream (no sentinel)")
+        self.data = data
+        self.offset = 8 * (len(data) - 1) + data[-1].bit_length() - 1
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        off = self.offset - n
+        if off < 0:
+            raise ZstdError("backward bitstream exhausted")
+        self.offset = off
+        b = self.data[off >> 3 : (off + n + 7) >> 3]
+        return (int.from_bytes(b, "little") >> (off & 7)) & ((1 << n) - 1)
+
+    def read_padded(self, n: int) -> int:
+        """Like read(), but allows the final read to dip below bit 0
+        with zero-fill — Huffman/FSE stream ends land mid-width."""
+        off = self.offset - n
+        if off >= 0:
+            return self.read(n)
+        got = self.offset
+        if got <= 0:
+            self.offset = off
+            return 0
+        val = self.read(got)
+        self.offset = off  # goes negative: marks exhaustion
+        return (val << (n - got)) & ((1 << n) - 1)
+
+
+# ------------------------------------------------------------- FSE
+
+class _FseTable:
+    __slots__ = ("accuracy", "symbols", "nbits", "base")
+
+    def __init__(self, accuracy: int, probs: list[int]):
+        """Build the decoding table from normalized probabilities
+        (−1 = less-than-one).  Spec §4.1.1."""
+        size = 1 << accuracy
+        self.accuracy = accuracy
+        self.symbols = [0] * size
+        self.nbits = [0] * size
+        self.base = [0] * size
+        symbol_next = [0] * len(probs)
+        high = size - 1
+        for s, p in enumerate(probs):
+            if p == -1:
+                self.symbols[high] = s
+                high -= 1
+                symbol_next[s] = 1
+            else:
+                symbol_next[s] = p
+        step = (size >> 1) + (size >> 3) + 3
+        mask = size - 1
+        pos = 0
+        for s, p in enumerate(probs):
+            if p <= 0:
+                continue
+            for _ in range(p):
+                self.symbols[pos] = s
+                pos = (pos + step) & mask
+                while pos > high:
+                    pos = (pos + step) & mask
+        if pos != 0:
+            raise ZstdError("corrupt FSE table (spread did not close)")
+        for i in range(size):
+            s = self.symbols[i]
+            x = symbol_next[s]
+            symbol_next[s] = x + 1
+            nb = accuracy - (x.bit_length() - 1)
+            self.nbits[i] = nb
+            self.base[i] = (x << nb) - size
+
+
+def _read_fse_table(data: bytes, pos: int, max_symbol: int,
+                    max_accuracy: int) -> tuple[_FseTable, int]:
+    """Parse an FSE table description (forward bitstream, LSB-first).
+    Returns (table, new_pos)."""
+    bitpos = 0
+
+    def read(n):
+        nonlocal bitpos
+        start = pos + (bitpos >> 3)
+        b = data[start : start + ((bitpos & 7) + n + 7) // 8 + 1]
+        v = (int.from_bytes(b, "little") >> (bitpos & 7)) & ((1 << n) - 1)
+        bitpos += n
+        return v
+
+    accuracy = read(4) + 5
+    if accuracy > max_accuracy:
+        raise ZstdError(f"FSE accuracy {accuracy} > {max_accuracy}")
+    remaining = (1 << accuracy) + 1  # spec: running total starts at 2^AL+1
+    probs: list[int] = []
+    while remaining > 1 and len(probs) <= max_symbol:
+        bits = remaining.bit_length()
+        val = read(bits)
+        lower_mask = (1 << (bits - 1)) - 1
+        threshold = (1 << bits) - 1 - remaining
+        if (val & lower_mask) < threshold:
+            bitpos -= 1  # small value: only bits-1 bits were needed
+            val &= lower_mask
+        elif val > lower_mask:
+            val -= threshold
+        proba = val - 1
+        remaining -= -proba if proba < 0 else proba
+        probs.append(proba)
+        if proba == 0:
+            while True:
+                rep = read(2)
+                probs.extend([0] * rep)
+                if rep != 3:
+                    break
+    if remaining != 1:
+        raise ZstdError("corrupt FSE table (probabilities do not sum)")
+    return _FseTable(accuracy, probs), pos + (bitpos + 7) // 8
+
+
+# predefined sequence distributions (spec §3.1.1.3.2.2)
+_LL_DEFAULT = _FseTable(6, [
+    4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1,
+    2, 2, 2, 2, 2, 2, 2, 2, 2, 3, 2, 1, 1, 1, 1, 1,
+    -1, -1, -1, -1,
+])
+_ML_DEFAULT = _FseTable(6, [
+    1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1, -1,
+    -1, -1, -1, -1, -1,
+])
+_OF_DEFAULT = _FseTable(5, [
+    1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1,
+])
+
+# literals-length code → (baseline, extra bits) (spec §3.1.1.3.2.1.1)
+_LL_BASE = list(range(16)) + [
+    16, 18, 20, 22, 24, 28, 32, 40, 48, 64, 128, 256, 512, 1024, 2048,
+    4096, 8192, 16384, 32768, 65536,
+]
+_LL_BITS = [0] * 16 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10, 11,
+                       12, 13, 14, 15, 16]
+# match-length code → (baseline, extra bits)
+_ML_BASE = list(range(3, 35)) + [
+    35, 37, 39, 41, 43, 47, 51, 59, 67, 83, 99, 131, 259, 515, 1027,
+    2051, 4099, 8195, 16387, 32771, 65539,
+]
+_ML_BITS = [0] * 32 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10,
+                       11, 12, 13, 14, 15, 16]
+
+
+# --------------------------------------------------------------- Huffman
+
+class _HufTable:
+    __slots__ = ("max_bits", "symbols", "nbits")
+
+    def __init__(self, weights: list[int]):
+        """Canonical Huffman from weights; the last symbol's weight is
+        implied (spec §4.2.1)."""
+        total = sum((1 << (w - 1)) for w in weights if w > 0)
+        if total == 0:
+            raise ZstdError("empty Huffman weights")
+        # implied last weight completes the smallest power of two
+        # STRICTLY greater than the explicit total (spec §4.2.1.1)
+        table_size = 1 << total.bit_length()
+        left = table_size - total
+        if left & (left - 1):
+            raise ZstdError("corrupt Huffman weights (remainder not 2^k)")
+        weights = weights + [left.bit_length()]
+        max_bits = table_size.bit_length() - 1
+        if max_bits > 11:
+            raise ZstdError("Huffman max bits > 11")
+        self.max_bits = max_bits
+        self.symbols = [0] * table_size
+        self.nbits = [0] * table_size
+        # fill by increasing weight; same weight in natural symbol order
+        rank_count = [0] * (max_bits + 2)
+        for w in weights:
+            if w > 0:
+                rank_count[w] += 1
+        start = [0] * (max_bits + 2)
+        cur = 0
+        for w in range(1, max_bits + 2):
+            start[w] = cur
+            cur += rank_count[w] << (w - 1)
+        for s, w in enumerate(weights):
+            if w == 0:
+                continue
+            n = 1 << (w - 1)
+            p = start[w]
+            nb = max_bits + 1 - w
+            for i in range(p, p + n):
+                self.symbols[i] = s
+                self.nbits[i] = nb
+            start[w] = p + n
+
+    def decode_stream(self, bits: _BackBits, out: bytearray, n: int) -> None:
+        mb = self.max_bits
+        symbols = self.symbols
+        nbits = self.nbits
+        for _ in range(n):
+            state = bits.read_padded(mb)
+            out.append(symbols[state])
+            bits.offset += mb - nbits[state]  # consume only nbits
+
+
+def _read_huf_weights(data: bytes, pos: int) -> tuple[_HufTable, int]:
+    hbyte = data[pos]
+    pos += 1
+    if hbyte >= 128:  # direct: 4-bit pairs
+        n = hbyte - 127
+        nbytes = (n + 1) // 2
+        raw = data[pos : pos + nbytes]
+        weights = []
+        for i in range(n):
+            b = raw[i // 2]
+            weights.append((b >> 4) if i % 2 == 0 else (b & 0xF))
+        return _HufTable(weights), pos + nbytes
+    # FSE-compressed weights: two interleaved states (spec §4.2.1.2)
+    comp = data[pos : pos + hbyte]
+    table, tpos = _read_fse_table(comp, 0, max_symbol=255, max_accuracy=6)
+    bits = _BackBits(comp[tpos:])
+    acc = table.accuracy
+    s1 = bits.read(acc)
+    s2 = bits.read(acc)
+    weights: list[int] = []
+    # two interleaved states; when one state's update exhausts the
+    # stream, the OTHER state flushes its symbol and decoding stops
+    # (spec §4.2.1.2)
+    while len(weights) < 255:
+        weights.append(table.symbols[s1])
+        s1 = table.base[s1] + bits.read_padded(table.nbits[s1])
+        if bits.offset < 0:
+            weights.append(table.symbols[s2])
+            break
+        weights.append(table.symbols[s2])
+        s2 = table.base[s2] + bits.read_padded(table.nbits[s2])
+        if bits.offset < 0:
+            weights.append(table.symbols[s1])
+            break
+    else:
+        raise ZstdError("runaway Huffman weight stream")
+    return _HufTable(weights), pos + hbyte
+
+
+# --------------------------------------------------------------- literals
+
+def _decode_literals(block: bytes, pos: int, ctx: dict) -> tuple[bytes, int]:
+    b0 = block[pos]
+    ltype = b0 & 3
+    sf = (b0 >> 2) & 3
+    if ltype in (0, 1):  # Raw / RLE
+        if sf & 1 == 0:
+            regen = b0 >> 3
+            pos += 1
+        elif sf == 1:
+            regen = (b0 >> 4) | (block[pos + 1] << 4)
+            pos += 2
+        else:  # sf == 3
+            regen = (b0 >> 4) | (block[pos + 1] << 4) | (block[pos + 2] << 12)
+            pos += 3
+        if ltype == 0:
+            return bytes(block[pos : pos + regen]), pos + regen
+        return bytes([block[pos]]) * regen, pos + 1
+    # Compressed (2) / Treeless (3)
+    if sf == 0:
+        h = int.from_bytes(block[pos : pos + 3], "little")
+        regen = (h >> 4) & 0x3FF
+        comp = (h >> 14) & 0x3FF
+        pos += 3
+        streams = 1
+    elif sf == 1:
+        h = int.from_bytes(block[pos : pos + 3], "little")
+        regen = (h >> 4) & 0x3FF
+        comp = (h >> 14) & 0x3FF
+        pos += 3
+        streams = 4
+    elif sf == 2:
+        h = int.from_bytes(block[pos : pos + 4], "little")
+        regen = (h >> 4) & 0x3FFF
+        comp = (h >> 18) & 0x3FFF
+        pos += 4
+        streams = 4
+    else:
+        h = int.from_bytes(block[pos : pos + 5], "little")
+        regen = (h >> 4) & 0x3FFFF
+        comp = (h >> 22) & 0x3FFFF
+        pos += 5
+        streams = 4
+    section = block[pos : pos + comp]
+    pos += comp
+    spos = 0
+    if ltype == 2:
+        huf, spos = _read_huf_weights(section, 0)
+        ctx["huf"] = huf
+    else:
+        huf = ctx.get("huf")
+        if huf is None:
+            raise ZstdError("treeless literals with no previous table")
+    out = bytearray()
+    if streams == 1:
+        huf.decode_stream(_BackBits(section[spos:]), out, regen)
+    else:
+        s1, s2, s3 = struct.unpack_from("<HHH", section, spos)
+        spos += 6
+        body = section[spos:]
+        per = (regen + 3) // 4
+        sizes = [s1, s2, s3, len(body) - s1 - s2 - s3]
+        counts = [per, per, per, regen - 3 * per]
+        off = 0
+        for sz, cnt in zip(sizes, counts):
+            huf.decode_stream(_BackBits(body[off : off + sz]), out, cnt)
+            off += sz
+    if len(out) != regen:
+        raise ZstdError("literals length mismatch")
+    return bytes(out), pos
+
+
+# -------------------------------------------------------------- sequences
+
+def _seq_table(block: bytes, pos: int, mode: int, default: _FseTable,
+               max_symbol: int, max_acc: int, ctx: dict, key: str,
+               ) -> tuple[object, int]:
+    """Returns (table-or-rle-symbol, new_pos) per the compression mode."""
+    if mode == 0:
+        ctx[key] = default
+        return default, pos
+    if mode == 1:  # RLE: one symbol, zero bits per update
+        sym = block[pos]
+        ctx[key] = ("rle", sym)
+        return ("rle", sym), pos + 1
+    if mode == 2:
+        table, pos = _read_fse_table(block, pos, max_symbol, max_acc)
+        ctx[key] = table
+        return table, pos
+    prev = ctx.get(key)
+    if prev is None:
+        raise ZstdError("repeat mode with no previous table")
+    return prev, pos
+
+
+class _SeqState:
+    __slots__ = ("table", "state", "rle")
+
+    def __init__(self, table, bits: _BackBits):
+        if isinstance(table, tuple):  # RLE
+            self.rle = table[1]
+            self.table = None
+            self.state = 0
+        else:
+            self.rle = None
+            self.table = table
+            self.state = bits.read(table.accuracy)
+
+    @property
+    def symbol(self) -> int:
+        if self.rle is not None:
+            return self.rle
+        return self.table.symbols[self.state]
+
+    def update(self, bits: _BackBits) -> None:
+        if self.rle is not None:
+            return
+        t = self.table
+        self.state = t.base[self.state] + bits.read(t.nbits[self.state])
+
+
+def _decode_block(block: bytes, out: bytearray, ctx: dict) -> None:
+    literals, pos = _decode_literals(block, 0, ctx)
+    # sequences header
+    n0 = block[pos]
+    pos += 1
+    if n0 == 0:
+        out.extend(literals)
+        return
+    if n0 < 128:
+        nseq = n0
+    elif n0 < 255:
+        nseq = ((n0 - 128) << 8) + block[pos]
+        pos += 1
+    else:
+        nseq = block[pos] | (block[pos + 1] << 8)
+        nseq += 0x7F00
+        pos += 2
+    modes = block[pos]
+    pos += 1
+    ll_mode = (modes >> 6) & 3
+    of_mode = (modes >> 4) & 3
+    ml_mode = (modes >> 2) & 3
+    ll_t, pos = _seq_table(block, pos, ll_mode, _LL_DEFAULT, 35, 9,
+                           ctx, "ll")
+    of_t, pos = _seq_table(block, pos, of_mode, _OF_DEFAULT, 31, 8,
+                           ctx, "of")
+    ml_t, pos = _seq_table(block, pos, ml_mode, _ML_DEFAULT, 52, 9,
+                           ctx, "ml")
+    bits = _BackBits(block[pos:])
+    # init order: literals, offsets, match (spec §3.1.1.3.2.1.2)
+    ll_s = _SeqState(ll_t, bits)
+    of_s = _SeqState(of_t, bits)
+    ml_s = _SeqState(ml_t, bits)
+    rep = ctx.setdefault("rep", [1, 4, 8])
+    lit_pos = 0
+    for i in range(nseq):
+        of_code = of_s.symbol
+        if of_code > 31:
+            raise ZstdError("offset code too large")
+        offset_val = (1 << of_code) + bits.read(of_code)
+        ml_code = ml_s.symbol
+        ml = _ML_BASE[ml_code] + bits.read(_ML_BITS[ml_code])
+        ll_code = ll_s.symbol
+        ll = _LL_BASE[ll_code] + bits.read(_LL_BITS[ll_code])
+        # resolve repeat offsets (spec §3.1.1.3.2.1.5)
+        if offset_val > 3:
+            offset = offset_val - 3
+            rep[2] = rep[1]
+            rep[1] = rep[0]
+            rep[0] = offset
+        else:
+            idx = offset_val - 1
+            if ll == 0:
+                idx += 1
+            if idx == 0:
+                offset = rep[0]
+            elif idx == 1:
+                offset = rep[1]
+                rep[1] = rep[0]
+                rep[0] = offset
+            elif idx == 2:
+                offset = rep[2]
+                rep[2] = rep[1]
+                rep[1] = rep[0]
+                rep[0] = offset
+            else:  # idx == 3: only via ll == 0 and offset_val == 3
+                offset = rep[0] - 1
+                if offset == 0:
+                    raise ZstdError("zero repeat offset")
+                rep[2] = rep[1]
+                rep[1] = rep[0]
+                rep[0] = offset
+        out.extend(literals[lit_pos : lit_pos + ll])
+        lit_pos += ll
+        if offset > len(out):
+            raise ZstdError("match offset beyond window")
+        if offset >= ml:
+            start = len(out) - offset
+            out.extend(out[start : start + ml])
+        else:  # overlapping copy: repeat the tail
+            for _ in range(ml):
+                out.append(out[-offset])
+        if i < nseq - 1:
+            ll_s.update(bits)
+            ml_s.update(bits)
+            of_s.update(bits)
+    out.extend(literals[lit_pos:])
+    ctx["rep"] = rep
+
+
+# ----------------------------------------------------------------- frames
+
+def decompress(data: bytes, max_out: int | None = None, *,
+               allow_truncated: bool = False) -> bytes:
+    """Decode all zstd frames in ``data`` (skippable frames skipped).
+    ``max_out`` stops after at least that many output bytes exist —
+    the head-read contract (callers slice).  ``allow_truncated``
+    returns whatever decoded cleanly when ``data`` is a bounded prefix
+    of a larger file (head sniffing reads a compressed prefix instead
+    of the whole object)."""
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    try:
+        while pos < n and (max_out is None or len(out) < max_out):
+            if n - pos < 4:
+                break
+            magic = int.from_bytes(data[pos : pos + 4], "little")
+            pos += 4
+            if SKIPPABLE_MAGIC_MIN <= magic <= SKIPPABLE_MAGIC_MAX:
+                size = int.from_bytes(data[pos : pos + 4], "little")
+                pos += 4 + size
+                continue
+            if magic != ZSTD_MAGIC:
+                raise ZstdError(f"bad magic {magic:#x}")
+            pos = _decompress_frame(data, pos, out, max_out)
+    except (ZstdError, IndexError, struct.error):
+        if not (allow_truncated and out):
+            raise
+    return bytes(out)
+
+
+def _decompress_frame(data: bytes, pos: int, out: bytearray,
+                      max_out: int | None) -> int:
+    fhd = data[pos]
+    pos += 1
+    dict_id_flag = fhd & 3
+    content_checksum = (fhd >> 2) & 1
+    single_segment = (fhd >> 5) & 1
+    fcs_flag = fhd >> 6
+    if not single_segment:
+        pos += 1  # window descriptor — output is fully buffered here
+    if dict_id_flag:
+        raise NotImplementedError(
+            "dictionary-compressed zstd frames are not supported "
+            "(train-free scan path; use the zstandard package for "
+            "dictionary corpora)"
+        )
+    fcs_len = {0: 1 if single_segment else 0, 1: 2, 2: 4, 3: 8}[fcs_flag]
+    content_size = None
+    if fcs_len:
+        content_size = int.from_bytes(data[pos : pos + fcs_len], "little")
+        if fcs_len == 2:
+            content_size += 256
+        pos += fcs_len
+    ctx: dict = {}
+    frame_start = len(out)
+    while True:
+        bh = int.from_bytes(data[pos : pos + 3], "little")
+        pos += 3
+        last = bh & 1
+        btype = (bh >> 1) & 3
+        bsize = bh >> 3
+        if btype == 0:  # raw
+            out.extend(data[pos : pos + bsize])
+            pos += bsize
+        elif btype == 1:  # RLE
+            out.extend(data[pos : pos + 1] * bsize)
+            pos += 1
+        elif btype == 2:
+            _decode_block(data[pos : pos + bsize], out, ctx)
+            pos += bsize
+        else:
+            raise ZstdError("reserved block type")
+        if last:
+            break
+        if max_out is not None and len(out) >= max_out:
+            # caller only needs a head: skip the rest of this frame by
+            # giving up on checksum/total-size verification
+            return len(data)
+    if content_size is not None and len(out) - frame_start != content_size:
+        raise ZstdError(
+            f"frame content size mismatch: {len(out) - frame_start} "
+            f"!= {content_size}"
+        )
+    if content_checksum:
+        (want,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        got = xxh64(bytes(out[frame_start:])) & 0xFFFFFFFF
+        if got != want:
+            raise ZstdError("content checksum mismatch")
+    return pos
