@@ -369,6 +369,426 @@ def q_tpch_q19(spark, sf_dir):
     )
 
 
+def _dec(col: str):
+    return F.col(col).cast("decimal(18,4)")
+
+
+def _dec_one():
+    return F.lit(1).cast("decimal(18,4)")
+
+
+def q_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 shape (minimum-cost supplier; adapted — the driver
+    schema has no partsupp, so lineitem's observed unit prices stand in
+    for ps_supplycost): the correlated MIN subquery becomes a window
+    min over the regional price list — one shuffle on partkey instead
+    of a per-row re-scan; dims (region→nation→supplier) broadcast; the
+    part filter lands BEFORE the window so only relevant parts shuffle."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n = _t(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "SMALL")
+    ).select("p_partkey", "p_name")
+    price = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey",
+                (F.col("l_extendedprice") / F.col("l_quantity")).alias("uc"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("uc").alias("unit_cost"))
+    )
+    regional = price.join(F.broadcast(s),
+                          F.col("l_suppkey") == F.col("s_suppkey"))
+    w = Window.partitionBy("l_partkey")
+    return (
+        regional.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("min_uc", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("min_uc"))
+        .select(F.round("s_acctbal", 2).alias("s_acctbal"), "s_name",
+                "n_name", "p_partkey", "p_name",
+                F.round("unit_cost", 4).alias("unit_cost"))
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(20)
+    )
+
+
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping between two nations): the
+    nation-pair disjunction is applied AFTER both broadcast nation
+    lookups so the planner keeps the OR across sides; facts shuffle on
+    their join keys only; per-year revenue decimal-exact."""
+    nn = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2"))
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nn), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cu = _t(spark, sf_dir, "customer").join(
+        F.broadcast(nn), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate",
+             "l_extendedprice", "l_discount")
+    pair = (
+        ((F.col("supp_nation") == "NATION_1")
+         & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2")
+           & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(_dec("l_extendedprice")
+                           * (_dec_one() - _dec("l_discount")))
+                     .cast("double"), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): eight-table join — the
+    customer side resolves region membership, the supplier side tags
+    the competing nation; the share is a conditional decimal sum over
+    the same decimal total, converted to double once."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = _t(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation"))
+    cu = _t(spark, sf_dir, "customer").join(
+        F.broadcast(n1), F.col("c_nationkey") == F.col("cn_key")
+    ).select("c_custkey")
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n2), F.col("s_nationkey") == F.col("sn_key")
+    ).select("s_suppkey", "nation")
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY").select("p_partkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount")
+    vol = _dec("l_extendedprice") * (_dec_one() - _dec("l_discount"))
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(
+            F.sum(F.when(F.col("nation") == "NATION_5", vol).otherwise(zero))
+            .cast("double")
+            / F.sum(vol).cast("double"), 4).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+def q_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit; p_retailprice stands in for
+    the absent ps_supplycost at a 1% cost ratio): name-filtered part and
+    the supplier→nation dim broadcast; profit decimal-exact per
+    (nation, year)."""
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")).select("p_partkey", "p_retailprice")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey",
+                                           F.col("n_name").alias("nation"))
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "nation")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount")
+    amount = (
+        _dec("l_extendedprice") * (_dec_one() - _dec("l_discount"))
+        - _dec("p_retailprice")
+        * (F.col("l_quantity") / F.lit(100)).cast("decimal(18,4)")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(amount).cast("double"), 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q_tpch_q11(spark, sf_dir):
+    """TPC-H Q11 shape (important stock): per-part value for one
+    nation's suppliers, kept only above a fraction of the GLOBAL total —
+    the scalar total rides a broadcast cross join (one row), so the
+    HAVING never re-aggregates."""
+    nn = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nn), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    val = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"),
+              "left_semi")
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(F.sum(_dec("l_extendedprice") * _dec("l_quantity"))
+             .alias("value_dec"))
+    )
+    total = val.agg(
+        (F.sum("value_dec").cast("double") * F.lit(0.002)).alias("cutoff"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("value_dec").cast("double") > F.col("cutoff"))
+        .select("ps_partkey",
+                F.round(F.col("value_dec").cast("double"), 2).alias("value"))
+        .orderBy(F.desc("value"), "ps_partkey")
+    )
+
+
+def q_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 shape (late shipments by class; l_returnflag stands in
+    for the absent l_shipmode, ship-vs-order-date lateness for the
+    commit/receipt pair): one fact-fact join, conditional counts as
+    CASE sums — no second pass over the join."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    ).select("l_orderkey", "l_shipdate", "l_returnflag")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"))
+        .orderBy("ship_class")
+    )
+
+
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    join with the extra non-key predicate INSIDE the join condition (the
+    canonical not-like becomes a priority exclusion), count(col) null
+    semantics, then the second aggregation over the first."""
+    cu = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority")
+    per_cust = (
+        cu.join(o, (F.col("c_custkey") == F.col("o_custkey"))
+                & (F.col("o_orderpriority") != "5-LOW"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier): quarterly revenue per supplier,
+    the MAX scalar broadcast back over the same aggregate — decimal
+    equality, so ties surface all maxima deterministically."""
+    rev = (
+        _t(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                & (F.col("l_shipdate") < F.lit("1996-04-01")))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_dec("l_extendedprice")
+                   * (_dec_one() - _dec("l_discount"))).alias("rev_dec"))
+    )
+    top = rev.agg(F.max("rev_dec").alias("max_rev"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("rev_dec") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name",
+                F.round(F.col("rev_dec").cast("double"), 2)
+                .alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+def q_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 shape (supplier-part relation count; lineitem stands in
+    for partsupp, negative account balance for the complaints filter):
+    NOT IN becomes a broadcast LEFT ANTI join — null-safe here because
+    the key is non-nullable; COUNT DISTINCT shuffles (brand, size)."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    ).select("p_partkey", "p_brand", "p_size")
+    bad = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0).select("s_suppkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"),
+              "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
+
+
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity revenue): the correlated per-part
+    AVG subquery becomes one aggregate over the unfiltered lineitem,
+    semi-pruned to the brand's parts and broadcast back — the fact table
+    is scanned twice but never re-scanned per row.  l_quantity is
+    integral so the avg is exact in both engines."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#2") & (F.col("p_type") == "SMALL")
+    ).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice")
+    avg_qty = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"),
+                "left_semi")
+        .groupBy(F.col("l_partkey").alias("ap_key"))
+        .agg((F.lit(0.5) * F.avg("l_quantity")).alias("half_avg"))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("ap_key"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(F.round(F.sum(_dec("l_extendedprice")).cast("double") / 7.0, 2)
+             .alias("avg_yearly"),
+             F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): the IN subquery is the
+    same aggregate the output needs, so it is computed once and joined —
+    no semi-join plus re-aggregation; quantities are integral doubles,
+    summed exactly."""
+    big = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 300)
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    cu = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                F.round("o_totalprice", 2).alias("o_totalprice"),
+                F.round("qty", 2).alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+def q_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 shape (part-promotion suppliers; shipped volume stands
+    in for the absent ps_availqty): the doubly-nested IN collapses to
+    aggregate→distinct-keys→semi-join; only (suppkey, partkey, qty)
+    triples ever shuffle."""
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    heavy = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 20)
+        .select("l_suppkey").distinct()
+    )
+    nn = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nn), F.col("s_nationkey") == F.col("n_nationkey"),
+              "left_semi")
+        .join(F.broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"),
+              "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+def q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting; ship-vs-order
+    lateness for the absent receipt/commit dates): the EXISTS /
+    NOT EXISTS pair over the same fact becomes two window counts over
+    one orderkey shuffle — a late line qualifies iff the order has
+    another supplier and no OTHER late supplier."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 60 DAYS")
+    w = Window.partitionBy("l_orderkey")
+    flagged = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn("is_late", late)
+        .withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn("n_late_supp", F.size(F.collect_set(
+            F.when(F.col("is_late"), F.col("l_suppkey"))).over(w)))
+        .filter(F.col("is_late") & (F.col("n_supp") >= 2)
+                & (F.col("n_late_supp") == 1))
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        flagged.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+def q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 shape (global sales opportunity; nationkey digits stand
+    in for phone country codes, 'no recent orders' for 'no orders'): the
+    positive-balance AVG threshold compares cross-multiplied —
+    bal*n > sum — so no engine-dependent double division sits on the
+    keep/drop boundary; the anti-join side carries only custkeys."""
+    code = (F.col("c_nationkey") % 10).cast("int")
+    cu = _t(spark, sf_dir, "customer").filter(
+        code.isin(1, 2, 3, 4, 5)
+    ).select(code.alias("cntrycode"), "c_custkey", "c_acctbal")
+    pos = cu.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double").alias("s"),
+        F.count(F.lit(1)).alias("n"))
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01")).select("o_custkey")
+    return (
+        cu.join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .crossJoin(F.broadcast(pos))
+        .filter(F.col("c_acctbal").cast("double") * F.col("n") > F.col("s"))
+        .groupBy("cntrycode")
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                     .cast("double"), 2).alias("totacctbal"))
+        .orderBy("cntrycode")
+    )
+
+
 def q_regex_match_rate(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     pat = r"\b(?:join|merge)\b"
@@ -1426,6 +1846,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4_priority_check": q_tpch_q4,
         "tpch_q14_promo_effect": q_tpch_q14,
         "tpch_q19_discounted_revenue": q_tpch_q19,
+        "tpch_q2_min_cost_supplier": q_tpch_q2,
+        "tpch_q7_volume_shipping": q_tpch_q7,
+        "tpch_q8_market_share": q_tpch_q8,
+        "tpch_q9_product_profit": q_tpch_q9,
+        "tpch_q11_important_stock": q_tpch_q11,
+        "tpch_q12_late_lines": q_tpch_q12,
+        "tpch_q13_order_distribution": q_tpch_q13,
+        "tpch_q15_top_supplier": q_tpch_q15,
+        "tpch_q16_supplier_part_cnt": q_tpch_q16,
+        "tpch_q17_small_qty_revenue": q_tpch_q17,
+        "tpch_q18_large_orders": q_tpch_q18,
+        "tpch_q20_part_promotion": q_tpch_q20,
+        "tpch_q21_waiting_supplier": q_tpch_q21,
+        "tpch_q22_global_sales_opp": q_tpch_q22,
         "top_customers_by_spend": q_top_customers,
         "field_stats_documents": q_field_stats,
         "dict_detection": q_dict_detection,
@@ -1747,6 +2181,228 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity BETWEEN 1 AND 20)
                OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
                    AND l_quantity BETWEEN 10 AND 40)
+        """,
+        "tpch_q2_min_cost_supplier": """
+            WITH price AS (
+              SELECT l_partkey, l_suppkey,
+                     min(l_extendedprice / l_quantity) AS unit_cost
+              FROM lineitem GROUP BY 1, 2
+            ), regional AS (
+              SELECT price.*, s_acctbal, s_name, n_name
+              FROM price, supplier, nation, region
+              WHERE s_suppkey = l_suppkey AND s_nationkey = n_nationkey
+                AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+            )
+            SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+                   p_partkey, p_name, round(unit_cost, 4) AS unit_cost
+            FROM part, regional
+            WHERE p_partkey = l_partkey AND p_size = 15 AND p_type = 'SMALL'
+              AND unit_cost = (SELECT min(r2.unit_cost) FROM regional r2
+                               WHERE r2.l_partkey = p_partkey)
+            ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 20
+        """,
+        "tpch_q7_volume_shipping": """
+            SELECT supp_nation, cust_nation, l_year,
+                   round(CAST(sum(volume) AS DOUBLE), 2) AS revenue
+            FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                         CAST(year(l_shipdate) AS INT) AS l_year,
+                         CAST(l_extendedprice AS DECIMAL(18,4))
+                         * (CAST(1 AS DECIMAL(18,4))
+                            - CAST(l_discount AS DECIMAL(18,4))) AS volume
+                  FROM supplier, lineitem, orders, customer,
+                       nation n1, nation n2
+                  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+                    AND c_custkey = o_custkey
+                    AND s_nationkey = n1.n_nationkey
+                    AND c_nationkey = n2.n_nationkey
+                    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+                    AND l_shipdate >= '1996-01-01'
+                    AND l_shipdate < '1998-01-01')
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "tpch_q8_market_share": """
+            SELECT o_year,
+                   round(CAST(sum(CASE WHEN nation = 'NATION_5' THEN volume
+                                       ELSE CAST(0 AS DECIMAL(18,4)) END)
+                              AS DOUBLE)
+                         / CAST(sum(volume) AS DOUBLE), 4) AS mkt_share
+            FROM (SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                         CAST(l_extendedprice AS DECIMAL(18,4))
+                         * (CAST(1 AS DECIMAL(18,4))
+                            - CAST(l_discount AS DECIMAL(18,4))) AS volume,
+                         n2.n_name AS nation
+                  FROM part, supplier, lineitem, orders, customer,
+                       nation n1, nation n2, region
+                  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+                    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+                    AND c_nationkey = n1.n_nationkey
+                    AND n1.n_regionkey = r_regionkey
+                    AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+                    AND o_orderdate >= '1995-01-01'
+                    AND o_orderdate < '1997-01-01'
+                    AND p_type = 'ECONOMY')
+            GROUP BY o_year ORDER BY o_year
+        """,
+        "tpch_q9_product_profit": """
+            SELECT nation, o_year,
+                   round(CAST(sum(amount) AS DOUBLE), 2) AS sum_profit
+            FROM (SELECT n_name AS nation,
+                         CAST(year(o_orderdate) AS INT) AS o_year,
+                         CAST(l_extendedprice AS DECIMAL(18,4))
+                         * (CAST(1 AS DECIMAL(18,4))
+                            - CAST(l_discount AS DECIMAL(18,4)))
+                         - CAST(p_retailprice AS DECIMAL(18,4))
+                           * CAST(l_quantity / 100 AS DECIMAL(18,4))
+                           AS amount
+                  FROM part, supplier, lineitem, orders, nation
+                  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+                    AND o_orderkey = l_orderkey
+                    AND s_nationkey = n_nationkey
+                    AND p_name LIKE '%red%')
+            GROUP BY nation, o_year ORDER BY nation, o_year DESC
+        """,
+        "tpch_q11_important_stock": """
+            WITH val AS (
+              SELECT l_partkey AS ps_partkey,
+                     sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                         * CAST(l_quantity AS DECIMAL(18,4))) AS value
+              FROM lineitem, supplier, nation
+              WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+                AND n_name = 'NATION_3'
+              GROUP BY 1)
+            SELECT ps_partkey, round(CAST(value AS DOUBLE), 2) AS value
+            FROM val
+            WHERE CAST(value AS DOUBLE)
+                  > (SELECT CAST(sum(value) AS DOUBLE) * 0.002 FROM val)
+            ORDER BY value DESC, ps_partkey
+        """,
+        "tpch_q12_late_lines": """
+            SELECT l_returnflag AS ship_class,
+                   CAST(sum(CASE WHEN o_orderpriority IN
+                                      ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority NOT IN
+                                      ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS low_line_count
+            FROM orders, lineitem
+            WHERE o_orderkey = l_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+              AND l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "tpch_q13_order_distribution": """
+            SELECT c_count, count(*) AS custdist
+            FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+                  FROM customer LEFT OUTER JOIN orders
+                    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+                  GROUP BY c_custkey)
+            GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+        """,
+        "tpch_q15_top_supplier": """
+            WITH revenue AS (
+              SELECT l_suppkey AS supplier_no,
+                     sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                         * (CAST(1 AS DECIMAL(18,4))
+                            - CAST(l_discount AS DECIMAL(18,4))))
+                       AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+              GROUP BY 1)
+            SELECT s_suppkey, s_name,
+                   round(CAST(total_revenue AS DOUBLE), 2) AS total_revenue
+            FROM supplier, revenue
+            WHERE s_suppkey = supplier_no
+              AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+            ORDER BY s_suppkey
+        """,
+        "tpch_q16_supplier_part_cnt": """
+            SELECT p_brand, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem, part
+            WHERE p_partkey = l_partkey AND p_brand <> 'Brand#1'
+              AND p_type <> 'PROMO'
+              AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_size
+        """,
+        "tpch_q17_small_qty_revenue": """
+            SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+                              AS DOUBLE) / 7.0, 2) AS avg_yearly,
+                   count(*) AS n_lines
+            FROM lineitem, part
+            WHERE p_partkey = l_partkey AND p_brand = 'Brand#2'
+              AND p_type = 'SMALL'
+              AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                                FROM lineitem l2
+                                WHERE l2.l_partkey = p_partkey)
+        """,
+        "tpch_q18_large_orders": """
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                   round(o_totalprice, 2) AS o_totalprice,
+                   round(sum(l_quantity), 2) AS total_qty
+            FROM customer, orders, lineitem
+            WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                                 GROUP BY l_orderkey
+                                 HAVING sum(l_quantity) > 300)
+              AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+            GROUP BY 1, 2, 3, 4, o_totalprice
+            ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100
+        """,
+        "tpch_q20_part_promotion": """
+            SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+            FROM supplier, nation
+            WHERE s_suppkey IN (
+                SELECT l_suppkey FROM lineitem, part
+                WHERE l_partkey = p_partkey AND p_name LIKE 'small%'
+                  AND l_shipdate >= '1996-01-01'
+                  AND l_shipdate < '1997-01-01'
+                GROUP BY l_suppkey, l_partkey
+                HAVING sum(l_quantity) > 20)
+              AND s_nationkey = n_nationkey AND n_name = 'NATION_2'
+            ORDER BY s_name
+        """,
+        "tpch_q21_waiting_supplier": """
+            SELECT s_name, count(*) AS numwait
+            FROM supplier, lineitem l1, orders, nation
+            WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+              AND o_orderstatus = 'F'
+              AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_shipdate
+                                    > o_orderdate + INTERVAL 60 DAY)
+              AND s_nationkey = n_nationkey
+            GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
+        """,
+        "tpch_q22_global_sales_opp": """
+            WITH pos AS (
+              SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                       AS s,
+                     count(*) AS n
+              FROM customer
+              WHERE c_acctbal > 0 AND c_nationkey % 10 IN (1, 2, 3, 4, 5))
+            SELECT cntrycode, count(*) AS numcust,
+                   round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                              AS DOUBLE), 2) AS totacctbal
+            FROM (SELECT CAST(c_nationkey % 10 AS INT) AS cntrycode,
+                         c_acctbal
+                  FROM customer
+                  WHERE c_nationkey % 10 IN (1, 2, 3, 4, 5)
+                    AND CAST(c_acctbal AS DOUBLE) * (SELECT n FROM pos)
+                        > (SELECT s FROM pos)
+                    AND NOT EXISTS (SELECT 1 FROM orders
+                                    WHERE o_custkey = c_custkey
+                                      AND o_orderdate >= '1999-01-01'))
+            GROUP BY cntrycode ORDER BY cntrycode
         """,
         "tpch_q10_returned_items": """
             SELECT c_custkey, c_name, n_name,
