@@ -285,10 +285,11 @@ def q_tpch_q10(spark, sf_dir):
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(cu, o["o_custkey"] == cu["c_custkey"])
         .join(F.broadcast(n), cu["c_nationkey"] == n["n_nationkey"])
-        .groupBy("c_custkey", "c_name", "n_name")
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.round(F.sum(price * (one - disc)).cast("double"), 2)
-             .alias("revenue"),
-             F.round(F.max("c_acctbal"), 2).alias("c_acctbal"))
+             .alias("revenue"))
+        .select("c_custkey", "c_name", "n_name", "revenue",
+                F.round("c_acctbal", 2).alias("c_acctbal"))
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
@@ -367,6 +368,12 @@ def q_tpch_q19(spark, sf_dir):
              .alias("revenue"),
              F.count(F.lit(1)).alias("n_lines"))
     )
+
+
+# The driver's embeddings table ships 64-float vectors at every SF
+# (TESTDATA.md); a literal keeps the LSH plane seeding off the driver
+# (was a one-row .first() — harmless but needless).
+_EMB_DIM = 64
 
 
 def _dec(col: str):
@@ -1446,8 +1453,8 @@ def q_lsh_topk(spark, sf_dir):
     from metacrafter_spark.ops.similarity import lsh_topk, topk_join
 
     queries, corpus = _planted_ann_corpus(spark, sf_dir)
-    dim = len(_t(spark, sf_dir, "embeddings").select("embedding").first()[0])
-    approx = lsh_topk(queries, corpus, dim=dim, k=5, bits=8, multiprobe=2)
+    approx = lsh_topk(queries, corpus, dim=_EMB_DIM, k=5, bits=8,
+                      multiprobe=2)
     exact = topk_join(queries, corpus, k=5)
     ok = _recall_ok(exact, approx, need=90)
     return (
@@ -1512,9 +1519,8 @@ def _ann_recall(spark, sf_dir, engine: str):
     k, n_queries, threshold = 5, 20, 0.9
     exact = topk_join(queries, corpus, k=k)
     if engine == "lsh":
-        dim = len(_t(spark, sf_dir, "embeddings")
-                  .select("embedding").first()[0])
-        approx = lsh_topk(queries, corpus, dim=dim, k=k, bits=8, multiprobe=2)
+        approx = lsh_topk(queries, corpus, dim=_EMB_DIM, k=k, bits=8,
+                          multiprobe=2)
     else:
         cents = train_ivf_centroids(corpus, nlist=16, sample=2048, seed=42)
         approx = ivf_topk(queries, corpus, cents, k=k, nprobe=4)
@@ -2408,14 +2414,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name, n_name,
                    round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
                               * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS revenue,
-                   round(max(c_acctbal), 2) AS c_acctbal
+                   round(c_acctbal, 2) AS c_acctbal
             FROM customer, orders, lineitem, nation
             WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
               AND c_nationkey = n_nationkey
               AND l_returnflag = 'R'
               AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
               AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
-            GROUP BY c_custkey, c_name, n_name
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
             ORDER BY revenue DESC, c_custkey
             LIMIT 20
         """,
