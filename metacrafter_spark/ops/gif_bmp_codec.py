@@ -16,9 +16,10 @@ first frame, :func:`decode_gif_frames` every composited frame.
 
 BMP scope: 'BM' files with BITMAPINFOHEADER (40+ bytes), bottom-up or
 top-down rows, BI_RGB at 1/4/8-bpp palette or 24/32-bpp truecolor,
-BI_RLE8/BI_RLE4 compressed palette images, and BI_BITFIELDS 16/32-bpp
-masked (round 5).  Embedded-JPEG/PNG compression and the old
-BITMAPCOREHEADER raise NotImplementedError.
+BI_RLE8/BI_RLE4 compressed palette images, BI_BITFIELDS 16/32-bpp
+masked, and OS/2 BITMAPCOREHEADER (BMP v2: 16-bit dims, RGBTRIPLE
+palette) files (round 5).  Embedded-JPEG/PNG compression raises
+NotImplementedError.
 """
 
 from __future__ import annotations
@@ -262,19 +263,33 @@ def decode_bmp(data: bytes) -> np.ndarray:
         raise ValueError("not a BMP (bad signature)")
     (pix_off,) = struct.unpack_from("<I", data, 10)
     (hdr_size,) = struct.unpack_from("<I", data, 14)
-    if hdr_size < 40:
-        raise NotImplementedError("BITMAPCOREHEADER BMPs not supported")
-    w, h_raw = struct.unpack_from("<iI", data, 18)[0], struct.unpack_from("<i", data, 22)[0]
-    (bpp,) = struct.unpack_from("<H", data, 28)
-    (comp,) = struct.unpack_from("<I", data, 30)
-    if comp not in (0, 1, 2, 3):
+    if hdr_size == 12:
+        # BITMAPCOREHEADER (OS/2 1.x / BMP v2): 16-bit unsigned dims,
+        # always bottom-up, BI_RGB only, RGBTRIPLE (3-byte) palette
+        # with no clrUsed field.
+        w, h = struct.unpack_from("<HH", data, 18)
+        (bpp,) = struct.unpack_from("<H", data, 24)
+        comp, h_raw = 0, h
+        if bpp not in (1, 4, 8, 24):
+            raise ValueError(f"{bpp}-bpp invalid for BITMAPCOREHEADER")
+    elif hdr_size < 40:
         raise NotImplementedError(
-            f"BMP compression {comp} "
-            "(BI_RGB/BI_RLE8/BI_RLE4/BI_BITFIELDS only)")
+            f"BMP header size {hdr_size} not supported")
+    else:
+        w, h_raw = struct.unpack_from("<iI", data, 18)[0], struct.unpack_from("<i", data, 22)[0]
+        (bpp,) = struct.unpack_from("<H", data, 28)
+        (comp,) = struct.unpack_from("<I", data, 30)
+        if comp not in (0, 1, 2, 3):
+            raise NotImplementedError(
+                f"BMP compression {comp} "
+                "(BI_RGB/BI_RLE8/BI_RLE4/BI_BITFIELDS only)")
     top_down = h_raw < 0
     h = abs(h_raw)
 
     def palette(default_n: int) -> np.ndarray:
+        if hdr_size == 12:  # RGBTRIPLEs, count fixed by bpp
+            return np.frombuffer(data[26:26 + 3 * default_n],
+                                 dtype=np.uint8).reshape(-1, 3)[:, ::-1]
         (used,) = struct.unpack_from("<I", data, 46)
         n = used or default_n
         return np.frombuffer(data[14 + hdr_size:14 + hdr_size + 4 * n],

@@ -120,6 +120,67 @@ def _mulaw_expand(u: np.ndarray) -> np.ndarray:
     return np.where(sign, -mag, mag).astype(np.int16)
 
 
+_IMA_STEP = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767], np.int32)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], np.int32)
+
+
+def _ima_adpcm_step(val, idx, code):
+    """One IMA/DVI ADPCM step, vectorized over any shape: (predictor,
+    step-index, 4-bit code) → next predictor + index.  Same arithmetic
+    as the stdlib's independent audioop.adpcm2lin (the conformance
+    oracle in tests)."""
+    step = _IMA_STEP[idx]
+    diff = (step >> 3)
+    diff += np.where(code & 4, step, 0)
+    diff += np.where(code & 2, step >> 1, 0)
+    diff += np.where(code & 1, step >> 2, 0)
+    val = np.where(code & 8, val - diff, val + diff)
+    val = np.clip(val, -0x8000, 0x7FFF)
+    idx = np.clip(idx + _IMA_INDEX[code & 7], 0, 88)
+    return val, idx
+
+
+def _ima_adpcm_expand(body: bytes, nch: int, block_align: int,
+                      samples_per_block: int) -> np.ndarray:
+    """WAV IMA ADPCM (format 0x11) → interleaved int16.  Block layout
+    per channel: 4-byte header (int16 predictor, uint8 step index,
+    reserved), then channel-interleaved 4-byte nibble groups, LOW
+    nibble first.  Decodes all blocks in parallel (numpy across
+    blocks × channels; the only sequential axis is within-block)."""
+    nblocks = len(body) // block_align
+    if nblocks == 0 or nch < 1:
+        return np.empty(0, np.int16)
+    blocks = np.frombuffer(body[:nblocks * block_align],
+                           np.uint8).reshape(nblocks, block_align)
+    hdr = blocks[:, :4 * nch].reshape(nblocks, nch, 4).astype(np.int32)
+    val = hdr[:, :, 0] | (hdr[:, :, 1] << 8)
+    val = np.where(val & 0x8000, val - 0x10000, val)
+    idx = np.clip(hdr[:, :, 2], 0, 88)
+    data = blocks[:, 4 * nch:]
+    ngroups = data.shape[1] // (4 * nch)
+    n_data = min(max(samples_per_block - 1, 0), ngroups * 8)
+    out = np.empty((nblocks, 1 + n_data, nch), np.int16)
+    out[:, 0, :] = val.astype(np.int16)
+    if n_data:
+        grp = data[:, :ngroups * 4 * nch].reshape(nblocks, ngroups, nch, 4)
+        nib = np.empty((nblocks, ngroups, nch, 8), np.uint8)
+        nib[..., 0::2] = grp & 0x0F
+        nib[..., 1::2] = grp >> 4
+        # (nblocks, nch, sample) stream per channel
+        stream = nib.transpose(0, 2, 1, 3).reshape(nblocks, nch, -1)
+        for i in range(n_data):
+            val, idx = _ima_adpcm_step(val, idx, stream[:, :, i].astype(np.int32))
+            out[:, 1 + i, :] = val.astype(np.int16)
+    return out.reshape(-1)
+
+
 def _alaw_expand(a: np.ndarray) -> np.ndarray:
     """G.711 A-law byte → 16-bit linear (audioop/G.711 convention;
     after the 0x55 toggle, a CLEAR msb means negative)."""
@@ -137,18 +198,24 @@ def decode_wav(data: bytes) -> np.ndarray:
 
     Formats (round 5 — previously raw PCM16 only): PCM 8-bit unsigned /
     16-bit / 24-bit / 32-bit, IEEE float32/64 (scaled to int16), G.711
-    µ-law and A-law (codes 7/6), and WAVE_FORMAT_EXTENSIBLE wrapping
-    any of those.  A missing fmt chunk falls back to PCM16."""
+    µ-law and A-law (codes 7/6), IMA/DVI ADPCM (code 0x11, any channel
+    count; a fact chunk trims the tail block), and
+    WAVE_FORMAT_EXTENSIBLE wrapping any of those.  A missing fmt chunk
+    falls back to PCM16."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos = 12
     fmt_code, bits = 1, 16
+    nch, block_align, spb, fact_frames = 1, 0, 0, None
     while pos + 8 <= len(data):
         cid, size = data[pos:pos + 4], struct.unpack("<I", data[pos + 4:pos + 8])[0]
         body = data[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
-            fmt_code, _nch = struct.unpack_from("<HH", body, 0)
+            fmt_code, nch = struct.unpack_from("<HH", body, 0)
+            (block_align,) = struct.unpack_from("<H", body, 12)
             (bits,) = struct.unpack_from("<H", body, 14)
+            if fmt_code == 0x11 and size >= 20:  # IMA: extra u16 is
+                (spb,) = struct.unpack_from("<H", body, 18)  # samples/block
             if fmt_code == 0xFFFE and size >= 26:  # EXTENSIBLE
                 # SubFormat GUID starts at fmt-body offset 24 (base 16
                 # + cbSize 2 + validbits 2 + channel mask 4); its first
@@ -181,7 +248,18 @@ def decode_wav(data: bytes) -> np.ndarray:
                 return _mulaw_expand(np.frombuffer(body, dtype=np.uint8))
             if fmt_code == 6:      # A-law
                 return _alaw_expand(np.frombuffer(body, dtype=np.uint8))
+            if fmt_code == 0x11:   # IMA/DVI ADPCM
+                if block_align < 4 * max(nch, 1):
+                    raise ValueError("IMA ADPCM block align too small")
+                if not spb:  # derive from block layout when extra absent
+                    spb = (block_align - 4 * nch) * 2 // nch + 1
+                out = _ima_adpcm_expand(body, nch, block_align, spb)
+                if fact_frames is not None:
+                    out = out[:fact_frames * nch]
+                return out
             raise NotImplementedError(f"WAVE format code {fmt_code}")
+        elif cid == b"fact" and size >= 4:
+            (fact_frames,) = struct.unpack_from("<I", body, 0)
         pos += 8 + size + (size & 1)
     raise ValueError("no data chunk")
 

@@ -1340,6 +1340,63 @@ def test_bmp_bitfields_565(spark):
     assert np.array_equal(ours, exp)
 
 
+def test_bmp_core_header_os2(spark):
+    """OS/2 BITMAPCOREHEADER BMPs (round 5): 16-bit dims, RGBTRIPLE
+    palette, always bottom-up.  Hand-assembled v2 files (8-bpp palette
+    and 24-bpp truecolor) decode to the planted pixels AND pixel-exact
+    against the JDK's independent read of the same bytes."""
+    import struct as _s
+
+    import numpy as np
+    from metacrafter_spark.ops.gif_bmp_codec import decode_bmp
+
+    rng = np.random.default_rng(11)
+
+    def core_bmp(bpp, w, h, pal, pixdata):
+        pal_bytes = b"".join(bytes([b, g, r]) for r, g, b in pal)
+        pix_off = 14 + 12 + len(pal_bytes)
+        body = (_s.pack("<IHHHH", 12, w, h, 1, bpp) + pal_bytes + pixdata)
+        return (b"BM" + _s.pack("<IHHI", 14 + len(body), 0, 0, pix_off)
+                + body)
+
+    def jread(data):
+        bimg = spark._jvm.javax.imageio.ImageIO.read(
+            spark._jvm.java.io.ByteArrayInputStream(bytearray(data)))
+        assert bimg is not None, "JDK rejected the core-header BMP"
+        hh, ww = bimg.getHeight(), bimg.getWidth()
+        out = np.zeros((hh, ww, 3), np.uint8)
+        for y in range(hh):
+            for x in range(ww):
+                v = bimg.getRGB(x, y)
+                out[y, x] = [(v >> 16) & 255, (v >> 8) & 255, v & 255]
+        return out
+
+    # 8-bpp palette, w=5 (stride pads 5 → 8), h=3, bottom-up rows
+    pal = [tuple(int(c) for c in rng.integers(0, 256, 3))
+           for _ in range(256)]
+    idx = rng.integers(0, 256, (3, 5), dtype=np.uint8)
+    rows = b"".join(bytes(idx[y]) + b"\x00\x00\x00" for y in (2, 1, 0))
+    data8 = core_bmp(8, 5, 3, pal, rows)
+    exp8 = np.array([[pal[i] for i in r] for r in idx], np.uint8)
+    assert np.array_equal(decode_bmp(data8), exp8)
+    assert np.array_equal(decode_bmp(data8), jread(data8))
+
+    # 24-bpp truecolor, odd width exercises padding; no palette
+    img = rng.integers(0, 256, (4, 3, 3), dtype=np.uint8)
+    stride_pad = b"\x00" * ((4 - (3 * 3) % 4) % 4)
+    rows24 = b"".join(
+        b"".join(bytes([int(b), int(g), int(r)]) for r, g, b in img[y])
+        + stride_pad
+        for y in (3, 2, 1, 0))
+    data24 = core_bmp(24, 3, 4, [], rows24)
+    assert np.array_equal(decode_bmp(data24), img)
+    assert np.array_equal(decode_bmp(data24), jread(data24))
+
+    # invalid core bpp still raises
+    with pytest.raises(ValueError, match="BITMAPCOREHEADER"):
+        decode_bmp(core_bmp(16, 2, 2, [], b"\x00" * 16))
+
+
 def test_gif_disposal_methods():
     """Animated-GIF disposal (round 5): method 2 restores the frame
     rect to the BACKGROUND color before the next frame composites;
@@ -1460,4 +1517,81 @@ def test_wav_formats_and_g711():
     assert np.array_equal(decode_wav(ext), s16)
     import pytest as _pt
     with _pt.raises(NotImplementedError, match="format code"):
-        decode_wav(wav(2, 16, b"\x00\x00"))  # ADPCM stays gated
+        decode_wav(wav(2, 16, b"\x00\x00"))  # MS ADPCM stays gated
+
+
+def test_wav_ima_adpcm():
+    """IMA/DVI ADPCM (WAV format 0x11, round 5): the step arithmetic is
+    EXACT against the stdlib's independent audioop.adpcm2lin on a long
+    random nibble stream (audioop packs HIGH nibble first; WAV blocks
+    pack LOW first — the test repacks), and the WAV block framing
+    (per-channel 4-byte headers, channel-interleaved nibble groups,
+    fact-chunk trim, stereo interleave) round-trips hand-built blocks."""
+    import struct as _s
+
+    import numpy as np
+    from metacrafter_spark.ops.multimodal import (
+        _ima_adpcm_expand, _ima_adpcm_step, decode_wav,
+    )
+
+    rng = np.random.default_rng(17)
+
+    # --- core arithmetic vs audioop on 4k nibbles from a zero state
+    try:
+        import audioop
+    except ImportError:
+        audioop = None
+    nibs = rng.integers(0, 16, 4096, dtype=np.uint8)
+    if audioop is not None:
+        packed_high_first = bytes((int(nibs[i]) << 4) | int(nibs[i + 1])
+                                  for i in range(0, len(nibs), 2))
+        ref = np.frombuffer(
+            audioop.adpcm2lin(packed_high_first, 2, (0, 0))[0], "<i2")
+        val = np.array([0]); idx = np.array([0])
+        ours = np.empty(len(nibs), np.int16)
+        for i, c in enumerate(nibs):
+            val, idx = _ima_adpcm_step(val, idx, np.array([int(c)]))
+            ours[i] = val[0]
+        assert np.array_equal(ours, ref)
+
+    # --- WAV framing: mono, 2 blocks, 9 samples/block (1 hdr + 8 data)
+    def scalar_decode(pred, index, codes):
+        out = [pred]
+        v = np.array([pred]); ix = np.array([index])
+        for c in codes:
+            v, ix = _ima_adpcm_step(v, ix, np.array([int(c)]))
+            out.append(int(v[0]))
+        return out
+
+    def block(pred, index, codes):  # low nibble first, one 4-byte group
+        assert len(codes) == 8
+        by = bytes((int(codes[i]) | (int(codes[i + 1]) << 4))
+                   for i in range(0, 8, 2))
+        return _s.pack("<hBB", pred, index, 0) + by
+
+    c1, c2 = rng.integers(0, 16, 8), rng.integers(0, 16, 8)
+    body = block(100, 20, c1) + block(-7000, 60, c2)
+    got = _ima_adpcm_expand(body, nch=1, block_align=8, samples_per_block=9)
+    exp = scalar_decode(100, 20, c1) + scalar_decode(-7000, 60, c2)
+    assert got.tolist() == exp
+
+    # --- stereo: headers L,R then L/R alternating 4-byte groups
+    cl, cr = rng.integers(0, 16, 8), rng.integers(0, 16, 8)
+    def halfblock(pred, index):
+        return _s.pack("<hBB", pred, index, 0)
+    by_l = bytes((int(cl[i]) | (int(cl[i + 1]) << 4)) for i in range(0, 8, 2))
+    by_r = bytes((int(cr[i]) | (int(cr[i + 1]) << 4)) for i in range(0, 8, 2))
+    sbody = halfblock(11, 5) + halfblock(-22, 33) + by_l + by_r
+    sgot = _ima_adpcm_expand(sbody, nch=2, block_align=16, samples_per_block=9)
+    l, r = scalar_decode(11, 5, cl), scalar_decode(-22, 33, cr)
+    assert sgot.reshape(-1, 2)[:, 0].tolist() == l
+    assert sgot.reshape(-1, 2)[:, 1].tolist() == r
+
+    # --- full WAV with fact trim (7 of 9 frames valid) + extra field
+    fmt = _s.pack("<HHIIHHH H", 0x11, 1, 8000, 4000, 8, 4, 2, 9)
+    ch = (b"fmt " + _s.pack("<I", len(fmt)) + fmt
+          + b"fact" + _s.pack("<II", 4, 16)
+          + b"data" + _s.pack("<I", len(body)) + body)
+    riff = b"RIFF" + _s.pack("<I", 4 + len(ch)) + b"WAVE" + ch
+    wgot = decode_wav(riff)
+    assert wgot.tolist() == exp[:16]
