@@ -1,0 +1,316 @@
+"""Pure-stdlib MP4 (ISO BMFF) and MP3 container parsers — clean-room
+from the public ISO/IEC 14496-12 box structure and the MPEG-1/2 audio
+frame-header layout.
+
+These are CONTAINER layers, not codecs: they recover the sample/frame
+*index* — per-sample byte offset, size, timestamp, keyframe flag —
+without decoding any coded video/audio payload (H.264/AAC/MP3 bitstream
+decode stays behind the honest multimodal gate).  At web scale that
+index is the artifact that matters: it lets a Spark pipeline shard
+frame-decode work by (file, byte-range) and pick keyframe-aligned
+sample points, so the expensive decode only ever touches the bytes it
+needs.
+
+Reference parity anchor: the reference engine has no media layer at
+all; this extends the multimodal surface required by the training-data
+brief (frame sampling over opaque binary columns).
+
+MP4 scope: 32/64-bit box sizes, moov/mvhd/trak/tkhd/mdia/mdhd/hdlr/
+stbl with stts (decode deltas), stsz/stz2-fixed, stsc, stco/co64,
+stss (sync table; absent = every sample a keyframe), first stsd entry
+fourcc per track.  Fragmented MP4 (moof) and edit lists gate honestly.
+
+MP3 scope: ID3v2 skip (syncsafe size), MPEG-1/2/2.5 Layer I/II/III
+frame-size arithmetic (bitrate/samplerate tables from the public
+header spec), Xing/Info VBR-tag detection, per-frame (offset, size,
+ts_ms).  Free-format bitrate (index 0) gates honestly.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator, Optional
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO BMFF
+# ---------------------------------------------------------------------------
+
+def _iter_boxes(data: bytes, start: int, end: int) -> Iterator[tuple]:
+    """Yield (fourcc, body_start, body_end) for each box in [start, end)."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", data, pos)
+        fourcc = data[pos + 4:pos + 8]
+        hdr = 8
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                raise ValueError("truncated largesize box")
+            (size,) = struct.unpack_from(">Q", data, pos + 8)
+            hdr = 16
+        elif size == 0:  # to end of enclosing scope
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError(f"bad box size {size} for {fourcc!r}")
+        yield fourcc, pos + hdr, pos + size
+        pos += size
+
+
+def _find(data: bytes, start: int, end: int, fourcc: bytes):
+    for fc, s, e in _iter_boxes(data, start, end):
+        if fc == fourcc:
+            return s, e
+    return None
+
+
+def _fullbox(data: bytes, start: int) -> tuple[int, int]:
+    """FullBox header → (version, body offset past version/flags)."""
+    return data[start], start + 4
+
+
+def _parse_stbl(data: bytes, s: int, e: int, timescale: int) -> list[tuple]:
+    """Sample table boxes → [(offset, size, ts_ms, keyframe), ...]."""
+    # stsz: per-sample sizes (or one fixed size)
+    loc = _find(data, s, e, b"stsz")
+    if loc is None:
+        raise ValueError("stbl missing stsz")
+    _, p = _fullbox(data, loc[0])
+    fixed, count = struct.unpack_from(">II", data, p)
+    if fixed:
+        sizes = [fixed] * count
+    else:
+        sizes = list(struct.unpack_from(f">{count}I", data, p + 8))
+
+    # stts: (sample_count, sample_delta) runs → per-sample DTS
+    loc = _find(data, s, e, b"stts")
+    if loc is None:
+        raise ValueError("stbl missing stts")
+    _, p = _fullbox(data, loc[0])
+    (n_runs,) = struct.unpack_from(">I", data, p)
+    ts = []
+    t = 0
+    for i in range(n_runs):
+        cnt, delta = struct.unpack_from(">II", data, p + 4 + 8 * i)
+        for _ in range(cnt):
+            ts.append(t)
+            t += delta
+    if len(ts) < count:  # tolerate short stts by extending the last delta
+        delta = (ts[-1] - ts[-2]) if len(ts) >= 2 else 0
+        while len(ts) < count:
+            ts.append((ts[-1] + delta) if ts else 0)
+
+    # stsc: chunk → samples-per-chunk runs
+    loc = _find(data, s, e, b"stsc")
+    if loc is None:
+        raise ValueError("stbl missing stsc")
+    _, p = _fullbox(data, loc[0])
+    (n_stsc,) = struct.unpack_from(">I", data, p)
+    stsc = [struct.unpack_from(">III", data, p + 4 + 12 * i)
+            for i in range(n_stsc)]  # (first_chunk, samples_per_chunk, sdi)
+
+    # stco / co64: chunk offsets
+    loc = _find(data, s, e, b"stco")
+    if loc is not None:
+        _, p = _fullbox(data, loc[0])
+        (n_chunks,) = struct.unpack_from(">I", data, p)
+        offsets = list(struct.unpack_from(f">{n_chunks}I", data, p + 4))
+    else:
+        loc = _find(data, s, e, b"co64")
+        if loc is None:
+            raise ValueError("stbl missing stco/co64")
+        _, p = _fullbox(data, loc[0])
+        (n_chunks,) = struct.unpack_from(">I", data, p)
+        offsets = list(struct.unpack_from(f">{n_chunks}Q", data, p + 4))
+
+    # stss: sync samples (1-based); absent = all sync
+    sync: Optional[set] = None
+    loc = _find(data, s, e, b"stss")
+    if loc is not None:
+        _, p = _fullbox(data, loc[0])
+        (n_sync,) = struct.unpack_from(">I", data, p)
+        sync = set(struct.unpack_from(f">{n_sync}I", data, p + 4))
+
+    # expand stsc runs across the chunk list, walk per-chunk offsets
+    samples = []
+    si = 0
+    for ci in range(len(offsets)):
+        spc = 0
+        for j, (first, per, _sdi) in enumerate(stsc):
+            nxt = stsc[j + 1][0] if j + 1 < len(stsc) else None
+            if ci + 1 >= first and (nxt is None or ci + 1 < nxt):
+                spc = per
+                break
+        off = offsets[ci]
+        for _ in range(spc):
+            if si >= count:
+                break
+            ts_ms = int(round(ts[si] * 1000 / timescale)) if timescale else 0
+            key = (sync is None) or ((si + 1) in sync)
+            samples.append((off, sizes[si], ts_ms, key))
+            off += sizes[si]
+            si += 1
+    return samples
+
+
+def parse_mp4(data: bytes) -> dict:
+    """MP4 bytes → {'brand', 'duration_ms', 'tracks': [...]} where each
+    track is {'id', 'kind' ('video'|'audio'|'other'), 'codec' (stsd
+    fourcc), 'timescale', 'samples': [(offset, size, ts_ms, keyframe)]}.
+    No coded payload is touched.
+    """
+    end = len(data)
+    ftyp = _find(data, 0, end, b"ftyp")
+    if ftyp is None:
+        raise ValueError("not an MP4 (no ftyp box)")
+    brand = data[ftyp[0]:ftyp[0] + 4].decode("ascii", "replace")
+    if _find(data, 0, end, b"moof") is not None:
+        raise NotImplementedError("fragmented MP4 (moof) not supported")
+    moov = _find(data, 0, end, b"moov")
+    if moov is None:
+        raise ValueError("MP4 missing moov box")
+    ms, me = moov
+
+    mvhd = _find(data, ms, me, b"mvhd")
+    if mvhd is None:
+        raise ValueError("moov missing mvhd")
+    ver, p = _fullbox(data, mvhd[0])
+    if ver == 1:
+        mv_scale, mv_dur = struct.unpack_from(">IQ", data, p + 16)
+    else:
+        mv_scale, mv_dur = struct.unpack_from(">II", data, p + 8)
+    duration_ms = int(round(mv_dur * 1000 / mv_scale)) if mv_scale else 0
+
+    tracks = []
+    for fc, ts_, te in _iter_boxes(data, ms, me):
+        if fc != b"trak":
+            continue
+        tkhd = _find(data, ts_, te, b"tkhd")
+        ver, p = _fullbox(data, tkhd[0]) if tkhd else (0, 0)
+        track_id = struct.unpack_from(
+            ">I", data, p + (16 if ver == 1 else 8))[0] if tkhd else 0
+        mdia = _find(data, ts_, te, b"mdia")
+        if mdia is None:
+            continue
+        mdhd = _find(data, mdia[0], mdia[1], b"mdhd")
+        ver, p = _fullbox(data, mdhd[0])
+        scale = struct.unpack_from(
+            ">I", data, p + (16 if ver == 1 else 8))[0]
+        hdlr = _find(data, mdia[0], mdia[1], b"hdlr")
+        handler = data[hdlr[0] + 8:hdlr[0] + 12] if hdlr else b"\0\0\0\0"
+        kind = {b"vide": "video", b"soun": "audio"}.get(handler, "other")
+        minf = _find(data, mdia[0], mdia[1], b"minf")
+        stbl = _find(data, minf[0], minf[1], b"stbl") if minf else None
+        if stbl is None:
+            continue
+        stsd = _find(data, stbl[0], stbl[1], b"stsd")
+        codec = ""
+        if stsd is not None:
+            _, p = _fullbox(data, stsd[0])
+            (n_entries,) = struct.unpack_from(">I", data, p)
+            if n_entries:
+                codec = data[p + 8:p + 12].decode("ascii", "replace")
+        tracks.append({
+            "id": track_id, "kind": kind, "codec": codec,
+            "timescale": scale,
+            "samples": _parse_stbl(data, stbl[0], stbl[1], scale),
+        })
+    return {"brand": brand, "duration_ms": duration_ms, "tracks": tracks}
+
+
+# ---------------------------------------------------------------------------
+# MP3 / MPEG audio frames
+# ---------------------------------------------------------------------------
+
+# bitrate kbps by [version-group][layer][index]; group 0 = MPEG-1,
+# group 1 = MPEG-2/2.5.  Index 0 is "free format" (gated), 15 invalid.
+_BITRATES = {
+    (0, 1): (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352,
+             384, 416, 448),
+    (0, 2): (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+             320, 384),
+    (0, 3): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+             256, 320),
+    (1, 1): (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192,
+             224, 256),
+    (1, 2): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+             160),
+    (1, 3): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+             160),
+}
+_RATES = {  # by version bits (00=2.5, 10=2, 11=1)
+    3: (44100, 48000, 32000),
+    2: (22050, 24000, 16000),
+    0: (11025, 12000, 8000),
+}
+
+
+def _mp3_frame_header(data: bytes, pos: int):
+    """Parse a 4-byte MPEG audio frame header at pos → (frame_size,
+    samples_per_frame, sample_rate) or None if not a valid header."""
+    if pos + 4 > len(data):
+        return None
+    b1, b2, b3, _b4 = data[pos:pos + 4]
+    if b1 != 0xFF or (b2 & 0xE0) != 0xE0:
+        return None
+    ver_bits = (b2 >> 3) & 0x3         # 00=2.5, 01=reserved, 10=2, 11=1
+    layer_bits = (b2 >> 1) & 0x3       # 01=III, 10=II, 11=I
+    if ver_bits == 1 or layer_bits == 0:
+        return None
+    layer = 4 - layer_bits             # 1, 2, 3
+    group = 0 if ver_bits == 3 else 1
+    br_idx = (b3 >> 4) & 0xF
+    sr_idx = (b3 >> 2) & 0x3
+    if br_idx == 15 or sr_idx == 3:
+        return None
+    if br_idx == 0:
+        raise NotImplementedError("free-format MP3 bitrate")
+    bitrate = _BITRATES[(group, layer)][br_idx] * 1000
+    rate = _RATES[ver_bits][sr_idx]
+    padding = (b3 >> 1) & 1
+    if layer == 1:
+        size = (12 * bitrate // rate + padding) * 4
+        spf = 384
+    else:
+        spf = 1152 if (layer == 2 or group == 0) else 576
+        size = spf // 8 * bitrate // rate + padding
+    return size, spf, rate
+
+
+def parse_mp3(data: bytes) -> dict:
+    """MP3 bytes → {'frames': [(offset, size, ts_ms)], 'duration_ms',
+    'sample_rate', 'vbr'} by walking frame headers.  Skips a leading
+    ID3v2 tag (syncsafe size); flags Xing/Info VBR tags.  Resyncs on
+    garbage between frames (web-crawled MP3s are rarely clean)."""
+    pos = 0
+    if data[:3] == b"ID3" and len(data) >= 10:
+        sz = ((data[6] & 0x7F) << 21 | (data[7] & 0x7F) << 14
+              | (data[8] & 0x7F) << 7 | (data[9] & 0x7F))
+        pos = 10 + sz
+    frames = []
+    t_samples = 0
+    rate = 0
+    vbr = False
+    while pos + 4 <= len(data):
+        hdr = _mp3_frame_header(data, pos)
+        if hdr is None:
+            pos += 1  # resync
+            continue
+        size, spf, rate = hdr
+        if size <= 0 or pos + size > len(data):
+            break
+        body = data[pos + 4:pos + size]
+        if not frames and (b"Xing" in body[:40] or b"Info" in body[:40]
+                           or b"VBRI" in body[:36]):
+            vbr = True  # metadata frame: indexed but carries no audio
+        frames.append((pos, size,
+                       int(round(t_samples * 1000 / rate)) if rate else 0))
+        t_samples += spf
+        pos += size
+    if not frames:
+        raise ValueError("no MPEG audio frames found")
+    return {
+        "frames": frames,
+        "duration_ms": int(round(t_samples * 1000 / rate)) if rate else 0,
+        "sample_rate": rate,
+        "vbr": vbr,
+    }

@@ -11,12 +11,18 @@ Real decoders (pure numpy/stdlib — no external media libraries):
   frame container a crawler sidecar would emit): per-frame decode,
   time-spaced frame sampling, mean-frame feature.
 
-Formats that genuinely need PIL/ffmpeg (png/jpeg/mp3/mp4 …) keep the
-documented stub boundary: ``strict=True`` raises ``NotImplementedError``,
-``strict=False`` falls back to a deterministic bytes-hash feature so
-downstream plumbing (ANN, dedup) still exercises stable values.
-Swapping in PIL/ffmpeg later only changes ``_decode_external``, not the
-Spark plan: schemas, batch shapes and partitioning are unchanged.
+**MP4/MP3 are handled at the container layer** (round 5,
+``ops/mp4_codec.py``): the ISO-BMFF sample tables / MPEG frame headers
+are parsed for real, so ``sample_frames`` emits keyframe-aligned CODED
+sample bytes for MP4 video and :func:`index_media_samples` builds a
+queryable (offset, size, ts_ms, keyframe) index — the artifact that
+shards decode work by byte range at 100 TB.  Only the coded-bitstream
+pixel/PCM decode (H.264/AAC/MP3) keeps the stub boundary:
+``strict=True`` raises ``NotImplementedError``, ``strict=False`` falls
+back to a deterministic bytes-hash feature so downstream plumbing
+(ANN, dedup) still exercises stable values.  Swapping in PIL/ffmpeg
+later only changes ``_decode_external``, not the Spark plan: schemas,
+batch shapes and partitioning are unchanged.
 """
 
 from __future__ import annotations
@@ -442,11 +448,42 @@ def resize_images(df: DataFrame, out_w: int = 32, out_h: int = 32,
     ).mapInPandas(kernel, "media_id long, content binary")
 
 
+def _mp4_keyframe_samples(data: bytes, dur_ms: int, every_ms: int):
+    """MP4 bytes → time-spaced keyframe-aligned coded sample bytes
+    [(ts_ms-ordered raw access units)], or None when the payload has no
+    video track.  A real frame sampler seeks to the sync sample nearest
+    each wanted timestamp — same policy here, over the parsed stss."""
+    from metacrafter_spark.ops.mp4_codec import parse_mp4
+
+    info = parse_mp4(data)
+    vids = [t for t in info["tracks"] if t["kind"] == "video"
+            and t["samples"]]
+    if not vids:
+        return None
+    samples = vids[0]["samples"]
+    keys = [s for s in samples if s[3]] or samples
+    dur = dur_ms or info["duration_ms"] or keys[-1][2]
+    n_wanted = max(int((dur or 0) // every_ms), 1)
+    want = np.linspace(0, max(dur - 1, 0), min(n_wanted, len(keys)))
+    key_ts = np.array([k[2] for k in keys], dtype=np.int64)
+    picked, seen = [], set()
+    for w in want:
+        i = int(np.abs(key_ts - w).argmin())
+        if i not in seen:
+            seen.add(i)
+            off, size, _ts, _k = keys[i]
+            picked.append(data[off:off + size])
+    return picked
+
+
 def sample_frames(df: DataFrame, every_ms: int = 1000, *,
                   strict: bool = False) -> DataFrame:
-    """video rows → time-spaced frame rows.  MCVF streams yield REAL
-    frame bytes (PPM); unknown containers follow strict/fallback
-    (fallback: deterministic 32-byte digests as frame stand-ins)."""
+    """video rows → time-spaced frame rows.  MCVF streams and animated
+    GIFs yield REAL frame bytes (PPM); MP4 yields the CODED sample
+    bytes of the sync sample nearest each wanted timestamp (the
+    container layer is parsed for real; bitstream decode stays gated);
+    unknown containers follow strict/fallback (fallback: deterministic
+    32-byte digests as frame stand-ins)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -455,6 +492,26 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, *,
                                          b["content"]):
                 data = bytes(content or b"")
                 n_wanted = max(int((dur or 0) // every_ms), 1)
+                if data[4:8] == b"ftyp":
+                    try:
+                        picked = _mp4_keyframe_samples(
+                            data, int(dur or 0), every_ms)
+                    except _DECODE_ERRORS:
+                        picked = None
+                    if picked is not None:
+                        for j, unit in enumerate(picked):
+                            out["media_id"].append(mid)
+                            out["frame_idx"].append(j)
+                            out["frame"].append(unit)
+                        continue
+                    _decode_external(data, strict)
+                    for i in range(min(n_wanted, 16)):
+                        out["media_id"].append(mid)
+                        out["frame_idx"].append(i)
+                        out["frame"].append(
+                            hashlib.sha256(
+                                data + i.to_bytes(4, "big")).digest())
+                    continue
                 frames = None
                 if data[:4] == _VIDEO_MAGIC or data[:6] in (b"GIF87a",
                                                            b"GIF89a"):
@@ -492,6 +549,68 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, *,
     return df.filter(F.col("kind") == "video").select(
         "media_id", "duration_ms", "content"
     ).mapInPandas(kernel, FRAME_SCHEMA)
+
+
+SAMPLE_INDEX_SCHEMA = (
+    "media_id long, track_id int, kind string, codec string, "
+    "sample_idx int, offset long, size long, ts_ms long, keyframe boolean"
+)
+
+
+def index_media_samples(df: DataFrame, *, strict: bool = False) -> DataFrame:
+    """MP4/MP3 rows → one row per contained sample/frame: (track,
+    codec, byte offset, size, timestamp, keyframe flag), parsed from
+    the real container structures (``ops/mp4_codec.py``) without
+    touching any coded payload.
+
+    This is the 100 TB-scale artifact: downstream decode stages join
+    against this index and read only keyframe-aligned byte ranges,
+    instead of shipping whole videos to every decoder task.  The kernel
+    is a map-side ``mapInPandas`` — no shuffle; the output is ~40 bytes
+    per sample vs megabytes per payload.
+
+    ``strict=False`` skips unparseable/foreign payloads (0 rows);
+    ``strict=True`` raises on them."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from metacrafter_spark.ops.mp4_codec import parse_mp3, parse_mp4
+
+        cols = ("media_id", "track_id", "kind", "codec", "sample_idx",
+                "offset", "size", "ts_ms", "keyframe")
+        for b in batches:
+            out = {c: [] for c in cols}
+
+            def put(mid, tid, kind, codec, i, off, sz, ts, key):
+                for c, v in zip(cols, (mid, tid, kind, codec, i, off,
+                                       sz, ts, key)):
+                    out[c].append(v)
+
+            for mid, content in zip(b["media_id"], b["content"]):
+                data = bytes(content or b"")
+                try:
+                    if data[4:8] == b"ftyp":
+                        info = parse_mp4(data)
+                        for t in info["tracks"]:
+                            for i, (off, sz, ts, key) in enumerate(
+                                    t["samples"]):
+                                put(mid, t["id"], t["kind"], t["codec"],
+                                    i, off, sz, ts, key)
+                    elif data[:3] == b"ID3" or (
+                            len(data) >= 2 and data[0] == 0xFF
+                            and (data[1] & 0xE0) == 0xE0):
+                        info = parse_mp3(data)
+                        for i, (off, sz, ts) in enumerate(info["frames"]):
+                            put(mid, 0, "audio", "mp3", i, off, sz, ts,
+                                True)
+                    elif strict:
+                        raise ValueError("unknown media container")
+                except _DECODE_ERRORS:
+                    if strict:
+                        raise
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "content").mapInPandas(
+        kernel, SAMPLE_INDEX_SCHEMA)
 
 
 def synth_media(spark, n: int, seed: int = 42, partitions: int = 4) -> DataFrame:

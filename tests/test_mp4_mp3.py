@@ -1,0 +1,215 @@
+"""MP4 (ISO BMFF) / MP3 container-layer tests (round 5).
+
+The parsers recover the sample/frame byte-range index without decoding
+any coded payload.  Fixtures are hand-assembled from the public box /
+frame-header layouts with PLANTED offsets, sizes, timestamps and
+keyframe flags, so every recovered value is asserted against an
+independently-known ground truth (not against the parser itself).
+MP3 frame sizes additionally pin the spec's published arithmetic
+(144·bitrate/rate + padding → the well-known 417/418-byte frames at
+128 kbps / 44.1 kHz).
+"""
+
+import struct
+
+import pytest
+
+from metacrafter_spark.ops.mp4_codec import parse_mp3, parse_mp4
+
+
+def box(fourcc: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + fourcc + payload
+
+
+def fullbox(fourcc: bytes, version: int, payload: bytes) -> bytes:
+    return box(fourcc, bytes([version, 0, 0, 0]) + payload)
+
+
+SIZES = [10, 11, 12, 13, 14, 15]
+LETTERS = b"ABCDEF"
+
+
+def build_mp4(largesize_mdat=False, with_stss=True, v1_mvhd=False):
+    """6 video samples, 2 chunks × 3 samples, timescale 1000, delta
+    100 ticks (= 100 ms), keyframes at samples 1 and 4 (1-based)."""
+    ftyp = box(b"ftyp", b"isom" + b"\x00" * 4 + b"isom")
+    mdat_payload = b"".join(bytes([LETTERS[i]]) * SIZES[i]
+                            for i in range(6))
+    if largesize_mdat:
+        mdat = (struct.pack(">I", 1) + b"mdat"
+                + struct.pack(">Q", 16 + len(mdat_payload)) + mdat_payload)
+        base = len(ftyp) + 16
+    else:
+        mdat = box(b"mdat", mdat_payload)
+        base = len(ftyp) + 8
+    chunk1_off = base
+    chunk2_off = base + sum(SIZES[:3])
+
+    if v1_mvhd:
+        mvhd = fullbox(b"mvhd", 1, struct.pack(">QQIQ", 0, 0, 1000, 600)
+                       + b"\x00" * 80)
+    else:
+        mvhd = fullbox(b"mvhd", 0, struct.pack(">IIII", 0, 0, 1000, 600)
+                       + b"\x00" * 80)
+    tkhd = fullbox(b"tkhd", 0, struct.pack(">III", 0, 0, 7) + b"\x00" * 72)
+    mdhd = fullbox(b"mdhd", 0, struct.pack(">IIII", 0, 0, 1000, 600)
+                   + b"\x00" * 4)
+    hdlr = fullbox(b"hdlr", 0, b"\x00" * 4 + b"vide" + b"\x00" * 13)
+    stsd = fullbox(b"stsd", 0, struct.pack(">I", 1)
+                   + box(b"avc1", b"\x00" * 70))
+    stts = fullbox(b"stts", 0, struct.pack(">III", 1, 6, 100))
+    stsc = fullbox(b"stsc", 0, struct.pack(">IIII", 1, 1, 3, 1))
+    stsz = fullbox(b"stsz", 0, struct.pack(">II", 0, 6)
+                   + struct.pack(">6I", *SIZES))
+    stco = fullbox(b"stco", 0, struct.pack(">III", 2, chunk1_off,
+                                           chunk2_off))
+    stbl_kids = stsd + stts + stsc + stsz + stco
+    if with_stss:
+        stbl_kids += fullbox(b"stss", 0, struct.pack(">III", 2, 1, 4))
+    stbl = box(b"stbl", stbl_kids)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov, chunk1_off, chunk2_off
+
+
+def test_mp4_sample_table_planted_values():
+    data, c1, c2 = build_mp4()
+    info = parse_mp4(data)
+    assert info["brand"] == "isom"
+    assert info["duration_ms"] == 600
+    (t,) = info["tracks"]
+    assert (t["id"], t["kind"], t["codec"], t["timescale"]) == \
+        (7, "video", "avc1", 1000)
+    # offsets advance within each chunk by the prior sample sizes
+    exp_off = [c1, c1 + 10, c1 + 21, c2, c2 + 13, c2 + 27]
+    got = t["samples"]
+    assert [s[0] for s in got] == exp_off
+    assert [s[1] for s in got] == SIZES
+    assert [s[2] for s in got] == [0, 100, 200, 300, 400, 500]
+    assert [s[3] for s in got] == [True, False, False, True, False, False]
+    # the index points at exactly the planted bytes
+    for (off, size, _ts, _k), letter in zip(got, LETTERS):
+        assert data[off:off + size] == bytes([letter]) * size
+
+
+def test_mp4_variants_and_gates():
+    # 64-bit largesize mdat shifts every offset by 8 — still exact
+    data, c1, _ = build_mp4(largesize_mdat=True)
+    t = parse_mp4(data)["tracks"][0]
+    assert t["samples"][0][:2] == (c1, 10)
+    assert data[c1:c1 + 10] == b"A" * 10
+    # no stss → every sample is a sync sample
+    data, _, _ = build_mp4(with_stss=False)
+    assert all(s[3] for s in parse_mp4(data)["tracks"][0]["samples"])
+    # version-1 mvhd (64-bit times)
+    data, _, _ = build_mp4(v1_mvhd=True)
+    assert parse_mp4(data)["duration_ms"] == 600
+    # gates
+    with pytest.raises(ValueError, match="ftyp"):
+        parse_mp4(b"\x00\x00\x00\x08free")
+    frag, _, _ = build_mp4()
+    with pytest.raises(NotImplementedError, match="fragmented"):
+        parse_mp4(frag + box(b"moof", b""))
+    with pytest.raises(ValueError, match="moov"):
+        parse_mp4(box(b"ftyp", b"isom" + b"\x00" * 8))
+
+
+def mp3_frame(bitrate_idx=9, padding=0, version=3, layer_bits=1):
+    """One MPEG audio frame; defaults = MPEG-1 Layer III, 128 kbps,
+    44.1 kHz → the spec's canonical 417-byte (418 padded) frame."""
+    b2 = 0xE0 | (version << 3) | (layer_bits << 1) | 1
+    b3 = (bitrate_idx << 4) | (0 << 2) | (padding << 1)
+    hdr = bytes([0xFF, b2, b3, 0x00])
+    sizes = {9: 417, 12: 731}  # 128 kbps → 417, 224 kbps → 731 @44.1
+    size = sizes[bitrate_idx] + padding
+    return hdr + bytes(size - 4)
+
+
+def test_mp3_frame_walk_id3_and_vbr():
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 1, 3]) + bytes(131)  # sz 131
+    f1, f2, f3 = mp3_frame(), mp3_frame(padding=1), mp3_frame(12)
+    info = parse_mp3(id3 + f1 + f2 + f3)
+    assert info["sample_rate"] == 44100 and not info["vbr"]
+    assert [(o, s) for o, s, _ in info["frames"]] == [
+        (141, 417), (558, 418), (976, 731)]
+    # 1152 samples/frame @44100 → 26.122 ms per frame
+    assert [t for _, _, t in info["frames"]] == [0, 26, 52]
+    assert info["duration_ms"] == round(3 * 1152 * 1000 / 44100)
+
+    # Xing tag in the first frame body flags VBR
+    body = bytearray(mp3_frame())
+    body[20:24] = b"Xing"
+    assert parse_mp3(bytes(body))["vbr"]
+
+    # resync over garbage between frames
+    info = parse_mp3(b"\x00garbage\xff\x00" + f1 + b"junk" + f2)
+    assert [(o, s) for o, s, _ in info["frames"]] == [(10, 417), (431, 418)]
+
+    with pytest.raises(ValueError, match="no MPEG audio frames"):
+        parse_mp3(b"not audio at all")
+    with pytest.raises(NotImplementedError, match="free-format"):
+        parse_mp3(mp3_frame()[:2] + b"\x00\x00" + bytes(413))
+
+
+def test_mp3_mpeg2_layer2_sizes():
+    # MPEG-2 (version bits 10) Layer II 48 kbps @ 24 kHz:
+    # 1152/8 · 48000/24000 = 288 bytes
+    b2 = 0xE0 | (2 << 3) | (2 << 1) | 1          # MPEG-2, Layer II
+    b3 = (6 << 4) | (1 << 2) | 0                  # LSF idx 6 = 48 kbps, 24 kHz
+    data = bytes([0xFF, b2, b3, 0]) + bytes(284)
+    info = parse_mp3(data)
+    assert info["frames"] == [(0, 288, 0)]
+    assert info["sample_rate"] == 24000
+
+
+def test_index_and_sample_frames_spark(spark):
+    """Spark surface: index_media_samples emits the planted index rows
+    through a zero-shuffle mapInPandas; sample_frames on MP4 yields the
+    CODED bytes of keyframe samples; strict/lax contracts hold."""
+    from metacrafter_spark.ops.multimodal import (
+        index_media_samples, sample_frames,
+    )
+
+    mp4, c1, c2 = build_mp4()
+    mp3 = mp3_frame() + mp3_frame(padding=1)
+    rows = [
+        (1, "video", "video/mp4", None, None, 600, bytearray(mp4)),
+        (2, "audio", "audio/mpeg", None, None, None, bytearray(mp3)),
+        (3, "video", "video/x-bad", None, None, 100, bytearray(b"????")),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, mime string, width int, "
+              "height int, duration_ms int, content binary")
+
+    idx = index_media_samples(df).orderBy("media_id", "sample_idx")
+    got = [(r.media_id, r.kind, r.codec, r.offset, r.size, r.ts_ms,
+            r.keyframe) for r in idx.collect()]
+    exp_mp4 = [(1, "video", "avc1", o, s, t, k) for (o, s, t, k) in [
+        (c1, 10, 0, True), (c1 + 10, 11, 100, False),
+        (c1 + 21, 12, 200, False), (c2, 13, 300, True),
+        (c2 + 13, 14, 400, False), (c2 + 27, 15, 500, False)]]
+    exp_mp3 = [(2, "audio", "mp3", 0, 417, 0, True),
+               (2, "audio", "mp3", 417, 418, 26, True)]
+    assert got == exp_mp4 + exp_mp3  # row 3 skipped in lax mode
+
+    with pytest.raises(Exception):  # strict surfaces the bad payload
+        index_media_samples(df, strict=True).collect()
+
+    # sample_frames: keyframes at 0ms and 300ms; ask for 2 frames
+    frames = sample_frames(df.filter("media_id = 1"), every_ms=300)\
+        .orderBy("frame_idx").collect()
+    assert [bytes(r.frame) for r in frames] == [b"A" * 10, b"D" * 13]
+
+    # the plan is map-side only: no Exchange
+    plan = idx._sc._jvm.PythonSQLUtils.explainString(
+        idx._jdf.queryExecution(), "formatted") \
+        if hasattr(idx._sc._jvm, "PythonSQLUtils") else ""
+    # fall back to the python-side explain string
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        index_media_samples(df).explain("formatted")
+    assert "Exchange" not in buf.getvalue()
