@@ -18,7 +18,14 @@ brief (frame sampling over opaque binary columns).
 MP4 scope: 32/64-bit box sizes, moov/mvhd/trak/tkhd/mdia/mdhd/hdlr/
 stbl with stts (decode deltas), stsz/stz2-fixed, stsc, stco/co64,
 stss (sync table; absent = every sample a keyframe), first stsd entry
-fourcc per track.  Fragmented MP4 (moof) and edit lists gate honestly.
+fourcc per track.  Fragmented MP4 (the DASH/CMAF layout dominating
+real web video): mvex/trex + mehd defaults, then per-moof traf walks —
+tfhd (explicit base-data-offset, default-base-is-moof, or the spec's
+first-traf-moof / subsequent-traf-end-of-previous default), tfdt v0/v1
+decode-time anchor (absent = continue the per-track cursor), trun
+per-sample size/duration/flags overrides with first-sample-flags, and
+keyframes from the sample_is_non_sync_sample flag bit.  Edit lists are
+ignored (DTS-based index) — a documented simplification, not a gate.
 
 MP3 scope: ID3v2 skip (syncsafe size), MPEG-1/2/2.5 Layer I/II/III
 frame-size arithmetic (bitrate/samplerate tables from the public
@@ -152,19 +159,161 @@ def _parse_stbl(data: bytes, s: int, e: int, timescale: int) -> list[tuple]:
     return samples
 
 
+def _parse_trex(data: bytes, ms: int, me: int):
+    """moov/mvex → ({track_id: (def_duration, def_size, def_flags)},
+    mehd fragment_duration ticks or 0)."""
+    defaults: dict[int, tuple] = {}
+    frag_dur = 0
+    mvex = _find(data, ms, me, b"mvex")
+    if mvex is None:
+        return defaults, frag_dur
+    for fc, s, _e in _iter_boxes(data, mvex[0], mvex[1]):
+        if fc == b"trex":
+            _, p = _fullbox(data, s)
+            tid, _sdi, dur, size, flags = struct.unpack_from(
+                ">IIIII", data, p)
+            defaults[tid] = (dur, size, flags)
+        elif fc == b"mehd":
+            ver, p = _fullbox(data, s)
+            (frag_dur,) = struct.unpack_from(
+                ">Q" if ver == 1 else ">I", data, p)
+    return defaults, frag_dur
+
+
+def _parse_moof(data: bytes, moof_pos: int, s: int, e: int,
+                trex: dict, next_ts: dict, out: dict) -> None:
+    """One moof box → append (offset, size, ts_ticks, keyframe) rows to
+    ``out[track_id]``.  Offsets resolve per ISO 14496-12 §8.8.7: tfhd
+    base-data-offset if present, else moof start under
+    default-base-is-moof, else moof start for the first traf / end of
+    the previous traf's data for subsequent ones."""
+    prev_end: Optional[int] = None
+    for fc, ts_, te in _iter_boxes(data, s, e):
+        if fc != b"traf":
+            continue
+        tfhd = _find(data, ts_, te, b"tfhd")
+        if tfhd is None:
+            raise ValueError("traf missing tfhd")
+        flags = int.from_bytes(data[tfhd[0] + 1:tfhd[0] + 4], "big")
+        p = tfhd[0] + 4
+        (tid,) = struct.unpack_from(">I", data, p)
+        p += 4
+        base: Optional[int] = None
+        if flags & 0x01:          # base-data-offset-present
+            (base,) = struct.unpack_from(">Q", data, p)
+            p += 8
+        if flags & 0x02:          # sample-description-index-present
+            p += 4
+        d_dur = d_size = d_flags = None
+        if flags & 0x08:
+            (d_dur,) = struct.unpack_from(">I", data, p)
+            p += 4
+        if flags & 0x10:
+            (d_size,) = struct.unpack_from(">I", data, p)
+            p += 4
+        if flags & 0x20:
+            (d_flags,) = struct.unpack_from(">I", data, p)
+            p += 4
+        tdef = trex.get(tid, (0, 0, 0))
+        if d_dur is None:
+            d_dur = tdef[0]
+        if d_size is None:
+            d_size = tdef[1]
+        if d_flags is None:
+            d_flags = tdef[2]
+        if base is None:
+            if flags & 0x20000 or prev_end is None:  # default-base-is-moof
+                base = moof_pos
+            else:
+                base = prev_end
+
+        tfdt = _find(data, ts_, te, b"tfdt")
+        if tfdt is not None:
+            ver, p2 = _fullbox(data, tfdt[0])
+            (t,) = struct.unpack_from(">Q" if ver == 1 else ">I",
+                                      data, p2)
+        else:
+            t = next_ts.get(tid, 0)
+
+        cursor: Optional[int] = None
+        for fc2, s2, _e2 in _iter_boxes(data, ts_, te):
+            if fc2 != b"trun":
+                continue
+            tr_flags = int.from_bytes(data[s2 + 1:s2 + 4], "big")
+            p = s2 + 4
+            (n,) = struct.unpack_from(">I", data, p)
+            p += 4
+            if tr_flags & 0x01:   # data-offset-present (signed)
+                (doff,) = struct.unpack_from(">i", data, p)
+                p += 4
+                off = base + doff
+            else:
+                off = cursor if cursor is not None else base
+            first_flags = None
+            if tr_flags & 0x04:   # first-sample-flags-present
+                (first_flags,) = struct.unpack_from(">I", data, p)
+                p += 4
+            rows = out.setdefault(tid, [])
+            for i in range(n):
+                dur, sz, sf = d_dur, d_size, d_flags
+                if tr_flags & 0x100:
+                    (dur,) = struct.unpack_from(">I", data, p)
+                    p += 4
+                if tr_flags & 0x200:
+                    (sz,) = struct.unpack_from(">I", data, p)
+                    p += 4
+                if tr_flags & 0x400:
+                    (sf,) = struct.unpack_from(">I", data, p)
+                    p += 4
+                if tr_flags & 0x800:  # composition offset: PTS-only, skip
+                    p += 4
+                if i == 0 and first_flags is not None:
+                    sf = first_flags
+                key = not (sf & 0x10000)  # sample_is_non_sync_sample
+                rows.append((off, sz, t, key))
+                off += sz
+                t += dur
+            cursor = off
+        next_ts[tid] = t
+        prev_end = cursor if cursor is not None else base
+
+
+def _parse_fragments(data: bytes, end: int, trex: dict) -> dict:
+    """All top-level moof boxes → {track_id: [(off, size, ts_ticks,
+    keyframe)]} in file order."""
+    out: dict[int, list] = {}
+    next_ts: dict[int, int] = {}
+    pos = 0
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", data, pos)
+        fourcc = data[pos + 4:pos + 8]
+        hdr = 8
+        if size == 1:
+            (size,) = struct.unpack_from(">Q", data, pos + 8)
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError(f"bad box size {size} for {fourcc!r}")
+        if fourcc == b"moof":
+            _parse_moof(data, pos, pos + hdr, pos + size, trex,
+                        next_ts, out)
+        pos += size
+    return out
+
+
 def parse_mp4(data: bytes) -> dict:
     """MP4 bytes → {'brand', 'duration_ms', 'tracks': [...]} where each
     track is {'id', 'kind' ('video'|'audio'|'other'), 'codec' (stsd
     fourcc), 'timescale', 'samples': [(offset, size, ts_ms, keyframe)]}.
-    No coded payload is touched.
+    Handles both self-contained (stbl-indexed) and fragmented
+    (moof/traf/trun) layouts.  No coded payload is touched.
     """
     end = len(data)
     ftyp = _find(data, 0, end, b"ftyp")
     if ftyp is None:
         raise ValueError("not an MP4 (no ftyp box)")
     brand = data[ftyp[0]:ftyp[0] + 4].decode("ascii", "replace")
-    if _find(data, 0, end, b"moof") is not None:
-        raise NotImplementedError("fragmented MP4 (moof) not supported")
     moov = _find(data, 0, end, b"moov")
     if moov is None:
         raise ValueError("MP4 missing moov box")
@@ -179,6 +328,12 @@ def parse_mp4(data: bytes) -> dict:
     else:
         mv_scale, mv_dur = struct.unpack_from(">II", data, p + 8)
     duration_ms = int(round(mv_dur * 1000 / mv_scale)) if mv_scale else 0
+
+    trex, frag_dur = _parse_trex(data, ms, me)
+    frag_samples = _parse_fragments(data, end, trex) if trex or _find(
+        data, 0, end, b"moof") is not None else {}
+    if not duration_ms and frag_dur and mv_scale:
+        duration_ms = int(round(frag_dur * 1000 / mv_scale))
 
     tracks = []
     for fc, ts_, te in _iter_boxes(data, ms, me):
@@ -209,11 +364,19 @@ def parse_mp4(data: bytes) -> dict:
             (n_entries,) = struct.unpack_from(">I", data, p)
             if n_entries:
                 codec = data[p + 8:p + 12].decode("ascii", "replace")
+        samples = _parse_stbl(data, stbl[0], stbl[1], scale)
+        for off, sz, ticks, key in frag_samples.get(track_id, ()):
+            samples.append((off, sz,
+                            int(round(ticks * 1000 / scale)) if scale
+                            else 0, key))
         tracks.append({
             "id": track_id, "kind": kind, "codec": codec,
             "timescale": scale,
-            "samples": _parse_stbl(data, stbl[0], stbl[1], scale),
+            "samples": samples,
         })
+    if not duration_ms and tracks:
+        duration_ms = max((t["samples"][-1][2] for t in tracks
+                           if t["samples"]), default=0)
     return {"brand": brand, "duration_ms": duration_ms, "tracks": tracks}
 
 

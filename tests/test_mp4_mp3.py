@@ -109,11 +109,179 @@ def test_mp4_variants_and_gates():
     # gates
     with pytest.raises(ValueError, match="ftyp"):
         parse_mp4(b"\x00\x00\x00\x08free")
-    frag, _, _ = build_mp4()
-    with pytest.raises(NotImplementedError, match="fragmented"):
-        parse_mp4(frag + box(b"moof", b""))
     with pytest.raises(ValueError, match="moov"):
         parse_mp4(box(b"ftyp", b"isom" + b"\x00" * 8))
+    # a stray empty moof contributes no samples and breaks nothing
+    frag, _, _ = build_mp4()
+    assert parse_mp4(frag + box(b"moof", b""))["tracks"][0]["samples"] \
+        == parse_mp4(frag)["tracks"][0]["samples"]
+
+
+def build_fragmented_mp4():
+    """CMAF-style layout: moov carries only empty sample tables plus
+    mvex defaults (trex: duration 100, flags non-sync; mehd 800 ticks);
+    two moof+mdat fragments carry the 6 planted samples.
+
+    Fragment 1 (samples A/B/C, sizes 10/11/12): default-base-is-moof,
+    tfdt v1 t=0, trun with explicit data-offset + per-sample sizes +
+    first-sample-flags marking sample 1 sync.
+    Fragment 2 (samples D/E/F, all size 13): explicit tfhd
+    base-data-offset + default-sample-size, NO tfdt (decode-time cursor
+    continues at 300), trun without data-offset (base used directly),
+    per-sample durations 100/100/200, first sample sync.
+    """
+    ftyp = box(b"ftyp", b"cmfc" + b"\x00" * 4 + b"iso6")
+
+    mvhd = fullbox(b"mvhd", 0, struct.pack(">IIII", 0, 0, 1000, 0)
+                   + b"\x00" * 80)
+    tkhd = fullbox(b"tkhd", 0, struct.pack(">III", 0, 0, 7) + b"\x00" * 72)
+    mdhd = fullbox(b"mdhd", 0, struct.pack(">IIII", 0, 0, 1000, 0)
+                   + b"\x00" * 4)
+    hdlr = fullbox(b"hdlr", 0, b"\x00" * 4 + b"vide" + b"\x00" * 13)
+    stsd = fullbox(b"stsd", 0, struct.pack(">I", 1)
+                   + box(b"avc1", b"\x00" * 70))
+    empty_stbl = box(b"stbl", stsd
+                     + fullbox(b"stts", 0, struct.pack(">I", 0))
+                     + fullbox(b"stsc", 0, struct.pack(">I", 0))
+                     + fullbox(b"stsz", 0, struct.pack(">II", 0, 0))
+                     + fullbox(b"stco", 0, struct.pack(">I", 0)))
+    trak = box(b"trak", tkhd + box(b"mdia", mdhd + hdlr
+                                   + box(b"minf", empty_stbl)))
+    mvex = box(b"mvex",
+               fullbox(b"mehd", 0, struct.pack(">I", 800))
+               + fullbox(b"trex", 0, struct.pack(">IIIII", 7, 1, 100, 0,
+                                                 0x10000)))
+    moov = box(b"moov", mvhd + trak + mvex)
+
+    # fragment 1
+    mdat1 = box(b"mdat", b"A" * 10 + b"B" * 11 + b"C" * 12)
+    trun1_flags = 0x01 | 0x04 | 0x200  # data-offset, first-flags, sizes
+    tfhd1 = box(b"tfhd", bytes([0]) + (0x20000).to_bytes(3, "big")
+                + struct.pack(">I", 7))
+    tfdt1 = box(b"tfdt", bytes([1, 0, 0, 0]) + struct.pack(">Q", 0))
+
+    def moof1(data_offset):
+        trun = box(b"trun", bytes([0]) + trun1_flags.to_bytes(3, "big")
+                   + struct.pack(">IiI", 3, data_offset, 0)
+                   + struct.pack(">III", 10, 11, 12))
+        return box(b"moof",
+                   fullbox(b"mfhd", 0, struct.pack(">I", 1))
+                   + box(b"traf", tfhd1 + tfdt1 + trun))
+
+    moof1_size = len(moof1(0))
+    frag1 = moof1(moof1_size + 8) + mdat1  # samples start at mdat1 payload
+
+    # fragment 2
+    base2 = len(ftyp) + len(moov) + len(frag1)  # abs offset of moof2
+    mdat2_payload_off = None  # computed after moof2 size known
+    trun2_flags = 0x04 | 0x100  # first-flags, per-sample durations
+    tfdt_absent = b""
+
+    def moof2(base_off):
+        tfhd = box(b"tfhd", bytes([0]) + (0x01 | 0x10).to_bytes(3, "big")
+                   + struct.pack(">IQI", 7, base_off, 13))
+        trun = box(b"trun", bytes([0]) + trun2_flags.to_bytes(3, "big")
+                   + struct.pack(">II", 3, 0)
+                   + struct.pack(">III", 100, 100, 200))
+        return box(b"moof",
+                   fullbox(b"mfhd", 0, struct.pack(">I", 2))
+                   + box(b"traf", tfhd + tfdt_absent + trun))
+
+    moof2_size = len(moof2(0))
+    mdat2_payload_off = base2 + moof2_size + 8
+    frag2 = moof2(mdat2_payload_off) + box(b"mdat", b"D" * 13 + b"E" * 13
+                                           + b"F" * 13)
+    data = ftyp + moov + frag1 + frag2
+    c1 = len(ftyp) + len(moov) + moof1_size + 8
+    return data, c1, mdat2_payload_off
+
+
+def test_fragmented_mp4_planted_values():
+    data, c1, c2 = build_fragmented_mp4()
+    info = parse_mp4(data)
+    assert info["brand"] == "cmfc"
+    assert info["duration_ms"] == 800  # from mehd (mvhd duration is 0)
+    (t,) = info["tracks"]
+    assert (t["id"], t["kind"], t["codec"]) == (7, "video", "avc1")
+    got = t["samples"]
+    assert [s[0] for s in got] == [c1, c1 + 10, c1 + 21,
+                                   c2, c2 + 13, c2 + 26]
+    assert [s[1] for s in got] == [10, 11, 12, 13, 13, 13]
+    # frag1: trex default duration 100; frag2 continues the cursor at
+    # 300 with explicit durations 100/100/200
+    assert [s[2] for s in got] == [0, 100, 200, 300, 400, 500]
+    # first-sample-flags (0 = sync) beat the trex non-sync default
+    assert [s[3] for s in got] == [True, False, False,
+                                   True, False, False]
+    # the index points at exactly the planted bytes
+    for (off, size, _ts, _k), letter in zip(got, b"ABCDEF"):
+        assert data[off:off + size] == bytes([letter]) * size
+
+
+def test_fragmented_mp4_spec_default_base_offsets():
+    """tfhd with NEITHER base-data-offset NOR default-base-is-moof:
+    first traf bases at the moof start, the second at the end of the
+    first traf's data (ISO 14496-12 §8.8.7 defaults)."""
+    ftyp = box(b"ftyp", b"isom" + b"\x00" * 4 + b"iso6")
+    mvhd = fullbox(b"mvhd", 0, struct.pack(">IIII", 0, 0, 1000, 0)
+                   + b"\x00" * 80)
+
+    def trak(tid, handler):
+        tkhd = fullbox(b"tkhd", 0, struct.pack(">III", 0, 0, tid)
+                       + b"\x00" * 72)
+        mdhd = fullbox(b"mdhd", 0, struct.pack(">IIII", 0, 0, 1000, 0)
+                       + b"\x00" * 4)
+        hdlr = fullbox(b"hdlr", 0, b"\x00" * 4 + handler + b"\x00" * 13)
+        stsd = fullbox(b"stsd", 0, struct.pack(">I", 1)
+                       + box(b"mp4a" if handler == b"soun" else b"avc1",
+                             b"\x00" * 70))
+        stbl = box(b"stbl", stsd
+                   + fullbox(b"stts", 0, struct.pack(">I", 0))
+                   + fullbox(b"stsc", 0, struct.pack(">I", 0))
+                   + fullbox(b"stsz", 0, struct.pack(">II", 0, 0))
+                   + fullbox(b"stco", 0, struct.pack(">I", 0)))
+        return box(b"trak", tkhd + box(b"mdia", mdhd + hdlr
+                                       + box(b"minf", stbl)))
+
+    mvex = box(b"mvex",
+               fullbox(b"trex", 0, struct.pack(">IIIII", 7, 1, 100, 0, 0))
+               + fullbox(b"trex", 0, struct.pack(">IIIII", 8, 1, 50, 0,
+                                                 0)))
+    moov = box(b"moov", mvhd + trak(7, b"vide") + trak(8, b"soun") + mvex)
+
+    def traf(tid, trun_body_flags, trun_payload):
+        tfhd = box(b"tfhd", bytes([0, 0, 0, 0]) + struct.pack(">I", tid))
+        trun = box(b"trun", bytes([0])
+                   + trun_body_flags.to_bytes(3, "big") + trun_payload)
+        return box(b"traf", tfhd + trun)
+
+    def moof_at(data_offset):
+        # traf1 (track 7): explicit data-offset, 2 samples sized 10/11
+        # traf2 (track 8): no data-offset → bases at end of traf1 data
+        t1 = traf(7, 0x01 | 0x200,
+                  struct.pack(">Ii", 2, data_offset)
+                  + struct.pack(">II", 10, 11))
+        t2 = traf(8, 0x200, struct.pack(">I", 2)
+                  + struct.pack(">II", 12, 13))
+        return box(b"moof", fullbox(b"mfhd", 0, struct.pack(">I", 1))
+                   + t1 + t2)
+
+    msize = len(moof_at(0))
+    payload = b"A" * 10 + b"B" * 11 + b"C" * 12 + b"D" * 13
+    data = ftyp + moov + moof_at(msize + 8) + box(b"mdat", payload)
+    base = len(ftyp) + len(moov) + msize + 8
+
+    tracks = {t["id"]: t for t in parse_mp4(data)["tracks"]}
+    assert [s[:2] for s in tracks[7]["samples"]] == \
+        [(base, 10), (base + 10, 11)]
+    # track 8 starts exactly where track 7's data ended
+    assert [s[:2] for s in tracks[8]["samples"]] == \
+        [(base + 21, 12), (base + 33, 13)]
+    assert [s[2] for s in tracks[7]["samples"]] == [0, 100]
+    assert [s[2] for s in tracks[8]["samples"]] == [0, 50]
+    for (off, size, _ts, _k), letter in zip(
+            tracks[7]["samples"] + tracks[8]["samples"], b"ABCD"):
+        assert data[off:off + size] == bytes([letter]) * size
 
 
 def mp3_frame(bitrate_idx=9, padding=0, version=3, layer_bits=1):
