@@ -187,6 +187,59 @@ def _ima_adpcm_expand(body: bytes, nch: int, block_align: int,
     return out.reshape(-1)
 
 
+_MS_COEF1 = np.array([256, 512, 0, 192, 240, 460, 392], np.int64)
+_MS_COEF2 = np.array([0, -256, 0, 64, 0, -208, -232], np.int64)
+_MS_ADAPT = np.array([230, 230, 230, 230, 307, 409, 512, 614,
+                      768, 614, 512, 409, 307, 230, 230, 230], np.int64)
+
+
+def _ms_adpcm_expand(body: bytes, nch: int, block_align: int,
+                     samples_per_block: int) -> np.ndarray:
+    """WAV MS-ADPCM (format 0x0002) → interleaved int16, decoded from
+    the public Microsoft block layout: per-channel (predictor-index u8,
+    idelta s16, sample1 s16, sample2 s16) headers, then 4-bit codes
+    HIGH nibble first, channels interleaved per nibble.  sample2 is the
+    chronologically FIRST output sample.  Vectorized across blocks ×
+    channels; only the within-block sample axis is sequential."""
+    nblocks = len(body) // block_align
+    if nblocks == 0 or nch < 1:
+        return np.empty(0, np.int16)
+    blocks = np.frombuffer(body[:nblocks * block_align],
+                           np.uint8).reshape(nblocks, block_align)
+    pred = np.minimum(blocks[:, :nch].astype(np.int64), 6)
+    c1, c2 = _MS_COEF1[pred], _MS_COEF2[pred]
+
+    def s16(col):  # little-endian signed 16 at per-channel column pairs
+        lo = blocks[:, col:col + 2 * nch:2].astype(np.int64)
+        hi = blocks[:, col + 1:col + 2 * nch:2].astype(np.int64)
+        v = lo | (hi << 8)
+        return np.where(v & 0x8000, v - 0x10000, v)
+
+    delta = s16(nch)
+    samp1 = s16(3 * nch)
+    samp2 = s16(5 * nch)
+
+    n_coded = max(samples_per_block - 2, 0)
+    out = np.empty((nblocks, samples_per_block, nch), np.int16)
+    out[:, 0, :] = samp2.astype(np.int16)
+    if samples_per_block > 1:
+        out[:, 1, :] = samp1.astype(np.int16)
+    data = blocks[:, 7 * nch:]
+    nib = np.empty((nblocks, data.shape[1], 2), np.uint8)
+    nib[..., 0] = data >> 4          # high nibble first
+    nib[..., 1] = data & 0x0F
+    stream = nib.reshape(nblocks, -1)  # nibble i → channel i % nch
+    for i in range(n_coded):
+        code = stream[:, i * nch:(i + 1) * nch].astype(np.int64)
+        signed = np.where(code >= 8, code - 16, code)
+        predicted = (samp1 * c1 + samp2 * c2) >> 8
+        new = np.clip(predicted + signed * delta, -0x8000, 0x7FFF)
+        samp2, samp1 = samp1, new
+        delta = np.maximum((_MS_ADAPT[code] * delta) >> 8, 16)
+        out[:, 2 + i, :] = new.astype(np.int16)
+    return out.reshape(-1)
+
+
 def _alaw_expand(a: np.ndarray) -> np.ndarray:
     """G.711 A-law byte → 16-bit linear (audioop/G.711 convention;
     after the 0x55 toggle, a CLEAR msb means negative)."""
@@ -204,10 +257,10 @@ def decode_wav(data: bytes) -> np.ndarray:
 
     Formats (round 5 — previously raw PCM16 only): PCM 8-bit unsigned /
     16-bit / 24-bit / 32-bit, IEEE float32/64 (scaled to int16), G.711
-    µ-law and A-law (codes 7/6), IMA/DVI ADPCM (code 0x11, any channel
-    count; a fact chunk trims the tail block), and
-    WAVE_FORMAT_EXTENSIBLE wrapping any of those.  A missing fmt chunk
-    falls back to PCM16."""
+    µ-law and A-law (codes 7/6), IMA/DVI ADPCM (code 0x11) and
+    MS-ADPCM (code 0x02) at any channel count (a fact chunk trims the
+    tail block), and WAVE_FORMAT_EXTENSIBLE wrapping any of those.  A
+    missing fmt chunk falls back to PCM16."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos = 12
@@ -220,7 +273,7 @@ def decode_wav(data: bytes) -> np.ndarray:
             fmt_code, nch = struct.unpack_from("<HH", body, 0)
             (block_align,) = struct.unpack_from("<H", body, 12)
             (bits,) = struct.unpack_from("<H", body, 14)
-            if fmt_code == 0x11 and size >= 20:  # IMA: extra u16 is
+            if fmt_code in (0x02, 0x11) and size >= 20:  # extra u16 is
                 (spb,) = struct.unpack_from("<H", body, 18)  # samples/block
             if fmt_code == 0xFFFE and size >= 26:  # EXTENSIBLE
                 # SubFormat GUID starts at fmt-body offset 24 (base 16
@@ -254,6 +307,15 @@ def decode_wav(data: bytes) -> np.ndarray:
                 return _mulaw_expand(np.frombuffer(body, dtype=np.uint8))
             if fmt_code == 6:      # A-law
                 return _alaw_expand(np.frombuffer(body, dtype=np.uint8))
+            if fmt_code == 0x02:   # MS-ADPCM
+                if block_align < 7 * max(nch, 1):
+                    raise ValueError("MS ADPCM block align too small")
+                if not spb:
+                    spb = (block_align - 7 * nch) * 2 // nch + 2
+                out = _ms_adpcm_expand(body, nch, block_align, spb)
+                if fact_frames is not None:
+                    out = out[:fact_frames * nch]
+                return out
             if fmt_code == 0x11:   # IMA/DVI ADPCM
                 if block_align < 4 * max(nch, 1):
                     raise ValueError("IMA ADPCM block align too small")
