@@ -1628,6 +1628,51 @@ def q_html_extract_text(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC container round-trip under the north rule's Common-Crawl
+    input shape (io/warc.py, clean-room ISO 28500 — the reference has
+    no WARC source, ``metacrafter/core.py`` scans stop at flat files):
+    the BASELINE-shape corpus is exported distributively as
+    member-per-record ``.warc.gz`` shards + CDXJ indexes, read back via
+    the CDX-indexed range-fetch scan (index is line-splittable text →
+    record-level parallelism; each task inflates exactly one gzip
+    member per record), text is re-extracted from the scanned html
+    bytes, and the oracle hashes the committed fixture's url/text
+    columns directly.  Hash equality proves the whole chain — WARC/HTTP
+    framing, gzip members, CDX offsets, timestamp round-trip, html
+    byte-identity, extractor — on all 2000 documents."""
+    import shutil
+    import tempfile
+
+    from metacrafter_spark.corpus.html import with_extracted_text
+    from metacrafter_spark.corpus.webpages import synth_webpages
+    from metacrafter_spark.io.warc import scan_warc_cdx, write_warc_shards
+
+    out_dir = os.path.join(tempfile.gettempdir(), "mc_warc_q_2000_42")
+    done = os.path.join(out_dir, "_DONE")
+    if not os.path.exists(done):
+        if os.path.exists(out_dir):
+            shutil.rmtree(out_dir)
+        os.makedirs(out_dir)
+        corpus = synth_webpages(spark, 2000, seed=42, partitions=8)
+        n = sum(r["n_records"]
+                for r in write_warc_shards(corpus, out_dir, 4).collect())
+        assert n == 2000, n
+        open(done, "w").close()
+    scanned = scan_warc_cdx(spark, os.path.join(out_dir, "*.cdx"),
+                            out_dir)
+    out = with_extracted_text(scanned, "html", "tx")
+    return out.select(
+        F.regexp_extract("url", r"/article/(\d+)$", 1).cast("long")
+        .alias("doc_id"),
+        F.sha2(F.col("url"), 256).alias("url_sha"),
+        F.sha2(F.col("tx"), 256).alias("extract_sha"),
+        F.length("tx").alias("n_chars"),
+        F.col("http_status").cast("int").alias("http_status"),
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("warc_dt"),
+    ).orderBy("doc_id")
+
+
 def q_corpus_pipeline(spark, sf_dir):
     """Full keep/drop pipeline on the BASELINE-shape synthetic corpus,
     oracle-checked PER DOCUMENT (round-4 upgrade from rows-only): the
@@ -1909,6 +1954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub_hashes": q_pii_scrub,
         # html:binary → text extraction, byte-identity per url (round 5)
         "html_extract_text": q_html_extract_text,
+        "warc_roundtrip": q_warc_roundtrip,
         # pure-Python Iceberg v2 layer: append + dynamic partition
         # overwrite + time travel, read back through the manifest
         # metadata (round 5)
@@ -3082,6 +3128,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT regexp_extract(url, '/article/(\\d+)$', 1)::BIGINT AS doc_id,
                    sha256(text) AS extract_sha,
                    length(text)::BIGINT AS n_chars
+            FROM read_parquet('""" + WEBCORPUS_FIXTURE + """')
+            ORDER BY doc_id
+        """),
+        "warc_roundtrip": ("""
+            SELECT regexp_extract(url, '/article/(\\d+)$', 1)::BIGINT AS doc_id,
+                   sha256(url) AS url_sha,
+                   sha256(text) AS extract_sha,
+                   length(text)::BIGINT AS n_chars,
+                   200::INT AS http_status,
+                   strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS warc_dt
             FROM read_parquet('""" + WEBCORPUS_FIXTURE + """')
             ORDER BY doc_id
         """),
