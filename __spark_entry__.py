@@ -1887,6 +1887,53 @@ def q_iceberg_scan(spark, sf_dir):
     ).orderBy("snapshot_id", "lang")
 
 
+def q_iceberg_bucket_prune(spark, sf_dir):
+    """Iceberg bucket-transform partitioning + pruning (round 5,
+    io/iceberg.py transforms — spec-conformant 32-bit Murmur3 bucket,
+    validated against the spec's Appendix B vectors in
+    tests/test_iceberg_transforms.py): documents land in a table
+    partitioned by bucket(8, doc_id) — how a 10¹²-doc corpus would
+    actually shard — then each bucket is read back through its OWN
+    pruned metadata plan.  Every row carries ``bucket_ok`` (the bucket
+    recomputed in-plan from doc_id equals the partition that served
+    it; oracle expects TRUE), and the union of the 8 pruned reads must
+    tile the table exactly — any lost/duplicated/misplaced file breaks
+    row count, hash, or the flag."""
+    import hashlib
+    import shutil
+    import tempfile
+    from functools import reduce
+
+    from metacrafter_spark.io.iceberg import (
+        IcebergTable, transform_spark_column)
+
+    loc = os.path.join(
+        tempfile.gettempdir(),
+        "mc_icebkt_q_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    if os.path.exists(loc):
+        shutil.rmtree(loc)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    t = IcebergTable.create(loc, docs.schema,
+                            partition_by=["bucket(8, doc_id)"])
+    t.append(docs)
+    t = IcebergTable.load(loc)
+    parts = []
+    for k in range(8):
+        d = t.read(spark, partition_filter={"doc_id_bucket": k})
+        parts.append(d.withColumn(
+            "bucket_ok",
+            transform_spark_column("bucket[8]", "doc_id", "long")
+            == F.lit(k)))
+    u = reduce(DataFrame.unionByName, parts)
+    return u.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("text_sha"),
+        F.col("lang"),
+        F.col("bucket_ok"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": q_tpch_q1,
@@ -1959,6 +2006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # overwrite + time travel, read back through the manifest
         # metadata (round 5)
         "iceberg_scan": q_iceberg_scan,
+        "iceberg_bucket_prune": q_iceberg_bucket_prune,
         # hash-green ANN quality bars (round 4): exact top-k rows are
         # SQL-replayed; recall_ok is computed in-query vs the exact set
         # (oracle expects TRUE — the fp_stable invariant pattern)
@@ -3123,6 +3171,17 @@ def oracle_sql() -> dict[str, str]:
             FROM u
             GROUP BY 1, 2
             ORDER BY 1, 2
+        """,
+        # the 8 pruned bucket reads must tile documents exactly, and
+        # every row's in-plan recomputed bucket must equal the bucket
+        # that served it
+        "iceberg_bucket_prune": """
+            SELECT doc_id,
+                   sha256(text) AS text_sha,
+                   lang,
+                   TRUE AS bucket_ok
+            FROM documents
+            ORDER BY doc_id
         """,
         "html_extract_text": ("""
             SELECT regexp_extract(url, '/article/(\\d+)$', 1)::BIGINT AS doc_id,

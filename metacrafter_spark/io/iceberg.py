@@ -38,9 +38,24 @@ iceberg-spark runtime is on the classpath; this layer is the bundled,
 sandbox-runnable implementation of the same contract and doubles as a
 fixture generator whose files any real Iceberg reader should accept.
 
-Scope (documented honest boundary): identity partition transforms only
-(bucket/truncate/day/... raise), parquet data files, copy-on-write
-overwrite (no v2 delete files), single-table hadoop-style directories.
+Partition transforms (spec: Partition Transforms) are supported:
+``identity``, ``bucket[N]`` (32-bit Murmur3 of the spec's single-value
+hash serialization, ``(hash & Int.MAX) % N`` — validated against the
+spec's published vectors), ``truncate[W]`` (ints toward −∞, strings by
+codepoint prefix), and ``year``/``month``/``day``/``hour`` (epoch-based,
+timezone-independent).  ``partition_by`` accepts ``"col"``,
+``"bucket(16, col)"``, ``"truncate(4, col)"``, ``"day(col)"``, etc.
+Transform partition values are computed AT WRITE as extra columns
+(bucket via an Arrow-batched pandas UDF, everything else pure JVM
+expressions), so the source column stays in the data files and reads
+need no reconstruction; pruning works at both the manifest-list
+(field_summary bounds) and file (partition value) levels through the
+transform's result type.
+
+Scope (documented honest boundary): parquet data files, copy-on-write
+overwrite (no v2 delete files), single-table hadoop-style directories;
+``void`` transform and bucket/truncate over float/double (disallowed
+by the spec) raise.
 """
 
 from __future__ import annotations
@@ -53,6 +68,7 @@ import uuid
 from dataclasses import dataclass, field
 from typing import Any, Iterable, Optional
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
@@ -144,6 +160,238 @@ def iceberg_schema_to_spark(schema: dict) -> T.StructType:
     return T.StructType(fields)
 
 
+# ------------------------------------------------------------ transforms
+
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """32-bit Murmur3 (x86 variant) — the public-domain hash the
+    Iceberg spec mandates for bucket transforms (Appendix B)."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data)
+    rounded = n & ~3
+    for i in range(0, rounded, 4):
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    if rounded < n:
+        k = int.from_bytes(data[rounded:], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def bucket_hash_bytes(ice_type: str, v: Any) -> bytes:
+    """Spec Appendix B hash serialization: every integral/temporal type
+    widens to a signed 8-byte little-endian long (so ``bucket(34 as
+    int) == bucket(34 as long)``), strings hash their UTF-8 bytes,
+    decimals their minimal big-endian unscaled value."""
+    import datetime as _dt
+    import decimal as _dec
+
+    if ice_type in ("int", "long"):
+        return struct.pack("<q", int(v))
+    if ice_type == "date":
+        if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+            v = (v - _dt.date(1970, 1, 1)).days
+        return struct.pack("<q", int(v))
+    if ice_type in ("timestamp", "timestamptz"):
+        if isinstance(v, _dt.datetime):
+            v = int(v.replace(tzinfo=_dt.timezone.utc).timestamp()
+                    * 1_000_000)
+        return struct.pack("<q", int(v))
+    if ice_type == "string":
+        return str(v).encode("utf8")
+    if ice_type in ("binary", "fixed"):
+        return bytes(v)
+    if ice_type.startswith("decimal"):
+        unscaled = int(_dec.Decimal(v).scaleb(
+            int(ice_type[ice_type.index(",") + 1:ice_type.index(")")])))
+        length = max(1, (unscaled.bit_length() + 8) // 8)
+        return unscaled.to_bytes(length, "big", signed=True)
+    raise ValueError(f"bucket transform is not defined for {ice_type!r}")
+
+
+def bucket_value(ice_type: str, v: Any, n: int) -> Optional[int]:
+    if v is None:
+        return None
+    return (murmur3_32(bucket_hash_bytes(ice_type, v)) & 0x7FFFFFFF) % n
+
+
+_TIME_TRANSFORMS = ("year", "month", "day", "hour")
+
+
+def parse_partition_item(item: str) -> tuple[str, str, str]:
+    """``"col"`` / ``"bucket(16, col)"`` / ``"day(col)"`` →
+    ``(field_name, transform, source_column)``."""
+    item = item.strip()
+    if "(" not in item:
+        return item, "identity", item
+    head, _, rest = item.partition("(")
+    head = head.strip().lower()
+    args = [a.strip() for a in rest.rstrip(")").split(",")]
+    if head in ("bucket", "truncate"):
+        if len(args) != 2 or not args[0].isdigit() or int(args[0]) < 1:
+            raise ValueError(f"bad partition spec item {item!r}")
+        n, col = int(args[0]), args[1]
+        suffix = "bucket" if head == "bucket" else "trunc"
+        return f"{col}_{suffix}", f"{head}[{n}]", col
+    if head in _TIME_TRANSFORMS:
+        if len(args) != 1:
+            raise ValueError(f"bad partition spec item {item!r}")
+        return f"{args[0]}_{head}", head, args[0]
+    if head == "void":
+        raise NotImplementedError("void transform")
+    raise ValueError(f"unknown partition transform in {item!r}")
+
+
+def transform_result_type(transform: str, source_type: str) -> str:
+    """Result type of a partition transform (spec: Partition
+    Transforms)."""
+    if transform == "identity":
+        return source_type
+    if transform.startswith("bucket["):
+        if source_type in ("float", "double", "boolean"):
+            raise ValueError(f"bucket over {source_type} is disallowed")
+        return "int"
+    if transform.startswith("truncate["):
+        if source_type not in ("int", "long", "string", "binary") and \
+                not source_type.startswith("decimal"):
+            raise ValueError(f"truncate over {source_type} is disallowed")
+        return source_type
+    if transform == "day":
+        if source_type not in ("date", "timestamp", "timestamptz"):
+            raise ValueError(f"day() over {source_type}")
+        return "date"
+    if transform in ("year", "month"):
+        if source_type not in ("date", "timestamp", "timestamptz"):
+            raise ValueError(f"{transform}() over {source_type}")
+        return "int"
+    if transform == "hour":
+        if source_type not in ("timestamp", "timestamptz"):
+            raise ValueError("hour() over non-timestamp")
+        return "int"
+    raise NotImplementedError(f"transform {transform!r}")
+
+
+def _transform_args(transform: str) -> int:
+    return int(transform[transform.index("[") + 1:-1])
+
+
+def transform_spark_column(transform: str, source: str, source_type: str):
+    """The write-side Column computing a partition value.  Everything
+    except bucket is a pure JVM expression; bucket is an Arrow-batched
+    pandas UDF over the spec's hash serialization.  Temporal transforms
+    go through epoch arithmetic on the internal UTC instant, so results
+    do not depend on the session timezone."""
+    from pyspark.sql import functions as F
+
+    col = F.col(source)
+    if transform == "identity":
+        return col
+    if transform.startswith("truncate["):
+        w = _transform_args(transform)
+        if source_type in ("int", "long"):
+            return (col - F.pmod(col, F.lit(w))).cast(
+                "int" if source_type == "int" else "long")
+        if source_type == "string":
+            return F.substring(col, 1, w)
+        raise NotImplementedError(
+            f"truncate over {source_type} on the Spark write path")
+    if transform in _TIME_TRANSFORMS:
+        if source_type == "date":
+            d = col
+        else:
+            days = F.floor(col.cast("long") / F.lit(86400))
+            d = F.date_add(F.lit("1970-01-01").cast("date"),
+                           days.cast("int"))
+        if transform == "day":
+            return d
+        if transform == "year":
+            return (F.year(d) - F.lit(1970)).cast("int")
+        if transform == "month":
+            return ((F.year(d) - F.lit(1970)) * F.lit(12)
+                    + F.month(d) - F.lit(1)).cast("int")
+        return F.floor(col.cast("long") / F.lit(3600)).cast("int")
+    if transform.startswith("bucket["):
+        n = _transform_args(transform)
+        if source_type in ("float", "double", "boolean"):
+            raise ValueError(f"bucket over {source_type} is disallowed")
+
+        @F.pandas_udf("int")
+        def _bucket(s: pd.Series) -> pd.Series:
+            import datetime as _dt
+            if source_type in ("timestamp", "timestamptz") and \
+                    s.dtype.kind == "M":
+                micros = s.astype("int64") // 1000
+                return pd.Series(
+                    [None if pd.isna(m) else bucket_value(
+                        source_type, int(m), n)
+                     for m in micros.where(s.notna(), other=pd.NA)],
+                    dtype="Int32")
+            return pd.Series(
+                [None if v is None or (isinstance(v, float) and
+                                       pd.isna(v))
+                 else bucket_value(source_type, v, n)
+                 for v in s], dtype="Int32")
+
+        return _bucket(col)
+    raise NotImplementedError(f"transform {transform!r}")
+
+
+def transform_value(transform: str, source_type: str, v: Any) -> Any:
+    """Driver-side twin of :func:`transform_spark_column` — apply a
+    transform to one value (for building ``partition_filter`` dicts
+    from source-space predicates)."""
+    import datetime as _dt
+
+    if v is None:
+        return None
+    if transform == "identity":
+        return v
+    if transform.startswith("bucket["):
+        return bucket_value(source_type, v, _transform_args(transform))
+    if transform.startswith("truncate["):
+        w = _transform_args(transform)
+        if source_type in ("int", "long"):
+            return v - v % w          # python % is non-negative for w>0
+        if source_type == "string":
+            return str(v)[:w]
+        if source_type == "binary":
+            return bytes(v)[:w]
+        raise NotImplementedError(f"truncate over {source_type}")
+    if transform in _TIME_TRANSFORMS:
+        if isinstance(v, _dt.datetime):
+            epoch_s = v.replace(tzinfo=_dt.timezone.utc).timestamp()
+            d = _dt.datetime.fromtimestamp(
+                (epoch_s // 86400) * 86400, _dt.timezone.utc).date()
+            if transform == "hour":
+                return int(epoch_s // 3600)
+        elif isinstance(v, _dt.date):
+            d = v
+            if transform == "hour":
+                raise ValueError("hour() over date")
+        else:
+            raise TypeError(f"temporal transform over {type(v)}")
+        if transform == "day":
+            return d
+        if transform == "year":
+            return d.year - 1970
+        return (d.year - 1970) * 12 + d.month - 1
+    raise NotImplementedError(f"transform {transform!r}")
+
+
 # ---------------------------------------- single-value binary serialization
 
 def single_value_serialize(ice_type: str, v: Any) -> Optional[bytes]:
@@ -173,6 +421,23 @@ def single_value_serialize(ice_type: str, v: Any) -> Optional[bytes]:
             v = (v - _dt.date(1970, 1, 1)).days
         return struct.pack("<i", int(v))
     raise NotImplementedError(f"single-value serialization for {ice_type!r}")
+
+
+def normalize_partition_value(ice_type: str, v: Any) -> Any:
+    """User-facing filter value → the stored partition representation
+    (dates are epoch days, timestamps epoch micros)."""
+    import datetime as _dt
+
+    if v is None:
+        return None
+    if ice_type == "date" and isinstance(v, _dt.date) \
+            and not isinstance(v, _dt.datetime):
+        return (v - _dt.date(1970, 1, 1)).days
+    if ice_type in ("timestamp", "timestamptz") \
+            and isinstance(v, _dt.datetime):
+        return int(v.replace(tzinfo=_dt.timezone.utc).timestamp()
+                   * 1_000_000)
+    return v
 
 
 def single_value_deserialize(ice_type: str, b: Optional[bytes]) -> Any:
@@ -221,16 +486,20 @@ def _avro_type_for(ice_type: str, field_id: int) -> Any:
     raise NotImplementedError(f"avro mapping for iceberg type {ice_type!r}")
 
 
-def _partition_record_schema(spec_fields: list[dict], source_types: dict) -> dict:
+def _partition_record_schema(spec_fields: list[dict],
+                             result_types: dict) -> dict:
     """Avro record for data_file.partition (field name r102 per the
-    convention Iceberg's own Avro files use)."""
+    convention Iceberg's own Avro files use).  ``result_types`` maps
+    partition FIELD name → the transform's result type (int for
+    bucket/year/month/hour, date for day, source type for
+    identity/truncate)."""
     return {
         "type": "record",
         "name": "r102",
         "fields": [
             {
                 "name": pf["name"],
-                "type": ["null", _avro_type_for(source_types[pf["source-id"]],
+                "type": ["null", _avro_type_for(result_types[pf["name"]],
                                                 pf["field-id"])],
                 "field-id": pf["field-id"],
             }
@@ -380,13 +649,20 @@ class IcebergTable:
         ice_schema = spark_schema_to_iceberg(schema)
         by_name = {f["name"]: f for f in ice_schema["fields"]}
         spec_fields = []
-        for i, col in enumerate(partition_by):
+        for i, item in enumerate(partition_by):
+            fname, transform, col = parse_partition_item(item)
             if col not in by_name:
                 raise ValueError(f"partition column {col!r} not in schema")
+            # validates transform/source-type combination eagerly
+            transform_result_type(transform, by_name[col]["type"])
+            if transform != "identity" and fname in by_name:
+                raise ValueError(
+                    f"partition field name {fname!r} collides with a "
+                    "schema column")
             spec_fields.append(
                 {
-                    "name": col,
-                    "transform": "identity",
+                    "name": fname,
+                    "transform": transform,
                     "source-id": by_name[col]["id"],
                     "field-id": _PARTITION_FIELD_ID_START + i,
                 }
@@ -476,16 +752,31 @@ class IcebergTable:
                     if s["spec-id"] == sid)
 
     @property
-    def partition_columns(self) -> list[str]:
-        for pf in self.spec["fields"]:
-            if pf["transform"] != "identity":
-                raise NotImplementedError(
-                    f"transform {pf['transform']!r} (identity only)"
-                )
+    def partition_field_names(self) -> list[str]:
+        """All partition-spec field names (identity + transform)."""
         return [pf["name"] for pf in self.spec["fields"]]
+
+    @property
+    def identity_partition_columns(self) -> list[str]:
+        """Schema columns partitioned by identity — the only partition
+        values that must be re-attached on read (transform partitions
+        keep their source column in the data files)."""
+        return [pf["name"] for pf in self.spec["fields"]
+                if pf["transform"] == "identity"]
 
     def _source_types(self) -> dict:
         return {f["id"]: f["type"] for f in self.schema["fields"]}
+
+    def _partition_result_types(self) -> dict:
+        """Partition field name → the transform's RESULT type (what
+        partition values, hive dir names, and field_summary bounds are
+        typed as)."""
+        src = self._source_types()
+        return {
+            pf["name"]: transform_result_type(pf["transform"],
+                                              src[pf["source-id"]])
+            for pf in self.spec["fields"]
+        }
 
     @property
     def snapshots(self) -> list[Snapshot]:
@@ -532,8 +823,8 @@ class IcebergTable:
         """Write one manifest avro; returns its manifest_file row
         (including field_summary partition bounds for list-level
         pruning)."""
-        src = self._source_types()
-        part_schema = _partition_record_schema(self.spec["fields"], src)
+        part_schema = _partition_record_schema(
+            self.spec["fields"], self._partition_result_types())
         schema = manifest_entry_schema(part_schema)
         name = f"manifest-{uuid.uuid4().hex}.avro"
         path = os.path.join(self.location, "metadata", name)
@@ -549,9 +840,10 @@ class IcebergTable:
         added = [e for e in entries if e["status"] == STATUS_ADDED]
         existing = [e for e in entries if e["status"] == STATUS_EXISTING]
         deleted = [e for e in entries if e["status"] == STATUS_DELETED]
+        result_types = self._partition_result_types()
         summaries = []
         for pf in self.spec["fields"]:
-            ice_t = src[pf["source-id"]]
+            ice_t = result_types[pf["name"]]
             vals = [
                 e["data_file"]["partition"].get(pf["name"])
                 for e in entries
@@ -644,9 +936,8 @@ class IcebergTable:
         import pyarrow.parquet as pq
         from urllib.parse import unquote
 
-        src = self._source_types()
-        by_name = {f["name"]: src[f["id"]] for f in self.schema["fields"]}
-        part_cols = self.partition_columns
+        by_name = self._partition_result_types()
+        part_cols = self.partition_field_names
         out = []
         for dirpath, _dirs, files in os.walk(root):
             rel = os.path.relpath(dirpath, root)
@@ -723,7 +1014,7 @@ class IcebergTable:
         of the same buckets swaps partitions instead of duplicating —
         the resume-path idempotency contract with real snapshot
         isolation."""
-        part_cols = self.partition_columns
+        part_cols = self.partition_field_names
         if not part_cols:
             raise ValueError("overwrite_partitions needs a partitioned table")
         added = self._write_data(df)
@@ -787,7 +1078,6 @@ class IcebergTable:
         parallel, no driver data movement."""
         job_dir = os.path.join(
             self.location, "data", f"job-{uuid.uuid4().hex}")
-        part_cols = self.partition_columns
         expected = self.spark_schema
         got = {f.name for f in df.schema.fields}
         want = {f.name for f in expected.fields}
@@ -796,7 +1086,20 @@ class IcebergTable:
                 f"dataframe columns {sorted(got)} != table columns "
                 f"{sorted(want)}"
             )
-        w = df.select(*[f.name for f in expected.fields]).write
+        out = df.select(*[f.name for f in expected.fields])
+        src = self._source_types()
+        id_by_src = {f["id"]: f["name"] for f in self.schema["fields"]}
+        part_cols = []
+        for pf in self.spec["fields"]:
+            part_cols.append(pf["name"])
+            if pf["transform"] == "identity":
+                continue  # column already present; partitionBy drops it
+            out = out.withColumn(
+                pf["name"],
+                transform_spark_column(pf["transform"],
+                                       id_by_src[pf["source-id"]],
+                                       src[pf["source-id"]]))
+        w = out.write
         if part_cols:
             w = w.partitionBy(*part_cols)
         w.mode("errorifexists").parquet(job_dir)
@@ -827,11 +1130,17 @@ class IcebergTable:
             )
             if snap is None:
                 raise ValueError(f"no snapshot {snapshot_id}")
-        src = self._source_types()
         spec_fields = self.spec["fields"]
-        part_types = {pf["name"]: src[pf["source-id"]] for pf in spec_fields}
+        part_types = self._partition_result_types()
         pf_idx = {pf["name"]: i for i, pf in enumerate(spec_fields)}
 
+        if partition_filter:
+            # user-space values → stored representation (date→days,…)
+            partition_filter = {
+                col: normalize_partition_value(part_types[col], v)
+                if col in part_types else v
+                for col, v in partition_filter.items()
+            }
         files = []
         for mf in self._read_manifest_list(snap):
             if partition_filter and mf.get("partitions"):
@@ -884,9 +1193,11 @@ class IcebergTable:
         files = self.plan_files(
             snapshot_id=snapshot_id, partition_filter=partition_filter)
         schema = self.spark_schema
-        part_cols = self.partition_columns
-        data_cols = [f.name for f in schema.fields
-                     if f.name not in part_cols]
+        # only identity partition values are absent from the data files
+        # (transform partitions keep their source columns) — group and
+        # re-attach by those alone; transform-partition groups merge
+        # into one parquet scan per identity key.
+        part_cols = self.identity_partition_columns
         data_schema = T.StructType(
             [f for f in schema.fields if f.name not in part_cols])
         if not files:

@@ -227,12 +227,15 @@ def test_unpartitioned_table(spark, tmp_path):
     assert all(r["partitions"] is None for r in rows)
 
 
-def test_identity_only_transform_gate(tmp_path):
+def test_unknown_transform_gate(tmp_path):
+    # bucket/truncate/time transforms are implemented (see
+    # test_iceberg_transforms.py); the honest gate now covers only
+    # transforms this layer genuinely lacks (void / future spec adds).
     loc = str(tmp_path / "tbl")
     t = IcebergTable.create(loc, SCHEMA, partition_by=["bucket_id"])
-    t.metadata["partition-specs"][0]["fields"][0]["transform"] = "bucket[16]"
-    with pytest.raises(NotImplementedError, match="identity"):
-        _ = t.partition_columns
+    t.metadata["partition-specs"][0]["fields"][0]["transform"] = "void"
+    with pytest.raises(NotImplementedError, match="void"):
+        t._partition_result_types()
 
 
 def test_tableio_bridge_resume_flow(spark, tmp_path):

@@ -1,0 +1,219 @@
+"""Iceberg partition transforms (spec: Partition Transforms +
+Appendix B): murmur3 bucket conformance against the spec's published
+vectors, write/read round-trips under bucket/truncate/time transforms,
+manifest+file pruning through transform result types, and dynamic
+partition overwrite keyed on transform values.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from metacrafter_spark.io.iceberg import (
+    IcebergTable, bucket_value, bucket_hash_bytes, murmur3_32,
+    parse_partition_item, transform_result_type, transform_value,
+)
+
+
+# ---------------------------------------------------------------------------
+# spec conformance (Appendix B published hash vectors)
+# ---------------------------------------------------------------------------
+
+def _h32(ice_type, v):
+    h = murmur3_32(bucket_hash_bytes(ice_type, v))
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def test_bucket_hash_spec_vectors():
+    # the exact vectors the Iceberg Table Spec publishes
+    assert _h32("int", 34) == 2017239379
+    assert _h32("long", 34) == 2017239379          # int widens to long
+    assert _h32("string", "iceberg") == 1210000089
+    assert _h32("date", dt.date(2017, 11, 16)) == -653330422
+    assert _h32("decimal(9, 2)", "14.20") == -500754589
+    assert _h32("timestamp",
+                dt.datetime(2017, 11, 16, 22, 31, 8)) == -2047944441
+
+
+def test_bucket_value_range_and_null():
+    for v in ("a", "b", "", "https://x.example/1"):
+        b = bucket_value("string", v, 16)
+        assert 0 <= b < 16
+    assert bucket_value("string", None, 16) is None
+    # int and long agree (widening rule)
+    assert bucket_value("int", 34, 8) == bucket_value("long", 34, 8)
+
+
+def test_parse_partition_item():
+    assert parse_partition_item("lang") == ("lang", "identity", "lang")
+    assert parse_partition_item("bucket(16, url)") == \
+        ("url_bucket", "bucket[16]", "url")
+    assert parse_partition_item("truncate(4, domain)") == \
+        ("domain_trunc", "truncate[4]", "domain")
+    assert parse_partition_item("day(warc_ts)") == \
+        ("warc_ts_day", "day", "warc_ts")
+    with pytest.raises(ValueError):
+        parse_partition_item("bucket(url)")
+    with pytest.raises(NotImplementedError):
+        parse_partition_item("void(x)")
+    with pytest.raises(ValueError):
+        parse_partition_item("sponge(3, x)")
+
+
+def test_result_types_and_disallowed():
+    assert transform_result_type("bucket[8]", "string") == "int"
+    assert transform_result_type("truncate[4]", "long") == "long"
+    assert transform_result_type("day", "timestamp") == "date"
+    assert transform_result_type("year", "date") == "int"
+    assert transform_result_type("hour", "timestamp") == "int"
+    with pytest.raises(ValueError):
+        transform_result_type("bucket[8]", "double")
+    with pytest.raises(ValueError):
+        transform_result_type("truncate[4]", "float")
+    with pytest.raises(ValueError):
+        transform_result_type("hour", "date")
+
+
+def test_transform_value_driver_twin():
+    assert transform_value("truncate[10]", "long", -7) == -10
+    assert transform_value("truncate[10]", "long", 17) == 10
+    assert transform_value("truncate[3]", "string", "abcdef") == "abc"
+    ts = dt.datetime(2025, 1, 2, 3, 4, 5)
+    assert transform_value("day", "timestamp", ts) == dt.date(2025, 1, 2)
+    assert transform_value("year", "timestamp", ts) == 55
+    assert transform_value("month", "timestamp", ts) == 55 * 12
+    assert transform_value("hour", "timestamp", ts) == \
+        (ts - dt.datetime(1970, 1, 1)) // dt.timedelta(hours=1)
+
+
+# ---------------------------------------------------------------------------
+# table round-trips
+# ---------------------------------------------------------------------------
+
+def _corpus(spark, n=120):
+    from metacrafter_spark.corpus.webpages import synth_webpages
+    return synth_webpages(spark, n, seed=11, partitions=4) \
+        .select("url", "warc_ts", "text", "lang")
+
+
+def test_bucket_day_table_roundtrip(spark, tmp_path):
+    df = _corpus(spark).cache()
+    loc = str(tmp_path / "t1")
+    t = IcebergTable.create(
+        loc, df.schema, partition_by=["bucket(8, url)", "day(warc_ts)"])
+    t.append(df)
+    back = t.read(spark)
+    assert back.count() == 120
+    # full fidelity: source columns survive transform partitioning
+    a = {(r["url"], r["text"], r["warc_ts"]) for r in df.collect()}
+    b = {(r["url"], r["text"], r["warc_ts"]) for r in back.collect()}
+    assert a == b
+
+
+def test_bucket_pruning_exact(spark, tmp_path):
+    df = _corpus(spark).cache()
+    loc = str(tmp_path / "t2")
+    t = IcebergTable.create(loc, df.schema, partition_by=["bucket(8, url)"])
+    t.append(df)
+    all_files = t.plan_files()
+    seen_urls = set()
+    for k in range(8):
+        files = t.plan_files(partition_filter={"url_bucket": k})
+        assert len(files) < len(all_files)
+        rows = t.read(spark, partition_filter={"url_bucket": k}).collect()
+        for r in rows:
+            # every row in bucket k really hashes to k (driver twin)
+            assert bucket_value("string", r["url"], 8) == k
+            seen_urls.add(r["url"])
+    # the buckets partition the table: union is exactly the input
+    assert seen_urls == {r["url"] for r in df.select("url").collect()}
+
+
+def test_day_pruning_matches_source_filter(spark, tmp_path):
+    # spread timestamps across 10 days (the synth corpus spans seconds)
+    df = _corpus(spark).withColumn(
+        "warc_ts",
+        F.to_timestamp(F.date_add(
+            F.lit("2025-01-01").cast("date"),
+            F.pmod(F.crc32("url"), F.lit(10)).cast("int")))).cache()
+    loc = str(tmp_path / "t3")
+    t = IcebergTable.create(loc, df.schema, partition_by=["day(warc_ts)"])
+    t.append(df)
+    some_day = df.select(F.to_date("warc_ts").alias("d")) \
+        .groupBy("d").count().orderBy(F.desc("count")).first()["d"]
+    pruned = t.read(spark, partition_filter={"warc_ts_day": some_day})
+    expect = df.filter(F.to_date("warc_ts") == F.lit(some_day))
+    assert pruned.count() == expect.count() > 0
+    assert {r["url"] for r in pruned.collect()} == \
+        {r["url"] for r in expect.collect()}
+    # pruning actually skips files
+    assert len(t.plan_files(partition_filter={"warc_ts_day": some_day})) \
+        < len(t.plan_files())
+
+
+def test_truncate_and_identity_mixed(spark, tmp_path):
+    rows = [(i, f"key{i:04d}", 10 * i - 45, "en" if i % 2 else "fr")
+            for i in range(40)]
+    df = spark.createDataFrame(
+        rows, T.StructType([
+            T.StructField("id", T.LongType(), False),
+            T.StructField("k", T.StringType(), False),
+            T.StructField("v", T.LongType(), False),
+            T.StructField("lang", T.StringType(), False)]))
+    loc = str(tmp_path / "t4")
+    t = IcebergTable.create(
+        loc, df.schema,
+        partition_by=["lang", "truncate(3, k)", "truncate(100, v)"])
+    t.append(df)
+    back = t.read(spark)
+    assert {tuple(r) for r in back.collect()} == set(rows)
+    # partition values in manifests use the transform result space
+    for f in t.plan_files():
+        p = f["partition"]
+        assert p["k_trunc"] == "key"
+        assert p["v_trunc"] % 100 == 0
+        assert p["lang"] in ("en", "fr")
+    # file pruning on the truncated value
+    sub = t.read(spark, partition_filter={
+        "v_trunc": 0, "lang": "en"}).collect()
+    assert all(0 <= r["v"] < 100 and r["lang"] == "en" for r in sub)
+    assert len(sub) > 0
+
+
+def test_overwrite_by_bucket(spark, tmp_path):
+    df = _corpus(spark, 60).cache()
+    loc = str(tmp_path / "t5")
+    t = IcebergTable.create(loc, df.schema, partition_by=["bucket(4, url)"])
+    t.append(df)
+    # rewrite bucket contents with tagged text; only touched buckets swap
+    repl = df.filter(
+        F.pmod(F.crc32("url"), F.lit(1)) == 0)  # all rows, recomputed
+    tagged = repl.withColumn("text", F.concat(F.lit("V2:"), "text"))
+    one_bucket = tagged.limit(0)  # placeholder; build per-bucket below
+    # pick the rows whose url buckets to 2 (driver twin), overwrite them
+    urls_b2 = [r["url"] for r in df.collect()
+               if bucket_value("string", r["url"], 4) == 2]
+    assert urls_b2
+    part = tagged.filter(F.col("url").isin(urls_b2))
+    t2 = IcebergTable.load(loc)
+    t2.overwrite_partitions(part)
+    back = t2.read(spark).collect()
+    assert len(back) == 60
+    for r in back:
+        if r["url"] in urls_b2:
+            assert r["text"].startswith("V2:")
+        else:
+            assert not r["text"].startswith("V2:")
+    # time travel still sees the pre-overwrite text
+    first = t2.snapshots[0].snapshot_id
+    old = t2.read(spark, snapshot_id=first).collect()
+    assert all(not r["text"].startswith("V2:") for r in old)
+
+
+def test_field_name_collision_rejected(spark, tmp_path):
+    df = _corpus(spark, 5)
+    bad = df.withColumnRenamed("lang", "url_bucket")
+    with pytest.raises(ValueError, match="collides"):
+        IcebergTable.create(str(tmp_path / "t6"), bad.schema,
+                            partition_by=["bucket(4, url)"])
