@@ -52,10 +52,20 @@ need no reconstruction; pruning works at both the manifest-list
 (field_summary bounds) and file (partition value) levels through the
 transform's result type.
 
-Scope (documented honest boundary): parquet data files, copy-on-write
-overwrite (no v2 delete files), single-table hadoop-style directories;
-``void`` transform and bucket/truncate over float/double (disallowed
-by the spec) raise.
+Row-level deletes are merge-on-read v2 position deletes
+(:meth:`IcebergTable.delete_where`): matching positions are found
+distributively via the file source's hidden ``_metadata.file_path`` /
+``row_index`` columns, written as spec-shaped sorted delete parquet
+under a content=1 delete manifest, and applied at read with one
+(broadcast when small) anti-join — no data file rewrite.  Partition
+overwrite remains copy-on-write and drops delete files that became
+dangling for the overwritten partitions.
+
+Scope (documented honest boundary): parquet data files, no equality
+deletes, delete parquet carries column names but not Iceberg's
+per-column field-id parquet metadata (Spark's writer cannot attach
+it), single-table hadoop-style directories; ``void`` transform and
+bucket/truncate over float/double (disallowed by the spec) raise.
 """
 
 from __future__ import annotations
@@ -818,11 +828,13 @@ class IcebergTable:
     # ------------------------------------------------------ write paths
 
     def _write_manifest(
-        self, entries: list[dict], snapshot_id: int, sequence_number: int
+        self, entries: list[dict], snapshot_id: int, sequence_number: int,
+        *, content: int = 0,
     ) -> dict:
         """Write one manifest avro; returns its manifest_file row
         (including field_summary partition bounds for list-level
-        pruning)."""
+        pruning).  ``content`` 0 = data manifest, 1 = delete manifest
+        (spec: Manifest Lists field 517)."""
         part_schema = _partition_record_schema(
             self.spec["fields"], self._partition_result_types())
         schema = manifest_entry_schema(part_schema)
@@ -833,7 +845,7 @@ class IcebergTable:
             "partition-spec": json.dumps(self.spec["fields"]),
             "partition-spec-id": str(self.spec["spec-id"]),
             "format-version": "2",
-            "content": "data",
+            "content": "deletes" if content == 1 else "data",
         }
         write_ocf(path, schema, entries, extra_meta=meta_entries)
 
@@ -864,7 +876,7 @@ class IcebergTable:
             "manifest_path": path,
             "manifest_length": os.path.getsize(path),
             "partition_spec_id": self.spec["spec-id"],
-            "content": 0,
+            "content": content,
             "sequence_number": sequence_number,
             "min_sequence_number": min(
                 (e["sequence_number"] for e in entries
@@ -928,11 +940,13 @@ class IcebergTable:
 
     # ---------------------------------------------------- file tracking
 
-    def _collect_data_files(self, root: str) -> list[dict]:
+    def _collect_data_files(self, root: str, *,
+                            content: int = 0) -> list[dict]:
         """Walk newly written parquet under ``root`` into data_file
         structs — record counts come from parquet footers (pyarrow),
         partition values from the hive-style directory names Spark's
-        ``partitionBy`` writes."""
+        ``partitionBy`` writes.  ``content`` 1 marks position-delete
+        files (spec: data_file field 134)."""
         import pyarrow.parquet as pq
         from urllib.parse import unquote
 
@@ -957,7 +971,7 @@ class IcebergTable:
                 meta = pq.ParquetFile(fpath).metadata
                 out.append(
                     {
-                        "content": 0,
+                        "content": content,
                         "file_path": fpath,
                         "file_format": "PARQUET",
                         "partition": {c: pvals.get(c) for c in part_cols},
@@ -1037,8 +1051,9 @@ class IcebergTable:
                 if not drop:
                     manifests.append(mf)  # untouched manifest rides along
                     continue
-                deleted_rows += sum(
-                    e["data_file"]["record_count"] for e in drop)
+                if mf.get("content", 0) == 0:
+                    deleted_rows += sum(
+                        e["data_file"]["record_count"] for e in drop)
                 rewritten = [
                     {**e, "status": STATUS_EXISTING} for e in keep
                 ] + [
@@ -1046,8 +1061,13 @@ class IcebergTable:
                     for e in drop
                 ]
                 if rewritten:
+                    # delete manifests rewrite as delete manifests:
+                    # position deletes scoped to an overwritten
+                    # partition are dangling and drop with it
                     manifests.append(
-                        self._write_manifest(rewritten, snap_id, seq))
+                        self._write_manifest(
+                            rewritten, snap_id, seq,
+                            content=mf.get("content", 0) or 0))
         entries = [
             {
                 "status": STATUS_ADDED,
@@ -1067,6 +1087,131 @@ class IcebergTable:
                 "added-data-files": str(len(added)),
                 "deleted-records": str(deleted_rows),
                 "replace-partitions": "true",
+            },
+            now_ms=now_ms,
+        )
+
+    def delete_where(
+        self, spark: SparkSession, condition, *,
+        now_ms: Optional[int] = None,
+    ) -> Optional[Snapshot]:
+        """Merge-on-read row delete (spec: Position Delete Files,
+        format-version 2): matching rows are located DISTRIBUTEDLY via
+        the file source's hidden ``_metadata.file_path`` /
+        ``_metadata.row_index`` columns — no data file is rewritten —
+        and their positions land in spec-shaped delete parquet
+        (columns ``file_path``, ``pos``, sorted, partition-scoped on a
+        partitioned table), committed as a content=1 delete manifest
+        alongside the parent's untouched data manifests.
+
+        ``condition`` is a SQL string or Column over the table columns
+        (identity partition values are attached first, so predicates
+        may use them).  Returns ``None`` without committing when no
+        row matches.  Honest boundary: the delete parquet lacks
+        Iceberg's per-column field-id metadata (Spark's writer cannot
+        attach it); readers in this layer key on column names.
+        Path-uniqueness note: job dirs are uuid-named so file paths
+        are never reused, hence path-equality alone scopes a delete to
+        exactly the files it was computed from (the sequence-number
+        rule real readers apply is recorded correctly but redundant
+        here)."""
+        import datetime as _dt
+        from functools import reduce
+        from pyspark.sql import functions as F
+
+        data_files = self.plan_files()
+        if not data_files:
+            return None
+        schema = self.spark_schema
+        id_cols = self.identity_partition_columns
+        data_schema = T.StructType(
+            [f for f in schema.fields if f.name not in id_cols])
+        spark_types = {f.name: f.dataType for f in schema.fields}
+        groups: dict[tuple, list[str]] = {}
+        for f in data_files:
+            key = tuple(f["partition"].get(c) for c in id_cols)
+            groups.setdefault(key, []).append(f["file_path"])
+        parts = []
+        for key, paths in sorted(groups.items(), key=lambda kv: str(kv[0])):
+            d = spark.read.schema(data_schema).parquet(*paths)
+            for c, v in zip(id_cols, key):
+                d = d.withColumn(c, F.lit(v).cast(spark_types[c]))
+            parts.append(d.select(
+                *[f.name for f in schema.fields],
+                F.col("_metadata.file_path").alias("__fp"),
+                F.col("_metadata.row_index").alias("__pos")))
+        full = reduce(DataFrame.unionByName, parts)
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        matched = full.filter(cond).select(
+            F.regexp_replace(F.col("__fp"), "^file:/+", "/")
+            .alias("file_path"),
+            F.col("__pos").alias("pos"))
+
+        part_cols = self.partition_field_names
+        job_dir = os.path.join(
+            self.location, "data", f"job-{uuid.uuid4().hex}")
+        if part_cols:
+            # scope delete files to the partition of their target data
+            # file: tiny driver-side (file_path → partition) map,
+            # broadcast-joined
+            result_types = self._partition_result_types()
+
+            def as_py(ice_t, v):
+                if v is not None and ice_t == "date":
+                    return _dt.date(1970, 1, 1) + _dt.timedelta(days=v)
+                return v
+
+            map_rows = [
+                tuple([f["file_path"]] +
+                      [as_py(result_types[c], f["partition"].get(c))
+                       for c in part_cols])
+                for f in data_files
+            ]
+            map_schema = T.StructType(
+                [T.StructField("file_path", T.StringType(), False)] +
+                [T.StructField(c, _ICEBERG_TO_SPARK[result_types[c]]
+                               if result_types[c] in _ICEBERG_TO_SPARK
+                               else T.StringType(), True)
+                 for c in part_cols])
+            fmap = spark.createDataFrame(map_rows, map_schema)
+            out = matched.join(F.broadcast(fmap), "file_path")
+            (out.repartition(*[F.col(c) for c in part_cols])
+             .sortWithinPartitions("file_path", "pos")
+             .write.partitionBy(*part_cols)
+             .mode("errorifexists").parquet(job_dir))
+        else:
+            (matched.repartition(1)
+             .sortWithinPartitions("file_path", "pos")
+             .write.mode("errorifexists").parquet(job_dir))
+
+        delete_files = self._collect_data_files(job_dir, content=1)
+        n_deleted = sum(f["record_count"] for f in delete_files)
+        if n_deleted == 0:
+            import shutil
+            shutil.rmtree(job_dir, ignore_errors=True)
+            return None
+        delete_files = [f for f in delete_files if f["record_count"]]
+        seq = self.metadata["last-sequence-number"] + 1
+        parent = self.current_snapshot
+        snap_id = parent.snapshot_id + 1
+        entries = [
+            {
+                "status": STATUS_ADDED,
+                "snapshot_id": snap_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": f,
+            }
+            for f in delete_files
+        ]
+        manifests = [self._write_manifest(entries, snap_id, seq, content=1)]
+        manifests.extend(self._read_manifest_list(parent))
+        return self._commit_snapshot(
+            manifests,
+            operation="delete",
+            summary={
+                "added-delete-files": str(len(delete_files)),
+                "added-position-deletes": str(n_deleted),
             },
             now_ms=now_ms,
         )
@@ -1118,7 +1263,27 @@ class IcebergTable:
     ) -> list[dict]:
         """Driver-side scan planning: snapshot → manifest list (pruned
         on field_summary bounds) → manifests (pruned on partition
-        values) → live data_file structs.  Mirrors Iceberg planFiles."""
+        values) → live data_file structs.  Mirrors Iceberg planFiles.
+        Data manifests only — position-delete files come from
+        :meth:`plan_deletes`."""
+        return self._plan(snapshot_id, partition_filter, content=0)
+
+    def plan_deletes(
+        self,
+        *,
+        snapshot_id: Optional[int] = None,
+        partition_filter: Optional[dict] = None,
+    ) -> list[dict]:
+        """Live position-delete file structs (content=1 manifests),
+        same pruning as :meth:`plan_files`."""
+        return self._plan(snapshot_id, partition_filter, content=1)
+
+    def _plan(
+        self,
+        snapshot_id: Optional[int],
+        partition_filter: Optional[dict],
+        content: int,
+    ) -> list[dict]:
         if snapshot_id is None:
             snap = self.current_snapshot
             if snap is None:
@@ -1143,6 +1308,8 @@ class IcebergTable:
             }
         files = []
         for mf in self._read_manifest_list(snap):
+            if (mf.get("content", 0) or 0) != content:
+                continue
             if partition_filter and mf.get("partitions"):
                 skip = False
                 for col, want in partition_filter.items():
@@ -1186,11 +1353,17 @@ class IcebergTable:
         values are not stored in the data files (spec: identity
         partitions may omit them — Spark's partitionBy does), so they
         are re-attached as literals per partition group, keeping the
-        scan whole-stage-codegen parquet."""
+        scan whole-stage-codegen parquet.  If the snapshot carries
+        position-delete files (merge-on-read), deleted rows are
+        filtered with one anti-join on (file_path, pos) from the
+        hidden ``_metadata`` columns — broadcast when the delete set
+        is small, shuffled otherwise."""
         from pyspark.sql import functions as F
         from functools import reduce
 
         files = self.plan_files(
+            snapshot_id=snapshot_id, partition_filter=partition_filter)
+        deletes = self.plan_deletes(
             snapshot_id=snapshot_id, partition_filter=partition_filter)
         schema = self.spark_schema
         # only identity partition values are absent from the data files
@@ -1208,15 +1381,21 @@ class IcebergTable:
         for f in files:
             key = tuple(f["partition"].get(c) for c in part_cols)
             groups.setdefault(key, []).append(f["file_path"])
+        spark_types = {f.name: f.dataType for f in schema.fields}
         parts = []
         for key, paths in sorted(groups.items(),
                                  key=lambda kv: str(kv[0])):
             d = spark.read.schema(data_schema).parquet(*paths)
             for c, v in zip(part_cols, key):
-                d = d.withColumn(
-                    c, F.lit(v).cast(dict(
-                        (f.name, f.dataType) for f in schema.fields)[c]))
-            parts.append(d.select(*[f.name for f in schema.fields]))
+                d = d.withColumn(c, F.lit(v).cast(spark_types[c]))
+            cols = [F.col(f.name) for f in schema.fields]
+            if deletes:
+                cols += [
+                    F.regexp_replace(F.col("_metadata.file_path"),
+                                     "^file:/+", "/").alias("__fp"),
+                    F.col("_metadata.row_index").alias("__pos"),
+                ]
+            parts.append(d.select(*cols))
         # Column order/types are re-applied via .to(); nullability
         # follows Spark's file-scan convention (all columns nullable —
         # forcing required flags would need an RDD round-trip, which is
@@ -1225,7 +1404,22 @@ class IcebergTable:
         read_schema = T.StructType(
             [T.StructField(f.name, f.dataType, True)
              for f in schema.fields])
-        return reduce(DataFrame.unionByName, parts).to(read_schema)
+        out = reduce(DataFrame.unionByName, parts)
+        if deletes:
+            dels = spark.read.schema(
+                "file_path string, pos long"
+            ).parquet(*[f["file_path"] for f in deletes])
+            # bounded metadata drives the join strategy: broadcast the
+            # delete set while it is small, shuffle once it is not
+            if sum(f["file_size_in_bytes"] for f in deletes) < 64 << 20:
+                dels = F.broadcast(dels)
+            out = out.join(
+                dels,
+                (out["__fp"] == dels["file_path"])
+                & (out["__pos"] == dels["pos"]),
+                "left_anti",
+            ).drop("__fp", "__pos")
+        return out.select(*[f.name for f in schema.fields]).to(read_schema)
 
 
 class PyIcebergTableIO:

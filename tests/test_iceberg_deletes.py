@@ -1,0 +1,141 @@
+"""Iceberg v2 merge-on-read position deletes (spec: Position Delete
+Files): delete_where locates rows via ``_metadata`` columns, writes
+sorted spec-shaped delete parquet under a content=1 manifest, reads
+apply them with an anti-join, snapshots isolate, and copy-on-write
+overwrite drops dangling deletes for replaced partitions.
+"""
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from metacrafter_spark.io.avro_codec import read_ocf
+from metacrafter_spark.io.iceberg import IcebergTable, bucket_value
+
+
+def _df(spark, n=50, tag=""):
+    rows = [(i, f"{tag}doc {i}", "en" if i % 2 else "fr")
+            for i in range(n)]
+    return spark.createDataFrame(
+        rows, T.StructType([
+            T.StructField("id", T.LongType(), False),
+            T.StructField("text", T.StringType(), False),
+            T.StructField("lang", T.StringType(), False)]))
+
+
+def test_delete_where_unpartitioned(spark, tmp_path):
+    loc = str(tmp_path / "t1")
+    t = IcebergTable.create(loc, _df(spark).schema)
+    t.append(_df(spark))
+    snap = t.delete_where(spark, "id % 10 = 3")
+    assert snap is not None and snap.operation == "delete"
+    assert snap.summary["added-position-deletes"] == "5"
+    back = t.read(spark)
+    ids = sorted(r["id"] for r in back.collect())
+    assert len(ids) == 45 and all(i % 10 != 3 for i in ids)
+    # time travel: snapshot 1 still has every row
+    assert t.read(spark, snapshot_id=1).count() == 50
+    # the delete parquet is spec-shaped and sorted
+    dfiles = t.plan_deletes()
+    assert len(dfiles) >= 1 and all(f["content"] == 1 for f in dfiles)
+    for f in dfiles:
+        tbl = pq.read_table(f["file_path"])
+        assert tbl.column_names == ["file_path", "pos"]
+        pairs = list(zip(tbl.column("file_path").to_pylist(),
+                         tbl.column("pos").to_pylist()))
+        assert pairs == sorted(pairs)
+    # the manifest list marks the delete manifest content=1
+    contents = [mf.get("content", 0)
+                for mf in t._read_manifest_list(t.current_snapshot)]
+    assert sorted(contents) == [0, 1]
+
+
+def test_delete_predicate_no_match_is_noop(spark, tmp_path):
+    loc = str(tmp_path / "t2")
+    t = IcebergTable.create(loc, _df(spark).schema)
+    t.append(_df(spark))
+    v = t.version
+    assert t.delete_where(spark, "id > 1000") is None
+    assert t.version == v          # nothing committed
+    assert t.read(spark).count() == 50
+
+
+def test_deletes_accumulate_and_append_after(spark, tmp_path):
+    loc = str(tmp_path / "t3")
+    t = IcebergTable.create(loc, _df(spark).schema)
+    t.append(_df(spark))
+    t.delete_where(spark, "id < 5")
+    t.delete_where(spark, "id >= 45")
+    assert sorted(r["id"] for r in t.read(spark).collect()) == \
+        list(range(5, 45))
+    # appending new rows after a delete: old deletes still apply,
+    # new rows (including re-used ids) are untouched
+    t.append(_df(spark, 3, tag="NEW "))
+    rows = t.read(spark).collect()
+    assert len(rows) == 43
+    new = [r for r in rows if r["text"].startswith("NEW ")]
+    assert sorted(r["id"] for r in new) == [0, 1, 2]
+
+
+def test_delete_on_identity_partition_predicate(spark, tmp_path):
+    # predicates over identity partition columns work (values are
+    # re-attached before filtering)
+    loc = str(tmp_path / "t4")
+    t = IcebergTable.create(loc, _df(spark).schema, partition_by=["lang"])
+    t.append(_df(spark))
+    t.delete_where(spark, "lang = 'fr' AND id < 20")
+    back = t.read(spark).collect()
+    assert len(back) == 40
+    assert all(not (r["lang"] == "fr" and r["id"] < 20) for r in back)
+    # delete files are partition-scoped: every delete manifest entry
+    # carries lang='fr' only
+    snap = t.current_snapshot
+    for mf in t._read_manifest_list(snap):
+        if (mf.get("content", 0) or 0) != 1:
+            continue
+        for e in read_ocf(mf["manifest_path"]):
+            assert e["data_file"]["partition"]["lang"] == "fr"
+    # partition-filtered reads still apply the deletes
+    fr = t.read(spark, partition_filter={"lang": "fr"})
+    assert sorted(r["id"] for r in fr.collect()) == \
+        [i for i in range(20, 50) if i % 2 == 0]
+
+
+def test_delete_on_bucket_partitioned_table(spark, tmp_path):
+    from metacrafter_spark.corpus.webpages import synth_webpages
+    df = synth_webpages(spark, 80, seed=3, partitions=4) \
+        .select("url", "text", "lang").cache()
+    loc = str(tmp_path / "t5")
+    t = IcebergTable.create(loc, df.schema, partition_by=["bucket(4, url)"])
+    t.append(df)
+    t.delete_where(spark, F.col("lang") == "ru")
+    back = t.read(spark)
+    expect = df.filter(F.col("lang") != "ru")
+    assert {r["url"] for r in back.collect()} == \
+        {r["url"] for r in expect.collect()}
+    # bucket-pruned read of one bucket also honors the deletes
+    for k in range(4):
+        got = t.read(spark, partition_filter={"url_bucket": k}).collect()
+        want = [r for r in expect.collect()
+                if bucket_value("string", r["url"], 4) == k]
+        assert {r["url"] for r in got} == {r["url"] for r in want}
+
+
+def test_overwrite_drops_dangling_deletes(spark, tmp_path):
+    loc = str(tmp_path / "t6")
+    t = IcebergTable.create(loc, _df(spark).schema, partition_by=["lang"])
+    t.append(_df(spark))
+    t.delete_where(spark, "lang = 'en' AND id < 9")
+    assert t.read(spark).count() == 46
+    # replace the whole 'en' partition: its position deletes are now
+    # dangling and must drop with the replaced files
+    repl = _df(spark).filter("lang = 'en'") \
+        .withColumn("text", F.concat(F.lit("V2 "), "text"))
+    t.overwrite_partitions(repl)
+    back = t.read(spark).collect()
+    assert len(back) == 50          # full en partition + untouched fr
+    en = [r for r in back if r["lang"] == "en"]
+    assert len(en) == 25 and all(r["text"].startswith("V2 ") for r in en)
+    # no live delete entries remain for 'en'
+    for f in t.plan_deletes():
+        assert f["partition"]["lang"] != "en"
