@@ -42,6 +42,32 @@ def main(argv=None) -> int:
                     help="comma-separated words; enables the toxicity stage")
     cr.add_argument("--cores", type=int)
 
+    wi = sub.add_parser(
+        "warc-ingest",
+        help="Common-Crawl WARC shards → keep/drop + PII scrub → "
+             "Iceberg table with checkpoint resume (the north-rule "
+             "ingestion path)")
+    wi.add_argument("cdx_glob", help="CDXJ index glob (record-level "
+                                     "parallel range fetch)")
+    wi.add_argument("warc_dir", help="directory holding the .warc.gz "
+                                     "shards the index points into")
+    wi.add_argument("output", help="Iceberg table location for "
+                                   "classified documents")
+    wi.add_argument("metrics", help="Iceberg table location for "
+                                    "per-bucket lineage metrics")
+    wi.add_argument("--resume", action="store_true")
+    wi.add_argument("--plain-parquet", action="store_true",
+                    help="write plain parquet dirs instead of Iceberg "
+                         "tables")
+    wi.add_argument("--toxicity-wordlist",
+                    help="comma-separated words; enables the toxicity "
+                         "stage")
+    wi.add_argument("--buckets", type=int, default=None,
+                    help="lineage/checkpoint bucket count (default "
+                         "256; size so one bucket ≈ one executor-"
+                         "minute of work at your scale)")
+    wi.add_argument("--cores", type=int)
+
     dd = sub.add_parser("dedup", help="near-duplicate detection over a "
                         "parquet table (MinHash-LSH + exact-Jaccard verify)")
     dd.add_argument("input", help="parquet with id + text columns")
@@ -247,6 +273,52 @@ def main(argv=None) -> int:
             print(f"serving on http://{args.host}:{srv.server_address[1]}"
                   "/api/v1/scan_data")
             srv.serve_forever()
+        elif args.cmd == "warc-ingest":
+            from pyspark.sql import functions as F
+            from pyspark.sql import types as T
+
+            from metacrafter_spark.corpus.html import with_extracted_text
+            from metacrafter_spark.corpus.pipeline import (
+                bucket_metrics, classify_corpus,
+            )
+            from metacrafter_spark.corpus.resume import (
+                TableIO, pending_input, run_with_resume,
+            )
+            from metacrafter_spark.io.iceberg import PyIcebergTableIO
+            from metacrafter_spark.io.warc import scan_warc_cdx
+
+            pages = scan_warc_cdx(spark, args.cdx_glob, args.warc_dir)
+            pages = with_extracted_text(pages, "html", "text")
+            src = pages.select(
+                "url", "warc_ts", "html", "text", F.lit("").alias("lang"))
+            wl = (tuple(w.strip()
+                        for w in args.toxicity_wordlist.split(","))
+                  if args.toxicity_wordlist else None)
+            kw = {} if args.buckets is None else \
+                {"n_buckets": args.buckets}
+            classified = classify_corpus(src, toxicity_wordlist=wl, **kw)
+            io = (TableIO(spark) if args.plain_parquet
+                  else PyIcebergTableIO(spark))
+            if args.resume:
+                classified = pending_input(classified, io, args.metrics)
+            metrics_df = bucket_metrics(classified)
+            # the pure-Python Iceberg layer is scalar-typed: expand the
+            # pii_hits struct to per-rule count columns for the write
+            # (metrics aggregate the struct, so they are built first)
+            for f in classified.schema.fields:
+                if isinstance(f.dataType, T.StructType):
+                    for sub_f in f.dataType.fields:
+                        classified = classified.withColumn(
+                            f"{f.name}_{sub_f.name}",
+                            F.col(f"{f.name}.`{sub_f.name}`"))
+                    classified = classified.drop(f.name)
+            n = classified.count()
+            run_with_resume(
+                classified, io, args.output, args.metrics,
+                metrics_df=metrics_df,
+            )
+            kept = io.read(args.output).filter(F.col("keep")).count()
+            print(json.dumps({"processed": n, "kept_total": kept}))
         else:
             from pyspark.sql import functions as F
 
