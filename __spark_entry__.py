@@ -1252,11 +1252,14 @@ def q_quality_flags(spark, sf_dir):
     from metacrafter_spark.corpus.langid_samples import flat_samples
     from metacrafter_spark.corpus.quality import with_quality
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    base = _t(spark, sf_dir, "documents")
+    docs = base.filter(F.col("doc_id") < 100)
     flat = flat_samples()
     snippets = F.array(*[F.lit(t) for (_l, t) in flat])
     n_snip = len(flat)
-    synth = docs.filter(F.col("doc_id") < n_snip).select(
+    # synth ids come from the UNFILTERED table: n_snip may exceed the
+    # docs slice above (34-language pack → 102 snippets)
+    synth = base.filter(F.col("doc_id") < n_snip).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.element_at(snippets,
                      (F.col("doc_id") % n_snip + 1).cast("int")).alias("text"),

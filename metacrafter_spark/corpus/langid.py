@@ -14,11 +14,14 @@ the score then language name).
 ``(script, weight)`` signals) — compiled into plan literals, so a
 deployment can swap or extend languages without touching the engine
 (the same pattern as the toxicity wordlists).  The built-in pack covers
-21 languages: eleven Latin-script (en fr de es pt it nl pl tr id vi),
-two Cyrillic (ru and uk, split by their disjoint stopword sets over the
-shared script signal; Bulgarian/Serbian web text will label ru — supply
-a pack with their stopword sets to split further), and eight
-script-driven (el ar he hi th ko ja zh).  Whitespace-free scripts
+34 languages: eighteen Latin-script (en fr de es pt it nl pl tr id vi
+sv da no fi cs ro hu — the Scandinavian trio and cs/pl split on
+pairwise-disjoint orthographic stopword sets), three Cyrillic (ru uk
+bg, split by disjoint stopword sets over the shared script signal;
+Serbian web text will label ru — supply a pack with its set to split
+further), two Arabic-block (ar fa, same split pattern), and eleven
+script-driven (el he hi bn ta th ka hy ko ja zh).  Whitespace-free
+scripts
 (th/ja/zh) are handled by the script signal itself: the
 ``min_tokens`` short-text guard only fires when no script evidence is
 present, and Japanese/Chinese disambiguate by kana ratio (kana-positive
@@ -77,7 +80,11 @@ SCRIPT_RANGES = {
     "ara": (("؀", "ۿ"),),
     "heb": (("֐", "׿"),),
     "dev": (("ऀ", "ॿ"),),
+    "ben": (("ঀ", "৿"),),                               # Bengali
+    "tam": (("஀", "௿"),),                               # Tamil
     "tha": (("฀", "๿"),),
+    "geo": (("Ⴀ", "ჿ"),),                               # Georgian
+    "arm": (("԰", "֏"),),                               # Armenian
     "han_syl": (("ᄀ", "ᇿ"), ("㄰", "㆏"), ("가", "힣")),  # Hangul
     "kana": (("぀", "ヿ"),),
     "han": (("㐀", "䶿"), ("一", "鿿")),                   # CJK ideographs
@@ -138,6 +145,35 @@ BUILTIN_PACK: LangPack = (
     LangSpec("vi", ("của", "và", "là", "có", "không", "được", "trong",
                     "cho", "người", "này", "với", "các", "một", "để",
                     "những", "khi", "cũng", "đã")),
+    # Scandinavian trio: the sets are pairwise DISJOINT on the
+    # orthographic splits (sv och/att/är/till vs da og/at/er/til vs no
+    # å/av/hva/etter; da af/hvad/efter/mig vs no av/hva/etter/meg), and
+    # the words all three spell identically (og, det, er, på, ikke, som)
+    # are deliberately in NONE of the sets so they can never tip the
+    # argmax.
+    LangSpec("sv", ("och", "att", "är", "från", "inte", "vad", "mycket",
+                    "måste", "där", "här", "ett", "till", "också",
+                    "sina", "vilket")),
+    LangSpec("da", ("af", "hvad", "efter", "sådan", "gør", "mig", "dig",
+                    "vores", "altid", "meget", "nogle", "os", "bliver",
+                    "hende", "mellem")),
+    LangSpec("no", ("å", "av", "hva", "etter", "sånn", "gjør", "meg",
+                    "deg", "vårt", "alltid", "mye", "noen", "oss",
+                    "blir", "mellom")),
+    LangSpec("fi", ("ja", "on", "ei", "että", "oli", "mutta", "hän",
+                    "joka", "myös", "kun", "niin", "tämä", "ovat",
+                    "vain", "jos", "sekä")),
+    # cs avoids every pl token (na/do/to/jest/że…): the sets differ on
+    # the háček/ogonek orthography split
+    LangSpec("cs", ("je", "jsem", "jsou", "byl", "být", "však", "který",
+                    "podle", "již", "mezi", "této", "proto", "také",
+                    "před", "aby")),
+    LangSpec("ro", ("și", "este", "pentru", "care", "mai", "din",
+                    "sunt", "după", "să", "dacă", "către", "fiind",
+                    "această", "între", "foarte")),
+    LangSpec("hu", ("és", "az", "nem", "hogy", "egy", "van", "volt",
+                    "már", "csak", "mint", "még", "vagy", "minden",
+                    "szerint", "lehet")),
     # Script + stopword languages.  ru and uk share the Cyrillic signal
     # (equal weight), so the stopword sets decide between them — uk's
     # tokens are chosen to be distinctly Ukrainian (і≠и, його≠его,
@@ -146,6 +182,13 @@ BUILTIN_PACK: LangPack = (
     LangSpec("uk", ("і", "та", "це", "є", "що", "як", "до", "від", "або",
                     "але", "вже", "його", "була", "був", "цього",
                     "також", "може", "щоб"),
+             (("cyr", 1.0),)),
+    # Bulgarian joins ru/uk on the shared Cyrillic signal; its set
+    # avoids every ru token (и/в/на/за…) and every uk token, keying on
+    # distinctly Bulgarian function words (ще, обаче, няма, бъде)
+    LangSpec("bg", ("да", "че", "това", "ще", "са", "като", "който",
+                    "може", "само", "след", "обаче", "няма", "бъде",
+                    "върху", "между"),
              (("cyr", 1.0),)),
     LangSpec("el", ("και", "το", "του", "της", "να", "με", "που", "για",
                     "από", "είναι", "την", "στο", "δεν", "τα", "ο", "η"),
@@ -156,9 +199,29 @@ BUILTIN_PACK: LangPack = (
     LangSpec("he", ("של", "את", "על", "הוא", "היא", "זה", "עם", "לא",
                     "כי", "גם", "אבל", "או", "יש", "אני", "אם"),
              (("heb", 1.0),)),
+    # Persian shares the Arabic-block signal with ar (the ru/uk
+    # pattern): the sets split on Persian-specific function words and
+    # orthography (است/های/برای vs في/على/التي); the pronouns both
+    # languages write identically (من, ما) are in neither fa list
+    LangSpec("fa", ("در", "به", "که", "را", "با", "این", "است", "های",
+                    "برای", "آن", "بود", "شد", "تا", "هم", "نیز"),
+             (("ara", 1.0),)),
     LangSpec("hi", ("के", "में", "की", "है", "का", "और", "से", "को",
                     "पर", "यह", "हैं", "था", "नहीं", "एक", "भी"),
              (("dev", 1.0),)),
+    LangSpec("bn", ("এবং", "না", "এই", "করে", "থেকে", "তার", "হয়",
+                    "যে", "কিন্তু", "সঙ্গে", "ছিল", "হবে", "আমরা",
+                    "একটি"),
+             (("ben", 1.0),)),
+    LangSpec("ta", ("மற்றும்", "இந்த", "என்று", "ஒரு", "அவர்", "இது",
+                    "ஆனால்", "வேண்டும்", "உள்ளது", "என்ற"),
+             (("tam", 1.0),)),
+    LangSpec("ka", ("და", "არის", "რომ", "ეს", "არ", "იყო", "მისი",
+                    "ამ", "უნდა", "როგორც"),
+             (("geo", 1.0),)),
+    LangSpec("hy", ("և", "է", "որ", "այս", "են", "չի", "նաև", "իր",
+                    "այդ", "համար"),
+             (("arm", 1.0),)),
     # Script-only languages (no reliable whitespace stopword tokens)
     LangSpec("th", (), (("tha", 1.0),)),
     LangSpec("ko", (), (("han_syl", 1.0),)),

@@ -174,6 +174,111 @@ SAMPLES: dict[str, tuple[str, ...]] = {
         "关于新道路项目的决定尚未公布附近的居民反对这个计划",
         "孩子们在学校附近的操场上玩耍父母们一直等到放学",
     ),
+    "sv": (
+        "marknaden i centrum är öppen varje morgon och folk måste komma "
+        "tidigt för att hitta ett bra urval av frukt här",
+        "beslutet om vägen är inte klart och man vet inte vad som händer "
+        "där eftersom planen också måste granskas från början",
+        "barnen leker på en plats nära skolan och föräldrarna väntar här "
+        "till dess att lektionerna är slut för dagen",
+    ),
+    "da": (
+        "markedet i byens centrum åbner hver morgen og folk køber frugt "
+        "og nogle grøntsager af de lokale bønder til hele ugen",
+        "beslutningen om den nye vej bliver altid udskudt og ingen ved "
+        "hvad der sker efter mødet mellem kommunen og vores naboer",
+        "børnene leger på pladsen ved skolen og forældrene venter sådan "
+        "på os til timerne er slut og henter mig og dig bagefter",
+    ),
+    "no": (
+        "markedet i sentrum åpner hver morgen og folk kommer for å "
+        "kjøpe frukt og noen grønnsaker av bøndene til hele uken",
+        "beslutningen om den nye veien blir alltid utsatt og ingen vet "
+        "hva som skjer etter møtet mellom kommunen og naboene våre",
+        "barna leker på plassen ved skolen og foreldrene venter på oss "
+        "til timene er slutt og henter meg og deg etterpå",
+    ),
+    "fi": (
+        "tori kaupungin keskustassa on auki joka aamu ja ihmiset "
+        "ostavat hedelmiä sekä vihanneksia koko viikoksi kun kaupat "
+        "ovat vielä täynnä",
+        "päätös uudesta tiestä ei ole vielä valmis mutta asukkaat ovat "
+        "sitä vastaan koska tämä suunnitelma on heille vain haitaksi",
+        "lapset leikkivät koulun lähellä ja vanhemmat odottavat niin "
+        "kauan että oppitunnit ovat ohi jos sää on hyvä",
+    ),
+    "cs": (
+        "trh v centru města je otevřen každé ráno a lidé jsou zvyklí "
+        "kupovat ovoce i zeleninu podle této staré tradice",
+        "rozhodnutí o nové silnici již bylo odloženo a není jasné co "
+        "bude dál proto se obyvatelé sešli aby plán projednali",
+        "děti si hrají u školy a rodiče čekají mezi stromy než skončí "
+        "vyučování které však dnes trvá déle než byl zvyk",
+    ),
+    "ro": (
+        "piața din centrul orașului este deschisă în fiecare dimineață "
+        "și oamenii cumpără fructe pentru toată săptămâna care vine",
+        "decizia despre drumul cel nou nu este gata și locuitorii sunt "
+        "împotrivă pentru că această schimbare pare foarte grăbită",
+        "copiii se joacă lângă școală iar părinții așteaptă până după "
+        "ore mai ales dacă vremea este frumoasă către seară",
+    ),
+    "hu": (
+        "a piac a város központjában minden reggel nyitva van és az "
+        "emberek gyümölcsöt vesznek az egész hétre mint mindig",
+        "az új útról szóló döntés még nem készült el és a lakók "
+        "szerint ez csak egy elsietett terv amit nem lehet elfogadni",
+        "a gyerekek az iskola mellett játszanak és a szülők várnak "
+        "amíg vége lesz az órának vagy már előbb is jönnek",
+    ),
+    "bg": (
+        "пазарът в центъра ще отваря всяка сутрин и хората могат да "
+        "купуват плодове като правят запаси само за седмицата",
+        "решението за новия път няма да бъде обявено скоро обаче "
+        "жителите са против този план който може да се промени",
+        "децата играят до училището а родителите чакат след часовете "
+        "да свърши това занятие което днес може да продължи",
+    ),
+    "fa": (
+        "بازار در مرکز شهر هر روز صبح باز است و مردم برای تمام هفته "
+        "میوه و سبزی را با قیمت خوب در آنجا تهیه میکنند",
+        "تصمیم درباره این جاده هنوز اعلام نشده است و ساکنان محله نیز "
+        "با آن طرح مخالف هستند که به نظر عجولانه بود",
+        "بچه ها در کنار مدرسه بازی میکنند و پدر و مادرها تا پایان "
+        "درس صبر میکنند و بعد هم با هم به خانه میروند",
+    ),
+    "bn": (
+        "শহরের কেন্দ্রে বাজার প্রতিদিন সকালে খোলে এবং মানুষ পুরো "
+        "সপ্তাহের জন্য ফল ও সবজি কিনে থেকে যায়",
+        "নতুন রাস্তার সিদ্ধান্ত এখনো হয় নি কিন্তু এই এলাকার মানুষ "
+        "পরিকল্পনার সঙ্গে একমত না কারণ তা তাড়াহুড়ো করে করা",
+        "শিশুরা স্কুলের কাছে খেলা করে এবং আমরা অপেক্ষা করি যে কখন "
+        "ক্লাস শেষ হবে তার পরে সবাই বাড়ি ফিরে",
+    ),
+    "ta": (
+        "நகர மையத்தில் உள்ள சந்தை தினமும் காலையில் திறக்கும் என்று "
+        "மக்கள் ஒரு வாரத்திற்கான பழங்களை வாங்க வருகிறார்கள்",
+        "புதிய சாலை பற்றிய முடிவு இன்னும் வெளியாகவில்லை ஆனால் இந்த "
+        "திட்டத்தை மக்கள் ஏற்க வேண்டும் என்ற நிலை உள்ளது",
+        "குழந்தைகள் பள்ளிக்கு அருகில் விளையாடுகிறார்கள் அவர் களின் "
+        "பெற்றோர் பாடம் முடியும் வரை காத்திருக்கிறார்கள்",
+    ),
+    "ka": (
+        "ბაზარი ქალაქის ცენტრში ყოველ დილით იხსნება და ხალხი მთელი "
+        "კვირისთვის ხილს ყიდულობს როგორც ეს ადრე იყო",
+        "გადაწყვეტილება ახალ გზაზე ჯერ არ არის მზად და მოსახლეობა ამ "
+        "გეგმას არ ეთანხმება რადგან ის ნაჩქარევი უნდა იყოს",
+        "ბავშვები სკოლასთან თამაშობენ და მშობლები ელოდებიან რომ "
+        "გაკვეთილები დასრულდეს და მისი წაყვანა შეძლონ",
+    ),
+    "hy": (
+        "շուկան քաղաքի կենտրոնում բացվում է ամեն առավոտ և մարդիկ "
+        "մրգեր են գնում ամբողջ շաբաթվա համար ինչպես միշտ",
+        "որոշումը նոր ճանապարհի մասին դեռ պատրաստ չէ և բնակիչները "
+        "համաձայն չեն այդ ծրագրի հետ որ շտապ է կազմվել",
+        "երեխաները խաղում են դպրոցի մոտ և ծնողները սպասում են որ "
+        "դասերը ավարտվեն և իր երեխային տուն տանեն այս երեկո",
+    ),
 }
 
 

@@ -375,16 +375,18 @@ def test_webcorpus_fixture_matches_live_generation(spark):
 
 
 def test_langid_pack_accuracy_multiscript(spark):
-    """Built-in pack must reach ≥ 95% accuracy on the 21-language
-    multi-script sample corpus (63 docs), incl. the whitespace-free
-    scripts (th/ja/zh) that bypass the min_tokens guard via script
-    evidence, and ja/zh disambiguation by kana ratio."""
+    """Built-in pack must reach ≥ 95% accuracy on the 34-language
+    multi-script sample corpus (3 docs per language), incl. the
+    whitespace-free scripts (th/ja/zh) that bypass the min_tokens guard
+    via script evidence, ja/zh disambiguation by kana ratio, and the
+    disjoint-set splits inside shared scripts/orthographies (ru/uk/bg,
+    ar/fa, sv/da/no, cs/pl)."""
     from pyspark.sql import functions as F
 
     from metacrafter_spark.corpus.langid import BUILTIN_PACK, with_langid
     from metacrafter_spark.corpus.langid_samples import SAMPLES, flat_samples
 
-    assert len(BUILTIN_PACK) == 21 and len(SAMPLES) == 21
+    assert len(BUILTIN_PACK) == 34 and len(SAMPLES) == 34
     rows = [(lang, text) for lang, text in flat_samples()]
     df = spark.createDataFrame(rows, "lang_true string, text string")
     got = with_langid(df).select("lang_true", "langid_lang").collect()
@@ -393,10 +395,10 @@ def test_langid_pack_accuracy_multiscript(spark):
     misses = [(r.lang_true, r.langid_lang) for r in got
               if r.lang_true != r.langid_lang]
     assert acc >= 0.95, f"accuracy {acc:.3f}, misses: {misses}"
-    # every one of the 19 languages must be reachable (no lang whose
-    # snippets all misclassify)
+    # every language must be reachable (no lang whose snippets all
+    # misclassify)
     langs_hit = {r.langid_lang for r in got if r.lang_true == r.langid_lang}
-    assert len(langs_hit) == 21, sorted(langs_hit)
+    assert len(langs_hit) == len(BUILTIN_PACK), sorted(langs_hit)
 
 
 def test_langid_custom_pack_and_guards(spark):
