@@ -285,6 +285,44 @@ def main() -> None:
     ))
     assert "Exchange" not in hplan, "html extraction shuffles!"
 
+    # 16. WARC CDX-indexed scan (round 5): the line-splittable text
+    # index parses JVM-side (from_json) and feeds one map-side
+    # MapInPandas range-fetch — record-level parallelism, zero
+    # Exchange before the fetch
+    import tempfile
+
+    from metacrafter_spark.io.warc import scan_warc_cdx, write_warc_shards
+
+    wd = tempfile.mkdtemp(prefix="explain_warc_")
+    write_warc_shards(synth_webpages(spark, 60, partitions=2),
+                      wd, 2).collect()
+    wq = scan_warc_cdx(spark, wd + "/*.cdx", wd).select("url", "html")
+    wplan = plan_of(wq)
+    sections.append((
+        "WARC CDX-indexed scan (JVM json parse → map-side range fetch)",
+        wplan,
+        ["MapInPandas", "Scan text"],
+    ))
+    assert "Exchange" not in wplan, "CDX scan shuffles before fetching!"
+
+    # 17. Iceberg merge-on-read read with position deletes: the
+    # delete set rides a BroadcastExchange into a LeftAnti join; the
+    # data path stays a parquet scan
+    from metacrafter_spark.io.iceberg import IcebergTable
+
+    iloc = tempfile.mkdtemp(prefix="explain_ice_") + "/t"
+    idf = spark.range(2000).selectExpr("id", "concat('d', id) as text")
+    it = IcebergTable.create(iloc, idf.schema)
+    it.append(idf)
+    it.delete_where(spark, "id % 5 = 0")
+    iq = it.read(spark)
+    iplan = plan_of(iq)
+    sections.append((
+        "Iceberg merge-on-read (broadcast anti-join of position deletes)",
+        iplan,
+        ["BroadcastExchange", "LeftAnti", "Scan parquet"],
+    ))
+
     out = ["# BENCH/EXPLAIN — physical-plan audit\n"]
     ok = True
     for title, plan, must in sections:
