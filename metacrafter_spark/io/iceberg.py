@@ -534,6 +534,9 @@ def manifest_entry_schema(partition_schema: dict) -> dict:
             {"name": "split_offsets",
              "type": ["null", {"type": "array", "items": "long"}],
              "field-id": 132},
+            {"name": "equality_ids",
+             "type": ["null", {"type": "array", "items": "int"}],
+             "field-id": 135},
             {"name": "sort_order_id", "type": ["null", "int"], "field-id": 140},
         ],
     }
@@ -847,6 +850,10 @@ class IcebergTable:
             "format-version": "2",
             "content": "deletes" if content == 1 else "data",
         }
+        for e in entries:
+            # entries rewritten from pre-equality-delete manifests lack
+            # the field; the schema requires it
+            e["data_file"].setdefault("equality_ids", None)
         write_ocf(path, schema, entries, extra_meta=meta_entries)
 
         added = [e for e in entries if e["status"] == STATUS_ADDED]
@@ -978,6 +985,7 @@ class IcebergTable:
                         "record_count": meta.num_rows,
                         "file_size_in_bytes": os.path.getsize(fpath),
                         "split_offsets": None,
+                        "equality_ids": None,
                         "sort_order_id": None,
                     }
                 )
@@ -1216,6 +1224,72 @@ class IcebergTable:
             now_ms=now_ms,
         )
 
+    def delete_by_keys(
+        self, keys_df: DataFrame, *, now_ms: Optional[int] = None,
+    ) -> Optional[Snapshot]:
+        """Merge-on-read EQUALITY delete (spec: Equality Delete Files,
+        ``data_file.content=2`` + ``equality_ids``): any table row
+        whose values in ``keys_df``'s columns equal one of its rows is
+        deleted — from data files with a sequence number STRICTLY
+        lower than the delete's commit, so rows (re-)appended later
+        with the same keys are untouched (the spec's applicability
+        rule, enforced at read via per-file sequence literals).
+
+        ``keys_df`` columns must be a subset of the table schema; the
+        file is committed with an all-null partition record (a GLOBAL
+        delete — partition-filtered reads still apply it).  Returns
+        ``None`` when ``keys_df`` is empty."""
+        schema_fields = {f["name"]: f["id"] for f in self.schema["fields"]}
+        key_cols = keys_df.columns
+        missing = [c for c in key_cols if c not in schema_fields]
+        if missing:
+            raise ValueError(f"key columns {missing} not in table schema")
+        job_dir = os.path.join(
+            self.location, "data", f"job-{uuid.uuid4().hex}")
+        (keys_df.distinct().repartition(1)
+         .sortWithinPartitions(*key_cols)
+         .write.mode("errorifexists").parquet(job_dir))
+        delete_files = [
+            f for f in self._collect_data_files(job_dir, content=2)
+            if f["record_count"]
+        ]
+        if not delete_files:
+            import shutil
+            shutil.rmtree(job_dir, ignore_errors=True)
+            return None
+        part_cols = self.partition_field_names
+        eq_ids = [schema_fields[c] for c in key_cols]
+        for f in delete_files:
+            f["partition"] = {c: None for c in part_cols}
+            f["equality_ids"] = eq_ids
+        seq = self.metadata["last-sequence-number"] + 1
+        parent = self.current_snapshot
+        if parent is None:
+            raise ValueError("delete_by_keys on an empty table")
+        snap_id = parent.snapshot_id + 1
+        entries = [
+            {
+                "status": STATUS_ADDED,
+                "snapshot_id": snap_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": f,
+            }
+            for f in delete_files
+        ]
+        manifests = [self._write_manifest(entries, snap_id, seq, content=1)]
+        manifests.extend(self._read_manifest_list(parent))
+        return self._commit_snapshot(
+            manifests,
+            operation="delete",
+            summary={
+                "added-delete-files": str(len(delete_files)),
+                "added-equality-deletes": str(
+                    sum(f["record_count"] for f in delete_files)),
+            },
+            now_ms=now_ms,
+        )
+
     def _write_data(self, df: DataFrame) -> list[dict]:
         """Distributed parquet write into a unique job directory under
         data/ (no two snapshots ever share files), then footer-stat
@@ -1334,12 +1408,22 @@ class IcebergTable:
                 if e["status"] == STATUS_DELETED:
                     continue
                 part = e["data_file"]["partition"]
-                if partition_filter and any(
+                # delete files with all-null partition values are
+                # GLOBAL (equality deletes committed table-wide) and
+                # must survive any partition filter; data files keep
+                # exact-value semantics (null partitions only match a
+                # None filter)
+                is_global_delete = content != 0 and part and all(
+                    v is None for v in part.values())
+                if partition_filter and not is_global_delete and any(
                     col in part and part[col] != want
                     for col, want in partition_filter.items()
                 ):
                     continue
-                files.append(e["data_file"])
+                # "_seq": in-memory plan detail (commit order drives
+                # delete applicability), never written back to avro
+                files.append({**e["data_file"],
+                              "_seq": e["sequence_number"] or 0})
         return files
 
     def read(
@@ -1377,24 +1461,32 @@ class IcebergTable:
             return spark.createDataFrame(
                 [], T.StructType([T.StructField(f.name, f.dataType, True)
                                   for f in schema.fields]))
+        pos_dels = [f for f in deletes if f["content"] == 1]
+        eq_dels = [f for f in deletes if f["content"] == 2]
+        # group by (identity key, file sequence): sequence literals are
+        # what the equality-delete applicability rule (delete.seq >
+        # data.seq, strictly) keys on
         groups: dict[tuple, list[str]] = {}
         for f in files:
-            key = tuple(f["partition"].get(c) for c in part_cols)
+            key = (tuple(f["partition"].get(c) for c in part_cols),
+                   f.get("_seq", 0))
             groups.setdefault(key, []).append(f["file_path"])
         spark_types = {f.name: f.dataType for f in schema.fields}
         parts = []
-        for key, paths in sorted(groups.items(),
-                                 key=lambda kv: str(kv[0])):
+        for (key, seq), paths in sorted(groups.items(),
+                                        key=lambda kv: str(kv[0])):
             d = spark.read.schema(data_schema).parquet(*paths)
             for c, v in zip(part_cols, key):
                 d = d.withColumn(c, F.lit(v).cast(spark_types[c]))
             cols = [F.col(f.name) for f in schema.fields]
-            if deletes:
+            if pos_dels:
                 cols += [
                     F.regexp_replace(F.col("_metadata.file_path"),
                                      "^file:/+", "/").alias("__fp"),
                     F.col("_metadata.row_index").alias("__pos"),
                 ]
+            if eq_dels:
+                cols += [F.lit(seq).alias("__seq")]
             parts.append(d.select(*cols))
         # Column order/types are re-applied via .to(); nullability
         # follows Spark's file-scan convention (all columns nullable —
@@ -1405,13 +1497,13 @@ class IcebergTable:
             [T.StructField(f.name, f.dataType, True)
              for f in schema.fields])
         out = reduce(DataFrame.unionByName, parts)
-        if deletes:
+        if pos_dels:
             dels = spark.read.schema(
                 "file_path string, pos long"
-            ).parquet(*[f["file_path"] for f in deletes])
+            ).parquet(*[f["file_path"] for f in pos_dels])
             # bounded metadata drives the join strategy: broadcast the
             # delete set while it is small, shuffle once it is not
-            if sum(f["file_size_in_bytes"] for f in deletes) < 64 << 20:
+            if sum(f["file_size_in_bytes"] for f in pos_dels) < 64 << 20:
                 dels = F.broadcast(dels)
             out = out.join(
                 dels,
@@ -1419,6 +1511,25 @@ class IcebergTable:
                 & (out["__pos"] == dels["pos"]),
                 "left_anti",
             ).drop("__fp", "__pos")
+        if eq_dels:
+            id_to_name = {f["id"]: f["name"]
+                          for f in self.schema["fields"]}
+            # one anti-join per equality-delete file: each carries its
+            # own key-column set and sequence cutoff (delete commits
+            # are rare relative to reads, and each key set is tiny and
+            # broadcast)
+            for f in eq_dels:
+                key_names = [id_to_name[i] for i in f["equality_ids"]]
+                keys = spark.read.parquet(f["file_path"]) \
+                    .select(*key_names).dropDuplicates()
+                if f["file_size_in_bytes"] < 64 << 20:
+                    keys = F.broadcast(keys)
+                cond = F.lit(True)
+                for k in key_names:
+                    cond = cond & out[k].eqNullSafe(keys[k])
+                cond = cond & (out["__seq"] < F.lit(f.get("_seq", 0)))
+                out = out.join(keys, cond, "left_anti")
+            out = out.drop("__seq")
         return out.select(*[f.name for f in schema.fields]).to(read_schema)
 
 

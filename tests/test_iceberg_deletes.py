@@ -139,3 +139,80 @@ def test_overwrite_drops_dangling_deletes(spark, tmp_path):
     # no live delete entries remain for 'en'
     for f in t.plan_deletes():
         assert f["partition"]["lang"] != "en"
+
+
+# ---------------------------------------------------------------------------
+# equality deletes (content=2)
+# ---------------------------------------------------------------------------
+
+def test_equality_delete_basic(spark, tmp_path):
+    loc = str(tmp_path / "e1")
+    t = IcebergTable.create(loc, _df(spark).schema)
+    t.append(_df(spark))
+    keys = spark.createDataFrame([(3,), (7,), (11,)], "id long")
+    snap = t.delete_by_keys(keys)
+    assert snap.operation == "delete"
+    assert snap.summary["added-equality-deletes"] == "3"
+    ids = sorted(r["id"] for r in t.read(spark).collect())
+    assert ids == [i for i in range(50) if i not in (3, 7, 11)]
+    # time travel unaffected
+    assert t.read(spark, snapshot_id=1).count() == 50
+    # the delete file struct carries content=2 + the key field ids
+    dfiles = [f for f in t.plan_deletes() if f["content"] == 2]
+    assert len(dfiles) == 1 and dfiles[0]["equality_ids"] == [1]
+
+
+def test_equality_delete_sequence_rule(spark, tmp_path):
+    # re-appending a deleted key AFTER the delete resurrects it: the
+    # delete applies only to strictly-older data files
+    loc = str(tmp_path / "e2")
+    t = IcebergTable.create(loc, _df(spark).schema)
+    t.append(_df(spark))
+    t.delete_by_keys(spark.createDataFrame([(5,)], "id long"))
+    assert t.read(spark).filter("id = 5").count() == 0
+    t.append(_df(spark, 10, tag="NEW "))     # ids 0..9, incl. 5
+    rows = t.read(spark).filter("id = 5").collect()
+    assert len(rows) == 1 and rows[0]["text"] == "NEW doc 5"
+
+
+def test_equality_delete_multi_column_and_partition_filter(spark,
+                                                           tmp_path):
+    loc = str(tmp_path / "e3")
+    t = IcebergTable.create(loc, _df(spark).schema, partition_by=["lang"])
+    t.append(_df(spark))
+    # composite key (id, lang): only the (4, fr) row dies, not (4, en)
+    # — id 4 is even → fr; delete (4, fr) and (1, fr) [1 is odd → en,
+    # so that key matches nothing]
+    keys = spark.createDataFrame([(4, "fr"), (1, "fr")],
+                                 "id long, lang string")
+    t.delete_by_keys(keys)
+    back = t.read(spark)
+    assert back.count() == 49
+    assert back.filter("id = 4").count() == 0
+    assert back.filter("id = 1").count() == 1
+    # global delete survives partition-filtered reads
+    fr = t.read(spark, partition_filter={"lang": "fr"})
+    assert fr.filter("id = 4").count() == 0
+    assert fr.count() == 24
+
+
+def test_equality_and_position_deletes_compose(spark, tmp_path):
+    loc = str(tmp_path / "e4")
+    t = IcebergTable.create(loc, _df(spark).schema)
+    t.append(_df(spark))
+    t.delete_where(spark, "id < 10")                     # positions
+    t.delete_by_keys(spark.createDataFrame([(20,), (21,)], "id long"))
+    ids = sorted(r["id"] for r in t.read(spark).collect())
+    assert ids == [i for i in range(10, 50) if i not in (20, 21)]
+
+
+def test_equality_delete_empty_keys_noop(spark, tmp_path):
+    loc = str(tmp_path / "e5")
+    t = IcebergTable.create(loc, _df(spark).schema)
+    t.append(_df(spark))
+    v = t.version
+    assert t.delete_by_keys(
+        spark.createDataFrame([], "id long")) is None
+    assert t.version == v
+    with pytest.raises(ValueError, match="not in table schema"):
+        t.delete_by_keys(spark.createDataFrame([(1,)], "nope long"))
