@@ -275,7 +275,6 @@ def main(argv=None) -> int:
             srv.serve_forever()
         elif args.cmd == "warc-ingest":
             from pyspark.sql import functions as F
-            from pyspark.sql import types as T
 
             from metacrafter_spark.corpus.html import with_extracted_text
             from metacrafter_spark.corpus.pipeline import (
@@ -305,13 +304,8 @@ def main(argv=None) -> int:
             # the pure-Python Iceberg layer is scalar-typed: expand the
             # pii_hits struct to per-rule count columns for the write
             # (metrics aggregate the struct, so they are built first)
-            for f in classified.schema.fields:
-                if isinstance(f.dataType, T.StructType):
-                    for sub_f in f.dataType.fields:
-                        classified = classified.withColumn(
-                            f"{f.name}_{sub_f.name}",
-                            F.col(f"{f.name}.`{sub_f.name}`"))
-                    classified = classified.drop(f.name)
+            from metacrafter_spark.io.iceberg import flatten_struct_columns
+            classified = flatten_struct_columns(classified)
             n = classified.count()
             run_with_resume(
                 classified, io, args.output, args.metrics,

@@ -315,3 +315,75 @@ def stream_dedup_within_watermark(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def stream_warc_ingest(
+    spark: SparkSession,
+    cdx_glob: str,
+    warc_dir: str,
+    output_tbl: str,
+    metrics_tbl: str,
+    checkpoint_path: str,
+    *,
+    n_buckets: int = 64,
+    available_now: bool = True,
+    fault_hook=None,
+):
+    """Continuous Common-Crawl ingestion into Iceberg (round 5).
+
+    New CDXJ index files landing in ``cdx_glob`` stream through the
+    record-parallel WARC range-fetch reader (``io/warc.py``), html→text
+    extraction, and the keep/drop + PII-scrub pipeline; each micro-batch
+    commits to the pure-Python Iceberg tables as a dynamic partition
+    overwrite keyed on (batch_id, bucket_id) — a REPLAYED batch (crash
+    between sink and checkpoint commit) swaps its own partitions in a
+    fresh snapshot instead of appending duplicates, which is the
+    exactly-once contract the parquet streaming sink in
+    :func:`stream_classify` proves, now on real snapshot commits.  The
+    file source's processed-file log makes re-runs incremental: only
+    index files not yet checkpointed are read.
+
+    At scale the index stream is line-splittable text and the fetch is
+    map-side, so each micro-batch is one narrow stage before the
+    pipeline — the same plan shape the batch `warc-ingest` CLI runs.
+    """
+    from pyspark.sql import functions as F
+
+    from metacrafter_spark.corpus.html import with_extracted_text
+    from metacrafter_spark.io.iceberg import (
+        PyIcebergTableIO, flatten_struct_columns)
+    from metacrafter_spark.io.warc import cdx_fetch, cdx_parse
+
+    rules = default_scrub_rules()
+    lines = spark.readStream.text(cdx_glob)
+    pages = cdx_fetch(cdx_parse(lines), warc_dir)
+    pages = with_extracted_text(pages, "html", "text")
+    src = pages.select("url", "warc_ts", "html", "text",
+                       F.lit("").alias("lang"))
+    classified = classify_corpus(src, scrub_rules=rules,
+                                 n_buckets=n_buckets)
+    io = PyIcebergTableIO(spark)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = batch_df.withColumn("batch_id", F.lit(batch_id)).persist()
+        try:
+            flat = flatten_struct_columns(out)
+            io.overwrite_partitions(flat, output_tbl,
+                                    partition_by=["batch_id", "bucket_id"])
+            if fault_hook is not None:
+                fault_hook(batch_id)
+            m = (bucket_metrics(out.drop("batch_id"), rules,
+                                run_id=f"stream-{batch_id}")
+                 .withColumn("batch_id", F.lit(batch_id)))
+            io.overwrite_partitions(m, metrics_tbl,
+                                    partition_by=["batch_id", "bucket_id"])
+        finally:
+            out.unpersist()
+
+    writer = (classified.writeStream.foreachBatch(sink)
+              .option("checkpointLocation", checkpoint_path))
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

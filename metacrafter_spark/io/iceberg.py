@@ -124,6 +124,22 @@ _ICEBERG_TO_SPARK = {
 }
 
 
+def flatten_struct_columns(df: DataFrame) -> DataFrame:
+    """Expand every top-level struct column into ``{col}_{field}``
+    scalar columns (this layer is scalar-typed by design — nested
+    columns go through the jar-backed path)."""
+    from pyspark.sql import functions as F
+
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.StructType):
+            for sub_f in f.dataType.fields:
+                df = df.withColumn(
+                    f"{f.name}_{sub_f.name}",
+                    F.col(f"{f.name}.`{sub_f.name}`"))
+            df = df.drop(f.name)
+    return df
+
+
 def spark_schema_to_iceberg(schema: T.StructType) -> dict:
     """Spark StructType → Iceberg schema JSON (field-ids assigned 1..N
     in field order, the same rule Iceberg's schema conversion uses for

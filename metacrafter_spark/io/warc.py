@@ -453,28 +453,25 @@ def scan_warc(spark: SparkSession, path_glob: str, *,
     return files.mapInPandas(kernel, SCAN_SCHEMA)
 
 
-def scan_warc_cdx(spark: SparkSession, cdx_glob: str, warc_dir: str, *,
-                  strict: bool = True) -> DataFrame:
-    """CDX-indexed WARC scan.
+def cdx_parse(lines: DataFrame) -> DataFrame:
+    """CDXJ text lines → (url, filename, offset, length), parsed
+    JVM-side (``from_json``) — works on batch AND streaming frames."""
+    return (lines
+            .select(F.regexp_extract("value", r"^\S+ (\d{14}) (\{.*\})$",
+                                     2).alias("js"))
+            .filter(F.col("js") != "")
+            .select(F.from_json("js", _CDX_JSON_SCHEMA).alias("c"))
+            .select(F.col("c.url").alias("url"),
+                    F.col("c.filename").alias("filename"),
+                    F.col("c.offset").cast("long").alias("offset"),
+                    F.col("c.length").cast("long").alias("length")))
 
-    The index is plain text → Spark splits it by line (parallelism =
-    records, not files, with no driver-side listing beyond the index
-    glob); JSON fields parse JVM-side (``from_json``); the fetch
-    kernel seeks to each record's ``(offset, length)`` and inflates
-    exactly one gzip member — a local-filesystem stand-in for the HTTP
-    Range fetch a real Common-Crawl job issues.  Predicates on url /
-    status / mime can be applied to the returned frame *before* any
-    byte of WARC is read by filtering the index columns first."""
-    lines = spark.read.text(cdx_glob)
-    parsed = (lines
-              .select(F.regexp_extract("value", r"^\S+ (\d{14}) (\{.*\})$",
-                                       2).alias("js"))
-              .filter(F.col("js") != "")
-              .select(F.from_json("js", _CDX_JSON_SCHEMA).alias("c"))
-              .select(F.col("c.url").alias("url"),
-                      F.col("c.filename").alias("filename"),
-                      F.col("c.offset").cast("long").alias("offset"),
-                      F.col("c.length").cast("long").alias("length")))
+
+def cdx_fetch(parsed: DataFrame, warc_dir: str, *,
+              strict: bool = True) -> DataFrame:
+    """Range-fetch kernel over a parsed CDX frame: each task seeks to
+    its records' ``(offset, length)`` and inflates exactly one gzip
+    member.  Map-side only — batch and streaming alike."""
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         handles: dict[str, io.BufferedReader] = {}
@@ -500,6 +497,21 @@ def scan_warc_cdx(spark: SparkSession, cdx_glob: str, warc_dir: str, *,
                 fh.close()
 
     return parsed.mapInPandas(fetch, SCAN_SCHEMA)
+
+
+def scan_warc_cdx(spark: SparkSession, cdx_glob: str, warc_dir: str, *,
+                  strict: bool = True) -> DataFrame:
+    """CDX-indexed WARC scan.
+
+    The index is plain text → Spark splits it by line (parallelism =
+    records, not files, with no driver-side listing beyond the index
+    glob); JSON fields parse JVM-side; the fetch kernel inflates one
+    gzip member per record — a local-filesystem stand-in for the HTTP
+    Range fetch a real Common-Crawl job issues.  Predicates on url /
+    status / mime can be applied to the returned frame *before* any
+    byte of WARC is read by filtering the index columns first."""
+    return cdx_fetch(cdx_parse(spark.read.text(cdx_glob)), warc_dir,
+                     strict=strict)
 
 
 def write_warc_shards(df: DataFrame, out_dir: str, num_shards: int, *,

@@ -98,3 +98,64 @@ def test_warc_ingest_resume_idempotent(spark, warc_corpus, tmp_path,
     assert t.read(spark).count() == 200
     assert t.read(spark).select("url").distinct().count() == 200
     assert third["kept_total"] == first["kept_total"]
+
+
+def test_stream_warc_ingest_incremental_and_replay(spark, tmp_path):
+    """Streaming CDX→WARC→pipeline→Iceberg: availableNow drains the
+    backlog, new index shards process incrementally (file-source log),
+    a replayed batch (crash between sink and checkpoint) swaps its own
+    partitions instead of duplicating."""
+    from metacrafter_spark.corpus.streaming import stream_warc_ingest
+    from metacrafter_spark.corpus.webpages import synth_webpages
+    from metacrafter_spark.io.warc import write_warc_shards
+
+    d = tmp_path / "stream_src"
+    d.mkdir()
+    out = str(tmp_path / "docs_tbl")
+    met = str(tmp_path / "met_tbl")
+    ckpt = str(tmp_path / "ckpt")
+
+    corpus = synth_webpages(spark, 80, seed=13, partitions=2)
+    write_warc_shards(corpus, str(d), 2, prefix="wave1").collect()
+    stream_warc_ingest(spark, str(d / "*.cdx"), str(d), out, met, ckpt,
+                       n_buckets=8)
+    t = IcebergTable.load(out)
+    assert t.read(spark).count() == 80
+
+    # wave 2: only the NEW index files process (incremental)
+    corpus2 = synth_webpages(spark, 120, seed=14, partitions=2) \
+        .filter(F.regexp_extract("url", r"/article/(\d+)$", 1)
+                .cast("long") >= 80)
+    write_warc_shards(corpus2, str(d), 2, prefix="wave2").collect()
+    stream_warc_ingest(spark, str(d / "*.cdx"), str(d), out, met, ckpt,
+                       n_buckets=8)
+    t = IcebergTable.load(out)
+    docs = t.read(spark)
+    assert docs.count() == 120
+    assert docs.select("url").distinct().count() == 120
+
+    # crash between corpus write and metrics/checkpoint: restart
+    # replays the batch, partitions swap, no duplicates
+    corpus3 = synth_webpages(spark, 150, seed=15, partitions=2) \
+        .filter(F.regexp_extract("url", r"/article/(\d+)$", 1)
+                .cast("long") >= 120)
+    write_warc_shards(corpus3, str(d), 1, prefix="wave3").collect()
+    boom = {"armed": True}
+
+    def fault(batch_id):
+        if boom["armed"]:
+            boom["armed"] = False
+            raise RuntimeError("injected crash between sink writes")
+
+    with pytest.raises(Exception):
+        stream_warc_ingest(spark, str(d / "*.cdx"), str(d), out, met,
+                           ckpt, n_buckets=8, fault_hook=fault)
+    # data landed but the batch never committed; restart replays it
+    stream_warc_ingest(spark, str(d / "*.cdx"), str(d), out, met, ckpt,
+                       n_buckets=8, fault_hook=fault)
+    t = IcebergTable.load(out)
+    docs = t.read(spark)
+    assert docs.count() == 150
+    assert docs.select("url").distinct().count() == 150
+    m = IcebergTable.load(met).read(spark)
+    assert m.filter(~F.col("completed")).count() == 0
