@@ -130,6 +130,19 @@ def main(argv=None) -> int:
     sdb.add_argument("--stats-only", action="store_true")
     sdb.add_argument("--cores", type=int)
 
+    sm = sub.add_parser(
+        "scan-mongodump",
+        help="classify every collection of a mongodump directory")
+    sm.add_argument("dump_dir")
+    sm.add_argument("--db", help="restrict to one database subdir")
+    sm.add_argument("--limit", type=int, default=1000)
+    sm.add_argument("--output", "-o", required=True)
+    sm.add_argument("--output-format", default="json",
+                    choices=["json", "csv", "yaml"])
+    sm.add_argument("--short", action="store_true")
+    sm.add_argument("--stats-only", action="store_true")
+    sm.add_argument("--cores", type=int)
+
     sb = sub.add_parser("scan-bulk",
                         help="classify every supported file in a directory")
     sb.add_argument("dirname")
@@ -147,7 +160,57 @@ def main(argv=None) -> int:
     sv.add_argument("--port", type=int, default=8000)
     sv.add_argument("--cores", type=int)
 
+    ex = sub.add_parser(
+        "export", help="push a scan-report JSON to a metadata catalog "
+        "(datahub / openmetadata / atlas)")
+    ex.add_argument("catalog", choices=["datahub", "openmetadata", "atlas"])
+    ex.add_argument("report", help="scan-report JSON (scan-file --output)")
+    ex.add_argument("--url", required=True, help="catalog server URL")
+    ex.add_argument("--target", required=True,
+                    help="dataset URN (datahub) / table FQN (openmetadata) "
+                         "/ table qualified name (atlas)")
+    ex.add_argument("--token")
+    ex.add_argument("--username")
+    ex.add_argument("--password")
+    ex.add_argument("--min-confidence", type=float, default=0.0)
+    ex.add_argument("--replace", action="store_true")
+    ex.add_argument("--timeout", type=float, default=30.0)
+    ex.add_argument("--entity-type", default="rdbms_column",
+                    help="atlas column entity type")
+    ex.add_argument("--cores", type=int)  # unused; uniform interface
+
     args = p.parse_args(argv)
+
+    if args.cmd == "export":  # driver-side only — no Spark session needed
+        with open(args.report, encoding="utf8") as f:
+            report = json.load(f)
+        # our JSON reports carry detailed entries under "data"; the
+        # reference's own file writer uses "fields" — accept both
+        if not report.get("data") and report.get("fields"):
+            report["data"] = report["fields"]
+        if args.catalog == "datahub":
+            from metacrafter_spark.integrations import DataHubExporter
+            exp = DataHubExporter(args.url, token=args.token,
+                                  timeout=args.timeout, replace=args.replace)
+            stats = exp.export_scan_results(
+                args.target, report, min_confidence=args.min_confidence)
+        elif args.catalog == "openmetadata":
+            from metacrafter_spark.integrations import OpenMetadataExporter
+            exp = OpenMetadataExporter(args.url, token=args.token,
+                                       timeout=args.timeout,
+                                       replace=args.replace)
+            stats = exp.export_scan_results(
+                args.target, report, min_confidence=args.min_confidence)
+        else:
+            from metacrafter_spark.integrations import AtlasExporter
+            exp = AtlasExporter(args.url, username=args.username,
+                                password=args.password, token=args.token,
+                                timeout=args.timeout, replace=args.replace)
+            stats = exp.export_scan_results(
+                args.target, report, entity_type=args.entity_type,
+                min_confidence=args.min_confidence)
+        print(json.dumps(stats))
+        return 0 if not stats["errors"] else 1
 
     from pyspark.sql import SparkSession
 
@@ -195,6 +258,16 @@ def main(argv=None) -> int:
                                   stats_only=args.stats_only)
                 for t, df in frames.items()
             }
+            write_db_report(reports, args.output, fmt=args.output_format,
+                            short=args.short, stats_only=args.stats_only)
+            print(f"wrote {args.output}")
+        elif args.cmd == "scan-mongodump":
+            from metacrafter_spark.io.mongo import scan_mongodump
+            from metacrafter_spark.io.sinks import write_db_report
+
+            reports = scan_mongodump(spark, args.dump_dir, dbname=args.db,
+                                     limit=args.limit,
+                                     stats_only=args.stats_only)
             write_db_report(reports, args.output, fmt=args.output_format,
                             short=args.short, stats_only=args.stats_only)
             print(f"wrote {args.output}")

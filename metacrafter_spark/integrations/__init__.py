@@ -1,0 +1,15 @@
+# -*- coding: utf-8 -*-
+"""Metadata-catalog exporters (DataHub / OpenMetadata / Apache Atlas).
+
+Each pushes a scan report's field classifications to the catalog's
+public REST API over stdlib HTTP — no SDK wheels required
+(reference integrations/ needs acryl-datahub / openmetadata-ingestion /
+requests respectively).
+"""
+from .atlas import AtlasExporter
+from .base import HttpTransport, TransportError
+from .datahub import DataHubExporter
+from .openmetadata import OpenMetadataExporter
+
+__all__ = ["AtlasExporter", "DataHubExporter", "OpenMetadataExporter",
+           "HttpTransport", "TransportError"]

@@ -1,0 +1,154 @@
+# -*- coding: utf-8 -*-
+"""Apache Atlas exporter: scan results → entity classifications and
+``metacrafter_*`` attributes via the public Atlas v2 REST API.
+
+Mirrors the reference's AtlasExporter
+(reference integrations/atlas.py:18-478): column entities are resolved
+by qualified name (``{table}.{field}``) through
+``/entity/uniqueAttribute/type/{type}``, classifications are POSTed to
+``/entity/guid/{guid}/classifications`` (skipping ones already
+present), and attributes merge into the entity via GET + PUT — the
+reference's exact read-modify-write, including the ``replace`` mode
+that drops stale ``metacrafter_*`` attributes first.
+"""
+from __future__ import annotations
+
+import logging
+from typing import Any, Dict, Optional
+
+from .base import (HttpTransport, build_properties,
+                   extract_datatype_tags, extract_pii_tags,
+                   iter_export_fields)
+
+logger = logging.getLogger(__name__)
+
+
+class AtlasExporter:
+    """Push classification results to Apache Atlas column entities."""
+
+    def __init__(self, atlas_url: str, *, username: Optional[str] = None,
+                 password: Optional[str] = None,
+                 token: Optional[str] = None,
+                 timeout: Optional[float] = None, replace: bool = False,
+                 transport: Optional[HttpTransport] = None):
+        self.atlas_url = atlas_url.rstrip("/")
+        self.replace = replace
+        headers = {}
+        if username is not None and token is None:
+            import base64
+            cred = f"{username}:{password or ''}".encode()
+            headers["Authorization"] = \
+                "Basic " + base64.b64encode(cred).decode()
+        self.transport = transport or HttpTransport(
+            self.atlas_url, token=token, timeout=timeout or 30.0,
+            extra_headers=headers)
+        self.api_base = "/api/atlas/v2"
+
+    def export_scan_results(
+        self,
+        table_qualified_name: str,
+        scan_report: Dict[str, Any],
+        *,
+        entity_type: str = "rdbms_column",
+        add_pii_classifications: bool = True,
+        add_datatype_classifications: bool = True,
+        add_attributes: bool = True,
+        min_confidence: float = 0.0,
+    ) -> Dict[str, Any]:
+        stats = {"fields_processed": 0, "classifications_added": 0,
+                 "attributes_added": 0, "errors": []}
+        if not scan_report.get("data"):
+            logger.warning("No field data found in scan report")
+            return stats
+        for field, info, filtered, best in iter_export_fields(
+                scan_report, min_confidence):
+            try:
+                qualified = f"{table_qualified_name}.{field}"
+                guid = self._resolve_column_entity(qualified, entity_type)
+                if not guid:
+                    stats["errors"].append(
+                        f"Column entity not found: {qualified}")
+                    logger.error(stats["errors"][-1])
+                    continue
+                names = []
+                if add_pii_classifications:
+                    names.extend(extract_pii_tags(info))
+                if add_datatype_classifications:
+                    names.extend(extract_datatype_tags(filtered))
+                for name in names:
+                    self._add_classification(guid, name)
+                    stats["classifications_added"] += 1
+                if add_attributes:
+                    attrs = build_properties(info, best)
+                    if attrs:
+                        self._add_attributes(guid, attrs)
+                        stats["attributes_added"] += len(attrs)
+                stats["fields_processed"] += 1
+            except Exception as e:
+                stats["errors"].append(f"Error processing field {field}: {e}")
+                logger.error(stats["errors"][-1])
+        return stats
+
+    # -- wire layer ------------------------------------------------------
+
+    def _resolve_column_entity(self, qualified_name: str,
+                               entity_type: str) -> Optional[str]:
+        status, body = self.transport.request(
+            "GET", f"{self.api_base}/entity/uniqueAttribute/type/"
+                   f"{entity_type}",
+            params={"attr:qualifiedName": qualified_name})
+        if status == 200 and isinstance(body, dict):
+            return (body.get("entity") or {}).get("guid")
+        if status == 404:
+            return None
+        logger.warning("Error resolving %s: HTTP %s", qualified_name, status)
+        return None
+
+    def _get_entity_classifications(self, guid: str) -> list[str]:
+        status, body = self.transport.request(
+            "GET", f"{self.api_base}/entity/guid/{guid}/classifications")
+        if status == 200 and isinstance(body, dict):
+            return [c.get("typeName") for c in body.get("list", [])]
+        return []
+
+    def _add_classification(self, guid: str, name: str) -> None:
+        if not name:
+            return
+        try:
+            if name in self._get_entity_classifications(guid):
+                return
+            status, body = self.transport.request(
+                "POST",
+                f"{self.api_base}/entity/guid/{guid}/classifications",
+                json_body=[{"typeName": name, "attributes": {}}])
+            if status not in (200, 201, 204):
+                logger.warning("Error adding classification %s to %s: "
+                               "HTTP %s: %s", name, guid, status, body)
+        except Exception as e:
+            logger.error("Error adding classification %s to %s: %s",
+                         name, guid, e)
+
+    def _add_attributes(self, guid: str, attributes: dict) -> None:
+        if not attributes:
+            return
+        try:
+            status, body = self.transport.request(
+                "GET", f"{self.api_base}/entity/guid/{guid}")
+            if status != 200 or not isinstance(body, dict):
+                logger.warning("Error getting entity %s: HTTP %s",
+                               guid, status)
+                return
+            entity = body.get("entity", {})
+            existing = entity.get("attributes", {})
+            if self.replace:
+                existing = {k: v for k, v in existing.items()
+                            if not k.startswith("metacrafter_")}
+            entity["attributes"] = {**existing, **attributes}
+            status, body = self.transport.request(
+                "PUT", f"{self.api_base}/entity/guid/{guid}",
+                json_body={"entity": entity})
+            if status not in (200, 204):
+                logger.warning("Error updating attributes for %s: "
+                               "HTTP %s: %s", guid, status, body)
+        except Exception as e:
+            logger.error("Error adding attributes to %s: %s", guid, e)

@@ -1,0 +1,172 @@
+# -*- coding: utf-8 -*-
+"""Shared scan-report → catalog-payload extraction + HTTP transport.
+
+All three reference exporters (reference integrations/datahub.py:219-325,
+openmetadata.py:235-343, atlas.py:254-343) share identical extraction
+semantics — PII inference, datatype tag casing, the five
+``metacrafter_*`` properties, min-confidence filtering and best-match
+selection — and differ only in wire protocol.  This module is that
+shared core, as pure functions over the scan report produced by
+:func:`metacrafter_spark.scanner.assemble_report` (whose ``data``
+entries carry the same keys as the reference's report).
+
+One deliberate deviation: the reference de-duplicates tag lists with
+``list(set(...))``, whose order varies per process.  We sort instead —
+same set, deterministic payloads (the catalog treats them as sets).
+
+Transport is stdlib ``urllib`` so the exporters work in any Spark
+driver without extra wheels; tests drive them against a real in-process
+``http.server`` capturing the requests.
+"""
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.parse
+import urllib.request
+from typing import Any, Iterator, Optional
+
+# Dataclasses the reference treats as inherently PII
+# (reference datahub.py:240-244 — same set in all three exporters).
+PII_DATACLASSES = frozenset({"email", "phone", "ssn", "passport",
+                             "creditcard"})
+
+
+def split_tags(tags: Any) -> list[str]:
+    """Field-level tags arrive as a list or a comma-joined string
+    (reference datahub.py:231-234)."""
+    if tags is None:
+        return []
+    if isinstance(tags, str):
+        return [t.strip() for t in tags.split(",") if t.strip()]
+    return list(tags)
+
+
+def extract_pii_tags(field_info: dict) -> list[str]:
+    """["PII"] when the field's own tags contain "pii" (any case) or
+    any match dataclass is inherently PII; else []."""
+    field_tags = split_tags(field_info.get("tags", []))
+    if "pii" in [t.lower() for t in field_tags]:
+        return ["PII"]
+    for match in field_info.get("matches", []):
+        if (match.get("dataclass") or "").lower() in PII_DATACLASSES:
+            return ["PII"]
+    return []
+
+
+def _capitalize(dataclass: str) -> str:
+    if len(dataclass) > 1:
+        return dataclass[0].upper() + dataclass[1:]
+    return dataclass.upper()
+
+
+def extract_datatype_tags(matches: list[dict]) -> list[str]:
+    """First-letter-capitalized dataclass names, de-duplicated, sorted."""
+    tags = {_capitalize(m["dataclass"]) for m in matches
+            if m.get("dataclass")}
+    return sorted(tags)
+
+
+def extract_glossary_dataclasses(matches: list[dict]) -> list[str]:
+    """Bare dataclass names for glossary-term linking (each exporter
+    applies its own FQN/URN scheme), de-duplicated, sorted."""
+    return sorted({m["dataclass"] for m in matches if m.get("dataclass")})
+
+
+def build_properties(field_info: dict, best_match: dict) -> dict[str, str]:
+    """The five ``metacrafter_*`` custom properties
+    (reference datahub.py:300-325; identical in atlas/_build_attributes)."""
+    properties: dict[str, str] = {}
+    confidence = best_match.get("confidence")
+    if confidence is not None:
+        properties["metacrafter_confidence"] = str(confidence)
+    datatype_url = field_info.get("datatype_url") or best_match.get("classurl")
+    if datatype_url:
+        properties["metacrafter_datatype_url"] = datatype_url
+    dataclass = best_match.get("dataclass")
+    if dataclass:
+        properties["metacrafter_datatype"] = dataclass
+    ruleid = best_match.get("ruleid")
+    if ruleid:
+        properties["metacrafter_rule_id"] = ruleid
+    ftype = field_info.get("ftype")
+    if ftype:
+        properties["metacrafter_field_type"] = ftype
+    return properties
+
+
+def iter_export_fields(
+    scan_report: dict, min_confidence: float = 0.0
+) -> Iterator[tuple[str, dict, list[dict], dict]]:
+    """Yield ``(field_name, field_info, filtered_matches, best_match)``
+    for every exportable field: named, with ≥1 match at or above
+    ``min_confidence``; best = highest confidence
+    (reference datahub.py:135-158)."""
+    for field_info in scan_report.get("data", []):
+        field_name = field_info.get("field")
+        if not field_name:
+            continue
+        matches = field_info.get("matches", [])
+        if not matches:
+            continue
+        filtered = [m for m in matches
+                    if m.get("confidence", 0.0) >= min_confidence]
+        if not filtered:
+            continue
+        best = max(filtered, key=lambda m: m.get("confidence", 0.0))
+        yield field_name, field_info, filtered, best
+
+
+class TransportError(Exception):
+    """Raised on network-level failure (connection refused, timeout)."""
+
+
+class HttpTransport:
+    """Minimal JSON-over-HTTP client on stdlib urllib.
+
+    Returns ``(status_code, parsed_json_or_None)`` and never raises on
+    HTTP error statuses (the exporters decide what a 404 means);
+    network-level failures raise :class:`TransportError`.
+    """
+
+    def __init__(self, base_url: str, *, token: Optional[str] = None,
+                 timeout: float = 30.0,
+                 extra_headers: Optional[dict[str, str]] = None):
+        self.base_url = base_url.rstrip("/")
+        self.token = token
+        self.timeout = timeout
+        self.extra_headers = dict(extra_headers or {})
+
+    def request(self, method: str, path: str, *,
+                json_body: Any = None,
+                params: Optional[dict[str, str]] = None,
+                content_type: str = "application/json",
+                ) -> tuple[int, Any]:
+        url = self.base_url + path
+        if params:
+            url += "?" + urllib.parse.urlencode(params)
+        data = None
+        headers = {"Accept": "application/json", **self.extra_headers}
+        if json_body is not None:
+            data = json.dumps(json_body).encode("utf-8")
+            headers["Content-Type"] = content_type
+        if self.token:
+            headers["Authorization"] = f"Bearer {self.token}"
+        req = urllib.request.Request(url, data=data, headers=headers,
+                                     method=method)
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                body = resp.read()
+                status = resp.status
+        except urllib.error.HTTPError as e:
+            body = e.read()
+            status = e.code
+        except urllib.error.URLError as e:
+            raise TransportError(f"{method} {url}: {e.reason}") from e
+        parsed = None
+        if body:
+            try:
+                parsed = json.loads(body)
+            except ValueError:
+                parsed = None
+        return status, parsed

@@ -1,0 +1,146 @@
+# -*- coding: utf-8 -*-
+"""DataHub exporter: scan results → schema-field tags / glossary terms
+/ custom properties via the public GMS REST ingestProposal endpoint.
+
+Mirrors the behavior of the reference's DataHubExporter
+(reference integrations/datahub.py:29-424) without the acryl-datahub
+SDK: we build the MetadataChangeProposal JSON the SDK's
+``DatahubRestEmitter.emit(mcp)`` would POST — one UPSERT proposal per
+aspect to ``{gms}/aspects?action=ingestProposal`` with the aspect
+payload JSON-serialized under ``contentType: application/json`` (the
+documented GenericAspect wire shape) — so the exporter runs on any
+Spark driver with zero extra wheels.
+"""
+from __future__ import annotations
+
+import json
+import logging
+from typing import Any, Dict, Optional
+
+from .base import (HttpTransport, build_properties, extract_datatype_tags,
+                   extract_glossary_dataclasses, extract_pii_tags,
+                   iter_export_fields)
+
+logger = logging.getLogger(__name__)
+
+# Deterministic audit actor for glossaryTerms aspects (the aspect
+# schema requires an auditStamp; the SDK stamps wall-clock + user).
+_AUDIT_STAMP = {"time": 0, "actor": "urn:li:corpuser:metacrafter"}
+
+
+def make_schema_field_urn(dataset_urn: str, field_path: str) -> str:
+    """``urn:li:schemaField:(<dataset_urn>,<field_path>)`` — the public
+    mce_builder convention (reference datahub.py:206-216 delegates to
+    the SDK's make_schema_field_urn, which produces exactly this)."""
+    return f"urn:li:schemaField:({dataset_urn},{field_path})"
+
+
+class DataHubExporter:
+    """Push classification results to DataHub as schema-field aspects.
+
+    Example::
+
+        exporter = DataHubExporter("http://localhost:8080", token=tok)
+        stats = exporter.export_scan_results(
+            "urn:li:dataset:(urn:li:dataPlatform:postgres,users,PROD)",
+            report)
+    """
+
+    def __init__(self, datahub_url: str, *, token: Optional[str] = None,
+                 timeout: Optional[float] = None, replace: bool = False,
+                 transport: Optional[HttpTransport] = None):
+        self.datahub_url = datahub_url.rstrip("/")
+        self.replace = replace  # UPSERT replaces the aspect either way;
+        # kept for interface parity with the reference exporter.
+        self.transport = transport or HttpTransport(
+            self.datahub_url, token=token, timeout=timeout or 30.0)
+
+    def export_scan_results(
+        self,
+        dataset_urn: str,
+        scan_report: Dict[str, Any],
+        *,
+        add_pii_tags: bool = True,
+        add_datatype_tags: bool = True,
+        link_glossary_terms: bool = True,
+        add_properties: bool = True,
+        min_confidence: float = 0.0,
+    ) -> Dict[str, Any]:
+        stats = {"fields_processed": 0, "tags_added": 0,
+                 "glossary_terms_linked": 0, "properties_added": 0,
+                 "errors": []}
+        if not scan_report.get("data"):
+            logger.warning("No field data found in scan report")
+            return stats
+        for field, info, filtered, best in iter_export_fields(
+                scan_report, min_confidence):
+            try:
+                field_urn = make_schema_field_urn(dataset_urn, field)
+                tags = []
+                if add_pii_tags:
+                    tags.extend(extract_pii_tags(info))
+                if add_datatype_tags:
+                    tags.extend(extract_datatype_tags(filtered))
+                if tags:
+                    self._add_tags(field_urn, tags)
+                    stats["tags_added"] += len(tags)
+                if link_glossary_terms:
+                    for dataclass in extract_glossary_dataclasses(filtered):
+                        self._link_glossary_term(
+                            field_urn, f"urn:li:glossaryTerm:{dataclass}")
+                        stats["glossary_terms_linked"] += 1
+                if add_properties:
+                    props = build_properties(info, best)
+                    if props:
+                        self._add_properties(field_urn, props)
+                        stats["properties_added"] += len(props)
+                stats["fields_processed"] += 1
+            except Exception as e:  # field-level isolation, as reference
+                stats["errors"].append(
+                    f"Error processing field {field}: {e}")
+                logger.error(stats["errors"][-1])
+        return stats
+
+    # -- wire layer ------------------------------------------------------
+
+    def _emit(self, entity_urn: str, aspect_name: str, aspect: dict) -> None:
+        proposal = {
+            "entityType": "schemaField",
+            "entityUrn": entity_urn,
+            "changeType": "UPSERT",
+            "aspectName": aspect_name,
+            "aspect": {
+                "contentType": "application/json",
+                "value": json.dumps(aspect, sort_keys=True),
+            },
+        }
+        status, body = self.transport.request(
+            "POST", "/aspects", params={"action": "ingestProposal"},
+            json_body={"proposal": proposal})
+        if status not in (200, 201, 202):
+            raise RuntimeError(
+                f"ingestProposal {aspect_name} for {entity_urn}: "
+                f"HTTP {status}: {body}")
+
+    def _add_tags(self, field_urn: str, tags: list[str]) -> None:
+        aspect = {"tags": [{"tag": f"urn:li:tag:{t}"} for t in tags]}
+        try:
+            self._emit(field_urn, "globalTags", aspect)
+        except Exception as e:
+            logger.error("Error adding tags to %s: %s", field_urn, e)
+
+    def _link_glossary_term(self, field_urn: str, term_urn: str) -> None:
+        aspect = {"terms": [{"urn": term_urn}], "auditStamp": _AUDIT_STAMP}
+        try:
+            self._emit(field_urn, "glossaryTerms", aspect)
+        except Exception as e:
+            logger.error("Error linking glossary term %s to %s: %s",
+                         term_urn, field_urn, e)
+
+    def _add_properties(self, field_urn: str,
+                        properties: dict[str, str]) -> None:
+        aspect = {"customProperties": properties}
+        try:
+            self._emit(field_urn, "schemaFieldProperties", aspect)
+        except Exception as e:
+            logger.error("Error adding properties to %s: %s", field_urn, e)

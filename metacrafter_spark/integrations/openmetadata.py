@@ -1,0 +1,162 @@
+# -*- coding: utf-8 -*-
+"""OpenMetadata exporter: scan results → column tags / glossary labels
+/ custom properties via the public REST API (JSON-PATCH on the table).
+
+Mirrors the reference's OpenMetadataExporter
+(reference integrations/openmetadata.py:29-544) without the
+openmetadata-ingestion SDK.  The SDK's ``patch_column`` is, on the
+wire, ``GET /v1/tables/name/{fqn}`` + ``PATCH /v1/tables/{id}`` with
+``application/json-patch+json`` — we speak that directly:
+
+- tags        → TagLabels appended to ``/columns/{i}/tags``
+  (``source: Classification``, ``Tag.{name}`` FQNs, labelType Manual,
+  state Suggested — the reference's TagLabel construction)
+- glossary    → TagLabels with ``source: Glossary`` and the term FQN
+  (how current OpenMetadata models column→term links; the reference's
+  SDK-era entityReference form serializes to the same association)
+- properties  → merged into ``/columns/{i}/customProperties``
+
+All patches for one export batch into a single PATCH request per
+table — one read, one write, no per-field round trips.
+"""
+from __future__ import annotations
+
+import logging
+import urllib.parse
+from typing import Any, Dict, Optional
+
+from .base import (HttpTransport, build_properties, extract_datatype_tags,
+                   extract_glossary_dataclasses, extract_pii_tags,
+                   iter_export_fields)
+
+logger = logging.getLogger(__name__)
+
+
+def _tag_label(fqn: str, source: str) -> dict:
+    return {"tagFQN": fqn, "source": source,
+            "labelType": "Manual", "state": "Suggested"}
+
+
+class OpenMetadataExporter:
+    """Push classification results to OpenMetadata table columns."""
+
+    def __init__(self, openmetadata_url: str, *,
+                 token: Optional[str] = None,
+                 timeout: Optional[float] = None, replace: bool = False,
+                 transport: Optional[HttpTransport] = None):
+        self.openmetadata_url = openmetadata_url.rstrip("/")
+        self.replace = replace
+        self.transport = transport or HttpTransport(
+            self.openmetadata_url, token=token, timeout=timeout or 30.0)
+
+    def export_scan_results(
+        self,
+        table_fqn: str,
+        scan_report: Dict[str, Any],
+        *,
+        add_pii_tags: bool = True,
+        add_datatype_tags: bool = True,
+        link_glossary_terms: bool = True,
+        add_properties: bool = True,
+        min_confidence: float = 0.0,
+    ) -> Dict[str, Any]:
+        stats = {"fields_processed": 0, "tags_added": 0,
+                 "glossary_terms_linked": 0, "properties_added": 0,
+                 "errors": []}
+        if not scan_report.get("data"):
+            logger.warning("No field data found in scan report")
+            return stats
+
+        table = self._get_table(table_fqn)
+        if table is None:
+            stats["errors"].append(f"Table not found: {table_fqn}")
+            logger.error(stats["errors"][-1])
+            return stats
+        columns = table.get("columns") or []
+        col_index = {c.get("name"): i for i, c in enumerate(columns)}
+
+        patch_ops: list[dict] = []
+        for field, info, filtered, best in iter_export_fields(
+                scan_report, min_confidence):
+            try:
+                i = col_index.get(field)
+                if i is None:
+                    logger.warning("Column %s not found in table %s",
+                                   field, table_fqn)
+                    continue
+                col = columns[i]
+                labels = list(col.get("tags") or [])
+                have = {t.get("tagFQN") for t in labels}
+                n_new = 0
+                tags = []
+                if add_pii_tags:
+                    tags.extend(extract_pii_tags(info))
+                if add_datatype_tags:
+                    tags.extend(extract_datatype_tags(filtered))
+                for t in tags:
+                    fqn = f"Tag.{t}"
+                    if fqn not in have:
+                        labels.append(_tag_label(fqn, "Classification"))
+                        have.add(fqn)
+                    n_new += 1
+                if tags:
+                    stats["tags_added"] += n_new
+                if link_glossary_terms:
+                    for dataclass in extract_glossary_dataclasses(filtered):
+                        fqn = f"GlossaryTerm.{dataclass}"
+                        if fqn not in have:
+                            labels.append(_tag_label(fqn, "Glossary"))
+                            have.add(fqn)
+                        stats["glossary_terms_linked"] += 1
+                if labels != (col.get("tags") or []):
+                    patch_ops.append({
+                        "op": "add" if not col.get("tags") else "replace",
+                        "path": f"/columns/{i}/tags", "value": labels})
+                if add_properties:
+                    props = build_properties(info, best)
+                    if props:
+                        existing = col.get("customProperties") or {}
+                        if self.replace:
+                            existing = {k: v for k, v in existing.items()
+                                        if not k.startswith("metacrafter_")}
+                        merged = {**existing, **props}
+                        patch_ops.append({
+                            "op": ("add" if not col.get("customProperties")
+                                   else "replace"),
+                            "path": f"/columns/{i}/customProperties",
+                            "value": merged})
+                        stats["properties_added"] += len(props)
+                stats["fields_processed"] += 1
+            except Exception as e:
+                stats["errors"].append(f"Error processing field {field}: {e}")
+                logger.error(stats["errors"][-1])
+
+        if patch_ops:
+            try:
+                self._patch_table(table["id"], patch_ops)
+            except Exception as e:
+                stats["errors"].append(
+                    f"Error patching table {table_fqn}: {e}")
+                logger.error(stats["errors"][-1])
+        return stats
+
+    # -- wire layer ------------------------------------------------------
+
+    def _get_table(self, table_fqn: str) -> Optional[dict]:
+        path = ("/v1/tables/name/"
+                + urllib.parse.quote(table_fqn, safe=""))
+        status, body = self.transport.request(
+            "GET", path, params={"fields": "columns,tags"})
+        if status == 200 and isinstance(body, dict):
+            return body
+        if status == 404:
+            return None
+        raise RuntimeError(f"GET table {table_fqn}: HTTP {status}: {body}")
+
+    def _patch_table(self, table_id: str, ops: list[dict]) -> None:
+        status, body = self.transport.request(
+            "PATCH", f"/v1/tables/{table_id}", json_body=ops,
+            content_type="application/json-patch+json")
+        if status not in (200, 204):
+            raise RuntimeError(
+                f"PATCH table {table_id}: HTTP {status}: {body}")

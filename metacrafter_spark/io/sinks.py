@@ -28,7 +28,10 @@ def write_report(report: dict[str, Any], path: str, *,
     if fmt == "json":
         with open(path, "w", encoding="utf8") as f:
             json.dump(
-                {"results": rows, "stats": report["stats"]},
+                # "data" carries the detailed per-field match entries the
+                # catalog exporters consume (metacrafter_spark.integrations)
+                {"results": rows, "data": report.get("data", []),
+                 "stats": report["stats"]},
                 f, ensure_ascii=False, indent=1, default=str,
             )
     elif fmt == "csv":

@@ -1,0 +1,517 @@
+# -*- coding: utf-8 -*-
+"""Catalog-exporter tests: extraction-semantics parity vs the live
+reference engine + full wire-level round trips against real in-process
+HTTP servers (stdlib http.server) standing in for DataHub GMS /
+OpenMetadata / Apache Atlas."""
+import json
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from metacrafter_spark.integrations import (AtlasExporter, DataHubExporter,
+                                            OpenMetadataExporter)
+from metacrafter_spark.integrations.base import (build_properties,
+                                                 extract_datatype_tags,
+                                                 extract_pii_tags,
+                                                 iter_export_fields)
+
+REPORT = {
+    "data": [
+        {"field": "email_addr", "ftype": "str",
+         "tags": [],
+         "matches": [
+             {"ruleid": "email", "dataclass": "email",
+              "confidence": 97.5, "ruletype": "data", "format": None},
+             {"ruleid": "uri", "dataclass": "uri",
+              "confidence": 40.0, "ruletype": "data", "format": None},
+         ],
+         "datatype_url": "https://registry.apicrafter.io/datatype/email"},
+        {"field": "note", "ftype": "str", "tags": "pii, freeform",
+         "matches": [
+             {"ruleid": "name_ru", "dataclass": "person",
+              "confidence": 55.0, "ruletype": "data", "format": None},
+         ],
+         "datatype_url": "https://registry.apicrafter.io/datatype/person"},
+        {"field": "no_match", "ftype": "str", "tags": [], "matches": [],
+         "datatype_url": ""},
+        {"field": "weak", "ftype": "str", "tags": [],
+         "matches": [
+             {"ruleid": "x", "dataclass": "mystery",
+              "confidence": 10.0, "ruletype": "data", "format": None},
+         ],
+         "datatype_url": ""},
+    ]
+}
+
+
+# ---------------------------------------------------------------------------
+# Extraction semantics — differential vs the LIVE reference exporter
+# ---------------------------------------------------------------------------
+
+class TestExtractionParity:
+    @pytest.fixture(scope="class")
+    def ref_atlas(self):
+        import sys
+        sys.path.insert(0, "/root/reference")
+        try:
+            import metacrafter.integrations.atlas as ref_mod
+        except ImportError:
+            pytest.skip("reference atlas module unavailable")
+        finally:
+            sys.path.remove("/root/reference")
+        if not ref_mod.REQUESTS_AVAILABLE:
+            pytest.skip("requests unavailable")
+        return ref_mod.AtlasExporter
+
+    @pytest.mark.parametrize("field_idx", [0, 1, 3])
+    def test_pii_tags_match_reference(self, ref_atlas, field_idx):
+        info = REPORT["data"][field_idx]
+        ours = set(extract_pii_tags(info))
+        theirs = set(ref_atlas._extract_pii_classifications(None, info))
+        assert ours == theirs
+
+    @pytest.mark.parametrize("field_idx", [0, 1, 3])
+    def test_datatype_tags_match_reference(self, ref_atlas, field_idx):
+        matches = REPORT["data"][field_idx]["matches"]
+        ours = set(extract_datatype_tags(matches))
+        theirs = set(
+            ref_atlas._extract_datatype_classifications(None, matches))
+        assert ours == theirs
+
+    @pytest.mark.parametrize("field_idx", [0, 1])
+    def test_properties_match_reference(self, ref_atlas, field_idx):
+        info = REPORT["data"][field_idx]
+        best = max(info["matches"], key=lambda m: m["confidence"])
+        ours = build_properties(info, best)
+        theirs = ref_atlas._build_attributes(None, info, best)
+        assert ours == theirs
+
+    def test_pii_from_inherent_dataclass(self):
+        info = {"field": "f", "tags": [],
+                "matches": [{"dataclass": "creditcard", "confidence": 90}]}
+        assert extract_pii_tags(info) == ["PII"]
+
+    def test_pii_from_string_tags(self):
+        assert extract_pii_tags({"field": "f", "tags": "a, PII",
+                                 "matches": []}) == ["PII"]
+        assert extract_pii_tags({"field": "f", "tags": "a,b",
+                                 "matches": []}) == []
+
+    def test_min_confidence_filters_and_best_match(self):
+        out = dict((f, (m, b)) for f, _, m, b in
+                   iter_export_fields(REPORT, min_confidence=50.0))
+        assert set(out) == {"email_addr", "note"}  # weak + no_match gone
+        ms, best = out["email_addr"]
+        assert [m["dataclass"] for m in ms] == ["email"]  # uri filtered
+        assert best["dataclass"] == "email"
+
+
+# ---------------------------------------------------------------------------
+# Capture server
+# ---------------------------------------------------------------------------
+
+class _CaptureServer:
+    """In-process HTTP server; `routes` maps (method, path-prefix) →
+    (status, json-body) and every request is recorded."""
+
+    def __init__(self, routes):
+        self.routes = routes
+        self.requests = []
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def _handle(self, method):
+                length = int(self.headers.get("Content-Length") or 0)
+                body = self.rfile.read(length) if length else b""
+                parsed = urllib.parse.urlparse(self.path)
+                rec = {"method": method, "path": parsed.path,
+                       "query": dict(urllib.parse.parse_qsl(parsed.query)),
+                       "headers": dict(self.headers),
+                       "json": json.loads(body) if body else None}
+                outer.requests.append(rec)
+                for (m, prefix), resp in outer.routes.items():
+                    if m == method and parsed.path.startswith(prefix):
+                        status, payload = (resp(rec) if callable(resp)
+                                           else resp)
+                        data = json.dumps(payload).encode()
+                        self.send_response(status)
+                        self.send_header("Content-Type", "application/json")
+                        self.send_header("Content-Length", str(len(data)))
+                        self.end_headers()
+                        self.wfile.write(data)
+                        return
+                self.send_response(404)
+                self.send_header("Content-Length", "2")
+                self.end_headers()
+                self.wfile.write(b"{}")
+
+            def do_GET(self): self._handle("GET")
+            def do_POST(self): self._handle("POST")
+            def do_PUT(self): self._handle("PUT")
+            def do_PATCH(self): self._handle("PATCH")
+            def log_message(self, *a): pass
+
+        self.server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.url = f"http://127.0.0.1:{self.server.server_port}"
+        self.thread = threading.Thread(target=self.server.serve_forever,
+                                       daemon=True)
+        self.thread.start()
+
+    def stop(self):
+        self.server.shutdown()
+        self.server.server_close()
+
+
+# ---------------------------------------------------------------------------
+# DataHub
+# ---------------------------------------------------------------------------
+
+DATASET_URN = "urn:li:dataset:(urn:li:dataPlatform:postgres,users,PROD)"
+
+
+def test_datahub_export_wire():
+    srv = _CaptureServer({("POST", "/aspects"): (200, {})})
+    try:
+        exp = DataHubExporter(srv.url, token="tok123")
+        stats = exp.export_scan_results(DATASET_URN, REPORT,
+                                        min_confidence=50.0)
+    finally:
+        srv.stop()
+    assert stats["errors"] == []
+    assert stats["fields_processed"] == 2
+    # email_addr: tags [Email] (email dataclass is inherently PII → +PII)
+    # note: tags [PII, Person]
+    assert stats["tags_added"] == 4
+    assert stats["glossary_terms_linked"] == 2
+    assert stats["properties_added"] == 10  # 5 per field
+
+    assert all(r["query"] == {"action": "ingestProposal"}
+               for r in srv.requests)
+    assert all(r["headers"].get("Authorization") == "Bearer tok123"
+               for r in srv.requests)
+    proposals = [r["json"]["proposal"] for r in srv.requests]
+    assert all(p["entityType"] == "schemaField" and
+               p["changeType"] == "UPSERT" for p in proposals)
+    by_aspect = {}
+    for p in proposals:
+        by_aspect.setdefault(p["aspectName"], []).append(p)
+    email_urn = f"urn:li:schemaField:({DATASET_URN},email_addr)"
+    tags_mcp = [p for p in by_aspect["globalTags"]
+                if p["entityUrn"] == email_urn]
+    assert len(tags_mcp) == 1
+    aspect = json.loads(tags_mcp[0]["aspect"]["value"])
+    assert aspect == {"tags": [{"tag": "urn:li:tag:PII"},
+                               {"tag": "urn:li:tag:Email"}]}
+    terms = [json.loads(p["aspect"]["value"])["terms"][0]["urn"]
+             for p in by_aspect["glossaryTerms"]]
+    assert set(terms) == {"urn:li:glossaryTerm:email",
+                          "urn:li:glossaryTerm:person"}
+    props = {p["entityUrn"]: json.loads(p["aspect"]["value"])
+             for p in by_aspect["schemaFieldProperties"]}
+    ep = props[email_urn]["customProperties"]
+    assert ep["metacrafter_datatype"] == "email"
+    assert ep["metacrafter_rule_id"] == "email"
+    assert ep["metacrafter_confidence"] == "97.5"
+    assert ep["metacrafter_field_type"] == "str"
+    assert ep["metacrafter_datatype_url"].endswith("/datatype/email")
+
+
+def test_datahub_server_error_is_swallowed_per_aspect():
+    srv = _CaptureServer({("POST", "/aspects"): (500, {"err": "boom"})})
+    try:
+        exp = DataHubExporter(srv.url)
+        stats = exp.export_scan_results(DATASET_URN, REPORT)
+    finally:
+        srv.stop()
+    # aspect-level failures log and continue (reference behavior);
+    # fields still counted as processed
+    assert stats["fields_processed"] == 3
+    assert stats["errors"] == []
+
+
+def test_datahub_empty_report():
+    exp = DataHubExporter("http://127.0.0.1:1")  # never contacted
+    stats = exp.export_scan_results(DATASET_URN, {"data": []})
+    assert stats == {"fields_processed": 0, "tags_added": 0,
+                     "glossary_terms_linked": 0, "properties_added": 0,
+                     "errors": []}
+
+
+# ---------------------------------------------------------------------------
+# OpenMetadata
+# ---------------------------------------------------------------------------
+
+TABLE_FQN = "postgres.default.public.users"
+
+
+def _om_table():
+    return {"id": "11111111-2222-3333-4444-555555555555",
+            "name": "users",
+            "columns": [
+                {"name": "email_addr", "dataType": "VARCHAR",
+                 "tags": [{"tagFQN": "Tier.Gold",
+                           "source": "Classification",
+                           "labelType": "Manual", "state": "Confirmed"}]},
+                {"name": "note", "dataType": "VARCHAR"},
+                {"name": "other", "dataType": "INT"},
+            ]}
+
+
+def test_openmetadata_export_wire():
+    srv = _CaptureServer({
+        ("GET", "/v1/tables/name/"): (200, _om_table()),
+        ("PATCH", "/v1/tables/"): (200, {}),
+    })
+    try:
+        exp = OpenMetadataExporter(srv.url, token="om-tok")
+        stats = exp.export_scan_results(TABLE_FQN, REPORT,
+                                        min_confidence=50.0)
+    finally:
+        srv.stop()
+    assert stats["errors"] == []
+    assert stats["fields_processed"] == 2
+    assert stats["tags_added"] == 4
+    assert stats["glossary_terms_linked"] == 2
+    assert stats["properties_added"] == 10
+
+    gets = [r for r in srv.requests if r["method"] == "GET"]
+    assert len(gets) == 1  # one read for the whole batch
+    assert gets[0]["path"].endswith(urllib.parse.quote(TABLE_FQN, safe=""))
+    assert gets[0]["query"]["fields"] == "columns,tags"
+    patches = [r for r in srv.requests if r["method"] == "PATCH"]
+    assert len(patches) == 1  # one write for the whole batch
+    assert patches[0]["path"].endswith(_om_table()["id"])
+    assert (patches[0]["headers"]["Content-Type"]
+            == "application/json-patch+json")
+    ops = {op["path"]: op for op in patches[0]["json"]}
+    # email_addr (index 0): existing Tier.Gold preserved, new labels appended
+    tag_op = ops["/columns/0/tags"]
+    assert tag_op["op"] == "replace"
+    fqns = [t["tagFQN"] for t in tag_op["value"]]
+    assert fqns == ["Tier.Gold", "Tag.PII", "Tag.Email",
+                    "GlossaryTerm.email"]
+    sources = {t["tagFQN"]: t["source"] for t in tag_op["value"][1:]}
+    assert sources == {"Tag.PII": "Classification",
+                       "Tag.Email": "Classification",
+                       "GlossaryTerm.email": "Glossary"}
+    # note (index 1): no prior tags → add
+    assert ops["/columns/1/tags"]["op"] == "add"
+    prop_op = ops["/columns/0/customProperties"]
+    assert prop_op["value"]["metacrafter_datatype"] == "email"
+    assert "/columns/2/tags" not in ops  # untouched column
+
+
+def test_openmetadata_missing_table():
+    srv = _CaptureServer({})  # 404 everything
+    try:
+        exp = OpenMetadataExporter(srv.url)
+        stats = exp.export_scan_results("nope.db.schema.tbl", REPORT)
+    finally:
+        srv.stop()
+    assert stats["fields_processed"] == 0
+    assert stats["errors"] == ["Table not found: nope.db.schema.tbl"]
+
+
+def test_openmetadata_missing_column_skipped():
+    table = _om_table()
+    table["columns"] = table["columns"][1:]  # drop email_addr
+    srv = _CaptureServer({
+        ("GET", "/v1/tables/name/"): (200, table),
+        ("PATCH", "/v1/tables/"): (200, {}),
+    })
+    try:
+        exp = OpenMetadataExporter(srv.url)
+        stats = exp.export_scan_results(TABLE_FQN, REPORT,
+                                        min_confidence=50.0)
+    finally:
+        srv.stop()
+    assert stats["fields_processed"] == 1  # only note
+    assert stats["errors"] == []
+
+
+# ---------------------------------------------------------------------------
+# Atlas
+# ---------------------------------------------------------------------------
+
+TABLE_QN = "postgres.public.users"
+_GUIDS = {f"{TABLE_QN}.email_addr": "guid-email",
+          f"{TABLE_QN}.note": "guid-note"}
+
+
+def _atlas_routes(existing_classifications=(), entity_attrs=None):
+    state = {"classifications": {}, "entities": {}}
+
+    def resolve(rec):
+        qn = rec["query"].get("attr:qualifiedName")
+        if qn in _GUIDS:
+            return 200, {"entity": {"guid": _GUIDS[qn],
+                                    "attributes": {"qualifiedName": qn,
+                                                   **(entity_attrs or {})}}}
+        return 404, {}
+
+    def get_cls(rec):
+        guid = rec["path"].split("/")[-2]
+        names = state["classifications"].get(guid,
+                                             list(existing_classifications))
+        return 200, {"list": [{"typeName": n} for n in names]}
+
+    def post_cls(rec):
+        guid = rec["path"].split("/")[-2]
+        names = state["classifications"].setdefault(
+            guid, list(existing_classifications))
+        names.extend(c["typeName"] for c in rec["json"])
+        return 200, {}
+
+    def get_entity(rec):
+        guid = rec["path"].split("/")[-1]
+        qn = next(k for k, v in _GUIDS.items() if v == guid)
+        attrs = state["entities"].get(
+            guid, {"qualifiedName": qn, **(entity_attrs or {})})
+        return 200, {"entity": {"guid": guid, "attributes": attrs}}
+
+    def put_entity(rec):
+        guid = rec["path"].split("/")[-1]
+        state["entities"][guid] = rec["json"]["entity"]["attributes"]
+        return 200, {}
+
+    routes = {
+        ("GET", "/api/atlas/v2/entity/uniqueAttribute/"): resolve,
+        ("POST", "/api/atlas/v2/entity/guid/"): post_cls,
+        ("PUT", "/api/atlas/v2/entity/guid/"): put_entity,
+    }
+
+    def get_dispatch(rec):
+        if rec["path"].endswith("/classifications"):
+            return get_cls(rec)
+        return get_entity(rec)
+
+    routes[("GET", "/api/atlas/v2/entity/guid/")] = get_dispatch
+    return routes, state
+
+
+def test_atlas_export_wire():
+    routes, state = _atlas_routes()
+    srv = _CaptureServer(routes)
+    try:
+        exp = AtlasExporter(srv.url, username="admin", password="s3cret")
+        stats = exp.export_scan_results(TABLE_QN, REPORT,
+                                        min_confidence=50.0)
+    finally:
+        srv.stop()
+    assert stats["errors"] == []
+    assert stats["fields_processed"] == 2
+    assert stats["classifications_added"] == 4  # PII+Email, PII+Person
+    assert stats["attributes_added"] == 10
+    assert state["classifications"]["guid-email"] == ["PII", "Email"]
+    assert state["classifications"]["guid-note"] == ["PII", "Person"]
+    attrs = state["entities"]["guid-email"]
+    assert attrs["qualifiedName"] == f"{TABLE_QN}.email_addr"  # preserved
+    assert attrs["metacrafter_datatype"] == "email"
+    assert attrs["metacrafter_confidence"] == "97.5"
+
+
+def test_atlas_basic_auth_header():
+    routes, _ = _atlas_routes()
+    srv = _CaptureServer(routes)
+    try:
+        exp = AtlasExporter(srv.url, username="admin", password="s3cret")
+        exp.export_scan_results(TABLE_QN, REPORT, min_confidence=50.0)
+        import base64
+        expect = "Basic " + base64.b64encode(b"admin:s3cret").decode()
+        assert all(r["headers"].get("Authorization") == expect
+                   for r in srv.requests)
+    finally:
+        srv.stop()
+
+
+def test_atlas_skips_existing_classification_and_unresolved_column():
+    routes, state = _atlas_routes(existing_classifications=["PII"])
+    srv = _CaptureServer(routes)
+    try:
+        exp = AtlasExporter(srv.url)
+        stats = exp.export_scan_results(TABLE_QN, REPORT)  # all 3 fields
+    finally:
+        srv.stop()
+    # weak (mystery) column has no entity → error recorded, others fine
+    assert stats["errors"] == [
+        f"Column entity not found: {TABLE_QN}.weak"]
+    assert stats["fields_processed"] == 2
+    # PII pre-exists → only the datatype classifications actually POSTed
+    assert state["classifications"]["guid-email"] == ["PII", "Email", "Uri"]
+
+
+def test_atlas_replace_drops_stale_metacrafter_attrs():
+    routes, state = _atlas_routes(
+        entity_attrs={"metacrafter_datatype": "stale",
+                      "owner": "alice"})
+    srv = _CaptureServer(routes)
+    try:
+        exp = AtlasExporter(srv.url, replace=True)
+        exp.export_scan_results(TABLE_QN, REPORT, min_confidence=50.0)
+    finally:
+        srv.stop()
+    attrs = state["entities"]["guid-email"]
+    assert attrs["owner"] == "alice"  # non-metacrafter preserved
+    assert attrs["metacrafter_datatype"] == "email"  # stale replaced
+
+
+# ---------------------------------------------------------------------------
+# CLI e2e: scan-file report JSON → `mc export datahub` → capture server
+# ---------------------------------------------------------------------------
+
+def test_cli_export_end_to_end(spark, tmp_path):
+    import csv as _csv
+
+    from metacrafter_spark.cli import main
+    from metacrafter_spark.io.sinks import write_report
+    from metacrafter_spark.io.sources import scan_file
+    from metacrafter_spark.scanner import scan_dataframe
+
+    src = tmp_path / "people.csv"
+    with open(src, "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["email", "city"])
+        for i in range(30):
+            w.writerow([f"user{i}@example.com", "Berlin"])
+    rep = scan_dataframe(scan_file(spark, str(src)))
+    report_path = tmp_path / "report.json"
+    write_report(rep, str(report_path), fmt="json")
+
+    srv = _CaptureServer({("POST", "/aspects"): (200, {})})
+    try:
+        rc = main(["export", "datahub", str(report_path),
+                   "--url", srv.url, "--target", DATASET_URN,
+                   "--min-confidence", "50"])
+    finally:
+        srv.stop()
+    assert rc == 0
+    assert srv.requests, "no MCPs reached the capture GMS"
+    urns = {r["json"]["proposal"]["entityUrn"] for r in srv.requests}
+    assert f"urn:li:schemaField:({DATASET_URN},email)" in urns
+    tag_values = [json.loads(r["json"]["proposal"]["aspect"]["value"])
+                  for r in srv.requests
+                  if r["json"]["proposal"]["aspectName"] == "globalTags"]
+    all_tags = {t["tag"] for v in tag_values for t in v["tags"]}
+    assert "urn:li:tag:PII" in all_tags  # email dataclass ⇒ inherently PII
+
+
+def test_cli_export_accepts_reference_fields_key(tmp_path):
+    """The reference's own JSON writer puts detailed entries under
+    "fields" (core.py:778-781) while its exporters read "data" — our
+    CLI accepts both spellings."""
+    from metacrafter_spark.cli import main
+
+    report_path = tmp_path / "ref_style.json"
+    with open(report_path, "w") as f:
+        json.dump({"table": "t", "fields": REPORT["data"],
+                   "results": [], "stats": {}}, f)
+    srv = _CaptureServer({("POST", "/aspects"): (200, {})})
+    try:
+        rc = main(["export", "datahub", str(report_path),
+                   "--url", srv.url, "--target", DATASET_URN])
+    finally:
+        srv.stop()
+    assert rc == 0
+    assert srv.requests

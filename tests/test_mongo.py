@@ -1,0 +1,121 @@
+# -*- coding: utf-8 -*-
+"""MongoDB source tests: mongodump tree scan through the in-repo BSON
+codec, the distributed dump reader, the pymongo gate, and the CLI."""
+import datetime as dt
+import gzip
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from metacrafter_spark.io.bson_codec import encode_document
+from metacrafter_spark.io.mongo import (iter_dump_docs,
+                                        list_dump_collections,
+                                        read_mongodump, scan_mongodump)
+
+
+def _users_docs(n=40):
+    return [
+        {"_id": bytes.fromhex(f"{i:024x}").hex(),
+         "email": f"user{i}@example.com",
+         "signup": dt.datetime(2024, 1, 1) + dt.timedelta(days=i),
+         "profile": {"city": "Berlin", "uuid":
+                     f"550e8400-e29b-41d4-a716-4466554400{i:02d}"}}
+        for i in range(n)
+    ]
+
+
+def _orders_docs(n=25):
+    return [{"order_no": i, "amount": 9.99 + i,
+             "status": "paid" if i % 2 else "open"} for i in range(n)]
+
+
+@pytest.fixture()
+def dump_dir(tmp_path):
+    d = tmp_path / "dump" / "appdb"
+    d.mkdir(parents=True)
+    with open(d / "users.bson", "wb") as f:
+        for doc in _users_docs():
+            f.write(encode_document(doc))
+    with gzip.open(d / "orders.bson.gz", "wb") as f:
+        for doc in _orders_docs():
+            f.write(encode_document(doc))
+    return str(tmp_path / "dump")
+
+
+def test_list_and_iter(dump_dir):
+    colls = list_dump_collections(dump_dir)
+    assert set(colls) == {"users", "orders"}
+    docs = list(iter_dump_docs(colls["users"]))
+    assert len(docs) == 40
+    assert docs[3]["email"] == "user3@example.com"
+    assert docs[3]["profile"]["city"] == "Berlin"
+    assert list(iter_dump_docs(colls["users"], limit=7))[-1]["_id"] \
+        == f"{6:024x}"
+    # gz collection decodes identically
+    orders = list(iter_dump_docs(colls["orders"]))
+    assert len(orders) == 25 and orders[0]["amount"] == 9.99
+
+
+def test_scan_mongodump_classifies(spark, dump_dir):
+    reports = scan_mongodump(spark, dump_dir)
+    assert set(reports) == {"users", "orders"}
+    users = reports["users"]
+    by_field = {rec["field"]: rec for rec in users["data"]}
+    assert any(m["dataclass"] == "email"
+               for m in by_field["email"]["matches"])
+    # nested dict flattens to dotted path, uuid detected inside
+    uuid_fields = [f for f in by_field if f.endswith("uuid")]
+    assert uuid_fields and any(
+        m["dataclass"] == "uuid"
+        for m in by_field[uuid_fields[0]]["matches"])
+
+
+def test_scan_mongodump_limit_and_db_filter(spark, dump_dir, tmp_path):
+    # second db subdir must be excluded when dbname given
+    other = tmp_path / "dump" / "otherdb"
+    other.mkdir()
+    with open(other / "misc.bson", "wb") as f:
+        f.write(encode_document({"x": 1}))
+    all_reports = scan_mongodump(spark, dump_dir, limit=5)
+    assert set(all_reports) == {"users", "orders", "misc"}
+    assert all_reports["users"]["stats"]["email"]["n_uniq"] <= 5
+    only = scan_mongodump(spark, dump_dir, dbname="appdb")
+    assert set(only) == {"users", "orders"}
+
+
+def test_read_mongodump_distributed(spark, dump_dir):
+    df = read_mongodump(spark, dump_dir + "/appdb/*")
+    assert df.count() == 65
+    emails = (df.filter(F.col("path").contains("users"))
+              .select(F.get_json_object("doc", "$.email").alias("e")))
+    assert emails.filter(F.col("e").endswith("@example.com")).count() == 40
+    # deterministic across partitioning
+    a = sorted(r["doc"] for r in df.collect())
+    b = sorted(r["doc"] for r in df.repartition(7).collect())
+    assert a == b
+
+
+def test_scan_mongodb_gate(spark):
+    try:
+        import pymongo  # noqa: F401
+        pytest.skip("pymongo installed; gate untestable")
+    except ImportError:
+        pass
+    from metacrafter_spark.io.mongo import scan_mongodb
+    with pytest.raises(ImportError, match="scan_mongodump"):
+        scan_mongodb(spark, "localhost", 27017, "test")
+
+
+def test_cli_scan_mongodump(spark, dump_dir, tmp_path):
+    from metacrafter_spark.cli import main
+
+    out = tmp_path / "db_report.json"
+    rc = main(["scan-mongodump", dump_dir, "--db", "appdb",
+               "--output", str(out)])
+    assert rc == 0
+    with open(out) as f:
+        by = {e["table"]: e for e in json.load(f)}
+    assert set(by) == {"users", "orders"}
+    assert any(r[0] == "email" and "email" in r[3]
+               for r in by["users"]["results"])
