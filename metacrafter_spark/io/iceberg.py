@@ -1548,6 +1548,133 @@ class IcebergTable:
             out = out.drop("__seq")
         return out.select(*[f.name for f in schema.fields]).to(read_schema)
 
+    # ---------------------------------------------------- maintenance
+
+    def _snapshot_files(self, snaps: list[Snapshot]) -> set[str]:
+        """Every file path reachable from *snaps*: manifest lists,
+        manifests, and data/delete files in ANY entry status (DELETED
+        entries still reference the file for history)."""
+        seen_manifests: set[str] = set()
+        out: set[str] = set()
+        for s in snaps:
+            out.add(s.manifest_list)
+            for mf in self._read_manifest_list(s):
+                out.add(mf["manifest_path"])
+                if mf["manifest_path"] in seen_manifests:
+                    continue  # fast-append shares manifests across snaps
+                seen_manifests.add(mf["manifest_path"])
+                for e in read_ocf(mf["manifest_path"]):
+                    out.add(e["data_file"]["file_path"])
+        return out
+
+    def expire_snapshots(self, *, keep_last: Optional[int] = None,
+                         older_than_ms: Optional[int] = None,
+                         dry_run: bool = False) -> dict:
+        """Expire old snapshots and physically delete files reachable
+        ONLY from them (Iceberg's ExpireSnapshots): retained = the
+        current snapshot plus the ``keep_last`` most recent plus any
+        newer than ``older_than_ms``; expired snapshots leave the
+        metadata (a new metadata version commits atomically) and their
+        now-unreachable manifest lists / manifests / data files are
+        unlinked.  Metadata planning is driver-side O(#manifests);
+        nothing distributed runs."""
+        if keep_last is None and older_than_ms is None:
+            raise ValueError("need keep_last and/or older_than_ms")
+        snaps = self.snapshots
+        current = self.current_snapshot
+        retained, expired = [], []
+        n = len(snaps)
+        for i, s in enumerate(snaps):
+            keep = s.snapshot_id == (current.snapshot_id if current else None)
+            if keep_last is not None and i >= n - keep_last:
+                keep = True
+            if older_than_ms is not None and s.timestamp_ms >= older_than_ms:
+                keep = True
+            (retained if keep else expired).append(s)
+        stats = {"expired_snapshot_ids": [s.snapshot_id for s in expired],
+                 "deleted_files": []}
+        if not expired:
+            return stats
+        reachable = self._snapshot_files(retained)
+        candidates = self._snapshot_files(expired) - reachable
+        loc = os.path.realpath(self.location) + os.sep
+        doomed = sorted(p for p in candidates
+                        if os.path.realpath(p).startswith(loc))
+        stats["deleted_files"] = doomed
+        if dry_run:
+            return stats
+        expired_ids = {s.snapshot_id for s in expired}
+        self.metadata["snapshots"] = [
+            d for d in self.metadata["snapshots"]
+            if d["snapshot-id"] not in expired_ids]
+        self.metadata["snapshot-log"] = [
+            d for d in self.metadata["snapshot-log"]
+            if d["snapshot-id"] not in expired_ids]
+        self._publish_metadata(self.version + 1)
+        for p in doomed:
+            try:
+                os.unlink(p)
+            except FileNotFoundError:
+                pass
+        return stats
+
+    def remove_orphan_files(self, *, dry_run: bool = False) -> list[str]:
+        """Delete data/manifest files under the table location that no
+        snapshot references — the residue of writers that crashed
+        between writing parquet and committing (exactly the torn-write
+        case the resume tests plant).  Metadata jsons and the
+        version hint are never candidates."""
+        reachable = self._snapshot_files(self.snapshots)
+        orphans = []
+        for dirpath, _dirs, files in os.walk(self.location):
+            for fn in files:
+                if not (fn.endswith(".parquet") or fn.endswith(".avro")):
+                    continue  # metadata jsons / hint / markers stay
+                p = os.path.join(dirpath, fn)
+                if p not in reachable:
+                    orphans.append(p)
+        orphans.sort()
+        if not dry_run:
+            for p in orphans:
+                os.unlink(p)
+        return orphans
+
+    def rewrite_manifests(self, *, now_ms: Optional[int] = None) -> Snapshot:
+        """Compact the current snapshot's data manifests into one
+        (Iceberg's RewriteManifests): live entries rewrite as EXISTING
+        keeping their original snapshot/sequence numbers, delete
+        manifests ride along untouched, and the result commits as a
+        ``replace`` snapshot — same data, fresh metadata layout, so
+        planning cost stays O(#manifests) after many fast-appends."""
+        parent = self.current_snapshot
+        if parent is None:
+            raise ValueError("empty table")
+        seq = self.metadata["last-sequence-number"] + 1
+        snap_id = parent.snapshot_id + 1
+        keep_manifests: list[dict] = []
+        live_entries: list[dict] = []
+        for mf in self._read_manifest_list(parent):
+            if (mf.get("content", 0) or 0) != 0:
+                keep_manifests.append(mf)  # delete manifests untouched
+                continue
+            for e in read_ocf(mf["manifest_path"]):
+                if e["status"] == STATUS_DELETED:
+                    continue
+                live_entries.append({**e, "status": STATUS_EXISTING})
+        manifests = keep_manifests
+        if live_entries:
+            manifests = [self._write_manifest(live_entries, snap_id, seq)] \
+                + keep_manifests
+        return self._commit_snapshot(
+            manifests,
+            operation="replace",
+            summary={"rewritten-data-manifests": str(
+                sum(1 for mf in self._read_manifest_list(parent)
+                    if (mf.get("content", 0) or 0) == 0)),
+                "kept-data-files": str(len(live_entries))},
+            now_ms=now_ms,
+        )
+
 
 class PyIcebergTableIO:
     """``corpus.resume.TableIO`` contract over the pure-Python Iceberg

@@ -1,0 +1,183 @@
+# -*- coding: utf-8 -*-
+"""Iceberg table maintenance: snapshot expiry (with physical file
+cleanup of only-expired-reachable files), orphan-file removal (the
+torn-write residue case), and manifest compaction (replace snapshot).
+"""
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from metacrafter_spark.io.iceberg import IcebergTable
+
+SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("bucket_id", T.LongType(), False),
+    T.StructField("text", T.StringType(), True),
+])
+
+
+def _docs(spark, lo, hi, tag="a"):
+    return spark.range(lo, hi).select(
+        F.concat(F.lit(f"https://{tag}.example.com/p"), F.col("id"))
+        .alias("url"),
+        (F.col("id") % 4).alias("bucket_id"),
+        F.concat(F.lit(f"body-{tag}-"), F.col("id")).alias("text"),
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    loc = str(tmp_path / "tbl")
+    t = IcebergTable.create(loc, SCHEMA, partition_by=["bucket_id"],
+                            now_ms=1_700_000_000_000)
+    t.append(_docs(spark, 0, 40, "a"), now_ms=1_700_000_001_000)   # snap 1
+    t.append(_docs(spark, 40, 60, "b"), now_ms=1_700_000_002_000)  # snap 2
+    t.overwrite_partitions(
+        _docs(spark, 100, 110, "c").filter(F.col("bucket_id") == 0),
+        now_ms=1_700_000_003_000)                                  # snap 3
+    return t
+
+
+def _all_files(loc):
+    return {p for p in glob.glob(os.path.join(loc, "**", "*"),
+                                 recursive=True) if os.path.isfile(p)}
+
+
+def test_expire_keep_last(spark, table):
+    before = table.read(spark).count()
+    # snapshot-2 read works pre-expiry (time travel)
+    assert table.read(spark, snapshot_id=2).count() == 60
+
+    stats = table.expire_snapshots(keep_last=1)
+    assert stats["expired_snapshot_ids"] == [1, 2]
+    assert stats["deleted_files"]  # snap-1/2 manifest lists at minimum
+
+    # current data intact, same rows, metadata advanced atomically
+    t2 = IcebergTable.load(table.location)
+    assert [s.snapshot_id for s in t2.snapshots] == [3]
+    assert t2.read(spark).count() == before
+    # deleted files are gone from disk; surviving plan is complete
+    for p in stats["deleted_files"]:
+        assert not os.path.exists(p)
+    for f in t2.plan_files():
+        assert os.path.exists(f["file_path"])
+    # expired snapshots no longer readable
+    with pytest.raises(ValueError, match="no snapshot"):
+        t2.read(spark, snapshot_id=1)
+
+
+def test_expire_keeps_files_shared_with_retained(spark, table):
+    """Files written by snap 1/2 that are still live in snap 3 (buckets
+    1-3 were not overwritten) must survive expiry."""
+    live_before = {f["file_path"] for f in table.plan_files()}
+    table.expire_snapshots(keep_last=1)
+    assert live_before <= _all_files(table.location)
+
+
+def test_expire_older_than_and_dry_run(spark, table):
+    dry = table.expire_snapshots(older_than_ms=1_700_000_002_500,
+                                 dry_run=True)
+    assert dry["expired_snapshot_ids"] == [1, 2]
+    # dry run: nothing actually happened
+    t = IcebergTable.load(table.location)
+    assert len(t.snapshots) == 3
+    for p in dry["deleted_files"]:
+        assert os.path.exists(p)
+
+    stats = t.expire_snapshots(older_than_ms=1_700_000_001_500)
+    assert stats["expired_snapshot_ids"] == [1]
+    t2 = IcebergTable.load(table.location)
+    assert [s.snapshot_id for s in t2.snapshots] == [2, 3]
+    assert t2.read(spark, snapshot_id=2).count() == 60  # retained history
+
+
+def test_expire_never_expires_current(spark, table):
+    stats = table.expire_snapshots(older_than_ms=9_999_999_999_999)
+    assert stats["expired_snapshot_ids"] == [1, 2]  # 3 is current → kept
+    assert IcebergTable.load(table.location).read(spark).count() \
+        == table.read(spark).count()
+
+
+def test_expire_requires_a_policy(table):
+    with pytest.raises(ValueError, match="keep_last"):
+        table.expire_snapshots()
+
+
+def test_remove_orphans(spark, table):
+    # plant torn-write residue: a parquet in a partition dir and a
+    # stray manifest avro that no snapshot references
+    d = os.path.join(table.location, "data", "bucket_id=0")
+    os.makedirs(d, exist_ok=True)
+    orphan_pq = os.path.join(d, "part-torn-write.parquet")
+    with open(orphan_pq, "wb") as f:
+        f.write(b"PAR1 not really parquet")
+    orphan_av = os.path.join(table.location, "metadata",
+                             "manifest-orphan.avro")
+    with open(orphan_av, "wb") as f:
+        f.write(b"Obj\x01junk")
+
+    listed = table.remove_orphan_files(dry_run=True)
+    assert set(listed) == {orphan_av, orphan_pq}
+    assert os.path.exists(orphan_pq)
+
+    removed = table.remove_orphan_files()
+    assert set(removed) == {orphan_av, orphan_pq}
+    assert not os.path.exists(orphan_pq) and not os.path.exists(orphan_av)
+    # table still reads fine, all planned files exist
+    t = IcebergTable.load(table.location)
+    assert t.read(spark).count() == table.read(spark).count()
+    # idempotent
+    assert t.remove_orphan_files() == []
+
+
+def test_rewrite_manifests_compacts(spark, table):
+    t = table
+    for i in range(4):  # more fast-appends → more manifests
+        t.append(_docs(spark, 200 + 10 * i, 210 + 10 * i, f"x{i}"),
+                 now_ms=1_700_000_004_000 + i)
+    rows_before = {(r["url"], r["text"])
+                   for r in t.read(spark).collect()}
+    n_manifests_before = len(t._read_manifest_list(t.current_snapshot))
+    assert n_manifests_before >= 5
+
+    snap = t.rewrite_manifests(now_ms=1_700_000_010_000)
+    assert snap.operation == "replace"
+    t2 = IcebergTable.load(t.location)
+    mfs = t2._read_manifest_list(t2.current_snapshot)
+    assert len(mfs) == 1  # all data manifests compacted
+    rows_after = {(r["url"], r["text"])
+                  for r in t2.read(spark).collect()}
+    assert rows_after == rows_before
+    # time travel to the pre-compaction snapshot still works
+    assert t2.read(spark, snapshot_id=snap.snapshot_id - 1).count() \
+        == len(rows_before)
+    # compaction then expiry: old layout's manifests become deletable
+    stats = t2.expire_snapshots(keep_last=1)
+    t3 = IcebergTable.load(t.location)
+    assert {(r["url"], r["text"]) for r in t3.read(spark).collect()} \
+        == rows_before
+    assert stats["deleted_files"]
+
+
+def test_rewrite_manifests_preserves_delete_manifests(spark, tmp_path):
+    loc = str(tmp_path / "tbl_d")
+    t = IcebergTable.create(loc, SCHEMA, partition_by=["bucket_id"],
+                            now_ms=1_700_000_000_000)
+    t.append(_docs(spark, 0, 40, "a"), now_ms=1_700_000_001_000)
+    t.append(_docs(spark, 40, 60, "b"), now_ms=1_700_000_002_000)
+    t.delete_where(
+        spark, F.col("url") == "https://a.example.com/p5",
+        now_ms=1_700_000_003_000)
+    assert t.read(spark).count() == 59
+    t.rewrite_manifests(now_ms=1_700_000_004_000)
+    t2 = IcebergTable.load(loc)
+    mfs = t2._read_manifest_list(t2.current_snapshot)
+    assert sum(1 for m in mfs if (m.get("content", 0) or 0) == 0) == 1
+    assert sum(1 for m in mfs if (m.get("content", 0) or 0) == 1) == 1
+    assert t2.read(spark).count() == 59  # position delete still applies
+    urls = {r["url"] for r in t2.read(spark).collect()}
+    assert "https://a.example.com/p5" not in urls
