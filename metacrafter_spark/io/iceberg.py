@@ -621,6 +621,7 @@ class Snapshot:
     operation: str
     summary: dict = field(default_factory=dict)
     parent_snapshot_id: Optional[int] = None
+    schema_id: int = 0
 
     def to_json(self) -> dict:
         d = {
@@ -629,7 +630,7 @@ class Snapshot:
             "timestamp-ms": self.timestamp_ms,
             "manifest-list": self.manifest_list,
             "summary": {"operation": self.operation, **self.summary},
-            "schema-id": 0,
+            "schema-id": self.schema_id,
         }
         if self.parent_snapshot_id is not None:
             d["parent-snapshot-id"] = self.parent_snapshot_id
@@ -647,6 +648,7 @@ class Snapshot:
             operation=op,
             summary=summary,
             parent_snapshot_id=d.get("parent-snapshot-id"),
+            schema_id=d.get("schema-id", 0),
         )
 
 
@@ -950,6 +952,7 @@ class IcebergTable:
             operation=operation,
             summary=summary,
             parent_snapshot_id=parent.snapshot_id if parent else None,
+            schema_id=self.metadata["current-schema-id"],
         )
         self.metadata["snapshots"].append(snap.to_json())
         self.metadata["current-snapshot-id"] = snap_id
@@ -1465,14 +1468,31 @@ class IcebergTable:
             snapshot_id=snapshot_id, partition_filter=partition_filter)
         deletes = self.plan_deletes(
             snapshot_id=snapshot_id, partition_filter=partition_filter)
-        schema = self.spark_schema
+        # time travel reads with the schema that was current AT that
+        # snapshot (snapshots record their schema-id, per the spec)
+        ice_schema = self.schema
+        if snapshot_id is not None:
+            snap = next(s for s in self.snapshots
+                        if s.snapshot_id == snapshot_id)
+            ice_schema = next(
+                s for s in self.metadata["schemas"]
+                if s.get("schema-id", 0) == snap.schema_id)
+        schema = iceberg_schema_to_spark(ice_schema)
         # only identity partition values are absent from the data files
         # (transform partitions keep their source columns) — group and
         # re-attach by those alone; transform-partition groups merge
         # into one parquet scan per identity key.
         part_cols = self.identity_partition_columns
+        # renamed columns: project the historical names too (typed like
+        # the current field — Parquet widening covers promoted renames)
+        # and coalesce, so files from before the rename keep resolving
+        aliases = {k: v for k, v in self._field_aliases(ice_schema).items()
+                   if k not in part_cols}
+        data_fields = [f for f in schema.fields if f.name not in part_cols]
         data_schema = T.StructType(
-            [f for f in schema.fields if f.name not in part_cols])
+            data_fields + [T.StructField(a, f.dataType, True)
+                           for f in data_fields
+                           for a in aliases.get(f.name, [])])
         if not files:
             return spark.createDataFrame(
                 [], T.StructType([T.StructField(f.name, f.dataType, True)
@@ -1494,6 +1514,12 @@ class IcebergTable:
             d = spark.read.schema(data_schema).parquet(*paths)
             for c, v in zip(part_cols, key):
                 d = d.withColumn(c, F.lit(v).cast(spark_types[c]))
+            for fname, alist in aliases.items():
+                d = d.withColumn(
+                    fname,
+                    F.coalesce(F.col(fname),
+                               *[F.col(a).cast(spark_types[fname])
+                                 for a in alist]))
             cols = [F.col(f.name) for f in schema.fields]
             if pos_dels:
                 cols += [
@@ -1529,15 +1555,26 @@ class IcebergTable:
             ).drop("__fp", "__pos")
         if eq_dels:
             id_to_name = {f["id"]: f["name"]
-                          for f in self.schema["fields"]}
+                          for f in ice_schema["fields"]}
             # one anti-join per equality-delete file: each carries its
             # own key-column set and sequence cutoff (delete commits
             # are rare relative to reads, and each key set is tiny and
             # broadcast)
             for f in eq_dels:
                 key_names = [id_to_name[i] for i in f["equality_ids"]]
-                keys = spark.read.parquet(f["file_path"]) \
-                    .select(*key_names).dropDuplicates()
+                keys = spark.read.parquet(f["file_path"])
+                # delete files written before a rename carry the old
+                # column name — resolve through the same alias trail
+                sel = []
+                for k in key_names:
+                    if k in keys.columns:
+                        sel.append(F.col(k))
+                    else:
+                        alt = next(a for a in aliases.get(k, [])
+                                   if a in keys.columns)
+                        sel.append(F.col(alt).cast(
+                            spark_types[k]).alias(k))
+                keys = keys.select(*sel).dropDuplicates()
                 if f["file_size_in_bytes"] < 64 << 20:
                     keys = F.broadcast(keys)
                 cond = F.lit(True)
@@ -1674,6 +1711,153 @@ class IcebergTable:
                 "kept-data-files": str(len(live_entries))},
             now_ms=now_ms,
         )
+
+    # ------------------------------------------------- schema evolution
+
+    _NAME_MAPPING_PROP = "schema.name-mapping.default"
+
+    def _name_mapping(self) -> list[dict]:
+        raw = self.metadata.get("properties", {}).get(
+            self._NAME_MAPPING_PROP)
+        return json.loads(raw) if raw else []
+
+    def _field_aliases(self, ice_schema: Optional[dict] = None
+                       ) -> dict[str, list[str]]:
+        """Field name → historical names (rename trail) for the given
+        schema version (default current), with names that are live
+        columns in that schema excluded (a live column always binds to
+        itself)."""
+        sch = ice_schema if ice_schema is not None else self.schema
+        live = {f["name"] for f in sch["fields"]}
+        by_id = {f["id"]: f["name"] for f in sch["fields"]}
+        out: dict[str, list[str]] = {}
+        for m in self._name_mapping():
+            cur = by_id.get(m["field-id"])
+            if cur is None:
+                continue
+            aliases = [n for n in m.get("names", [])
+                       if n != cur and n not in live]
+            if aliases:
+                out[cur] = aliases
+        return out
+
+    def _partition_source_ids(self) -> set[int]:
+        return {pf["source-id"] for spec in self.metadata["partition-specs"]
+                for pf in spec["fields"]}
+
+    def _evolve_schema(self, new_fields: list[dict]) -> None:
+        """Commit a new schema version (metadata-only — no snapshot;
+        Iceberg's UpdateSchema contract)."""
+        new_id = max(s.get("schema-id", 0)
+                     for s in self.metadata["schemas"]) + 1
+        self.metadata["schemas"].append(
+            {"type": "struct", "schema-id": new_id, "fields": new_fields})
+        self.metadata["current-schema-id"] = new_id
+        self.metadata["last-updated-ms"] = int(time.time() * 1000)
+        self._publish_metadata(self.version + 1)
+
+    def _assert_name_free(self, name: str) -> None:
+        if any(f["name"] == name for f in self.schema["fields"]):
+            raise ValueError(f"column {name!r} already exists")
+        for m in self._name_mapping():
+            if name in m.get("names", []):
+                raise ValueError(
+                    f"{name!r} is a historical name of a renamed or "
+                    "dropped column — reusing it would resurrect old "
+                    "data files' bytes under the new field (name-based "
+                    "projection; Iceberg's parquet field-ids would "
+                    "disambiguate, which this layer doesn't write)")
+
+    def add_column(self, name: str, spark_type: T.DataType) -> None:
+        """Append an optional column: files written before it read as
+        null (name-based projection — no data rewrite).  New columns
+        are always optional, as in Iceberg (old files can't satisfy a
+        required field)."""
+        self._assert_name_free(name)
+        new_id = self.metadata["last-column-id"] + 1
+        fields = [dict(f) for f in self.schema["fields"]]
+        fields.append({"id": new_id, "name": name, "required": False,
+                       "type": _spark_type_to_iceberg(spark_type)})
+        self.metadata["last-column-id"] = new_id
+        self._evolve_schema(fields)
+
+    def rename_column(self, old: str, new: str) -> None:
+        """Rename keeps the field-id; the old name is recorded in the
+        spec's ``schema.name-mapping.default`` property so files written
+        under it keep resolving (read side coalesces current name with
+        the historical ones).  Partition source columns refuse — their
+        name is baked into the spec and the data layout."""
+        f = next((f for f in self.schema["fields"] if f["name"] == old),
+                 None)
+        if f is None:
+            raise ValueError(f"no column {old!r}")
+        if f["id"] in self._partition_source_ids():
+            raise ValueError(
+                f"{old!r} is a partition source column — renaming it "
+                "requires partition-spec evolution (unsupported here)")
+        self._assert_name_free(new)
+        mapping = self._name_mapping()
+        entry = next((m for m in mapping if m["field-id"] == f["id"]), None)
+        if entry is None:
+            entry = {"field-id": f["id"], "names": []}
+            mapping.append(entry)
+        for n in (old, new):
+            if n not in entry["names"]:
+                entry["names"].append(n)
+        self.metadata.setdefault("properties", {})[
+            self._NAME_MAPPING_PROP] = json.dumps(mapping)
+        fields = [dict(fl) for fl in self.schema["fields"]]
+        next(fl for fl in fields if fl["id"] == f["id"])["name"] = new
+        self._evolve_schema(fields)
+
+    def drop_column(self, name: str) -> None:
+        """Drop a column (projection change only — old files keep the
+        bytes, reads stop selecting them).  Partition sources refuse."""
+        f = next((f for f in self.schema["fields"] if f["name"] == name),
+                 None)
+        if f is None:
+            raise ValueError(f"no column {name!r}")
+        if f["id"] in self._partition_source_ids():
+            raise ValueError(f"{name!r} is a partition source column")
+        fields = [dict(fl) for fl in self.schema["fields"]
+                  if fl["id"] != f["id"]]
+        # tombstone every name the field ever had: re-adding one would
+        # resurrect the dropped column's bytes from old files
+        mapping = self._name_mapping()
+        entry = next((m for m in mapping if m["field-id"] == f["id"]), None)
+        if entry is None:
+            mapping.append({"field-id": f["id"], "names": [name]})
+        elif name not in entry["names"]:
+            entry["names"].append(name)
+        self.metadata.setdefault("properties", {})[
+            self._NAME_MAPPING_PROP] = json.dumps(mapping)
+        self._evolve_schema(fields)
+
+    _PROMOTIONS = {("int", "long"), ("float", "double")}
+
+    def update_column_type(self, name: str,
+                           new_spark_type: T.DataType) -> None:
+        """Widening promotions only (Iceberg's rule: int→long,
+        float→double, decimal precision growth at fixed scale).  Old
+        files read through Spark's Parquet widening; no rewrite."""
+        f = next((f for f in self.schema["fields"] if f["name"] == name),
+                 None)
+        if f is None:
+            raise ValueError(f"no column {name!r}")
+        old_t, new_t = f["type"], _spark_type_to_iceberg(new_spark_type)
+        ok = (old_t, new_t) in self._PROMOTIONS
+        if (isinstance(old_t, str) and old_t.startswith("decimal")
+                and isinstance(new_t, str) and new_t.startswith("decimal")):
+            op, os_ = old_t[8:-1].split(",")
+            np_, ns = new_t[8:-1].split(",")
+            ok = int(ns) == int(os_) and int(np_) >= int(op)
+        if not ok:
+            raise ValueError(
+                f"type change {old_t} → {new_t} is not a widening "
+                "promotion")
+        fields = [dict(fl) for fl in self.schema["fields"]]
+        next(fl for fl in fields if fl["id"] == f["id"])["type"] = new_t
+        self._evolve_schema(fields)
 
 
 class PyIcebergTableIO:
