@@ -1937,6 +1937,67 @@ def q_iceberg_bucket_prune(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_iceberg_evolution(spark, sf_dir):
+    """Iceberg schema evolution + table maintenance end-to-end (round 5,
+    io/iceberg.py): three append waves interleaved with add-column,
+    rename (text→body via the spec's name-mapping property), and an
+    int→long widening promotion; then the manifests compact
+    (rewrite_manifests) and all history but the current snapshot
+    expires WITH physical file cleanup.  The final read must still
+    resolve wave-1/2 files written under the old column name and the
+    narrow int type — the oracle replays all three waves in SQL, so a
+    broken alias trail, a lost file after expiry, or a bad promotion
+    flips counts or hashes."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from metacrafter_spark.io.iceberg import IcebergTable
+
+    loc = os.path.join(
+        tempfile.gettempdir(),
+        "mc_icevo_q_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    if os.path.exists(loc):
+        shutil.rmtree(loc)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+
+    def wave(shift, hits_base=0):
+        return docs.select(
+            (F.col("doc_id") + shift).alias("doc_id"), "lang", "text",
+            (F.col("doc_id") % 1000 + hits_base).alias("hits"))
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("hits", T.IntegerType(), True),
+    ])
+    t = IcebergTable.create(loc, schema, partition_by=["lang"])
+    t.append(wave(0).withColumn("hits", F.col("hits").cast("int")))
+    t.add_column("src", T.StringType())
+    t.append(wave(10_000_000).withColumn("hits", F.col("hits").cast("int"))
+             .withColumn("src", F.lit("w2")))
+    t.rename_column("text", "body")
+    t.update_column_type("hits", T.LongType())
+    t.append(wave(20_000_000, hits_base=3_000_000_000)  # needs int64
+             .withColumnRenamed("text", "body")
+             .withColumn("src", F.lit("w3")))
+    t.rewrite_manifests()
+    t.expire_snapshots(keep_last=1)
+    t = IcebergTable.load(loc)
+    return (t.read(spark)
+            .groupBy("lang", F.coalesce("src", F.lit("w1")).alias("wave"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.countDistinct("doc_id").alias("n_ids"),
+                 F.sum("hits").cast("long").alias("sum_hits"),
+                 F.sum(F.length("body")).cast("long").alias("sum_chars"),
+                 F.min(F.md5(F.encode("body", "utf-8"))).alias("min_md5"))
+            .orderBy("lang", "wave"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": q_tpch_q1,
@@ -2010,6 +2071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # metadata (round 5)
         "iceberg_scan": q_iceberg_scan,
         "iceberg_bucket_prune": q_iceberg_bucket_prune,
+        "iceberg_evolution": q_iceberg_evolution,
         # hash-green ANN quality bars (round 4): exact top-k rows are
         # SQL-replayed; recall_ok is computed in-query vs the exact set
         # (oracle expects TRUE — the fp_stable invariant pattern)
@@ -3171,6 +3233,36 @@ def oracle_sql() -> dict[str, str]:
                    sum(length(text)) AS sum_chars,
                    min(md5(text)) AS min_md5,
                    max(md5(text)) AS max_md5
+            FROM u
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
+        # iceberg_evolution: three waves replayed flat — wave 1/2 files
+        # were written under the pre-rename column name and the narrow
+        # int type, wave 3 under the current schema; the Spark side
+        # reads them all through the alias trail + Parquet widening
+        # AFTER manifest compaction and snapshot expiry deleted the
+        # historical layout
+        "iceberg_evolution": """
+            WITH u AS (
+              SELECT doc_id, lang, text AS body,
+                     (doc_id % 1000) AS hits, 'w1' AS wave
+              FROM documents
+              UNION ALL
+              SELECT doc_id + 10000000, lang, text,
+                     (doc_id % 1000), 'w2'
+              FROM documents
+              UNION ALL
+              SELECT doc_id + 20000000, lang, text,
+                     (doc_id % 1000 + 3000000000), 'w3'
+              FROM documents
+            )
+            SELECT lang, wave,
+                   count(*) AS n_docs,
+                   count(DISTINCT doc_id) AS n_ids,
+                   sum(hits)::BIGINT AS sum_hits,
+                   sum(length(body))::BIGINT AS sum_chars,
+                   min(md5(body)) AS min_md5
             FROM u
             GROUP BY 1, 2
             ORDER BY 1, 2
