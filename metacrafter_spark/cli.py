@@ -66,6 +66,13 @@ def main(argv=None) -> int:
                     help="lineage/checkpoint bucket count (default "
                          "256; size so one bucket ≈ one executor-"
                          "minute of work at your scale)")
+    wi.add_argument("--stream", metavar="CHECKPOINT",
+                    help="run as a Structured Streaming job instead of "
+                         "a batch: new CDXJ index files ingest "
+                         "incrementally, micro-batches commit to "
+                         "Iceberg as partition swaps (exactly-once on "
+                         "replay); the value is the stream checkpoint "
+                         "location")
     wi.add_argument("--cores", type=int)
 
     dd = sub.add_parser("dedup", help="near-duplicate detection over a "
@@ -346,6 +353,19 @@ def main(argv=None) -> int:
             print(f"serving on http://{args.host}:{srv.server_address[1]}"
                   "/api/v1/scan_data")
             srv.serve_forever()
+        elif args.cmd == "warc-ingest" and args.stream:
+            from pyspark.sql import functions as F
+
+            from metacrafter_spark.corpus.streaming import stream_warc_ingest
+            from metacrafter_spark.io.iceberg import PyIcebergTableIO
+
+            kw = {} if args.buckets is None else {"n_buckets": args.buckets}
+            stream_warc_ingest(spark, args.cdx_glob, args.warc_dir,
+                               args.output, args.metrics, args.stream, **kw)
+            io = PyIcebergTableIO(spark)
+            kept = io.read(args.output).filter(F.col("keep")).count()
+            total = io.read(args.output).count()
+            print(json.dumps({"processed": total, "kept_total": kept}))
         elif args.cmd == "warc-ingest":
             from pyspark.sql import functions as F
 

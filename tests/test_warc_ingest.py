@@ -159,3 +159,36 @@ def test_stream_warc_ingest_incremental_and_replay(spark, tmp_path):
     assert docs.select("url").distinct().count() == 150
     m = IcebergTable.load(met).read(spark)
     assert m.filter(~F.col("completed")).count() == 0
+
+
+def test_cli_warc_ingest_stream(spark, tmp_path):
+    """`mc warc-ingest --stream CKPT` runs the streaming path: first
+    invocation drains the backlog, the second processes only new index
+    shards (incremental by the file-source log)."""
+    from metacrafter_spark.cli import main
+    from metacrafter_spark.corpus.webpages import synth_webpages
+    from metacrafter_spark.io.warc import write_warc_shards
+
+    d = tmp_path / "src"
+    d.mkdir()
+    out, met = str(tmp_path / "docs"), str(tmp_path / "met")
+    ckpt = str(tmp_path / "ckpt")
+
+    write_warc_shards(synth_webpages(spark, 60, seed=21, partitions=2),
+                      str(d), 2, prefix="w1").collect()
+    rc = main(["warc-ingest", str(d / "*.cdx"), str(d), out, met,
+               "--buckets", "8", "--stream", ckpt])
+    assert rc == 0
+    t = IcebergTable.load(out)
+    assert t.read(spark).count() == 60
+
+    corpus2 = synth_webpages(spark, 90, seed=22, partitions=2) \
+        .filter(F.regexp_extract("url", r"/article/(\d+)$", 1)
+                .cast("long") >= 60)
+    write_warc_shards(corpus2, str(d), 1, prefix="w2").collect()
+    rc = main(["warc-ingest", str(d / "*.cdx"), str(d), out, met,
+               "--buckets", "8", "--stream", ckpt])
+    assert rc == 0
+    docs = IcebergTable.load(out).read(spark)
+    assert docs.count() == 90
+    assert docs.select("url").distinct().count() == 90
