@@ -1998,6 +1998,30 @@ def q_iceberg_evolution(spark, sf_dir):
             .orderBy("lang", "wave"))
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance resampling (round 5, ops/dsir.py — Xie et al.
+    2023): select the 300 corpus documents whose hashed-n-gram
+    distribution best matches the English subset, by Gumbel-top-k over
+    add-1-smoothed target/raw log-likelihood ratios.  Per-bucket ratios
+    quantize to decimal(18,9) so per-doc weight sums are EXACT
+    (order-independent) in both engines; the Gumbel key is the Knuth
+    id-hash from ops/sampling.py.  The oracle replays features, both
+    bag-of-buckets LMs, the ratio table, the decimal sums and the
+    selection in pure SQL — byte-equal weights, same 300 ids."""
+    from metacrafter_spark.ops.dsir import dsir_resample
+
+    docs = _t(spark, sf_dir, "documents") \
+        .select("doc_id", "lang", "text").filter(F.col("doc_id") < 2000)
+    sel = dsir_resample(
+        docs.select("doc_id", "text"),
+        docs.filter(F.col("lang") == "en").select("text"),
+        300, buckets=4096, max_words=500, seed=11)
+    return (sel.select(
+        "doc_id", "n_feats",
+        F.round(F.col("log_weight").cast("double"), 6).alias("log_weight"),
+        "score").orderBy("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": q_tpch_q1,
@@ -2072,6 +2096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_scan": q_iceberg_scan,
         "iceberg_bucket_prune": q_iceberg_bucket_prune,
         "iceberg_evolution": q_iceberg_evolution,
+        "dsir_select": q_dsir_select,
         # hash-green ANN quality bars (round 4): exact top-k rows are
         # SQL-replayed; recall_ok is computed in-query vs the exact set
         # (oracle expects TRUE — the fp_stable invariant pattern)
@@ -3236,6 +3261,62 @@ def oracle_sql() -> dict[str, str]:
             FROM u
             GROUP BY 1, 2
             ORDER BY 1, 2
+        """,
+        # dsir_select: the full importance-resampling chain replayed in
+        # SQL — hashed uni/bigram features, both smoothed bucket LMs,
+        # decimal-exact per-doc weight sums, Gumbel-top-k selection
+        "dsir_select": r"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 2000),
+            tgt AS (
+              SELECT text FROM documents
+              WHERE doc_id < 2000 AND lang = 'en'),
+            cw AS (SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\W+'),
+                               w -> len(w) > 0)[1:500] AS ws FROM corpus),
+            tw AS (SELECT
+                   list_filter(string_split_regex(lower(text), '\W+'),
+                               w -> len(w) > 0)[1:500] AS ws FROM tgt),
+            cb AS (SELECT doc_id,
+                   ('0x' || substr(sha256(g), 1, 8))::BIGINT % 4096
+                       AS bucket
+                   FROM (SELECT doc_id, unnest(ws || list_transform(
+                           range(1, len(ws)),
+                           i -> ws[i] || ' ' || ws[i+1])) AS g FROM cw)),
+            tb AS (SELECT
+                   ('0x' || substr(sha256(g), 1, 8))::BIGINT % 4096
+                       AS bucket
+                   FROM (SELECT unnest(ws || list_transform(
+                           range(1, len(ws)),
+                           i -> ws[i] || ' ' || ws[i+1])) AS g FROM tw)),
+            tcnt AS (SELECT bucket, count(*) AS tc FROM tb GROUP BY 1),
+            rcnt AS (SELECT bucket, count(*) AS rc FROM cb GROUP BY 1),
+            tot AS (SELECT
+                    (SELECT coalesce(sum(tc), 0) FROM tcnt) AS T,
+                    (SELECT coalesce(sum(rc), 0) FROM rcnt) AS R),
+            ratio AS (SELECT coalesce(tcnt.bucket, rcnt.bucket) AS bucket,
+                      round(ln((coalesce(tc, 0) + 1)::DOUBLE / (T + 4096))
+                          - ln((coalesce(rc, 0) + 1)::DOUBLE / (R + 4096)),
+                            9)::DECIMAL(18,9) AS log_ratio
+                      FROM tcnt FULL OUTER JOIN rcnt
+                        ON tcnt.bucket = rcnt.bucket, tot),
+            w AS (SELECT cb.doc_id, count(*) AS n_feats,
+                         sum(log_ratio) AS lw
+                  FROM cb JOIN ratio USING (bucket) GROUP BY 1),
+            fw AS (SELECT c.doc_id, coalesce(n_feats, 0) AS n_feats,
+                          coalesce(lw, 0) AS lw
+                   FROM corpus c LEFT JOIN w ON c.doc_id = w.doc_id),
+            scored AS (SELECT doc_id, n_feats,
+                       round(lw::DOUBLE, 6) AS log_weight,
+                       round(lw::DOUBLE - ln(-ln(
+                         (((doc_id % 2147483648 + 11) % 2147483648)
+                          * 2654435761 % 4294967296 + 0.5)
+                         / 4294967296.0)), 4) AS score
+                       FROM fw),
+            sel AS (SELECT * FROM scored
+                    ORDER BY score DESC, doc_id LIMIT 300)
+            SELECT doc_id, n_feats, log_weight, score
+            FROM sel ORDER BY doc_id
         """,
         # iceberg_evolution: three waves replayed flat — wave 1/2 files
         # were written under the pre-rename column name and the narrow

@@ -1,0 +1,159 @@
+# -*- coding: utf-8 -*-
+"""DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+for Language Models via Importance Resampling") — select raw-corpus
+documents whose hashed-n-gram distribution looks like a small target
+corpus.
+
+Mechanism, Spark-first end to end:
+
+1. **Features**: unigrams + bigrams of the lowercased ``\\W+`` word
+   split, hashed into ``buckets`` slots.  The bucket hash is the first
+   8 hex chars of sha256 — every primitive (sha256, substring, hex
+   parse, pmod) exists identically in DuckDB, so the whole operator is
+   oracle-replayable (the same reason SimHash here is sha-based).
+2. **Bag-of-buckets language models**: bucket counts over the target
+   and the raw corpus, add-1 smoothed.  Both aggs are partial
+   (map-side combine); each result is ≤ ``buckets`` rows.
+3. **Importance weights**: per-bucket
+   ``log((t_c+1)/(T+m)) − log((r_c+1)/(R+m))``, QUANTIZED to
+   decimal(18,9).  A document's log-weight is the exact decimal SUM of
+   its features' ratios — decimal addition is associative, so the
+   result is independent of partitioning / aggregation order and
+   byte-identical in any engine (double sums would drift by ulps with
+   the summation tree).
+4. **Gumbel top-k resampling**: sampling k docs without replacement
+   ∝ exp(log_weight) ≡ taking the k largest ``log_weight + Gumbel``
+   keys.  The Gumbel noise is a pure function of a Knuth
+   multiplicative hash of (id, seed) — deterministic across runs,
+   partitionings and engines (``ops/sampling.py`` rationale).
+
+Scale shape: the raw corpus is touched by ONE map-side explode; the
+only shuffles are the bounded bucket aggs (≤ m rows out) and the
+fixed-width per-doc weight agg; the ratio table broadcasts; selection
+is a distributed take-ordered, never a global sort materialization.
+The target corpus is assumed small (that is DSIR's premise) but is
+processed distributed all the same.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from metacrafter_spark.ops.sampling import _id_hash
+
+_MOD = 1 << 32
+
+
+def word_grams(text_col: str, max_words: int = 500) -> F.Column:
+    """Unigrams + bigrams of the lowercased word split (words capped
+    map-side — weight quality saturates long before full documents)."""
+    words = F.slice(
+        F.filter(F.split(F.lower(F.col(text_col)), r"\W+"),
+                 lambda w: F.length(w) > 0),
+        1, max_words)
+    w = "__dsir_words"
+
+    def bigrams(col):
+        n = F.size(col)
+        return F.when(n >= 2, F.zip_with(
+            F.slice(col, 1, n - 1),
+            F.slice(col, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )).otherwise(F.array())
+
+    return F.concat(words, bigrams(words))
+
+
+def feature_bucket(gram: F.Column, buckets: int) -> F.Column:
+    """sha256-based hash bucket, DuckDB-replayable:
+    ``conv(substr(sha2(g), 1, 8), 16, 10) % buckets``."""
+    return F.pmod(
+        F.conv(F.substring(F.sha2(gram, 256), 1, 8), 16, 10).cast("long"),
+        F.lit(buckets))
+
+
+def feature_counts(df: DataFrame, text_col: str, *,
+                   buckets: int, max_words: int = 500) -> DataFrame:
+    """(bucket, n) counts over all documents' features — one map-side
+    explode + one bounded agg (≤ ``buckets`` output rows)."""
+    return (df
+            .select(F.explode(word_grams(text_col, max_words))
+                    .alias("__gram"))
+            .select(feature_bucket(F.col("__gram"), buckets)
+                    .alias("bucket"))
+            .groupBy("bucket").agg(F.count("*").alias("n")))
+
+
+def bucket_log_ratios(target_counts: DataFrame, raw_counts: DataFrame,
+                      buckets: int) -> DataFrame:
+    """(bucket, log_ratio decimal(18,9)): add-1-smoothed target/raw
+    log-likelihood ratio per feature bucket.  Totals come from windows
+    over the tiny counts frames — no driver collect."""
+    t = target_counts.withColumnRenamed("n", "tc") \
+        .withColumn("T", F.sum("tc").over(Window.partitionBy()))
+    r = raw_counts.withColumnRenamed("n", "rc") \
+        .withColumn("R", F.sum("rc").over(Window.partitionBy()))
+    j = t.join(r, "bucket", "full_outer")
+    # absent totals (empty side) default to 0 via max-over-all
+    j = (j.withColumn("T", F.max("T").over(Window.partitionBy()))
+          .withColumn("R", F.max("R").over(Window.partitionBy()))
+          .fillna(0, ["tc", "rc", "T", "R"]))
+    lr = (F.log((F.col("tc") + 1) / (F.col("T") + buckets))
+          - F.log((F.col("rc") + 1) / (F.col("R") + buckets)))
+    return j.select(
+        "bucket", F.round(lr, 9).cast("decimal(18,9)").alias("log_ratio"))
+
+
+def dsir_log_weights(corpus: DataFrame, target: DataFrame, *,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     buckets: int = 4096,
+                     max_words: int = 500) -> DataFrame:
+    """Per-document importance log-weight: exact decimal sum of the
+    document's feature-bucket log-ratios (occurrence-weighted, as in
+    the paper's bag-of-hashed-ngrams model).  Documents with no
+    features weigh 0.  Output: (id_col, n_feats, log_weight)."""
+    ratios = bucket_log_ratios(
+        feature_counts(target, text_col, buckets=buckets,
+                       max_words=max_words),
+        feature_counts(corpus, text_col, buckets=buckets,
+                       max_words=max_words),
+        buckets)
+    feats = (corpus
+             .select(F.col(id_col),
+                     F.explode(word_grams(text_col, max_words))
+                     .alias("__gram"))
+             .select(F.col(id_col),
+                     feature_bucket(F.col("__gram"), buckets)
+                     .alias("bucket")))
+    weights = (feats.join(F.broadcast(ratios), "bucket")
+               .groupBy(id_col)
+               .agg(F.count("*").alias("n_feats"),
+                    F.sum("log_ratio").cast("decimal(28,9)")
+                    .alias("log_weight")))
+    return (corpus.select(id_col)
+            .join(weights, id_col, "left")
+            .fillna(0, ["n_feats"])
+            .withColumn("log_weight",
+                        F.coalesce(F.col("log_weight"),
+                                   F.lit(0).cast("decimal(28,9)"))))
+
+
+def dsir_resample(corpus: DataFrame, target: DataFrame, k: int, *,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  buckets: int = 4096, max_words: int = 500,
+                  seed: int = 0) -> DataFrame:
+    """Gumbel-top-k resampling: the k docs with the largest
+    ``log_weight + Gumbel(hash(id, seed))`` — a without-replacement
+    sample ∝ exp(log_weight), deterministic across runs/partitionings.
+    Output: (id_col, n_feats, log_weight, score) — score rounded so the
+    oracle's independent libm agrees (the perplexity-query tolerance
+    convention)."""
+    w = dsir_log_weights(corpus, target, id_col=id_col,
+                         text_col=text_col, buckets=buckets,
+                         max_words=max_words)
+    u = (_id_hash(id_col, seed) + F.lit(0.5)) / F.lit(float(_MOD))
+    gumbel = -F.log(-F.log(u))
+    scored = w.withColumn(
+        "score",
+        F.round(F.col("log_weight").cast("double") + gumbel, 4))
+    return (scored.orderBy(F.desc("score"), F.col(id_col))
+            .limit(k))

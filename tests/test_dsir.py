@@ -1,0 +1,84 @@
+# -*- coding: utf-8 -*-
+"""DSIR importance resampling (ops/dsir.py): weights move toward the
+target distribution, exact-decimal weight sums are partitioning-
+invariant, and Gumbel top-k selection is deterministic."""
+import pytest
+from pyspark.sql import functions as F
+
+from metacrafter_spark.ops.dsir import (bucket_log_ratios,
+                                        dsir_log_weights, dsir_resample,
+                                        feature_counts)
+
+
+@pytest.fixture()
+def corpora(spark):
+    target = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in
+         range(20)],
+        "doc_id long, text string")
+    rows = []
+    for i in range(60):
+        if i % 3 == 0:   # target-like: every uni/bigram occurs in target
+            rows.append((i, "quick brown fox jumps over the lazy dog"))
+        elif i % 3 == 1:  # off-distribution
+            rows.append((i, "quarterly revenue guidance exceeded "
+                            "analyst consensus estimates"))
+        else:             # neutral short
+            rows.append((i, "hello world"))
+    raw = spark.createDataFrame(rows, "doc_id long, text string")
+    return raw, target
+
+
+def test_weights_favor_target_like_docs(spark, corpora):
+    raw, target = corpora
+    w = dsir_log_weights(raw, target).collect()
+    by_id = {r["doc_id"]: float(r["log_weight"]) for r in w}
+    assert len(by_id) == 60
+    target_like = [by_id[i] for i in range(60) if i % 3 == 0]
+    finance = [by_id[i] for i in range(60) if i % 3 == 1]
+    assert min(target_like) > max(finance)
+
+
+def test_zero_feature_doc_weighs_zero(spark, corpora):
+    raw, target = corpora
+    raw2 = raw.union(spark.createDataFrame(
+        [(999, "")], "doc_id long, text string"))
+    w = {r["doc_id"]: (r["n_feats"], float(r["log_weight"]))
+         for r in dsir_log_weights(raw2, target).collect()}
+    assert w[999] == (0, 0.0)
+
+
+def test_weights_partitioning_invariant(spark, corpora):
+    raw, target = corpora
+    a = sorted((r["doc_id"], str(r["log_weight"]))
+               for r in dsir_log_weights(raw, target).collect())
+    b = sorted((r["doc_id"], str(r["log_weight"]))
+               for r in dsir_log_weights(raw.repartition(13),
+                                         target.coalesce(1)).collect())
+    assert a == b  # exact decimal sums: byte-equal, not just close
+
+
+def test_resample_deterministic_and_biased(spark, corpora):
+    raw, target = corpora
+    s1 = dsir_resample(raw, target, 20, seed=7)
+    s2 = dsir_resample(raw.repartition(5), target, 20, seed=7)
+    ids1 = [r["doc_id"] for r in s1.collect()]
+    ids2 = [r["doc_id"] for r in s2.collect()]
+    assert ids1 == ids2 and len(ids1) == 20
+    # selection is biased toward target-like docs (20 of them exist)
+    n_target_like = sum(1 for i in ids1 if i % 3 == 0)
+    assert n_target_like >= 14
+    # different seed → (almost surely) different tail selection,
+    # same top weights
+    s3 = [r["doc_id"] for r in
+          dsir_resample(raw, target, 20, seed=8).collect()]
+    assert set(s3) != set(ids1) or s3 != ids1
+
+
+def test_ratio_table_bounded(spark, corpora):
+    raw, target = corpora
+    r = bucket_log_ratios(
+        feature_counts(target, "text", buckets=64),
+        feature_counts(raw, "text", buckets=64), 64)
+    assert r.count() <= 64
+    assert dict(r.dtypes)["log_ratio"] == "decimal(18,9)"
