@@ -1998,6 +1998,36 @@ def q_iceberg_evolution(spark, sf_dir):
             .orderBy("lang", "wave"))
 
 
+def q_url_canonical(spark, sf_dir):
+    """URL canonicalization for dedup-by-url (round 5, ops/urls.py):
+    3000 deterministically-messied URLs (scheme/host case, default vs
+    real ports, tracking params, unsorted queries, fragments) must
+    collapse to exactly 40 canonical pages with the right variant
+    counts.  All native regexp/array expressions — the oracle replays
+    every normalization step in SQL."""
+    from metacrafter_spark.ops.urls import canonicalize_url
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 3000)
+    scheme = F.when(F.col("doc_id") % 2 == 0, "HTTPS://") \
+        .otherwise(F.lit("https://"))
+    hostc = F.when(F.col("doc_id") % 3 == 0, F.upper("source")) \
+        .otherwise(F.col("source"))
+    port = F.when(F.col("doc_id") % 5 == 0, ":443") \
+        .when(F.col("doc_id") % 5 == 1, ":8443").otherwise(F.lit(""))
+    track = (F.when(F.col("doc_id") % 4 == 0, "?utm_source=x&b=2&a=1")
+             .when(F.col("doc_id") % 4 == 1, "?a=1&b=2")
+             .otherwise(F.lit("")))
+    frag = F.when(F.col("doc_id") % 7 == 0, "#sec").otherwise(F.lit(""))
+    url = F.concat(scheme, hostc, F.lit(".com"), port, F.lit("/page/"),
+                   (F.col("doc_id") % 40).cast("string"), track, frag)
+    return (docs.select(F.col("doc_id"), url.alias("url"))
+            .select("doc_id", canonicalize_url(F.col("url")).alias("canon"))
+            .groupBy("canon")
+            .agg(F.count("*").alias("n_variants"),
+                 F.min("doc_id").alias("first_id"))
+            .orderBy("canon"))
+
+
 def q_dsir_select(spark, sf_dir):
     """DSIR importance resampling (round 5, ops/dsir.py — Xie et al.
     2023): select the 300 corpus documents whose hashed-n-gram
@@ -2097,6 +2127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_bucket_prune": q_iceberg_bucket_prune,
         "iceberg_evolution": q_iceberg_evolution,
         "dsir_select": q_dsir_select,
+        "url_canonical": q_url_canonical,
         # hash-green ANN quality bars (round 4): exact top-k rows are
         # SQL-replayed; recall_ok is computed in-query vs the exact set
         # (oracle expects TRUE — the fp_stable invariant pattern)
@@ -3261,6 +3292,64 @@ def oracle_sql() -> dict[str, str]:
             FROM u
             GROUP BY 1, 2
             ORDER BY 1, 2
+        """,
+        # url_canonical: every normalization step replayed — scheme/host
+        # lowering, default-port strip, fragment drop, tracking-param
+        # removal, query sort, empty-path normalization
+        "url_canonical": r"""
+            WITH u AS (
+              SELECT doc_id,
+                (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://'
+                      ELSE 'https://' END)
+                || (CASE WHEN doc_id % 3 = 0 THEN upper(source)
+                         ELSE source END)
+                || '.com'
+                || (CASE WHEN doc_id % 5 = 0 THEN ':443'
+                         WHEN doc_id % 5 = 1 THEN ':8443' ELSE '' END)
+                || '/page/' || (doc_id % 40)::VARCHAR
+                || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&b=2&a=1'
+                         WHEN doc_id % 4 = 1 THEN '?a=1&b=2'
+                         ELSE '' END)
+                || (CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END)
+                  AS url
+              FROM documents WHERE doc_id < 3000),
+            p AS (SELECT doc_id,
+                         regexp_replace(url, '#.*$', '') AS base FROM u),
+            x AS (SELECT doc_id,
+              lower(regexp_extract(base,
+                    '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+              regexp_extract(base,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
+              regexp_extract(base,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)',
+                    1) AS path,
+              regexp_extract(base, '\?([^#]*)', 1) AS query
+              FROM p),
+            y AS (SELECT doc_id, scheme,
+              regexp_extract(auth, '^([^@]*@)', 1) AS userinfo,
+              lower(regexp_extract(regexp_replace(auth, '^[^@]*@', ''),
+                    '^([^:]*)', 1)) AS host,
+              regexp_extract(regexp_replace(auth, '^[^@]*@', ''),
+                    ':(\d+)$', 1) AS port,
+              CASE WHEN path = '' THEN '/' ELSE path END AS path,
+              list_aggregate(list_sort(list_filter(
+                string_split(query, '&'),
+                q -> q != '' AND NOT regexp_matches(q,
+                  '^(utm_[a-z]+|gclid|fbclid|msclkid|mc_cid|mc_eid)='))),
+                'string_agg', '&') AS qstr
+              FROM x),
+            c AS (SELECT doc_id,
+              scheme || '://' || userinfo || host
+              || (CASE WHEN port != ''
+                        AND NOT (scheme = 'http' AND port = '80')
+                        AND NOT (scheme = 'https' AND port = '443')
+                  THEN ':' || port ELSE '' END)
+              || path
+              || (CASE WHEN coalesce(qstr, '') != ''
+                  THEN '?' || qstr ELSE '' END) AS canon
+              FROM y)
+            SELECT canon, count(*) AS n_variants, min(doc_id) AS first_id
+            FROM c GROUP BY 1 ORDER BY 1
         """,
         # dsir_select: the full importance-resampling chain replayed in
         # SQL — hashed uni/bigram features, both smoothed bucket LMs,

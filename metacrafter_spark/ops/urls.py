@@ -64,6 +64,53 @@ def registered_domain(host: Column) -> Column:
     )
 
 
+#: query params that only track, never address content (C4/FineWeb-style
+#: URL-dedup hygiene); anchored key= match
+_TRACKING_PARAM_RE = r"^(utm_[a-z]+|gclid|fbclid|msclkid|mc_cid|mc_eid)="
+
+
+def canonicalize_url(url: Column) -> Column:
+    """RFC-3986-style URL normalization for corpus dedup-by-url:
+    lower-case scheme and host, strip default ports (http:80 /
+    https:443), drop the fragment, sort query parameters and remove
+    pure tracking params (utm_* / gclid / fbclid / …), normalize an
+    empty path to ``/``.  Two spellings of the same page canonicalize
+    to one string, so exact URL dedup stops double-counting.
+
+    Pure native expressions (regexp + array ops, RE2-compatible
+    patterns, binary-collation sort) — zero Python, replayable in SQL,
+    map-side only.  Rows without a ``scheme://`` prefix pass through
+    unchanged (relative references have no canonical absolute form)."""
+    base = F.regexp_replace(url, r"#.*$", "")  # fragment off first
+    scheme = F.lower(
+        F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    auth = F.regexp_extract(base, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)",
+                            1)
+    userinfo = F.regexp_extract(auth, r"^([^@]*@)", 1)
+    hostport = F.regexp_replace(auth, r"^[^@]*@", "")
+    host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == F.lit("http")) & (port == F.lit("80")))
+        & ~((scheme == F.lit("https")) & (port == F.lit("443"))))
+    path = F.regexp_extract(
+        base, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(base, r"\?([^#]*)", 1)
+    params = F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE)))
+    qstr = F.concat_ws("&", params)
+    rebuilt = F.concat(
+        scheme, F.lit("://"), userinfo, host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(qstr != "", F.concat(F.lit("?"), qstr)).otherwise(F.lit("")),
+    )
+    return F.when(scheme == "", url).otherwise(rebuilt)
+
+
 def with_url_parts(
     df: DataFrame, url_col: str = "url",
     host_col: str = "host", domain_col: str = "domain",

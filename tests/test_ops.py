@@ -536,6 +536,47 @@ def test_registered_domain_ipv4_passthrough(spark):
     assert got[1] == "192.168.0.1" and got[2] == "10.0.0.1"
 
 
+def test_canonicalize_url(spark):
+    from pyspark.sql import functions as F
+
+    from metacrafter_spark.ops.urls import canonicalize_url
+
+    cases = [
+        # scheme+host case, default port, fragment
+        ("HTTP://WWW.Example.COM:80/a/B?x=1#frag",
+         "http://www.example.com/a/B?x=1"),
+        # https default port stripped, non-default kept
+        ("HTTPS://a.com:443/p", "https://a.com/p"),
+        ("https://a.com:8443/p", "https://a.com:8443/p"),
+        # empty path → /, empty query dropped
+        ("https://a.com", "https://a.com/"),
+        ("https://a.com?", "https://a.com/"),
+        # query params sorted, tracking params stripped
+        ("https://a.com/p?z=2&a=1&utm_source=tw&fbclid=X&m=0",
+         "https://a.com/p?a=1&m=0&z=2"),
+        # ONLY tracking params → no query at all
+        ("https://a.com/p?utm_campaign=c&gclid=g", "https://a.com/p"),
+        # userinfo preserved, host still lowercased
+        ("https://User@B.COM/x", "https://User@b.com/x"),
+        # path case preserved (paths are case-sensitive)
+        ("https://a.com/CaseSensitive", "https://a.com/CaseSensitive"),
+        # non-URL passes through unchanged
+        ("not a url", "not a url"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, url string")
+    got = {r["i"]: r["c"] for r in df.select(
+        "i", canonicalize_url(F.col("url")).alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i], want)
+    # idempotent: canonicalizing a canonical URL is a no-op
+    df2 = spark.createDataFrame(
+        [(i, c) for i, (_, c) in enumerate(cases)], "i long, url string")
+    got2 = {r["i"]: r["c"] for r in df2.select(
+        "i", canonicalize_url(F.col("url")).alias("c")).collect()}
+    assert got2 == {i: c for i, (_, c) in enumerate(cases)}
+
+
 def test_with_readability(spark):
     from metacrafter_spark.ops.textstats import with_readability
 
