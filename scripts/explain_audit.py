@@ -323,6 +323,57 @@ def main() -> None:
         ["BroadcastExchange", "LeftAnti", "Scan parquet"],
     ))
 
+    # 18. DSIR weights: the per-bucket ratio table must BROADCAST into
+    # the feature join; the corpus-side explode is map-side (the only
+    # Exchanges are the bounded bucket aggs + the fixed-width per-doc
+    # weight agg — never raw text)
+    from metacrafter_spark.ops.dsir import dsir_log_weights
+
+    ddf = spark.range(500).selectExpr(
+        "id as doc_id", "concat('alpha beta gamma doc ', id) as text")
+    tgt = spark.range(50).selectExpr("concat('alpha beta ', id) as text")
+    dplan = plan_of(dsir_log_weights(ddf, tgt))
+    sections.append((
+        "DSIR importance weights (ratio table broadcasts; text absent "
+        "from every Exchange)",
+        dplan,
+        ["BroadcastExchange", "Generate"],  # explode = Generate
+    ))
+    for b in [blk for blk in dplan.split("(") if blk.startswith("Exchange")
+              or blk.startswith("BroadcastExchange")]:
+        assert "text#" not in b, "raw text rides a DSIR shuffle!"
+
+    # 19. URL canonicalization: pure map-side expression — projecting
+    # the canonical column adds NO Exchange over the scan
+    from metacrafter_spark.ops.urls import canonicalize_url
+
+    udf_ = spark.range(100).selectExpr(
+        "concat('HTTPS://Ex.COM:443/p/', id, '?b=2&a=1#f') as url")
+    uplan = plan_of(udf_.select(canonicalize_url(F.col("url"))
+                                .alias("canon")))
+    sections.append((
+        "URL canonicalization (map-side only — no Exchange)",
+        uplan,
+        ["Project"],
+    ))
+    assert "Exchange" not in uplan, "canonicalize_url shuffles!"
+
+    # 20. Evolved-table read: the rename alias trail is a coalesce in
+    # the Project over the parquet scan — evolution adds no Exchange
+    eloc = tempfile.mkdtemp(prefix="explain_evo_") + "/t"
+    edf = spark.range(500).selectExpr("id", "concat('t', id) as text")
+    et = IcebergTable.create(eloc, edf.schema)
+    et.append(edf)
+    et.rename_column("text", "body")
+    eplan = plan_of(et.read(spark))
+    sections.append((
+        "Iceberg evolved read (rename alias coalesce stays in the "
+        "scan Project — no Exchange)",
+        eplan,
+        ["coalesce", "Scan parquet"],
+    ))
+    assert "Exchange" not in eplan, "evolved read shuffles!"
+
     out = ["# BENCH/EXPLAIN — physical-plan audit\n"]
     ok = True
     for title, plan, must in sections:

@@ -159,3 +159,27 @@ def test_evolution_survives_manifest_rewrite_and_expiry(spark, table):
     t = IcebergTable.load(table.location)
     got = {r["url"]: r["body"] for r in t.read(spark).collect()}
     assert len(got) == 30 and got["https://a.example.com/p3"] == "body-a-3"
+
+
+def test_equality_delete_keys_survive_rename(spark, table):
+    """An equality-delete file committed BEFORE a rename stores its key
+    column under the old name; reads after the rename must resolve it
+    through the alias trail."""
+    t = table
+    # delete by the 'text' column value (key = the to-be-renamed column)
+    keys = spark.createDataFrame([("body-a-5",), ("body-a-11",)],
+                                 "text string")
+    t.delete_by_keys(keys, now_ms=1_700_000_002_000)
+    assert t.read(spark).count() == 18
+    t.rename_column("text", "body")
+    t2 = IcebergTable.load(t.location)
+    got = {r["url"] for r in t2.read(spark).collect()}
+    assert len(got) == 18
+    assert "https://a.example.com/p5" not in got
+    assert "https://a.example.com/p11" not in got
+    # appends after the delete+rename are untouched by the old delete
+    t2.append(_docs(spark, 100, 103, "z")
+              .withColumnRenamed("text", "body")
+              .withColumn("body", F.lit("body-a-5")),
+              now_ms=1_700_000_003_000)
+    assert IcebergTable.load(t.location).read(spark).count() == 21
