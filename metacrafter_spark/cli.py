@@ -359,13 +359,25 @@ def main(argv=None) -> int:
             from metacrafter_spark.corpus.streaming import stream_warc_ingest
             from metacrafter_spark.io.iceberg import PyIcebergTableIO
 
-            kw = {} if args.buckets is None else {"n_buckets": args.buckets}
+            if args.plain_parquet:
+                raise SystemExit(
+                    "--stream commits through the Iceberg layer's "
+                    "partition swaps; --plain-parquet applies to batch "
+                    "mode only")
+            wl = (tuple(w.strip()
+                        for w in args.toxicity_wordlist.split(","))
+                  if args.toxicity_wordlist else None)
             stream_warc_ingest(spark, args.cdx_glob, args.warc_dir,
-                               args.output, args.metrics, args.stream, **kw)
-            io = PyIcebergTableIO(spark)
-            kept = io.read(args.output).filter(F.col("keep")).count()
-            total = io.read(args.output).count()
-            print(json.dumps({"processed": total, "kept_total": kept}))
+                               args.output, args.metrics, args.stream,
+                               n_buckets=args.buckets,
+                               toxicity_wordlist=wl)
+            # one scan for the cumulative summary (the stream's own
+            # per-run counts live in the metrics table per batch)
+            row = PyIcebergTableIO(spark).read(args.output).agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("keep").cast("long")).alias("k")).first()
+            print(json.dumps({"table_total": row["n"],
+                              "kept_total": int(row["k"] or 0)}))
         elif args.cmd == "warc-ingest":
             from pyspark.sql import functions as F
 

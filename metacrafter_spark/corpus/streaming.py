@@ -325,7 +325,8 @@ def stream_warc_ingest(
     metrics_tbl: str,
     checkpoint_path: str,
     *,
-    n_buckets: int = 64,
+    n_buckets: Optional[int] = None,
+    toxicity_wordlist: Optional[tuple[str, ...]] = None,
     available_now: bool = True,
     fault_hook=None,
 ):
@@ -360,8 +361,10 @@ def stream_warc_ingest(
     pages = with_extracted_text(pages, "html", "text")
     src = pages.select("url", "warc_ts", "html", "text",
                        F.lit("").alias("lang"))
+    kw = {} if n_buckets is None else {"n_buckets": n_buckets}
     classified = classify_corpus(src, scrub_rules=rules,
-                                 n_buckets=n_buckets)
+                                 toxicity_wordlist=toxicity_wordlist,
+                                 **kw)
     io = PyIcebergTableIO(spark)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:

@@ -16,7 +16,7 @@ from __future__ import annotations
 import logging
 from typing import Any, Dict, Optional
 
-from .base import (HttpTransport, build_properties,
+from .base import (HttpTransport, TransportError, build_properties,
                    extract_datatype_tags, extract_pii_tags,
                    iter_export_fields)
 
@@ -124,6 +124,8 @@ class AtlasExporter:
             if status not in (200, 201, 204):
                 logger.warning("Error adding classification %s to %s: "
                                "HTTP %s: %s", name, guid, status, body)
+        except TransportError:
+            raise  # surfaces into the per-field error list + exit code
         except Exception as e:
             logger.error("Error adding classification %s to %s: %s",
                          name, guid, e)
@@ -144,11 +146,16 @@ class AtlasExporter:
                 existing = {k: v for k, v in existing.items()
                             if not k.startswith("metacrafter_")}
             entity["attributes"] = {**existing, **attributes}
+            # full-entity update is POST /v2/entity (createOrUpdate);
+            # PUT /v2/entity/guid/{guid} is the partial single-attribute
+            # form requiring ?name= — not what a merged write wants
             status, body = self.transport.request(
-                "PUT", f"{self.api_base}/entity/guid/{guid}",
+                "POST", f"{self.api_base}/entity",
                 json_body={"entity": entity})
-            if status not in (200, 204):
+            if status not in (200, 201, 204):
                 logger.warning("Error updating attributes for %s: "
                                "HTTP %s: %s", guid, status, body)
+        except TransportError:
+            raise  # surfaces into the per-field error list + exit code
         except Exception as e:
             logger.error("Error adding attributes to %s: %s", guid, e)

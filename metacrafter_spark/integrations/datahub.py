@@ -17,9 +17,9 @@ import json
 import logging
 from typing import Any, Dict, Optional
 
-from .base import (HttpTransport, build_properties, extract_datatype_tags,
-                   extract_glossary_dataclasses, extract_pii_tags,
-                   iter_export_fields)
+from .base import (HttpTransport, TransportError, build_properties,
+                   extract_datatype_tags, extract_glossary_dataclasses,
+                   extract_pii_tags, iter_export_fields)
 
 logger = logging.getLogger(__name__)
 
@@ -126,6 +126,8 @@ class DataHubExporter:
         aspect = {"tags": [{"tag": f"urn:li:tag:{t}"} for t in tags]}
         try:
             self._emit(field_urn, "globalTags", aspect)
+        except TransportError:
+            raise  # surfaces into the per-field error list + exit code
         except Exception as e:
             logger.error("Error adding tags to %s: %s", field_urn, e)
 
@@ -133,6 +135,8 @@ class DataHubExporter:
         aspect = {"terms": [{"urn": term_urn}], "auditStamp": _AUDIT_STAMP}
         try:
             self._emit(field_urn, "glossaryTerms", aspect)
+        except TransportError:
+            raise
         except Exception as e:
             logger.error("Error linking glossary term %s to %s: %s",
                          term_urn, field_urn, e)
@@ -142,5 +146,7 @@ class DataHubExporter:
         aspect = {"customProperties": properties}
         try:
             self._emit(field_urn, "schemaFieldProperties", aspect)
+        except TransportError:
+            raise
         except Exception as e:
             logger.error("Error adding properties to %s: %s", field_urn, e)

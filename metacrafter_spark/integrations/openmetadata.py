@@ -67,7 +67,13 @@ class OpenMetadataExporter:
             logger.warning("No field data found in scan report")
             return stats
 
-        table = self._get_table(table_fqn)
+        try:
+            table = self._get_table(table_fqn)
+        except Exception as e:  # incl. connection failures — as reference
+            stats["errors"].append(
+                f"Error fetching table {table_fqn}: {e}")
+            logger.error(stats["errors"][-1])
+            return stats
         if table is None:
             stats["errors"].append(f"Table not found: {table_fqn}")
             logger.error(stats["errors"][-1])
@@ -87,7 +93,6 @@ class OpenMetadataExporter:
                 col = columns[i]
                 labels = list(col.get("tags") or [])
                 have = {t.get("tagFQN") for t in labels}
-                n_new = 0
                 tags = []
                 if add_pii_tags:
                     tags.extend(extract_pii_tags(info))
@@ -98,9 +103,9 @@ class OpenMetadataExporter:
                     if fqn not in have:
                         labels.append(_tag_label(fqn, "Classification"))
                         have.add(fqn)
-                    n_new += 1
-                if tags:
-                    stats["tags_added"] += n_new
+                # counts ATTEMPTED tags, present-or-not — the reference
+                # counts len(tags_to_add) the same way
+                stats["tags_added"] += len(tags)
                 if link_glossary_terms:
                     for dataclass in extract_glossary_dataclasses(filtered):
                         fqn = f"GlossaryTerm.{dataclass}"

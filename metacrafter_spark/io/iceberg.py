@@ -1655,12 +1655,23 @@ class IcebergTable:
                 pass
         return stats
 
-    def remove_orphan_files(self, *, dry_run: bool = False) -> list[str]:
+    ORPHAN_GRACE_MS = 3 * 24 * 3600 * 1000  # Iceberg's olderThan default
+
+    def remove_orphan_files(self, *, dry_run: bool = False,
+                            older_than_ms: Optional[int] = None
+                            ) -> list[str]:
         """Delete data/manifest files under the table location that no
         snapshot references — the residue of writers that crashed
         between writing parquet and committing (exactly the torn-write
         case the resume tests plant).  Metadata jsons and the
-        version hint are never candidates."""
+        version hint are never candidates.
+
+        Only files whose mtime predates ``older_than_ms`` (epoch ms;
+        default now − 3 days, Iceberg's olderThan default) qualify: a
+        CONCURRENT writer's just-written, not-yet-committed parquet is
+        unreferenced too, and deleting it would corrupt its commit."""
+        if older_than_ms is None:
+            older_than_ms = int(time.time() * 1000) - self.ORPHAN_GRACE_MS
         reachable = self._snapshot_files(self.snapshots)
         orphans = []
         for dirpath, _dirs, files in os.walk(self.location):
@@ -1668,8 +1679,11 @@ class IcebergTable:
                 if not (fn.endswith(".parquet") or fn.endswith(".avro")):
                     continue  # metadata jsons / hint / markers stay
                 p = os.path.join(dirpath, fn)
-                if p not in reachable:
-                    orphans.append(p)
+                if p in reachable:
+                    continue
+                if os.path.getmtime(p) * 1000 >= older_than_ms:
+                    continue  # possibly an in-flight writer's file
+                orphans.append(p)
         orphans.sort()
         if not dry_run:
             for p in orphans:

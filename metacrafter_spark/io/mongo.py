@@ -46,20 +46,33 @@ def list_dump_collections(dump_dir: str,
                           dbname: Optional[str] = None) -> dict[str, str]:
     """``{collection: path}`` for every ``*.bson[.gz]`` under the dump
     tree.  mongodump lays out ``<dump_dir>/<db>/<collection>.bson``;
-    flat directories (``mongodump --db X --out .``) work too."""
-    out: dict[str, str] = {}
+    flat directories (``mongodump --db X --out .``) work too.
+
+    With ``dbname`` (or a flat tree) keys are bare collection names —
+    the reference's single-database report shape; a multi-database tree
+    keys subdir collections as ``db.collection`` so same-named
+    collections in different databases never collide."""
     pats = ["*.bson", "*.bson.gz"]
     roots = ([os.path.join(dump_dir, dbname)] if dbname
              else [dump_dir] + sorted(
                  p for p in _glob.glob(os.path.join(dump_dir, "*"))
                  if os.path.isdir(p)))
+    found: list[tuple[str, str, str]] = []
     for root in roots:
         for pat in pats:
             for path in sorted(_glob.glob(os.path.join(root, pat))):
                 name = os.path.basename(path)
                 coll = name[:-len(".bson.gz")] if name.endswith(".gz") \
                     else name[:-len(".bson")]
-                out.setdefault(coll, path)
+                found.append((root, coll, path))
+    multi_db = dbname is None and len({r for r, _, _ in found}) > 1
+    out: dict[str, str] = {}
+    for root, coll, path in found:
+        if multi_db and root != dump_dir:
+            coll = f"{os.path.basename(root)}.{coll}"
+        # setdefault only dedups .bson vs .bson.gz of the SAME
+        # collection (plain file preferred — pats order)
+        out.setdefault(coll, path)
     return out
 
 

@@ -120,18 +120,24 @@ def test_remove_orphans(spark, table):
     with open(orphan_av, "wb") as f:
         f.write(b"Obj\x01junk")
 
-    listed = table.remove_orphan_files(dry_run=True)
+    # freshly-written orphans are protected by the 3-day grace window
+    # (they could be a concurrent writer's not-yet-committed files)
+    assert table.remove_orphan_files(dry_run=True) == []
+    future = 4_000_000_000_000  # cutoff far in the future → all qualify
+
+    listed = table.remove_orphan_files(dry_run=True,
+                                       older_than_ms=future)
     assert set(listed) == {orphan_av, orphan_pq}
     assert os.path.exists(orphan_pq)
 
-    removed = table.remove_orphan_files()
+    removed = table.remove_orphan_files(older_than_ms=future)
     assert set(removed) == {orphan_av, orphan_pq}
     assert not os.path.exists(orphan_pq) and not os.path.exists(orphan_av)
     # table still reads fine, all planned files exist
     t = IcebergTable.load(table.location)
     assert t.read(spark).count() == table.read(spark).count()
     # idempotent
-    assert t.remove_orphan_files() == []
+    assert t.remove_orphan_files(older_than_ms=future) == []
 
 
 def test_rewrite_manifests_compacts(spark, table):

@@ -371,15 +371,18 @@ def _atlas_routes(existing_classifications=(), entity_attrs=None):
             guid, {"qualifiedName": qn, **(entity_attrs or {})})
         return 200, {"entity": {"guid": guid, "attributes": attrs}}
 
-    def put_entity(rec):
-        guid = rec["path"].split("/")[-1]
-        state["entities"][guid] = rec["json"]["entity"]["attributes"]
+    def post_entity(rec):
+        # full-entity createOrUpdate: POST /v2/entity {"entity": ...}
+        ent = rec["json"]["entity"]
+        state["entities"][ent["guid"]] = ent["attributes"]
         return 200, {}
 
     routes = {
         ("GET", "/api/atlas/v2/entity/uniqueAttribute/"): resolve,
+        # order matters: the guid prefix must match before the bare
+        # /entity createOrUpdate prefix
         ("POST", "/api/atlas/v2/entity/guid/"): post_cls,
-        ("PUT", "/api/atlas/v2/entity/guid/"): put_entity,
+        ("POST", "/api/atlas/v2/entity"): post_entity,
     }
 
     def get_dispatch(rec):
@@ -515,3 +518,32 @@ def test_cli_export_accepts_reference_fields_key(tmp_path):
         srv.stop()
     assert rc == 0
     assert srv.requests
+
+
+def test_unreachable_server_reports_errors_and_exit_1(tmp_path):
+    """Connection-level failures must NOT masquerade as success: every
+    field records an error and the CLI exits non-zero (HTTP error
+    STATUSES stay swallowed per reference behavior — this covers the
+    server-not-there case)."""
+    from metacrafter_spark.cli import main
+
+    exp = DataHubExporter("http://127.0.0.1:1")  # nothing listens
+    stats = exp.export_scan_results(DATASET_URN, REPORT,
+                                    min_confidence=50.0)
+    assert stats["fields_processed"] == 0
+    assert len(stats["errors"]) == 2  # both exportable fields errored
+
+    report_path = tmp_path / "r.json"
+    with open(report_path, "w") as f:
+        json.dump(REPORT, f)
+    rc = main(["export", "datahub", str(report_path),
+               "--url", "http://127.0.0.1:1", "--target", DATASET_URN])
+    assert rc == 1
+
+    om = OpenMetadataExporter("http://127.0.0.1:1")
+    s2 = om.export_scan_results(TABLE_FQN, REPORT)
+    assert s2["fields_processed"] == 0 and len(s2["errors"]) == 1
+
+    at = AtlasExporter("http://127.0.0.1:1")
+    s3 = at.export_scan_results(TABLE_QN, REPORT, min_confidence=50.0)
+    assert s3["fields_processed"] == 0 and len(s3["errors"]) == 2

@@ -72,14 +72,19 @@ def test_scan_mongodump_classifies(spark, dump_dir):
 
 
 def test_scan_mongodump_limit_and_db_filter(spark, dump_dir, tmp_path):
-    # second db subdir must be excluded when dbname given
+    # second db subdir: multi-db trees key reports as db.collection so
+    # same-named collections in different databases can't collide
     other = tmp_path / "dump" / "otherdb"
     other.mkdir()
     with open(other / "misc.bson", "wb") as f:
         f.write(encode_document({"x": 1}))
+    with open(other / "users.bson", "wb") as f:  # collides by bare name
+        f.write(encode_document({"y": 2}))
     all_reports = scan_mongodump(spark, dump_dir, limit=5)
-    assert set(all_reports) == {"users", "orders", "misc"}
-    assert all_reports["users"]["stats"]["email"]["n_uniq"] <= 5
+    assert set(all_reports) == {"appdb.users", "appdb.orders",
+                                "otherdb.misc", "otherdb.users"}
+    assert all_reports["appdb.users"]["stats"]["email"]["n_uniq"] <= 5
+    # dbname filter restores the reference's bare single-db shape
     only = scan_mongodump(spark, dump_dir, dbname="appdb")
     assert set(only) == {"users", "orders"}
 
