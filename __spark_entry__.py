@@ -2028,6 +2028,44 @@ def q_url_canonical(spark, sf_dir):
             .orderBy("canon"))
 
 
+def q_iceberg_data_skipping(spark, sf_dir):
+    """Iceberg column-bounds file skipping (round 5, io/iceberg.py
+    lower_bounds/upper_bounds from parquet footer stats): two appends
+    with disjoint doc_id ranges, then range + equality reads that must
+    PLAN fewer files (asserted in-plan via ``files_pruned``) while the
+    aggregates replay exactly over a flat SQL filter — wrong bounds
+    under-read (count mismatch), missing bounds never over-prune."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from metacrafter_spark.io.iceberg import IcebergTable
+
+    loc = os.path.join(
+        tempfile.gettempdir(),
+        "mc_iceskip_q_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    if os.path.exists(loc):
+        shutil.rmtree(loc)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    t = IcebergTable.create(loc, docs.schema, partition_by=["lang"])
+    t.append(docs.filter(F.col("doc_id") % 2 == 0))
+    t.append(docs.filter(F.col("doc_id") % 2 == 1)
+             .withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    t = IcebergTable.load(loc)
+    n_all = len(t.plan_files())
+    n_hot = len(t.plan_files(where=[("doc_id", ">=", 1_000_000)]))
+    pruned = F.lit(0 < n_hot < n_all)
+    hot = (t.read(spark, where=[("doc_id", ">=", 1_000_000)])
+           .groupBy("lang")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("doc_id").cast("long").alias("sum_ids"),
+                F.min(F.md5(F.encode("text", "utf-8"))).alias("min_md5"))
+           .withColumn("files_pruned", pruned))
+    return hot.select("lang", "n_docs", "sum_ids", "min_md5",
+                      "files_pruned").orderBy("lang")
+
+
 def q_dsir_select(spark, sf_dir):
     """DSIR importance resampling (round 5, ops/dsir.py — Xie et al.
     2023): select the 300 corpus documents whose hashed-n-gram
@@ -2128,6 +2166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_evolution": q_iceberg_evolution,
         "dsir_select": q_dsir_select,
         "url_canonical": q_url_canonical,
+        "iceberg_data_skipping": q_iceberg_data_skipping,
         # hash-green ANN quality bars (round 4): exact top-k rows are
         # SQL-replayed; recall_ok is computed in-query vs the exact set
         # (oracle expects TRUE — the fp_stable invariant pattern)
@@ -3292,6 +3331,25 @@ def oracle_sql() -> dict[str, str]:
             FROM u
             GROUP BY 1, 2
             ORDER BY 1, 2
+        """,
+        # iceberg_data_skipping: the pruned-file read's aggregates must
+        # equal a flat SQL filter over both waves; files_pruned is the
+        # in-plan proof that the bounds actually narrowed the file set
+        "iceberg_data_skipping": """
+            WITH u AS (
+              SELECT doc_id, lang, text FROM documents
+              WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT doc_id + 1000000, lang, text FROM documents
+              WHERE doc_id % 2 = 1
+            )
+            SELECT lang,
+                   count(*) AS n_docs,
+                   sum(doc_id)::BIGINT AS sum_ids,
+                   min(md5(text)) AS min_md5,
+                   TRUE AS files_pruned
+            FROM u WHERE doc_id >= 1000000
+            GROUP BY lang ORDER BY lang
         """,
         # url_canonical: every normalization step replayed — scheme/host
         # lowering, default-port strip, fragment drop, tracking-param

@@ -446,6 +446,8 @@ def single_value_serialize(ice_type: str, v: Any) -> Optional[bytes]:
         if isinstance(v, _dt.date):
             v = (v - _dt.date(1970, 1, 1)).days
         return struct.pack("<i", int(v))
+    if ice_type in ("timestamp", "timestamptz"):  # epoch micros, int64
+        return struct.pack("<q", int(normalize_partition_value(ice_type, v)))
     raise NotImplementedError(f"single-value serialization for {ice_type!r}")
 
 
@@ -485,6 +487,8 @@ def single_value_deserialize(ice_type: str, b: Optional[bytes]) -> Any:
         return bytes(b)
     if ice_type == "date":
         return struct.unpack("<i", b)[0]
+    if ice_type in ("timestamp", "timestamptz"):
+        return struct.unpack("<q", b)[0]
     raise NotImplementedError(f"single-value deserialization for {ice_type!r}")
 
 
@@ -554,6 +558,21 @@ def manifest_entry_schema(partition_schema: dict) -> dict:
              "type": ["null", {"type": "array", "items": "int"}],
              "field-id": 135},
             {"name": "sort_order_id", "type": ["null", "int"], "field-id": 140},
+            # spec: map<int, binary> keyed by field-id, represented in
+            # Avro as an array of key/value records (int keys can't be
+            # Avro map keys) — enables file-level data skipping
+            {"name": "lower_bounds", "type": ["null", {
+                "type": "array", "items": {
+                    "type": "record", "name": "k126_v127", "fields": [
+                        {"name": "key", "type": "int", "field-id": 126},
+                        {"name": "value", "type": "bytes",
+                         "field-id": 127}]}}], "field-id": 125},
+            {"name": "upper_bounds", "type": ["null", {
+                "type": "array", "items": {
+                    "type": "record", "name": "k129_v130", "fields": [
+                        {"name": "key", "type": "int", "field-id": 129},
+                        {"name": "value", "type": "bytes",
+                         "field-id": 130}]}}], "field-id": 128},
         ],
     }
     return {
@@ -869,9 +888,11 @@ class IcebergTable:
             "content": "deletes" if content == 1 else "data",
         }
         for e in entries:
-            # entries rewritten from pre-equality-delete manifests lack
-            # the field; the schema requires it
+            # entries rewritten from older-layout manifests lack these
+            # optional fields; the schema requires them
             e["data_file"].setdefault("equality_ids", None)
+            e["data_file"].setdefault("lower_bounds", None)
+            e["data_file"].setdefault("upper_bounds", None)
         write_ocf(path, schema, entries, extra_meta=meta_entries)
 
         added = [e for e in entries if e["status"] == STATUS_ADDED]
@@ -995,6 +1016,8 @@ class IcebergTable:
                     continue
                 fpath = os.path.join(dirpath, fn)
                 meta = pq.ParquetFile(fpath).metadata
+                lo, hi = self._column_bounds(meta) if content == 0 \
+                    else ({}, {})
                 out.append(
                     {
                         "content": content,
@@ -1006,9 +1029,62 @@ class IcebergTable:
                         "split_offsets": None,
                         "equality_ids": None,
                         "sort_order_id": None,
+                        "lower_bounds": [
+                            {"key": k, "value": v}
+                            for k, v in sorted(lo.items())] or None,
+                        "upper_bounds": [
+                            {"key": k, "value": v}
+                            for k, v in sorted(hi.items())] or None,
                     }
                 )
         return out
+
+    #: string bounds longer than this are omitted: a truncated lower
+    #: bound would still be valid but a truncated UPPER bound would sort
+    #: below real values (Iceberg increments the last char; omission is
+    #: the simpler safe choice)
+    _MAX_BOUND_CHARS = 64
+
+    def _column_bounds(self, meta) -> tuple[dict, dict]:
+        """Per-column (field-id → serialized min/max) from the parquet
+        footer's row-group statistics — the spec's lower_bounds /
+        upper_bounds, enabling file skipping on non-partition columns.
+        Columns without stats (or unsupported types) are simply absent:
+        absence means "can't skip", never "wrong"."""
+        by_name = {f["name"]: f for f in self.schema["fields"]}
+        lo: dict[int, Any] = {}
+        hi: dict[int, Any] = {}
+        for rg in range(meta.num_row_groups):
+            for ci in range(meta.num_columns):
+                col = meta.row_group(rg).column(ci)
+                f = by_name.get(col.path_in_schema)
+                if f is None or not col.is_stats_set:
+                    continue
+                st = col.statistics
+                if not st.has_min_max:
+                    continue
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    try:
+                        mn, mx = mn.decode("utf8"), mx.decode("utf8")
+                    except UnicodeDecodeError:
+                        continue
+                if (isinstance(mn, str)
+                        and max(len(mn), len(mx)) > self._MAX_BOUND_CHARS):
+                    continue
+                fid = f["id"]
+                lo[fid] = mn if fid not in lo else min(lo[fid], mn)
+                hi[fid] = mx if fid not in hi else max(hi[fid], mx)
+        out_lo, out_hi = {}, {}
+        for fid in lo:
+            t = next(f["type"] for f in self.schema["fields"]
+                     if f["id"] == fid)
+            try:
+                out_lo[fid] = single_value_serialize(t, lo[fid])
+                out_hi[fid] = single_value_serialize(t, hi[fid])
+            except NotImplementedError:
+                continue
+        return out_lo, out_hi
 
     def append(
         self, df: DataFrame, *, now_ms: Optional[int] = None
@@ -1353,13 +1429,21 @@ class IcebergTable:
         *,
         snapshot_id: Optional[int] = None,
         partition_filter: Optional[dict] = None,
+        where: Optional[list[tuple]] = None,
     ) -> list[dict]:
         """Driver-side scan planning: snapshot → manifest list (pruned
         on field_summary bounds) → manifests (pruned on partition
         values) → live data_file structs.  Mirrors Iceberg planFiles.
         Data manifests only — position-delete files come from
-        :meth:`plan_deletes`."""
-        return self._plan(snapshot_id, partition_filter, content=0)
+        :meth:`plan_deletes`.
+
+        ``where`` is a conjunctive list of ``(column, op, value)`` with
+        op in ``= < <= > >=``: files whose column min/max bounds prove
+        no row can match are skipped (data skipping on NON-partition
+        columns — the scan-narrowing lever partition pruning can't
+        give).  Files without bounds for a column are always kept."""
+        return self._plan(snapshot_id, partition_filter, content=0,
+                          where=where)
 
     def plan_deletes(
         self,
@@ -1371,11 +1455,42 @@ class IcebergTable:
         same pruning as :meth:`plan_files`."""
         return self._plan(snapshot_id, partition_filter, content=1)
 
+    @staticmethod
+    def _bounds_admit(data_file: dict, where: list[tuple],
+                      name_to_field: dict) -> bool:
+        """False iff the file's min/max bounds PROVE no row satisfies
+        the conjunction (missing bounds always admit)."""
+        lo_map = {kv["key"]: kv["value"]
+                  for kv in (data_file.get("lower_bounds") or [])}
+        hi_map = {kv["key"]: kv["value"]
+                  for kv in (data_file.get("upper_bounds") or [])}
+        for col, op, val in where:
+            f = name_to_field.get(col)
+            if f is None:
+                raise ValueError(f"no column {col!r} in schema")
+            t = f["type"]
+            lo = single_value_deserialize(t, lo_map.get(f["id"]))
+            hi = single_value_deserialize(t, hi_map.get(f["id"]))
+            if lo is None or hi is None:
+                continue
+            v = normalize_partition_value(t, val)
+            ok = {"=": lambda: lo <= v <= hi,
+                  "<": lambda: lo < v,
+                  "<=": lambda: lo <= v,
+                  ">": lambda: hi > v,
+                  ">=": lambda: hi >= v}.get(op)
+            if ok is None:
+                raise ValueError(f"unsupported op {op!r}")
+            if not ok():
+                return False
+        return True
+
     def _plan(
         self,
         snapshot_id: Optional[int],
         partition_filter: Optional[dict],
         content: int,
+        where: Optional[list[tuple]] = None,
     ) -> list[dict]:
         if snapshot_id is None:
             snap = self.current_snapshot
@@ -1388,6 +1503,16 @@ class IcebergTable:
             )
             if snap is None:
                 raise ValueError(f"no snapshot {snapshot_id}")
+        name_to_field = None
+        if where is not None:
+            # resolve predicate columns against the schema of the read
+            # (the snapshot's own, for time travel — bounds are keyed by
+            # field-id, so renames resolve transparently)
+            sch = self.schema
+            if snapshot_id is not None:
+                sch = next(s for s in self.metadata["schemas"]
+                           if s.get("schema-id", 0) == snap.schema_id)
+            name_to_field = {f["name"]: f for f in sch["fields"]}
         spec_fields = self.spec["fields"]
         part_types = self._partition_result_types()
         pf_idx = {pf["name"]: i for i, pf in enumerate(spec_fields)}
@@ -1439,6 +1564,9 @@ class IcebergTable:
                     for col, want in partition_filter.items()
                 ):
                     continue
+                if where is not None and not self._bounds_admit(
+                        e["data_file"], where, name_to_field):
+                    continue  # file skipped on column min/max bounds
                 # "_seq": in-memory plan detail (commit order drives
                 # delete applicability), never written back to avro
                 files.append({**e["data_file"],
@@ -1451,6 +1579,7 @@ class IcebergTable:
         *,
         snapshot_id: Optional[int] = None,
         partition_filter: Optional[dict] = None,
+        where: Optional[list[tuple]] = None,
     ) -> DataFrame:
         """Distributed read of the (pruned) live file set.  Partition
         values are not stored in the data files (spec: identity
@@ -1465,7 +1594,8 @@ class IcebergTable:
         from functools import reduce
 
         files = self.plan_files(
-            snapshot_id=snapshot_id, partition_filter=partition_filter)
+            snapshot_id=snapshot_id, partition_filter=partition_filter,
+            where=where)
         deletes = self.plan_deletes(
             snapshot_id=snapshot_id, partition_filter=partition_filter)
         # time travel reads with the schema that was current AT that
@@ -1583,6 +1713,14 @@ class IcebergTable:
                 cond = cond & (out["__seq"] < F.lit(f.get("_seq", 0)))
                 out = out.join(keys, cond, "left_anti")
             out = out.drop("__seq")
+        if where is not None:
+            # residual row filter: bounds only narrowed the FILE set —
+            # exact predicate semantics come from the scan filter (which
+            # Spark also pushes into the surviving parquet row groups)
+            _OPS = {"=": "__eq__", "<": "__lt__", "<=": "__le__",
+                    ">": "__gt__", ">=": "__ge__"}
+            for col, op, val in where:
+                out = out.filter(getattr(F.col(col), _OPS[op])(F.lit(val)))
         return out.select(*[f.name for f in schema.fields]).to(read_schema)
 
     # ---------------------------------------------------- maintenance

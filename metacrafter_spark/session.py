@@ -41,6 +41,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.sql.session.timeZone", "UTC")
+        # INT96 (the legacy default) writes NO parquet column stats —
+        # killing min/max file skipping on timestamps; INT64 micros is
+        # the modern interop type and what Iceberg tables expect
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
         .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")

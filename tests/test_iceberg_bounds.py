@@ -1,0 +1,137 @@
+# -*- coding: utf-8 -*-
+"""Iceberg column min/max bounds (spec lower_bounds/upper_bounds) and
+file-level data skipping on non-partition columns."""
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from metacrafter_spark.io.iceberg import (IcebergTable,
+                                          single_value_deserialize)
+
+SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("bucket_id", T.LongType(), False),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("hits", T.LongType(), True),
+    T.StructField("ts", T.TimestampType(), True),
+])
+
+
+def _docs(spark, lo, hi, tag="a"):
+    return spark.range(lo, hi).select(
+        F.concat(F.lit(f"https://{tag}.example.com/p"), F.col("id"))
+        .alias("url"),
+        (F.col("id") % 2).alias("bucket_id"),
+        F.concat(F.lit(f"body-{tag}-"), F.col("id")).alias("text"),
+        F.col("id").alias("hits"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    loc = str(tmp_path / "tbl")
+    t = IcebergTable.create(loc, SCHEMA, partition_by=["bucket_id"],
+                            now_ms=1_700_000_000_000)
+    t.append(_docs(spark, 0, 100, "a"), now_ms=1_700_000_001_000)
+    t.append(_docs(spark, 1000, 1100, "b"), now_ms=1_700_000_002_000)
+    return t
+
+
+def test_bounds_recorded_and_correct(spark, table):
+    fields = {f["name"]: f for f in table.schema["fields"]}
+    hid, uid = fields["hits"]["id"], fields["url"]["id"]
+    for f in table.plan_files():
+        lo = {kv["key"]: kv["value"] for kv in f["lower_bounds"]}
+        hi = {kv["key"]: kv["value"] for kv in f["upper_bounds"]}
+        actual = spark.read.parquet(f["file_path"]).agg(
+            F.min("hits"), F.max("hits"), F.min("url"), F.max("url")
+        ).first()
+        assert single_value_deserialize("long", lo[hid]) == actual[0]
+        assert single_value_deserialize("long", hi[hid]) == actual[1]
+        assert single_value_deserialize("string", lo[uid]) == actual[2]
+        assert single_value_deserialize("string", hi[uid]) == actual[3]
+        # timestamp bounds present too (epoch micros)
+        tid = fields["ts"]["id"]
+        assert single_value_deserialize("timestamp", lo[tid]) \
+            == 1_704_067_200_000_000
+
+
+def test_file_skipping_on_long_column(spark, table):
+    all_files = table.plan_files()
+    hot = table.plan_files(where=[("hits", ">=", 1000)])
+    assert 0 < len(hot) < len(all_files)
+    # only wave-b files survive
+    assert all("b.example" in spark.read.parquet(f["file_path"])
+               .first()["url"] for f in hot)
+    # exact read semantics: skipped plan + residual filter ≡ full filter
+    fast = table.read(spark, where=[("hits", ">=", 1000)])
+    slow = table.read(spark).filter(F.col("hits") >= 1000)
+    assert sorted(r["url"] for r in fast.collect()) \
+        == sorted(r["url"] for r in slow.collect())
+    assert fast.count() == 100
+
+
+def test_skipping_op_semantics(table):
+    n_all = len(table.plan_files())
+    # strict < at the lower edge of wave b: wave-b files can't match
+    assert len(table.plan_files(where=[("hits", "<", 1000)])) \
+        == n_all - len(table.plan_files(where=[("hits", ">=", 1000)]))
+    # = inside a gap no file covers → every file skipped
+    assert table.plan_files(where=[("hits", "=", 500)]) == []
+    # <= at an existing value keeps its file
+    assert table.plan_files(where=[("hits", "<=", 0)])
+    # conjunction: impossible range → nothing
+    assert table.plan_files(where=[("hits", ">=", 50),
+                                   ("hits", "<", 50)]) == []
+
+
+def test_string_equality_skipping(spark, table):
+    got = table.read(
+        spark, where=[("url", "=", "https://b.example.com/p1005")])
+    rows = got.collect()
+    assert len(rows) == 1 and rows[0]["hits"] == 1005
+
+
+def test_skipping_survives_rename_and_rewrite(spark, table):
+    table.rename_column("hits", "views")
+    table.rewrite_manifests(now_ms=1_700_000_003_000)
+    t = IcebergTable.load(table.location)
+    hot = t.plan_files(where=[("views", ">=", 1000)])
+    assert 0 < len(hot) < len(t.plan_files())
+    fast = t.read(spark, where=[("views", ">=", 1000)])
+    assert fast.count() == 100
+
+
+def test_long_strings_omit_bounds_but_stay_correct(spark, tmp_path):
+    loc = str(tmp_path / "tbl_ls")
+    t = IcebergTable.create(loc, SCHEMA, partition_by=["bucket_id"],
+                            now_ms=1_700_000_000_000)
+    t.append(_docs(spark, 0, 50, "a")
+             .withColumn("text", F.concat(F.lit("x" * 100), F.col("text"))),
+             now_ms=1_700_000_001_000)
+    tid = next(f["id"] for f in t.schema["fields"] if f["name"] == "text")
+    for f in t.plan_files():
+        keys = {kv["key"] for kv in (f["lower_bounds"] or [])}
+        assert tid not in keys  # >64 chars → omitted (upper-bound safety)
+    # predicate on the boundless column: no skipping, still correct
+    got = t.read(spark, where=[("text", "=", "x" * 100 + "body-a-7")])
+    assert got.count() == 1
+
+
+def test_unknown_column_raises(table):
+    with pytest.raises(ValueError, match="no column"):
+        table.plan_files(where=[("nope", "=", 1)])
+    with pytest.raises(ValueError, match="unsupported op"):
+        table.plan_files(where=[("hits", "!=", 1)])
+
+
+def test_timestamp_where(spark, table):
+    assert table.plan_files(
+        where=[("ts", ">", dt.datetime(2025, 1, 1))]) == []
+    assert len(table.plan_files(
+        where=[("ts", "=", dt.datetime(2024, 1, 1))])) \
+        == len(table.plan_files())
