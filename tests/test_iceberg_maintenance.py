@@ -187,3 +187,47 @@ def test_rewrite_manifests_preserves_delete_manifests(spark, tmp_path):
     assert t2.read(spark).count() == 59  # position delete still applies
     urls = {r["url"] for r in t2.read(spark).collect()}
     assert "https://a.example.com/p5" not in urls
+
+
+def test_incremental_read(spark, tmp_path):
+    """plan/read_incremental: only files ADDED in (from, to] surface;
+    non-append snapshots in the range refuse (the append-only
+    contract)."""
+    loc = str(tmp_path / "tbl_inc")
+    t = IcebergTable.create(loc, SCHEMA, partition_by=["bucket_id"],
+                            now_ms=1_700_000_000_000)
+    t.append(_docs(spark, 0, 30, "a"), now_ms=1_700_000_001_000)    # 1
+    t.append(_docs(spark, 30, 50, "b"), now_ms=1_700_000_002_000)   # 2
+    t.append(_docs(spark, 50, 55, "c"), now_ms=1_700_000_003_000)   # 3
+
+    inc = t.read_incremental(spark, from_snapshot_id=1)
+    urls = {r["url"] for r in inc.collect()}
+    assert len(urls) == 25
+    assert all(("b.example" in u) or ("c.example" in u) for u in urls)
+    # bounded range: only snapshot 2's files
+    inc2 = t.read_incremental(spark, from_snapshot_id=1,
+                              to_snapshot_id=2)
+    assert inc2.count() == 20
+    # empty range yields an empty frame with the right schema
+    empty = t.read_incremental(spark, from_snapshot_id=3)
+    assert empty.count() == 0
+    assert empty.columns == ["url", "bucket_id", "text"]
+    # union of increments ≡ full table
+    base = t.read_incremental(spark, from_snapshot_id=1,
+                              to_snapshot_id=1)
+    assert base.count() == 0
+    full = {r["url"] for r in t.read(spark).collect()}
+    first = {r["url"] for r in t.read(spark, snapshot_id=1).collect()}
+    assert first | urls == full
+
+    # overwrite breaks append-only → refuse
+    t.overwrite_partitions(
+        _docs(spark, 100, 104, "d").filter(F.col("bucket_id") == 0),
+        now_ms=1_700_000_004_000)                                    # 4
+    with pytest.raises(ValueError, match="non-append"):
+        t.plan_incremental(from_snapshot_id=2)
+    # but a range before the overwrite still works
+    assert t.read_incremental(spark, from_snapshot_id=2,
+                              to_snapshot_id=3).count() == 5
+    with pytest.raises(ValueError, match="no snapshot"):
+        t.plan_incremental(from_snapshot_id=99)
