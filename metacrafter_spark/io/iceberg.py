@@ -1049,40 +1049,51 @@ class IcebergTable:
         """Per-column (field-id → serialized min/max) from the parquet
         footer's row-group statistics — the spec's lower_bounds /
         upper_bounds, enabling file skipping on non-partition columns.
-        Columns without stats (or unsupported types) are simply absent:
-        absence means "can't skip", never "wrong"."""
+        A column's bounds must cover EVERY row group: if any row group
+        lacks usable stats (missing, undecodable, over-length string),
+        the column is invalidated file-wide — partial bounds would
+        under-cover the file and wrongly prune matching rows.  Absent
+        bounds mean "can't skip", never "wrong"."""
         by_name = {f["name"]: f for f in self.schema["fields"]}
         lo: dict[int, Any] = {}
         hi: dict[int, Any] = {}
+        dead: set[int] = set()
         for rg in range(meta.num_row_groups):
             for ci in range(meta.num_columns):
                 col = meta.row_group(rg).column(ci)
                 f = by_name.get(col.path_in_schema)
-                if f is None or not col.is_stats_set:
+                if f is None:
+                    continue
+                fid = f["id"]
+                if fid in dead:
+                    continue
+                if not col.is_stats_set or not col.statistics.has_min_max:
+                    dead.add(fid)
                     continue
                 st = col.statistics
-                if not st.has_min_max:
-                    continue
                 mn, mx = st.min, st.max
-                if isinstance(mn, bytes):
+                if isinstance(mn, bytes) and f["type"] == "string":
                     try:
                         mn, mx = mn.decode("utf8"), mx.decode("utf8")
                     except UnicodeDecodeError:
+                        dead.add(fid)
                         continue
-                if (isinstance(mn, str)
-                        and max(len(mn), len(mx)) > self._MAX_BOUND_CHARS):
+                if (isinstance(mn, (str, bytes)) and
+                        max(len(mn), len(mx)) > self._MAX_BOUND_CHARS):
+                    dead.add(fid)
                     continue
-                fid = f["id"]
                 lo[fid] = mn if fid not in lo else min(lo[fid], mn)
                 hi[fid] = mx if fid not in hi else max(hi[fid], mx)
         out_lo, out_hi = {}, {}
         for fid in lo:
+            if fid in dead:
+                continue
             t = next(f["type"] for f in self.schema["fields"]
                      if f["id"] == fid)
             try:
                 out_lo[fid] = single_value_serialize(t, lo[fid])
                 out_hi[fid] = single_value_serialize(t, hi[fid])
-            except NotImplementedError:
+            except (NotImplementedError, TypeError):
                 continue
         return out_lo, out_hi
 
@@ -1607,22 +1618,8 @@ class IcebergTable:
             ice_schema = next(
                 s for s in self.metadata["schemas"]
                 if s.get("schema-id", 0) == snap.schema_id)
-        schema = iceberg_schema_to_spark(ice_schema)
-        # only identity partition values are absent from the data files
-        # (transform partitions keep their source columns) — group and
-        # re-attach by those alone; transform-partition groups merge
-        # into one parquet scan per identity key.
-        part_cols = self.identity_partition_columns
-        # renamed columns: project the historical names too (typed like
-        # the current field — Parquet widening covers promoted renames)
-        # and coalesce, so files from before the rename keep resolving
-        aliases = {k: v for k, v in self._field_aliases(ice_schema).items()
-                   if k not in part_cols}
-        data_fields = [f for f in schema.fields if f.name not in part_cols]
-        data_schema = T.StructType(
-            data_fields + [T.StructField(a, f.dataType, True)
-                           for f in data_fields
-                           for a in aliases.get(f.name, [])])
+        schema, part_cols, aliases, data_schema, spark_types = \
+            self._scan_shapes(ice_schema)
         if not files:
             return spark.createDataFrame(
                 [], T.StructType([T.StructField(f.name, f.dataType, True)
@@ -1637,7 +1634,6 @@ class IcebergTable:
             key = (tuple(f["partition"].get(c) for c in part_cols),
                    f.get("_seq", 0))
             groups.setdefault(key, []).append(f["file_path"])
-        spark_types = {f.name: f.dataType for f in schema.fields}
         parts = []
         for (key, seq), paths in sorted(groups.items(),
                                         key=lambda kv: str(kv[0])):
@@ -1864,6 +1860,26 @@ class IcebergTable:
             now_ms=now_ms,
         )
 
+    def _scan_shapes(self, ice_schema: dict):
+        """Shared read-path shapes for a schema version: the Spark
+        schema, identity partition columns (the only values absent from
+        data files — transform partitions keep their source columns),
+        rename aliases, the widened data-read schema that projects the
+        historical names too (Parquet widening covers promoted
+        renames), and the per-column Spark types.  One definition so
+        the full and incremental read paths cannot drift."""
+        schema = iceberg_schema_to_spark(ice_schema)
+        part_cols = self.identity_partition_columns
+        aliases = {k: v for k, v in self._field_aliases(ice_schema).items()
+                   if k not in part_cols}
+        data_fields = [f for f in schema.fields if f.name not in part_cols]
+        data_schema = T.StructType(
+            data_fields + [T.StructField(a, f.dataType, True)
+                           for f in data_fields
+                           for a in aliases.get(f.name, [])])
+        spark_types = {f.name: f.dataType for f in schema.fields}
+        return schema, part_cols, aliases, data_schema, spark_types
+
     # ---------------------------------------------------- incremental
 
     def plan_incremental(self, *, from_snapshot_id: int,
@@ -1916,8 +1932,9 @@ class IcebergTable:
                          to_snapshot_id: Optional[int] = None
                          ) -> DataFrame:
         """Distributed read of :meth:`plan_incremental`'s file set, with
-        identity partition values re-attached (same mechanics as
-        :meth:`read`; append-only ranges have no delete files by
+        identity partition values re-attached and rename aliases
+        resolved — the same :meth:`_scan_shapes` mechanics as
+        :meth:`read` (append-only ranges have no delete files by
         construction)."""
         from functools import reduce
 
@@ -1925,15 +1942,12 @@ class IcebergTable:
 
         files = self.plan_incremental(from_snapshot_id=from_snapshot_id,
                                       to_snapshot_id=to_snapshot_id)
-        schema = self.spark_schema
-        part_cols = self.identity_partition_columns
+        schema, part_cols, aliases, data_schema, spark_types = \
+            self._scan_shapes(self.schema)
         if not files:
             return spark.createDataFrame(
                 [], T.StructType([T.StructField(f.name, f.dataType, True)
                                   for f in schema.fields]))
-        data_schema = T.StructType(
-            [f for f in schema.fields if f.name not in part_cols])
-        spark_types = {f.name: f.dataType for f in schema.fields}
         groups: dict[tuple, list[str]] = {}
         for f in files:
             key = tuple(f["partition"].get(c) for c in part_cols)
@@ -1943,6 +1957,12 @@ class IcebergTable:
             d = spark.read.schema(data_schema).parquet(*paths)
             for c, v in zip(part_cols, key):
                 d = d.withColumn(c, F.lit(v).cast(spark_types[c]))
+            for fname, alist in aliases.items():
+                d = d.withColumn(
+                    fname,
+                    F.coalesce(F.col(fname),
+                               *[F.col(a).cast(spark_types[fname])
+                                 for a in alist]))
             parts.append(d.select(*[f.name for f in schema.fields]))
         return reduce(DataFrame.unionByName, parts).to(T.StructType(
             [T.StructField(f.name, f.dataType, True)

@@ -135,3 +135,70 @@ def test_timestamp_where(spark, table):
     assert len(table.plan_files(
         where=[("ts", "=", dt.datetime(2024, 1, 1))])) \
         == len(table.plan_files())
+
+
+def test_binary_column_bounds_do_not_crash(spark, tmp_path):
+    """BinaryType columns: stats arrive as bytes and must stay bytes —
+    regression test for the decode-to-str crash path."""
+    loc = str(tmp_path / "tbl_bin")
+    schema = T.StructType([
+        T.StructField("url", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ])
+    t = IcebergTable.create(loc, schema, now_ms=1_700_000_000_000)
+    df = spark.range(10).select(
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+        F.encode(F.concat(F.lit("abc"), F.col("id")), "utf-8")
+        .alias("payload"))
+    t.append(df, now_ms=1_700_000_001_000)  # used to raise TypeError
+    assert t.read(spark).count() == 10
+    # binary predicate round-trips through the bounds layer
+    got = t.read(spark, where=[("payload", "=", b"abc3")])
+    assert [r["url"] for r in got.collect()] == ["u3"]
+
+
+def test_partial_row_group_stats_invalidate_column(spark, tmp_path):
+    """A column whose bounds don't cover EVERY row group must publish
+    no bounds at all — partial bounds would wrongly prune files."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    loc = str(tmp_path / "tbl_rg")
+    schema = T.StructType([
+        T.StructField("url", T.StringType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("hits", T.LongType(), True),
+    ])
+    t = IcebergTable.create(loc, schema, now_ms=1_700_000_000_000)
+    # two row groups: rg0 short texts, rg1 over-length texts (>64)
+    tbl = pa.table({
+        "url": [f"u{i}" for i in range(8)],
+        "text": [f"t{i}" for i in range(4)] + ["x" * 100] * 4,
+        "hits": list(range(8)),
+    })
+    f = str(tmp_path / "two_rg.parquet")
+    pq.write_table(tbl, f, row_group_size=4)
+    lo, hi = t._column_bounds(pq.ParquetFile(f).metadata)
+    fields = {fl["name"]: fl["id"] for fl in t.schema["fields"]}
+    assert fields["text"] not in lo      # invalidated file-wide
+    assert fields["hits"] in lo          # full coverage → kept
+    assert single_value_deserialize("long", hi[fields["hits"]]) == 7
+
+
+def test_incremental_read_resolves_renames(spark, tmp_path):
+    """read_incremental must resolve pre-rename files through the same
+    alias trail as read() — not silently return NULLs."""
+    loc = str(tmp_path / "tbl_incr")
+    t = IcebergTable.create(loc, SCHEMA, partition_by=["bucket_id"],
+                            now_ms=1_700_000_000_000)
+    t.append(_docs(spark, 0, 10, "a"), now_ms=1_700_000_001_000)   # 1
+    t.append(_docs(spark, 10, 20, "b"), now_ms=1_700_000_002_000)  # 2
+    t.rename_column("hits", "views")  # metadata-only, no snapshot
+    inc = t.read_incremental(spark, from_snapshot_id=1)
+    rows = {r["url"]: r["views"] for r in inc.collect()}
+    assert len(rows) == 10
+    assert rows["https://b.example.com/p15"] == 15  # not NULL
+    # and matches the full read restricted to wave b
+    full = {r["url"]: r["views"]
+            for r in t.read(spark).collect() if "b.example" in r["url"]}
+    assert rows == full
