@@ -1591,6 +1591,7 @@ class IcebergTable:
         snapshot_id: Optional[int] = None,
         partition_filter: Optional[dict] = None,
         where: Optional[list[tuple]] = None,
+        ref: Optional[str] = None,
     ) -> DataFrame:
         """Distributed read of the (pruned) live file set.  Partition
         values are not stored in the data files (spec: identity
@@ -1604,6 +1605,10 @@ class IcebergTable:
         from pyspark.sql import functions as F
         from functools import reduce
 
+        if ref is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id OR ref, not both")
+            snapshot_id = self.resolve_ref(ref)
         files = self.plan_files(
             snapshot_id=snapshot_id, partition_filter=partition_filter,
             where=where)
@@ -1753,10 +1758,14 @@ class IcebergTable:
             raise ValueError("need keep_last and/or older_than_ms")
         snaps = self.snapshots
         current = self.current_snapshot
+        tagged = {r["snapshot-id"]
+                  for r in self.metadata.get("refs", {}).values()}
         retained, expired = [], []
         n = len(snaps)
         for i, s in enumerate(snaps):
             keep = s.snapshot_id == (current.snapshot_id if current else None)
+            if s.snapshot_id in tagged:
+                keep = True  # named states never expire (spec refs)
             if keep_last is not None and i >= n - keep_last:
                 keep = True
             if older_than_ms is not None and s.timestamp_ms >= older_than_ms:
@@ -1859,6 +1868,46 @@ class IcebergTable:
                 "kept-data-files": str(len(live_entries))},
             now_ms=now_ms,
         )
+
+    # ------------------------------------------------------------ refs
+
+    def create_tag(self, name: str,
+                   snapshot_id: Optional[int] = None) -> None:
+        """Tag a snapshot (spec: ``refs`` map, type ``tag``) — an
+        immutable name for a table state ("the v3 training corpus").
+        Tagged snapshots are exempt from :meth:`expire_snapshots`."""
+        snap_ids = [s.snapshot_id for s in self.snapshots]
+        if snapshot_id is None:
+            cur = self.current_snapshot
+            if cur is None:
+                raise ValueError("empty table has no snapshot to tag")
+            snapshot_id = cur.snapshot_id
+        elif snapshot_id not in snap_ids:
+            raise ValueError(f"no snapshot {snapshot_id}")
+        refs = self.metadata.setdefault("refs", {})
+        if name in refs:
+            raise ValueError(f"ref {name!r} already exists")
+        refs[name] = {"snapshot-id": snapshot_id, "type": "tag"}
+        self._publish_metadata(self.version + 1)
+
+    def remove_tag(self, name: str) -> None:
+        refs = self.metadata.get("refs", {})
+        if name not in refs:
+            raise ValueError(f"no ref {name!r}")
+        del refs[name]
+        self._publish_metadata(self.version + 1)
+
+    def resolve_ref(self, name: str) -> int:
+        """Ref name → snapshot id (branches beyond the implicit main
+        are not supported in this layer)."""
+        ref = self.metadata.get("refs", {}).get(name)
+        if ref is None:
+            raise ValueError(f"no ref {name!r}")
+        if ref.get("type") != "tag":
+            raise NotImplementedError(
+                f"ref {name!r} has type {ref.get('type')!r}; only tags "
+                "are supported here (main is the implicit branch)")
+        return ref["snapshot-id"]
 
     def _scan_shapes(self, ice_schema: dict):
         """Shared read-path shapes for a schema version: the Spark

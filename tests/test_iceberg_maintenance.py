@@ -231,3 +231,35 @@ def test_incremental_read(spark, tmp_path):
                               to_snapshot_id=3).count() == 5
     with pytest.raises(ValueError, match="no snapshot"):
         t.plan_incremental(from_snapshot_id=99)
+
+
+def test_tags_read_and_expiry_exemption(spark, table):
+    """Tags name snapshots (read(ref=...)), survive reloads, and exempt
+    their snapshot from expiry."""
+    table.create_tag("corpus-v1", snapshot_id=1)
+    table.create_tag("latest")  # defaults to current (snap 3)
+    t = IcebergTable.load(table.location)
+    assert t.read(spark, ref="corpus-v1").count() == 40
+    assert t.read(spark, ref="latest").count() == t.read(spark).count()
+    with pytest.raises(ValueError, match="already exists"):
+        t.create_tag("corpus-v1")
+    with pytest.raises(ValueError, match="no ref"):
+        t.read(spark, ref="nope")
+    with pytest.raises(ValueError, match="not both"):
+        t.read(spark, ref="latest", snapshot_id=1)
+
+    # expiry: snap 2 goes, tagged snap 1 stays despite keep_last=1
+    stats = t.expire_snapshots(keep_last=1)
+    assert stats["expired_snapshot_ids"] == [2]
+    t2 = IcebergTable.load(table.location)
+    assert [s.snapshot_id for s in t2.snapshots] == [1, 3]
+    assert t2.read(spark, ref="corpus-v1").count() == 40
+
+    # untag, then expiry may reclaim it
+    t2.remove_tag("corpus-v1")
+    stats = t2.expire_snapshots(keep_last=1)
+    assert stats["expired_snapshot_ids"] == [1]
+    t3 = IcebergTable.load(table.location)
+    assert [s.snapshot_id for s in t3.snapshots] == [3]
+    with pytest.raises(ValueError, match="no ref"):
+        t3.resolve_ref("corpus-v1")
