@@ -167,6 +167,19 @@ def main(argv=None) -> int:
     sv.add_argument("--port", type=int, default=8000)
     sv.add_argument("--cores", type=int)
 
+    it = sub.add_parser(
+        "iceberg", help="table maintenance on a pure-Python Iceberg "
+        "table: expire / compact / orphans / tag / snapshots")
+    it.add_argument("action", choices=["expire", "compact", "orphans",
+                                       "tag", "untag", "snapshots"])
+    it.add_argument("table", help="table directory location")
+    it.add_argument("--keep-last", type=int)
+    it.add_argument("--older-than-ms", type=int)
+    it.add_argument("--dry-run", action="store_true")
+    it.add_argument("--name", help="tag name (tag/untag)")
+    it.add_argument("--snapshot-id", type=int)
+    it.add_argument("--cores", type=int)  # unused; uniform interface
+
     ex = sub.add_parser(
         "export", help="push a scan-report JSON to a metadata catalog "
         "(datahub / openmetadata / atlas)")
@@ -187,6 +200,47 @@ def main(argv=None) -> int:
     ex.add_argument("--cores", type=int)  # unused; uniform interface
 
     args = p.parse_args(argv)
+
+    if args.cmd == "iceberg":  # driver-side metadata ops — no Spark
+        from metacrafter_spark.io.iceberg import IcebergTable
+
+        t = IcebergTable.load(args.table)
+        if args.action == "expire":
+            stats = t.expire_snapshots(keep_last=args.keep_last,
+                                       older_than_ms=args.older_than_ms,
+                                       dry_run=args.dry_run)
+            print(json.dumps({**stats,
+                              "n_deleted_files": len(stats["deleted_files"]),
+                              "deleted_files": stats["deleted_files"][:20]}))
+        elif args.action == "compact":
+            snap = t.rewrite_manifests()
+            print(json.dumps({"snapshot_id": snap.snapshot_id,
+                              "operation": snap.operation,
+                              "summary": snap.summary}))
+        elif args.action == "orphans":
+            removed = t.remove_orphan_files(dry_run=args.dry_run,
+                                            older_than_ms=args.older_than_ms)
+            print(json.dumps({"n_orphans": len(removed),
+                              "orphans": removed[:20],
+                              "dry_run": args.dry_run}))
+        elif args.action == "tag":
+            if not args.name:
+                raise SystemExit("--name is required for tag")
+            t.create_tag(args.name, snapshot_id=args.snapshot_id)
+            print(json.dumps({"tagged": args.name,
+                              "snapshot_id": t.resolve_ref(args.name)}))
+        elif args.action == "untag":
+            if not args.name:
+                raise SystemExit("--name is required for untag")
+            t.remove_tag(args.name)
+            print(json.dumps({"removed": args.name}))
+        else:  # snapshots
+            print(json.dumps([
+                {"snapshot_id": s.snapshot_id, "operation": s.operation,
+                 "timestamp_ms": s.timestamp_ms, "schema_id": s.schema_id,
+                 "summary": s.summary}
+                for s in t.snapshots]))
+        return 0
 
     if args.cmd == "export":  # driver-side only — no Spark session needed
         with open(args.report, encoding="utf8") as f:

@@ -263,3 +263,35 @@ def test_tags_read_and_expiry_exemption(spark, table):
     assert [s.snapshot_id for s in t3.snapshots] == [3]
     with pytest.raises(ValueError, match="no ref"):
         t3.resolve_ref("corpus-v1")
+
+
+def test_cli_iceberg_maintenance(spark, table, capsys):
+    """`mc iceberg <action>` drives the maintenance ops driver-side."""
+    import json as _json
+
+    from metacrafter_spark.cli import main
+
+    loc = table.location
+    assert main(["iceberg", "snapshots", loc]) == 0
+    snaps = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [s["snapshot_id"] for s in snaps] == [1, 2, 3]
+
+    assert main(["iceberg", "tag", loc, "--name", "v1",
+                 "--snapshot-id", "1"]) == 0
+    capsys.readouterr()
+    assert main(["iceberg", "compact", loc]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["operation"] == "replace"
+
+    assert main(["iceberg", "expire", loc, "--keep-last", "1"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 1 not in out["expired_snapshot_ids"]  # tagged → retained
+    assert out["n_deleted_files"] == len(out["deleted_files"]) \
+        or out["n_deleted_files"] > 20
+
+    assert main(["iceberg", "orphans", loc, "--dry-run"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["dry_run"] is True and out["n_orphans"] == 0
+
+    t = IcebergTable.load(loc)
+    assert t.read(spark, ref="v1").count() == 40
