@@ -2066,6 +2066,37 @@ def q_iceberg_data_skipping(spark, sf_dir):
                       "files_pruned").orderBy("lang")
 
 
+def q_robots_meta(spark, sf_dir):
+    """Robots-meta directive detection (round 5, corpus/html.py
+    with_robots_meta): production pipelines drop noindex pages.  Meta
+    tags in four syntax variants (quoted/bare values, both attribute
+    orders, a 'none' shorthand, plus a decoy non-robots meta) are
+    injected deterministically into the live-regenerated webcorpus
+    html; the oracle injects the same tags into the committed fixture
+    and replays the exact extraction regexes in RE2."""
+    from metacrafter_spark.corpus.html import with_robots_meta
+    from metacrafter_spark.corpus.webpages import synth_webpages
+
+    pages = synth_webpages(spark, 2000, seed=42)
+    doc_id = F.regexp_extract("url", r"/article/(\d+)$", 1).cast("long")
+    meta = (F.when(doc_id % 4 == 0,
+                   '<meta name="robots" content="noindex, follow">')
+            .when(doc_id % 4 == 1,
+                  "<meta content='nofollow,noarchive' name=robots>")
+            .when(doc_id % 4 == 2, "<meta name=robots content=none>")
+            .otherwise('<meta name="description" content="noindex">'))
+    injected = pages.select(
+        doc_id.alias("doc_id"),
+        F.regexp_replace(F.decode("html", "utf-8"), "<head>",
+                         F.concat(F.lit("<head>"), meta)).alias("html"))
+    out = with_robots_meta(injected, "html")
+    return (out.groupBy("robots_content", "noindex", "nofollow")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("first_id"),
+                 F.max("doc_id").alias("last_id"))
+            .orderBy("robots_content"))
+
+
 def q_dsir_select(spark, sf_dir):
     """DSIR importance resampling (round 5, ops/dsir.py — Xie et al.
     2023): select the 300 corpus documents whose hashed-n-gram
@@ -2167,6 +2198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "url_canonical": q_url_canonical,
         "iceberg_data_skipping": q_iceberg_data_skipping,
+        "robots_meta": q_robots_meta,
         # hash-green ANN quality bars (round 4): exact top-k rows are
         # SQL-replayed; recall_ok is computed in-query vs the exact set
         # (oracle expects TRUE — the fp_stable invariant pattern)
@@ -3332,6 +3364,57 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             ORDER BY 1, 2
         """,
+        # robots_meta: identical meta-tag injection into the committed
+        # fixture, the four extraction regexes replayed verbatim in RE2
+        # (\x27 hex escapes keep apostrophes out of the SQL string)
+        "robots_meta": (r"""
+            WITH src AS (
+              SELECT regexp_extract(url, '/article/(\d+)$', 1)::BIGINT
+                         AS doc_id,
+                     decode(html) AS h
+              FROM read_parquet('""" + WEBCORPUS_FIXTURE + r"""')),
+            inj AS (
+              SELECT doc_id,
+                regexp_replace(h, '<head>', '<head>' ||
+                  CASE WHEN doc_id % 4 = 0
+                       THEN '<meta name="robots" content="noindex, follow">'
+                       WHEN doc_id % 4 = 1
+                       THEN '<meta content=''nofollow,noarchive'' name=robots>'
+                       WHEN doc_id % 4 = 2
+                       THEN '<meta name=robots content=none>'
+                       ELSE '<meta name="description" content="noindex">'
+                  END) AS html
+              FROM src),
+            ext AS (
+              SELECT doc_id, lower(trim(coalesce(
+                nullif(regexp_extract(html,
+                  '(?i)<meta[^>]*name\s*=\s*["\x27]?robots["\x27]?[^>]*content\s*=\s*["\x27]([^"\x27>]*)',
+                  1), ''),
+                nullif(regexp_extract(html,
+                  '(?i)<meta[^>]*name\s*=\s*["\x27]?robots["\x27]?[^>]*content\s*=\s*([^"\x27\s>]+)',
+                  1), ''),
+                nullif(regexp_extract(html,
+                  '(?i)<meta[^>]*content\s*=\s*["\x27]([^"\x27>]*)["\x27]?[^>]*name\s*=\s*["\x27]?robots["\x27]?',
+                  1), ''),
+                nullif(regexp_extract(html,
+                  '(?i)<meta[^>]*content\s*=\s*([^"\x27\s>]+)[^>]*name\s*=\s*["\x27]?robots["\x27]?',
+                  1), ''),
+                ''))) AS robots_content
+              FROM inj),
+            flags AS (
+              SELECT doc_id, robots_content,
+                len(list_intersect(list_transform(
+                  string_split(robots_content, ','), t -> trim(t)),
+                  ['noindex', 'none'])) > 0 AS noindex,
+                len(list_intersect(list_transform(
+                  string_split(robots_content, ','), t -> trim(t)),
+                  ['nofollow', 'none'])) > 0 AS nofollow
+              FROM ext)
+            SELECT robots_content, noindex, nofollow,
+                   count(*) AS n_docs,
+                   min(doc_id) AS first_id, max(doc_id) AS last_id
+            FROM flags GROUP BY 1, 2, 3 ORDER BY 1
+        """),
         # iceberg_data_skipping: the pruned-file read's aggregates must
         # equal a flat SQL filter over both waves; files_pruned is the
         # in-plan proof that the bounds actually narrowed the file set

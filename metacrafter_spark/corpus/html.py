@@ -139,3 +139,56 @@ def with_extracted_text(
             yield b
 
     return df.mapInPandas(kernel, out_schema)
+
+
+# robots meta: name/content in either attribute order; quoted values
+# may contain spaces/commas, bare values stop at whitespace.  Four
+# RE2-compatible patterns (no backrefs) so the oracle replays verbatim.
+_ROBOTS_NC = (r'(?i)<meta[^>]*name\s*=\s*["\x27]?robots["\x27]?[^>]*'
+              r'content\s*=\s*["\x27]([^"\x27>]*)')
+_ROBOTS_NC_BARE = (r'(?i)<meta[^>]*name\s*=\s*["\x27]?robots["\x27]?[^>]*'
+                   r'content\s*=\s*([^"\x27\s>]+)')
+_ROBOTS_CN = (r'(?i)<meta[^>]*content\s*=\s*["\x27]([^"\x27>]*)'
+              r'["\x27]?[^>]*name\s*=\s*["\x27]?robots["\x27]?')
+_ROBOTS_CN_BARE = (r'(?i)<meta[^>]*content\s*=\s*([^"\x27\s>]+)'
+                   r'[^>]*name\s*=\s*["\x27]?robots["\x27]?')
+
+
+def with_robots_meta(
+    df: DataFrame,
+    html_col: str = "html",
+    *,
+    content_col: str = "robots_content",
+    noindex_col: str = "noindex",
+    nofollow_col: str = "nofollow",
+    encoding: str = "utf-8",
+) -> DataFrame:
+    """Attach the page's robots meta directives: the raw ``content``
+    value of ``<meta name="robots" …>`` (either attribute order) plus
+    ``noindex`` / ``nofollow`` booleans (``none`` implies both, per the
+    robots meta convention).  Production corpus pipelines drop noindex
+    pages — the page owner asked not to be indexed.
+
+    Pure native Column expressions (decode + two regexp_extract over
+    the raw markup — no parser needed for one well-known tag), map-side
+    only, RE2-replayable."""
+    from pyspark.sql import functions as F
+
+    src = F.col(html_col)
+    field = dict(zip(df.schema.fieldNames(), df.schema.fields))[html_col]
+    if field.dataType.simpleString() == "binary":
+        src = F.decode(src, encoding)
+    content = F.lower(F.trim(F.coalesce(
+        F.nullif(F.regexp_extract(src, _ROBOTS_NC, 1), F.lit("")),
+        F.nullif(F.regexp_extract(src, _ROBOTS_NC_BARE, 1), F.lit("")),
+        F.nullif(F.regexp_extract(src, _ROBOTS_CN, 1), F.lit("")),
+        F.nullif(F.regexp_extract(src, _ROBOTS_CN_BARE, 1), F.lit("")),
+        F.lit(""))))
+    out = df.withColumn(content_col, content)
+    c = F.col(content_col)
+    tokens = F.transform(F.split(c, ","), lambda t: F.trim(t))
+    has = (lambda word: F.arrays_overlap(
+        tokens, F.array(F.lit(word), F.lit("none"))))
+    return (out
+            .withColumn(noindex_col, has("noindex"))
+            .withColumn(nofollow_col, has("nofollow")))

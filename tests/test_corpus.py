@@ -502,3 +502,42 @@ def test_html_extract_text(spark):
     assert out.columns == [*corpus.columns, "tx"]
     n_match = out.filter(F.col("tx") == F.col("text")).count()
     assert n_match == 50
+
+
+def test_with_robots_meta(spark):
+    """Robots meta directives: both attribute orders, quoted + bare
+    values, the 'none' shorthand, decoy metas, null html."""
+    from metacrafter_spark.corpus.html import with_robots_meta
+
+    rows = [
+        (1, '<html><head><meta name="robots" '
+            'content="noindex, follow"></head><body>x</body></html>'),
+        (2, "<html><head><META NAME=ROBOTS CONTENT='NOFOLLOW'>"
+            "</head></html>"),
+        (3, '<html><head><meta content="none" name="robots">'
+            '</head></html>'),
+        (4, '<html><head><meta name="description" '
+            'content="noindex trap"></head></html>'),
+        (5, '<html><head></head><body>no meta</body></html>'),
+        (6, '<html><head><meta name=robots content=noindex>'
+            '</head></html>'),
+        (7, '<html><head><meta content=nofollow name=robots>'
+            '</head></html>'),
+        (8, None),
+    ]
+    df = spark.createDataFrame(rows, "i long, html string")
+    got = {r["i"]: (r["robots_content"], r["noindex"], r["nofollow"])
+           for r in with_robots_meta(df, "html").collect()}
+    assert got[1] == ("noindex, follow", True, False)
+    assert got[2] == ("nofollow", False, True)
+    assert got[3] == ("none", True, True)
+    assert got[4] == ("", False, False)   # decoy meta ignored
+    assert got[5] == ("", False, False)
+    assert got[6] == ("noindex", True, False)
+    assert got[7] == ("nofollow", False, True)
+    assert got[8] == ("", False, False)
+    # binary html decodes transparently
+    bdf = spark.createDataFrame(
+        [(1, rows[0][1].encode())], "i long, html binary")
+    r = with_robots_meta(bdf, "html").first()
+    assert r["noindex"] is True
