@@ -167,6 +167,21 @@ def main(argv=None) -> int:
     sv.add_argument("--port", type=int, default=8000)
     sv.add_argument("--cores", type=int)
 
+    ds = sub.add_parser(
+        "dsir", help="DSIR importance resampling: select corpus docs "
+        "whose hashed-ngram distribution matches a target corpus")
+    ds.add_argument("corpus", help="raw corpus parquet path")
+    ds.add_argument("target", help="target corpus parquet path")
+    ds.add_argument("k", type=int, help="documents to select")
+    ds.add_argument("--output", "-o", required=True,
+                    help="output parquet for the selected rows")
+    ds.add_argument("--id-col", default="doc_id")
+    ds.add_argument("--text-col", default="text")
+    ds.add_argument("--buckets", type=int, default=4096)
+    ds.add_argument("--max-words", type=int, default=500)
+    ds.add_argument("--seed", type=int, default=0)
+    ds.add_argument("--cores", type=int)
+
     it = sub.add_parser(
         "iceberg", help="table maintenance on a pure-Python Iceberg "
         "table: expire / compact / orphans / tag / snapshots")
@@ -346,6 +361,24 @@ def main(argv=None) -> int:
             write_db_report(reports, args.output, fmt=args.output_format,
                             short=args.short, stats_only=args.stats_only)
             print(f"wrote {args.output}")
+        elif args.cmd == "dsir":
+            from metacrafter_spark.ops.dsir import dsir_resample
+
+            corpus = spark.read.parquet(args.corpus)
+            target = spark.read.parquet(args.target)
+            sel = dsir_resample(
+                corpus, target, args.k, id_col=args.id_col,
+                text_col=args.text_col, buckets=args.buckets,
+                max_words=args.max_words, seed=args.seed)
+            # join back the full rows for the selected ids (the
+            # selection frame carries only id/weight/score)
+            out = corpus.join(sel.select(args.id_col, "log_weight",
+                                         "score"),
+                              args.id_col)
+            out.write.mode("errorifexists").parquet(args.output)
+            n = out.count()
+            print(json.dumps({"selected": n, "requested": args.k,
+                              "output": args.output}))
         elif args.cmd == "dedup":
             from metacrafter_spark.ops.dedup import near_dup_pairs_minhash
 

@@ -82,3 +82,24 @@ def test_ratio_table_bounded(spark, corpora):
         feature_counts(raw, "text", buckets=64), 64)
     assert r.count() <= 64
     assert dict(r.dtypes)["log_ratio"] == "decimal(18,9)"
+
+
+def test_cli_dsir(spark, corpora, tmp_path):
+
+    from metacrafter_spark.cli import main
+
+    raw, target = corpora
+    cp, tp = str(tmp_path / "raw"), str(tmp_path / "tgt")
+    raw.write.parquet(cp)
+    target.write.parquet(tp)
+    out = str(tmp_path / "sel")
+    rc = main(["dsir", cp, tp, "20", "--output", out, "--seed", "7"])
+    assert rc == 0
+    got = spark.read.parquet(out)
+    assert got.count() == 20
+    assert {"doc_id", "text", "log_weight", "score"} <= set(got.columns)
+    # same selection as the library call
+    from metacrafter_spark.ops.dsir import dsir_resample
+    lib = {r["doc_id"] for r in dsir_resample(raw, target, 20,
+                                              seed=7).collect()}
+    assert {r["doc_id"] for r in got.collect()} == lib
