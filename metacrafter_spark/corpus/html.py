@@ -154,6 +154,52 @@ _ROBOTS_CN_BARE = (r'(?i)<meta[^>]*content\s*=\s*([^"\x27\s>]+)'
                    r'[^>]*name\s*=\s*["\x27]?robots["\x27]?')
 
 
+# anchor hrefs: <a ... href= then an optionally-quoted value.  The
+# value class excludes quotes/whitespace/'>' — hrefs containing literal
+# whitespace are malformed-rare and skipped by design.  RE2-compatible.
+_HREF_RE = r'(?i)<a\s[^>]*href\s*=\s*["\x27]?([^"\x27\s>]+)'
+
+
+def with_outlinks(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    out_col: str = "outlinks",
+    *,
+    encoding: str = "utf-8",
+    dot_depth: int = 4,
+    canonical: bool = True,
+) -> DataFrame:
+    """Attach the page's outgoing links: every ``<a href>`` target,
+    resolved against the page URL (RFC 3986 — relative, root-relative,
+    scheme-relative and absolute forms all land on absolute URLs),
+    restricted to http/https, optionally canonicalized
+    (:func:`~metacrafter_spark.ops.urls.canonicalize_url`) and deduped
+    per page.  This is the web-graph construction step — the resolved
+    links are joinable node ids for link-based quality signals
+    (PageRank/harmonic ranks à la Common Crawl's domain ranks).
+
+    Pure native Column expressions (``regexp_extract_all`` + one
+    ``transform`` over the array), map-side only, zero Python, zero
+    shuffle; the html column never leaves the scan stage."""
+    from pyspark.sql import functions as F
+
+    from metacrafter_spark.ops.urls import canonicalize_url, resolve_url
+
+    src = F.col(html_col)
+    field = dict(zip(df.schema.fieldNames(), df.schema.fields))[html_col]
+    if field.dataType.simpleString() == "binary":
+        src = F.decode(src, encoding)
+    hrefs = F.regexp_extract_all(src, F.lit(_HREF_RE), 1)
+    resolved = F.transform(
+        hrefs, lambda h: resolve_url(F.col(url_col), h,
+                                     dot_depth=dot_depth))
+    links = F.filter(resolved, lambda u: u.rlike(r"^https?://"))
+    if canonical:
+        links = F.transform(links, canonicalize_url)
+    return df.withColumn(out_col, F.array_distinct(links))
+
+
 def with_robots_meta(
     df: DataFrame,
     html_col: str = "html",

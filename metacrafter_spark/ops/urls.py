@@ -111,6 +111,69 @@ def canonicalize_url(url: Column) -> Column:
     return F.when(scheme == "", url).otherwise(rebuilt)
 
 
+def remove_dot_segments(path: Column, *, depth: int = 4) -> Column:
+    """RFC 3986 §5.2.4 dot-segment removal over an absolute path
+    (``/a/./b/../c`` → ``/a/c``), as a fixed-point of regexp rewrites.
+
+    ``depth`` bounds how deeply ``..`` segments may nest (each unroll
+    resolves one level of ``x/..`` nesting plus two ``./`` layers);
+    web-page hrefs virtually never exceed 2–3.  All patterns are
+    RE2-compatible, so the oracle replays them verbatim (DuckDB needs
+    the ``'g'`` flag — Spark's regexp_replace is global already)."""
+    p = path
+    for _ in range(depth):
+        p = F.regexp_replace(p, r"/\./", "/")
+        p = F.regexp_replace(p, r"/\./", "/")  # '/./././' overlap pass
+        p = F.regexp_replace(p, r"/\.$", "/")
+        p = F.regexp_replace(p, r"/[^/]+/\.\./", "/")
+        p = F.regexp_replace(p, r"/[^/]+/\.\.$", "/")
+    # '..' segments that climbed past the root are dropped (§5.2.4's
+    # "if the buffer is empty" rule)
+    p = F.regexp_replace(p, r"^/(\.\./)+", "/")
+    p = F.regexp_replace(p, r"^/\.\.$", "/")
+    return p
+
+
+def resolve_url(base: Column, href: Column, *, dot_depth: int = 4) -> Column:
+    """RFC 3986 §5 reference resolution: an ``href`` as written in a
+    page (absolute, scheme-relative ``//host/…``, root-relative
+    ``/path``, query-only ``?q``, or relative ``../x``) against the
+    page's absolute ``base`` URL → the absolute target URL.
+
+    Pure native Column expressions (regexp extracts + concat), map-side
+    only, RE2-replayable — the web-graph construction step that turns
+    raw anchors into joinable node ids.  Fragments are stripped on both
+    sides (a fragment never names a different resource); hrefs carrying
+    their own scheme (``mailto:``, ``javascript:``, absolute http) pass
+    through — filter by scheme downstream."""
+    href = F.regexp_replace(href, r"#.*$", "")
+    base_nf = F.regexp_replace(base, r"#.*$", "")
+    scheme = F.regexp_extract(base_nf, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+    origin = F.regexp_extract(
+        base_nf, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    bpath = F.regexp_extract(
+        base_nf, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    bpath = F.when(bpath == "", F.lit("/")).otherwise(bpath)
+    bdir = F.regexp_replace(bpath, r"/[^/]*$", "/")
+    hpath = F.regexp_extract(href, r"^([^?]*)", 1)
+    hquery = F.regexp_extract(href, r"(\?.*)$", 1)
+    return (
+        F.when(href == "", base_nf)
+        .when(href.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:"), href)
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(href.startswith("/"),
+              F.concat(origin,
+                       remove_dot_segments(hpath, depth=dot_depth),
+                       hquery))
+        .when(href.startswith("?"), F.concat(origin, bpath, href))
+        .otherwise(
+            F.concat(origin,
+                     remove_dot_segments(F.concat(bdir, hpath),
+                                         depth=dot_depth),
+                     hquery))
+    )
+
+
 def with_url_parts(
     df: DataFrame, url_col: str = "url",
     host_col: str = "host", domain_col: str = "domain",

@@ -1,0 +1,147 @@
+"""Outlink extraction (corpus/html.py), RFC 3986 reference resolution
+(ops/urls.py) and PageRank (ops/linkgraph.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from metacrafter_spark.corpus.html import with_outlinks
+from metacrafter_spark.ops.linkgraph import page_link_edges, pagerank
+from metacrafter_spark.ops.urls import resolve_url
+
+
+# RFC 3986 §5.4 examples against the spec's base URL (fragments are
+# stripped by design — a fragment never names a different resource, so
+# the '#s' rows expect the defragmented answer).
+RFC_BASE = "http://a/b/c/d;p?q"
+RFC_CASES = [
+    ("g", "http://a/b/c/g"),
+    ("./g", "http://a/b/c/g"),
+    ("g/", "http://a/b/c/g/"),
+    ("/g", "http://a/g"),
+    ("//g", "http://g"),
+    ("?y", "http://a/b/c/d;p?y"),
+    ("g?y", "http://a/b/c/g?y"),
+    ("#s", "http://a/b/c/d;p?q"),
+    ("g#s", "http://a/b/c/g"),
+    ("g?y#s", "http://a/b/c/g?y"),
+    (";x", "http://a/b/c/;x"),
+    ("g;x", "http://a/b/c/g;x"),
+    ("", "http://a/b/c/d;p?q"),
+    (".", "http://a/b/c/"),
+    ("./", "http://a/b/c/"),
+    ("..", "http://a/b/"),
+    ("../", "http://a/b/"),
+    ("../g", "http://a/b/g"),
+    ("../..", "http://a/"),
+    ("../../", "http://a/"),
+    ("../../g", "http://a/g"),
+    # abnormal: .. past the root is dropped
+    ("../../../g", "http://a/g"),
+    ("../../../../g", "http://a/g"),
+    ("/./g", "http://a/g"),
+    ("/../g", "http://a/g"),
+    # scheme-carrying hrefs pass through
+    ("https://x.example/y", "https://x.example/y"),
+    ("mailto:a@b.example", "mailto:a@b.example"),
+    # nested dot chains
+    ("./x/../y/g", "http://a/b/c/y/g"),
+    ("x/y/../../g", "http://a/b/c/g"),
+]
+
+
+def test_resolve_url_rfc3986(spark):
+    df = spark.createDataFrame(
+        [(RFC_BASE, h, want) for h, want in RFC_CASES],
+        "base string, href string, want string")
+    out = df.select(
+        "href", "want",
+        resolve_url(F.col("base"), F.col("href")).alias("got")).collect()
+    bad = [(r.href, r.got, r.want) for r in out if r.got != r.want]
+    assert not bad, bad
+
+
+def test_with_outlinks_extraction(spark):
+    html = (
+        '<html><body>'
+        '<a href="https://x.example/a">a</a> '
+        "<a class='k' href='/root/p?b=2&a=1#f'>b</a> "
+        '<a href=../up/c>c</a> '
+        '<a href="mailto:z@q.example">m</a> '
+        '<a href="https://x.example/a">dup</a> '
+        '<a name="anchor-only">n</a>'
+        '</body></html>'
+    ).encode()
+    df = spark.createDataFrame(
+        [("https://h.example/d1/d2/page", html)], "url string, html binary")
+    row = with_outlinks(df).select("outlinks").first()
+    assert row.outlinks == [
+        "https://x.example/a",
+        "https://h.example/root/p?a=1&b=2",   # canonical: query sorted
+        "https://h.example/d1/up/c",
+    ]
+
+
+def test_with_outlinks_no_anchors_and_null(spark):
+    df = spark.createDataFrame(
+        [("https://h.example/p", b"<html><body>none</body></html>")],
+        "url string, html binary")
+    assert with_outlinks(df).first().outlinks == []
+
+
+def _py_pagerank(edges, iterations=5, dnum=17, dden=20, S=10**12):
+    """Independent plain-Python integer replay (pure ``//``/``+``)."""
+    nodes = sorted({u for e in edges for u in e})
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    n = len(nodes)
+    pr = {v: S // n for v in nodes}
+    for _ in range(iterations):
+        c = {v: pr[v] // out[v] for v in nodes if v in out}
+        dangle = sum(pr[v] for v in nodes if v not in out)
+        incoming = {}
+        for s, d in edges:
+            incoming[d] = incoming.get(d, 0) + c[s]
+        pr = {v: ((dden - dnum) * S) // (dden * n)
+              + (dnum * (incoming.get(v, 0) + dangle // n)) // dden
+              for v in nodes}
+    return pr
+
+
+@pytest.mark.parametrize("iterations", [0, 1, 5])
+def test_pagerank_matches_python_replay(spark, iterations):
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+             ("d", "c")]  # e is reachable only as a dangling dst
+    edges.append(("c", "e"))
+    df = spark.createDataFrame(edges, "src string, dst string")
+    rows = pagerank(df, iterations=iterations).collect()
+    got = {r.node: r.pr_units for r in rows}
+    want = _py_pagerank(edges, iterations=iterations)
+    assert got == want
+    n = len(got)
+    assert 0 <= 10**12 - sum(got.values()) <= 3 * n * (iterations + 1)
+    for r in rows:  # the double convenience column tracks the units
+        assert abs(r.pr - r.pr_units / 1e12) < 1e-15
+
+
+def test_pagerank_partitioning_invariant(spark):
+    edges = sorted(
+        {(f"n{i}", f"n{(i * 7 + 3) % 40}") for i in range(40) if i % 4}
+        | {(f"n{i}", f"n{(i * 11 + 5) % 40}") for i in range(40)
+           if i % 3})
+    df1 = spark.createDataFrame(edges, "src string, dst string")
+    df8 = df1.repartition(8)
+    r1 = {r.node: r.pr_units
+          for r in pagerank(df1, iterations=3).collect()}
+    r8 = {r.node: r.pr_units for r in
+          pagerank(df8, iterations=3, checkpoint_every=2).collect()}
+    assert r1 == r8
+    assert r1 == _py_pagerank(edges, iterations=3)
+
+
+def test_page_link_edges_drops_self_and_dups(spark):
+    df = spark.createDataFrame(
+        [("u1", ["u1", "u2", "u2"]), ("u2", ["u1"])],
+        "url string, outlinks array<string>")
+    got = {(r.src, r.dst) for r in page_link_edges(df).collect()}
+    assert got == {("u1", "u2"), ("u2", "u1")}
