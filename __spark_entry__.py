@@ -2121,6 +2121,77 @@ def q_dsir_select(spark, sf_dir):
         "score").orderBy("doc_id"))
 
 
+def q_outlink_graph(spark, sf_dir):
+    """Web-graph construction (round 5, corpus/html.py with_outlinks +
+    ops/urls.py resolve_url): anchors in five href shapes — absolute,
+    scheme-relative, root-relative with query+fragment, bare relative
+    with a parent segment, ./x/../ dot chains plus a mailto decoy —
+    are injected into the live-regenerated webcorpus html; extraction,
+    RFC 3986 resolution against each page's own URL, the https filter
+    and canonicalization all replay verbatim in RE2/DuckDB."""
+    from metacrafter_spark.corpus.html import with_outlinks
+    from metacrafter_spark.corpus.webpages import synth_webpages
+
+    pages = synth_webpages(spark, 2000, seed=42)
+    d = F.regexp_extract("url", r"/article/(\d+)$", 1).cast("long")
+    m = (d * 7 + 1) % 2000
+    m2 = (d * 13 + 3) % 2000
+    k = d % 5
+    anchors = (
+        F.when(k == 1, F.concat(
+            F.lit('<a href="https://ext.example.com/page/'), m,
+            F.lit('">x</a>'),
+            F.lit("<a href='//cdn.example.net/a/"), m2,
+            F.lit("'>y</a>")))
+        .when(k == 2, F.concat(
+            F.lit('<a class="c" href="/p/'), m,
+            F.lit('?b=2&a=1#frag">x</a>')))
+        .when(k == 3, F.concat(
+            F.lit('<a href=../article/'), m, F.lit('>x</a>')))
+        .when(k == 4, F.concat(
+            F.lit('<a href="./x/../y/'), m,
+            F.lit('">x</a><a href="mailto:a@b.example">m</a>')))
+        .otherwise(F.lit("")))
+    injected = pages.select(
+        d.alias("doc_id"), "url",
+        F.regexp_replace(F.decode("html", "utf-8"), "</body>",
+                         F.concat(anchors, F.lit("</body>"))
+                         ).alias("html"))
+    out = with_outlinks(injected, "html", "url")
+    return (out.select("doc_id", F.explode("outlinks").alias("link"))
+            .groupBy("link")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("first_src"),
+                 F.max("doc_id").alias("last_src"))
+            .orderBy("link"))
+
+
+def q_page_rank(spark, sf_dir):
+    """PageRank link-quality signal (round 5, ops/linkgraph.py): the
+    Common-Crawl-domain-ranks shape.  Edges derive arithmetically from
+    the documents table (i → (7i+3j) mod N for j ≤ i mod 4; 25% of
+    nodes dangling), five damped iterations in integer fixed-point
+    (1e-12 rank units, floor division, damping 17/20) — every step is
+    exact BIGINT arithmetic, so the oracle unrolls the identical
+    iterations in SQL and matches bit-for-bit."""
+    from metacrafter_spark.ops.linkgraph import pagerank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n_df = docs.agg(F.count("*").alias("N"))
+    j = F.explode(
+        F.when(F.col("doc_id") % 4 >= 1,
+               F.sequence(F.lit(1).cast("long"), F.col("doc_id") % 4))
+        .otherwise(F.array().cast("array<long>"))).alias("j")
+    edges = (docs.crossJoin(F.broadcast(n_df))
+             .select("doc_id", "N", j)
+             .select(F.col("doc_id").alias("src"),
+                     ((F.col("doc_id") * 7 + 3 * F.col("j"))
+                      % F.col("N")).alias("dst")))
+    pr = pagerank(edges, iterations=5)
+    return (pr.select(F.col("node").alias("node_id"), "pr_units")
+            .orderBy("node_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": q_tpch_q1,
@@ -2199,6 +2270,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "iceberg_data_skipping": q_iceberg_data_skipping,
         "robots_meta": q_robots_meta,
+        "outlink_graph": q_outlink_graph,
+        "page_rank": q_page_rank,
         # hash-green ANN quality bars (round 4): exact top-k rows are
         # SQL-replayed; recall_ok is computed in-query vs the exact set
         # (oracle expects TRUE — the fp_stable invariant pattern)
@@ -2223,6 +2296,174 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
     }
+
+
+def _sql_dot_segments(expr: str, depth: int = 4) -> str:
+    """DuckDB replay of ops.urls.remove_dot_segments: the identical
+    regexp rewrites, with the 'g' flag (Spark's regexp_replace is
+    global already, DuckDB's defaults to first-match)."""
+    p = expr
+    for _ in range(depth):
+        p = f"regexp_replace({p}, '/\\./', '/', 'g')"
+        p = f"regexp_replace({p}, '/\\./', '/', 'g')"
+        p = f"regexp_replace({p}, '/\\.$', '/', 'g')"
+        p = f"regexp_replace({p}, '/[^/]+/\\.\\./', '/', 'g')"
+        p = f"regexp_replace({p}, '/[^/]+/\\.\\.$', '/', 'g')"
+    p = f"regexp_replace({p}, '^/(\\.\\./)+', '/', 'g')"
+    p = f"regexp_replace({p}, '^/\\.\\.$', '/', 'g')"
+    return p
+
+
+def _pagerank_sql(iterations: int = 5, unit: int = 10**12,
+                  dnum: int = 17, dden: int = 20) -> str:
+    """Unrolled integer-fixed-point PageRank replay (ops/linkgraph.py
+    docstring rationale: every step is exact BIGINT arithmetic, so the
+    SQL matches bit-for-bit — no rounding mode exists to disagree on)."""
+    ctes = [
+        "nn AS (SELECT count(*) AS N FROM documents)",
+        """e AS (SELECT doc_id AS src,
+                 (doc_id*7 + 3*j) % (SELECT N FROM nn) AS dst
+          FROM documents, (VALUES (1),(2),(3)) t(j)
+          WHERE j <= doc_id % 4)""",
+        """nodes AS (SELECT DISTINCT v FROM
+          (SELECT src AS v FROM e UNION ALL SELECT dst FROM e))""",
+        "outdeg AS (SELECT src AS v, count(*) AS deg FROM e GROUP BY 1)",
+        "cnt AS (SELECT count(*) AS n FROM nodes)",
+        f"r0 AS (SELECT v, {unit} // n AS pr FROM nodes, cnt)",
+    ]
+    for k in range(iterations):
+        ctes += [
+            f"""c{k} AS (SELECT r.v, r.pr // o.deg AS c
+               FROM r{k} r JOIN outdeg o USING (v))""",
+            f"""d{k} AS (SELECT coalesce(sum(r.pr), 0)::BIGINT AS dangle
+               FROM r{k} r LEFT JOIN outdeg o USING (v)
+               WHERE o.v IS NULL)""",
+            f"""i{k} AS (SELECT e.dst AS v, sum(c.c)::BIGINT AS s
+               FROM e JOIN c{k} c ON c.v = e.src GROUP BY 1)""",
+            f"""r{k + 1} AS (SELECT nodes.v,
+                 {(dden - dnum) * unit} // ({dden} * cnt.n)
+                 + ({dnum} * (coalesce(i.s, 0) + d.dangle // cnt.n))
+                   // {dden} AS pr
+               FROM nodes LEFT JOIN i{k} i ON i.v = nodes.v
+               CROSS JOIN d{k} d CROSS JOIN cnt)""",
+        ]
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT v AS node_id, pr AS pr_units FROM r{iterations}"
+            + "\nORDER BY node_id")
+
+
+def _outlink_graph_sql() -> str:
+    """DuckDB replay of q_outlink_graph: identical anchor injection
+    into the committed fixture, the href-extraction regex verbatim in
+    RE2, RFC 3986 resolution as the same CASE/regexp chain (dot-segment
+    removal via _sql_dot_segments), then the url_canonical
+    canonicalization stages."""
+    dot_root = _sql_dot_segments("hpath")
+    dot_rel = _sql_dot_segments(
+        "(regexp_replace(bpath, '/[^/]*$', '/', 'g') || hpath)")
+    return r"""
+        WITH src AS (
+          SELECT regexp_extract(url, '/article/(\d+)$', 1)::BIGINT
+                     AS doc_id,
+                 url, decode(html) AS h
+          FROM read_parquet('""" + WEBCORPUS_FIXTURE + r"""')),
+        inj AS (
+          SELECT doc_id, url, regexp_replace(h, '</body>',
+            (CASE WHEN doc_id % 5 = 1 THEN
+                '<a href="https://ext.example.com/page/'
+                || ((doc_id*7+1) % 2000) || '">x</a>'
+                || '<a href=''//cdn.example.net/a/'
+                || ((doc_id*13+3) % 2000) || '''>y</a>'
+              WHEN doc_id % 5 = 2 THEN
+                '<a class="c" href="/p/' || ((doc_id*7+1) % 2000)
+                || '?b=2&a=1#frag">x</a>'
+              WHEN doc_id % 5 = 3 THEN
+                '<a href=../article/' || ((doc_id*7+1) % 2000)
+                || '>x</a>'
+              WHEN doc_id % 5 = 4 THEN
+                '<a href="./x/../y/' || ((doc_id*7+1) % 2000)
+                || '">x</a><a href="mailto:a@b.example">m</a>'
+              ELSE '' END) || '</body>') AS html
+          FROM src),
+        lnk AS (
+          SELECT doc_id, url,
+                 unnest(regexp_extract_all(html,
+                   '(?i)<a\s[^>]*href\s*=\s*["\x27]?([^"\x27\s>]+)',
+                   1)) AS href
+          FROM inj),
+        b AS (
+          SELECT doc_id,
+                 regexp_replace(href, '#.*$', '', 'g') AS h,
+                 regexp_replace(url, '#.*$', '', 'g') AS base_nf
+          FROM lnk),
+        parts AS (
+          SELECT doc_id, h, base_nf,
+            regexp_extract(base_nf,
+              '^([A-Za-z][A-Za-z0-9+.-]*):', 1) AS scheme,
+            regexp_extract(base_nf,
+              '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS origin,
+            CASE WHEN regexp_extract(base_nf,
+                '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) = ''
+              THEN '/'
+              ELSE regexp_extract(base_nf,
+                '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+              END AS bpath,
+            regexp_extract(h, '^([^?]*)', 1) AS hpath,
+            regexp_extract(h, '(\?.*)$', 1) AS hquery
+          FROM b),
+        res AS (
+          SELECT doc_id, CASE
+            WHEN h = '' THEN base_nf
+            WHEN regexp_matches(h, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN h
+            WHEN h LIKE '//%' THEN scheme || ':' || h
+            WHEN h LIKE '/%' THEN origin || """ + dot_root + r""" || hquery
+            WHEN h LIKE '?%' THEN origin || bpath || h
+            ELSE origin || """ + dot_rel + r""" || hquery
+            END AS r
+          FROM parts),
+        kept AS (
+          SELECT doc_id, r FROM res
+          WHERE regexp_matches(r, '^https?://')),
+        p2 AS (SELECT doc_id,
+                      regexp_replace(r, '#.*$', '') AS base FROM kept),
+        x AS (SELECT doc_id,
+          lower(regexp_extract(base,
+                '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+          regexp_extract(base,
+                '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
+          regexp_extract(base,
+                '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)',
+                1) AS path,
+          regexp_extract(base, '\?([^#]*)', 1) AS query
+          FROM p2),
+        y AS (SELECT doc_id, scheme,
+          regexp_extract(auth, '^([^@]*@)', 1) AS userinfo,
+          lower(regexp_extract(regexp_replace(auth, '^[^@]*@', ''),
+                '^([^:]*)', 1)) AS host,
+          regexp_extract(regexp_replace(auth, '^[^@]*@', ''),
+                ':(\d+)$', 1) AS port,
+          CASE WHEN path = '' THEN '/' ELSE path END AS path,
+          list_aggregate(list_sort(list_filter(
+            string_split(query, '&'),
+            q -> q != '' AND NOT regexp_matches(q,
+              '^(utm_[a-z]+|gclid|fbclid|msclkid|mc_cid|mc_eid)='))),
+            'string_agg', '&') AS qstr
+          FROM x),
+        c AS (SELECT doc_id,
+          scheme || '://' || userinfo || host
+          || (CASE WHEN port != ''
+                    AND NOT (scheme = 'http' AND port = '80')
+                    AND NOT (scheme = 'https' AND port = '443')
+              THEN ':' || port ELSE '' END)
+          || path
+          || (CASE WHEN coalesce(qstr, '') != ''
+              THEN '?' || qstr ELSE '' END) AS canon
+          FROM y),
+        dl AS (SELECT DISTINCT doc_id, canon FROM c)
+        SELECT canon AS link, count(*) AS n_docs,
+               min(doc_id) AS first_src, max(doc_id) AS last_src
+        FROM dl GROUP BY 1 ORDER BY 1
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3416,6 +3657,12 @@ def oracle_sql() -> dict[str, str]:
             FROM flags GROUP BY 1, 2, 3 ORDER BY 1
         """),
         # iceberg_data_skipping: the pruned-file read's aggregates must
+        # outlink_graph: anchor injection + href extraction + RFC 3986
+        # resolution + canonicalization all replayed in RE2/DuckDB
+        "outlink_graph": _outlink_graph_sql(),
+        # page_rank: the 5 fixed-point iterations unrolled — exact
+        # BIGINT arithmetic end to end, bit-identical by construction
+        "page_rank": _pagerank_sql(),
         # equal a flat SQL filter over both waves; files_pruned is the
         # in-plan proof that the bounds actually narrowed the file set
         "iceberg_data_skipping": """
