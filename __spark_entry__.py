@@ -2121,6 +2121,60 @@ def q_dsir_select(spark, sf_dir):
         "score").orderBy("doc_id"))
 
 
+#: per-host robots.txt bodies for the robots_policy query — defined
+#: once; the Spark CASE and the DuckDB CASE are both generated from
+#: this dict so engine and oracle cannot drift.  Shapes exercised:
+#: comments, blank lines, wildcard+anchor patterns, longest-match vs
+#: Allow, agent-specificity (exact > prefix > *), a no-op empty
+#: Disallow, a rule-less file, and a group matching no agent.
+_ROBOTS_BODIES = {
+    "news.example.org": (
+        "# news policy\nUser-agent: *\nDisallow: /en/\n"
+        "Allow: /en/article/\n\nUser-agent: mycrawler\n"
+        "Disallow: /*/article/1*$\nAllow: /ru/"),
+    "blog.example.net": (
+        "User-agent: mycrawler-news\nDisallow: /fr/\n"
+        "User-agent: *\nDisallow: /"),
+    "shop.example.io": "User-agent: *\nDisallow: /",
+    "wiki.example.edu": "# no rules here\n",
+    "forum.example.co": "User-agent: otherbot\nDisallow: /",
+    "big.skewed.example.com": (
+        "User-agent: *\nDisallow: /es/article/\n"
+        "Allow: /es/article/9\nDisallow:"),
+}
+
+
+def q_robots_policy(spark, sf_dir):
+    """robots.txt crawl-policy evaluation (round 5, corpus/robots.py):
+    per-host robots.txt files (shared _ROBOTS_BODIES literals) are
+    parsed for product token 'mycrawler-news' — group detection,
+    RFC 9309 agent-specificity selection, pattern→RE2 translation —
+    and evaluated over every corpus URL with longest-match precedence
+    (Allow wins ties).  The oracle replays the entire parse + match in
+    DuckDB windows/regexps over the committed fixture."""
+    from metacrafter_spark.corpus.robots import (
+        parse_robots_txt, with_robots_allowed)
+    from metacrafter_spark.corpus.webpages import synth_webpages
+
+    pages = synth_webpages(spark, 2000, seed=42)
+    host = F.regexp_extract("url", r"^https?://([^/]+)", 1)
+    hosts = pages.select(host.alias("host")).distinct()
+    body = F.lit(None).cast("string")
+    for h, txt in _ROBOTS_BODIES.items():
+        body = F.when(F.col("host") == h, F.lit(txt)).otherwise(body)
+    robots = hosts.withColumn("robots_txt", body) \
+        .filter(F.col("robots_txt").isNotNull())
+    rules = parse_robots_txt(robots, agent="mycrawler-news")
+    docs = pages.select(
+        F.regexp_extract("url", r"/article/(\d+)$", 1).cast("long")
+        .alias("doc_id"),
+        "url", host.alias("host"))
+    out = with_robots_allowed(docs, rules)
+    return (out.select("doc_id", "host", "robots_allowed",
+                       "robots_rule")
+            .orderBy("doc_id"))
+
+
 def q_outlink_graph(spark, sf_dir):
     """Web-graph construction (round 5, corpus/html.py with_outlinks +
     ops/urls.py resolve_url): anchors in five href shapes — absolute,
@@ -2270,6 +2324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "iceberg_data_skipping": q_iceberg_data_skipping,
         "robots_meta": q_robots_meta,
+        "robots_policy": q_robots_policy,
         "outlink_graph": q_outlink_graph,
         "page_rank": q_page_rank,
         # hash-green ANN quality bars (round 4): exact top-k rows are
@@ -2350,6 +2405,108 @@ def _pagerank_sql(iterations: int = 5, unit: int = 10**12,
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT v AS node_id, pr AS pr_units FROM r{iterations}"
             + "\nORDER BY node_id")
+
+
+def _robots_policy_sql(agent: str = "mycrawler-news") -> str:
+    """DuckDB replay of q_robots_policy: the full RFC 9309 parse
+    (comment strip, group windows, agent-specificity selection,
+    pattern→RE2 translation) + longest-match evaluation, over the same
+    _ROBOTS_BODIES literals and the committed fixture."""
+    def esc(s: str) -> str:
+        return (s.replace("\\", "\\\\").replace("'", "''")
+                .replace("\n", "\\n"))
+    case = ("CASE " + " ".join(
+        f"WHEN host = '{h}' THEN e'{esc(t)}'"
+        for h, t in _ROBOTS_BODIES.items()) + " ELSE NULL END")
+    return f"""
+    WITH corpus AS (
+      SELECT regexp_extract(url, '/article/(\\d+)$', 1)::BIGINT
+                 AS doc_id,
+             url,
+             regexp_extract(url, '^https?://([^/]+)', 1) AS host
+      FROM read_parquet('{WEBCORPUS_FIXTURE}')),
+    hosts AS (SELECT DISTINCT host FROM corpus),
+    robots AS (SELECT host, {case} AS txt FROM hosts),
+    rlines AS (
+      SELECT host,
+             generate_subscripts(string_split(txt, chr(10)), 1) AS pos,
+             unnest(string_split(txt, chr(10))) AS raw
+      FROM robots WHERE txt IS NOT NULL),
+    clean AS (
+      SELECT host, pos,
+             trim(regexp_replace(raw, '#.*$', '')) AS line
+      FROM rlines),
+    kv AS (
+      SELECT host, pos,
+             lower(trim(regexp_extract(line, '^([^:]+):', 1))) AS key,
+             trim(regexp_extract(line, '^[^:]+:(.*)$', 1)) AS value
+      FROM clean WHERE line != ''),
+    kv2 AS (SELECT * FROM kv WHERE key != ''),
+    flag AS (
+      SELECT host, pos, key, value,
+             CASE WHEN key = 'user-agent'
+                  AND NOT coalesce(lag(key = 'user-agent')
+                    OVER (PARTITION BY host ORDER BY pos), FALSE)
+                  THEN 1 ELSE 0 END AS gstart
+      FROM kv2),
+    grp AS (
+      SELECT host, pos, key, value,
+             sum(gstart) OVER (PARTITION BY host ORDER BY pos) AS gid
+      FROM flag),
+    uas AS (
+      SELECT host, gid, lower(value) AS ua FROM grp
+      WHERE key = 'user-agent' AND value != ''),
+    spec AS (
+      SELECT host, gid,
+             max(CASE WHEN ua = '*' THEN 0
+                 WHEN starts_with('{agent}', ua) THEN length(ua) + 1
+                 ELSE NULL END) AS spec
+      FROM uas GROUP BY 1, 2),
+    spec2 AS (SELECT * FROM spec WHERE spec IS NOT NULL),
+    best AS (SELECT host, max(spec) AS best FROM spec2 GROUP BY 1),
+    winning AS (
+      SELECT s.host, s.gid FROM spec2 s
+      JOIN best b ON b.host = s.host AND s.spec = b.best),
+    rawrules AS (
+      SELECT DISTINCT g.host, g.value AS pattern,
+             (g.key = 'allow') AS allow
+      FROM grp g JOIN winning w ON w.host = g.host AND w.gid = g.gid
+      WHERE g.key IN ('allow', 'disallow') AND g.value != ''
+        AND g.gid > 0),
+    rules AS (
+      SELECT host, pattern, allow, length(pattern) AS plen,
+        '^' || regexp_replace(regexp_replace(
+            CASE WHEN pattern LIKE '%$'
+                 THEN substr(pattern, 1, length(pattern) - 1)
+                 ELSE pattern END,
+            '([.^$+?(){{}}\\[\\]|\\\\])', '\\\\\\1', 'g'),
+            '\\*', '.*', 'g')
+        || CASE WHEN pattern LIKE '%$' THEN '$' ELSE '' END AS regex
+      FROM rawrules),
+    cpath AS (
+      SELECT doc_id, host,
+        CASE WHEN regexp_extract(url,
+          '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) = ''
+          THEN '/'
+          ELSE regexp_extract(url,
+            '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1)
+          END AS path
+      FROM corpus),
+    matches AS (
+      SELECT c.doc_id, r.plen, r.allow, r.pattern
+      FROM cpath c JOIN rules r ON r.host = c.host
+      WHERE regexp_matches(c.path, r.regex)),
+    winners AS (
+      SELECT doc_id, allow, pattern FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+          ORDER BY plen DESC, allow DESC, pattern DESC) AS rn
+        FROM matches) WHERE rn = 1)
+    SELECT c.doc_id, c.host,
+           coalesce(w.allow, TRUE) AS robots_allowed,
+           w.pattern AS robots_rule
+    FROM cpath c LEFT JOIN winners w USING (doc_id)
+    ORDER BY c.doc_id
+    """
 
 
 def _outlink_graph_sql() -> str:
@@ -3657,6 +3814,9 @@ def oracle_sql() -> dict[str, str]:
             FROM flags GROUP BY 1, 2, 3 ORDER BY 1
         """),
         # iceberg_data_skipping: the pruned-file read's aggregates must
+        # robots_policy: the whole RFC 9309 parse + longest-match
+        # evaluation replayed in DuckDB from the same body literals
+        "robots_policy": _robots_policy_sql(),
         # outlink_graph: anchor injection + href extraction + RFC 3986
         # resolution + canonicalization all replayed in RE2/DuckDB
         "outlink_graph": _outlink_graph_sql(),

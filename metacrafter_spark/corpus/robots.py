@@ -1,0 +1,184 @@
+"""robots.txt (RFC 9309) crawl-policy engine.
+
+A web-scale corpus pipeline must honor crawl policy: pages a site's
+robots.txt disallows for the pipeline's crawler should be dropped (the
+complement of corpus/html.py's robots-meta handling, which covers the
+per-page ``noindex`` directive).  Two halves:
+
+- :func:`parse_robots_txt`: per-host robots.txt text → rule rows
+  ``(host, pattern, regex, plen, allow)`` for one product token.  The
+  whole parse — line split, comment strip, group detection, RFC group
+  selection (most-specific matching user-agent, ``*`` fallback, groups
+  at equal specificity merge), pattern→RE2 translation (``*`` wildcard,
+  ``$`` anchor, everything else escaped) — is native Column/window
+  logic: the only shuffle is keyed on host, and the output is the
+  SMALL side (a handful of rules per host).
+- :func:`with_robots_allowed`: corpus → corpus + ``robots_allowed`` /
+  ``robots_rule``.  The rules collapse to one array row per host,
+  broadcast-join 1:1 onto the corpus, and the RFC longest-match
+  precedence (longest pattern wins; at equal length Allow wins) is an
+  ``array_max`` over matched rules — map-side only, zero corpus
+  shuffle, the 100 TB shape.
+
+Semantics (RFC 9309 §2, matching Google's reference parser where the
+RFC leaves room):
+
+- directives are case-insensitive; values keep their case;
+- ``#`` starts a comment; blank lines are insignificant (a blank line
+  between user-agent lines does NOT split a group);
+- a group = consecutive ``user-agent`` lines + following rules; rules
+  before any user-agent line belong to no group and are ignored;
+- group selection for product token T: groups whose agent is a
+  case-insensitive prefix of T, most specific (longest agent) wins,
+  else the ``*`` group; all groups at the winning specificity merge;
+- ``allow`` / ``disallow`` with an empty value are no-ops; unknown
+  directives (crawl-delay, sitemap, …) are ignored;
+- patterns: ``*`` matches any char run, a trailing ``$`` anchors the
+  end; matching is against path + query (no fragment), leading ``/``
+  assumed; the empty path matches as ``/``;
+- precedence: the matching rule with the longest pattern wins; at
+  equal length an Allow beats a Disallow; no matching rule → allowed.
+  (Percent-encoding normalization is NOT applied — documented gap;
+  synthetic and well-formed corpora are unaffected.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def robots_pattern_regex(pattern: F.Column) -> F.Column:
+    """robots.txt path pattern → anchored RE2 regex Column: strip an
+    end anchor, escape regex metachars, then ``*`` → ``.*``."""
+    anchored = pattern.endswith("$")
+    body = F.when(
+        anchored,
+        F.substring(pattern, 1, F.length(pattern) - 1)).otherwise(pattern)
+    esc = F.regexp_replace(body, r"([.^$+?(){}\[\]|\\])", r"\\$1")
+    star = F.regexp_replace(esc, r"\*", ".*")
+    return F.concat(F.lit("^"), star,
+                    F.when(anchored, F.lit("$")).otherwise(F.lit("")))
+
+
+def parse_robots_txt(
+    robots: DataFrame,
+    *,
+    agent: str,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """``(host, robots_txt)`` → rule rows ``(host, pattern, regex,
+    plen, allow)`` applicable to product token ``agent`` (see module
+    docstring for the RFC semantics).  Pure native expressions +
+    windows partitioned by host."""
+    agent_lc = agent.lower()
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n"))
+        .alias("pos", "raw"))
+    clean = lines.select(
+        "host", "pos",
+        F.trim(F.regexp_replace("raw", "#.*$", "")).alias("line"))
+    kv = (clean.filter(F.col("line") != "")
+          .select(
+              "host", "pos",
+              F.lower(F.trim(F.regexp_extract(
+                  "line", r"^([^:]+):", 1))).alias("key"),
+              F.trim(F.regexp_extract("line", r"^[^:]+:(.*)$", 1))
+              .alias("value"))
+          .filter(F.col("key") != ""))
+    w = Window.partitionBy("host").orderBy("pos")
+    is_ua = F.col("key") == "user-agent"
+    grouped = kv.withColumn(
+        "gid",
+        F.sum((is_ua & ~F.coalesce(
+            F.lag(is_ua).over(w), F.lit(False))).cast("int")).over(w))
+    # group → best matching specificity for this product token
+    uas = (grouped.filter(is_ua & (F.col("value") != ""))
+           .select("host", "gid", F.lower("value").alias("ua"))
+           .withColumn(
+               "spec",
+               F.when(F.col("ua") == "*", F.lit(0))
+               .when(F.lit(agent_lc).startswith(F.col("ua")),
+                     F.length("ua") + 1)
+               .otherwise(F.lit(None).cast("int")))
+           .groupBy("host", "gid")
+           .agg(F.max("spec").alias("spec"))
+           .filter(F.col("spec").isNotNull()))
+    best = uas.groupBy("host").agg(F.max("spec").alias("best"))
+    winning = (uas.join(best, "host")
+               .filter(F.col("spec") == F.col("best"))
+               .select("host", "gid"))
+    rules = (grouped
+             .filter(F.col("key").isin("allow", "disallow")
+                     & (F.col("value") != "") & (F.col("gid") > 0))
+             .join(winning, ["host", "gid"])
+             .select("host",
+                     F.col("value").alias("pattern"),
+                     (F.col("key") == "allow").alias("allow"))
+             .distinct())
+    return rules.select(
+        "host", "pattern",
+        robots_pattern_regex(F.col("pattern")).alias("regex"),
+        F.length("pattern").alias("plen"), "allow")
+
+
+def with_robots_allowed(
+    corpus: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    *,
+    allowed_col: str = "robots_allowed",
+    rule_col: str = "robots_rule",
+) -> DataFrame:
+    """Attach crawl-policy verdicts: ``robots_allowed`` (boolean) and
+    ``robots_rule`` (the winning pattern, NULL when nothing matched).
+
+    The rules frame (:func:`parse_robots_txt` output) collapses to one
+    array row per host and broadcasts; evaluation is a per-row
+    ``filter`` + ``array_max`` over that array (longest pattern, Allow
+    on ties, deterministic pattern tiebreak) — the corpus never
+    shuffles and hosts without a robots.txt default to allowed."""
+    from metacrafter_spark.ops.urls import host_of
+
+    per_host = (rules.groupBy(F.col("host").alias("__rhost"))
+                .agg(F.collect_list(
+                    F.struct("plen", "allow", "pattern", "regex"))
+                    .alias("__rules")))
+    url = F.col(url_col)
+    path = F.regexp_extract(
+        url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    out = (corpus
+           .withColumn("__host", host_of(url))
+           .join(F.broadcast(per_host),
+                 F.col("__host") == F.col("__rhost"), "left")
+           .drop("__rhost"))
+    matched = F.filter(
+        F.coalesce(F.col("__rules"),
+                   F.array().cast(
+                       "array<struct<plen:int,allow:boolean,"
+                       "pattern:string,regex:string>>")),
+        lambda r: F.regexp_like(path, r["regex"]))
+    best = F.array_max(matched)
+    return (out
+            .withColumn(allowed_col,
+                        F.when(F.size(matched) == 0, F.lit(True))
+                        .otherwise(best["allow"]))
+            .withColumn(rule_col,
+                        F.when(F.size(matched) == 0,
+                               F.lit(None).cast("string"))
+                        .otherwise(best["pattern"]))
+            .drop("__host", "__rules"))
+
+
+def robots_policy_filter(
+    corpus: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Keep only the pages the crawl policy allows (the pipeline-stage
+    spelling of :func:`with_robots_allowed`)."""
+    out = with_robots_allowed(corpus, rules, url_col)
+    return (out.filter(F.col("robots_allowed"))
+            .drop("robots_allowed", "robots_rule"))

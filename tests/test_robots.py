@@ -1,0 +1,146 @@
+"""robots.txt (RFC 9309) parsing + crawl-policy evaluation."""
+
+from pyspark.sql import functions as F
+
+from metacrafter_spark.corpus.robots import (
+    parse_robots_txt, robots_policy_filter, with_robots_allowed)
+
+
+def _rules(spark, txt, agent="mycrawler", host="h.example"):
+    df = spark.createDataFrame([(host, txt)],
+                               "host string, robots_txt string")
+    return parse_robots_txt(df, agent=agent)
+
+
+def _verdicts(spark, txt, paths, agent="mycrawler"):
+    rules = _rules(spark, txt, agent=agent)
+    corpus = spark.createDataFrame(
+        [(f"https://h.example{p}",) for p in paths], "url string")
+    rows = (with_robots_allowed(corpus, rules)
+            .select("url", "robots_allowed", "robots_rule").collect())
+    return {r.url.replace("https://h.example", ""):
+            (r.robots_allowed, r.robots_rule) for r in rows}
+
+
+def test_basic_disallow_and_default_allow(spark):
+    v = _verdicts(spark, "User-agent: *\nDisallow: /private/",
+                  ["/private/x", "/public/x", "/"])
+    assert v["/private/x"] == (False, "/private/")
+    assert v["/public/x"] == (True, None)
+    assert v["/"] == (True, None)
+
+
+def test_longest_match_wins_and_allow_tie(spark):
+    txt = ("User-agent: *\n"
+           "Disallow: /folder/\n"
+           "Allow: /folder/page\n"          # longer → wins
+           "Allow: /tie\n"
+           "Disallow: /tie\n")              # equal length → Allow wins
+    v = _verdicts(spark, txt,
+                  ["/folder/other", "/folder/page1", "/tie-break"])
+    assert v["/folder/other"] == (False, "/folder/")
+    assert v["/folder/page1"] == (True, "/folder/page")
+    assert v["/tie-break"] == (True, "/tie")
+
+
+def test_wildcard_and_anchor(spark):
+    txt = ("User-agent: *\n"
+           "Disallow: /*.php$\n"
+           "Disallow: /img/*/raw\n")
+    v = _verdicts(spark, txt, [
+        "/a.php", "/deep/b.php", "/a.php?q=1",   # anchor: query breaks $
+        "/img/2024/raw", "/img/raw"])
+    assert v["/a.php"] == (False, "/*.php$")
+    assert v["/deep/b.php"] == (False, "/*.php$")
+    assert v["/a.php?q=1"] == (True, None)
+    assert v["/img/2024/raw"] == (False, "/img/*/raw")
+    assert v["/img/raw"] == (True, None)
+
+
+def test_agent_group_selection_most_specific(spark):
+    txt = ("User-agent: *\n"
+           "Disallow: /all\n"
+           "\n"
+           "User-agent: mycrawler\n"
+           "Disallow: /mine\n"
+           "\n"
+           "User-agent: mycrawler-news\n"
+           "Disallow: /news\n")
+    # product token mycrawler-news: the longest prefix group wins
+    v = _verdicts(spark, txt, ["/all", "/mine", "/news"],
+                  agent="mycrawler-news")
+    assert v["/all"] == (True, None)
+    assert v["/mine"] == (True, None)
+    assert v["/news"] == (False, "/news")
+    # plain mycrawler: its own group, not * and not -news
+    v2 = _verdicts(spark, txt, ["/all", "/mine", "/news"])
+    assert v2 == {"/all": (True, None), "/mine": (False, "/mine"),
+                  "/news": (True, None)}
+    # unknown crawler falls back to *
+    v3 = _verdicts(spark, txt, ["/all", "/mine"], agent="otherbot")
+    assert v3 == {"/all": (False, "/all"), "/mine": (True, None)}
+
+
+def test_blank_line_does_not_split_ua_block(spark):
+    txt = ("User-agent: a\n"
+           "\n"
+           "User-agent: mycrawler\n"
+           "Disallow: /x\n")
+    v = _verdicts(spark, txt, ["/x"])
+    assert v["/x"] == (False, "/x")
+
+
+def test_new_ua_after_rules_starts_new_group(spark):
+    txt = ("User-agent: mycrawler\n"
+           "Disallow: /a\n"
+           "User-agent: other\n"
+           "Disallow: /b\n")
+    v = _verdicts(spark, txt, ["/a", "/b"])
+    assert v == {"/a": (False, "/a"), "/b": (True, None)}
+
+
+def test_comments_empty_values_unknown_keys_groupless(spark):
+    txt = ("Disallow: /ignored-groupless\n"
+           "User-agent: * # our crawler too\n"
+           "Crawl-delay: 10\n"
+           "Sitemap: https://h.example/sitemap.xml\n"
+           "Disallow:\n"                     # empty → no-op
+           "Disallow: /real # trailing comment\n")
+    v = _verdicts(spark, txt,
+                  ["/ignored-groupless", "/real/x", "/other"])
+    assert v["/ignored-groupless"] == (True, None)
+    assert v["/real/x"] == (False, "/real")
+    assert v["/other"] == (True, None)
+
+
+def test_no_robots_for_host_defaults_allowed(spark):
+    rules = _rules(spark, "User-agent: *\nDisallow: /", host="other.example")
+    corpus = spark.createDataFrame(
+        [("https://h.example/x",), ("https://other.example/x",)],
+        "url string")
+    got = {r.url: r.robots_allowed
+           for r in with_robots_allowed(corpus, rules).collect()}
+    assert got == {"https://h.example/x": True,
+                   "https://other.example/x": False}
+    kept = robots_policy_filter(corpus, rules).collect()
+    assert [r.url for r in kept] == ["https://h.example/x"]
+
+
+def test_query_included_in_match_and_regex_metachars(spark):
+    txt = ("User-agent: *\n"
+           "Disallow: /search?q=\n"
+           "Disallow: /p+(x)/\n")           # metachars stay literal
+    v = _verdicts(spark, txt,
+                  ["/search?q=abc", "/search", "/p+(x)/y", "/ppx/y"])
+    assert v["/search?q=abc"] == (False, "/search?q=")
+    assert v["/search"] == (True, None)
+    assert v["/p+(x)/y"] == (False, "/p+(x)/")
+    assert v["/ppx/y"] == (True, None)
+
+
+def test_case_insensitive_directives_and_agent(spark):
+    txt = ("USER-AGENT: MyCrawler\n"
+           "DISALLOW: /CaseKept\n")
+    v = _verdicts(spark, txt, ["/CaseKept/x", "/casekept/x"])
+    assert v["/CaseKept/x"] == (False, "/CaseKept")
+    assert v["/casekept/x"] == (True, None)   # pattern case preserved
