@@ -67,6 +67,8 @@ def classify_corpus(
     n_buckets: int = DEFAULT_N_BUCKETS,
     text_col: str = "text",
     toxicity_wordlist: Optional[tuple[str, ...]] = None,
+    robots_rules: Optional[DataFrame] = None,
+    drop_noindex: bool = False,
 ) -> DataFrame:
     """Attach langid/ppl/quality/pii/scrub columns + keep & drop_reason.
 
@@ -82,12 +84,29 @@ def classify_corpus(
     text length).  Default None keeps the stage out of the plan
     entirely (the reference pipeline has no toxicity stage; oracles for
     the default path are unchanged).
+
+    ``robots_rules`` (optional, a :func:`corpus.robots.parse_robots_txt`
+    frame) inserts crawl-policy enforcement: disallowed pages get
+    ``drop_reason='robots_disallowed'`` before any content check — the
+    rules broadcast, the corpus never shuffles.  ``drop_noindex=True``
+    additionally honors the per-page ``<meta name=robots>`` noindex
+    directive from the html column (``drop_reason='robots_noindex'``).
+    Both default off, keeping the default-path plan and its oracles
+    byte-stable.
     """
     rules = scrub_rules if scrub_rules is not None else default_scrub_rules()
     out = (
         df.withColumn("bucket_id", F.pmod(F.xxhash64("url"), F.lit(n_buckets)))
         .withColumn("domain", domain_of(F.col("url")))
     )
+    if robots_rules is not None:
+        from metacrafter_spark.corpus.robots import with_robots_allowed
+
+        out = with_robots_allowed(out, robots_rules)
+    if drop_noindex:
+        from metacrafter_spark.corpus.html import with_robots_meta
+
+        out = with_robots_meta(out, "html")
     out = with_langid(out, text_col)
     out = with_perplexity(out, text_col)
     out = with_quality(out, text_col, policy.quality)
@@ -109,8 +128,15 @@ def classify_corpus(
                     F.col("ppl") <= policy.max_ppl).otherwise(F.lit(True))
     pii_ok = pii_per_kchar <= policy.max_pii_per_kchar
     q_ok = F.col("q_pass")
+    reason = F.when(F.lit(False), "never")  # chain seed, never fires
+    if robots_rules is not None:
+        reason = reason.when(~F.col("robots_allowed"),
+                             "robots_disallowed")
+    if drop_noindex:
+        reason = reason.when(F.col("noindex"), "robots_noindex")
     reason = (
-        F.when(~lang_known if policy.require_known_lang else F.lit(False), "lang_unknown")
+        reason
+        .when(~lang_known if policy.require_known_lang else F.lit(False), "lang_unknown")
         .when(~q_ok, "quality")
     )
     if toxicity_wordlist is not None:

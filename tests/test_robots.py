@@ -138,6 +138,43 @@ def test_query_included_in_match_and_regex_metachars(spark):
     assert v["/ppx/y"] == (True, None)
 
 
+def test_pipeline_robots_stage(spark):
+    """classify_corpus with robots_rules + drop_noindex: crawl policy
+    trumps content checks; default path (no robots args) is unchanged."""
+    from metacrafter_spark.corpus.pipeline import classify_corpus
+    from metacrafter_spark.corpus.webpages import synth_webpages
+
+    pages = synth_webpages(spark, 60, seed=42)
+    # disallow one skewed-domain path prefix; noindex nothing (the
+    # synthetic corpus has no robots meta tags)
+    robots = spark.createDataFrame(
+        [("big.skewed.example.com",
+          "User-agent: *\nDisallow: /en/article/")],
+        "host string, robots_txt string")
+    from metacrafter_spark.corpus.robots import parse_robots_txt
+    rules = parse_robots_txt(robots, agent="mycrawler")
+    out = classify_corpus(pages, robots_rules=rules,
+                          drop_noindex=True).collect()
+    blocked = [r for r in out
+               if r.url.startswith("https://big.skewed.example.com/en/")]
+    assert blocked and all(
+        r.drop_reason == "robots_disallowed" and not r.keep
+        for r in blocked)
+    others = [r for r in out
+              if not r.url.startswith(
+                  "https://big.skewed.example.com/en/")]
+    assert all(r.drop_reason != "robots_disallowed" for r in others)
+    assert all(r.drop_reason != "robots_noindex" for r in out)
+    # default path: same keep decisions as before the stage existed
+    base = classify_corpus(pages).select("url", "keep", "drop_reason")
+    withr = classify_corpus(
+        pages, robots_rules=rules).select("url", "keep", "drop_reason")
+    base_map = {r.url: (r.keep, r.drop_reason) for r in base.collect()}
+    for r in withr.collect():
+        if not r.url.startswith("https://big.skewed.example.com/en/"):
+            assert base_map[r.url] == (r.keep, r.drop_reason)
+
+
 def test_case_insensitive_directives_and_agent(spark):
     txt = ("USER-AGENT: MyCrawler\n"
            "DISALLOW: /CaseKept\n")
