@@ -374,6 +374,64 @@ def main() -> None:
     ))
     assert "Exchange" not in eplan, "evolved read shuffles!"
 
+    # 21. Outlink extraction: regexp_extract_all + transform/resolve +
+    # canonicalize is one map-side Project — no Exchange, no Python
+    from metacrafter_spark.corpus.html import with_outlinks
+
+    odf = spark.range(200).selectExpr(
+        "concat('https://h.example/a/b/', id) as url",
+        "cast(concat('<html><body><a href=\"../x/', id, "
+        "'\">l</a></body></html>') as binary) as html")
+    oplan = plan_of(with_outlinks(odf).select("url", "outlinks"))
+    sections.append((
+        "Outlink extraction + RFC 3986 resolution (map-side only — "
+        "no Exchange, no Python)",
+        oplan,
+        ["Project"],
+    ))
+    assert "Exchange" not in oplan, "with_outlinks shuffles!"
+    assert "Python" not in oplan and "ArrowEval" not in oplan
+
+    # 22. robots policy evaluation: the rules side broadcasts; the
+    # corpus side sees ONLY a BroadcastHashJoin — zero corpus Exchange
+    from metacrafter_spark.corpus.robots import (
+        parse_robots_txt, with_robots_allowed)
+
+    rb = spark.createDataFrame(
+        [("h.example", "User-agent: *\nDisallow: /x\nAllow: /x/y")],
+        "host string, robots_txt string")
+    rrules = parse_robots_txt(rb, agent="mycrawler")
+    rcorp = spark.range(1000).selectExpr(
+        "concat('https://h.example/x/', id) as url")
+    rplan = plan_of(with_robots_allowed(rcorp, rrules)
+                    .select("url", "robots_allowed"))
+    sections.append((
+        "robots.txt policy evaluation (rules broadcast; corpus side "
+        "has zero Exchange)",
+        rplan,
+        ["BroadcastHashJoin", "BroadcastExchange"],
+    ))
+    corpus_side = rplan.split("BroadcastExchange")[0]
+    assert "Exchange" not in corpus_side.split("BroadcastHashJoin")[0], \
+        "corpus shuffles before the robots broadcast join!"
+
+    # 23. PageRank iteration: the only wide op touching the big frames
+    # is the dst-keyed contribution agg; node count + dangling mass
+    # ride BroadcastNestedLoopJoins (one-row frames); rows in every
+    # Exchange are fixed-width (id, long)
+    from metacrafter_spark.ops.linkgraph import pagerank
+
+    pedges = spark.range(2000).selectExpr(
+        "cast(id as bigint) as src",
+        "cast((id * 7 + 3) % 2000 as bigint) as dst")
+    pplan = plan_of(pagerank(pedges, iterations=1))
+    sections.append((
+        "PageRank iteration (dst-keyed agg + one-row broadcasts; "
+        "fixed-width shuffle rows)",
+        pplan,
+        ["BroadcastNestedLoopJoin", "HashAggregate"],
+    ))
+
     out = ["# BENCH/EXPLAIN — physical-plan audit\n"]
     ok = True
     for title, plan, must in sections:
