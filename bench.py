@@ -115,6 +115,30 @@ def main() -> None:
         pipeline_sec = min(pipeline_sec, time.perf_counter() - t0)
     qtimes["corpus_pipeline"] = round(pipeline_sec, 3)
     docs_per_sec = n / pipeline_sec
+
+    # web-graph row: anchor injection → outlink extraction + RFC 3986
+    # resolution → distinct edges → 3 fixed-point PageRank iterations
+    # over the full corpus (the CC-domain-ranks shape); best-of-2
+    from metacrafter_spark.corpus.html import with_outlinks
+    from metacrafter_spark.ops.linkgraph import page_link_edges, pagerank
+
+    d = F.regexp_extract("url", r"/article/(\d+)$", 1).cast("long")
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        injected = corpus.select(
+            "url",
+            F.regexp_replace(
+                F.decode("html", "utf-8"), "</body>",
+                F.concat(F.lit('<a href="/p/'), (d * 7 + 1) % n,
+                         F.lit('">x</a><a href=../article/'),
+                         (d * 13 + 3) % n,
+                         F.lit('>y</a></body>'))).alias("html"))
+        edges = page_link_edges(with_outlinks(injected, "html", "url"))
+        pagerank(edges, iterations=3).write.format("noop") \
+            .mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    qtimes["webgraph_pagerank"] = round(best, 3)
     total = round(sum(qtimes.values()), 3)
 
     print(json.dumps({

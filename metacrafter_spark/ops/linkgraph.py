@@ -73,6 +73,7 @@ def pagerank(
     dst_col: str = "dst",
     unit_scale: int = 10**12,
     checkpoint_every: int = 0,
+    persist: bool = True,
 ) -> DataFrame:
     """PageRank over a distinct edge list →
     ``(node, pr_units bigint, pr double)`` where ``pr ≈ pr_units /
@@ -96,7 +97,14 @@ def pagerank(
     Node count and dangling mass are one-row aggregates broadcast back
     — never a driver collect; nodes/edges stay distributed throughout.
     ``checkpoint_every=k`` localCheckpoints the rank frame every k
-    iterations (required for deep runs; off for short ones)."""
+    iterations (required for deep runs; off for short ones).
+
+    ``persist=True`` (default) persists the loop-invariant frames —
+    edges, nodes, out-degrees — since every iteration references them:
+    without it the whole upstream lineage (e.g. html outlink
+    extraction) re-executes per iteration per reference, turning an
+    O(E) loop into O(iterations × E × upstream).  Disable only when
+    the caller already persisted its edge list."""
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
     frac = Fraction(damping)
@@ -107,11 +115,20 @@ def pagerank(
         raise ValueError("dden * unit_scale must stay below 2^53 "
                          "(exactness contract)")
     src, dst = F.col(src_col), F.col(dst_col)
+    if persist and iterations > 0:
+        from pyspark import StorageLevel
+
+        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     nodes = (edges.select(src.alias("node"))
              .union(edges.select(dst.alias("node")))
              .distinct())
     outdeg = edges.groupBy(src.alias("node")) \
         .agg(F.count("*").alias("deg"))
+    if persist and iterations > 0:
+        from pyspark import StorageLevel
+
+        nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
+        outdeg = outdeg.persist(StorageLevel.MEMORY_AND_DISK)
     n_df = nodes.agg(F.count("*").alias("n"))
 
     ranks = (nodes.crossJoin(F.broadcast(n_df))
@@ -141,6 +158,13 @@ def pagerank(
                               * (F.coalesce(F.col("s"), F.lit(0))
                                  + _idiv(F.col("dangle"), F.col("n"))),
                               F.lit(dden))).alias("pr_units")))
+        if persist:
+            # each iteration references the previous ranks TWICE
+            # (contributions + dangling mass); unpersisted, the
+            # recursion re-executes 2x per reference → O(2^iterations)
+            from pyspark import StorageLevel
+
+            ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks.select(

@@ -49,6 +49,70 @@ def test_canonicalization_idempotent(spark, urls):
     assert twice == once
 
 
+# --- RFC 3986 reference resolution properties -----------------------
+
+_seg = st.sampled_from(["a", "bb", "c9", "x.y", ".", ".."])
+_href = st.one_of(
+    # relative / root-relative paths with dot segments (≤3 '..' so the
+    # default dot_depth=4 unroll is sufficient by contract)
+    st.tuples(st.sampled_from(["", "/"]),
+              st.lists(_seg, min_size=0, max_size=6).filter(
+                  lambda s: s.count("..") <= 3),
+              st.sampled_from(["", "?q=1", "?a=1&b=2"]),
+              st.sampled_from(["", "#f"]))
+    .map(lambda t: t[0] + "/".join(t[1]) + t[2] + t[3]),
+    # scheme-relative and absolute
+    st.sampled_from(["//other.example/p", "https://abs.example/x?y=1#z",
+                     "mailto:a@b.example", "?only=query", "#only-frag",
+                     ""]),
+)
+_base = st.builds(
+    lambda h, p: f"https://{h}{p}",
+    _host, st.lists(st.text(alphabet="abc09", min_size=1, max_size=4),
+                    min_size=0, max_size=3).map(
+        lambda segs: "/" + "/".join(segs) if segs else ""))
+
+
+def _resolve(spark, pairs):
+    from metacrafter_spark.ops.urls import resolve_url
+
+    df = spark.createDataFrame(
+        [(i, b, h) for i, (b, h) in enumerate(pairs)],
+        "i long, base string, href string")
+    rows = df.select(
+        "i", resolve_url(F.col("base"), F.col("href")).alias("r")) \
+        .collect()
+    return [r["r"] for r in sorted(rows, key=lambda r: r["i"])]
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.tuples(_base, _href), min_size=1, max_size=8))
+def test_resolution_always_absolute_and_dot_free(spark, pairs):
+    for (base, href), r in zip(pairs, _resolve(spark, pairs)):
+        assert "://" in r or ":" in r.split("/", 1)[0], (base, href, r)
+        assert "#" not in r                       # fragments stripped
+        if r.startswith("http"):
+            path = r.split("://", 1)[1]
+            path = "/" + path.split("/", 1)[1] if "/" in path else "/"
+            path = path.split("?", 1)[0]
+            assert "/./" not in path + "/" and "/../" not in path + "/", \
+                (base, href, r)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.tuples(_base, _href), min_size=1, max_size=8))
+def test_resolution_fixed_points(spark, pairs):
+    """Resolving an already-absolute result against the same base is a
+    no-op (absolute hrefs pass through), and '' resolves to the
+    defragmented base."""
+    first = _resolve(spark, pairs)
+    again = _resolve(spark, [(b, r) for (b, _), r in zip(pairs, first)])
+    assert again == first
+    empties = _resolve(spark, [(b, "") for b, _ in pairs])
+    for (base, _), r in zip(pairs, empties):
+        assert r == base.split("#", 1)[0]
+
+
 @settings(max_examples=25, deadline=None)
 @given(st.lists(_url, min_size=1, max_size=8))
 def test_canonical_structure(spark, urls):
