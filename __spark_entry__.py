@@ -2028,6 +2028,79 @@ def q_url_canonical(spark, sf_dir):
             .orderBy("canon"))
 
 
+def q_url_revisit_dedup(spark, sf_dir):
+    """Multi-crawl URL-revisit dedup (round 5, ops/urls.py
+    dedup_url_revisits): the url_canonical variant fleet gets a
+    per-doc crawl timestamp; per canonical page only the NEWEST
+    snapshot survives (ties impossible here — timestamps are strictly
+    increasing in doc_id).  The oracle replays canonicalization and
+    picks the survivor with the identical (ts, url) DESC window."""
+    from metacrafter_spark.ops.urls import dedup_url_revisits
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 3000)
+    scheme = F.when(F.col("doc_id") % 2 == 0, "HTTPS://") \
+        .otherwise(F.lit("https://"))
+    hostc = F.when(F.col("doc_id") % 3 == 0, F.upper("source")) \
+        .otherwise(F.col("source"))
+    port = F.when(F.col("doc_id") % 5 == 0, ":443") \
+        .when(F.col("doc_id") % 5 == 1, ":8443").otherwise(F.lit(""))
+    track = (F.when(F.col("doc_id") % 4 == 0, "?utm_source=x&b=2&a=1")
+             .when(F.col("doc_id") % 4 == 1, "?a=1&b=2")
+             .otherwise(F.lit("")))
+    frag = F.when(F.col("doc_id") % 7 == 0, "#sec").otherwise(F.lit(""))
+    url = F.concat(scheme, hostc, F.lit(".com"), port, F.lit("/page/"),
+                   (F.col("doc_id") % 40).cast("string"), track, frag)
+    snaps = docs.select(
+        "doc_id", url.alias("url"),
+        F.expr("timestamp'2025-01-01 00:00:00' "
+               "+ make_interval(0, 0, 0, 0, 0, 0, doc_id * 37)")
+        .alias("warc_ts"))
+    kept = dedup_url_revisits(snaps)
+    return (kept.select("url_canonical", "doc_id", "warc_ts")
+            .orderBy("url_canonical"))
+
+
+def q_anchor_text_agg(spark, sf_dir):
+    """Aggregated anchor text per link target (round 5,
+    corpus/html.py with_anchor_texts): what the web calls a page.
+    Anchors with labels (quoted/bare, padded, nested-markup-stopped
+    empty text) are injected into the live corpus; the oracle replays
+    the two-group extraction regex, the zip, the (simplified-identity)
+    resolution for these shapes and the aggregation in DuckDB."""
+    from metacrafter_spark.corpus.html import with_anchor_texts
+    from metacrafter_spark.corpus.webpages import synth_webpages
+
+    pages = synth_webpages(spark, 2000, seed=42)
+    d = F.regexp_extract("url", r"/article/(\d+)$", 1).cast("long")
+    m = (d * 7 + 1) % 500
+    anchors = (
+        F.when(d % 3 == 1, F.concat(
+            F.lit('<a href="/p/'), m, F.lit('">Label '), d,
+            F.lit('</a>')))
+        .when(d % 3 == 2, F.concat(
+            F.lit("<a href='https://ext.example.com/q/"), m,
+            F.lit("'> padded "), d, F.lit(" </a>"),
+            F.lit('<a href="/p/'), m, F.lit('"><b>x</b></a>')))
+        .otherwise(F.lit("")))
+    injected = pages.select(
+        d.alias("doc_id"), "url",
+        F.regexp_replace(F.decode("html", "utf-8"), "</body>",
+                         F.concat(anchors, F.lit("</body>"))
+                         ).alias("html"))
+    out = with_anchor_texts(injected, "html", "url")
+    pairs = out.select(
+        "doc_id", F.explode("anchors").alias("a")).select(
+        "doc_id", F.col("a.link").alias("link"),
+        F.col("a.text").alias("text"))
+    return (pairs.groupBy("link")
+            .agg(F.count("*").alias("n_refs"),
+                 F.sum((F.col("text") == "").cast("long"))
+                 .alias("n_empty"),
+                 F.min("text").alias("min_text"),
+                 F.max("text").alias("max_text"))
+            .orderBy("link"))
+
+
 def q_iceberg_data_skipping(spark, sf_dir):
     """Iceberg column-bounds file skipping (round 5, io/iceberg.py
     lower_bounds/upper_bounds from parquet footer stats): two appends
@@ -2326,6 +2399,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_meta": q_robots_meta,
         "robots_policy": q_robots_policy,
         "outlink_graph": q_outlink_graph,
+        "anchor_text_agg": q_anchor_text_agg,
+        "url_revisit_dedup": q_url_revisit_dedup,
         "page_rank": q_page_rank,
         # hash-green ANN quality bars (round 4): exact top-k rows are
         # SQL-replayed; recall_ok is computed in-query vs the exact set
@@ -3823,6 +3898,117 @@ def oracle_sql() -> dict[str, str]:
         # page_rank: the 5 fixed-point iterations unrolled — exact
         # BIGINT arithmetic end to end, bit-identical by construction
         "page_rank": _pagerank_sql(),
+        # anchor_text_agg: the two-group extraction regex + list_zip
+        # replayed; resolution simplifies to its identity cases for
+        # these shapes (the full chain is oracled by outlink_graph)
+        "anchor_text_agg": r"""
+            WITH src AS (
+              SELECT regexp_extract(url, '/article/(\d+)$', 1)::BIGINT
+                         AS doc_id,
+                     url, decode(html) AS h
+              FROM read_parquet('""" + WEBCORPUS_FIXTURE + r"""')),
+            inj AS (
+              SELECT doc_id, url, regexp_replace(h, '</body>',
+                CASE WHEN doc_id % 3 = 1 THEN
+                    '<a href="/p/' || ((doc_id*7+1) % 500)
+                    || '">Label ' || doc_id || '</a>'
+                  WHEN doc_id % 3 = 2 THEN
+                    '<a href=''https://ext.example.com/q/'
+                    || ((doc_id*7+1) % 500) || '''> padded ' || doc_id
+                    || ' </a><a href="/p/' || ((doc_id*7+1) % 500)
+                    || '"><b>x</b></a>'
+                  ELSE '' END || '</body>') AS html
+              FROM src),
+            z AS (
+              SELECT doc_id, url,
+                unnest(list_zip(
+                  regexp_extract_all(html,
+                    '(?i)<a\s[^>]*href\s*=\s*["\x27]?([^"\x27\s>]+)[^>]*>([^<]*)',
+                    1),
+                  regexp_extract_all(html,
+                    '(?i)<a\s[^>]*href\s*=\s*["\x27]?([^"\x27\s>]+)[^>]*>([^<]*)',
+                    2))) AS p
+              FROM inj),
+            pairs AS (
+              SELECT doc_id, url, p[1] AS href,
+                     trim(p[2]) AS text FROM z),
+            res AS (
+              SELECT doc_id, text,
+                CASE WHEN href LIKE '/%' THEN
+                  regexp_extract(url, '^(https?://[^/?#]*)', 1) || href
+                ELSE href END AS link
+              FROM pairs),
+            kept AS (SELECT * FROM res
+                     WHERE regexp_matches(link, '^https?://'))
+            SELECT link, count(*) AS n_refs,
+                   sum(CASE WHEN text = '' THEN 1 ELSE 0 END)::BIGINT
+                       AS n_empty,
+                   min(text) AS min_text, max(text) AS max_text
+            FROM kept GROUP BY 1 ORDER BY 1
+        """,
+        # url_revisit_dedup: canonicalization replayed (url_canonical
+        # stages) + the identical survivor window (ts DESC, url DESC)
+        "url_revisit_dedup": r"""
+            WITH u AS (
+              SELECT doc_id,
+                (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://'
+                      ELSE 'https://' END)
+                || (CASE WHEN doc_id % 3 = 0 THEN upper(source)
+                         ELSE source END)
+                || '.com'
+                || (CASE WHEN doc_id % 5 = 0 THEN ':443'
+                         WHEN doc_id % 5 = 1 THEN ':8443' ELSE '' END)
+                || '/page/' || (doc_id % 40)::VARCHAR
+                || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&b=2&a=1'
+                         WHEN doc_id % 4 = 1 THEN '?a=1&b=2'
+                         ELSE '' END)
+                || (CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END)
+                  AS url,
+                TIMESTAMP '2025-01-01 00:00:00'
+                  + INTERVAL (doc_id * 37) SECOND AS warc_ts
+              FROM documents WHERE doc_id < 3000),
+            p AS (SELECT doc_id,
+                         regexp_replace(url, '#.*$', '') AS base FROM u),
+            x AS (SELECT doc_id,
+              lower(regexp_extract(base,
+                    '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+              regexp_extract(base,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
+              regexp_extract(base,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)',
+                    1) AS path,
+              regexp_extract(base, '\?([^#]*)', 1) AS query
+              FROM p),
+            y AS (SELECT doc_id, scheme,
+              regexp_extract(auth, '^([^@]*@)', 1) AS userinfo,
+              lower(regexp_extract(regexp_replace(auth, '^[^@]*@', ''),
+                    '^([^:]*)', 1)) AS host,
+              regexp_extract(regexp_replace(auth, '^[^@]*@', ''),
+                    ':(\d+)$', 1) AS port,
+              CASE WHEN path = '' THEN '/' ELSE path END AS path,
+              list_aggregate(list_sort(list_filter(
+                string_split(query, '&'),
+                q -> q != '' AND NOT regexp_matches(q,
+                  '^(utm_[a-z]+|gclid|fbclid|msclkid|mc_cid|mc_eid)='))),
+                'string_agg', '&') AS qstr
+              FROM x),
+            c AS (SELECT doc_id,
+              scheme || '://' || userinfo || host
+              || (CASE WHEN port != ''
+                        AND NOT (scheme = 'http' AND port = '80')
+                        AND NOT (scheme = 'https' AND port = '443')
+                  THEN ':' || port ELSE '' END)
+              || path
+              || (CASE WHEN coalesce(qstr, '') != ''
+                  THEN '?' || qstr ELSE '' END) AS canon
+              FROM y),
+            j AS (SELECT u.doc_id, u.url, u.warc_ts, c.canon
+                  FROM u JOIN c USING (doc_id)),
+            w AS (SELECT *, row_number() OVER (PARTITION BY canon
+                    ORDER BY warc_ts DESC, url DESC) AS rn FROM j)
+            SELECT canon AS url_canonical, doc_id, warc_ts
+            FROM w WHERE rn = 1 ORDER BY url_canonical
+        """,
         # equal a flat SQL filter over both waves; files_pruned is the
         # in-plan proof that the bounds actually narrowed the file set
         "iceberg_data_skipping": """

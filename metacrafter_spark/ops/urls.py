@@ -186,6 +186,35 @@ def with_url_parts(
     )
 
 
+def dedup_url_revisits(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    *,
+    canon_col: str = "url_canonical",
+    keep_canon: bool = True,
+) -> DataFrame:
+    """Keep the newest snapshot per canonical URL — the multi-crawl
+    ingestion primitive (Common-Crawl-style corpora revisit the same
+    page across monthly crawls; training pipelines keep one, newest
+    wins).  Deterministic: ties on the timestamp break on the raw URL
+    string (descending), so the survivor is a pure function of the
+    data, independent of partitioning.
+
+    One shuffle keyed on the canonical URL (unavoidable — that IS the
+    dedup key); rows are never widened, the window computes a single
+    row_number.  ``keep_canon`` leaves the canonical form as a column
+    (downstream joins want it); drop with ``keep_canon=False``."""
+    from pyspark.sql import Window
+
+    out = df.withColumn(canon_col, canonicalize_url(F.col(url_col)))
+    w = (Window.partitionBy(canon_col)
+         .orderBy(F.col(ts_col).desc(), F.col(url_col).desc()))
+    out = (out.withColumn("__rn", F.row_number().over(w))
+           .filter(F.col("__rn") == 1).drop("__rn"))
+    return out if keep_canon else out.drop(canon_col)
+
+
 def domain_blocklist_filter(
     df: DataFrame,
     blocklist: "DataFrame | list[str]",

@@ -139,6 +139,51 @@ def test_pagerank_partitioning_invariant(spark):
     assert r1 == _py_pagerank(edges, iterations=3)
 
 
+def test_with_anchor_texts(spark):
+    from metacrafter_spark.corpus.html import with_anchor_texts
+
+    html = ('<html><body>'
+            '<a href="/a">First Link</a> '
+            "<a href='https://x.example/b' class='k'> padded </a>"
+            '<a href="/c"><b>nested stops</b></a>'
+            '<a href="mailto:z@q">mail</a>'
+            '</body></html>').encode()
+    df = spark.createDataFrame(
+        [("https://h.example/p/q", html)], "url string, html binary")
+    got = [(p.link, p.text) for p in
+           with_anchor_texts(df).first().anchors]
+    assert got == [
+        ("https://h.example/a", "First Link"),
+        ("https://x.example/b", "padded"),
+        ("https://h.example/c", ""),   # nested tag stops the capture
+    ]
+
+
+def test_dedup_url_revisits(spark):
+    from datetime import datetime
+
+    from metacrafter_spark.ops.urls import dedup_url_revisits
+
+    rows = [
+        ("https://H.example/p?b=2&a=1#f", datetime(2025, 1, 1), "old"),
+        ("https://h.example/p?a=1&b=2", datetime(2025, 3, 1), "new"),
+        ("https://h.example/p?a=1&b=2&utm_source=x",
+         datetime(2025, 2, 1), "mid"),
+        ("https://h.example/other", datetime(2025, 1, 1), "solo"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, tag string")
+    kept = {r.url_canonical: r.tag
+            for r in dedup_url_revisits(df).collect()}
+    assert kept == {"https://h.example/p?a=1&b=2": "new",
+                    "https://h.example/other": "solo"}
+    # deterministic under repartitioning
+    kept8 = {r.url_canonical: r.tag
+             for r in dedup_url_revisits(df.repartition(8)).collect()}
+    assert kept8 == kept
+    assert "url_canonical" not in dedup_url_revisits(
+        df, keep_canon=False).columns
+
+
 def test_page_link_edges_drops_self_and_dups(spark):
     df = spark.createDataFrame(
         [("u1", ["u1", "u2", "u2"]), ("u2", ["u1"])],
