@@ -64,6 +64,50 @@ def page_link_edges(
     return e
 
 
+def domain_link_edges(
+    df: DataFrame,
+    url_col: str = "url",
+    outlinks_col: str = "outlinks",
+) -> DataFrame:
+    """Distinct (src, dst) REGISTERED-DOMAIN edges — the granularity
+    Common Crawl publishes its ranks at, and the right unit for a
+    quality prior (pages inherit their domain's rank).  Intra-domain
+    links drop (they carry no cross-site endorsement)."""
+    from metacrafter_spark.ops.urls import host_of, registered_domain
+
+    dom = lambda c: registered_domain(host_of(c))
+    return (df.select(dom(F.col(url_col)).alias("src"),
+                      F.explode(outlinks_col).alias("__l"))
+            .select("src", dom(F.col("__l")).alias("dst"))
+            .filter((F.col("src") != "") & (F.col("dst") != "")
+                    & (F.col("src") != F.col("dst")))
+            .distinct())
+
+
+def with_domain_rank(
+    corpus: DataFrame,
+    ranks: DataFrame,
+    url_col: str = "url",
+    *,
+    rank_col: str = "domain_rank_units",
+) -> DataFrame:
+    """Join domain PageRank back onto the corpus as a quality prior.
+
+    ``ranks`` is :func:`pagerank` output over
+    :func:`domain_link_edges`; the domain-rank table is tiny relative
+    to the corpus (one row per registered domain) so it broadcasts —
+    the corpus never shuffles.  Unranked domains (no cross-site links
+    observed) get NULL: absent evidence, not zero endorsement."""
+    from metacrafter_spark.ops.urls import host_of, registered_domain
+
+    small = ranks.select(F.col("node").alias("__dom"),
+                         F.col("pr_units").alias(rank_col))
+    dom = registered_domain(host_of(F.col(url_col)))
+    return (corpus.withColumn("__dom", dom)
+            .join(F.broadcast(small), "__dom", "left")
+            .drop("__dom"))
+
+
 def pagerank(
     edges: DataFrame,
     *,

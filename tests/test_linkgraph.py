@@ -184,6 +184,30 @@ def test_dedup_url_revisits(spark):
         df, keep_canon=False).columns
 
 
+def test_domain_link_edges_and_rank_join(spark):
+    from metacrafter_spark.ops.linkgraph import (
+        domain_link_edges, with_domain_rank)
+
+    df = spark.createDataFrame(
+        [("https://a.x.example/p",
+          ["https://b.example/q", "https://sub.a.x.example/r",
+           "https://c.example/s"]),
+         ("https://b.example/q", ["https://c.example/t"])],
+        "url string, outlinks array<string>")
+    edges = domain_link_edges(df)
+    got = {(r.src, r.dst) for r in edges.collect()}
+    # intra-domain (x.example -> x.example) link dropped
+    assert got == {("x.example", "b.example"), ("x.example", "c.example"),
+                   ("b.example", "c.example")}
+    ranks = pagerank(edges, iterations=2)
+    out = with_domain_rank(df, ranks)
+    by_url = {r.url: r.domain_rank_units for r in out.collect()}
+    rank_map = {r.node: r.pr_units for r in ranks.collect()}
+    assert by_url["https://a.x.example/p"] == rank_map["x.example"]
+    assert by_url["https://b.example/q"] == rank_map["b.example"]
+    assert set(df.columns) < set(out.columns)
+
+
 def test_page_link_edges_drops_self_and_dups(spark):
     df = spark.createDataFrame(
         [("u1", ["u1", "u2", "u2"]), ("u2", ["u1"])],
