@@ -66,6 +66,12 @@ def main(argv=None) -> int:
                     help="lineage/checkpoint bucket count (default "
                          "256; size so one bucket ≈ one executor-"
                          "minute of work at your scale)")
+    wi.add_argument("--outlinks", metavar="PATH",
+                    help="also write the distinct page-level link "
+                         "graph (src,dst parquet) extracted from the "
+                         "same WARC scan — the html is already in "
+                         "hand here; re-parsing the corpus later just "
+                         "for edges is the thing to avoid at scale")
     wi.add_argument("--stream", metavar="CHECKPOINT",
                     help="run as a Structured Streaming job instead of "
                          "a batch: new CDXJ index files ingest "
@@ -480,6 +486,14 @@ def main(argv=None) -> int:
 
             pages = scan_warc_cdx(spark, args.cdx_glob, args.warc_dir)
             pages = with_extracted_text(pages, "html", "text")
+            n_edges = None
+            if args.outlinks:
+                from metacrafter_spark.corpus.html import with_outlinks
+                from metacrafter_spark.ops.linkgraph import page_link_edges
+
+                page_link_edges(with_outlinks(pages, "html", "url")) \
+                    .write.mode("overwrite").parquet(args.outlinks)
+                n_edges = spark.read.parquet(args.outlinks).count()
             src = pages.select(
                 "url", "warc_ts", "html", "text", F.lit("").alias("lang"))
             wl = (tuple(w.strip()
@@ -504,7 +518,10 @@ def main(argv=None) -> int:
                 metrics_df=metrics_df,
             )
             kept = io.read(args.output).filter(F.col("keep")).count()
-            print(json.dumps({"processed": n, "kept_total": kept}))
+            summary = {"processed": n, "kept_total": kept}
+            if n_edges is not None:
+                summary["edges"] = n_edges
+            print(json.dumps(summary))
         else:
             from pyspark.sql import functions as F
 

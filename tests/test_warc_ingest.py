@@ -61,6 +61,35 @@ def test_warc_ingest_end_to_end(spark, warc_corpus, tmp_path, capsys):
     assert sum(r["n_keep"] for r in rows) == payload["kept_total"]
 
 
+def test_warc_ingest_outlinks_flag(spark, warc_corpus, tmp_path, capsys):
+    """--outlinks writes the page-level link graph from the same scan.
+    The synthetic corpus has no anchors, so inject a WARC fleet that
+    does: rewrite the corpus html with one anchor per page."""
+    corpus = synth_webpages(spark, 50, seed=5, partitions=2)
+    d = F.regexp_extract("url", r"/article/(\d+)$", 1).cast("long")
+    linked = corpus.withColumn(
+        "html",
+        F.encode(F.regexp_replace(
+            F.decode("html", "utf-8"), "</body>",
+            F.concat(F.lit('<a href="/to/'), (d * 3 + 1) % 50,
+                     F.lit('">x</a></body>'))), "utf-8"))
+    wd = str(tmp_path / "warcs")
+    (tmp_path / "warcs").mkdir()
+    write_warc_shards(linked, wd, 2).collect()
+    out = str(tmp_path / "docs_tbl")
+    met = str(tmp_path / "metrics_tbl")
+    edges = str(tmp_path / "edges")
+    rc = main(["warc-ingest", wd + "/*.cdx", wd, out, met,
+               "--buckets", "4", "--outlinks", edges])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["edges"] == 50
+    e = spark.read.parquet(edges)
+    assert set(e.columns) == {"src", "dst"}
+    row = e.filter(~F.col("dst").rlike("^https?://")).count()
+    assert row == 0 and e.count() == 50
+
+
 def test_warc_ingest_resume_idempotent(spark, warc_corpus, tmp_path,
                                        capsys):
     out = str(tmp_path / "docs_tbl")
