@@ -90,6 +90,21 @@ def main(argv=None) -> int:
     dd.add_argument("--threshold", type=float, default=0.8)
     dd.add_argument("--cores", type=int)
 
+    pg = sub.add_parser("pagerank", help="link-quality ranks over an "
+                        "edge parquet (e.g. warc-ingest --outlinks "
+                        "output) — integer fixed-point, deterministic")
+    pg.add_argument("edges", help="parquet with src + dst columns")
+    pg.add_argument("output", help="output parquet of (node, pr_units, "
+                    "pr)")
+    pg.add_argument("--iterations", type=int, default=10)
+    pg.add_argument("--damping", default="0.85",
+                    help="exact rational, e.g. 0.85 = 17/20")
+    pg.add_argument("--domains", action="store_true",
+                    help="aggregate page edges to registered domains "
+                         "first (the CC-domain-ranks granularity)")
+    pg.add_argument("--checkpoint-every", type=int, default=5)
+    pg.add_argument("--cores", type=int)
+
     dc = sub.add_parser("decontaminate", help="flag corpus docs sharing "
                         "n-grams with a benchmark/eval parquet")
     dc.add_argument("corpus", help="parquet with id + text columns")
@@ -395,6 +410,32 @@ def main(argv=None) -> int:
             )
             pairs.write.mode("error").parquet(args.output)
             print(json.dumps({"pairs": spark.read.parquet(args.output).count()}))
+        elif args.cmd == "pagerank":
+            from pyspark.sql import functions as F
+
+            from metacrafter_spark.ops.linkgraph import pagerank
+
+            edges = spark.read.parquet(args.edges).select("src", "dst")
+            if args.domains:
+                from metacrafter_spark.ops.urls import (
+                    host_of, registered_domain)
+
+                dom = lambda c: registered_domain(host_of(c))
+                edges = (edges
+                         .select(dom(F.col("src")).alias("src"),
+                                 dom(F.col("dst")).alias("dst"))
+                         .filter((F.col("src") != "")
+                                 & (F.col("dst") != "")
+                                 & (F.col("src") != F.col("dst"))))
+            ranks = pagerank(
+                edges.distinct(), iterations=args.iterations,
+                damping=args.damping,
+                checkpoint_every=args.checkpoint_every)
+            ranks.write.mode("error").parquet(args.output)
+            got = spark.read.parquet(args.output)
+            print(json.dumps({
+                "nodes": got.count(),
+                "iterations": args.iterations}))
         elif args.cmd == "decontaminate":
             from metacrafter_spark.ops.decontam import decontaminate
 

@@ -208,6 +208,39 @@ def test_domain_link_edges_and_rank_join(spark):
     assert set(df.columns) < set(out.columns)
 
 
+def test_cli_pagerank_roundtrip(spark, tmp_path, capsys):
+    """warc-ingest --outlinks shaped edges → `mc pagerank` → ranks
+    parquet, incl. deep-run viability (12 iterations, checkpointed)."""
+    import json
+
+    from metacrafter_spark.cli import main
+
+    edges = sorted({(f"https://d{i % 7}.example/p{i}",
+                     f"https://d{(i * 3 + 1) % 7}.example/p{(i * 5) % 40}")
+                    for i in range(200)})
+    ep = str(tmp_path / "edges")
+    spark.createDataFrame(edges, "src string, dst string") \
+        .write.parquet(ep)
+    op = str(tmp_path / "ranks")
+    rc = main(["pagerank", ep, op, "--iterations", "12",
+               "--checkpoint-every", "3"])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["iterations"] == 12
+    got = spark.read.parquet(op)
+    assert payload["nodes"] == got.count() > 0
+    total = got.agg(F.sum("pr_units")).first()[0]
+    assert abs(total - 10**12) < 10**7   # mass conserved to ~1e-5
+    # domain mode collapses to the 7 synthetic domains
+    op2 = str(tmp_path / "ranks_dom")
+    rc = main(["pagerank", ep, op2, "--iterations", "3", "--domains"])
+    assert rc == 0
+    doms = {r.node for r in spark.read.parquet(op2).collect()}
+    # d3 only ever links to itself (3·3+1 ≡ 3 mod 7): every d3 edge is
+    # an intra-domain self-loop, so it correctly leaves the graph
+    assert doms == {f"d{i}.example" for i in range(7)} - {"d3.example"}
+
+
 def test_page_link_edges_drops_self_and_dups(spark):
     df = spark.createDataFrame(
         [("u1", ["u1", "u2", "u2"]), ("u2", ["u1"])],
