@@ -2548,16 +2548,22 @@ def _robots_policy_sql(agent: str = "mycrawler-news") -> str:
       FROM grp g JOIN winning w ON w.host = g.host AND w.gid = g.gid
       WHERE g.key IN ('allow', 'disallow') AND g.value != ''
         AND g.gid > 0),
+    bodies AS (
+      SELECT host, pattern, allow,
+             CASE WHEN pattern LIKE '%$'
+                  THEN substr(pattern, 1, length(pattern) - 1)
+                  ELSE pattern END AS body,
+             (pattern LIKE '%$') AS anchored
+      FROM rawrules),
     rules AS (
       SELECT host, pattern, allow, length(pattern) AS plen,
         '^' || regexp_replace(regexp_replace(
-            CASE WHEN pattern LIKE '%$'
-                 THEN substr(pattern, 1, length(pattern) - 1)
-                 ELSE pattern END,
+            CASE WHEN body LIKE '/%' OR body LIKE '*%' THEN body
+                 ELSE '/' || body END,
             '([.^$+?(){{}}\\[\\]|\\\\])', '\\\\\\1', 'g'),
             '\\*', '.*', 'g')
-        || CASE WHEN pattern LIKE '%$' THEN '$' ELSE '' END AS regex
-      FROM rawrules),
+        || CASE WHEN anchored THEN '$' ELSE '' END AS regex
+      FROM bodies),
     cpath AS (
       SELECT doc_id, host,
         CASE WHEN regexp_extract(url,
@@ -2593,6 +2599,17 @@ def _outlink_graph_sql() -> str:
     dot_root = _sql_dot_segments("hpath")
     dot_rel = _sql_dot_segments(
         "(regexp_replace(bpath, '/[^/]*$', '/', 'g') || hpath)")
+
+    def dot_abs(x: str) -> str:
+        # §5.2.2 for references carrying their own authority: decompose
+        # hierarchical URLs, clean the path, rebuild; opaque pass
+        pre = (f"regexp_extract({x}, "
+               "'^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)")
+        path = (f"regexp_extract({x}, "
+                "'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)")
+        q = f"regexp_extract({x}, '(\\?.*)$', 1)"
+        return (f"CASE WHEN {pre} = '' THEN {x} ELSE {pre} || "
+                + _sql_dot_segments(path) + f" || {q} END")
     return r"""
         WITH src AS (
           SELECT regexp_extract(url, '/article/(\d+)$', 1)::BIGINT
@@ -2646,8 +2663,10 @@ def _outlink_graph_sql() -> str:
         res AS (
           SELECT doc_id, CASE
             WHEN h = '' THEN base_nf
-            WHEN regexp_matches(h, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN h
-            WHEN h LIKE '//%' THEN scheme || ':' || h
+            WHEN regexp_matches(h, '^[A-Za-z][A-Za-z0-9+.-]*:')
+              THEN """ + dot_abs("h") + r"""
+            WHEN h LIKE '//%'
+              THEN """ + dot_abs("(scheme || ':' || h)") + r"""
             WHEN h LIKE '/%' THEN origin || """ + dot_root + r""" || hquery
             WHEN h LIKE '?%' THEN origin || bpath || h
             ELSE origin || """ + dot_rel + r""" || hquery
@@ -2655,7 +2674,7 @@ def _outlink_graph_sql() -> str:
           FROM parts),
         kept AS (
           SELECT doc_id, r FROM res
-          WHERE regexp_matches(r, '^https?://')),
+          WHERE regexp_matches(r, '(?i)^https?://')),
         p2 AS (SELECT doc_id,
                       regexp_replace(r, '#.*$', '') AS base FROM kept),
         x AS (SELECT doc_id,
@@ -3939,7 +3958,7 @@ def oracle_sql() -> dict[str, str]:
                 ELSE href END AS link
               FROM pairs),
             kept AS (SELECT * FROM res
-                     WHERE regexp_matches(link, '^https?://'))
+                     WHERE regexp_matches(link, '(?i)^https?://'))
             SELECT link, count(*) AS n_refs,
                    sum(CASE WHEN text = '' THEN 1 ELSE 0 END)::BIGINT
                        AS n_empty,

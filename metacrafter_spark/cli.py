@@ -417,16 +417,9 @@ def main(argv=None) -> int:
 
             edges = spark.read.parquet(args.edges).select("src", "dst")
             if args.domains:
-                from metacrafter_spark.ops.urls import (
-                    host_of, registered_domain)
+                from metacrafter_spark.ops.linkgraph import domain_edges
 
-                dom = lambda c: registered_domain(host_of(c))
-                edges = (edges
-                         .select(dom(F.col("src")).alias("src"),
-                                 dom(F.col("dst")).alias("dst"))
-                         .filter((F.col("src") != "")
-                                 & (F.col("dst") != "")
-                                 & (F.col("src") != F.col("dst"))))
+                edges = domain_edges(edges)
             ranks = pagerank(
                 edges.distinct(), iterations=args.iterations,
                 damping=args.damping,
@@ -498,6 +491,12 @@ def main(argv=None) -> int:
                     "--stream commits through the Iceberg layer's "
                     "partition swaps; --plain-parquet applies to batch "
                     "mode only")
+            if args.outlinks:
+                raise SystemExit(
+                    "--outlinks applies to batch mode only (a stream "
+                    "would need an edges sink per micro-batch); run a "
+                    "batch pass or extract edges from the committed "
+                    "corpus table")
             wl = (tuple(w.strip()
                         for w in args.toxicity_wordlist.split(","))
                   if args.toxicity_wordlist else None)
@@ -526,15 +525,18 @@ def main(argv=None) -> int:
             from metacrafter_spark.io.warc import scan_warc_cdx
 
             pages = scan_warc_cdx(spark, args.cdx_glob, args.warc_dir)
-            pages = with_extracted_text(pages, "html", "text")
             n_edges = None
             if args.outlinks:
+                # edge extraction runs on the RAW scan frame — before
+                # the mapInPandas text extraction attaches, so the
+                # edges write never re-executes that Python stage
                 from metacrafter_spark.corpus.html import with_outlinks
                 from metacrafter_spark.ops.linkgraph import page_link_edges
 
                 page_link_edges(with_outlinks(pages, "html", "url")) \
                     .write.mode("overwrite").parquet(args.outlinks)
                 n_edges = spark.read.parquet(args.outlinks).count()
+            pages = with_extracted_text(pages, "html", "text")
             src = pages.select(
                 "url", "warc_ts", "html", "text", F.lit("").alias("lang"))
             wl = (tuple(w.strip()

@@ -187,7 +187,7 @@ def with_anchor_texts(
             F.trim(t).alias("text")))
     return df.withColumn(
         out_col,
-        F.filter(pairs, lambda p: p["link"].rlike(r"^https?://")))
+        F.filter(pairs, lambda p: p["link"].rlike(r"(?i)^https?://")))
 
 
 # robots meta: name/content in either attribute order; quoted values
@@ -243,7 +243,7 @@ def with_outlinks(
     resolved = F.transform(
         hrefs, lambda h: resolve_url(F.col(url_col), h,
                                      dot_depth=dot_depth))
-    links = F.filter(resolved, lambda u: u.rlike(r"^https?://"))
+    links = F.filter(resolved, lambda u: u.rlike(r"(?i)^https?://"))
     if canonical:
         links = F.transform(links, canonicalize_url)
     return df.withColumn(out_col, F.array_distinct(links))

@@ -49,11 +49,16 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 def robots_pattern_regex(pattern: F.Column) -> F.Column:
     """robots.txt path pattern → anchored RE2 regex Column: strip an
-    end anchor, escape regex metachars, then ``*`` → ``.*``."""
+    end anchor, assume the leading ``/`` sloppy files omit (matching
+    Google's reference parser — paths always start with ``/`` so
+    ``Disallow: private`` would otherwise be dead), escape regex
+    metachars, then ``*`` → ``.*``."""
     anchored = pattern.endswith("$")
     body = F.when(
         anchored,
         F.substring(pattern, 1, F.length(pattern) - 1)).otherwise(pattern)
+    body = F.when(body.startswith("/") | body.startswith("*"), body) \
+        .otherwise(F.concat(F.lit("/"), body))
     esc = F.regexp_replace(body, r"([.^$+?(){}\[\]|\\])", r"\\$1")
     star = F.regexp_replace(esc, r"\*", ".*")
     return F.concat(F.lit("^"), star,
@@ -73,7 +78,8 @@ def parse_robots_txt(
     windows partitioned by host."""
     agent_lc = agent.lower()
     lines = robots.select(
-        F.col(host_col).alias("host"),
+        F.lower(F.col(host_col)).alias("host"),  # join key is the
+        # lowercased host (host_of lowers the corpus side)
         F.posexplode(F.split(F.col(text_col), "\n"))
         .alias("pos", "raw"))
     clean = lines.select(

@@ -51,12 +51,22 @@ def page_link_edges(
     outlinks_col: str = "outlinks",
     *,
     drop_self: bool = True,
+    canonical: bool = True,
 ) -> DataFrame:
     """Distinct (src, dst) edges from a corpus carrying an outlinks
-    array (``with_outlinks`` output).  Self-loops (a page linking to
-    itself — nav anchors resolve there) are dropped by default: they
-    only recycle rank mass."""
-    e = (df.select(F.col(url_col).alias("src"),
+    array (``with_outlinks`` output).  ``canonical=True`` (default —
+    matches with_outlinks' default) canonicalizes the SOURCE url too:
+    with_outlinks already canonicalized the targets, and a node must
+    have ONE identity on both sides or a page splits into a raw node
+    (out-edges, no in-rank) and a canonical node (in-links, dangling).
+    Self-loops (a page linking to itself — nav anchors resolve there)
+    are dropped by default: they only recycle rank mass."""
+    from metacrafter_spark.ops.urls import canonicalize_url
+
+    src = F.col(url_col)
+    if canonical:
+        src = canonicalize_url(src)
+    e = (df.select(src.alias("src"),
                    F.explode(outlinks_col).alias("dst"))
          .distinct())
     if drop_self:
@@ -64,24 +74,38 @@ def page_link_edges(
     return e
 
 
+def domain_edges(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Map a URL-level (src, dst) edge frame to distinct
+    REGISTERED-DOMAIN edges — the granularity Common Crawl publishes
+    its ranks at.  Malformed hosts ('') and intra-domain links drop
+    (the latter carry no cross-site endorsement).  The single home of
+    the domain-granularity rules: the library path and the CLI both
+    call this."""
+    from metacrafter_spark.ops.urls import host_of, registered_domain
+
+    dom = lambda c: registered_domain(host_of(c))
+    return (edges.select(dom(F.col(src_col)).alias("src"),
+                         dom(F.col(dst_col)).alias("dst"))
+            .filter((F.col("src") != "") & (F.col("dst") != "")
+                    & (F.col("src") != F.col("dst")))
+            .distinct())
+
+
 def domain_link_edges(
     df: DataFrame,
     url_col: str = "url",
     outlinks_col: str = "outlinks",
 ) -> DataFrame:
-    """Distinct (src, dst) REGISTERED-DOMAIN edges — the granularity
-    Common Crawl publishes its ranks at, and the right unit for a
-    quality prior (pages inherit their domain's rank).  Intra-domain
-    links drop (they carry no cross-site endorsement)."""
-    from metacrafter_spark.ops.urls import host_of, registered_domain
-
-    dom = lambda c: registered_domain(host_of(c))
-    return (df.select(dom(F.col(url_col)).alias("src"),
-                      F.explode(outlinks_col).alias("__l"))
-            .select("src", dom(F.col("__l")).alias("dst"))
-            .filter((F.col("src") != "") & (F.col("dst") != "")
-                    & (F.col("src") != F.col("dst")))
-            .distinct())
+    """Distinct registered-domain edges straight from a corpus
+    carrying an outlinks array (:func:`domain_edges` over the exploded
+    pairs)."""
+    return domain_edges(
+        df.select(F.col(url_col).alias("src"),
+                  F.explode(outlinks_col).alias("dst")))
 
 
 def with_domain_rank(
@@ -140,8 +164,10 @@ def pagerank(
 
     Node count and dangling mass are one-row aggregates broadcast back
     — never a driver collect; nodes/edges stay distributed throughout.
-    ``checkpoint_every=k`` localCheckpoints the rank frame every k
-    iterations (required for deep runs; off for short ones).
+    ``checkpoint_every=k`` EAGERLY localCheckpoints the rank frame
+    every k iterations — truncates lineage AND releases the
+    intermediate rank caches accumulated since the last checkpoint
+    (required for deep runs; off for short ones).
 
     ``persist=True`` (default) persists the loop-invariant frames —
     edges, nodes, out-degrees — since every iteration references them:
@@ -159,6 +185,7 @@ def pagerank(
         raise ValueError("dden * unit_scale must stay below 2^53 "
                          "(exactness contract)")
     src, dst = F.col(src_col), F.col(dst_col)
+    rank_caches: list[DataFrame] = []
     if persist and iterations > 0:
         from pyspark import StorageLevel
 
@@ -209,8 +236,18 @@ def pagerank(
             from pyspark import StorageLevel
 
             ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+            rank_caches.append(ranks)
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=False)
+            # EAGER checkpoint: materializes the current ranks so every
+            # intermediate rank cache accumulated since the last
+            # checkpoint can be released — otherwise a deep run leaves
+            # one cached frame per iteration registered for the
+            # session's lifetime.  (The loop-invariant edges/nodes/
+            # outdeg caches stay: later iterations still read them.)
+            ranks = ranks.localCheckpoint(eager=True)
+            for f in rank_caches:
+                f.unpersist(blocking=False)
+            rank_caches.clear()
     return ranks.select(
         "node", "pr_units",
         (F.col("pr_units") / F.lit(float(unit_scale))).alias("pr"))

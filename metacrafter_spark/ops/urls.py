@@ -157,10 +157,24 @@ def resolve_url(base: Column, href: Column, *, dot_depth: int = 4) -> Column:
     bdir = F.regexp_replace(bpath, r"/[^/]*$", "/")
     hpath = F.regexp_extract(href, r"^([^?]*)", 1)
     hquery = F.regexp_extract(href, r"(\?.*)$", 1)
+
+    def dot_abs(u: Column) -> Column:
+        # §5.2.2: dot segments are removed from a reference's own path
+        # too.  Hierarchical (scheme://) URLs decompose, get the path
+        # cleaned and rebuild; opaque ones (mailto:) pass through.
+        pre = F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)",
+                               1)
+        path = F.regexp_extract(
+            u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+        q = F.regexp_extract(u, r"(\?.*)$", 1)
+        return F.when(pre == "", u).otherwise(
+            F.concat(pre, remove_dot_segments(path, depth=dot_depth), q))
+
     return (
         F.when(href == "", base_nf)
-        .when(href.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:"), href)
-        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(href.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:"), dot_abs(href))
+        .when(href.startswith("//"),
+              dot_abs(F.concat(scheme, F.lit(":"), href)))
         .when(href.startswith("/"),
               F.concat(origin,
                        remove_dot_segments(hpath, depth=dot_depth),

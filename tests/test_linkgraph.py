@@ -40,8 +40,11 @@ RFC_CASES = [
     ("../../../../g", "http://a/g"),
     ("/./g", "http://a/g"),
     ("/../g", "http://a/g"),
-    # scheme-carrying hrefs pass through
+    # scheme-carrying hrefs pass through — but §5.2.2 dot removal
+    # still applies to hierarchical paths (opaque mailto untouched)
     ("https://x.example/y", "https://x.example/y"),
+    ("https://x.example/a/../y?q=1", "https://x.example/y?q=1"),
+    ("//g/a/./b/../c", "http://g/a/c"),
     ("mailto:a@b.example", "mailto:a@b.example"),
     # nested dot chains
     ("./x/../y/g", "http://a/b/c/y/g"),
@@ -243,7 +246,24 @@ def test_cli_pagerank_roundtrip(spark, tmp_path, capsys):
 
 def test_page_link_edges_drops_self_and_dups(spark):
     df = spark.createDataFrame(
-        [("u1", ["u1", "u2", "u2"]), ("u2", ["u1"])],
+        [("https://a.example/u1", ["https://a.example/u1",
+                                   "https://a.example/u2",
+                                   "https://a.example/u2"]),
+         ("https://a.example/u2", ["https://a.example/u1"])],
         "url string, outlinks array<string>")
     got = {(r.src, r.dst) for r in page_link_edges(df).collect()}
-    assert got == {("u1", "u2"), ("u2", "u1")}
+    assert got == {("https://a.example/u1", "https://a.example/u2"),
+                   ("https://a.example/u2", "https://a.example/u1")}
+
+
+def test_page_link_edges_canonicalizes_src(spark):
+    """A page whose raw URL differs from its canonical form must be
+    ONE node: src canonicalizes to match the (already canonical)
+    targets, and a self-link through a messy URL is still a self-loop."""
+    raw = "HTTPS://H.example/p?b=2&a=1#f"
+    canon = "https://h.example/p?a=1&b=2"
+    df = spark.createDataFrame(
+        [(raw, [canon, "https://other.example/x"])],
+        "url string, outlinks array<string>")
+    got = {(r.src, r.dst) for r in page_link_edges(df).collect()}
+    assert got == {(canon, "https://other.example/x")}  # self-loop gone

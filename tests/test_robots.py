@@ -175,6 +175,25 @@ def test_pipeline_robots_stage(spark):
             assert base_map[r.url] == (r.keep, r.drop_reason)
 
 
+def test_missing_leading_slash_and_mixed_case_host(spark):
+    """Sloppy real-world files: 'Disallow: private' (no slash) must
+    match /private/... (Google-parser behavior), and a mixed-case host
+    key in the robots frame must still join the lowercased corpus
+    host."""
+    robots = spark.createDataFrame(
+        [("H.Example", "User-agent: *\nDisallow: private\nDisallow: *.zip$")],
+        "host string, robots_txt string")
+    rules = parse_robots_txt(robots, agent="mycrawler")
+    corpus = spark.createDataFrame(
+        [("https://h.example/private/x",), ("https://h.example/pub",),
+         ("https://h.example/a/b.zip",)], "url string")
+    got = {r.url: r.robots_allowed
+           for r in with_robots_allowed(corpus, rules).collect()}
+    assert got == {"https://h.example/private/x": False,
+                   "https://h.example/pub": True,
+                   "https://h.example/a/b.zip": False}
+
+
 def test_case_insensitive_directives_and_agent(spark):
     txt = ("USER-AGENT: MyCrawler\n"
            "DISALLOW: /CaseKept\n")
