@@ -2101,6 +2101,44 @@ def q_anchor_text_agg(spark, sf_dir):
             .orderBy("link"))
 
 
+def q_sitemap_recrawl(spark, sf_dir):
+    """Sitemap parsing + recrawl selection (round 5,
+    corpus/sitemaps.py): per-host sitemap XML is synthesized from the
+    live corpus (every even doc gets an entry; lastmod one day after /
+    one day before / absent by doc_id mod 3), aggregated in
+    deterministic order, parsed back via the (?is) block regexes, and
+    joined against each snapshot's warc_ts — pages whose sitemap says
+    they changed after the crawl are recrawl candidates.  The oracle
+    replays entry synthesis, string_agg, both extraction regexes and
+    the staleness comparison in DuckDB."""
+    from metacrafter_spark.corpus.sitemaps import (
+        parse_sitemap_entries, stale_urls)
+    from metacrafter_spark.corpus.webpages import synth_webpages
+
+    pages = synth_webpages(spark, 2000, seed=42)
+    d = F.regexp_extract("url", r"/article/(\d+)$", 1).cast("long")
+    host = F.regexp_extract("url", r"^https?://([^/]+)", 1)
+    entry = F.concat(
+        F.lit("<url><loc>"), F.col("url"), F.lit("</loc>"),
+        F.when(d % 3 == 2, F.lit("<lastmod>2025-01-02</lastmod>"))
+        .when(d % 3 == 1, F.lit("<lastmod>2024-12-31</lastmod>"))
+        .otherwise(F.lit("")),
+        F.lit("</url>"))
+    xml = (pages.filter(d % 2 == 0)
+           .select(host.alias("host"), d.alias("k"),
+                   entry.alias("e"))
+           .groupBy("host")
+           .agg(F.array_join(
+               F.transform(
+                   F.array_sort(F.collect_list(F.struct("k", "e"))),
+                   lambda x: x["e"]), "").alias("sitemap_xml")))
+    entries = parse_sitemap_entries(xml, keep_cols=("host",))
+    docs = pages.select(d.alias("doc_id"), "url", "warc_ts")
+    out = stale_urls(docs, entries)
+    return (out.select("doc_id", "sitemap_stale", "sitemap_lastmod")
+            .orderBy("doc_id"))
+
+
 def q_iceberg_data_skipping(spark, sf_dir):
     """Iceberg column-bounds file skipping (round 5, io/iceberg.py
     lower_bounds/upper_bounds from parquet footer stats): two appends
@@ -2401,6 +2439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlink_graph": q_outlink_graph,
         "anchor_text_agg": q_anchor_text_agg,
         "url_revisit_dedup": q_url_revisit_dedup,
+        "sitemap_recrawl": q_sitemap_recrawl,
         "page_rank": q_page_rank,
         # hash-green ANN quality bars (round 4): exact top-k rows are
         # SQL-replayed; recall_ok is computed in-query vs the exact set
@@ -3964,6 +4003,55 @@ def oracle_sql() -> dict[str, str]:
                        AS n_empty,
                    min(text) AS min_text, max(text) AS max_text
             FROM kept GROUP BY 1 ORDER BY 1
+        """,
+        # sitemap_recrawl: entry synthesis, deterministic string_agg,
+        # the (?is) block/field extraction regexes and the staleness
+        # comparison replayed (the loc==url join equals the canonical
+        # join because canonicalize_url is a function — equal inputs,
+        # equal keys; entity decoding is unit-tested, no entities here)
+        "sitemap_recrawl": r"""
+            WITH src AS (
+              SELECT regexp_extract(url, '/article/(\d+)$', 1)::BIGINT
+                         AS doc_id,
+                     url, warc_ts,
+                     regexp_extract(url, '^https?://([^/]+)', 1) AS host
+              FROM read_parquet('""" + WEBCORPUS_FIXTURE + r"""')),
+            ent AS (
+              SELECT host, doc_id,
+                '<url><loc>' || url || '</loc>'
+                || CASE WHEN doc_id % 3 = 2
+                        THEN '<lastmod>2025-01-02</lastmod>'
+                        WHEN doc_id % 3 = 1
+                        THEN '<lastmod>2024-12-31</lastmod>'
+                        ELSE '' END
+                || '</url>' AS e
+              FROM src WHERE doc_id % 2 = 0),
+            xml AS (
+              SELECT host, string_agg(e, '' ORDER BY doc_id) AS x
+              FROM ent GROUP BY host),
+            blocks AS (
+              SELECT host,
+                unnest(regexp_extract_all(x,
+                  '(?is)<url\s*>(.*?)</url\s*>', 1)) AS b
+              FROM xml),
+            fields AS (
+              SELECT
+                nullif(regexp_extract(b,
+                  '(?is)<loc\s*>\s*(.*?)\s*</loc\s*>', 1), '') AS loc,
+                nullif(regexp_extract(b,
+                  '(?is)<lastmod\s*>\s*(.*?)\s*</lastmod\s*>', 1),
+                  '') AS lastmod
+              FROM blocks),
+            sm AS (
+              SELECT loc,
+                     max(CAST(substr(lastmod, 1, 10) AS DATE)) AS lm
+              FROM fields WHERE loc IS NOT NULL GROUP BY loc)
+            SELECT s.doc_id,
+                   coalesce(sm.lm > CAST(s.warc_ts AS DATE), FALSE)
+                       AS sitemap_stale,
+                   sm.lm AS sitemap_lastmod
+            FROM src s LEFT JOIN sm ON sm.loc = s.url
+            ORDER BY s.doc_id
         """,
         # url_revisit_dedup: canonicalization replayed (url_canonical
         # stages) + the identical survivor window (ts DESC, url DESC)

@@ -1,0 +1,77 @@
+"""Sitemap XML parsing + recrawl selection (corpus/sitemaps.py)."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from metacrafter_spark.corpus.sitemaps import (
+    parse_sitemap_entries, sitemap_index_locs, stale_urls)
+
+SITEMAP = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url>
+    <loc>https://h.example/p?a=1&amp;b=2</loc>
+    <lastmod>2025-03-05T10:00:00+00:00</lastmod>
+    <changefreq>daily</changefreq>
+    <priority>0.8</priority>
+  </url>
+  <url><loc>https://h.example/q</loc><lastmod>2025-01-02</lastmod></url>
+  <url>
+    <loc>https://h.example/bare</loc>
+  </url>
+  <url><lastmod>2025-01-01</lastmod></url>
+</urlset>"""
+
+INDEX = """<sitemapindex>
+  <sitemap><loc>https://h.example/sitemap-a.xml</loc>
+    <lastmod>2025-01-01</lastmod></sitemap>
+  <sitemap><loc>https://h.example/sitemap-b.xml?page=1&amp;x=2</loc></sitemap>
+</sitemapindex>"""
+
+
+def test_parse_entries_field_alignment_and_entities(spark):
+    df = spark.createDataFrame([("h.example", SITEMAP)],
+                               "host string, sitemap_xml string")
+    rows = {r.loc: r for r in
+            parse_sitemap_entries(df, keep_cols=("host",)).collect()}
+    # entry missing <loc> dropped; 3 survive
+    assert set(rows) == {"https://h.example/p?a=1&b=2",
+                         "https://h.example/q",
+                         "https://h.example/bare"}
+    full = rows["https://h.example/p?a=1&b=2"]
+    assert full.host == "h.example"
+    assert full.lastmod == "2025-03-05T10:00:00+00:00"
+    assert str(full.lastmod_date) == "2025-03-05"
+    assert full.changefreq == "daily" and full.priority == 0.8
+    short = rows["https://h.example/q"]
+    assert str(short.lastmod_date) == "2025-01-02"
+    assert short.changefreq is None and short.priority is None
+    bare = rows["https://h.example/bare"]
+    assert bare.lastmod is None and bare.lastmod_date is None
+
+
+def test_sitemap_index(spark):
+    df = spark.createDataFrame([(INDEX,)], "sitemap_xml string")
+    locs = {r.loc for r in sitemap_index_locs(df).collect()}
+    assert locs == {"https://h.example/sitemap-a.xml",
+                    "https://h.example/sitemap-b.xml?page=1&x=2"}
+    # an index has no <url> entries
+    assert parse_sitemap_entries(df).count() == 0
+
+
+def test_stale_urls_recrawl_selection(spark):
+    entries_df = parse_sitemap_entries(
+        spark.createDataFrame([(SITEMAP,)], "sitemap_xml string"))
+    corpus = spark.createDataFrame(
+        [("https://h.example/p?b=2&a=1", datetime(2025, 2, 1)),  # older
+         ("https://h.example/q", datetime(2025, 6, 1)),          # newer
+         ("https://h.example/bare", datetime(2025, 1, 1)),       # no mod
+         ("https://h.example/unknown", datetime(2025, 1, 1))],   # no entry
+        "url string, warc_ts timestamp")
+    got = {r.url: (r.sitemap_stale, str(r.sitemap_lastmod))
+           for r in stale_urls(corpus, entries_df).collect()}
+    # canonical join: query-sorted sitemap loc matches messy WARC url
+    assert got["https://h.example/p?b=2&a=1"] == (True, "2025-03-05")
+    assert got["https://h.example/q"] == (False, "2025-01-02")
+    assert got["https://h.example/bare"] == (False, "None")
+    assert got["https://h.example/unknown"] == (False, "None")
