@@ -31,6 +31,8 @@ reproduces the extracted-text column byte-for-byte.
 
 from __future__ import annotations
 
+import codecs
+import re
 from html.parser import HTMLParser
 from typing import Iterator, Optional
 
@@ -89,14 +91,53 @@ class _TextExtractor(HTMLParser):
         self.parts.append(data)
 
 
+# charset declarations, checked in the document head bytes:
+# <meta charset=X>, <meta http-equiv=Content-Type content="...charset=X">
+# and the XML declaration — ASCII-compatible patterns, so matching the
+# raw bytes before decoding is sound for every charset we accept.
+_CHARSET_RES = (
+    re.compile(rb'(?i)<meta[^>]+charset\s*=\s*["\x27]?\s*([A-Za-z0-9_\-]+)'),
+    re.compile(rb'(?i)<\?xml[^>]+encoding\s*=\s*["\x27]([A-Za-z0-9_\-]+)'),
+)
+
+
+def sniff_charset(head: bytes, default: str = "utf-8") -> str:
+    """Charset of an html payload from its declarations (BOM first,
+    then meta/xml-decl in the head bytes).  Unknown/absent → default.
+    Mirrors what the WARC reader's Content-Type hook does for headers,
+    for the in-body declaration case."""
+    if head.startswith(b"\xef\xbb\xbf"):
+        return "utf-8"
+    if head.startswith(b"\xff\xfe") or head.startswith(b"\xfe\xff"):
+        return "utf-16"
+    for rx in _CHARSET_RES:
+        m = rx.search(head)
+        if m:
+            name = m.group(1).decode("ascii", "replace").lower()
+            try:
+                codecs.lookup(name)
+                return name
+            except LookupError:
+                continue
+    return default
+
+
 def extract_text(html: bytes | str, *, mode: str = "raw",
                  encoding: str = "utf-8") -> str:
     """One document's html → extracted text (driver-side helper; the
-    Spark path is :func:`with_extracted_text`)."""
+    Spark path is :func:`with_extracted_text`).  ``encoding='sniff'``
+    decodes per document from its charset declaration (BOM, meta
+    charset, http-equiv, xml decl; utf-8 fallback) — real crawls are
+    not uniformly UTF-8."""
     if mode not in ("raw", "block"):
         raise ValueError(f"mode must be 'raw' or 'block', got {mode!r}")
     if isinstance(html, (bytes, bytearray, memoryview)):
-        html = bytes(html).decode(encoding, errors="replace")
+        raw = bytes(html)
+        enc = sniff_charset(raw[:2048]) if encoding == "sniff" \
+            else encoding
+        html = raw.decode(enc, errors="replace")
+        if html.startswith("\ufeff"):
+            html = html[1:]
     p = _TextExtractor(block=(mode == "block"))
     p.feed(html)
     p.close()
@@ -119,7 +160,9 @@ def with_extracted_text(
 
     Arrow-batched ``mapInPandas`` — the parser is pure stdlib Python,
     but it runs per batch on executors with zero driver involvement and
-    the html column never shuffles (map-side only)."""
+    the html column never shuffles (map-side only).
+    ``encoding='sniff'`` decodes each document by its own charset
+    declaration (:func:`sniff_charset`)."""
     if mode not in ("raw", "block"):
         raise ValueError(f"mode must be 'raw' or 'block', got {mode!r}")
     out_schema = ", ".join(

@@ -59,6 +59,43 @@ def test_sitemap_index(spark):
     assert parse_sitemap_entries(df).count() == 0
 
 
+def test_charset_sniff_decode(spark):
+    """encoding='sniff': per-document charset from BOM / meta charset /
+    http-equiv / xml decl; utf-8 fallback; bad names skipped."""
+    from metacrafter_spark.corpus.html import (
+        extract_text, sniff_charset, with_extracted_text)
+
+    body = "Münchner Straße — привет"
+    cases = {
+        "meta5": ('<html><head><meta charset="windows-1251"></head>'
+                  '<body>привет</body></html>').encode("windows-1251"),
+        "httpeq": ('<html><head><meta http-equiv="Content-Type" '
+                   'content="text/html; charset=iso-8859-1"></head>'
+                   '<body>Münchner Straße</body></html>'
+                   ).encode("iso-8859-1"),
+        "xmldecl": ('<?xml version="1.0" encoding="ISO-8859-15"?>'
+                    '<html><body>€uro</body></html>'
+                    ).encode("iso-8859-15"),
+        "bom": "﻿<html><body>bom</body></html>".encode("utf-8"),
+        "plain": f"<html><body>{body}</body></html>".encode("utf-8"),
+        "badname": ('<html><head><meta charset="no-such-cs"></head>'
+                    "<body>fallback—ok</body></html>").encode("utf-8"),
+    }
+    want = {"meta5": "привет", "httpeq": "Münchner Straße",
+            "xmldecl": "€uro", "bom": "bom", "plain": body,
+            "badname": "fallback—ok"}
+    for k, raw in cases.items():
+        assert extract_text(raw, encoding="sniff") == want[k], k
+    assert sniff_charset(cases["meta5"][:2048]) == "windows-1251"
+    assert sniff_charset(b"\xff\xfexx") == "utf-16"
+    # the Spark kernel path
+    df = spark.createDataFrame(
+        [(k, v) for k, v in cases.items()], "k string, html binary")
+    got = {r.k: r.text_extracted
+           for r in with_extracted_text(df, encoding="sniff").collect()}
+    assert got == want
+
+
 def test_stale_urls_recrawl_selection(spark):
     entries_df = parse_sitemap_entries(
         spark.createDataFrame([(SITEMAP,)], "sitemap_xml string"))
