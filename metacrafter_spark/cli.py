@@ -66,6 +66,16 @@ def main(argv=None) -> int:
                     help="lineage/checkpoint bucket count (default "
                          "256; size so one bucket ≈ one executor-"
                          "minute of work at your scale)")
+    wi.add_argument("--robots-from-crawl", action="store_true",
+                    help="harvest /robots.txt responses from the WARC "
+                         "input itself (CC shards carry them), parse "
+                         "them for --robots-agent and drop disallowed "
+                         "pages (drop_reason=robots_disallowed); the "
+                         "robots.txt records themselves are excluded "
+                         "from the corpus")
+    wi.add_argument("--robots-agent", default="*",
+                    help="product token for robots group selection "
+                         "(default '*')")
     wi.add_argument("--outlinks", metavar="PATH",
                     help="also write the distinct page-level link "
                          "graph (src,dst parquet) extracted from the "
@@ -544,6 +554,14 @@ def main(argv=None) -> int:
                   if args.toxicity_wordlist else None)
             kw = {} if args.buckets is None else \
                 {"n_buckets": args.buckets}
+            if args.robots_from_crawl:
+                from metacrafter_spark.corpus.robots import (
+                    parse_robots_txt, robots_from_corpus)
+
+                kw["robots_rules"] = parse_robots_txt(
+                    robots_from_corpus(src), agent=args.robots_agent)
+                src = src.filter(~F.col("url").rlike(
+                    r"(?i)^https?://[^/?#]+/robots\.txt$"))
             classified = classify_corpus(src, toxicity_wordlist=wl, **kw)
             io = (TableIO(spark) if args.plain_parquet
                   else PyIcebergTableIO(spark))

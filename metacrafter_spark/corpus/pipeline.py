@@ -69,6 +69,7 @@ def classify_corpus(
     toxicity_wordlist: Optional[tuple[str, ...]] = None,
     robots_rules: Optional[DataFrame] = None,
     drop_noindex: bool = False,
+    domain_ranks: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Attach langid/ppl/quality/pii/scrub columns + keep & drop_reason.
 
@@ -93,6 +94,12 @@ def classify_corpus(
     directive from the html column (``drop_reason='robots_noindex'``).
     Both default off, keeping the default-path plan and its oracles
     byte-stable.
+
+    ``domain_ranks`` (optional, :func:`ops.linkgraph.pagerank` output
+    over the domain graph) attaches ``domain_rank_units`` as a
+    link-based quality PRIOR column — a signal for downstream mixing/
+    sampling, not a drop rule (unranked domains are absent evidence,
+    not bad pages).  The rank table broadcasts; zero corpus shuffle.
     """
     rules = scrub_rules if scrub_rules is not None else default_scrub_rules()
     out = (
@@ -107,6 +114,10 @@ def classify_corpus(
         from metacrafter_spark.corpus.html import with_robots_meta
 
         out = with_robots_meta(out, "html")
+    if domain_ranks is not None:
+        from metacrafter_spark.ops.linkgraph import with_domain_rank
+
+        out = with_domain_rank(out, domain_ranks)
     out = with_langid(out, text_col)
     out = with_perplexity(out, text_col)
     out = with_quality(out, text_col, policy.quality)

@@ -178,6 +178,37 @@ def with_robots_allowed(
             .drop("__host", "__rules"))
 
 
+def robots_from_corpus(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    *,
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Harvest ``(host, robots_txt)`` from the crawl itself: Common
+    Crawl shards carry each site's ``/robots.txt`` response as a
+    normal record, so the policy that governed the crawl rides in the
+    same input — no side-channel fetch.  Keeps the NEWEST capture per
+    host when ``ts_col`` exists (revisits), else an arbitrary-free
+    deterministic max by text."""
+    from pyspark.sql import Window
+
+    from metacrafter_spark.ops.urls import host_of
+
+    url = F.col(url_col)
+    rob = (df.filter(url.rlike(r"(?i)^https?://[^/?#]+/robots\.txt$"))
+           .select(host_of(url).alias("host"),
+                   F.col(text_col).alias("robots_txt"),
+                   *([F.col(ts_col).alias("__ts")]
+                     if ts_col in df.columns else
+                     [F.lit(None).cast("timestamp").alias("__ts")])))
+    w = Window.partitionBy("host").orderBy(
+        F.col("__ts").desc_nulls_last(), F.col("robots_txt").desc())
+    return (rob.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("host", "robots_txt"))
+
+
 def robots_policy_filter(
     corpus: DataFrame,
     rules: DataFrame,

@@ -175,6 +175,57 @@ def test_pipeline_robots_stage(spark):
             assert base_map[r.url] == (r.keep, r.drop_reason)
 
 
+def test_robots_from_corpus_harvest(spark):
+    """CC shards carry /robots.txt responses as records: harvest the
+    newest per host, ignore non-robots urls and deep paths."""
+    from datetime import datetime
+
+    from metacrafter_spark.corpus.robots import robots_from_corpus
+
+    rows = [
+        ("https://a.example/robots.txt", "User-agent: *\nDisallow: /old",
+         datetime(2025, 1, 1)),
+        ("https://a.example/robots.txt", "User-agent: *\nDisallow: /new",
+         datetime(2025, 6, 1)),
+        ("HTTPS://B.example/ROBOTS.TXT", "User-agent: *\nDisallow: /b",
+         datetime(2025, 1, 1)),
+        ("https://a.example/page", "not robots", datetime(2025, 1, 1)),
+        ("https://a.example/dir/robots.txt", "too deep",
+         datetime(2025, 1, 1)),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, text string, warc_ts timestamp")
+    got = {r.host: r.robots_txt for r in robots_from_corpus(df).collect()}
+    assert got == {"a.example": "User-agent: *\nDisallow: /new",
+                   "b.example": "User-agent: *\nDisallow: /b"}
+
+
+def test_pipeline_domain_rank_prior(spark):
+    from metacrafter_spark.corpus.pipeline import classify_corpus
+    from metacrafter_spark.corpus.webpages import synth_webpages
+    from metacrafter_spark.ops.linkgraph import pagerank
+
+    pages = synth_webpages(spark, 30, seed=42)
+    # ranks key on REGISTERED domains (the with_domain_rank contract)
+    edges = spark.createDataFrame(
+        [("example.org", "example.net"), ("example.net", "example.org"),
+         ("example.io", "example.org")],
+        "src string, dst string")
+    ranks = pagerank(edges, iterations=2)
+    out = classify_corpus(pages, domain_ranks=ranks)
+    rank_map = {r.node: r.pr_units for r in ranks.collect()}
+    seen_ranked = 0
+    for r in out.collect():
+        host = r.url.split("/")[2]
+        dom = ".".join(host.split(".")[-2:])
+        if dom in rank_map:
+            assert r.domain_rank_units == rank_map[dom], r.url
+            seen_ranked += 1
+        else:
+            assert r.domain_rank_units is None, r.url
+    assert seen_ranked > 0
+
+
 def test_missing_leading_slash_and_mixed_case_host(spark):
     """Sloppy real-world files: 'Disallow: private' (no slash) must
     match /private/... (Google-parser behavior), and a mixed-case host

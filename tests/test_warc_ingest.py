@@ -90,6 +90,46 @@ def test_warc_ingest_outlinks_flag(spark, warc_corpus, tmp_path, capsys):
     assert row == 0 and e.count() == 50
 
 
+def test_warc_ingest_robots_from_crawl(spark, tmp_path, capsys):
+    """--robots-from-crawl: the /robots.txt records riding in the same
+    WARC input drive the keep/drop policy; the records themselves are
+    excluded from the corpus."""
+    from datetime import datetime
+
+    corpus = synth_webpages(spark, 40, seed=5, partitions=2)
+    hosts = sorted({r.url.split("/")[2] for r in
+                    corpus.select("url").collect()})
+    blocked_host = hosts[0]
+    robots_rows = spark.createDataFrame(
+        [(f"https://{blocked_host}/robots.txt",
+          datetime(2025, 1, 1),
+          b"User-agent: *\nDisallow: /",
+          "User-agent: *\nDisallow: /", "")],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string")
+    wd = str(tmp_path / "warcs")
+    (tmp_path / "warcs").mkdir()
+    write_warc_shards(corpus.unionByName(robots_rows), wd, 2).collect()
+    out = str(tmp_path / "docs_tbl")
+    met = str(tmp_path / "metrics_tbl")
+    rc = main(["warc-ingest", wd + "/*.cdx", wd, out, met,
+               "--buckets", "4", "--robots-from-crawl"])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["processed"] == 40          # robots record excluded
+    docs = IcebergTable.load(out).read(spark)
+    rows = docs.collect()
+    assert not any(r.url.endswith("/robots.txt") for r in rows)
+    blocked = [r for r in rows
+               if r.url.startswith(f"https://{blocked_host}/")]
+    assert blocked and all(
+        r.drop_reason == "robots_disallowed" for r in blocked)
+    others = [r for r in rows
+              if not r.url.startswith(f"https://{blocked_host}/")]
+    assert others and all(
+        r.drop_reason != "robots_disallowed" for r in others)
+
+
 def test_warc_ingest_resume_idempotent(spark, warc_corpus, tmp_path,
                                        capsys):
     out = str(tmp_path / "docs_tbl")
