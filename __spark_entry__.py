@@ -2286,6 +2286,33 @@ def q_robots_policy(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_robots_harvest(spark, sf_dir):
+    """robots.txt harvest from the crawl (round 5, corpus/robots.py
+    robots_from_corpus): every 10th doc is rewritten into its host's
+    /robots.txt response (three captures per host with different
+    timestamps and bodies — the NEWEST must win); the oracle replays
+    the url filter, host extraction and the survivor window in SQL."""
+    from metacrafter_spark.corpus.robots import robots_from_corpus
+    from metacrafter_spark.corpus.webpages import synth_webpages
+
+    pages = synth_webpages(spark, 2000, seed=42)
+    d = F.regexp_extract("url", r"/article/(\d+)$", 1).cast("long")
+    host = F.regexp_extract("url", r"^https?://([^/]+)", 1)
+    src = pages.select(
+        F.when(d % 10 == 0,
+               F.concat(F.lit("https://"), host, F.lit("/robots.txt")))
+        .otherwise(F.col("url")).alias("url"),
+        F.when(d % 10 == 0,
+               F.concat(F.lit("User-agent: *\nDisallow: /v"),
+                        (d % 3).cast("string")))
+        .otherwise(F.col("text")).alias("text"),
+        "warc_ts")
+    out = robots_from_corpus(src)
+    return (out.select("host", F.md5(F.encode("robots_txt", "utf-8"))
+                       .alias("robots_md5"))
+            .orderBy("host"))
+
+
 def q_outlink_graph(spark, sf_dir):
     """Web-graph construction (round 5, corpus/html.py with_outlinks +
     ops/urls.py resolve_url): anchors in five href shapes — absolute,
@@ -2436,6 +2463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_data_skipping": q_iceberg_data_skipping,
         "robots_meta": q_robots_meta,
         "robots_policy": q_robots_policy,
+        "robots_harvest": q_robots_harvest,
         "outlink_graph": q_outlink_graph,
         "anchor_text_agg": q_anchor_text_agg,
         "url_revisit_dedup": q_url_revisit_dedup,
@@ -3950,6 +3978,41 @@ def oracle_sql() -> dict[str, str]:
         # robots_policy: the whole RFC 9309 parse + longest-match
         # evaluation replayed in DuckDB from the same body literals
         "robots_policy": _robots_policy_sql(),
+        # robots_harvest: url filter, host extraction and the
+        # newest-capture survivor window replayed in SQL
+        "robots_harvest": r"""
+            WITH src0 AS (
+              SELECT regexp_extract(url, '/article/(\d+)$', 1)::BIGINT
+                         AS doc_id,
+                     url, text, warc_ts,
+                     regexp_extract(url, '^https?://([^/]+)', 1) AS h0
+              FROM read_parquet('""" + WEBCORPUS_FIXTURE + r"""')),
+            src AS (
+              SELECT CASE WHEN doc_id % 10 = 0
+                          THEN 'https://' || h0 || '/robots.txt'
+                          ELSE url END AS url,
+                     CASE WHEN doc_id % 10 = 0
+                          THEN e'User-agent: *\nDisallow: /v'
+                               || (doc_id % 3)::VARCHAR
+                          ELSE text END AS text,
+                     warc_ts
+              FROM src0),
+            rob AS (
+              SELECT lower(regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)',
+                       1)) AS host,
+                     text AS robots_txt, warc_ts
+              FROM src
+              WHERE regexp_matches(url,
+                '(?i)^https?://[^/?#]+/robots\.txt$')),
+            w AS (
+              SELECT host, robots_txt,
+                     row_number() OVER (PARTITION BY host
+                       ORDER BY warc_ts DESC, robots_txt DESC) AS rn
+              FROM rob)
+            SELECT host, md5(robots_txt) AS robots_md5
+            FROM w WHERE rn = 1 ORDER BY host
+        """,
         # outlink_graph: anchor injection + href extraction + RFC 3986
         # resolution + canonicalization all replayed in RE2/DuckDB
         "outlink_graph": _outlink_graph_sql(),

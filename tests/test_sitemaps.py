@@ -59,6 +59,62 @@ def test_sitemap_index(spark):
     assert parse_sitemap_entries(df).count() == 0
 
 
+def test_sitemap_differential_vs_elementtree(spark):
+    """The regex extractor must agree with a real XML parser (stdlib
+    ElementTree) on randomized well-formed sitemaps: same entries,
+    same per-entry fields, alignment preserved under omitted fields,
+    odd whitespace and entity escapes."""
+    import random
+    import xml.etree.ElementTree as ET
+
+    rng = random.Random(7)
+    docs = []
+    for _ in range(30):
+        n = rng.randint(0, 6)
+        parts = ["<urlset>"]
+        for i in range(n):
+            fields = [f"<loc>https://h{rng.randint(0, 3)}.example/"
+                      f"p{rng.randint(0, 99)}?a=1&amp;b={i}</loc>"]
+            if rng.random() < 0.6:
+                fields.append(
+                    f"<lastmod>2025-0{rng.randint(1, 9)}-1{i % 10}"
+                    "</lastmod>")
+            if rng.random() < 0.4:
+                fields.append(f"<priority>0.{rng.randint(0, 9)}"
+                              "</priority>")
+            if rng.random() < 0.3:
+                fields.append("<changefreq>weekly</changefreq>")
+            rng.shuffle(fields)
+            ws = rng.choice(["", "\n  ", "\n\t"])
+            parts.append(f"<url{rng.choice(['>', ' >'])}{ws}"
+                         + ws.join(fields) + f"{ws}</url{rng.choice(['>', ' >'])}")
+        parts.append("</urlset>")
+        docs.append("".join(parts))
+
+    def et_entries(xml):
+        out = []
+        for u in ET.fromstring(xml).iter("url"):
+            loc = u.findtext("loc")
+            if loc is None or not loc.strip():
+                continue
+            g = lambda t: (u.findtext(t).strip()
+                           if u.findtext(t) and u.findtext(t).strip()
+                           else None)
+            pr = g("priority")
+            out.append((loc.strip(), g("lastmod"), g("changefreq"),
+                        float(pr) if pr else None))
+        return sorted(out)
+
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(docs)], "i long, sitemap_xml string")
+    got = {}
+    for r in parse_sitemap_entries(df, keep_cols=("i",)).collect():
+        got.setdefault(r.i, []).append(
+            (r.loc, r.lastmod, r.changefreq, r.priority))
+    for i, xml in enumerate(docs):
+        assert sorted(got.get(i, [])) == et_entries(xml), (i, xml)
+
+
 def test_charset_sniff_decode(spark):
     """encoding='sniff': per-document charset from BOM / meta charset /
     http-equiv / xml decl; utf-8 fallback; bad names skipped."""
