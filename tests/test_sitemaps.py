@@ -152,6 +152,41 @@ def test_charset_sniff_decode(spark):
     assert got == want
 
 
+def test_main_text_extraction(spark):
+    """Link-density boilerplate removal: nav/footer rails drop,
+    article paragraphs survive, whitespace collapses per block."""
+    from metacrafter_spark.corpus.html import (
+        extract_main_text, with_main_text)
+
+    art1 = ("The quick brown fox jumps over the lazy dog near the "
+            "river bank every single morning.")
+    art2 = ("A second paragraph with an inline <a href='/ref'>link"
+            "</a> embedded in otherwise ordinary running prose that "
+            "keeps its block.")
+    html = ("<html><head><title>t</title></head><body>"
+            "<nav><a href='/a'>Home</a> <a href='/b'>News and more</a> "
+            "<a href='/c'>Contact us here</a></nav>"
+            f"<p>  {art1}  </p>"
+            f"<p>{art2}</p>"
+            "<p>short</p>"
+            "<footer><a href='/x'>Imprint</a> <a href='/y'>Privacy "
+            "policy</a> <a href='/z'>Terms of service</a></footer>"
+            "</body></html>").encode()
+    got = extract_main_text(html)
+    lines = got.split("\n")
+    assert len(lines) == 2
+    assert lines[0] == art1
+    assert "second paragraph" in lines[1] and "link" in lines[1]
+    assert "Home" not in got and "Imprint" not in got  # rails gone
+    assert "short" not in got                          # too short
+    # Spark kernel path + determinism across partitioning
+    df = spark.createDataFrame([(i, html) for i in range(8)],
+                               "i long, html binary")
+    vals = {r.main_text for r in
+            with_main_text(df.repartition(4)).collect()}
+    assert vals == {got}
+
+
 def test_stale_urls_recrawl_selection(spark):
     entries_df = parse_sitemap_entries(
         spark.createDataFrame([(SITEMAP,)], "sitemap_xml string"))
