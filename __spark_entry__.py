@@ -2313,6 +2313,40 @@ def q_robots_harvest(spark, sf_dir):
             .orderBy("host"))
 
 
+def q_page_metadata(spark, sf_dir):
+    """Page-metadata extraction (round 5, corpus/html.py
+    with_page_metadata): <title> comes from the corpus's own html;
+    description/OpenGraph metas (quoted/bare values, both attribute
+    orders, a decoy) are injected by doc_id; every extraction regex
+    replays verbatim in RE2/DuckDB."""
+    from metacrafter_spark.corpus.html import with_page_metadata
+    from metacrafter_spark.corpus.webpages import synth_webpages
+
+    pages = synth_webpages(spark, 2000, seed=42)
+    d = F.regexp_extract("url", r"/article/(\d+)$", 1).cast("long")
+    meta = (
+        F.when(d % 4 == 0, F.concat(
+            F.lit('<meta name="description" content="Summary of '),
+            d, F.lit('">')))
+        .when(d % 4 == 1, F.concat(
+            F.lit("<meta content='og page "), d,
+            F.lit("' property='og:title'>"
+                  "<meta property=og:type content=article>")))
+        .when(d % 4 == 2, F.concat(
+            F.lit('<meta property="og:locale" content="en_US">'
+                  '<meta name=description content=bare-'), d,
+            F.lit('>')))
+        .otherwise(F.lit('<meta name="author" content="decoy">')))
+    injected = pages.select(
+        d.alias("doc_id"),
+        F.regexp_replace(F.decode("html", "utf-8"), "<head>",
+                         F.concat(F.lit("<head>"), meta)).alias("html"))
+    out = with_page_metadata(injected, "html")
+    return (out.select("doc_id", "page_title", "meta_description",
+                       "og_title", "og_type", "og_locale")
+            .orderBy("doc_id"))
+
+
 def q_outlink_graph(spark, sf_dir):
     """Web-graph construction (round 5, corpus/html.py with_outlinks +
     ops/urls.py resolve_url): anchors in five href shapes — absolute,
@@ -2464,6 +2498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_meta": q_robots_meta,
         "robots_policy": q_robots_policy,
         "robots_harvest": q_robots_harvest,
+        "page_metadata": q_page_metadata,
         "outlink_graph": q_outlink_graph,
         "anchor_text_agg": q_anchor_text_agg,
         "url_revisit_dedup": q_url_revisit_dedup,
@@ -2654,6 +2689,54 @@ def _robots_policy_sql(agent: str = "mycrawler-news") -> str:
            w.pattern AS robots_rule
     FROM cpath c LEFT JOIN winners w USING (doc_id)
     ORDER BY c.doc_id
+    """
+
+
+def _page_metadata_sql() -> str:
+    """DuckDB replay of q_page_metadata: identical meta injection into
+    the committed fixture; the title regex and all four
+    quoted/bare × attribute-order meta regexes embedded verbatim from
+    corpus/html.py (single source of the patterns)."""
+    from metacrafter_spark.corpus.html import _TITLE_RE, _meta_value_res
+
+    def first_meta(attr: str, key: str) -> str:
+        parts = ", ".join(
+            f"nullif(regexp_extract(html, '{rx}', 1), '')"
+            for rx in _meta_value_res(attr, key))
+        return f"coalesce({parts}, NULL)"
+
+    return r"""
+        WITH src AS (
+          SELECT regexp_extract(url, '/article/(\d+)$', 1)::BIGINT
+                     AS doc_id,
+                 decode(html) AS h
+          FROM read_parquet('""" + WEBCORPUS_FIXTURE + r"""')),
+        inj AS (
+          SELECT doc_id, regexp_replace(h, '<head>', '<head>' ||
+            CASE WHEN doc_id % 4 = 0
+                 THEN '<meta name="description" content="Summary of '
+                      || doc_id || '">'
+                 WHEN doc_id % 4 = 1
+                 THEN '<meta content=''og page ' || doc_id
+                      || ''' property=''og:title''>'
+                      || '<meta property=og:type content=article>'
+                 WHEN doc_id % 4 = 2
+                 THEN '<meta property="og:locale" content="en_US">'
+                      || '<meta name=description content=bare-'
+                      || doc_id || '>'
+                 ELSE '<meta name="author" content="decoy">'
+            END) AS html
+          FROM src)
+        SELECT doc_id,
+               nullif(regexp_extract(html, '""" + _TITLE_RE + r"""', 1),
+                      '') AS page_title,
+               """ + first_meta("name", "description") + r"""
+                   AS meta_description,
+               """ + first_meta("property", "og:title") + r""" AS og_title,
+               """ + first_meta("property", "og:type") + r""" AS og_type,
+               """ + first_meta("property", "og:locale") + r"""
+                   AS og_locale
+        FROM inj ORDER BY doc_id
     """
 
 
@@ -3978,6 +4061,9 @@ def oracle_sql() -> dict[str, str]:
         # robots_policy: the whole RFC 9309 parse + longest-match
         # evaluation replayed in DuckDB from the same body literals
         "robots_policy": _robots_policy_sql(),
+        # page_metadata: title + meta/OpenGraph extraction regexes
+        # embedded verbatim from corpus/html.py (single pattern source)
+        "page_metadata": _page_metadata_sql(),
         # robots_harvest: url filter, host extraction and the
         # newest-capture survivor window replayed in SQL
         "robots_harvest": r"""

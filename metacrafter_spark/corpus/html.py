@@ -361,6 +361,66 @@ def with_anchor_texts(
         F.filter(pairs, lambda p: p["link"].rlike(r"(?i)^https?://")))
 
 
+# page metadata: <title>, <meta name=description>, OpenGraph
+# properties — the standard corpus-curation columns (titles feed
+# quality/dedup signals, og:type distinguishes articles from products/
+# videos).  Same RE2-replayable both-attribute-order shapes as the
+# robots-meta patterns below.
+_TITLE_RE = r"(?is)<title[^>]*>\s*(.*?)\s*</title\s*>"
+
+
+def _meta_value_res(attr: str, key: str) -> tuple[str, ...]:
+    """The four regexes (quoted/bare value × attribute order) for
+    ``<meta {attr}={key} content=...>``."""
+    return (
+        rf'(?is)<meta[^>]*{attr}\s*=\s*["\x27]?{key}["\x27]?[^>]*'
+        r'content\s*=\s*["\x27]([^"\x27>]*)',
+        rf'(?is)<meta[^>]*{attr}\s*=\s*["\x27]?{key}["\x27]?[^>]*'
+        r'content\s*=\s*([^"\x27\s>]+)',
+        rf'(?is)<meta[^>]*content\s*=\s*["\x27]([^"\x27>]*)'
+        rf'["\x27]?[^>]*{attr}\s*=\s*["\x27]?{key}["\x27]?',
+        rf'(?is)<meta[^>]*content\s*=\s*([^"\x27\s>]+)'
+        rf'[^>]*{attr}\s*=\s*["\x27]?{key}["\x27]?',
+    )
+
+
+def with_page_metadata(
+    df: DataFrame,
+    html_col: str = "html",
+    *,
+    encoding: str = "utf-8",
+    og_props: tuple[str, ...] = ("og:title", "og:type", "og:locale"),
+) -> DataFrame:
+    """Attach curation metadata columns: ``page_title`` (first
+    ``<title>``), ``meta_description`` and one ``og_*`` column per
+    requested OpenGraph property (``og:title`` → ``og_title``).  NULL
+    when absent.  Pure native decode + regexp Columns, map-side,
+    RE2-replayable."""
+    from pyspark.sql import functions as F
+
+    src = F.col(html_col)
+    field = dict(zip(df.schema.fieldNames(), df.schema.fields))[html_col]
+    if field.dataType.simpleString() == "binary":
+        src = F.decode(src, encoding)
+
+    def first_meta(attr: str, key: str) -> F.Column:
+        parts = [
+            F.nullif(F.regexp_extract(src, rx, 1), F.lit(""))
+            for rx in _meta_value_res(attr, key)
+        ]
+        return F.coalesce(*parts, F.lit(None).cast("string"))
+
+    out = df.withColumn(
+        "page_title",
+        F.nullif(F.regexp_extract(src, _TITLE_RE, 1), F.lit("")))
+    out = out.withColumn("meta_description",
+                         first_meta("name", "description"))
+    for prop in og_props:
+        col = "og_" + prop.split(":", 1)[1].replace(":", "_")
+        out = out.withColumn(col, first_meta("property", prop))
+    return out
+
+
 # robots meta: name/content in either attribute order; quoted values
 # may contain spaces/commas, bare values stop at whitespace.  Four
 # RE2-compatible patterns (no backrefs) so the oracle replays verbatim.

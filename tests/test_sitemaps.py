@@ -152,6 +152,29 @@ def test_charset_sniff_decode(spark):
     assert got == want
 
 
+def test_page_metadata_extraction(spark):
+    from metacrafter_spark.corpus.html import with_page_metadata
+
+    html = ('<html><head><title> My Page </title>'
+            '<meta name="description" content="A summary here">'
+            "<meta content='OG Title' property='og:title'>"
+            '<meta property=og:type content=article>'
+            '<meta name="author" content="decoy">'
+            '</head><body>x</body></html>').encode()
+    df = spark.createDataFrame([(1, html), (2, b"<html><body>no meta"
+                                               b"</body></html>")],
+                               "i long, html binary")
+    got = {r.i: r for r in with_page_metadata(df).collect()}
+    r1 = got[1]
+    assert r1.page_title == "My Page"
+    assert r1.meta_description == "A summary here"
+    assert r1.og_title == "OG Title"
+    assert r1.og_type == "article"
+    assert r1.og_locale is None
+    r2 = got[2]
+    assert r2.page_title is None and r2.meta_description is None
+
+
 def test_main_text_extraction(spark):
     """Link-density boilerplate removal: nav/footer rails drop,
     article paragraphs survive, whitespace collapses per block."""
