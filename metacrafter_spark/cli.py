@@ -66,6 +66,11 @@ def main(argv=None) -> int:
                     help="lineage/checkpoint bucket count (default "
                          "256; size so one bucket ≈ one executor-"
                          "minute of work at your scale)")
+    wi.add_argument("--main-text", action="store_true",
+                    help="extract boilerplate-stripped main content "
+                         "(block-level link-density filter) instead "
+                         "of raw text for the pipeline's text column; "
+                         "the raw extraction is kept as text_raw")
     wi.add_argument("--robots-from-crawl", action="store_true",
                     help="harvest /robots.txt responses from the WARC "
                          "input itself (CC shards carry them), parse "
@@ -546,9 +551,19 @@ def main(argv=None) -> int:
                 page_link_edges(with_outlinks(pages, "html", "url")) \
                     .write.mode("overwrite").parquet(args.outlinks)
                 n_edges = spark.read.parquet(args.outlinks).count()
-            pages = with_extracted_text(pages, "html", "text")
-            src = pages.select(
-                "url", "warc_ts", "html", "text", F.lit("").alias("lang"))
+            if args.main_text:
+                from metacrafter_spark.corpus.html import with_main_text
+
+                pages = with_extracted_text(pages, "html", "text_raw")
+                pages = with_main_text(pages, "html", "text")
+                src = pages.select(
+                    "url", "warc_ts", "html", "text", "text_raw",
+                    F.lit("").alias("lang"))
+            else:
+                pages = with_extracted_text(pages, "html", "text")
+                src = pages.select(
+                    "url", "warc_ts", "html", "text",
+                    F.lit("").alias("lang"))
             wl = (tuple(w.strip()
                         for w in args.toxicity_wordlist.split(","))
                   if args.toxicity_wordlist else None)

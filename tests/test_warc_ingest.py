@@ -90,6 +90,25 @@ def test_warc_ingest_outlinks_flag(spark, warc_corpus, tmp_path, capsys):
     assert row == 0 and e.count() == 50
 
 
+def test_warc_ingest_main_text_flag(spark, warc_corpus, tmp_path,
+                                    capsys):
+    """--main-text: the pipeline's text column is the boilerplate-
+    stripped extraction, the raw extraction survives as text_raw."""
+    out = str(tmp_path / "docs_tbl")
+    met = str(tmp_path / "metrics_tbl")
+    rc = main(["warc-ingest", warc_corpus + "/*.cdx", warc_corpus,
+               out, met, "--buckets", "4", "--main-text"])
+    assert rc == 0
+    docs = IcebergTable.load(out).read(spark)
+    cols = set(docs.columns)
+    assert {"text", "text_raw"} <= cols
+    r = docs.filter(F.length("text_raw") > 200).first()
+    # the synthetic corpus has no boilerplate rails: main text is the
+    # same prose, whitespace-normalized per block
+    assert r is not None and r.text and r.text_raw
+    assert " ".join(r.text_raw.split()) == " ".join(r.text.split())
+
+
 def test_warc_ingest_robots_from_crawl(spark, tmp_path, capsys):
     """--robots-from-crawl: the /robots.txt records riding in the same
     WARC input drive the keep/drop policy; the records themselves are
