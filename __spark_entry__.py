@@ -2313,6 +2313,27 @@ def q_robots_harvest(spark, sf_dir):
             .orderBy("host"))
 
 
+def q_sequence_packing(spark, sf_dir):
+    """GPT-style sequence packing (round 5, ops/packing.py): global
+    token offsets in deterministic hash order via a two-phase
+    distributed prefix sum (range buckets + broadcast bucket offsets —
+    no global-order window), then sequence index / offset / boundary
+    flags at seq_len=512.  Exact integer arithmetic throughout; the
+    oracle replays the identical total order with one SQL window."""
+    from metacrafter_spark.ops.packing import pack_documents
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", r"\s+"),
+                        lambda w: w != "")).cast("long")
+        .alias("n_tokens"))
+    out = pack_documents(toks, seq_len=512)
+    return (out.select("doc_id", "n_tokens", "pack_h", "token_start",
+                       "seq_id", "seq_offset", "spans_boundary")
+            .orderBy("doc_id"))
+
+
 def q_page_metadata(spark, sf_dir):
     """Page-metadata extraction (round 5, corpus/html.py
     with_page_metadata): <title> comes from the corpus's own html;
@@ -2499,6 +2520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_policy": q_robots_policy,
         "robots_harvest": q_robots_harvest,
         "page_metadata": q_page_metadata,
+        "sequence_packing": q_sequence_packing,
         "outlink_graph": q_outlink_graph,
         "anchor_text_agg": q_anchor_text_agg,
         "url_revisit_dedup": q_url_revisit_dedup,
@@ -4064,6 +4086,33 @@ def oracle_sql() -> dict[str, str]:
         # page_metadata: title + meta/OpenGraph extraction regexes
         # embedded verbatim from corpus/html.py (single pattern source)
         "page_metadata": _page_metadata_sql(),
+        # sequence_packing: the two-phase distributed prefix sum
+        # collapses to one SQL window over the same (hash, id) total
+        # order — exact integer arithmetic, bit-equal by construction
+        "sequence_packing": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     len(list_filter(
+                       string_split_regex(text, '\s+'),
+                       w -> w != ''))::BIGINT AS n_tokens,
+                     ((doc_id % 2147483648) * 2654435761)
+                       % 4294967296 AS pack_h
+              FROM documents),
+            o AS (
+              SELECT *,
+                     coalesce(sum(n_tokens) OVER (
+                       ORDER BY pack_h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0)::BIGINT AS token_start
+              FROM t)
+            SELECT doc_id, n_tokens, pack_h, token_start,
+                   token_start // 512 AS seq_id,
+                   token_start % 512 AS seq_offset,
+                   n_tokens > 0 AND
+                   ((token_start + n_tokens - 1) // 512)
+                     > (token_start // 512) AS spans_boundary
+            FROM o ORDER BY doc_id
+        """,
         # robots_harvest: url filter, host extraction and the
         # newest-capture survivor window replayed in SQL
         "robots_harvest": r"""

@@ -1,0 +1,88 @@
+"""Sequence packing for LLM training data.
+
+Training pipelines concatenate documents in a deterministic order and
+cut the token stream into fixed-length sequences (GPT-style packing —
+a document may span a sequence boundary).  The operator assigns every
+document its global token offset, sequence index and offset within the
+sequence, as a pure function of the data.
+
+Scale design — distributed prefix sum, NO global-order window (a
+``Window.orderBy`` with no partition key funnels the whole corpus
+through one reducer):
+
+1. order key ``h`` = Knuth multiplicative hash of the id (uniform in
+   [0, 2^32), deterministic across runs/engines — ops/sampling.py);
+2. range bucket ``b = h div (2^32 / B)`` — buckets are ORDERED by
+   construction (every key in bucket i sorts before bucket i+1), no
+   sampling pass needed;
+3. per-bucket token totals (B tiny rows) → cumulative bucket offsets
+   via a window over those B rows → broadcast back;
+4. intra-bucket running sum: window partitioned BY bucket (bounded
+   partitions), ordered by (h, id).
+
+Everything is exact integer arithmetic, so the layout is bit-identical
+under any partitioning and replays in SQL (the oracle may use one
+global window — same total order, same values).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from metacrafter_spark.ops.linkgraph import _idiv
+from metacrafter_spark.ops.sampling import _id_hash
+
+
+def pack_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    *,
+    seq_len: int = 2048,
+    n_buckets: int = 1024,
+    seed: int = 0,
+) -> DataFrame:
+    """Assign packing coordinates: ``(…, pack_h, token_start,
+    seq_id, seq_offset, spans_boundary)`` where ``token_start`` is the
+    document's global offset in the concatenated token stream (ordered
+    by the id hash), ``seq_id = token_start div seq_len``,
+    ``seq_offset = token_start mod seq_len`` and ``spans_boundary``
+    marks documents cut by a sequence edge.  Zero-token documents are
+    kept (they occupy no space; ``spans_boundary`` false).
+
+    One shuffle keyed on the hash bucket + one B-row broadcast — the
+    100 TB shape for a global prefix sum."""
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    h = _id_hash(id_col, seed).alias("pack_h")
+    out = df.withColumn("pack_h", h) \
+        .withColumn("__bucket",
+                    _idiv(F.col("pack_h"),
+                          F.lit((1 << 32) // n_buckets)))
+    per_bucket = (out.groupBy("__bucket")
+                  .agg(F.sum(tokens_col).cast("long").alias("__bt")))
+    wb = Window.orderBy("__bucket") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    bucket_offsets = per_bucket.select(
+        "__bucket",
+        F.coalesce(F.sum("__bt").over(wb), F.lit(0)).alias("__boff"))
+    wi = (Window.partitionBy("__bucket")
+          .orderBy("pack_h", id_col)
+          .rowsBetween(Window.unboundedPreceding, -1))
+    out = (out.join(F.broadcast(bucket_offsets), "__bucket")
+           .withColumn(
+               "token_start",
+               (F.col("__boff")
+                + F.coalesce(F.sum(tokens_col).over(wi), F.lit(0)))
+               .cast("long"))
+           .drop("__bucket", "__boff"))
+    end = F.col("token_start") + F.col(tokens_col) - 1
+    return (out
+            .withColumn("seq_id",
+                        _idiv(F.col("token_start"), F.lit(seq_len)))
+            .withColumn("seq_offset",
+                        F.pmod(F.col("token_start"), F.lit(seq_len)))
+            .withColumn(
+                "spans_boundary",
+                (F.col(tokens_col) > 0)
+                & (_idiv(end, F.lit(seq_len)) > F.col("seq_id"))))

@@ -1,0 +1,71 @@
+"""GPT-style sequence packing (ops/packing.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from metacrafter_spark.ops.packing import pack_documents
+from metacrafter_spark.ops.sampling import _id_hash
+
+
+def _docs(spark, n, parts=4):
+    return (spark.range(0, n, 1, parts)
+            .select(F.col("id").alias("doc_id"),
+                    (F.pmod(F.col("id") * 37 + 11, F.lit(900)) + 1)
+                    .alias("n_tokens")))
+
+
+def test_packing_layout_invariants(spark):
+    df = _docs(spark, 500)
+    out = pack_documents(df, seq_len=512).collect()
+    rows = sorted(out, key=lambda r: r.token_start)
+    # the stream is gapless: offsets tile the total token count
+    pos = 0
+    for r in rows:
+        assert r.token_start == pos, (r.doc_id, r.token_start, pos)
+        pos += r.n_tokens
+    assert pos == sum(r.n_tokens for r in rows)
+    # per-row coordinate arithmetic
+    for r in rows:
+        assert r.seq_id == r.token_start // 512
+        assert r.seq_offset == r.token_start % 512
+        want_span = (r.n_tokens > 0 and
+                     (r.token_start + r.n_tokens - 1) // 512 > r.seq_id)
+        assert r.spans_boundary == want_span
+    # the order is the hash order
+    hs = [r.pack_h for r in rows]
+    assert hs == sorted(hs)
+
+
+def test_packing_partitioning_and_bucket_invariance(spark):
+    df = _docs(spark, 300, parts=3)
+    a = {r.doc_id: (r.token_start, r.seq_id, r.seq_offset)
+         for r in pack_documents(df, seq_len=128).collect()}
+    b = {r.doc_id: (r.token_start, r.seq_id, r.seq_offset)
+         for r in pack_documents(df.repartition(11), seq_len=128,
+                                 n_buckets=7).collect()}
+    assert a == b
+
+
+def test_packing_python_replay(spark):
+    df = _docs(spark, 200)
+    toks = {r.doc_id: r.n_tokens for r in df.collect()}
+    hs = {r.doc_id: r.h for r in
+          df.select("doc_id", _id_hash("doc_id", 0).alias("h"))
+          .collect()}
+    pos, want = 0, {}
+    for did in sorted(toks, key=lambda d: (hs[d], d)):
+        want[did] = pos
+        pos += toks[did]
+    got = {r.doc_id: r.token_start
+           for r in pack_documents(df, seq_len=64).collect()}
+    assert got == want
+
+
+def test_packing_zero_tokens_and_validation(spark):
+    df = spark.createDataFrame([(1, 0), (2, 10), (3, 0)],
+                               "doc_id long, n_tokens long")
+    out = {r.doc_id: r for r in pack_documents(df, seq_len=8).collect()}
+    assert all(not out[d].spans_boundary for d in (1, 3))
+    assert out[2].spans_boundary  # 10 tokens over len-8 sequences
+    with pytest.raises(ValueError):
+        pack_documents(df, seq_len=0)
