@@ -432,6 +432,25 @@ def main() -> None:
         ["BroadcastNestedLoopJoin", "HashAggregate"],
     ))
 
+    # 24. sequence packing: the corpus-scale window is PARTITIONED by
+    # the hash bucket (bounded partitions); only the B-row bucket-
+    # offset frame goes through a single partition, and it comes back
+    # as a broadcast
+    from metacrafter_spark.ops.packing import pack_documents
+
+    pk = spark.range(5000).selectExpr(
+        "id as doc_id", "(id % 700 + 1) as n_tokens")
+    kplan = plan_of(pack_documents(pk, seq_len=512))
+    sections.append((
+        "Sequence packing (bucket-partitioned prefix-sum windows; "
+        "single-partition work bounded at B rows, broadcast back)",
+        kplan,
+        ["BroadcastExchange", "Window"],
+    ))
+    # the big-frame window must be keyed on the bucket, not global
+    assert "partitionBy=[__bucket" in kplan.replace(" ", "") \
+        or "__bucket" in kplan, "packing window lost its bucket key!"
+
     out = ["# BENCH/EXPLAIN — physical-plan audit\n"]
     ok = True
     for title, plan, must in sections:
