@@ -2334,6 +2334,28 @@ def q_sequence_packing(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_packed_sequences(spark, sf_dir):
+    """Materialized training sequences (round 5, ops/packing.py
+    materialize_sequences): the packed token stream cut into
+    seq_len=512 sequences, documents split at the boundaries they
+    span.  The oracle rebuilds every sequence in SQL — same slices,
+    same offset-ordered assembly — and compares md5(seq_text)."""
+    from metacrafter_spark.ops.packing import (
+        materialize_sequences, pack_documents)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.withColumn(
+        "n_tokens",
+        F.size(F.filter(F.split("text", r"\s+"),
+                        lambda w: w != "")).cast("long"))
+    packed = pack_documents(toks, seq_len=512)
+    seqs = materialize_sequences(packed, seq_len=512)
+    return (seqs.select("seq_id", "n_docs", "n_tokens",
+                        F.md5(F.encode("seq_text", "utf-8"))
+                        .alias("seq_md5"))
+            .orderBy("seq_id"))
+
+
 def q_page_metadata(spark, sf_dir):
     """Page-metadata extraction (round 5, corpus/html.py
     with_page_metadata): <title> comes from the corpus's own html;
@@ -2521,6 +2543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_harvest": q_robots_harvest,
         "page_metadata": q_page_metadata,
         "sequence_packing": q_sequence_packing,
+        "packed_sequences": q_packed_sequences,
         "outlink_graph": q_outlink_graph,
         "anchor_text_agg": q_anchor_text_agg,
         "url_revisit_dedup": q_url_revisit_dedup,
@@ -4112,6 +4135,50 @@ def oracle_sql() -> dict[str, str]:
                    ((token_start + n_tokens - 1) // 512)
                      > (token_start // 512) AS spans_boundary
             FROM o ORDER BY doc_id
+        """,
+        # packed_sequences: every sequence rebuilt in SQL — identical
+        # slices and offset-ordered assembly — md5-compared
+        "packed_sequences": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 w -> w != '') AS words,
+                     len(list_filter(string_split_regex(text, '\s+'),
+                                     w -> w != ''))::BIGINT AS n_tokens,
+                     ((doc_id % 2147483648) * 2654435761)
+                       % 4294967296 AS pack_h
+              FROM documents),
+            o AS (
+              SELECT *,
+                     coalesce(sum(n_tokens) OVER (
+                       ORDER BY pack_h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0)::BIGINT AS token_start
+              FROM t),
+            sp AS (
+              SELECT *,
+                     unnest(generate_series(token_start // 512,
+                       (token_start + n_tokens - 1) // 512)) AS s
+              FROM o WHERE n_tokens > 0),
+            parts AS (
+              SELECT s AS seq_id,
+                greatest(s*512, token_start) - s*512 AS off,
+                list_aggregate(words[
+                  (greatest(s*512, token_start) - token_start + 1)::INT
+                  : (least((s+1)*512 - 1, token_start + n_tokens - 1)
+                     - token_start + 1)::INT],
+                  'string_agg', ' ') AS part,
+                least((s+1)*512 - 1, token_start + n_tokens - 1)
+                  - greatest(s*512, token_start) + 1 AS n
+              FROM sp),
+            seqs AS (
+              SELECT seq_id,
+                     string_agg(part, ' ' ORDER BY off) AS seq_text,
+                     count(*) AS n_docs,
+                     sum(n)::BIGINT AS n_tokens
+              FROM parts GROUP BY seq_id)
+            SELECT seq_id, n_docs, n_tokens, md5(seq_text) AS seq_md5
+            FROM seqs ORDER BY seq_id
         """,
         # robots_harvest: url filter, host extraction and the
         # newest-capture survivor window replayed in SQL

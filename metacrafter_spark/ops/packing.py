@@ -86,3 +86,59 @@ def pack_documents(
                 "spans_boundary",
                 (F.col(tokens_col) > 0)
                 & (_idiv(end, F.lit(seq_len)) > F.col("seq_id"))))
+
+
+def materialize_sequences(
+    packed: DataFrame,
+    text_col: str = "text",
+    *,
+    seq_len: int = 2048,
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Turn packing coordinates into the actual training sequences:
+    ``(seq_id, seq_text, n_docs, n_tokens)`` where ``seq_text`` is the
+    space-joined token stream of the sequence — every sequence except
+    the last carries exactly ``seq_len`` tokens, documents split at
+    the boundaries they span.
+
+    ``packed`` is :func:`pack_documents` output still carrying the
+    document text; ``tokens_col`` must equal the whitespace token
+    count of ``text_col`` (the split used here) or the slices would
+    disagree with the offsets.  Each document explodes into one row
+    per sequence it touches (almost always 1–2), then one shuffle
+    keyed on ``seq_id`` assembles the sequences — fixed-width rows
+    plus the text that actually lands in the sequence, nothing else.
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    words = F.filter(F.split(F.col(text_col), r"\s+"),
+                     lambda w: w != "")
+    start, nt = F.col("token_start"), F.col(tokens_col)
+    end = start + nt - 1
+    with_span = (packed.filter(nt > 0)
+                 .withColumn("__words", words)
+                 .withColumn("__s", F.explode(F.sequence(
+                     _idiv(start, F.lit(seq_len)),
+                     _idiv(end, F.lit(seq_len))))))
+    s = F.col("__s")
+    seg_start = F.greatest(s * seq_len, start)          # global token idx
+    seg_end = F.least((s + 1) * seq_len - 1, end)
+    parts = with_span.select(
+        s.alias("seq_id"),
+        (seg_start - s * seq_len).alias("__off"),
+        F.array_join(
+            F.slice(F.col("__words"),
+                    (seg_start - start + 1).cast("int"),
+                    (seg_end - seg_start + 1).cast("int")),
+            " ").alias("__part"),
+        (seg_end - seg_start + 1).alias("__n"))
+    return (parts.groupBy("seq_id")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("__off", "__part"))),
+                        lambda x: x["__part"]),
+                    " ").alias("seq_text"),
+                F.count("*").alias("n_docs"),
+                F.sum("__n").cast("long").alias("n_tokens")))

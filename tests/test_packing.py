@@ -61,6 +61,41 @@ def test_packing_python_replay(spark):
     assert got == want
 
 
+def test_materialize_sequences(spark):
+    from metacrafter_spark.ops.packing import materialize_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"d{i}w{j}" for j in range(5 + i % 7)))
+         for i in range(60)],
+        "doc_id long, text string")
+    toks = docs.withColumn(
+        "n_tokens",
+        F.size(F.filter(F.split("text", r"\s+"),
+                        lambda w: w != "")).cast("long"))
+    packed = pack_documents(toks, seq_len=16)
+    seqs = sorted(materialize_sequences(packed, seq_len=16).collect(),
+                  key=lambda r: r.seq_id)
+    total = sum(r.n_tokens for r in
+                packed.select("n_tokens").collect())
+    # seq ids tile 0..last; all full except possibly the last
+    assert [r.seq_id for r in seqs] == list(range(len(seqs)))
+    assert all(r.n_tokens == 16 for r in seqs[:-1])
+    assert sum(r.n_tokens for r in seqs) == total
+    for r in seqs:
+        assert len(r.seq_text.split(" ")) == r.n_tokens
+    # the concatenated stream equals the documents in hash order
+    rows = sorted(packed.collect(), key=lambda r: r.token_start)
+    want_stream = " ".join(r.text for r in rows).split()
+    got_stream = " ".join(r.seq_text for r in seqs).split()
+    assert got_stream == want_stream
+    # determinism across partitioning
+    seqs2 = sorted(materialize_sequences(
+        pack_documents(toks.repartition(7), seq_len=16, n_buckets=5),
+        seq_len=16).collect(), key=lambda r: r.seq_id)
+    assert [(r.seq_id, r.seq_text) for r in seqs2] == \
+        [(r.seq_id, r.seq_text) for r in seqs]
+
+
 def test_packing_zero_tokens_and_validation(spark):
     df = spark.createDataFrame([(1, 0), (2, 10), (3, 0)],
                                "doc_id long, n_tokens long")
