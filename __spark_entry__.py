@@ -2313,6 +2313,23 @@ def q_robots_harvest(spark, sf_dir):
             .orderBy("host"))
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-based mixture sampling (round 5,
+    ops/sampling.temperature_mix — the mT5/ROOTS multilingual recipe):
+    per-source budgets ∝ total_chars^(1/3), selection by the Knuth
+    hash filter.  The single libm pow is rounded to 9 decimals (the
+    perplexity tolerance convention); everything else is the integer
+    hash arithmetic the oracle replays exactly."""
+    from metacrafter_spark.ops.sampling import temperature_mix
+
+    docs = _t(spark, sf_dir, "documents") \
+        .select("doc_id", "source", "n_chars")
+    sel = temperature_mix(docs, "source", "doc_id", "n_chars",
+                          total_budget=60000.0, temperature=3.0,
+                          seed=3)
+    return sel.select("doc_id", "source", "n_chars").orderBy("doc_id")
+
+
 def q_sequence_packing(spark, sf_dir):
     """GPT-style sequence packing (round 5, ops/packing.py): global
     token offsets in deterministic hash order via a two-phase
@@ -2544,6 +2561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_metadata": q_page_metadata,
         "sequence_packing": q_sequence_packing,
         "packed_sequences": q_packed_sequences,
+        "temperature_mix": q_temperature_mix,
         "outlink_graph": q_outlink_graph,
         "anchor_text_agg": q_anchor_text_agg,
         "url_revisit_dedup": q_url_revisit_dedup,
@@ -4135,6 +4153,29 @@ def oracle_sql() -> dict[str, str]:
                    ((token_start + n_tokens - 1) // 512)
                      > (token_start // 512) AS spans_boundary
             FROM o ORDER BY doc_id
+        """,
+        # temperature_mix: pow rounded to 9 decimals on both sides,
+        # then the exact Knuth-hash Bernoulli filter
+        "temperature_mix": r"""
+            WITH tot AS (
+              SELECT source, sum(n_chars)::DOUBLE AS t
+              FROM documents GROUP BY source),
+            p AS (SELECT source, t,
+                         round(pow(t, 1.0/3.0), 9) AS pw FROM tot),
+            d AS (SELECT sum(pw) AS den FROM p),
+            b AS (SELECT source, t,
+                         round(60000.0 * pw / den, 9) AS budget
+                  FROM p, d),
+            sel AS (
+              SELECT doc.doc_id, doc.source, doc.n_chars,
+                     CASE WHEN b.budget >= b.t THEN 1.0
+                          ELSE b.budget / b.t END AS frac
+              FROM documents doc JOIN b USING (source))
+            SELECT doc_id, source, n_chars FROM sel
+            WHERE (((doc_id % 2147483648 + 3) % 2147483648)
+                   * 2654435761) % 4294967296
+                  < floor(frac * 4294967296.0)
+            ORDER BY doc_id
         """,
         # packed_sequences: every sequence rebuilt in SQL — identical
         # slices and offset-ordered assembly — md5-compared

@@ -190,3 +190,50 @@ def budget_mix(
         .filter(_id_hash(id_col, seed) < thr)
         .drop("__sk", "__tot")
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    weight_col: str,
+    *,
+    total_budget: float,
+    temperature: float = 1.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-based mixture sampling (the mT5/ROOTS multilingual
+    recipe): target share per stratum ∝ ``total_weight^(1/T)``, so
+    T=1 keeps natural proportions, T→∞ approaches uniform across
+    strata, and low-resource strata are up-weighted in between.  The
+    per-stratum budgets are ``total_budget · w_i^(1/T) / Σ w^(1/T)``;
+    selection then runs through :func:`budget_mix`'s map-side
+    Bernoulli filter (a stratum whose budget exceeds its weight keeps
+    everything — temperature sampling never repeats documents here).
+
+    Determinism across engines: the only libm call (``pow``) is
+    rounded to 9 decimals before use (the perplexity-query tolerance
+    convention), after which everything is the hash-filter integer
+    arithmetic.  Scale shape: one tiny per-stratum agg + broadcasts;
+    the corpus never shuffles."""
+    if temperature <= 0:
+        raise ValueError("temperature must be positive")
+    df = df.withColumn("__sk", _stratum_key(strata_col))
+    totals = df.groupBy("__sk").agg(
+        F.sum(weight_col).cast("double").alias("__tot"))
+    powed = totals.withColumn(
+        "__pw", F.round(F.pow(F.col("__tot"),
+                              F.lit(1.0 / temperature)), 9))
+    denom = powed.agg(F.sum("__pw").alias("__den"))
+    budgets = (powed.crossJoin(F.broadcast(denom))
+               .withColumn(
+                   "__budget",
+                   F.round(F.lit(float(total_budget)) * F.col("__pw")
+                           / F.col("__den"), 9)))
+    frac = F.when(F.col("__budget") >= F.col("__tot"), F.lit(1.0)) \
+        .otherwise(F.col("__budget") / F.col("__tot"))
+    thr = F.floor(frac * F.lit(float(_MOD))).cast("long")
+    sel = (df.join(F.broadcast(budgets.select("__sk", "__budget",
+                                              "__tot")), "__sk")
+           .filter(_id_hash(id_col, seed) < thr))
+    return sel.drop("__sk", "__budget", "__tot")

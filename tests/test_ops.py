@@ -427,6 +427,48 @@ def test_budget_mix(spark):
     assert a == b
 
 
+def test_temperature_mix(spark):
+    import pytest
+    from pyspark.sql import functions as F
+    from metacrafter_spark.ops.sampling import temperature_mix
+
+    # skewed sources: 1600 / 300 / 100 rows of weight 100
+    df = (spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+          .withColumn("src",
+                      F.when(F.col("doc_id") < 1600, "big")
+                      .when(F.col("doc_id") < 1900, "mid")
+                      .otherwise(F.lit("small")))
+          .withColumn("w", F.lit(100)))
+    # T=1: natural proportions — kept weight per stratum ∝ its size
+    t1 = temperature_mix(df, "src", "doc_id", "w",
+                         total_budget=50000.0, seed=3)
+    kw1 = {r["src"]: r["kw"] for r in
+           t1.groupBy("src").agg(F.sum("w").alias("kw")).collect()}
+    assert kw1["big"] > kw1["mid"] > kw1.get("small", 0)
+    assert 30000 < kw1["big"] < 50000  # expected 40000, binomial noise
+    # high T flattens: budgets approach uniform (~16.7k each) — the
+    # small stratum keeps everything (budget > its 10k weight), mid
+    # and big are both clamped to ~budget regardless of natural share
+    t5 = temperature_mix(df, "src", "doc_id", "w",
+                         total_budget=50000.0, temperature=100.0,
+                         seed=3)
+    kw5 = {r["src"]: r["kw"] for r in
+           t5.groupBy("src").agg(F.sum("w").alias("kw")).collect()}
+    assert kw5["small"] == 10000          # whole stratum kept
+    assert 12000 < kw5["mid"] < 21500     # ~16.6k budget + noise
+    assert 12000 < kw5["big"] < 21500     # ~16.9k budget + noise
+    assert kw5["big"] < kw1["big"]
+    # deterministic across partitionings
+    a = sorted(r["doc_id"] for r in t1.collect())
+    b = sorted(r["doc_id"] for r in temperature_mix(
+        df.repartition(13), "src", "doc_id", "w",
+        total_budget=50000.0, seed=3).collect())
+    assert a == b
+    with pytest.raises(ValueError):
+        temperature_mix(df, "src", "doc_id", "w",
+                        total_budget=1.0, temperature=0.0)
+
+
 def test_normalize_text(spark):
     from metacrafter_spark.ops.textstats import normalize_text
 
