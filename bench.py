@@ -139,6 +139,24 @@ def main() -> None:
             .mode("overwrite").save()
         best = min(best, time.perf_counter() - t0)
     qtimes["webgraph_pagerank"] = round(best, 3)
+
+    # packing row: whitespace token counts → two-phase distributed
+    # prefix sum → sequence coordinates over the full corpus
+    from metacrafter_spark.ops.packing import pack_documents
+
+    toks = corpus.select(
+        F.regexp_extract("url", r"/article/(\d+)$", 1).cast("long")
+        .alias("doc_id"),
+        F.size(F.filter(F.split("text", r"\s+"),
+                        lambda w: w != "")).cast("long")
+        .alias("n_tokens"))
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        pack_documents(toks, seq_len=2048).write.format("noop") \
+            .mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    qtimes["sequence_packing"] = round(best, 3)
     total = round(sum(qtimes.values()), 3)
 
     print(json.dumps({
