@@ -2478,6 +2478,35 @@ def q_page_rank(spark, sf_dir):
             .orderBy("node_id"))
 
 
+def q_kenlm_perplexity(spark, sf_dir):
+    """Word-bigram interpolated Kneser-Ney LM (round 5,
+    corpus/kenlm.py) — the north rule's "KenLM-style n-gram
+    perplexity" at word level (Chen & Goodman 1998 §2.7; reference
+    north star names the signal; the char-trigram stand-in is
+    q_perplexity).  Trained distributively on the English subset
+    (top-512 vocab via TakeOrdered, OOV → <unk> through broadcast
+    joins), scored over all 2000 docs.  Every probability is an
+    IEEE-double expression of integer counts quantized
+    round(ln(p), 9) → decimal(18,9) at the MODEL row, so per-doc sums
+    are exact decimal addition — order- and engine-independent.  The
+    oracle replays tokenization, vocab selection, bigram counts,
+    count-of-counts discount, all three model tables and the scoring
+    joins verbatim in DuckDB."""
+    from metacrafter_spark.corpus.kenlm import (
+        train_kn_bigram, score_kn_bigram)
+
+    docs = _t(spark, sf_dir, "documents") \
+        .select("doc_id", "lang", "text").filter(F.col("doc_id") < 2000)
+    model = train_kn_bigram(
+        docs.filter(F.col("lang") == "en").select("text"),
+        vocab_size=512, max_words=200)
+    scored = score_kn_bigram(docs.select("doc_id", "text"), model)
+    return (scored.select(
+        "doc_id", "n_grams",
+        F.round(F.col("sum_logp").cast("double"), 6).alias("sum_logp"))
+        .orderBy("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": q_tpch_q1,
@@ -2567,6 +2596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_revisit_dedup": q_url_revisit_dedup,
         "sitemap_recrawl": q_sitemap_recrawl,
         "page_rank": q_page_rank,
+        "kenlm_perplexity": q_kenlm_perplexity,
         # hash-green ANN quality bars (round 4): exact top-k rows are
         # SQL-replayed; recall_ok is computed in-query vs the exact set
         # (oracle expects TRUE — the fp_stable invariant pattern)
@@ -4262,6 +4292,91 @@ def oracle_sql() -> dict[str, str]:
         # page_rank: the 5 fixed-point iterations unrolled — exact
         # BIGINT arithmetic end to end, bit-identical by construction
         "page_rank": _pagerank_sql(),
+        # kenlm_perplexity: the full interpolated-Kneser-Ney chain
+        # replayed — tokenization, top-512 vocab, <unk> mapping,
+        # bigram counts, count-of-counts discount D, pair/backoff/
+        # continuation tables quantized to decimal(18,9), and the
+        # exact decimal per-doc sums
+        "kenlm_perplexity": r"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 2000),
+            train AS (
+              SELECT text FROM documents
+              WHERE doc_id < 2000 AND lang = 'en'),
+            tw AS (SELECT
+                   list_filter(string_split_regex(lower(text), '\W+'),
+                               w -> len(w) > 0)[1:200] AS ws
+                   FROM train),
+            wc AS (SELECT w, count(*) AS c
+                   FROM (SELECT unnest(ws) AS w FROM tw) GROUP BY 1),
+            vocab AS (SELECT w FROM wc ORDER BY c DESC, w ASC
+                      LIMIT 512),
+            tt AS (SELECT ['<s>'] || ws || ['</s>'] AS t FROM tw),
+            tp AS (SELECT unnest(list_transform(range(1, len(t)),
+                     i -> {'a': t[i], 'b': t[i+1]})) AS p FROM tt),
+            mp AS (SELECT
+                   CASE WHEN p['a'] IN ('<s>','</s>')
+                          OR va.w IS NOT NULL
+                        THEN p['a'] ELSE '<unk>' END AS w1,
+                   CASE WHEN p['b'] IN ('<s>','</s>')
+                          OR vb.w IS NOT NULL
+                        THEN p['b'] ELSE '<unk>' END AS w2
+                   FROM tp LEFT JOIN vocab va ON p['a'] = va.w
+                           LEFT JOIN vocab vb ON p['b'] = vb.w),
+            big AS (SELECT w1, w2, count(*) AS c12 FROM mp
+                    GROUP BY 1, 2),
+            c1t AS (SELECT w1, sum(c12)::BIGINT AS c1,
+                           count(*) AS n1a FROM big GROUP BY 1),
+            cnt AS (SELECT w2, count(*) AS n1b FROM big GROUP BY 1),
+            ko AS (SELECT count(*) AS B,
+                   sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END)::BIGINT
+                       AS n1,
+                   sum(CASE WHEN c12 = 2 THEN 1 ELSE 0 END)::BIGINT
+                       AS n2
+                   FROM big),
+            kd AS (SELECT B, greatest(n1, 1)::DOUBLE
+                          / (greatest(n1, 1) + 2 * n2) AS d FROM ko),
+            plp AS (SELECT w1, w2,
+                    round(ln((greatest(c12 - d, 0.0)
+                              + d * n1a * n1b / B) / c1),
+                          9)::DECIMAL(18,9) AS lp
+                    FROM big JOIN c1t USING (w1) JOIN cnt USING (w2),
+                         kd),
+            bot AS (SELECT w1, round(ln(d * n1a / c1),
+                          9)::DECIMAL(18,9) AS bo FROM c1t, kd),
+            cvt AS (SELECT w2, round(ln(n1b::DOUBLE / B),
+                          9)::DECIMAL(18,9) AS cv FROM cnt, kd),
+            flv AS (SELECT round(ln(1.0 / (B + 1)),
+                          9)::DECIMAL(18,9) AS fl FROM kd),
+            sw AS (SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\W+'),
+                               w -> len(w) > 0)[1:200] AS ws
+                   FROM corpus),
+            st AS (SELECT doc_id, ['<s>'] || ws || ['</s>'] AS t
+                   FROM sw),
+            sp AS (SELECT doc_id,
+                   unnest(list_transform(range(1, len(t)),
+                     i -> {'a': t[i], 'b': t[i+1]})) AS p FROM st),
+            smp AS (SELECT doc_id,
+                    CASE WHEN p['a'] IN ('<s>','</s>')
+                           OR va.w IS NOT NULL
+                         THEN p['a'] ELSE '<unk>' END AS w1,
+                    CASE WHEN p['b'] IN ('<s>','</s>')
+                           OR vb.w IS NOT NULL
+                         THEN p['b'] ELSE '<unk>' END AS w2
+                    FROM sp LEFT JOIN vocab va ON p['a'] = va.w
+                            LEFT JOIN vocab vb ON p['b'] = vb.w),
+            scored AS (SELECT doc_id,
+                       coalesce(lp, coalesce(bo, fl)
+                                    + coalesce(cv, fl)) AS logp
+                       FROM smp LEFT JOIN plp USING (w1, w2)
+                                LEFT JOIN bot USING (w1)
+                                LEFT JOIN cvt USING (w2), flv),
+            agg AS (SELECT doc_id, count(*) AS n_grams, sum(logp) AS s
+                    FROM scored GROUP BY 1)
+            SELECT doc_id, n_grams, round(s::DOUBLE, 6) AS sum_logp
+            FROM agg ORDER BY doc_id
+        """,
         # anchor_text_agg: the two-group extraction regex + list_zip
         # replayed; resolution simplifies to its identity cases for
         # these shapes (the full chain is oracled by outlink_graph)

@@ -1,0 +1,218 @@
+# -*- coding: utf-8 -*-
+"""KenLM-style word-bigram language model with interpolated Kneser-Ney
+smoothing, trained and scored distributively.
+
+The reference pipeline's north star names "a KenLM-style n-gram
+perplexity score" as the quality signal; ``corpus/perplexity.py`` is
+the char-trigram stand-in.  This module is the word-level real thing:
+the same estimator family KenLM implements (Kneser-Ney interpolation,
+Chen & Goodman 1998 §2.7; one discount ``D = n1/(n1+2*n2)`` from the
+bigram count-of-counts), built as pure DataFrame aggregations so the
+whole train + score chain is SQL-replayable.
+
+Model (all quantities from one distributed bigram-count table):
+
+- tokens: ``<s> w1 .. wk </s>`` over the lowercased ``\\W+`` word
+  split, words capped map-side (``max_words``);
+- vocabulary: top-``vocab_size`` words by (count desc, word asc) —
+  a distributed TakeOrdered, never a single-partition window sort;
+  out-of-vocabulary tokens (train AND score side) map to ``<unk>``
+  through broadcast joins against the vocab frame, so the corpus
+  itself never reassembles token arrays;
+- ``P(w2|w1) = (max(c12 - D, 0) + D * N1+(w1,*) * Pcont(w2)) / c1(w1)``
+  with ``Pcont(w2) = N1+(*,w2) / B`` (B = distinct bigram types);
+- unseen pair, seen context: ``P = D * N1+(w1,*)/c1(w1) * Pcont(w2)``
+  — the interpolation weight times the continuation probability;
+- never-seen context or continuation (possible only when training saw
+  zero OOV tokens so ``<unk>`` has no counts): a documented uniform
+  floor ``1/(B+1)``.
+
+Determinism / oracle contract: every probability is computed as an
+IEEE-double expression of integer counts with an expression shape the
+DuckDB oracle mirrors verbatim, then quantized ``round(ln(p), 9) ->
+decimal(18,9)`` at the MODEL row (once per bigram type, not per
+document).  A document's log-probability is then an exact decimal SUM
+of model-row values — associative, so byte-identical under any
+partitioning and in any engine (the ``ops/dsir.py`` idiom).
+
+Scale shape: the corpus is touched by map-side explodes only; the
+shuffles are the bigram/unigram count aggs (bounded by the type
+counts, with map-side partial aggregation) and the fixed-width per-doc
+sum.  The vocab (``vocab_size`` rows) and the model tables (≤ B rows;
+KenLM's own deployment answer is a pruned model on every node) ride
+broadcast joins by default — at a model size beyond the broadcast
+threshold pass ``broadcast_model=False`` and the pair lookup becomes
+an ordinary shuffled hash join keyed on (w1, w2).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+BOS = "<s>"
+EOS = "</s>"
+UNK = "<unk>"
+
+
+def _words(text_col: str, max_words: int) -> Column:
+    """Lowercased ``\\W+`` word split, empties dropped, capped
+    map-side (the ``ops/dsir.py`` tokenization, shared contract)."""
+    return F.slice(
+        F.filter(F.split(F.lower(F.col(text_col)), r"\W+"),
+                 lambda w: F.length(w) > 0),
+        1, max_words)
+
+
+def _token_pairs(text_col: str, max_words: int) -> Column:
+    """array<struct<w1,w2>> of consecutive-token bigrams over
+    ``<s> words </s>`` — always ≥ 1 pair (the ``<s> </s>`` pair for an
+    empty document)."""
+    toks = F.concat(F.array(F.lit(BOS)), _words(text_col, max_words),
+                    F.array(F.lit(EOS)))
+    n = F.size(toks)
+    return F.zip_with(
+        F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+
+
+def _mapped_pairs(df: DataFrame, text_col: str, vocab: DataFrame,
+                  max_words: int, *extra_cols: str) -> DataFrame:
+    """Explode bigrams and map both sides through the vocab (markers
+    exempt, everything else out-of-vocab becomes ``<unk>``) via two
+    broadcast joins — no token-array reconstruction anywhere."""
+    pairs = (df.select(*extra_cols,
+                       F.explode(_token_pairs(text_col, max_words))
+                       .alias("p"))
+             .select(*extra_cols, F.col("p.w1").alias("rw1"),
+                     F.col("p.w2").alias("rw2")))
+    v1 = vocab.select(F.col("w").alias("rw1"),
+                      F.lit(True).alias("__in1"))
+    v2 = vocab.select(F.col("w").alias("rw2"),
+                      F.lit(True).alias("__in2"))
+    mapped = (pairs
+              .join(F.broadcast(v1), "rw1", "left")
+              .join(F.broadcast(v2), "rw2", "left"))
+
+    def _m(raw: str, flag: str) -> Column:
+        return F.when(
+            F.col(raw).isin(BOS, EOS) | F.col(flag).isNotNull(),
+            F.col(raw)).otherwise(F.lit(UNK))
+
+    return mapped.select(*extra_cols, _m("rw1", "__in1").alias("w1"),
+                         _m("rw2", "__in2").alias("w2"))
+
+
+@dataclass
+class KNBigramModel:
+    """Trained interpolated-KN bigram model as three joinable frames
+    plus the one-row constants frame (never collected)."""
+    vocab: DataFrame      # (w)
+    pairs: DataFrame      # (w1, w2, lp decimal(18,9))
+    backoff: DataFrame    # (w1, bo decimal(18,9))  = round(ln(D*N1a/c1), 9)
+    cont: DataFrame       # (w2, cv decimal(18,9))  = round(ln(N1b/B), 9)
+    consts: DataFrame     # (B, n1, n2) one row
+    max_words: int
+
+
+def train_kn_bigram(corpus: DataFrame, text_col: str = "text", *,
+                    vocab_size: int = 4096,
+                    max_words: int = 500) -> KNBigramModel:
+    """Train the model.  One pass for word counts (top-K vocab via
+    distributed TakeOrdered), one pass for mapped-bigram counts; every
+    derived statistic (c1, N1+(w1,*), N1+(*,w2), B, n1, n2) comes from
+    the bigram-type table, which is tiny relative to the corpus."""
+    wc = (corpus
+          .select(F.explode(_words(text_col, max_words)).alias("w"))
+          .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    vocab = (wc.orderBy(F.desc("c"), F.asc("w")).limit(vocab_size)
+             .select("w"))
+
+    big = (_mapped_pairs(corpus, text_col, vocab, max_words)
+           .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")))
+    big = big.persist()
+
+    c1 = big.groupBy("w1").agg(F.sum("c12").alias("c1"),
+                               F.count(F.lit(1)).alias("n1a"))
+    cont_n = big.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    consts = big.agg(
+        F.count(F.lit(1)).alias("B"),
+        F.sum((F.col("c12") == 1).cast("long")).alias("n1"),
+        F.sum((F.col("c12") == 2).cast("long")).alias("n2"))
+
+    # D = n1/(n1+2*n2) with the degenerate-corpus guard n1 := max(n1,1)
+    # (n1 = 0 would zero the interpolation mass and send every unseen
+    # pair to -inf).  Expression SHAPE is the oracle contract — the
+    # DuckDB replay mirrors it verbatim.
+    d = (F.greatest(F.col("n1"), F.lit(1)).cast("double")
+         / (F.greatest(F.col("n1"), F.lit(1)) + F.lit(2) * F.col("n2")))
+
+    pairs = (big.join(c1, "w1").join(cont_n, "w2").crossJoin(
+        F.broadcast(consts))
+        .select(
+            "w1", "w2",
+            F.round(F.log(
+                (F.greatest(F.col("c12") - d, F.lit(0.0))
+                 + d * F.col("n1a") * F.col("n1b") / F.col("B"))
+                / F.col("c1")), 9).cast("decimal(18,9)").alias("lp")))
+    backoff = (c1.crossJoin(F.broadcast(consts))
+               .select("w1",
+                       F.round(F.log(d * F.col("n1a") / F.col("c1")), 9)
+                       .cast("decimal(18,9)").alias("bo")))
+    cont = (cont_n.crossJoin(F.broadcast(consts))
+            .select("w2",
+                    F.round(F.log(F.col("n1b").cast("double")
+                                  / F.col("B")), 9)
+                    .cast("decimal(18,9)").alias("cv")))
+    return KNBigramModel(vocab=vocab, pairs=pairs, backoff=backoff,
+                         cont=cont, consts=consts, max_words=max_words)
+
+
+def score_kn_bigram(docs: DataFrame, model: KNBigramModel, *,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    broadcast_model: bool = True) -> DataFrame:
+    """Per-document KN log-probability: (id, n_grams, sum_logp
+    decimal, ppl double).  ``sum_logp`` is the exact decimal sum of
+    model-row values (the oracle-checkable column); ``ppl =
+    exp(-sum/n)`` is the user-facing convenience (double arithmetic,
+    excluded from hash oracles by the callers).
+
+    The corpus never shuffles: vocab mapping and (by default) all
+    three model lookups are broadcast joins; the one shuffle is the
+    fixed-width per-document aggregation."""
+    hint = F.broadcast if broadcast_model else (lambda x: x)
+    sp = _mapped_pairs(docs, text_col, model.vocab, model.max_words,
+                       id_col)
+    scored = (sp
+              .join(hint(model.pairs), ["w1", "w2"], "left")
+              .join(hint(model.backoff), "w1", "left")
+              .join(hint(model.cont), "w2", "left")
+              .crossJoin(F.broadcast(model.consts)))
+    # uniform floor for a context/continuation with no model row at
+    # all (only when training had zero OOV tokens): ln(1/(B+1))
+    fl = F.round(F.log(F.lit(1.0) / (F.col("B") + F.lit(1))), 9) \
+        .cast("decimal(18,9)")
+    logp = F.coalesce(
+        F.col("lp"),
+        F.coalesce(F.col("bo"), fl) + F.coalesce(F.col("cv"), fl))
+    return (scored
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.sum(logp).alias("sum_logp"))
+            .withColumn(
+                "ppl",
+                F.exp(-(F.col("sum_logp").cast("double")
+                        / F.col("n_grams")))))
+
+
+def with_kn_perplexity(docs: DataFrame, model: KNBigramModel, *,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       out_col: str = "kn_ppl",
+                       broadcast_model: bool = True) -> DataFrame:
+    """Attach the per-document KN perplexity as ``out_col`` (the
+    quality-signal join shape: score frame is (id, ppl) fixed-width,
+    joined back on the id)."""
+    s = score_kn_bigram(docs, model, id_col=id_col, text_col=text_col,
+                        broadcast_model=broadcast_model) \
+        .select(id_col, F.col("ppl").alias(out_col))
+    return docs.join(s, id_col, "left")

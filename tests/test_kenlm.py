@@ -1,0 +1,142 @@
+# -*- coding: utf-8 -*-
+"""Word-bigram interpolated Kneser-Ney LM (corpus/kenlm.py).
+
+Checks, in order: estimator correctness against an independent pure-
+Python Kneser-Ney implementation (exact to the decimal quantum),
+determinism across partitionings (the decimal-sum contract), the
+no-OOV floor path, shuffled-join parity with the broadcast default,
+and the with_kn_perplexity join shape."""
+import math
+import re
+from decimal import Decimal, ROUND_HALF_UP
+
+import pytest
+from pyspark.sql import functions as F
+
+from metacrafter_spark.corpus.kenlm import (
+    BOS, EOS, UNK, score_kn_bigram, train_kn_bigram, with_kn_perplexity)
+
+DOCS = [
+    (0, "the cat sat on the mat"),
+    (1, "the dog sat on the log"),
+    (2, "a cat and a dog play in the park"),
+    (3, "the mat and the log are old but fine"),
+    (4, "zq zq unusual rareword here with exotic tokens"),
+    (5, ""),
+    (6, "the the the the repetition stress test the the"),
+    (7, "numbers 123 and 456 mix with words"),
+]
+
+
+def _py_model(docs, vocab_size, max_words=500):
+    """Independent pure-Python interpolated-KN reference."""
+    def words(t):
+        return [w for w in re.split(r"\W+", t.lower()) if w][:max_words]
+
+    wc = {}
+    for _, t in docs:
+        for w in words(t):
+            wc[w] = wc.get(w, 0) + 1
+    vocab = set(sorted(wc, key=lambda w: (-wc[w], w))[:vocab_size])
+
+    def toks(t):
+        return [BOS] + [w if w in vocab else UNK for w in words(t)] + [EOS]
+
+    c12 = {}
+    for _, t in docs:
+        ts = toks(t)
+        for a, b in zip(ts, ts[1:]):
+            c12[(a, b)] = c12.get((a, b), 0) + 1
+    c1, n1a, n1b = {}, {}, {}
+    for (a, b), c in c12.items():
+        c1[a] = c1.get(a, 0) + c
+        n1a[a] = n1a.get(a, 0) + 1
+        n1b[b] = n1b.get(b, 0) + 1
+    B = len(c12)
+    n1 = sum(1 for c in c12.values() if c == 1)
+    n2 = sum(1 for c in c12.values() if c == 2)
+    n1g = max(n1, 1)
+    d = n1g / (n1g + 2 * n2)
+
+    def q9(x):
+        return Decimal(repr(x)).quantize(
+            Decimal("1e-9"), rounding=ROUND_HALF_UP)
+
+    def lp_pair(a, b):
+        if (a, b) in c12:
+            p = (max(c12[(a, b)] - d, 0.0)
+                 + d * n1a[a] * n1b[b] / B) / c1[a]
+            return q9(math.log(p))
+        fl = q9(math.log(1.0 / (B + 1)))
+        bo = q9(math.log(d * n1a[a] / c1[a])) if a in c1 else fl
+        cv = q9(math.log(n1b[b] / B)) if b in n1b else fl
+        return bo + cv
+
+    def score(t):
+        ts = toks(t)
+        return len(ts) - 1, sum(lp_pair(a, b) for a, b in zip(ts, ts[1:]))
+
+    return score
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_matches_pure_python_kn(spark, corpus):
+    model = train_kn_bigram(corpus, vocab_size=12)
+    rows = score_kn_bigram(corpus, model).orderBy("doc_id").collect()
+    ref = _py_model(DOCS, vocab_size=12)
+    assert len(rows) == len(DOCS)
+    for row in rows:
+        n, s = ref(dict(DOCS)[row.doc_id])
+        assert row.n_grams == n
+        assert Decimal(str(row.sum_logp)) == s
+        assert row.ppl == pytest.approx(math.exp(-float(s) / n))
+
+
+def test_deterministic_across_partitionings(spark, corpus):
+    def run(df):
+        model = train_kn_bigram(df, vocab_size=12)
+        return {r.doc_id: (r.n_grams, str(r.sum_logp))
+                for r in score_kn_bigram(df, model).collect()}
+
+    assert run(corpus.repartition(1)) == run(corpus.repartition(7))
+
+
+def test_no_oov_floor_path(spark):
+    # vocab covers every word -> <unk> never trained; scoring a doc
+    # with a novel word exercises the documented uniform floor
+    train = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "beta gamma alpha")],
+        "doc_id long, text string")
+    model = train_kn_bigram(train, vocab_size=100)
+    novel = spark.createDataFrame(
+        [(9, "alpha zzznovel beta")], "doc_id long, text string")
+    row = score_kn_bigram(novel, model).collect()[0]
+    assert row.n_grams == 4
+    assert float(row.sum_logp) < 0  # finite, floor applied, no nulls
+
+
+def test_shuffled_join_parity(spark, corpus):
+    model = train_kn_bigram(corpus, vocab_size=12)
+    a = {r.doc_id: str(r.sum_logp)
+         for r in score_kn_bigram(corpus, model).collect()}
+    b = {r.doc_id: str(r.sum_logp)
+         for r in score_kn_bigram(
+             corpus, model, broadcast_model=False).collect()}
+    assert a == b
+
+
+def test_with_kn_perplexity_join(spark, corpus):
+    model = train_kn_bigram(corpus, vocab_size=12)
+    out = with_kn_perplexity(corpus, model).orderBy("doc_id")
+    assert out.columns == ["doc_id", "text", "kn_ppl"]
+    rows = out.collect()
+    assert len(rows) == len(DOCS)
+    assert all(r.kn_ppl > 0 and math.isfinite(r.kn_ppl) for r in rows)
+    # the join attaches exactly the score frame's ppl per doc
+    scored = {r.doc_id: r.ppl
+              for r in score_kn_bigram(corpus, model).collect()}
+    assert {r.doc_id: r.kn_ppl for r in rows} == scored
