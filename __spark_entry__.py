@@ -2478,6 +2478,70 @@ def q_page_rank(spark, sf_dir):
             .orderBy("node_id"))
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (round 5, ops/similarity.py — Abbas et al. 2023):
+    semantic deduplication over the planted-clone embedding corpus.
+    Four seed-vector centroids (collected driver-side like IVF
+    centroids — bounded rows, literal in the plan so the oracle can
+    recompute them from the parquet), exact JVM fold assignment
+    (SQL-replayable argmax), within-cluster cosine pairs at τ = 0.95,
+    min-label connected components, and the paper's keep rule (the
+    group member least similar to its centroid survives).  The oracle
+    replays assignment, the cluster-scoped self-join, the recursive-CTE
+    components and the representative selection."""
+    from metacrafter_spark.ops.similarity import semdedup
+
+    _, corpus = _planted_ann_corpus(spark, sf_dir)
+    corpus = corpus.filter(
+        (F.col("vec_id") < 200) | (F.col("vec_id") >= 1_000_000))
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    out = semdedup(corpus, cents, threshold=0.95, exact_assign=True)
+    return out.orderBy("vec_id")
+
+
+def q_quality_classifier(spark, sf_dir):
+    """fastText-style supervised quality classifier (round 5,
+    ops/quality_classifier.py) — the model-based filtering stage of
+    CCNet/DCLM/FineWeb-Edu pipelines, distilled against a junk-marker
+    label on the BASELINE-shape corpus.  Six full-batch GD iterations
+    over binary hashed-n-gram features with the junk class residuals
+    upweighted 50× (junk is 1.8% of the corpus); weights/probabilities
+    quantize to decimal(18,9) each step (the linkgraph unroll
+    contract) so the oracle replays all six iterations as CTEs and
+    matches the final per-doc scores byte-for-byte.  acc_ok asserts
+    in-plan that the trained model reproduces ≥99% of labels (it
+    catches all 36 planted junk docs)."""
+    from metacrafter_spark.corpus.webpages import synth_webpages
+    from metacrafter_spark.ops.quality_classifier import (
+        score_logreg, train_logreg_hashed)
+
+    corpus = synth_webpages(spark, 2000, seed=42, partitions=8)
+    labeled = corpus.select(
+        "url", "text",
+        (~(F.col("text").contains("lorem ipsum")
+           | F.col("text").contains("function f() {")))
+        .cast("int").alias("y"))
+    model = train_logreg_hashed(
+        labeled, label_col="y", id_col="url", buckets=1024,
+        max_words=200, iterations=6, lr=2.0,
+        class_weights=(50.0, 1.0), binary=True)
+    scored = score_logreg(labeled.select("url", "text"), model,
+                          id_col="url")
+    j = scored.join(labeled.select("url", "y"), "url")
+    acc = j.agg((F.avg((F.col("pred") == F.col("y")).cast("double"))
+                 >= F.lit(0.99)).alias("acc_ok"))
+    return (j.crossJoin(F.broadcast(acc))
+            .select("url", "y",
+                    F.round(F.col("score").cast("double"), 6)
+                    .alias("score"),
+                    "pred", "acc_ok")
+            .orderBy("url"))
+
+
 def q_kenlm_perplexity(spark, sf_dir):
     """Word-bigram interpolated Kneser-Ney LM (round 5,
     corpus/kenlm.py) — the north rule's "KenLM-style n-gram
@@ -2597,6 +2661,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_recrawl": q_sitemap_recrawl,
         "page_rank": q_page_rank,
         "kenlm_perplexity": q_kenlm_perplexity,
+        "quality_classifier": q_quality_classifier,
+        "semdedup": q_semdedup,
         # hash-green ANN quality bars (round 4): exact top-k rows are
         # SQL-replayed; recall_ok is computed in-query vs the exact set
         # (oracle expects TRUE — the fp_stable invariant pattern)
@@ -2675,6 +2741,91 @@ def _pagerank_sql(iterations: int = 5, unit: int = 10**12,
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT v AS node_id, pr AS pr_units FROM r{iterations}"
             + "\nORDER BY node_id")
+
+
+def _quality_classifier_sql(iterations: int = 6, buckets: int = 1024,
+                            max_words: int = 200, lr: float = 2.0,
+                            w_neg: float = 50.0) -> str:
+    """DuckDB replay of q_quality_classifier: binary hashed-n-gram
+    features, then ``iterations`` full-batch GD steps unrolled as
+    CTEs.  Expression shapes mirror ops/quality_classifier.py
+    verbatim: exact decimal dot products (x as DECIMAL(7,0) keeps
+    products inside the 38-digit cap), round(sigmoid,9) and
+    round(step,9) as the only quantized libm/division sites."""
+    dec = "DECIMAL(18,9)"
+    ctes = [
+        f"""corpus AS (SELECT url, text
+           FROM read_parquet('{WEBCORPUS_FIXTURE}'))""",
+        """lab AS MATERIALIZED (SELECT url,
+             CASE WHEN contains(text, 'lorem ipsum')
+                    OR contains(text, 'function f() {')
+                  THEN 0 ELSE 1 END AS y FROM corpus)""",
+        f"""ws AS (SELECT url,
+             list_filter(string_split_regex(lower(text), '\\W+'),
+                         w -> len(w) > 0)[1:{max_words}] AS ws
+           FROM corpus)""",
+        """gr AS (SELECT url, unnest(ws || list_transform(
+             range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS g
+           FROM ws)""",
+        f"""feats AS MATERIALIZED (SELECT url,
+             ('0x' || substr(sha256(g), 1, 8))::BIGINT % {buckets}
+               AS bucket,
+             1::BIGINT AS x
+           FROM gr GROUP BY 1, 2)""",
+        "nn AS (SELECT count(*) AS N FROM lab)",
+        f"""w0 AS MATERIALIZED (SELECT DISTINCT bucket, 0::{dec} AS w FROM feats)""",
+        f"b0 AS MATERIALIZED (SELECT 0::{dec} AS b)",
+    ]
+    for k in range(iterations + 1):
+        ctes += [
+            f"""z{k} AS MATERIALIZED (SELECT l.url, l.y,
+                 (coalesce(s.wx, 0::{dec}) + b{k}.b)::DECIMAL(38,9)
+                   AS z
+               FROM lab l LEFT JOIN (
+                 SELECT f.url, sum(w.w * f.x::DECIMAL(7,0)) AS wx
+                 FROM feats f JOIN w{k} w USING (bucket)
+                 GROUP BY f.url) s ON l.url = s.url
+               CROSS JOIN b{k})""",
+            f"""p{k} AS MATERIALIZED (SELECT url, y,
+                 round(1.0 / (1.0 + exp(-(z::DOUBLE))), 9)::{dec} AS p
+               FROM z{k})""",
+        ]
+        if k == iterations:
+            break
+        ctes += [
+            f"""r{k} AS MATERIALIZED (SELECT url, y,
+                 round((p - y)::DOUBLE
+                       * (CASE WHEN y = 1 THEN 1.0 ELSE {w_neg} END),
+                       9)::{dec} AS r
+               FROM p{k})""",
+            f"""g{k} AS MATERIALIZED (SELECT f.bucket,
+                 sum(r.r * f.x::DECIMAL(7,0)) AS g
+               FROM r{k} r JOIN feats f USING (url) GROUP BY 1)""",
+            f"""w{k + 1} AS MATERIALIZED (SELECT w.bucket,
+                 (w.w - coalesce(round(g.g::DOUBLE * {lr} / nn.N,
+                                       9)::{dec}, 0::{dec}))::{dec}
+                   AS w
+               FROM w{k} w LEFT JOIN g{k} g USING (bucket)
+               CROSS JOIN nn)""",
+            f"""b{k + 1} AS MATERIALIZED (SELECT
+                 (b{k}.b - round(gb.g::DOUBLE * {lr} / nn.N,
+                                 9)::{dec})::{dec} AS b
+               FROM (SELECT sum(r) AS g FROM r{k}) gb
+               CROSS JOIN b{k} CROSS JOIN nn)""",
+        ]
+    k = iterations
+    ctes += [
+        f"""fin AS (SELECT z.url, z.y,
+             round(z.z::DOUBLE, 6) AS score,
+             CASE WHEN p.p >= 0.5 THEN 1 ELSE 0 END AS pred
+           FROM z{k} z JOIN p{k} p USING (url))""",
+        """acc AS (SELECT
+             (avg(CASE WHEN pred = y THEN 1.0 ELSE 0.0 END) >= 0.99)
+               AS acc_ok FROM fin)""",
+    ]
+    return ("WITH " + ",\n".join(ctes)
+            + "\nSELECT url, y, score, pred, acc_ok FROM fin, acc"
+            + "\nORDER BY url")
 
 
 def _robots_policy_sql(agent: str = "mycrawler-news") -> str:
@@ -4376,6 +4527,70 @@ def oracle_sql() -> dict[str, str]:
                     FROM scored GROUP BY 1)
             SELECT doc_id, n_grams, round(s::DOUBLE, 6) AS sum_logp
             FROM agg ORDER BY doc_id
+        """,
+        # quality_classifier: six class-weighted GD iterations over
+        # binary hashed-n-gram features unrolled as CTEs — weights,
+        # scores and predictions byte-equal
+        "quality_classifier": _quality_classifier_sql(),
+        # semdedup: centroid argmax assignment, cluster-scoped cosine
+        # pairs, recursive-CTE components, least-central keep rule
+        "semdedup": """
+            WITH RECURSIVE
+            q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                  FROM embeddings WHERE vec_id < 20),
+            clones AS (
+              SELECT 1000000 + q.qid * 10 + r.j AS vec_id,
+                     list_transform(q.qv, (x, i) ->
+                       x * (1.0 + 0.02 * r.j *
+                            CASE WHEN (i - 1) % 2 = 0
+                                 THEN 1.0 ELSE -1.0 END)) AS v
+              FROM q CROSS JOIN range(1, 5) r(j)),
+            corpus AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id < 200
+              UNION ALL SELECT vec_id, v FROM clones),
+            cents AS (SELECT vec_id AS j,
+                             CAST(embedding AS DOUBLE[]) AS c
+                      FROM embeddings WHERE vec_id < 4),
+            asg AS (SELECT e.vec_id, e.v, c.j,
+                           list_cosine_similarity(e.v, c.c) AS cos,
+                           row_number() OVER (
+                             PARTITION BY e.vec_id
+                             ORDER BY list_cosine_similarity(e.v, c.c)
+                                        DESC, c.j DESC) AS rn
+                    FROM corpus e CROSS JOIN cents c),
+            sel AS (SELECT vec_id, v, CAST(j AS INT) AS cluster,
+                           cos AS cent_sim
+                    FROM asg WHERE rn = 1),
+            p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                  FROM sel a JOIN sel b
+                    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+                  WHERE list_cosine_similarity(a.v, b.v) >= 0.95),
+            edges AS (SELECT id_a AS a, id_b AS b FROM p
+                      UNION SELECT id_b, id_a FROM p),
+            reach(id, comp) AS (
+              SELECT DISTINCT a, a FROM edges
+              UNION
+              SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id),
+            cc AS (SELECT id, min(comp) AS component FROM reach
+                   GROUP BY id),
+            member AS (SELECT s.vec_id, s.cluster, s.cent_sim,
+                              coalesce(cc.component, s.vec_id)
+                                AS component
+                       FROM sel s LEFT JOIN cc ON cc.id = s.vec_id),
+            rep AS (SELECT component, vec_id AS rep_id,
+                           row_number() OVER (
+                             PARTITION BY component
+                             ORDER BY round(cent_sim, 4) ASC,
+                                      vec_id ASC) AS rn
+                    FROM member)
+            SELECT m.vec_id, m.cluster,
+                   round(m.cent_sim, 4) AS cent_sim, m.component,
+                   (m.vec_id = r.rep_id) AS keep
+            FROM member m
+            JOIN (SELECT component, rep_id FROM rep WHERE rn = 1) r
+              USING (component)
+            ORDER BY m.vec_id
         """,
         # anchor_text_agg: the two-group extraction regex + list_zip
         # replayed; resolution simplifies to its identity cases for

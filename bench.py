@@ -157,6 +157,45 @@ def main() -> None:
             .mode("overwrite").save()
         best = min(best, time.perf_counter() - t0)
     qtimes["sequence_packing"] = round(best, 3)
+
+    # KenLM row: word-bigram interpolated Kneser-Ney — train on the
+    # full corpus, score the full corpus (model tables broadcast);
+    # the north rule's "KenLM-style n-gram perplexity" at word level
+    from metacrafter_spark.corpus.kenlm import (
+        score_kn_bigram, train_kn_bigram)
+
+    kdocs = corpus.select("url", "text")
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        model = train_kn_bigram(kdocs, vocab_size=4096, max_words=100)
+        score_kn_bigram(kdocs, model, id_col="url").write.format(
+            "noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    qtimes["kenlm_perplexity"] = round(best, 3)
+
+    # classifier row: fastText-style logistic regression distilled
+    # against junk markers — 3 class-weighted GD iterations over
+    # binary hashed n-grams, then inference over the full corpus
+    from metacrafter_spark.ops.quality_classifier import (
+        score_logreg, train_logreg_hashed)
+
+    labeled = corpus.select(
+        "url", "text",
+        (~(F.col("text").contains("lorem ipsum")
+           | F.col("text").contains("function f() {")))
+        .cast("int").alias("y"))
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        m = train_logreg_hashed(
+            labeled, label_col="y", id_col="url", buckets=1024,
+            max_words=100, iterations=3, lr=2.0,
+            class_weights=(50.0, 1.0), binary=True)
+        score_logreg(labeled, m, id_col="url").write.format(
+            "noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    qtimes["quality_classifier"] = round(best, 3)
     total = round(sum(qtimes.values()), 3)
 
     print(json.dumps({

@@ -314,3 +314,113 @@ def diversity_sample(
     return stratified_quota_sample(
         with_cluster(df, centroids, vec_col), "cluster", id_col, quota, seed
     )
+
+
+def assign_cluster_exact(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+    sim_col: str = "cent_sim",
+) -> DataFrame:
+    """Nearest-centroid assignment as pure JVM fold expressions — the
+    SQL-replayable twin of :func:`with_cluster` (whose numpy matmul
+    sums in SIMD order; the fold here matches a SQL engine's
+    term-by-term order exactly, so an oracle can replay the argmax).
+    Cost is K cosine folds per row: right for small K (SemDeDup-style
+    coarse buckets); at production nlist ~10⁴ use :func:`with_cluster`.
+    Tie-break: highest cosine, then highest centroid index (struct
+    max ordering).  Parity with :func:`with_cluster`'s dot-product
+    argmax holds when centroids are L2-normalized (the
+    train_ivf_centroids contract); with unequal centroid norms the
+    two argmaxes legitimately differ."""
+    v = F.col(vec_col).cast("array<double>")
+    best = F.array_max(F.array(*[
+        F.struct(cosine(v, F.array(*[F.lit(float(x)) for x in c]))
+                 .alias("cos"),
+                 F.lit(j).alias("j"))
+        for j, c in enumerate(centroids)
+    ]))
+    return df.withColumn(cluster_col, best["j"]) \
+        .withColumn(sim_col, best["cos"])
+
+
+def semdedup(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int = 10_000,
+    exact_assign: bool = False,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the
+    embedding space, find near-duplicate pairs WITHIN each cluster
+    (the clustering is what makes the pairwise step tractable — the
+    self-join is keyed on the cluster id instead of being corpus-
+    quadratic), connect them into duplicate groups, and keep one
+    representative per group — the member LEAST similar to its
+    centroid (the paper's best-performing keep rule), ties on id.
+
+    Returns ``(id, cluster, cent_sim, component, keep)``: component is
+    the min reachable id within the duplicate group (own id when the
+    doc has no near-duplicates, which also get ``keep = true``).
+
+    Scale shape: assignment is map-side (broadcast-sized centroids);
+    the self-join shuffles (id, vector) keyed on cluster with the
+    standard broadcast count-filter skew guard (``max_bucket`` caps a
+    degenerate cluster before it becomes a quadratic reducer);
+    connected components is the diameter-bounded min-label loop from
+    ``ops.dedup``; the keep rule is one fixed-width aggregation per
+    component."""
+    from metacrafter_spark.ops.dedup import connected_components
+
+    if exact_assign:
+        t = assign_cluster_exact(
+            emb.select(F.col(id_col),
+                       F.col(vec_col).cast("array<double>").alias("v")),
+            centroids, vec_col="v")
+    else:
+        t = with_cluster(
+            emb.select(F.col(id_col),
+                       F.col(vec_col).cast("array<double>").alias("v")),
+            centroids, vec_col="v")
+        cents = F.array(*[
+            F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+        t = t.withColumn(
+            "cent_sim",
+            cosine(F.col("v"), F.element_at(cents, F.col("cluster") + 1)))
+    t = t.persist()
+
+    counts = t.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+    ok = t.join(
+        F.broadcast(counts.filter(F.col("n").between(2, max_bucket))),
+        "cluster").select(id_col, "v", "cluster")
+    a, b = ok.alias("a"), ok.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .filter(cosine(F.col("a.v"), F.col("b.v")) >= threshold)
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+    )
+    comp = connected_components(pairs)
+
+    member = t.select(F.col(id_col), "cluster", "cent_sim") \
+        .join(comp.withColumnRenamed("id", id_col), id_col, "left") \
+        .withColumn("component",
+                    F.coalesce(F.col("component"), F.col(id_col)))
+    # representative per duplicate group: min by (rounded cent_sim, id)
+    # — round(4) keeps the comparison engine-stable, id breaks ties
+    rep = (member
+           .groupBy("component")
+           .agg(F.min(F.struct(F.round("cent_sim", 4).alias("cs"),
+                               F.col(id_col).alias("rid"))).alias("r"))
+           .select("component", F.col("r.rid").alias("__rep")))
+    return (member.join(rep, "component")
+            .select(id_col, "cluster",
+                    F.round("cent_sim", 4).alias("cent_sim"),
+                    "component",
+                    (F.col(id_col) == F.col("__rep")).alias("keep")))

@@ -451,6 +451,65 @@ def main() -> None:
     assert "partitionBy=[__bucket" in kplan.replace(" ", "") \
         or "__bucket" in kplan, "packing window lost its bucket key!"
 
+    # 25. KenLM scoring: every model lookup (pairs/backoff/cont) and
+    # the vocab mapping ride BroadcastHashJoins — the corpus side has
+    # no Exchange until the fixed-width per-doc aggregation
+    from metacrafter_spark.corpus.kenlm import (
+        score_kn_bigram, train_kn_bigram)
+
+    kdocs = docs.select("doc_id", "text").limit(500)
+    kmodel = train_kn_bigram(kdocs, vocab_size=256, max_words=50)
+    knplan = plan_of(score_kn_bigram(kdocs, kmodel))
+    sections.append((
+        "KenLM KN-bigram scoring (vocab + model tables broadcast; "
+        "corpus shuffles only the fixed-width per-doc sum)",
+        knplan,
+        ["BroadcastHashJoin", "HashAggregate"],
+    ))
+    assert knplan.count("BroadcastHashJoin") >= 5, \
+        "KenLM scoring lost a broadcast (vocab x2 + pairs/backoff/cont)"
+
+    # 26. classifier inference: one broadcast weight join + per-doc agg;
+    # featurization is a map-side explode (no Python anywhere)
+    from metacrafter_spark.ops.quality_classifier import (
+        score_logreg, train_logreg_hashed)
+
+    ldocs = kdocs.withColumn("y", (F.col("doc_id") % 2).cast("int"))
+    lmodel = train_logreg_hashed(ldocs, label_col="y", buckets=128,
+                                 max_words=50, iterations=1, lr=1.0)
+    lplan = plan_of(score_logreg(ldocs, lmodel))
+    sections.append((
+        "Quality-classifier inference (broadcast weights; map-side "
+        "featurize; zero Python UDFs)",
+        lplan,
+        ["BroadcastHashJoin", "Generate"],
+    ))
+    assert "BatchEvalPython" not in lplan and "ArrowEval" not in lplan, \
+        "classifier inference runs Python!"
+
+    # 27. semdedup pair stage: the within-cluster self-join is keyed on
+    # the cluster id and guarded by the broadcast count filter (the
+    # max_bucket skew guard) — no cartesian, no global self-join
+    from metacrafter_spark.ops.similarity import semdedup
+
+    semb = spark.read.parquet(f"{SF}/embeddings.parquet") \
+        .limit(300).select(
+            "vec_id", F.col("embedding").cast("array<double>")
+            .alias("embedding"))
+    scents = [[float(x) for x in r.embedding]
+              for r in semb.filter(F.col("vec_id") < 3).collect()]
+    splan = plan_of(semdedup(semb, scents, threshold=0.95,
+                             exact_assign=True))
+    sections.append((
+        "SemDeDup (cluster-keyed self-join behind the broadcast "
+        "count-filter skew guard; equi-join on cluster, never "
+        "cartesian — at corpus scale the same key feeds an SMJ)",
+        splan,
+        ["BroadcastHashJoin"],
+    ))
+    assert "CartesianProduct" not in splan, \
+        "semdedup pair join degenerated to a cartesian!"
+
     out = ["# BENCH/EXPLAIN — physical-plan audit\n"]
     ok = True
     for title, plan, must in sections:

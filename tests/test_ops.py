@@ -1745,3 +1745,98 @@ def test_wav_ms_adpcm():
           + b"data" + _s.pack("<I", len(body)) + body)
     riff = b"RIFF" + _s.pack("<I", 4 + len(ch)) + b"WAVE" + ch
     assert decode_wav(riff).tolist() == exp[:10]
+
+
+# ---------------------------------------------------------------- semdedup
+
+def test_semdedup_keeps_least_central_representative(spark):
+    """Planted geometry: two tight duplicate groups near distinct
+    centroids plus isolated vectors — semdedup must group each clone
+    family, keep exactly the member least similar to its centroid,
+    and pass isolated vectors through with keep=true."""
+    from metacrafter_spark.ops.similarity import semdedup
+
+    c0 = [1.0, 0.0, 0.0, 0.0]
+    c1 = [0.0, 1.0, 0.0, 0.0]
+    rows = [
+        # family A: clones near c0 (ids 10-12), decreasing centrality
+        (10, [1.0, 0.01, 0.0, 0.0]),
+        (11, [1.0, 0.03, 0.0, 0.0]),
+        (12, [1.0, 0.05, 0.0, 0.0]),
+        # family B: clones near c1 (ids 20-21)
+        (20, [0.02, 1.0, 0.0, 0.0]),
+        (21, [0.04, 1.0, 0.0, 0.0]),
+        # isolated: near c0 but orthogonal-ish to family A
+        (30, [0.7, 0.0, 0.7, 0.0]),
+        # isolated: near c1
+        (40, [0.0, 0.6, 0.0, 0.8]),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    for exact in (True, False):
+        out = {r.vec_id: r for r in semdedup(
+            emb, [c0, c1], threshold=0.98, exact_assign=exact).collect()}
+        assert len(out) == 7
+        # family A: one component, least-central member (12) kept
+        assert out[10].component == out[11].component \
+            == out[12].component == 10
+        assert [out[i].keep for i in (10, 11, 12)] == [False, False, True]
+        # family B: 21 is less central than 20
+        assert out[20].component == out[21].component == 20
+        assert [out[i].keep for i in (20, 21)] == [False, True]
+        # isolated vectors survive as their own component
+        assert out[30].keep and out[30].component == 30
+        assert out[40].keep and out[40].component == 40
+        # cluster assignment sane
+        assert out[10].cluster == 0 and out[20].cluster == 1
+        assert out[30].cluster == 0 and out[40].cluster == 1
+
+
+def test_semdedup_exact_assign_matches_udf_assign(spark):
+    """The JVM-fold assignment (oracle twin, cosine argmax) and the
+    numpy-matmul assignment (dot argmax) agree on every vector away
+    from ties — given L2-NORMALIZED centroids, the IVF contract
+    (train_ivf_centroids always emits unit centroids; with unequal
+    centroid norms dot- and cosine-argmax legitimately differ)."""
+    import numpy as np
+
+    from metacrafter_spark.ops.similarity import (
+        assign_cluster_exact, with_cluster)
+
+    rng = np.random.default_rng(7)
+    rows = [(int(i), [float(x) for x in rng.normal(size=8)])
+            for i in range(200)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    cents = []
+    for _ in range(5):
+        c = rng.normal(size=8)
+        cents.append([float(x) for x in c / np.linalg.norm(c)])
+    a = {r.vec_id: r.cluster
+         for r in assign_cluster_exact(emb, cents).collect()}
+    b = {r.vec_id: r.cluster
+         for r in with_cluster(emb, cents).collect()}
+    assert a == b
+
+
+def test_semdedup_deterministic_across_partitionings(spark):
+    import numpy as np
+
+    from metacrafter_spark.ops.similarity import semdedup
+
+    rng = np.random.default_rng(3)
+    base = [(int(i), [float(x) for x in rng.normal(size=8)])
+            for i in range(40)]
+    clones = [(100 + i, [x * 1.001 for x in v]) for i, (j, v) in
+              enumerate(base[:10])]
+    emb = spark.createDataFrame(
+        base + clones, "vec_id long, embedding array<double>")
+    cents = [[float(x) for x in rng.normal(size=8)] for _ in range(3)]
+
+    def run(df):
+        return sorted(
+            (r.vec_id, r.cluster, r.component, r.keep)
+            for r in semdedup(df, cents, threshold=0.99,
+                              exact_assign=True).collect())
+
+    assert run(emb.repartition(1)) == run(emb.repartition(7))

@@ -1,0 +1,147 @@
+# -*- coding: utf-8 -*-
+"""fastText-style logistic-regression quality classifier
+(ops/quality_classifier.py).
+
+Checks: exact arithmetic parity with an independent pure-Python
+replay (including class weighting — the decimal-quantization contract
+every iteration), learnability on a separable two-pool corpus,
+determinism across partitionings, and the production story — the
+classifier distilled from junk markers on the committed BASELINE-shape
+webcorpus fixture catches every planted junk doc."""
+import hashlib
+import math
+import re
+from decimal import Decimal, ROUND_HALF_UP
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from metacrafter_spark.ops.quality_classifier import (
+    featurize, score_logreg, train_logreg_hashed)
+
+FIXTURE = str(Path(__file__).resolve().parent
+              / "fixtures/webcorpus/webcorpus_2000.parquet")
+
+POOL_A = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot"]
+POOL_B = ["zulu", "yankee", "xray", "whiskey", "victor", "uniform"]
+SHARED = ["the", "and", "with", "from"]
+
+
+def _two_pool_docs(n=60):
+    docs = []
+    for i in range(n):
+        pool = POOL_A if i % 2 else POOL_B
+        words = [pool[(i + j) % len(pool)] if j % 3 else
+                 SHARED[(i + j) % len(SHARED)] for j in range(24)]
+        docs.append((i, " ".join(words), i % 2))
+    return docs
+
+
+@pytest.fixture(scope="module")
+def two_pool(spark):
+    return spark.createDataFrame(
+        _two_pool_docs(), "doc_id long, text string, y int")
+
+
+def _py_train(rows, *, buckets, max_words, iterations, lr,
+              class_weights=(1.0, 1.0), binary=False):
+    """Independent pure-Python replay of the training loop."""
+    def q9(x):
+        return Decimal(repr(x)).quantize(
+            Decimal("1e-9"), rounding=ROUND_HALF_UP)
+
+    feats, ys = {}, {}
+    for doc_id, text, y in rows:
+        ws = [w for w in re.split(r"\W+", text.lower(), flags=re.ASCII)
+              if w][:max_words]
+        grams = ws + [a + " " + b for a, b in zip(ws, ws[1:])]
+        f = {}
+        for g in grams:
+            bk = int(hashlib.sha256(g.encode()).hexdigest()[:8],
+                     16) % buckets
+            f[bk] = 1 if binary else f.get(bk, 0) + 1
+        feats[doc_id], ys[doc_id] = f, y
+    n = len(rows)
+    w, b = {}, Decimal(0)
+    for _ in range(iterations):
+        ps = {d: q9(1.0 / (1.0 + math.exp(-float(
+            sum(w.get(bk, Decimal(0)) * x for bk, x in f.items()) + b))))
+            for d, f in feats.items()}
+        g, gb = {}, Decimal(0)
+        for d, f in feats.items():
+            cw = class_weights[ys[d]]
+            r = q9(float(ps[d] - ys[d]) * cw)
+            gb += r
+            for bk, x in f.items():
+                g[bk] = g.get(bk, Decimal(0)) + r * x
+        for bk, gv in g.items():
+            w[bk] = w.get(bk, Decimal(0)) - q9(float(gv) * lr / n)
+        b = b - q9(float(gb) * lr / n)
+    return w, b, feats
+
+
+def test_exact_parity_with_python_replay(spark, two_pool):
+    kw = dict(buckets=256, max_words=50, iterations=3, lr=1.0,
+              class_weights=(2.5, 1.0))
+    model = train_logreg_hashed(two_pool, label_col="y", **kw)
+    pw, pb, pf = _py_train(
+        [(r.doc_id, r.text, r.y) for r in two_pool.collect()], **kw)
+    sw = {r.bucket: Decimal(str(r.w)) for r in model.weights.collect()}
+    assert Decimal(str(model.bias.collect()[0].b)) == pb
+    assert sw == {bk: pw.get(bk, Decimal(0)) for bk in sw}
+    # scoring parity too
+    scored = {r.doc_id: Decimal(str(r.score))
+              for r in score_logreg(two_pool, model).collect()}
+    for d, f in pf.items():
+        z = sum(pw.get(bk, Decimal(0)) * x for bk, x in f.items()) + pb
+        assert scored[d] == z
+
+
+def test_learns_separable_classes(spark, two_pool):
+    model = train_logreg_hashed(two_pool, label_col="y", buckets=256,
+                                max_words=50, iterations=8, lr=2.0)
+    pred = score_logreg(two_pool, model).join(
+        two_pool.select("doc_id", "y"), "doc_id")
+    acc = pred.agg(F.avg((F.col("pred") == F.col("y")).cast("double"))
+                   ).collect()[0][0]
+    assert acc >= 0.95
+
+
+def test_deterministic_across_partitionings(spark, two_pool):
+    def run(df):
+        m = train_logreg_hashed(df, label_col="y", buckets=256,
+                                max_words=50, iterations=2, lr=1.0)
+        return {r.doc_id: str(r.score)
+                for r in score_logreg(df, m).collect()}
+
+    assert run(two_pool.repartition(1)) == run(two_pool.repartition(9))
+
+
+def test_binary_features(spark, two_pool):
+    f = featurize(two_pool, buckets=64, max_words=50, binary=True)
+    assert f.agg(F.max("x")).collect()[0][0] == 1
+
+
+def test_distills_junk_markers_on_webcorpus(spark):
+    """The driver-query configuration: junk labels from lorem-ipsum /
+    code markers, 50x minority upweighting — the trained model must
+    reproduce >=99% of labels and catch every planted junk doc."""
+    corpus = spark.read.parquet(FIXTURE).select("url", "text")
+    labeled = corpus.withColumn(
+        "y", (~(F.col("text").contains("lorem ipsum")
+                | F.col("text").contains("function f() {"))).cast("int"))
+    model = train_logreg_hashed(
+        labeled, label_col="y", id_col="url", buckets=1024,
+        max_words=200, iterations=6, lr=2.0,
+        class_weights=(50.0, 1.0), binary=True)
+    j = (score_logreg(labeled, model, id_col="url")
+         .join(labeled.select("url", "y"), "url"))
+    agg = j.agg(
+        F.avg((F.col("pred") == F.col("y")).cast("double")).alias("acc"),
+        F.sum(((F.col("y") == 0) & (F.col("pred") == 0)).cast("int"))
+        .alias("junk_caught"),
+        F.sum((F.col("y") == 0).cast("int")).alias("junk_total"),
+    ).collect()[0]
+    assert agg.acc >= 0.99
+    assert agg.junk_caught == agg.junk_total > 0
