@@ -2503,6 +2503,44 @@ def q_semdedup(spark, sf_dir):
     return out.orderBy("vec_id")
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (round 5, ops/bpe.py —
+    Sennrich et al. 2016): 12 merges learned over the documents
+    corpus's word-frequency table.  Integer counts and strings only —
+    the merge table is EXACT, and the tie-broken argmax (count desc,
+    lhs asc, rhs asc) makes the learned order deterministic.  The
+    oracle unrolls all 12 steps as MATERIALIZED CTEs, applying each
+    merge through a delimited-string list_reduce — a different
+    mechanism than the Spark array fold, so the hash match is a
+    differential test of the greedy rewrite semantics."""
+    from metacrafter_spark.ops.bpe import train_bpe
+
+    docs = _t(spark, sf_dir, "documents") \
+        .select("text").filter(F.col("doc_id") < 2000)
+    return train_bpe(docs, 12, max_words=200).orderBy("step")
+
+
+def q_ppl_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing (round 5, corpus/kenlm.py —
+    Wenzek et al. 2020): the corpus split into head/middle/tail
+    tertiles by the KN-bigram LM score.  The NTILE rides a fully
+    deterministic total order (average negative log-prob rounded to
+    6 dp, doc_id tie-break); the oracle replays the whole KN chain
+    plus the same window."""
+    from metacrafter_spark.corpus.kenlm import (
+        score_kn_bigram, train_kn_bigram, with_ppl_buckets)
+
+    docs = _t(spark, sf_dir, "documents") \
+        .select("doc_id", "lang", "text").filter(F.col("doc_id") < 2000)
+    model = train_kn_bigram(
+        docs.filter(F.col("lang") == "en").select("text"),
+        vocab_size=512, max_words=200)
+    scored = score_kn_bigram(docs.select("doc_id", "text"), model)
+    return (with_ppl_buckets(scored, 3)
+            .select("doc_id", "avg_nlp", "ppl_bucket")
+            .orderBy("doc_id"))
+
+
 def q_quality_classifier(spark, sf_dir):
     """fastText-style supervised quality classifier (round 5,
     ops/quality_classifier.py) — the model-based filtering stage of
@@ -2661,6 +2699,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_recrawl": q_sitemap_recrawl,
         "page_rank": q_page_rank,
         "kenlm_perplexity": q_kenlm_perplexity,
+        "ppl_buckets": q_ppl_buckets,
+        "bpe_merges": q_bpe_merges,
         "quality_classifier": q_quality_classifier,
         "semdedup": q_semdedup,
         # hash-green ANN quality bars (round 4): exact top-k rows are
@@ -3109,6 +3149,147 @@ def _outlink_graph_sql() -> str:
                min(doc_id) AS first_src, max(doc_id) AS last_src
         FROM dl GROUP BY 1 ORDER BY 1
     """
+
+
+#: shared WITH-body of the interpolated-Kneser-Ney replay — the
+#: kenlm_perplexity and ppl_buckets oracles both compose from it
+_KENLM_CORE = r"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 2000),
+            train AS (
+              SELECT text FROM documents
+              WHERE doc_id < 2000 AND lang = 'en'),
+            tw AS (SELECT
+                   list_filter(string_split_regex(lower(text), '\W+'),
+                               w -> len(w) > 0)[1:200] AS ws
+                   FROM train),
+            wc AS (SELECT w, count(*) AS c
+                   FROM (SELECT unnest(ws) AS w FROM tw) GROUP BY 1),
+            vocab AS (SELECT w FROM wc ORDER BY c DESC, w ASC
+                      LIMIT 512),
+            tt AS (SELECT ['<s>'] || ws || ['</s>'] AS t FROM tw),
+            tp AS (SELECT unnest(list_transform(range(1, len(t)),
+                     i -> {'a': t[i], 'b': t[i+1]})) AS p FROM tt),
+            mp AS (SELECT
+                   CASE WHEN p['a'] IN ('<s>','</s>')
+                          OR va.w IS NOT NULL
+                        THEN p['a'] ELSE '<unk>' END AS w1,
+                   CASE WHEN p['b'] IN ('<s>','</s>')
+                          OR vb.w IS NOT NULL
+                        THEN p['b'] ELSE '<unk>' END AS w2
+                   FROM tp LEFT JOIN vocab va ON p['a'] = va.w
+                           LEFT JOIN vocab vb ON p['b'] = vb.w),
+            big AS (SELECT w1, w2, count(*) AS c12 FROM mp
+                    GROUP BY 1, 2),
+            c1t AS (SELECT w1, sum(c12)::BIGINT AS c1,
+                           count(*) AS n1a FROM big GROUP BY 1),
+            cnt AS (SELECT w2, count(*) AS n1b FROM big GROUP BY 1),
+            ko AS (SELECT count(*) AS B,
+                   sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END)::BIGINT
+                       AS n1,
+                   sum(CASE WHEN c12 = 2 THEN 1 ELSE 0 END)::BIGINT
+                       AS n2
+                   FROM big),
+            kd AS (SELECT B, greatest(n1, 1)::DOUBLE
+                          / (greatest(n1, 1) + 2 * n2) AS d FROM ko),
+            plp AS (SELECT w1, w2,
+                    round(ln((greatest(c12 - d, 0.0)
+                              + d * n1a * n1b / B) / c1),
+                          9)::DECIMAL(18,9) AS lp
+                    FROM big JOIN c1t USING (w1) JOIN cnt USING (w2),
+                         kd),
+            bot AS (SELECT w1, round(ln(d * n1a / c1),
+                          9)::DECIMAL(18,9) AS bo FROM c1t, kd),
+            cvt AS (SELECT w2, round(ln(n1b::DOUBLE / B),
+                          9)::DECIMAL(18,9) AS cv FROM cnt, kd),
+            flv AS (SELECT round(ln(1.0 / (B + 1)),
+                          9)::DECIMAL(18,9) AS fl FROM kd),
+            sw AS (SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\W+'),
+                               w -> len(w) > 0)[1:200] AS ws
+                   FROM corpus),
+            st AS (SELECT doc_id, ['<s>'] || ws || ['</s>'] AS t
+                   FROM sw),
+            sp AS (SELECT doc_id,
+                   unnest(list_transform(range(1, len(t)),
+                     i -> {'a': t[i], 'b': t[i+1]})) AS p FROM st),
+            smp AS (SELECT doc_id,
+                    CASE WHEN p['a'] IN ('<s>','</s>')
+                           OR va.w IS NOT NULL
+                         THEN p['a'] ELSE '<unk>' END AS w1,
+                    CASE WHEN p['b'] IN ('<s>','</s>')
+                           OR vb.w IS NOT NULL
+                         THEN p['b'] ELSE '<unk>' END AS w2
+                    FROM sp LEFT JOIN vocab va ON p['a'] = va.w
+                            LEFT JOIN vocab vb ON p['b'] = vb.w),
+            scored AS (SELECT doc_id,
+                       coalesce(lp, coalesce(bo, fl)
+                                    + coalesce(cv, fl)) AS logp
+                       FROM smp LEFT JOIN plp USING (w1, w2)
+                                LEFT JOIN bot USING (w1)
+                                LEFT JOIN cvt USING (w2), flv),
+            agg AS (SELECT doc_id, count(*) AS n_grams, sum(logp) AS s
+                    FROM scored GROUP BY 1)
+"""
+
+
+def _bpe_oracle_sql(num_merges: int = 12, max_words: int = 200) -> str:
+    """DuckDB replay of train_bpe: the word-frequency table, then each
+    merge step unrolled as MATERIALIZED CTEs (pair counts → total-order
+    argmax → greedy rewrite).  The rewrite mechanism is deliberately
+    different from Spark's array fold: symbols ride a chr(31)-delimited
+    STRING and the merge is a ``list_reduce`` whose accumulator is that
+    string — replacing the tail symbol ``a`` with ``a||b`` is exactly
+    ``acc || b`` because the delimiter discipline makes the
+    ``ends_with(acc, chr(31) || a)`` check symbol-exact.  A hash match
+    is therefore a differential test of the greedy left-to-right
+    non-overlapping semantics, not an echo of the same code."""
+    parts = [f"""
+            WITH wf0 AS MATERIALIZED (
+              SELECT word, count(*)::BIGINT AS freq,
+                     array_to_string(regexp_extract_all(word, '.'),
+                                     chr(31))
+                       || chr(31) || '</w>' AS syms
+              FROM (SELECT unnest(
+                      list_filter(string_split_regex(lower(text),
+                                                     '\\W+'),
+                                  w -> len(w) > 0)[1:{max_words}])
+                      AS word
+                    FROM documents WHERE doc_id < 2000)
+              GROUP BY word)"""]
+    for k in range(1, num_merges + 1):
+        parts.append(f""",
+            pc{k} AS MATERIALIZED (
+              SELECT p['a'] AS a, p['b'] AS b,
+                     sum(freq)::BIGINT AS cnt
+              FROM (SELECT freq,
+                           unnest(list_transform(range(1, len(t)),
+                             i -> {{'a': t[i], 'b': t[i+1]}})) AS p
+                    FROM (SELECT freq,
+                                 string_split(syms, chr(31)) AS t
+                          FROM wf{k - 1}))
+              GROUP BY 1, 2),
+            best{k} AS MATERIALIZED (
+              SELECT a, b, cnt FROM pc{k}
+              ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+            wf{k} AS MATERIALIZED (
+              SELECT word, freq,
+                list_reduce(string_split(syms, chr(31)),
+                  (acc, x) -> CASE
+                    WHEN (acc = a OR ends_with(acc, chr(31) || a))
+                         AND x = b
+                    THEN acc || b
+                    ELSE acc || chr(31) || x END) AS syms
+              FROM wf{k - 1}, best{k})""")
+    steps = "\n              UNION ALL ".join(
+        f"SELECT {k}::INT AS step, a AS lhs, b AS rhs, "
+        f"a || b AS merged, cnt AS pair_count FROM best{k}"
+        for k in range(1, num_merges + 1))
+    parts.append(f"""
+            SELECT * FROM (
+              {steps}
+            ) ORDER BY step""")
+    return "".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4448,86 +4629,28 @@ def oracle_sql() -> dict[str, str]:
         # bigram counts, count-of-counts discount D, pair/backoff/
         # continuation tables quantized to decimal(18,9), and the
         # exact decimal per-doc sums
-        "kenlm_perplexity": r"""
-            WITH corpus AS (
-              SELECT doc_id, text FROM documents WHERE doc_id < 2000),
-            train AS (
-              SELECT text FROM documents
-              WHERE doc_id < 2000 AND lang = 'en'),
-            tw AS (SELECT
-                   list_filter(string_split_regex(lower(text), '\W+'),
-                               w -> len(w) > 0)[1:200] AS ws
-                   FROM train),
-            wc AS (SELECT w, count(*) AS c
-                   FROM (SELECT unnest(ws) AS w FROM tw) GROUP BY 1),
-            vocab AS (SELECT w FROM wc ORDER BY c DESC, w ASC
-                      LIMIT 512),
-            tt AS (SELECT ['<s>'] || ws || ['</s>'] AS t FROM tw),
-            tp AS (SELECT unnest(list_transform(range(1, len(t)),
-                     i -> {'a': t[i], 'b': t[i+1]})) AS p FROM tt),
-            mp AS (SELECT
-                   CASE WHEN p['a'] IN ('<s>','</s>')
-                          OR va.w IS NOT NULL
-                        THEN p['a'] ELSE '<unk>' END AS w1,
-                   CASE WHEN p['b'] IN ('<s>','</s>')
-                          OR vb.w IS NOT NULL
-                        THEN p['b'] ELSE '<unk>' END AS w2
-                   FROM tp LEFT JOIN vocab va ON p['a'] = va.w
-                           LEFT JOIN vocab vb ON p['b'] = vb.w),
-            big AS (SELECT w1, w2, count(*) AS c12 FROM mp
-                    GROUP BY 1, 2),
-            c1t AS (SELECT w1, sum(c12)::BIGINT AS c1,
-                           count(*) AS n1a FROM big GROUP BY 1),
-            cnt AS (SELECT w2, count(*) AS n1b FROM big GROUP BY 1),
-            ko AS (SELECT count(*) AS B,
-                   sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END)::BIGINT
-                       AS n1,
-                   sum(CASE WHEN c12 = 2 THEN 1 ELSE 0 END)::BIGINT
-                       AS n2
-                   FROM big),
-            kd AS (SELECT B, greatest(n1, 1)::DOUBLE
-                          / (greatest(n1, 1) + 2 * n2) AS d FROM ko),
-            plp AS (SELECT w1, w2,
-                    round(ln((greatest(c12 - d, 0.0)
-                              + d * n1a * n1b / B) / c1),
-                          9)::DECIMAL(18,9) AS lp
-                    FROM big JOIN c1t USING (w1) JOIN cnt USING (w2),
-                         kd),
-            bot AS (SELECT w1, round(ln(d * n1a / c1),
-                          9)::DECIMAL(18,9) AS bo FROM c1t, kd),
-            cvt AS (SELECT w2, round(ln(n1b::DOUBLE / B),
-                          9)::DECIMAL(18,9) AS cv FROM cnt, kd),
-            flv AS (SELECT round(ln(1.0 / (B + 1)),
-                          9)::DECIMAL(18,9) AS fl FROM kd),
-            sw AS (SELECT doc_id,
-                   list_filter(string_split_regex(lower(text), '\W+'),
-                               w -> len(w) > 0)[1:200] AS ws
-                   FROM corpus),
-            st AS (SELECT doc_id, ['<s>'] || ws || ['</s>'] AS t
-                   FROM sw),
-            sp AS (SELECT doc_id,
-                   unnest(list_transform(range(1, len(t)),
-                     i -> {'a': t[i], 'b': t[i+1]})) AS p FROM st),
-            smp AS (SELECT doc_id,
-                    CASE WHEN p['a'] IN ('<s>','</s>')
-                           OR va.w IS NOT NULL
-                         THEN p['a'] ELSE '<unk>' END AS w1,
-                    CASE WHEN p['b'] IN ('<s>','</s>')
-                           OR vb.w IS NOT NULL
-                         THEN p['b'] ELSE '<unk>' END AS w2
-                    FROM sp LEFT JOIN vocab va ON p['a'] = va.w
-                            LEFT JOIN vocab vb ON p['b'] = vb.w),
-            scored AS (SELECT doc_id,
-                       coalesce(lp, coalesce(bo, fl)
-                                    + coalesce(cv, fl)) AS logp
-                       FROM smp LEFT JOIN plp USING (w1, w2)
-                                LEFT JOIN bot USING (w1)
-                                LEFT JOIN cvt USING (w2), flv),
-            agg AS (SELECT doc_id, count(*) AS n_grams, sum(logp) AS s
-                    FROM scored GROUP BY 1)
+        "kenlm_perplexity": _KENLM_CORE + """
             SELECT doc_id, n_grams, round(s::DOUBLE, 6) AS sum_logp
             FROM agg ORDER BY doc_id
         """,
+        # ppl_buckets: CCNet head/middle/tail tertiles over the
+        # same KN chain — deterministic NTILE on (rounded avg_nlp,
+        # doc_id)
+        "ppl_buckets": _KENLM_CORE + """,
+            bkt AS (SELECT doc_id,
+                      round(-(s::DOUBLE) / n_grams, 6) AS avg_nlp,
+                      CAST(ntile(3) OVER (
+                        ORDER BY round(-(s::DOUBLE) / n_grams, 6)
+                                   ASC, doc_id ASC) AS INT)
+                        AS ppl_bucket
+                    FROM agg)
+            SELECT doc_id, avg_nlp, ppl_bucket
+            FROM bkt ORDER BY doc_id
+        """,
+        # bpe_merges: all 12 merge steps unrolled — pair counts,
+        # total-order argmax, greedy rewrite via delimited-string
+        # list_reduce (a different mechanism than Spark's array fold)
+        "bpe_merges": _bpe_oracle_sql(12, 200),
         # quality_classifier: six class-weighted GD iterations over
         # binary hashed-n-gram features unrolled as CTEs — weights,
         # scores and predictions byte-equal

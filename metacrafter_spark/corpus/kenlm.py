@@ -216,3 +216,28 @@ def with_kn_perplexity(docs: DataFrame, model: KNBigramModel, *,
                         broadcast_model=broadcast_model) \
         .select(id_col, F.col("ppl").alias(out_col))
     return docs.join(s, id_col, "left")
+
+
+def with_ppl_buckets(scored: DataFrame, n_buckets: int = 3, *,
+                     id_col: str = "doc_id",
+                     out_col: str = "ppl_bucket") -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): split
+    the corpus into head/middle/tail by LM score — bucket 1 = most
+    natural text.  Input is :func:`score_kn_bigram` output; the
+    ordering key is ``round(-sum_logp/n, 6)`` (average negative
+    log-prob, quantized so cross-engine ordering is stable) with the
+    id as the tie-break — a fully deterministic total order, hence a
+    deterministic NTILE.
+
+    Scale note: NTILE is a global sort of FIXED-WIDTH (id, double)
+    rows — fine into the billions, but at 10¹²-doc scale compute the
+    bucket thresholds on a sample (CCNet itself does) and bucket
+    map-side against the broadcast thresholds instead."""
+    from pyspark.sql import Window
+
+    avg_nlp = F.round(
+        -(F.col("sum_logp").cast("double")) / F.col("n_grams"), 6)
+    w = Window.orderBy(F.col("avg_nlp").asc(), F.col(id_col).asc())
+    return (scored
+            .withColumn("avg_nlp", avg_nlp)
+            .withColumn(out_col, F.ntile(n_buckets).over(w)))

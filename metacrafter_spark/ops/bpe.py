@@ -1,0 +1,151 @@
+# -*- coding: utf-8 -*-
+"""Distributed BPE tokenizer training (Sennrich et al. 2016) — the
+tokenizer-construction stage of an LLM data pipeline, as pure
+DataFrame aggregations.
+
+Classic byte-pair encoding over a word-frequency table: start from
+characters (plus the ``</w>`` end-of-word marker), repeatedly take the
+most frequent adjacent symbol pair and merge it corpus-wide.  Every
+quantity is an integer count or a string — no floats anywhere — so
+the whole training loop is EXACT and SQL-replayable: the oracle
+unrolls the merge steps as MATERIALIZED CTEs and must reproduce the
+merge table byte-for-byte.
+
+Determinism: the argmax pair is selected by (count DESC, left ASC,
+right ASC) — a total order, so ties are stable across partitionings
+and engines.  Merge application is the canonical greedy left-to-right
+non-overlapping rewrite; here it is a single ``F.aggregate`` fold per
+word: append the symbol, or — when the accumulated array ends with
+``left`` and the incoming symbol is ``right`` — replace the tail with
+the merged symbol.  (Greedy correctness falls out of symbol identity:
+after merging, the tail symbol is the *merged* string, which no
+longer equals ``left``, exactly like the scan-from-left textbook
+algorithm.)  The DuckDB oracle applies the same rewrite through a
+different mechanism — a delimited-string ``list_reduce`` — which makes
+the hash match a genuine differential test of the greedy semantics.
+
+Scale shape: training runs on the WORD-FREQUENCY table (one map-side
+explode + one agg off the corpus, then the corpus is never touched
+again) — the classic BPE trick; vocabulary is orders of magnitude
+smaller than the corpus.  Each merge step is one bounded pair-count
+aggregation (map-side partial), a one-row TakeOrdered argmax
+broadcast back via crossJoin, and a map-side fold over the word
+table, which is eagerly checkpointed so plans don't deepen with the
+merge count.  Segmentation (applying a trained merge list to text) is
+map-side only.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+EOW = "</w>"
+
+
+def word_freqs(corpus: DataFrame, text_col: str = "text", *,
+               max_words: int = 500) -> DataFrame:
+    """(word, freq) over the lowercased ``\\W+`` split (the shared
+    tokenization contract), words capped map-side."""
+    words = F.slice(
+        F.filter(F.split(F.lower(F.col(text_col)), r"\W+"),
+                 lambda w: F.length(w) > 0),
+        1, max_words)
+    return (corpus.select(F.explode(words).alias("word"))
+            .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+
+
+def _initial_symbols(word_col: str = "word") -> Column:
+    """Characters plus the end-of-word marker."""
+    return F.concat(
+        F.regexp_extract_all(F.col(word_col), F.lit("."), 0),
+        F.array(F.lit(EOW)))
+
+
+def _sym_pairs(syms_col: str = "syms") -> Column:
+    """array<struct<a,b>> of adjacent symbol pairs."""
+    s = F.col(syms_col)
+    n = F.size(s)
+    return F.zip_with(
+        F.slice(s, 1, n - 1), F.slice(s, 2, n - 1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")))
+
+
+def _apply_merge(syms: Column, a: Column, b: Column) -> Column:
+    """Greedy left-to-right non-overlapping (a,b) -> a||b rewrite as a
+    fold: replace the accumulated tail when it is exactly ``a`` and
+    the next symbol is ``b``, else append."""
+    merged = F.concat(a, b)
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == a) & (x == b),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def train_bpe(corpus: DataFrame, num_merges: int, *,
+              text_col: str = "text",
+              max_words: int = 500) -> DataFrame:
+    """Learn ``num_merges`` BPE merges; returns the merge table
+    ``(step, lhs, rhs, merged, pair_count)`` in learned order.  Stops
+    early if the vocabulary runs out of repeated pairs."""
+    spark = corpus.sparkSession
+    wf = (word_freqs(corpus, text_col, max_words=max_words)
+          .select("word", "freq", _initial_symbols().alias("syms"))
+          .localCheckpoint(eager=True))
+
+    merge_rows = []
+    for step in range(1, num_merges + 1):
+        counts = (wf.select(F.col("freq"),
+                            F.explode(_sym_pairs()).alias("p"))
+                  .groupBy("p.a", "p.b")
+                  .agg(F.sum("freq").alias("cnt")))
+        best = (counts.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+                .limit(1).localCheckpoint(eager=True))
+        if best.isEmpty():
+            break
+        merge_rows.append(best.select(
+            F.lit(step).alias("step"),
+            F.col("a").alias("lhs"), F.col("b").alias("rhs"),
+            F.concat("a", "b").alias("merged"),
+            F.col("cnt").alias("pair_count")))
+        wf = (wf.crossJoin(F.broadcast(best.select("a", "b")))
+              .select("word", "freq",
+                      _apply_merge(F.col("syms"), F.col("a"), F.col("b"))
+                      .alias("syms"))
+              .localCheckpoint(eager=True))
+
+    if not merge_rows:
+        return spark.createDataFrame(
+            [], "step int, lhs string, rhs string, merged string, "
+                "pair_count bigint")
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+def bpe_segment(df: DataFrame, merges: list, *,
+                text_col: str = "text",
+                out_col: str = "bpe_tokens",
+                max_words: int = 500) -> DataFrame:
+    """Apply a trained merge list (``[(lhs, rhs), ...]`` in learned
+    order, e.g. collected from :func:`train_bpe` output — k rows,
+    bounded) to a corpus: per word, start from characters and fold
+    each merge in order.  Entirely map-side — merges are plan
+    literals, the textbook application order."""
+    words = F.slice(
+        F.filter(F.split(F.lower(F.col(text_col)), r"\W+"),
+                 lambda w: F.length(w) > 0),
+        1, max_words)
+
+    def seg_word(w: Column) -> Column:
+        syms = F.concat(F.regexp_extract_all(w, F.lit("."), 0),
+                        F.array(F.lit(EOW)))
+        for lhs, rhs in merges:
+            syms = _apply_merge(syms, F.lit(lhs), F.lit(rhs))
+        return syms
+
+    return df.withColumn(
+        out_col, F.flatten(F.transform(words, seg_word)))

@@ -1,0 +1,130 @@
+# -*- coding: utf-8 -*-
+"""Distributed BPE tokenizer training (ops/bpe.py).
+
+Checks, in order: merge-table correctness against an independent
+pure-Python textbook BPE (index-scan rewrite, a different mechanism
+than the Spark array fold), tie-breaking, determinism across
+partitionings, early stop when the vocabulary runs out of pairs, and
+bpe_segment (application order + lossless round-trip)."""
+import re
+
+import pytest
+
+from metacrafter_spark.ops.bpe import EOW, bpe_segment, train_bpe
+
+DOCS = [
+    (0, "the cat sat on the mat"),
+    (1, "the dog sat on the log"),
+    (2, "low lower lowest newer newest wider wide"),
+    (3, "aaaa aaa aa abab ababab"),
+    (4, ""),
+    (5, "ties tie tie ties tied"),
+]
+
+
+def _words(t, max_words):
+    return [w for w in re.split(r"\W+", t.lower()) if w][:max_words]
+
+
+def _py_bpe(docs, num_merges, max_words=500):
+    """Independent textbook BPE (Sennrich et al. 2016, index-scan
+    greedy rewrite), same (count desc, lhs asc, rhs asc) tie-break."""
+    wc = {}
+    for _, t in docs:
+        for w in _words(t, max_words):
+            wc[w] = wc.get(w, 0) + 1
+    wf = [(list(w) + [EOW], c) for w, c in wc.items()]
+    merges = []
+    for step in range(1, num_merges + 1):
+        pairs = {}
+        for syms, c in wf:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(),
+                          key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((step, a, b, a + b, cnt))
+        new_wf = []
+        for syms, c in wf:
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == a
+                        and syms[i + 1] == b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_wf.append((out, c))
+        wf = new_wf
+    return merges
+
+
+def _py_segment(text, merges, max_words=500):
+    toks = []
+    for w in _words(text, max_words):
+        syms = list(w) + [EOW]
+        for _, a, b, _, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == a
+                        and syms[i + 1] == b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        toks.extend(syms)
+    return toks
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(DOCS, "doc_id int, text string")
+
+
+def test_train_matches_pure_python(spark, corpus):
+    got = [(r.step, r.lhs, r.rhs, r.merged, r.pair_count)
+           for r in train_bpe(corpus, 15).orderBy("step").collect()]
+    assert got == _py_bpe(DOCS, 15)
+    assert len(got) == 15  # corpus is rich enough for all 15
+
+
+def test_tie_break_is_lexicographic(spark):
+    # both pairs occur exactly once -> (count desc, lhs asc, rhs asc)
+    df = spark.createDataFrame([(0, "zy ba")], "doc_id int, text string")
+    rows = train_bpe(df, 1).collect()
+    # four pairs all count 1: (z,y) (y,</w>) (b,a) (a,</w>);
+    # smallest lhs wins -> (a, </w>)
+    assert (rows[0].lhs, rows[0].rhs) == ("a", EOW)
+    assert [(r.step, r.lhs, r.rhs, r.merged, r.pair_count)
+            for r in rows] == _py_bpe([(0, "zy ba")], 1)
+
+
+def test_deterministic_across_partitionings(spark, corpus):
+    a = train_bpe(corpus.repartition(7), 8).orderBy("step").collect()
+    b = train_bpe(corpus.coalesce(1), 8).orderBy("step").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_early_stop_when_pairs_run_out(spark):
+    df = spark.createDataFrame([(0, "ab")], "doc_id int, text string")
+    rows = train_bpe(df, 10).orderBy("step").collect()
+    # 'ab' -> [a,b,</w>]: merge 1 = (a,b), merge 2 = (ab,</w>), done
+    assert [(r.step, r.merged) for r in rows] == \
+        [(1, "ab"), (2, "ab" + EOW)]
+
+
+def test_segment_matches_pure_python_and_round_trips(spark, corpus):
+    merges = _py_bpe(DOCS, 10)
+    out = bpe_segment(corpus, [(a, b) for _, a, b, _, _ in merges]) \
+        .orderBy("doc_id").collect()
+    for r, (doc_id, text) in zip(out, DOCS):
+        assert r.doc_id == doc_id
+        assert r.bpe_tokens == _py_segment(text, merges)
+        # lossless: concatenation minus EOW reconstructs the words
+        assert "".join(r.bpe_tokens).replace(EOW, " ").split() == \
+            _words(text, 500)

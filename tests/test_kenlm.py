@@ -140,3 +140,19 @@ def test_with_kn_perplexity_join(spark, corpus):
     scored = {r.doc_id: r.ppl
               for r in score_kn_bigram(corpus, model).collect()}
     assert {r.doc_id: r.kn_ppl for r in rows} == scored
+
+
+def test_ppl_buckets_deterministic_tertiles(spark, corpus):
+    from metacrafter_spark.corpus.kenlm import with_ppl_buckets
+
+    model = train_kn_bigram(corpus, vocab_size=12)
+    out = with_ppl_buckets(score_kn_bigram(corpus, model), 3) \
+        .select("doc_id", "avg_nlp", "ppl_bucket").collect()
+    assert len(out) == len(DOCS)
+    buckets = sorted(r.ppl_bucket for r in out)
+    # 8 docs into 3 tiles -> sizes 3/3/2
+    assert buckets == [1, 1, 1, 2, 2, 2, 3, 3]
+    # bucket order tracks the score order
+    by_nlp = sorted(out, key=lambda r: (r.avg_nlp, r.doc_id))
+    assert [r.ppl_bucket for r in by_nlp] == sorted(
+        r.ppl_bucket for r in out)
