@@ -2541,6 +2541,21 @@ def q_ppl_buckets(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_kmeans(spark, sf_dir):
+    """Distributed k-means training (round 5, ops/kmeans.py) — the
+    centroid stage upstream of IVF / SemDeDup.  Coordinates quantized
+    to non-negative fixed-point units (floor(x*1e6)+2e6 — distances
+    unchanged by the shift), then Lloyd's algorithm is pure integer
+    arithmetic: exact BIGINT distances, portable floor-division
+    centroid updates, (dist, id)-total-ordered argmin.  The oracle
+    unrolls all 3 iterations and re-derives the centroids
+    bit-for-bit — every output column an exact integer."""
+    from metacrafter_spark.ops.kmeans import kmeans_summary
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    return kmeans_summary(emb, 4, 3).orderBy("cluster")
+
+
 def q_quality_classifier(spark, sf_dir):
     """fastText-style supervised quality classifier (round 5,
     ops/quality_classifier.py) — the model-based filtering stage of
@@ -2702,6 +2717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppl_buckets": q_ppl_buckets,
         "bpe_merges": q_bpe_merges,
         "quality_classifier": q_quality_classifier,
+        "kmeans": q_kmeans,
         "semdedup": q_semdedup,
         # hash-green ANN quality bars (round 4): exact top-k rows are
         # SQL-replayed; recall_ok is computed in-query vs the exact set
@@ -3289,6 +3305,75 @@ def _bpe_oracle_sql(num_merges: int = 12, max_words: int = 200) -> str:
             SELECT * FROM (
               {steps}
             ) ORDER BY step""")
+    return "".join(parts)
+
+
+def _kmeans_oracle_sql(k: int = 4, iterations: int = 3, dims: int = 64,
+                       n_vecs: int = 500, scale: int = 10**6,
+                       offset: int = 2 * 10**6) -> str:
+    """DuckDB replay of kmeans_summary: quantize to the same
+    non-negative units, then each Lloyd iteration unrolled as
+    MATERIALIZED CTEs — per-(vec, cluster) exact integer distances
+    off a long (vec, dim, unit) frame, (dist, j) row_number argmin,
+    per-(cluster, dim) sums, and the portable non-negative floor
+    division ``(s - s % n) / n``.  Every quantity BIGINT-exact, so a
+    hash match certifies the full 3-iteration trajectory."""
+    parts = [f"""
+            WITH ue AS MATERIALIZED (
+              SELECT vec_id, r.i,
+                     floor(embedding[r.i]::DOUBLE * {scale}.0)::BIGINT
+                       + {offset} AS v
+              FROM embeddings, range(1, {dims + 1}) r(i)
+              WHERE vec_id < {n_vecs}),
+            c0 AS MATERIALIZED (
+              SELECT s.j, ue.i, ue.v AS c
+              FROM (SELECT vec_id,
+                           (row_number() OVER (ORDER BY vec_id) - 1)
+                             ::INT AS j
+                    FROM (SELECT DISTINCT vec_id FROM ue
+                          ORDER BY vec_id LIMIT {k})) s
+              JOIN ue USING (vec_id))"""]
+    for t in range(1, iterations + 1):
+        parts.append(f""",
+            d{t} AS MATERIALIZED (
+              SELECT ue.vec_id, c.j,
+                     sum((ue.v - c.c) * (ue.v - c.c))::BIGINT AS dist
+              FROM ue JOIN c{t - 1} c USING (i) GROUP BY 1, 2),
+            a{t} AS MATERIALIZED (
+              SELECT vec_id, j FROM (
+                SELECT vec_id, j, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY dist ASC, j ASC) AS rn
+                FROM d{t}) WHERE rn = 1),
+            s{t} AS MATERIALIZED (
+              SELECT a.j, ue.i, sum(ue.v)::BIGINT AS s,
+                     count(*)::BIGINT AS n
+              FROM a{t} a JOIN ue USING (vec_id) GROUP BY 1, 2),
+            c{t} AS MATERIALIZED (
+              SELECT p.j, p.i,
+                     coalesce(((s.s - (s.s % s.n)) / s.n)::BIGINT,
+                              p.c) AS c
+              FROM c{t - 1} p
+              LEFT JOIN s{t} s ON p.j = s.j AND p.i = s.i)""")
+    T = iterations
+    parts.append(f""",
+            df AS MATERIALIZED (
+              SELECT ue.vec_id, c.j,
+                     sum((ue.v - c.c) * (ue.v - c.c))::BIGINT AS dist
+              FROM ue JOIN c{T} c USING (i) GROUP BY 1, 2),
+            af AS (SELECT vec_id, j, dist FROM (
+                SELECT vec_id, j, dist, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY dist ASC, j ASC) AS rn
+                FROM df) WHERE rn = 1),
+            agg AS (SELECT j AS cluster, count(*)::BIGINT AS n_members,
+                           sum(dist)::BIGINT AS inertia_units
+                    FROM af GROUP BY 1)
+            SELECT agg.cluster, agg.n_members, agg.inertia_units,
+                   (p0.c - {offset})::BIGINT AS c_dim0,
+                   (p32.c - {offset})::BIGINT AS c_dim32
+            FROM agg
+            JOIN c{T} p0 ON p0.j = agg.cluster AND p0.i = 1
+            JOIN c{T} p32 ON p32.j = agg.cluster AND p32.i = 33
+            ORDER BY agg.cluster""")
     return "".join(parts)
 
 
@@ -4647,6 +4732,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, avg_nlp, ppl_bucket
             FROM bkt ORDER BY doc_id
         """,
+        # kmeans: all 3 Lloyd iterations unrolled — integer units,
+        # exact distances, row_number argmin, floor-div centroid
+        # update; centroids re-derived bit-for-bit
+        "kmeans": _kmeans_oracle_sql(4, 3),
         # bpe_merges: all 12 merge steps unrolled — pair counts,
         # total-order argmax, greedy rewrite via delimited-string
         # list_reduce (a different mechanism than Spark's array fold)

@@ -1,0 +1,147 @@
+# -*- coding: utf-8 -*-
+"""Distributed k-means (Lloyd's algorithm) over embedding columns —
+the centroid-training stage upstream of IVF top-k
+(:mod:`ops.similarity`) and SemDeDup, which both *consume* a centroid
+table this module can now produce.
+
+Exactness contract (the repo's integer fixed-point idiom, cf.
+``ops/linkgraph.py``): coordinates are quantized once to integer
+units ``floor(x * scale) + offset`` with ``offset`` large enough that
+every unit is non-negative — squared distances are unchanged by the
+shift (differences cancel it), and from then on every quantity is
+integer arithmetic: distances are exact BIGINT sums, the centroid
+update is the portable floor division ``(s - s % n) / n`` (operands
+non-negative by construction, so Spark, DuckDB and Python agree), and
+the argmin is total-ordered by ``(distance, cluster_id)``.  The whole
+trainer is therefore deterministic across partitionings AND
+SQL-replayable — a DuckDB oracle re-derives the same centroids
+bit-for-bit.
+
+Magnitude contract: with ``scale=10**6`` and ``offset=2*10**6``
+(valid for coordinates in (−2, 2) — unit-norm embeddings), units are
+≤ 3e6, squared diffs ≤ 9e12, and a 64-dim distance ≤ 5.8e14 ≪ 2^53:
+exact even through engines that route integers via doubles.
+
+Seeding is the first ``k`` rows by id — deterministic by contract
+(k-means++ would sample; determinism is the point here, and Lloyd
+converges from any seed).  Empty clusters keep their previous
+centroid.
+
+Scale shape: the quantized corpus is computed once (map-side, eagerly
+checkpointed).  Each iteration is (a) a map-side argmin against k×d
+centroid *literals* (the model is driver-side between iterations —
+k×d integers, the same contract as the IVF centroid broadcast), and
+(b) one partial-aggregated groupBy on (cluster, dim) whose shuffle
+carries k×d fixed-width partial sums — the canonical distributed
+Lloyd step (Spark MLlib's own KMeans has the same collect-per-round
+shape).  Nothing per-row ever crosses the driver boundary.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+SCALE = 10**6
+OFFSET = 2 * 10**6
+
+
+def quantize_units(emb: Column, *, scale: int = SCALE,
+                   offset: int = OFFSET) -> Column:
+    """array<long> of non-negative fixed-point units:
+    ``floor(x * scale) + offset``."""
+    return F.transform(
+        emb, lambda x: (F.floor(x.cast("double") * F.lit(float(scale)))
+                        + F.lit(offset)).cast("long"))
+
+
+def _dist_to(u: Column, centroid_units: list) -> Column:
+    """Exact squared euclidean distance (in units²) to one literal
+    centroid: a left-to-right fold, every term integer."""
+    c = F.array(*[F.lit(int(v)) for v in centroid_units])
+    return F.aggregate(
+        F.zip_with(u, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x)
+
+
+def assign_units(u: Column, centroids: list[list]) -> Column:
+    """argmin cluster id against literal centroid units, total-ordered
+    by (distance, cluster_id)."""
+    return F.array_min(F.array(*[
+        F.struct(_dist_to(u, c).alias("d"), F.lit(j).alias("j"))
+        for j, c in enumerate(centroids)])).getField("j")
+
+
+def _floor_div(s: int, n: int) -> int:
+    # both non-negative -> Python // == the SQL (s - s % n) / n
+    return s // n
+
+
+def kmeans_fit(df: DataFrame, k: int, iterations: int, *,
+               id_col: str = "vec_id", emb_col: str = "embedding",
+               scale: int = SCALE, offset: int = OFFSET):
+    """Train k-means; returns ``(centroids_units, assigned)`` where
+    ``centroids_units`` is a k×d list of ints (offset space) and
+    ``assigned`` is ``(id, cluster, dist_units)`` under the final
+    centroids."""
+    u = (df.select(F.col(id_col).alias("_id"),
+                   quantize_units(F.col(emb_col), scale=scale,
+                                  offset=offset).alias("u"))
+         .localCheckpoint(eager=True))
+
+    seed_rows = u.orderBy("_id").limit(k).collect()
+    if len(seed_rows) < k:
+        raise ValueError(f"k={k} exceeds the corpus size {len(seed_rows)}")
+    centroids = [list(r.u) for r in seed_rows]
+    d = len(centroids[0])
+
+    for _ in range(iterations):
+        assigned = u.select("_id", "u",
+                            assign_units(F.col("u"), centroids)
+                            .alias("cluster"))
+        stats = (assigned
+                 .select("cluster", F.posexplode("u").alias("i", "v"))
+                 .groupBy("cluster", "i")
+                 .agg(F.sum("v").alias("s"), F.count("v").alias("n"))
+                 .collect())
+        sums = {(r.cluster, r.i): (r.s, r.n) for r in stats}
+        centroids = [
+            [_floor_div(*sums[(j, i)]) if (j, i) in sums else centroids[j][i]
+             for i in range(d)]
+            for j in range(k)]
+
+    final = u.select(
+        F.col("_id").alias(id_col),
+        assign_units(F.col("u"), centroids).alias("cluster"),
+        F.array_min(F.array(*[
+            F.struct(_dist_to(F.col("u"), c).alias("d"),
+                     F.lit(j).alias("j"))
+            for j, c in enumerate(centroids)])).getField("d")
+        .alias("dist_units"))
+    return centroids, final
+
+
+def kmeans_summary(df: DataFrame, k: int, iterations: int, *,
+                   id_col: str = "vec_id", emb_col: str = "embedding",
+                   scale: int = SCALE, offset: int = OFFSET,
+                   probe_dims: tuple[int, ...] = (0, 32)) -> DataFrame:
+    """Per-cluster training summary — every column an exact integer:
+    ``(cluster, n_members, inertia_units, c_dim<p>...)`` with probe
+    centroid coordinates reported offset-subtracted (plain units)."""
+    centroids, final = kmeans_fit(
+        df, k, iterations, id_col=id_col, emb_col=emb_col,
+        scale=scale, offset=offset)
+    agg = (final.groupBy("cluster")
+           .agg(F.count(F.lit(1)).alias("n_members"),
+                F.sum("dist_units").alias("inertia_units")))
+    for p in probe_dims:
+        m = F.create_map(*[x for j, c in enumerate(centroids)
+                           for x in (F.lit(j), F.lit(c[p] - offset))])
+        agg = agg.withColumn(f"c_dim{p}", m[F.col("cluster")].cast("long"))
+    return agg.orderBy("cluster")
+
+
+def centroids_as_vectors(centroids_units: list[list], *,
+                         scale: int = SCALE,
+                         offset: int = OFFSET) -> list[list[float]]:
+    """Back to float space, for handing to ivf_topk / semdedup."""
+    return [[(v - offset) / scale for v in c] for c in centroids_units]

@@ -510,6 +510,86 @@ def main() -> None:
     assert "CartesianProduct" not in splan, \
         "semdedup pair join degenerated to a cartesian!"
 
+    # 28. BPE training: the corpus is touched ONCE (word-freq agg —
+    # partial+final hash aggregate, the only Exchange keyed on word);
+    # merge application (bpe_segment, the same fold the trainer uses
+    # per step) is entirely map-side — zero Exchange.
+    from metacrafter_spark.ops.bpe import bpe_segment, word_freqs
+
+    bdocs = docs.select("text")
+    wfplan = plan_of(word_freqs(bdocs, max_words=200))
+    sections.append((
+        "BPE word-frequency table (the single corpus pass — "
+        "partial+final hash aggregate keyed on word)",
+        wfplan,
+        ["HashAggregate", "Exchange"],
+    ))
+    segplan = plan_of(
+        bpe_segment(bdocs, [("t", "h"), ("th", "e")], max_words=200))
+    sections.append((
+        "BPE merge application (map-side fold — no Exchange; the "
+        "trainer's per-step rewrite has the same shape)",
+        segplan,
+        ["Project"],
+    ))
+    assert "Exchange" not in segplan, \
+        "BPE merge application should be map-side only!"
+
+    # 29. ppl_buckets: the NTILE rides one global sort of FIXED-WIDTH
+    # (doc_id, double) rows — a Window over a deterministic total
+    # order; raw text never reaches the sort (the scored frame is
+    # already reduced to per-doc aggregates).  At 10^12-doc scale the
+    # documented alternative is sampled thresholds + map-side bucket.
+    from metacrafter_spark.corpus.kenlm import with_ppl_buckets
+
+    scored_synth = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).cast("double").alias("sum_logp"),
+        F.lit(10).alias("n_grams"))
+    bktplan = plan_of(with_ppl_buckets(scored_synth, 3))
+    sections.append((
+        "Perplexity tertiles (NTILE over fixed-width per-doc rows; "
+        "global sort is of (id, double) pairs only)",
+        bktplan,
+        ["Window"],
+    ))
+
+    # 30. k-means iteration step: assignment is a map-side argmin
+    # against centroid LITERALS (no join, no shuffle to assign); the
+    # only Exchange in the update is the (cluster, dim) partial-sum
+    # aggregate — k×d fixed-width rows per map partition, never raw
+    # embeddings.
+    from metacrafter_spark.ops.kmeans import assign_units, quantize_units
+
+    kemb = spark.read.parquet(f"{SF}/embeddings.parquet") \
+        .filter(F.col("vec_id") < 200)
+    ku = kemb.select("vec_id",
+                     quantize_units(F.col("embedding")).alias("u"))
+    kcents = [[2000000 + 100 * j + i for i in range(64)]
+              for j in range(4)]
+    kassign = ku.select("vec_id", "u",
+                        assign_units(F.col("u"), kcents).alias("cluster"))
+    aplan = plan_of(kassign)
+    sections.append((
+        "k-means assignment (map-side argmin against centroid "
+        "literals — zero Exchange)",
+        aplan,
+        ["Project"],
+    ))
+    assert "Exchange" not in aplan, \
+        "k-means assignment must not shuffle!"
+    kupd = (kassign.select("cluster", F.posexplode("u").alias("i", "v"))
+            .groupBy("cluster", "i")
+            .agg(F.sum("v").alias("s"), F.count("v").alias("n")))
+    uplan = plan_of(kupd)
+    sections.append((
+        "k-means centroid update (partial+final hash aggregate on "
+        "(cluster, dim) — the Exchange carries k×d fixed-width "
+        "partial sums, not embeddings)",
+        uplan,
+        ["HashAggregate", "Exchange"],
+    ))
+
     out = ["# BENCH/EXPLAIN — physical-plan audit\n"]
     ok = True
     for title, plan, must in sections:

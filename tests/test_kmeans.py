@@ -1,0 +1,126 @@
+# -*- coding: utf-8 -*-
+"""Distributed k-means (ops/kmeans.py).
+
+Checks, in order: full-trajectory correctness against an independent
+pure-Python Lloyd's (exact — integer units, floor-div updates,
+(dist, j) argmin), determinism across partitionings, the empty-cluster
+guard (previous centroid kept), well-separated-blob recovery, and the
+centroids_as_vectors round-trip contract."""
+import math
+
+import pytest
+
+from metacrafter_spark.ops.kmeans import (
+    OFFSET, SCALE, centroids_as_vectors, kmeans_fit, kmeans_summary)
+
+DIM = 8
+
+
+def _blob(center, spread, j):
+    # deterministic pseudo-noise, no RNG
+    return [center[i] + spread * math.sin(7.0 * j + 1.3 * i)
+            for i in range(DIM)]
+
+
+def _vecs():
+    centers = [[2.0 * (1 if (c >> i) & 1 else -1) * 0.4
+                for i in range(DIM)] for c in (0, 3, 5)]
+    rows = []
+    vid = 0
+    for ci, c in enumerate(centers):
+        for j in range(7):
+            rows.append((vid, _blob(c, 0.05, j), ci))
+            vid += 1
+    return rows
+
+
+def _py_kmeans(rows, k, iterations):
+    u = {i: [math.floor(float(x) * SCALE) + OFFSET for x in e]
+         for i, e, *_ in rows}
+    cent = [u[i][:] for i in sorted(u)[:k]]
+
+    def assign(v):
+        return min((sum((a - b) ** 2 for a, b in zip(v, c)), j)
+                   for j, c in enumerate(cent))
+
+    for _ in range(iterations):
+        sums = {}
+        for i in sorted(u):
+            _, j = assign(u[i])
+            s, n = sums.get(j, ([0] * len(u[i]), 0))
+            sums[j] = ([a + b for a, b in zip(s, u[i])], n + 1)
+        cent = [[s // sums[j][1] for s in sums[j][0]]
+                if j in sums else cent[j] for j in range(k)]
+    final = {i: assign(u[i]) for i in sorted(u)}
+    return cent, final
+
+
+@pytest.fixture(scope="module")
+def blobs(spark):
+    return spark.createDataFrame(
+        [(i, e, l) for i, e, l in _vecs()],
+        "vec_id int, embedding array<double>, label int")
+
+
+def test_matches_pure_python_trajectory(spark, blobs):
+    cent, final = _py_kmeans(_vecs(), 3, 4)
+    got_cent, assigned = kmeans_fit(blobs, 3, 4)
+    assert got_cent == cent
+    got = {r.vec_id: (r.dist_units, r.cluster)
+           for r in assigned.collect()}
+    assert got == final
+
+
+def test_deterministic_across_partitionings(spark, blobs):
+    a = kmeans_summary(blobs.repartition(7), 3, 3,
+                       probe_dims=(0, 4)).collect()
+    b = kmeans_summary(blobs.coalesce(1), 3, 3,
+                       probe_dims=(0, 4)).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_recovers_separated_blobs(spark, blobs):
+    _, assigned = kmeans_fit(blobs, 3, 4)
+    rows = assigned.join(blobs, "vec_id").select("cluster", "label") \
+        .collect()
+    # each true blob maps to exactly one learned cluster
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label, set()).add(r.cluster)
+    assert all(len(s) == 1 for s in by_label.values())
+    assert len({s.pop() for s in by_label.values()}) == 3
+
+
+def test_empty_cluster_keeps_previous_centroid(spark):
+    # seeds 0 and 1 are identical -> every point ties to the lower j,
+    # cluster 1 is empty from iteration 1 and must keep its centroid
+    rows = [(0, [0.0] * DIM), (1, [0.0] * DIM), (2, [1.0] * DIM),
+            (3, [0.01] * DIM), (4, [0.99] * DIM)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    cent, assigned = kmeans_fit(df, 2, 3)
+    py_cent, py_final = _py_kmeans([(i, e, None) for i, e in rows], 2, 3)
+    assert cent == py_cent
+    assert {r.vec_id: r.cluster for r in assigned.collect()} == \
+        {i: j for i, (_, j) in py_final.items()}
+    # the guard itself: after ONE iteration cluster 1 got no members
+    # (every point tied to j=0), so its centroid must equal the seed
+    cent1, _ = kmeans_fit(df, 2, 1)
+    seed_units = [math.floor(0.0 * SCALE) + OFFSET] * DIM
+    assert cent1[1] == seed_units
+
+
+def test_centroids_round_trip(spark, blobs):
+    cent, _ = kmeans_fit(blobs, 3, 2)
+    vecs = centroids_as_vectors(cent)
+    for c, v in zip(cent, vecs):
+        assert all(abs((u - OFFSET) / SCALE - x) < 1e-12
+                   for u, x in zip(c, v))
+        # quantization error bound: one unit
+        assert all(abs(x) < 2.0 for x in v)
+
+
+def test_k_exceeds_corpus_raises(spark):
+    df = spark.createDataFrame([(0, [0.0] * DIM)],
+                               "vec_id int, embedding array<double>")
+    with pytest.raises(ValueError, match="exceeds the corpus"):
+        kmeans_fit(df, 2, 1)
