@@ -196,6 +196,21 @@ def main() -> None:
             "noop").mode("overwrite").save()
         best = min(best, time.perf_counter() - t0)
     qtimes["quality_classifier"] = round(best, 3)
+
+    # k-means row: 3 integer-exact Lloyd iterations over the full
+    # embeddings table (k=16) + final assignment — the centroid stage
+    # upstream of IVF/SemDeDup; assignment is map-side against
+    # centroid literals, the update shuffles only (cluster, dim) sums
+    from metacrafter_spark.ops.kmeans import kmeans_fit
+
+    emb = entry_mod._t(spark, SF_DIR, "embeddings")
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _, assigned = kmeans_fit(emb, 16, 3)
+        assigned.write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    qtimes["kmeans_embeddings"] = round(best, 3)
     total = round(sum(qtimes.values()), 3)
 
     print(json.dumps({
