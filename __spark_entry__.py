@@ -2541,6 +2541,28 @@ def q_ppl_buckets(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+#: shared literal (oracle conventions): the BM25 probe queries used by
+#: BOTH the Spark query and the DuckDB replay — one constant, no drift
+_BM25_QUERIES = [("q1", "fast table scan"),
+                 ("q2", "customer query join"),
+                 ("q3", "spark window agg sort")]
+
+
+def q_bm25(spark, sf_dir):
+    """BM25 ranked retrieval (round 5, ops/bm25.py) — Lucene-variant
+    scoring over the documents corpus for three probe queries.  tf /
+    df / dl / N are exact integers; each per-term score is one
+    fixed-shape IEEE double expression quantized to decimal(18,9), so
+    the per-doc sum is exact decimal addition; ranking total-ordered
+    by (score desc, doc_id).  The oracle replays tokenization,
+    postings, df, the scoring expression and the window in DuckDB."""
+    from metacrafter_spark.ops.bm25 import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents") \
+        .select("doc_id", "text").filter(F.col("doc_id") < 2000)
+    return bm25_topk(docs, _BM25_QUERIES, top_k=5, max_words=2000)
+
+
 def q_kmeans(spark, sf_dir):
     """Distributed k-means training (round 5, ops/kmeans.py) — the
     centroid stage upstream of IVF / SemDeDup.  Coordinates quantized
@@ -2717,6 +2739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppl_buckets": q_ppl_buckets,
         "bpe_merges": q_bpe_merges,
         "quality_classifier": q_quality_classifier,
+        "bm25": q_bm25,
         "kmeans": q_kmeans,
         "semdedup": q_semdedup,
         # hash-green ANN quality bars (round 4): exact top-k rows are
@@ -3306,6 +3329,64 @@ def _bpe_oracle_sql(num_merges: int = 12, max_words: int = 200) -> str:
               {steps}
             ) ORDER BY step""")
     return "".join(parts)
+
+
+def _bm25_oracle_sql(top_k: int = 5, k1: float = 1.2, b: float = 0.75,
+                     max_words: int = 2000) -> str:
+    """DuckDB replay of bm25_topk over _BM25_QUERIES: tokenization,
+    query-term-pruned postings, tf/df/N/Σdl, the SAME fixed-shape
+    double scoring expression (constants emitted via repr so both
+    engines see bit-identical literals), decimal(18,9) per-term
+    quantization + exact decimal sums, and the (score desc, doc_id)
+    window."""
+    from metacrafter_spark.ops.bm25 import tokenize_query
+
+    all_terms = sorted({t for _, q in _BM25_QUERIES
+                        for t in tokenize_query(q, max_words)})
+    in_list = ", ".join(f"'{t}'" for t in all_terms)
+    qt_rows = ", ".join(
+        f"('{qid}', '{t}')" for qid, q in _BM25_QUERIES
+        for t in tokenize_query(q, max_words))
+    return f"""
+            WITH corpus AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                                                    '\\W+'),
+                                 w -> len(w) > 0)[1:{max_words}] AS ws
+              FROM documents WHERE doc_id < 2000),
+            dls AS (SELECT doc_id, len(ws) AS dl, ws FROM corpus),
+            gl AS (SELECT count(*)::BIGINT AS n_docs,
+                          sum(dl)::BIGINT AS sum_dl FROM dls),
+            posts AS (SELECT doc_id, dl, unnest(ws) AS term FROM dls),
+            tf AS (SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+                   FROM posts WHERE term IN ({in_list})
+                   GROUP BY 1, 2, 3),
+            dft AS (SELECT term, count(*)::BIGINT AS df
+                    FROM tf GROUP BY 1),
+            qt (query_id, term) AS (VALUES {qt_rows}),
+            ts AS (SELECT qt.query_id, tf.doc_id,
+                     round(ln(1.0 + (gl.n_docs - dft.df + 0.5)
+                                    / (dft.df + 0.5))
+                           * (tf.tf * {k1 + 1.0!r})
+                           / (tf.tf + {k1!r}
+                              * ({1.0 - b!r}
+                                 + {b!r} * (tf.dl
+                                    / (gl.sum_dl::DOUBLE
+                                       / gl.n_docs)))),
+                           9)::DECIMAL(18,9) AS ts
+                   FROM tf JOIN qt USING (term)
+                           JOIN dft USING (term), gl),
+            sc AS (SELECT query_id, doc_id, sum(ts) AS s
+                   FROM ts GROUP BY 1, 2),
+            rk AS (SELECT query_id, doc_id, s,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY s DESC, doc_id ASC) AS rank
+                   FROM sc)
+            SELECT query_id, rank::INT AS rank, doc_id,
+                   round(s::DOUBLE, 6) AS score
+            FROM rk WHERE rank <= {top_k}
+            ORDER BY query_id, rank
+    """
 
 
 def _kmeans_oracle_sql(k: int = 4, iterations: int = 3, dims: int = 64,
@@ -4732,6 +4813,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, avg_nlp, ppl_bucket
             FROM bkt ORDER BY doc_id
         """,
+        # bm25: tokenization, pruned postings, tf/df/N, the identical
+        # repr-emitted scoring expression, decimal sums, and the
+        # ranking window all replayed
+        "bm25": _bm25_oracle_sql(5),
         # kmeans: all 3 Lloyd iterations unrolled — integer units,
         # exact distances, row_number argmin, floor-div centroid
         # update; centroids re-derived bit-for-bit

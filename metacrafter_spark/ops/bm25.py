@@ -1,0 +1,110 @@
+# -*- coding: utf-8 -*-
+"""BM25 full-corpus ranked retrieval as pure DataFrame aggregations —
+the search/inspection surface of a corpus engine (find the documents
+most relevant to a probe query: contamination auditing, corpus QA,
+nearest-text lookup).
+
+Scoring is Lucene's BM25 variant (Robertson et al.; the +1 in the
+idf log keeps it non-negative)::
+
+    idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+    s(q, d) = Σ_{t∈q} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+Exactness contract (the repo's dsir/kenlm idiom): tf, df, dl, N are
+exact integers; avgdl and each per-term score are fixed-shape IEEE
+double expressions of those integers; the per-term score is quantized
+``round(·, 9) → decimal(18,9)`` so the per-(query, doc) sum is exact
+decimal addition — order-independent, hence deterministic across
+partitionings and replayable in DuckDB.  Ranking is total-ordered by
+``(score DESC, doc_id ASC)``.
+
+Scale shape: queries are plan literals, so the term filter
+``term IN (query terms)`` prunes the exploded posting stream map-side
+BEFORE anything shuffles; the df/tf aggregations then run on the
+pruned stream only (shuffle keyed on the term / (query, doc) pair,
+fixed-width rows).  Corpus-wide stats (N, Σdl) ride a 1-row broadcast
+cross join.  Per-query top-k is a window over per-doc scores of the
+MATCHING docs only — at web scale with a stopword-free query this is
+≪ corpus size; for high-df query terms partition-local top-k then
+global merge (TakeOrdered) is the standard refinement.
+"""
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_K1 = 1.2
+_B = 0.75
+
+
+def tokenize_query(q: str, max_words: int = 2000) -> list[str]:
+    """The shared ``\\W+`` lowercase tokenization contract, distinct
+    terms in first-seen order."""
+    out: list[str] = []
+    for w in re.split(r"\W+", q.lower()):
+        if w and w not in out:
+            out.append(w)
+    return out[:max_words]
+
+
+def bm25_topk(docs: DataFrame, queries: list[tuple[str, str]], *,
+              top_k: int = 5, k1: float = _K1, b: float = _B,
+              id_col: str = "doc_id", text_col: str = "text",
+              max_words: int = 2000) -> DataFrame:
+    """Rank the corpus against each probe query; returns
+    ``(query_id, rank, doc_id, score)`` — ``rank`` 1-based by
+    ``(score DESC, id ASC)``, ``score`` the decimal-exact sum rounded
+    to 6 dp for output."""
+    words = F.slice(
+        F.filter(F.split(F.lower(F.col(text_col)), r"\W+"),
+                 lambda w: F.length(w) > 0),
+        1, max_words)
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       words.alias("ws"))
+
+    doclen = toks.select("doc_id", F.size("ws").alias("dl"))
+    glob = doclen.groupBy().agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"))
+
+    all_terms = sorted({t for _, q in queries
+                        for t in tokenize_query(q, max_words)})
+    posts = (toks.select("doc_id", F.size("ws").alias("dl"),
+                         F.explode("ws").alias("term"))
+             .filter(F.col("term").isin(all_terms)))
+    tf = posts.groupBy("doc_id", "dl", "term") \
+        .agg(F.count(F.lit(1)).alias("tf"))
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    qt_rows = [(qid, t) for qid, q in queries
+               for t in tokenize_query(q, max_words)]
+    qt = docs.sparkSession.createDataFrame(
+        qt_rows, "query_id string, term string")
+
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    tfn = (F.col("tf") * F.lit(k1 + 1.0)) \
+        / (F.col("tf")
+           + F.lit(k1) * (F.lit(1.0 - b)
+                          + F.lit(b) * (F.col("dl") / avgdl)))
+    term_score = F.round(idf * tfn, 9).cast("decimal(18,9)")
+
+    scored = (tf.join(F.broadcast(qt), "term")
+              .join(F.broadcast(dft), "term")
+              .crossJoin(F.broadcast(glob))
+              .select("query_id", "doc_id",
+                      term_score.alias("ts"))
+              .groupBy("query_id", "doc_id")
+              .agg(F.sum("ts").alias("s")))
+    w = Window.partitionBy("query_id") \
+        .orderBy(F.col("s").desc(), F.col("doc_id").asc())
+    return (scored
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_k)
+            .select("query_id", "rank", "doc_id",
+                    F.round(F.col("s").cast("double"), 6)
+                    .alias("score"))
+            .orderBy("query_id", "rank"))

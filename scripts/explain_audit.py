@@ -590,6 +590,22 @@ def main() -> None:
         ["HashAggregate", "Exchange"],
     ))
 
+    # 31. BM25: the query-term IN filter prunes the exploded posting
+    # stream MAP-SIDE before any Exchange (only matching terms ever
+    # shuffle); query-terms / df / corpus-stats all ride broadcasts.
+    from metacrafter_spark.ops.bm25 import bm25_topk
+
+    bplan = plan_of(bm25_topk(
+        docs.select("doc_id", "text").filter(F.col("doc_id") < 500),
+        [("q1", "fast table scan")], top_k=5))
+    sections.append((
+        "BM25 retrieval (map-side query-term pruning of the posting "
+        "stream; broadcast query/df/stats joins)",
+        bplan,
+        ["BroadcastHashJoin", "HashAggregate"],
+    ))
+    assert "CartesianProduct" not in bplan
+
     out = ["# BENCH/EXPLAIN — physical-plan audit\n"]
     ok = True
     for title, plan, must in sections:

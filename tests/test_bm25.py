@@ -1,0 +1,104 @@
+# -*- coding: utf-8 -*-
+"""BM25 ranked retrieval (ops/bm25.py).
+
+Checks, in order: scores + ranking against an independent pure-Python
+BM25 (exact to the decimal quantum), determinism across
+partitionings, deterministic tie-break on equal scores, query terms
+absent from the corpus, top_k truncation, and the tokenize_query
+contract."""
+import math
+import re
+from decimal import Decimal
+
+import pytest
+
+from metacrafter_spark.ops.bm25 import bm25_topk, tokenize_query
+
+DOCS = [
+    (0, "spark table scan fast fast table"),
+    (1, "slow merge join table"),
+    (2, "spark spark window agg fast"),
+    (3, "the a of and"),
+    (4, ""),
+    (5, "table table table table"),
+    (6, "fast spark"),
+]
+K1, B = 1.2, 0.75
+
+
+def _words(t, max_words=2000):
+    return [w for w in re.split(r"\W+", t.lower()) if w][:max_words]
+
+
+def _py_bm25(docs, queries, top_k, max_words=2000):
+    dls = {i: len(_words(t, max_words)) for i, t in docs}
+    N = len(docs)
+    avgdl = float(sum(dls.values())) / N
+    tf = {}
+    for i, t in docs:
+        for w in _words(t, max_words):
+            tf[(i, w)] = tf.get((i, w), 0) + 1
+    out = []
+    for qid, q in queries:
+        qts = tokenize_query(q, max_words)
+        scores = {}
+        for (i, w), f in tf.items():
+            if w in qts:
+                dfw = sum(1 for (j, w2) in tf if w2 == w)
+                idf = math.log(1.0 + (N - dfw + 0.5) / (dfw + 0.5))
+                s = idf * (f * (K1 + 1.0)) / (
+                    f + K1 * ((1.0 - B) + B * (dls[i] / avgdl)))
+                scores[i] = scores.get(i, Decimal(0)) \
+                    + Decimal(f"{round(s, 9):.9f}")
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        out += [(qid, r + 1, i, float(round(float(s), 6)))
+                for r, (i, s) in enumerate(ranked[:top_k])]
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(DOCS, "doc_id int, text string")
+
+
+def test_matches_pure_python(spark, corpus):
+    qs = [("q1", "fast spark"), ("q2", "table join!"),
+          ("q3", "window")]
+    got = [(r.query_id, r.rank, r.doc_id, r.score)
+           for r in bm25_topk(corpus, qs, top_k=4).collect()]
+    assert got == _py_bm25(DOCS, qs, 4)
+
+
+def test_deterministic_across_partitionings(spark, corpus):
+    qs = [("q", "spark table fast")]
+    a = bm25_topk(corpus.repartition(7), qs, top_k=7).collect()
+    b = bm25_topk(corpus.coalesce(1), qs, top_k=7).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_tie_break_by_doc_id(spark):
+    # identical docs -> identical scores -> rank follows doc_id
+    df = spark.createDataFrame(
+        [(10, "alpha beta"), (3, "alpha beta"), (7, "alpha beta")],
+        "doc_id int, text string")
+    rows = bm25_topk(df, [("q", "alpha")], top_k=3).collect()
+    assert [r.doc_id for r in rows] == [3, 7, 10]
+    assert len({r.score for r in rows}) == 1
+
+
+def test_absent_terms_yield_no_rows(spark, corpus):
+    rows = bm25_topk(corpus, [("q", "zzz qqq")], top_k=5).collect()
+    assert rows == []
+
+
+def test_top_k_truncates(spark, corpus):
+    rows = bm25_topk(corpus, [("q", "table")], top_k=2).collect()
+    assert [r.rank for r in rows] == [1, 2]
+    # doc 5 is pure "table table table table" -> highest tf, rank 1
+    assert rows[0].doc_id == 5
+
+
+def test_tokenize_query_contract():
+    assert tokenize_query("Fast, fast TABLE-scan!") == \
+        ["fast", "table", "scan"]
+    assert tokenize_query("a b c", max_words=2) == ["a", "b"]
