@@ -2503,6 +2503,29 @@ def q_semdedup(spark, sf_dir):
     return out.orderBy("vec_id")
 
 
+def q_semdedup_trained(spark, sf_dir):
+    """Composed pipeline (round 5): k-means-TRAINED centroids feeding
+    SemDeDup — the integration the two operators were built for.
+    kmeans_fit (2 integer-exact Lloyd iterations, k=4) runs on the
+    same planted-clone corpus semdedup will dedup; its unit centroids
+    go back to float space via centroids_as_vectors (one exact
+    division per coordinate) and into the exact-assign SemDeDup.  The
+    oracle re-derives the trained centroids bit-for-bit through the
+    unrolled k-means chain, then replays the full SemDeDup chain —
+    end-to-end hash coverage across the operator boundary."""
+    from metacrafter_spark.ops.kmeans import (
+        centroids_as_vectors, kmeans_fit)
+    from metacrafter_spark.ops.similarity import semdedup
+
+    _, corpus = _planted_ann_corpus(spark, sf_dir)
+    corpus = corpus.filter(
+        (F.col("vec_id") < 200) | (F.col("vec_id") >= 1_000_000))
+    cents_u, _ = kmeans_fit(corpus, 4, 2)
+    cents = centroids_as_vectors(cents_u)
+    out = semdedup(corpus, cents, threshold=0.95, exact_assign=True)
+    return out.orderBy("vec_id")
+
+
 def q_bpe_merges(spark, sf_dir):
     """Distributed BPE tokenizer training (round 5, ops/bpe.py —
     Sennrich et al. 2016): 12 merges learned over the documents
@@ -2742,6 +2765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "kmeans": q_kmeans,
         "semdedup": q_semdedup,
+        "semdedup_trained": q_semdedup_trained,
         # hash-green ANN quality bars (round 4): exact top-k rows are
         # SQL-replayed; recall_ok is computed in-query vs the exact set
         # (oracle expects TRUE — the fp_stable invariant pattern)
@@ -3389,23 +3413,24 @@ def _bm25_oracle_sql(top_k: int = 5, k1: float = 1.2, b: float = 0.75,
     """
 
 
-def _kmeans_oracle_sql(k: int = 4, iterations: int = 3, dims: int = 64,
-                       n_vecs: int = 500, scale: int = 10**6,
-                       offset: int = 2 * 10**6) -> str:
-    """DuckDB replay of kmeans_summary: quantize to the same
-    non-negative units, then each Lloyd iteration unrolled as
+def _kmeans_core_sql(k: int, iterations: int, dims: int,
+                     source_sql: str, scale: int = 10**6,
+                     offset: int = 2 * 10**6) -> str:
+    """WITH-body of the k-means replay (no leading WITH, no final
+    SELECT): quantize ``source_sql``'s (vec_id, embedding) rows to the
+    same non-negative units, then each Lloyd iteration unrolled as
     MATERIALIZED CTEs — per-(vec, cluster) exact integer distances
     off a long (vec, dim, unit) frame, (dist, j) row_number argmin,
     per-(cluster, dim) sums, and the portable non-negative floor
-    division ``(s - s % n) / n``.  Every quantity BIGINT-exact, so a
-    hash match certifies the full 3-iteration trajectory."""
+    division ``(s - s % n) / n``.  Ends at ``c{iterations}`` (the
+    trained centroid units) — composable by both the kmeans summary
+    oracle and the semdedup_trained pipeline oracle."""
     parts = [f"""
-            WITH ue AS MATERIALIZED (
+            ue AS MATERIALIZED (
               SELECT vec_id, r.i,
                      floor(embedding[r.i]::DOUBLE * {scale}.0)::BIGINT
                        + {offset} AS v
-              FROM embeddings, range(1, {dims + 1}) r(i)
-              WHERE vec_id < {n_vecs}),
+              FROM ({source_sql}) src, range(1, {dims + 1}) r(i)),
             c0 AS MATERIALIZED (
               SELECT s.j, ue.i, ue.v AS c
               FROM (SELECT vec_id,
@@ -3435,8 +3460,20 @@ def _kmeans_oracle_sql(k: int = 4, iterations: int = 3, dims: int = 64,
                               p.c) AS c
               FROM c{t - 1} p
               LEFT JOIN s{t} s ON p.j = s.j AND p.i = s.i)""")
+    return "".join(parts)
+
+
+def _kmeans_oracle_sql(k: int = 4, iterations: int = 3, dims: int = 64,
+                       n_vecs: int = 500, scale: int = 10**6,
+                       offset: int = 2 * 10**6) -> str:
+    """DuckDB replay of kmeans_summary: the k-means core chain plus
+    final assignment and the per-cluster integer summary.  A hash
+    match certifies the full 3-iteration trajectory bit-for-bit."""
     T = iterations
-    parts.append(f""",
+    src = f"SELECT vec_id, embedding FROM embeddings WHERE vec_id < {n_vecs}"
+    core = _kmeans_core_sql(k, iterations, dims, src,
+                            scale=scale, offset=offset)
+    return "WITH " + core + f""",
             df AS MATERIALIZED (
               SELECT ue.vec_id, c.j,
                      sum((ue.v - c.c) * (ue.v - c.c))::BIGINT AS dist
@@ -3454,8 +3491,84 @@ def _kmeans_oracle_sql(k: int = 4, iterations: int = 3, dims: int = 64,
             FROM agg
             JOIN c{T} p0 ON p0.j = agg.cluster AND p0.i = 1
             JOIN c{T} p32 ON p32.j = agg.cluster AND p32.i = 33
-            ORDER BY agg.cluster""")
-    return "".join(parts)
+            ORDER BY agg.cluster"""
+
+
+def _semdedup_trained_oracle_sql(k: int = 4, iterations: int = 2,
+                                 dims: int = 64, scale: int = 10**6,
+                                 offset: int = 2 * 10**6) -> str:
+    """DuckDB replay of the composed pipeline: the planted-clone
+    corpus (same construction as the semdedup oracle) → the k-means
+    core chain re-deriving the trained centroid UNITS bit-for-bit →
+    centroids back to float space (one exact division per coordinate,
+    the centroids_as_vectors contract) → the full SemDeDup replay
+    (cosine argmax assignment, τ-threshold within-cluster pairs,
+    recursive-CTE components, least-central keep rule)."""
+    core = _kmeans_core_sql(
+        k, iterations, dims,
+        "SELECT vec_id, v AS embedding FROM corpus",
+        scale=scale, offset=offset)
+    return f"""
+            WITH RECURSIVE
+            q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                  FROM embeddings WHERE vec_id < 20),
+            clones AS (
+              SELECT 1000000 + q.qid * 10 + r.j AS vec_id,
+                     list_transform(q.qv, (x, i) ->
+                       x * (1.0 + 0.02 * r.j *
+                            CASE WHEN (i - 1) % 2 = 0
+                                 THEN 1.0 ELSE -1.0 END)) AS v
+              FROM q CROSS JOIN range(1, 5) r(j)),
+            corpus AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id < 200
+              UNION ALL SELECT vec_id, v FROM clones),
+            {core},
+            cents AS (SELECT j,
+                        list((c - {offset}) / {scale}.0 ORDER BY i)
+                          AS c
+                      FROM c{iterations} GROUP BY j),
+            asg AS (SELECT e.vec_id, e.v, cents.j,
+                           list_cosine_similarity(e.v, cents.c) AS cos,
+                           row_number() OVER (
+                             PARTITION BY e.vec_id
+                             ORDER BY list_cosine_similarity(e.v,
+                                                             cents.c)
+                                        DESC, cents.j DESC) AS rn
+                    FROM corpus e CROSS JOIN cents),
+            sel AS (SELECT vec_id, v, CAST(j AS INT) AS cluster,
+                           cos AS cent_sim
+                    FROM asg WHERE rn = 1),
+            p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                  FROM sel a JOIN sel b
+                    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+                  WHERE list_cosine_similarity(a.v, b.v) >= 0.95),
+            edges AS (SELECT id_a AS a, id_b AS b FROM p
+                      UNION SELECT id_b, id_a FROM p),
+            reach(id, comp) AS (
+              SELECT DISTINCT a, a FROM edges
+              UNION
+              SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id),
+            cc AS (SELECT id, min(comp) AS component FROM reach
+                   GROUP BY id),
+            member AS (SELECT s.vec_id, s.cluster, s.cent_sim,
+                              coalesce(cc.component, s.vec_id)
+                                AS component
+                       FROM sel s LEFT JOIN cc ON cc.id = s.vec_id),
+            rep AS (SELECT component, vec_id AS rep_id,
+                           row_number() OVER (
+                             PARTITION BY component
+                             ORDER BY round(cent_sim, 4) ASC,
+                                      vec_id ASC) AS rn
+                    FROM member)
+            SELECT m.vec_id, m.cluster,
+                   round(m.cent_sim, 4) AS cent_sim, m.component,
+                   (m.vec_id = r.rep_id) AS keep
+            FROM member m
+            JOIN (SELECT component, rep_id FROM rep WHERE rn = 1) r
+              USING (component)
+            ORDER BY m.vec_id
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4831,6 +4944,10 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier": _quality_classifier_sql(),
         # semdedup: centroid argmax assignment, cluster-scoped cosine
         # pairs, recursive-CTE components, least-central keep rule
+        # semdedup_trained: the composed pipeline — k-means core
+        # chain re-derives the trained centroids bit-for-bit, then
+        # the full SemDeDup replay runs on them
+        "semdedup_trained": _semdedup_trained_oracle_sql(4, 2),
         "semdedup": """
             WITH RECURSIVE
             q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
