@@ -2503,6 +2503,36 @@ def q_semdedup(spark, sf_dir):
     return out.orderBy("vec_id")
 
 
+def q_langid_ft(spark, sf_dir):
+    """fastText-style SUPERVISED language ID (round 5,
+    corpus/langid_ft.py) — one-vs-rest logistic regression over
+    hashed character 1+2-grams, trained jointly (one chain, every
+    table keyed (cls, bucket)/(id, cls)) on the 34-language sample
+    corpus, 6 decimal-exact GD iterations, argmax prediction
+    total-ordered by (z desc, cls).  The oracle unrolls the full
+    multiclass trajectory — weights, biases, scores byte-equal — and
+    the in-plan acc_ok asserts ≥95% train accuracy (the distillation
+    contract; measured 100%)."""
+    from metacrafter_spark.corpus.langid_ft import (
+        predict_langid_ft, train_langid_ft)
+    from metacrafter_spark.corpus.langid_samples import flat_samples
+
+    fs = flat_samples()
+    df = spark.createDataFrame(
+        [(i, l, t) for i, (l, t) in enumerate(fs)],
+        "doc_id int, lang string, text string")
+    m = train_langid_ft(df, buckets=2048, iterations=6,
+                        lr=8.0, w_pos=33.0)
+    pred = predict_langid_ft(df, m)
+    out = pred.join(df.select("doc_id", "lang"), "doc_id")
+    acc = out.agg(
+        (F.avg((F.col("pred_lang") == F.col("lang")).cast("double"))
+         >= 0.95).alias("acc_ok"))
+    return (out.crossJoin(F.broadcast(acc))
+            .select("doc_id", "lang", "pred_lang", "score", "acc_ok")
+            .orderBy("doc_id"))
+
+
 def q_semdedup_trained(spark, sf_dir):
     """Composed pipeline (round 5): k-means-TRAINED centroids feeding
     SemDeDup — the integration the two operators were built for.
@@ -2763,6 +2793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "quality_classifier": q_quality_classifier,
         "bm25": q_bm25,
+        "langid_ft": q_langid_ft,
         "kmeans": q_kmeans,
         "semdedup": q_semdedup,
         "semdedup_trained": q_semdedup_trained,
@@ -3411,6 +3442,108 @@ def _bm25_oracle_sql(top_k: int = 5, k1: float = 1.2, b: float = 0.75,
             FROM rk WHERE rank <= {top_k}
             ORDER BY query_id, rank
     """
+
+
+def _langid_ft_sql(buckets: int = 2048, iterations: int = 6,
+                   lr: float = 8.0, w_pos: float = 33.0,
+                   max_chars: int = 200) -> str:
+    """DuckDB replay of q_langid_ft: the labeled sample corpus as
+    VALUES (same flat_samples() source as the Spark literal frame),
+    char 1+2-gram hashed features, then the full one-vs-rest
+    multiclass GD trajectory unrolled — every table keyed on
+    (cls, bucket) / (doc_id, cls), mirroring corpus/langid_ft.py
+    expression-for-expression (exact decimal sums; round(sigmoid,9)
+    and round(step,9) the only quantized sites) — and the argmax
+    prediction window plus the ≥95% accuracy bar."""
+    from metacrafter_spark.corpus.langid_samples import flat_samples
+
+    rows = ", ".join(
+        f"({i}, '{l}', '" + t.replace("'", "''") + "')"
+        for i, (l, t) in enumerate(flat_samples()))
+    dec = "DECIMAL(18,9)"
+    ctes = [
+        f"""corpus AS (SELECT * FROM (VALUES {rows})
+             t(doc_id, lang, text))""",
+        "cls AS (SELECT DISTINCT lang AS cls FROM corpus)",
+        f"""ch AS (SELECT doc_id,
+             regexp_extract_all(lower(text), '(?s).')[1:{max_chars}]
+               AS ch FROM corpus)""",
+        """gr AS (SELECT doc_id, unnest(ch || list_transform(
+             range(1, len(ch)), i -> ch[i] || ch[i+1])) AS g
+           FROM ch)""",
+        f"""feats AS MATERIALIZED (SELECT doc_id,
+             ('0x' || substr(sha256(g), 1, 8))::BIGINT % {buckets}
+               AS bucket,
+             1::BIGINT AS x
+           FROM gr GROUP BY 1, 2)""",
+        """grid AS MATERIALIZED (SELECT c.doc_id, k.cls,
+             CASE WHEN c.lang = k.cls THEN 1 ELSE 0 END AS y
+           FROM corpus c CROSS JOIN cls k)""",
+        "nn AS (SELECT count(*) AS N FROM corpus)",
+        f"""w0 AS MATERIALIZED (SELECT k.cls, b.bucket, 0::{dec} AS w
+           FROM (SELECT DISTINCT bucket FROM feats) b
+           CROSS JOIN cls k)""",
+        f"b0 AS MATERIALIZED (SELECT cls, 0::{dec} AS b FROM cls)",
+    ]
+    for k in range(iterations + 1):
+        ctes.append(
+            f"""z{k} AS MATERIALIZED (SELECT g.doc_id, g.cls, g.y,
+                 (coalesce(s.wx, 0::{dec}) + bb.b)::DECIMAL(38,9)
+                   AS z
+               FROM grid g LEFT JOIN (
+                 SELECT f.doc_id, w.cls,
+                        sum(w.w * f.x::DECIMAL(7,0)) AS wx
+                 FROM feats f JOIN w{k} w USING (bucket)
+                 GROUP BY 1, 2) s
+                 ON g.doc_id = s.doc_id AND g.cls = s.cls
+               JOIN b{k} bb ON bb.cls = g.cls)""")
+        if k == iterations:
+            break
+        ctes += [
+            f"""r{k} AS MATERIALIZED (SELECT doc_id, cls,
+                 round((round(1.0 / (1.0 + exp(-(z::DOUBLE))),
+                              9)::{dec} - y)::DOUBLE
+                       * (CASE WHEN y = 1 THEN {w_pos!r}
+                          ELSE 1.0 END),
+                       9)::{dec} AS r
+               FROM z{k})""",
+            f"""g{k} AS MATERIALIZED (SELECT r.cls, f.bucket,
+                 sum(r.r * f.x::DECIMAL(7,0)) AS g
+               FROM r{k} r JOIN feats f USING (doc_id)
+               GROUP BY 1, 2)""",
+            f"""w{k + 1} AS MATERIALIZED (SELECT w.cls, w.bucket,
+                 (w.w - coalesce(round(g.g::DOUBLE * {lr!r} / nn.N,
+                                       9)::{dec}, 0::{dec}))::{dec}
+                   AS w
+               FROM w{k} w LEFT JOIN g{k} g
+                 ON w.cls = g.cls AND w.bucket = g.bucket
+               CROSS JOIN nn)""",
+            f"""b{k + 1} AS MATERIALIZED (SELECT b.cls,
+                 (b.b - coalesce(round(gb.g::DOUBLE * {lr!r} / nn.N,
+                                       9)::{dec}, 0::{dec}))::{dec}
+                   AS b
+               FROM b{k} b LEFT JOIN (
+                 SELECT cls, sum(r) AS g FROM r{k} GROUP BY 1) gb
+                 ON b.cls = gb.cls
+               CROSS JOIN nn)""",
+        ]
+    k = iterations
+    ctes += [
+        f"""pr AS (SELECT doc_id, cls AS pred_lang,
+             round(z::DOUBLE, 6) AS score,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY z DESC, cls ASC) AS rn
+           FROM z{k})""",
+        """fin AS (SELECT c.doc_id, c.lang, p.pred_lang, p.score
+           FROM corpus c JOIN pr p ON p.doc_id = c.doc_id
+           WHERE p.rn = 1)""",
+        """acc AS (SELECT
+             (avg(CASE WHEN pred_lang = lang THEN 1.0 ELSE 0.0 END)
+              >= 0.95) AS acc_ok FROM fin)""",
+    ]
+    return ("WITH " + ",\n".join(ctes)
+            + "\nSELECT doc_id, lang, pred_lang, score, acc_ok"
+            + "\nFROM fin, acc ORDER BY doc_id")
 
 
 def _kmeans_core_sql(k: int, iterations: int, dims: int,
@@ -4930,6 +5063,10 @@ def oracle_sql() -> dict[str, str]:
         # repr-emitted scoring expression, decimal sums, and the
         # ranking window all replayed
         "bm25": _bm25_oracle_sql(5),
+        # langid_ft: the full one-vs-rest multiclass GD trajectory
+        # unrolled — 6 iterations keyed (cls, bucket), weights/biases/
+        # scores byte-equal, argmax window + accuracy bar replayed
+        "langid_ft": _langid_ft_sql(2048, 6),
         # kmeans: all 3 Lloyd iterations unrolled — integer units,
         # exact distances, row_number argmin, floor-div centroid
         # update; centroids re-derived bit-for-bit

@@ -1,0 +1,196 @@
+# -*- coding: utf-8 -*-
+"""fastText-style supervised language ID: one-vs-rest logistic
+regression over hashed character n-grams, trained distributively —
+the north rule's "fastText language ID" as a *trained* model (the
+rule-based token-set/script engine in :mod:`corpus.langid` remains
+the zero-shot default; this is the supervised path for when labeled
+data exists, exactly fastText's ``lid.176`` recipe: char n-grams →
+hashed buckets → linear classifier).
+
+Features are character unigrams+bigrams of the lowercased text
+(fastText's minn/maxn defaults for langid), sha256-hashed into
+``buckets`` slots (the shared DuckDB-replayable contract from
+``ops/dsir.py``), binary presence.  Char n-grams are what make this
+work across scripts — a zh/th/ar document carries its script directly
+in the gram inventory, no whitespace tokenization needed.
+
+Training is the decimal-exact full-batch GD of
+:mod:`ops.quality_classifier`, generalized to K classes by keying
+every table on ``(cls, bucket)`` / ``(id, cls)`` — one-vs-rest
+trained JOINTLY in one chain (classes don't interact, so this is
+mathematically K independent binary LRs, but each iteration is ONE
+Spark job regardless of K).  All the same exactness contracts hold:
+z and gradients are exact decimal sums, sigmoid and the lr/N division
+are the only quantized sites (round(·,9)), so the whole trajectory is
+deterministic across partitionings and SQL-replayable.  Prediction is
+the argmax of the exact-decimal z, total-ordered by (z DESC, cls ASC).
+
+Scale shape: featurize once (map-side explode + one agg), persist;
+each iteration joins the broadcastable (cls, bucket) weight table
+onto the posting frame — the K-fold row blowup is the linear-layer
+matmul in SQL clothing; at fastText's K=176 with millions of docs,
+cap it by pre-filtering w to nonzero rows (hashing keeps the table
+≤ K·buckets regardless of vocabulary).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql.types import DecimalType
+
+from metacrafter_spark.ops.dsir import feature_bucket
+
+_DEC = DecimalType(18, 9)
+
+
+def char_grams(text_col: str, max_chars: int = 200) -> Column:
+    """Character unigrams + bigrams of the lowercased text (first
+    ``max_chars`` chars) — the fastText langid feature set."""
+    ch = F.slice(
+        F.regexp_extract_all(F.lower(F.col(text_col)),
+                             F.lit("(?s)."), 0),
+        1, max_chars)
+    n = F.size(ch)
+    bi = F.zip_with(F.slice(ch, 1, n - 1), F.slice(ch, 2, n - 1),
+                    lambda a, b: F.concat(a, b))
+    return F.concat(ch, bi)
+
+
+def featurize_chars(df: DataFrame, *, id_col: str = "doc_id",
+                    text_col: str = "text", buckets: int = 2048,
+                    max_chars: int = 200) -> DataFrame:
+    """(id, bucket, x=1) binary hashed char-n-gram presence."""
+    return (df.select(F.col(id_col),
+                      F.explode(char_grams(text_col, max_chars))
+                      .alias("__g"))
+            .select(id_col,
+                    feature_bucket(F.col("__g"), buckets)
+                    .alias("bucket"))
+            .groupBy(id_col, "bucket")
+            .agg(F.lit(1).cast("long").alias("x")))
+
+
+@dataclass
+class LangIdFTModel:
+    weights: DataFrame        # (cls, bucket, w decimal(18,9))
+    bias: DataFrame           # (cls, b decimal(18,9))
+    classes: list
+    buckets: int
+    max_chars: int
+
+
+def _z(grid: DataFrame, feats: DataFrame, w: DataFrame, b: DataFrame,
+       id_col: str) -> DataFrame:
+    """(id, cls, [y], z): exact decimal per-class dot product + bias.
+    ``grid`` must carry (id, cls) for every pair to score (docs with
+    no matching feature score z = b)."""
+    wx = (feats.join(F.broadcast(w), "bucket")
+          .groupBy(id_col, "cls")
+          .agg(F.sum(F.col("w") * F.col("x").cast("decimal(7,0)"))
+               .alias("wx")))
+    return (grid.join(wx, [id_col, "cls"], "left")
+            .join(F.broadcast(b), "cls")
+            .withColumn("z", (F.coalesce(F.col("wx"),
+                                         F.lit(0).cast(_DEC))
+                              + F.col("b")).cast("decimal(38,9)"))
+            .drop("wx", "b"))
+
+
+def train_langid_ft(df: DataFrame, *, label_col: str = "lang",
+                    id_col: str = "doc_id", text_col: str = "text",
+                    buckets: int = 2048, max_chars: int = 200,
+                    iterations: int = 6, lr: float = 8.0,
+                    w_pos: float = 33.0) -> LangIdFTModel:
+    """One-vs-rest full-batch GD from w = 0, b = 0; ``w_pos`` weights
+    each class's positive residuals (≈ K−1 balances one-vs-rest when
+    classes are even).  Same per-iteration eager-checkpoint discipline
+    as the binary trainer (lineage doubles per step otherwise)."""
+    spark = df.sparkSession
+    classes = [r.cls for r in
+               df.select(F.col(label_col).alias("cls"))
+               .distinct().orderBy("cls").collect()]
+    cls_df = spark.createDataFrame([(c,) for c in classes],
+                                   "cls string")
+    feats = featurize_chars(df, id_col=id_col, text_col=text_col,
+                            buckets=buckets,
+                            max_chars=max_chars).persist()
+    grid = (df.select(id_col, F.col(label_col).alias("__l"))
+            .crossJoin(F.broadcast(cls_df))
+            .select(id_col, "cls",
+                    (F.col("__l") == F.col("cls")).cast("int")
+                    .alias("y"))).persist()
+    n_df = df.select(id_col).agg(F.count(F.lit(1)).alias("N"))
+
+    w = (feats.select("bucket").distinct()
+         .crossJoin(F.broadcast(cls_df))
+         .select("cls", "bucket", F.lit(0).cast(_DEC).alias("w"))
+         ).persist()
+    b = cls_df.select("cls", F.lit(0).cast(_DEC).alias("b"))
+
+    for _ in range(iterations):
+        scored = _z(grid, feats, w, b, id_col)
+        p = F.round(F.lit(1.0) / (F.lit(1.0)
+                                  + F.exp(-(F.col("z").cast("double")))),
+                    9).cast(_DEC)
+        cw = F.when(F.col("y") == 1, F.lit(w_pos)).otherwise(F.lit(1.0))
+        resid = scored.withColumn("p", p).select(
+            id_col, "cls",
+            F.round((F.col("p") - F.col("y")).cast("double") * cw, 9)
+            .cast(_DEC).alias("r"))
+        grad = (resid.join(feats, id_col)
+                .groupBy("cls", "bucket")
+                .agg(F.sum(F.col("r") * F.col("x").cast("decimal(7,0)"))
+                     .alias("g")))
+        w_new = (w.join(grad, ["cls", "bucket"], "left")
+                 .crossJoin(F.broadcast(n_df))
+                 .select("cls", "bucket",
+                         (F.col("w") - F.coalesce(
+                             F.round(F.col("g").cast("double")
+                                     * F.lit(lr) / F.col("N"), 9)
+                             .cast(_DEC),
+                             F.lit(0).cast(_DEC)))
+                         .cast(_DEC).alias("w")))
+        gb = resid.groupBy("cls").agg(F.sum("r").alias("g"))
+        b_new = (b.join(gb, "cls", "left")
+                 .crossJoin(F.broadcast(n_df))
+                 .select("cls",
+                         (F.col("b") - F.coalesce(
+                             F.round(F.col("g").cast("double")
+                                     * F.lit(lr) / F.col("N"), 9)
+                             .cast(_DEC),
+                             F.lit(0).cast(_DEC)))
+                         .cast(_DEC).alias("b")))
+        w_prev = w
+        w = w_new.localCheckpoint(eager=True)
+        b = b_new.localCheckpoint(eager=True)
+        w_prev.unpersist(blocking=False)
+
+    feats.unpersist(blocking=False)
+    grid.unpersist(blocking=False)
+    return LangIdFTModel(weights=w, bias=b, classes=classes,
+                         buckets=buckets, max_chars=max_chars)
+
+
+def predict_langid_ft(docs: DataFrame, model: LangIdFTModel, *,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """(id, pred_lang, score): argmax of the exact-decimal per-class
+    z, total-ordered by (z DESC, cls ASC); score is z rounded to 6 dp
+    for output.  One featurize pass + one broadcast weight join."""
+    spark = docs.sparkSession
+    cls_df = spark.createDataFrame([(c,) for c in model.classes],
+                                   "cls string")
+    feats = featurize_chars(docs, id_col=id_col, text_col=text_col,
+                            buckets=model.buckets,
+                            max_chars=model.max_chars)
+    grid = docs.select(id_col).crossJoin(F.broadcast(cls_df))
+    scored = _z(grid, feats, model.weights, model.bias, id_col)
+    win = Window.partitionBy(id_col) \
+        .orderBy(F.col("z").desc(), F.col("cls").asc())
+    return (scored
+            .withColumn("__rn", F.row_number().over(win))
+            .filter(F.col("__rn") == 1)
+            .select(id_col, F.col("cls").alias("pred_lang"),
+                    F.round(F.col("z").cast("double"), 6)
+                    .alias("score")))

@@ -606,6 +606,28 @@ def main() -> None:
     ))
     assert "CartesianProduct" not in bplan
 
+    # 32. langid_ft inference: the (cls, bucket) weight table rides a
+    # broadcast hash join onto the posting frame; the (doc × class)
+    # scoring grid is a K-row broadcast nested loop (K = #classes,
+    # model-sized) — nothing corpus-sized is ever on the build side.
+    from metacrafter_spark.corpus.langid_ft import (
+        predict_langid_ft, train_langid_ft)
+
+    ldocs = spark.createDataFrame(
+        [(0, "en", "the cat sat"), (1, "de", "der hund lief"),
+         (2, "fr", "le chat dort")],
+        "doc_id int, lang string, text string")
+    lm = train_langid_ft(ldocs, buckets=64, iterations=1,
+                         lr=1.0, w_pos=2.0)
+    lplan = plan_of(predict_langid_ft(ldocs, lm))
+    sections.append((
+        "langid_ft inference (broadcast weight join + K-row broadcast "
+        "scoring grid; argmax window on fixed-width rows)",
+        lplan,
+        ["BroadcastHashJoin", "Window"],
+    ))
+    assert "CartesianProduct" not in lplan
+
     out = ["# BENCH/EXPLAIN — physical-plan audit\n"]
     ok = True
     for title, plan, must in sections:
