@@ -2631,6 +2631,31 @@ def q_kmeans(spark, sf_dir):
     return kmeans_summary(emb, 4, 3).orderBy("cluster")
 
 
+def q_kenlm_trigram(spark, sf_dir):
+    """Trigram interpolated Kneser-Ney (round 5, corpus/kenlm.py) —
+    the full three-level KN recursion (raw counts on top,
+    continuation counts in the middle, unigram continuation at the
+    bottom; one count-of-counts discount per level), trained on the
+    English slice, scoring the whole corpus.  Same exactness contract
+    as the bigram model: every probability quantized round(ln p, 9)
+    once per MODEL row, per-doc sums exact decimal addition.  The
+    oracle replays tokenization (double-BOS padding), all five model
+    tables, both discounts and the three-level backoff chain."""
+    from metacrafter_spark.corpus.kenlm import (
+        score_kn_trigram, train_kn_trigram)
+
+    docs = _t(spark, sf_dir, "documents") \
+        .select("doc_id", "lang", "text").filter(F.col("doc_id") < 2000)
+    model = train_kn_trigram(
+        docs.filter(F.col("lang") == "en").select("text"),
+        vocab_size=512, max_words=200)
+    return (score_kn_trigram(docs.select("doc_id", "text"), model)
+            .select("doc_id", "n_grams",
+                    F.round(F.col("sum_logp").cast("double"), 6)
+                    .alias("sum_logp"))
+            .orderBy("doc_id"))
+
+
 def q_quality_classifier(spark, sf_dir):
     """fastText-style supervised quality classifier (round 5,
     ops/quality_classifier.py) — the model-based filtering stage of
@@ -2789,6 +2814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_recrawl": q_sitemap_recrawl,
         "page_rank": q_page_rank,
         "kenlm_perplexity": q_kenlm_perplexity,
+        "kenlm_trigram": q_kenlm_trigram,
         "ppl_buckets": q_ppl_buckets,
         "bpe_merges": q_bpe_merges,
         "quality_classifier": q_quality_classifier,
@@ -3442,6 +3468,141 @@ def _bm25_oracle_sql(top_k: int = 5, k1: float = 1.2, b: float = 0.75,
             FROM rk WHERE rank <= {top_k}
             ORDER BY query_id, rank
     """
+
+
+#: trigram interpolated-KN replay — the corpus/train/tokenize/vocab
+#: prefix repeats _KENLM_CORE's (same shared tokenization contract);
+#: then the five model tables, two count-of-counts discounts and the
+#: three-level backoff chain, every expression shape mirroring
+#: corpus/kenlm.py::train_kn_trigram verbatim
+_KENLM3_SQL = r"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 2000),
+            train AS (
+              SELECT text FROM documents
+              WHERE doc_id < 2000 AND lang = 'en'),
+            tw AS (SELECT
+                   list_filter(string_split_regex(lower(text), '\W+'),
+                               w -> len(w) > 0)[1:200] AS ws
+                   FROM train),
+            wc AS (SELECT w, count(*) AS c
+                   FROM (SELECT unnest(ws) AS w FROM tw) GROUP BY 1),
+            vocab AS (SELECT w FROM wc ORDER BY c DESC, w ASC
+                      LIMIT 512),
+            tt AS (SELECT ['<s>', '<s>'] || ws || ['</s>'] AS t
+                   FROM tw),
+            tp AS (SELECT unnest(list_transform(range(1, len(t) - 1),
+                     i -> {'a': t[i], 'b': t[i+1], 'c': t[i+2]})) AS p
+                   FROM tt),
+            mp AS (SELECT
+                   CASE WHEN p['a'] IN ('<s>','</s>')
+                          OR va.w IS NOT NULL
+                        THEN p['a'] ELSE '<unk>' END AS w1,
+                   CASE WHEN p['b'] IN ('<s>','</s>')
+                          OR vb.w IS NOT NULL
+                        THEN p['b'] ELSE '<unk>' END AS w2,
+                   CASE WHEN p['c'] IN ('<s>','</s>')
+                          OR vc.w IS NOT NULL
+                        THEN p['c'] ELSE '<unk>' END AS w3
+                   FROM tp LEFT JOIN vocab va ON p['a'] = va.w
+                           LEFT JOIN vocab vb ON p['b'] = vb.w
+                           LEFT JOIN vocab vc ON p['c'] = vc.w),
+            tri AS MATERIALIZED (
+                   SELECT w1, w2, w3, count(*) AS c3 FROM mp
+                   GROUP BY 1, 2, 3),
+            ctx AS (SELECT w1, w2, sum(c3)::BIGINT AS c2,
+                           count(*) AS nuv FROM tri GROUP BY 1, 2),
+            mid AS MATERIALIZED (
+                   SELECT w2, w3, count(*) AS m FROM tri
+                   GROUP BY 1, 2),
+            mcx AS (SELECT w2, sum(m)::BIGINT AS mv,
+                           count(*) AS nv FROM mid GROUP BY 1),
+            cn3 AS (SELECT w3, count(*) AS nw FROM mid GROUP BY 1),
+            k3 AS (SELECT
+                   sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END)::BIGINT
+                       AS n1_3,
+                   sum(CASE WHEN c3 = 2 THEN 1 ELSE 0 END)::BIGINT
+                       AS n2_3
+                   FROM tri),
+            k2 AS (SELECT count(*) AS B2,
+                   sum(CASE WHEN m = 1 THEN 1 ELSE 0 END)::BIGINT
+                       AS n1_2,
+                   sum(CASE WHEN m = 2 THEN 1 ELSE 0 END)::BIGINT
+                       AS n2_2
+                   FROM mid),
+            kd AS (SELECT B2,
+                   greatest(n1_3, 1)::DOUBLE
+                     / (greatest(n1_3, 1) + 2 * n2_3) AS d3,
+                   greatest(n1_2, 1)::DOUBLE
+                     / (greatest(n1_2, 1) + 2 * n2_2) AS d2
+                   FROM k3, k2),
+            l3t AS (SELECT w1, w2, w3,
+                    round(ln((greatest(c3 - d3, 0.0)
+                              + d3 * nuv
+                                * ((greatest(m - d2, 0.0)
+                                    + d2 * nv * (nw::DOUBLE / B2))
+                                   / mv)) / c2),
+                          9)::DECIMAL(18,9) AS lp3
+                    FROM tri JOIN ctx USING (w1, w2)
+                             JOIN mid USING (w2, w3)
+                             JOIN mcx USING (w2)
+                             JOIN cn3 USING (w3), kd),
+            b3t AS (SELECT w1, w2, round(ln(d3 * nuv / c2),
+                          9)::DECIMAL(18,9) AS bo3 FROM ctx, kd),
+            l2t AS (SELECT w2, w3,
+                    round(ln((greatest(m - d2, 0.0)
+                              + d2 * nv * (nw::DOUBLE / B2)) / mv),
+                          9)::DECIMAL(18,9) AS lp2
+                    FROM mid JOIN mcx USING (w2)
+                             JOIN cn3 USING (w3), kd),
+            b2t AS (SELECT w2, round(ln(d2 * nv / mv),
+                          9)::DECIMAL(18,9) AS bo2 FROM mcx, kd),
+            cvt AS (SELECT w3, round(ln(nw::DOUBLE / B2),
+                          9)::DECIMAL(18,9) AS cv FROM cn3, kd),
+            flv AS (SELECT round(ln(1.0 / (B2 + 1)),
+                          9)::DECIMAL(18,9) AS fl FROM kd),
+            sw AS (SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\W+'),
+                               w -> len(w) > 0)[1:200] AS ws
+                   FROM corpus),
+            st AS (SELECT doc_id,
+                          ['<s>', '<s>'] || ws || ['</s>'] AS t
+                   FROM sw),
+            sp AS (SELECT doc_id,
+                   unnest(list_transform(range(1, len(t) - 1),
+                     i -> {'a': t[i], 'b': t[i+1], 'c': t[i+2]})) AS p
+                   FROM st),
+            smp AS (SELECT doc_id,
+                    CASE WHEN p['a'] IN ('<s>','</s>')
+                           OR va.w IS NOT NULL
+                         THEN p['a'] ELSE '<unk>' END AS w1,
+                    CASE WHEN p['b'] IN ('<s>','</s>')
+                           OR vb.w IS NOT NULL
+                         THEN p['b'] ELSE '<unk>' END AS w2,
+                    CASE WHEN p['c'] IN ('<s>','</s>')
+                           OR vc.w IS NOT NULL
+                         THEN p['c'] ELSE '<unk>' END AS w3
+                    FROM sp LEFT JOIN vocab va ON p['a'] = va.w
+                            LEFT JOIN vocab vb ON p['b'] = vb.w
+                            LEFT JOIN vocab vc ON p['c'] = vc.w),
+            scored AS (SELECT doc_id,
+                       CASE WHEN lp3 IS NOT NULL THEN lp3
+                            ELSE coalesce(bo3, 0::DECIMAL(18,9))
+                                 + CASE WHEN lp2 IS NOT NULL THEN lp2
+                                        ELSE coalesce(bo2,
+                                               0::DECIMAL(18,9))
+                                             + coalesce(cv, fl) END
+                       END AS logp
+                       FROM smp LEFT JOIN l3t USING (w1, w2, w3)
+                                LEFT JOIN b3t USING (w1, w2)
+                                LEFT JOIN l2t USING (w2, w3)
+                                LEFT JOIN b2t USING (w2)
+                                LEFT JOIN cvt USING (w3), flv),
+            agg AS (SELECT doc_id, count(*) AS n_grams, sum(logp) AS s
+                    FROM scored GROUP BY 1)
+            SELECT doc_id, n_grams, round(s::DOUBLE, 6) AS sum_logp
+            FROM agg ORDER BY doc_id
+"""
 
 
 def _langid_ft_sql(buckets: int = 2048, iterations: int = 6,
@@ -5045,6 +5206,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_grams, round(s::DOUBLE, 6) AS sum_logp
             FROM agg ORDER BY doc_id
         """,
+        # kenlm_trigram: the full three-level KN recursion replayed —
+        # double-BOS tokenization, five model tables, two
+        # count-of-counts discounts, three-level backoff chain
+        "kenlm_trigram": _KENLM3_SQL,
         # ppl_buckets: CCNet head/middle/tail tertiles over the
         # same KN chain — deterministic NTILE on (rounded avg_nlp,
         # doc_id)

@@ -218,6 +218,199 @@ def with_kn_perplexity(docs: DataFrame, model: KNBigramModel, *,
     return docs.join(s, id_col, "left")
 
 
+# ---------------------------------------------------------------------------
+# Trigram interpolated KN (the KenLM default is order 5; order 3 is the
+# first order where the full three-level recursion — raw counts on top,
+# continuation counts in the middle, unigram continuation at the bottom
+# — actually appears.  Same exactness contract as the bigram model.)
+# ---------------------------------------------------------------------------
+
+
+def _token_triples(text_col: str, max_words: int) -> Column:
+    """array<struct<w1,w2,w3>> of consecutive-token trigrams over
+    ``<s> <s> words </s>`` (double-BOS padding, so the first word is
+    conditioned on a full two-token context) — always ≥ 1 triple."""
+    toks = F.concat(F.array(F.lit(BOS), F.lit(BOS)),
+                    _words(text_col, max_words), F.array(F.lit(EOS)))
+    n = F.size(toks)
+    ab = F.zip_with(
+        F.slice(toks, 1, n - 2), F.slice(toks, 2, n - 2),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    return F.zip_with(
+        ab, F.slice(toks, 3, n - 2),
+        lambda p, c: F.struct(p.getField("w1").alias("w1"),
+                              p.getField("w2").alias("w2"),
+                              c.alias("w3")))
+
+
+def _mapped_triples(df: DataFrame, text_col: str, vocab: DataFrame,
+                    max_words: int, *extra_cols: str) -> DataFrame:
+    """Explode trigrams and map all three positions through the vocab
+    (markers exempt, OOV → ``<unk>``) via three broadcast joins."""
+    tri = (df.select(*extra_cols,
+                     F.explode(_token_triples(text_col, max_words))
+                     .alias("p"))
+           .select(*extra_cols, F.col("p.w1").alias("rw1"),
+                   F.col("p.w2").alias("rw2"),
+                   F.col("p.w3").alias("rw3")))
+    out = tri
+    for i in (1, 2, 3):
+        v = vocab.select(F.col("w").alias(f"rw{i}"),
+                         F.lit(True).alias(f"__in{i}"))
+        out = out.join(F.broadcast(v), f"rw{i}", "left")
+
+    def _m(i: int) -> Column:
+        return F.when(
+            F.col(f"rw{i}").isin(BOS, EOS)
+            | F.col(f"__in{i}").isNotNull(),
+            F.col(f"rw{i}")).otherwise(F.lit(UNK))
+
+    return out.select(*extra_cols, _m(1).alias("w1"),
+                      _m(2).alias("w2"), _m(3).alias("w3"))
+
+
+@dataclass
+class KNTrigramModel:
+    """Interpolated-KN trigram model as five joinable frames plus the
+    one-row constants frame (never collected):
+
+    - ``tri (w1, w2, w3, lp3)``  — ln P(w3|w1 w2) for seen trigrams;
+    - ``ctx (w1, w2, bo3)``      — ln(D3·N1+(w1w2•)/c2) backoff;
+    - ``mid (w2, w3, lp2)``      — ln P2(w3|w2), continuation level;
+    - ``midctx (w2, bo2)``       — ln(D2·N1+(w2•)/N1+(•w2•));
+    - ``cont (w3, cv)``          — ln(N1+(•w3)/B2), unigram
+      continuation (B2 = distinct (w2, w3) continuation types).
+
+    Scoring backoff chain (standard: unseen contexts back off with
+    weight 1): lp3 if the trigram is seen, else coalesce(bo3, 0) +
+    (lp2 if (w2, w3) seen, else coalesce(bo2, 0) + coalesce(cv,
+    floor)), floor = ln(1/(B2+1))."""
+    vocab: DataFrame
+    tri: DataFrame
+    ctx: DataFrame
+    mid: DataFrame
+    midctx: DataFrame
+    cont: DataFrame
+    consts: DataFrame    # (B2,) one row
+    max_words: int
+
+
+def train_kn_trigram(corpus: DataFrame, text_col: str = "text", *,
+                     vocab_size: int = 4096,
+                     max_words: int = 500) -> KNTrigramModel:
+    """Chen & Goodman §2.7 three-level interpolated KN, every derived
+    statistic from the trigram-type table: raw counts at the top
+    (c3, c2 = Σc3, N1+(w1w2•)), continuation counts in the middle
+    (N1+(•w2w3) = distinct w1, N1+(•w2•), N1+(w2•)) and at the bottom
+    (N1+(•w3) = distinct w2 preceding w3, B2 = distinct (w2,w3)
+    types).  One discount per level from that level's count-of-counts
+    (D = max(n1,1)/(max(n1,1)+2·n2)).  lp3 embeds the *unquantized*
+    P2 double expression (quantization happens once per model row, at
+    ln) — the DuckDB oracle mirrors the expression shape verbatim."""
+    wc = (corpus
+          .select(F.explode(_words(text_col, max_words)).alias("w"))
+          .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    vocab = (wc.orderBy(F.desc("c"), F.asc("w")).limit(vocab_size)
+             .select("w"))
+
+    tri_c = (_mapped_triples(corpus, text_col, vocab, max_words)
+             .groupBy("w1", "w2", "w3")
+             .agg(F.count(F.lit(1)).alias("c3"))).persist()
+
+    ctx_c = tri_c.groupBy("w1", "w2").agg(
+        F.sum("c3").alias("c2"), F.count(F.lit(1)).alias("nuv"))
+    mid_c = (tri_c.groupBy("w2", "w3")
+             .agg(F.count(F.lit(1)).alias("m"))).persist()
+    midctx_c = mid_c.groupBy("w2").agg(
+        F.sum("m").alias("mv"), F.count(F.lit(1)).alias("nv"))
+    cont_c = mid_c.groupBy("w3").agg(F.count(F.lit(1)).alias("nw"))
+
+    k3 = tri_c.agg(
+        F.sum((F.col("c3") == 1).cast("long")).alias("n1_3"),
+        F.sum((F.col("c3") == 2).cast("long")).alias("n2_3"))
+    k2 = mid_c.agg(
+        F.count(F.lit(1)).alias("B2"),
+        F.sum((F.col("m") == 1).cast("long")).alias("n1_2"),
+        F.sum((F.col("m") == 2).cast("long")).alias("n2_2"))
+    consts = k3.crossJoin(k2)
+
+    d3 = (F.greatest(F.col("n1_3"), F.lit(1)).cast("double")
+          / (F.greatest(F.col("n1_3"), F.lit(1))
+             + F.lit(2) * F.col("n2_3")))
+    d2 = (F.greatest(F.col("n1_2"), F.lit(1)).cast("double")
+          / (F.greatest(F.col("n1_2"), F.lit(1))
+             + F.lit(2) * F.col("n2_2")))
+    # P2(w3|w2) as a raw double expression (shared by lp2 and lp3)
+    p2 = ((F.greatest(F.col("m") - d2, F.lit(0.0))
+           + d2 * F.col("nv") * (F.col("nw") / F.col("B2")))
+          / F.col("mv"))
+
+    tri = (tri_c.join(ctx_c, ["w1", "w2"]).join(mid_c, ["w2", "w3"])
+           .join(midctx_c, "w2").join(cont_c, "w3")
+           .crossJoin(F.broadcast(consts))
+           .select("w1", "w2", "w3",
+                   F.round(F.log(
+                       (F.greatest(F.col("c3") - d3, F.lit(0.0))
+                        + d3 * F.col("nuv") * p2) / F.col("c2")), 9)
+                   .cast("decimal(18,9)").alias("lp3")))
+    ctx = (ctx_c.crossJoin(F.broadcast(consts))
+           .select("w1", "w2",
+                   F.round(F.log(d3 * F.col("nuv") / F.col("c2")), 9)
+                   .cast("decimal(18,9)").alias("bo3")))
+    mid = (mid_c.join(midctx_c, "w2").join(cont_c, "w3")
+           .crossJoin(F.broadcast(consts))
+           .select("w2", "w3",
+                   F.round(F.log(p2), 9)
+                   .cast("decimal(18,9)").alias("lp2")))
+    midctx = (midctx_c.crossJoin(F.broadcast(consts))
+              .select("w2",
+                      F.round(F.log(d2 * F.col("nv") / F.col("mv")), 9)
+                      .cast("decimal(18,9)").alias("bo2")))
+    cont = (cont_c.crossJoin(F.broadcast(consts))
+            .select("w3",
+                    F.round(F.log(F.col("nw").cast("double")
+                                  / F.col("B2")), 9)
+                    .cast("decimal(18,9)").alias("cv")))
+    return KNTrigramModel(vocab=vocab, tri=tri, ctx=ctx, mid=mid,
+                          midctx=midctx, cont=cont,
+                          consts=consts.select("B2"),
+                          max_words=max_words)
+
+
+def score_kn_trigram(docs: DataFrame, model: KNTrigramModel, *,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     broadcast_model: bool = True) -> DataFrame:
+    """Per-document trigram-KN log-probability: (id, n_grams,
+    sum_logp decimal, ppl double) — the exact-decimal-sum contract of
+    :func:`score_kn_bigram`, with the three-level backoff chain."""
+    hint = F.broadcast if broadcast_model else (lambda x: x)
+    st = _mapped_triples(docs, text_col, model.vocab,
+                         model.max_words, id_col)
+    scored = (st
+              .join(hint(model.tri), ["w1", "w2", "w3"], "left")
+              .join(hint(model.ctx), ["w1", "w2"], "left")
+              .join(hint(model.mid), ["w2", "w3"], "left")
+              .join(hint(model.midctx), "w2", "left")
+              .join(hint(model.cont), "w3", "left")
+              .crossJoin(F.broadcast(model.consts)))
+    fl = F.round(F.log(F.lit(1.0) / (F.col("B2") + F.lit(1))), 9) \
+        .cast("decimal(18,9)")
+    zero = F.lit(0).cast("decimal(18,9)")
+    p2part = F.when(F.col("lp2").isNotNull(), F.col("lp2")) \
+        .otherwise(F.coalesce(F.col("bo2"), zero)
+                   + F.coalesce(F.col("cv"), fl))
+    logp = F.when(F.col("lp3").isNotNull(), F.col("lp3")) \
+        .otherwise(F.coalesce(F.col("bo3"), zero) + p2part)
+    return (scored
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.sum(logp).alias("sum_logp"))
+            .withColumn(
+                "ppl",
+                F.exp(-(F.col("sum_logp").cast("double")
+                        / F.col("n_grams")))))
+
+
 def with_ppl_buckets(scored: DataFrame, n_buckets: int = 3, *,
                      id_col: str = "doc_id",
                      out_col: str = "ppl_bucket") -> DataFrame:

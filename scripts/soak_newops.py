@@ -1,0 +1,123 @@
+# -*- coding: utf-8 -*-
+"""Scale soak for the session-6 operators: k-means, BM25, BPE at 1×
+vs 10× input — the same flat-throughput done-bar as soak_bench.py
+(units/s at 10× within ~15% of 1×; no memory cliff).
+
+- k-means: 5k vs 50k embedding vectors (the 10× set is 5k base +
+  9 deterministically perturbed clones each — same dim, same k=16,
+  3 Lloyd iterations + final assignment).
+- BM25: 20k vs 200k synthetic web pages, 3 probe queries, top-10.
+- BPE: word_freqs + 12 merges over 20k vs 200k pages (training cost
+  is dominated by the one corpus pass; the merge loop runs on the
+  word table, which grows sublinearly).
+
+Protocol: generation excluded via cache+count, one warm-up pass,
+best-of-REPS timed, /proc/stat steal sampled around the whole soak.
+
+Run:  python scripts/soak_newops.py [REPS]
+"""
+import json
+import sys
+import time
+
+
+def _steal():
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    return vals[7], sum(vals)
+
+
+def main() -> None:
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    from pyspark.sql import functions as F
+
+    from metacrafter_spark.corpus.webpages import synth_webpages
+    from metacrafter_spark.ops.bm25 import bm25_topk
+    from metacrafter_spark.ops.bpe import train_bpe
+    from metacrafter_spark.ops.kmeans import kmeans_fit
+    from metacrafter_spark.session import get_spark
+
+    spark = get_spark(app_name="soak-newops", cores=32,
+                      shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    s0, t0 = _steal()
+    out = {}
+
+    # ---- k-means: 5k vs 50k vectors --------------------------------
+    base = spark.read.parquet(
+        "/root/testdata/sf0.1/embeddings.parquet") \
+        .select("vec_id", F.col("embedding").cast("array<double>")
+                .alias("embedding"))
+    big = base.crossJoin(
+        spark.range(10).select(F.col("id").alias("j"))).select(
+        (F.col("vec_id") * 10 + F.col("j")).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x * (1.0 + 0.001 * F.col("j")
+                              * F.when(i % 2 == 0, 1.0)
+                              .otherwise(-1.0)))
+        .alias("embedding"))
+    for name, df in (("kmeans_5k", base), ("kmeans_50k", big)):
+        df = df.cache()
+        n = df.count()
+        best = float("inf")
+        for r in range(reps + 1):  # +1 warm-up
+            t = time.perf_counter()
+            _, assigned = kmeans_fit(df, 16, 3)
+            assigned.write.format("noop").mode("overwrite").save()
+            el = time.perf_counter() - t
+            if r > 0:
+                best = min(best, el)
+        out[name] = {"n": n, "sec": round(best, 3),
+                     "per_sec": round(n / best, 1)}
+        df.unpersist()
+
+    # ---- BM25 + BPE over 20k vs 200k pages -------------------------
+    QUERIES = [("q1", "quantum sensor network"),
+               ("q2", "market report analysis"),
+               ("q3", "recipe garden spring")]
+    for tag, n_docs in (("20k", 20_000), ("200k", 200_000)):
+        corpus = synth_webpages(spark, n_docs, seed=42,
+                                partitions=64).select("url", "text") \
+            .cache()
+        n = corpus.count()
+        best = float("inf")
+        for r in range(reps + 1):
+            t = time.perf_counter()
+            bm25_topk(corpus, QUERIES, top_k=10, id_col="url",
+                      text_col="text", max_words=500) \
+                .write.format("noop").mode("overwrite").save()
+            el = time.perf_counter() - t
+            if r > 0:
+                best = min(best, el)
+        out[f"bm25_{tag}"] = {"n": n, "sec": round(best, 3),
+                              "per_sec": round(n / best, 1)}
+        best = float("inf")
+        for r in range(reps + 1):
+            t = time.perf_counter()
+            train_bpe(corpus, 12, text_col="text", max_words=200) \
+                .write.format("noop").mode("overwrite").save()
+            el = time.perf_counter() - t
+            if r > 0:
+                best = min(best, el)
+        out[f"bpe_{tag}"] = {"n": n, "sec": round(best, 3),
+                             "per_sec": round(n / best, 1)}
+        corpus.unpersist()
+
+    s1, t1 = _steal()
+    out["steal_frac"] = round((s1 - s0) / max(t1 - t0, 1), 4)
+    for op in ("kmeans", "bm25", "bpe"):
+        lo = [v for k, v in out.items()
+              if k.startswith(op) and not k.endswith(("50k", "200k"))]
+        hi = [v for k, v in out.items()
+              if k.startswith(op) and k.endswith(("50k", "200k"))]
+        if lo and hi:
+            out[f"{op}_throughput_ratio_10x"] = round(
+                hi[0]["per_sec"] / lo[0]["per_sec"], 3)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

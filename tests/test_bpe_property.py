@@ -1,0 +1,80 @@
+# -*- coding: utf-8 -*-
+"""Property-based differential testing of the BPE greedy rewrite.
+
+The Spark trainer applies merges through an array FOLD
+(ops/bpe.py::_apply_merge: replace-the-tail-when-it-matches); the
+textbook algorithm is an index SCAN (left-to-right, skip 2 on match).
+The docstring claims these are equivalent because after a merge the
+tail symbol is the *merged* string, which can no longer equal the
+left part.  Hypothesis searches for a counterexample: random
+low-alphabet words (where overlap pathologies live) crossed with a
+fixed pool of adversarial merge sequences — self-referential (a,a),
+chained (a,a)->(aa,a) and (a,a)->(a,aa), ping-pong (a,b)->(b,a),
+and end-of-word-marker merges.  Each merge sequence is ONE Spark job
+over the whole word batch.  Derandomized for reproducibility.
+"""
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from metacrafter_spark.ops.bpe import EOW
+
+# adversarial merge sequences over the {a, b} alphabet
+MERGE_POOL = [
+    [("a", "a")],
+    [("a", "a"), ("aa", "a")],
+    [("a", "a"), ("a", "aa")],
+    [("a", "a"), ("aa", "aa")],
+    [("a", "b"), ("ab", "a")],
+    [("a", "b"), ("b", "a")],
+    [("b", "b"), ("a", "bb"), ("abb", EOW)],
+    [("a", EOW), ("b", "a" + EOW)],
+]
+
+
+def _scan_apply(syms, a, b):
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _scan_segment(word, merges):
+    syms = list(word) + [EOW]
+    for a, b in merges:
+        syms = _scan_apply(syms, a, b)
+    return syms
+
+
+WORDS = []
+
+
+@settings(max_examples=200, derandomize=True, deadline=None)
+@given(st.text(alphabet="ab", min_size=1, max_size=10))
+def _collect(w):
+    WORDS.append(w)
+
+
+def test_fold_equals_textbook_scan(spark):
+    WORDS.clear()
+    _collect()
+    words = list(dict.fromkeys(WORDS))
+    assert len(words) >= 60
+    rows = [(i, w) for i, w in enumerate(words)]
+
+    from metacrafter_spark.ops.bpe import bpe_segment
+
+    df = spark.createDataFrame(rows, "doc_id int, text string") \
+        .cache()
+    for merges in MERGE_POOL:
+        got = {r.doc_id: r.bpe_tokens
+               for r in bpe_segment(df, merges).collect()}
+        for i, w in rows:
+            assert got[i] == _scan_segment(w, merges), \
+                f"fold != scan for word={w!r} merges={merges!r}"
+    df.unpersist()

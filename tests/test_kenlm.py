@@ -156,3 +156,153 @@ def test_ppl_buckets_deterministic_tertiles(spark, corpus):
     by_nlp = sorted(out, key=lambda r: (r.avg_nlp, r.doc_id))
     assert [r.ppl_bucket for r in by_nlp] == sorted(
         r.ppl_bucket for r in out)
+
+
+# ---------------------------------------------------------------------------
+# trigram interpolated KN
+# ---------------------------------------------------------------------------
+
+
+def _py_trigram(docs, vocab_size, max_words=500):
+    """Independent pure-Python three-level interpolated-KN reference."""
+    from metacrafter_spark.corpus.kenlm import BOS, EOS, UNK
+
+    def words(t):
+        return [w for w in re.split(r"\W+", t.lower()) if w][:max_words]
+
+    wc = {}
+    for _, t in docs:
+        for w in words(t):
+            wc[w] = wc.get(w, 0) + 1
+    vocab = set(sorted(wc, key=lambda w: (-wc[w], w))[:vocab_size])
+
+    def toks(t):
+        return [BOS, BOS] + [w if w in vocab else UNK
+                             for w in words(t)] + [EOS]
+
+    tri = {}
+    for _, t in docs:
+        ts = toks(t)
+        for k in zip(ts, ts[1:], ts[2:]):
+            tri[k] = tri.get(k, 0) + 1
+    ctx, mid = {}, {}
+    for (u, v, w), c in tri.items():
+        c2, nuv = ctx.get((u, v), (0, 0))
+        ctx[(u, v)] = (c2 + c, nuv + 1)
+        mid[(v, w)] = mid.get((v, w), 0) + 1
+    mcx, cn3 = {}, {}
+    for (v, w), m in mid.items():
+        mv, nv = mcx.get(v, (0, 0))
+        mcx[v] = (mv + m, nv + 1)
+        cn3[w] = cn3.get(w, 0) + 1
+    n1_3 = sum(1 for c in tri.values() if c == 1)
+    n2_3 = sum(1 for c in tri.values() if c == 2)
+    B2 = len(mid)
+    n1_2 = sum(1 for c in mid.values() if c == 1)
+    n2_2 = sum(1 for c in mid.values() if c == 2)
+    d3 = max(n1_3, 1) / (max(n1_3, 1) + 2 * n2_3)
+    d2 = max(n1_2, 1) / (max(n1_2, 1) + 2 * n2_2)
+
+    def q9(x):
+        return Decimal(f"{round(x, 9):.9f}")
+
+    def p2(v, w):
+        m = mid[(v, w)]
+        mv, nv = mcx[v]
+        return (max(m - d2, 0.0) + d2 * nv * (cn3[w] / B2)) / mv
+
+    fl = q9(math.log(1.0 / (B2 + 1)))
+
+    def lp(u, v, w):
+        if (u, v, w) in tri:
+            c2, nuv = ctx[(u, v)]
+            return q9(math.log(
+                (max(tri[(u, v, w)] - d3, 0.0) + d3 * nuv * p2(v, w))
+                / c2))
+        if (v, w) in mid:
+            p2part = q9(math.log(p2(v, w)))
+        else:
+            bo2 = (q9(math.log(d2 * mcx[v][1] / mcx[v][0]))
+                   if v in mcx else Decimal(0))
+            cv = (q9(math.log(cn3[w] / B2)) if w in cn3 else fl)
+            p2part = bo2 + cv
+        bo3 = (q9(math.log(d3 * ctx[(u, v)][1] / ctx[(u, v)][0]))
+               if (u, v) in ctx else Decimal(0))
+        return bo3 + p2part
+
+    def score(t):
+        ts = toks(t)
+        grams = list(zip(ts, ts[1:], ts[2:]))
+        return len(grams), sum(lp(*g) for g in grams)
+
+    return score, (tri, ctx, mid, mcx, cn3, d3, d2, B2)
+
+
+def test_trigram_matches_pure_python(spark, corpus):
+    from metacrafter_spark.corpus.kenlm import (
+        score_kn_trigram, train_kn_trigram)
+
+    model = train_kn_trigram(corpus, vocab_size=12)
+    rows = score_kn_trigram(corpus, model).orderBy("doc_id").collect()
+    ref, _ = _py_trigram(DOCS, vocab_size=12)
+    assert len(rows) == len(DOCS)
+    for row in rows:
+        n, s = ref(dict(DOCS)[row.doc_id])
+        assert row.n_grams == n
+        assert Decimal(str(row.sum_logp)) == s
+
+
+def test_trigram_deterministic_across_partitionings(spark, corpus):
+    from metacrafter_spark.corpus.kenlm import (
+        score_kn_trigram, train_kn_trigram)
+
+    def run(df):
+        model = train_kn_trigram(df, vocab_size=12)
+        return {r.doc_id: (r.n_grams, str(r.sum_logp))
+                for r in score_kn_trigram(df, model).collect()}
+
+    assert run(corpus.repartition(1)) == run(corpus.repartition(7))
+
+
+def test_trigram_distribution_normalizes():
+    # pure-model property: for a seen context, P(w|u,v) sums to 1
+    # over the event space (vocab + <unk> + </s>) — the strongest
+    # internal-consistency check on the three-level recursion
+    from metacrafter_spark.corpus.kenlm import BOS, EOS, UNK
+
+    _, (tri, ctx, mid, mcx, cn3, d3, d2, B2) = _py_trigram(
+        DOCS, vocab_size=12)
+    vocab_evs = sorted({w for (_, _, w) in tri} | {UNK, EOS})
+    for (u, v) in [(BOS, "the"), ("the", "cat"), ("on", "the")]:
+        c2, nuv = ctx[(u, v)]
+        tot = 0.0
+        for w in vocab_evs:
+            if (v, w) in mid:
+                m = mid[(v, w)]
+                mv, nv = mcx[v]
+                p2 = (max(m - d2, 0.0)
+                      + d2 * nv * (cn3[w] / B2)) / mv
+            else:
+                mv, nv = mcx[v]
+                p2 = (d2 * nv / mv) * (cn3.get(w, 0) / B2)
+            if (u, v, w) in tri:
+                tot += (max(tri[(u, v, w)] - d3, 0.0)
+                        + d3 * nuv * p2) / c2
+            else:
+                tot += (d3 * nuv / c2) * p2
+        assert abs(tot - 1.0) < 1e-9, (u, v, tot)
+
+
+def test_trigram_beats_bigram_on_training_text(spark, corpus):
+    # higher order fits the training corpus at least as well — a
+    # deterministic sanity on the repetitive stress doc
+    from metacrafter_spark.corpus.kenlm import (
+        score_kn_trigram, train_kn_trigram)
+
+    m2 = train_kn_bigram(corpus, vocab_size=12)
+    m3 = train_kn_trigram(corpus, vocab_size=12)
+    p2 = {r.doc_id: r.ppl
+          for r in score_kn_bigram(corpus, m2).collect()}
+    p3 = {r.doc_id: r.ppl
+          for r in score_kn_trigram(corpus, m3).collect()}
+    assert p3[6] < p2[6]
