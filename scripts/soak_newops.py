@@ -17,8 +17,12 @@ best-of-REPS timed, /proc/stat steal sampled around the whole soak.
 Run:  python scripts/soak_newops.py [REPS]
 """
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def _steal():
