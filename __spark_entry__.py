@@ -1795,6 +1795,36 @@ def q_minhash_sha(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Cross-snapshot incremental dedup — the CommonCrawl monthly-ingest
+    shape: the corpus-so-far ("prior" = docs 0..99) participates ONLY as
+    its persisted sha256-MinHash signature table (text-free); the NEW
+    snapshot (docs 100..199 plus planted clones of both sides) gets a
+    per-doc keep/drop decision with prior-vs-new dup provenance counts.
+    Verification is signature-agreement (≥ ceil(0.8·12)=10 of 12 slots),
+    an integer bar — the whole decision chain is exact and the oracle
+    replays it end-to-end (signatures, banding, bucket guard, agreement
+    count, keep-first-by-id policy)."""
+    from metacrafter_spark.ops.dedup import (
+        incremental_keep_decisions, sha_minhash_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    prior = docs.filter(F.col("doc_id") < 100)
+    new = (
+        docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200))
+        .unionAll(prior.filter(F.col("doc_id") < 15)
+                  .select((F.col("doc_id") + 10000).alias("doc_id"), "text"))
+        .unionAll(docs.filter((F.col("doc_id") >= 100)
+                              & (F.col("doc_id") < 110))
+                  .select((F.col("doc_id") + 20000).alias("doc_id"), "text"))
+    )
+    prior_sigs = sha_minhash_signatures(prior, "doc_id")
+    return incremental_keep_decisions(
+        new, prior_sigs, "doc_id", threshold=0.8,
+    ).orderBy("doc_id")
+
+
 def q_cosine_pairs_exact(spark, sf_dir):
     """Exact embedding near-dup pairs — the oracle twin of the
     LSH-bucketed ``cosine_near_dup_pairs`` (same cosine expression, no
@@ -2782,6 +2812,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity": q_perplexity,
         "corpus_pipeline_documents": q_corpus_pipeline_documents,
         "minhash_near_dups_sha": q_minhash_sha,
+        # cross-snapshot incremental dedup: prior corpus as a text-free
+        # signature table, integer signature-agreement bar (round 5)
+        "incremental_dedup": q_incremental_dedup,
         "cosine_pairs_exact": q_cosine_pairs_exact,
         # hash-green since round 4: the oracle reads the committed
         # parquet materialization of the same deterministic corpus
@@ -5764,5 +5797,81 @@ def oracle_sql() -> dict[str, str]:
                      JOIN g gb ON gb.doc_id = p.id_b)
             SELECT id_a, id_b, round(jac, 4) AS jaccard
             FROM j WHERE jac >= 0.0 ORDER BY id_a, id_b
+        """,
+        # full replay of the incremental cross-snapshot dedup chain:
+        # both sides' sha256-min signatures, band keys, bucket-count
+        # guard, the integer agreement bar (ceil(0.8*12) = 10), and the
+        # keep-first-by-id policy with prior/new provenance counts
+        "incremental_dedup": r"""
+            WITH prior_docs AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 100),
+            new_docs AS (
+              SELECT doc_id, text FROM documents
+              WHERE doc_id >= 100 AND doc_id < 200
+              UNION ALL
+              SELECT doc_id + 10000, text FROM documents WHERE doc_id < 15
+              UNION ALL
+              SELECT doc_id + 20000, text FROM documents
+              WHERE doc_id >= 100 AND doc_id < 110),
+            allside AS (
+              SELECT 'p' AS src, doc_id, text FROM prior_docs
+              UNION ALL SELECT 'n', doc_id, text FROM new_docs),
+            w AS (
+              SELECT src, doc_id,
+                     list_slice(list_filter(
+                       string_split_regex(lower(text), '\W+'),
+                       x -> length(x) > 0), 1, 2000) AS ws
+              FROM allside),
+            g AS (
+              SELECT src, doc_id,
+                     list_distinct(CASE
+                       WHEN len(ws) >= 2 THEN
+                         list_transform(range(1, len(ws)),
+                           i -> ws[i] || ' ' || ws[i+1])
+                       WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+                       ELSE [] END) AS sh
+              FROM w),
+            s AS (
+              SELECT src, doc_id,
+                     list_transform(range(0, 12),
+                       k -> list_aggregate(
+                              list_transform(sh, x -> sha256(k || ':' || x)),
+                              'min')) AS sig
+              FROM g WHERE len(sh) > 0),
+            b AS (
+              SELECT src, doc_id, band,
+                     sig[band*2+1] || ',' || sig[band*2+2] AS key
+              FROM s, range(0, 6) r(band)),
+            cnt AS (SELECT band, key, count(*) AS n FROM b GROUP BY 1, 2),
+            ok AS (SELECT b.src, b.doc_id, b.band, b.key
+                   FROM b JOIN cnt USING (band, key)
+                   WHERE cnt.n BETWEEN 2 AND 1000),
+            p AS (
+              SELECT DISTINCT a.doc_id AS id_a, o.doc_id AS id_b,
+                              o.src AS src_b
+              FROM ok a JOIN ok o
+                ON a.band = o.band AND a.key = o.key
+              WHERE a.src = 'n'
+                AND (o.src = 'p'
+                     OR (o.src = 'n' AND o.doc_id < a.doc_id))),
+            v AS (
+              SELECT p.id_a, p.id_b, p.src_b,
+                     list_sum(list_transform(range(1, 13),
+                       i -> CASE WHEN sa.sig[i] = sb.sig[i]
+                            THEN 1 ELSE 0 END)) AS eq
+              FROM p
+              JOIN s sa ON sa.doc_id = p.id_a AND sa.src = 'n'
+              JOIN s sb ON sb.doc_id = p.id_b AND sb.src = p.src_b),
+            d AS (
+              SELECT id_a,
+                     sum(CASE WHEN src_b = 'p' THEN 1 ELSE 0 END) AS np,
+                     sum(CASE WHEN src_b = 'n' THEN 1 ELSE 0 END) AS nn
+              FROM v WHERE eq >= 10 GROUP BY 1)
+            SELECT n.doc_id,
+                   coalesce(np, 0) + coalesce(nn, 0) = 0 AS keep,
+                   CAST(coalesce(np, 0) AS BIGINT) AS n_prior_dups,
+                   CAST(coalesce(nn, 0) AS BIGINT) AS n_new_dups
+            FROM new_docs n LEFT JOIN d ON d.id_a = n.doc_id
+            ORDER BY doc_id
         """,
     }

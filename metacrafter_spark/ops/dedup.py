@@ -752,3 +752,155 @@ def shingles_positional(words: Column, n: int) -> Column:
         grams = F.zip_with(grams, F.slice(words, i + 1, k),
                            lambda a, b: F.concat(a, F.lit(" "), b))
     return grams
+
+
+def sha_minhash_signatures(
+    df: DataFrame, id_col: str, *, n_hashes: int = 12,
+    text_col: str = "text", shingle: int = 2, max_words: int = 2000,
+) -> DataFrame:
+    """(id, sig) signature table in the DuckDB-reproducible sha256
+    family (signature k = lexicographic min over shingles of
+    ``sha2(f"{k}:" + shingle)``, the :func:`near_dup_pairs_minhash_sha`
+    family).  This is the PERSISTED artifact of a snapshot-aware dedup
+    pipeline: at 10^12-document scale the corpus-so-far is kept as this
+    table only (k fixed-width hashes per doc, text-free) and each new
+    crawl snapshot is deduped against it without ever re-reading prior
+    text — the CommonCrawl monthly-ingest shape (FineWeb / CCNet keep
+    exactly such a signature store between dumps).  Docs with no
+    shingles (empty after tokenization) emit no row."""
+    t = (
+        df.select(F.col(id_col), F.col(text_col))
+        .withColumn("__words", split_words(F.col(text_col), max_words))
+        .withColumn("sh", shingles_from_words(F.col("__words"), shingle))
+        .filter(F.size("sh") > 0)
+    )
+
+    def _seeded(k: int):
+        # one-arg closure factory (a default-arg lambda would bind
+        # (element, index) in pyspark's HOF)
+        return lambda s: F.sha2(F.concat(F.lit(f"{k}:"), s), 256)
+
+    sig = F.array(*[
+        F.array_min(F.transform(F.col("sh"), _seeded(k)))
+        for k in range(n_hashes)
+    ])
+    return t.select(F.col(id_col), sig.alias("sig"))
+
+
+def incremental_keep_decisions(
+    new_df: DataFrame, prior_sigs: DataFrame, id_col: str, *,
+    threshold: float = 0.8, n_hashes: int = 12, bands: int = 6,
+    rows: int = 2, text_col: str = "text", shingle: int = 2,
+    max_words: int = 2000, max_bucket: int = 1000,
+    _checkpoint: bool = True,
+) -> DataFrame:
+    """Cross-snapshot incremental near-dup dedup: decide keep/drop for
+    every row of a NEW snapshot against (a) a PRIOR corpus given only
+    as its :func:`sha_minhash_signatures` table and (b) the new
+    snapshot itself (keep-first by id, the repo-wide
+    :func:`dedup_by_pairs` policy).  Returns one row per new doc:
+    ``(id, keep, n_prior_dups, n_new_dups)`` — exact integers and a
+    boolean, so the whole decision is SQL-replayable value-for-value.
+
+    Verification is SIGNATURE-based (est. Jaccard = fraction of
+    agreeing signature slots; a pair is a dup when
+    ``#agreeing >= ceil(threshold * n_hashes)``, an integer compare —
+    no floats anywhere).  That is deliberate: the prior side has no
+    text, so exact-Jaccard verification is impossible by construction —
+    at scale the signature store IS the corpus memory.  The in-snapshot
+    exact-verify variant stays :func:`near_dup_pairs_minhash_sha`.
+
+    Scale shape: both sides explode to (id, band, key) fixed-width
+    rows; one count agg over the union guards hot buckets (broadcast
+    back, same ``max_bucket`` contract as every LSH join in this
+    module); candidate pairs join signature arrays (k hashes/doc);
+    new-snapshot text never crosses an Exchange and prior text never
+    exists.  ids must be unique across snapshots (URL-keyed corpora
+    are; ``src`` tags guard the sig join regardless)."""
+    import math
+
+    min_eq = int(math.ceil(threshold * n_hashes - 1e-9))
+    new_sigs = sha_minhash_signatures(
+        new_df, id_col, n_hashes=n_hashes, text_col=text_col,
+        shingle=shingle, max_words=max_words,
+    )
+    sigs = (
+        new_sigs.withColumn("src", F.lit("n"))
+        .unionAll(prior_sigs.select(F.col(id_col), "sig")
+                  .withColumn("src", F.lit("p")))
+        .persist()
+    )
+    try:
+        band_structs = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(",", *[
+                    F.element_at(F.col("sig"), b * rows + r + 1)
+                    for r in range(rows)
+                ]).alias("key"),
+            )
+            for b in range(bands)
+        ]
+        exploded = sigs.select(
+            F.col(id_col), "src",
+            F.explode(F.array(*band_structs)).alias("bk"),
+        ).select(id_col, "src", "bk.band", "bk.key")
+        counts = exploded.groupBy("band", "key").agg(
+            F.count(F.lit(1)).alias("n"))
+        ok = exploded.join(
+            F.broadcast(counts.filter(F.col("n").between(2, max_bucket))),
+            ["band", "key"],
+        )
+        a, o = ok.filter(F.col("src") == "n").alias("a"), ok.alias("o")
+        pairs = (
+            a.join(o, (F.col("a.band") == F.col("o.band"))
+                   & (F.col("a.key") == F.col("o.key"))
+                   & ((F.col("o.src") == "p")
+                      | ((F.col("o.src") == "n")
+                         & (F.col(f"o.{id_col}") < F.col(f"a.{id_col}")))))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"o.{id_col}").alias("id_b"),
+                    F.col("o.src").alias("src_b"))
+            .distinct()
+        )
+        sa = sigs.filter(F.col("src") == "n").select(
+            F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+        sb = sigs.select(F.col(id_col).alias("id_b"),
+                         F.col("src").alias("src_b"),
+                         F.col("sig").alias("sig_b"))
+        eq = F.aggregate(
+            F.zip_with("sig_a", "sig_b",
+                       lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0))),
+            F.lit(0), lambda acc, v: acc + v,
+        )
+        dups = (
+            pairs.join(sa, "id_a").join(sb, ["id_b", "src_b"])
+            .withColumn("eq", eq)
+            .filter(F.col("eq") >= F.lit(min_eq))
+        )
+        agg = dups.groupBy("id_a").agg(
+            F.sum(F.when(F.col("src_b") == "p", 1).otherwise(0))
+            .cast("long").alias("n_prior_dups"),
+            F.sum(F.when(F.col("src_b") == "n", 1).otherwise(0))
+            .cast("long").alias("n_new_dups"),
+        )
+        out = (
+            new_df.select(F.col(id_col))
+            .join(agg.withColumnRenamed("id_a", id_col), id_col, "left")
+            .select(
+                id_col,
+                F.coalesce("n_prior_dups", F.lit(0)).alias("n_prior_dups"),
+                F.coalesce("n_new_dups", F.lit(0)).alias("n_new_dups"),
+            )
+            .withColumn(
+                "keep",
+                (F.col("n_prior_dups") + F.col("n_new_dups")) == 0,
+            )
+            .select(id_col, "keep", "n_prior_dups", "n_new_dups")
+        )
+        # _checkpoint=False keeps the chain lazy (plan-audit hook only:
+        # explain_audit.py inspects the full physical plan; the eager
+        # checkpoint is the production shape — see near_dup_pairs_*)
+        return out.localCheckpoint(eager=True) if _checkpoint else out
+    finally:
+        sigs.unpersist()

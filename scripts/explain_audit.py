@@ -628,6 +628,33 @@ def main() -> None:
     ))
     assert "CartesianProduct" not in lplan
 
+    # 35. incremental cross-snapshot dedup: the prior corpus enters as a
+    # text-free (id, sig) table; the bucket-count skew guard rides a
+    # broadcast back onto the exploded band frame (same contract as
+    # every LSH join); candidate pairs join k-hash signature arrays
+    # only — never document text — and there is no cartesian product.
+    from metacrafter_spark.ops.dedup import (
+        incremental_keep_decisions, sha_minhash_signatures)
+
+    inew = docs.select("doc_id", "text").filter(F.col("doc_id") < 120)
+    iprior = sha_minhash_signatures(
+        docs.select("doc_id", "text").filter(
+            (F.col("doc_id") >= 120) & (F.col("doc_id") < 240)),
+        "doc_id")
+    # plan the pre-checkpoint decision chain (the public fn checkpoints
+    # eagerly; audit the same plan by rebuilding its last stage lazily)
+    idec = incremental_keep_decisions(inew, iprior, "doc_id",
+                                      _checkpoint=False)
+    iplan = plan_of(idec)
+    sections.append((
+        "Incremental cross-snapshot dedup decisions (prior side is a "
+        "text-free signature table; broadcast bucket-count guard; "
+        "signature-array joins only)",
+        iplan,
+        ["BroadcastHashJoin", "zip_with"],
+    ))
+    assert "CartesianProduct" not in iplan
+
     out = ["# BENCH/EXPLAIN — physical-plan audit\n"]
     ok = True
     for title, plan, must in sections:

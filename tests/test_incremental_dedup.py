@@ -1,0 +1,151 @@
+"""Cross-snapshot incremental MinHash dedup (ops/dedup.py).
+
+The strongest check here is an independent pure-Python replay of the
+whole sha256-family chain (tokenize → shingle → per-seed min-hash →
+band buckets → bucket-count guard → integer agreement bar → keep/drop),
+asserted equal to the operator's output decision-for-decision.
+"""
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+from pyspark.sql import functions as F
+
+from metacrafter_spark.ops.dedup import (
+    incremental_keep_decisions, sha_minhash_signatures,
+)
+
+PRIOR = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "machine learning systems require large curated training corpora"),
+    (3, "weather report for tuesday light rain in the northern valleys"),
+]
+NEW = [
+    (101, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (102, "completely novel text about quantum flute manufacturing steps"),
+    (103, "duplicate sentence repeated for the new snapshot pair test case"),
+    (104, "duplicate sentence repeated for the new snapshot pair test case"),
+    (105, "duplicate sentence repeated for the new snapshot pair test case"),
+    # near-clone of prior #2 (one word changed) — exercises the partial
+    # signature-agreement region, not just eq=12 and eq=0
+    (106, "machine learning systems require large curated training sets"),
+    (107, ""),
+]
+
+
+def _sig(text, n_hashes=12, shingle=2):
+    ws = [w for w in re.split(r"\W+", text.lower()) if w][:2000]
+    if len(ws) >= shingle:
+        sh = {" ".join(ws[i:i + shingle]) for i in range(len(ws) - shingle + 1)}
+    elif ws:
+        sh = {" ".join(ws)}
+    else:
+        return None
+    return [
+        min(hashlib.sha256(f"{k}:{s}".encode()).hexdigest() for s in sh)
+        for k in range(n_hashes)
+    ]
+
+
+def _replay(new, prior, threshold=0.8, n_hashes=12, bands=6, rows=2,
+            max_bucket=1000):
+    sigs = {}
+    for i, t in new:
+        s = _sig(t, n_hashes)
+        if s:
+            sigs[("n", i)] = s
+    for i, t in prior:
+        s = _sig(t, n_hashes)
+        if s:
+            sigs[("p", i)] = s
+    bucket = {}
+    for (src, i), sig in sigs.items():
+        for b in range(bands):
+            key = ",".join(sig[b * rows:(b + 1) * rows])
+            bucket.setdefault((b, key), []).append((src, i))
+    min_eq = math.ceil(threshold * n_hashes - 1e-9)
+    dups: dict[int, set] = {}
+    for members in bucket.values():
+        if not (2 <= len(members) <= max_bucket):
+            continue
+        for (s1, i1) in members:
+            if s1 != "n":
+                continue
+            for (s2, i2) in members:
+                if (s2 == "p") or (s2 == "n" and i2 < i1):
+                    eqc = sum(
+                        1 for x, y in zip(sigs[("n", i1)], sigs[(s2, i2)])
+                        if x == y)
+                    if eqc >= min_eq:
+                        dups.setdefault(i1, set()).add((s2, i2))
+    out = {}
+    for i, _ in new:
+        ps = {x for x in dups.get(i, set()) if x[0] == "p"}
+        ns = {x for x in dups.get(i, set()) if x[0] == "n"}
+        out[i] = (len(ps) + len(ns) == 0, len(ps), len(ns))
+    return out
+
+
+def _run(spark, threshold=0.8):
+    new_df = spark.createDataFrame(NEW, ["doc_id", "text"])
+    prior_df = spark.createDataFrame(PRIOR, ["doc_id", "text"])
+    prior_sigs = sha_minhash_signatures(prior_df, "doc_id")
+    out = incremental_keep_decisions(
+        new_df, prior_sigs, "doc_id", threshold=threshold)
+    return {
+        r["doc_id"]: (r["keep"], r["n_prior_dups"], r["n_new_dups"])
+        for r in out.collect()
+    }
+
+
+def test_matches_pure_python_replay(spark):
+    got = _run(spark)
+    want = _replay(NEW, PRIOR)
+    assert got == want
+    # and the planted semantics hold explicitly
+    assert got[101] == (False, 1, 0)       # exact clone of prior #1
+    assert got[102][0] is True             # novel doc kept
+    assert got[103][0] is True             # first of the new-new clones
+    assert got[104] == (False, 0, 1)       # dup of 103
+    assert got[105] == (False, 0, 2)       # dup of 103 and 104
+    assert got[107] == (True, 0, 0)        # empty doc trivially kept
+
+
+def test_threshold_is_integer_exact(spark):
+    # threshold=1.0 → only all-12-slots agreement is a dup: the
+    # near-clone 106 survives, exact clones still drop
+    got = _run(spark, threshold=1.0)
+    want = _replay(NEW, PRIOR, threshold=1.0)
+    assert got == want
+    assert got[101][0] is False
+    assert got[106][0] is True
+    # at a permissive bar the near-clone drops (replay agrees on the
+    # exact agreement count, wherever it lands)
+    lo = _run(spark, threshold=0.25)
+    assert lo == _replay(NEW, PRIOR, threshold=0.25)
+    assert lo[106][0] is False
+
+
+def test_prior_side_is_text_free(spark):
+    # the prior snapshot participates as its signature table ONLY —
+    # passing a frame with no text column must work end-to-end
+    prior_df = spark.createDataFrame(PRIOR, ["doc_id", "text"])
+    sig_only = sha_minhash_signatures(prior_df, "doc_id").select(
+        "doc_id", "sig")
+    assert sig_only.columns == ["doc_id", "sig"]
+    new_df = spark.createDataFrame(NEW, ["doc_id", "text"])
+    out = incremental_keep_decisions(new_df, sig_only, "doc_id")
+    assert {r["doc_id"]: r["keep"] for r in out.collect()}[101] is False
+
+
+def test_determinism_across_partitionings(spark):
+    new_df = spark.createDataFrame(NEW, ["doc_id", "text"])
+    prior_df = spark.createDataFrame(PRIOR, ["doc_id", "text"])
+    sigs = sha_minhash_signatures(prior_df, "doc_id")
+    a = incremental_keep_decisions(
+        new_df.repartition(7), sigs.repartition(3), "doc_id")
+    b = incremental_keep_decisions(
+        new_df.repartition(1), sigs.repartition(5), "doc_id")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
