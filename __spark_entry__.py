@@ -2403,6 +2403,32 @@ def q_packed_sequences(spark, sf_dir):
             .orderBy("seq_id"))
 
 
+def q_token_budget(spark, sf_dir):
+    """Quality-ordered token-budget selection (round 5, ops/sampling.py
+    select_token_budget — the SlimPajama/FineWeb-Edu "best B tokens"
+    step): documents ranked by alpha-char ratio descending (quantized
+    floor(ratio·1e6), hash/id tie-breaks), the cumulative-token prefix
+    under budget=12000 kept via the distributed prefix-sum cut
+    (score-unit × hash-bucket keyed — no global-order window).  The
+    oracle replays score, total order and running sum with one SQL
+    window."""
+    from metacrafter_spark.ops.sampling import select_token_budget
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", r"\s+"),
+                        lambda w: w != "")).cast("long")
+        .alias("n_tokens"),
+        (F.lit(1.0)
+         * F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+         / F.greatest(F.length("text"), F.lit(1))).alias("score"))
+    out = select_token_budget(scored, "doc_id", "n_tokens", "score",
+                              budget=12000)
+    return (out.select("doc_id", "n_tokens", "score_unit", "token_start")
+            .orderBy("doc_id"))
+
+
 def q_page_metadata(spark, sf_dir):
     """Page-metadata extraction (round 5, corpus/html.py
     with_page_metadata): <title> comes from the corpus's own html;
@@ -2840,6 +2866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_metadata": q_page_metadata,
         "sequence_packing": q_sequence_packing,
         "packed_sequences": q_packed_sequences,
+        "token_budget_select": q_token_budget,
         "temperature_mix": q_temperature_mix,
         "outlink_graph": q_outlink_graph,
         "anchor_text_agg": q_anchor_text_agg,
@@ -5121,6 +5148,33 @@ def oracle_sql() -> dict[str, str]:
                    ((token_start + n_tokens - 1) // 512)
                      > (token_start // 512) AS spans_boundary
             FROM o ORDER BY doc_id
+        """,
+        # token_budget_select: identical quantized score, total order
+        # and running token sum — one global SQL window replays the
+        # distributed prefix-sum cut (same values, same order)
+        "token_budget_select": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     len(list_filter(
+                       string_split_regex(text, '\s+'),
+                       w -> w != ''))::BIGINT AS n_tokens,
+                     floor((1.0 * length(regexp_replace(
+                              text, '[^A-Za-z]', '', 'g'))
+                            / greatest(length(text), 1))
+                           * 1000000.0)::BIGINT AS score_unit,
+                     ((doc_id % 2147483648) * 2654435761)
+                       % 4294967296 AS h
+              FROM documents),
+            o AS (
+              SELECT *,
+                     coalesce(sum(n_tokens) OVER (
+                       ORDER BY score_unit DESC, h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0)::BIGINT AS token_start
+              FROM t)
+            SELECT doc_id, n_tokens, score_unit, token_start
+            FROM o WHERE token_start < 12000
+            ORDER BY doc_id
         """,
         # temperature_mix: pow rounded to 9 decimals on both sides,
         # then the exact Knuth-hash Bernoulli filter

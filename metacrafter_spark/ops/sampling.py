@@ -237,3 +237,73 @@ def temperature_mix(
                                               "__tot")), "__sk")
            .filter(_id_hash(id_col, seed) < thr))
     return sel.drop("__sk", "__budget", "__tot")
+
+
+def select_token_budget(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    score_col: str,
+    *,
+    budget: int,
+    n_buckets: int = 256,
+    seed: int = 0,
+    quantum: int = 1_000_000,
+) -> DataFrame:
+    """Quality-ordered selection under a global token budget (the
+    SlimPajama / FineWeb-Edu "take the best B tokens" step): rank every
+    document by ``score_col`` descending and keep the prefix whose
+    cumulative ``tokens_col`` stays under ``budget``.
+
+    The cut is a pure function of the data.  Scores are quantized to
+    ``floor(score * quantum)`` (floor — no rounding-mode to disagree
+    across engines; NULL scores sort last); ties break on the
+    multiplicative id hash then the id, so the selected set is
+    identical across runs, partitionings and engines, and the whole
+    chain replays in SQL.  The document straddling the boundary is
+    KEPT (prefix cut, like sequence packing's truncation — trim
+    downstream if exact token counts matter); ``budget == 0`` selects
+    nothing.
+
+    Scale shape — the packing prefix-sum, keyed on (score_unit, hash
+    bucket) instead of the hash alone (ops/packing.py rationale): one
+    shuffle keyed on the compound key, per-key token totals (metadata-
+    sized: #distinct quantized scores × n_buckets rows) cumulated with
+    one tiny window and broadcast back, intra-key running sums over
+    bounded window partitions.  No global-order window ever touches
+    the corpus; a hot score value (every doc scoring 0.0) spreads over
+    ``n_buckets`` hash buckets instead of one reducer.
+
+    Output: the selected rows plus ``score_unit`` and ``token_start``
+    (the document's offset in the score-ordered token stream).
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    from metacrafter_spark.ops.linkgraph import _idiv
+
+    unit = F.coalesce(
+        F.floor(F.col(score_col).cast("double") * F.lit(float(quantum)))
+        .cast("long"),
+        F.lit(-(1 << 62)))
+    out = (df.withColumn("score_unit", unit)
+           .withColumn("__h", _id_hash(id_col, seed))
+           .withColumn("__b", _idiv(F.col("__h"),
+                                    F.lit((1 << 32) // n_buckets))))
+    per = (out.groupBy("score_unit", "__b")
+           .agg(F.sum(tokens_col).cast("long").alias("__t")))
+    wb = (Window.orderBy(F.col("score_unit").desc(), F.col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offs = per.select(
+        "score_unit", "__b",
+        F.coalesce(F.sum("__t").over(wb), F.lit(0)).alias("__off"))
+    wi = (Window.partitionBy("score_unit", "__b")
+          .orderBy("__h", id_col)
+          .rowsBetween(Window.unboundedPreceding, -1))
+    out = (out.join(F.broadcast(offs), ["score_unit", "__b"])
+           .withColumn(
+               "token_start",
+               (F.col("__off")
+                + F.coalesce(F.sum(tokens_col).over(wi), F.lit(0)))
+               .cast("long"))
+           .drop("__b", "__off", "__h"))
+    return out.filter(F.col("token_start") < F.lit(int(budget)))

@@ -125,20 +125,40 @@ def _to_node(x) -> "Node":
 
 
 class Word(Node):
-    def __init__(self, chars, min=1, max=0, exact=0):
+    # Signature mirrors pyparsing's Word(init_chars, body_chars=None,
+    # min=1, max=0, exact=0): with body_chars the FIRST character comes
+    # from init_chars and the rest from body_chars, and min/max/exact
+    # count the TOTAL length (pyparsing core: minLen/maxLen compare
+    # against the whole token).
+    def __init__(self, chars, body_chars=None, min=1, max=0, exact=0):
         self.cls = _char_class(chars)
+        self.body = _char_class(body_chars) if body_chars else None
         if exact:
             min = max = exact
         self.min, self.max = int(min), int(max)
+        if self.min < 1:
+            raise ValueError("Word min must be >= 1")
 
     def regex(self) -> str:
+        if self.body is None:
+            if self.max and self.min == self.max:
+                return f"{self.cls}{{{self.min}}}"
+            if self.max:
+                return f"{self.cls}{{{self.min},{self.max}}}+"
+            if self.min == 1:
+                return f"{self.cls}++"
+            return f"{self.cls}{{{self.min},}}+"
+        # two-charset form: one init char + (total - 1) body chars
+        bmin = self.min - 1
         if self.max and self.min == self.max:
-            return f"{self.cls}{{{self.min}}}"
+            if bmin == 0:
+                return self.cls
+            return f"{self.cls}{self.body}{{{bmin}}}"
         if self.max:
-            return f"{self.cls}{{{self.min},{self.max}}}+"
-        if self.min == 1:
-            return f"{self.cls}++"
-        return f"{self.cls}{{{self.min},}}+"
+            return f"{self.cls}{self.body}{{{bmin},{self.max - 1}}}+"
+        if bmin == 0:
+            return f"{self.cls}{self.body}*+"
+        return f"{self.cls}{self.body}{{{bmin},}}+"
 
     def max_len(self) -> float:
         return float(self.max) if self.max else float("inf")

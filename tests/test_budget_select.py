@@ -1,0 +1,85 @@
+"""Quality-ordered token-budget selection (ops/sampling.py
+select_token_budget)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from metacrafter_spark.ops.sampling import _KNUTH, select_token_budget
+
+
+def _h(i, seed=0):
+    return ((i % (1 << 31) + seed % (1 << 31)) % (1 << 31) * _KNUTH) \
+        % (1 << 32)
+
+
+def _docs(spark, n, parts=4):
+    # scores with deliberate heavy ties (many docs share a unit) and a
+    # NULL stratum; token counts vary
+    rows = []
+    for i in range(n):
+        score = None if i % 17 == 0 else (i % 5) / 7.0
+        rows.append((i, (i * 37 + 11) % 90 + 1, score))
+    return spark.createDataFrame(
+        rows, "doc_id long, n_tokens long, score double").repartition(parts)
+
+
+def _replay(rows, budget, quantum=10**6):
+    import math
+    keyed = []
+    for i, nt, s in rows:
+        unit = math.floor(s * quantum) if s is not None else -(1 << 62)
+        keyed.append((unit, i, nt))
+    keyed.sort(key=lambda t: (-t[0], _h(t[1]), t[1]))
+    out, pos = {}, 0
+    for unit, i, nt in keyed:
+        if pos < budget:
+            out[i] = (unit, pos)
+        pos += nt
+    return out
+
+
+def test_budget_select_python_replay(spark):
+    df = _docs(spark, 200)
+    rows = [(r.doc_id, r.n_tokens, r.score) for r in df.collect()]
+    total = sum(r[1] for r in rows)
+    for budget in (0, 1, total // 3, total, total + 10):
+        got = {r.doc_id: (r.score_unit, r.token_start)
+               for r in select_token_budget(
+                   df, "doc_id", "n_tokens", "score",
+                   budget=budget).collect()}
+        assert got == _replay(rows, budget), budget
+
+
+def test_budget_select_prefix_cut_semantics(spark):
+    df = _docs(spark, 150)
+    total = df.agg(F.sum("n_tokens")).collect()[0][0]
+    budget = total // 2
+    out = sorted(select_token_budget(
+        df, "doc_id", "n_tokens", "score", budget=budget).collect(),
+        key=lambda r: r.token_start)
+    # gapless prefix in score order; boundary doc kept
+    pos = 0
+    for r in out:
+        assert r.token_start == pos
+        pos += r.n_tokens
+    assert out[-1].token_start < budget <= pos
+    # the prefix is ordered by descending score unit
+    units = [r.score_unit for r in out]
+    assert units == sorted(units, reverse=True)
+
+
+def test_budget_select_partitioning_and_bucket_invariance(spark):
+    df1 = _docs(spark, 300, parts=2)
+    df2 = _docs(spark, 300, parts=13)
+    a = sorted((r.doc_id, r.token_start) for r in select_token_budget(
+        df1, "doc_id", "n_tokens", "score", budget=5000).collect())
+    b = sorted((r.doc_id, r.token_start) for r in select_token_budget(
+        df2, "doc_id", "n_tokens", "score", budget=5000,
+        n_buckets=16).collect())
+    assert a == b
+
+
+def test_budget_select_validation(spark):
+    df = _docs(spark, 10)
+    with pytest.raises(ValueError):
+        select_token_budget(df, "doc_id", "n_tokens", "score", budget=-1)

@@ -61,6 +61,14 @@ GRAMMARS = [
     "Word(nums, exact=3) + Literal('-').suppress() + Word(nums, exact=3) + Literal('-').suppress() + Word(nums, exact=3) + Word(nums, exact=2)",
     'Literal("с") + Word("012", exact=1) + Word(nums, exact=1) + Literal(":") + Word("012345", exact=1) + Word(nums, exact=1) + Literal("по") + Word("012", exact=1) + Word(nums, exact=1) + Literal(":") + Word("012345", exact=1) + Word(nums, exact=1)',
     '((Literal("ЛС") | Literal("ЛП")) + Literal("-") + Word(nums, exact=6)) | (Literal("ЛСР") + Literal("-") + Word(nums, exact=6) + Literal("\\/") + Word(nums, exact=2))',
+    # two-charset Word form (first char from init_chars, rest from
+    # body_chars, lengths counting the WHOLE token — pyparsing's own
+    # positional signature; no shipped rule uses it, user packs can)
+    'Word("#", "0123456789abcdefABCDEF", exact=7)',
+    "Word(alphas, alphanums)",
+    'Word("+", nums, min=8, max=16)',
+    "Word(alphas, alphanums, exact=1)",
+    'Word(nums, "0123456789-", min=3)',
 ]
 
 # Inputs chosen to stress: exact hits, whitespace between tokens, newlines,
@@ -191,6 +199,20 @@ INPUTS = [
     "\nAS99999",
     "junk\nAS99999",
     "AS99999\nmore",
+    # two-charset Word probes
+    "#a1b2c3",
+    "#######",
+    "#A1B2C",
+    "#a1b2c3d",
+    "abc123",
+    "9abc",
+    "+12345678",
+    "+1234567",
+    "+1234567890123456",
+    "+12345678901234567",
+    "12-34",
+    "1-",
+    "123-",
 ]
 
 
