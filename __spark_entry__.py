@@ -1631,6 +1631,40 @@ def q_html_extract_text(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_pdf_extract_text(spark, sf_dir):
+    """PDF → text extraction round-trip (round 5, io/pdf_codec.py —
+    clean-room ISO 32000): each document's printable-ASCII projection
+    is rendered to a PDF 1.5 file IN-PLAN (object streams + xref
+    stream, Flate-compressed) by the deterministic writer, then the
+    extractor recovers the text layer from those bytes (xref-stream
+    load, ObjStm objects, page tree, content-stream interpretation
+    with line tracking).  The oracle hashes the same projection
+    computed directly from the text column — the sha256s match only
+    if the parse→extract chain reproduces every document
+    byte-for-byte."""
+    from metacrafter_spark.io.pdf_codec import (with_pdf_text,
+                                                write_simple_pdf)
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace("text", r"[^\x20-\x7e\n]", "?").alias("atext"))
+
+    def gen(batches):
+        for b in batches:
+            b = b.copy()
+            b["pdf"] = [write_simple_pdf([t], compress=True,
+                                         xref_stream=True)
+                        for t in b["atext"]]
+            yield b[["doc_id", "pdf"]]
+
+    pdfs = docs.mapInPandas(gen, "doc_id long, pdf binary")
+    out = with_pdf_text(pdfs, "pdf", "ptext")
+    return out.select(
+        "doc_id",
+        F.sha2(F.col("ptext"), 256).alias("pdf_sha"),
+        F.length("ptext").alias("n_chars")).orderBy("doc_id")
+
+
 def q_warc_roundtrip(spark, sf_dir):
     """WARC container round-trip under the north rule's Common-Crawl
     input shape (io/warc.py, clean-room ISO 28500 — the reference has
@@ -2850,6 +2884,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub_hashes": q_pii_scrub,
         # html:binary → text extraction, byte-identity per url (round 5)
         "html_extract_text": q_html_extract_text,
+        # pdf:binary → text layer, byte-identity per doc (round 5)
+        "pdf_extract_text": q_pdf_extract_text,
         "warc_roundtrip": q_warc_roundtrip,
         # pure-Python Iceberg v2 layer: append + dynamic partition
         # overwrite + time travel, read back through the manifest
@@ -5735,6 +5771,18 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('""" + WEBCORPUS_FIXTURE + """')
             ORDER BY doc_id
         """),
+        # pdf_extract_text: the oracle hashes the projection computed
+        # directly from the text column; the Spark side must recover it
+        # from the PDF bytes it rendered in-plan
+        "pdf_extract_text": r"""
+            SELECT doc_id,
+                   sha256(regexp_replace(text, '[^\x20-\x7e\n]', '?',
+                                         'g')) AS pdf_sha,
+                   length(regexp_replace(text, '[^\x20-\x7e\n]', '?',
+                                         'g'))::BIGINT AS n_chars
+            FROM documents
+            ORDER BY doc_id
+        """,
         "warc_roundtrip": ("""
             SELECT regexp_extract(url, '/article/(\\d+)$', 1)::BIGINT AS doc_id,
                    sha256(url) AS url_sha,

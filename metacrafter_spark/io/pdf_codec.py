@@ -1,0 +1,1021 @@
+"""Pure-stdlib PDF text extraction — clean-room from the public PDF
+spec (ISO 32000-1 / the Adobe PDF Reference).
+
+Web crawls carry a long tail of PDF documents next to HTML (Common
+Crawl serves them under ``application/pdf``); a corpus engine that can
+only ingest HTML drops them all.  This module recovers the text layer
+of a PDF the way the HTML extractor recovers body text
+(corpus/html.py) — executor-side, stdlib-only, byte-deterministic —
+so PDFs ride the same keep/drop + scrub pipeline.
+
+Reference parity anchor: the reference engine has no document-format
+layer at all (metacrafter/core.py scans stop at flat tabular files);
+this extends the training-data ingestion surface required by the
+web-scale brief.
+
+Scope (the structural 90% of real-world text PDFs):
+
+- classic xref tables with ``/Prev`` incremental-update chains, AND
+  cross-reference streams (``/Type /XRef``, ``/W`` field widths,
+  ``/Index`` subsections) — the layout PDF 1.5+ writers emit;
+- compressed object streams (``/Type /ObjStm``);
+- stream filters: FlateDecode (with TIFF predictor 2 and PNG
+  predictors 10–15 over ``/Columns``/``/Colors``), ASCIIHexDecode,
+  ASCII85Decode, RunLengthDecode, and filter chains;
+- the full object grammar: dictionaries, arrays, names with ``#xx``
+  escapes, literal strings (nested parens, all escapes, octal,
+  line continuations), hex strings, references, numbers, booleans;
+- page-tree traversal with attribute inheritance (``/Resources``),
+  ``/Contents`` arrays;
+- the text operators: BT/ET, Tf (font tracking), Td/TD/T*/TL/Tm
+  (line-position tracking → newlines), Tj/TJ/'/\" (shows; TJ kern
+  adjustments below ``space_kern`` thousandths of an em emit a
+  space);
+- per-font decoding: ``/ToUnicode`` CMaps (codespacerange byte
+  width, bfchar, bfrange in both forms) when present, cp1252
+  (WinAnsi ≈ the spec's StandardEncoding superset) otherwise.
+
+Honest gates (``NotImplementedError``): encrypted PDFs (``/Encrypt``),
+LZWDecode / DCT / JBIG2 / Crypt stream filters, and CID-keyed fonts
+*without* a ToUnicode CMap (glyph indices carry no text — emitting
+cp1252 mojibake would be silently wrong).  Malformed files raise
+``ValueError``; the Spark wrapper maps both to NULL under
+``strict=False`` (the multimodal fallback contract).
+
+The deterministic writer :func:`write_simple_pdf` exists for fixtures
+and the oracle round-trip: it emits classic-xref or
+xref-stream+ObjStm layouts, optionally Flate-compressed, with one
+``Tj`` per line so the extractor's newline tracking reproduces the
+input byte-for-byte over cp1252-representable text.
+"""
+
+from __future__ import annotations
+
+import re
+import struct
+import zlib
+from typing import Iterator, Optional
+
+__all__ = [
+    "PdfError",
+    "extract_pdf_text",
+    "write_simple_pdf",
+    "with_pdf_text",
+]
+
+
+class PdfError(ValueError):
+    pass
+
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class _Ref:
+    __slots__ = ("num", "gen")
+
+    def __init__(self, num: int, gen: int):
+        self.num, self.gen = num, gen
+
+    def __repr__(self):  # pragma: no cover - debug aid
+        return f"{self.num} {self.gen} R"
+
+
+class _Name(str):
+    """PDF name object — distinct from a text string."""
+
+
+class _Stream:
+    __slots__ = ("dict", "raw")
+
+    def __init__(self, d: dict, raw: bytes):
+        self.dict, self.raw = d, raw
+
+
+# ---------------------------------------------------------------- lexer
+
+class _Lexer:
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data, self.pos = data, pos
+
+    def _skip_ws(self) -> None:
+        d, n = self.data, len(self.data)
+        while self.pos < n:
+            c = d[self.pos]
+            if c in _WS:
+                self.pos += 1
+            elif c == 0x25:  # '%' comment to end of line
+                while self.pos < n and d[self.pos] not in b"\r\n":
+                    self.pos += 1
+            else:
+                return
+
+    def peek_bytes(self, k: int) -> bytes:
+        self._skip_ws()
+        return self.data[self.pos:self.pos + k]
+
+    def read_token(self) -> Optional[bytes]:
+        """Next regular token (keyword/number) as raw bytes, or None."""
+        self._skip_ws()
+        d, n = self.data, len(self.data)
+        if self.pos >= n:
+            return None
+        start = self.pos
+        if d[self.pos] in _DELIM:
+            return None
+        while self.pos < n and d[self.pos] not in _WS \
+                and d[self.pos] not in _DELIM:
+            self.pos += 1
+        return d[start:self.pos]
+
+    # -- object grammar -------------------------------------------------
+
+    def read_object(self):
+        self._skip_ws()
+        d, n = self.data, len(self.data)
+        if self.pos >= n:
+            raise PdfError("unexpected end of data")
+        c = d[self.pos]
+        if c == 0x2F:  # '/'
+            return self._read_name()
+        if c == 0x28:  # '('
+            return self._read_literal_string()
+        if c == 0x3C:  # '<'
+            if d[self.pos:self.pos + 2] == b"<<":
+                return self._read_dict()
+            return self._read_hex_string()
+        if c == 0x5B:  # '['
+            self.pos += 1
+            out = []
+            while True:
+                self._skip_ws()
+                if self.pos >= n:
+                    raise PdfError("unterminated array")
+                if d[self.pos] == 0x5D:  # ']'
+                    self.pos += 1
+                    return out
+                out.append(self.read_object())
+        if c == 0x5D or c == 0x3E:
+            raise PdfError(f"unexpected delimiter {chr(c)!r}")
+        tok = self.read_token()
+        if tok is None:
+            raise PdfError("bad token")
+        if tok == b"true":
+            return True
+        if tok == b"false":
+            return False
+        if tok == b"null":
+            return None
+        # number — possibly the start of "num gen R"
+        try:
+            if b"." in tok or b"e" in tok or b"E" in tok:
+                return float(tok)
+            num = int(tok)
+        except ValueError:
+            raise PdfError(f"unexpected token {tok!r}") from None
+        save = self.pos
+        tok2 = self.read_token()
+        if tok2 is not None and tok2.isdigit():
+            tok3 = self.read_token()
+            if tok3 == b"R":
+                return _Ref(num, int(tok2))
+        self.pos = save
+        return num
+
+    def _read_name(self) -> _Name:
+        d, n = self.data, len(self.data)
+        self.pos += 1  # '/'
+        out = bytearray()
+        while self.pos < n and d[self.pos] not in _WS \
+                and d[self.pos] not in _DELIM:
+            c = d[self.pos]
+            if c == 0x23 and self.pos + 2 < n:  # '#xx'
+                try:
+                    out.append(int(d[self.pos + 1:self.pos + 3], 16))
+                    self.pos += 3
+                    continue
+                except ValueError:
+                    pass
+            out.append(c)
+            self.pos += 1
+        return _Name(out.decode("latin-1"))
+
+    def _read_literal_string(self) -> bytes:
+        d, n = self.data, len(self.data)
+        self.pos += 1  # '('
+        out = bytearray()
+        depth = 1
+        while self.pos < n:
+            c = d[self.pos]
+            self.pos += 1
+            if c == 0x5C:  # backslash
+                if self.pos >= n:
+                    break
+                e = d[self.pos]
+                self.pos += 1
+                if e in b"nrtbf":
+                    out.append({0x6E: 10, 0x72: 13, 0x74: 9,
+                                0x62: 8, 0x66: 12}[e])
+                elif e in b"()\\":
+                    out.append(e)
+                elif 0x30 <= e <= 0x37:  # octal, 1-3 digits
+                    val = e - 0x30
+                    for _ in range(2):
+                        if self.pos < n and 0x30 <= d[self.pos] <= 0x37:
+                            val = val * 8 + (d[self.pos] - 0x30)
+                            self.pos += 1
+                        else:
+                            break
+                    out.append(val & 0xFF)
+                elif e == 0x0D:  # line continuation \<CR>[LF]
+                    if self.pos < n and d[self.pos] == 0x0A:
+                        self.pos += 1
+                elif e == 0x0A:
+                    pass
+                else:
+                    out.append(e)
+            elif c == 0x28:  # '('
+                depth += 1
+                out.append(c)
+            elif c == 0x29:  # ')'
+                depth -= 1
+                if depth == 0:
+                    return bytes(out)
+                out.append(c)
+            else:
+                out.append(c)
+        raise PdfError("unterminated literal string")
+
+    def _read_hex_string(self) -> bytes:
+        d, n = self.data, len(self.data)
+        self.pos += 1  # '<'
+        hx = bytearray()
+        while self.pos < n:
+            c = d[self.pos]
+            self.pos += 1
+            if c == 0x3E:  # '>'
+                if len(hx) % 2:
+                    hx.append(0x30)  # odd count: pad with '0' per spec
+                return bytes.fromhex(hx.decode("ascii"))
+            if c in _WS:
+                continue
+            hx.append(c)
+        raise PdfError("unterminated hex string")
+
+    def _read_dict(self) -> dict:
+        d, n = self.data, len(self.data)
+        self.pos += 2  # '<<'
+        out = {}
+        while True:
+            self._skip_ws()
+            if self.pos + 1 < n and d[self.pos:self.pos + 2] == b">>":
+                self.pos += 2
+                return out
+            if self.pos >= n:
+                raise PdfError("unterminated dictionary")
+            key = self.read_object()
+            if not isinstance(key, _Name):
+                raise PdfError(f"dict key must be a name, got {key!r}")
+            out[str(key)] = self.read_object()
+
+
+# ------------------------------------------------------------- filters
+
+def _ascii_hex_decode(data: bytes) -> bytes:
+    data = data.split(b">")[0]
+    hx = bytes(c for c in data if c not in _WS)
+    if len(hx) % 2:
+        hx += b"0"
+    return bytes.fromhex(hx.decode("ascii"))
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    import base64
+    data = data.split(b"~>")[0]
+    data = bytes(c for c in data if c not in _WS)
+    return base64.a85decode(data)
+
+
+def _rle_decode(data: bytes) -> bytes:
+    out = bytearray()
+    pos = 0
+    while pos < len(data):
+        length = data[pos]
+        pos += 1
+        if length == 128:
+            break
+        if length < 128:
+            out += data[pos:pos + length + 1]
+            pos += length + 1
+        else:
+            if pos >= len(data):
+                raise PdfError("truncated RunLength stream")
+            out += bytes([data[pos]]) * (257 - length)
+            pos += 1
+    return bytes(out)
+
+
+def _apply_predictor(data: bytes, parms: dict) -> bytes:
+    pred = parms.get("Predictor", 1)
+    if not isinstance(pred, int) or pred <= 1:
+        return data
+    colors = parms.get("Colors", 1)
+    bpc = parms.get("BitsPerComponent", 8)
+    columns = parms.get("Columns", 1)
+    bpp = max(1, (colors * bpc + 7) // 8)
+    rowlen = (colors * bpc * columns + 7) // 8
+    if pred == 2:  # TIFF horizontal differencing (8-bit path)
+        if bpc != 8:
+            raise NotImplementedError("TIFF predictor with bpc != 8")
+        out = bytearray(data)
+        for r in range(0, len(out) - rowlen + 1, rowlen):
+            for i in range(bpp, rowlen):
+                out[r + i] = (out[r + i] + out[r + i - bpp]) & 0xFF
+        return bytes(out)
+    # PNG predictors: per-row filter byte
+    out = bytearray()
+    prev = bytearray(rowlen)
+    pos = 0
+    while pos + 1 + rowlen <= len(data) + rowlen and pos < len(data):
+        ft = data[pos]
+        row = bytearray(data[pos + 1:pos + 1 + rowlen])
+        if len(row) < rowlen:
+            row += bytes(rowlen - len(row))
+        pos += 1 + rowlen
+        if ft == 1:  # Sub
+            for i in range(bpp, rowlen):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(rowlen):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(rowlen):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(rowlen):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[i] = (row[i] + pr) & 0xFF
+        elif ft != 0:
+            raise PdfError(f"bad PNG predictor filter byte {ft}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
+_GATED_FILTERS = {"LZWDecode", "LZW", "DCTDecode", "DCT", "JPXDecode",
+                  "JBIG2Decode", "CCITTFaxDecode", "CCF", "Crypt"}
+
+
+def _decode_stream(doc: "_Document", stm: _Stream) -> bytes:
+    filters = stm.dict.get("Filter")
+    if filters is None:
+        return stm.raw
+    if not isinstance(filters, list):
+        filters = [filters]
+    parms = stm.dict.get("DecodeParms") or stm.dict.get("DP")
+    if not isinstance(parms, list):
+        parms = [parms] * len(filters)
+    elif len(parms) < len(filters):
+        parms = parms + [None] * (len(filters) - len(parms))
+    data = stm.raw
+    for f, p in zip(filters, parms):
+        f = str(doc.resolve(f))
+        p = doc.resolve(p) or {}
+        p = {k: doc.resolve(v) for k, v in p.items()} \
+            if isinstance(p, dict) else {}
+        if f in ("FlateDecode", "Fl"):
+            try:
+                data = zlib.decompress(data)
+            except zlib.error as e:
+                raise PdfError(f"bad Flate stream: {e}") from None
+            data = _apply_predictor(data, p)
+        elif f in ("ASCIIHexDecode", "AHx"):
+            data = _ascii_hex_decode(data)
+        elif f in ("ASCII85Decode", "A85"):
+            data = _ascii85_decode(data)
+        elif f in ("RunLengthDecode", "RL"):
+            data = _rle_decode(data)
+        elif f in _GATED_FILTERS:
+            raise NotImplementedError(f"stream filter {f}")
+        else:
+            raise PdfError(f"unknown stream filter {f}")
+    return data
+
+
+# ------------------------------------------------------------- document
+
+class _Document:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.xref: dict[int, tuple] = {}   # num -> ("f", off) | ("c", stm, idx)
+        self.trailer: dict = {}
+        self._cache: dict[int, object] = {}
+        self._objstm_cache: dict[int, list] = {}
+        self._load_xref()
+        if "Encrypt" in self.trailer:
+            raise NotImplementedError("encrypted PDF")
+
+    # -- xref loading ---------------------------------------------------
+
+    def _load_xref(self) -> None:
+        tail = self.data[-2048:]
+        m = None
+        for m in re.finditer(rb"startxref\s+(\d+)", tail):
+            pass
+        if m is None:
+            raise PdfError("startxref not found")
+        offset = int(m.group(1))
+        seen = set()
+        while offset and offset not in seen:
+            seen.add(offset)
+            offset = self._load_xref_section(offset)
+
+    def _load_xref_section(self, offset: int) -> int:
+        if offset >= len(self.data):
+            raise PdfError("xref offset past end of file")
+        lex = _Lexer(self.data, offset)
+        if lex.peek_bytes(4) == b"xref":
+            return self._load_xref_table(lex)
+        return self._load_xref_stream(offset)
+
+    def _load_xref_table(self, lex: _Lexer) -> int:
+        lex.read_token()  # 'xref'
+        while True:
+            if lex.peek_bytes(7) == b"trailer":
+                lex.read_token()
+                trailer = lex.read_object()
+                if not isinstance(trailer, dict):
+                    raise PdfError("bad trailer")
+                for k, v in trailer.items():
+                    self.trailer.setdefault(k, v)
+                prev = trailer.get("Prev")
+                return int(prev) if prev is not None else 0
+            first = lex.read_token()
+            count = lex.read_token()
+            if first is None or count is None:
+                raise PdfError("truncated xref table")
+            first, count = int(first), int(count)
+            lex._skip_ws()
+            for i in range(count):
+                entry = self.data[lex.pos:lex.pos + 20]
+                if len(entry) < 18:
+                    raise PdfError("truncated xref entry")
+                off = int(entry[0:10])
+                kind = entry[17:18]
+                num = first + i
+                if kind == b"n" and num not in self.xref:
+                    self.xref[num] = ("f", off)
+                # advance: entries are 20 bytes, but tolerate 19 (bad
+                # writers drop the trailing space before the EOL pair)
+                step = 20
+                if entry[18:20] not in (b"\r\n", b" \r", b" \n") \
+                        and len(entry) >= 19 and entry[18:19] in b"\r\n":
+                    step = 19
+                lex.pos += step
+
+    def _load_xref_stream(self, offset: int) -> int:
+        num, _gen, stm = self._parse_indirect_at(offset)
+        d = stm.dict
+        if str(d.get("Type")) != "XRef":
+            raise PdfError("expected XRef stream")
+        data = _decode_stream(self, stm)
+        w = [int(self.resolve(x)) for x in d["W"]]
+        if len(w) != 3:
+            raise PdfError("XRef /W must have 3 entries")
+        size = int(self.resolve(d["Size"]))
+        index = d.get("Index", [0, size])
+        index = [int(self.resolve(x)) for x in index]
+        rowlen = sum(w)
+        pos = 0
+        for i in range(0, len(index), 2):
+            start, count = index[i], index[i + 1]
+            for j in range(count):
+                if pos + rowlen > len(data):
+                    raise PdfError("truncated XRef stream")
+                fields = []
+                for width in w:
+                    v = int.from_bytes(data[pos:pos + width], "big") \
+                        if width else None
+                    pos += width
+                    fields.append(v)
+                ftype = fields[0] if fields[0] is not None else 1
+                objnum = start + j
+                if objnum in self.xref:
+                    continue
+                if ftype == 1:
+                    self.xref[objnum] = ("f", fields[1])
+                elif ftype == 2:
+                    self.xref[objnum] = ("c", fields[1], fields[2])
+        for k, v in d.items():
+            if k not in ("Type", "W", "Index", "Length", "Filter",
+                         "DecodeParms"):
+                self.trailer.setdefault(k, v)
+        prev = d.get("Prev")
+        return int(self.resolve(prev)) if prev is not None else 0
+
+    # -- object access ----------------------------------------------------
+
+    def _parse_indirect_at(self, offset: int):
+        lex = _Lexer(self.data, offset)
+        num = lex.read_token()
+        gen = lex.read_token()
+        kw = lex.read_token()
+        if num is None or gen is None or kw != b"obj":
+            raise PdfError(f"no indirect object at offset {offset}")
+        obj = lex.read_object()
+        lex._skip_ws()
+        if lex.data[lex.pos:lex.pos + 6] == b"stream":
+            if not isinstance(obj, dict):
+                raise PdfError("stream without a dictionary")
+            p = lex.pos + 6
+            if self.data[p:p + 2] == b"\r\n":
+                p += 2
+            elif self.data[p:p + 1] in (b"\n", b"\r"):
+                p += 1
+            length = self.resolve(obj.get("Length"))
+            if not isinstance(length, int) or p + length > len(self.data):
+                raise PdfError("bad stream /Length")
+            obj = _Stream(obj, self.data[p:p + length])
+        return int(num), int(gen), obj
+
+    def get(self, num: int):
+        if num in self._cache:
+            return self._cache[num]
+        entry = self.xref.get(num)
+        if entry is None:
+            return None
+        if entry[0] == "f":
+            _n, _g, obj = self._parse_indirect_at(entry[1])
+        else:
+            obj = self._objstm_object(entry[1], entry[2])
+        self._cache[num] = obj
+        return obj
+
+    def _objstm_object(self, stm_num: int, idx: int):
+        objs = self._objstm_cache.get(stm_num)
+        if objs is None:
+            stm = self.get(stm_num)
+            if not isinstance(stm, _Stream) \
+                    or str(stm.dict.get("Type")) != "ObjStm":
+                raise PdfError(f"object stream {stm_num} missing")
+            data = _decode_stream(self, stm)
+            n = int(self.resolve(stm.dict["N"]))
+            first = int(self.resolve(stm.dict["First"]))
+            head = _Lexer(data, 0)
+            pairs = []
+            for _ in range(n):
+                onum = head.read_token()
+                ooff = head.read_token()
+                if onum is None or ooff is None:
+                    raise PdfError("truncated ObjStm header")
+                pairs.append((int(onum), int(ooff)))
+            objs = []
+            for _onum, ooff in pairs:
+                objs.append(_Lexer(data, first + ooff).read_object())
+            self._objstm_cache[stm_num] = objs
+        if idx >= len(objs):
+            raise PdfError("ObjStm index out of range")
+        return objs[idx]
+
+    def resolve(self, obj, depth: int = 0):
+        while isinstance(obj, _Ref):
+            if depth > 32:
+                raise PdfError("reference cycle")
+            obj = self.get(obj.num)
+            depth += 1
+        return obj
+
+    # -- page tree ---------------------------------------------------------
+
+    def pages(self) -> list[tuple[dict, dict]]:
+        """[(page_dict, inherited_attrs)] in document order."""
+        root = self.resolve(self.trailer.get("Root"))
+        if not isinstance(root, dict):
+            raise PdfError("missing document catalog")
+        top = self.resolve(root.get("Pages"))
+        if not isinstance(top, dict):
+            raise PdfError("missing page tree root")
+        out: list[tuple[dict, dict]] = []
+
+        def walk(node: dict, inherited: dict, depth: int) -> None:
+            if depth > 64:
+                raise PdfError("page tree too deep")
+            inh = dict(inherited)
+            for k in ("Resources", "MediaBox", "Rotate"):
+                if k in node:
+                    inh[k] = node[k]
+            t = str(node.get("Type", ""))
+            if t == "Page":
+                out.append((node, inh))
+                return
+            for kid in self.resolve(node.get("Kids")) or []:
+                kid = self.resolve(kid)
+                if isinstance(kid, dict):
+                    walk(kid, inh, depth + 1)
+
+        walk(top, {}, 0)
+        return out
+
+
+# -------------------------------------------------------- font decoding
+
+def _parse_tounicode(doc: _Document, stm: _Stream) -> tuple[int, dict]:
+    """(code byte width, code -> text) from a ToUnicode CMap stream."""
+    data = _decode_stream(doc, stm)
+    width = 1
+    m = re.search(rb"begincodespacerange(.*?)endcodespacerange", data,
+                  re.S)
+    if m:
+        hexes = re.findall(rb"<([0-9A-Fa-f]+)>", m.group(1))
+        if hexes:
+            width = max(1, len(hexes[0]) // 2)
+    cmap: dict[int, str] = {}
+
+    def utf16(hx: bytes) -> str:
+        return bytes.fromhex(hx.decode("ascii")).decode(
+            "utf-16-be", errors="replace")
+
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        for src, dst in re.findall(
+                rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", m.group(1)):
+            cmap[int(src, 16)] = utf16(dst)
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        body = m.group(1)
+        for lo, hi, dst in re.findall(
+                rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>",
+                body):
+            lo_i, hi_i = int(lo, 16), int(hi, 16)
+            base = int(dst, 16)
+            blen = len(dst)
+            for c in range(lo_i, hi_i + 1):
+                cmap[c] = utf16(
+                    (f"%0{blen}x" % (base + c - lo_i)).encode())
+        for lo, hi, arr in re.findall(
+                rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*\[(.*?)\]",
+                body, re.S):
+            lo_i = int(lo, 16)
+            for k, dst in enumerate(re.findall(rb"<([0-9A-Fa-f]+)>", arr)):
+                cmap[lo_i + k] = utf16(dst)
+    return width, cmap
+
+
+class _Font:
+    __slots__ = ("width", "cmap", "cid_gate")
+
+    def __init__(self, doc: _Document, font_dict: Optional[dict]):
+        self.width, self.cmap, self.cid_gate = 1, None, False
+        if not isinstance(font_dict, dict):
+            return
+        tu = doc.resolve(font_dict.get("ToUnicode"))
+        if isinstance(tu, _Stream):
+            self.width, self.cmap = _parse_tounicode(doc, tu)
+        elif str(doc.resolve(font_dict.get("Subtype"))) == "Type0":
+            # composite font without ToUnicode: codes are glyph/CIDs,
+            # not characters — decoding them as cp1252 would be silent
+            # mojibake
+            self.cid_gate = True
+
+    def decode(self, raw: bytes) -> str:
+        if self.cid_gate:
+            raise NotImplementedError(
+                "CID-keyed font without a ToUnicode CMap")
+        if self.cmap is None:
+            return raw.decode("cp1252", errors="replace")
+        out = []
+        w = self.width
+        for i in range(0, len(raw) - w + 1, w):
+            code = int.from_bytes(raw[i:i + w], "big")
+            out.append(self.cmap.get(code, "�"))
+        return "".join(out)
+
+
+# ------------------------------------------------- content interpreter
+
+def _iter_content_tokens(data: bytes) -> Iterator[tuple[str, object]]:
+    """('obj', value) for operands, ('op', name) for operators."""
+    lex = _Lexer(data, 0)
+    n = len(data)
+    while True:
+        lex._skip_ws()
+        if lex.pos >= n:
+            return
+        c = data[lex.pos]
+        if c in b"/(<[":
+            yield ("obj", lex.read_object())
+            continue
+        tok = lex.read_token()
+        if tok is None:
+            # stray delimiter (']', '>', '{', '}') — skip it
+            lex.pos += 1
+            continue
+        try:
+            if b"." in tok:
+                yield ("obj", float(tok))
+            else:
+                yield ("obj", int(tok))
+            continue
+        except ValueError:
+            pass
+        if tok == b"ID":
+            # inline image: raw binary follows up to the EI keyword —
+            # skip it instead of tokenizing image bytes as operators
+            m = re.search(rb"(?:^|[\x00\t\n\x0c\r ])EI(?=[\x00\t\n\x0c\r ]|$)",
+                          data[lex.pos:])
+            if m is None:
+                return
+            lex.pos += m.end()
+            yield ("op", "EI")
+            continue
+        yield ("op", tok.decode("latin-1"))
+
+
+def _page_text(doc: _Document, content: bytes, resources: dict,
+               space_kern: float) -> str:
+    fonts_dict = doc.resolve(resources.get("Font")) \
+        if isinstance(resources, dict) else None
+    font_cache: dict[str, _Font] = {}
+    default_font = _Font(doc, None)
+
+    def font_for(name: str) -> _Font:
+        f = font_cache.get(name)
+        if f is None:
+            fd = None
+            if isinstance(fonts_dict, dict):
+                fd = doc.resolve(fonts_dict.get(name))
+            f = _Font(doc, fd if isinstance(fd, dict) else None)
+            font_cache[name] = f
+        return f
+
+    out: list[str] = []
+    stack: list = []
+    cur_font = default_font
+    leading = 0.0
+    line_y: Optional[float] = None   # y of the current text line
+    shown_y: Optional[float] = None  # y at the last show
+
+    def num(x) -> float:
+        return float(x) if isinstance(x, (int, float)) else 0.0
+
+    def show(raw: bytes) -> None:
+        nonlocal shown_y
+        if shown_y is not None and line_y is not None \
+                and line_y != shown_y:
+            out.append("\n")
+        if line_y is not None:
+            shown_y = line_y
+        out.append(cur_font.decode(raw))
+
+    for kind, val in _iter_content_tokens(content):
+        if kind == "obj":
+            stack.append(val)
+            continue
+        op = val
+        if op == "Tf" and len(stack) >= 2:
+            name = stack[-2]
+            if isinstance(name, _Name):
+                cur_font = font_for(str(name))
+        elif op == "BT":
+            line_y = 0.0
+        elif op == "TL" and stack:
+            leading = num(stack[-1])
+        elif op in ("Td", "TD") and len(stack) >= 2:
+            ty = num(stack[-1])
+            if op == "TD":
+                leading = -ty
+            if line_y is not None:
+                line_y += ty
+        elif op == "T*":
+            if line_y is not None:
+                line_y -= leading
+        elif op == "Tm" and len(stack) >= 6:
+            line_y = num(stack[-1])
+        elif op == "Tj" and stack and isinstance(stack[-1], bytes):
+            show(stack[-1])
+        elif op == "'" and stack and isinstance(stack[-1], bytes):
+            if line_y is not None:
+                line_y -= leading
+            show(stack[-1])
+        elif op == '"' and len(stack) >= 3 and isinstance(stack[-1], bytes):
+            if line_y is not None:
+                line_y -= leading
+            show(stack[-1])
+        elif op == "TJ" and stack and isinstance(stack[-1], list):
+            first = True
+            for item in stack[-1]:
+                if isinstance(item, bytes):
+                    if first:
+                        show(item)      # newline tracking once per TJ
+                        first = False
+                    else:
+                        out.append(cur_font.decode(item))
+                elif isinstance(item, (int, float)) \
+                        and item < space_kern:
+                    out.append(" ")
+        stack.clear()
+    return "".join(out)
+
+
+def extract_pdf_text(data: bytes, *, space_kern: float = -180.0,
+                     page_sep: str = "\n") -> str:
+    """Extract the text layer of a PDF, pages joined by ``page_sep``.
+
+    Newlines follow the text-line position (Td/TD/T*/Tm/TL tracking):
+    a show at a different line y than the previous show starts a new
+    line.  TJ kern adjustments below ``space_kern`` (thousandths of an
+    em, typically −180 ≈ a word gap) emit a space.
+
+    Raises :class:`PdfError` (a ``ValueError``) on malformed input and
+    ``NotImplementedError`` on the honest gates (encryption, LZW/DCT
+    filters, CID fonts without ToUnicode)."""
+    if not isinstance(data, (bytes, bytearray, memoryview)):
+        raise PdfError("PDF input must be bytes")
+    data = bytes(data)
+    if not data.startswith(b"%PDF-"):
+        raise PdfError("missing %PDF- header")
+    doc = _Document(data)
+    pages = []
+    for page, inh in doc.pages():
+        contents = doc.resolve(page.get("Contents"))
+        if contents is None:
+            pages.append("")
+            continue
+        if not isinstance(contents, list):
+            contents = [contents]
+        blobs = []
+        for c in contents:
+            c = doc.resolve(c)
+            if isinstance(c, _Stream):
+                blobs.append(_decode_stream(doc, c))
+        resources = doc.resolve(
+            page.get("Resources", inh.get("Resources"))) or {}
+        pages.append(_page_text(doc, b"\n".join(blobs), resources,
+                                space_kern))
+    return page_sep.join(pages)
+
+
+# --------------------------------------------------------------- writer
+
+def _esc_literal(line: bytes) -> bytes:
+    return line.replace(b"\\", b"\\\\") \
+               .replace(b"(", b"\\(").replace(b")", b"\\)")
+
+
+def _content_for(text: str) -> bytes:
+    lines = text.split("\n")
+    parts = [b"BT\n/F1 11 Tf\n1 0 0 1 72 720 Tm\n"]
+    for i, line in enumerate(lines):
+        if i:
+            parts.append(b"0 -14 Td\n")
+        parts.append(b"(" + _esc_literal(
+            line.encode("cp1252", errors="replace")) + b") Tj\n")
+    parts.append(b"ET\n")
+    return b"".join(parts)
+
+
+def write_simple_pdf(pages: list[str], *, compress: bool = False,
+                     xref_stream: bool = False) -> bytes:
+    """Deterministic single-font PDF for fixtures and round-trip tests.
+
+    One ``Tj`` per line (including empty lines) with a fixed leading,
+    so :func:`extract_pdf_text` reproduces each page's text exactly
+    for cp1252-representable input.  ``xref_stream=True`` emits the
+    PDF 1.5 layout (object streams + cross-reference stream) instead
+    of a classic xref table — same objects, same text."""
+    if not pages:
+        raise ValueError("pages must be non-empty")
+    npages = len(pages)
+    # object numbers: 1 catalog, 2 pages, 3 font, then per page i:
+    # (4+2i) page dict, (5+2i) content stream
+    objs: dict[int, bytes] = {}
+    kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(npages))
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = (f"<< /Type /Pages /Kids [{kids}] /Count {npages} >>"
+               ).encode()
+    objs[3] = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+               b" /Encoding /WinAnsiEncoding >>")
+    streams: dict[int, tuple[bytes, bytes]] = {}  # num -> (dict, data)
+    for i, text in enumerate(pages):
+        pnum, cnum = 4 + 2 * i, 5 + 2 * i
+        objs[pnum] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 3 0 R >> >> "
+            f"/Contents {cnum} 0 R >>").encode()
+        data = _content_for(text)
+        if compress:
+            data = zlib.compress(data, 9)
+            head = (f"<< /Length {len(data)} /Filter /FlateDecode >>"
+                    ).encode()
+        else:
+            head = f"<< /Length {len(data)} >>".encode()
+        streams[cnum] = (head, data)
+
+    out = bytearray(b"%PDF-1.5\n" if xref_stream else b"%PDF-1.4\n")
+    offsets: dict[int, int] = {}
+
+    def emit(num: int, body: bytes) -> None:
+        offsets[num] = len(out)
+        out.extend(f"{num} 0 obj\n".encode())
+        out.extend(body)
+        out.extend(b"\nendobj\n")
+
+    if not xref_stream:
+        for num in sorted(objs):
+            emit(num, objs[num])
+        for num in sorted(streams):
+            head, data = streams[num]
+            emit(num, head + b"\nstream\n" + data + b"\nendstream")
+        size = max(max(objs), max(streams)) + 1
+        xref_off = len(out)
+        out.extend(f"xref\n0 {size}\n".encode())
+        out.extend(b"0000000000 65535 f \n")
+        for num in range(1, size):
+            out.extend(f"{offsets[num]:010d} 00000 n \n".encode())
+        out.extend(
+            (f"trailer\n<< /Size {size} /Root 1 0 R >>\n"
+             f"startxref\n{xref_off}\n%%EOF\n").encode())
+        return bytes(out)
+
+    # PDF 1.5 layout: plain objects packed into one ObjStm, streams
+    # top-level, one XRef stream as the trailer
+    objstm_num = 5 + 2 * (npages - 1) + 1
+    xref_num = objstm_num + 1
+    header_parts, body_parts, off = [], [], 0
+    packed = sorted(objs)
+    for num in packed:
+        body = objs[num] + b"\n"
+        header_parts.append(f"{num} {off}".encode())
+        body_parts.append(body)
+        off += len(body)
+    header = b" ".join(header_parts) + b"\n"
+    stm_data = header + b"".join(body_parts)
+    objs_stm_dict = (f"<< /Type /ObjStm /N {len(packed)} "
+                     f"/First {len(header)} /Length {len(stm_data)} >>"
+                     ).encode()
+    for num in sorted(streams):
+        head, data = streams[num]
+        emit(num, head + b"\nstream\n" + data + b"\nendstream")
+    emit(objstm_num,
+         objs_stm_dict + b"\nstream\n" + stm_data + b"\nendstream")
+    # xref stream: W [1 4 2]
+    size = xref_num + 1
+    rows = [b"\x00" + b"\x00\x00\x00\x00" + b"\xff\xff"]  # obj 0 free
+    for num in range(1, size):
+        if num in packed:
+            rows.append(b"\x02" + struct.pack(">I", objstm_num)
+                        + struct.pack(">H", packed.index(num)))
+        else:
+            rows.append(b"\x01" + struct.pack(">I", offsets.get(num, 0))
+                        + b"\x00\x00")
+    xdata = b"".join(rows)
+    xref_off = len(out)
+    emit(xref_num,
+         (f"<< /Type /XRef /Size {size} /W [1 4 2] /Root 1 0 R "
+          f"/Length {len(xdata)} >>").encode()
+         + b"\nstream\n" + xdata + b"\nendstream")
+    out.extend(f"startxref\n{xref_off}\n%%EOF\n".encode())
+    return bytes(out)
+
+
+# ---------------------------------------------------------- spark side
+
+def with_pdf_text(df, pdf_col: str = "pdf", out_col: str = "pdf_text",
+                  *, strict: bool = False, space_kern: float = -180.0):
+    """Attach the extracted text layer of a binary PDF column.
+
+    Arrow-batched ``mapInPandas`` — executor-side, the pdf column never
+    shuffles (map-side only), mirroring
+    :func:`metacrafter_spark.corpus.html.with_extracted_text`.  Under
+    ``strict=False`` malformed/gated payloads yield NULL (the
+    multimodal fallback contract); ``strict=True`` re-raises."""
+    import pandas as pd  # noqa: F401 (kernel type)
+
+    out_schema = ", ".join(
+        [f"`{f}` {df.schema[f].dataType.simpleString()}"
+         for f in df.schema.fieldNames()]
+        + [f"`{out_col}` string"])
+
+    def one(v):
+        if v is None:
+            return None
+        try:
+            return extract_pdf_text(bytes(v), space_kern=space_kern)
+        except (ValueError, NotImplementedError, KeyError, TypeError,
+                struct.error, IndexError, OverflowError):
+            if strict:
+                raise
+            return None
+
+    def kernel(batches):
+        for b in batches:
+            b = b.copy()
+            b[out_col] = [one(v) for v in b[pdf_col]]
+            yield b
+
+    return df.mapInPandas(kernel, out_schema)

@@ -1,0 +1,285 @@
+"""Clean-room PDF text extraction (io/pdf_codec.py)."""
+
+import zlib
+
+import pytest
+
+from metacrafter_spark.io.pdf_codec import (
+    PdfError,
+    _ascii85_decode,
+    _ascii_hex_decode,
+    _apply_predictor,
+    extract_pdf_text,
+    write_simple_pdf,
+)
+
+SAMPLES = [
+    "Hello, world!",
+    "line one\nline two\nline three",
+    "empty line next\n\nafter the gap",
+    "parens (nested (deep)) and back\\slash",
+    "trailing newline\n",
+    "\nleading newline",
+    "",
+    "long " + "x" * 5000,
+    "cp1252 high bytes: café — naïve",  # é/—/ï are cp1252-encodable
+]
+
+
+@pytest.mark.parametrize("compress", [False, True])
+@pytest.mark.parametrize("xref_stream", [False, True])
+def test_roundtrip_single_page(compress, xref_stream):
+    for text in SAMPLES:
+        pdf = write_simple_pdf([text], compress=compress,
+                               xref_stream=xref_stream)
+        assert extract_pdf_text(pdf) == text, (compress, xref_stream,
+                                               text[:40])
+
+
+def test_roundtrip_multi_page():
+    pages = ["page one\nwith lines", "page two", "", "last\npage"]
+    for xref_stream in (False, True):
+        pdf = write_simple_pdf(pages, compress=True,
+                               xref_stream=xref_stream)
+        assert extract_pdf_text(pdf) == "\n".join(pages)
+        assert extract_pdf_text(pdf, page_sep="\f") == "\f".join(pages)
+
+
+def test_tj_kerning_spaces():
+    # hand-built page using TJ with kern adjustments
+    content = (b"BT /F1 11 Tf 1 0 0 1 72 720 Tm "
+               b"[(Hel) -20 (lo) -250 (world)] TJ ET")
+    pdf = _wrap_content(content)
+    assert extract_pdf_text(pdf) == "Hello world"
+
+
+def test_quote_operators_and_leading():
+    content = (b"BT /F1 11 Tf 14 TL 1 0 0 1 72 720 Tm "
+               b"(first) Tj (second) ' (third) ' ET")
+    pdf = _wrap_content(content)
+    assert extract_pdf_text(pdf) == "first\nsecond\nthird"
+
+
+def test_hex_strings_and_escapes():
+    content = (b"BT /F1 11 Tf 1 0 0 1 72 720 Tm "
+               b"<48656C6C6F2> Tj "     # odd-length hex pads with 0
+               b"(\\110\\151\\41) Tj "  # octal escapes
+               b"(a\\\nb) Tj ET")       # line continuation
+    pdf = _wrap_content(content)
+    assert extract_pdf_text(pdf) == "Hello Hi!ab"
+
+
+def test_inline_image_skipped():
+    content = (b"BT /F1 11 Tf 1 0 0 1 72 720 Tm (before) Tj ET\n"
+               b"BI /W 2 /H 2 /CS /G /BPC 8 ID \x00\xffEI junk(\x01\x02 EI \n"
+               b"BT /F1 11 Tf 1 0 0 1 72 700 Tm (after) Tj ET")
+    pdf = _wrap_content(content)
+    assert extract_pdf_text(pdf) == "before\nafter"
+
+
+def test_tounicode_cmap():
+    # 1-byte codes 0x41..0x43 -> CJK via bfrange; 0x58 -> 'Ω' via bfchar
+    cmap = (b"/CIDInit /ProcSet findresource begin\n"
+            b"begincmap\n"
+            b"1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+            b"1 beginbfchar\n<58> <03A9>\nendbfchar\n"
+            b"1 beginbfrange\n<41> <43> <4E2D>\nendbfrange\n"
+            b"endcmap\nend\n")
+    content = b"BT /F1 11 Tf 1 0 0 1 72 720 Tm (ABCX) Tj ET"
+    pdf = _build_pdf(content, tounicode=cmap)
+    assert extract_pdf_text(pdf) == "中丮丯Ω"
+
+
+def test_tounicode_two_byte_codes():
+    cmap = (b"begincmap\n"
+            b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+            b"2 beginbfchar\n<0001> <0041>\n<0002> <00E9>\nendbfchar\n"
+            b"endcmap\n")
+    content = (b"BT /F1 11 Tf 1 0 0 1 72 720 Tm "
+               b"<000100020001> Tj ET")
+    pdf = _build_pdf(content, tounicode=cmap)
+    assert extract_pdf_text(pdf) == "AéA"
+
+
+def test_cid_font_without_tounicode_gates():
+    content = b"BT /F1 11 Tf 1 0 0 1 72 720 Tm <0001> Tj ET"
+    pdf = _build_pdf(content, font_extra=b"/Subtype /Type0")
+    with pytest.raises(NotImplementedError):
+        extract_pdf_text(pdf)
+
+
+def test_encrypted_gates():
+    pdf = write_simple_pdf(["secret"])
+    # splice /Encrypt into the trailer dictionary
+    pdf = pdf.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R")
+    with pytest.raises(NotImplementedError):
+        extract_pdf_text(pdf)
+
+
+def test_lzw_filter_gates():
+    content = b"BT (x) Tj ET"
+    pdf = _wrap_content(content, filter_name=b"/LZWDecode")
+    with pytest.raises(NotImplementedError):
+        extract_pdf_text(pdf)
+
+
+def test_malformed_inputs_raise_valueerror():
+    good = write_simple_pdf(["hello"])
+    for bad in (b"", b"not a pdf", good[:40], good[:-30],
+                good.replace(b"startxref", b"startxrof"),
+                b"%PDF-1.4\njunk"):
+        with pytest.raises(ValueError):
+            extract_pdf_text(bad)
+
+
+def test_ascii_filters_and_predictor():
+    assert _ascii_hex_decode(b"48 65 6C6C 6F>") == b"Hello"
+    assert _ascii_hex_decode(b"486>") == b"H`"
+    import base64
+    assert _ascii85_decode(base64.a85encode(b"some text") + b"~>") \
+        == b"some text"
+    # PNG Up predictor (type 2) over 3 columns
+    raw = bytes([2, 1, 2, 3]) + bytes([2, 10, 10, 10])
+    out = _apply_predictor(raw, {"Predictor": 12, "Columns": 3})
+    assert out == bytes([1, 2, 3, 11, 12, 13])
+    # TIFF predictor 2
+    out = _apply_predictor(bytes([1, 1, 1]), {"Predictor": 2, "Columns": 3})
+    assert out == bytes([1, 2, 3])
+
+
+def test_ascii85_stream_roundtrip():
+    import base64
+    inner = b"BT /F1 11 Tf 1 0 0 1 72 720 Tm (a85 text) Tj ET"
+    data = base64.a85encode(zlib.compress(inner)) + b"~>"
+    pdf = _wrap_content(data,
+                        filter_name=b"[/ASCII85Decode /FlateDecode]",
+                        raw=True)
+    assert extract_pdf_text(pdf) == "a85 text"
+
+
+def test_incremental_update_prev_chain():
+    """A classic incremental update: new page 1 content appended with
+    its own xref + /Prev — the NEWEST definition must win."""
+    base = write_simple_pdf(["old text"])
+    startxref_old = int(base.rstrip().rsplit(b"startxref", 1)[1]
+                        .split(b"%%EOF")[0])
+    new_content = b"BT /F1 11 Tf 1 0 0 1 72 720 Tm (new text) Tj ET"
+    add = bytearray(base)
+    obj_off = len(add)
+    add += (b"5 0 obj\n<< /Length %d >>\nstream\n" % len(new_content)
+            + new_content + b"\nendstream\nendobj\n")
+    xref_off = len(add)
+    add += (b"xref\n0 1\n0000000000 65535 f \n"
+            b"5 1\n%010d 00000 n \n" % obj_off)
+    add += (b"trailer\n<< /Size 6 /Root 1 0 R /Prev %d >>\n"
+            b"startxref\n%d\n%%%%EOF\n" % (startxref_old, xref_off))
+    assert extract_pdf_text(bytes(add)) == "new text"
+
+
+def test_deterministic_bytes():
+    a = write_simple_pdf(["same input"], compress=True)
+    b = write_simple_pdf(["same input"], compress=True)
+    assert a == b
+
+
+# --------------------------------------------------------- fixture glue
+
+def _wrap_content(content: bytes, filter_name: bytes = b"",
+                  raw: bool = False) -> bytes:
+    """Minimal single-page PDF around a raw content stream."""
+    data = content
+    head = b"<< /Length %d" % len(data)
+    if filter_name:
+        head += b" /Filter " + filter_name
+    head += b" >>"
+    return _assemble([
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+        (4, b"<< /Type /Page /Parent 2 0 R "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>"),
+        (5, head + b"\nstream\n" + data + b"\nendstream"),
+    ])
+
+
+def _build_pdf(content: bytes, tounicode: bytes | None = None,
+               font_extra: bytes = b"") -> bytes:
+    font = b"<< /Type /Font /BaseFont /Fake " + font_extra
+    objs = []
+    if tounicode is not None:
+        font += b" /ToUnicode 6 0 R"
+        objs.append((6, b"<< /Length %d >>\nstream\n" % len(tounicode)
+                     + tounicode + b"\nendstream"))
+    font += b" >>"
+    objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>"),
+        (3, font),
+        (4, b"<< /Type /Page /Parent 2 0 R "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>"),
+        (5, b"<< /Length %d >>\nstream\n" % len(content)
+            + content + b"\nendstream"),
+    ] + objs
+    return _assemble(objs)
+
+
+def _assemble(objs) -> bytes:
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for num, body in objs:
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num
+        out += body
+        out += b"\nendobj\n"
+    size = max(offsets) + 1
+    xref_off = len(out)
+    out += b"xref\n0 %d\n" % size
+    out += b"0000000000 65535 f \n"
+    for num in range(1, size):
+        if num in offsets:
+            out += b"%010d 00000 n \n" % offsets[num]
+        else:
+            out += b"0000000000 65535 f \n"
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (size, xref_off))
+    return bytes(out)
+
+
+# ------------------------------------------------------------ spark side
+
+def test_with_pdf_text_spark(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from metacrafter_spark.io.pdf_codec import with_pdf_text
+
+    texts = SAMPLES[:6] + ["multi\nline\n\ndoc"]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string") \
+        .repartition(3)
+
+    @pandas_udf("binary")
+    def gen(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: None if t is None
+                     else write_simple_pdf([t], compress=True,
+                                           xref_stream=True))
+
+    pdfs = df.select("doc_id", "text", gen("text").alias("pdf"))
+    out = with_pdf_text(pdfs, "pdf", "pdf_text")
+    got = {r.doc_id: (r.text, r.pdf_text) for r in out.collect()}
+    for i, t in enumerate(texts):
+        # cp1252 round-trips all sample chars
+        assert got[i][1] == t, (i, t[:30], got[i][1][:30] if got[i][1] else None)
+
+    # malformed payloads: NULL under the default contract, raise strict
+    bad = spark.createDataFrame(
+        [(0, bytearray(b"not a pdf")), (1, None)],
+        "doc_id long, pdf binary")
+    vals = {r.doc_id: r.pdf_text
+            for r in with_pdf_text(bad, "pdf", "pdf_text").collect()}
+    assert vals == {0: None, 1: None}
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        with_pdf_text(bad.filter("doc_id = 0"), "pdf", "pdf_text",
+                      strict=True).collect()
