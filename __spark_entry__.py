@@ -2203,6 +2203,76 @@ def q_sitemap_recrawl(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_feed_extract(spark, sf_dir):
+    """RSS/Atom feed parsing (round 5, corpus/feeds.py): per-site
+    feeds are synthesized in-plan from the documents table — even
+    sites get RSS (<item>, entity-escaped titles/links, RFC 822
+    pubDate), odd sites Atom (<entry>, rel="self" decoy links ahead of
+    the real href, RFC 3339 updated) — then parsed back with the
+    (?is) block regexes and the rel-aware link filter.  The oracle
+    computes every expected field DIRECTLY from the table (round-trip
+    identity: extraction must recover exactly what was embedded,
+    entities decoded, dates reduced, absent fields NULL)."""
+    from metacrafter_spark.corpus.feeds import _MONTHS, parse_feed_entries
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    site = d % 20
+    m = d % 12 + 1
+    day = d % 28 + 1
+    mon = F.lit(None).cast("string")
+    for i, name in enumerate(_MONTHS, 1):
+        mon = F.when(m == i, F.lit(name)).otherwise(mon)
+    link_xml = F.concat(F.lit("https://s"), site, F.lit(".example/d/"),
+                        d, F.lit("?a=1&amp;b=2"))
+    title_xml = F.when(
+        d % 5 != 0,
+        F.concat(F.lit("<title>D "), d, F.lit(" &lt;x&gt;</title>"))
+    ).otherwise(F.lit(""))
+    rss_entry = F.concat(
+        F.lit("<item><link>"), link_xml, F.lit("</link>"), title_xml,
+        F.lit("<guid>g-"), d, F.lit("</guid>"),
+        F.when(d % 7 != 0,
+               F.concat(F.lit("<pubDate>Mon, "), day, F.lit(" "), mon,
+                        F.lit(" 2025 08:00:00 GMT</pubDate>")))
+        .otherwise(F.lit("")),
+        F.lit("</item>"))
+    atom_entry = F.concat(
+        F.lit('<entry><link rel="self" href="https://skip/'), d,
+        F.lit('"/><link href="'), link_xml, F.lit('"/>'), title_xml,
+        F.lit("<id>urn:"), d, F.lit("</id>"),
+        F.when(d % 7 != 0,
+               F.concat(F.lit("<updated>2025-"),
+                        F.lpad(m.cast("string"), 2, "0"), F.lit("-"),
+                        F.lpad(day.cast("string"), 2, "0"),
+                        F.lit("T00:00:00Z</updated>")))
+        .otherwise(F.lit("")),
+        F.lit("</entry>"))
+    entry = F.when(site % 2 == 0, rss_entry).otherwise(atom_entry)
+    xml = (docs.select(site.alias("site"), d.alias("k"),
+                       entry.alias("e"))
+           .groupBy("site")
+           .agg(F.array_join(
+               F.transform(
+                   F.array_sort(F.collect_list(F.struct("k", "e"))),
+                   lambda x: x["e"]), "").alias("body")))
+    xml = xml.select(
+        "site",
+        F.when(F.col("site") % 2 == 0,
+               F.concat(F.lit("<rss version=\"2.0\"><channel>"
+                              "<title>S</title>"
+                              "<link>https://chan.example/</link>"),
+                        F.col("body"), F.lit("</channel></rss>")))
+        .otherwise(
+            F.concat(F.lit('<feed><title>S</title>'
+                           '<link rel="self" href="https://skip/f"/>'),
+                     F.col("body"), F.lit("</feed>")))
+        .alias("feed_xml"))
+    out = parse_feed_entries(xml, keep_cols=("site",))
+    return out.select("site", "feed_type", "title", "link", "entry_id",
+                      "published", "published_date").orderBy("link")
+
+
 def q_iceberg_data_skipping(spark, sf_dir):
     """Iceberg column-bounds file skipping (round 5, io/iceberg.py
     lower_bounds/upper_bounds from parquet footer stats): two appends
@@ -2908,6 +2978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_agg": q_anchor_text_agg,
         "url_revisit_dedup": q_url_revisit_dedup,
         "sitemap_recrawl": q_sitemap_recrawl,
+        "feed_extract": q_feed_extract,
         "page_rank": q_page_rank,
         "kenlm_perplexity": q_kenlm_perplexity,
         "kenlm_trigram": q_kenlm_trigram,
@@ -5484,6 +5555,44 @@ def oracle_sql() -> dict[str, str]:
         # comparison replayed (the loc==url join equals the canonical
         # join because canonicalize_url is a function — equal inputs,
         # equal keys; entity decoding is unit-tested, no entities here)
+        # feed_extract: round-trip identity — the oracle computes every
+        # expected field directly from the table; the Spark side must
+        # recover them from the XML it synthesized (entities decoded,
+        # rel="self" decoys skipped, RFC 822 / RFC 3339 dates reduced)
+        "feed_extract": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     doc_id % 20 AS site,
+                     CASE WHEN (doc_id % 20) % 2 = 0
+                          THEN 'rss' ELSE 'atom' END AS feed_type,
+                     doc_id % 12 + 1 AS m,
+                     doc_id % 28 + 1 AS day
+              FROM documents)
+            SELECT site, feed_type,
+                   CASE WHEN doc_id % 5 = 0 THEN NULL
+                        ELSE 'D ' || doc_id || ' <x>' END AS title,
+                   'https://s' || site || '.example/d/' || doc_id
+                     || '?a=1&b=2' AS link,
+                   CASE WHEN feed_type = 'rss' THEN 'g-' || doc_id
+                        ELSE 'urn:' || doc_id END AS entry_id,
+                   CASE WHEN doc_id % 7 = 0 THEN NULL
+                        WHEN feed_type = 'rss' THEN
+                          'Mon, ' || day || ' ' ||
+                          CASE m WHEN 1 THEN 'Jan' WHEN 2 THEN 'Feb'
+                                 WHEN 3 THEN 'Mar' WHEN 4 THEN 'Apr'
+                                 WHEN 5 THEN 'May' WHEN 6 THEN 'Jun'
+                                 WHEN 7 THEN 'Jul' WHEN 8 THEN 'Aug'
+                                 WHEN 9 THEN 'Sep' WHEN 10 THEN 'Oct'
+                                 WHEN 11 THEN 'Nov' ELSE 'Dec' END
+                          || ' 2025 08:00:00 GMT'
+                        ELSE '2025-' || lpad(m::VARCHAR, 2, '0') || '-'
+                          || lpad(day::VARCHAR, 2, '0') || 'T00:00:00Z'
+                   END AS published,
+                   CASE WHEN doc_id % 7 = 0 THEN NULL
+                        ELSE make_date(2025, m, day)
+                   END AS published_date
+            FROM t ORDER BY link
+        """,
         "sitemap_recrawl": r"""
             WITH src AS (
               SELECT regexp_extract(url, '/article/(\d+)$', 1)::BIGINT

@@ -1,0 +1,181 @@
+"""RSS/Atom feed parsing + frontier selection (corpus/feeds.py)."""
+
+from pyspark.sql import functions as F
+
+from metacrafter_spark.corpus.feeds import new_feed_urls, parse_feed_entries
+
+RSS = """<?xml version="1.0"?>
+<rss version="2.0"><channel>
+  <title>Site feed</title>
+  <link>https://h.example/</link>
+  <item>
+    <title>First &amp; foremost</title>
+    <link>https://h.example/posts/1?a=1&amp;b=2</link>
+    <guid isPermaLink="false">tag:1</guid>
+    <pubDate>Tue, 07 Jan 2025 08:30:00 GMT</pubDate>
+  </item>
+  <item><link>https://h.example/posts/2</link></item>
+  <item><title>no link, dropped</title></item>
+</channel></rss>"""
+
+ATOM = """<?xml version="1.0"?>
+<feed xmlns="http://www.w3.org/2005/Atom">
+  <title>Atom site</title>
+  <link rel="self" href="https://h.example/feed.xml"/>
+  <entry>
+    <title>Entry one</title>
+    <link rel="self" href="https://h.example/entry1.atom"/>
+    <link rel="alternate" href="https://h.example/e/1"/>
+    <id>urn:e1</id>
+    <updated>2025-02-03T10:11:12Z</updated>
+  </entry>
+  <entry>
+    <title>Entry two</title>
+    <link href="https://h.example/e/2"/>
+    <published>2024-12-31T23:59:59Z</published>
+  </entry>
+</feed>"""
+
+
+def test_rss_fields(spark):
+    df = spark.createDataFrame([(RSS,)], "feed_xml string")
+    rows = {r.link: r for r in parse_feed_entries(df).collect()}
+    assert set(rows) == {"https://h.example/posts/1?a=1&b=2",
+                         "https://h.example/posts/2"}
+    full = rows["https://h.example/posts/1?a=1&b=2"]
+    assert full.feed_type == "rss"
+    assert full.title == "First & foremost"
+    assert full.entry_id == "tag:1"
+    assert full.published == "Tue, 07 Jan 2025 08:30:00 GMT"
+    assert str(full.published_date) == "2025-01-07"
+    bare = rows["https://h.example/posts/2"]
+    assert bare.title is None and bare.published_date is None
+
+
+def test_atom_fields_and_rel_filter(spark):
+    df = spark.createDataFrame([(ATOM,)], "feed_xml string")
+    rows = {r.link: r for r in parse_feed_entries(df).collect()}
+    # rel="self" links skipped — the alternate/bare href wins
+    assert set(rows) == {"https://h.example/e/1", "https://h.example/e/2"}
+    e1 = rows["https://h.example/e/1"]
+    assert e1.feed_type == "atom"
+    assert e1.title == "Entry one" and e1.entry_id == "urn:e1"
+    assert str(e1.published_date) == "2025-02-03"
+    e2 = rows["https://h.example/e/2"]
+    # published used when updated is absent
+    assert str(e2.published_date) == "2024-12-31"
+
+
+def test_rfc822_all_months(spark):
+    rows = [(i, f"<rss><channel><item><link>https://x/{i}</link>"
+                f"<pubDate>Mon, 0{(i % 9) + 1} {m} 202{i % 5} "
+                f"00:00:00 +0100</pubDate></item></channel></rss>")
+            for i, m in enumerate(
+                "Jan Feb Mar Apr May Jun Jul Aug Sep Oct Nov Dec".split())]
+    df = spark.createDataFrame(rows, "i long, feed_xml string")
+    got = {r.link: r.published_date
+           for r in parse_feed_entries(df).collect()}
+    for i in range(12):
+        d = got[f"https://x/{i}"]
+        assert (d.month, d.day) == (i + 1, (i % 9) + 1)
+
+
+def test_differential_vs_elementtree(spark):
+    """The regex extractor must agree with stdlib ElementTree on
+    randomized well-formed feeds (both dialects, shuffled optional
+    fields, entities, odd whitespace)."""
+    import random
+    import xml.etree.ElementTree as ET
+
+    rng = random.Random(13)
+    docs = []
+    for k in range(30):
+        atom = rng.random() < 0.5
+        n = rng.randint(0, 5)
+        items = []
+        for i in range(n):
+            ws = rng.choice(["", "\n  ", "\n\t"])
+            fields = []
+            if atom:
+                fields.append(f'<link href="https://h{k}.example/e/{i}'
+                              f'?x=1&amp;y={i}"/>')
+                if rng.random() < 0.5:
+                    fields.append('<link rel="self" href="https://skip/"/>')
+                if rng.random() < 0.6:
+                    fields.append(f"<updated>2025-0{rng.randint(1, 9)}"
+                                  f"-2{i % 10}T01:02:03Z</updated>")
+                if rng.random() < 0.5:
+                    fields.append(f"<title>T &amp; {i}</title>")
+                if rng.random() < 0.4:
+                    fields.append(f"<id>urn:{k}:{i}</id>")
+                rng.shuffle(fields)
+                items.append(f"<entry>{ws}" + ws.join(fields)
+                             + f"{ws}</entry>")
+            else:
+                fields.append(f"<link>https://h{k}.example/p/{i}</link>")
+                if rng.random() < 0.6:
+                    fields.append(f"<pubDate>Fri, 1{i % 10} Mar 2025 "
+                                  "08:00:00 GMT</pubDate>")
+                if rng.random() < 0.5:
+                    fields.append(f"<title>Post {i} &lt;hot&gt;</title>")
+                if rng.random() < 0.4:
+                    fields.append(f"<guid>g{k}-{i}</guid>")
+                rng.shuffle(fields)
+                items.append(f"<item>{ws}" + ws.join(fields)
+                             + f"{ws}</item>")
+        if atom:
+            docs.append("<feed>" + "".join(items) + "</feed>")
+        else:
+            docs.append("<rss><channel>" + "".join(items)
+                        + "</channel></rss>")
+
+    def et_entries(xml):
+        root = ET.fromstring(xml)
+        out = []
+        if root.tag == "feed":
+            for e in root.iter("entry"):
+                link = None
+                for ln in e.iter("link"):
+                    if ln.get("rel") in (None, "alternate"):
+                        link = ln.get("href")
+                        break
+                if not link:
+                    continue
+                out.append((link, e.findtext("title"),
+                            e.findtext("id"), e.findtext("updated")))
+        else:
+            for it in root.iter("item"):
+                link = it.findtext("link")
+                if not link or not link.strip():
+                    continue
+                out.append((link.strip(), it.findtext("title"),
+                            it.findtext("guid"), it.findtext("pubDate")))
+        return sorted((a, b, c, d) for a, b, c, d in out)
+
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(docs)], "i long, feed_xml string")
+    got = {}
+    for r in parse_feed_entries(df, keep_cols=("i",)).collect():
+        got.setdefault(r.i, []).append(
+            (r.link, r.title, r.entry_id, r.published))
+    for i, xml in enumerate(docs):
+        assert sorted(got.get(i, [])) == et_entries(xml), (i, xml)
+
+
+def test_new_feed_urls_frontier(spark):
+    corpus = spark.createDataFrame(
+        [(f"https://h.example/e/{i}",) for i in range(3)],
+        "url string")
+    feed = "<feed>" + "".join(
+        f'<entry><link href="https://H.EXAMPLE/e/{i}"/>'
+        f"<title>t{i}</title></entry>" for i in range(6)) + "</feed>"
+    entries = parse_feed_entries(
+        spark.createDataFrame([(feed,)], "feed_xml string"))
+    fresh = new_feed_urls(corpus, entries)
+    # canonicalization bridges the case difference: 0-2 seen, 3-5 new
+    assert sorted(r.link for r in fresh.collect()) == [
+        f"https://H.EXAMPLE/e/{i}" for i in range(3, 6)]
+    # the plan must broadcast both joins — the corpus never shuffles
+    plan = fresh._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan and "LeftSemi" in plan
