@@ -655,6 +655,73 @@ def main() -> None:
     ))
     assert "CartesianProduct" not in iplan
 
+    # 36. token-budget selection: the prefix sum is keyed on
+    # (score_unit, hash bucket) — the per-key offsets ride a broadcast
+    # back onto the corpus and the running-sum window is PARTITIONED
+    # (bounded partitions); no global-order window ever sees the
+    # corpus, no cartesian product.
+    from metacrafter_spark.ops.sampling import select_token_budget
+
+    tb = select_token_budget(
+        docs.select("doc_id", "text").withColumn(
+            "n_tokens", F.size(F.split("text", r"\s+")).cast("long"))
+        .withColumn("score", F.length("text").cast("double")),
+        "doc_id", "n_tokens", "score", budget=10_000)
+    tplan = plan_of(tb)
+    sections.append((
+        "Token-budget selection (broadcast per-key offsets; running "
+        "sum windowed BY (score_unit, bucket) — the corpus never "
+        "feeds a global-order window)",
+        tplan,
+        ["BroadcastHashJoin", "Window"],
+    ))
+    assert "CartesianProduct" not in tplan
+    assert tplan.count("Exchange") >= 1  # the compound-key shuffle
+
+    # 37. PDF text extraction: one map-side MapInPandas over the pdf
+    # bytes — zero Exchange, the binary column never shuffles.
+    from metacrafter_spark.io.pdf_codec import with_pdf_text
+
+    pdf_df = docs.select("doc_id", F.encode("text", "utf-8").alias("pdf"))
+    pplan = plan_of(with_pdf_text(pdf_df, "pdf", "ptext"))
+    sections.append((
+        "PDF text extraction (map-side MapInPandas, zero Exchange)",
+        pplan,
+        ["MapInPandas"],
+    ))
+    assert "Exchange" not in pplan
+
+    # 38. feed parsing + crawl frontier: extraction is map-side native
+    # Columns (explode + project, no Python, no Exchange); the
+    # frontier anti-join broadcasts both small sides so the corpus is
+    # only ever probed map-side.
+    from metacrafter_spark.corpus.feeds import (new_feed_urls,
+                                                parse_feed_entries)
+
+    # Built via range+lit (not createDataFrame-from-list) so the scan
+    # is pure JVM and the "no Python anywhere" assertion below stays
+    # meaningful (a local-list DF scans an applySchemaToPythonRDD).
+    feeds = spark.range(1).select(F.lit(
+        "<rss><channel><item><link>https://x/1</link></item>"
+        "</channel></rss>").alias("feed_xml"))
+    fplan = plan_of(parse_feed_entries(feeds))
+    sections.append((
+        "Feed entry extraction (map-side native Columns)",
+        fplan,
+        ["Generate"],
+    ))
+    assert "Exchange" not in fplan and "Python" not in fplan
+    nplan = plan_of(new_feed_urls(
+        docs.select(F.col("text").alias("url")),
+        parse_feed_entries(feeds)))
+    sections.append((
+        "Crawl-frontier selection (both joins broadcast; the corpus "
+        "never shuffles)",
+        nplan,
+        ["BroadcastHashJoin", "LeftSemi", "LeftAnti"],
+    ))
+    assert "CartesianProduct" not in nplan
+
     out = ["# BENCH/EXPLAIN — physical-plan audit\n"]
     ok = True
     for title, plan, must in sections:
