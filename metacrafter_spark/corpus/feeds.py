@@ -55,7 +55,10 @@ def _field(block: F.Column, tag: str) -> F.Column:
 
 def _rfc822_date(c: F.Column) -> F.Column:
     """RFC 822 '07 Jan 2025' → date, via regex + month-name CASE (the
-    engine-portable subset — no locale-sensitive parser)."""
+    engine-portable subset — no locale-sensitive parser).  Reduced
+    through ``try_to_timestamp`` so a calendar-invalid date a real
+    feed may carry ('31 Feb 2025') yields NULL instead of an ANSI
+    runtime error killing the job (DuckDB's try_cast agrees)."""
     day = F.regexp_extract(c, _RFC822_DATE_RE, 1)
     mon = F.regexp_extract(c, _RFC822_DATE_RE, 2)
     year = F.regexp_extract(c, _RFC822_DATE_RE, 3)
@@ -64,7 +67,9 @@ def _rfc822_date(c: F.Column) -> F.Column:
         mnum = F.when(mon == m, F.lit(i)).otherwise(mnum)
     return F.when(
         day != "",
-        F.make_date(year.cast("int"), mnum, day.cast("int")))
+        F.try_to_timestamp(
+            F.concat_ws("-", year, mnum.cast("string"), day),
+            F.lit("yyyy-M-d")).cast("date"))
 
 
 def parse_feed_entries(
@@ -100,7 +105,12 @@ def parse_feed_entries(
                 F.coalesce(first, F.lit("")), _HREF_RE, 1)), F.lit(""))
             pub = F.coalesce(_field(b, "updated"),
                              _field(b, "published"))
-            pub_date = F.to_date(F.substring(pub, 1, 10))
+            # try_to_timestamp, not to_date: a malformed RFC 3339
+            # value in a real feed must yield NULL, not an ANSI
+            # runtime error that kills the whole scan.
+            pub_date = F.try_to_timestamp(
+                F.substring(pub, 1, 10),
+                F.lit("yyyy-MM-dd")).cast("date")
             eid = _field(b, "id")
         out.append(
             df.select(*keep_cols, blocks).select(

@@ -61,10 +61,15 @@ def parse_sitemap_entries(
         *keep_cols,
         nn(_field(b, "loc")).alias("loc"),
         nn(_field(b, "lastmod")).alias("lastmod"),
-        F.to_date(F.substring(nn(_field(b, "lastmod")), 1, 10))
+        # try_to_timestamp / try_cast, not to_date / cast: a malformed
+        # <lastmod> or non-numeric <priority> in a real sitemap must
+        # yield NULL, not an ANSI runtime error that kills the scan.
+        F.try_to_timestamp(
+            F.substring(nn(_field(b, "lastmod")), 1, 10),
+            F.lit("yyyy-MM-dd")).cast("date")
         .alias("lastmod_date"),
         nn(_field(b, "changefreq")).alias("changefreq"),
-        nn(_field(b, "priority")).cast("double").alias("priority"),
+        nn(_field(b, "priority")).try_cast("double").alias("priority"),
     ).filter(F.col("loc").isNotNull())
 
 

@@ -179,3 +179,34 @@ def test_new_feed_urls_frontier(spark):
     plan = fresh._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "LeftAnti" in plan and "LeftSemi" in plan
+
+
+def test_malformed_dates_yield_null_not_ansi_error(spark):
+    """Real feeds carry garbage dates; under ANSI mode (the Spark 4
+    default) an unguarded to_date/make_date kills the whole scan.
+    Every malformed shape must reduce to NULL, well-formed ones must
+    still parse."""
+    xml = """<rss><channel>
+      <item><link>https://h/1</link>
+        <pubDate>Sun, 31 Feb 2025 00:00:00 GMT</pubDate></item>
+      <item><link>https://h/2</link>
+        <pubDate>last Tuesday probably</pubDate></item>
+      <item><link>https://h/3</link>
+        <pubDate>Tue, 07 Jan 2025 08:30:00 GMT</pubDate></item>
+    </channel></rss>
+    <feed>
+      <entry><link href="https://h/4"/>
+        <updated>not-a-date-at</updated></entry>
+      <entry><link href="https://h/5"/>
+        <updated>2025-13-45T00:00:00Z</updated></entry>
+      <entry><link href="https://h/6"/>
+        <updated>2025-02-03T10:11:12Z</updated></entry>
+    </feed>"""
+    df = spark.createDataFrame([(xml,)], "feed_xml string")
+    rows = {r.link: r for r in parse_feed_entries(df).collect()}
+    assert rows["https://h/1"].published_date is None  # Feb 31
+    assert rows["https://h/2"].published_date is None  # no RFC 822 shape
+    assert str(rows["https://h/3"].published_date) == "2025-01-07"
+    assert rows["https://h/4"].published_date is None  # garbage
+    assert rows["https://h/5"].published_date is None  # month 13
+    assert str(rows["https://h/6"].published_date) == "2025-02-03"

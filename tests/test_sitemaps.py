@@ -226,3 +226,25 @@ def test_stale_urls_recrawl_selection(spark):
     assert got["https://h.example/q"] == (False, "2025-01-02")
     assert got["https://h.example/bare"] == (False, "None")
     assert got["https://h.example/unknown"] == (False, "None")
+
+
+def test_malformed_lastmod_and_priority_yield_null(spark):
+    """A malformed <lastmod> or non-numeric <priority> in a real
+    sitemap must yield NULL, not an ANSI runtime error (Spark 4
+    defaults ANSI on)."""
+    from metacrafter_spark.corpus.sitemaps import parse_sitemap_entries
+
+    xml = """<urlset>
+      <url><loc>https://h/1</loc><lastmod>yesterday-ish</lastmod>
+           <priority>high</priority></url>
+      <url><loc>https://h/2</loc><lastmod>2025-02-30</lastmod></url>
+      <url><loc>https://h/3</loc><lastmod>2025-01-02</lastmod>
+           <priority>0.8</priority></url>
+    </urlset>"""
+    df = spark.createDataFrame([(xml,)], "sitemap_xml string")
+    rows = {r.loc: r for r in parse_sitemap_entries(df).collect()}
+    assert rows["https://h/1"].lastmod_date is None
+    assert rows["https://h/1"].priority is None
+    assert rows["https://h/2"].lastmod_date is None  # Feb 30
+    assert str(rows["https://h/3"].lastmod_date) == "2025-01-02"
+    assert rows["https://h/3"].priority == 0.8
