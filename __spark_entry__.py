@@ -2884,6 +2884,72 @@ def q_kenlm_perplexity(spark, sf_dir):
         .orderBy("doc_id"))
 
 
+def q_fix_mojibake(spark, sf_dir):
+    """Mojibake repair (round 5, corpus/mojibake.py — the ftfy
+    use-case): each document is deterministically corrupted in-plan
+    (one in-text substitution plus a suffix exercising 2-byte Latin,
+    3-byte punctuation, € and a WHATWG C1-control sequence), then
+    repaired by the generated sloppy-cp1252 table.  The oracle injects
+    the identical corruption and replays the identical single
+    left-to-right pass (same alternation, same MAP — both generated
+    from the same pairs list), so fixed text is checked sha-exact and
+    the repair counts value-exact."""
+    from metacrafter_spark.corpus.mojibake import (
+        corrupt_text, with_fixed_text)
+
+    suffix = corrupt_text(" — café “qüote” … ©2025 €9")
+    docs = _t(spark, sf_dir, "documents")
+    moji = docs.select(
+        "doc_id",
+        F.concat(
+            F.replace(F.col("text"), F.lit(" the "), F.lit(" thÃ© ")),
+            F.lit(suffix),
+        ).alias("text"))
+    return (with_fixed_text(moji)
+            .select("doc_id",
+                    F.sha2(F.col("text_fixed"), 256).alias("fixed_sha"),
+                    F.length("text_fixed").alias("fixed_len"),
+                    "n_mojibake_fixed")
+            .orderBy("doc_id"))
+
+
+def _mojibake_oracle_sql() -> str:
+    """DuckDB replay of q_fix_mojibake: identical in-plan corruption,
+    then the repair replayed via corpus/mojibake.oracle_sql_exprs —
+    generated from the SAME pairs list as the Spark kernel.  The
+    injected suffix is spliced as quoted chunks + chr(n) for C1
+    controls (raw control bytes in SQL literals are fragile)."""
+    from metacrafter_spark.corpus.mojibake import (
+        corrupt_text, oracle_sql_exprs)
+
+    suffix = corrupt_text(" — café “qüote” … ©2025 €9")
+    parts, buf = [], []
+    for ch in suffix:
+        if ord(ch) < 0x20 or 0x7F <= ord(ch) <= 0x9F:
+            if buf:
+                parts.append("'" + "".join(buf).replace("'", "''") + "'")
+                buf = []
+            parts.append(f"chr({ord(ch)})")
+        else:
+            buf.append(ch)
+    if buf:
+        parts.append("'" + "".join(buf).replace("'", "''") + "'")
+    suffix_sql = " || ".join(parts)
+    fixed, n_fixed = oracle_sql_exprs("t")
+    return f"""
+        WITH moji AS (
+          SELECT doc_id,
+                 replace(text, ' the ', ' thÃ© ') || {suffix_sql} AS t
+          FROM documents),
+        fixed AS (
+          SELECT doc_id, {fixed} AS f, {n_fixed} AS n FROM moji)
+        SELECT doc_id, sha256(f) AS fixed_sha,
+               length(f)::BIGINT AS fixed_len,
+               n::INT AS n_mojibake_fixed
+        FROM fixed ORDER BY doc_id
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": q_tpch_q1,
@@ -2979,6 +3045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_revisit_dedup": q_url_revisit_dedup,
         "sitemap_recrawl": q_sitemap_recrawl,
         "feed_extract": q_feed_extract,
+        "fix_mojibake": q_fix_mojibake,
         "page_rank": q_page_rank,
         "kenlm_perplexity": q_kenlm_perplexity,
         "kenlm_trigram": q_kenlm_trigram,
@@ -5593,6 +5660,9 @@ def oracle_sql() -> dict[str, str]:
                    END AS published_date
             FROM t ORDER BY link
         """,
+        # fix_mojibake: corruption + single-pass repair replay, both
+        # generated from the same pairs list as the Spark kernel
+        "fix_mojibake": _mojibake_oracle_sql(),
         "sitemap_recrawl": r"""
             WITH src AS (
               SELECT regexp_extract(url, '/article/(\d+)$', 1)::BIGINT

@@ -1,0 +1,212 @@
+"""Mojibake repair — UTF-8 bytes mis-decoded as windows-1252/Latin-1.
+
+The single most common encoding defect in web corpora (the ftfy
+use-case): a page was ENCODED as UTF-8 but DECODED as windows-1252
+somewhere in the serving/crawl chain, so every non-ASCII character
+arrives as a 2–3 character sequence ("café" → "cafÃ©", "—" →
+"â€”").  A corpus pipeline that skips this stage ships the garbage
+sequences straight into training data — and the quality gates
+mis-score the documents first (stopword and punctuation ratios are
+computed over the mojibake).
+
+Clean-room, deterministic, inventory-driven design (NOT a port of
+ftfy): the repair table is GENERATED from the encodings themselves —
+for every codepoint in the repair alphabet, its UTF-8 bytes are
+re-decoded through "sloppy windows-1252" (the WHATWG table: the five
+bytes cp1252 leaves undefined map to the C1 controls U+0081 U+008D
+U+008F U+0090 U+009D, exactly what browsers and lax decoders emit) and
+the resulting character sequence maps back to the original codepoint.
+Repair is ONE non-overlapping left-to-right pass (the sequences were
+produced by one mis-decode, so replacement output is never rescanned —
+chain/iterated replacement would be wrong on adversarial input).  No
+sequence class overlaps another: 2-char sequences lead with the
+cp1252 images of UTF-8 lead bytes 0xC2–0xC5 (Â Ã Ä Å) plus Æ/Ë for
+ƒ/ˆ/˜, 3-char sequences lead with â (0xE2) — so leftmost-first
+alternation (Python ``re`` and RE2 agree) is position-deterministic.
+
+Default repair alphabet: Latin-1 Supplement (U+00A0–U+00FF), Latin
+Extended-A (U+0100–U+017F), and the cp1252-resident punctuation/
+symbol block (dashes, curly quotes, daggers, bullet, ellipsis,
+per-mille, guillemet singles, € ™ ƒ ˆ ˜).  That covers western
+European text and the universal punctuation mojibake; pass a custom
+``codepoints`` for other scripts (the table generator works for any
+BMP range).
+
+False-positive note (the standard ftfy tradeoff, documented here
+honestly): a LEGITIMATE occurrence of e.g. "Ã©" (capital A-tilde
+immediately followed by copyright-less ©-class chars) is rewritten
+too.  Such adjacencies are vanishingly rare in real text next to the
+frequency of actual mojibake; callers with adversarial corpora can
+shrink the alphabet.
+
+Scale shape: pure map-side — one Arrow-batched ``mapInPandas`` with a
+cheap lead-character pre-scan per row (most documents are clean and
+skip the substitution entirely); the text column never shuffles.  The
+DuckDB oracle replays the identical single pass by tokenizing with
+the same alternation (sequences | any-char) and mapping each token
+through the same table (:func:`oracle_sql_exprs` generates both from
+the SAME pairs list, so engine and oracle cannot drift).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator, Optional, Sequence
+
+from pyspark.sql import DataFrame
+
+__all__ = [
+    "DEFAULT_CODEPOINTS",
+    "corrupt_text",
+    "mojibake_pairs",
+    "fix_text",
+    "with_fixed_text",
+    "oracle_sql_exprs",
+]
+
+# cp1252-resident punctuation & symbols (the 0x80–0x9F block's
+# printable residents) — these produce the universal "â€™"-class
+# mojibake every web corpus contains.
+_PUNCT = (
+    0x0192, 0x02C6, 0x02DC,                          # ƒ ˆ ˜
+    0x2013, 0x2014, 0x2018, 0x2019, 0x201A, 0x201C,  # – — ‘ ’ ‚ “
+    0x201D, 0x201E, 0x2020, 0x2021, 0x2022, 0x2026,  # ” „ † ‡ • …
+    0x2030, 0x2039, 0x203A, 0x20AC, 0x2122,          # ‰ ‹ › € ™
+)
+
+DEFAULT_CODEPOINTS: tuple[int, ...] = (
+    tuple(range(0x00A0, 0x0100))      # Latin-1 Supplement
+    + tuple(range(0x0100, 0x0180))    # Latin Extended-A
+    + _PUNCT
+)
+
+
+def _sloppy_cp1252(b: int) -> str:
+    """WHATWG windows-1252: the five undefined bytes decode to their
+    C1 controls (what browsers and errors-tolerant decoders do)."""
+    try:
+        return bytes([b]).decode("cp1252")
+    except UnicodeDecodeError:
+        return chr(b)
+
+
+def corrupt_text(s: str) -> str:
+    """Simulate the defect (UTF-8 bytes re-decoded as WHATWG
+    windows-1252) — for fixtures, tests and oracle injections."""
+    return "".join(_sloppy_cp1252(b) for b in s.encode("utf-8"))
+
+
+def mojibake_pairs(
+    codepoints: Sequence[int] = DEFAULT_CODEPOINTS,
+) -> list[tuple[str, str]]:
+    """Ordered ``[(mojibake_sequence, repaired_char)]`` — longest
+    sequences first (3-char before 2-char), then by codepoint, so the
+    alternation order is deterministic and prefix-safe in any
+    leftmost-first regex engine."""
+    pairs = []
+    for cp in codepoints:
+        ch = chr(cp)
+        seq = "".join(_sloppy_cp1252(b) for b in ch.encode("utf-8"))
+        pairs.append((seq, ch))
+    pairs.sort(key=lambda p: (-len(p[0]), ord(p[1])))
+    return pairs
+
+
+def _compiled(pairs: list[tuple[str, str]]):
+    table = dict(pairs)
+    # keys are all non-ASCII (no regex metacharacters) — escape anyway
+    # for safety with custom alphabets
+    pat = re.compile("|".join(re.escape(k) for k, _ in pairs))
+    leads = re.compile("[" + re.escape(
+        "".join(sorted({k[0] for k, _ in pairs}))) + "]")
+    return table, pat, leads
+
+
+def fix_text(
+    s: Optional[str],
+    pairs: Optional[list[tuple[str, str]]] = None,
+) -> tuple[Optional[str], int]:
+    """(repaired text, number of sequences repaired) — the driver-side
+    twin of the Spark kernel, for tests and small batches."""
+    table, pat, leads = _compiled(pairs or mojibake_pairs())
+    if s is None:
+        return None, 0
+    if not leads.search(s):
+        return s, 0
+    return pat.subn(lambda m: table[m.group(0)], s)
+
+
+def with_fixed_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_fixed",
+    count_col: str = "n_mojibake_fixed",
+    *,
+    codepoints: Sequence[int] = DEFAULT_CODEPOINTS,
+) -> DataFrame:
+    """Attach the mojibake-repaired text and the repair count.
+
+    Arrow-batched ``mapInPandas``, map-side only (the text column never
+    shuffles); rows without any lead character skip the substitution
+    via one cheap character-class scan.  NULL text stays NULL with
+    count 0; clean text passes through byte-identical."""
+    pairs = mojibake_pairs(codepoints)
+    out_schema = ", ".join(
+        [f"`{f}` {df.schema[f].dataType.simpleString()}"
+         for f in df.schema.fieldNames()]
+        + [f"`{out_col}` string", f"`{count_col}` int"])
+
+    def kernel(batches) -> Iterator:
+        table, pat, leads = _compiled(pairs)
+
+        def one(s):
+            if s is None:
+                return None, 0
+            if not leads.search(s):
+                return s, 0
+            return pat.subn(lambda m: table[m.group(0)], s)
+
+        for b in batches:
+            b = b.copy()
+            fixed = [one(v) for v in b[text_col]]
+            b[out_col] = [f for f, _ in fixed]
+            b[count_col] = [n for _, n in fixed]
+            yield b
+
+    return df.mapInPandas(kernel, out_schema)
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def oracle_sql_exprs(
+    text_expr: str,
+    codepoints: Sequence[int] = DEFAULT_CODEPOINTS,
+) -> tuple[str, str]:
+    """DuckDB expressions ``(fixed_text, n_fixed)`` replaying the
+    repair over ``text_expr`` — generated from the SAME pairs list the
+    Spark kernel compiles, so engine and oracle cannot drift.
+
+    The replay tokenizes with the identical alternation plus an
+    any-char fallback ``(?s)(seq1|…|seqN|.)`` (RE2's leftmost-first
+    alternation ≡ Python ``re``'s; the non-overlapping token walk is
+    exactly ``re.subn``'s scan) and maps each token through a MAP
+    literal of the same pairs."""
+    pairs = mojibake_pairs(codepoints)
+    alt = "|".join(re.escape(k) for k, _ in pairs)
+    pattern = _sql_quote(f"(?s)({alt}|.)")
+    keys = ", ".join(_sql_quote(k) for k, _ in pairs)
+    vals = ", ".join(_sql_quote(v) for _, v in pairs)
+    toks = f"regexp_extract_all({text_expr}, {pattern})"
+    fixed = (
+        f"CASE WHEN {text_expr} IS NULL THEN NULL ELSE coalesce("
+        f"list_aggregate(list_transform({toks}, "
+        f"x -> coalesce(element_at(MAP([{keys}], [{vals}]), x)[1], x)),"
+        f" 'string_agg', ''), '') END"
+    )
+    n_fixed = (
+        f"CASE WHEN {text_expr} IS NULL THEN 0 ELSE "
+        f"len(list_filter({toks}, x -> length(x) > 1)) END"
+    )
+    return fixed, n_fixed

@@ -722,6 +722,19 @@ def main() -> None:
     ))
     assert "CartesianProduct" not in nplan
 
+    # 39. mojibake repair: one map-side MapInPandas with a per-row
+    # lead-char pre-scan — zero Exchange, the text column never
+    # shuffles.
+    from metacrafter_spark.corpus.mojibake import with_fixed_text
+
+    mplan = plan_of(with_fixed_text(docs.select("doc_id", "text")))
+    sections.append((
+        "Mojibake repair (map-side MapInPandas, zero Exchange)",
+        mplan,
+        ["MapInPandas"],
+    ))
+    assert "Exchange" not in mplan
+
     out = ["# BENCH/EXPLAIN — physical-plan audit\n"]
     ok = True
     for title, plan, must in sections:

@@ -1,0 +1,114 @@
+"""Mojibake repair (corpus/mojibake.py): generated-table correctness,
+round-trip identity, Spark kernel parity, DuckDB oracle differential."""
+
+import duckdb
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from metacrafter_spark.corpus.mojibake import (
+    DEFAULT_CODEPOINTS,
+    corrupt_text as _sloppy_encode,
+    fix_text,
+    mojibake_pairs,
+    oracle_sql_exprs,
+    with_fixed_text,
+)
+
+
+def test_pairs_cover_alphabet_and_are_prefix_safe():
+    pairs = mojibake_pairs()
+    assert len(pairs) == len(DEFAULT_CODEPOINTS)
+    seqs = [k for k, _ in pairs]
+    assert len(set(seqs)) == len(seqs)  # injective table
+    # 3-char sequences sort first; lead chars of the two length
+    # classes are disjoint, so no sequence is a prefix of another
+    lens = [len(s) for s in seqs]
+    assert lens == sorted(lens, reverse=True)
+    leads3 = {s[0] for s in seqs if len(s) == 3}
+    leads2 = {s[0] for s in seqs if len(s) == 2}
+    assert leads3.isdisjoint(leads2)
+
+
+def test_roundtrip_classic_cases():
+    for orig in ("café", "naïve — déjà vu", "‘curly’ “quotes”",
+                 "€99 • 10‰ … †‡", "Łódź ščž œŒ", "a\nb—c\nd"):
+        moji = _sloppy_encode(orig)
+        assert moji != orig
+        fixed, n = fix_text(moji)
+        assert fixed == orig
+        assert n == sum(1 for c in orig if ord(c) > 127)
+
+
+def test_clean_text_untouched_and_nulls():
+    for s in ("plain ascii only.", "", "already correct: café — ok"):
+        fixed, n = fix_text(s)
+        assert fixed == s and n == 0
+    assert fix_text(None) == (None, 0)
+
+
+def test_double_encoding_repairs_one_layer_per_pass():
+    orig = "é"
+    once = _sloppy_encode(orig)
+    twice = _sloppy_encode(once)
+    f1, _ = fix_text(twice)
+    assert f1 == once
+    f2, _ = fix_text(f1)
+    assert f2 == orig
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(
+    alphabet=st.sampled_from(
+        [chr(c) for c in DEFAULT_CODEPOINTS] + list(" aZ09.,!\n\t"),
+    ),
+    max_size=60,
+))
+def test_roundtrip_property(s):
+    fixed, n = fix_text(_sloppy_encode(s))
+    assert fixed == s
+    assert n == sum(1 for c in s if ord(c) > 127)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(
+    alphabet=st.sampled_from(
+        [chr(c) for c in DEFAULT_CODEPOINTS] + list(" aZ09.,!\n\t"),
+    ),
+    max_size=40,
+))
+def test_duckdb_oracle_matches_kernel(s):
+    moji = _sloppy_encode(s)
+    fexpr, nexpr = oracle_sql_exprs("t")
+    got = duckdb.execute(
+        f"SELECT {fexpr} AS f, {nexpr} AS n FROM (SELECT ? AS t)",
+        [moji]).fetchone()
+    exp = fix_text(moji)
+    assert (got[0], got[1]) == exp
+
+
+def test_spark_kernel_parity_and_determinism(spark):
+    rows = [
+        (0, _sloppy_encode("café — “fine” …")),
+        (1, "clean ascii"),
+        (2, None),
+        (3, ""),
+        (4, _sloppy_encode("Łódź • €5")),
+        (5, "already fine: déjà"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.text_fixed, r.n_mojibake_fixed)
+           for r in with_fixed_text(df).collect()}
+    for i, t in rows:
+        assert out[i] == fix_text(t), f"doc {i}"
+    out2 = {r.doc_id: (r.text_fixed, r.n_mojibake_fixed)
+            for r in with_fixed_text(df.repartition(5)).collect()}
+    assert out == out2
+
+
+def test_custom_alphabet_restricts_repairs():
+    # only the punctuation block: Latin letters stay mojibake
+    from metacrafter_spark.corpus.mojibake import _PUNCT
+
+    moji = _sloppy_encode("é — ok")
+    fixed, n = fix_text(moji, mojibake_pairs(_PUNCT))
+    assert "—" in fixed and "é" not in fixed and n == 1
