@@ -78,6 +78,10 @@ def main(argv=None) -> int:
                          "pages (drop_reason=robots_disallowed); the "
                          "robots.txt records themselves are excluded "
                          "from the corpus")
+    wi.add_argument("--fix-mojibake", action="store_true",
+                    help="repair UTF-8-mis-decoded-as-cp1252 text "
+                         "before the content stages (langid/quality/"
+                         "scrub see the repaired text)")
     wi.add_argument("--robots-agent", default="*",
                     help="product token for robots group selection "
                          "(default '*')")
@@ -518,7 +522,8 @@ def main(argv=None) -> int:
             stream_warc_ingest(spark, args.cdx_glob, args.warc_dir,
                                args.output, args.metrics, args.stream,
                                n_buckets=args.buckets,
-                               toxicity_wordlist=wl)
+                               toxicity_wordlist=wl,
+                               fix_mojibake=args.fix_mojibake)
             # one scan for the cumulative summary (the stream's own
             # per-run counts live in the metrics table per batch)
             row = PyIcebergTableIO(spark).read(args.output).agg(
@@ -569,6 +574,8 @@ def main(argv=None) -> int:
                   if args.toxicity_wordlist else None)
             kw = {} if args.buckets is None else \
                 {"n_buckets": args.buckets}
+            if args.fix_mojibake:
+                kw["fix_mojibake"] = True
             if args.robots_from_crawl:
                 from metacrafter_spark.corpus.robots import (
                     parse_robots_txt, robots_from_corpus)

@@ -70,6 +70,7 @@ def classify_corpus(
     robots_rules: Optional[DataFrame] = None,
     drop_noindex: bool = False,
     domain_ranks: Optional[DataFrame] = None,
+    fix_mojibake: bool = False,
 ) -> DataFrame:
     """Attach langid/ppl/quality/pii/scrub columns + keep & drop_reason.
 
@@ -100,6 +101,13 @@ def classify_corpus(
     link-based quality PRIOR column — a signal for downstream mixing/
     sampling, not a drop rule (unranked domains are absent evidence,
     not bad pages).  The rank table broadcasts; zero corpus shuffle.
+
+    ``fix_mojibake=True`` repairs UTF-8-mis-decoded-as-cp1252 text
+    (:mod:`corpus.mojibake`) IN PLACE before any content stage, so
+    langid/quality/perplexity/scrub all see the repaired text (the
+    gates mis-score mojibake otherwise); ``n_mojibake_fixed`` rides
+    along as a signal column.  Map-side only; default off keeps the
+    default-path plan and its oracles byte-stable.
     """
     rules = scrub_rules if scrub_rules is not None else default_scrub_rules()
     out = (
@@ -118,6 +126,12 @@ def classify_corpus(
         from metacrafter_spark.ops.linkgraph import with_domain_rank
 
         out = with_domain_rank(out, domain_ranks)
+    if fix_mojibake:
+        from metacrafter_spark.corpus.mojibake import with_fixed_text
+
+        out = (with_fixed_text(out, text_col, out_col="__moji_fixed")
+               .withColumn(text_col, F.col("__moji_fixed"))
+               .drop("__moji_fixed"))
     out = with_langid(out, text_col)
     out = with_perplexity(out, text_col)
     out = with_quality(out, text_col, policy.quality)

@@ -327,6 +327,7 @@ def stream_warc_ingest(
     *,
     n_buckets: Optional[int] = None,
     toxicity_wordlist: Optional[tuple[str, ...]] = None,
+    fix_mojibake: bool = False,
     available_now: bool = True,
     fault_hook=None,
 ):
@@ -364,6 +365,7 @@ def stream_warc_ingest(
     kw = {} if n_buckets is None else {"n_buckets": n_buckets}
     classified = classify_corpus(src, scrub_rules=rules,
                                  toxicity_wordlist=toxicity_wordlist,
+                                 fix_mojibake=fix_mojibake,
                                  **kw)
     io = PyIcebergTableIO(spark)
 

@@ -541,3 +541,37 @@ def test_with_robots_meta(spark):
         [(1, rows[0][1].encode())], "i long, html binary")
     r = with_robots_meta(bdf, "html").first()
     assert r["noindex"] is True
+
+
+def test_fix_mojibake_stage_restores_clean_pipeline(spark):
+    """classify_corpus(fix_mojibake=True) over a cp1252-mojibake'd
+    corpus must reproduce the CLEAN corpus's decisions byte-exactly:
+    langid, keep/drop, ppl and the scrubbed text all match, and the
+    repair count rides along as a signal column."""
+    from metacrafter_spark.corpus.mojibake import corrupt_text
+
+    # only ASCII-based docs: the ru/zh docs' scripts are outside the
+    # default (western) repair alphabet, so their corruption is not
+    # reversible — a real pipeline would pass a wider alphabet
+    base = (synth_webpages(spark, 60, seed=7, partitions=3)
+            .filter(F.col("text").rlike(r"^[\x00-\x7F]*$")))
+    assert base.count() >= 15
+    # accent the docs so the corruption has something to break
+    accented = base.withColumn(
+        "text", F.concat(F.col("text"),
+                         F.lit(" café déjà-vu — “naïve” …")))
+    corrupt = F.udf(corrupt_text, "string")
+    dirty = accented.withColumn("text", corrupt("text"))
+    clean_out = classify_corpus(accented)
+    fixed_out = classify_corpus(dirty, fix_mojibake=True)
+    cols = ["langid_lang", "keep", "drop_reason", "ppl", "text_scrubbed"]
+    c = {r["url"]: r for r in clean_out.select("url", *cols).collect()}
+    f = {r["url"]: r for r in fixed_out.select(
+        "url", "n_mojibake_fixed", *cols).collect()}
+    assert set(c) == set(f)
+    for url, row in f.items():
+        assert row["n_mojibake_fixed"] > 0
+        for col in cols:
+            assert row[col] == c[url][col], (url, col)
+    # default path: no repair column, plan unchanged
+    assert "n_mojibake_fixed" not in classify_corpus(accented).columns
