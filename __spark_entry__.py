@@ -919,6 +919,31 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(corpus, bench, "doc_id", "text", n=8).orderBy("doc_id")
 
 
+def q_decontaminate_spans(spark, sf_dir):
+    """Span-level decontamination ACTION (round 5,
+    ops/decontam.py::remove_contaminated_spans): excise every token
+    covered by an 8-token window occurring verbatim in the benchmark
+    split (every 25th doc), instead of dropping whole documents.
+    Byte-exactness of the rebuilt text via sha256; the oracle joins
+    gram STRINGS (value-checking the xxhash64 path) and replays
+    positional grams, window coverage and the token rebuild."""
+    from metacrafter_spark.ops.decontam import remove_contaminated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    corpus = docs.filter(F.col("doc_id") % 25 != 0)
+    return (
+        remove_contaminated_spans(corpus, bench, span_words=8)
+        .select(
+            "doc_id",
+            F.sha2(F.col("text_decontam"), 256).alias("decontam_sha"),
+            "n_tokens",
+            "n_removed",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic 10% Bernoulli-by-hash sample of documents — the
     membership predicate is pure integer arithmetic on doc_id (Knuth
@@ -2983,6 +3008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs_exact": q_jaccard_pairs,
         "dup_span_stats": q_dup_span_stats,
         "decontaminate": q_decontaminate,
+        "decontaminate_spans": q_decontaminate_spans,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "budget_mix": q_budget_mix,
@@ -4981,6 +5007,51 @@ def oracle_sql() -> dict[str, str]:
                    sha256(coalesce(array_to_string(
                      list_transform(kept, j -> words[j + 1]), ' '), ''))
                      AS dedup_sha,
+                   len(words)::BIGINT AS n_tokens,
+                   (len(words) - len(kept))::BIGINT AS n_removed
+            FROM built ORDER BY doc_id
+        """,
+        # decontaminate_spans: positional corpus grams joined against
+        # the benchmark-split gram STRINGS (value-checking the
+        # xxhash64 path), then the remove_dup_spans excision replay
+        "decontaminate_spans": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     (list_filter(string_split_regex(lower(text), '\W+'),
+                                  x -> length(x) > 0))[1:2000] AS words
+              FROM documents),
+            bg AS (
+              SELECT DISTINCT unnest(list_transform(
+                       range(1, len(words) - 6),
+                       i -> array_to_string(words[i:i+7], ' '))) AS gram
+              FROM w WHERE doc_id % 25 = 0 AND len(words) >= 8),
+            cw AS (SELECT doc_id, words FROM w WHERE doc_id % 25 <> 0),
+            g AS (
+              SELECT doc_id, unnest(list_transform(
+                       range(1, len(words) - 6),
+                       i -> {'pos': i - 1,
+                             'gram': array_to_string(words[i:i+7], ' ')}))
+                       AS s
+              FROM cw WHERE len(words) >= 8),
+            g2 AS (SELECT doc_id, s.pos AS pos, s.gram AS gram FROM g),
+            st AS (
+              SELECT g2.doc_id, list_sort(list(DISTINCT g2.pos)) AS starts
+              FROM g2 SEMI JOIN bg ON g2.gram = bg.gram
+              GROUP BY g2.doc_id),
+            fin AS (
+              SELECT cw.doc_id, cw.words,
+                     coalesce(st.starts, []) AS starts
+              FROM cw LEFT JOIN st USING (doc_id)),
+            built AS (
+              SELECT doc_id, words,
+                     list_filter(range(0, len(words)),
+                       j -> len(list_filter(starts,
+                              s -> j >= s AND j < s + 8)) = 0) AS kept
+              FROM fin)
+            SELECT doc_id,
+                   sha256(coalesce(array_to_string(
+                     list_transform(kept, j -> words[j + 1]), ' '), ''))
+                     AS decontam_sha,
                    len(words)::BIGINT AS n_tokens,
                    (len(words) - len(kept))::BIGINT AS n_removed
             FROM built ORDER BY doc_id

@@ -105,3 +105,56 @@ def decontaminate(
             (F.col("n_hit") >= min_hits).alias("contaminated"),
         )
     )
+
+
+def remove_contaminated_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    span_words: int = 8,
+    max_words: int = 2000,
+    out_col: str = "text_decontam",
+) -> DataFrame:
+    """Excise verbatim benchmark spans instead of dropping whole
+    documents — the span-level ACTION half of decontamination (the
+    substring-dedup recipe of Lee et al. 2021 applied cross-corpus;
+    :func:`decontaminate` is the corresponding document-level signal).
+    A corpus token is removed when any ``span_words``-window covering
+    it occurs verbatim anywhere in the benchmark; everything else of
+    the document survives, so a long page quoting one eval question
+    loses the quote, not the page.
+
+    Output columns: ``out_col`` (space-joined surviving tokens —
+    token-level reconstruction, as in ``remove_dup_spans``), plus
+    ``n_tokens`` / ``n_removed``.
+
+    Scale shape: the benchmark gram-hash set is broadcast (eval suites
+    are small by construction), corpus positional grams are probed
+    map-side via a broadcast LEFT SEMI join, and the only Exchange
+    carries ``(id, window-start positions)`` — fixed-width,
+    benchmark-size-independent.  The excision tail is shared with
+    :func:`ops.dedup.remove_dup_spans`
+    (:func:`ops.dedup.excise_covered_spans`).
+    """
+    from .dedup import excise_covered_spans, shingles_positional
+
+    k = span_words
+    bench = F.broadcast(
+        bench_gram_hashes(benchmark, bench_text_col or text_col, k, max_words)
+    )
+    staged = corpus.withColumn(
+        "__words", split_words(F.col(text_col), max_words))
+    grams = staged.select(
+        F.col(id_col),
+        F.posexplode(shingles_positional(F.col("__words"), k))
+        .alias("__i", "__gram"),
+    ).select(F.col(id_col), F.col("__i"),
+             F.xxhash64("__gram").alias("__gh"))
+    hit_starts = (
+        grams.join(bench, "__gh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("__i")).alias("__starts"))
+    )
+    return excise_covered_spans(staged, hit_starts, id_col, k, out_col)

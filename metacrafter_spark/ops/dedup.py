@@ -709,7 +709,25 @@ def remove_dup_spans(
         .groupBy(id_col)
         .agg(F.array_sort(F.collect_set("__i")).alias("__starts"))
     )
-    out = staged.join(dup_starts, id_col, "left").withColumn(
+    return excise_covered_spans(staged, dup_starts, id_col, k, out_col)
+
+
+def excise_covered_spans(
+    staged: DataFrame,
+    starts: DataFrame,
+    id_col: str,
+    span_words: int,
+    out_col: str,
+) -> DataFrame:
+    """Excision tail shared by :func:`remove_dup_spans` and
+    span-level decontamination (ops/decontam.py): drop every token of
+    ``staged.__words`` covered by a ``span_words``-window whose start
+    appears in ``starts.__starts`` (per ``id_col``), rebuild the text
+    space-joined into ``out_col`` with ``n_tokens``/``n_removed``
+    counters.  Documents absent from ``starts`` pass through with
+    their tokens rejoined unchanged."""
+    k = span_words
+    out = staged.join(starts, id_col, "left").withColumn(
         "__starts", F.coalesce(F.col("__starts"), F.array().cast("array<int>"))
     )
     idx = F.sequence(F.lit(0), F.greatest(F.size("__words") - 1, F.lit(0)))

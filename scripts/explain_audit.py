@@ -735,6 +735,23 @@ def main() -> None:
     ))
     assert "Exchange" not in mplan
 
+    # 40. span-level decontamination: the benchmark gram set rides a
+    # broadcast LEFT SEMI probe (corpus grams never shuffle as
+    # strings); the only Exchange carries (id, window starts).
+    from metacrafter_spark.ops.decontam import remove_contaminated_spans
+
+    dplan = plan_of(remove_contaminated_spans(
+        docs.select("doc_id", "text"),
+        docs.select("doc_id", "text").limit(50), span_words=8))
+    sections.append((
+        "Span-level decontamination (benchmark grams broadcast; the "
+        "LEFT SEMI probe is map-side, the Exchange carries only "
+        "(id, window starts))",
+        dplan,
+        ["BroadcastHashJoin", "LeftSemi"],
+    ))
+    assert "CartesianProduct" not in dplan
+
     out = ["# BENCH/EXPLAIN — physical-plan audit\n"]
     ok = True
     for title, plan, must in sections:

@@ -1840,3 +1840,63 @@ def test_semdedup_deterministic_across_partitionings(spark):
                               exact_assign=True).collect())
 
     assert run(emb.repartition(1)) == run(emb.repartition(7))
+
+
+def test_remove_contaminated_spans(spark):
+    """Span-level decontamination: tokens covered by any verbatim
+    benchmark window are excised; the rest of the document survives.
+    Pinned to an independent pure-Python replay of the whole chain."""
+    import re as _re
+
+    from metacrafter_spark.ops.decontam import remove_contaminated_spans
+
+    bench_texts = ["what is the capital of france answer paris of course"]
+    corpus_texts = {
+        # quotes a full bench window mid-page -> loses just the quote
+        1: "intro text what is the capital of france answer trailing words",
+        # no 3-gram overlap
+        2: "completely unrelated page about cooking pasta at home",
+        # the WHOLE doc is a bench window
+        3: "capital of france",
+        # shorter than the window -> never excised
+        4: "the capital",
+        5: "",
+    }
+    k = 3
+
+    def words(t):
+        return [w for w in _re.split(r"\W+", t.lower()) if w][:2000]
+
+    bgrams = set()
+    for t in bench_texts:
+        ws = words(t)
+        for i in range(len(ws) - k + 1):
+            bgrams.add(" ".join(ws[i:i + k]))
+
+    def replay(t):
+        ws = words(t)
+        starts = [i for i in range(len(ws) - k + 1)
+                  if " ".join(ws[i:i + k]) in bgrams]
+        kept = [w for j, w in enumerate(ws)
+                if not any(s <= j < s + k for s in starts)]
+        return " ".join(kept), len(ws), len(ws) - len(kept)
+
+    bench = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(bench_texts)],
+        ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        sorted(corpus_texts.items()), ["doc_id", "text"])
+    out = remove_contaminated_spans(corpus, bench, span_words=k)
+    got = {r["doc_id"]: (r["text_decontam"], r["n_tokens"], r["n_removed"])
+           for r in out.collect()}
+    assert set(got) == set(corpus_texts)
+    for i, t in corpus_texts.items():
+        assert got[i] == replay(t), f"doc {i}"
+    assert got[1][2] > 0 and got[2][2] == 0
+    assert got[3][0] == "" and got[3][2] == 3
+    assert got[4] == ("the capital", 2, 0)
+    # partitioning invariance
+    re_part = remove_contaminated_spans(
+        corpus.repartition(4), bench.repartition(2), span_words=k)
+    assert {tuple(r) for r in re_part.collect()} == \
+           {tuple(r) for r in out.collect()}
