@@ -211,6 +211,41 @@ def main() -> None:
         assigned.write.format("noop").mode("overwrite").save()
         best = min(best, time.perf_counter() - t0)
     qtimes["kmeans_embeddings"] = round(best, 3)
+
+    # mojibake row: repair over the full corpus with ~half the docs
+    # carrying injected cp1252 mojibake (the other half exercises the
+    # lead-char fast path) — map-side mapInPandas, zero Exchange
+    from metacrafter_spark.corpus.mojibake import (
+        corrupt_text, with_fixed_text)
+
+    moji_suffix = corrupt_text(" — café “qüote” … ©2025 €9")
+    moji = corpus.select(
+        "url",
+        F.when(d % 2 == 0, F.concat("text", F.lit(moji_suffix)))
+        .otherwise(F.col("text")).alias("text"))
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        with_fixed_text(moji).write.format("noop") \
+            .mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    qtimes["fix_mojibake"] = round(best, 3)
+
+    # span-decontamination row: every 25th doc is the benchmark split;
+    # its gram set broadcasts, corpus grams probe map-side, covered
+    # tokens are excised and the text rebuilt
+    from metacrafter_spark.ops.decontam import remove_contaminated_spans
+
+    ddocs = corpus.select(d.alias("doc_id"), "text")
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        remove_contaminated_spans(
+            ddocs.filter(F.col("doc_id") % 25 != 0),
+            ddocs.filter(F.col("doc_id") % 25 == 0),
+            span_words=8).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    qtimes["decontaminate_spans"] = round(best, 3)
     total = round(sum(qtimes.values()), 3)
 
     print(json.dumps({
