@@ -944,6 +944,34 @@ def q_decontaminate_spans(spark, sf_dir):
     )
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher repetition battery completion (round 5,
+    corpus/quality.py::with_repetition_stats): top-ngram char fraction
+    (n=2,3,4) and dup-ngram char coverage (n=5,10 here; 6-9 are the
+    same code path) over documents with a planted hot bigram and a
+    planted repeated 5-gram so every metric fires.  The oracle replays
+    words, positional grams, per-gram counts, the (count, gram-chars)
+    total-order top selection, duplicate-window coverage and the char
+    sums in SQL."""
+    from metacrafter_spark.corpus.quality import with_repetition_stats
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat("text", F.lit(" very nice very nice very nice "
+                                   "one two three four five and "
+                                   "one two three four five")))
+        .otherwise(F.col("text")).alias("text"))
+    return (with_repetition_stats(planted, top_ns=(2, 3, 4),
+                                  dup_ns=(5, 10))
+            .select("doc_id", "top_2gram_char_frac",
+                    "top_3gram_char_frac", "top_4gram_char_frac",
+                    "dup_5gram_char_frac", "dup_10gram_char_frac")
+            .orderBy("doc_id"))
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic 10% Bernoulli-by-hash sample of documents — the
     membership predicate is pure integer arithmetic on doc_id (Knuth
@@ -2975,6 +3003,92 @@ def _mojibake_oracle_sql() -> str:
     """
 
 
+def _repetition_oracle_sql() -> str:
+    """DuckDB replay of q_repetition_stats: per-n positional grams,
+    per-gram counts, the (count desc, gram-chars desc) top selection
+    as a two-step max, duplicate-window coverage and the char sums —
+    generated for the same (top_ns, dup_ns) the Spark query uses."""
+    top_ns, dup_ns = (2, 3, 4), (5, 10)
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    gram_selects = "\n              UNION ALL\n".join(
+        f"""              SELECT doc_id, {n} AS n, s.pos AS pos,
+                     s.gram AS gram
+              FROM (SELECT doc_id, unnest(list_transform(
+                      range(1, len(words) - {n - 2}),
+                      i -> {{'pos': i - 1,
+                            'gram': array_to_string(
+                                words[i:i+{n - 1}], ' ')}})) AS s
+                    FROM w WHERE len(words) >= {n}) t{n}"""
+        for n in all_ns)
+    top_pivot = ",\n                     ".join(
+        f"max(CASE WHEN n = {n} THEN top_chars END) AS t{n}"
+        for n in top_ns)
+    dup_pivot = ",\n                     ".join(
+        f"max(CASE WHEN n = {n} THEN starts END) AS s{n}"
+        for n in dup_ns)
+    top_cols = ",\n                   ".join(
+        f"round(coalesce(t{n}, 0)::DOUBLE / total, 9)"
+        f" AS top_{n}gram_char_frac" for n in top_ns)
+    dup_cols = ",\n                   ".join(
+        f"""round(coalesce(list_aggregate(list_transform(
+                     list_filter(range(0, len(words)),
+                       j -> len(list_filter(coalesce(s{n}, []),
+                              s -> j >= s AND j < s + {n})) > 0),
+                     j -> length(words[j + 1])), 'sum'), 0)::DOUBLE
+                   / total, 9) AS dup_{n}gram_char_frac"""
+        for n in dup_ns)
+    return f"""
+        WITH p AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0 THEN text ||
+                   ' very nice very nice very nice one two three four'
+                   || ' five and one two three four five'
+                 ELSE text END AS text
+          FROM documents WHERE doc_id < 300),
+        w AS (
+          SELECT doc_id,
+                 (list_filter(string_split_regex(lower(text), '\\W+'),
+                              x -> length(x) > 0))[1:2000] AS words
+          FROM p),
+        g AS (
+{gram_selects}),
+        pg AS (
+          SELECT doc_id, n, gram,
+                 count(*) AS cnt,
+                 length(gram) - (n - 1) AS gc,
+                 list(pos) AS poss
+          FROM g GROUP BY doc_id, n, gram),
+        tops AS (
+          SELECT doc_id, n, max(cnt) AS mc
+          FROM pg GROUP BY doc_id, n),
+        topc AS (
+          SELECT pg.doc_id, pg.n, tops.mc * max(pg.gc) AS top_chars
+          FROM pg JOIN tops USING (doc_id, n)
+          WHERE pg.cnt = tops.mc
+          GROUP BY pg.doc_id, pg.n, tops.mc),
+        dups AS (
+          SELECT doc_id, n, list_sort(flatten(list(poss))) AS starts
+          FROM pg WHERE cnt >= 2 AND n IN ({", ".join(map(str, dup_ns))})
+          GROUP BY doc_id, n),
+        tj AS (SELECT doc_id, {top_pivot}
+               FROM topc GROUP BY doc_id),
+        dj AS (SELECT doc_id, {dup_pivot}
+               FROM dups GROUP BY doc_id),
+        fin AS (
+          SELECT w.doc_id, w.words,
+                 greatest(coalesce(list_aggregate(list_transform(
+                   w.words, x -> length(x)), 'sum'), 0), 1)::DOUBLE
+                   AS total,
+                 {", ".join(f"t{n}" for n in top_ns)},
+                 {", ".join(f"s{n}" for n in dup_ns)}
+          FROM w LEFT JOIN tj USING (doc_id) LEFT JOIN dj USING (doc_id))
+        SELECT doc_id,
+                   {top_cols},
+                   {dup_cols}
+        FROM fin ORDER BY doc_id
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": q_tpch_q1,
@@ -3009,6 +3123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_stats": q_dup_span_stats,
         "decontaminate": q_decontaminate,
         "decontaminate_spans": q_decontaminate_spans,
+        "repetition_stats": q_repetition_stats,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "budget_mix": q_budget_mix,
@@ -5734,6 +5849,9 @@ def oracle_sql() -> dict[str, str]:
         # fix_mojibake: corruption + single-pass repair replay, both
         # generated from the same pairs list as the Spark kernel
         "fix_mojibake": _mojibake_oracle_sql(),
+        # repetition_stats: Gopher battery completion — generated for
+        # the same (top_ns, dup_ns) the Spark query uses
+        "repetition_stats": _repetition_oracle_sql(),
         "sitemap_recrawl": r"""
             WITH src AS (
               SELECT regexp_extract(url, '/article/(\d+)$', 1)::BIGINT

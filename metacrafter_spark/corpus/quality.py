@@ -296,3 +296,124 @@ def with_dedup_paragraphs(
         )
         .drop("__paras")
     )
+
+
+def with_repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+    max_words: int = 2000,
+) -> DataFrame:
+    """The rest of the Gopher repetition battery (Rae et al. §A1.1):
+    ``top_{n}gram_char_frac`` for n in ``top_ns`` — the character
+    fraction taken by all occurrences of the doc's single most
+    frequent word n-gram — and ``dup_{n}gram_char_frac`` for n in
+    ``dup_ns`` — the character fraction covered by n-grams occurring
+    more than once in the doc (overlapping duplicate windows counted
+    once, per the paper).  The per-row columns of
+    :func:`quality_columns` already carry the dup-line/para/2-gram
+    signals; these are the remaining named metrics a Gopher
+    reproduction thresholds.
+
+    Deterministic variant, documented precisely (the paper leaves the
+    char accounting unspecified): words are the :func:`ops.dedup.
+    split_words` tokens, a gram's char length is the sum of its word
+    lengths (whitespace-free), the denominator is the doc's summed
+    word lengths, and the most-frequent-gram tie breaks on
+    (count desc, gram chars desc) — which pins the OUTPUT completely,
+    since the emitted value is count × gram-chars of the selected
+    gram — so the result is identical across partitionings and
+    engines.
+
+    Scale shape: one tagged positional explode per n → ONE Exchange
+    keyed (id, n, gram-hash) carrying fixed-width rows (positions
+    ride as ints, gram strings never shuffle), a per-(id, n) reduce,
+    and one map-side-combinable reduce to a per-doc map joined back
+    on ``id_col``.  All list payloads are bounded by ``max_words``.
+    """
+    from metacrafter_spark.ops.dedup import (
+        shingles_positional, split_words)
+
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    dup_set = set(dup_ns)
+    staged = df.withColumn(
+        "__words", split_words(F.col(text_col), max_words))
+    streams = []
+    for n in all_ns:
+        grams = staged.select(
+            F.col(id_col),
+            F.lit(n).alias("__n"),
+            F.posexplode(shingles_positional(F.col("__words"), n))
+            .alias("__i", "__gram"),
+        )
+        # positions are only needed for the coverage metrics — NULL
+        # them for top-only ns so collect_list skips them
+        pos = (F.col("__i") if n in dup_set
+               else F.lit(None).cast("int"))
+        streams.append(grams.select(
+            F.col(id_col), "__n",
+            pos.alias("__i"),
+            F.xxhash64("__gram").alias("__gh"),
+            (F.length("__gram") - F.lit(n - 1)).alias("__gc"),
+        ))
+    stream = streams[0]
+    for s in streams[1:]:
+        stream = stream.unionByName(s)
+    per_gram = (stream.groupBy(id_col, "__n", "__gh")
+                .agg(F.count("*").alias("__cnt"),
+                     F.first("__gc").alias("__gc"),
+                     F.collect_list("__i").alias("__pos")))
+    per_n = (per_gram.groupBy(id_col, "__n")
+             .agg(
+                 F.max(F.struct(
+                     F.col("__cnt"), F.col("__gc"))).alias("__top"),
+                 F.flatten(F.collect_list(
+                     F.when(F.col("__cnt") >= 2, F.col("__pos"))
+                     .otherwise(F.array().cast("array<int>"))))
+                 .alias("__starts")))
+    per_doc = (per_n.groupBy(id_col)
+               .agg(F.map_from_entries(F.collect_list(F.struct(
+                   F.col("__n"),
+                   F.struct(
+                       (F.col("__top.__cnt") * F.col("__top.__gc"))
+                       .alias("top_chars"),
+                       F.array_sort("__starts").alias("starts"),
+                   )))).alias("__rep")))
+    out = staged.join(per_doc, id_col, "left")
+    total = F.aggregate(
+        F.col("__words"), F.lit(0),
+        lambda acc, w: acc + F.length(w)).cast("double")
+    total = F.greatest(total, F.lit(1.0))
+    cols = {}
+    for n in sorted(top_ns):
+        # try_element_at: under ANSI (the Spark 4 default) element_at
+        # on a missing map key raises; short docs legitimately lack
+        # grams for the larger ns
+        cols[f"top_{n}gram_char_frac"] = F.round(
+            F.coalesce(
+                F.try_element_at("__rep", F.lit(n))["top_chars"]
+                .cast("double"), F.lit(0.0)) / total, 9)
+    for n in sorted(dup_ns):
+        starts = F.coalesce(
+            F.try_element_at("__rep", F.lit(n))["starts"],
+            F.array().cast("array<int>"))
+        idx = F.when(
+            F.size("__words") > 0,
+            F.sequence(F.lit(0), F.size("__words") - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        covered = F.filter(
+            idx,
+            lambda j: F.exists(
+                starts, lambda s: (j >= s) & (j < s + F.lit(n))))
+        cols[f"dup_{n}gram_char_frac"] = F.round(
+            F.aggregate(
+                covered, F.lit(0),
+                lambda acc, j: acc + F.length(
+                    F.element_at(F.col("__words"), j + 1)))
+            .cast("double") / total, 9)
+    for name, c in cols.items():
+        out = out.withColumn(name, c)
+    return out.drop("__words", "__rep")

@@ -752,6 +752,21 @@ def main() -> None:
     ))
     assert "CartesianProduct" not in dplan
 
+    # 41. Gopher repetition battery: gram strings are hashed BEFORE
+    # the exchange (the shuffle carries (id, n, gh, gc, pos) fixed
+    # width), aggregation is map-side combinable, no cartesian.
+    from metacrafter_spark.corpus.quality import with_repetition_stats
+
+    rplan = plan_of(with_repetition_stats(
+        docs.select("doc_id", "text"), top_ns=(2,), dup_ns=(5,)))
+    sections.append((
+        "Gopher repetition battery (grams hashed pre-Exchange; "
+        "fixed-width shuffle rows; per-doc map joined back)",
+        rplan,
+        ["HashAggregate", "Exchange"],
+    ))
+    assert "CartesianProduct" not in rplan
+
     out = ["# BENCH/EXPLAIN — physical-plan audit\n"]
     ok = True
     for title, plan, must in sections:

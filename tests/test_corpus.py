@@ -575,3 +575,72 @@ def test_fix_mojibake_stage_restores_clean_pipeline(spark):
             assert row[col] == c[url][col], (url, col)
     # default path: no repair column, plan unchanged
     assert "n_mojibake_fixed" not in classify_corpus(accented).columns
+
+
+def test_repetition_stats_vs_pure_python(spark):
+    """Gopher repetition battery (top-ngram char fraction, dup-ngram
+    char coverage): pinned to an independent pure-Python replay of
+    the documented definitions, plus partitioning determinism."""
+    import re as _re
+
+    from metacrafter_spark.corpus.quality import with_repetition_stats
+
+    texts = {
+        0: "spam spam spam spam eggs",                    # hot 1..2-gram
+        1: "a b c d e a b c d e a b c d e",               # repeated 5-gram
+        2: "all tokens here are completely unique words today",
+        3: "x",                                           # single token
+        4: "",                                            # empty
+        5: ("the cat sat on the mat and then the cat sat on the mat "
+            "again while a dog watched the cat sat on the mat"),
+    }
+    top_ns, dup_ns = (2, 3), (5,)
+
+    def words(t):
+        return [w for w in _re.split(r"\W+", t.lower()) if w][:2000]
+
+    def replay(t):
+        ws = words(t)
+        total = max(sum(len(w) for w in ws), 1)
+        out = {}
+        for n in top_ns:
+            grams = {}
+            for i in range(len(ws) - n + 1):
+                g = tuple(ws[i:i + n])
+                grams[g] = grams.get(g, 0) + 1
+            best = 0
+            if grams:
+                mc = max(grams.values())
+                gc = max(sum(len(w) for w in g)
+                         for g, c in grams.items() if c == mc)
+                best = mc * gc
+            out[f"top_{n}gram_char_frac"] = round(best / total, 9)
+        for n in dup_ns:
+            grams = {}
+            for i in range(len(ws) - n + 1):
+                g = tuple(ws[i:i + n])
+                grams.setdefault(g, []).append(i)
+            starts = sorted(
+                i for pos in grams.values() if len(pos) >= 2 for i in pos)
+            covered = {j for s in starts for j in range(s, s + n)}
+            out[f"dup_{n}gram_char_frac"] = round(
+                sum(len(ws[j]) for j in covered) / total, 9)
+        return out
+
+    df = spark.createDataFrame(sorted(texts.items()), ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in with_repetition_stats(
+        df, top_ns=top_ns, dup_ns=dup_ns).collect()}
+    assert set(got) == set(texts)
+    for i, t in texts.items():
+        exp = replay(t)
+        for k, v in exp.items():
+            assert abs(got[i][k] - v) < 1e-12, (i, k, got[i][k], v)
+    # sanity on the planted shapes
+    assert got[0]["top_2gram_char_frac"] > 0.7        # "spam spam" x3
+    assert got[1]["dup_5gram_char_frac"] == 1.0       # fully covered
+    assert got[2]["dup_5gram_char_frac"] == 0.0
+    assert got[5]["dup_5gram_char_frac"] > 0.5
+    # determinism across partitionings
+    again = {r["doc_id"]: r.asDict() for r in with_repetition_stats(
+        df.repartition(7), top_ns=top_ns, dup_ns=dup_ns).collect()}
+    assert got == again
