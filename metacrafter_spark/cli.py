@@ -78,6 +78,10 @@ def main(argv=None) -> int:
                          "pages (drop_reason=robots_disallowed); the "
                          "robots.txt records themselves are excluded "
                          "from the corpus")
+    wi.add_argument("--drop-noindex", action="store_true",
+                    help="honor noindex from <meta name=robots> AND "
+                         "the X-Robots-Tag response header "
+                         "(drop_reason='robots_noindex')")
     wi.add_argument("--fix-mojibake", action="store_true",
                     help="repair UTF-8-mis-decoded-as-cp1252 text "
                          "before the content stages (langid/quality/"
@@ -516,6 +520,10 @@ def main(argv=None) -> int:
                     "would need an edges sink per micro-batch); run a "
                     "batch pass or extract edges from the committed "
                     "corpus table")
+            if args.drop_noindex:
+                raise SystemExit(
+                    "--drop-noindex applies to batch mode only for "
+                    "now; run a batch pass")
             wl = (tuple(w.strip()
                         for w in args.toxicity_wordlist.split(","))
                   if args.toxicity_wordlist else None)
@@ -556,6 +564,8 @@ def main(argv=None) -> int:
                 page_link_edges(with_outlinks(pages, "html", "url")) \
                     .write.mode("overwrite").parquet(args.outlinks)
                 n_edges = spark.read.parquet(args.outlinks).count()
+            # crawl-policy columns ride along only when requested
+            policy_cols = ("x_robots",) if args.drop_noindex else ()
             if args.main_text:
                 from metacrafter_spark.corpus.html import with_main_text
 
@@ -563,12 +573,12 @@ def main(argv=None) -> int:
                 pages = with_main_text(pages, "html", "text")
                 src = pages.select(
                     "url", "warc_ts", "html", "text", "text_raw",
-                    F.lit("").alias("lang"))
+                    *policy_cols, F.lit("").alias("lang"))
             else:
                 pages = with_extracted_text(pages, "html", "text")
                 src = pages.select(
                     "url", "warc_ts", "html", "text",
-                    F.lit("").alias("lang"))
+                    *policy_cols, F.lit("").alias("lang"))
             wl = (tuple(w.strip()
                         for w in args.toxicity_wordlist.split(","))
                   if args.toxicity_wordlist else None)
@@ -576,6 +586,9 @@ def main(argv=None) -> int:
                 {"n_buckets": args.buckets}
             if args.fix_mojibake:
                 kw["fix_mojibake"] = True
+            if args.drop_noindex:
+                kw["drop_noindex"] = True
+                kw["robots_header_col"] = "x_robots"
             if args.robots_from_crawl:
                 from metacrafter_spark.corpus.robots import (
                     parse_robots_txt, robots_from_corpus)

@@ -488,12 +488,23 @@ def with_robots_meta(
     noindex_col: str = "noindex",
     nofollow_col: str = "nofollow",
     encoding: str = "utf-8",
+    header_col: str | None = None,
 ) -> DataFrame:
     """Attach the page's robots meta directives: the raw ``content``
     value of ``<meta name="robots" …>`` (either attribute order) plus
     ``noindex`` / ``nofollow`` booleans (``none`` implies both, per the
     robots meta convention).  Production corpus pipelines drop noindex
     pages — the page owner asked not to be indexed.
+
+    ``header_col`` (optional) names an ``X-Robots-Tag`` HTTP-header
+    column (:data:`io.warc.SCAN_SCHEMA` exposes it as ``x_robots``) —
+    the header sibling of the meta tag; its directives OR into the
+    booleans.  Header grammar per the de-facto (Google) spec:
+    comma-separated directives, each optionally agent-scoped
+    (``googlebot: noindex``) — an agent-scoped directive counts for
+    ANY agent here (conservative for corpus curation); valued
+    directives (``unavailable_after: <date>``) never collide with the
+    boolean tokens.
 
     Pure native Column expressions (decode + two regexp_extract over
     the raw markup — no parser needed for one well-known tag), map-side
@@ -513,6 +524,15 @@ def with_robots_meta(
     out = df.withColumn(content_col, content)
     c = F.col(content_col)
     tokens = F.transform(F.split(c, ","), lambda t: F.trim(t))
+    if header_col is not None:
+        # "agent: directive" keeps the part after the LAST colon, so
+        # "unavailable_after: 25 jun 2010" yields a date fragment that
+        # matches no boolean token
+        htokens = F.transform(
+            F.split(F.lower(F.coalesce(F.col(header_col), F.lit(""))),
+                    ","),
+            lambda t: F.trim(F.element_at(F.split(t, ":"), -1)))
+        tokens = F.concat(tokens, htokens)
     has = (lambda word: F.arrays_overlap(
         tokens, F.array(F.lit(word), F.lit("none"))))
     return (out

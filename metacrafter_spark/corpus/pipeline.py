@@ -69,6 +69,7 @@ def classify_corpus(
     toxicity_wordlist: Optional[tuple[str, ...]] = None,
     robots_rules: Optional[DataFrame] = None,
     drop_noindex: bool = False,
+    robots_header_col: Optional[str] = None,
     domain_ranks: Optional[DataFrame] = None,
     fix_mojibake: bool = False,
 ) -> DataFrame:
@@ -121,7 +122,10 @@ def classify_corpus(
     if drop_noindex:
         from metacrafter_spark.corpus.html import with_robots_meta
 
-        out = with_robots_meta(out, "html")
+        # robots_header_col (optional): an X-Robots-Tag column from the
+        # WARC scan — header directives OR into the meta-tag booleans
+        out = with_robots_meta(out, "html",
+                               header_col=robots_header_col)
     if domain_ranks is not None:
         from metacrafter_spark.ops.linkgraph import with_domain_rank
 

@@ -52,7 +52,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 SCAN_SCHEMA = ("file string, offset long, url string, warc_ts timestamp, "
-               "http_status int, mime string, html binary")
+               "http_status int, mime string, html binary, "
+               "x_robots string")
 
 _CDX_JSON_SCHEMA = ("url string, filename string, offset string, "
                     "length string, status string, mime string, "
@@ -419,8 +420,11 @@ def _response_rows(path: str, data: bytes, strict: bool) -> list[tuple]:
         try:
             status, headers, body = parse_http_response(rec.payload)
             mime = headers.get("content-type", "").split(";")[0].strip()
+            # X-Robots-Tag is crawl policy the page SERVED (the header
+            # sibling of <meta name=robots>); repeated headers arrive
+            # pre-joined with ", " by parse_http_response
             rows.append((path, off, rec.target_uri, rec.date, status,
-                         mime, body))
+                         mime, body, headers.get("x-robots-tag", "")))
         except (ValueError, NotImplementedError):
             if strict:
                 raise
@@ -430,7 +434,7 @@ def _response_rows(path: str, data: bytes, strict: bool) -> list[tuple]:
 
 
 _SCAN_COLS = ["file", "offset", "url", "warc_ts", "http_status", "mime",
-              "html"]
+              "html", "x_robots"]
 
 
 def scan_warc(spark: SparkSession, path_glob: str, *,

@@ -251,3 +251,26 @@ def test_case_insensitive_directives_and_agent(spark):
     v = _verdicts(spark, txt, ["/CaseKept/x", "/casekept/x"])
     assert v["/CaseKept/x"] == (False, "/CaseKept")
     assert v["/casekept/x"] == (True, None)   # pattern case preserved
+
+
+def test_pipeline_x_robots_header_noindex(spark):
+    """classify_corpus(drop_noindex=True, robots_header_col=...) drops
+    pages whose X-Robots-Tag header says noindex even when the html
+    carries no robots meta tag."""
+    from pyspark.sql import functions as F
+
+    from metacrafter_spark.corpus.pipeline import classify_corpus
+    from metacrafter_spark.corpus.webpages import synth_webpages
+
+    pages = synth_webpages(spark, 40, seed=11).withColumn(
+        "x_robots",
+        F.when(F.xxhash64("url") % 4 == 0, F.lit("googlebot: noindex"))
+        .otherwise(F.lit("")))
+    out = classify_corpus(pages, drop_noindex=True,
+                          robots_header_col="x_robots").collect()
+    tagged = [r for r in out if r.x_robots]
+    untagged = [r for r in out if not r.x_robots]
+    assert tagged and untagged
+    assert all(r.drop_reason == "robots_noindex" and not r.keep
+               for r in tagged)
+    assert all(r.drop_reason != "robots_noindex" for r in untagged)

@@ -264,3 +264,56 @@ def test_scan_skips_non_response_records(spark, tmp_path):
                   + gzip_member(meta))
     rows = scan_warc(spark, str(p)).collect()
     assert len(rows) == 1 and rows[0]["url"].endswith("/a/1")
+
+
+def test_x_robots_header_scan_and_directives(spark, tmp_path):
+    """The scan exposes X-Robots-Tag, and with_robots_meta ORs the
+    header directives into the meta-tag booleans (agent-scoped and
+    valued directives handled per the de-facto grammar)."""
+    from metacrafter_spark.corpus.html import with_robots_meta
+
+    cases = [
+        ("https://h/1", ()),                                  # no header
+        ("https://h/2", (("X-Robots-Tag", "noindex"),)),
+        ("https://h/3", (("X-Robots-Tag", "googlebot: noindex"),)),
+        ("https://h/4", (("X-Robots-Tag", "nofollow, noarchive"),)),
+        ("https://h/5", (("X-Robots-Tag", "none"),)),
+        ("https://h/6", (("X-Robots-Tag",
+                          "unavailable_after: 25 Jun 2010 15:00 PST"),)),
+        # repeated header -> parse joins with ", "
+        ("https://h/7", (("X-Robots-Tag", "noindex"),
+                         ("X-Robots-Tag", "nofollow"),)),
+    ]
+    recs = []
+    for url, hdrs in cases:
+        recs.append(build_record(
+            "response",
+            build_http_response(b"<html><body>x</body></html>",
+                                extra_headers=hdrs),
+            url=url, date=TS))
+    p = tmp_path / "xr.warc.gz"
+    p.write_bytes(gzip_member(b"".join(recs)))
+    scanned = scan_warc(spark, str(p)).cache()
+    xr = {r["url"]: r["x_robots"] for r in scanned.collect()}
+    assert xr["https://h/1"] == ""
+    assert xr["https://h/2"] == "noindex"
+    assert xr["https://h/7"] == "noindex, nofollow"
+    out = {r["url"]: r for r in with_robots_meta(
+        scanned, "html", header_col="x_robots").collect()}
+    truth = {
+        "https://h/1": (False, False),
+        "https://h/2": (True, False),
+        "https://h/3": (True, False),   # agent-scoped counts
+        "https://h/4": (False, True),
+        "https://h/5": (True, True),    # none implies both
+        "https://h/6": (False, False),  # valued directive, no collision
+        "https://h/7": (True, True),
+    }
+    for url, (ni, nf) in truth.items():
+        assert (out[url]["noindex"], out[url]["nofollow"]) == (ni, nf), url
+    # meta tag still works alongside the header column
+    meta = spark.createDataFrame(
+        [("<html><head><meta name=\"robots\" content=\"noindex\">"
+          "</head></html>", "")], "html string, x_robots string")
+    r = with_robots_meta(meta, "html", header_col="x_robots").first()
+    assert r["noindex"] and not r["nofollow"]
