@@ -972,6 +972,35 @@ def q_repetition_stats(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_robots_header(spark, sf_dir):
+    """X-Robots-Tag crawl policy (round 5, corpus/html.py
+    with_robots_meta header_col): header values are synthesized
+    in-plan over the documents table covering every grammar shape
+    (plain, multi-directive, agent-scoped, none, valued
+    unavailable_after, repeated-header join, empty), then parsed by
+    the header token logic; the oracle replays the identical
+    lower/split/trim/last-colon-part token walk in SQL."""
+    from metacrafter_spark.corpus.html import with_robots_meta
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    hdr = (F.when(F.col("doc_id") % 7 == 1, F.lit("noindex"))
+           .when(F.col("doc_id") % 7 == 2,
+                 F.lit("googlebot: noindex, noarchive"))
+           .when(F.col("doc_id") % 7 == 3, F.lit("nofollow, nosnippet"))
+           .when(F.col("doc_id") % 7 == 4, F.lit("none"))
+           .when(F.col("doc_id") % 7 == 5,
+                 F.lit("unavailable_after: 25 Jun 2010 15:00 PST"))
+           .when(F.col("doc_id") % 7 == 6,
+                 F.lit("noindex, nofollow"))
+           .otherwise(F.lit("")))
+    src = docs.select(
+        "doc_id", F.lit("<html><body>x</body></html>").alias("html"),
+        hdr.alias("x_robots"))
+    return (with_robots_meta(src, "html", header_col="x_robots")
+            .select("doc_id", "x_robots", "noindex", "nofollow")
+            .orderBy("doc_id"))
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic 10% Bernoulli-by-hash sample of documents — the
     membership predicate is pure integer arithmetic on doc_id (Knuth
@@ -3124,6 +3153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "decontaminate_spans": q_decontaminate_spans,
         "repetition_stats": q_repetition_stats,
+        "robots_header": q_robots_header,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "budget_mix": q_budget_mix,
@@ -5852,6 +5882,35 @@ def oracle_sql() -> dict[str, str]:
         # repetition_stats: Gopher battery completion — generated for
         # the same (top_ns, dup_ns) the Spark query uses
         "repetition_stats": _repetition_oracle_sql(),
+        # robots_header: identical in-plan header synthesis, then the
+        # same lower/split-','/trim(last ':'-part) token walk in RE2
+        "robots_header": r"""
+            WITH h AS (
+              SELECT doc_id,
+                     CASE doc_id % 7
+                       WHEN 1 THEN 'noindex'
+                       WHEN 2 THEN 'googlebot: noindex, noarchive'
+                       WHEN 3 THEN 'nofollow, nosnippet'
+                       WHEN 4 THEN 'none'
+                       WHEN 5 THEN
+                         'unavailable_after: 25 Jun 2010 15:00 PST'
+                       WHEN 6 THEN 'noindex, nofollow'
+                       ELSE '' END AS x_robots
+              FROM documents),
+            t AS (
+              SELECT doc_id, x_robots,
+                     list_transform(
+                       string_split(lower(x_robots), ','),
+                       s -> trim(list_extract(string_split(s, ':'),
+                                              -1))) AS toks
+              FROM h)
+            SELECT doc_id, x_robots,
+                   len(list_filter(toks,
+                       x -> x IN ('noindex', 'none'))) > 0 AS noindex,
+                   len(list_filter(toks,
+                       x -> x IN ('nofollow', 'none'))) > 0 AS nofollow
+            FROM t ORDER BY doc_id
+        """,
         "sitemap_recrawl": r"""
             WITH src AS (
               SELECT regexp_extract(url, '/article/(\d+)$', 1)::BIGINT
