@@ -417,3 +417,38 @@ def with_repetition_stats(
     for name, c in cols.items():
         out = out.withColumn(name, c)
     return out.drop("__words", "__rep")
+
+
+# Gopher repetition thresholds (Rae et al. 2021, Table A1): a document
+# fails if ANY metric exceeds its bound.  Keys must match the columns
+# with_repetition_stats emits.
+GOPHER_REPETITION_THRESHOLDS: dict[str, float] = {
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+}
+
+
+def repetition_pass(
+    df: DataFrame,
+    thresholds: dict[str, float] = GOPHER_REPETITION_THRESHOLDS,
+    out_col: str = "rep_pass",
+) -> DataFrame:
+    """Attach the Gopher repetition keep decision: TRUE iff every
+    repetition metric present in ``df`` stays strictly under its
+    threshold (Table A1 bounds by default).  Metrics listed in
+    ``thresholds`` but absent from ``df`` are skipped, so the helper
+    composes with any (top_ns, dup_ns) choice passed to
+    :func:`with_repetition_stats`.  Pure Column expression — no
+    shuffle beyond what the stats already did."""
+    cond = F.lit(True)
+    for name, bound in thresholds.items():
+        if name in df.columns:
+            cond = cond & (F.col(name) < F.lit(bound))
+    return df.withColumn(out_col, cond)

@@ -644,3 +644,20 @@ def test_repetition_stats_vs_pure_python(spark):
     again = {r["doc_id"]: r.asDict() for r in with_repetition_stats(
         df.repartition(7), top_ns=top_ns, dup_ns=dup_ns).collect()}
     assert got == again
+
+
+def test_repetition_pass_thresholds(spark):
+    from metacrafter_spark.corpus.quality import (
+        repetition_pass, with_repetition_stats)
+
+    df = spark.createDataFrame(
+        [(0, "spam spam spam spam spam spam spam spam"),
+         (1, "each word in this sentence differs from every other one "
+             "and keeps going with more fresh material all the time")],
+        ["doc_id", "text"])
+    out = {r.doc_id: r.rep_pass for r in repetition_pass(
+        with_repetition_stats(df, top_ns=(2,), dup_ns=(5,))).collect()}
+    assert out[0] is False and out[1] is True
+    # thresholds for absent metrics are skipped
+    stats = with_repetition_stats(df, top_ns=(2,), dup_ns=())
+    assert "rep_pass" in repetition_pass(stats).columns
