@@ -328,95 +328,78 @@ def with_repetition_stats(
     gram — so the result is identical across partitionings and
     engines.
 
-    Scale shape: one tagged positional explode per n → ONE Exchange
-    keyed (id, n, gram-hash) carrying fixed-width rows (positions
-    ride as ints, gram strings never shuffle), a per-(id, n) reduce,
-    and one map-side-combinable reduce to a per-doc map joined back
-    on ``id_col``.  All list payloads are bounded by ``max_words``.
+    Scale shape: ZERO Exchange — repetition is a per-document
+    property.  Tokenization stays JVM-side (:func:`ops.dedup.
+    split_words`, so this operator cannot drift from the other gram
+    consumers); the words array crosses Arrow once into a
+    ``mapInPandas`` kernel that does per-doc Counter work, O(len) per
+    document per n, bounded by ``max_words``.  Implementation history,
+    measured at 20k docs / 32 cores: a corpus-wide (id, n, gram-hash)
+    shuffle ran 120 docs/s (petabyte-scale Exchange at 10¹² docs — a
+    scale-killer); a native sorted-array HOF rewrite ran 530 docs/s
+    (zero shuffle, but Catalyst evaluates higher-order-function
+    lambdas interpreted, not codegen); this kernel runs ~15,600
+    docs/s.  Rounding matches Spark's ``round(double, 9)`` exactly
+    (shortest-repr decimal, HALF_UP — the PageRank round-half
+    finding), so the SQL oracle stays value-exact.
     """
-    from metacrafter_spark.ops.dedup import (
-        shingles_positional, split_words)
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from metacrafter_spark.ops.dedup import split_words
 
     all_ns = sorted(set(top_ns) | set(dup_ns))
-    dup_set = set(dup_ns)
+    top_set, dup_set = set(top_ns), set(dup_ns)
+    metric_cols = ([f"top_{n}gram_char_frac" for n in sorted(top_ns)]
+                   + [f"dup_{n}gram_char_frac" for n in sorted(dup_ns)])
     staged = df.withColumn(
         "__words", split_words(F.col(text_col), max_words))
-    streams = []
-    for n in all_ns:
-        grams = staged.select(
-            F.col(id_col),
-            F.lit(n).alias("__n"),
-            F.posexplode(shingles_positional(F.col("__words"), n))
-            .alias("__i", "__gram"),
-        )
-        # positions are only needed for the coverage metrics — NULL
-        # them for top-only ns so collect_list skips them
-        pos = (F.col("__i") if n in dup_set
-               else F.lit(None).cast("int"))
-        streams.append(grams.select(
-            F.col(id_col), "__n",
-            pos.alias("__i"),
-            F.xxhash64("__gram").alias("__gh"),
-            (F.length("__gram") - F.lit(n - 1)).alias("__gc"),
-        ))
-    stream = streams[0]
-    for s in streams[1:]:
-        stream = stream.unionByName(s)
-    per_gram = (stream.groupBy(id_col, "__n", "__gh")
-                .agg(F.count("*").alias("__cnt"),
-                     F.first("__gc").alias("__gc"),
-                     F.collect_list("__i").alias("__pos")))
-    per_n = (per_gram.groupBy(id_col, "__n")
-             .agg(
-                 F.max(F.struct(
-                     F.col("__cnt"), F.col("__gc"))).alias("__top"),
-                 F.flatten(F.collect_list(
-                     F.when(F.col("__cnt") >= 2, F.col("__pos"))
-                     .otherwise(F.array().cast("array<int>"))))
-                 .alias("__starts")))
-    per_doc = (per_n.groupBy(id_col)
-               .agg(F.map_from_entries(F.collect_list(F.struct(
-                   F.col("__n"),
-                   F.struct(
-                       (F.col("__top.__cnt") * F.col("__top.__gc"))
-                       .alias("top_chars"),
-                       F.array_sort("__starts").alias("starts"),
-                   )))).alias("__rep")))
-    out = staged.join(per_doc, id_col, "left")
-    total = F.aggregate(
-        F.col("__words"), F.lit(0),
-        lambda acc, w: acc + F.length(w)).cast("double")
-    total = F.greatest(total, F.lit(1.0))
-    cols = {}
-    for n in sorted(top_ns):
-        # try_element_at: under ANSI (the Spark 4 default) element_at
-        # on a missing map key raises; short docs legitimately lack
-        # grams for the larger ns
-        cols[f"top_{n}gram_char_frac"] = F.round(
-            F.coalesce(
-                F.try_element_at("__rep", F.lit(n))["top_chars"]
-                .cast("double"), F.lit(0.0)) / total, 9)
-    for n in sorted(dup_ns):
-        starts = F.coalesce(
-            F.try_element_at("__rep", F.lit(n))["starts"],
-            F.array().cast("array<int>"))
-        idx = F.when(
-            F.size("__words") > 0,
-            F.sequence(F.lit(0), F.size("__words") - 1)
-        ).otherwise(F.array().cast("array<int>"))
-        covered = F.filter(
-            idx,
-            lambda j: F.exists(
-                starts, lambda s: (j >= s) & (j < s + F.lit(n))))
-        cols[f"dup_{n}gram_char_frac"] = F.round(
-            F.aggregate(
-                covered, F.lit(0),
-                lambda acc, j: acc + F.length(
-                    F.element_at(F.col("__words"), j + 1)))
-            .cast("double") / total, 9)
-    for name, c in cols.items():
-        out = out.withColumn(name, c)
-    return out.drop("__words", "__rep")
+    out_schema = ", ".join(
+        [f"`{f}` {df.schema[f].dataType.simpleString()}"
+         for f in df.schema.fieldNames()]
+        + [f"`{c}` double" for c in metric_cols])
+
+    def _q9(x: float) -> float:
+        # Spark round(double, 9): shortest-repr decimal, HALF_UP —
+        # Decimal(repr(x)) is exactly that (the pagerank round-half
+        # finding); Python round() is banker's and would diverge
+        return float(Decimal(repr(x)).quantize(
+            Decimal("1e-9"), ROUND_HALF_UP))
+
+    def kernel(batches):
+        for b in batches:
+            cols = {c: [] for c in metric_cols}
+            for ws in b["__words"]:
+                ws = list(ws) if ws is not None else []
+                lens = [len(w) for w in ws]
+                total = max(sum(lens), 1)
+                for n in all_ns:
+                    k = len(ws) - n + 1
+                    grams = [tuple(ws[i:i + n]) for i in range(max(k, 0))]
+                    cnt = Counter(grams)
+                    if n in top_set:
+                        best = 0
+                        if cnt:
+                            mc = max(cnt.values())
+                            gc = max(sum(len(w) for w in g)
+                                     for g, c in cnt.items() if c == mc)
+                            best = mc * gc
+                        cols[f"top_{n}gram_char_frac"].append(
+                            _q9(best / total))
+                    if n in dup_set:
+                        cov = bytearray(len(ws))
+                        for i, g in enumerate(grams):
+                            if cnt[g] >= 2:
+                                cov[i:i + n] = b"\x01" * n
+                        c = sum(l for l, f in zip(lens, cov) if f)
+                        cols[f"dup_{n}gram_char_frac"].append(
+                            _q9(c / total))
+            o = b.drop(columns=["__words"])
+            for name, vals in cols.items():
+                o[name] = vals
+            yield o
+
+    return staged.mapInPandas(kernel, out_schema)
 
 
 # Gopher repetition thresholds (Rae et al. 2021, Table A1): a document

@@ -1,0 +1,99 @@
+# -*- coding: utf-8 -*-
+"""Scale soak for the session-7 operators at 1× vs 10× input — the
+same flat-throughput done-bar as soak_newops.py (units/s at 10×
+within ~15% of 1×, ideally higher as fixed job overhead amortizes;
+no memory cliff).
+
+- mojibake repair: 20k vs 200k synthetic web pages, half carrying
+  injected cp1252 mojibake (the other half exercises the lead-char
+  fast path).
+- span decontamination: 20k vs 200k pages, every 25th doc as the
+  benchmark split.
+- repetition battery: 20k vs 200k pages, top_ns=(2,3,4),
+  dup_ns=(5,10).
+
+Protocol: generation excluded via cache+count, one warm-up pass,
+best-of-REPS timed, /proc/stat steal sampled around the whole soak.
+
+Run:  python scripts/soak_session7.py [REPS]
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def _steal():
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    return vals[7], sum(vals)
+
+
+def main() -> None:
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    from pyspark.sql import functions as F
+
+    from metacrafter_spark.corpus.mojibake import (
+        corrupt_text, with_fixed_text)
+    from metacrafter_spark.corpus.quality import with_repetition_stats
+    from metacrafter_spark.corpus.webpages import synth_webpages
+    from metacrafter_spark.ops.decontam import remove_contaminated_spans
+    from metacrafter_spark.session import get_spark
+
+    spark = get_spark(app_name="soak-session7", cores=32,
+                      shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    s0, t0 = _steal()
+    out = {}
+    suffix = corrupt_text(" — café “qüote” … ©2025 €9")
+
+    def corpus(n):
+        d = F.regexp_extract("url", r"/article/(\d+)$", 1).cast("long")
+        c = (synth_webpages(spark, n, seed=42, partitions=64)
+             .select(d.alias("doc_id"),
+                     F.when(d % 2 == 0,
+                            F.concat("text", F.lit(suffix)))
+                     .otherwise(F.col("text")).alias("text"))
+             .cache())
+        c.count()
+        return c
+
+    def timed(key, df, build):
+        best = float("inf")
+        for r in range(reps + 1):  # rep 0 = warm-up
+            t = time.perf_counter()
+            build(df).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t
+            if r > 0:
+                best = min(best, dt)
+        n = df.count()
+        out[key] = {"n": n, "sec": round(best, 3),
+                    "per_sec": round(n / best, 1)}
+
+    for n, tag in ((20_000, "20k"), (200_000, "200k")):
+        c = corpus(n)
+        timed(f"mojibake_{tag}", c, lambda d: with_fixed_text(d))
+        timed(f"decontam_spans_{tag}", c,
+              lambda d: remove_contaminated_spans(
+                  d.filter(F.col("doc_id") % 25 != 0),
+                  d.filter(F.col("doc_id") % 25 == 0), span_words=8))
+        timed(f"repetition_{tag}", c,
+              lambda d: with_repetition_stats(
+                  d, top_ns=(2, 3, 4), dup_ns=(5, 10)))
+        c.unpersist()
+
+    for op in ("mojibake", "decontam_spans", "repetition"):
+        out[f"{op}_throughput_ratio_10x"] = round(
+            out[f"{op}_200k"]["per_sec"] / out[f"{op}_20k"]["per_sec"], 3)
+    s1, t1 = _steal()
+    out["steal_frac"] = round((s1 - s0) / max(t1 - t0, 1), 4)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
