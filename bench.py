@@ -246,6 +246,18 @@ def main() -> None:
             span_words=8).write.format("noop").mode("overwrite").save()
         best = min(best, time.perf_counter() - t0)
     qtimes["decontaminate_spans"] = round(best, 3)
+
+    # Gopher repetition battery row: full defaults (top 2-4, dup
+    # 5-10) over the corpus — zero-Exchange Arrow kernel
+    from metacrafter_spark.corpus.quality import with_repetition_stats
+
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        with_repetition_stats(ddocs).write.format("noop") \
+            .mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    qtimes["repetition_stats"] = round(best, 3)
     total = round(sum(qtimes.values()), 3)
 
     print(json.dumps({
