@@ -20,8 +20,10 @@ Scope (the structural 90% of real-world text PDFs):
   ``/Index`` subsections) — the layout PDF 1.5+ writers emit;
 - compressed object streams (``/Type /ObjStm``);
 - stream filters: FlateDecode (with TIFF predictor 2 and PNG
-  predictors 10–15 over ``/Columns``/``/Colors``), ASCIIHexDecode,
-  ASCII85Decode, RunLengthDecode, and filter chains;
+  predictors 10–15 over ``/Columns``/``/Colors``), LZWDecode
+  (MSB-first TIFF-variant with ``EarlyChange``, same predictor
+  support), ASCIIHexDecode, ASCII85Decode, RunLengthDecode, and
+  filter chains;
 - the full object grammar: dictionaries, arrays, names with ``#xx``
   escapes, literal strings (nested parens, all escapes, octal,
   line continuations), hex strings, references, numbers, booleans;
@@ -36,7 +38,7 @@ Scope (the structural 90% of real-world text PDFs):
   (WinAnsi ≈ the spec's StandardEncoding superset) otherwise.
 
 Honest gates (``NotImplementedError``): encrypted PDFs (``/Encrypt``),
-LZWDecode / DCT / JBIG2 / Crypt stream filters, and CID-keyed fonts
+DCT / JPX / JBIG2 / CCITT / Crypt stream filters, and CID-keyed fonts
 *without* a ToUnicode CMap (glyph indices carry no text — emitting
 cp1252 mojibake would be silently wrong).  Malformed files raise
 ``ValueError``; the Spark wrapper maps both to NULL under
@@ -316,6 +318,69 @@ def _rle_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
+    """PDF/TIFF-variant LZW (ISO 32000-1 §7.4.4): MSB-first bit
+    packing, 9-bit initial code width growing to 12, code 256 = clear
+    table, 257 = end of data.  With ``EarlyChange`` 1 (the default)
+    the code width increases one code earlier than the table size
+    strictly requires — the quirk TIFF 6.0 standardized and PDF
+    inherited.  Unlike GIF's LZW (ops/gif_bmp_codec.py) the bits fill
+    each byte from the most-significant end and the width bump is
+    early — the two dialects share no bitstream."""
+    if early_change not in (0, 1):
+        raise PdfError(f"bad EarlyChange {early_change!r}")
+    CLEAR, EOD = 256, 257
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(base)
+    out = bytearray()
+    prev = None
+    width = 9
+    bitbuf = 0
+    bitcnt = 0
+    pos = 0
+    while True:
+        while bitcnt < width:
+            if pos >= len(data):
+                # spec requires a trailing EOD; real writers sometimes
+                # drop it — treat exhausted input as end of data
+                return bytes(out)
+            bitbuf = (bitbuf << 8) | data[pos]
+            pos += 1
+            bitcnt += 8
+        code = (bitbuf >> (bitcnt - width)) & ((1 << width) - 1)
+        bitcnt -= width
+        bitbuf &= (1 << bitcnt) - 1
+        if code == CLEAR:
+            table = list(base)
+            width = 9
+            prev = None
+            continue
+        if code == EOD:
+            return bytes(out)
+        if prev is None:
+            if code >= 256:
+                raise PdfError(f"LZW code {code} before any literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            # the KwKwK case: the code being defined by this very step
+            entry = prev + prev[:1]
+        else:
+            raise PdfError(f"LZW code {code} beyond table "
+                           f"size {len(table)}")
+        if prev is not None:
+            table.append(prev + entry[:1])
+        out += entry
+        prev = entry
+        # with EarlyChange the width grows when the table is one entry
+        # short of full (len+1 == 2^width), without it when it is full;
+        # verified code-exact against the JDK TIFF writer's streams
+        # (test_lzw_tiff_imageio_conformance)
+        if width < 12 and len(table) + early_change >= (1 << width):
+            width += 1
+
+
 def _apply_predictor(data: bytes, parms: dict) -> bytes:
     pred = parms.get("Predictor", 1)
     if not isinstance(pred, int) or pred <= 1:
@@ -369,7 +434,7 @@ def _apply_predictor(data: bytes, parms: dict) -> bytes:
     return bytes(out)
 
 
-_GATED_FILTERS = {"LZWDecode", "LZW", "DCTDecode", "DCT", "JPXDecode",
+_GATED_FILTERS = {"DCTDecode", "DCT", "JPXDecode",
                   "JBIG2Decode", "CCITTFaxDecode", "CCF", "Crypt"}
 
 
@@ -402,6 +467,9 @@ def _decode_stream(doc: "_Document", stm: _Stream) -> bytes:
             data = _ascii85_decode(data)
         elif f in ("RunLengthDecode", "RL"):
             data = _rle_decode(data)
+        elif f in ("LZWDecode", "LZW"):
+            data = _lzw_decode(data, early_change=p.get("EarlyChange", 1))
+            data = _apply_predictor(data, p)
         elif f in _GATED_FILTERS:
             raise NotImplementedError(f"stream filter {f}")
         else:
@@ -832,7 +900,7 @@ def extract_pdf_text(data: bytes, *, space_kern: float = -180.0,
     em, typically −180 ≈ a word gap) emit a space.
 
     Raises :class:`PdfError` (a ``ValueError``) on malformed input and
-    ``NotImplementedError`` on the honest gates (encryption, LZW/DCT
+    ``NotImplementedError`` on the honest gates (encryption, DCT/JPX
     filters, CID fonts without ToUnicode)."""
     if not isinstance(data, (bytes, bytearray, memoryview)):
         raise PdfError("PDF input must be bytes")

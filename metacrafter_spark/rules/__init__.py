@@ -2,4 +2,5 @@ from metacrafter_spark.rules.model import (  # noqa: F401
     CompiledRule,
     CompiledRulePack,
     load_builtin_pack,
+    load_pack_from_yaml_dir,
 )
