@@ -26,6 +26,7 @@ shuffles.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from metacrafter_spark.util import xml_unescape as _xml_unescape
 
 _RSS_ITEM_RE = r"(?is)<item(?:\s[^>]*)?>(.*?)</item\s*>"
 _ATOM_ENTRY_RE = r"(?is)<entry(?:\s[^>]*)?>(.*?)</entry\s*>"
@@ -38,13 +39,6 @@ _HREF_RE = r"(?is)href\s*=\s*['\"]([^'\"]+)['\"]"
 _MONTHS = ("Jan", "Feb", "Mar", "Apr", "May", "Jun",
            "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
 _RFC822_DATE_RE = r"(\d{1,2})\s+(" + "|".join(_MONTHS) + r")\s+(\d{4})"
-
-
-def _xml_unescape(c: F.Column) -> F.Column:
-    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
-                    ("&apos;", "'"), ("&amp;", "&")):  # &amp; LAST
-        c = F.replace(c, F.lit(ent), F.lit(ch))
-    return c
 
 
 def _field(block: F.Column, tag: str) -> F.Column:
@@ -100,7 +94,11 @@ def parse_feed_entries(
             tags = F.filter(
                 F.regexp_extract_all(b, F.lit(_ATOM_LINK_TAG_RE), 0),
                 lambda t: ~t.rlike(_ATOM_LINK_REL_RE))
-            first = F.element_at(tags, 1)
+            # try_element_at, not element_at: an entry whose only
+            # <link> is rel="self" (or none at all) leaves the array
+            # empty, and plain element_at raises under ANSI mode
+            # instead of yielding NULL
+            first = F.try_element_at(tags, F.lit(1))
             link = F.nullif(_xml_unescape(F.regexp_extract(
                 F.coalesce(first, F.lit("")), _HREF_RE, 1)), F.lit(""))
             pub = F.coalesce(_field(b, "updated"),

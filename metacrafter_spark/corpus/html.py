@@ -38,6 +38,7 @@ from typing import Iterator, Optional
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from metacrafter_spark.util import appended_schema
 
 _DROP = {"script", "style", "noscript", "template"}
 _BLOCK = {
@@ -199,10 +200,7 @@ def with_main_text(
     boilerplate-stripped article body.  Same execution shape as
     :func:`with_extracted_text` (Arrow-batched ``mapInPandas``,
     map-side only)."""
-    out_schema = ", ".join(
-        [f"`{f}` {df.schema[f].dataType.simpleString()}"
-         for f in df.schema.fieldNames()]
-        + [f"`{out_col}` string"])
+    out_schema = appended_schema(df, {out_col: "string"})
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -293,11 +291,7 @@ def with_extracted_text(
     declaration (:func:`sniff_charset`)."""
     if mode not in ("raw", "block"):
         raise ValueError(f"mode must be 'raw' or 'block', got {mode!r}")
-    out_schema = ", ".join(
-        [f"`{f}` {df.schema[f].dataType.simpleString()}"
-         for f in df.schema.fieldNames()]
-        + [f"`{out_col}` string"]
-    )
+    out_schema = appended_schema(df, {out_col: "string"})
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:

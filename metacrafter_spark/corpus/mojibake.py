@@ -54,6 +54,7 @@ import re
 from typing import Iterator, Optional, Sequence
 
 from pyspark.sql import DataFrame
+from metacrafter_spark.util import appended_schema
 
 __all__ = [
     "DEFAULT_CODEPOINTS",
@@ -151,10 +152,8 @@ def with_fixed_text(
     via one cheap character-class scan.  NULL text stays NULL with
     count 0; clean text passes through byte-identical."""
     pairs = mojibake_pairs(codepoints)
-    out_schema = ", ".join(
-        [f"`{f}` {df.schema[f].dataType.simpleString()}"
-         for f in df.schema.fieldNames()]
-        + [f"`{out_col}` string", f"`{count_col}` int"])
+    out_schema = appended_schema(
+        df, {out_col: "string", count_col: "int"})
 
     def kernel(batches) -> Iterator:
         table, pat, leads = _compiled(pairs)

@@ -12,6 +12,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, functions as F
+from metacrafter_spark.util import appended_schema
 
 
 @dataclass(frozen=True)
@@ -354,10 +355,8 @@ def with_repetition_stats(
                    + [f"dup_{n}gram_char_frac" for n in sorted(dup_ns)])
     staged = df.withColumn(
         "__words", split_words(F.col(text_col), max_words))
-    out_schema = ", ".join(
-        [f"`{f}` {df.schema[f].dataType.simpleString()}"
-         for f in df.schema.fieldNames()]
-        + [f"`{c}` double" for c in metric_cols])
+    out_schema = appended_schema(
+        df, {c: "double" for c in metric_cols})
 
     def _q9(x: float) -> float:
         # Spark round(double, 9): shortest-repr decimal, HALF_UP —
@@ -423,15 +422,16 @@ def repetition_pass(
     thresholds: dict[str, float] = GOPHER_REPETITION_THRESHOLDS,
     out_col: str = "rep_pass",
 ) -> DataFrame:
-    """Attach the Gopher repetition keep decision: TRUE iff every
-    repetition metric present in ``df`` stays strictly under its
-    threshold (Table A1 bounds by default).  Metrics listed in
-    ``thresholds`` but absent from ``df`` are skipped, so the helper
-    composes with any (top_ns, dup_ns) choice passed to
-    :func:`with_repetition_stats`.  Pure Column expression — no
-    shuffle beyond what the stats already did."""
+    """Attach the Gopher repetition keep decision: TRUE iff no
+    repetition metric present in ``df`` EXCEEDS its threshold (Table
+    A1 removes a document when a fraction is *greater than* its
+    bound, so a document sitting exactly on a bound is kept).
+    Metrics listed in ``thresholds`` but absent from ``df`` are
+    skipped, so the helper composes with any (top_ns, dup_ns) choice
+    passed to :func:`with_repetition_stats`.  Pure Column expression
+    — no shuffle beyond what the stats already did."""
     cond = F.lit(True)
     for name, bound in thresholds.items():
         if name in df.columns:
-            cond = cond & (F.col(name) < F.lit(bound))
+            cond = cond & (F.col(name) <= F.lit(bound))
     return df.withColumn(out_col, cond)

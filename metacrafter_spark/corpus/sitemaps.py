@@ -22,17 +22,11 @@ sitemap entries.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from metacrafter_spark.util import xml_unescape as _xml_unescape
 
 _URL_BLOCK_RE = r"(?is)<url\s*>(.*?)</url\s*>"
 _INDEX_LOC_RE = (r"(?is)<sitemap\s*>.*?<loc\s*>\s*(.*?)\s*</loc\s*>"
                  r".*?</sitemap\s*>")
-
-
-def _xml_unescape(c: F.Column) -> F.Column:
-    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
-                    ("&apos;", "'"), ("&amp;", "&")):  # &amp; LAST
-        c = F.replace(c, F.lit(ent), F.lit(ch))
-    return c
 
 
 def _field(block: F.Column, tag: str) -> F.Column:

@@ -486,6 +486,7 @@ class _Document:
         self.trailer: dict = {}
         self._cache: dict[int, object] = {}
         self._objstm_cache: dict[int, list] = {}
+        self._loading: set[int] = set()  # cyclic-ObjStm guard
         self._load_xref()
         if "Encrypt" in self.trailer:
             raise NotImplementedError("encrypted PDF")
@@ -538,8 +539,14 @@ class _Document:
                 off = int(entry[0:10])
                 kind = entry[17:18]
                 num = first + i
-                if kind == b"n" and num not in self.xref:
-                    self.xref[num] = ("f", off)
+                if num not in self.xref:
+                    # free entries must be recorded too: an object the
+                    # newest incremental update deleted would otherwise
+                    # be resurrected from a stale /Prev section
+                    if kind == b"n":
+                        self.xref[num] = ("f", off)
+                    else:
+                        self.xref[num] = ("free",)
                 # advance: entries are 20 bytes, but tolerate 19 (bad
                 # writers drop the trailing space before the EOL pair)
                 step = 20
@@ -581,6 +588,11 @@ class _Document:
                     self.xref[objnum] = ("f", fields[1])
                 elif ftype == 2:
                     self.xref[objnum] = ("c", fields[1], fields[2])
+                else:
+                    # type 0 (free) — and any unknown type — shadows
+                    # older sections rather than falling through to a
+                    # stale /Prev entry
+                    self.xref[objnum] = ("free",)
         for k, v in d.items():
             if k not in ("Type", "W", "Index", "Length", "Filter",
                          "DecodeParms"):
@@ -617,12 +629,20 @@ class _Document:
         if num in self._cache:
             return self._cache[num]
         entry = self.xref.get(num)
-        if entry is None:
+        if entry is None or entry[0] == "free":
             return None
-        if entry[0] == "f":
-            _n, _g, obj = self._parse_indirect_at(entry[1])
-        else:
-            obj = self._objstm_object(entry[1], entry[2])
+        if num in self._loading:
+            # an ObjStm recorded as stored inside itself (or a mutual
+            # cycle) would otherwise recurse without bound
+            raise PdfError(f"cyclic xref entry for object {num}")
+        self._loading.add(num)
+        try:
+            if entry[0] == "f":
+                _n, _g, obj = self._parse_indirect_at(entry[1])
+            else:
+                obj = self._objstm_object(entry[1], entry[2])
+        finally:
+            self._loading.discard(num)
         self._cache[num] = obj
         return obj
 
@@ -1064,10 +1084,8 @@ def with_pdf_text(df, pdf_col: str = "pdf", out_col: str = "pdf_text",
     multimodal fallback contract); ``strict=True`` re-raises."""
     import pandas as pd  # noqa: F401 (kernel type)
 
-    out_schema = ", ".join(
-        [f"`{f}` {df.schema[f].dataType.simpleString()}"
-         for f in df.schema.fieldNames()]
-        + [f"`{out_col}` string"])
+    from metacrafter_spark.util import appended_schema
+    out_schema = appended_schema(df, {out_col: "string"})
 
     def one(v):
         if v is None:

@@ -1,0 +1,25 @@
+"""Small helpers shared across operator modules."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def appended_schema(df: DataFrame, appended: dict[str, str]) -> str:
+    """DDL schema string for a ``mapInPandas`` kernel that passes the
+    input columns through unchanged and appends ``appended`` (name →
+    simple type string) after them.  Field names are backtick-quoted
+    so dotted/spaced names survive the round trip."""
+    return ", ".join(
+        [f"`{f}` {df.schema[f].dataType.simpleString()}"
+         for f in df.schema.fieldNames()]
+        + [f"`{name}` {typ}" for name, typ in appended.items()])
+
+
+def xml_unescape(c: F.Column) -> F.Column:
+    """Decode the five predefined XML entities in a Column.  ``&amp;``
+    must be LAST so '&amp;lt;' decodes to '&lt;', not '<'."""
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&apos;", "'"), ("&amp;", "&")):  # &amp; LAST
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return c

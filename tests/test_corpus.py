@@ -658,6 +658,13 @@ def test_repetition_pass_thresholds(spark):
     out = {r.doc_id: r.rep_pass for r in repetition_pass(
         with_repetition_stats(df, top_ns=(2,), dup_ns=(5,))).collect()}
     assert out[0] is False and out[1] is True
+    # Gopher removes on metric > bound: exactly-on-the-bound is KEPT
+    from pyspark.sql import functions as F
+    edge = with_repetition_stats(df, top_ns=(2,), dup_ns=()).withColumn(
+        "top_2gram_char_frac", F.lit(0.20))
+    assert all(r.rep_pass for r in repetition_pass(edge).collect())
+    over = edge.withColumn("top_2gram_char_frac", F.lit(0.2000001))
+    assert not any(r.rep_pass for r in repetition_pass(over).collect())
     # thresholds for absent metrics are skipped
     stats = with_repetition_stats(df, top_ns=(2,), dup_ns=())
     assert "rep_pass" in repetition_pass(stats).columns

@@ -210,3 +210,21 @@ def test_malformed_dates_yield_null_not_ansi_error(spark):
     assert rows["https://h/4"].published_date is None  # garbage
     assert rows["https://h/5"].published_date is None  # month 13
     assert str(rows["https://h/6"].published_date) == "2025-02-03"
+
+
+def test_atom_entry_with_only_self_link_is_dropped_not_ansi_error(spark):
+    """An entry whose only <link> is rel="self" (or that has no link
+    at all) leaves the candidate array empty; plain element_at raises
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT under ANSI mode, so the parser
+    must use try_element_at and drop the row instead."""
+    xml = """<feed>
+      <entry>
+        <title>self only</title>
+        <link rel="self" href="https://h/self.atom"/>
+      </entry>
+      <entry><title>no link at all</title></entry>
+      <entry><link href="https://h/ok"/></entry>
+    </feed>"""
+    df = spark.createDataFrame([(xml,)], "feed_xml string")
+    rows = parse_feed_entries(df).collect()
+    assert [r.link for r in rows] == ["https://h/ok"]

@@ -476,3 +476,41 @@ def test_with_pdf_text_spark(spark):
     with _pytest.raises(Exception):
         with_pdf_text(bad.filter("doc_id = 0"), "pdf", "pdf_text",
                       strict=True).collect()
+
+
+def test_incremental_update_free_shadows_prev_section():
+    """An object freed by the newest incremental update must NOT be
+    resurrected from the stale /Prev section (free entries shadow)."""
+    import re
+    base = write_simple_pdf(["stale secret"], compress=False)
+    assert extract_pdf_text(base) == "stale secret"
+    prev_off = int(re.search(rb"startxref\s+(\d+)", base).group(1))
+    new_off = len(base)
+    update = (b"xref\n5 1\n"
+              b"0000000000 65535 f \n"
+              b"trailer\n<< /Size 6 /Root 1 0 R /Prev %d >>\n"
+              b"startxref\n%d\n%%%%EOF\n" % (prev_off, new_off))
+    pdf = base + update
+    # object 5 (the page's /Contents) is freed -> page has no content
+    assert extract_pdf_text(pdf) == ""
+
+
+def test_cyclic_objstm_raises_pdferror_not_recursion():
+    """An ObjStm xref row recorded as stored inside itself (or a
+    mutual cycle) must raise PdfError, not recurse to RecursionError
+    (which would escape the strict=False NULL-fallback contract)."""
+    from metacrafter_spark.io.pdf_codec import _Document
+    pdf = write_simple_pdf(["x"], xref_stream=True)
+    doc = _Document(pdf)
+    # self-cycle: object 1 claimed to live in object stream 1
+    doc.xref[1] = ("c", 1, 0)
+    doc._cache.clear()
+    with pytest.raises(PdfError):
+        doc.get(1)
+    # mutual cycle: 1 -> stored in 2, 2 -> stored in 1
+    doc2 = _Document(pdf)
+    doc2.xref[1] = ("c", 2, 0)
+    doc2.xref[2] = ("c", 1, 0)
+    doc2._cache.clear()
+    with pytest.raises(PdfError):
+        doc2.get(1)
