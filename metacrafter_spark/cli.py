@@ -32,6 +32,23 @@ def main(argv=None) -> int:
     sf.add_argument("--output-format", default="json", choices=["json", "csv", "yaml"])
     sf.add_argument("--short", action="store_true")
     sf.add_argument("--cores", type=int)
+    # LLM / hybrid classification (reference --use-llm/--llm-only
+    # surface, core.py:151-158); registry JSONL is required when a
+    # mode is set.  Provider "offline" is the deterministic
+    # no-network heuristic; hosted providers need their API-key env.
+    sf.add_argument("--llm-mode", choices=["hybrid", "llm"],
+                    help="enable LLM classification: 'hybrid' merges "
+                         "low-confidence fields, 'llm' bypasses rules")
+    sf.add_argument("--llm-registry",
+                    help="datatypes registry JSONL for the RAG index")
+    sf.add_argument("--llm-provider", default="offline",
+                    help="offline|openai|openrouter|ollama|lmstudio|"
+                         "perplexity (default: offline heuristic)")
+    sf.add_argument("--llm-model", help="override the provider model")
+    sf.add_argument("--llm-base-url", help="override the provider URL")
+    sf.add_argument("--llm-index", help="persist/reuse the vector index "
+                                        "in this directory")
+    sf.add_argument("--llm-min-confidence", type=float, default=50.0)
 
     cr = sub.add_parser("corpus-run", help="keep/drop + scrub a webpages table")
     cr.add_argument("input")
@@ -346,9 +363,25 @@ def main(argv=None) -> int:
 
             df = scan_file(spark, args.path, fmt=args.fmt,
                            delimiter=args.delimiter)
+            llm_classifier = None
+            if args.llm_mode:
+                if not args.llm_registry:
+                    p.error("--llm-mode requires --llm-registry")
+                from metacrafter_spark.llm import LLMClassifier
+
+                pkw = {}
+                if args.llm_model:
+                    pkw["model"] = args.llm_model
+                if args.llm_base_url:
+                    pkw["base_url"] = args.llm_base_url
+                llm_classifier = LLMClassifier(
+                    args.llm_registry, index_path=args.llm_index,
+                    provider=args.llm_provider, **pkw)
             rep = scan_dataframe(
                 df, limit=args.limit, contexts=args.contexts, langs=args.langs,
                 confidence=args.confidence, parse_dates=args.dates,
+                llm_classifier=llm_classifier, llm_mode=args.llm_mode,
+                llm_min_confidence=args.llm_min_confidence,
             )
             if args.output:
                 write_report(rep, args.output, fmt=args.output_format,

@@ -1,0 +1,829 @@
+"""LLM / hybrid field classification — the reference's RAG surface,
+re-expressed offline-first (reference ``classify/llm/*``).
+
+The reference ships an optional LLM mode (``core.py:151-157``,
+``classify/llm/classifier.py:21-257``): registry datatypes are embedded
+into a vector store, the top-k entries for a field (by name + sample
+values) are folded into a prompt, and a chat model returns
+``{"datatype_id", "confidence", "reason"}`` which is merged into the
+rule report.  That stack hard-depends on the network (OpenAI
+embeddings + a hosted/local chat API) and on ``chromadb``; neither is
+available here, and a training-data pipeline must not silently depend
+on them either.  This module re-implements the same surface clean-room
+with the network at the *edges* only:
+
+- :func:`load_registry` / :func:`filter_datatypes` /
+  :func:`get_datatype_text` — the registry JSONL loader
+  (reference ``registry_loader.py``).
+- :class:`HashingEmbedder` — a deterministic, offline, dependency-free
+  embedder (signed char-n-gram feature hashing, L2-normalized; the
+  public "hashing trick", Weinberger et al. 2009).  The default, so the
+  whole RAG path runs air-gapped and reproducibly.
+  :class:`OpenAIEmbedder` keeps the reference's networked option behind
+  an import gate.
+- :class:`VectorStore` — cosine top-k over a numpy matrix with the
+  reference's post-retrieval comma-separated-membership filters
+  (``vector_store.py:117-204``: over-fetch 3× when filtering), plus an
+  optional on-disk persist (``.npz`` + JSON sidecar).
+- :class:`Retriever` / :func:`build_classification_prompt` — query text
+  and prompt with the reference's caps (5 sample values in the query,
+  10 in the prompt, 10 retrieved entries; ``retriever.py:100-117``,
+  ``prompt_builder.py:10-92``) and the same JSON output contract.
+- Providers — :class:`BaseLLMProvider` carries the reference's
+  retry/parse semantics (``providers/base.py:66-180``): linear backoff
+  on JSON-decode failures, exponential on transport errors, a *default
+  result* (never an exception) after final failure, confidence clamped
+  to [0, 1], lenient JSON extraction (whole → first ``{`` … last ``}``
+  span).  :class:`CallableProvider` makes the transport injectable
+  (tests, spark-side batch transports); :class:`OpenAICompatProvider`
+  speaks the OpenAI-compatible chat API over stdlib ``urllib`` (no SDK
+  needed) and backs the ``openai`` / ``openrouter`` / ``lmstudio`` /
+  ``perplexity`` presets; :class:`OllamaProvider` speaks Ollama's
+  native ``/api/chat``.  :func:`get_provider` mirrors the reference
+  name registry (``providers/__init__.py``).
+- :class:`LLMClassifier` — ``classify_field`` / ``classify_batch`` with
+  the reference's result shape (``classifier.py:159-229``):
+  ``datatype_url = BASE_REGISTRY_URL/{id}``, ``matches`` carrying
+  ``confidence × 100``.
+
+Divergence from the reference, by design: the reference refuses to
+construct without ``OPENAI_API_KEY`` (``classifier.py:54-56``) because
+its only embedder is OpenAI's; ours defaults to the offline
+:class:`HashingEmbedder`, so the classifier constructs and runs
+air-gapped — keys are only demanded by the components that truly need
+them.
+
+Scale note: the registry is small (hundreds of entries) and the unit of
+work is a *field*, not a row — classification is driver-side by
+construction, exactly like the reference (``core.py:977-1153`` loops
+fields over ``items[:100]``).  The Spark-facing integration
+(:func:`metacrafter_spark.scanner.scan_dataframe` ``llm_*`` kwargs)
+bounds its sample collect to the same first-100-rows slice.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+import zlib
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional, Sequence, Union
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+BASE_REGISTRY_URL = "https://registry.apicrafter.io/datatype"
+
+# ----------------------------------------------------------------- registry
+
+
+def load_registry(jsonl_path: Union[str, Path]) -> List[Dict[str, Any]]:
+    """Datatype registry loader (reference ``registry_loader.py:22-57``):
+    one JSON object per line, blank lines skipped, malformed lines
+    warned and skipped (never fatal)."""
+    jsonl_path = Path(jsonl_path)
+    if not jsonl_path.exists():
+        raise FileNotFoundError(f"registry file not found: {jsonl_path}")
+    out: List[Dict[str, Any]] = []
+    with open(jsonl_path, "r", encoding="utf-8") as f:
+        for lineno, line in enumerate(f, 1):
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                out.append(json.loads(line))
+            except ValueError as e:
+                logger.warning("registry %s line %d unparseable: %s",
+                               jsonl_path, lineno, e)
+    return out
+
+
+def _item_id(item: Any) -> str:
+    """Registry sub-entries are either plain strings or {"id": ...}
+    dicts (reference ``vector_store.py:236``)."""
+    if isinstance(item, dict):
+        return str(item.get("id", item))
+    return str(item)
+
+
+def _item_name_or_id(item: Any) -> str:
+    if isinstance(item, dict):
+        return str(item.get("name", item.get("id", "")))
+    return str(item)
+
+
+def _lower_list(v: Optional[Union[str, Sequence[str]]]) -> Optional[List[str]]:
+    if v is None:
+        return None
+    if isinstance(v, str):
+        return [v.lower()]
+    return [str(x).lower() for x in v]
+
+
+def filter_datatypes(
+    datatypes: List[Dict[str, Any]],
+    country: Optional[Union[str, Sequence[str]]] = None,
+    langs: Optional[Union[str, Sequence[str]]] = None,
+    categories: Optional[Union[str, Sequence[str]]] = None,
+) -> List[Dict[str, Any]]:
+    """Case-insensitive any-overlap filters (reference
+    ``registry_loader.py:60-143``)."""
+    want = [("country", _lower_list(country)), ("langs", _lower_list(langs)),
+            ("categories", _lower_list(categories))]
+    out = datatypes
+    for key, targets in want:
+        if targets is None:
+            continue
+        out = [
+            dt for dt in out
+            if any(_item_id(it).lower() in targets for it in dt.get(key) or [])
+        ]
+    return out
+
+
+def get_datatype_text(datatype: Dict[str, Any]) -> str:
+    """Embedding text for one registry entry — same field inventory and
+    order as the reference (``registry_loader.py:146-205``) so a swap
+    to a real embedding model ranks comparably."""
+    parts: List[str] = []
+    if "id" in datatype:
+        parts.append(f"ID: {datatype['id']}")
+    if "name" in datatype:
+        parts.append(f"Name: {datatype['name']}")
+    if "doc" in datatype:
+        parts.append(f"Description: {datatype['doc']}")
+    for key, label in (("categories", "Categories"), ("country", "Countries"),
+                       ("langs", "Languages")):
+        vals = datatype.get(key)
+        if vals:
+            parts.append(
+                f"{label}: " + ", ".join(_item_name_or_id(v) for v in vals))
+    examples = datatype.get("examples")
+    if examples:
+        vals = []
+        for ex in examples[:3]:
+            v = ex.get("value", "") if isinstance(ex, dict) else str(ex)
+            if v:
+                vals.append(str(v))
+        if vals:
+            parts.append("Examples: " + ", ".join(vals))
+    if datatype.get("regexp"):
+        parts.append(f"Pattern: {datatype['regexp']}")
+    return "\n".join(parts)
+
+
+# ---------------------------------------------------------------- embedders
+
+
+class HashingEmbedder:
+    """Deterministic offline text embedder: signed character-n-gram
+    feature hashing (the public hashing trick) into ``dim`` buckets,
+    L2-normalized.
+
+    crc32 (stdlib, process-independent — NOT Python ``hash()``, which
+    is salted per process) maps each lowercased char n-gram to a bucket
+    and a sign; identical text therefore embeds identically on every
+    executor, every run.  Quality is "lexical overlap", which is what
+    the registry retrieval actually needs: a field named
+    ``customer_email`` shares ``ema``/``mai``/``ail`` grams with the
+    ``email`` registry entry and none with ``uuid``.
+    """
+
+    def __init__(self, dim: int = 512, ngram: tuple = (3, 4)):
+        self.dim = int(dim)
+        self.ngram = ngram
+
+    def embed_text(self, text: str) -> List[float]:
+        v = np.zeros(self.dim, dtype=np.float64)
+        t = " " + " ".join(str(text).lower().split()) + " "
+        for n in self.ngram:
+            for i in range(max(0, len(t) - n + 1)):
+                h = zlib.crc32(t[i:i + n].encode("utf-8"))
+                v[(h >> 1) % self.dim] += 1.0 if (h & 1) else -1.0
+        norm = float(np.linalg.norm(v))
+        if norm > 0:
+            v /= norm
+        return v.tolist()
+
+    def embed_texts(self, texts: Sequence[str]) -> List[List[float]]:
+        return [self.embed_text(t) for t in texts]
+
+    def embed_datatypes(self, datatypes: List[Dict[str, Any]]) -> List[List[float]]:
+        return self.embed_texts([get_datatype_text(dt) for dt in datatypes])
+
+    def get_embedding_dimension(self) -> int:
+        return self.dim
+
+
+class OpenAIEmbedder:
+    """The reference's networked embedder (``embedder.py``), kept as an
+    option behind an import/key gate — constructing it without the
+    ``openai`` package raises ``NotImplementedError`` (the honest-gate
+    pattern used for every absent third-party dependency here)."""
+
+    def __init__(self, api_key: Optional[str] = None,
+                 model: str = "text-embedding-3-small", batch_size: int = 100):
+        try:
+            from openai import OpenAI  # noqa: PLC0415
+        except ImportError as e:  # pragma: no cover - package absent here
+            raise NotImplementedError(
+                "OpenAIEmbedder requires the 'openai' package; use the "
+                "default HashingEmbedder for offline runs") from e
+        key = api_key or os.getenv("OPENAI_API_KEY")
+        if not key:
+            raise ValueError("OpenAI API key required (OPENAI_API_KEY)")
+        self.client = OpenAI(api_key=key)  # pragma: no cover
+        self.model = model
+        self.batch_size = batch_size
+
+    def embed_texts(self, texts):  # pragma: no cover - network
+        out = []
+        for i in range(0, len(texts), self.batch_size):
+            resp = self.client.embeddings.create(
+                model=self.model, input=list(texts[i:i + self.batch_size]))
+            out.extend(item.embedding for item in resp.data)
+        return out
+
+    def embed_text(self, text):  # pragma: no cover - network
+        return self.embed_texts([text])[0]
+
+    def embed_datatypes(self, datatypes):  # pragma: no cover - network
+        return self.embed_texts([get_datatype_text(dt) for dt in datatypes])
+
+
+# --------------------------------------------------------------- vector store
+
+
+class VectorStore:
+    """Cosine top-k over a numpy matrix with the reference's
+    post-retrieval metadata filters (``vector_store.py:117-204``).
+
+    chromadb is replaced by ~80 lines of numpy: the registry is a few
+    hundred rows, so brute-force cosine IS the right physical plan —
+    and the store stays broadcastable if a distributed caller ever
+    wants per-executor retrieval.  ``search`` keeps the reference's
+    quirks on purpose: filters are applied *after* retrieval against
+    comma-separated id strings, with a 3× over-fetch when any filter is
+    present, stopping at ``top_k`` kept results."""
+
+    def __init__(self, persist_directory: Optional[str] = None):
+        self.persist_directory = persist_directory
+        self._emb = np.zeros((0, 0), dtype=np.float64)
+        self._meta: List[Dict[str, Any]] = []
+        self._ids: List[str] = []
+        if persist_directory and self._persist_path().exists():
+            self._load()
+
+    def _persist_path(self) -> Path:
+        return Path(self.persist_directory) / "registry_index.npz"
+
+    def _meta_path(self) -> Path:
+        return Path(self.persist_directory) / "registry_index.json"
+
+    def add_documents(self, embeddings: Sequence[Sequence[float]],
+                      metadatas: List[Dict[str, Any]],
+                      ids: Optional[List[str]] = None) -> None:
+        if ids is None:
+            ids = [f"datatype_{i}" for i in range(len(metadatas))]
+        processed = []
+        for meta in metadatas:
+            row = {"id": meta.get("id", ""), "name": meta.get("name", ""),
+                   "doc": meta.get("doc", "")}
+            for key in ("categories", "country", "langs"):
+                vals = meta.get(key) or []
+                row[key] = ",".join(_item_id(v) for v in vals)
+            processed.append(row)
+        mat = np.asarray(embeddings, dtype=np.float64)
+        if self._emb.size:
+            self._emb = np.vstack([self._emb, mat])
+        else:
+            self._emb = mat
+        self._meta.extend(processed)
+        self._ids.extend(ids)
+        if self.persist_directory:
+            self._save()
+
+    def search(self, query_embedding: Sequence[float], top_k: int = 10,
+               filters: Optional[Dict[str, str]] = None) -> List[Dict[str, Any]]:
+        if not self._ids:
+            return []
+        q = np.asarray(query_embedding, dtype=np.float64)
+        qn = np.linalg.norm(q)
+        en = np.linalg.norm(self._emb, axis=1)
+        denom = np.maximum(en * (qn if qn > 0 else 1.0), 1e-12)
+        sims = (self._emb @ q) / denom
+        fetch = min(len(self._ids), top_k * 3 if filters else top_k)
+        order = np.argsort(-sims, kind="stable")[:fetch]
+        out: List[Dict[str, Any]] = []
+        for i in order:
+            meta = self._meta[int(i)]
+            if filters and not _meta_matches(meta, filters):
+                continue
+            out.append({
+                "id": self._ids[int(i)],
+                "metadata": meta,
+                "distance": float(1.0 - sims[int(i)]),
+                "datatype_id": meta.get("id", ""),
+            })
+            if len(out) >= top_k:
+                break
+        return out
+
+    def get_by_id(self, datatype_id: str) -> Optional[Dict[str, Any]]:
+        for sid, meta in zip(self._ids, self._meta):
+            if meta.get("id") == datatype_id:
+                return {"id": sid, "metadata": meta}
+        return None
+
+    def count(self) -> int:
+        return len(self._ids)
+
+    def clear(self) -> None:
+        self._emb = np.zeros((0, 0), dtype=np.float64)
+        self._meta = []
+        self._ids = []
+        if self.persist_directory and self._persist_path().exists():
+            self._persist_path().unlink()
+            self._meta_path().unlink(missing_ok=True)
+
+    def _save(self) -> None:
+        p = Path(self.persist_directory)
+        p.mkdir(parents=True, exist_ok=True)
+        np.savez(self._persist_path(), embeddings=self._emb)
+        self._meta_path().write_text(
+            json.dumps({"ids": self._ids, "meta": self._meta}),
+            encoding="utf-8")
+
+    def _load(self) -> None:
+        with np.load(self._persist_path()) as z:
+            self._emb = z["embeddings"]
+        blob = json.loads(self._meta_path().read_text(encoding="utf-8"))
+        self._ids = blob["ids"]
+        self._meta = blob["meta"]
+
+
+def _meta_matches(meta: Dict[str, Any], filters: Dict[str, str]) -> bool:
+    """Reference filter semantics (``vector_store.py:155-185``): each
+    filter value must be a member of the comma-split metadata string;
+    an EMPTY metadata string never matches."""
+    for key in ("country", "langs", "categories"):
+        if key not in filters:
+            continue
+        have = str(meta.get(key, "")).lower()
+        if not have or filters[key].lower() not in have.split(","):
+            return False
+    return True
+
+
+# ----------------------------------------------------------------- retriever
+
+
+class Retriever:
+    """Query building + filtered vector search (reference
+    ``retriever.py``): query text is ``Field: {name}`` plus the first
+    5 sample values; list-valued filters keep only their FIRST element
+    (a documented reference quirk, ``retriever.py:66-84``)."""
+
+    def __init__(self, vector_store: VectorStore, embedder, top_k: int = 10):
+        self.vector_store = vector_store
+        self.embedder = embedder
+        self.top_k = top_k
+
+    @staticmethod
+    def build_query(field_name: str,
+                    sample_values: Optional[Sequence[Any]] = None) -> str:
+        parts = [f"Field: {field_name}"]
+        if sample_values:
+            parts.append(
+                "Values: " + ", ".join(str(v) for v in sample_values[:5]))
+        return "\n".join(parts)
+
+    @staticmethod
+    def _first_filter(v: Optional[Union[str, Sequence[str]]]) -> Optional[str]:
+        if v is None:
+            return None
+        if isinstance(v, str):
+            return v.lower()
+        return str(v[0]).lower() if len(v) else None
+
+    def retrieve(self, field_name: str,
+                 sample_values: Optional[Sequence[Any]] = None,
+                 country=None, langs=None, categories=None,
+                 top_k: Optional[int] = None) -> List[Dict[str, Any]]:
+        try:
+            emb = self.embedder.embed_text(
+                self.build_query(field_name, sample_values))
+        except Exception as e:  # networked embedder down → no context
+            logger.error("query embedding failed: %s", e)
+            return []
+        filters = {}
+        for key, val in (("country", country), ("langs", langs),
+                         ("categories", categories)):
+            f = self._first_filter(val)
+            if f:
+                filters[key] = f
+        return self.vector_store.search(
+            emb, top_k=top_k if top_k is not None else self.top_k,
+            filters=filters or None)
+
+
+# -------------------------------------------------------------------- prompt
+
+
+def build_classification_prompt(
+    field_name: str,
+    sample_values: Optional[Sequence[Any]] = None,
+    retrieved_entries: Optional[List[Dict[str, Any]]] = None,
+) -> str:
+    """Classification prompt with the reference's structure and caps
+    (``prompt_builder.py:10-92``): 10 sample values, 10 retrieved
+    entries, and the exact JSON output contract
+    ``{"datatype_id", "confidence", "reason"}``."""
+    lines = [
+        "You are a semantic data type classifier. Identify the semantic "
+        "type of a data field from its name and sample values.",
+        "",
+        f"Field Name: {field_name}",
+    ]
+    if sample_values:
+        lines.append("Sample Values:")
+        lines.extend(f"  - {v}" for v in sample_values[:10])
+    lines.append("")
+    if retrieved_entries:
+        lines += ["Relevant Registry Entries:", ""]
+        for i, entry in enumerate(retrieved_entries[:10], 1):
+            meta = entry.get("metadata", {})
+            lines.append(f"{i}. ID: {meta.get('id', 'unknown')}")
+            lines.append(f"   Name: {meta.get('name', '')}")
+            for key, label in (("doc", "Description"),
+                               ("categories", "Categories"),
+                               ("country", "Countries"),
+                               ("langs", "Languages")):
+                if meta.get(key):
+                    lines.append(f"   {label}: {meta.get(key)}")
+            lines.append("")
+    else:
+        lines += ["Note: no relevant registry entries were found; classify "
+                  "from the field name and sample values alone.", ""]
+    lines += [
+        "Instructions:",
+        "1. Match the field to one of the registry entries above "
+        "(if provided).",
+        "2. Return a valid JSON object shaped exactly like:",
+        '   {"datatype_id": "id_from_registry", "confidence": 0.0-1.0, '
+        '"reason": "explanation"}',
+        "3. If nothing matches, return:",
+        '   {"datatype_id": null, "confidence": 0.0, "reason": '
+        '"explanation"}',
+        "4. confidence is 0.0-1.0 (1.0 = certain).",
+        "",
+        "Output (JSON only, no other text):",
+    ]
+    return "\n".join(lines)
+
+
+# ----------------------------------------------------------------- providers
+
+
+def parse_llm_json(content: str) -> Dict[str, Any]:
+    """Lenient JSON extraction (reference ``providers/base.py:139-180``):
+    whole document first, then the first-``{``-to-last-``}`` span, then
+    the whole string again; raises ``json.JSONDecodeError`` if none
+    parse."""
+    content = content.strip()
+    if content.startswith("{"):
+        try:
+            return json.loads(content)
+        except json.JSONDecodeError:
+            pass
+    start, end = content.find("{"), content.rfind("}")
+    if start != -1 and end > start:
+        try:
+            return json.loads(content[start:end + 1])
+        except json.JSONDecodeError:
+            pass
+    return json.loads(content)  # raises with position info on failure
+
+
+class BaseLLMProvider:
+    """Retry + response-shaping shared by every provider (reference
+    ``providers/base.py:66-137``): JSON-decode failures back off
+    linearly, transport errors exponentially; after ``max_retries`` the
+    DEFAULT result (``datatype_id None``) is returned — callers never
+    see an exception, mirroring the reference contract."""
+
+    default_model = "unknown"
+
+    def __init__(self, model: Optional[str] = None, max_retries: int = 3,
+                 retry_delay: float = 1.0, timeout: float = 30.0):
+        self.model = model or self.default_model
+        self.max_retries = max_retries
+        self.retry_delay = retry_delay
+        self.timeout = timeout
+
+    def _call_api(self, prompt: str, temperature: float,
+                  max_tokens: int) -> str:
+        raise NotImplementedError
+
+    def supports_json_mode(self) -> bool:
+        return False
+
+    def classify(self, prompt: str, temperature: float = 0.0,
+                 max_tokens: int = 500) -> Dict[str, Any]:
+        for attempt in range(self.max_retries):
+            try:
+                raw = self._call_api(prompt, temperature, max_tokens)
+                result = parse_llm_json(raw)
+                if "datatype_id" not in result:
+                    result["datatype_id"] = None
+                conf = result.get("confidence", 0.0)
+                result["confidence"] = max(0.0, min(1.0, float(conf)))
+                result.setdefault("reason", "")
+                return result
+            except json.JSONDecodeError as e:
+                if attempt < self.max_retries - 1:
+                    time.sleep(self.retry_delay * (attempt + 1))
+                    continue
+                return {"datatype_id": None, "confidence": 0.0,
+                        "reason": f"Failed to parse JSON response: {e}"}
+            except Exception as e:
+                if attempt < self.max_retries - 1:
+                    time.sleep(self.retry_delay * (2 ** attempt))
+                    continue
+                return {"datatype_id": None, "confidence": 0.0,
+                        "reason": f"Error: {e}"}
+        return {"datatype_id": None, "confidence": 0.0,
+                "reason": "Max retries exceeded"}
+
+    def classify_batch(self, prompts: Sequence[str], temperature: float = 0.0,
+                       max_tokens: int = 500) -> List[Dict[str, Any]]:
+        return [self.classify(p, temperature, max_tokens) for p in prompts]
+
+
+class CallableProvider(BaseLLMProvider):
+    """Injectable transport: any ``prompt -> str`` callable becomes a
+    provider.  This is the seam tests and custom deployments use — the
+    retry/parse/shape layer above it is identical to the networked
+    paths."""
+
+    default_model = "callable"
+
+    def __init__(self, fn: Callable[[str], str], **kw):
+        super().__init__(**kw)
+        self.fn = fn
+
+    def _call_api(self, prompt, temperature, max_tokens):
+        return self.fn(prompt)
+
+
+class OpenAICompatProvider(BaseLLMProvider):
+    """OpenAI-compatible ``/chat/completions`` over stdlib urllib — one
+    implementation covers OpenAI, OpenRouter, LM Studio and Perplexity
+    (they all speak this wire shape; reference uses the openai SDK for
+    each, ``providers/{openai,openrouter,lmstudio,perplexity}.py``).
+    Air-gapped runs fail at request time into the base class's
+    default-result contract, not at import time."""
+
+    default_model = "gpt-4o-mini"
+
+    def __init__(self, base_url: str, api_key: Optional[str] = None,
+                 json_mode: bool = True, **kw):
+        super().__init__(**kw)
+        self.base_url = base_url.rstrip("/")
+        self.api_key = api_key
+        self.json_mode = json_mode
+
+    def supports_json_mode(self) -> bool:
+        return self.json_mode
+
+    def _call_api(self, prompt, temperature, max_tokens):
+        import urllib.request  # noqa: PLC0415
+
+        body: Dict[str, Any] = {
+            "model": self.model,
+            "messages": [
+                {"role": "system",
+                 "content": "You are a semantic data type classifier. "
+                            "Always respond with valid JSON only."},
+                {"role": "user", "content": prompt},
+            ],
+            "temperature": temperature,
+            "max_tokens": max_tokens,
+        }
+        if self.json_mode:
+            body["response_format"] = {"type": "json_object"}
+        headers = {"Content-Type": "application/json"}
+        if self.api_key:
+            headers["Authorization"] = f"Bearer {self.api_key}"
+        req = urllib.request.Request(
+            f"{self.base_url}/chat/completions",
+            data=json.dumps(body).encode("utf-8"), headers=headers)
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            payload = json.loads(resp.read().decode("utf-8"))
+        return payload["choices"][0]["message"]["content"]
+
+
+class OllamaProvider(BaseLLMProvider):
+    """Ollama's native ``/api/chat`` (non-OpenAI response shape:
+    ``{"message": {"content": ...}}``; reference
+    ``providers/ollama.py``)."""
+
+    default_model = "llama3"
+
+    def __init__(self, base_url: str = "http://localhost:11434", **kw):
+        super().__init__(**kw)
+        self.base_url = base_url.rstrip("/")
+
+    def _call_api(self, prompt, temperature, max_tokens):
+        import urllib.request  # noqa: PLC0415
+
+        body = {
+            "model": self.model,
+            "messages": [{"role": "user", "content": prompt}],
+            "stream": False,
+            "options": {"temperature": temperature,
+                        "num_predict": max_tokens},
+            "format": "json",
+        }
+        req = urllib.request.Request(
+            f"{self.base_url}/api/chat",
+            data=json.dumps(body).encode("utf-8"),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            payload = json.loads(resp.read().decode("utf-8"))
+        return payload["message"]["content"]
+
+
+class OfflineHeuristicProvider(BaseLLMProvider):
+    """Deterministic stand-in for air-gapped runs — NOT a language
+    model, and it does not pretend to be: it parses the prompt's
+    retrieved-entry list and picks the first entry whose id (or a
+    name token) appears in the normalized field name, answering with
+    the documented JSON contract.  Lets ``llm``/``hybrid`` mode run
+    end-to-end deterministically with zero network; documented as a
+    heuristic fallback wherever it is wired."""
+
+    default_model = "offline-heuristic"
+
+    def _call_api(self, prompt, temperature, max_tokens):
+        field = ""
+        entries: List[tuple] = []  # (id, name)
+        cur_id = None
+        for line in prompt.splitlines():
+            s = line.strip()
+            if s.startswith("Field Name:"):
+                field = s.split(":", 1)[1].strip().lower()
+            elif ". ID: " in s and s[:1].isdigit():
+                cur_id = s.split(". ID: ", 1)[1].strip()
+            elif s.startswith("Name:") and cur_id is not None:
+                entries.append((cur_id, s.split(":", 1)[1].strip().lower()))
+                cur_id = None
+        norm = "".join(c if c.isalnum() else " " for c in field)
+        toks = set(norm.split())
+        joined = norm.replace(" ", "")
+        for did, name in entries:
+            key = did.lower()
+            if key in toks or key in joined or (
+                    name and any(t in toks for t in name.split())):
+                return json.dumps({
+                    "datatype_id": did, "confidence": 0.9,
+                    "reason": f"field name mentions '{did}'"})
+        return json.dumps({"datatype_id": None, "confidence": 0.0,
+                           "reason": "no registry entry echoed in the "
+                                     "field name"})
+
+
+def get_provider(provider_name: str, **kwargs) -> BaseLLMProvider:
+    """Name registry mirroring the reference
+    (``providers/__init__.py:47-70``) plus the offline heuristic.
+    Hosted presets demand their API key up front (ValueError), exactly
+    like the reference SDK wrappers."""
+    name = provider_name.lower()
+    if name == "callable":
+        return CallableProvider(**kwargs)
+    if name == "offline":
+        return OfflineHeuristicProvider(**kwargs)
+    if name == "ollama":
+        return OllamaProvider(**kwargs)
+    presets = {
+        "openai": ("https://api.openai.com/v1", "OPENAI_API_KEY",
+                   "gpt-4o-mini", True),
+        "openrouter": ("https://openrouter.ai/api/v1", "OPENROUTER_API_KEY",
+                       "openai/gpt-4o-mini", False),
+        "perplexity": ("https://api.perplexity.ai", "PERPLEXITY_API_KEY",
+                       "llama-3.1-sonar-small-128k-online", False),
+        "lmstudio": ("http://localhost:1234/v1", None, "local-model", True),
+    }
+    if name not in presets:
+        raise ValueError(
+            f"unknown provider: {provider_name}; supported: "
+            f"{', '.join(sorted(presets) + ['ollama', 'offline', 'callable'])}")
+    base_url, key_env, default_model, json_mode = presets[name]
+    base_url = kwargs.pop("base_url", base_url)
+    api_key = kwargs.pop("api_key", None) or (
+        os.getenv(key_env) if key_env else None)
+    if key_env and not api_key:
+        raise ValueError(f"{name} API key required (set {key_env} or pass "
+                         "api_key)")
+    if name == "lmstudio" and not api_key:
+        api_key = "lm-studio"
+    kwargs.setdefault("model", default_model)
+    return OpenAICompatProvider(base_url=base_url, api_key=api_key,
+                                json_mode=json_mode, **kwargs)
+
+
+# ---------------------------------------------------------------- classifier
+
+
+class LLMClassifier:
+    """RAG classifier with the reference's surface
+    (``classifier.py:21-259``): build index from the registry JSONL,
+    retrieve top-k entries per field, prompt the provider, shape the
+    result.
+
+    Differences, both documented: (1) the embedder defaults to the
+    offline :class:`HashingEmbedder` instead of hard-requiring
+    ``OPENAI_API_KEY``; (2) ``provider`` may be passed as an instance
+    (the injectable-transport seam) as well as by name."""
+
+    def __init__(
+        self,
+        registry_path: Union[str, Path],
+        index_path: Optional[Union[str, Path]] = None,
+        embedder=None,
+        provider: Optional[Union[str, BaseLLMProvider]] = None,
+        top_k: int = 10,
+        rebuild_index: bool = False,
+        **provider_kwargs,
+    ):
+        self.registry_path = Path(registry_path)
+        self.embedder = embedder or HashingEmbedder()
+        self.vector_store = VectorStore(
+            persist_directory=str(index_path) if index_path else None)
+        self.retriever = Retriever(self.vector_store, self.embedder,
+                                   top_k=top_k)
+        self.top_k = top_k
+        if provider is None:
+            provider = "offline"
+        if isinstance(provider, str):
+            provider = get_provider(provider, **provider_kwargs)
+        self.provider = provider
+        if rebuild_index or self.vector_store.count() == 0:
+            self._build_index()
+
+    def _build_index(self) -> None:
+        datatypes = load_registry(self.registry_path)
+        if not datatypes:
+            raise ValueError(f"no datatypes in registry: {self.registry_path}")
+        self.vector_store.clear()
+        self.vector_store.add_documents(
+            embeddings=self.embedder.embed_datatypes(datatypes),
+            metadatas=[{
+                "id": dt.get("id", ""), "name": dt.get("name", ""),
+                "doc": dt.get("doc", ""),
+                "categories": dt.get("categories", []),
+                "country": dt.get("country", []),
+                "langs": dt.get("langs", []),
+            } for dt in datatypes],
+            ids=[f"datatype_{dt.get('id', 'unknown')}" for dt in datatypes])
+
+    def rebuild_index(self) -> None:
+        self._build_index()
+
+    def classify_field(self, field_name: str,
+                       sample_values: Optional[Sequence[Any]] = None,
+                       country=None, langs=None,
+                       categories=None) -> Dict[str, Any]:
+        retrieved = self.retriever.retrieve(
+            field_name, sample_values=sample_values, country=country,
+            langs=langs, categories=categories, top_k=self.top_k)
+        prompt = build_classification_prompt(
+            field_name, sample_values=sample_values,
+            retrieved_entries=retrieved)
+        res = self.provider.classify(prompt)
+        datatype_id = res.get("datatype_id")
+        confidence = res.get("confidence", 0.0)
+        return {
+            "field": field_name,
+            "datatype_id": datatype_id,
+            "datatype_url": (f"{BASE_REGISTRY_URL}/{datatype_id}"
+                             if datatype_id else None),
+            "confidence": confidence,
+            "reason": res.get("reason", ""),
+            "matches": ([{"key": datatype_id,
+                          "confidence": confidence * 100.0}]
+                        if datatype_id else []),
+        }
+
+    def classify_batch(self, fields: List[Dict[str, Any]], country=None,
+                       langs=None, categories=None) -> List[Dict[str, Any]]:
+        out = []
+        for info in fields:
+            out.append(self.classify_field(
+                info.get("field_name") or info.get("field"),
+                sample_values=info.get("sample_values", []),
+                country=country, langs=langs, categories=categories))
+        return out

@@ -25,7 +25,7 @@ from metacrafter_spark.analyzer import (
     compute_stats,
     with_normalized_columns,
 )
-from metacrafter_spark.matcher import ColumnMatches, match_columns
+from metacrafter_spark.matcher import ColumnMatches, RuleHit, match_columns
 from metacrafter_spark.rules.model import (
     MIN_CONFIDENCE_FOR_MATCH,
     CompiledRulePack,
@@ -59,6 +59,9 @@ def scan_dataframe(
     stats_only: bool = False,
     dict_share: Optional[float] = None,
     empty_values: Optional[list] = None,
+    llm_classifier=None,
+    llm_mode: Optional[str] = None,
+    llm_min_confidence: float = 50.0,
 ) -> dict[str, Any]:
     """Classify every column of ``df``; return a reference-shaped report.
 
@@ -73,6 +76,18 @@ def scan_dataframe(
        keys.  Golden parity vs the reference runs ``parse_dates=False``
        (a reference-supported mode), since qddate itself is not
        installable here.
+
+    LLM / hybrid mode (reference ``core.py:151-157,1260-1317``): pass
+    an :class:`metacrafter_spark.llm.LLMClassifier` as
+    ``llm_classifier`` with ``llm_mode="hybrid"`` (rules first, LLM
+    consulted only for fields whose best rule confidence is below
+    ``llm_min_confidence``, reference ``_merge_llm_results``
+    ``core.py:1059-1153``) or ``llm_mode="llm"`` (LLM-only — the rule
+    engine is bypassed, reference ``_classify_with_llm_only``
+    ``core.py:977-1057``).  Sample values feeding the LLM come from the
+    same bounded first-100-row slice the reference uses
+    (``core.py:1001-1007``): up to 10 truthy stringified values per
+    field collected, the first 5 passed to the classifier.
     """
     from pyspark.sql import types as T
 
@@ -101,6 +116,8 @@ def scan_dataframe(
     from metacrafter_spark.analyzer import ROW_SEQ
 
     dictshare = dict_share if dict_share is not None else DEFAULT_DICT_SHARE
+    llm_active = llm_classifier is not None and llm_mode in ("llm", "hybrid")
+    field_samples: dict[str, list[str]] = {}
     stats_dict: dict = {}
     all_matches: list[ColumnMatches] = []
     for frame, cols in frame_groups:
@@ -116,6 +133,10 @@ def scan_dataframe(
             stats_dict[k] = st.as_dict()
         if stats_only:
             continue
+        if llm_active:
+            field_samples.update(_collect_field_samples(frame, cols))
+        if llm_mode == "llm" and llm_classifier is not None:
+            continue  # rule engine bypassed (reference core.py:1268-1291)
         group_fields = (
             [f for f in fields if any(ci.name == f for ci in cols)]
             if fields else None
@@ -153,8 +174,108 @@ def scan_dataframe(
     if stats_only:
         return {"results": [], "data": [], "stats": stats_dict,
                 "stats_table": stats_table}
+    if llm_active:
+        if llm_mode == "llm":
+            all_matches = _llm_only_matches(
+                llm_classifier, stats_dict, field_samples,
+                langs=langs, contexts=contexts)
+        else:
+            _merge_llm_matches(
+                llm_classifier, all_matches, stats_dict, field_samples,
+                langs=langs, contexts=contexts,
+                min_confidence=llm_min_confidence)
     all_matches.sort(key=lambda m: order_index.get(m.field, 1 << 30))
     return assemble_report(all_matches, stats_dict, stats_table)
+
+
+def _collect_field_samples(frame, cols, *, rows: int = 100,
+                           cap: int = 10) -> dict[str, list[str]]:
+    """Bounded sample collect feeding the LLM path — the reference
+    walks ``items[:100]`` appending up to 10 truthy stringified values
+    per field (core.py:1001-1007,1096-1101).  One ``limit(100)``
+    collect per frame group: bounded by construction (100 rows × the
+    table's column count), never row-scale."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from metacrafter_spark.analyzer import ROW_SEQ
+
+    names = [ci.name for ci in cols]
+    out: dict[str, list[str]] = {n: [] for n in names}
+    for row in frame.orderBy(ROW_SEQ).limit(rows).select(names).collect():
+        for i, n in enumerate(names):
+            v = row[i]
+            if v and len(out[n]) < cap:
+                out[n].append(str(v))
+    return out
+
+
+def _llm_only_matches(classifier, stats_dict: dict,
+                      field_samples: dict[str, list[str]], *,
+                      langs=None, contexts=None) -> list[ColumnMatches]:
+    """LLM-only classification (reference ``_classify_with_llm_only``,
+    core.py:977-1057): every stats field is sent to the classifier with
+    its first 5 samples; a match lands only when the model named a
+    datatype with confidence > 0, as ruleid ``llm_classifier`` at
+    confidence × 100."""
+    fields = [{"field_name": name,
+               "sample_values": field_samples.get(name, [])[:5]}
+              for name in stats_dict]
+    try:
+        results = classifier.classify_batch(fields, langs=langs,
+                                            categories=contexts or None)
+    except Exception as e:  # classifier down → empty result, like ref
+        import logging
+
+        logging.warning("LLM classification failed: %s", e)
+        return []
+    out = []
+    for res in results:
+        cm = ColumnMatches(field=res.get("field"))
+        datatype_id = res.get("datatype_id")
+        conf = res.get("confidence", 0.0)
+        if datatype_id and conf > 0:
+            cm.matches.append(RuleHit(
+                ruleid="llm_classifier", dataclass=datatype_id,
+                confidence=conf * 100.0, ruletype="llm"))
+        out.append(cm)
+    return out
+
+
+def _merge_llm_matches(classifier, all_matches: list[ColumnMatches],
+                       stats_dict: dict,
+                       field_samples: dict[str, list[str]], *,
+                       langs=None, contexts=None,
+                       min_confidence: float = 50.0) -> None:
+    """Hybrid merge (reference ``_merge_llm_results``,
+    core.py:1059-1153): fields whose best rule confidence is already
+    ≥ ``min_confidence`` are never sent to the LLM; for the rest, an
+    LLM answer is merged only when its confidence × 100 clears the same
+    bar.  Per-field failures are logged and skipped, never fatal."""
+    by_field = {m.field: m for m in all_matches}
+    for name in stats_dict:
+        existing = by_field.get(name)
+        best = max((h.confidence for h in existing.matches),
+                   default=0.0) if existing else 0.0
+        if existing and existing.matches and best >= min_confidence:
+            continue
+        try:
+            res = classifier.classify_field(
+                name, sample_values=field_samples.get(name, [])[:5],
+                langs=langs, categories=contexts or None)
+        except Exception as e:
+            import logging
+
+            logging.warning("LLM classification failed for %s: %s", name, e)
+            continue
+        conf100 = res.get("confidence", 0.0) * 100.0
+        if res.get("datatype_id") and conf100 >= min_confidence:
+            if existing is None:
+                existing = ColumnMatches(field=name)
+                all_matches.append(existing)
+                by_field[name] = existing
+            existing.matches.append(RuleHit(
+                ruleid="llm_classifier", dataclass=res["datatype_id"],
+                confidence=conf100, ruletype="llm"))
 
 
 def assemble_report(

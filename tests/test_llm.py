@@ -1,0 +1,426 @@
+"""LLM / hybrid classification surface (reference classify/llm/*).
+
+Everything here runs offline: the embedder is the deterministic
+HashingEmbedder and the "model" is an injected CallableProvider (or the
+documented OfflineHeuristicProvider), so the tests pin the reference's
+retrieval / prompt / parse / merge SEMANTICS without any network.
+"""
+
+import json
+import time
+
+import pytest
+
+from metacrafter_spark.llm import (
+    BASE_REGISTRY_URL,
+    CallableProvider,
+    HashingEmbedder,
+    LLMClassifier,
+    OfflineHeuristicProvider,
+    Retriever,
+    VectorStore,
+    build_classification_prompt,
+    filter_datatypes,
+    get_datatype_text,
+    get_provider,
+    load_registry,
+    parse_llm_json,
+)
+
+REGISTRY = [
+    {"id": "email", "name": "Email address",
+     "doc": "An electronic mail address like user@example.com",
+     "categories": [{"id": "pii"}], "langs": ["en"],
+     "examples": [{"value": "joe@example.com"}],
+     "regexp": "^[^@]+@[^@]+$"},
+    {"id": "uuid", "name": "UUID",
+     "doc": "RFC 4122 universally unique identifier",
+     "categories": [{"id": "identifiers"}]},
+    {"id": "phone_ru", "name": "Russian phone number",
+     "doc": "Telephone number in Russian format",
+     "categories": [{"id": "pii"}], "country": [{"id": "ru"}],
+     "langs": ["ru"]},
+    {"id": "person_name", "name": "Person name",
+     "doc": "Given name or family name of a person",
+     "categories": [{"id": "pii"}]},
+]
+
+
+@pytest.fixture()
+def registry_path(tmp_path):
+    p = tmp_path / "datatypes.jsonl"
+    lines = [json.dumps(dt) for dt in REGISTRY]
+    lines.insert(2, "")            # blank line → skipped
+    lines.insert(3, "{not json")   # malformed → warned + skipped
+    p.write_text("\n".join(lines), encoding="utf-8")
+    return p
+
+
+# ------------------------------------------------------------ registry layer
+
+
+def test_load_registry_skips_blank_and_malformed(registry_path):
+    dts = load_registry(registry_path)
+    assert [d["id"] for d in dts] == ["email", "uuid", "phone_ru",
+                                      "person_name"]
+
+
+def test_load_registry_missing_file(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        load_registry(tmp_path / "nope.jsonl")
+
+
+def test_filter_datatypes_country_langs_categories():
+    assert [d["id"] for d in filter_datatypes(REGISTRY, country="RU")] == [
+        "phone_ru"]
+    assert [d["id"] for d in filter_datatypes(REGISTRY, langs=["en"])] == [
+        "email"]
+    pii = filter_datatypes(REGISTRY, categories="pii")
+    assert [d["id"] for d in pii] == ["email", "phone_ru", "person_name"]
+    # combined filters intersect
+    assert [d["id"] for d in
+            filter_datatypes(REGISTRY, categories="pii", country="ru")] == [
+        "phone_ru"]
+
+
+def test_get_datatype_text_field_inventory():
+    txt = get_datatype_text(REGISTRY[0])
+    for frag in ("ID: email", "Name: Email address", "Description:",
+                 "Categories: pii", "Languages: en",
+                 "Examples: joe@example.com", "Pattern:"):
+        assert frag in txt
+    # order is the reference's (registry_loader.py:146-205)
+    assert txt.index("ID:") < txt.index("Name:") < txt.index("Description:")
+
+
+# ------------------------------------------------------- embedder + store
+
+
+def test_hashing_embedder_deterministic_and_normalized():
+    e = HashingEmbedder(dim=256)
+    a = e.embed_text("customer email address")
+    b = e.embed_text("customer email address")
+    assert a == b
+    assert abs(sum(x * x for x in a) - 1.0) < 1e-9
+    assert e.embed_text("") == [0.0] * 256
+
+
+def test_vector_store_search_ranks_lexical_overlap():
+    e = HashingEmbedder()
+    store = VectorStore()
+    store.add_documents(e.embed_datatypes(REGISTRY),
+                        [dict(dt) for dt in REGISTRY],
+                        ids=[f"datatype_{dt['id']}" for dt in REGISTRY])
+    assert store.count() == 4
+    q = e.embed_text("Field: user_email\nValues: a@b.com, c@d.org")
+    hits = store.search(q, top_k=2)
+    assert hits[0]["datatype_id"] == "email"
+    assert 0.0 <= hits[0]["distance"] < hits[1]["distance"]
+
+
+def test_vector_store_filters_comma_membership():
+    e = HashingEmbedder()
+    store = VectorStore()
+    store.add_documents(e.embed_datatypes(REGISTRY),
+                        [dict(dt) for dt in REGISTRY])
+    q = e.embed_text("Field: phone")
+    # country filter keeps only the ru entry; empty metadata never matches
+    hits = store.search(q, top_k=4, filters={"country": "ru"})
+    assert [h["datatype_id"] for h in hits] == ["phone_ru"]
+    assert store.search(q, top_k=4, filters={"country": "us"}) == []
+    # categories membership over the comma-joined id string
+    hits = store.search(q, top_k=4, filters={"categories": "identifiers"})
+    assert [h["datatype_id"] for h in hits] == ["uuid"]
+
+
+def test_vector_store_persist_roundtrip(tmp_path):
+    e = HashingEmbedder()
+    store = VectorStore(persist_directory=str(tmp_path / "idx"))
+    store.add_documents(e.embed_datatypes(REGISTRY),
+                        [dict(dt) for dt in REGISTRY])
+    again = VectorStore(persist_directory=str(tmp_path / "idx"))
+    assert again.count() == 4
+    assert again.get_by_id("uuid")["metadata"]["name"] == "UUID"
+    again.clear()
+    assert again.count() == 0
+    assert VectorStore(persist_directory=str(tmp_path / "idx")).count() == 0
+
+
+# ------------------------------------------------------------ retriever
+
+
+def test_retriever_query_text_caps_samples():
+    q = Retriever.build_query("email", [1, 2, 3, 4, 5, 6, 7])
+    assert q == "Field: email\nValues: 1, 2, 3, 4, 5"
+    assert Retriever.build_query("email") == "Field: email"
+
+
+def test_retriever_list_filters_use_first_element():
+    e = HashingEmbedder()
+    store = VectorStore()
+    store.add_documents(e.embed_datatypes(REGISTRY),
+                        [dict(dt) for dt in REGISTRY])
+    r = Retriever(store, e, top_k=4)
+    hits = r.retrieve("phone", country=["RU", "us"])
+    assert [h["datatype_id"] for h in hits] == ["phone_ru"]
+
+
+# ------------------------------------------------------------ prompt + parse
+
+
+def test_prompt_structure_and_caps():
+    entries = [{"metadata": {"id": f"t{i}", "name": f"Type {i}"}}
+               for i in range(12)]
+    p = build_classification_prompt("user_id", list(range(15)), entries)
+    assert "Field Name: user_id" in p
+    assert "  - 9" in p and "  - 10" not in p          # 10-sample cap
+    assert "10. ID: t9" in p and "t10" not in p        # 10-entry cap
+    assert '"datatype_id": "id_from_registry"' in p
+    empty = build_classification_prompt("x")
+    assert "no relevant registry entries" in empty
+
+
+@pytest.mark.parametrize("raw,want", [
+    ('{"datatype_id": "email", "confidence": 0.8, "reason": "r"}', "email"),
+    ('Sure! Here you go:\n```json\n{"datatype_id": "email", '
+     '"confidence": 0.8}\n```', "email"),
+    ('prefix {"datatype_id": "email", "confidence": 1} suffix', "email"),
+])
+def test_parse_llm_json_lenient(raw, want):
+    assert parse_llm_json(raw)["datatype_id"] == want
+
+
+def test_parse_llm_json_failure_raises():
+    with pytest.raises(json.JSONDecodeError):
+        parse_llm_json("no json here at all")
+
+
+# ------------------------------------------------------------ provider layer
+
+
+def test_provider_shapes_and_clamps():
+    p = CallableProvider(
+        lambda _: '{"datatype_id": "email", "confidence": 3.5}',
+        retry_delay=0.0)
+    res = p.classify("x")
+    assert res == {"datatype_id": "email", "confidence": 1.0, "reason": ""}
+    p = CallableProvider(lambda _: '{"confidence": -2}', retry_delay=0.0)
+    res = p.classify("x")
+    assert res["datatype_id"] is None and res["confidence"] == 0.0
+
+
+def test_provider_default_result_after_parse_failures():
+    p = CallableProvider(lambda _: "never json", retry_delay=0.0,
+                         max_retries=2)
+    res = p.classify("x")
+    assert res["datatype_id"] is None
+    assert res["reason"].startswith("Failed to parse JSON response")
+
+
+def test_provider_retries_transport_then_succeeds():
+    calls = []
+
+    def flaky(prompt):
+        calls.append(prompt)
+        if len(calls) < 3:
+            raise ConnectionError("down")
+        return '{"datatype_id": "uuid", "confidence": 0.5}'
+
+    p = CallableProvider(flaky, retry_delay=0.0, max_retries=3)
+    t0 = time.time()
+    res = p.classify("x")
+    assert time.time() - t0 < 2.0
+    assert res["datatype_id"] == "uuid" and len(calls) == 3
+
+
+def test_provider_transport_default_after_final_failure():
+    def dead(_):
+        raise ConnectionError("always down")
+
+    p = CallableProvider(dead, retry_delay=0.0, max_retries=2)
+    res = p.classify("x")
+    assert res == {"datatype_id": None, "confidence": 0.0,
+                   "reason": "Error: always down"}
+
+
+def test_get_provider_registry_and_key_gates(monkeypatch):
+    monkeypatch.delenv("OPENAI_API_KEY", raising=False)
+    with pytest.raises(ValueError, match="OPENAI_API_KEY"):
+        get_provider("openai")
+    with pytest.raises(ValueError, match="unknown provider"):
+        get_provider("nonsense")
+    p = get_provider("openai", api_key="sk-test")
+    assert p.model == "gpt-4o-mini" and p.supports_json_mode()
+    assert p.base_url == "https://api.openai.com/v1"
+    assert get_provider("lmstudio").api_key == "lm-studio"
+    assert get_provider("ollama").base_url == "http://localhost:11434"
+    assert get_provider("offline").model == "offline-heuristic"
+
+
+def test_openai_embedder_honest_gate():
+    with pytest.raises((NotImplementedError, ValueError)):
+        from metacrafter_spark.llm import OpenAIEmbedder
+
+        OpenAIEmbedder(api_key="sk-test")
+
+
+# ------------------------------------------------------------ classifier
+
+
+def test_classify_field_result_shape(registry_path):
+    clf = LLMClassifier(
+        registry_path,
+        provider=CallableProvider(
+            lambda _: '{"datatype_id": "email", "confidence": 0.85, '
+                      '"reason": "looks like email"}', retry_delay=0.0))
+    res = clf.classify_field("user_email", ["a@b.com"])
+    assert res["datatype_id"] == "email"
+    assert res["datatype_url"] == f"{BASE_REGISTRY_URL}/email"
+    assert res["matches"] == [{"key": "email", "confidence": 85.0}]
+    assert res["reason"] == "looks like email"
+
+
+def test_classify_field_null_answer_has_no_matches(registry_path):
+    clf = LLMClassifier(
+        registry_path,
+        provider=CallableProvider(
+            lambda _: '{"datatype_id": null, "confidence": 0.0}',
+            retry_delay=0.0))
+    res = clf.classify_field("mystery")
+    assert res["datatype_id"] is None
+    assert res["datatype_url"] is None and res["matches"] == []
+
+
+def test_classifier_prompt_carries_retrieved_entries(registry_path):
+    seen = {}
+
+    def capture(prompt):
+        seen["prompt"] = prompt
+        return '{"datatype_id": null, "confidence": 0}'
+
+    clf = LLMClassifier(registry_path,
+                        provider=CallableProvider(capture, retry_delay=0.0),
+                        top_k=2)
+    clf.classify_field("customer_email", ["x@y.z"])
+    assert "Field Name: customer_email" in seen["prompt"]
+    assert "ID: email" in seen["prompt"]  # RAG top hit made it into context
+
+
+def test_offline_heuristic_provider_end_to_end(registry_path):
+    clf = LLMClassifier(registry_path, provider="offline")
+    res = clf.classify_field("customer_email", ["a@b.com"])
+    assert res["datatype_id"] == "email" and res["confidence"] == 0.9
+    res = clf.classify_field("zzz_opaque", ["?"])
+    assert res["datatype_id"] is None
+
+
+def test_classifier_persisted_index_reused(registry_path, tmp_path):
+    idx = tmp_path / "idx"
+    clf = LLMClassifier(registry_path, index_path=idx, provider="offline")
+    assert clf.vector_store.count() == 4
+    # second construction loads the persisted index without re-embedding
+    clf2 = LLMClassifier(registry_path, index_path=idx, provider="offline")
+    assert clf2.vector_store.count() == 4
+
+
+# ------------------------------------------------------ Spark integration
+
+
+def _mk_df(spark):
+    rows = [("joe@example.com", "B6 Rruga Kavajes", "zz-1"),
+            ("ann@sample.org", "12 Main street", "zz-2"),
+            ("bob@corp.net", "7 High road", "zz-3")]
+    return spark.createDataFrame(rows, "email string, addr string, "
+                                       "mystery string")
+
+
+def test_scan_dataframe_llm_only(spark, registry_path):
+    from metacrafter_spark.scanner import scan_dataframe
+
+    def answer(prompt):
+        field = [ln for ln in prompt.splitlines()
+                 if ln.startswith("Field Name:")][0].split(":")[1].strip()
+        if field == "email":
+            return '{"datatype_id": "email", "confidence": 0.9}'
+        return '{"datatype_id": null, "confidence": 0.0}'
+
+    clf = LLMClassifier(registry_path,
+                        provider=CallableProvider(answer, retry_delay=0.0))
+    rep = scan_dataframe(_mk_df(spark), llm_classifier=clf, llm_mode="llm")
+    by_field = {d["field"]: d for d in rep["data"]}
+    hit = by_field["email"]["matches"]
+    assert hit == [{"ruleid": "llm_classifier", "dataclass": "email",
+                    "confidence": 90.0, "ruletype": "llm", "format": None}]
+    assert by_field["email"]["datatype_url"].endswith("/email")
+    assert by_field["mystery"]["matches"] == []
+    # stats still computed in llm mode
+    assert rep["stats"]["email"]["ftype"] == "str"
+
+
+def test_scan_dataframe_hybrid_skips_confident_fields(spark, registry_path):
+    from metacrafter_spark.scanner import scan_dataframe
+
+    asked = []
+
+    def answer(prompt):
+        field = [ln for ln in prompt.splitlines()
+                 if ln.startswith("Field Name:")][0].split(":")[1].strip()
+        asked.append(field)
+        if field == "mystery":
+            return '{"datatype_id": "uuid", "confidence": 0.7}'
+        return '{"datatype_id": "person_name", "confidence": 0.3}'
+
+    clf = LLMClassifier(registry_path,
+                        provider=CallableProvider(answer, retry_delay=0.0))
+    rep = scan_dataframe(_mk_df(spark), llm_classifier=clf,
+                         llm_mode="hybrid")
+    by_field = {d["field"]: d for d in rep["data"]}
+    # the email column matches the builtin email rule at 100 → never asked
+    assert "email" not in asked
+    assert any(m["dataclass"] == "email"
+               for m in by_field["email"]["matches"])
+    # unmatched field got the LLM answer at conf*100 ≥ 50
+    assert {"ruleid": "llm_classifier", "dataclass": "uuid",
+            "confidence": 70.0, "ruletype": "llm",
+            "format": None} in by_field["mystery"]["matches"]
+    # a 0.3-confidence answer (30 < 50) is dropped
+    assert all(m["ruleid"] != "llm_classifier"
+               for m in by_field["addr"]["matches"])
+
+
+def test_scan_dataframe_hybrid_min_confidence_knob(spark, registry_path):
+    from metacrafter_spark.scanner import scan_dataframe
+
+    clf = LLMClassifier(
+        registry_path,
+        provider=CallableProvider(
+            lambda _: '{"datatype_id": "uuid", "confidence": 0.3}',
+            retry_delay=0.0))
+    rep = scan_dataframe(_mk_df(spark), llm_classifier=clf,
+                         llm_mode="hybrid", llm_min_confidence=25.0)
+    by_field = {d["field"]: d for d in rep["data"]}
+    assert any(m["ruleid"] == "llm_classifier"
+               for m in by_field["mystery"]["matches"])
+
+
+def test_cli_scan_file_llm(spark, tmp_path, registry_path, capsys):
+    import csv
+
+    from metacrafter_spark.cli import main
+
+    src = tmp_path / "t.csv"
+    with open(src, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["customer_email", "blob"])
+        w.writerows([["a@b.com", "xx"], ["c@d.org", "yy"]])
+    rc = main(["scan-file", str(src), "--llm-mode", "llm",
+               "--llm-registry", str(registry_path),
+               "--llm-provider", "offline", "--cores", "2"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    # report_rows prints [key, ftype, tags, matches, datatype_url] rows
+    rows = [json.loads(ln) for ln in out.splitlines() if ln.startswith("[")]
+    by_field = {r[0]: r for r in rows}
+    assert by_field["customer_email"][3] == "email 90.00"
+    assert by_field["customer_email"][4].endswith("/email")
+    assert by_field["blob"][3] == ""
