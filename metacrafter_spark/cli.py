@@ -48,7 +48,11 @@ def main(argv=None) -> int:
     sf.add_argument("--llm-base-url", help="override the provider URL")
     sf.add_argument("--llm-index", help="persist/reuse the vector index "
                                         "in this directory")
-    sf.add_argument("--llm-min-confidence", type=float, default=50.0)
+    sf.add_argument("--llm-min-confidence", type=float, default=50.0,
+                    help="hybrid mode only: rule-confidence bar below "
+                         "which the LLM is consulted, and which its "
+                         "answer must clear to land (ignored in "
+                         "--llm-mode llm, matching the reference)")
 
     cr = sub.add_parser("corpus-run", help="keep/drop + scrub a webpages table")
     cr.add_argument("input")

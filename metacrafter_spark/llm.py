@@ -63,6 +63,7 @@ bounds its sample collect to the same first-100-rows slice.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import logging
 import os
@@ -274,8 +275,21 @@ class VectorStore:
         self._emb = np.zeros((0, 0), dtype=np.float64)
         self._meta: List[Dict[str, Any]] = []
         self._ids: List[str] = []
+        # Registry/embedder fingerprint the index was built from (set by
+        # LLMClassifier._build_index, persisted in the JSON sidecar) —
+        # lets a reload detect a stale index instead of reusing it.
+        self.fingerprint: Optional[str] = None
         if persist_directory and self._persist_path().exists():
-            self._load()
+            try:
+                self._load()
+            except Exception as e:  # torn write / missing sidecar →
+                # treat as absent; the caller's count()==0 path rebuilds
+                logger.warning(
+                    "vector index at %s unreadable (%s); rebuilding",
+                    persist_directory, e)
+                self._emb = np.zeros((0, 0), dtype=np.float64)
+                self._meta, self._ids = [], []
+                self.fingerprint = None
 
     def _persist_path(self) -> Path:
         return Path(self.persist_directory) / "registry_index.npz"
@@ -345,6 +359,7 @@ class VectorStore:
         self._emb = np.zeros((0, 0), dtype=np.float64)
         self._meta = []
         self._ids = []
+        self.fingerprint = None
         if self.persist_directory and self._persist_path().exists():
             self._persist_path().unlink()
             self._meta_path().unlink(missing_ok=True)
@@ -354,7 +369,8 @@ class VectorStore:
         p.mkdir(parents=True, exist_ok=True)
         np.savez(self._persist_path(), embeddings=self._emb)
         self._meta_path().write_text(
-            json.dumps({"ids": self._ids, "meta": self._meta}),
+            json.dumps({"ids": self._ids, "meta": self._meta,
+                        "fingerprint": self.fingerprint}),
             encoding="utf-8")
 
     def _load(self) -> None:
@@ -363,6 +379,7 @@ class VectorStore:
         blob = json.loads(self._meta_path().read_text(encoding="utf-8"))
         self._ids = blob["ids"]
         self._meta = blob["meta"]
+        self.fingerprint = blob.get("fingerprint")
 
 
 def _meta_matches(meta: Dict[str, Any], filters: Dict[str, str]) -> bool:
@@ -513,7 +530,13 @@ class BaseLLMProvider:
     ``providers/base.py:66-137``): JSON-decode failures back off
     linearly, transport errors exponentially; after ``max_retries`` the
     DEFAULT result (``datatype_id None``) is returned — callers never
-    see an exception, mirroring the reference contract."""
+    see an exception, mirroring the reference contract.  Reference
+    quirk kept on purpose: a parsed-but-malformed response (e.g. a
+    non-numeric ``confidence``) raises from ``float()`` INSIDE the try
+    and lands in the generic except — the API is re-called with
+    exponential backoff, exactly as the reference's base.py:99 does
+    (at temperature 0 a re-ask can still rephrase, so the retry is not
+    pure waste)."""
 
     default_model = "unknown"
 
@@ -702,9 +725,19 @@ def get_provider(provider_name: str, **kwargs) -> BaseLLMProvider:
     Hosted presets demand their API key up front (ValueError), exactly
     like the reference SDK wrappers."""
     name = provider_name.lower()
-    if name == "callable":
-        return CallableProvider(**kwargs)
-    if name == "offline":
+    if name in ("callable", "offline"):
+        # Transport options are meaningless for non-networked providers;
+        # a user passing --llm-base-url with the DEFAULT (offline)
+        # provider almost certainly forgot --llm-provider — fail with
+        # the actionable message instead of a TypeError from __init__.
+        bad = sorted(k for k in ("base_url", "api_key") if k in kwargs)
+        if bad:
+            raise ValueError(
+                f"{', '.join(bad)} not supported by the '{name}' provider"
+                " — pass --llm-provider openai|openrouter|ollama|lmstudio"
+                "|perplexity to use a networked endpoint")
+        if name == "callable":
+            return CallableProvider(**kwargs)
         return OfflineHeuristicProvider(**kwargs)
     if name == "ollama":
         return OllamaProvider(**kwargs)
@@ -771,14 +804,32 @@ class LLMClassifier:
         if isinstance(provider, str):
             provider = get_provider(provider, **provider_kwargs)
         self.provider = provider
-        if rebuild_index or self.vector_store.count() == 0:
+        if (rebuild_index or self.vector_store.count() == 0
+                or self.vector_store.fingerprint
+                != self._index_fingerprint()):
             self._build_index()
+
+    def _index_fingerprint(self) -> str:
+        """Registry bytes + embedder identity, persisted with the index
+        sidecar: a changed registry JSONL or a different embedder
+        class/dimension invalidates a reused ``index_path`` instead of
+        silently serving stale entries (or crashing on a dim
+        mismatch)."""
+        h = hashlib.sha256()
+        try:
+            h.update(self.registry_path.read_bytes())
+        except OSError:
+            h.update(str(self.registry_path).encode("utf-8"))
+        h.update(type(self.embedder).__name__.encode("utf-8"))
+        h.update(str(getattr(self.embedder, "dim", "")).encode("utf-8"))
+        return h.hexdigest()
 
     def _build_index(self) -> None:
         datatypes = load_registry(self.registry_path)
         if not datatypes:
             raise ValueError(f"no datatypes in registry: {self.registry_path}")
         self.vector_store.clear()
+        self.vector_store.fingerprint = self._index_fingerprint()
         self.vector_store.add_documents(
             embeddings=self.embedder.embed_datatypes(datatypes),
             metadatas=[{

@@ -117,6 +117,11 @@ def scan_dataframe(
 
     dictshare = dict_share if dict_share is not None else DEFAULT_DICT_SHARE
     llm_active = llm_classifier is not None and llm_mode in ("llm", "hybrid")
+    # (frame, cols) per group, kept for the LAZY sample collect below:
+    # samples are only pulled after rule matching, for the fields the
+    # LLM will actually see — a hybrid scan whose every column clears
+    # the rule-confidence bar runs zero extra Spark jobs.
+    sample_sources: list = []
     field_samples: dict[str, list[str]] = {}
     stats_dict: dict = {}
     all_matches: list[ColumnMatches] = []
@@ -134,7 +139,7 @@ def scan_dataframe(
         if stats_only:
             continue
         if llm_active:
-            field_samples.update(_collect_field_samples(frame, cols))
+            sample_sources.append((frame, cols))
         if llm_mode == "llm" and llm_classifier is not None:
             continue  # rule engine bypassed (reference core.py:1268-1291)
         group_fields = (
@@ -175,6 +180,28 @@ def scan_dataframe(
         return {"results": [], "data": [], "stats": stats_dict,
                 "stats_table": stats_table}
     if llm_active:
+        # Lazy sample collect: llm-only consults the classifier for every
+        # stats field, hybrid only for fields below the rule-confidence
+        # bar — samples are pulled for exactly those (and a frame group
+        # contributing none runs no job at all).  NOTE the reference
+        # iterates ALL of datastats in both paths regardless of the
+        # ``fields`` filter (core.py:1011,1107) — excluded columns still
+        # reach the LLM and can land in the report; mirrored on purpose.
+        if llm_mode == "llm":
+            needed = set(stats_dict)
+        else:
+            by_field = {m.field: m for m in all_matches}
+            needed = set()
+            for name in stats_dict:
+                m = by_field.get(name)
+                best = max((h.confidence for h in m.matches),
+                           default=0.0) if m else 0.0
+                if not (m and m.matches and best >= llm_min_confidence):
+                    needed.add(name)
+        for frame, cols in sample_sources:
+            want = [ci for ci in cols if ci.name in needed]
+            if want:
+                field_samples.update(_collect_field_samples(frame, want))
         if llm_mode == "llm":
             all_matches = _llm_only_matches(
                 llm_classifier, stats_dict, field_samples,
@@ -194,14 +221,18 @@ def _collect_field_samples(frame, cols, *, rows: int = 100,
     walks ``items[:100]`` appending up to 10 truthy stringified values
     per field (core.py:1001-1007,1096-1101).  One ``limit(100)``
     collect per frame group: bounded by construction (100 rows × the
-    table's column count), never row-scale."""
-    from pyspark.sql import functions as F  # noqa: F401
+    table's column count), never row-scale.  Flattened nested columns
+    are aliased to their dotted display names (flatten.py), so every
+    select here must backtick-quote — bare ``user.email`` would resolve
+    as struct access on a column that no longer exists."""
+    from pyspark.sql import functions as F
 
     from metacrafter_spark.analyzer import ROW_SEQ
 
     names = [ci.name for ci in cols]
     out: dict[str, list[str]] = {n: [] for n in names}
-    for row in frame.orderBy(ROW_SEQ).limit(rows).select(names).collect():
+    selected = [F.col(f"`{n}`") for n in names]
+    for row in frame.orderBy(ROW_SEQ).limit(rows).select(selected).collect():
         for i, n in enumerate(names):
             v = row[i]
             if v and len(out[n]) < cap:
@@ -216,7 +247,10 @@ def _llm_only_matches(classifier, stats_dict: dict,
     core.py:977-1057): every stats field is sent to the classifier with
     its first 5 samples; a match lands only when the model named a
     datatype with confidence > 0, as ruleid ``llm_classifier`` at
-    confidence × 100."""
+    confidence × 100.  Reference quirk kept on purpose: the
+    ``min_confidence`` bar applies ONLY in hybrid mode (core.py:1045
+    gates on ``confidence > 0`` here) — ``--llm-min-confidence`` has no
+    effect in llm-only mode."""
     fields = [{"field_name": name,
                "sample_values": field_samples.get(name, [])[:5]}
               for name in stats_dict]

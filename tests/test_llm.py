@@ -424,3 +424,142 @@ def test_cli_scan_file_llm(spark, tmp_path, registry_path, capsys):
     assert by_field["customer_email"][3] == "email 90.00"
     assert by_field["customer_email"][4].endswith("/email")
     assert by_field["blob"][3] == ""
+
+
+# ------------------------------------------------- review-pass regressions
+
+
+def test_get_provider_offline_rejects_transport_kwargs():
+    # --llm-base-url with the DEFAULT (offline) provider used to die in
+    # a TypeError from BaseLLMProvider.__init__; now a usable error.
+    with pytest.raises(ValueError, match="--llm-provider"):
+        get_provider("offline", base_url="http://host:8000/v1")
+    with pytest.raises(ValueError, match="api_key"):
+        get_provider("callable", fn=lambda p: "{}", api_key="sk-x")
+    # model/retry knobs still pass through
+    p = get_provider("offline", model="m", max_retries=1)
+    assert p.model == "m"
+
+
+def test_vector_store_missing_sidecar_rebuilds(registry_path, tmp_path):
+    idx = tmp_path / "idx"
+    LLMClassifier(registry_path, index_path=idx, provider="offline")
+    (idx / "registry_index.json").unlink()  # torn write / manual delete
+    clf = LLMClassifier(registry_path, index_path=idx, provider="offline")
+    assert clf.vector_store.count() == 4
+    # sidecar restored with the fingerprint
+    blob = json.loads((idx / "registry_index.json").read_text())
+    assert blob["fingerprint"] == clf._index_fingerprint()
+
+
+def test_classifier_stale_registry_rebuilds(registry_path, tmp_path):
+    idx = tmp_path / "idx"
+    LLMClassifier(registry_path, index_path=idx, provider="offline")
+    extra = dict(REGISTRY[0], id="ipv4", name="IPv4 address",
+                 doc="Dotted-quad IP address")
+    with open(registry_path, "a", encoding="utf-8") as f:
+        f.write("\n" + json.dumps(extra))
+    clf = LLMClassifier(registry_path, index_path=idx, provider="offline")
+    assert clf.vector_store.count() == 5  # stale 4-entry index replaced
+    assert clf.vector_store.get_by_id("ipv4") is not None
+
+
+def test_classifier_embedder_change_rebuilds(registry_path, tmp_path):
+    idx = tmp_path / "idx"
+    LLMClassifier(registry_path, index_path=idx, provider="offline",
+                  embedder=HashingEmbedder(dim=512))
+    # a different dimension used to crash every search with a shape
+    # mismatch; the fingerprint now forces a rebuild instead
+    clf = LLMClassifier(registry_path, index_path=idx, provider="offline",
+                        embedder=HashingEmbedder(dim=64))
+    assert clf.vector_store._emb.shape[1] == 64
+    assert clf.classify_field("customer_email")["field"] == "customer_email"
+
+
+def test_scan_dataframe_hybrid_nested_struct(spark, registry_path):
+    # flattened columns are aliased to dotted display names — the LLM
+    # sample collect must backtick-quote or the scan dies in
+    # UNRESOLVED_COLUMN (review finding)
+    from metacrafter_spark.scanner import scan_dataframe
+
+    asked = []
+
+    def answer(prompt):
+        field = [ln for ln in prompt.splitlines()
+                 if ln.startswith("Field Name:")][0].split(":", 1)[1].strip()
+        asked.append(field)
+        return '{"datatype_id": "uuid", "confidence": 0.8}'
+
+    df = spark.createDataFrame(
+        [(("zz-1", "blob-a"),), (("zz-2", "blob-b"),)],
+        "user struct<mystery:string, blob:string>")
+    clf = LLMClassifier(registry_path,
+                        provider=CallableProvider(answer, retry_delay=0.0))
+    rep = scan_dataframe(df, llm_classifier=clf, llm_mode="hybrid")
+    assert set(asked) == {"user.mystery", "user.blob"}
+    by_field = {d["field"]: d for d in rep["data"]}
+    assert any(m["ruleid"] == "llm_classifier"
+               for m in by_field["user.mystery"]["matches"])
+
+
+def test_hybrid_sample_collect_is_lazy(spark, registry_path, monkeypatch):
+    # every column clears the rule bar → zero sample-collect Spark jobs
+    import metacrafter_spark.scanner as scanner_mod
+
+    collected = []
+    real = scanner_mod._collect_field_samples
+
+    def spy(frame, cols, **kw):
+        collected.extend(ci.name for ci in cols)
+        return real(frame, cols, **kw)
+
+    monkeypatch.setattr(scanner_mod, "_collect_field_samples", spy)
+    df = spark.createDataFrame(
+        [("joe@example.com", "ann@sample.org")],
+        "email string, contact_email string")
+    clf = LLMClassifier(registry_path, provider=CallableProvider(
+        lambda _: '{"datatype_id": null, "confidence": 0.0}',
+        retry_delay=0.0))
+    scanner_mod.scan_dataframe(df, llm_classifier=clf, llm_mode="hybrid")
+    assert collected == []  # both columns rule-match email at 100
+
+    # mixed frame: samples pulled ONLY for the below-bar fields
+    collected.clear()
+    scanner_mod.scan_dataframe(_mk_df(spark), llm_classifier=clf,
+                               llm_mode="hybrid")
+    assert "email" not in collected and set(collected) == {"addr", "mystery"}
+
+
+def test_llm_only_ignores_min_confidence_like_reference(spark, registry_path):
+    # reference core.py:1045 gates llm-only matches on confidence > 0;
+    # min_confidence applies in hybrid merge only — quirk pinned
+    from metacrafter_spark.scanner import scan_dataframe
+
+    clf = LLMClassifier(registry_path, provider=CallableProvider(
+        lambda _: '{"datatype_id": "uuid", "confidence": 0.05}',
+        retry_delay=0.0))
+    rep = scan_dataframe(_mk_df(spark), llm_classifier=clf, llm_mode="llm",
+                         llm_min_confidence=80.0)
+    by_field = {d["field"]: d for d in rep["data"]}
+    assert any(m["confidence"] == 5.0 and m["ruleid"] == "llm_classifier"
+               for m in by_field["mystery"]["matches"])
+
+
+def test_llm_paths_ignore_fields_filter_like_reference(spark, registry_path):
+    # reference _merge_llm_results iterates ALL of datastats
+    # (core.py:1107) regardless of the fields filter — quirk pinned
+    from metacrafter_spark.scanner import scan_dataframe
+
+    asked = []
+
+    def answer(prompt):
+        field = [ln for ln in prompt.splitlines()
+                 if ln.startswith("Field Name:")][0].split(":", 1)[1].strip()
+        asked.append(field)
+        return '{"datatype_id": null, "confidence": 0.0}'
+
+    clf = LLMClassifier(registry_path,
+                        provider=CallableProvider(answer, retry_delay=0.0))
+    scan_dataframe(_mk_df(spark), fields=["email"], llm_classifier=clf,
+                   llm_mode="hybrid")
+    assert set(asked) == {"addr", "mystery"}
