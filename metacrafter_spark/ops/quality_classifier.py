@@ -120,61 +120,78 @@ def train_logreg_hashed(df: DataFrame, *, label_col: str,
     persist across iterations (each is referenced twice per step —
     the unpersisted recursion would re-execute the whole lineage per
     reference)."""
-    spark = df.sparkSession
     w_neg, w_pos = class_weights
     feats = featurize(df, id_col=id_col, text_col=text_col,
                       buckets=buckets, max_words=max_words,
                       binary=binary).persist()
-    labels = df.select(id_col, F.col(label_col).cast("int").alias("y"))
-    n_df = labels.agg(F.count(F.lit(1)).alias("N"))
+    labels = df.select(id_col,
+                       F.col(label_col).cast("int").alias("y")).persist()
+    # N is a single driver-side long and never changes — a literal
+    # avoids re-running the count agg inside every iteration's plan
+    # (it used to ride along as a crossJoined 1-row frame, recomputed
+    # per action).
+    n_total = labels.count()
 
-    w = (feats.select("bucket").distinct()
-         .select("bucket", F.lit(0).cast(_DEC).alias("w"))).persist()
-    b = spark.createDataFrame([(0,)], "b0 int") \
-        .select(F.lit(0).cast(_DEC).alias("b"))
+    # One (bucket, w) table carries BOTH parameters: the bias lives at
+    # sentinel bucket −1 (feature buckets are pmod ≥ 0, so it can never
+    # collide).  One localCheckpoint per iteration materializes the
+    # whole parameter state in a single eager action — the previous
+    # separate w/b checkpoints each re-executed the scored→resid
+    # lineage, doubling per-iteration work.
+    wb = (feats.select("bucket").distinct()
+          .select("bucket", F.lit(0).cast(_DEC).alias("w"))
+          .unionByName(df.sparkSession.range(1).select(
+              F.lit(-1).alias("bucket"), F.lit(0).cast(_DEC).alias("w")))
+          ).localCheckpoint(eager=True)
 
     for _ in range(iterations):
+        w = wb.where(F.col("bucket") >= 0)
+        b = wb.where(F.col("bucket") == -1).select(F.col("w").alias("b"))
         scored = _scores(labels, feats, w, b, id_col)
         # r fits decimal(18,9); with x as decimal(7,0) the product is
         # decimal(26,9) — exact (see the note in _scores)
         cw = F.when(F.col("y") == 1, F.lit(w_pos)) \
             .otherwise(F.lit(w_neg))
+        # persisted: referenced by the per-bucket gradient AND the bias
+        # gradient below — without the persist the sigmoid pass runs
+        # once per consumer
         resid = scored.select(
             id_col,
             F.round((F.col("p") - F.col("y")).cast("double") * cw, 9)
-            .cast("decimal(18,9)").alias("r"))
+            .cast("decimal(18,9)").alias("r")).persist()
         grad = (resid.join(feats, id_col)
                 .groupBy("bucket")
                 .agg(F.sum(F.col("r") * F.col("x").cast("decimal(7,0)"))
                      .alias("g")))
         step = (F.round(F.col("g").cast("double") * F.lit(lr)
-                        / F.col("N"), 9).cast(_DEC))
+                        / F.lit(n_total), 9).cast(_DEC))
         w_new = (w.join(grad, "bucket", "left")
-                 .crossJoin(F.broadcast(n_df))
                  .select("bucket",
                          (F.col("w") - F.coalesce(
                              step, F.lit(0).cast(_DEC)))
                          .cast(_DEC).alias("w")))
-        gb = resid.agg(F.sum("r").alias("g")).crossJoin(F.broadcast(n_df))
+        gb = resid.agg(F.sum("r").alias("g"))
         b_new = gb.crossJoin(F.broadcast(b)).select(
+            F.lit(-1).alias("bucket"),
             (F.col("b") - F.round(F.col("g").cast("double") * F.lit(lr)
-                                  / F.col("N"), 9).cast(_DEC))
-            .cast(_DEC).alias("b"))
+                                  / F.lit(n_total), 9).cast(_DEC))
+            .cast(_DEC).alias("w"))
         # EAGER checkpoint per iteration (the ops/linkgraph.py idiom):
-        # the weight/bias tables are tiny (≤ buckets rows / 1 row) but
-        # their unpersisted lineage doubles per step — a deep chain of
-        # joins back to the corpus that the optimizer chokes on and
-        # the executor recomputes exponentially.
-        w_prev = w
-        w = w_new.localCheckpoint(eager=True)
-        b = b_new.localCheckpoint(eager=True)
-        if w_prev is not None:
-            w_prev.unpersist(blocking=False)
+        # the parameter table is tiny (≤ buckets+1 rows) but its
+        # unpersisted lineage doubles per step — a deep chain of joins
+        # back to the corpus that the optimizer chokes on and the
+        # executor recomputes exponentially.
+        wb = w_new.unionByName(b_new).localCheckpoint(eager=True)
+        resid.unpersist(blocking=False)
 
-    # final w/b are checkpointed (no lineage back to the features)
+    # final w/b are views over the checkpointed parameter table (no
+    # lineage back to the features)
     feats.unpersist(blocking=False)
-    return LogRegModel(weights=w, bias=b, buckets=buckets,
-                       max_words=max_words, binary=binary)
+    labels.unpersist(blocking=False)
+    return LogRegModel(
+        weights=wb.where(F.col("bucket") >= 0),
+        bias=wb.where(F.col("bucket") == -1).select(F.col("w").alias("b")),
+        buckets=buckets, max_words=max_words, binary=binary)
 
 
 def score_logreg(docs: DataFrame, model: LogRegModel, *,
