@@ -38,6 +38,9 @@ shape).  Nothing per-row ever crosses the driver boundary.
 """
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 SCALE = 10**6
@@ -53,27 +56,39 @@ def quantize_units(emb: Column, *, scale: int = SCALE,
                         + F.lit(offset)).cast("long"))
 
 
-def _dist_to(u: Column, centroid_units: list) -> Column:
-    """Exact squared euclidean distance (in units²) to one literal
-    centroid: a left-to-right fold, every term integer."""
-    c = F.array(*[F.lit(int(v)) for v in centroid_units])
-    return F.aggregate(
-        F.zip_with(u, c, lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x)
-
-
-def assign_units(u: Column, centroids: list[list]) -> Column:
-    """argmin cluster id against literal centroid units, total-ordered
-    by (distance, cluster_id)."""
-    return F.array_min(F.array(*[
-        F.struct(_dist_to(u, c).alias("d"), F.lit(j).alias("j"))
-        for j, c in enumerate(centroids)])).getField("j")
-
-
 def _floor_div(s: int, n: int) -> int:
     # both non-negative -> Python // == the SQL (s - s % n) / n
     return s // n
+
+
+def _assign_pdf(centroids: list[list]):
+    """Arrow-batched argmin against the k×d centroid literals — the
+    (distance, cluster_id) total order the SQL oracle replays,
+    in exact int64 (all magnitudes bounded per the module contract:
+    d2 terms ≤ ~5.8e14, so the expansion ``|m|² + |c|² − 2m·c`` stays
+    far inside int64), but vectorized in numpy.  Catalyst evaluates
+    ``F.aggregate``/``zip_with`` lambdas interpreted (not codegen) —
+    the same bottleneck the repetition battery hit — so the k×d fold
+    per row was the iteration's dominant cost.  ``argmin`` returns the
+    FIRST minimal index, which is exactly the (d, j) struct order."""
+    c = np.asarray(centroids, dtype=np.int64)      # k×d
+    csq = (c * c).sum(axis=1)                      # k
+
+    @F.pandas_udf("struct<cluster:int,dist_units:long>")
+    def assign(u: pd.Series) -> pd.DataFrame:
+        if not len(u):
+            return pd.DataFrame({
+                "cluster": np.array([], dtype=np.int32),
+                "dist_units": np.array([], dtype=np.int64)})
+        m = np.stack([np.asarray(x, dtype=np.int64) for x in u])
+        d2 = ((m * m).sum(axis=1)[:, None] + csq[None, :]
+              - 2 * (m @ c.T))
+        j = d2.argmin(axis=1)
+        return pd.DataFrame({
+            "cluster": j.astype(np.int32),
+            "dist_units": d2[np.arange(len(j)), j]})
+
+    return assign
 
 
 def kmeans_fit(df: DataFrame, k: int, iterations: int, *,
@@ -95,9 +110,9 @@ def kmeans_fit(df: DataFrame, k: int, iterations: int, *,
     d = len(centroids[0])
 
     for _ in range(iterations):
-        assigned = u.select("_id", "u",
-                            assign_units(F.col("u"), centroids)
-                            .alias("cluster"))
+        assigned = (u.select("_id", "u",
+                             _assign_pdf(centroids)(F.col("u"))
+                             .getField("cluster").alias("cluster")))
         stats = (assigned
                  .select("cluster", F.posexplode("u").alias("i", "v"))
                  .groupBy("cluster", "i")
@@ -109,14 +124,10 @@ def kmeans_fit(df: DataFrame, k: int, iterations: int, *,
              for i in range(d)]
             for j in range(k)]
 
-    final = u.select(
-        F.col("_id").alias(id_col),
-        assign_units(F.col("u"), centroids).alias("cluster"),
-        F.array_min(F.array(*[
-            F.struct(_dist_to(F.col("u"), c).alias("d"),
-                     F.lit(j).alias("j"))
-            for j, c in enumerate(centroids)])).getField("d")
-        .alias("dist_units"))
+    final = (u.select(F.col("_id").alias(id_col),
+                      _assign_pdf(centroids)(F.col("u")).alias("a"))
+             .select(id_col, F.col("a.cluster").alias("cluster"),
+                     F.col("a.dist_units").alias("dist_units")))
     return centroids, final
 
 

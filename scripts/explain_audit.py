@@ -559,7 +559,7 @@ def main() -> None:
     # only Exchange in the update is the (cluster, dim) partial-sum
     # aggregate — k×d fixed-width rows per map partition, never raw
     # embeddings.
-    from metacrafter_spark.ops.kmeans import assign_units, quantize_units
+    from metacrafter_spark.ops.kmeans import _assign_pdf, quantize_units
 
     kemb = spark.read.parquet(f"{SF}/embeddings.parquet") \
         .filter(F.col("vec_id") < 200)
@@ -568,13 +568,14 @@ def main() -> None:
     kcents = [[2000000 + 100 * j + i for i in range(64)]
               for j in range(4)]
     kassign = ku.select("vec_id", "u",
-                        assign_units(F.col("u"), kcents).alias("cluster"))
+                        _assign_pdf(kcents)(F.col("u"))
+                        .getField("cluster").alias("cluster"))
     aplan = plan_of(kassign)
     sections.append((
-        "k-means assignment (map-side argmin against centroid "
-        "literals — zero Exchange)",
+        "k-means assignment (map-side Arrow-batched argmin against "
+        "broadcast-literal centroids — zero Exchange)",
         aplan,
-        ["Project"],
+        ["ArrowEvalPython"],
     ))
     assert "Exchange" not in aplan, \
         "k-means assignment must not shuffle!"
