@@ -1,0 +1,661 @@
+"""Pure-Python Brotli decoder (RFC 7932), decompression only.
+
+Clean-room implementation from the public spec
+(https://www.rfc-editor.org/rfc/rfc7932): LSB-first bit stream, stream
+header (WBITS), meta-block headers (metadata-skip, uncompressed,
+compressed), simple and complex canonical prefix codes (incl. the
+fixed code-length code, 16/17 run-length symbols with the nested
+repeat-count extension, and single-symbol degenerate codes),
+block-type/block-count switching for all three categories, context
+modes (LSB6/MSB6/UTF8/SIGNED), context maps with run-length-encoded
+zeros and the inverse move-to-front transform, the 704-symbol
+insert-and-copy command alphabet, the distance ring buffer with the 16
+short codes, postfix/direct distance decomposition, and static
+dictionary references with all 121 word transforms (ferment-first /
+ferment-all / omit-first-N / omit-last-N plus prefix/suffix strings).
+
+Closes the last two compression gates the same way the LZ4/Snappy and
+Zstd decoders closed theirs (io/lz4_snappy.py, io/zstd_codec.py):
+
+* the ``.br`` head-read gate in io/sources.py (driver-side bounded
+  sniffs — ``max_out`` stops decoding once enough plaintext exists);
+* ``Content-Encoding: br`` in io/warc.py (per-record bodies; roughly
+  half of real web responses are brotli-encoded, so a WARC reader
+  without it drops half the crawl).
+
+Spec constant tables ride in ``brotli_data.bin`` next to this module:
+
+* bytes [0:122784] — the RFC 7932 Appendix A static dictionary,
+  SHA-256 ``20e42eb1b511c21806d4d227d07e5dd06877d8ce7b3a817f378f313653
+  f35c70`` (the digest the RFC itself publishes), verified at load;
+* bytes [122784:124832] — the context lookup table, laid out as four
+  modes x (256-entry p1 table + 256-entry p2 table); the computable
+  halves (LSB6 = i & 63, MSB6 = i >> 2, the zero p2 blocks, and
+  SIGNED-p1 == SIGNED-p2 << 3) are re-derived and asserted at load.
+
+Conformance is tested against pyarrow's bundled libbrotli encoder (an
+independent C implementation) across all quality levels and payload
+shapes, including dictionary-transform-heavy English text.
+
+Reference parity note: the reference engine (apicrafter/metacrafter)
+has no brotli support at all — this exists for the WARC/web-corpus
+surface, where Common-Crawl-style records carry brotli bodies.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import struct
+
+_M = (1 << 64) - 1
+
+_DATA_PATH = os.path.join(os.path.dirname(__file__), "brotli_data.bin")
+_DICT_SHA256 = "20e42eb1b511c21806d4d227d07e5dd06877d8ce7b3a817f378f313653f35c70"
+
+_DICTIONARY: bytes = b""
+_CONTEXT_LUT: bytes = b""
+
+
+def _load_tables() -> None:
+    global _DICTIONARY, _CONTEXT_LUT
+    if _DICTIONARY:
+        return
+    with open(_DATA_PATH, "rb") as f:
+        blob = f.read()
+    if len(blob) != 122784 + 2048:
+        raise ValueError("brotli_data.bin has unexpected size")
+    d = blob[:122784]
+    if hashlib.sha256(d).hexdigest() != _DICT_SHA256:
+        raise ValueError("brotli static dictionary failed its RFC 7932 digest")
+    lut = blob[122784:]
+    # Re-derive the computable parts (RFC 7932 section 7.1) so a corrupt
+    # or mis-ordered table cannot load silently.
+    if not all(lut[i] == (i & 63) for i in range(256)):
+        raise ValueError("context LUT: LSB6 p1 table corrupt")
+    if any(lut[256:512]) or any(lut[768:1024]):
+        raise ValueError("context LUT: zero blocks corrupt")
+    if not all(lut[512 + i] == (i >> 2) for i in range(256)):
+        raise ValueError("context LUT: MSB6 p1 table corrupt")
+    if not all(lut[1536 + i] == lut[1792 + i] << 3 for i in range(256)):
+        raise ValueError("context LUT: SIGNED tables corrupt")
+    _DICTIONARY, _CONTEXT_LUT = d, lut
+
+
+class BrotliError(ValueError):
+    pass
+
+
+# ------------------------------------------------------------- bit reader
+
+
+class _Bits:
+    """LSB-first bit reader.  Peeks zero-pad past the end; advancing past
+    the end raises (truncation detection)."""
+
+    __slots__ = ("data", "pos", "total")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.total = len(data) * 8
+
+    def peek(self, n: int) -> int:
+        p = self.pos
+        i = p >> 3
+        nbytes = (n + (p & 7) + 7) >> 3
+        chunk = self.data[i:i + nbytes]
+        return (int.from_bytes(chunk, "little") >> (p & 7)) & ((1 << n) - 1)
+
+    def skip(self, n: int) -> None:
+        self.pos += n
+        if self.pos > self.total:
+            raise BrotliError("truncated brotli stream")
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        v = self.peek(n)
+        self.skip(n)
+        return v
+
+    def align_byte(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+        if self.pos > self.total:
+            raise BrotliError("truncated brotli stream")
+
+    def read_aligned_bytes(self, n: int) -> bytes:
+        if self.pos & 7:
+            raise BrotliError("unaligned byte read")
+        i = self.pos >> 3
+        if i + n > len(self.data):
+            raise BrotliError("truncated brotli stream")
+        self.pos += n * 8
+        return self.data[i:i + n]
+
+
+# --------------------------------------------------------- prefix codes
+
+# A prefix code is (table, maxbits) where table[peek(maxbits)] =
+# (symbol << 4) | codelength.  maxbits == 0 means a single-symbol code
+# that consumes no bits.
+
+
+def _reverse_bits(v: int, n: int) -> int:
+    r = 0
+    for _ in range(n):
+        r = (r << 1) | (v & 1)
+        v >>= 1
+    return r
+
+
+def _build_prefix(lengths) -> tuple:
+    """Canonical prefix code from code lengths (RFC 1951 convention:
+    within the LSB-first stream each code is packed starting from its
+    most significant bit)."""
+    syms = [(l, s) for s, l in enumerate(lengths) if l > 0]
+    if not syms:
+        raise BrotliError("empty prefix code")
+    if len(syms) == 1:
+        return [syms[0][1] << 4], 0
+    syms.sort()
+    maxbits = syms[-1][0]
+    table = [0] * (1 << maxbits)
+    code = 0
+    prev_len = syms[0][0]
+    space = 1 << maxbits
+    for l, s in syms:
+        code <<= (l - prev_len)
+        prev_len = l
+        if code >= (1 << l):
+            raise BrotliError("over-subscribed prefix code")
+        entry = (s << 4) | l
+        base = _reverse_bits(code, l)
+        step = 1 << l
+        for idx in range(base, 1 << maxbits, step):
+            table[idx] = entry
+        space -= 1 << (maxbits - l)
+        code += 1
+    if space != 0:
+        raise BrotliError("incomplete prefix code")
+    return table, maxbits
+
+
+def _decode(br: _Bits, code) -> int:
+    table, maxbits = code
+    if maxbits == 0:
+        return table[0] >> 4
+    e = table[br.peek(maxbits)]
+    br.skip(e & 15)
+    return e >> 4
+
+
+# Fixed code for the code-length code lengths (RFC 7932 section 3.5).
+# Read order (first-read bit listed first): 00->0 10->4 01->3
+# 110->2 1110->1 1111->5.
+def _read_cl_code_length(br: _Bits) -> int:
+    if br.read(1) == 0:
+        return 0 if br.read(1) == 0 else 3
+    if br.read(1) == 0:
+        return 4
+    if br.read(1) == 0:
+        return 2
+    return 1 if br.read(1) == 0 else 5
+
+
+_CL_ORDER = (1, 2, 3, 4, 0, 5, 17, 6, 16, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+
+def _read_prefix_code(br: _Bits, alphabet_size: int):
+    hskip = br.read(2)
+    if hskip == 1:
+        # Simple code: up to 4 explicit symbols.
+        nbits = max(1, (alphabet_size - 1).bit_length())
+        nsym = br.read(2) + 1
+        symbols = []
+        for _ in range(nsym):
+            s = br.read(nbits)
+            if s >= alphabet_size:
+                raise BrotliError("simple-code symbol out of range")
+            if s in symbols:
+                raise BrotliError("duplicate simple-code symbol")
+            symbols.append(s)
+        lengths = [0] * alphabet_size
+        if nsym == 1:
+            lengths[symbols[0]] = 1  # placeholder; single-symbol path
+            return [symbols[0] << 4], 0
+        if nsym == 2:
+            lengths[symbols[0]] = lengths[symbols[1]] = 1
+        elif nsym == 3:
+            lengths[symbols[0]] = 1
+            lengths[symbols[1]] = lengths[symbols[2]] = 2
+        else:
+            if br.read(1):
+                lengths[symbols[0]] = 1
+                lengths[symbols[1]] = 2
+                lengths[symbols[2]] = lengths[symbols[3]] = 3
+            else:
+                for s in symbols:
+                    lengths[s] = 2
+        return _build_prefix(lengths)
+
+    # Complex code: first the code-length code, hskip entries skipped.
+    cl_lengths = [0] * 18
+    space = 32
+    num_codes = 0
+    for i in range(hskip, 18):
+        v = _read_cl_code_length(br)
+        cl_lengths[_CL_ORDER[i]] = v
+        if v:
+            space -= 32 >> v
+            num_codes += 1
+            if space <= 0:
+                break
+    if num_codes != 1 and space != 0:
+        raise BrotliError("invalid code-length code")
+    cl_code = _build_prefix(cl_lengths)
+
+    lengths = [0] * alphabet_size
+    symbol = 0
+    space = 32768
+    prev_nonzero = 8
+    repeat = 0
+    repeat_code = 0
+    while symbol < alphabet_size and space > 0:
+        v = _decode(br, cl_code)
+        if v < 16:
+            repeat = 0
+            lengths[symbol] = v
+            symbol += 1
+            if v:
+                prev_nonzero = v
+                space -= 32768 >> v
+        else:
+            extra = 2 if v == 16 else 3
+            new_len = prev_nonzero if v == 16 else 0
+            if repeat_code != v:
+                repeat = 0
+            repeat_code = v
+            old = repeat
+            if repeat:
+                repeat = (repeat - 2) << extra
+            repeat += br.read(extra) + 3
+            delta = repeat - old
+            if symbol + delta > alphabet_size:
+                raise BrotliError("repeat overruns alphabet")
+            for _ in range(delta):
+                lengths[symbol] = new_len
+                symbol += 1
+            if new_len:
+                space -= delta << (15 - new_len)
+    if space != 0:
+        raise BrotliError("prefix code does not fill the code space")
+    return _build_prefix(lengths)
+
+
+# ------------------------------------------------------ header varints
+
+
+def _read_256_count(br: _Bits) -> int:
+    """NBLTYPES / NTREES variable code: 1..256."""
+    if br.read(1) == 0:
+        return 1
+    k = br.read(3)
+    if k == 0:
+        return 2
+    return (1 << k) + 1 + br.read(k)
+
+
+def _read_window_bits(br: _Bits) -> int:
+    if br.read(1) == 0:
+        return 16
+    n = br.read(3)
+    if n:
+        return 17 + n
+    n = br.read(3)
+    if n == 0:
+        return 17
+    if n == 1:
+        raise BrotliError("invalid WBITS")
+    return 8 + n
+
+
+# --------------------------------------------------------- context maps
+
+
+def _read_context_map(br: _Bits, ntrees: int, size: int):
+    if ntrees == 1:
+        return bytes(size)
+    rlemax = 0
+    if br.read(1):
+        rlemax = br.read(4) + 1
+    code = _read_prefix_code(br, rlemax + ntrees)
+    cmap = bytearray(size)
+    i = 0
+    while i < size:
+        sym = _decode(br, code)
+        if sym == 0:
+            i += 1
+        elif sym <= rlemax:
+            run = (1 << sym) + br.read(sym)
+            if i + run > size:
+                raise BrotliError("context-map run overruns map")
+            i += run
+        else:
+            v = sym - rlemax
+            if v >= ntrees:
+                raise BrotliError("context-map value out of range")
+            cmap[i] = v
+            i += 1
+    if br.read(1):
+        # Inverse move-to-front.
+        mtf = list(range(256))
+        for j in range(size):
+            k = cmap[j]
+            v = mtf[k]
+            cmap[j] = v
+            if k:
+                del mtf[k]
+                mtf.insert(0, v)
+    return bytes(cmap)
+
+
+# ------------------------------------------------------ constant tables
+
+_INS_BASE = (0, 1, 2, 3, 4, 5, 6, 8, 10, 14, 18, 26, 34, 50, 66, 98,
+             130, 194, 322, 578, 1090, 2114, 6210, 22594)
+_INS_EXTRA = (0, 0, 0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5,
+              6, 7, 8, 9, 10, 12, 14, 24)
+_CP_BASE = (2, 3, 4, 5, 6, 7, 8, 9, 10, 12, 14, 18, 22, 30, 38, 54,
+            70, 102, 134, 198, 326, 582, 1094, 2118)
+_CP_EXTRA = (0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4,
+             5, 5, 6, 7, 8, 9, 10, 24)
+_BLK_BASE = (1, 5, 9, 13, 17, 25, 33, 41, 49, 65, 81, 97, 113, 145,
+             177, 209, 241, 305, 369, 497, 753, 1265, 2289, 4337, 8433,
+             16625)
+_BLK_EXTRA = (2, 2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5,
+              6, 6, 7, 8, 9, 10, 11, 12, 13, 24)
+
+# Insert-and-copy command ranges: cmd >> 6 selects (insert-code base,
+# copy-code base); commands below 128 additionally imply distance
+# code 0 (RFC 7932 section 5).
+_CMD_INS_RANGE = (0, 0, 0, 0, 8, 8, 0, 16, 8, 16, 16)
+_CMD_CP_RANGE = (0, 8, 0, 8, 0, 8, 16, 0, 16, 8, 16)
+
+# Distance short codes (RFC 7932 section 4): ring index offset (from the
+# most recent) and value delta.
+_SHORT_IDX = (0, 1, 2, 3, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1)
+_SHORT_DELTA = (0, 0, 0, 0, -1, 1, -2, 2, -3, 3, -1, 1, -2, 2, -3, 3)
+
+# Static dictionary: words per length (RFC 7932 Appendix A layout).
+_DICT_SIZE_BITS = (0, 0, 0, 0, 10, 10, 11, 11, 10, 10, 10, 10, 10, 9, 9,
+                   8, 7, 7, 8, 7, 7, 6, 6, 5, 5)
+_DICT_OFFSET = [0] * 26
+for _l in range(25):
+    _n = (_l << _DICT_SIZE_BITS[_l]) if _l >= 4 else 0
+    _DICT_OFFSET[_l + 1] = _DICT_OFFSET[_l] + _n
+assert _DICT_OFFSET[25] == 122784
+
+# Word transforms (RFC 7932 Appendix B): (prefix, op, suffix).
+# ops: 0 identity, 1 ferment-first, 2 ferment-all, 10+n omit-first-n,
+# 20+n omit-last-n.
+_T_ID, _T_UP1, _T_UPALL = 0, 1, 2
+_TRANSFORMS = (
+    (b"", 0, b""), (b"", 0, b" "), (b" ", 0, b" "), (b"", 11, b""),
+    (b"", 1, b" "), (b"", 0, b" the "), (b" ", 0, b""), (b"s ", 0, b" "),
+    (b"", 0, b" of "), (b"", 1, b""), (b"", 0, b" and "), (b"", 12, b""),
+    (b"", 21, b""), (b", ", 0, b" "), (b"", 0, b", "), (b" ", 1, b" "),
+    (b"", 0, b" in "), (b"", 0, b" to "), (b"e ", 0, b" "), (b"", 0, b"\""),
+    (b"", 0, b"."), (b"", 0, b"\">"), (b"", 0, b"\n"), (b"", 23, b""),
+    (b"", 0, b"]"), (b"", 0, b" for "), (b"", 13, b""), (b"", 22, b""),
+    (b"", 0, b" a "), (b"", 0, b" that "), (b" ", 1, b""), (b"", 0, b". "),
+    (b".", 0, b""), (b" ", 0, b", "), (b"", 14, b""), (b"", 0, b" with "),
+    (b"", 0, b"'"), (b"", 0, b" from "), (b"", 0, b" by "), (b"", 15, b""),
+    (b"", 16, b""), (b" the ", 0, b""), (b"", 24, b""), (b"", 0, b". The "),
+    (b"", 2, b""), (b"", 0, b" on "), (b"", 0, b" as "), (b"", 0, b" is "),
+    (b"", 27, b""), (b"", 21, b"ing "), (b"", 0, b"\n\t"), (b"", 0, b":"),
+    (b" ", 0, b". "), (b"", 0, b"ed "), (b"", 19, b""), (b"", 17, b""),
+    (b"", 26, b""), (b"", 0, b"("), (b"", 1, b", "), (b"", 28, b""),
+    (b"", 0, b" at "), (b"", 0, b"ly "), (b" the ", 0, b" of "), (b"", 25, b""),
+    (b"", 29, b""), (b" ", 1, b", "), (b"", 1, b"\""), (b".", 0, b"("),
+    (b"", 2, b" "), (b"", 1, b"\">"), (b"", 0, b"=\""), (b" ", 0, b"."),
+    (b".com/", 0, b""), (b" the ", 0, b" of the "), (b"", 1, b"'"),
+    (b"", 0, b". This "), (b"", 0, b","), (b".", 0, b" "), (b"", 1, b"("),
+    (b"", 1, b"."), (b"", 0, b" not "), (b" ", 0, b"=\""), (b"", 0, b"er "),
+    (b" ", 2, b" "), (b"", 0, b"al "), (b" ", 2, b""), (b"", 0, b"='"),
+    (b"", 2, b"\""), (b"", 1, b". "), (b" ", 0, b"("), (b"", 0, b"ful "),
+    (b" ", 1, b". "), (b"", 0, b"ive "), (b"", 0, b"less "), (b"", 2, b"'"),
+    (b"", 0, b"est "), (b" ", 1, b"."), (b"", 2, b"\">"), (b" ", 0, b"='"),
+    (b"", 1, b","), (b"", 0, b"ize "), (b"", 2, b"."), (b"\xc2\xa0", 0, b""),
+    (b" ", 0, b","), (b"", 1, b"=\""), (b"", 2, b"=\""), (b"", 0, b"ous "),
+    (b"", 2, b", "), (b"", 1, b"='"), (b" ", 1, b","), (b" ", 2, b"=\""),
+    (b" ", 2, b", "), (b"", 2, b","), (b"", 2, b"("), (b"", 2, b". "),
+    (b" ", 2, b"."), (b"", 2, b"='"), (b" ", 2, b". "), (b" ", 1, b"=\""),
+    (b" ", 2, b"='"), (b" ", 1, b"='"),
+)
+assert len(_TRANSFORMS) == 121
+
+
+def _ferment(buf: bytearray, pos: int) -> int:
+    """Uppercase one (pseudo-UTF-8) character in place; returns its
+    byte length (RFC 7932 section 8)."""
+    c = buf[pos]
+    if c < 192:
+        if 97 <= c <= 122:
+            buf[pos] ^= 32
+        return 1
+    if c < 224:
+        if pos + 1 < len(buf):
+            buf[pos + 1] ^= 32
+        return 2
+    if pos + 2 < len(buf):
+        buf[pos + 2] ^= 5
+    return 3
+
+
+def _transform_word(word: bytes, tid: int) -> bytes:
+    prefix, op, suffix = _TRANSFORMS[tid]
+    if 10 < op < 20:       # omit-first-n
+        n = op - 10
+        word = word[n:] if n < len(word) else b""
+    elif op > 20:          # omit-last-n
+        n = op - 20
+        word = word[:-n] if n < len(word) else b""
+    body = bytearray(word)
+    if op == _T_UP1 and body:
+        _ferment(body, 0)
+    elif op == _T_UPALL:
+        i = 0
+        while i < len(body):
+            i += _ferment(body, i)
+    return prefix + bytes(body) + suffix
+
+
+# ------------------------------------------------------------- decoder
+
+
+def decompress(data: bytes, max_out: int = None) -> bytes:
+    """Decode a complete brotli stream.  ``max_out`` stops decoding once
+    that many output bytes exist (head reads) — the result may then be
+    longer than ``max_out`` by at most one copy/word."""
+    _load_tables()
+    lut = _CONTEXT_LUT
+    dictionary = _DICTIONARY
+    br = _Bits(data)
+    wbits = _read_window_bits(br)
+    window = (1 << wbits) - 16
+    out = bytearray()
+    # Distance ring buffer: stream-level state (survives meta-block
+    # boundaries).  Initial last-four distances, most recent first:
+    # 4, 11, 15, 16.  ring[ridx & 3] is the most recent.
+    ring = [16, 15, 11, 4]
+    ridx = 3
+
+    while True:
+        islast = br.read(1)
+        if islast and br.read(1):       # ISLASTEMPTY
+            break
+        mnib = br.read(2)
+        if mnib == 3:
+            # Metadata block.
+            if br.read(1):
+                raise BrotliError("reserved metadata bit set")
+            skip_bytes = br.read(2)
+            skiplen = 0
+            if skip_bytes:
+                v = br.read(8 * skip_bytes)
+                if skip_bytes > 1 and (v >> (8 * (skip_bytes - 1))) == 0:
+                    raise BrotliError("non-minimal MSKIPLEN")
+                skiplen = v + 1
+            br.align_byte()
+            br.read_aligned_bytes(skiplen)
+            if islast:
+                raise BrotliError("metadata block cannot be last")
+            continue
+        mlen = br.read(16 + 4 * mnib) + 1
+        if not islast and br.read(1):   # ISUNCOMPRESSED
+            br.align_byte()
+            out += br.read_aligned_bytes(mlen)
+            if max_out is not None and len(out) >= max_out:
+                return bytes(out)
+            continue
+
+        # --- compressed meta-block header ---
+        nbltypes = [0, 0, 0]
+        btype_codes = [None, None, None]
+        bcount_codes = [None, None, None]
+        blen = [1 << 60] * 3
+        btype = [0, 0, 0]
+        btype_prev = [1, 1, 1]
+        for c in range(3):
+            n = _read_256_count(br)
+            nbltypes[c] = n
+            if n > 1:
+                btype_codes[c] = _read_prefix_code(br, n + 2)
+                bcount_codes[c] = _read_prefix_code(br, 26)
+                sym = _decode(br, bcount_codes[c])
+                blen[c] = _BLK_BASE[sym] + br.read(_BLK_EXTRA[sym])
+
+        npostfix = br.read(2)
+        ndirect = br.read(4) << npostfix
+        postfix_mask = (1 << npostfix) - 1
+        cmodes = [br.read(2) for _ in range(nbltypes[0])]
+        ntrees_l = _read_256_count(br)
+        cmap_l = _read_context_map(br, ntrees_l, 64 * nbltypes[0])
+        ntrees_d = _read_256_count(br)
+        cmap_d = _read_context_map(br, ntrees_d, 4 * nbltypes[2])
+        lit_codes = [_read_prefix_code(br, 256) for _ in range(ntrees_l)]
+        cmd_codes = [_read_prefix_code(br, 704) for _ in range(nbltypes[1])]
+        dist_alpha = 16 + ndirect + (48 << npostfix)
+        dist_codes = [_read_prefix_code(br, dist_alpha)
+                      for _ in range(ntrees_d)]
+
+        def _switch(c: int) -> None:
+            sym = _decode(br, btype_codes[c])
+            if sym == 0:
+                t = btype_prev[c]
+            elif sym == 1:
+                t = (btype[c] + 1) % nbltypes[c]
+            else:
+                t = sym - 2
+            btype_prev[c] = btype[c]
+            btype[c] = t
+            s2 = _decode(br, bcount_codes[c])
+            blen[c] = _BLK_BASE[s2] + br.read(_BLK_EXTRA[s2])
+
+        while mlen > 0:
+            if blen[1] == 0:
+                _switch(1)
+            blen[1] -= 1
+            cmd = _decode(br, cmd_codes[btype[1]])
+            rng = cmd >> 6
+            ins_code = _CMD_INS_RANGE[rng] + ((cmd >> 3) & 7)
+            cp_code = _CMD_CP_RANGE[rng] + (cmd & 7)
+            implicit_d0 = cmd < 128
+            ilen = _INS_BASE[ins_code] + br.read(_INS_EXTRA[ins_code])
+            clen = _CP_BASE[cp_code] + br.read(_CP_EXTRA[cp_code])
+
+            for _ in range(ilen):
+                if blen[0] == 0:
+                    _switch(0)
+                blen[0] -= 1
+                bt = btype[0]
+                mode = cmodes[bt]
+                p1 = out[-1] if out else 0
+                p2 = out[-2] if len(out) > 1 else 0
+                ctx = lut[(mode << 9) + p1] | lut[(mode << 9) + 256 + p2]
+                tree = cmap_l[(bt << 6) + ctx]
+                out.append(_decode(br, lit_codes[tree]))
+            mlen -= ilen
+            if mlen <= 0:
+                if mlen < 0:
+                    raise BrotliError("insert overruns MLEN")
+                break
+            if max_out is not None and len(out) >= max_out:
+                return bytes(out)
+
+            dcode = 0
+            if not implicit_d0:
+                if blen[2] == 0:
+                    _switch(2)
+                blen[2] -= 1
+                cid = min(clen, 5) - 2
+                tree = cmap_d[(btype[2] << 2) + cid]
+                dcode = _decode(br, dist_codes[tree])
+
+            if dcode < 16:
+                last = ring[(ridx - _SHORT_IDX[dcode]) & 3]
+                distance = last + _SHORT_DELTA[dcode]
+                if distance <= 0:
+                    raise BrotliError("non-positive short distance")
+            elif dcode < 16 + ndirect:
+                distance = dcode - 15
+            else:
+                x = dcode - ndirect - 16
+                hcode = x >> npostfix
+                lcode = x & postfix_mask
+                ndistbits = 1 + (hcode >> 1)
+                extra = br.read(ndistbits)
+                offset = ((2 + (hcode & 1)) << ndistbits) - 4
+                distance = ((offset + extra) << npostfix) + lcode + ndirect + 1
+
+            maxdist = window if len(out) > window else len(out)
+            if distance <= maxdist:
+                if clen > mlen:
+                    raise BrotliError("copy overruns MLEN")
+                if distance >= clen:
+                    start = len(out) - distance
+                    out += out[start:start + clen]
+                else:
+                    for _ in range(clen):
+                        out.append(out[-distance])
+                mlen -= clen
+                if dcode != 0:
+                    ridx = (ridx + 1) & 3
+                    ring[ridx & 3] = distance
+            else:
+                # Static dictionary reference.
+                if clen < 4 or clen > 24:
+                    raise BrotliError("dictionary copy length out of range")
+                word_id = distance - maxdist - 1
+                bits = _DICT_SIZE_BITS[clen]
+                index = word_id & ((1 << bits) - 1)
+                tid = word_id >> bits
+                if tid >= 121:
+                    raise BrotliError("transform id out of range")
+                off = _DICT_OFFSET[clen] + index * clen
+                word = dictionary[off:off + clen]
+                piece = _transform_word(word, tid)
+                out += piece
+                mlen -= len(piece)
+                if mlen < 0:
+                    raise BrotliError("dictionary word overruns MLEN")
+            if max_out is not None and len(out) >= max_out:
+                return bytes(out)
+
+        if islast:
+            break
+        if max_out is not None and len(out) >= max_out:
+            return bytes(out)
+
+    return bytes(out)

@@ -130,8 +130,13 @@ def _head_bytes(path: str, n: int = 1 << 20) -> bytes:
     if path.endswith(".br"):
         try:
             import brotli
-        except ImportError as e:
-            raise NotImplementedError("br head read needs brotli") from e
+        except ImportError:
+            # round 5: clean-room pure-Python RFC 7932 decoder
+            # (conformance vs pyarrow's libbrotli in tests) — gate gone
+            from metacrafter_spark.io.brotli_codec import decompress
+
+            with open(path, "rb") as f:
+                return decompress(f.read(), max_out=n)[:n]
         with open(path, "rb") as f:
             return brotli.decompress(f.read())[:n]
     opener = open

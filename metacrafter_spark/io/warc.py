@@ -28,9 +28,10 @@ each shard group writes one ``.warc.gz`` (warcinfo head + one gzip
 member per response record, mtime pinned to 0 so bytes are
 deterministic) and its ``.cdx`` sidecar, atomically via rename.
 
-Honest gates: ``Content-Encoding: br`` raises ``NotImplementedError``
-(no brotli decoder in-repo); truncated members/records/chunks raise
-``ValueError`` with offsets.
+``Content-Encoding: br`` decodes through the in-repo clean-room
+RFC 7932 decoder (io/brotli_codec.py) when no native brotli wheel is
+installed; truncated members/records/chunks raise ``ValueError`` with
+offsets.
 """
 
 from __future__ import annotations
@@ -209,8 +210,9 @@ def _dechunk(body: bytes) -> bytes:
 def parse_http_response(payload: bytes) -> tuple[int, dict, bytes]:
     """``(status, headers, decoded_body)`` of an HTTP/1.x response.
 
-    Handles chunked transfer-encoding and gzip/deflate
-    content-encoding; ``br`` gates honestly (no brotli in-repo).
+    Handles chunked transfer-encoding and gzip/deflate/br
+    content-encoding (``br`` via the in-repo RFC 7932 decoder when no
+    native brotli wheel is installed).
     """
     sep = payload.find(b"\r\n\r\n")
     if sep < 0:
@@ -248,7 +250,14 @@ def parse_http_response(payload: bytes) -> tuple[int, dict, bytes]:
         except zlib.error:
             body = zlib.decompress(body, -15)   # raw-deflate servers
     elif ce == "br":
-        raise NotImplementedError("Content-Encoding: br needs brotli")
+        try:
+            import brotli
+
+            body = brotli.decompress(body)
+        except ImportError:
+            from metacrafter_spark.io.brotli_codec import decompress
+
+            body = decompress(body)
     elif ce not in ("", "identity"):
         raise NotImplementedError(f"Content-Encoding: {ce}")
     return status, headers, body

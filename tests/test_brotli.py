@@ -1,0 +1,125 @@
+"""Clean-room brotli decoder (io/brotli_codec.py) — conformance against
+pyarrow's bundled libbrotli encoder (an independent C implementation),
+across all quality levels, payload shapes (dictionary-transform-heavy
+English/HTML, incompressible, repetitive, UTF-8), multi-meta-block
+sizes, head reads, and the truncation/garbage error contract."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from metacrafter_spark.io.brotli_codec import _load_tables, decompress
+
+
+def _bc(level):
+    return pa.Codec("brotli", compression_level=level)
+
+
+def _english(n):
+    # Heavy in static-dictionary words so dictionary references and word
+    # transforms (ferment, omit, suffix forms) get exercised.
+    para = (b"The time of the people is now. This is a very important "
+            b"question for the development of the world and the history "
+            b"of the American government, which should be able to provide "
+            b'information about all different services available to the '
+            b'public through the Internet. "Because" there are many other '
+            b"things that would have been used, the first section "
+            b"describes what the University, The National Association and "
+            b"THE INTERNATIONAL community received. ")
+    out = bytearray()
+    while len(out) < n:
+        out += para
+    return bytes(out[:n])
+
+
+def _html(n):
+    page = (b'<a href="http://www.example.com/index.html" class="main">'
+            b'Example</a><div id="content" style="display:none">Text</div>')
+    out = bytearray()
+    while len(out) < n:
+        out += page
+    return bytes(out[:n])
+
+
+def _semirandom(n, seed=424242):
+    x, b = seed, bytearray()
+    while len(b) < n:
+        x = (x * 6364136223846793005 + 1442695040888963407) & ((1 << 64) - 1)
+        b += (x >> 16).to_bytes(6, "little")
+    return bytes(b[:n])
+
+
+PAYLOADS = {
+    "empty": b"",
+    "one": b"a",
+    "english": _english(50000),
+    "html": _html(40000),
+    "semirandom": _semirandom(100000),   # uncompressed meta-blocks
+    "repetitive": b"abcabcabd" * 20000,  # backward refs + ring reuse
+    "allbytes": bytes(range(256)) * 300,
+    "utf8": ("Ünïcode tëxt — café déjà vu žluťoučký kůň 中文 " * 800).encode(),
+}
+
+
+@pytest.mark.parametrize("name", sorted(PAYLOADS))
+@pytest.mark.parametrize("level", [1, 2, 5, 9, 11])
+def test_roundtrip_vs_libbrotli(name, level):
+    data = PAYLOADS[name]
+    comp = _bc(level).compress(data, asbytes=True)
+    assert decompress(comp) == data
+
+
+def test_multi_metablock_large_input():
+    # > 4 MiB forces several meta-blocks and exercises cross-meta-block
+    # ring-buffer / context-byte continuity.
+    big = b"the quick brown fox jumps over the lazy dog. " * 120000
+    for level in (1, 9):
+        comp = _bc(level).compress(big, asbytes=True)
+        assert decompress(comp) == big
+
+
+def test_max_out_stops_early_and_is_prefix_exact():
+    big = _english(2_000_000)
+    comp = _bc(9).compress(big, asbytes=True)
+    head = decompress(comp, max_out=4096)
+    assert len(head) >= 4096
+    assert head == big[:len(head)]
+
+
+def test_truncation_raises():
+    comp = _bc(5).compress(_english(50000), asbytes=True)
+    for cut in (0, 1, 3, len(comp) // 2, len(comp) - 1):
+        with pytest.raises(ValueError):
+            decompress(comp[:cut])
+
+
+def test_garbage_raises_not_crashes():
+    for junk in (b"xxxx", b"\xff" * 64, _semirandom(512, seed=7)):
+        try:
+            decompress(junk)
+        except ValueError:
+            pass  # BrotliError is a ValueError
+
+
+def test_static_dictionary_matches_rfc_digest():
+    # _load_tables pins the dictionary to the SHA-256 that RFC 7932
+    # itself publishes and re-derives the computable context-LUT parts;
+    # a corrupt data file cannot load.
+    _load_tables()
+    from metacrafter_spark.io import brotli_codec
+
+    assert len(brotli_codec._DICTIONARY) == 122784
+    # spot words at known (length, index) slots resolve to real text
+    assert brotli_codec._DICTIONARY[:4] == b"time"
+
+
+def test_br_head_read_scan_gate(tmp_path):
+    # io/sources.py .br suffix path end-to-end without a brotli wheel.
+    from metacrafter_spark.io.sources import _head_bytes
+
+    text = _english(30000)
+    p = tmp_path / "docs.csv.br"
+    p.write_bytes(_bc(5).compress(text, asbytes=True))
+    head = _head_bytes(str(p), 1000)
+    assert head == text[:1000]

@@ -74,10 +74,20 @@ def test_http_raw_deflate_server():
     assert status == 200 and decoded == body
 
 
-def test_http_brotli_gates():
-    head = (b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nxxxx")
-    with pytest.raises(NotImplementedError):
-        parse_http_response(head)
+def test_http_brotli_body_decodes():
+    # round 5: the br gate is gone — bodies decode through the clean-room
+    # RFC 7932 decoder (io/brotli_codec.py).
+    import pyarrow as pa
+
+    body = b"<html><body>brotli-encoded page body</body></html>" * 20
+    wire = pa.Codec("brotli", compression_level=5).compress(body, asbytes=True)
+    head = b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\n" + wire
+    status, _, decoded = parse_http_response(head)
+    assert status == 200 and decoded == body
+
+    # malformed br payloads still raise ValueError, not a crash
+    with pytest.raises(ValueError):
+        parse_http_response(b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nxxxx")
 
 
 def test_http_header_folding_and_dupes():
