@@ -1001,6 +1001,51 @@ def q_robots_header(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_image_dhash(spark, sf_dir):
+    """Perceptual image hashing through the REAL multimodal path
+    (round 5, ops/imagehash.py): deterministic 9×8 grayscale images are
+    synthesized in-plan (pixel bytes = sha256 chain of each document's
+    text), encoded as real 24-bpp BMP containers, then decoded by the
+    clean-room BMP decoder and dHashed by the exact-integer kernel —
+    container encode → decode → luma → grid → 64 comparisons all live.
+    The oracle re-derives every pixel from the same sha256 chain and
+    replays the 64 cross-comparisons + two's-complement bit packing in
+    SQL, so a regression ANYWHERE in the decode/hash path breaks the
+    hash match.  (Grayscale pixels make the BT.601 luma exact — the
+    weights sum to 1000 — and the 9×8 dims make the grid the identity,
+    so the SQL replay needs no rational block arithmetic; bigger-image
+    block math is pinned by the Fraction replay in
+    tests/test_imagehash.py.)"""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from metacrafter_spark.ops.imagehash import with_image_dhash
+
+    docs = (_t(spark, sf_dir, "documents")
+            .filter((F.col("doc_id") < 200) & F.col("text").isNotNull())
+            .select("doc_id", "text"))
+    hx = F.concat(F.sha2(F.col("text"), 256),
+                  F.sha2(F.concat(F.col("text"), F.lit("1")), 256),
+                  F.sha2(F.concat(F.col("text"), F.lit("2")), 256))
+
+    def _to_bmp(col):
+        from metacrafter_spark.ops.gif_bmp_codec import encode_bmp
+
+        out = []
+        for h in col:
+            g = np.frombuffer(bytes.fromhex(h[:144]), dtype=np.uint8)
+            out.append(encode_bmp(np.repeat(g.reshape(8, 9)[:, :, None],
+                                            3, axis=2)))
+        return pd.Series(out)
+
+    to_bmp = pandas_udf(_to_bmp, "binary")
+
+    img = docs.select("doc_id", to_bmp(hx).alias("content"))
+    return (with_image_dhash(img, "content", "dhash", strict=True)
+            .select("doc_id", "dhash").orderBy("doc_id"))
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic 10% Bernoulli-by-hash sample of documents — the
     membership predicate is pure integer arithmetic on doc_id (Knuth
@@ -1788,6 +1833,46 @@ def q_warc_roundtrip(spark, sf_dir):
         F.sha2(F.col("tx"), 256).alias("extract_sha"),
         F.length("tx").alias("n_chars"),
         F.col("http_status").cast("int").alias("http_status"),
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("warc_dt"),
+    ).orderBy("doc_id")
+
+
+def q_wet_roundtrip(spark, sf_dir):
+    """WET container round-trip (round 5, io/warc.py WET section): the
+    BASELINE-shape corpus's extracted text is exported distributively
+    as member-per-record ``*.warc.wet.gz`` shards (ISO 28500
+    ``conversion`` records, Common Crawl's WET layout — deterministic
+    bytes, WARC-Refers-To citing the matching response record ids by
+    construction) and read back via the whole-file WET scan.  The
+    oracle hashes the committed fixture's url/text columns directly —
+    hash equality proves WET framing, gzip members, UTF-8 payload and
+    timestamp round-trip on all 2000 documents."""
+    import shutil
+    import tempfile
+
+    from metacrafter_spark.corpus.webpages import synth_webpages
+    from metacrafter_spark.io.warc import scan_wet, write_wet_shards
+
+    out_dir = os.path.join(tempfile.gettempdir(), "mc_wet_q_2000_42")
+    done = os.path.join(out_dir, "_DONE")
+    if not os.path.exists(done):
+        if os.path.exists(out_dir):
+            shutil.rmtree(out_dir)
+        os.makedirs(out_dir)
+        corpus = synth_webpages(spark, 2000, seed=42, partitions=8)
+        n = sum(r["n_records"]
+                for r in write_wet_shards(
+                    corpus.select("url", "warc_ts", "text"),
+                    out_dir, 4).collect())
+        assert n == 2000, n
+        open(done, "w").close()
+    scanned = scan_wet(spark, os.path.join(out_dir, "*.warc.wet.gz"))
+    return scanned.select(
+        F.regexp_extract("url", r"/article/(\d+)$", 1).cast("long")
+        .alias("doc_id"),
+        F.sha2(F.col("url"), 256).alias("url_sha"),
+        F.sha2(F.col("text"), 256).alias("text_sha"),
+        F.length("text").alias("n_chars"),
         F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("warc_dt"),
     ).orderBy("doc_id")
 
@@ -3154,6 +3239,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_spans": q_decontaminate_spans,
         "repetition_stats": q_repetition_stats,
         "robots_header": q_robots_header,
+        # real BMP decode + exact-integer dHash, every pixel and every
+        # hash bit replayed in SQL (round 5)
+        "image_dhash": q_image_dhash,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "budget_mix": q_budget_mix,
@@ -3194,6 +3282,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pdf:binary → text layer, byte-identity per doc (round 5)
         "pdf_extract_text": q_pdf_extract_text,
         "warc_roundtrip": q_warc_roundtrip,
+        # WET (extracted-text conversion records) export + scan (round 5)
+        "wet_roundtrip": q_wet_roundtrip,
         # pure-Python Iceberg v2 layer: append + dynamic partition
         # overwrite + time travel, read back through the manifest
         # metadata (round 5)
@@ -4267,6 +4357,42 @@ def _semdedup_trained_oracle_sql(k: int = 4, iterations: int = 2,
             JOIN (SELECT component, rep_id FROM rep WHERE rn = 1) r
               USING (component)
             ORDER BY m.vec_id
+    """
+
+
+def _image_dhash_sql() -> str:
+    """DuckDB replay of q_image_dhash: pixel byte k of the synthetic
+    9×8 image is hex pair k of the sha256 chain; grayscale pixels make
+    luma ∝ the byte and the 9×8 grid is the identity, so dHash bit
+    r·8+c is exactly byte[r·9+c] < byte[r·9+c+1].  Bits sum in HUGEINT
+    (bit 63 contributes −2^63 — two's complement) then cast to BIGINT,
+    matching Spark's signed long."""
+
+    def byte(k: int) -> str:
+        return (f"((strpos('0123456789abcdef', substr(hx, {2 * k + 1}, 1))"
+                f" - 1) * 16 + strpos('0123456789abcdef',"
+                f" substr(hx, {2 * k + 2}, 1)) - 1)")
+
+    terms = []
+    for r in range(8):
+        for c in range(8):
+            b = r * 8 + c
+            val = "-9223372036854775808" if b == 63 else str(1 << b)
+            terms.append(
+                f"CASE WHEN {byte(r * 9 + c)} < {byte(r * 9 + c + 1)}"
+                f" THEN CAST({val} AS HUGEINT) ELSE 0 END"
+            )
+    total = "\n                 + ".join(terms)
+    return f"""
+        WITH h AS (
+          SELECT doc_id,
+                 sha256(text) || sha256(text || '1')
+                              || sha256(text || '2') AS hx
+          FROM documents
+          WHERE doc_id < 200 AND text IS NOT NULL)
+        SELECT doc_id,
+               CAST({total} AS BIGINT) AS dhash
+        FROM h ORDER BY doc_id
     """
 
 
@@ -5911,6 +6037,9 @@ def oracle_sql() -> dict[str, str]:
                        x -> x IN ('nofollow', 'none'))) > 0 AS nofollow
             FROM t ORDER BY doc_id
         """,
+        # image_dhash: every pixel re-derived from the sha256 chain,
+        # all 64 grid comparisons + two's-complement packing in SQL
+        "image_dhash": _image_dhash_sql(),
         "sitemap_recrawl": r"""
             WITH src AS (
               SELECT regexp_extract(url, '/article/(\d+)$', 1)::BIGINT
@@ -6216,6 +6345,15 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text) AS extract_sha,
                    length(text)::BIGINT AS n_chars,
                    200::INT AS http_status,
+                   strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS warc_dt
+            FROM read_parquet('""" + WEBCORPUS_FIXTURE + """')
+            ORDER BY doc_id
+        """),
+        "wet_roundtrip": ("""
+            SELECT regexp_extract(url, '/article/(\\d+)$', 1)::BIGINT AS doc_id,
+                   sha256(url) AS url_sha,
+                   sha256(text) AS text_sha,
+                   length(text)::BIGINT AS n_chars,
                    strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS warc_dt
             FROM read_parquet('""" + WEBCORPUS_FIXTURE + """')
             ORDER BY doc_id

@@ -258,6 +258,47 @@ def main() -> None:
             .mode("overwrite").save()
         best = min(best, time.perf_counter() - t0)
     qtimes["repetition_stats"] = round(best, 3)
+
+    # image-hash row: one real 64×72 RGB BMP per document (seeded-RNG
+    # pixels; consecutive id pairs share a base image, the odd member
+    # brightness-shifted +3 — a clip-free shift dHash is exactly
+    # invariant to, so every pair is a planted distance-0 near-dup).
+    # Measures: real BMP decode → exact-integer dHash (map-side Arrow
+    # kernel) → Manku-blocked pair join; image bytes never shuffle.
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    import numpy as _np
+    import pandas as _pd
+
+    def _mk_bmp(mids):
+        from metacrafter_spark.ops.gif_bmp_codec import encode_bmp
+        out = []
+        for mid in mids:
+            rng = _np.random.default_rng(int(mid) // 2)
+            img = rng.integers(0, 250, size=(64, 72, 3), dtype=_np.uint8)
+            if mid % 2:
+                img = img + 3
+            out.append(encode_bmp(img))
+        return _pd.Series(out)
+
+    from metacrafter_spark.ops.imagehash import image_near_dups
+
+    # cache the synthesized containers so the row times decode+hash+join,
+    # not image generation (~280 MB at 20k docs — fits comfortably)
+    media = corpus.select(
+        d.alias("media_id"),
+        _pudf(_mk_bmp, "binary")(d).alias("content")).cache()
+    media.count()
+    best = float("inf")
+    pair_n = -1
+    for _ in range(2):
+        t0 = time.perf_counter()
+        pairs = image_near_dups(media, max_distance=3)
+        pair_n = pairs.count()
+        best = min(best, time.perf_counter() - t0)
+    media.unpersist()
+    assert pair_n == n // 2, f"planted image dups: {pair_n} != {n // 2}"
+    qtimes["image_dhash_dedup"] = round(best, 3)
     total = round(sum(qtimes.values()), 3)
 
     print(json.dumps({

@@ -562,3 +562,128 @@ def write_warc_shards(df: DataFrame, out_dir: str, num_shards: int, *,
     return (keyed.groupBy("__shard")
             .applyInPandas(write_group,
                            "shard int, n_records long, warc_bytes long"))
+
+
+# ---------------------------------------------------------------------------
+# WET (extracted-text "conversion" records — the CC *.warc.wet.gz shape)
+# ---------------------------------------------------------------------------
+
+def _response_record_id(url: str, ts: datetime) -> str:
+    """The deterministic record id :func:`build_record` assigns to the
+    response record of (url, ts) — WET conversion records cite it via
+    WARC-Refers-To, so a WET shard written from the same corpus
+    references the matching response ids by construction."""
+    return str(uuid.uuid5(uuid.NAMESPACE_URL,
+                          f"response|{url}|{format_warc_date(ts)}"))
+
+
+def write_wet(records: list[dict], wet_path: str) -> int:
+    """Write extracted-text ``records`` (dicts with url/ts/text) as a
+    warcinfo-headed, member-per-record WET file (``WARC-Type:
+    conversion`` + ``Content-Type: text/plain`` — ISO 28500 §6.8, the
+    Common Crawl ``*.warc.wet.gz`` layout).  Deterministic bytes, same
+    as :func:`write_warc`.  Single-file helper — the distributed path
+    is :func:`write_wet_shards`."""
+    name = os.path.basename(wet_path)
+    info_payload = (b"software: metacrafter-spark wet writer\r\n"
+                    b"format: WARC File Format 1.0\r\n"
+                    b"isPartOf: metacrafter-extract\r\n")
+    chunks = [gzip_member(build_record(
+        "warcinfo", info_payload, date=datetime(2025, 1, 1),
+        content_type="application/warc-fields",
+        extra=(("WARC-Filename", name),)))]
+    for r in records:
+        body = r["text"].encode("utf-8")
+        ts = r["ts"]
+        extra = [("WARC-Refers-To",
+                  f"<urn:uuid:{_response_record_id(r['url'], ts)}>")]
+        if r.get("lang"):
+            # ISO 28500-2 WARC-Identified-Content-Language (CC emits it)
+            extra.append(("WARC-Identified-Content-Language", r["lang"]))
+        chunks.append(gzip_member(build_record(
+            "conversion", body, url=r["url"], date=ts,
+            content_type="text/plain", extra=tuple(extra))))
+    tmp = wet_path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(b"".join(chunks))
+    os.replace(tmp, wet_path)
+    return len(records)
+
+
+_WET_COLS = ["file", "offset", "url", "warc_ts", "lang", "text"]
+WET_SCHEMA = ("file string, offset long, url string, warc_ts timestamp, "
+              "lang string, text string")
+
+
+def _conversion_rows(path: str, data: bytes, strict: bool) -> list[tuple]:
+    rows = []
+    for off, rec in iter_warc_file(data):
+        if rec.rtype != "conversion":
+            continue                 # warcinfo/metadata records
+        try:
+            rows.append((path, off, rec.target_uri, rec.date,
+                         rec.headers.get(
+                             "warc-identified-content-language") or None,
+                         rec.payload.decode("utf-8")))
+        except (ValueError, UnicodeDecodeError):
+            if strict:
+                raise
+            rows.append((path, off, rec.target_uri, rec.date, None, None))
+    return rows
+
+
+def scan_wet(spark: SparkSession, path_glob: str, *,
+             strict: bool = True) -> DataFrame:
+    """Whole-file WET scan → (file, offset, url, warc_ts, lang, text).
+    Same parallelism model as :func:`scan_warc`: one task per file,
+    which saturates a cluster at CC file counts (~80k WET files per
+    crawl); WET members are indexed by the same CDXJ shape when
+    record-level splits are needed."""
+    files = (spark.read.format("binaryFile").load(path_glob)
+             .select("path", "content"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows: list[tuple] = []
+            for path, content in zip(b["path"], b["content"]):
+                rows.extend(_conversion_rows(path, bytes(content), strict))
+            yield pd.DataFrame(rows, columns=_WET_COLS)
+
+    return files.mapInPandas(kernel, WET_SCHEMA)
+
+
+def write_wet_shards(df: DataFrame, out_dir: str, num_shards: int, *,
+                     url_col: str = "url", ts_col: str = "warc_ts",
+                     text_col: str = "text", lang_col: str | None = None,
+                     prefix: str = "part") -> DataFrame:
+    """Distributed WET export — the extracted-text sibling of
+    :func:`write_warc_shards` (same crc32(url) sharding, url-sorted
+    members, atomic tmp+rename, deterministic bytes; an ingest→extract
+    →WET job emits shards any WET consumer can read).  Returns the
+    (shard, n_records, wet_bytes) summary frame; an action on it
+    performs the write."""
+    cols = [url_col, ts_col, text_col] + ([lang_col] if lang_col else [])
+    keyed = df.select(*cols).withColumn(
+        "__shard",
+        F.pmod(F.crc32(F.col(url_col).cast("string")),
+               F.lit(num_shards)).cast("int"))
+
+    def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["__shard"].iloc[0])
+        pdf = pdf.sort_values(url_col, kind="mergesort")
+        name = f"{prefix}-{shard:05d}.warc.wet.gz"
+        recs = [{"url": r[url_col],
+                 "ts": (r[ts_col].to_pydatetime()
+                        if hasattr(r[ts_col], "to_pydatetime")
+                        else r[ts_col]),
+                 "text": r[text_col],
+                 **({"lang": r[lang_col]} if lang_col else {})}
+                for _, r in pdf.iterrows()]
+        path = os.path.join(out_dir, name)
+        n = write_wet(recs, path)
+        return pd.DataFrame([{"shard": shard, "n_records": n,
+                              "wet_bytes": os.path.getsize(path)}])
+
+    return (keyed.groupBy("__shard")
+            .applyInPandas(write_group,
+                           "shard int, n_records long, wet_bytes long"))

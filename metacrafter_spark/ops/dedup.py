@@ -628,11 +628,34 @@ def simhash_near_dups(
     one reducer.  Exactness note: for distance ≤ 3 the blocking is
     lossless *except* pairs inside dropped hot buckets — size the cap to
     your dup-cluster ceiling (or post-process hot buckets separately)."""
-    # (id, sim) is 16 bytes/doc — persist it so the signature pass runs
-    # once (the frame feeds bucket counts AND both self-join sides)
     sh = with_simhash(
         df.select(F.col(id_col), F.col(text_col)), text_col
-    ).select(id_col, "sim").persist()
+    ).select(id_col, "sim")
+    return hamming_near_dup_pairs(
+        sh, id_col, "sim", max_distance=max_distance, max_bucket=max_bucket
+    )
+
+
+def hamming_near_dup_pairs(
+    sig_df: DataFrame, id_col: str, sig_col: str = "sim",
+    max_distance: int = 3, max_bucket: int = 1000,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Near-dup pairs over ANY 64-bit signature column (SimHash, image
+    dHash, …) via the Manku 4×16-bit chunk blocking + bit_count verify.
+
+    Shared scale shape: the signature frame is 16 bytes/doc and is
+    persisted so the signature pass runs once (it feeds the bucket
+    counts AND both self-join sides); the self-join is equi-keyed on
+    (chunk, 16-bit key) with a broadcast hot-bucket guard, so no
+    cartesian product and no quadratic reducer exists at any corpus
+    size.  NULL signatures (e.g. undecodable images in lax mode) are
+    dropped — a NULL must never pair with another NULL."""
+    # (id, sim) is 16 bytes/doc — persist it so the signature pass runs
+    # once (the frame feeds bucket counts AND both self-join sides)
+    sh = sig_df.filter(F.col(sig_col).isNotNull()).select(
+        F.col(id_col), F.col(sig_col).cast("long").alias("sim")
+    ).persist()
     chunk_structs = [
         F.struct(
             F.lit(i).alias("chunk"),
@@ -663,10 +686,15 @@ def simhash_near_dups(
             .filter(F.col("hamming") <= max_distance)
             .distinct()
         )
+        if not checkpoint:
+            # plan-inspection path (scripts/explain_audit.py): return the
+            # lazy frame; the signature persist stays caller-managed
+            return out
         # materialize while the persisted signature frame is alive
         return out.localCheckpoint(eager=True)
     finally:
-        sh.unpersist()
+        if checkpoint:
+            sh.unpersist()
 
 
 def remove_dup_spans(

@@ -360,3 +360,25 @@ def decode_bmp(data: bytes) -> np.ndarray:
     else:
         raise NotImplementedError(f"{bpp}-bpp BMP not supported")
     return img if top_down else img[::-1].copy()
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 24-bpp BI_RGB BMP bytes (BITMAPINFOHEADER,
+    bottom-up rows, BGR byte order, rows padded to 4 bytes) — the plain
+    truecolor shape every decoder accepts.  Round-trips exactly through
+    :func:`decode_bmp`; used by tests and the image-hash oracle query to
+    put REAL container bytes in front of the real decode path."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("encode_bmp expects (h, w, 3) uint8")
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    pix = rows.tobytes()
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + len(pix), 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0
+    )
+    return header + pix

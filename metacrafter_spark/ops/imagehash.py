@@ -1,0 +1,210 @@
+"""Perceptual image hashing + image near-dup detection.
+
+The image half of a multimodal training-data dedup pipeline (the
+LAION/DataComp recipe: perceptual-hash every image, pair up hashes
+within a small Hamming distance, keep one per cluster).  Two classic
+64-bit hashes over the repo's clean-room decoders (PNG / baseline +
+progressive JPEG / GIF / BMP / PPM — ops/png_codec.py etc.):
+
+- **dHash** (difference hash): luma-downsample to an 8×9 grid, bit
+  (r, c) = 1 iff block (r, c) is darker than its right neighbour.
+  Gradient-based, so it is EXACTLY invariant to any uniform brightness
+  shift that doesn't clip (unit-tested), and robust to re-encoding.
+- **aHash** (average hash): 8×8 grid, bit = block mean > global mean.
+
+Exactness contract (the repo-wide rule — no float averages anywhere):
+luma is the integer ITU-R BT.601 form ``299·R + 587·G + 114·B`` kept at
+×1000 scale (never divided — comparisons are scale-invariant), block
+boundaries are the standard ``r·h // grid`` splits (every pixel covered,
+no trimming), and every "avg(a) < avg(b)" comparison is the
+cross-multiplied integer form ``sum_a·cnt_b < sum_b·cnt_a`` evaluated in
+arbitrary-precision Python ints — so the hash of an image is a pure
+function of its pixels, identical on every platform, numpy version and
+partitioning, and replayable in ANSI SQL (the ``image_dhash`` oracle
+query replays the full decode→hash path in DuckDB on real BMP bytes).
+
+Scale shape: hashing is map-side (one Arrow-batched kernel, zero
+Exchange — 8 bytes/image out); near-dup pairing reuses the SimHash
+Manku-chunk blocking from ops/dedup.py (4×16-bit chunk keys, broadcast
+hot-bucket skew guard, bit_count verify) — the only shuffle carries
+(id, 8-byte hash), never image bytes.
+
+NULL/error contract: ``strict=True`` raises on an undecodable payload;
+``strict=False`` yields a NULL hash (NOT a fallback value — a fake hash
+would manufacture false dup pairs; NULLs are dropped by the pair join).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from metacrafter_spark.ops.multimodal import _DECODE_ERRORS, decode_image_rgb
+
+__all__ = [
+    "dhash64",
+    "ahash64",
+    "with_image_dhash",
+    "image_near_dups",
+    "to_signed64",
+]
+
+
+def to_signed64(u: int) -> int:
+    """Unsigned 64-bit hash → the two's-complement BIGINT Spark/DuckDB
+    store (bit 63 set ⇒ negative)."""
+    return u - (1 << 64) if u >= 1 << 63 else u
+
+
+def _luma1000(img: np.ndarray) -> np.ndarray:
+    """(h, w, 3) uint8 → int64 integer luma at ×1000 scale (BT.601
+    weights 299/587/114; the division by 1000 is never performed — all
+    downstream comparisons are scale-invariant)."""
+    i = img.astype(np.int64)
+    return 299 * i[..., 0] + 587 * i[..., 1] + 114 * i[..., 2]
+
+
+def _block_sums(g: np.ndarray, out_h: int, out_w: int):
+    """Exact block sums/counts over the standard ``k·n // out`` grid.
+
+    Returns int64 ``sums[out_h, out_w]`` and ``cnts[out_h, out_w]``;
+    every pixel belongs to exactly one block (no edge trimming).  Uses
+    a 2-D prefix sum, so cost is O(h·w) regardless of grid size."""
+    h, w = g.shape
+    if h < out_h or w < out_w:
+        raise ValueError(
+            f"image {h}x{w} smaller than the {out_h}x{out_w} hash grid"
+        )
+    cs = np.zeros((h + 1, w + 1), dtype=np.int64)
+    np.cumsum(np.cumsum(g, axis=0), axis=1, out=cs[1:, 1:])
+    rb = [(r * h) // out_h for r in range(out_h + 1)]
+    cb = [(c * w) // out_w for c in range(out_w + 1)]
+    sums = np.empty((out_h, out_w), dtype=np.int64)
+    cnts = np.empty((out_h, out_w), dtype=np.int64)
+    for r in range(out_h):
+        for c in range(out_w):
+            sums[r, c] = (cs[rb[r + 1], cb[c + 1]] - cs[rb[r], cb[c + 1]]
+                          - cs[rb[r + 1], cb[c]] + cs[rb[r], cb[c]])
+            cnts[r, c] = (rb[r + 1] - rb[r]) * (cb[c + 1] - cb[c])
+    return sums, cnts
+
+
+def dhash64(img: np.ndarray) -> int:
+    """Difference hash of an (h, w, 3) uint8 RGB image → unsigned
+    64-bit int.  Bit ``r·8 + c`` (r, c ∈ 0..7) is 1 iff the mean luma of
+    grid cell (r, c) on the 8-row × 9-col grid is strictly below cell
+    (r, c+1)'s — compared exactly via cross-multiplication."""
+    s, n = _block_sums(_luma1000(img), 8, 9)
+    bits = 0
+    for r in range(8):
+        for c in range(8):
+            if (int(s[r, c]) * int(n[r, c + 1])
+                    < int(s[r, c + 1]) * int(n[r, c])):
+                bits |= 1 << (r * 8 + c)
+    return bits
+
+
+def ahash64(img: np.ndarray) -> int:
+    """Average hash: 8×8 grid, bit ``r·8 + c`` = 1 iff the cell's mean
+    luma strictly exceeds the GLOBAL mean luma (the whole-image mean —
+    exact cross-multiplied form; the common 'mean of cell means'
+    variant differs only on pathological unequal-cell-size edges)."""
+    g = _luma1000(img)
+    s, n = _block_sums(g, 8, 8)
+    # int64-safe: 255000 · h·w overflows only past ~3.6e13 pixels; the
+    # cross-multiplications below run in Python ints, so no bound there
+    total = int(g.sum())
+    cnt_all = g.shape[0] * g.shape[1]
+    bits = 0
+    for r in range(8):
+        for c in range(8):
+            if int(s[r, c]) * cnt_all > total * int(n[r, c]):
+                bits |= 1 << (r * 8 + c)
+    return bits
+
+
+_HASH_FNS = {"dhash": dhash64, "ahash": ahash64}
+
+
+def with_image_dhash(
+    df: DataFrame,
+    content_col: str = "content",
+    out_col: str = "dhash",
+    *,
+    algo: str = "dhash",
+    strict: bool = False,
+    keep: Optional[list[str]] = None,
+) -> DataFrame:
+    """Append a 64-bit perceptual-hash column (signed long) computed
+    from the binary image column via the real clean-room decoders.
+
+    Map-side only (Arrow-batched mapInPandas, zero Exchange); NULL
+    content and — under ``strict=False`` — undecodable payloads yield
+    NULL (see module docstring for why NULL, not a fallback hash).
+
+    ``keep`` restricts the output columns (the hash column is always
+    appended).  When the caller only needs (id, hash) — the near-dup
+    path — this stops the multi-KB image bytes from riding the Arrow
+    channel OUT of the kernel just to be projected away."""
+    fn = _HASH_FNS[algo]
+    fields = [f for f in df.schema.fields
+              if keep is None or f.name in keep]
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in fields]
+        + [f"`{out_col}` bigint"]
+    )
+    cols = [f.name for f in fields]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            hashes: list[Optional[int]] = []
+            for c in b[content_col]:
+                if c is None:
+                    hashes.append(None)
+                    continue
+                try:
+                    hashes.append(to_signed64(fn(decode_image_rgb(bytes(c)))))
+                except _DECODE_ERRORS:
+                    if strict:
+                        raise
+                    hashes.append(None)
+            out = b[cols].copy()
+            out[out_col] = pd.array(hashes, dtype="Int64")
+            yield out
+
+    return df.mapInPandas(kernel, out_schema)
+
+
+def image_near_dups(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    max_distance: int = 3,
+    max_bucket: int = 1000,
+    *,
+    algo: str = "dhash",
+    strict: bool = False,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Image near-dup pairs: perceptual-hash every image map-side, then
+    the Manku 4×16-bit chunk blocking + bit_count verify shared with
+    :func:`metacrafter_spark.ops.dedup.simhash_near_dups` — a pair
+    within Hamming distance ≤ 3 must agree exactly on ≥ 1 chunk, hot
+    chunk keys (solid-color thumbnails all hashing alike) are dropped by
+    the broadcast ``max_bucket`` guard.  Output: (id_a, id_b, hamming).
+
+    Scale shape: image bytes never leave the map side; the shuffle and
+    self-join carry (id, 8-byte hash) only."""
+    from metacrafter_spark.ops.dedup import hamming_near_dup_pairs
+
+    sig = with_image_dhash(
+        df.select(id_col, content_col), content_col, "sig",
+        algo=algo, strict=strict, keep=[id_col],
+    )
+    return hamming_near_dup_pairs(
+        sig, id_col, "sig", max_distance=max_distance,
+        max_bucket=max_bucket, checkpoint=checkpoint,
+    )

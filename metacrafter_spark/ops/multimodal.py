@@ -398,29 +398,42 @@ def _decode_external(content: bytes, strict: bool) -> np.ndarray:
     return _fake_decode(content)
 
 
+def decode_image_rgb(data: bytes) -> np.ndarray:
+    """Sniff-and-decode any supported image container (PPM / PNG / JPEG
+    / GIF / BMP, by magic bytes) → (h, w, 3) uint8 RGB.  Raises
+    ValueError on a non-image payload and whatever the clean-room
+    decoders raise on malformed bytes (all members of
+    ``_DECODE_ERRORS``) — callers apply the strict/fallback contract."""
+    if data.startswith(b"P6"):
+        return _to_rgb(decode_ppm(data))
+    if data[:8] == _PNG_SIG:
+        from metacrafter_spark.ops.png_codec import decode_png
+
+        return _to_rgb(decode_png(data))
+    if data[:2] == b"\xff\xd8":
+        from metacrafter_spark.ops.jpeg_codec import decode_jpeg
+
+        return _to_rgb(decode_jpeg(data))
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from metacrafter_spark.ops.gif_bmp_codec import decode_gif
+
+        return _to_rgb(decode_gif(data))
+    if data[:2] == b"BM":
+        from metacrafter_spark.ops.gif_bmp_codec import decode_bmp
+
+        return _to_rgb(decode_bmp(data))
+    raise ValueError("unrecognized image container")
+
+
 def _feature_of(content: Optional[bytes], strict: bool) -> Optional[list]:
     if content is None:
         return None
     data = bytes(content)
     try:
-        if data.startswith(b"P6"):
-            return _image_feature(decode_ppm(data)).tolist()
-        if data[:8] == _PNG_SIG:
-            from metacrafter_spark.ops.png_codec import decode_png
-
-            return _image_feature(_to_rgb(decode_png(data))).tolist()
-        if data[:2] == b"\xff\xd8":
-            from metacrafter_spark.ops.jpeg_codec import decode_jpeg
-
-            return _image_feature(_to_rgb(decode_jpeg(data))).tolist()
-        if data[:6] in (b"GIF87a", b"GIF89a"):
-            from metacrafter_spark.ops.gif_bmp_codec import decode_gif
-
-            return _image_feature(decode_gif(data)).tolist()
-        if data[:2] == b"BM":
-            from metacrafter_spark.ops.gif_bmp_codec import decode_bmp
-
-            return _image_feature(_to_rgb(decode_bmp(data))).tolist()
+        if (data.startswith(b"P6") or data[:8] == _PNG_SIG
+                or data[:2] == b"\xff\xd8"
+                or data[:6] in (b"GIF87a", b"GIF89a") or data[:2] == b"BM"):
+            return _image_feature(decode_image_rgb(data)).tolist()
         if data[:4] == b"RIFF":
             return _audio_feature(decode_wav(data)).tolist()
         if data[:4] == _VIDEO_MAGIC:

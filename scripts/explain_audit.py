@@ -769,6 +769,33 @@ def main() -> None:
     ))
     assert "Exchange" not in rplan
 
+    # 42. Image perceptual hashing: hashing is map-side (one Arrow
+    # kernel, zero Exchange, 8 bytes/image out); the near-dup pair join
+    # is equi-keyed on (chunk, 16-bit key) with the broadcast hot-bucket
+    # guard — image bytes never ride an Exchange.
+    from metacrafter_spark.ops.imagehash import image_near_dups, with_image_dhash
+
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("content"))
+    ihplan = plan_of(with_image_dhash(media))
+    sections.append((
+        "Image dHash (map-side Arrow kernel — zero Exchange)",
+        ihplan,
+        ["MapInPandas"],
+    ))
+    assert "Exchange" not in ihplan, "image hashing shuffles!"
+    # checkpoint=False returns the lazy pre-materialization frame so the
+    # join shape is inspectable (the default path localCheckpoints)
+    inplan = plan_of(image_near_dups(media, checkpoint=False))
+    sections.append((
+        "Image near-dup pairs (Manku chunk blocking, broadcast bucket "
+        "guard, equi-join only — image bytes never ride the shuffle)",
+        inplan,
+        ["BroadcastExchange", "BroadcastHashJoin"],
+    ))
+    assert "CartesianProduct" not in inplan, "image pair join is cartesian!"
+
     out = ["# BENCH/EXPLAIN — physical-plan audit\n"]
     ok = True
     for title, plan, must in sections:

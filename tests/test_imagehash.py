@@ -1,0 +1,186 @@
+"""Perceptual image hashing (ops/imagehash.py): exact-replay, container
+invariance, strict/NULL contract, near-dup pairing, determinism."""
+
+from fractions import Fraction
+
+import numpy as np
+import pytest
+
+from metacrafter_spark.ops.gif_bmp_codec import encode_bmp
+from metacrafter_spark.ops.imagehash import (
+    ahash64,
+    dhash64,
+    image_near_dups,
+    to_signed64,
+    with_image_dhash,
+)
+from metacrafter_spark.ops.multimodal import encode_ppm
+from metacrafter_spark.ops.png_codec import encode_png
+
+
+# ------------------------------------------------- pure-Python replay
+
+
+def _lum(img):
+    h, w = img.shape[:2]
+    return [
+        [299 * int(img[y, x, 0]) + 587 * int(img[y, x, 1])
+         + 114 * int(img[y, x, 2]) for x in range(w)]
+        for y in range(h)
+    ]
+
+
+def _cell_mean(lum, r, c, gh, gw):
+    h, w = len(lum), len(lum[0])
+    r0, r1 = r * h // gh, (r + 1) * h // gh
+    c0, c1 = c * w // gw, (c + 1) * w // gw
+    vals = [lum[y][x] for y in range(r0, r1) for x in range(c0, c1)]
+    return Fraction(sum(vals), len(vals))
+
+
+def _naive_dhash(img):
+    lum = _lum(img)
+    bits = 0
+    for r in range(8):
+        for c in range(8):
+            if _cell_mean(lum, r, c, 8, 9) < _cell_mean(lum, r, c + 1, 8, 9):
+                bits |= 1 << (r * 8 + c)
+    return bits
+
+
+def _naive_ahash(img):
+    lum = _lum(img)
+    h, w = len(lum), len(lum[0])
+    g = Fraction(sum(sum(row) for row in lum), h * w)
+    bits = 0
+    for r in range(8):
+        for c in range(8):
+            if _cell_mean(lum, r, c, 8, 8) > g:
+                bits |= 1 << (r * 8 + c)
+    return bits
+
+
+@pytest.mark.parametrize("hw", [(8, 9), (23, 31), (100, 37), (9, 9), (64, 64)])
+def test_hash_matches_exact_rational_replay(hw):
+    img = np.random.default_rng(sum(hw)).integers(
+        0, 256, size=(*hw, 3), dtype=np.uint8
+    )
+    assert dhash64(img) == _naive_dhash(img)
+    assert ahash64(img) == _naive_ahash(img)
+
+
+def test_dhash_uniform_brightness_invariance():
+    # gradient hash: +K on every channel (no clipping) cannot move a bit
+    img = np.random.default_rng(3).integers(
+        0, 236, size=(40, 50, 3), dtype=np.uint8
+    )
+    for k in (1, 7, 19):
+        assert dhash64(img) == dhash64(img + k)
+
+
+def test_dhash_identical_across_containers():
+    # the hash is a function of PIXELS: PNG, BMP and PPM encodings of
+    # the same image must produce the same hash through the real decoders
+    from metacrafter_spark.ops.multimodal import decode_image_rgb
+
+    img = np.random.default_rng(11).integers(
+        0, 256, size=(24, 33, 3), dtype=np.uint8
+    )
+    hashes = {
+        dhash64(decode_image_rgb(enc(img)))
+        for enc in (encode_png, encode_bmp, encode_ppm)
+    }
+    assert len(hashes) == 1
+    assert hashes.pop() == dhash64(img)
+
+
+def test_too_small_image_raises():
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="hash grid"):
+        dhash64(img)
+
+
+def test_to_signed64():
+    assert to_signed64(0) == 0
+    assert to_signed64((1 << 63) - 1) == (1 << 63) - 1
+    assert to_signed64(1 << 63) == -(1 << 63)
+    assert to_signed64((1 << 64) - 1) == -1
+
+
+# ------------------------------------------------------- Spark surface
+
+
+def _media_df(spark, imgs, encoder=encode_bmp, extra=()):
+    rows = [(i, bytearray(encoder(img))) for i, img in enumerate(imgs)]
+    rows += list(extra)
+    return spark.createDataFrame(rows, "media_id long, content binary")
+
+
+def test_with_image_dhash_matches_kernel(spark):
+    rng = np.random.default_rng(5)
+    imgs = [rng.integers(0, 256, size=(16 + i, 20 + i, 3), dtype=np.uint8)
+            for i in range(6)]
+    df = _media_df(spark, imgs)
+    got = {r["media_id"]: r["dhash"]
+           for r in with_image_dhash(df).collect()}
+    for i, img in enumerate(imgs):
+        assert got[i] == to_signed64(dhash64(img))
+
+
+def test_null_and_garbage_contract(spark):
+    img = np.random.default_rng(1).integers(
+        0, 256, size=(12, 15, 3), dtype=np.uint8
+    )
+    df = _media_df(
+        spark, [img],
+        extra=[(100, bytearray(b"not an image")), (101, None),
+               # valid signature, truncated body → decoder error, not crash
+               (102, bytearray(encode_bmp(img)[:20]))],
+    )
+    rows = {r["media_id"]: r["dhash"] for r in with_image_dhash(df).collect()}
+    assert rows[0] == to_signed64(dhash64(img))
+    assert rows[100] is None and rows[101] is None and rows[102] is None
+
+    strict = with_image_dhash(df, strict=True)
+    with pytest.raises(Exception):
+        strict.collect()
+
+
+def test_image_near_dups_pairs_and_determinism(spark):
+    rng = np.random.default_rng(9)
+    base = rng.integers(10, 246, size=(40, 45, 3), dtype=np.uint8)
+    near = base.copy()
+    near[:2] = np.clip(near[:2].astype(int) + 3, 0, 255).astype(np.uint8)
+    far = [rng.integers(0, 256, size=(40, 45, 3), dtype=np.uint8)
+           for _ in range(8)]
+    imgs = [base, near] + far
+    d = bin(dhash64(base) ^ dhash64(near)).count("1")
+    assert d <= 3, f"fixture drifted: planted pair at distance {d}"
+
+    df = _media_df(spark, imgs, extra=[(200, None)])
+    pairs = image_near_dups(df, max_distance=3)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert (0, 1) in got and got[(0, 1)] == d
+    # unrelated random images should not land within distance 3
+    assert all(p == (0, 1) for p in got), got
+
+    again = image_near_dups(df.repartition(7), max_distance=3)
+    assert {(r["id_a"], r["id_b"], r["hamming"]) for r in again.collect()} \
+        == {(0, 1, d)}
+
+
+def test_hamming_block_guarantee_boundary(spark):
+    # distance exactly 4 CAN be missed by 4-chunk blocking only when all
+    # four flips land in distinct chunks; distance ≤3 is always caught.
+    # Plant a distance-3 pair whose flips span three chunks — the
+    # blocking must still find it via the untouched fourth chunk.
+    from metacrafter_spark.ops.dedup import hamming_near_dup_pairs
+
+    a = 0x0123456789ABCDEF
+    b = a ^ (1 << 2) ^ (1 << 20) ^ (1 << 40)  # flips in chunks 0, 1, 2
+    sig = spark.createDataFrame(
+        [(1, to_signed64(a)), (2, to_signed64(b)), (3, None)],
+        "id long, sig long",
+    )
+    rows = hamming_near_dup_pairs(sig, "id", "sig").collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in rows] == [(1, 2, 3)]

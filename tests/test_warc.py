@@ -327,3 +327,100 @@ def test_x_robots_header_scan_and_directives(spark, tmp_path):
           "</head></html>", "")], "html string, x_robots string")
     r = with_robots_meta(meta, "html", header_col="x_robots").first()
     assert r["noindex"] and not r["nofollow"]
+
+
+# ------------------------------------------------------------------ WET
+
+
+def test_write_wet_roundtrip_single_file(tmp_path):
+    from metacrafter_spark.io.warc import (
+        _conversion_rows, iter_warc_file, write_wet)
+
+    recs = [
+        {"url": "https://a.example/x", "ts": datetime(2025, 3, 1, 8, 0, 0),
+         "text": "plain ascii text"},
+        {"url": "https://b.example/y", "ts": datetime(2025, 3, 2, 9, 30, 5),
+         "text": "unicode — café …漢字\n two lines", "lang": "fra"},
+    ]
+    p = str(tmp_path / "x.warc.wet.gz")
+    assert write_wet(recs, p) == 2
+    data = open(p, "rb").read()
+    rows = _conversion_rows(p, data, strict=True)
+    assert [(r[2], r[3], r[4], r[5]) for r in rows] == [
+        ("https://a.example/x", datetime(2025, 3, 1, 8, 0, 0), None,
+         "plain ascii text"),
+        ("https://b.example/y", datetime(2025, 3, 2, 9, 30, 5), "fra",
+         "unicode — café …漢字\n two lines"),
+    ]
+    # warcinfo heads the file; conversion records carry text/plain
+    types = [rec.rtype for _, rec in iter_warc_file(data)]
+    assert types == ["warcinfo", "conversion", "conversion"]
+    # deterministic bytes (same basename — the warcinfo record embeds
+    # the filename, so determinism is per-name)
+    d2 = tmp_path / "again"
+    d2.mkdir()
+    p2 = str(d2 / "x.warc.wet.gz")
+    write_wet(recs, p2)
+    assert open(p2, "rb").read() == data
+
+
+def test_wet_refers_to_matching_response_record(tmp_path):
+    """WARC-Refers-To of a conversion record must equal the record id
+    write_warc assigns to the response record of the same (url, ts)."""
+    from metacrafter_spark.io.warc import (
+        iter_warc_file, write_warc, write_wet)
+
+    url, ts = "https://site.example/p", datetime(2025, 4, 1, 12, 0, 0)
+    wp = str(tmp_path / "r.warc.gz")
+    write_warc([{"url": url, "ts": ts, "html": b"<html>hi</html>"}], wp)
+    resp_id = [rec.headers["warc-record-id"]
+               for _, rec in iter_warc_file(open(wp, "rb").read())
+               if rec.rtype == "response"][0]
+    tp = str(tmp_path / "r.warc.wet.gz")
+    write_wet([{"url": url, "ts": ts, "text": "hi"}], tp)
+    refers = [rec.headers["warc-refers-to"]
+              for _, rec in iter_warc_file(open(tp, "rb").read())
+              if rec.rtype == "conversion"][0]
+    assert refers == resp_id
+
+
+def test_wet_strict_contract_on_bad_utf8(tmp_path):
+    from metacrafter_spark.io.warc import (
+        _conversion_rows, build_record, gzip_member)
+
+    bad = gzip_member(build_record(
+        "conversion", b"\xff\xfe broken", url="https://x.example/b",
+        date=datetime(2025, 1, 1), content_type="text/plain"))
+    with pytest.raises(UnicodeDecodeError):
+        _conversion_rows("f", bad, strict=True)
+    rows = _conversion_rows("f", bad, strict=False)
+    assert len(rows) == 1 and rows[0][5] is None
+
+
+def test_wet_shards_scan_roundtrip(spark, tmp_path):
+    """Distributed WET export + scan: every (url, text, lang) survives,
+    shard bytes are independent of input partitioning."""
+    from pyspark.sql import functions as F
+
+    from metacrafter_spark.corpus.webpages import synth_webpages
+    from metacrafter_spark.io.warc import scan_wet, write_wet_shards
+
+    corpus = synth_webpages(spark, 60, seed=7, partitions=4)
+    docs = corpus.select(
+        "url", "warc_ts", "text",
+        F.lit("eng").alias("lang"))
+    out1 = tmp_path / "wet1"
+    out2 = tmp_path / "wet2"
+    out1.mkdir(), out2.mkdir()
+    s1 = write_wet_shards(docs, str(out1), 3, lang_col="lang").collect()
+    s2 = write_wet_shards(docs.repartition(11), str(out2), 3,
+                          lang_col="lang").collect()
+    assert sum(r["n_records"] for r in s1) == 60
+    for r in s1:
+        name = f"part-{r['shard']:05d}.warc.wet.gz"
+        assert (out1 / name).read_bytes() == (out2 / name).read_bytes()
+
+    back = scan_wet(spark, str(out1 / "*.warc.wet.gz"))
+    got = {r["url"]: (r["text"], r["lang"]) for r in back.collect()}
+    want = {r["url"]: (r["text"], "eng") for r in docs.collect()}
+    assert got == want
