@@ -1046,6 +1046,49 @@ def q_image_dhash(spark, sf_dir):
             .select("doc_id", "dhash").orderBy("doc_id"))
 
 
+def q_audio_fingerprint(spark, sf_dir):
+    """Audio envelope fingerprint through the REAL multimodal path
+    (round 5, ops/audiohash.py — the audio sibling of image_dhash):
+    320 deterministic int16 samples per document (big-endian pairs of
+    the text's sha256 chain, offset to signed) are encoded as real
+    PCM-16 WAV containers in-plan, then decoded by the clean-room WAV
+    decoder and fingerprinted by the exact-integer kernel — container
+    encode → decode → |sample| / |Δsample| window grids → 64
+    cross-multiplied comparisons all live.  The oracle re-derives every
+    sample from the same sha256 chain and replays both 65-window grids
+    (the k·n//65 boundaries as list slices) plus all 64 comparisons and
+    the two's-complement bit packing in SQL, so a regression ANYWHERE
+    in the WAV decode or fingerprint math breaks the hash match."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from metacrafter_spark.ops.audiohash import with_audio_fingerprint
+    from metacrafter_spark.ops.multimodal import encode_wav
+
+    docs = (_t(spark, sf_dir, "documents")
+            .filter((F.col("doc_id") < 200) & F.col("text").isNotNull())
+            .select("doc_id", "text"))
+    hx = F.concat(F.sha2(F.col("text"), 256),
+                  *[F.sha2(F.concat(F.col("text"), F.lit(str(i))), 256)
+                    for i in range(1, 20)])
+
+    def _to_wav(col):
+        out = []
+        for h in col:
+            raw = np.frombuffer(bytes.fromhex(h), dtype=">u2")
+            out.append(encode_wav(
+                (raw.astype(np.int32) - 32768).astype(np.int16)))
+        return pd.Series(out)
+
+    to_wav = pandas_udf(_to_wav, "binary")
+
+    wav = docs.select("doc_id", to_wav(hx).alias("content"))
+    return (with_audio_fingerprint(wav, "content", "afp",
+                                   strict=True, keep=["doc_id"])
+            .select("doc_id", "afp").orderBy("doc_id"))
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic 10% Bernoulli-by-hash sample of documents — the
     membership predicate is pure integer arithmetic on doc_id (Knuth
@@ -3242,6 +3285,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # real BMP decode + exact-integer dHash, every pixel and every
         # hash bit replayed in SQL (round 5)
         "image_dhash": q_image_dhash,
+        # real WAV decode + exact-integer envelope fingerprint, every
+        # sample and every bit replayed in SQL (round 5)
+        "audio_fingerprint": q_audio_fingerprint,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "budget_mix": q_budget_mix,
@@ -4393,6 +4439,66 @@ def _image_dhash_sql() -> str:
         SELECT doc_id,
                CAST({total} AS BIGINT) AS dhash
         FROM h ORDER BY doc_id
+    """
+
+
+def _audio_fingerprint_sql() -> str:
+    """DuckDB replay of q_audio_fingerprint: sample i is hex quad i of
+    the sha256 chain (big-endian, offset −32768); both 65-window grids
+    use the exact k·n//65 boundaries as 1-based inclusive list slices
+    (n=320 envelope, n=319 first-difference); each fingerprint bit is
+    the cross-multiplied mean comparison sum·count < sum·count.  Bits
+    sum in HUGEINT (bit 63 contributes −2^63 — two's complement) then
+    cast to BIGINT, matching Spark's signed long."""
+    hexd = "strpos('0123456789abcdef', substr(hx, {p}, 1)) - 1"
+    sample = (f"({hexd.format(p='4*i + 1')}) * 4096"
+              f" + ({hexd.format(p='4*i + 2')}) * 256"
+              f" + ({hexd.format(p='4*i + 3')}) * 16"
+              f" + ({hexd.format(p='4*i + 4')}) - 32768")
+    chain = " || ".join(
+        ["sha256(text)"]
+        + [f"sha256(text || '{i}')" for i in range(1, 20)])
+    terms = []
+    for b in range(32):
+        lo = b * 2
+        for pre, hi_bit in (("e", b), ("h", 32 + b)):
+            val = ("-9223372036854775808" if hi_bit == 63
+                   else str(1 << hi_bit))
+            terms.append(
+                f"CASE WHEN {pre}s[{lo + 1}] * {pre}c[{lo + 2}]"
+                f" < {pre}s[{lo + 2}] * {pre}c[{lo + 1}]"
+                f" THEN CAST({val} AS HUGEINT) ELSE 0 END"
+            )
+    total = "\n                 + ".join(terms)
+    return f"""
+        WITH h AS (
+          SELECT doc_id, {chain} AS hx
+          FROM documents
+          WHERE doc_id < 200 AND text IS NOT NULL),
+        smp AS (
+          SELECT doc_id,
+                 list_transform(range(320), i -> {sample}) AS s
+          FROM h),
+        sig AS (
+          SELECT doc_id,
+                 list_transform(s, x -> abs(x)) AS env,
+                 list_transform(range(319),
+                                i -> abs(s[i + 2] - s[i + 1])) AS hf
+          FROM smp),
+        wnd AS (
+          SELECT doc_id,
+                 list_transform(range(65), k ->
+                   list_sum(env[(k*320)//65 + 1 : ((k+1)*320)//65])) AS es,
+                 list_transform(range(65), k ->
+                   ((k+1)*320)//65 - (k*320)//65) AS ec,
+                 list_transform(range(65), k ->
+                   list_sum(hf[(k*319)//65 + 1 : ((k+1)*319)//65])) AS hs,
+                 list_transform(range(65), k ->
+                   ((k+1)*319)//65 - (k*319)//65) AS hc
+          FROM sig)
+        SELECT doc_id,
+               CAST({total} AS BIGINT) AS afp
+        FROM wnd ORDER BY doc_id
     """
 
 
@@ -6040,6 +6146,9 @@ def oracle_sql() -> dict[str, str]:
         # image_dhash: every pixel re-derived from the sha256 chain,
         # all 64 grid comparisons + two's-complement packing in SQL
         "image_dhash": _image_dhash_sql(),
+        # audio_fingerprint: every sample re-derived from the sha256
+        # chain, both window grids + all 64 comparisons replayed
+        "audio_fingerprint": _audio_fingerprint_sql(),
         "sitemap_recrawl": r"""
             WITH src AS (
               SELECT regexp_extract(url, '/article/(\d+)$', 1)::BIGINT

@@ -299,6 +299,41 @@ def main() -> None:
     media.unpersist()
     assert pair_n == n // 2, f"planted image dups: {pair_n} != {n // 2}"
     qtimes["image_dhash_dedup"] = round(best, 3)
+
+    # audio-fingerprint row: one real 8000-sample PCM-16 WAV per
+    # document (seeded-RNG samples within ±16000; consecutive id pairs
+    # share a base clip, the odd member gain-scaled ×2 — a clip-free
+    # integer gain the envelope fingerprint is exactly invariant to,
+    # so every pair is a planted distance-0 near-dup).  Measures: real
+    # WAV decode → exact-integer fingerprint (map-side Arrow kernel) →
+    # shared Manku-blocked pair join; audio bytes never shuffle.
+    def _mk_wav(mids):
+        from metacrafter_spark.ops.multimodal import encode_wav
+        out = []
+        for mid in mids:
+            rng = _np.random.default_rng(int(mid) // 2)
+            s = rng.integers(-16000, 16000, size=8000, dtype=_np.int16)
+            if mid % 2:
+                s = (s.astype(_np.int32) * 2).astype(_np.int16)
+            out.append(encode_wav(s))
+        return _pd.Series(out)
+
+    from metacrafter_spark.ops.audiohash import audio_near_dups
+
+    media = corpus.select(
+        d.alias("media_id"),
+        _pudf(_mk_wav, "binary")(d).alias("content")).cache()
+    media.count()
+    best = float("inf")
+    pair_n = -1
+    for _ in range(2):
+        t0 = time.perf_counter()
+        pairs = audio_near_dups(media, max_distance=3)
+        pair_n = pairs.count()
+        best = min(best, time.perf_counter() - t0)
+    media.unpersist()
+    assert pair_n == n // 2, f"planted audio dups: {pair_n} != {n // 2}"
+    qtimes["audio_fp_dedup"] = round(best, 3)
     total = round(sum(qtimes.values()), 3)
 
     print(json.dumps({

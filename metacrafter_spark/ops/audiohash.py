@@ -1,0 +1,230 @@
+"""Audio fingerprinting + audio/video near-dup detection.
+
+The audio and video legs of the multimodal dedup layer
+(ops/imagehash.py is the image leg; all three share
+``dedup.hamming_near_dup_pairs`` for the pairing stage).
+
+**Audio**: a 64-bit *envelope fingerprint* over the repo's real WAV
+decoder (PCM 8/16/24/32, float, G.711, ADPCM — ops/multimodal.py).
+The 1-D sibling of dHash, honestly NOT a chromaprint (no FFT — a float
+transform would break the repo's exactness contract):
+
+- samples → 65 windows on the standard ``k·n // 65`` boundaries;
+- bits 0..31: mean |sample| of window b vs window b+1 on the EVEN
+  window pairs — the amplitude envelope gradient (low band);
+- bits 32..63: mean |first difference| of window b vs b+1 — the
+  high-frequency content gradient (|Δsample| is a one-tap high-pass).
+
+Every comparison is the cross-multiplied integer form (sum·count vs
+sum·count, arbitrary-precision Python ints), so the fingerprint is a
+pure function of the decoded samples — identical across platforms and
+partitionings, invariant to any exact gain scaling (k·s for integer k
+without clipping), and replayable in ANSI SQL (the ``audio_fingerprint``
+oracle query replays decode → windows → all 64 comparisons in DuckDB
+over real in-plan WAV containers).
+
+**Video**: per-frame dHash signatures via ``sample_frames`` + the image
+kernel; two videos are near-dups when ≥ ``min_frames`` of their sampled
+frames pair within the Hamming bound — a composition of tested parts.
+
+Scale shape: fingerprinting is map-side (Arrow kernel, 8 bytes/clip
+out, media bytes never shuffle); pairing reuses the Manku chunk
+blocking with its broadcast hot-bucket guard.  NULL/error contract as
+the image leg: strict raises, lax yields NULL (never a fallback value).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from metacrafter_spark.ops.imagehash import to_signed64
+from metacrafter_spark.ops.multimodal import _DECODE_ERRORS, decode_wav
+
+__all__ = [
+    "audio_fingerprint64",
+    "with_audio_fingerprint",
+    "audio_near_dups",
+    "video_frame_hashes",
+    "video_near_dups",
+]
+
+_N_WINDOWS = 65  # 64 adjacent comparisons -> 64 bits
+
+
+def _window_sums(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Exact per-window sums/counts over ``k·n // 65`` boundaries."""
+    n = len(v)
+    cs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(v, out=cs[1:])
+    b = [(k * n) // _N_WINDOWS for k in range(_N_WINDOWS + 1)]
+    sums = np.array([cs[b[k + 1]] - cs[b[k]] for k in range(_N_WINDOWS)],
+                    dtype=np.int64)
+    cnts = np.array([b[k + 1] - b[k] for k in range(_N_WINDOWS)],
+                    dtype=np.int64)
+    return sums, cnts
+
+
+def audio_fingerprint64(samples: np.ndarray) -> int:
+    """64-bit envelope fingerprint of an int16 sample array (see module
+    docstring).  Raises ValueError on clips shorter than 66 samples —
+    the first-difference signal is one sample shorter, and ITS
+    65-window grid needs ≥ 65 samples or a window goes empty (mean
+    undefined).  This is the strict/NULL contract boundary."""
+    s = np.asarray(samples, dtype=np.int64)
+    if len(s) < _N_WINDOWS + 1:
+        raise ValueError(
+            f"audio clip of {len(s)} samples shorter than the "
+            f"{_N_WINDOWS}-window fingerprint grid"
+        )
+    env_s, env_c = _window_sums(np.abs(s))
+    # |first difference| — diff[i] = |s[i+1] - s[i]|, length n-1, needs
+    # its own 65-window grid (one sample shorter)
+    hf = np.abs(s[1:] - s[:-1])
+    hf_s, hf_c = _window_sums(hf)
+    bits = 0
+    for b in range(32):
+        lo = 2 * b  # even window pairs: (0,1), (2,3), ... (62,63)
+        if (int(env_s[lo]) * int(env_c[lo + 1])
+                < int(env_s[lo + 1]) * int(env_c[lo])):
+            bits |= 1 << b
+        if (int(hf_s[lo]) * int(hf_c[lo + 1])
+                < int(hf_s[lo + 1]) * int(hf_c[lo])):
+            bits |= 1 << (32 + b)
+    return bits
+
+
+def with_audio_fingerprint(
+    df: DataFrame,
+    content_col: str = "content",
+    out_col: str = "afp",
+    *,
+    strict: bool = False,
+    keep: Optional[list[str]] = None,
+) -> DataFrame:
+    """Append the 64-bit audio fingerprint (signed long) computed from
+    a binary WAV column via the real decoder.  Map-side only; NULL
+    content / undecodable / too-short clips yield NULL under
+    ``strict=False`` (same contract as ``with_image_dhash``)."""
+    fields = [f for f in df.schema.fields
+              if keep is None or f.name in keep]
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in fields]
+        + [f"`{out_col}` bigint"]
+    )
+    cols = [f.name for f in fields]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            fps: list[Optional[int]] = []
+            for c in b[content_col]:
+                if c is None:
+                    fps.append(None)
+                    continue
+                try:
+                    fps.append(to_signed64(
+                        audio_fingerprint64(decode_wav(bytes(c)))))
+                except _DECODE_ERRORS:
+                    if strict:
+                        raise
+                    fps.append(None)
+            out = b[cols].copy()
+            out[out_col] = pd.array(fps, dtype="Int64")
+            yield out
+
+    return df.mapInPandas(kernel, out_schema)
+
+
+def audio_near_dups(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    max_distance: int = 3,
+    max_bucket: int = 1000,
+    *,
+    strict: bool = False,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Audio near-dup pairs: fingerprint map-side, then the shared Manku
+    chunk blocking.  Output: (id_a, id_b, hamming)."""
+    from metacrafter_spark.ops.dedup import hamming_near_dup_pairs
+
+    sig = with_audio_fingerprint(
+        df.select(id_col, content_col), content_col, "sig",
+        strict=strict, keep=[id_col],
+    )
+    return hamming_near_dup_pairs(
+        sig, id_col, "sig", max_distance=max_distance,
+        max_bucket=max_bucket, checkpoint=checkpoint,
+    )
+
+
+# --------------------------------------------------------------- video
+
+
+def video_frame_hashes(
+    df: DataFrame,
+    every_ms: int = 1000,
+    *,
+    strict: bool = False,
+) -> DataFrame:
+    """Video rows (the MEDIA_SCHEMA shape: media_id, kind='video',
+    duration_ms, content) → (media_id, frame_idx, dhash): time-spaced
+    frames via ``sample_frames`` (MCVF / animated GIF decode for real),
+    each frame dHashed by the image kernel.  Frames whose container
+    sampling fell back to digest stand-ins hash to NULL (a 32-byte
+    digest is not an image)."""
+    from metacrafter_spark.ops.imagehash import with_image_dhash
+    from metacrafter_spark.ops.multimodal import sample_frames
+
+    frames = sample_frames(df, every_ms=every_ms, strict=strict)
+    return with_image_dhash(
+        frames, "frame", "dhash",
+        strict=strict, keep=["media_id", "frame_idx"],
+    )
+
+
+def video_near_dups(
+    df: DataFrame,
+    every_ms: int = 1000,
+    max_distance: int = 3,
+    min_frames: int = 2,
+    max_bucket: int = 10000,
+    *,
+    strict: bool = False,
+) -> DataFrame:
+    """Video near-dup pairs: two videos pair when ≥ ``min_frames`` of
+    their sampled frames are within ``max_distance`` on dHash.  Output:
+    (id_a, id_b, n_frames, min_hamming).
+
+    Shape: the frame-hash frame is (id, idx, 8 bytes); frame pairing is
+    the shared blocking keyed per frame hash (``max_bucket`` defaults
+    higher than the image leg — every video contributes every sampled
+    frame to the bucket space); the final per-video-pair agg groups
+    fixed-width rows.  Video bytes never leave the map side."""
+    from metacrafter_spark.ops.dedup import hamming_near_dup_pairs
+
+    fh = video_frame_hashes(df, every_ms=every_ms, strict=strict)
+    # pair frames, then lift to video pairs: frames of the SAME video
+    # are excluded by keying on a composite id ordered (video, frame)
+    sig = fh.select(
+        F.struct(F.col("media_id"), F.col("frame_idx")).alias("vf"),
+        F.col("dhash"),
+    )
+    pairs = hamming_near_dup_pairs(
+        sig, "vf", "dhash", max_distance=max_distance,
+        max_bucket=max_bucket,
+    )
+    cross = pairs.filter(
+        F.col("id_a.media_id") != F.col("id_b.media_id"))
+    a = F.least(F.col("id_a.media_id"), F.col("id_b.media_id"))
+    b = F.greatest(F.col("id_a.media_id"), F.col("id_b.media_id"))
+    return (cross
+            .select(a.alias("id_a"), b.alias("id_b"), "hamming")
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_frames"),
+                 F.min("hamming").alias("min_hamming"))
+            .filter(F.col("n_frames") >= min_frames))

@@ -796,6 +796,28 @@ def main() -> None:
     ))
     assert "CartesianProduct" not in inplan, "image pair join is cartesian!"
 
+    # §43: audio fingerprinting — same shape as the image leg (map-side
+    # Arrow kernel, zero Exchange, 8 bytes/clip out); the near-dup pair
+    # join reuses the shared chunk blocking.
+    from metacrafter_spark.ops.audiohash import audio_near_dups, with_audio_fingerprint
+
+    afplan = plan_of(with_audio_fingerprint(media))
+    sections.append((
+        "Audio envelope fingerprint (map-side Arrow kernel — zero "
+        "Exchange)",
+        afplan,
+        ["MapInPandas"],
+    ))
+    assert "Exchange" not in afplan, "audio fingerprinting shuffles!"
+    anplan = plan_of(audio_near_dups(media, checkpoint=False))
+    sections.append((
+        "Audio near-dup pairs (shared Manku chunk blocking, broadcast "
+        "bucket guard — audio bytes never ride the shuffle)",
+        anplan,
+        ["BroadcastExchange", "BroadcastHashJoin"],
+    ))
+    assert "CartesianProduct" not in anplan, "audio pair join is cartesian!"
+
     out = ["# BENCH/EXPLAIN — physical-plan audit\n"]
     ok = True
     for title, plan, must in sections:

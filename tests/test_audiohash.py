@@ -1,0 +1,148 @@
+"""Audio envelope fingerprint + video frame near-dup (ops/audiohash.py)."""
+
+from fractions import Fraction
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from metacrafter_spark.ops.audiohash import (
+    audio_fingerprint64,
+    audio_near_dups,
+    video_frame_hashes,
+    video_near_dups,
+    with_audio_fingerprint,
+)
+from metacrafter_spark.ops.imagehash import to_signed64
+from metacrafter_spark.ops.multimodal import encode_video, encode_wav
+
+
+# ------------------------------------------------- pure-Python replay
+
+
+def _naive_fp(samples):
+    s = [int(x) for x in samples]
+    n = len(s)
+
+    def windows(v):
+        m = len(v)
+        b = [(k * m) // 65 for k in range(66)]
+        return [(sum(v[b[k]:b[k + 1]]), b[k + 1] - b[k]) for k in range(65)]
+
+    env = windows([abs(x) for x in s])
+    hf = windows([abs(s[i + 1] - s[i]) for i in range(n - 1)])
+    bits = 0
+    for b in range(32):
+        lo = 2 * b
+        if Fraction(env[lo][0], env[lo][1]) < Fraction(env[lo + 1][0],
+                                                       env[lo + 1][1]):
+            bits |= 1 << b
+        if Fraction(hf[lo][0], hf[lo][1]) < Fraction(hf[lo + 1][0],
+                                                     hf[lo + 1][1]):
+            bits |= 1 << (32 + b)
+    return bits
+
+
+@pytest.mark.parametrize("n", [66, 67, 130, 777, 16000])
+def test_fingerprint_matches_exact_rational_replay(n):
+    s = np.random.default_rng(n).integers(-32768, 32768, size=n,
+                                          dtype=np.int16)
+    assert audio_fingerprint64(s) == _naive_fp(s)
+
+
+def test_fingerprint_gain_invariance():
+    # exact integer gain without clipping cannot move a bit
+    s = np.random.default_rng(2).integers(-8000, 8000, size=4000,
+                                          dtype=np.int16)
+    for k in (2, 3):
+        assert audio_fingerprint64(s) == audio_fingerprint64(
+            (s.astype(np.int32) * k).astype(np.int16))
+
+
+def test_short_clip_raises():
+    # 65 samples: the envelope grid is full but the first-difference
+    # signal (64 samples) would leave an empty window -> still raises
+    for n in (64, 65):
+        with pytest.raises(ValueError, match="fingerprint grid"):
+            audio_fingerprint64(np.zeros(n, dtype=np.int16))
+
+
+def test_wav_container_path_matches_kernel():
+    from metacrafter_spark.ops.multimodal import decode_wav
+
+    s = np.random.default_rng(5).integers(-32768, 32768, size=3000,
+                                          dtype=np.int16)
+    wav = encode_wav(s)
+    assert audio_fingerprint64(decode_wav(wav)) == audio_fingerprint64(s)
+
+
+# ------------------------------------------------------- Spark surface
+
+
+def test_with_audio_fingerprint_and_contract(spark):
+    rng = np.random.default_rng(9)
+    s0 = rng.integers(-32768, 32768, size=2000, dtype=np.int16)
+    rows = [
+        (0, bytearray(encode_wav(s0))),
+        (1, bytearray(b"RIFFgarbage")),                 # undecodable
+        (2, None),                                      # NULL content
+        (3, bytearray(encode_wav(s0[:40]))),            # too short
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: r["afp"]
+           for r in with_audio_fingerprint(df).collect()}
+    assert got[0] == to_signed64(audio_fingerprint64(s0))
+    assert got[1] is None and got[2] is None and got[3] is None
+    with pytest.raises(Exception):
+        with_audio_fingerprint(df, strict=True).collect()
+
+
+def test_audio_near_dups_planted_pair(spark):
+    rng = np.random.default_rng(11)
+    base = rng.integers(-16000, 16000, size=8000, dtype=np.int16)
+    near = base.copy()
+    near[100:103] += 5                 # tiny local edit
+    d = bin(audio_fingerprint64(base)
+            ^ audio_fingerprint64(near)).count("1")
+    assert d <= 3, f"fixture drifted: planted pair at distance {d}"
+    clips = [base, near] + [
+        rng.integers(-16000, 16000, size=8000, dtype=np.int16)
+        for _ in range(6)]
+    df = spark.createDataFrame(
+        [(i, bytearray(encode_wav(c))) for i, c in enumerate(clips)],
+        "media_id long, content binary")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in audio_near_dups(df).collect()}
+    assert got == {(0, 1): d}
+
+    again = audio_near_dups(df.repartition(5))
+    assert {(r["id_a"], r["id_b"], r["hamming"])
+            for r in again.collect()} == {(0, 1, d)}
+
+
+# --------------------------------------------------------------- video
+
+
+def _video_row(mid, frames, dur=3000):
+    return (mid, "video", dur, bytearray(encode_video(frames)))
+
+
+def test_video_near_dups_composition(spark):
+    rng = np.random.default_rng(13)
+    fa = [rng.integers(0, 256, size=(16, 18, 3), dtype=np.uint8)
+          for _ in range(3)]
+    fb = [f.copy() for f in fa]                   # same pixels, re-encoded
+    fc = [rng.integers(0, 256, size=(16, 18, 3), dtype=np.uint8)
+          for _ in range(3)]
+    df = spark.createDataFrame(
+        [_video_row(0, fa), _video_row(1, fb), _video_row(2, fc)],
+        "media_id long, kind string, duration_ms int, content binary")
+
+    fh = video_frame_hashes(df)
+    rows = fh.collect()
+    assert len(rows) == 9 and all(r["dhash"] is not None for r in rows)
+
+    pairs = video_near_dups(df, min_frames=2)
+    got = [(r["id_a"], r["id_b"], r["n_frames"], r["min_hamming"])
+           for r in pairs.collect()]
+    assert got == [(0, 1, 3, 0)]
