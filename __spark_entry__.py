@@ -1089,6 +1089,54 @@ def q_audio_fingerprint(spark, sf_dir):
             .select("doc_id", "afp").orderBy("doc_id"))
 
 
+def q_video_dhash(spark, sf_dir):
+    """Video frame hashing through the REAL multimodal path (round 5,
+    ops/audiohash.py video leg): each document becomes a real 3-frame
+    MCVF video container (frame pixels = per-frame sha256 chains of the
+    text, 8×9 grayscale — the image_dhash geometry), then
+    `sample_frames` decodes the container and time-spaces the frames
+    (duration 3000 ms / every 1000 ms → all three, linspace identity)
+    and each frame rides the exact-integer dHash kernel — container
+    encode → frame sampling → PPM decode → luma → 64 comparisons all
+    live.  The oracle re-derives every frame's pixels from the same
+    sha256 chains and replays the comparisons + bit packing per
+    (doc, frame) in SQL."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from metacrafter_spark.ops.audiohash import video_frame_hashes
+    from metacrafter_spark.ops.multimodal import encode_video
+
+    docs = (_t(spark, sf_dir, "documents")
+            .filter((F.col("doc_id") < 100) & F.col("text").isNotNull())
+            .select("doc_id", "text"))
+    hxs = [F.concat(*[F.sha2(F.concat(F.col("text"), F.lit(f"f{f}{s}")),
+                             256) for s in ("", "a", "b")])
+           for f in range(3)]
+
+    def _to_video(h0, h1, h2):
+        out = []
+        for a, b, c in zip(h0, h1, h2):
+            frames = []
+            for h in (a, b, c):
+                g = np.frombuffer(bytes.fromhex(h[:144]), dtype=np.uint8)
+                frames.append(np.repeat(g.reshape(8, 9)[:, :, None],
+                                        3, axis=2))
+            out.append(encode_video(frames))
+        return pd.Series(out)
+
+    to_video = pandas_udf(_to_video, "binary")
+
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.lit(3000).alias("duration_ms"),
+        to_video(*hxs).alias("content"))
+    return (video_frame_hashes(media, every_ms=1000, strict=True)
+            .orderBy("media_id", "frame_idx"))
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic 10% Bernoulli-by-hash sample of documents — the
     membership predicate is pure integer arithmetic on doc_id (Knuth
@@ -3288,6 +3336,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # real WAV decode + exact-integer envelope fingerprint, every
         # sample and every bit replayed in SQL (round 5)
         "audio_fingerprint": q_audio_fingerprint,
+        # real MCVF container + frame sampling + per-frame dHash, every
+        # frame pixel and bit replayed in SQL (round 5)
+        "video_dhash": q_video_dhash,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "budget_mix": q_budget_mix,
@@ -4499,6 +4550,44 @@ def _audio_fingerprint_sql() -> str:
         SELECT doc_id,
                CAST({total} AS BIGINT) AS afp
         FROM wnd ORDER BY doc_id
+    """
+
+
+def _video_dhash_sql() -> str:
+    """DuckDB replay of q_video_dhash: frame f of each document's MCVF
+    container is the 8×9 grayscale image whose pixel byte k is hex pair
+    k of that frame's sha256 chain, so each (doc, frame) dHash replays
+    exactly like image_dhash — bit r·8+c is byte[r·9+c] < byte[r·9+c+1],
+    bits summed in HUGEINT (bit 63 two's-complement) → BIGINT."""
+
+    def byte(k: int) -> str:
+        return (f"((strpos('0123456789abcdef', substr(hx, {2 * k + 1}, 1))"
+                f" - 1) * 16 + strpos('0123456789abcdef',"
+                f" substr(hx, {2 * k + 2}, 1)) - 1)")
+
+    terms = []
+    for r in range(8):
+        for c in range(8):
+            b = r * 8 + c
+            val = "-9223372036854775808" if b == 63 else str(1 << b)
+            terms.append(
+                f"CASE WHEN {byte(r * 9 + c)} < {byte(r * 9 + c + 1)}"
+                f" THEN CAST({val} AS HUGEINT) ELSE 0 END"
+            )
+    total = "\n                 + ".join(terms)
+    branches = []
+    for f in range(3):
+        chain = " || ".join(
+            f"sha256(text || 'f{f}{s}')" for s in ("", "a", "b"))
+        branches.append(f"""
+          SELECT doc_id AS media_id, {f} AS frame_idx, {chain} AS hx
+          FROM documents WHERE doc_id < 100 AND text IS NOT NULL""")
+    union = "\n          UNION ALL".join(branches)
+    return f"""
+        WITH fr AS ({union})
+        SELECT media_id, frame_idx,
+               CAST({total} AS BIGINT) AS dhash
+        FROM fr ORDER BY media_id, frame_idx
     """
 
 
@@ -6149,6 +6238,9 @@ def oracle_sql() -> dict[str, str]:
         # audio_fingerprint: every sample re-derived from the sha256
         # chain, both window grids + all 64 comparisons replayed
         "audio_fingerprint": _audio_fingerprint_sql(),
+        # video_dhash: every frame pixel re-derived from the per-frame
+        # sha256 chains, all 64 comparisons replayed per (doc, frame)
+        "video_dhash": _video_dhash_sql(),
         "sitemap_recrawl": r"""
             WITH src AS (
               SELECT regexp_extract(url, '/article/(\d+)$', 1)::BIGINT

@@ -818,6 +818,25 @@ def main() -> None:
     ))
     assert "CartesianProduct" not in anplan, "audio pair join is cartesian!"
 
+    # §44: video frame hashing — container decode + frame sampling +
+    # per-frame dHash are two chained map-side kernels; video bytes
+    # never reach an Exchange.
+    from metacrafter_spark.ops.audiohash import video_frame_hashes
+
+    vmedia = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.lit(3000).alias("duration_ms"),
+        F.col("text").cast("binary").alias("content"))
+    vfplan = plan_of(video_frame_hashes(vmedia))
+    sections.append((
+        "Video frame hashes (sample_frames + dHash: chained map-side "
+        "kernels — zero Exchange)",
+        vfplan,
+        ["MapInPandas"],
+    ))
+    assert "Exchange" not in vfplan, "video frame hashing shuffles!"
+
     out = ["# BENCH/EXPLAIN — physical-plan audit\n"]
     ok = True
     for title, plan, must in sections:
