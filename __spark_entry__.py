@@ -1137,6 +1137,47 @@ def q_video_dhash(spark, sf_dir):
             .orderBy("media_id", "frame_idx"))
 
 
+def q_global_para_dedup(spark, sf_dir):
+    """Corpus-wide paragraph dedup (round 5, ops/dedup.py::
+    remove_global_dup_paragraphs — the CCNet §3.1 boilerplate remover,
+    cross-document twin of dedup_paragraphs).  Deterministic shared
+    boilerplate is injected in-plan (a header paragraph on every
+    doc_id%3==0, a footer on every doc_id%4==0 — case/punct-varied on
+    doc_id%6==0 so the normalized KEY must unify them), then BOTH
+    modes run: keep_first (the minimal (id, idx) occurrence survives)
+    and drop_common (min_docs=3: boilerplate vanishes everywhere).
+    The oracle replays the split, the ASCII-fold normalization, the
+    global winner window, and the rebuild byte-exactly."""
+    from metacrafter_spark.ops.dedup import remove_global_dup_paragraphs
+
+    hdr = "Subscribe to our NEWSLETTER today."
+    hdr_v = "subscribe   to our newsletter, today!!"  # same normalized key
+    ftr = "(c) example site 2024 all rights reserved"
+    d = F.col("doc_id")
+    docs = (_t(spark, sf_dir, "documents")
+            .filter((d < 500) & F.col("text").isNotNull())
+            .select("doc_id", "text"))
+    txt = F.when(d % 3 == 0,
+                 F.concat(F.when(d % 6 == 0, F.lit(hdr_v))
+                          .otherwise(F.lit(hdr)),
+                          F.lit("\n\n"), F.col("text"))) \
+        .otherwise(F.col("text"))
+    txt = F.when(d % 4 == 0, F.concat(txt, F.lit("\n\n"), F.lit(ftr))) \
+        .otherwise(txt)
+    corpus = docs.select("doc_id", txt.alias("text"))
+    kf = remove_global_dup_paragraphs(corpus).select(
+        "doc_id",
+        F.sha2(F.col("text_dedup"), 256).alias("kf_sha"),
+        F.col("n_paras").alias("n_paras"),
+        F.col("n_removed").alias("kf_removed"))
+    dc = remove_global_dup_paragraphs(
+        corpus, mode="drop_common", min_docs=3).select(
+        "doc_id",
+        F.sha2(F.col("text_dedup"), 256).alias("dc_sha"),
+        F.col("n_removed").alias("dc_removed"))
+    return kf.join(dc, "doc_id").orderBy("doc_id")
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic 10% Bernoulli-by-hash sample of documents — the
     membership predicate is pure integer arithmetic on doc_id (Knuth
@@ -3339,6 +3380,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # real MCVF container + frame sampling + per-frame dHash, every
         # frame pixel and bit replayed in SQL (round 5)
         "video_dhash": q_video_dhash,
+        # CCNet corpus-wide paragraph dedup, both modes byte-exact
+        # (round 5)
+        "global_para_dedup": q_global_para_dedup,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "budget_mix": q_budget_mix,
@@ -4589,6 +4633,81 @@ def _video_dhash_sql() -> str:
                CAST({total} AS BIGINT) AS dhash
         FROM fr ORDER BY media_id, frame_idx
     """
+
+
+def _global_para_dedup_sql() -> str:
+    """DuckDB replay of q_global_para_dedup: the boilerplate injection,
+    the \\n{2,} paragraph split, the ASCII-fold normalization
+    (translate + control/punct-run collapse — pure ASCII ranges, RE2 ≡
+    Java), the global keep-first winner (row_number over (doc_id, i) ≡
+    Spark's min(struct)), the drop_common distinct-doc threshold, and
+    both byte-exact rebuilds."""
+    norm = ("trim(regexp_replace(translate(paras[i+1], "
+            "'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), "
+            r"'[\x00-\x2f\x3a-\x40\x5b-\x60\x7b-\x7f]+', ' ', 'g'))")
+    rebuild = (
+        "list_filter(range(len(paras)), i -> {norm} = '' "
+        "OR list_contains(keep, i))").format(norm=norm)
+    return r"""
+        WITH base AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 4 = 0
+                      THEN t2 || chr(10) || chr(10) ||
+                           '(c) example site 2024 all rights reserved'
+                      ELSE t2 END AS text
+          FROM (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN
+                     (CASE WHEN doc_id % 6 = 0
+                           THEN 'subscribe   to our newsletter, today!!'
+                           ELSE 'Subscribe to our NEWSLETTER today.' END)
+                     || chr(10) || chr(10) || text
+                   ELSE text END AS t2
+            FROM documents WHERE doc_id < 500 AND text IS NOT NULL)),
+        p AS (
+          SELECT doc_id, string_split_regex(text, '\n{2,}') AS paras
+          FROM base),
+        e AS (
+          SELECT doc_id, unnest(list_transform(range(len(paras)),
+                   i -> {'i': i, 'k': @NORM@})) AS s
+          FROM p),
+        k AS (SELECT doc_id, s.i AS i, sha256(s.k) AS h
+              FROM e WHERE s.k <> ''),
+        kf_keep AS (
+          SELECT doc_id, list_sort(list(i)) AS keep
+          FROM (SELECT doc_id, i,
+                       row_number() OVER (PARTITION BY h
+                                          ORDER BY doc_id, i) AS rn
+                FROM k)
+          WHERE rn = 1 GROUP BY doc_id),
+        dc_keep AS (
+          SELECT k.doc_id, list_sort(list(k.i)) AS keep
+          FROM k JOIN (SELECT h, count(DISTINCT doc_id) AS nd
+                       FROM k GROUP BY h) f USING (h)
+          WHERE f.nd < 3 GROUP BY k.doc_id),
+        kf_built AS (
+          SELECT p.doc_id, p.paras, @REBUILD@ AS kept
+          FROM (SELECT p.doc_id, p.paras,
+                       coalesce(kf_keep.keep, []) AS keep
+                FROM p LEFT JOIN kf_keep USING (doc_id)) p),
+        dc_built AS (
+          SELECT p.doc_id, p.paras, @REBUILD@ AS kept
+          FROM (SELECT p.doc_id, p.paras,
+                       coalesce(dc_keep.keep, []) AS keep
+                FROM p LEFT JOIN dc_keep USING (doc_id)) p)
+        SELECT kf.doc_id,
+               sha256(array_to_string(
+                 list_transform(kf.kept, i -> kf.paras[i+1]),
+                 chr(10) || chr(10))) AS kf_sha,
+               len(kf.paras)::BIGINT AS n_paras,
+               (len(kf.paras) - len(kf.kept))::BIGINT AS kf_removed,
+               sha256(array_to_string(
+                 list_transform(dc.kept, i -> dc.paras[i+1]),
+                 chr(10) || chr(10))) AS dc_sha,
+               (len(dc.paras) - len(dc.kept))::BIGINT AS dc_removed
+        FROM kf_built kf JOIN dc_built dc ON kf.doc_id = dc.doc_id
+        ORDER BY kf.doc_id
+    """.replace("@NORM@", norm).replace("@REBUILD@", rebuild)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6241,6 +6360,9 @@ def oracle_sql() -> dict[str, str]:
         # video_dhash: every frame pixel re-derived from the per-frame
         # sha256 chains, all 64 comparisons replayed per (doc, frame)
         "video_dhash": _video_dhash_sql(),
+        # global_para_dedup: injection, split, normalization, winner
+        # window and both rebuilds replayed byte-exactly
+        "global_para_dedup": _global_para_dedup_sql(),
         "sitemap_recrawl": r"""
             WITH src AS (
               SELECT regexp_extract(url, '/article/(\d+)$', 1)::BIGINT

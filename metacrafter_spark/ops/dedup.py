@@ -787,6 +787,105 @@ def excise_covered_spans(
     )
 
 
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+# every ASCII codepoint that is not [0-9A-Za-z]: controls, whitespace,
+# punctuation, DEL — collapsed to one space by the key normalization
+_ASCII_JUNK = r"[\x00-\x2f\x3a-\x40\x5b-\x60\x7b-\x7f]+"
+
+
+def _para_norm(p: Column) -> Column:
+    """CCNet-style paragraph normalization for dedup keys: ASCII-only
+    case fold (``translate`` — per-char table, bit-identical in every
+    engine; Unicode case folding deliberately never enters the key) and
+    every ASCII control/whitespace/punctuation run → one space,
+    trimmed.  Non-ASCII codepoints pass through verbatim, so
+    boilerplate in ANY script deduplicates on its exact bytes; the
+    character classes are pure ASCII ranges, so Java regex ≡ RE2 ≡
+    DuckDB."""
+    return F.trim(F.regexp_replace(
+        F.translate(p, _ASCII_UPPER, _ASCII_LOWER), _ASCII_JUNK, " "))
+
+
+def remove_global_dup_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    mode: str = "keep_first",
+    min_docs: int = 2,
+    out_col: str = "text_dedup",
+) -> DataFrame:
+    """CORPUS-WIDE paragraph dedup — the CCNet recipe (Wenzek et al.
+    2020 §3.1: hash every paragraph, drop duplicate occurrences; it
+    removes the nav menus / cookie banners / license boilerplate that
+    per-document filters can't see, ~70% of raw Common-Crawl text).
+    The within-document twin is
+    ``corpus.quality.with_dedup_paragraphs``.
+
+    Paragraphs (``\\n{2,}`` blocks) are keyed by a normalized hash
+    (:func:`_para_norm` → sha256).  Two modes:
+
+    - ``keep_first``: every paragraph whose key occurs more than once
+      anywhere in the corpus (including twice in one document) keeps
+      ONLY its minimal ``(id, position)`` occurrence — a pure function
+      of the data, so the survivor is identical under any partitioning
+      (the ``dedup_url_revisits`` determinism rule).
+    - ``drop_common``: paragraphs whose key appears in ≥ ``min_docs``
+      distinct documents are dropped from ALL documents (the
+      boilerplate-stripper policy — no survivor).
+
+    Punctuation/whitespace-only paragraphs (empty normalized key) are
+    never deduplicated — they are layout, not content.  Output:
+    ``out_col`` (survivors re-joined with one blank line, original
+    bytes — normalization touches only the KEY), ``n_paras``,
+    ``n_removed``.
+
+    Scale shape: the paragraph explode is map-side and only
+    ``(id, index, 32-byte key hash)`` rides the key-hash Exchange; the
+    winner/frequency agg is map-side-combinable; the per-document keep
+    set comes back as one fixed-width sorted int array; the single
+    corpus-side Exchange is the final id-keyed join (the
+    ``remove_dup_spans`` shape).  Paragraph TEXT never shuffles.
+    """
+    if mode not in ("keep_first", "drop_common"):
+        raise ValueError(f"unknown mode {mode!r}")
+    staged = df.withColumn("__paras", F.split(F.col(text_col), r"\n{2,}"))
+    hashed = (
+        staged.select(F.col(id_col), F.posexplode("__paras").alias("__i", "__p"))
+        .select(id_col, "__i", _para_norm(F.col("__p")).alias("__k"))
+        .filter(F.col("__k") != "")
+        .select(id_col, "__i", F.sha2(F.col("__k"), 256).alias("__h"))
+    )
+    if mode == "keep_first":
+        win = hashed.groupBy("__h").agg(
+            F.min(F.struct(F.col(id_col), F.col("__i"))).alias("__w"))
+        kept = hashed.join(win, "__h").filter(
+            (F.col(f"__w.{id_col}") == F.col(id_col))
+            & (F.col("__w.__i") == F.col("__i")))
+    else:
+        freq = hashed.groupBy("__h").agg(
+            F.count_distinct(id_col).alias("__nd"))
+        kept = hashed.join(freq.filter(F.col("__nd") < min_docs), "__h")
+    keep_idx = kept.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("__i")).alias("__keep"))
+
+    def _survives(p, i):
+        return (_para_norm(p) == "") | F.array_contains(F.col("__keep"), i)
+
+    return (
+        staged.join(keep_idx, id_col, "left")
+        .withColumn("__keep",
+                    F.coalesce(F.col("__keep"), F.array().cast("array<int>")))
+        .withColumn("__kept", F.filter("__paras", _survives))
+        .withColumn(out_col, F.array_join(F.col("__kept"), "\n\n"))
+        .withColumn("n_paras", F.size("__paras").cast("long"))
+        .withColumn("n_removed",
+                    (F.size("__paras") - F.size("__kept")).cast("long"))
+        .drop("__paras", "__keep", "__kept")
+    )
+
+
 def shingles_positional(words: Column, n: int) -> Column:
     """Positional word n-grams (NOT distinct — index in the array IS the
     0-based start token position; whole-doc fallback for short docs is

@@ -837,6 +837,22 @@ def main() -> None:
     ))
     assert "Exchange" not in vfplan, "video frame hashing shuffles!"
 
+    # §45: corpus-wide paragraph dedup (CCNet) — entirely native
+    # Columns (zero Python anywhere in the plan); shuffles carry
+    # (id, idx, 32-byte key hash) and per-doc int arrays, and the one
+    # corpus-side Exchange is the final id-keyed rebuild join.
+    from metacrafter_spark.ops.dedup import remove_global_dup_paragraphs
+
+    gpplan = plan_of(remove_global_dup_paragraphs(docs))
+    sections.append((
+        "Global paragraph dedup (CCNet keep-first: native Columns only "
+        "— paragraph text never rides the key-hash Exchange)",
+        gpplan,
+        ["HashAggregate"],
+    ))
+    assert "EvalPython" not in gpplan and "MapInPandas" not in gpplan, \
+        "global paragraph dedup runs Python!"
+
     out = ["# BENCH/EXPLAIN — physical-plan audit\n"]
     ok = True
     for title, plan, must in sections:

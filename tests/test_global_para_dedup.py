@@ -1,0 +1,86 @@
+"""Corpus-wide paragraph dedup (ops/dedup.py::remove_global_dup_paragraphs,
+the CCNet §3.1 recipe — cross-document twin of with_dedup_paragraphs)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from metacrafter_spark.ops.dedup import remove_global_dup_paragraphs
+
+BOILER = "Subscribe to our NEWSLETTER today."
+BOILER_VARIANT = "subscribe   to our newsletter, today!!"  # same key
+
+
+def _corpus(spark):
+    rows = [
+        (0, f"{BOILER}\n\nunique zero body text."),
+        (1, f"unique one body text.\n\n{BOILER}"),
+        # same-key variant (case/punct differ) — must dedup with BOILER
+        (2, f"{BOILER_VARIANT}\n\nunique two body text."),
+        # within-doc repeat of its own paragraph
+        (3, "repeat me.\n\nrepeat me.\n\nunique three."),
+        # punctuation-only paragraph: layout, never deduped
+        (4, "---\n\nunique four.\n\n---"),
+        (5, "wholly unique document five."),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _by_id(df):
+    return {r["doc_id"]: r for r in df.collect()}
+
+
+def test_keep_first_survivor_is_min_doc_and_idx(spark):
+    got = _by_id(remove_global_dup_paragraphs(_corpus(spark)))
+    # doc 0 holds the minimal (id, idx) occurrence of the boilerplate key
+    assert got[0]["text_dedup"] == f"{BOILER}\n\nunique zero body text."
+    assert got[0]["n_removed"] == 0
+    # docs 1 and 2 lose it — and keep their ORIGINAL bytes elsewhere
+    assert got[1]["text_dedup"] == "unique one body text."
+    assert got[1]["n_removed"] == 1
+    assert got[2]["text_dedup"] == "unique two body text."
+    # within-doc second occurrence drops too
+    assert got[3]["text_dedup"] == "repeat me.\n\nunique three."
+    assert got[3]["n_removed"] == 1
+    # layout paragraphs survive everywhere (both of them)
+    assert got[4]["text_dedup"] == "---\n\nunique four.\n\n---"
+    assert got[4]["n_removed"] == 0
+    assert got[5]["text_dedup"] == "wholly unique document five."
+    assert got[5]["n_paras"] == 1 and got[5]["n_removed"] == 0
+
+
+def test_drop_common_removes_all_occurrences(spark):
+    got = _by_id(remove_global_dup_paragraphs(
+        _corpus(spark), mode="drop_common", min_docs=3))
+    # boilerplate key appears in 3 distinct docs (0, 1, 2): gone from ALL
+    assert got[0]["text_dedup"] == "unique zero body text."
+    assert got[1]["text_dedup"] == "unique one body text."
+    assert got[2]["text_dedup"] == "unique two body text."
+    # within-doc repeat is 1 distinct doc < 3: untouched in this mode
+    assert got[3]["text_dedup"] == "repeat me.\n\nrepeat me.\n\nunique three."
+
+
+def test_partitioning_determinism(spark):
+    base = remove_global_dup_paragraphs(_corpus(spark)).collect()
+    again = remove_global_dup_paragraphs(
+        _corpus(spark).repartition(7)).collect()
+    key = lambda rows: sorted((r["doc_id"], r["text_dedup"],
+                               r["n_paras"], r["n_removed"]) for r in rows)
+    assert key(base) == key(again)
+
+
+def test_non_ascii_boilerplate_dedups_on_exact_bytes(spark):
+    ru = "Подпишитесь на нашу рассылку."
+    rows = [(0, f"{ru}\n\nуникальный текст ноль."),
+            (1, f"уникальный текст один.\n\n{ru}"),
+            # NOT the same bytes (different word) — must survive
+            (2, "Подпишитесь на нашу газету.\n\nдва.")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = _by_id(remove_global_dup_paragraphs(df))
+    assert got[0]["n_removed"] == 0
+    assert got[1]["text_dedup"] == "уникальный текст один."
+    assert got[2]["n_removed"] == 0
+
+
+def test_bad_mode_raises(spark):
+    with pytest.raises(ValueError, match="unknown mode"):
+        remove_global_dup_paragraphs(_corpus(spark), mode="nope")
