@@ -134,6 +134,22 @@ def main(argv=None) -> int:
     dd.add_argument("--threshold", type=float, default=0.8)
     dd.add_argument("--cores", type=int)
 
+    pdp = sub.add_parser(
+        "para-dedup",
+        help="corpus-wide paragraph dedup (CCNet: drop duplicated / "
+             "common boilerplate paragraphs crawl-wide)")
+    pdp.add_argument("input", help="parquet with id + text columns")
+    pdp.add_argument("output", help="output parquet (original columns + "
+                     "text_dedup, n_paras, n_removed)")
+    pdp.add_argument("--id-col", default="doc_id")
+    pdp.add_argument("--text-col", default="text")
+    pdp.add_argument("--mode", choices=["keep_first", "drop_common"],
+                     default="keep_first")
+    pdp.add_argument("--min-docs", type=int, default=2,
+                     help="drop_common: drop paragraphs appearing in "
+                          ">= this many distinct documents")
+    pdp.add_argument("--cores", type=int)
+
     pg = sub.add_parser("pagerank", help="link-quality ranks over an "
                         "edge parquet (e.g. warc-ingest --outlinks "
                         "output) — integer fixed-point, deterministic")
@@ -470,6 +486,26 @@ def main(argv=None) -> int:
             )
             pairs.write.mode("error").parquet(args.output)
             print(json.dumps({"pairs": spark.read.parquet(args.output).count()}))
+        elif args.cmd == "para-dedup":
+            from pyspark.sql import functions as F
+
+            from metacrafter_spark.ops.dedup import (
+                remove_global_dup_paragraphs,
+            )
+
+            docs = spark.read.parquet(args.input)
+            out = remove_global_dup_paragraphs(
+                docs, args.id_col, args.text_col,
+                mode=args.mode, min_docs=args.min_docs)
+            out.write.mode("error").parquet(args.output)
+            stats = (spark.read.parquet(args.output)
+                     .agg(F.count(F.lit(1)).alias("docs"),
+                          F.sum("n_paras").alias("paras"),
+                          F.sum("n_removed").alias("removed"))
+                     .first())
+            print(json.dumps({"docs": stats["docs"],
+                              "paras": int(stats["paras"]),
+                              "removed": int(stats["removed"])}))
         elif args.cmd == "pagerank":
             from pyspark.sql import functions as F
 

@@ -84,3 +84,17 @@ def test_non_ascii_boilerplate_dedups_on_exact_bytes(spark):
 def test_bad_mode_raises(spark):
     with pytest.raises(ValueError, match="unknown mode"):
         remove_global_dup_paragraphs(_corpus(spark), mode="nope")
+
+
+def test_cli_para_dedup(spark, tmp_path):
+    from metacrafter_spark.cli import main
+
+    src = str(tmp_path / "in")
+    _corpus(spark).write.parquet(src)
+    out = str(tmp_path / "out")
+    rc = main(["para-dedup", src, out, "--mode", "drop_common",
+               "--min-docs", "3"])
+    assert rc == 0
+    got = _by_id(spark.read.parquet(out))
+    assert got[1]["text_dedup"] == "unique one body text."
+    assert sum(r["n_removed"] for r in got.values()) == 3
