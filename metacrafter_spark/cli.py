@@ -504,8 +504,8 @@ def main(argv=None) -> int:
                           F.sum("n_removed").alias("removed"))
                      .first())
             print(json.dumps({"docs": stats["docs"],
-                              "paras": int(stats["paras"]),
-                              "removed": int(stats["removed"])}))
+                              "paras": int(stats["paras"] or 0),
+                              "removed": int(stats["removed"] or 0)}))
         elif args.cmd == "pagerank":
             from pyspark.sql import functions as F
 

@@ -839,30 +839,37 @@ def remove_global_dup_paragraphs(
     never deduplicated — they are layout, not content.  Output:
     ``out_col`` (survivors re-joined with one blank line, original
     bytes — normalization touches only the KEY), ``n_paras``,
-    ``n_removed``.
+    ``n_removed``.  A NULL ``text_col`` passes through as NULL with
+    zero counts.
 
     Scale shape: the paragraph explode is map-side and only
     ``(id, index, 32-byte key hash)`` rides the key-hash Exchange; the
-    winner/frequency agg is map-side-combinable; the per-document keep
-    set comes back as one fixed-width sorted int array; the single
-    corpus-side Exchange is the final id-keyed join (the
-    ``remove_dup_spans`` shape).  Paragraph TEXT never shuffles.
+    winner/frequency agg is map-side-combinable (``keep_first``'s
+    survivors are a pure projection of the agg output — no join back
+    onto the exploded frame); the per-document keep set comes back as
+    one fixed-width sorted int array; and the single corpus-side
+    Exchange is the final id-keyed rebuild join (the
+    ``remove_dup_spans`` shape), which carries each document's text
+    once — the paragraph split is recomputed after that join, so the
+    split array never rides any Exchange.
     """
     if mode not in ("keep_first", "drop_common"):
         raise ValueError(f"unknown mode {mode!r}")
-    staged = df.withColumn("__paras", F.split(F.col(text_col), r"\n{2,}"))
+    paras_col = F.split(F.col(text_col), r"\n{2,}")
     hashed = (
-        staged.select(F.col(id_col), F.posexplode("__paras").alias("__i", "__p"))
+        df.select(F.col(id_col), F.posexplode(paras_col).alias("__i", "__p"))
         .select(id_col, "__i", _para_norm(F.col("__p")).alias("__k"))
         .filter(F.col("__k") != "")
         .select(id_col, "__i", F.sha2(F.col("__k"), 256).alias("__h"))
     )
     if mode == "keep_first":
-        win = hashed.groupBy("__h").agg(
-            F.min(F.struct(F.col(id_col), F.col("__i"))).alias("__w"))
-        kept = hashed.join(win, "__h").filter(
-            (F.col(f"__w.{id_col}") == F.col(id_col))
-            & (F.col("__w.__i") == F.col("__i")))
+        # the winner struct IS the surviving row — project it straight
+        # out of the agg (joining back onto the exploded frame would
+        # re-shuffle the largest intermediate for no semantic effect)
+        kept = hashed.groupBy("__h").agg(
+            F.min(F.struct(F.col(id_col), F.col("__i"))).alias("__w")
+        ).select(F.col(f"__w.{id_col}").alias(id_col),
+                 F.col("__w.__i").alias("__i"))
     else:
         freq = hashed.groupBy("__h").agg(
             F.count_distinct(id_col).alias("__nd"))
@@ -874,14 +881,23 @@ def remove_global_dup_paragraphs(
         return (_para_norm(p) == "") | F.array_contains(F.col("__keep"), i)
 
     return (
-        staged.join(keep_idx, id_col, "left")
+        df.join(keep_idx, id_col, "left")
         .withColumn("__keep",
                     F.coalesce(F.col("__keep"), F.array().cast("array<int>")))
-        .withColumn("__kept", F.filter("__paras", _survives))
+        # split AFTER the rebuild join: the id-keyed Exchange carries
+        # the text once, never the doubled (text + split array) form
+        .withColumn("__paras", paras_col)
+        .withColumn("__kept", F.filter(F.col("__paras"), _survives))
         .withColumn(out_col, F.array_join(F.col("__kept"), "\n\n"))
-        .withColumn("n_paras", F.size("__paras").cast("long"))
+        .withColumn("n_paras",
+                    F.coalesce(F.size("__paras"), F.lit(-1))
+                    .cast("long"))
         .withColumn("n_removed",
-                    (F.size("__paras") - F.size("__kept")).cast("long"))
+                    (F.col("n_paras") - F.size("__kept")).cast("long"))
+        # NULL text: NULL out_col (array_join of NULL), zero counts —
+        # size() on a NULL array reports -1, not a count
+        .withColumn("n_paras", F.greatest("n_paras", F.lit(0)))
+        .withColumn("n_removed", F.greatest("n_removed", F.lit(0)))
         .drop("__paras", "__keep", "__kept")
     )
 

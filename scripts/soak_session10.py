@@ -1,0 +1,127 @@
+# -*- coding: utf-8 -*-
+"""Scale soak for the session-10 operators: corpus-wide paragraph
+dedup + audio fingerprint near-dup at 1× vs 10× input — the same
+flat-throughput done-bar as soak_newops.py (units/s at 10× within
+~15% of 1×; no memory cliff).
+
+- global para dedup: 20k vs 200k synthetic web pages with injected
+  shared boilerplate (header on id%3==0, footer on id%4==0 — the
+  oracle query's injection), keep_first mode, noop sink.
+- audio near-dup: 10k vs 100k real 4000-sample PCM-16 WAVs with a
+  planted gain-×2 dup per id pair (the bench row's corpus at soak
+  scale), pair count asserted == n/2 at both scales.
+
+Protocol: generation excluded via cache+count, one warm-up pass,
+best-of-REPS timed, /proc/stat steal sampled around the whole soak.
+
+Run:  python scripts/soak_session10.py [REPS]
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def _steal():
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    return vals[7], sum(vals)
+
+
+def main() -> None:
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from metacrafter_spark.corpus.webpages import synth_webpages
+    from metacrafter_spark.ops.audiohash import audio_near_dups
+    from metacrafter_spark.ops.dedup import remove_global_dup_paragraphs
+    from metacrafter_spark.session import get_spark
+
+    spark = get_spark(app_name="soak-s10", cores=32,
+                      shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    s0, t0 = _steal()
+    out = {}
+
+    # ---------------------------------------- global paragraph dedup
+    hdr, ftr = ("Subscribe to our NEWSLETTER today.",
+                "(c) example site 2024 all rights reserved")
+    for tag, n in (("1x", 20_000), ("10x", 200_000)):
+        # synth_webpages is the url-keyed BASELINE shape — derive a
+        # deterministic integer id for injection keying and dedup
+        d = F.abs(F.xxhash64("url"))
+        src = (synth_webpages(spark, n, seed=42, partitions=128)
+               .select(d.alias("doc_id"),
+                       F.concat(
+                           F.when(d % 3 == 0, F.lit(hdr + "\n\n"))
+                           .otherwise(F.lit("")),
+                           F.col("text"),
+                           F.when(d % 4 == 0, F.lit("\n\n" + ftr))
+                           .otherwise(F.lit(""))).alias("text"))
+               .cache())
+        src.count()
+        best = None
+        for i in range(reps + 1):  # first pass = warm-up
+            t = time.perf_counter()
+            remove_global_dup_paragraphs(src).write.format("noop") \
+                .mode("overwrite").save()
+            dt = time.perf_counter() - t
+            if i and (best is None or dt < best):
+                best = dt
+        out[f"para_dedup_{tag}"] = {
+            "docs": n, "sec": round(best, 3),
+            "docs_per_sec": round(n / best, 1)}
+        src.unpersist()
+
+    # ----------------------------------------------- audio near-dup
+    def _mk_wav(mids):
+        from metacrafter_spark.ops.multimodal import encode_wav
+        res = []
+        for mid in mids:
+            rng = np.random.default_rng(int(mid) // 2)
+            s = rng.integers(-16000, 16000, size=4000, dtype=np.int16)
+            if mid % 2:
+                s = (s.astype(np.int32) * 2).astype(np.int16)
+            res.append(encode_wav(s))
+        return pd.Series(res)
+
+    wav_udf = pandas_udf(_mk_wav, "binary")
+    for tag, n in (("1x", 10_000), ("10x", 100_000)):
+        media = (spark.range(0, n, 1, 128)
+                 .select(F.col("id").alias("media_id"),
+                         wav_udf(F.col("id")).alias("content"))
+                 .cache())
+        media.count()
+        best = None
+        pairs = -1
+        for i in range(reps + 1):
+            t = time.perf_counter()
+            pairs = audio_near_dups(media, max_distance=3).count()
+            dt = time.perf_counter() - t
+            if i and (best is None or dt < best):
+                best = dt
+        assert pairs == n // 2, f"planted dups at {tag}: {pairs}"
+        out[f"audio_dedup_{tag}"] = {
+            "clips": n, "sec": round(best, 3),
+            "clips_per_sec": round(n / best, 1)}
+        media.unpersist()
+
+    s1, t1 = _steal()
+    out["cpu_steal_frac"] = round((s1 - s0) / (t1 - t0), 4)
+    for op in ("para_dedup", "audio_dedup"):
+        k = ("docs_per_sec" if op == "para_dedup" else "clips_per_sec")
+        out[f"{op}_10x_vs_1x"] = round(
+            out[f"{op}_10x"][k] / out[f"{op}_1x"][k], 3)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

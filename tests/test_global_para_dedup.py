@@ -81,6 +81,15 @@ def test_non_ascii_boilerplate_dedups_on_exact_bytes(spark):
     assert got[2]["n_removed"] == 0
 
 
+def test_null_text_passes_through(spark):
+    rows = [(0, f"{BOILER}\n\nzero."), (1, None), (2, f"{BOILER}\n\ntwo.")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = _by_id(remove_global_dup_paragraphs(df))
+    assert got[1]["text_dedup"] is None
+    assert got[1]["n_paras"] == 0 and got[1]["n_removed"] == 0
+    assert got[2]["text_dedup"] == "two."
+
+
 def test_bad_mode_raises(spark):
     with pytest.raises(ValueError, match="unknown mode"):
         remove_global_dup_paragraphs(_corpus(spark), mode="nope")
