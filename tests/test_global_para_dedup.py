@@ -107,3 +107,42 @@ def test_cli_para_dedup(spark, tmp_path):
     got = _by_id(spark.read.parquet(out))
     assert got[1]["text_dedup"] == "unique one body text."
     assert sum(r["n_removed"] for r in got.values()) == 3
+
+
+def test_para_norm_cross_engine_differential(spark):
+    """The normalization key must be bit-identical in Spark (Java
+    regex + translate) and DuckDB (RE2 + translate) — the oracle's
+    byte-exactness rests on it.  200 adversarial strings: mixed-case
+    ASCII, every ASCII punctuation/control char, multi-script text,
+    combining marks, emoji, and boundary whitespace."""
+    import random
+
+    import duckdb
+
+    from metacrafter_spark.ops.dedup import _para_norm
+
+    rng = random.Random(42)
+    pool = (
+        [chr(c) for c in range(0x20, 0x7F)]
+        + list("\t\n\r\x0b\x0c")
+        + list("ÄéßÑçàύЖщあ漢字한글مرحبااनमस्ते")
+        + ["é", "‍", "🙂", "№", "—"]
+    )
+    samples = ["".join(rng.choice(pool) for _ in range(rng.randint(0, 60)))
+               for _ in range(200)] + ["", " ", "A-B", "ABC abc",
+                                       "\x00ctl\x7f", "«½»"]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)],
+                               "i long, s string")
+    got_spark = [r["k"] for r in
+                 df.select("i", _para_norm(F.col("s")).alias("k"))
+                 .orderBy("i").collect()]
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(
+            "SELECT trim(regexp_replace(translate(?, "
+            "'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), "
+            r"'[\x00-\x2f\x3a-\x40\x5b-\x60\x7b-\x7f]+', ' ', 'g'))",
+            [s]).fetchone()[0]
+        for s in samples
+    ]
+    assert got_spark == got_duck
