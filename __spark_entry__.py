@@ -1178,6 +1178,47 @@ def q_global_para_dedup(spark, sf_dir):
     return kf.join(dc, "doc_id").orderBy("doc_id")
 
 
+def q_incremental_para_dedup(spark, sf_dir):
+    """Cross-dump incremental paragraph dedup (round 5, ops/dedup.py::
+    incremental_para_dedup — CCNet's production shape: each new crawl
+    dump dedups against the dumps already ingested).  The injected
+    boilerplate corpus of global_para_dedup splits into two waves
+    (doc_id parity); wave 1 runs the first-dump path (store = None),
+    its `para_keys` become the store, and wave 2 dedups against it —
+    so a wave-2 paragraph already seen in wave 1 drops even as its
+    batch's first occurrence.  The oracle replays wave splitting, the
+    key store, the anti-join, both winner windows, and both rebuilds
+    byte-exactly."""
+    from metacrafter_spark.ops.dedup import (
+        incremental_para_dedup, para_keys)
+
+    hdr = "Subscribe to our NEWSLETTER today."
+    hdr_v = "subscribe   to our newsletter, today!!"
+    ftr = "(c) example site 2024 all rights reserved"
+    d = F.col("doc_id")
+    docs = (_t(spark, sf_dir, "documents")
+            .filter((d < 400) & F.col("text").isNotNull())
+            .select("doc_id", "text"))
+    txt = F.when(d % 3 == 0,
+                 F.concat(F.when(d % 6 == 0, F.lit(hdr_v))
+                          .otherwise(F.lit(hdr)),
+                          F.lit("\n\n"), F.col("text"))) \
+        .otherwise(F.col("text"))
+    txt = F.when(d % 4 == 0, F.concat(txt, F.lit("\n\n"), F.lit(ftr))) \
+        .otherwise(txt)
+    corpus = docs.select("doc_id", txt.alias("text"))
+    w1 = corpus.filter(d % 2 == 0)
+    w2 = corpus.filter(d % 2 == 1)
+    out1 = incremental_para_dedup(w1, None).withColumn("wave", F.lit(1))
+    out2 = incremental_para_dedup(w2, para_keys(w1)) \
+        .withColumn("wave", F.lit(2))
+    return (out1.unionByName(out2)
+            .select("doc_id", "wave",
+                    F.sha2(F.col("text_dedup"), 256).alias("dedup_sha"),
+                    "n_paras", "n_removed")
+            .orderBy("doc_id"))
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic 10% Bernoulli-by-hash sample of documents — the
     membership predicate is pure integer arithmetic on doc_id (Knuth
@@ -3383,6 +3424,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CCNet corpus-wide paragraph dedup, both modes byte-exact
         # (round 5)
         "global_para_dedup": q_global_para_dedup,
+        # cross-dump incremental paragraph dedup vs a key store
+        # (round 5)
+        "incremental_para_dedup": q_incremental_para_dedup,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "budget_mix": q_budget_mix,
@@ -4708,6 +4752,82 @@ def _global_para_dedup_sql() -> str:
         FROM kf_built kf JOIN dc_built dc ON kf.doc_id = dc.doc_id
         ORDER BY kf.doc_id
     """.replace("@NORM@", norm).replace("@REBUILD@", rebuild)
+
+
+def _incremental_para_dedup_sql() -> str:
+    """DuckDB replay of q_incremental_para_dedup: the global_para_dedup
+    injection over doc_id < 400, split by parity into two waves;
+    wave 1 gets the plain keep-first winner window, wave 2's hashed
+    frame is anti-joined against wave 1's distinct keys FIRST and then
+    gets its own winner window; both rebuilds replayed byte-exactly."""
+    norm = ("trim(regexp_replace(translate(paras[i+1], "
+            "'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), "
+            r"'[\x00-\x2f\x3a-\x40\x5b-\x60\x7b-\x7f]+', ' ', 'g'))")
+    rebuild = ("list_filter(range(len(paras)), i -> @NORM@ = '' "
+               "OR list_contains(keep, i))")
+    sql = r"""
+        WITH base AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 4 = 0
+                      THEN t2 || chr(10) || chr(10) ||
+                           '(c) example site 2024 all rights reserved'
+                      ELSE t2 END AS text
+          FROM (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN
+                     (CASE WHEN doc_id % 6 = 0
+                           THEN 'subscribe   to our newsletter, today!!'
+                           ELSE 'Subscribe to our NEWSLETTER today.' END)
+                     || chr(10) || chr(10) || text
+                   ELSE text END AS t2
+            FROM documents WHERE doc_id < 400 AND text IS NOT NULL)),
+        p AS (
+          SELECT doc_id, string_split_regex(text, '\n{2,}') AS paras
+          FROM base),
+        e AS (
+          SELECT doc_id, unnest(list_transform(range(len(paras)),
+                   i -> {'i': i, 'k': @NORM@})) AS s
+          FROM p),
+        k AS (SELECT doc_id, s.i AS i, sha256(s.k) AS h
+              FROM e WHERE s.k <> ''),
+        k1 AS (SELECT * FROM k WHERE doc_id % 2 = 0),
+        seen AS (SELECT DISTINCT h FROM k1),
+        k2 AS (SELECT k.* FROM k WHERE doc_id % 2 = 1
+               AND NOT EXISTS (SELECT 1 FROM seen WHERE seen.h = k.h)),
+        keep1 AS (
+          SELECT doc_id, list_sort(list(i)) AS keep
+          FROM (SELECT doc_id, i,
+                       row_number() OVER (PARTITION BY h
+                                          ORDER BY doc_id, i) AS rn
+                FROM k1)
+          WHERE rn = 1 GROUP BY doc_id),
+        keep2 AS (
+          SELECT doc_id, list_sort(list(i)) AS keep
+          FROM (SELECT doc_id, i,
+                       row_number() OVER (PARTITION BY h
+                                          ORDER BY doc_id, i) AS rn
+                FROM k2)
+          WHERE rn = 1 GROUP BY doc_id),
+        fin AS (
+          SELECT p.doc_id,
+                 CASE WHEN p.doc_id % 2 = 0 THEN 1 ELSE 2 END AS wave,
+                 p.paras,
+                 coalesce(CASE WHEN p.doc_id % 2 = 0
+                               THEN keep1.keep ELSE keep2.keep END,
+                          []) AS keep
+          FROM p LEFT JOIN keep1 USING (doc_id)
+                 LEFT JOIN keep2 USING (doc_id)),
+        built AS (
+          SELECT doc_id, wave, paras, @REBUILD@ AS kept FROM fin)
+        SELECT doc_id, wave,
+               sha256(array_to_string(
+                 list_transform(kept, i -> paras[i+1]),
+                 chr(10) || chr(10))) AS dedup_sha,
+               len(paras)::BIGINT AS n_paras,
+               (len(paras) - len(kept))::BIGINT AS n_removed
+        FROM built ORDER BY doc_id
+    """
+    return sql.replace("@REBUILD@", rebuild).replace("@NORM@", norm)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6363,6 +6483,9 @@ def oracle_sql() -> dict[str, str]:
         # global_para_dedup: injection, split, normalization, winner
         # window and both rebuilds replayed byte-exactly
         "global_para_dedup": _global_para_dedup_sql(),
+        # incremental_para_dedup: wave split, key store, anti-join,
+        # both winner windows and rebuilds replayed byte-exactly
+        "incremental_para_dedup": _incremental_para_dedup_sql(),
         "sitemap_recrawl": r"""
             WITH src AS (
               SELECT regexp_extract(url, '/article/(\d+)$', 1)::BIGINT

@@ -855,25 +855,42 @@ def remove_global_dup_paragraphs(
     """
     if mode not in ("keep_first", "drop_common"):
         raise ValueError(f"unknown mode {mode!r}")
+    hashed = _para_hash_frame(df, id_col, text_col)
+    if mode == "keep_first":
+        kept = _keep_first_winners(hashed, id_col)
+    else:
+        freq = hashed.groupBy("__h").agg(
+            F.count_distinct(id_col).alias("__nd"))
+        kept = hashed.join(freq.filter(F.col("__nd") < min_docs), "__h")
+    return _rebuild_from_keep(df, kept, id_col, text_col, out_col)
+
+
+def _para_hash_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, paragraph index, 32-byte key hash) — the only thing the
+    dedup decision stage ever shuffles.  Layout-only paragraphs (empty
+    normalized key) are excluded here and re-kept unconditionally at
+    rebuild."""
     paras_col = F.split(F.col(text_col), r"\n{2,}")
-    hashed = (
+    return (
         df.select(F.col(id_col), F.posexplode(paras_col).alias("__i", "__p"))
         .select(id_col, "__i", _para_norm(F.col("__p")).alias("__k"))
         .filter(F.col("__k") != "")
         .select(id_col, "__i", F.sha2(F.col("__k"), 256).alias("__h"))
     )
-    if mode == "keep_first":
-        # the winner struct IS the surviving row — project it straight
-        # out of the agg (joining back onto the exploded frame would
-        # re-shuffle the largest intermediate for no semantic effect)
-        kept = hashed.groupBy("__h").agg(
-            F.min(F.struct(F.col(id_col), F.col("__i"))).alias("__w")
-        ).select(F.col(f"__w.{id_col}").alias(id_col),
-                 F.col("__w.__i").alias("__i"))
-    else:
-        freq = hashed.groupBy("__h").agg(
-            F.count_distinct(id_col).alias("__nd"))
-        kept = hashed.join(freq.filter(F.col("__nd") < min_docs), "__h")
+
+
+def _keep_first_winners(hashed: DataFrame, id_col: str) -> DataFrame:
+    """The winner struct IS the surviving row — project it straight out
+    of the agg (joining back onto the exploded frame would re-shuffle
+    the largest intermediate for no semantic effect)."""
+    return hashed.groupBy("__h").agg(
+        F.min(F.struct(F.col(id_col), F.col("__i"))).alias("__w")
+    ).select(F.col(f"__w.{id_col}").alias(id_col),
+             F.col("__w.__i").alias("__i"))
+
+
+def _rebuild_from_keep(df: DataFrame, kept: DataFrame, id_col: str,
+                       text_col: str, out_col: str) -> DataFrame:
     keep_idx = kept.groupBy(id_col).agg(
         F.array_sort(F.collect_list("__i")).alias("__keep"))
 
@@ -886,7 +903,7 @@ def remove_global_dup_paragraphs(
                     F.coalesce(F.col("__keep"), F.array().cast("array<int>")))
         # split AFTER the rebuild join: the id-keyed Exchange carries
         # the text once, never the doubled (text + split array) form
-        .withColumn("__paras", paras_col)
+        .withColumn("__paras", F.split(F.col(text_col), r"\n{2,}"))
         .withColumn("__kept", F.filter(F.col("__paras"), _survives))
         .withColumn(out_col, F.array_join(F.col("__kept"), "\n\n"))
         .withColumn("n_paras",
@@ -900,6 +917,55 @@ def remove_global_dup_paragraphs(
         .withColumn("n_removed", F.greatest("n_removed", F.lit(0)))
         .drop("__paras", "__keep", "__kept")
     )
+
+
+def para_keys(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The PERSISTED artifact of a snapshot-aware paragraph-dedup
+    pipeline: one ``key`` (hex sha256 of the normalized paragraph) per
+    distinct content-bearing paragraph in this batch.  At
+    10^12-document scale the corpus-so-far is kept as this one-column
+    table only — each new crawl dump dedups against it without ever
+    re-reading prior text (the CCNet sequential-shard shape; the
+    MinHash sibling is :func:`sha_minhash_signatures`).  Union it with
+    the prior store (and ``distinct()`` or anti-join on append) after
+    each ingested batch."""
+    return _para_hash_frame(
+        df.select(F.lit(0).alias("__z"), F.col(text_col)), "__z", text_col
+    ).select(F.col("__h").alias("key")).distinct()
+
+
+def incremental_para_dedup(
+    new_df: DataFrame,
+    seen_keys: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    out_col: str = "text_dedup",
+) -> DataFrame:
+    """Cross-dump incremental paragraph dedup — CCNet's actual
+    production shape (each new Common-Crawl dump is deduplicated
+    against the dumps already ingested, not just against itself):
+
+    - a paragraph whose key is in ``seen_keys`` (column ``key``, from
+      :func:`para_keys` over prior batches) is dropped from EVERY new
+      document — its keep-first survivor lives in a prior dump;
+    - the remaining paragraphs get the in-batch ``keep_first`` rule of
+      :func:`remove_global_dup_paragraphs` (global minimal (id, index)
+      occurrence — partitioning-independent).
+
+    ``seen_keys=None`` (first dump) reduces exactly to
+    ``remove_global_dup_paragraphs(new_df)``.  Same output contract:
+    ``out_col`` + ``n_paras`` + ``n_removed``, NULL text passes
+    through.  Scale shape: the store anti-join is fixed-width on both
+    sides ((id, idx, hash) vs (hash)); everything else is the batch
+    op's plan.  The caller appends :func:`para_keys` of the batch to
+    the store afterwards."""
+    hashed = _para_hash_frame(new_df, id_col, text_col)
+    if seen_keys is not None:
+        hashed = hashed.join(
+            seen_keys.select(F.col("key").alias("__h")), "__h", "left_anti")
+    kept = _keep_first_winners(hashed, id_col)
+    return _rebuild_from_keep(new_df, kept, id_col, text_col, out_col)
 
 
 def shingles_positional(words: Column, n: int) -> Column:

@@ -146,3 +146,49 @@ def test_para_norm_cross_engine_differential(spark):
         for s in samples
     ]
     assert got_spark == got_duck
+
+
+def test_incremental_para_dedup_across_dumps(spark):
+    from metacrafter_spark.ops.dedup import (
+        incremental_para_dedup, para_keys,
+    )
+
+    wave1 = spark.createDataFrame(
+        [(0, f"{BOILER}\n\nwave one zero."),
+         (1, f"wave one one.\n\n{BOILER}")],
+        "doc_id long, text string")
+    # first dump: reduces to the batch op
+    got1 = _by_id(incremental_para_dedup(wave1, None))
+    assert got1[0]["text_dedup"] == f"{BOILER}\n\nwave one zero."
+    assert got1[1]["text_dedup"] == "wave one one."
+    keys1 = para_keys(wave1)
+
+    wave2 = spark.createDataFrame(
+        # 10: boilerplate ALREADY SEEN in wave1 — drops even though it
+        # is this batch's first occurrence; own new dup follows the
+        # in-batch keep-first rule
+        [(10, f"{BOILER}\n\nfresh paragraph."),
+         (11, "fresh paragraph.\n\nwave two only."),
+         # same-key variant of a wave1 paragraph — also already seen
+         (12, BOILER_VARIANT)],
+        "doc_id long, text string")
+    got2 = _by_id(incremental_para_dedup(wave2, keys1))
+    assert got2[10]["text_dedup"] == "fresh paragraph."
+    assert got2[10]["n_removed"] == 1
+    assert got2[11]["text_dedup"] == "wave two only."
+    assert got2[12]["text_dedup"] == "" and got2[12]["n_removed"] == 1
+
+    # store update: wave2's keys union in; a wave-3 repeat of
+    # "fresh paragraph." must now drop everywhere
+    keys2 = keys1.unionByName(para_keys(wave2)).distinct()
+    wave3 = spark.createDataFrame(
+        [(20, "fresh paragraph.\n\nwave three.")],
+        "doc_id long, text string")
+    got3 = _by_id(incremental_para_dedup(wave3, keys2))
+    assert got3[20]["text_dedup"] == "wave three."
+
+    # determinism across partitioning
+    again = _by_id(incremental_para_dedup(
+        wave2.repartition(5), keys1.repartition(3)))
+    assert {k: (v["text_dedup"], v["n_removed"]) for k, v in got2.items()} \
+        == {k: (v["text_dedup"], v["n_removed"]) for k, v in again.items()}
