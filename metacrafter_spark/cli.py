@@ -116,6 +116,14 @@ def main(argv=None) -> int:
                          "same WARC scan — the html is already in "
                          "hand here; re-parsing the corpus later just "
                          "for edges is the thing to avoid at scale")
+    wi.add_argument("--para-dedup-store", metavar="PATH",
+                    help="cross-dump paragraph dedup (CCNet): drop "
+                         "paragraphs already seen in previously "
+                         "ingested dumps (PATH = parquet key store, "
+                         "created on first run, updated after each "
+                         "successful ingest) and keep-first dedup "
+                         "within this dump; quality gates then judge "
+                         "the deduped text")
     wi.add_argument("--stream", metavar="CHECKPOINT",
                     help="run as a Structured Streaming job instead of "
                          "a batch: new CDXJ index files ingest "
@@ -587,6 +595,11 @@ def main(argv=None) -> int:
                     "--stream commits through the Iceberg layer's "
                     "partition swaps; --plain-parquet applies to batch "
                     "mode only")
+            if args.para_dedup_store:
+                raise SystemExit(
+                    "--para-dedup-store applies to batch mode only: "
+                    "the key store advances once per successfully "
+                    "ingested dump, not per micro-batch")
             if args.outlinks:
                 raise SystemExit(
                     "--outlinks applies to batch mode only (a stream "
@@ -670,6 +683,40 @@ def main(argv=None) -> int:
                     robots_from_corpus(src), agent=args.robots_agent)
                 src = src.filter(~F.col("url").rlike(
                     r"(?i)^https?://[^/?#]+/robots\.txt$"))
+            store_update = None
+            if args.para_dedup_store:
+                import os
+
+                from metacrafter_spark.ops.dedup import (
+                    incremental_para_dedup, para_keys,
+                )
+
+                seen = (spark.read.parquet(args.para_dedup_store)
+                        if os.path.isdir(args.para_dedup_store)
+                        else None)
+                # keys of the ORIGINAL batch text (everything this dump
+                # contributes to the store), captured before dedup
+                batch_keys = para_keys(src, "text")
+                src = (incremental_para_dedup(
+                           src, seen, id_col="url", text_col="text")
+                       .withColumn("text", F.col("text_dedup"))
+                       .drop("text_dedup")
+                       .withColumnRenamed("n_paras", "para_n")
+                       .withColumnRenamed("n_removed", "para_removed"))
+                new_store = (seen.unionByName(batch_keys).distinct()
+                             if seen is not None else batch_keys)
+
+                def store_update() -> None:
+                    # materialize alongside, then swap — never
+                    # overwrite the dir a lazy plan still reads
+                    import shutil
+
+                    tmp = args.para_dedup_store.rstrip("/") + ".tmp"
+                    new_store.write.mode("overwrite").parquet(tmp)
+                    if os.path.isdir(args.para_dedup_store):
+                        shutil.rmtree(args.para_dedup_store)
+                    os.rename(tmp, args.para_dedup_store)
+
             classified = classify_corpus(src, toxicity_wordlist=wl, **kw)
             io = (TableIO(spark) if args.plain_parquet
                   else PyIcebergTableIO(spark))
@@ -690,6 +737,14 @@ def main(argv=None) -> int:
             summary = {"processed": n, "kept_total": kept}
             if n_edges is not None:
                 summary["edges"] = n_edges
+            if store_update is not None:
+                # the store advances only after a successful ingest: a
+                # crashed run re-dedups against the OLD store and the
+                # resume anti-join already prevents duplicate writes
+                store_update()
+                summary["para_removed"] = int(
+                    io.read(args.output)
+                    .agg(F.sum("para_removed")).first()[0] or 0)
             print(json.dumps(summary))
         else:
             from pyspark.sql import functions as F

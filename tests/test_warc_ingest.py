@@ -280,3 +280,50 @@ def test_cli_warc_ingest_stream(spark, tmp_path):
     docs = IcebergTable.load(out).read(spark)
     assert docs.count() == 90
     assert docs.select("url").distinct().count() == 90
+
+
+def test_warc_ingest_para_dedup_store(spark, warc_corpus, tmp_path, capsys):
+    """CCNet cross-dump flow on the CLI: dump 1 seeds the paragraph key
+    store; dump 2 (the same pages re-crawled) dedups against it, so
+    every content-bearing paragraph drops and only layout remains."""
+    import os
+
+    store = str(tmp_path / "parastore")
+    rc = main(["warc-ingest", warc_corpus + "/*.cdx", warc_corpus,
+               str(tmp_path / "d1"), str(tmp_path / "m1"),
+               "--buckets", "8", "--plain-parquet",
+               "--para-dedup-store", store])
+    assert rc == 0
+    p1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert p1["processed"] == 200 and p1["kept_total"] > 0
+    assert os.path.isdir(store)
+    keys_n = spark.read.parquet(store).count()
+    assert keys_n > 0
+
+    rc = main(["warc-ingest", warc_corpus + "/*.cdx", warc_corpus,
+               str(tmp_path / "d2"), str(tmp_path / "m2"),
+               "--buckets", "8", "--plain-parquet",
+               "--para-dedup-store", store])
+    assert rc == 0
+    p2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert p2["para_removed"] > 0
+    docs2 = spark.read.parquet(str(tmp_path / "d2"))
+    # no content-bearing paragraph survives the second crawl of the
+    # same pages — only layout (no alphanumerics) remains
+    residue = docs2.filter(
+        F.length(F.regexp_replace("text", "[^a-zA-Z0-9]", "")) > 0)
+    assert residue.count() == 0
+    assert p2["kept_total"] == 0
+    # the store is stable under an already-seen dump (union-distinct)
+    assert spark.read.parquet(store).count() == keys_n
+
+
+def test_warc_ingest_para_dedup_store_stream_refused(spark, warc_corpus,
+                                                     tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="batch mode only"):
+        main(["warc-ingest", warc_corpus + "/*.cdx", warc_corpus,
+              str(tmp_path / "d"), str(tmp_path / "m"),
+              "--stream", str(tmp_path / "cp"),
+              "--para-dedup-store", str(tmp_path / "ps")])
