@@ -25,6 +25,8 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, Window
 
+from metacrafter_spark.ops.dedup import WORD_SPLIT
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read a benchmark table, restoring cluster-like parallelism.
@@ -827,7 +829,7 @@ def q_jaccard_pairs(spark, sf_dir):
     baseline; the MinHash-LSH scale path is the rows-only twin below)."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     words = F.array_distinct(
-        F.filter(F.split(F.lower(F.col("text")), r"\W+"), lambda w: F.length(w) > 0)
+        F.filter(F.split(F.lower(F.col("text")), WORD_SPLIT), lambda w: F.length(w) > 0)
     )
     t = docs.select(F.col("doc_id"), words.alias("ws"))
     a, b = t.alias("a"), t.alias("b")
@@ -852,7 +854,7 @@ def q_near_dup_clusters(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     words = F.array_distinct(
-        F.filter(F.split(F.lower(F.col("text")), r"\W+"),
+        F.filter(F.split(F.lower(F.col("text")), WORD_SPLIT),
                  lambda w: F.length(w) > 0)
     )
     t = docs.select(F.col("doc_id"), words.alias("ws"))
@@ -868,6 +870,45 @@ def q_near_dup_clusters(spark, sf_dir):
         .select("id_a", "id_b")
     )
     return connected_components(pairs).orderBy("id")
+
+
+def q_quality_dedup_clusters(spark, sf_dir):
+    """Quality-aware survivor selection per near-dup cluster (the
+    FineWeb curation move): exact-Jaccard pair edges → connected
+    components → keep the member with the MAXIMUM quality score (here:
+    text length), ties broken by minimum id.  Returns one row per doc
+    with its kept flag, so the full decision — clustering AND survivor
+    choice — is value-checked; DuckDB replays components via a
+    recursive CTE and the survivor via a null-safe max-score filter."""
+    from metacrafter_spark.ops.dedup import dedup_by_clusters
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    words = F.array_distinct(
+        F.filter(F.split(F.lower(F.col("text")), WORD_SPLIT),
+                 lambda w: F.length(w) > 0)
+    )
+    t = docs.select(F.col("doc_id"), words.alias("ws"))
+    a, b = t.alias("a"), t.alias("b")
+    jac = (F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws"))).cast("double")
+           / F.size(F.array_union(F.col("a.ws"), F.col("b.ws"))).cast("double"))
+    pairs = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                F.round(jac, 4).alias("j"))
+        .filter(F.col("j") >= 0.5)
+        .select("id_a", "id_b")
+    )
+    scored = docs.select(
+        "doc_id", F.length("text").cast("long").alias("q_score"))
+    kept = dedup_by_clusters(scored, "doc_id", pairs, prefer_col="q_score")
+    return (
+        scored.select("doc_id")
+        .join(kept.select("doc_id", F.lit(True).alias("kept")),
+              "doc_id", "left")
+        .select("doc_id", F.coalesce("kept", F.lit(False)).alias("kept"))
+        .orderBy("doc_id")
+    )
 
 
 def q_ann_topk(spark, sf_dir):
@@ -3334,7 +3375,8 @@ def _repetition_oracle_sql() -> str:
           FROM documents WHERE doc_id < 300),
         w AS (
           SELECT doc_id,
-                 (list_filter(string_split_regex(lower(text), '\\W+'),
+                 (list_filter(string_split_regex(lower(text),
+                                '[^\\p{{L}}\\p{{N}}_]+'),
                               x -> length(x) > 0))[1:2000] AS words
           FROM p),
         g AS (
@@ -3438,6 +3480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "remove_dup_spans": q_remove_dup_spans,
         "near_dup_clusters": q_near_dup_clusters,
+        # quality-aware survivor per cluster (round 5)
+        "quality_dedup_clusters": q_quality_dedup_clusters,
         "ann_topk_cosine": q_ann_topk,
         "token_counts": q_token_counts,
         "events_json_agg": q_events_json,
@@ -5365,7 +5409,7 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (
               SELECT doc_id,
                      list_distinct(list_filter(
-                       string_split_regex(lower(text), '\W+'),
+                       string_split_regex(lower(text), '[^\p{L}\p{N}_]+'),
                        x -> length(x) > 0)) AS ws
               FROM documents WHERE doc_id < 50)
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -5379,7 +5423,7 @@ def oracle_sql() -> dict[str, str]:
             WITH RECURSIVE t AS (
               SELECT doc_id,
                      list_distinct(list_filter(
-                       string_split_regex(lower(text), '\W+'),
+                       string_split_regex(lower(text), '[^\p{L}\p{N}_]+'),
                        x -> length(x) > 0)) AS ws
               FROM documents WHERE doc_id < 50),
             p AS (
@@ -5396,6 +5440,43 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id, min(comp) AS component FROM reach
             GROUP BY id ORDER BY id
+        """,
+        "quality_dedup_clusters": """
+            WITH RECURSIVE t AS (
+              SELECT doc_id,
+                     list_distinct(list_filter(
+                       string_split_regex(lower(text), '[^\\p{L}\\p{N}_]+'),
+                       x -> length(x) > 0)) AS ws
+              FROM documents WHERE doc_id < 50),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM t a JOIN t b ON a.doc_id < b.doc_id
+              WHERE round(len(list_intersect(a.ws, b.ws)) * 1.0
+                          / len(list_distinct(list_concat(a.ws, b.ws))), 4) >= 0.5),
+            edges AS (SELECT id_a AS a, id_b AS b FROM p
+                      UNION SELECT id_b, id_a FROM p),
+            reach(id, comp) AS (
+              SELECT DISTINCT a, a FROM edges
+              UNION
+              SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id
+            ),
+            comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+            scored AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS s
+                       FROM documents WHERE doc_id < 50),
+            m AS (SELECT c.component, max(s.s) AS smax
+                  FROM comp c JOIN scored s ON s.doc_id = c.id
+                  GROUP BY c.component),
+            w AS (SELECT c.component, min(c.id) AS wid
+                  FROM comp c JOIN scored s ON s.doc_id = c.id
+                  JOIN m ON m.component = c.component
+                       AND s.s IS NOT DISTINCT FROM m.smax
+                  GROUP BY c.component)
+            SELECT d.doc_id,
+                   (c.id IS NULL OR d.doc_id = w.wid) AS kept
+            FROM scored d
+            LEFT JOIN comp c ON c.id = d.doc_id
+            LEFT JOIN w ON w.component = c.component
+            ORDER BY d.doc_id
         """,
         "ann_topk_cosine": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
@@ -5416,7 +5497,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_span_stats": r"""
             WITH w AS (
               SELECT doc_id,
-                     (list_filter(string_split_regex(lower(text), '\W+'),
+                     (list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'),
                                   x -> length(x) > 0))[1:2000] AS words
               FROM documents),
             g AS (
@@ -5442,7 +5523,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": r"""
             WITH w AS (
               SELECT doc_id,
-                     (list_filter(string_split_regex(lower(text), '\W+'),
+                     (list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'),
                                   x -> length(x) > 0))[1:2000] AS words
               FROM documents),
             g AS (
@@ -5590,7 +5671,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents),
             w AS (
               SELECT doc_id, text,
-                     (list_filter(string_split_regex(lower(text), '\W+'),
+                     (list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'),
                                   x -> length(x) > 0))[1:2000] AS words
               FROM messy),
             m AS (
@@ -5647,7 +5728,7 @@ def oracle_sql() -> dict[str, str]:
         "readability": r"""
             WITH w AS (
               SELECT doc_id, text,
-                     (list_filter(string_split_regex(lower(text), '\W+'),
+                     (list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'),
                                   x -> length(x) > 0))[1:2000] AS words
               FROM documents),
             m AS (
@@ -5679,7 +5760,7 @@ def oracle_sql() -> dict[str, str]:
         "remove_dup_spans": r"""
             WITH w AS (
               SELECT doc_id,
-                     (list_filter(string_split_regex(lower(text), '\W+'),
+                     (list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'),
                                   x -> length(x) > 0))[1:2000] AS words
               FROM documents),
             g AS (
@@ -5722,7 +5803,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_spans": r"""
             WITH w AS (
               SELECT doc_id,
-                     (list_filter(string_split_regex(lower(text), '\W+'),
+                     (list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'),
                                   x -> length(x) > 0))[1:2000] AS words
               FROM documents),
             bg AS (
@@ -5893,7 +5974,7 @@ def oracle_sql() -> dict[str, str]:
             WITH docs AS (
               SELECT doc_id,
                      list_slice(list_filter(
-                       string_split_regex(lower(text), '\W+'),
+                       string_split_regex(lower(text), '[^\p{L}\p{N}_]+'),
                        x -> length(x) > 0), 1, 2000) AS ws
               FROM documents WHERE doc_id < 200),
             w AS (SELECT doc_id, sha256(unnest(ws)) AS h FROM docs),
@@ -6871,7 +6952,7 @@ def oracle_sql() -> dict[str, str]:
             WITH w AS (
               SELECT doc_id,
                      list_slice(list_filter(
-                       string_split_regex(lower(text), '\W+'),
+                       string_split_regex(lower(text), '[^\p{L}\p{N}_]+'),
                        x -> length(x) > 0), 1, 2000) AS ws
               FROM documents WHERE doc_id < 150),
             g AS (
@@ -6932,7 +7013,7 @@ def oracle_sql() -> dict[str, str]:
             w AS (
               SELECT src, doc_id,
                      list_slice(list_filter(
-                       string_split_regex(lower(text), '\W+'),
+                       string_split_regex(lower(text), '[^\p{L}\p{N}_]+'),
                        x -> length(x) > 0), 1, 2000) AS ws
               FROM allside),
             g AS (

@@ -116,6 +116,16 @@ def main(argv=None) -> int:
                          "same WARC scan — the html is already in "
                          "hand here; re-parsing the corpus later just "
                          "for edges is the thing to avoid at scale")
+    wi.add_argument("--minhash-store", metavar="PATH",
+                    help="cross-dump document-level near-dup dedup "
+                         "(FineWeb shape): drop pages whose MinHash "
+                         "signature near-dups a previously ingested "
+                         "dump's page (or an earlier page of this "
+                         "dump; the prior corpus persists only as a "
+                         "text-free signature store at PATH, created "
+                         "on first run, advanced after each "
+                         "successful ingest); nd_prior_dups/"
+                         "nd_new_dups ride into the corpus table")
     wi.add_argument("--para-dedup-store", metavar="PATH",
                     help="cross-dump paragraph dedup (CCNet): drop "
                          "paragraphs already seen in previously "
@@ -595,11 +605,11 @@ def main(argv=None) -> int:
                     "--stream commits through the Iceberg layer's "
                     "partition swaps; --plain-parquet applies to batch "
                     "mode only")
-            if args.para_dedup_store:
+            if args.para_dedup_store or args.minhash_store:
                 raise SystemExit(
-                    "--para-dedup-store applies to batch mode only: "
-                    "the key store advances once per successfully "
-                    "ingested dump, not per micro-batch")
+                    "--para-dedup-store/--minhash-store apply to batch "
+                    "mode only: a dedup store advances once per "
+                    "successfully ingested dump, not per micro-batch")
             if args.outlinks:
                 raise SystemExit(
                     "--outlinks applies to batch mode only (a stream "
@@ -683,17 +693,52 @@ def main(argv=None) -> int:
                     robots_from_corpus(src), agent=args.robots_agent)
                 src = src.filter(~F.col("url").rlike(
                     r"(?i)^https?://[^/?#]+/robots\.txt$"))
+            from metacrafter_spark.corpus.resume import (
+                advance_key_store, read_key_store,
+            )
+
+            nd_counts = None
+            if args.minhash_store:
+                from metacrafter_spark.ops.dedup import (
+                    incremental_keep_decisions, sha_minhash_signatures,
+                )
+
+                prior = read_key_store(spark, args.minhash_store)
+                if prior is None:
+                    prior = spark.createDataFrame(
+                        [], "url string, sig array<string>")
+                # one row per page: keep + dup provenance counts (the
+                # decisions frame is eagerly checkpointed, so the WARC
+                # scan behind it runs once here)
+                dec = incremental_keep_decisions(src, prior, "url")
+                nd_counts = dec.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum((~F.col("keep")).cast("long")).alias("d"),
+                ).first()
+                # near-dups are MARKED, not removed: classify_corpus
+                # turns nd_dup into drop_reason='near_dup', so the
+                # corpus table keeps full lineage and kept_total
+                # reflects the dedup
+                src = src.join(
+                    dec.select(
+                        "url", (~F.col("keep")).alias("nd_dup"),
+                        F.col("n_prior_dups").alias("nd_prior_dups"),
+                        F.col("n_new_dups").alias("nd_new_dups")),
+                    "url")
+                kw["near_dup_col"] = "nd_dup"
+                # the store remembers only SURVIVORS: a future dup of a
+                # dropped page still matches the page it duplicated
+                minhash_new_store = prior.unionByName(
+                    sha_minhash_signatures(
+                        src.filter(~F.col("nd_dup")), "url"))
+
             store_update = None
             if args.para_dedup_store:
-                import os
-
                 from metacrafter_spark.ops.dedup import (
                     incremental_para_dedup, para_keys,
                 )
 
-                seen = (spark.read.parquet(args.para_dedup_store)
-                        if os.path.isdir(args.para_dedup_store)
-                        else None)
+                seen = read_key_store(spark, args.para_dedup_store)
                 # keys of the ORIGINAL batch text (everything this dump
                 # contributes to the store), captured before dedup
                 batch_keys = para_keys(src, "text")
@@ -703,19 +748,12 @@ def main(argv=None) -> int:
                        .drop("text_dedup")
                        .withColumnRenamed("n_paras", "para_n")
                        .withColumnRenamed("n_removed", "para_removed"))
-                new_store = (seen.unionByName(batch_keys).distinct()
-                             if seen is not None else batch_keys)
+                para_new_store = (seen.unionByName(batch_keys).distinct()
+                                  if seen is not None else batch_keys)
 
                 def store_update() -> None:
-                    # materialize alongside, then swap — never
-                    # overwrite the dir a lazy plan still reads
-                    import shutil
-
-                    tmp = args.para_dedup_store.rstrip("/") + ".tmp"
-                    new_store.write.mode("overwrite").parquet(tmp)
-                    if os.path.isdir(args.para_dedup_store):
-                        shutil.rmtree(args.para_dedup_store)
-                    os.rename(tmp, args.para_dedup_store)
+                    advance_key_store(para_new_store,
+                                      args.para_dedup_store)
 
             classified = classify_corpus(src, toxicity_wordlist=wl, **kw)
             io = (TableIO(spark) if args.plain_parquet
@@ -737,10 +775,15 @@ def main(argv=None) -> int:
             summary = {"processed": n, "kept_total": kept}
             if n_edges is not None:
                 summary["edges"] = n_edges
+            if nd_counts is not None:
+                # near-dup store advances only after a successful
+                # ingest: a crashed run re-dedups against the OLD store
+                # and the resume anti-join prevents duplicate writes
+                advance_key_store(minhash_new_store, args.minhash_store)
+                summary["minhash_seen"] = int(nd_counts["n"] or 0)
+                summary["minhash_dropped"] = int(nd_counts["d"] or 0)
             if store_update is not None:
-                # the store advances only after a successful ingest: a
-                # crashed run re-dedups against the OLD store and the
-                # resume anti-join already prevents duplicate writes
+                # same contract for the paragraph-key store
                 store_update()
                 summary["para_removed"] = int(
                     io.read(args.output)

@@ -72,6 +72,7 @@ def classify_corpus(
     robots_header_col: Optional[str] = None,
     domain_ranks: Optional[DataFrame] = None,
     fix_mojibake: bool = False,
+    near_dup_col: Optional[str] = None,
 ) -> DataFrame:
     """Attach langid/ppl/quality/pii/scrub columns + keep & drop_reason.
 
@@ -109,6 +110,12 @@ def classify_corpus(
     gates mis-score mojibake otherwise); ``n_mojibake_fixed`` rides
     along as a signal column.  Map-side only; default off keeps the
     default-path plan and its oracles byte-stable.
+
+    ``near_dup_col`` (optional): name of a pre-computed boolean column
+    (e.g. from :func:`ops.dedup.incremental_keep_decisions` joined
+    upstream) marking documents that near-duplicate an already-kept
+    page; they get ``drop_reason='near_dup'`` ahead of every content
+    check.  Default None keeps the stage out of the plan.
     """
     rules = scrub_rules if scrub_rules is not None else default_scrub_rules()
     out = (
@@ -163,6 +170,11 @@ def classify_corpus(
                              "robots_disallowed")
     if drop_noindex:
         reason = reason.when(F.col("noindex"), "robots_noindex")
+    if near_dup_col is not None:
+        # a pre-computed near-dup verdict (e.g. incremental_keep_decisions
+        # on the ingest CLI): dedup precedes content judgement — a page
+        # already kept in a prior dump drops here regardless of quality
+        reason = reason.when(F.col(near_dup_col), "near_dup")
     reason = (
         reason
         .when(~lang_known if policy.require_known_lang else F.lit(False), "lang_unknown")

@@ -151,3 +151,47 @@ def run_with_resume(
     (idempotent), never appending duplicates."""
     io.overwrite_partitions(classified, out_path, partition_by=["bucket_id"])
     io.overwrite_partitions(metrics_df, metrics_path, partition_by=["bucket_id"])
+
+
+def read_key_store(spark: SparkSession, path: str) -> Optional[DataFrame]:
+    """Read a persisted cross-dump dedup store (paragraph keys or
+    MinHash signatures), recovering a crash mid-:func:`advance_key_store`:
+    if only ``<path>.old`` exists, the crash hit between the two
+    renames — the previous store is intact there and is moved back.
+    Returns None when no store exists yet (first dump)."""
+    import os
+
+    base = path.rstrip("/")
+    old = base + ".old"
+    if not os.path.isdir(base) and os.path.isdir(old):
+        os.rename(old, base)
+    if os.path.isdir(base):
+        return spark.read.parquet(base)
+    return None
+
+
+def advance_key_store(new_store: DataFrame, path: str) -> None:
+    """Materialize the next dedup store and swap it in with NO window
+    where the store is lost: write-aside to ``<path>.tmp`` (never
+    overwrite the directory a lazy plan still reads), rename the
+    current store to ``<path>.old``, rename tmp into place, then drop
+    ``.old``.  A crash at any point leaves a complete store at either
+    ``path`` or ``path.old`` (:func:`read_key_store` recovers the
+    latter) — unlike rmtree-then-rename, which has a window holding
+    neither.  Local-FS/HDFS rename semantics; on object storage the
+    store belongs in the Iceberg layer (atomic snapshot commits)."""
+    import os
+    import shutil
+
+    base = path.rstrip("/")
+    tmp, old = base + ".tmp", base + ".old"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    new_store.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    if os.path.isdir(base):
+        os.rename(base, old)
+    os.rename(tmp, base)
+    if os.path.isdir(old):
+        shutil.rmtree(old)

@@ -41,10 +41,27 @@ def exact_dedup(df: DataFrame, content_cols: list[str], order_col: str) -> DataF
     )
 
 
+#: Word-token split pattern shared by every split_words-based operator
+#: AND its DuckDB oracle twin (the literal must be identical on both
+#: sides).  NOT ``\W+``: Java regex and RE2 both make ``\w`` ASCII-only
+#: by default, so ``\W+`` tokenizes every non-Latin-script document to
+#: NOTHING — Russian/Arabic/Greek/Hindi pages silently bypassed the
+#: whole shingle-based dedup/decontam/toxicity layer (found when 18 ru
+#: pages of the 200-page ingest fixture could never near-dup).  The
+#: explicit class is byte-identical to ``\W+`` on pure-ASCII text
+#: (underscore included) and Unicode-correct elsewhere; ``\p{L}\p{N}``
+#: parse identically in Java regex, RE2 and Python re (differential
+#: test: test_ops.py::test_split_words_unicode_cross_engine).
+WORD_SPLIT = r"[^\p{L}\p{N}_]+"
+
+
 def split_words(text: Column, max_words: int = 2000) -> Column:
-    """First ``max_words`` non-empty lowercase ``\\W+`` tokens."""
+    """First ``max_words`` non-empty lowercase word tokens (split on
+    :data:`WORD_SPLIT` — ASCII-equivalent to ``\\W+``, but non-Latin
+    scripts tokenize instead of vanishing)."""
     return F.slice(
-        F.filter(F.split(F.lower(text), r"\W+"), lambda w: F.length(w) > 0),
+        F.filter(F.split(F.lower(text), WORD_SPLIT),
+                 lambda w: F.length(w) > 0),
         1, max_words,
     )
 
@@ -561,13 +578,52 @@ def _connected_components_star(pairs: DataFrame, max_iter: int = 25) -> DataFram
     return children.union(roots).distinct()
 
 
-def dedup_by_clusters(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
-    """Keep ONE document per connected near-dup cluster (the minimum id)
-    — unlike pair-wise dropping, a chain A-B, B-C keeps A and drops both
-    B and C exactly once."""
+def dedup_by_clusters(
+    df: DataFrame, id_col: str, pairs: DataFrame,
+    prefer_col: str | None = None,
+) -> DataFrame:
+    """Keep ONE document per connected near-dup cluster — unlike
+    pair-wise dropping, a chain A-B, B-C keeps one survivor and drops
+    the other two exactly once.
+
+    ``prefer_col=None``: the survivor is the minimum id (the canonical
+    label the component algorithm already computes — zero extra work).
+
+    ``prefer_col="q_score"``: quality-aware survivor selection (the
+    FineWeb/RefinedWeb curation move — near-dup clusters usually mix a
+    clean page with its ad-wrapped or truncated mirrors, and min-id
+    keeps an arbitrary one): the survivor is the cluster member with
+    the MAXIMUM ``prefer_col``, ties broken by minimum id — a total
+    order, so the survivor is a pure function of the data under any
+    partitioning.  A NULL score ranks below every non-NULL score; a
+    cluster whose scores are all NULL falls back to min id (the
+    max-score filter is null-safe).  Ids must be unique in ``df``.
+
+    Scale shape: the component table only contains docs that appear in
+    ``pairs`` (a small fraction of the corpus); the two winner aggs and
+    the score join run on that table, never the corpus — the corpus
+    sees exactly one anti-join, same as the min-id path.
+    """
     comp = connected_components(pairs)
-    losers = comp.filter(F.col("id") != F.col("component")) \
+    if prefer_col is None:
+        losers = comp.filter(F.col("id") != F.col("component")) \
+            .select(F.col("id").alias(id_col))
+        return df.join(losers, id_col, "left_anti")
+    scored = comp.join(
+        df.select(F.col(id_col).alias("id"), F.col(prefer_col).alias("__s")),
+        "id",
+    )
+    best = scored.groupBy("component").agg(F.max("__s").alias("__smax"))
+    winners = (
+        scored.join(best, "component")
+        .filter(F.col("__s").eqNullSafe(F.col("__smax")))
+        .groupBy("component").agg(F.min("id").alias("__w"))
+    )
+    losers = (
+        scored.join(winners, "component")
+        .filter(F.col("id") != F.col("__w"))
         .select(F.col("id").alias(id_col))
+    )
     return df.join(losers, id_col, "left_anti")
 
 

@@ -341,6 +341,26 @@ def test_classify_corpus_toxicity_stage(spark):
     assert "tox_any" not in plain.columns
 
 
+def test_classify_corpus_near_dup_stage(spark):
+    """near_dup_col marks pre-computed near-dups with drop_reason=
+    'near_dup' ahead of every content check; default path unchanged."""
+    from metacrafter_spark.corpus.pipeline import classify_corpus
+    from metacrafter_spark.corpus.webpages import synth_webpages
+
+    base = synth_webpages(spark, 30, seed=5)
+    flagged = base.withColumn("nd_dup", F.xxhash64("url") % 3 == 0)
+    out = classify_corpus(flagged, near_dup_col="nd_dup").collect()
+    dups = [r for r in out if r["nd_dup"]]
+    assert dups, "injection produced no flagged docs"
+    assert all(r["drop_reason"] == "near_dup" and not r["keep"]
+               for r in dups)
+    assert all(r["drop_reason"] != "near_dup"
+               for r in out if not r["nd_dup"])
+    # default path: the stage stays out of the plan entirely
+    plain = classify_corpus(base).collect()
+    assert all(r["drop_reason"] != "near_dup" for r in plain)
+
+
 def test_with_toxicity_max_words_scope(spark):
     """Signal/action alignment: a listed word past the default 2000-token
     counting cap is invisible at the default but counted with

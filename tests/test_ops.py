@@ -100,6 +100,64 @@ def test_connected_components_and_cluster_dedup(spark, docs):
     assert kept == {1, 5, 7}
 
 
+def test_split_words_unicode_cross_engine(spark):
+    """WORD_SPLIT tokenizes every script identically in Java regex
+    (Spark), RE2 (DuckDB) and Python re — and non-Latin text tokenizes
+    at all (``\\W+`` is ASCII-only in Java/RE2, so ru/ar/el/hi docs
+    used to produce ZERO tokens and bypass the dedup layer)."""
+    import re
+
+    import duckdb
+
+    from metacrafter_spark.ops.dedup import WORD_SPLIT, split_words
+
+    texts = [
+        "Для правительство как — система, был поездка! 42 раз",
+        "مرحبا بالعالم، هذا نصٌ عربي 123",
+        "你好，世界。これは日本語です 2024年",
+        "Hello, world_x: naïve café ÆØÅ 3.14",
+        "Ελληνικά κείμενο؛ עברית טקסט",
+        "हिन्दी पाठ और देवनागरी 7",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r[0] for r in df.select(split_words(F.col("text"))).collect()]
+    for t, sp in zip(texts, got):
+        dd = duckdb.sql(
+            "SELECT list_filter(string_split_regex(lower(?), "
+            f"'{WORD_SPLIT}'), x -> length(x) > 0)", params=[t]
+        ).fetchone()[0]
+        py = [w for w in re.split(r"[^\w]+", t.lower()) if w]
+        assert sp == dd == py, (t, sp, dd, py)
+        assert len(sp) > 0
+
+
+def test_cluster_dedup_prefer_col(spark):
+    from metacrafter_spark.ops.dedup import dedup_by_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (3, 9)],
+        "id_a long, id_b long",
+    )
+    # cluster {1,2,3,8,9}: max score 7.0 held by BOTH 3 and 8 → tie
+    # breaks to min id 3; cluster {5,6}: scores all NULL → min id 5;
+    # 7 is in no pair → always kept; NULL (id 9) ranks below non-NULL.
+    base = spark.createDataFrame(
+        [(1, 2.0), (2, 5.0), (3, 7.0), (5, None), (6, None),
+         (7, 1.0), (8, 7.0), (9, None)],
+        "doc_id long, q double",
+    )
+    kept = {r["doc_id"]
+            for r in dedup_by_clusters(base, "doc_id", pairs,
+                                       prefer_col="q").collect()}
+    assert kept == {3, 5, 7}
+    # deterministic across partitionings
+    kept2 = {r["doc_id"]
+             for r in dedup_by_clusters(base.repartition(7), "doc_id",
+                                        pairs.repartition(3),
+                                        prefer_col="q").collect()}
+    assert kept2 == kept
+
+
 def test_connected_components_star_matches_label(spark):
     from metacrafter_spark.ops.dedup import connected_components
 

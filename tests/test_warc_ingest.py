@@ -327,3 +327,75 @@ def test_warc_ingest_para_dedup_store_stream_refused(spark, warc_corpus,
               str(tmp_path / "d"), str(tmp_path / "m"),
               "--stream", str(tmp_path / "cp"),
               "--para-dedup-store", str(tmp_path / "ps")])
+    with _pytest.raises(SystemExit, match="batch mode only"):
+        main(["warc-ingest", warc_corpus + "/*.cdx", warc_corpus,
+              str(tmp_path / "d"), str(tmp_path / "m"),
+              "--stream", str(tmp_path / "cp"),
+              "--minhash-store", str(tmp_path / "ms")])
+
+
+def test_warc_ingest_minhash_store(spark, warc_corpus, tmp_path, capsys):
+    """FineWeb cross-dump flow on the CLI: dump 1 seeds the MinHash
+    signature store; dump 2 (the same pages re-crawled) near-dups the
+    prior dump on every page — all 200 get drop_reason='near_dup',
+    lineage rows are KEPT (marked, not removed), and the store is a
+    fixed point (no survivors to add)."""
+    import os
+
+    store = str(tmp_path / "mhstore")
+    rc = main(["warc-ingest", warc_corpus + "/*.cdx", warc_corpus,
+               str(tmp_path / "d1"), str(tmp_path / "m1"),
+               "--buckets", "8", "--plain-parquet",
+               "--minhash-store", store])
+    assert rc == 0
+    p1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert p1["processed"] == 200 and p1["kept_total"] > 0
+    assert p1["minhash_seen"] == 200
+    assert os.path.isdir(store)
+    sigs_n = spark.read.parquet(store).count()
+    # survivors only (and only docs with shingles) enter the store
+    assert 0 < sigs_n <= 200 - p1["minhash_dropped"]
+
+    rc = main(["warc-ingest", warc_corpus + "/*.cdx", warc_corpus,
+               str(tmp_path / "d2"), str(tmp_path / "m2"),
+               "--buckets", "8", "--plain-parquet",
+               "--minhash-store", store])
+    assert rc == 0
+    p2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert p2["minhash_dropped"] == 200
+    assert p2["kept_total"] == 0
+    docs2 = spark.read.parquet(str(tmp_path / "d2"))
+    assert docs2.count() == 200  # marked, not removed: lineage intact
+    assert docs2.filter(F.col("drop_reason") == "near_dup").count() == 200
+    assert docs2.filter(F.col("nd_prior_dups") >= 1).count() == 200
+    # no survivors in dump 2 → the store did not grow
+    assert spark.read.parquet(store).count() == sigs_n
+
+
+def test_key_store_swap_crash_recovery(spark, tmp_path):
+    """advance_key_store never has a window holding no store: a crash
+    between the two renames leaves the previous store at <path>.old,
+    which read_key_store moves back."""
+    import os
+
+    from metacrafter_spark.corpus.resume import (
+        advance_key_store, read_key_store,
+    )
+
+    store = str(tmp_path / "store")
+    assert read_key_store(spark, store) is None
+    v1 = spark.createDataFrame([("a",), ("b",)], "key string")
+    advance_key_store(v1, store)
+    assert {r["key"] for r in read_key_store(spark, store).collect()} \
+        == {"a", "b"}
+    # advance from the store's own lazy read-plan (the CLI shape)
+    v2 = read_key_store(spark, store).union(
+        spark.createDataFrame([("c",)], "key string"))
+    advance_key_store(v2, store)
+    assert read_key_store(spark, store).count() == 3
+    assert not os.path.exists(store + ".old")
+    assert not os.path.exists(store + ".tmp")
+    # simulate the crash window: old renamed aside, new never landed
+    os.rename(store, store + ".old")
+    recovered = read_key_store(spark, store)
+    assert recovered.count() == 3 and os.path.isdir(store)
