@@ -2091,6 +2091,32 @@ def q_wet_roundtrip(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_corpus_report(spark, sf_dir):
+    """Dataset-card composition report (corpus/report.py): long-format
+    (dim, value) rows with exact-integer n_docs/n_kept/chars/words over
+    total, per-language, per-drop-reason and top-N-domain dimensions.
+    The classified-like input is synthesized deterministically in-plan
+    (domain/lang/drop_reason as doc_id arithmetic) so the oracle
+    replays the REPORT operator itself: the salted two-phase domain
+    agg, the (n_docs DESC, domain ASC) top-3 cut + '(other)' fold, and
+    the WORD_SPLIT word counts, all value-for-value in DuckDB."""
+    from metacrafter_spark.corpus.report import corpus_report
+
+    docs = _t(spark, sf_dir, "documents")
+    langs = F.array(F.lit("en"), F.lit("ru"), F.lit("de"), F.lit("zh"))
+    base = docs.select(
+        "doc_id", "text",
+        F.concat(F.lit("site"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".example.com")).alias("domain"),
+        F.element_at(langs, (F.col("doc_id") % 4).cast("int") + 1)
+        .alias("langid_lang"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("quality"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("near_dup"))
+        .alias("drop_reason"),
+    ).withColumn("keep", F.col("drop_reason").isNull())
+    return corpus_report(base, top_domains=3)
+
+
 def q_corpus_pipeline(spark, sf_dir):
     """Full keep/drop pipeline on the BASELINE-shape synthetic corpus,
     oracle-checked PER DOCUMENT (round-4 upgrade from rows-only): the
@@ -3505,6 +3531,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (WEBCORPUS_FIXTURE) and replays the full pipeline / scrub
         # cascade in SQL — see the query docstrings
         "corpus_pipeline": q_corpus_pipeline,
+        # dataset-card composition report (round 5 s11)
+        "corpus_report": q_corpus_report,
         "pii_scrub_hashes": q_pii_scrub,
         # html:binary → text extraction, byte-identity per url (round 5)
         "html_extract_text": q_html_extract_text,
@@ -5477,6 +5505,58 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN comp c ON c.id = d.doc_id
             LEFT JOIN w ON w.component = c.component
             ORDER BY d.doc_id
+        """,
+        "corpus_report": r"""
+            WITH base AS (
+              SELECT doc_id, text,
+                     'site' || CAST(doc_id % 7 AS VARCHAR)
+                            || '.example.com' AS domain,
+                     (['en','ru','de','zh'])[CAST(doc_id % 4 AS INT) + 1]
+                       AS lang,
+                     CASE WHEN doc_id % 5 = 0 THEN 'quality'
+                          WHEN doc_id % 5 = 1 THEN 'near_dup' END
+                       AS drop_reason
+              FROM documents),
+            per AS (
+              SELECT domain, lang,
+                     coalesce(drop_reason, 'kept') AS reason,
+                     CASE WHEN drop_reason IS NULL THEN 1 ELSE 0 END
+                       AS keep,
+                     CAST(coalesce(length(text), 0) AS BIGINT) AS chars,
+                     CAST(CASE WHEN text IS NULL THEN 0 ELSE
+                       len(list_filter(string_split_regex(lower(text),
+                             '[^\p{L}\p{N}_]+'), x -> length(x) > 0))
+                       END AS BIGINT) AS words
+              FROM base),
+            doms AS (
+              SELECT domain, count(*) AS n_docs, sum(keep) AS n_kept,
+                     sum(chars) AS chars, sum(words) AS words
+              FROM per GROUP BY domain),
+            win AS (SELECT domain FROM doms
+                    ORDER BY n_docs DESC, domain LIMIT 3)
+            SELECT 'total' AS dim, 'all' AS value,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(keep) AS BIGINT) AS n_kept,
+                   CAST(sum(chars) AS BIGINT) AS chars,
+                   CAST(sum(words) AS BIGINT) AS words FROM per
+            UNION ALL
+            SELECT 'lang', lang, CAST(count(*) AS BIGINT),
+                   CAST(sum(keep) AS BIGINT), CAST(sum(chars) AS BIGINT),
+                   CAST(sum(words) AS BIGINT) FROM per GROUP BY lang
+            UNION ALL
+            SELECT 'drop_reason', reason, CAST(count(*) AS BIGINT),
+                   CAST(sum(keep) AS BIGINT), CAST(sum(chars) AS BIGINT),
+                   CAST(sum(words) AS BIGINT) FROM per GROUP BY reason
+            UNION ALL
+            SELECT 'domain',
+                   CASE WHEN domain IN (SELECT domain FROM win)
+                        THEN domain ELSE '(other)' END AS value,
+                   CAST(sum(n_docs) AS BIGINT),
+                   CAST(sum(n_kept) AS BIGINT),
+                   CAST(sum(chars) AS BIGINT),
+                   CAST(sum(words) AS BIGINT)
+            FROM doms GROUP BY 2
+            ORDER BY dim, value
         """,
         "ann_topk_cosine": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

@@ -152,6 +152,20 @@ def main(argv=None) -> int:
     dd.add_argument("--threshold", type=float, default=0.8)
     dd.add_argument("--cores", type=int)
 
+    card = sub.add_parser(
+        "dataset-card",
+        help="composition report over a classified corpus (per-lang / "
+             "per-drop-reason / top-domain doc+kept+char+word counts) "
+             "as one JSON card")
+    card.add_argument("input", help="classified corpus: Iceberg table "
+                      "location (warc-ingest output) or plain parquet")
+    card.add_argument("--output", "-o", help="write the JSON card here "
+                      "(default: stdout)")
+    card.add_argument("--top-domains", type=int, default=10)
+    card.add_argument("--text-col", default="text")
+    card.add_argument("--lang-col", default="langid_lang")
+    card.add_argument("--cores", type=int)
+
     pdp = sub.add_parser(
         "para-dedup",
         help="corpus-wide paragraph dedup (CCNet: drop duplicated / "
@@ -504,6 +518,28 @@ def main(argv=None) -> int:
             )
             pairs.write.mode("error").parquet(args.output)
             print(json.dumps({"pairs": spark.read.parquet(args.output).count()}))
+        elif args.cmd == "dataset-card":
+            from metacrafter_spark.corpus.report import (
+                corpus_report, dataset_card,
+            )
+
+            try:
+                from metacrafter_spark.io.iceberg import IcebergTable
+
+                docs = IcebergTable.load(args.input).read(spark)
+            except Exception:
+                docs = spark.read.parquet(args.input)
+            rep = corpus_report(
+                docs, text_col=args.text_col, lang_col=args.lang_col,
+                top_domains=args.top_domains)
+            payload = json.dumps(dataset_card(rep), indent=2,
+                                 sort_keys=True)
+            if args.output:
+                with open(args.output, "w", encoding="utf8") as fh:
+                    fh.write(payload + "\n")
+                print(json.dumps({"written": args.output}))
+            else:
+                print(payload)
         elif args.cmd == "para-dedup":
             from pyspark.sql import functions as F
 

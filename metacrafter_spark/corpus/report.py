@@ -1,0 +1,125 @@
+"""Dataset-card aggregation — the composition report a data team ships
+with every ingested dump (what HuggingFace dataset cards and the
+FineWeb/Dolma reports tabulate): per-language, per-drop-reason and
+per-domain document/kept/char/word counts in one long-format frame.
+
+Everything is an exact integer (counts and sums of counts), so the
+whole report is SQL-replayable value-for-value; word counts use the
+repo-wide :data:`ops.dedup.WORD_SPLIT` tokenization (Unicode-portable,
+Java regex ≡ RE2).
+
+Scale shape: the language and drop-reason dimensions are bounded-
+cardinality group-bys (map-side combinable); the domain dimension is
+zipfian, so it aggregates through :func:`pipeline.salted_agg`'s
+two-phase shape (per-(domain, salt) partials first) and the top-N
+selection is a distributed sort-limit (TakeOrdered) + broadcast join —
+no global-order window, no driver-side loop.  The output is ~(1 +
+#langs + #reasons + top_domains + 1) rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from metacrafter_spark.ops.dedup import split_words
+
+#: large-but-int32 cap so report word counts are effectively uncapped
+#: (split_words defaults to 2000 for dedup signals; a composition
+#: report must count the whole document)
+_REPORT_MAX_WORDS = 1 << 30
+
+_METRICS = ("n_docs", "n_kept", "chars", "words")
+
+
+def _per_doc(classified: DataFrame, text_col: str, lang_col: str) -> DataFrame:
+    t = F.col(text_col)
+    return classified.select(
+        F.col("domain"),
+        F.col(lang_col).alias("__lang"),
+        F.coalesce(F.col("drop_reason"), F.lit("kept")).alias("__reason"),
+        F.col("keep").cast("long").alias("__keep"),
+        F.coalesce(F.length(t), F.lit(0)).cast("long").alias("__chars"),
+        F.when(t.isNull(), F.lit(0)).otherwise(
+            F.size(split_words(t, _REPORT_MAX_WORDS))
+        ).cast("long").alias("__words"),
+    )
+
+
+def _aggs():
+    return [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__keep").alias("n_kept"),
+        F.sum("__chars").alias("chars"),
+        F.sum("__words").alias("words"),
+    ]
+
+
+def corpus_report(
+    classified: DataFrame,
+    *,
+    text_col: str = "text",
+    lang_col: str = "langid_lang",
+    top_domains: int = 10,
+    n_salts: int = 16,
+) -> DataFrame:
+    """One long-format row per (dim, value): dims ``total`` (value
+    ``all``), ``lang``, ``drop_reason`` (kept documents appear under
+    value ``kept``), and ``domain`` (the ``top_domains`` biggest by
+    (n_docs DESC, domain ASC) — a total order, so the cut is a pure
+    function of the data — with everything else under ``(other)``).
+    Expects a :func:`pipeline.classify_corpus` output frame (columns
+    ``domain``, ``drop_reason``, ``keep``, ``lang_col``, ``text_col``).
+    Metrics: n_docs, n_kept, chars, words — all exact integers."""
+    per = _per_doc(classified, text_col, lang_col).persist()
+    try:
+        total = per.agg(*_aggs()).select(
+            F.lit("total").alias("dim"), F.lit("all").alias("value"),
+            *[F.col(c) for c in _METRICS])
+        lang = per.groupBy(F.col("__lang").alias("value")).agg(*_aggs()) \
+            .select(F.lit("lang").alias("dim"), "value", *_METRICS)
+        reason = per.groupBy(F.col("__reason").alias("value")) \
+            .agg(*_aggs()) \
+            .select(F.lit("drop_reason").alias("dim"), "value", *_METRICS)
+        # domain: zipfian — two-phase salted partials, then top-N +
+        # (other) via sort-limit + broadcast (no global window)
+        partial = per.withColumn(
+            "__salt", F.pmod(F.xxhash64("domain", F.lit(7)), F.lit(n_salts))
+        ).groupBy("domain", "__salt").agg(*_aggs())
+        doms = partial.groupBy("domain").agg(
+            F.sum("n_docs").alias("n_docs"), F.sum("n_kept").alias("n_kept"),
+            F.sum("chars").alias("chars"), F.sum("words").alias("words"))
+        winners = doms.orderBy(F.col("n_docs").desc(), F.col("domain")) \
+            .limit(top_domains).select("domain", F.lit(True).alias("__top"))
+        domain = (
+            doms.join(F.broadcast(winners), "domain", "left")
+            .withColumn("value", F.when(F.col("__top"), F.col("domain"))
+                        .otherwise(F.lit("(other)")))
+            .groupBy("value")
+            .agg(F.sum("n_docs").alias("n_docs"),
+                 F.sum("n_kept").alias("n_kept"),
+                 F.sum("chars").alias("chars"),
+                 F.sum("words").alias("words"))
+            .select(F.lit("domain").alias("dim"), "value", *_METRICS)
+        )
+        out = total.unionByName(lang).unionByName(reason) \
+            .unionByName(domain).orderBy("dim", "value")
+        # the report is a handful of rows — materialize before the
+        # per-doc frame unpersists
+        return out.localCheckpoint(eager=True)
+    finally:
+        per.unpersist()
+
+
+def dataset_card(report: DataFrame) -> dict:
+    """Shape a :func:`corpus_report` frame into the nested dict a
+    dataset card serializes (bounded collect — the report is ~rows =
+    1 + #langs + #reasons + top_domains + 1)."""
+    card: dict = {"total": {}, "langs": {}, "drop_reasons": {}, "domains": {}}
+    key = {"lang": "langs", "drop_reason": "drop_reasons", "domain": "domains"}
+    for r in report.collect():
+        m = {c: int(r[c]) for c in _METRICS}
+        if r["dim"] == "total":
+            card["total"] = m
+        else:
+            card[key[r["dim"]]][r["value"]] = m
+    return card

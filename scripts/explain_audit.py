@@ -853,6 +853,45 @@ def main() -> None:
     assert "EvalPython" not in gpplan and "MapInPandas" not in gpplan, \
         "global paragraph dedup runs Python!"
 
+    # §46: dataset-card composition report — the zipfian domain
+    # dimension aggregates through salted two-phase partials and the
+    # top-N cut is sort-limit + broadcast join (TakeOrdered, never a
+    # single-partition global window); all native Columns.
+    from metacrafter_spark.corpus.report import corpus_report
+
+    classified_like = docs.select(
+        F.col("doc_id"), F.col("text"),
+        F.concat(F.lit("d"), (F.col("doc_id") % 7).cast("string"))
+        .alias("domain"),
+        F.lit("en").alias("langid_lang"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("quality"))
+        .alias("drop_reason"),
+    ).withColumn("keep", F.col("drop_reason").isNull())
+    # checkpointing would hide the plan: rebuild the lazy chain by
+    # calling the internals the way corpus_report composes them
+    from metacrafter_spark.corpus import report as _report_mod
+
+    per = _report_mod._per_doc(classified_like, "text", "langid_lang")
+    partial = per.withColumn(
+        "__salt", F.pmod(F.xxhash64("domain", F.lit(7)), F.lit(16))
+    ).groupBy("domain", "__salt").agg(*_report_mod._aggs())
+    doms = partial.groupBy("domain").agg(
+        F.sum("n_docs").alias("n_docs"), F.sum("n_kept").alias("n_kept"),
+        F.sum("chars").alias("chars"), F.sum("words").alias("words"))
+    winners = doms.orderBy(F.col("n_docs").desc(), F.col("domain")) \
+        .limit(10).select("domain", F.lit(True).alias("__top"))
+    domdim = doms.join(F.broadcast(winners), "domain", "left")
+    rplan = plan_of(domdim)
+    sections.append((
+        "Dataset-card report, domain dimension (salted two-phase agg; "
+        "top-N = TakeOrdered + broadcast — no global-order window)",
+        rplan,
+        ["TakeOrderedAndProject", "BroadcastHashJoin", "HashAggregate"],
+    ))
+    assert "Window" not in rplan, "report top-N uses a global window!"
+    assert "EvalPython" not in rplan and "MapInPandas" not in rplan, \
+        "dataset-card report runs Python!"
+
     out = ["# BENCH/EXPLAIN — physical-plan audit\n"]
     ok = True
     for title, plan, must in sections:

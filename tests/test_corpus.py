@@ -361,6 +361,59 @@ def test_classify_corpus_near_dup_stage(spark):
     assert all(r["drop_reason"] != "near_dup" for r in plain)
 
 
+def test_corpus_report_and_dataset_card(spark, tmp_path, capsys):
+    """Dataset-card aggregation: exact counts per dimension, top-N +
+    (other) domain fold, NULL text as zero, Unicode word counts, and
+    the CLI surface end-to-end."""
+    import json
+
+    from metacrafter_spark.cli import main
+    from metacrafter_spark.corpus.report import corpus_report, dataset_card
+
+    rows = [
+        ("a.com", "en", None, "Hello world"),
+        ("a.com", "en", "quality", "one two three"),
+        ("b.com", "ru", None, "Привет мир"),
+        ("c.com", "en", None, None),
+        ("a.com", "zh", "near_dup", "你好 世界"),
+    ]
+    df = spark.createDataFrame(
+        rows, "domain string, langid_lang string, drop_reason string, "
+              "text string"
+    ).withColumn("keep", F.col("drop_reason").isNull())
+    rep = corpus_report(df, top_domains=1)
+    got = {(r["dim"], r["value"]):
+           (r["n_docs"], r["n_kept"], r["chars"], r["words"])
+           for r in rep.collect()}
+    assert got[("total", "all")] == (5, 3, 39, 9)
+    assert got[("lang", "en")] == (3, 2, 24, 5)
+    assert got[("lang", "ru")] == (1, 1, 10, 2)      # Unicode words count
+    assert got[("lang", "zh")] == (1, 0, 5, 2)
+    assert got[("drop_reason", "kept")] == (3, 3, 21, 4)
+    assert got[("drop_reason", "quality")] == (1, 0, 13, 3)
+    assert got[("drop_reason", "near_dup")] == (1, 0, 5, 2)
+    assert got[("domain", "a.com")] == (3, 1, 29, 7)
+    assert got[("domain", "(other)")] == (2, 2, 10, 2)
+    # deterministic across partitionings
+    rep2 = corpus_report(df.repartition(7), top_domains=1)
+    assert {tuple(r) for r in rep2.collect()} == \
+        {tuple(r) for r in rep.collect()}
+    # card shape
+    card = dataset_card(rep)
+    assert card["total"]["n_docs"] == 5
+    assert card["langs"]["ru"]["words"] == 2
+    assert card["domains"]["(other)"]["n_docs"] == 2
+    # CLI e2e on a plain-parquet classified corpus
+    src = str(tmp_path / "classified")
+    df.write.parquet(src)
+    out = str(tmp_path / "card.json")
+    rc = main(["dataset-card", src, "-o", out, "--top-domains", "1"])
+    assert rc == 0
+    written = json.loads(open(out).read())
+    assert written["total"] == card["total"]
+    assert written["drop_reasons"]["near_dup"]["n_docs"] == 1
+
+
 def test_with_toxicity_max_words_scope(spark):
     """Signal/action alignment: a listed word past the default 2000-token
     counting cap is invisible at the default but counted with

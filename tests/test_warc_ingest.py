@@ -60,6 +60,15 @@ def test_warc_ingest_end_to_end(spark, warc_corpus, tmp_path, capsys):
     assert sum(r["n_docs"] for r in rows) == 200
     assert sum(r["n_keep"] for r in rows) == payload["kept_total"]
 
+    # dataset-card reads the Iceberg output directly
+    rc = main(["dataset-card", out, "--top-domains", "3"])
+    assert rc == 0
+    card = json.loads(capsys.readouterr().out.strip())
+    assert card["total"]["n_docs"] == 200
+    assert card["total"]["n_kept"] == payload["kept_total"]
+    assert sum(v["n_docs"] for v in card["langs"].values()) == 200
+    assert len(card["domains"]) <= 4  # top 3 + (other)
+
 
 def test_warc_ingest_outlinks_flag(spark, warc_corpus, tmp_path, capsys):
     """--outlinks writes the page-level link graph from the same scan.
