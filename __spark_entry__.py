@@ -3234,7 +3234,11 @@ def q_quality_classifier(spark, sf_dir):
     contract) so the oracle replays all six iterations as CTEs and
     matches the final per-doc scores byte-for-byte.  acc_ok asserts
     in-plan that the trained model reproduces ≥99% of labels (it
-    catches all 36 planted junk docs)."""
+    catches all 36 planted junk docs).  4096 hash buckets since the
+    WORD_SPLIT migration: Unicode tokenization adds real features for
+    the corpus's Russian pages, and at 1024 buckets their grams
+    collide into junk-upweighted buckets (train acc 0.9255); 4096
+    restores 0.9995."""
     from metacrafter_spark.corpus.webpages import synth_webpages
     from metacrafter_spark.ops.quality_classifier import (
         score_logreg, train_logreg_hashed)
@@ -3246,7 +3250,7 @@ def q_quality_classifier(spark, sf_dir):
            | F.col("text").contains("function f() {")))
         .cast("int").alias("y"))
     model = train_logreg_hashed(
-        labeled, label_col="y", id_col="url", buckets=1024,
+        labeled, label_col="y", id_col="url", buckets=4096,
         max_words=200, iterations=6, lr=2.0,
         class_weights=(50.0, 1.0), binary=True)
     scored = score_logreg(labeled.select("url", "text"), model,
@@ -3655,7 +3659,7 @@ def _pagerank_sql(iterations: int = 5, unit: int = 10**12,
             + "\nORDER BY node_id")
 
 
-def _quality_classifier_sql(iterations: int = 6, buckets: int = 1024,
+def _quality_classifier_sql(iterations: int = 6, buckets: int = 4096,
                             max_words: int = 200, lr: float = 2.0,
                             w_neg: float = 50.0) -> str:
     """DuckDB replay of q_quality_classifier: binary hashed-n-gram
@@ -3673,7 +3677,7 @@ def _quality_classifier_sql(iterations: int = 6, buckets: int = 1024,
                     OR contains(text, 'function f() {')
                   THEN 0 ELSE 1 END AS y FROM corpus)""",
         f"""ws AS (SELECT url,
-             list_filter(string_split_regex(lower(text), '\\W+'),
+             list_filter(string_split_regex(lower(text), '[^\\p{{L}}\\p{{N}}_]+'),
                          w -> len(w) > 0)[1:{max_words}] AS ws
            FROM corpus)""",
         """gr AS (SELECT url, unnest(ws || list_transform(
@@ -4032,7 +4036,7 @@ _KENLM_CORE = r"""
               SELECT text FROM documents
               WHERE doc_id < 2000 AND lang = 'en'),
             tw AS (SELECT
-                   list_filter(string_split_regex(lower(text), '\W+'),
+                   list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'),
                                w -> len(w) > 0)[1:200] AS ws
                    FROM train),
             wc AS (SELECT w, count(*) AS c
@@ -4077,7 +4081,7 @@ _KENLM_CORE = r"""
             flv AS (SELECT round(ln(1.0 / (B + 1)),
                           9)::DECIMAL(18,9) AS fl FROM kd),
             sw AS (SELECT doc_id,
-                   list_filter(string_split_regex(lower(text), '\W+'),
+                   list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'),
                                w -> len(w) > 0)[1:200] AS ws
                    FROM corpus),
             st AS (SELECT doc_id, ['<s>'] || ws || ['</s>'] AS t
@@ -4124,7 +4128,7 @@ def _bpe_oracle_sql(num_merges: int = 12, max_words: int = 200) -> str:
                        || chr(31) || '</w>' AS syms
               FROM (SELECT unnest(
                       list_filter(string_split_regex(lower(text),
-                                                     '\\W+'),
+                                                     '[^\\p{{L}}\\p{{N}}_]+'),
                                   w -> len(w) > 0)[1:{max_words}])
                       AS word
                     FROM documents WHERE doc_id < 2000)
@@ -4184,7 +4188,7 @@ def _bm25_oracle_sql(top_k: int = 5, k1: float = 1.2, b: float = 0.75,
             WITH corpus AS (
               SELECT doc_id,
                      list_filter(string_split_regex(lower(text),
-                                                    '\\W+'),
+                                                    '[^\\p{{L}}\\p{{N}}_]+'),
                                  w -> len(w) > 0)[1:{max_words}] AS ws
               FROM documents WHERE doc_id < 2000),
             dls AS (SELECT doc_id, len(ws) AS dl, ws FROM corpus),
@@ -4234,7 +4238,7 @@ _KENLM3_SQL = r"""
               SELECT text FROM documents
               WHERE doc_id < 2000 AND lang = 'en'),
             tw AS (SELECT
-                   list_filter(string_split_regex(lower(text), '\W+'),
+                   list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'),
                                w -> len(w) > 0)[1:200] AS ws
                    FROM train),
             wc AS (SELECT w, count(*) AS c
@@ -4314,7 +4318,7 @@ _KENLM3_SQL = r"""
             flv AS (SELECT round(ln(1.0 / (B2 + 1)),
                           9)::DECIMAL(18,9) AS fl FROM kd),
             sw AS (SELECT doc_id,
-                   list_filter(string_split_regex(lower(text), '\W+'),
+                   list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'),
                                w -> len(w) > 0)[1:200] AS ws
                    FROM corpus),
             st AS (SELECT doc_id,
@@ -6840,10 +6844,10 @@ def oracle_sql() -> dict[str, str]:
               SELECT text FROM documents
               WHERE doc_id < 2000 AND lang = 'en'),
             cw AS (SELECT doc_id,
-                   list_filter(string_split_regex(lower(text), '\W+'),
+                   list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'),
                                w -> len(w) > 0)[1:500] AS ws FROM corpus),
             tw AS (SELECT
-                   list_filter(string_split_regex(lower(text), '\W+'),
+                   list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'),
                                w -> len(w) > 0)[1:500] AS ws FROM tgt),
             cb AS (SELECT doc_id,
                    ('0x' || substr(sha256(g), 1, 8))::BIGINT % 4096

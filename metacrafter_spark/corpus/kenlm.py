@@ -12,7 +12,7 @@ whole train + score chain is SQL-replayable.
 
 Model (all quantities from one distributed bigram-count table):
 
-- tokens: ``<s> w1 .. wk </s>`` over the lowercased ``\\W+`` word
+- tokens: ``<s> w1 .. wk </s>`` over the lowercased ``WORD_SPLIT`` word
   split, words capped map-side (``max_words``);
 - vocabulary: top-``vocab_size`` words by (count desc, word asc) —
   a distributed TakeOrdered, never a single-partition window sort;
@@ -50,16 +50,18 @@ from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from metacrafter_spark.ops.dedup import WORD_SPLIT
+
 BOS = "<s>"
 EOS = "</s>"
 UNK = "<unk>"
 
 
 def _words(text_col: str, max_words: int) -> Column:
-    """Lowercased ``\\W+`` word split, empties dropped, capped
+    """Lowercased ``WORD_SPLIT`` word split, empties dropped, capped
     map-side (the ``ops/dsir.py`` tokenization, shared contract)."""
     return F.slice(
-        F.filter(F.split(F.lower(F.col(text_col)), r"\W+"),
+        F.filter(F.split(F.lower(F.col(text_col)), WORD_SPLIT),
                  lambda w: F.length(w) > 0),
         1, max_words)
 

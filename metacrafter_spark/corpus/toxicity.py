@@ -26,7 +26,7 @@ Shapes:
   (``max_hits=0``: any hit drops) or density mode
   (``max_frac=0.001``-style).
 
-Tokenization reuses ``ops.dedup.split_words`` (lowercased ``\\W+``
+Tokenization reuses ``ops.dedup.split_words`` (lowercased ``WORD_SPLIT``
 tokens) so metrics agree with the rest of the corpus stack.
 """
 
@@ -36,7 +36,7 @@ import re as _re
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from metacrafter_spark.ops.dedup import split_words
+from metacrafter_spark.ops.dedup import WORD_SPLIT, split_words
 
 #: neutral placeholder — replace with LDNOOBW or a policy list in prod
 DEFAULT_WORDLIST = ("badword", "slur1", "slur2", "obscenity")
@@ -62,7 +62,7 @@ def with_toxicity(
     wl = F.array(*[F.lit(w.lower()) for w in wordlist])
     if max_words == 0:  # unbounded: count over every token in the doc
         words = F.filter(
-            F.split(F.lower(F.col(text_col)), r"\W+"),
+            F.split(F.lower(F.col(text_col)), WORD_SPLIT),
             lambda w: F.length(w) > 0,
         )
     elif max_words is None:

@@ -34,15 +34,17 @@ import re
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from metacrafter_spark.ops.dedup import WORD_SPLIT
+
 _K1 = 1.2
 _B = 0.75
 
 
 def tokenize_query(q: str, max_words: int = 2000) -> list[str]:
-    """The shared ``\\W+`` lowercase tokenization contract, distinct
+    """The shared ``WORD_SPLIT`` lowercase tokenization contract, distinct
     terms in first-seen order."""
     out: list[str] = []
-    for w in re.split(r"\W+", q.lower()):
+    for w in re.split(r"[^\w]+", q.lower()):
         if w and w not in out:
             out.append(w)
     return out[:max_words]
@@ -57,7 +59,7 @@ def bm25_topk(docs: DataFrame, queries: list[tuple[str, str]], *,
     ``(score DESC, id ASC)``, ``score`` the decimal-exact sum rounded
     to 6 dp for output."""
     words = F.slice(
-        F.filter(F.split(F.lower(F.col(text_col)), r"\W+"),
+        F.filter(F.split(F.lower(F.col(text_col)), WORD_SPLIT),
                  lambda w: F.length(w) > 0),
         1, max_words)
     toks = docs.select(F.col(id_col).alias("doc_id"),

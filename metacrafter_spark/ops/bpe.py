@@ -38,15 +38,17 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from metacrafter_spark.ops.dedup import WORD_SPLIT
+
 EOW = "</w>"
 
 
 def word_freqs(corpus: DataFrame, text_col: str = "text", *,
                max_words: int = 500) -> DataFrame:
-    """(word, freq) over the lowercased ``\\W+`` split (the shared
+    """(word, freq) over the lowercased ``WORD_SPLIT`` split (the shared
     tokenization contract), words capped map-side."""
     words = F.slice(
-        F.filter(F.split(F.lower(F.col(text_col)), r"\W+"),
+        F.filter(F.split(F.lower(F.col(text_col)), WORD_SPLIT),
                  lambda w: F.length(w) > 0),
         1, max_words)
     return (corpus.select(F.explode(words).alias("word"))
@@ -136,7 +138,7 @@ def bpe_segment(df: DataFrame, merges: list, *,
     each merge in order.  Entirely map-side — merges are plan
     literals, the textbook application order."""
     words = F.slice(
-        F.filter(F.split(F.lower(F.col(text_col)), r"\W+"),
+        F.filter(F.split(F.lower(F.col(text_col)), WORD_SPLIT),
                  lambda w: F.length(w) > 0),
         1, max_words)
 

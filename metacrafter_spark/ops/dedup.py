@@ -642,7 +642,7 @@ def with_simhash(
     un-inlined), and the 64 per-bit counters are cheap char-parity scans
     over that array."""
     words = F.slice(
-        F.filter(F.split(F.lower(F.col(text_col)), r"\W+"),
+        F.filter(F.split(F.lower(F.col(text_col)), WORD_SPLIT),
                  lambda w: F.length(w) > 0),
         1, max_words,
     )

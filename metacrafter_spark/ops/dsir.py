@@ -6,7 +6,7 @@ corpus.
 
 Mechanism, Spark-first end to end:
 
-1. **Features**: unigrams + bigrams of the lowercased ``\\W+`` word
+1. **Features**: unigrams + bigrams of the lowercased ``WORD_SPLIT`` word
    split, hashed into ``buckets`` slots.  The bucket hash is the first
    8 hex chars of sha256 — every primitive (sha256, substring, hex
    parse, pmod) exists identically in DuckDB, so the whole operator is
@@ -38,6 +38,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from metacrafter_spark.ops.dedup import WORD_SPLIT
+
 from metacrafter_spark.ops.sampling import _id_hash
 
 _MOD = 1 << 32
@@ -47,7 +49,7 @@ def word_grams(text_col: str, max_words: int = 500) -> F.Column:
     """Unigrams + bigrams of the lowercased word split (words capped
     map-side — weight quality saturates long before full documents)."""
     words = F.slice(
-        F.filter(F.split(F.lower(F.col(text_col)), r"\W+"),
+        F.filter(F.split(F.lower(F.col(text_col)), WORD_SPLIT),
                  lambda w: F.length(w) > 0),
         1, max_words)
     w = "__dsir_words"

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
+
+from metacrafter_spark.ops.dedup import WORD_SPLIT
 from pyspark.sql.functions import pandas_udf
 
 from metacrafter_spark.corpus.quality import _EDGE_PUNCT_RE, _STOPWORDS
@@ -56,7 +58,7 @@ def quality_score(text: Column) -> Column:
 
 def _fp_words(text: Column, max_words: int = 2000) -> Column:
     return F.slice(
-        F.filter(F.split(F.lower(text), r"\W+"), lambda w: F.length(w) > 0),
+        F.filter(F.split(F.lower(text), WORD_SPLIT), lambda w: F.length(w) > 0),
         1, max_words,
     )
 
@@ -170,7 +172,7 @@ def with_readability(df: DataFrame, text_col: str = "text",
     """Flesch reading-ease + Flesch-Kincaid grade as native expressions.
 
     Heuristic components (standard approximations, replayable in SQL):
-    words = lowercase ``\\W+`` tokens; sentences = runs of ``.!?``
+    words = lowercase ``WORD_SPLIT`` tokens; sentences = runs of ``.!?``
     (min 1); syllables per word = vowel-group count ``[aeiouy]+``
     (min 1 per word).  Columns: ``{prefix}_words``,
     ``{prefix}_sentences``, ``{prefix}_syllables``, ``{prefix}_ease``,

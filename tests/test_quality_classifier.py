@@ -53,8 +53,9 @@ def _py_train(rows, *, buckets, max_words, iterations, lr,
 
     feats, ys = {}, {}
     for doc_id, text, y in rows:
-        ws = [w for w in re.split(r"\W+", text.lower(), flags=re.ASCII)
-              if w][:max_words]
+        # Unicode \W+ ≡ the engine's WORD_SPLIT (ASCII flag dropped
+        # when the engine moved off ASCII-only tokenization)
+        ws = [w for w in re.split(r"\W+", text.lower()) if w][:max_words]
         grams = ws + [a + " " + b for a, b in zip(ws, ws[1:])]
         f = {}
         for g in grams:
@@ -132,7 +133,7 @@ def test_distills_junk_markers_on_webcorpus(spark):
         "y", (~(F.col("text").contains("lorem ipsum")
                 | F.col("text").contains("function f() {"))).cast("int"))
     model = train_logreg_hashed(
-        labeled, label_col="y", id_col="url", buckets=1024,
+        labeled, label_col="y", id_col="url", buckets=4096,
         max_words=200, iterations=6, lr=2.0,
         class_weights=(50.0, 1.0), binary=True)
     j = (score_logreg(labeled, model, id_col="url")
