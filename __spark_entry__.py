@@ -3448,6 +3448,140 @@ def _repetition_oracle_sql() -> str:
     """
 
 
+def q_hll_distinct(spark, sf_dir):
+    """Cross-dump distinct-URL counting via mergeable HyperLogLog
+    sketches (ops/sketches.py) — the 10^12-scale answer to "how many
+    unique URLs have we ever crawled?": each dump persists only its
+    O(2^p)-row register table; the cross-dump estimate merges the
+    tables (per-bucket max), never re-reading a dump.  Two precisions
+    exercise BOTH estimator branches (p=6 raw harmonic mean, p=12
+    linear counting) at the driver's sf0.01 scale — the dump windows
+    sit inside doc_id < 500 so the value set (500 distinct URLs, 200
+    overlapping) is identical at every sf.  The Spark side estimates
+    from the MERGE of two overlapping dump sketches while the oracle
+    re-derives registers from the flat union — a hash match proves
+    merge == sketch-of-union plus the exact-integer register/estimate
+    arithmetic end to end.  In-plan ``err_ok`` asserts the estimate
+    lands inside the published error envelope against the exact
+    distinct count."""
+    from metacrafter_spark.ops.sketches import (
+        hll_estimate, hll_merge, hll_registers)
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://s"), F.col("doc_id"),
+                   F.lit("/p")).alias("url")
+    d1 = docs.filter(F.col("doc_id") < 350).select(url)
+    d2 = docs.filter((F.col("doc_id") >= 150)
+                     & (F.col("doc_id") < 500)).select(url)
+    exact = (d1.unionByName(d2)
+             .agg(F.countDistinct("url").alias("exact_distinct")))
+    parts = []
+    for p in (6, 12):
+        merged = hll_merge(hll_registers(d1, "url", p=p),
+                           hll_registers(d2, "url", p=p))
+        parts.append(hll_estimate(merged, p=p)
+                     .withColumn("sketch_p", F.lit(p)))
+    bar = F.when(F.col("sketch_p") == 6, F.lit(0.30)).otherwise(F.lit(0.05))
+    return (parts[0].unionByName(parts[1])
+            .crossJoin(F.broadcast(exact))
+            .select(
+                "sketch_p", "n_buckets_set", "lc_used", "est_distinct",
+                "exact_distinct",
+                (F.abs(F.col("est_distinct").cast("double")
+                       / F.col("exact_distinct") - 1) < bar).alias("err_ok"))
+            .orderBy("sketch_p"))
+
+
+def _hll_distinct_sql() -> str:
+    """Oracle for q_hll_distinct, generated from the SAME module
+    constants via hll_sql_snippets (engine and oracle cannot drift);
+    registers are re-derived from the flat dump union, so the hash
+    match also proves the merge property."""
+    from metacrafter_spark.ops.sketches import hll_sql_snippets
+
+    def est_cte(p: int) -> str:
+        sn = hll_sql_snippets(p)
+        return f"""(
+            WITH __items AS (SELECT url AS item FROM allu),
+            __regs AS (SELECT bucket, max(rho)::INT AS reg
+                       FROM ({sn["rho"]}) GROUP BY 1)
+            SELECT {p} AS sketch_p, * FROM ({sn["estimate"]}))"""
+
+    return f"""
+        WITH d1 AS (SELECT 'https://s' || doc_id || '/p' AS url
+                    FROM documents WHERE doc_id < 350),
+        d2 AS (SELECT 'https://s' || doc_id || '/p' AS url
+               FROM documents WHERE doc_id >= 150 AND doc_id < 500),
+        allu AS (SELECT url FROM d1 UNION ALL SELECT url FROM d2),
+        ex AS (SELECT count(DISTINCT url)::BIGINT AS exact_distinct
+               FROM allu),
+        e6 AS {est_cte(6)},
+        e12 AS {est_cte(12)},
+        u AS (SELECT * FROM e6 UNION ALL SELECT * FROM e12)
+        SELECT sketch_p, n_buckets_set, lc_used, est_distinct,
+               exact_distinct,
+               abs(est_distinct::DOUBLE / exact_distinct - 1) <
+                 CASE WHEN sketch_p = 6 THEN 0.30 ELSE 0.05 END AS err_ok
+        FROM u, ex ORDER BY sketch_p
+    """
+
+
+def q_cms_word_counts(spark, sf_dir):
+    """Count-min sketch term-frequency estimation (ops/sketches.py):
+    word occurrences of 500 documents compress to a depth*width
+    exact-integer counter table (mergeable across dumps by summing);
+    the exact top-15 words are then point-queried against the sketch.
+    In-plan ``ge_ok`` asserts the CMS contract — estimates never
+    underestimate.  Every count is deterministic integer arithmetic,
+    so the oracle replays the sha256 bucket hashing, the counter agg
+    and the min-over-rows lookup value-for-value."""
+    from metacrafter_spark.ops.sketches import cms_lookup, cms_sketch
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    words = docs.select(F.explode(
+        F.filter(F.split(F.lower(F.col("text")), WORD_SPLIT),
+                 lambda w: F.length(w) > 0)).alias("w"))
+    exact = words.groupBy("w").agg(F.count("*").alias("true_cnt"))
+    top = exact.orderBy(F.desc("true_cnt"), "w").limit(15)
+    sk = cms_sketch(words, "w", depth=4, width=512)
+    est = cms_lookup(sk, top, "w", depth=4, width=512)
+    return (est.select(
+        "w", "true_cnt", "est_count",
+        (F.col("est_count") >= F.col("true_cnt")).alias("ge_ok"))
+        .orderBy("w"))
+
+
+def _cms_word_counts_sql() -> str:
+    """Oracle for q_cms_word_counts: WORD_SPLIT tokenization + the
+    cms_sql_snippets bucket arms (same constants as the engine)."""
+    from metacrafter_spark.ops.sketches import cms_sql_snippets
+
+    arms = cms_sql_snippets(depth=4, width=512)["buckets"]
+    return f"""
+        WITH w AS (
+          SELECT unnest(list_filter(
+                   string_split_regex(lower(text), '{WORD_SPLIT}'),
+                   x -> len(x) > 0)) AS w
+          FROM documents WHERE doc_id < 500),
+        ex AS (SELECT w, count(*)::BIGINT AS true_cnt FROM w GROUP BY 1),
+        top AS (SELECT * FROM ex ORDER BY true_cnt DESC, w LIMIT 15),
+        sk AS (
+          WITH __items AS (SELECT w AS item FROM w)
+          SELECT d, bucket, count(*)::BIGINT AS cnt
+          FROM ({arms}) GROUP BY 1, 2),
+        pb AS (
+          WITH __items AS (SELECT w AS item FROM top)
+          SELECT item AS w, d, bucket FROM ({arms})),
+        lk AS (SELECT pb.w,
+                      min(coalesce(sk.cnt, 0))::BIGINT AS est_count
+               FROM pb LEFT JOIN sk USING (d, bucket) GROUP BY 1)
+        SELECT top.w AS w, true_cnt, est_count,
+               est_count >= true_cnt AS ge_ok
+        FROM top JOIN lk ON top.w = lk.w
+        ORDER BY top.w
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": q_tpch_q1,
@@ -3537,6 +3671,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pipeline": q_corpus_pipeline,
         # dataset-card composition report (round 5 s11)
         "corpus_report": q_corpus_report,
+        # mergeable corpus sketches: cross-dump HLL distinct counting
+        # + count-min term frequencies (round 5)
+        "hll_distinct": q_hll_distinct,
+        "cms_word_counts": q_cms_word_counts,
         "pii_scrub_hashes": q_pii_scrub,
         # html:binary → text extraction, byte-identity per url (round 5)
         "html_extract_text": q_html_extract_text,
@@ -6651,6 +6789,8 @@ def oracle_sql() -> dict[str, str]:
         # incremental_para_dedup: wave split, key store, anti-join,
         # both winner windows and rebuilds replayed byte-exactly
         "incremental_para_dedup": _incremental_para_dedup_sql(),
+        "hll_distinct": _hll_distinct_sql(),
+        "cms_word_counts": _cms_word_counts_sql(),
         "sitemap_recrawl": r"""
             WITH src AS (
               SELECT regexp_extract(url, '/article/(\d+)$', 1)::BIGINT

@@ -1,0 +1,314 @@
+"""Mergeable corpus sketches: HyperLogLog distinct counting and
+count-min frequency estimation.
+
+At 10^12 documents the questions "how many unique URLs / paragraph
+keys have we ever seen?" and "roughly how often does this n-gram
+occur?" cannot be answered by exact distinct/groupBy counts — the
+answer sets themselves are corpus-sized.  The production shape (the
+same one the incremental dedup stores use) is a **persisted sketch
+per crawl dump**: a few KB of state that merges associatively across
+dumps, so the cross-dump answer costs O(sketch), never O(corpus).
+
+Both sketches here follow the repo's exactness contract:
+
+- hashing is the DuckDB-replayable sha256 family (``conv(substr(
+  sha2(x), 1, 15), 16, 10)`` — a 60-bit integer whose every primitive
+  exists identically in DuckDB), never xxhash64;
+- register/counter tables are **exact integers**, bit-identical under
+  any partitioning and engine (merge = max / sum — associative and
+  commutative, so shuffle order can't matter);
+- the single floating step (the HLL estimator) is one fixed-shape
+  IEEE-double expression over those integers, quantized
+  ``round(x, 6) -> decimal(28,6)`` at the output row — the kenlm/BM25
+  convention, so the oracle twin reproduces it byte-for-byte.
+
+Scale shape: ``hll_registers`` / ``cms_sketch`` are one groupBy over
+at most ``m`` (resp. ``depth x width``) keys — the partial aggregate
+is map-side, the Exchange carries only (bucket, value) pairs, and the
+result is O(m) rows **regardless of input size**.  Merging N dumps is
+a union of N·m tiny rows.  Estimation never touches the corpus.
+
+HLL: Flajolet et al. 2007, with the standard small-range linear
+counting correction.  The hash is 60-bit, so the 32-bit large-range
+correction is unnecessary (Heule et al. 2013 make the same argument
+for 64-bit hashes).  CMS: Cormode & Muthukrishnan 2005 — point
+queries overestimate only (est >= true count, always).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: total hash bits (15 hex chars of sha256 — fits a signed 64-bit int)
+HASH_BITS = 60
+
+#: default HLL precision: m = 2^12 = 4096 registers, ~1.6% rel. error
+HLL_P_DEFAULT = 12
+
+
+def _hash60(col: Column) -> Column:
+    """Portable 60-bit hash: first 15 hex chars of sha256, as a long.
+    Identical primitives in DuckDB: ``('0x' || substr(sha256(x), 1,
+    15))::BIGINT``."""
+    return F.conv(F.substring(F.sha2(col, 256), 1, 15), 16, 10).cast("long")
+
+
+def hll_alpha(m: int) -> float:
+    """Standard HLL bias-correction constant for m registers."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def _check_p(p: int) -> None:
+    if not 4 <= p <= 18:
+        raise ValueError(f"p must be in [4, 18], got {p}")
+
+
+def hll_registers(
+    df: DataFrame,
+    item_col: str,
+    *,
+    p: int = HLL_P_DEFAULT,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """HLL register table ``(*group_cols, bucket, reg)`` for the
+    distinct values of ``item_col`` (NULLs ignored; values hashed as
+    strings).
+
+    bucket = low ``p`` bits of the 60-bit hash; reg = max over items
+    of the leading-zero rank of the remaining ``60-p`` bits (rho).
+    Exact integers only — the table is a pure function of the distinct
+    value set, so it is identical across runs, partitionings and
+    engines, and two tables merge by ``max`` (:func:`hll_merge`).
+    At most ``2^p`` rows per group regardless of input size."""
+    _check_p(p)
+    m = 1 << p
+    w_bits = HASH_BITS - p
+    h = _hash60(F.col(item_col).cast("string"))
+    w = F.shiftright(h, p)  # exact bit shift (h < 2^60 exceeds 2^53)
+    rho = F.when(w == 0, F.lit(w_bits + 1)).otherwise(
+        F.lit(w_bits) - F.length(F.bin(w)) + 1
+    )
+    gcols = [F.col(c) for c in group_cols]
+    return (
+        df.filter(F.col(item_col).isNotNull())
+        .select(*gcols, F.pmod(h, F.lit(m)).alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").cast("int").alias("reg"))
+    )
+
+
+def hll_merge(
+    *tables: DataFrame, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Merge register tables (e.g. one per crawl dump): union ->
+    per-bucket max.  Associative, commutative, idempotent — merging a
+    dump twice changes nothing, and ``merge(regs(A), regs(B)) ==
+    regs(A UNION B)`` exactly (tested)."""
+    if not tables:
+        raise ValueError("need at least one register table")
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    return (
+        out.groupBy(*group_cols, "bucket")
+        .agg(F.max("reg").cast("int").alias("reg"))
+    )
+
+
+def hll_estimate(
+    regs: DataFrame,
+    *,
+    p: int = HLL_P_DEFAULT,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Cardinality estimate per group from a register table:
+    ``(*group_cols, n_buckets_set, lc_used, est_distinct)``.
+
+    Raw estimator: ``alpha_m * m^2 / sum_j 2^(-reg_j)``.  The harmonic
+    sum is computed as the EXACT integer ``S = sum 2^(R - reg_j)``
+    (missing buckets contribute ``2^R``, reg = 0) with ``R = 61 - p``
+    the maximum possible register value — S <= m * 2^R < 2^63, so the
+    sum is order-independent exact long arithmetic; the single double
+    division ``C / S`` (C = alpha * m^2 * 2^R, a compile-time literal)
+    happens once per group.  Small-range correction: when the raw
+    estimate is <= 2.5m and empty buckets remain, linear counting
+    ``m * ln(m / V)`` is used instead (lc_used marks the branch).
+    Output quantized ``round(x, 6)::decimal(28,6)`` — the repo's
+    cross-engine float contract."""
+    _check_p(p)
+    m = 1 << p
+    r_max = HASH_BITS - p + 1
+    c_lit = hll_alpha(m) * m * m * float(2**r_max)
+    agg = regs.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("__nb"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {r_max} - reg)")
+        ).cast("long").alias("__sp"),
+    )
+    v = F.lit(m).cast("long") - F.col("__nb")
+    s = F.col("__sp") + v * F.lit(2**r_max).cast("long")
+    raw = F.lit(c_lit) / s.cast("double")
+    lc_used = (raw <= F.lit(2.5 * m)) & (v > 0)
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double"))
+    est = F.round(F.when(lc_used, lc).otherwise(raw), 6)
+    return agg.select(
+        *group_cols,
+        F.col("__nb").alias("n_buckets_set"),
+        lc_used.alias("lc_used"),
+        est.cast("decimal(28,6)").alias("est_distinct"),
+    )
+
+
+def hll_sql_snippets(p: int = HLL_P_DEFAULT) -> dict[str, str]:
+    """DuckDB SQL fragments that replay this module's exact arithmetic,
+    generated from the SAME constants the Spark side uses (the langid
+    pack pattern — engine and oracle cannot drift).
+
+    Keys: ``rho`` (per-item SELECT body over a column named ``item``
+    producing (bucket, rho)), ``estimate`` (SELECT body over a
+    register table named ``regs(bucket, reg)`` producing
+    (n_buckets_set, lc_used, est_distinct))."""
+    _check_p(p)
+    m = 1 << p
+    w_bits = HASH_BITS - p
+    r_max = w_bits + 1
+    c_lit = repr(hll_alpha(m) * m * m * float(2**r_max))
+    rho = f"""
+        SELECT h % {m} AS bucket,
+               CASE WHEN (h // {m}) = 0 THEN {r_max}
+                    ELSE {w_bits} - length(bin(h // {m})) + 1 END AS rho
+        FROM (SELECT ('0x' || substr(sha256(item), 1, 15))::BIGINT AS h
+              FROM __items)
+    """
+    estimate = f"""
+        SELECT n_buckets_set,
+               lc_used,
+               round(CASE WHEN lc_used
+                          THEN {float(m)!r} * ln({float(m)!r} / v)
+                          ELSE raw END, 6)::DECIMAL(28,6) AS est_distinct
+        FROM (SELECT n_buckets_set, v,
+                     {c_lit} / s::DOUBLE AS raw,
+                     ({c_lit} / s::DOUBLE) <= {2.5 * m!r} AND v > 0
+                         AS lc_used
+              FROM (SELECT count(*)::BIGINT AS n_buckets_set,
+                           {m}::BIGINT - count(*) AS v,
+                           sum(1::BIGINT << ({r_max} - reg))::BIGINT
+                             + ({m}::BIGINT - count(*))
+                               * (1::BIGINT << {r_max}) AS s
+                    FROM __regs))
+    """
+    return {"rho": rho, "estimate": estimate, "m": str(m)}
+
+
+# --------------------------------------------------------------------
+# Count-min sketch
+
+
+def _cms_bucket(item: Column, d: int, width: int) -> Column:
+    """Row-d hash bucket: the minhash-family salt convention
+    (``sha2("cms{d}:" + item)``)."""
+    return F.pmod(_hash60(F.concat(F.lit(f"cms{d}:"), item)), F.lit(width))
+
+
+def cms_sketch(
+    df: DataFrame,
+    item_col: str,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Count-min sketch ``(*group_cols, d, bucket, cnt)`` over the
+    OCCURRENCES of ``item_col`` (one count per row; NULLs ignored).
+    ``depth x width`` exact-integer counters per group regardless of
+    input size; two sketches over disjoint inputs merge by summing
+    counters (:func:`cms_merge`) — the per-dump term-frequency memory."""
+    if depth < 1 or width < 2:
+        raise ValueError("need depth >= 1 and width >= 2")
+    item = F.col(item_col).cast("string")
+    rows = F.array(*[
+        F.struct(F.lit(d).alias("d"),
+                 _cms_bucket(item, d, width).alias("bucket"))
+        for d in range(depth)
+    ])
+    gcols = [F.col(c) for c in group_cols]
+    return (
+        df.filter(F.col(item_col).isNotNull())
+        .select(*gcols, F.explode(rows).alias("__rb"))
+        .select(*gcols, F.col("__rb.d").alias("d"),
+                F.col("__rb.bucket").alias("bucket"))
+        .groupBy(*group_cols, "d", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def cms_merge(
+    *tables: DataFrame, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Merge CMS tables over disjoint inputs: union -> per-counter sum."""
+    if not tables:
+        raise ValueError("need at least one sketch table")
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    return (
+        out.groupBy(*group_cols, "d", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    probes: DataFrame,
+    item_col: str,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-query the sketch for each probe row: adds ``est_count`` =
+    min over the ``depth`` counters the item hashes to (0 when a
+    counter row is absent — an empty counter).  The CMS guarantee:
+    ``est_count >= true count`` always (collisions only ever ADD).
+
+    Plan shape: probes explode to ``depth`` rows, equi-join the
+    O(depth*width) sketch (broadcast it when small), min-agg back to
+    one row per probe — the corpus itself is never touched."""
+    item = F.col(item_col).cast("string")
+    rows = F.array(*[
+        F.struct(F.lit(d).alias("d"),
+                 _cms_bucket(item, d, width).alias("bucket"))
+        for d in range(depth)
+    ])
+    probe_cols = probes.columns
+    exploded = (
+        probes.withColumn("__rb", F.explode(rows))
+        .select(*probe_cols, F.col("__rb.d").alias("d"),
+                F.col("__rb.bucket").alias("bucket"))
+    )
+    joined = exploded.join(F.broadcast(sketch), ["d", "bucket"], "left")
+    return (
+        joined.groupBy(*probe_cols)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
+             .alias("est_count"))
+    )
+
+
+def cms_sql_snippets(*, depth: int = 4, width: int = 1024) -> dict[str, str]:
+    """DuckDB fragments replaying the CMS hashing: ``buckets`` is a
+    SELECT body over ``__items(item)`` producing (item, d, bucket) —
+    one row per hash row."""
+    arms = " UNION ALL ".join(
+        f"""SELECT item, {d} AS d,
+               ('0x' || substr(sha256('cms{d}:' || item), 1, 15))::BIGINT
+                 % {width} AS bucket FROM __items"""
+        for d in range(depth)
+    )
+    return {"buckets": arms}

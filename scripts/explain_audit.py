@@ -892,6 +892,39 @@ def main() -> None:
     assert "EvalPython" not in rplan and "MapInPandas" not in rplan, \
         "dataset-card report runs Python!"
 
+    # §47: mergeable sketches (HLL + CMS) — register/counter builds are
+    # one partial-agg groupBy whose Exchange carries only (bucket, rho)
+    # / (d, bucket) pairs (never text); the CMS point lookup broadcasts
+    # the O(depth*width) counter table.  All native Columns.
+    from metacrafter_spark.ops.sketches import (
+        cms_lookup, cms_sketch, hll_registers)
+
+    urls = docs.select(
+        F.concat(F.lit("https://s"), F.col("doc_id"), F.lit("/p"))
+        .alias("u"))
+    hplan = plan_of(hll_registers(urls, "u", p=12))
+    sections.append((
+        "HLL register build (map-side partial agg; Exchange keyed on "
+        "the 2^p bucket space, raw values absent)",
+        hplan,
+        ["HashAggregate", "Exchange"],
+    ))
+    assert "EvalPython" not in hplan and "MapInPandas" not in hplan, \
+        "HLL register build runs Python!"
+    words = docs.select(F.explode(F.split(F.lower("text"),
+                                          r"[^\p{L}\p{N}_]+")).alias("w"))
+    sk = cms_sketch(words, "w", depth=4, width=512)
+    lplan = plan_of(cms_lookup(sk, words.distinct(), "w",
+                               depth=4, width=512))
+    sections.append((
+        "CMS point lookup (counter table rides a broadcast; min-agg "
+        "back to one row per probe)",
+        lplan,
+        ["BroadcastHashJoin", "HashAggregate"],
+    ))
+    assert "EvalPython" not in lplan and "MapInPandas" not in lplan, \
+        "CMS lookup runs Python!"
+
     out = ["# BENCH/EXPLAIN — physical-plan audit\n"]
     ok = True
     for title, plan, must in sections:

@@ -1,0 +1,211 @@
+"""Mergeable sketches: HyperLogLog + count-min (ops/sketches.py).
+
+Verification layers (the repo pattern):
+- pure-Python replay: an independent implementation of the full chain
+  (hashlib sha256 -> registers/counters -> quantized estimate) must
+  agree with the Spark tables EXACTLY, register-for-register;
+- structural properties: merge == sketch-of-union (exact table
+  equality), merge idempotence, CMS never-underestimate;
+- determinism across partitionings;
+- accuracy: the estimate lands inside the published error envelope on
+  a fixed (deterministic) corpus.
+"""
+
+import hashlib
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from metacrafter_spark.ops.sketches import (
+    cms_lookup,
+    cms_merge,
+    cms_sketch,
+    hll_alpha,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+)
+
+
+def _urls(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.concat(F.lit("https://s"), F.col("id"), F.lit("/p")).alias("u")
+    )
+
+
+# ------------------------------------------------------------------ HLL
+
+
+def _py_hll_registers(vals, p):
+    m, w_bits = 1 << p, 60 - p
+    regs = {}
+    for v in vals:
+        h = int(hashlib.sha256(v.encode()).hexdigest()[:15], 16)
+        w = h >> p
+        rho = (w_bits + 1) if w == 0 else w_bits - w.bit_length() + 1
+        b = h % m
+        regs[b] = max(regs.get(b, 0), rho)
+    return regs
+
+
+def _py_hll_estimate(regs, p):
+    m, r_max = 1 << p, 60 - p + 1
+    s = sum(1 << (r_max - r) for r in regs.values())
+    s += (m - len(regs)) * (1 << r_max)
+    c = hll_alpha(m) * m * m * float(2**r_max)
+    raw = c / float(s)
+    v = m - len(regs)
+    if raw <= 2.5 * m and v > 0:
+        return len(regs), True, round(m * math.log(m / v), 6)
+    return len(regs), False, round(raw, 6)
+
+
+@pytest.mark.parametrize("p", [6, 12])
+def test_hll_python_replay_exact(spark, p):
+    """Registers AND the quantized estimate match an independent
+    pure-Python implementation exactly (both estimator branches: p=6
+    exercises the raw harmonic path, p=12 linear counting)."""
+    n = 4000
+    vals = [f"https://s{i}/p" for i in range(n)]
+    df = _urls(spark, 0, n)
+    got = sorted(
+        (r.bucket, r.reg) for r in hll_registers(df, "u", p=p).collect()
+    )
+    exp = sorted(_py_hll_registers(vals, p).items())
+    assert got == exp
+    est = hll_estimate(hll_registers(df, "u", p=p), p=p).collect()[0]
+    nb, lc, e = _py_hll_estimate(dict(exp), p)
+    assert (est.n_buckets_set, est.lc_used, float(est.est_distinct)) == (
+        nb, lc, e,
+    )
+
+
+def test_hll_merge_equals_union(spark):
+    """merge(regs(A), regs(B)) == regs(A UNION B) — exact table
+    equality, the property that makes per-dump persistence sound."""
+    a, b = _urls(spark, 0, 3000), _urls(spark, 1500, 5000)
+    merged = hll_merge(
+        hll_registers(a, "u", p=10), hll_registers(b, "u", p=10)
+    )
+    direct = hll_registers(a.unionByName(b), "u", p=10)
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+    # idempotent: merging the same dump twice changes nothing
+    twice = hll_merge(hll_registers(a, "u", p=10),
+                      hll_registers(a, "u", p=10))
+    da = hll_registers(a, "u", p=10)
+    assert twice.exceptAll(da).count() == 0
+    assert da.exceptAll(twice).count() == 0
+
+
+def test_hll_accuracy_envelope(spark):
+    """p=12 estimate of 5000 true distincts (with duplicate rows mixed
+    in) within 5% (~3 sigma of the LC branch); duplicates must not
+    move the registers."""
+    base = _urls(spark, 0, 5000)
+    with_dups = base.unionByName(_urls(spark, 0, 2000))
+    est = hll_estimate(
+        hll_registers(with_dups, "u", p=12), p=12
+    ).collect()[0]
+    assert abs(float(est.est_distinct) / 5000.0 - 1) < 0.05
+    # dup-invariance: same registers as the deduplicated set
+    r1 = sorted(map(tuple, hll_registers(base, "u", p=12).collect()))
+    r2 = sorted(map(tuple, hll_registers(with_dups, "u", p=12).collect()))
+    assert r1 == r2
+
+
+def test_hll_groups_and_null_and_determinism(spark):
+    df = spark.range(2000).select(
+        (F.col("id") % 2).alias("g"),
+        F.when(F.col("id") % 100 == 0, None)
+        .otherwise(F.concat(F.lit("u"), F.col("id"))).alias("u"),
+    )
+    regs = hll_registers(df, "u", p=8, group_cols=("g",))
+    est = {
+        r.g: float(r.est_distinct)
+        for r in hll_estimate(regs, p=8, group_cols=("g",)).collect()
+    }
+    assert set(est) == {0, 1}
+    for g in (0, 1):  # 1000 per group minus 10 NULLed ids
+        assert abs(est[g] / 990.0 - 1) < 0.25
+    r_a = sorted(map(tuple, regs.collect()))
+    r_b = sorted(map(tuple, hll_registers(
+        df.repartition(17, "u"), "u", p=8, group_cols=("g",)).collect()))
+    assert r_a == r_b
+
+
+def test_hll_rejects_bad_p(spark):
+    df = _urls(spark, 0, 10)
+    with pytest.raises(ValueError):
+        hll_registers(df, "u", p=3)
+    with pytest.raises(ValueError):
+        hll_estimate(hll_registers(df, "u", p=8), p=20)
+
+
+# ------------------------------------------------------------------ CMS
+
+
+def _py_cms(vals, depth, width):
+    cnt = {}
+    for v in vals:
+        for d in range(depth):
+            h = int(
+                hashlib.sha256(f"cms{d}:{v}".encode()).hexdigest()[:15], 16
+            )
+            k = (d, h % width)
+            cnt[k] = cnt.get(k, 0) + 1
+    return cnt
+
+
+def test_cms_python_replay_exact(spark):
+    vals = [str(i % 37) for i in range(1000)]
+    df = spark.createDataFrame([(v,) for v in vals], "w string")
+    got = sorted(
+        (r.d, r.bucket, r.cnt)
+        for r in cms_sketch(df, "w", depth=3, width=64).collect()
+    )
+    exp = sorted((d, b, c) for (d, b), c in _py_cms(vals, 3, 64).items())
+    assert got == exp
+
+
+def test_cms_never_underestimates_and_exact_when_wide(spark):
+    """est >= true count always; with width >> #distinct items the
+    mins are collision-free and estimates are EXACT."""
+    words = spark.range(2000).select(
+        (F.col("id") % 37).cast("string").alias("w"))
+    exact = words.groupBy("w").agg(F.count("*").alias("true_cnt"))
+    for width, require_exact in ((64, False), (4096, True)):
+        sk = cms_sketch(words, "w", depth=4, width=width)
+        est = cms_lookup(sk, words.distinct(), "w", depth=4, width=width)
+        j = est.join(exact, "w").collect()
+        assert all(r.est_count >= r.true_cnt for r in j)
+        if require_exact:
+            assert all(r.est_count == r.true_cnt for r in j)
+
+
+def test_cms_merge_and_absent_probe(spark):
+    a = spark.createDataFrame([("x",)] * 5 + [("y",)] * 3, "w string")
+    b = spark.createDataFrame([("x",)] * 2 + [("z",)] * 7, "w string")
+    merged = cms_merge(cms_sketch(a, "w", depth=4, width=512),
+                       cms_sketch(b, "w", depth=4, width=512))
+    direct = cms_sketch(a.unionByName(b), "w", depth=4, width=512)
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, direct.collect()))
+    probes = spark.createDataFrame(
+        [("x",), ("z",), ("absent",)], "w string")
+    got = {r.w: r.est_count for r in cms_lookup(
+        merged, probes, "w", depth=4, width=512).collect()}
+    assert got["x"] == 7 and got["z"] == 7
+    # an item never inserted can only collide upward from 0
+    assert got["absent"] >= 0
+
+
+def test_cms_determinism_across_partitioning(spark):
+    words = spark.range(3000).select(
+        (F.col("id") % 11).cast("string").alias("w"))
+    s1 = sorted(map(tuple, cms_sketch(words, "w", depth=4,
+                                      width=128).collect()))
+    s2 = sorted(map(tuple, cms_sketch(words.repartition(23), "w", depth=4,
+                                      width=128).collect()))
+    assert s1 == s2
