@@ -182,6 +182,21 @@ def main(argv=None) -> int:
                           ">= this many distinct documents")
     pdp.add_argument("--cores", type=int)
 
+    hd = sub.add_parser(
+        "sketch-distinct",
+        help="distinct-value estimate via a mergeable HyperLogLog "
+             "sketch; --store persists registers across dumps (the "
+             "cross-dump \"unique URLs ever seen\" memory)")
+    hd.add_argument("input", help="parquet with the column to count")
+    hd.add_argument("--col", default="url")
+    hd.add_argument("--p", type=int, default=12,
+                    help="precision: 2^p registers (default 12 → "
+                         "4096 registers, ~1.6%% rel. error)")
+    hd.add_argument("--store", metavar="DIR",
+                    help="persisted register store: merged before "
+                         "estimating, atomically advanced after")
+    hd.add_argument("--cores", type=int)
+
     pg = sub.add_parser("pagerank", help="link-quality ranks over an "
                         "edge parquet (e.g. warc-ingest --outlinks "
                         "output) — integer fixed-point, deterministic")
@@ -560,6 +575,45 @@ def main(argv=None) -> int:
             print(json.dumps({"docs": stats["docs"],
                               "paras": int(stats["paras"] or 0),
                               "removed": int(stats["removed"] or 0)}))
+        elif args.cmd == "sketch-distinct":
+            from pyspark.sql import functions as F
+
+            from metacrafter_spark.corpus.resume import (
+                advance_key_store, read_key_store)
+            from metacrafter_spark.ops.sketches import (
+                hll_estimate, hll_merge, hll_registers)
+
+            df = spark.read.parquet(args.input)
+            batch = hll_registers(df, args.col, p=args.p)
+            prior = read_key_store(spark, args.store) if args.store else None
+            if prior is not None:
+                bad = prior.filter(F.col("p") != args.p).count()
+                if bad:
+                    raise SystemExit(
+                        f"store was built at a different precision than "
+                        f"--p {args.p}; registers cannot be merged")
+                total = hll_merge(batch, prior.select("bucket", "reg"))
+            else:
+                total = batch
+            def _est(regs):
+                r = hll_estimate(regs, p=args.p).first()
+                return (float(r["est_distinct"]), int(r["n_buckets_set"]),
+                        bool(r["lc_used"]))
+            b_est, b_nb, b_lc = _est(batch)
+            t_est, t_nb, t_lc = (b_est, b_nb, b_lc) if prior is None \
+                else _est(total)
+            if args.store:
+                advance_key_store(
+                    total.select(F.lit(args.p).alias("p"), "bucket", "reg"),
+                    args.store)
+            print(json.dumps({
+                "p": args.p,
+                "batch_distinct_est": b_est,
+                "total_distinct_est": t_est,
+                "n_buckets_set": t_nb,
+                "lc_used": t_lc,
+                "store_advanced": bool(args.store),
+            }))
         elif args.cmd == "pagerank":
             from pyspark.sql import functions as F
 

@@ -209,3 +209,48 @@ def test_cms_determinism_across_partitioning(spark):
     s2 = sorted(map(tuple, cms_sketch(words.repartition(23), "w", depth=4,
                                       width=128).collect()))
     assert s1 == s2
+
+
+# ------------------------------------------------------------- CLI
+
+
+def test_cli_sketch_distinct_store_flow(spark, tmp_path):
+    """Cross-dump flow through the real CLI: dump 1 seeds the register
+    store, dump 2 (overlapping) merges against it — the total estimate
+    tracks the true cross-dump distinct count while each dump only
+    ever contributes its O(2^p)-row register table.  Re-ingesting a
+    dump is a fixed point (sketch idempotence through the store)."""
+    import json
+
+    from metacrafter_spark.cli import main
+
+    d1, d2 = str(tmp_path / "d1"), str(tmp_path / "d2")
+    _urls(spark, 0, 1200).write.parquet(d1)
+    _urls(spark, 800, 2000).write.parquet(d2)
+    store = str(tmp_path / "regs")
+
+    def run(inp):
+        import io
+        from contextlib import redirect_stdout
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            rc = main(["sketch-distinct", inp, "--col", "u",
+                       "--p", "12", "--store", store])
+        assert rc == 0
+        return json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    r1 = run(d1)
+    assert abs(r1["total_distinct_est"] / 1200 - 1) < 0.05
+    r2 = run(d2)
+    assert abs(r2["batch_distinct_est"] / 1200 - 1) < 0.05
+    assert abs(r2["total_distinct_est"] / 2000 - 1) < 0.05
+    # fixed point: the same dump again moves nothing
+    r3 = run(d2)
+    assert r3["total_distinct_est"] == r2["total_distinct_est"]
+    # precision mismatch refuses to merge
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="different precision"):
+        main(["sketch-distinct", d1, "--col", "u", "--p", "8",
+              "--store", store])
