@@ -3526,6 +3526,86 @@ def _hll_distinct_sql() -> str:
     """
 
 
+def q_kmv_overlap(spark, sf_dir):
+    """Cross-dump OVERLAP estimation via KMV (k-minimum-values)
+    sketches — the recrawl-rate metric HLL cannot provide: two dump
+    URL sets (350 and 350 docs, 200 shared → true Jaccard 0.4, true
+    union 500; windows sit inside doc_id < 500 so the truth is
+    identical at every sf) are sketched to their 256 smallest distinct
+    hashes, the union's k-minima give an unbiased Jaccard sample and
+    the k-th smallest hash gives the union cardinality.  Everything up
+    to the two quantized divisions is exact integer arithmetic
+    (sha256-family hashes, distributed TakeOrdered top-k, set-
+    membership counts), so the oracle replays it value-for-value.
+    In-plan ``j_ok``/``u_ok`` assert both estimates land inside their
+    sampling-error envelopes of the known truths."""
+    from metacrafter_spark.ops.sketches import (
+        kmv_estimate_distinct, kmv_jaccard, kmv_merge, kmv_sketch)
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://s"), F.col("doc_id"),
+                   F.lit("/p")).alias("url")
+    d1 = docs.filter(F.col("doc_id") < 350).select(url)
+    d2 = docs.filter((F.col("doc_id") >= 150)
+                     & (F.col("doc_id") < 500)).select(url)
+    sa = kmv_sketch(d1, "url", k=256)
+    sb = kmv_sketch(d2, "url", k=256)
+    jac = kmv_jaccard(sa, sb, k=256)
+    est = kmv_estimate_distinct(kmv_merge(sa, sb, k=256), k=256)
+    return (jac.crossJoin(est)
+            .select(
+                "n_union_sample", "n_both", "jaccard",
+                "n_sketch", "exact", "est_distinct",
+                (F.abs(F.col("jaccard").cast("double") - 0.4) < 0.1)
+                .alias("j_ok"),
+                (F.abs(F.col("est_distinct").cast("double") / 500.0 - 1)
+                 < 0.15).alias("u_ok")))
+
+
+def _kmv_overlap_sql() -> str:
+    """Oracle for q_kmv_overlap: hashes, distinct-top-k, union
+    k-minima, membership counts and both quantized estimators replayed
+    in DuckDB (constants shared with ops/sketches)."""
+    from metacrafter_spark.ops.sketches import HASH_BITS
+
+    k = 256
+    full = repr(float(1 << HASH_BITS))
+    return f"""
+        WITH d1 AS (
+          SELECT ('0x' || substr(sha256('https://s' || doc_id || '/p'),
+                                 1, 15))::BIGINT AS h
+          FROM documents WHERE doc_id < 350),
+        d2 AS (
+          SELECT ('0x' || substr(sha256('https://s' || doc_id || '/p'),
+                                 1, 15))::BIGINT AS h
+          FROM documents WHERE doc_id >= 150 AND doc_id < 500),
+        sa AS (SELECT DISTINCT h FROM d1 ORDER BY h LIMIT {k}),
+        sb AS (SELECT DISTINCT h FROM d2 ORDER BY h LIMIT {k}),
+        uk AS (SELECT DISTINCT h FROM
+                 (SELECT h FROM sa UNION ALL SELECT h FROM sb)
+               ORDER BY h LIMIT {k}),
+        j AS (SELECT count(*)::BIGINT AS n_union_sample,
+                     sum(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
+                              THEN 1 ELSE 0 END)::BIGINT AS n_both
+              FROM uk LEFT JOIN sa ON uk.h = sa.h
+                      LEFT JOIN sb ON uk.h = sb.h),
+        e AS (SELECT count(*)::BIGINT AS n_sketch, max(h) AS hk FROM uk),
+        fin AS (
+          SELECT n_union_sample, n_both,
+                 round(n_both::DOUBLE / n_union_sample, 6)::DECIMAL(18,6)
+                   AS jaccard,
+                 n_sketch, n_sketch < {k} AS exact,
+                 round(CASE WHEN n_sketch < {k} THEN n_sketch::DOUBLE
+                            ELSE {float(k - 1)!r} * {full} / hk::DOUBLE
+                       END, 6)::DECIMAL(28,6) AS est_distinct
+          FROM j, e)
+        SELECT *,
+               abs(jaccard::DOUBLE - 0.4) < 0.1 AS j_ok,
+               abs(est_distinct::DOUBLE / 500.0 - 1) < 0.15 AS u_ok
+        FROM fin
+    """
+
+
 def q_cms_word_counts(spark, sf_dir):
     """Count-min sketch term-frequency estimation (ops/sketches.py):
     word occurrences of 500 documents compress to a depth*width
@@ -3675,6 +3755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # + count-min term frequencies (round 5)
         "hll_distinct": q_hll_distinct,
         "cms_word_counts": q_cms_word_counts,
+        "kmv_overlap": q_kmv_overlap,
         "pii_scrub_hashes": q_pii_scrub,
         # html:binary → text extraction, byte-identity per url (round 5)
         "html_extract_text": q_html_extract_text,
@@ -6791,6 +6872,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_para_dedup": _incremental_para_dedup_sql(),
         "hll_distinct": _hll_distinct_sql(),
         "cms_word_counts": _cms_word_counts_sql(),
+        "kmv_overlap": _kmv_overlap_sql(),
         "sitemap_recrawl": r"""
             WITH src AS (
               SELECT regexp_extract(url, '/article/(\d+)$', 1)::BIGINT

@@ -149,8 +149,13 @@ def hll_estimate(
     c_lit = hll_alpha(m) * m * m * float(2**r_max)
     agg = regs.groupBy(*group_cols).agg(
         F.count("*").cast("long").alias("__nb"),
-        F.sum(
-            F.expr(f"shiftleft(CAST(1 AS BIGINT), {r_max} - reg)")
+        # coalesce: a grand-total agg over an EMPTY register table
+        # yields one row with a NULL sum — an empty corpus must
+        # estimate 0 (all m buckets empty -> pure linear counting),
+        # not NULL
+        F.coalesce(
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {r_max} - reg)")),
+            F.lit(0),
         ).cast("long").alias("__sp"),
     )
     v = F.lit(m).cast("long") - F.col("__nb")
@@ -200,7 +205,8 @@ def hll_sql_snippets(p: int = HLL_P_DEFAULT) -> dict[str, str]:
                          AS lc_used
               FROM (SELECT count(*)::BIGINT AS n_buckets_set,
                            {m}::BIGINT - count(*) AS v,
-                           sum(1::BIGINT << ({r_max} - reg))::BIGINT
+                           coalesce(sum(1::BIGINT << ({r_max} - reg)),
+                                    0)::BIGINT
                              + ({m}::BIGINT - count(*))
                                * (1::BIGINT << {r_max}) AS s
                     FROM __regs))
@@ -298,6 +304,85 @@ def cms_lookup(
         joined.groupBy(*probe_cols)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
              .alias("est_count"))
+    )
+
+
+def kmv_sketch(df: DataFrame, item_col: str, *, k: int = 256) -> DataFrame:
+    """KMV (k-minimum-values) sketch: the ``k`` smallest distinct
+    60-bit hashes of ``item_col`` as a one-column table ``(h)``.
+
+    The sketch HLL can't be: a uniform random sample of the distinct
+    value set, so two sketches support INTERSECTION estimates
+    (:func:`kmv_jaccard` — the "how much does dump N+1 overlap the
+    corpus so far" recrawl metric).  Plan shape: one hash-keyed
+    distinct (the only Exchange, fixed-width), then a distributed
+    top-k (``orderBy().limit()`` compiles to TakeOrderedAndProject —
+    per-partition partial top-k merged on the driver, never a global
+    sort).  Fewer than ``k`` rows back means the sketch IS the exact
+    distinct hash set."""
+    if k < 16:
+        raise ValueError(f"k must be >= 16, got {k}")
+    h = _hash60(F.col(item_col).cast("string"))
+    return (
+        df.filter(F.col(item_col).isNotNull())
+        .select(h.alias("h")).distinct()
+        .orderBy("h").limit(k)
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, *, k: int = 256) -> DataFrame:
+    """Merge two KMV sketches: k smallest of the union.  Exactly equals
+    the sketch of the unioned inputs (the k smallest of A ∪ B are all
+    within the k smallest of A plus the k smallest of B — tested)."""
+    return a.unionByName(b).distinct().orderBy("h").limit(k)
+
+
+def kmv_estimate_distinct(sketch: DataFrame, *, k: int = 256) -> DataFrame:
+    """Distinct-count estimate from a KMV sketch: with fewer than k
+    hashes the sketch saw every distinct value (exact count);
+    otherwise the classic ``(k-1) * 2^60 / h_(k)`` estimator on the
+    k-th smallest hash.  One row ``(n_sketch, exact, est_distinct)``;
+    quantized decimal(28,6)."""
+    agg = sketch.agg(
+        F.count("*").cast("long").alias("n_sketch"),
+        F.max("h").alias("__hk"),
+    )
+    exact = F.col("n_sketch") < k
+    est = F.when(exact, F.col("n_sketch").cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(1 << HASH_BITS))
+        / F.col("__hk").cast("double")
+    )
+    return agg.select(
+        "n_sketch", exact.alias("exact"),
+        F.round(est, 6).cast("decimal(28,6)").alias("est_distinct"),
+    )
+
+
+def kmv_jaccard(a: DataFrame, b: DataFrame, *, k: int = 256) -> DataFrame:
+    """Jaccard similarity of two value sets from their KMV sketches:
+    over the k smallest hashes of the union, the fraction present in
+    BOTH sketches (an unbiased estimate — the union's k-minima are a
+    uniform sample of A ∪ B).  One row ``(n_union_sample, n_both,
+    jaccard)``; integer counts, one quantized division.  Intersection
+    size ≈ jaccard × the union estimate from
+    :func:`kmv_estimate_distinct` over :func:`kmv_merge`."""
+    union_k = kmv_merge(a, b, k=k)
+    marked = (
+        union_k
+        .join(a.select(F.col("h").alias("h")).withColumn(
+            "__in_a", F.lit(1)), "h", "left")
+        .join(b.select(F.col("h").alias("h")).withColumn(
+            "__in_b", F.lit(1)), "h", "left")
+    )
+    return marked.agg(
+        F.count("*").cast("long").alias("n_union_sample"),
+        F.sum(((F.col("__in_a") == 1) & (F.col("__in_b") == 1))
+              .cast("long")).alias("n_both"),
+    ).select(
+        "n_union_sample", "n_both",
+        F.round(F.col("n_both").cast("double")
+                / F.col("n_union_sample").cast("double"), 6)
+        .cast("decimal(18,6)").alias("jaccard"),
     )
 
 

@@ -254,3 +254,69 @@ def test_cli_sketch_distinct_store_flow(spark, tmp_path):
     with _pytest.raises(SystemExit, match="different precision"):
         main(["sketch-distinct", d1, "--col", "u", "--p", "8",
               "--store", store])
+
+
+# ------------------------------------------------------------------ KMV
+
+
+def _py_kmv(vals, k):
+    hs = sorted({int(hashlib.sha256(v.encode()).hexdigest()[:15], 16)
+                 for v in vals})
+    return hs[:k]
+
+
+def test_kmv_python_replay_and_merge(spark):
+    from metacrafter_spark.ops.sketches import kmv_merge, kmv_sketch
+
+    a, b = _urls(spark, 0, 800), _urls(spark, 500, 1500)
+    sa = kmv_sketch(a, "u", k=64)
+    got = sorted(r.h for r in sa.collect())
+    assert got == _py_kmv([f"https://s{i}/p" for i in range(800)], 64)
+    # merge == sketch of the unioned input, exactly
+    merged = sorted(r.h for r in kmv_merge(
+        sa, kmv_sketch(b, "u", k=64), k=64).collect())
+    direct = sorted(r.h for r in kmv_sketch(
+        a.unionByName(b), "u", k=64).collect())
+    assert merged == direct
+
+
+def test_kmv_estimate_exact_and_estimator_branches(spark):
+    from metacrafter_spark.ops.sketches import (
+        kmv_estimate_distinct, kmv_sketch)
+
+    small = kmv_sketch(_urls(spark, 0, 100), "u", k=256)
+    r = kmv_estimate_distinct(small, k=256).collect()[0]
+    assert (r.n_sketch, r.exact, float(r.est_distinct)) == (100, True, 100.0)
+    big = kmv_sketch(_urls(spark, 0, 5000), "u", k=256)
+    r = kmv_estimate_distinct(big, k=256).collect()[0]
+    assert r.n_sketch == 256 and not r.exact
+    assert abs(float(r.est_distinct) / 5000.0 - 1) < 0.25  # ~4 sigma
+
+
+def test_kmv_jaccard_accuracy_and_determinism(spark):
+    from metacrafter_spark.ops.sketches import kmv_jaccard, kmv_sketch
+
+    a = _urls(spark, 0, 1000)       # |A u B| = 1500, |A n B| = 500
+    b = _urls(spark, 500, 1500)     # true J = 1/3
+    sa, sb = kmv_sketch(a, "u", k=256), kmv_sketch(b, "u", k=256)
+    r = kmv_jaccard(sa, sb, k=256).collect()[0]
+    assert r.n_union_sample == 256
+    assert abs(float(r.jaccard) - 1 / 3) < 0.12  # ~4 sigma of k=256
+    r2 = kmv_jaccard(
+        kmv_sketch(a.repartition(13), "u", k=256),
+        kmv_sketch(b.repartition(7), "u", k=256), k=256).collect()[0]
+    assert (r2.n_both, str(r2.jaccard)) == (r.n_both, str(r.jaccard))
+
+
+def test_kmv_rejects_tiny_k(spark):
+    from metacrafter_spark.ops.sketches import kmv_sketch
+
+    with pytest.raises(ValueError):
+        kmv_sketch(_urls(spark, 0, 10), "u", k=4)
+
+
+def test_hll_empty_corpus_estimates_zero(spark):
+    empty = spark.createDataFrame([], "u string")
+    r = hll_estimate(hll_registers(empty, "u", p=8), p=8).collect()[0]
+    assert (r.n_buckets_set, r.lc_used, float(r.est_distinct)) == (
+        0, True, 0.0)
