@@ -278,15 +278,23 @@ def cms_lookup(
     *,
     depth: int = 4,
     width: int = 1024,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Point-query the sketch for each probe row: adds ``est_count`` =
     min over the ``depth`` counters the item hashes to (0 when a
     counter row is absent — an empty counter).  The CMS guarantee:
     ``est_count >= true count`` always (collisions only ever ADD).
 
+    ``group_cols`` must match the sketch's build-time grouping (the
+    probe rows carry the same columns and the join keys include them
+    — a grouped sketch queried without them would min across groups).
+
     Plan shape: probes explode to ``depth`` rows, equi-join the
-    O(depth*width) sketch (broadcast it when small), min-agg back to
-    one row per probe — the corpus itself is never touched."""
+    O(groups*depth*width) sketch (broadcast it when small), min-agg
+    back to one row per probe — the corpus itself is never touched."""
+    missing = [c for c in group_cols if c not in probes.columns]
+    if missing:
+        raise ValueError(f"probes lack the sketch group columns {missing}")
     item = F.col(item_col).cast("string")
     rows = F.array(*[
         F.struct(F.lit(d).alias("d"),
@@ -299,7 +307,8 @@ def cms_lookup(
         .select(*probe_cols, F.col("__rb.d").alias("d"),
                 F.col("__rb.bucket").alias("bucket"))
     )
-    joined = exploded.join(F.broadcast(sketch), ["d", "bucket"], "left")
+    keys = [*group_cols, "d", "bucket"]
+    joined = exploded.join(F.broadcast(sketch), keys, "left")
     return (
         joined.groupBy(*probe_cols)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long")))

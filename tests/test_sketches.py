@@ -320,3 +320,24 @@ def test_hll_empty_corpus_estimates_zero(spark):
     r = hll_estimate(hll_registers(empty, "u", p=8), p=8).collect()[0]
     assert (r.n_buckets_set, r.lc_used, float(r.est_distinct)) == (
         0, True, 0.0)
+
+
+def test_cms_grouped_sketch_lookup(spark):
+    """Grouped sketches stay separated at lookup time: the same item
+    in two groups gets each group's own count, and probing without
+    the group columns is refused."""
+    from metacrafter_spark.ops.sketches import cms_lookup, cms_sketch
+
+    rows = [("a", "x")] * 5 + [("b", "x")] * 2 + [("b", "y")] * 3
+    df = spark.createDataFrame(rows, "g string, w string")
+    sk = cms_sketch(df, "w", depth=4, width=512, group_cols=("g",))
+    probes = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("b", "y"), ("a", "y")],
+        "g string, w string")
+    got = {(r.g, r.w): r.est_count for r in cms_lookup(
+        sk, probes, "w", depth=4, width=512, group_cols=("g",)).collect()}
+    assert got[("a", "x")] == 5 and got[("b", "x")] == 2
+    assert got[("b", "y")] == 3 and got[("a", "y")] == 0
+    with pytest.raises(ValueError, match="group columns"):
+        cms_lookup(sk, probes.select("w"), "w", depth=4, width=512,
+                   group_cols=("g",))
