@@ -3606,6 +3606,76 @@ def _kmv_overlap_sql() -> str:
     """
 
 
+def q_quantile_sketch(spark, sf_dir):
+    """Distribution tracking via the deterministic bottom-k sample
+    sketch (ops/sketches.py): the n_chars quartiles a 10^12-doc
+    pipeline needs for threshold policies (the with_ppl_buckets scale
+    recipe) estimated from a 200-row hash-minimum sample, merged from
+    two dump sketches (merge == sample-of-union, so the oracle samples
+    the flat union).  Every row selection is exact integer hash order
+    (distributed TakeOrdered); the percentile interpolation is
+    bit-identical between Spark ``percentile`` and DuckDB
+    ``quantile_cont`` (verified), quantized decimal(28,6).  In-plan
+    ``*_ok`` flags assert each sample quartile lands within 15% of the
+    exact population quartile."""
+    from metacrafter_spark.ops.sketches import (
+        bottomk_merge, bottomk_sample, sample_quantiles)
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    d1 = docs.filter(F.col("doc_id") < 250)
+    d2 = docs.filter(F.col("doc_id") >= 250)
+    merged = bottomk_merge(
+        bottomk_sample(d1, "doc_id", k=200, keep_cols=("n_chars",)),
+        bottomk_sample(d2, "doc_id", k=200, keep_cols=("n_chars",)),
+        k=200)
+    sq = sample_quantiles(merged, "n_chars")
+    ex = docs.agg(*[
+        F.round(F.percentile(F.col("n_chars"), F.lit(q)), 6)
+        .cast("decimal(28,6)").alias(f"ex{round(q * 100)}")
+        for q in (0.25, 0.5, 0.75)])
+    out = sq.crossJoin(F.broadcast(ex))
+    flags = [
+        (F.abs(F.col(f"q{p}").cast("double")
+               / F.col(f"ex{p}").cast("double") - 1) < 0.15)
+        .alias(f"ok{p}") for p in (25, 50, 75)]
+    return out.select("q25", "q50", "q75", "ex25", "ex50", "ex75", *flags)
+
+
+def _quantile_sketch_sql() -> str:
+    """Oracle for q_quantile_sketch: hash-minimum sampling over the
+    flat union (== the merged per-dump sketches) + quantile_cont."""
+    return """
+        WITH pop AS (SELECT doc_id, n_chars FROM documents
+                     WHERE doc_id < 500),
+        s AS (SELECT n_chars FROM (
+                SELECT ('0x' || substr(sha256(doc_id::VARCHAR), 1, 15))
+                         ::BIGINT AS h,
+                       doc_id, n_chars
+                FROM pop ORDER BY h, doc_id LIMIT 200)),
+        sq AS (SELECT
+                 round(quantile_cont(n_chars, 0.25), 6)::DECIMAL(28,6)
+                   AS q25,
+                 round(quantile_cont(n_chars, 0.5), 6)::DECIMAL(28,6)
+                   AS q50,
+                 round(quantile_cont(n_chars, 0.75), 6)::DECIMAL(28,6)
+                   AS q75
+               FROM s),
+        ex AS (SELECT
+                 round(quantile_cont(n_chars, 0.25), 6)::DECIMAL(28,6)
+                   AS ex25,
+                 round(quantile_cont(n_chars, 0.5), 6)::DECIMAL(28,6)
+                   AS ex50,
+                 round(quantile_cont(n_chars, 0.75), 6)::DECIMAL(28,6)
+                   AS ex75
+               FROM pop)
+        SELECT q25, q50, q75, ex25, ex50, ex75,
+               abs(q25::DOUBLE / ex25::DOUBLE - 1) < 0.15 AS ok25,
+               abs(q50::DOUBLE / ex50::DOUBLE - 1) < 0.15 AS ok50,
+               abs(q75::DOUBLE / ex75::DOUBLE - 1) < 0.15 AS ok75
+        FROM sq, ex
+    """
+
+
 def q_cms_word_counts(spark, sf_dir):
     """Count-min sketch term-frequency estimation (ops/sketches.py):
     word occurrences of 500 documents compress to a depth*width
@@ -3756,6 +3826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "cms_word_counts": q_cms_word_counts,
         "kmv_overlap": q_kmv_overlap,
+        "quantile_sketch": q_quantile_sketch,
         "pii_scrub_hashes": q_pii_scrub,
         # html:binary → text extraction, byte-identity per url (round 5)
         "html_extract_text": q_html_extract_text,
@@ -6873,6 +6944,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _hll_distinct_sql(),
         "cms_word_counts": _cms_word_counts_sql(),
         "kmv_overlap": _kmv_overlap_sql(),
+        "quantile_sketch": _quantile_sketch_sql(),
         "sitemap_recrawl": r"""
             WITH src AS (
               SELECT regexp_extract(url, '/article/(\d+)$', 1)::BIGINT

@@ -395,6 +395,62 @@ def kmv_jaccard(a: DataFrame, b: DataFrame, *, k: int = 256) -> DataFrame:
     )
 
 
+def bottomk_sample(
+    df: DataFrame,
+    id_col: str,
+    *,
+    k: int,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Deterministic uniform row sample as a mergeable sketch: the
+    rows whose 60-bit id hashes are the ``k`` smallest, as
+    ``(h, id_col, *keep_cols)``.
+
+    The distribution-tracking primitive: `corpus/kenlm.with_ppl_buckets`
+    documents that at 10^12-doc scale tertile thresholds come from a
+    sample — this op IS that sample, persisted per dump and merged
+    across dumps (:func:`bottomk_merge`), with
+    :func:`sample_quantiles` turning it into thresholds.  Hash-order
+    bottom-k = uniform without replacement, a pure function of the
+    data (identical across runs/partitionings/engines); plan shape is
+    a distributed TakeOrdered (per-partition partial top-k), never a
+    global sort.  Ties (astronomically unlikely 60-bit collisions)
+    break on the id, keeping the sample total-ordered."""
+    if k < 1:
+        raise ValueError(f"k must be positive, got {k}")
+    h = _hash60(F.col(id_col).cast("string"))
+    return (
+        df.filter(F.col(id_col).isNotNull())
+        .select(h.alias("h"), id_col, *keep_cols)
+        .orderBy("h", id_col).limit(k)
+    )
+
+
+def bottomk_merge(a: DataFrame, b: DataFrame, *, k: int) -> DataFrame:
+    """Merge two bottom-k samples (e.g. one per dump): k smallest of
+    the union — exactly the sample of the unioned inputs, because the
+    union's bottom-k rows are all within either side's bottom-k."""
+    return a.unionByName(b).orderBy("h", *[
+        c for c in a.columns if c != "h"][:1]).limit(k)
+
+
+def sample_quantiles(
+    sample: DataFrame,
+    value_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """One-row quantile estimates over a sample: linear-interpolation
+    percentiles (Spark ``percentile`` ≡ DuckDB ``quantile_cont`` —
+    verified bit-identical), quantized ``round(x, 6)::decimal(28,6)``.
+    Columns ``q<percent>`` (e.g. q25, q50, q75)."""
+    aggs = [
+        F.round(F.percentile(F.col(value_col), F.lit(q)), 6)
+        .cast("decimal(28,6)").alias(f"q{round(q * 100)}")
+        for q in qs
+    ]
+    return sample.agg(*aggs)
+
+
 def cms_sql_snippets(*, depth: int = 4, width: int = 1024) -> dict[str, str]:
     """DuckDB fragments replaying the CMS hashing: ``buckets`` is a
     SELECT body over ``__items(item)`` producing (item, d, bucket) —

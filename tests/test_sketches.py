@@ -341,3 +341,47 @@ def test_cms_grouped_sketch_lookup(spark):
     with pytest.raises(ValueError, match="group columns"):
         cms_lookup(sk, probes.select("w"), "w", depth=4, width=512,
                    group_cols=("g",))
+
+
+# ------------------------------------------------------- bottom-k sample
+
+
+def test_bottomk_python_replay_and_merge(spark):
+    from metacrafter_spark.ops.sketches import bottomk_merge, bottomk_sample
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") * 37 % 500).alias("v"))
+    got = [(r.h, r.id, r.v)
+           for r in bottomk_sample(df, "id", k=50,
+                                   keep_cols=("v",)).collect()]
+    exp = sorted(
+        ((int(hashlib.sha256(str(i).encode()).hexdigest()[:15], 16),
+          i, (i * 37) % 500) for i in range(1000)))[:50]
+    assert sorted(got) == exp
+    # merge == sample of the unioned input
+    a = df.filter(F.col("id") < 600)
+    b = df.filter(F.col("id") >= 600)
+    merged = bottomk_merge(
+        bottomk_sample(a, "id", k=50, keep_cols=("v",)),
+        bottomk_sample(b, "id", k=50, keep_cols=("v",)), k=50)
+    assert sorted((r.h, r.id, r.v) for r in merged.collect()) == exp
+
+
+def test_sample_quantiles_tracks_population(spark):
+    from metacrafter_spark.ops.sketches import (
+        bottomk_sample, sample_quantiles)
+
+    df = spark.range(2000).select(
+        F.col("id"), (F.col("id") % 100).alias("v"))
+    s = bottomk_sample(df, "id", k=400, keep_cols=("v",))
+    r = sample_quantiles(s, "v").collect()[0]
+    # population quartiles of 0..99 repeated: ~24.75 / 49.5 / 74.25
+    assert abs(float(r.q25) - 24.75) < 8
+    assert abs(float(r.q50) - 49.5) < 8
+    assert abs(float(r.q75) - 74.25) < 8
+    # determinism across partitionings
+    r2 = sample_quantiles(
+        bottomk_sample(df.repartition(13), "id", k=400,
+                       keep_cols=("v",)), "v").collect()[0]
+    assert (str(r.q25), str(r.q50), str(r.q75)) == (
+        str(r2.q25), str(r2.q50), str(r2.q75))
