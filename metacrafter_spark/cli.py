@@ -197,6 +197,19 @@ def main(argv=None) -> int:
                          "estimating, atomically advanced after")
     hd.add_argument("--cores", type=int)
 
+    ho = sub.add_parser(
+        "sketch-overlap",
+        help="overlap between two value sets via KMV sketches: "
+             "Jaccard + union-cardinality estimates (the recrawl-rate "
+             "metric between dumps)")
+    ho.add_argument("input_a", help="parquet A")
+    ho.add_argument("input_b", help="parquet B")
+    ho.add_argument("--col", default="url")
+    ho.add_argument("--k", type=int, default=1024,
+                    help="sketch size (default 1024: ~3%% Jaccard "
+                         "std error)")
+    ho.add_argument("--cores", type=int)
+
     pg = sub.add_parser("pagerank", help="link-quality ranks over an "
                         "edge parquet (e.g. warc-ingest --outlinks "
                         "output) — integer fixed-point, deterministic")
@@ -613,6 +626,26 @@ def main(argv=None) -> int:
                 "n_buckets_set": t_nb,
                 "lc_used": t_lc,
                 "store_advanced": bool(args.store),
+            }))
+        elif args.cmd == "sketch-overlap":
+            from metacrafter_spark.ops.sketches import (
+                kmv_estimate_distinct, kmv_jaccard, kmv_merge, kmv_sketch)
+
+            sa = kmv_sketch(spark.read.parquet(args.input_a), args.col,
+                            k=args.k)
+            sb = kmv_sketch(spark.read.parquet(args.input_b), args.col,
+                            k=args.k)
+            j = kmv_jaccard(sa, sb, k=args.k).first()
+            u = kmv_estimate_distinct(kmv_merge(sa, sb, k=args.k),
+                                      k=args.k).first()
+            jac = float(j["jaccard"])
+            union_est = float(u["est_distinct"])
+            print(json.dumps({
+                "k": args.k,
+                "jaccard": jac,
+                "union_distinct_est": union_est,
+                "intersection_est": round(jac * union_est, 1),
+                "union_exact": bool(u["exact"]),
             }))
         elif args.cmd == "pagerank":
             from pyspark.sql import functions as F

@@ -925,6 +925,26 @@ def main() -> None:
     assert "EvalPython" not in lplan and "MapInPandas" not in lplan, \
         "CMS lookup runs Python!"
 
+    # §48: KMV / bottom-k sketches — the top-k must compile to
+    # TakeOrderedAndProject (per-partition partial top-k merged on the
+    # driver), never a global Sort of the distinct hash set.
+    from metacrafter_spark.ops.sketches import bottomk_sample, kmv_sketch
+
+    kplan = plan_of(kmv_sketch(urls, "u", k=256))
+    sections.append((
+        "KMV sketch (distinct + distributed top-k = "
+        "TakeOrderedAndProject, no global sort)",
+        kplan,
+        ["TakeOrderedAndProject", "HashAggregate"],
+    ))
+    bplan = plan_of(bottomk_sample(docs, "doc_id", k=200,
+                                   keep_cols=("n_chars",)))
+    assert "TakeOrderedAndProject" in bplan, \
+        "bottom-k sample does a global sort!"
+    for p_ in (kplan, bplan):
+        assert "EvalPython" not in p_ and "MapInPandas" not in p_, \
+            "sketch top-k runs Python!"
+
     out = ["# BENCH/EXPLAIN — physical-plan audit\n"]
     ok = True
     for title, plan, must in sections:

@@ -1,0 +1,127 @@
+# -*- coding: utf-8 -*-
+"""Scale soak for the sketch layer (ops/sketches.py): HLL, KMV and
+CMS at 1× vs 10× input — the done-bar is the sketch property itself:
+output stays O(sketch) while input grows 10×, throughput flat-or-
+better, estimates inside their error envelopes at both scales.
+
+- HLL: 2M vs 20M rows (50% duplicated), p=12 → always 4096 register
+  rows; estimate err recorded.
+- KMV: two half-overlapping URL sets at 1M vs 10M rows, k=256 →
+  Jaccard vs the known truth (1/3).
+- CMS: 2M vs 20M word occurrences over a 10k vocab, depth 4 × width
+  4096; top-20 probes must never underestimate.
+
+Protocol: one warm-up pass, best-of-REPS timed, /proc/stat steal
+sampled around the whole soak.
+
+Run:  python scripts/soak_sketches.py [REPS]
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def _steal():
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = list(map(int, parts[1:]))
+    return vals[7], sum(vals)
+
+
+def main() -> int:
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    from pyspark.sql import functions as F
+
+    from metacrafter_spark.ops.sketches import (
+        cms_lookup, cms_sketch, hll_estimate, hll_registers, kmv_jaccard,
+        kmv_sketch)
+    from metacrafter_spark.session import get_spark
+
+    spark = get_spark(app_name="soak-sketches", cores=32,
+                      shuffle_partitions=32)
+    s0, t0 = _steal()
+    out = {}
+
+    def best_of(fn):
+        fn()  # warm-up
+        best = min(_timed(fn) for _ in range(reps))
+        return best
+
+    def _timed(fn):
+        t = time.time()
+        fn()
+        return time.time() - t
+
+    for scale, n in (("1x", 2_000_000), ("10x", 20_000_000)):
+        urls = spark.range(n).select(
+            F.concat(F.lit("https://s"), F.col("id") % (n // 2),
+                     F.lit("/p")).alias("u"))
+        est = {}
+
+        def hll_job():
+            regs = hll_registers(urls, "u", p=12)
+            est["rows"] = regs.count()
+            est["est"] = float(
+                hll_estimate(regs, p=12).collect()[0]["est_distinct"])
+
+        sec = best_of(hll_job)
+        assert est["rows"] == 4096, est
+        err = abs(est["est"] / (n // 2) - 1)
+        assert err < 0.05, (est, n)
+        out[f"hll_{scale}"] = {
+            "rows_in": n, "regs_out": est["rows"],
+            "est_err_pct": round(err * 100, 2),
+            "sec": round(sec, 2), "rows_per_sec": round(n / sec)}
+
+        kn = n // 2
+        a = spark.range(kn).select(
+            F.concat(F.lit("u"), F.col("id")).alias("u"))
+        b = spark.range(kn // 2, kn + kn // 2).select(
+            F.concat(F.lit("u"), F.col("id")).alias("u"))
+        jac = {}
+
+        def kmv_job():
+            r = kmv_jaccard(kmv_sketch(a, "u", k=256),
+                            kmv_sketch(b, "u", k=256), k=256).collect()[0]
+            jac["j"] = float(r["jaccard"])
+
+        sec = best_of(kmv_job)
+        assert abs(jac["j"] - 1 / 3) < 0.12, jac
+        out[f"kmv_{scale}"] = {
+            "rows_in": 2 * kn, "jaccard": jac["j"], "true": round(1 / 3, 4),
+            "sec": round(sec, 2), "rows_per_sec": round(2 * kn / sec)}
+
+        words = spark.range(n).select(
+            (F.col("id") % 10_000).cast("string").alias("w"))
+        probes = spark.range(20).select(
+            F.col("id").cast("string").alias("w"),
+            F.lit(n // 10_000).alias("true_cnt"))
+        cms = {}
+
+        def cms_job():
+            sk = cms_sketch(words, "w", depth=4, width=4096)
+            got = cms_lookup(sk, probes, "w", depth=4,
+                             width=4096).collect()
+            cms["under"] = sum(
+                1 for r in got if r["est_count"] < r["true_cnt"])
+            cms["rows"] = sk.count()
+
+        sec = best_of(cms_job)
+        assert cms["under"] == 0, cms
+        out[f"cms_{scale}"] = {
+            "rows_in": n, "counters_out": cms["rows"],
+            "sec": round(sec, 2), "rows_per_sec": round(n / sec)}
+
+    s1, t1 = _steal()
+    out["steal_frac"] = round((s1 - s0) / max(t1 - t0, 1), 4)
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

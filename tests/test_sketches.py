@@ -385,3 +385,23 @@ def test_sample_quantiles_tracks_population(spark):
                        keep_cols=("v",)), "v").collect()[0]
     assert (str(r.q25), str(r.q50), str(r.q75)) == (
         str(r2.q25), str(r2.q50), str(r2.q75))
+
+
+def test_cli_sketch_overlap(spark, tmp_path):
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    from metacrafter_spark.cli import main
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    _urls(spark, 0, 1000).write.parquet(a)      # |A u B| = 1500
+    _urls(spark, 500, 1500).write.parquet(b)    # true J = 1/3
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["sketch-overlap", a, b, "--col", "u", "--k", "256"])
+    assert rc == 0
+    got = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert abs(got["jaccard"] - 1 / 3) < 0.12
+    assert abs(got["union_distinct_est"] / 1500 - 1) < 0.25
+    assert abs(got["intersection_est"] / 500 - 1) < 0.35
