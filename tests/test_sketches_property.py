@@ -1,0 +1,112 @@
+"""Hypothesis property tests for the sketch layer (ops/sketches.py).
+
+The properties that make sketches safe corpus memory, checked against
+randomized inputs THROUGH THE REAL JVM EXPRESSIONS (one Spark pass per
+example batch, not per value):
+
+- HLL registers are a pure function of the distinct value SET —
+  invariant under duplication, permutation and partitioning; merging
+  any 2-way split of the data equals sketching it whole.
+- KMV sketches equal the pure-Python bottom-k of the distinct hash
+  set, and the merge of any split equals the whole-set sketch.
+- CMS counters equal the pure-Python replay on arbitrary multisets,
+  and every point lookup >= the true count (the one-sided guarantee).
+"""
+
+import hashlib
+
+import pyspark.sql.functions as F
+from hypothesis import given, settings, strategies as st
+
+from metacrafter_spark.ops.sketches import (
+    cms_lookup,
+    cms_sketch,
+    hll_merge,
+    hll_registers,
+    kmv_merge,
+    kmv_sketch,
+)
+
+# printable-ish unicode values incl. empty string, whitespace, scripts
+_val = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_categories=("Cs",), max_codepoint=0x2FFFF
+    ),
+    max_size=12,
+)
+
+
+def _py_regs(vals, p):
+    m, w_bits = 1 << p, 60 - p
+    regs = {}
+    for v in set(vals):
+        h = int(hashlib.sha256(v.encode()).hexdigest()[:15], 16)
+        w = h >> p
+        rho = (w_bits + 1) if w == 0 else w_bits - w.bit_length() + 1
+        regs[h % m] = max(regs.get(h % m, 0), rho)
+    return sorted(regs.items())
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_val, min_size=1, max_size=40), st.integers(0, 39))
+def test_hll_set_function_and_split_merge(spark, vals, cut):
+    df = spark.createDataFrame([(v,) for v in vals], "u string")
+    got = sorted(map(tuple, hll_registers(df, "u", p=6).collect()))
+    assert got == _py_regs(vals, 6)
+    # duplication invariance
+    doubled = df.unionByName(df)
+    assert sorted(map(tuple,
+                      hll_registers(doubled, "u", p=6).collect())) == got
+    # any 2-way split merges back to the whole-set sketch
+    cut = min(cut, len(vals))
+    a = spark.createDataFrame([(v,) for v in vals[:cut]] or [("",)],
+                              "u string")
+    b = spark.createDataFrame([(v,) for v in vals[cut:]] or [("",)],
+                              "u string")
+    merged = hll_merge(hll_registers(a, "u", p=6),
+                       hll_registers(b, "u", p=6))
+    whole = hll_registers(
+        a.unionByName(b), "u", p=6)
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, whole.collect()))
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_val, min_size=1, max_size=40), st.integers(0, 39))
+def test_kmv_bottom_k_and_split_merge(spark, vals, cut):
+    df = spark.createDataFrame([(v,) for v in vals], "u string")
+    got = [r.h for r in kmv_sketch(df, "u", k=16).orderBy("h").collect()]
+    exp = sorted({int(hashlib.sha256(v.encode()).hexdigest()[:15], 16)
+                  for v in vals})[:16]
+    assert got == exp
+    cut = min(cut, len(vals))
+    a = spark.createDataFrame([(v,) for v in vals[:cut]] or [("",)],
+                              "u string")
+    b = spark.createDataFrame([(v,) for v in vals[cut:]] or [("",)],
+                              "u string")
+    merged = sorted(r.h for r in kmv_merge(
+        kmv_sketch(a, "u", k=16), kmv_sketch(b, "u", k=16),
+        k=16).collect())
+    whole = sorted(r.h for r in kmv_sketch(
+        a.unionByName(b), "u", k=16).collect())
+    assert merged == whole
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_val, min_size=1, max_size=40))
+def test_cms_replay_and_one_sided_error(spark, vals):
+    df = spark.createDataFrame([(v,) for v in vals], "w string")
+    sk = cms_sketch(df, "w", depth=3, width=16)
+    cnt = {}
+    for v in vals:
+        for d in range(3):
+            h = int(hashlib.sha256(f"cms{d}:{v}".encode())
+                    .hexdigest()[:15], 16)
+            cnt[(d, h % 16)] = cnt.get((d, h % 16), 0) + 1
+    assert sorted((r.d, r.bucket, r.cnt) for r in sk.collect()) == \
+        sorted((d, b, c) for (d, b), c in cnt.items())
+    probes = df.distinct()
+    est = cms_lookup(sk, probes, "w", depth=3, width=16)
+    true = {v: vals.count(v) for v in set(vals)}
+    for r in est.collect():
+        assert r.est_count >= true[r.w]
