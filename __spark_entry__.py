@@ -3606,6 +3606,37 @@ def _kmv_overlap_sql() -> str:
     """
 
 
+def q_containment_pairs(spark, sf_dir):
+    """Directional n-gram containment (ops/dedup.containment_pairs) —
+    the syndication/subset-duplication signal: 20 excerpt documents
+    (first 30 words of every doc_id % 4 == 0 parent, id + 10000) are
+    planted into an 80-doc corpus; each excerpt's trigram set is a
+    subset of its parent's by construction, so the planted pairs
+    surface at containment exactly 1.0 (``planted`` marks them)
+    while unrelated docs stay below threshold.  The oracle replays
+    the whole chain — word split, trigram shingles, sha256 gram keys,
+    the hot-gram guard with its consistent denominators, the pair
+    join, size orientation and the quantized division —
+    value-for-value in DuckDB."""
+    from metacrafter_spark.ops.dedup import containment_pairs, split_words
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    exc = docs.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.array_join(F.slice(split_words(F.col("text")), 1, 30), " ")
+        .alias("text"))
+    corpus = docs.select("doc_id", "text").unionByName(exc)
+    out = containment_pairs(corpus, threshold=0.9, n=3,
+                            max_gram_docs=60)
+    return (out.withColumn(
+        "planted",
+        # a parent with <= 30 words equals its excerpt: sizes tie and
+        # the PARENT becomes id_small — the relation is symmetric
+        (F.col("id_small") - 10000 == F.col("id_big"))
+        | (F.col("id_big") - 10000 == F.col("id_small")))
+        .orderBy("id_small", "id_big"))
+
+
 def q_quantile_sketch(spark, sf_dir):
     """Distribution tracking via the deterministic bottom-k sample
     sketch (ops/sketches.py): the n_chars quartiles a 10^12-doc
@@ -3827,6 +3858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_word_counts": q_cms_word_counts,
         "kmv_overlap": q_kmv_overlap,
         "quantile_sketch": q_quantile_sketch,
+        "containment_pairs": q_containment_pairs,
         "pii_scrub_hashes": q_pii_scrub,
         # html:binary → text extraction, byte-identity per url (round 5)
         "html_extract_text": q_html_extract_text,
@@ -6945,6 +6977,64 @@ def oracle_sql() -> dict[str, str]:
         "cms_word_counts": _cms_word_counts_sql(),
         "kmv_overlap": _kmv_overlap_sql(),
         "quantile_sketch": _quantile_sketch_sql(),
+        "containment_pairs": r"""
+            WITH src AS (SELECT doc_id, text FROM documents
+                         WHERE doc_id < 80),
+            w0 AS (SELECT doc_id,
+                     list_slice(list_filter(
+                       string_split_regex(lower(text), '[^\p{L}\p{N}_]+'),
+                       x -> length(x) > 0), 1, 2000) AS ws
+                   FROM src),
+            exc AS (SELECT doc_id + 10000 AS doc_id,
+                      array_to_string(list_slice(ws, 1, 30), ' ') AS text
+                    FROM w0 WHERE doc_id % 4 = 0),
+            allw AS (
+              SELECT doc_id, ws FROM w0
+              UNION ALL
+              SELECT doc_id,
+                     list_slice(list_filter(
+                       string_split_regex(lower(text), '[^\p{L}\p{N}_]+'),
+                       x -> length(x) > 0), 1, 2000) AS ws
+              FROM exc),
+            g AS (SELECT doc_id, unnest(list_distinct(CASE
+                    WHEN len(ws) >= 3 THEN
+                      list_transform(range(1, len(ws) - 1),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                    WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+                    ELSE [] END)) AS gram
+                  FROM allw),
+            h AS (SELECT doc_id, sha256(gram) AS hk FROM g),
+            cnt AS (SELECT hk, count(*) AS docs FROM h GROUP BY 1),
+            guarded AS (SELECT doc_id, h.hk, docs
+                        FROM h JOIN cnt USING (hk) WHERE docs <= 60),
+            sizes AS (SELECT doc_id, count(*)::BIGINT AS ng
+                      FROM guarded GROUP BY 1),
+            joinable AS (SELECT doc_id, hk FROM guarded WHERE docs >= 2),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                             count(*)::BIGINT AS inter
+                      FROM joinable a JOIN joinable b
+                        ON a.hk = b.hk AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            wsz AS (SELECT id_a, id_b, inter, sa.ng AS na, sb.ng AS nb
+                    FROM inter
+                    JOIN sizes sa ON sa.doc_id = id_a
+                    JOIN sizes sb ON sb.doc_id = id_b),
+            fin AS (SELECT
+                      CASE WHEN na < nb OR (na = nb AND id_a < id_b)
+                           THEN id_a ELSE id_b END AS id_small,
+                      CASE WHEN na < nb OR (na = nb AND id_a < id_b)
+                           THEN id_b ELSE id_a END AS id_big,
+                      least(na, nb) AS n_small,
+                      greatest(na, nb) AS n_big, inter,
+                      round(inter::DOUBLE / least(na, nb), 6)
+                        ::DECIMAL(18,6) AS containment
+                    FROM wsz)
+            SELECT id_small, id_big, n_small, n_big, inter, containment,
+                   (id_small - 10000 = id_big OR id_big - 10000 = id_small)
+                     AS planted
+            FROM fin WHERE containment >= 0.9
+            ORDER BY id_small, id_big
+        """,
         "sitemap_recrawl": r"""
             WITH src AS (
               SELECT regexp_extract(url, '/article/(\d+)$', 1)::BIGINT

@@ -423,6 +423,84 @@ def near_dup_pairs_minhash_sha(
         t.unpersist()
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_gram_docs: int = 200,
+    max_words: int = 2000,
+) -> DataFrame:
+    """Directional n-gram CONTAINMENT pairs — the subset-duplication
+    signal Jaccard misses: a short article syndicated inside a long
+    ad-wrapped page has low Jaccard (the wrapper dominates the union)
+    but containment ≈ 1 from the short side.  For each candidate pair,
+    ``containment = |G_small ∩ G_big| / |G_small|`` where G are the
+    distinct word n-gram sets and "small" is the side with fewer grams
+    (ties break on the lower id) — emitted as ``(id_small, id_big,
+    n_small, n_big, inter, containment)`` for pairs at or above
+    ``threshold``.
+
+    Scale shape (the 100-TB contract): the corpus explodes ONCE into
+    distinct ``(32-byte gram sha256, id)`` rows — gram text never
+    shuffles; a broadcast hot-gram guard drops grams appearing in more
+    than ``max_gram_docs`` documents from BOTH the pair join and the
+    size denominators (boilerplate phrases generate quadratic pairs
+    and carry no subset signal — dropping them from one side only
+    would bias the ratio, so both sides see the same guarded gram
+    universe); grams in a single document skip the self-join (they
+    cannot intersect) but still count in sizes, so a small doc full of
+    unique grams is correctly NOT contained.  Candidates come from the
+    gram-key equi-join (never a cartesian product); everything is
+    exact integer arithmetic plus one quantized division, so the full
+    chain replays in SQL."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    base = df.select(F.col(id_col).alias("__id"),
+                     split_words(F.col(text_col), max_words).alias("__w"))
+    grams = (
+        base.select("__id",
+                    F.explode(shingles_from_words(F.col("__w"), n))
+                    .alias("__g"))
+        .select("__id", F.sha2(F.col("__g"), 256).alias("__h"))
+    )
+    cnt = grams.groupBy("__h").agg(F.count("*").alias("__docs"))
+    guarded = (grams.join(F.broadcast(
+        cnt.filter(F.col("__docs") <= max_gram_docs)), "__h"))
+    sizes = guarded.groupBy("__id").agg(F.count("*").alias("__ng"))
+    joinable = guarded.filter(F.col("__docs") >= 2).select("__id", "__h")
+    a = joinable.withColumnRenamed("__id", "id_a")
+    b = joinable.withColumnRenamed("__id", "id_b")
+    inter = (
+        a.join(b, (a["__h"] == b["__h"]) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    with_sizes = (
+        inter.join(sizes.withColumnRenamed("__id", "id_a")
+                   .withColumnRenamed("__ng", "na"), "id_a")
+        .join(sizes.withColumnRenamed("__id", "id_b")
+              .withColumnRenamed("__ng", "nb"), "id_b")
+    )
+    a_small = (F.col("na") < F.col("nb")) | (
+        (F.col("na") == F.col("nb")) & (F.col("id_a") < F.col("id_b")))
+    out = with_sizes.select(
+        F.when(a_small, F.col("id_a")).otherwise(F.col("id_b"))
+        .alias("id_small"),
+        F.when(a_small, F.col("id_b")).otherwise(F.col("id_a"))
+        .alias("id_big"),
+        F.least("na", "nb").alias("n_small"),
+        F.greatest("na", "nb").alias("n_big"),
+        "inter",
+        F.round(F.col("inter").cast("double")
+                / F.least("na", "nb").cast("double"), 6)
+        .cast("decimal(18,6)").alias("containment"),
+    )
+    return out.filter(F.col("containment") >= threshold)
+
+
 def dedup_by_pairs(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
     """Drop the larger id of every near-dup pair (keep-first policy)."""
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()

@@ -1,0 +1,94 @@
+"""Directional n-gram containment (ops/dedup.containment_pairs) —
+the subset-duplication signal: pure-Python full-chain replay, the
+hot-gram guard's consistent-denominator semantics, and determinism."""
+
+import hashlib
+import re
+
+import pyspark.sql.functions as F
+import pytest
+
+from metacrafter_spark.ops.dedup import containment_pairs
+
+ART = ("the quick brown fox jumps over the lazy dog near the old "
+       "river bank before sunrise while nobody watches it closely")
+WRAP = ("site navigation header menu " + ART
+        + " subscribe footer legal links about contact careers press")
+OTHER = "completely different page about spark shuffles and joins here"
+
+
+def _py_containment(rows, n=3, threshold=0.8, max_gram_docs=200):
+    def grams(text):
+        ws = [w for w in re.split(r"[^\w]+", text.lower(), flags=re.UNICODE)
+              if w][:2000]
+        if len(ws) < n:
+            return {" ".join(ws)} if ws else set()
+        gs = {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+        return gs
+
+    g = {i: {hashlib.sha256(x.encode()).hexdigest() for x in grams(t)}
+         for i, t in rows}
+    docs_per = {}
+    for hs in g.values():
+        for h in hs:
+            docs_per[h] = docs_per.get(h, 0) + 1
+    guarded = {i: {h for h in hs if docs_per[h] <= max_gram_docs}
+               for i, hs in g.items()}
+    out = []
+    ids = sorted(g)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            ia, ib = ids[x], ids[y]
+            inter = len(guarded[ia] & guarded[ib])
+            if inter == 0:
+                continue
+            na, nb = len(guarded[ia]), len(guarded[ib])
+            small, big = (ia, ib) if (na, ia) <= (nb, ib) else (ib, ia)
+            c = round(inter / min(na, nb), 6)
+            if c >= threshold:
+                out.append((small, big, min(na, nb), max(na, nb), inter, c))
+    return sorted(out)
+
+
+def test_containment_python_replay_exact(spark):
+    rows = [(1, ART), (2, WRAP), (3, OTHER),
+            (4, ART + " " + OTHER)]  # contains both 1 and 3
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.id_small, r.id_big, r.n_small, r.n_big, r.inter,
+         float(r.containment))
+        for r in containment_pairs(df, threshold=0.5, n=3).collect())
+    assert got == _py_containment(rows, threshold=0.5)
+    # the planted subset relations surface at containment 1.0
+    full = {(a, b): c for a, b, *_, c in got}
+    assert full[(1, 2)] == 1.0 and full[(1, 4)] == 1.0
+    assert full[(3, 4)] == 1.0
+    assert (2, 4) not in full or full[(2, 4)] < 1.0
+
+
+def test_containment_hot_gram_guard(spark):
+    """A phrase shared by MANY docs (boilerplate) is dropped from both
+    the pair join and the denominators: 30 docs sharing only the
+    boilerplate produce no pairs at all under the guard."""
+    boiler = "all rights reserved contact us for more information today"
+    rows = [(i, boiler + f" unique{i} marker{i} words{i} here{i}")
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = containment_pairs(df, threshold=0.3, n=3,
+                            max_gram_docs=10).collect()
+    assert got == []
+    # same corpus without the guard: boilerplate-only overlap appears
+    loose = containment_pairs(df, threshold=0.3, n=3,
+                              max_gram_docs=1000).collect()
+    assert len(loose) > 0
+
+
+def test_containment_determinism_and_validation(spark):
+    rows = [(i, f"{ART} tail{i} extra{i}") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, containment_pairs(df, threshold=0.5).collect()))
+    b = sorted(map(tuple, containment_pairs(
+        df.repartition(7), threshold=0.5).collect()))
+    assert a == b and len(a) > 0
+    with pytest.raises(ValueError):
+        containment_pairs(df, threshold=0.0)
