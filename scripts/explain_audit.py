@@ -945,6 +945,22 @@ def main() -> None:
         assert "EvalPython" not in p_ and "MapInPandas" not in p_, \
             "sketch top-k runs Python!"
 
+    # §49: containment pairs — candidates from a gram-key equi-join
+    # (never a cartesian product), hot-gram guard rides a broadcast,
+    # all native Columns.
+    from metacrafter_spark.ops.dedup import containment_pairs
+
+    cplan = plan_of(containment_pairs(docs.limit(200), threshold=0.8))
+    sections.append((
+        "Containment pairs (gram-key equi-join + broadcast hot-gram "
+        "guard; no cartesian product, no Python)",
+        cplan,
+        ["BroadcastHashJoin", "HashAggregate"],
+    ))
+    assert "Cartesian" not in cplan, "containment join is cartesian!"
+    assert "EvalPython" not in cplan and "MapInPandas" not in cplan, \
+        "containment pairs run Python!"
+
     out = ["# BENCH/EXPLAIN — physical-plan audit\n"]
     ok = True
     for title, plan, must in sections:
