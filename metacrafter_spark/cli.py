@@ -134,6 +134,14 @@ def main(argv=None) -> int:
                          "successful ingest) and keep-first dedup "
                          "within this dump; quality gates then judge "
                          "the deduped text")
+    wi.add_argument("--url-hll-store", metavar="PATH",
+                    help="cross-dump unique-URL counter: merge this "
+                         "dump's canonical-URL HyperLogLog registers "
+                         "into the persisted store (advanced only "
+                         "after a successful ingest; register merge is "
+                         "idempotent, so crashed-run replays cannot "
+                         "double-count) and report url_distinct_est "
+                         "in the summary")
     wi.add_argument("--stream", metavar="CHECKPOINT",
                     help="run as a Structured Streaming job instead of "
                          "a batch: new CDXJ index files ingest "
@@ -728,11 +736,13 @@ def main(argv=None) -> int:
                     "--stream commits through the Iceberg layer's "
                     "partition swaps; --plain-parquet applies to batch "
                     "mode only")
-            if args.para_dedup_store or args.minhash_store:
+            if args.para_dedup_store or args.minhash_store \
+                    or args.url_hll_store:
                 raise SystemExit(
-                    "--para-dedup-store/--minhash-store apply to batch "
-                    "mode only: a dedup store advances once per "
-                    "successfully ingested dump, not per micro-batch")
+                    "--para-dedup-store/--minhash-store/--url-hll-store "
+                    "apply to batch mode only: a store advances once "
+                    "per successfully ingested dump, not per "
+                    "micro-batch")
             if args.outlinks:
                 raise SystemExit(
                     "--outlinks applies to batch mode only (a stream "
@@ -911,6 +921,32 @@ def main(argv=None) -> int:
                 summary["para_removed"] = int(
                     io.read(args.output)
                     .agg(F.sum("para_removed")).first()[0] or 0)
+            if args.url_hll_store:
+                from metacrafter_spark.ops.sketches import (
+                    hll_estimate, hll_merge, hll_registers)
+                from metacrafter_spark.ops.urls import canonicalize_url
+
+                batch_regs = hll_registers(
+                    classified.select(
+                        canonicalize_url(F.col("url")).alias("__cu")),
+                    "__cu", p=12)
+                hll_prior = read_key_store(spark, args.url_hll_store)
+                if hll_prior is not None:
+                    total_regs = hll_merge(
+                        batch_regs, hll_prior.select("bucket", "reg"))
+                else:
+                    total_regs = batch_regs
+                # advance only after the successful ingest above; the
+                # register max-merge is idempotent, so a crashed run's
+                # partial progress cannot double-count URLs
+                advance_key_store(
+                    total_regs.select(F.lit(12).alias("p"),
+                                      "bucket", "reg"),
+                    args.url_hll_store)
+                est = hll_estimate(
+                    read_key_store(spark, args.url_hll_store)
+                    .select("bucket", "reg"), p=12).first()
+                summary["url_distinct_est"] = float(est["est_distinct"])
             print(json.dumps(summary))
         else:
             from pyspark.sql import functions as F

@@ -408,3 +408,40 @@ def test_key_store_swap_crash_recovery(spark, tmp_path):
     os.rename(store, store + ".old")
     recovered = read_key_store(spark, store)
     assert recovered.count() == 3 and os.path.isdir(store)
+
+
+def test_warc_ingest_url_hll_store(spark, warc_corpus, tmp_path, capsys):
+    """Cross-dump unique-URL counter on the ingest CLI: dump 1 seeds
+    the register store (estimate ~200 canonical URLs); re-ingesting
+    the SAME dump is a fixed point (register max-merge idempotence —
+    the estimate does not move and the store does not change);
+    --stream refuses the flag."""
+    import os
+
+    store = str(tmp_path / "hllstore")
+    rc = main(["warc-ingest", warc_corpus + "/*.cdx", warc_corpus,
+               str(tmp_path / "d1"), str(tmp_path / "m1"),
+               "--buckets", "8", "--plain-parquet",
+               "--url-hll-store", store])
+    assert rc == 0
+    p1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert p1["processed"] == 200
+    assert abs(p1["url_distinct_est"] / 200 - 1) < 0.10
+    assert os.path.isdir(store)
+    regs1 = sorted(map(tuple, spark.read.parquet(store).collect()))
+
+    rc = main(["warc-ingest", warc_corpus + "/*.cdx", warc_corpus,
+               str(tmp_path / "d2"), str(tmp_path / "m2"),
+               "--buckets", "8", "--plain-parquet",
+               "--url-hll-store", store])
+    assert rc == 0
+    p2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert p2["url_distinct_est"] == p1["url_distinct_est"]
+    assert sorted(map(tuple,
+                      spark.read.parquet(store).collect())) == regs1
+
+    with pytest.raises(SystemExit, match="batch mode only"):
+        main(["warc-ingest", warc_corpus + "/*.cdx", warc_corpus,
+              str(tmp_path / "d3"), str(tmp_path / "m3"),
+              "--stream", str(tmp_path / "cp"),
+              "--url-hll-store", store])
