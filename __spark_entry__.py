@@ -3637,6 +3637,80 @@ def q_containment_pairs(spark, sf_dir):
         .orderBy("id_small", "id_big"))
 
 
+#: (expected type, container-head hex) for the media-route oracle —
+#: offset types carry their real container head (RIFF....WAVE,
+#: size+ftyp) so the sniff exercises non-zero offsets.
+_MEDIA_HEADS = (
+    ("png", "89504e470d0a1a0a"),
+    ("jpeg", "ffd8ffe0"),
+    ("gif", "474946383961"),
+    ("bmp", "424d"),
+    ("ppm", "5036"),
+    ("wav", "52494646240000005741564500"),
+    ("mp4", "000000186674797069736f6d"),
+    ("mp3", "494433"),
+    ("video/mcvf", "4d435646"),
+    ("gzip", "1f8b08"),
+    ("zstd", "28b52ffd"),
+    ("pdf", "255044462d"),
+    ("parquet", "50415231"),
+    ("avro", "4f626a01"),
+    ("unknown", "deadbeef"),
+)
+
+
+def q_media_type_route(spark, sf_dir):
+    """Native-Column media-type routing (ops/multimodal.media_type_of):
+    every binary container the multimodal layer decodes, classified
+    by magic bytes as pure JVM hex-prefix compares — the decode
+    dispatcher a 10^12-row corpus runs BEFORE any pandas UDF, so the
+    partition-by-container step never leaves the JVM.  Each of 300
+    docs gets one of 15 container heads (doc_id arithmetic; wav/mp4
+    exercise the non-zero-offset magics); the oracle regenerates both
+    the payload construction and the sniff CASE from the same
+    MEDIA_MAGIC table, so first-match-wins ordering (a PNG never
+    misroutes to jpeg's 2-byte magic) is verified cross-engine."""
+    from metacrafter_spark.ops.multimodal import with_media_type
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    heads = F.array(*[F.lit(h) for _, h in _MEDIA_HEADS])
+    df = docs.select(
+        "doc_id",
+        F.unhex(F.element_at(
+            heads, (F.col("doc_id") % len(_MEDIA_HEADS)).cast("int") + 1))
+        .alias("payload"))
+    return (with_media_type(df, "payload")
+            .groupBy("media_type")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("first_doc"))
+            .orderBy("media_type"))
+
+
+def _media_type_route_sql() -> str:
+    """Oracle for q_media_type_route: payload heads from _MEDIA_HEADS,
+    sniff CASE generated from ops/multimodal.MEDIA_MAGIC in table
+    order (CASE arms evaluate top-down = first match wins)."""
+    from metacrafter_spark.ops.multimodal import MEDIA_MAGIC
+
+    pick = " ".join(
+        f"WHEN {i} THEN '{h}'" for i, (_, h) in enumerate(_MEDIA_HEADS))
+    arms = " ".join(
+        f"WHEN upper(substr(hex(payload), {2 * off + 1}, {len(sig)})) = "
+        f"'{sig.upper()}' THEN '{mt}'"
+        for mt, sig, off in MEDIA_MAGIC)
+    return f"""
+        WITH p AS (
+          SELECT doc_id,
+                 from_hex(CASE doc_id % {len(_MEDIA_HEADS)} {pick} END)
+                   AS payload
+          FROM documents WHERE doc_id < 300)
+        SELECT CASE {arms} ELSE 'unknown' END AS media_type,
+               count(*)::BIGINT AS n_docs,
+               min(doc_id) AS first_doc
+        FROM p GROUP BY 1 ORDER BY media_type
+    """
+
+
 def q_quantile_sketch(spark, sf_dir):
     """Distribution tracking via the deterministic bottom-k sample
     sketch (ops/sketches.py): the n_chars quartiles a 10^12-doc
@@ -3859,6 +3933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_overlap": q_kmv_overlap,
         "quantile_sketch": q_quantile_sketch,
         "containment_pairs": q_containment_pairs,
+        "media_type_route": q_media_type_route,
         "pii_scrub_hashes": q_pii_scrub,
         # html:binary → text extraction, byte-identity per url (round 5)
         "html_extract_text": q_html_extract_text,
@@ -6977,6 +7052,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_word_counts": _cms_word_counts_sql(),
         "kmv_overlap": _kmv_overlap_sql(),
         "quantile_sketch": _quantile_sketch_sql(),
+        "media_type_route": _media_type_route_sql(),
         "containment_pairs": r"""
             WITH src AS (SELECT doc_id, text FROM documents
                          WHERE doc_id < 80),

@@ -34,7 +34,7 @@ from typing import Iterator, Optional
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 MEDIA_SCHEMA = (
     "media_id long, kind string, mime string, width int, height int, "
@@ -396,6 +396,54 @@ def _decode_external(content: bytes, strict: bool) -> np.ndarray:
             "strict=False for the deterministic fallback"
         )
     return _fake_decode(content)
+
+
+#: (media_type, hex-prefix, byte offset) — ordered, first match wins.
+#: Kept as data so the Spark Column expression and any SQL replay are
+#: generated from the same table.
+MEDIA_MAGIC: tuple[tuple[str, str, int], ...] = (
+    ("png", "89504e470d0a1a0a", 0),
+    ("jpeg", "ffd8", 0),
+    ("gif", "474946383761", 0),          # GIF87a
+    ("gif", "474946383961", 0),          # GIF89a
+    ("bmp", "424d", 0),
+    ("ppm", "5036", 0),                  # P6
+    ("wav", "57415645", 8),              # RIFF....WAVE
+    ("mp4", "66747970", 4),              # ....ftyp
+    ("mp3", "494433", 0),                # ID3
+    ("video/mcvf", "4d435646", 0),       # MCVF
+    ("gzip", "1f8b", 0),
+    ("zstd", "28b52ffd", 0),
+    ("pdf", "25504446", 0),              # %PDF
+    ("parquet", "50415231", 0),          # PAR1
+    ("avro", "4f626a01", 0),             # Obj\x01
+)
+
+
+def media_type_of(binary: Column) -> Column:
+    """Container type of a binary media column by magic bytes — the
+    decode ROUTER as a pure native Column expression (hex-prefix
+    compares on the first 12 bytes; no Python, so a 10^12-row corpus
+    can partition its decode work by container without leaving the
+    JVM).  NULL payload → NULL; no match → 'unknown'.  The table it
+    compiles from (:data:`MEDIA_MAGIC`) is the same one an oracle
+    replays, first match wins (jpeg's 2-byte magic sits after png's 8
+    so a PNG never misroutes)."""
+    expr = F.lit("unknown")
+    for mt, hexsig, off in reversed(MEDIA_MAGIC):
+        nbytes = len(hexsig) // 2
+        got = F.upper(F.hex(F.substring(binary, off + 1, nbytes)))
+        expr = F.when(got == hexsig.upper(), F.lit(mt)).otherwise(expr)
+    return F.when(binary.isNull(), F.lit(None).cast("string")) \
+        .otherwise(expr)
+
+
+def with_media_type(
+    df: "DataFrame", binary_col: str, out_col: str = "media_type"
+) -> "DataFrame":
+    """Adds the sniffed container type column (see
+    :func:`media_type_of`)."""
+    return df.withColumn(out_col, media_type_of(F.col(binary_col)))
 
 
 def decode_image_rgb(data: bytes) -> np.ndarray:

@@ -1,0 +1,48 @@
+"""Native-Column media-type sniffing (ops/multimodal.media_type_of):
+the decode router must classify REAL payloads from the in-repo
+encoders plus container heads, entirely JVM-side."""
+
+import gzip
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from metacrafter_spark.ops.gif_bmp_codec import encode_bmp
+from metacrafter_spark.ops.multimodal import (
+    encode_ppm,
+    encode_video,
+    encode_wav,
+    with_media_type,
+)
+from metacrafter_spark.ops.png_codec import encode_png
+
+
+def test_media_type_real_payloads(spark):
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    payloads = {
+        "png": encode_png(img),
+        "bmp": encode_bmp(img),
+        "ppm": encode_ppm(img),
+        "wav": encode_wav(np.zeros(64, dtype=np.int16)),
+        "video/mcvf": encode_video([img, img]),
+        "gzip": gzip.compress(b"hello"),
+        "jpeg": b"\xff\xd8\xff\xe0" + b"\x00" * 16,
+        "gif": b"GIF89a" + b"\x00" * 16,
+        "mp4": b"\x00\x00\x00\x18ftypisom" + b"\x00" * 8,
+        "mp3": b"ID3\x04\x00" + b"\x00" * 16,
+        "zstd": b"\x28\xb5\x2f\xfd" + b"\x00" * 8,
+        "pdf": b"%PDF-1.4\n",
+        "parquet": b"PAR1" + b"\x00" * 8,
+        "avro": b"Obj\x01" + b"\x00" * 8,
+        "unknown": b"\xde\xad\xbe\xef" + b"\x00" * 8,
+    }
+    rows = [(mt, bytearray(b)) for mt, b in payloads.items()]
+    df = spark.createDataFrame(rows, "expected string, payload binary")
+    got = {r.expected: r.media_type
+           for r in with_media_type(df, "payload").collect()}
+    assert got == {mt: mt for mt in payloads}
+    # NULL payload stays NULL
+    ndf = spark.createDataFrame([(None,)], "payload binary")
+    assert with_media_type(ndf, "payload").collect()[0].media_type is None
+    # a PNG must not misroute to jpeg despite jpeg's 2-byte magic
+    assert got["png"] == "png"
