@@ -279,6 +279,7 @@ def cms_lookup(
     depth: int = 4,
     width: int = 1024,
     group_cols: tuple[str, ...] = (),
+    hint_broadcast: bool = True,
 ) -> DataFrame:
     """Point-query the sketch for each probe row: adds ``est_count`` =
     min over the ``depth`` counters the item hashes to (0 when a
@@ -290,8 +291,12 @@ def cms_lookup(
     — a grouped sketch queried without them would min across groups).
 
     Plan shape: probes explode to ``depth`` rows, equi-join the
-    O(groups*depth*width) sketch (broadcast it when small), min-agg
-    back to one row per probe — the corpus itself is never touched."""
+    O(groups*depth*width) sketch, min-agg back to one row per probe —
+    the corpus itself is never touched.  The default broadcast hint is
+    right for the ungrouped depth×width table (a few thousand rows);
+    pass ``hint_broadcast=False`` when a high-cardinality grouping
+    makes the sketch table itself large, letting the planner pick a
+    shuffle join."""
     missing = [c for c in group_cols if c not in probes.columns]
     if missing:
         raise ValueError(f"probes lack the sketch group columns {missing}")
@@ -308,7 +313,8 @@ def cms_lookup(
                 F.col("__rb.bucket").alias("bucket"))
     )
     keys = [*group_cols, "d", "bucket"]
-    joined = exploded.join(F.broadcast(sketch), keys, "left")
+    rhs = F.broadcast(sketch) if hint_broadcast else sketch
+    joined = exploded.join(rhs, keys, "left")
     return (
         joined.groupBy(*probe_cols)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
