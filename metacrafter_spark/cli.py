@@ -152,12 +152,24 @@ def main(argv=None) -> int:
     wi.add_argument("--cores", type=int)
 
     dd = sub.add_parser("dedup", help="near-duplicate detection over a "
-                        "parquet table (MinHash-LSH + exact-Jaccard verify)")
+                        "parquet table (MinHash-LSH + exact-Jaccard verify, "
+                        "or directional containment for subset dups)")
     dd.add_argument("input", help="parquet with id + text columns")
-    dd.add_argument("output", help="output parquet of (id_a, id_b, jaccard)")
+    dd.add_argument("output", help="output parquet of (id_a, id_b, jaccard) "
+                    "or, with --containment, (id_small, id_big, n_small, "
+                    "n_big, inter, containment)")
     dd.add_argument("--id-col", default="doc_id")
     dd.add_argument("--text-col", default="text")
     dd.add_argument("--threshold", type=float, default=0.8)
+    dd.add_argument("--containment", action="store_true",
+                    help="directional n-gram containment instead of "
+                         "Jaccard: catches a short page fully duplicated "
+                         "inside a long one (syndication)")
+    dd.add_argument("--ngram", type=int, default=3,
+                    help="containment word-n-gram size")
+    dd.add_argument("--max-gram-docs", type=int, default=200,
+                    help="containment hot-gram guard: ignore grams in "
+                         "more than this many docs")
     dd.add_argument("--cores", type=int)
 
     card = sub.add_parser(
@@ -545,13 +557,24 @@ def main(argv=None) -> int:
             print(json.dumps({"selected": n, "requested": args.k,
                               "output": args.output}))
         elif args.cmd == "dedup":
-            from metacrafter_spark.ops.dedup import near_dup_pairs_minhash
-
             docs = spark.read.parquet(args.input)
-            pairs = near_dup_pairs_minhash(
-                docs, args.id_col, threshold=args.threshold,
-                text_col=args.text_col,
-            )
+            if args.containment:
+                from metacrafter_spark.ops.dedup import containment_pairs
+
+                pairs = containment_pairs(
+                    docs, args.id_col, args.text_col,
+                    n=args.ngram, threshold=args.threshold,
+                    max_gram_docs=args.max_gram_docs,
+                )
+            else:
+                from metacrafter_spark.ops.dedup import (
+                    near_dup_pairs_minhash,
+                )
+
+                pairs = near_dup_pairs_minhash(
+                    docs, args.id_col, threshold=args.threshold,
+                    text_col=args.text_col,
+                )
             pairs.write.mode("error").parquet(args.output)
             print(json.dumps({"pairs": spark.read.parquet(args.output).count()}))
         elif args.cmd == "dataset-card":

@@ -92,3 +92,27 @@ def test_containment_determinism_and_validation(spark):
     assert a == b and len(a) > 0
     with pytest.raises(ValueError):
         containment_pairs(df, threshold=0.0)
+
+
+def test_cli_dedup_containment(spark, tmp_path):
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    from metacrafter_spark.cli import main
+
+    rows = [(1, ART), (2, WRAP), (3, OTHER)]
+    src = str(tmp_path / "in")
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(src)
+    out = str(tmp_path / "pairs")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["dedup", src, out, "--containment",
+                   "--threshold", "0.9"])
+    assert rc == 0
+    assert json.loads(buf.getvalue().strip().splitlines()[-1]) == {
+        "pairs": 1}
+    got = spark.read.parquet(out).collect()[0]
+    assert (got.id_small, got.id_big, float(got.containment)) == (
+        1, 2, 1.0)
