@@ -3161,6 +3161,29 @@ def q_ppl_buckets(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_ppl_buckets_sampled(spark, sf_dir):
+    """The 10^12-doc form of CCNet bucketing, oracle-checked
+    (corpus/kenlm.with_ppl_buckets_sampled): thresholds from a 300-doc
+    deterministic bottom-k-by-hash sample of the 2000 scored docs
+    (genuine sampling — 15%), broadcast back, every document bucketed
+    MAP-SIDE by threshold comparison; no global sort anywhere.  The
+    oracle replays the whole KN scoring chain plus the identical
+    sample selection, quantile_cont thresholds (bit-identical
+    interpolation, verified) and the strictly-greater bucket rule."""
+    from metacrafter_spark.corpus.kenlm import (
+        score_kn_bigram, train_kn_bigram, with_ppl_buckets_sampled)
+
+    docs = _t(spark, sf_dir, "documents") \
+        .select("doc_id", "lang", "text").filter(F.col("doc_id") < 2000)
+    model = train_kn_bigram(
+        docs.filter(F.col("lang") == "en").select("text"),
+        vocab_size=512, max_words=200)
+    scored = score_kn_bigram(docs.select("doc_id", "text"), model)
+    return (with_ppl_buckets_sampled(scored, 3, sample_k=300)
+            .select("doc_id", "avg_nlp", "ppl_bucket")
+            .orderBy("doc_id"))
+
+
 #: shared literal (oracle conventions): the BM25 probe queries used by
 #: BOTH the Spark query and the DuckDB replay — one constant, no drift
 _BM25_QUERIES = [("q1", "fast table scan"),
@@ -3969,6 +3992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kenlm_perplexity": q_kenlm_perplexity,
         "kenlm_trigram": q_kenlm_trigram,
         "ppl_buckets": q_ppl_buckets,
+        "ppl_buckets_sampled": q_ppl_buckets_sampled,
         "bpe_merges": q_bpe_merges,
         "quality_classifier": q_quality_classifier,
         "bm25": q_bm25,
@@ -6822,6 +6846,29 @@ def oracle_sql() -> dict[str, str]:
                     FROM agg)
             SELECT doc_id, avg_nlp, ppl_bucket
             FROM bkt ORDER BY doc_id
+        """,
+        # ppl_buckets_sampled: the 10^12-doc map-side form — same KN
+        # chain, thresholds from the deterministic bottom-k-by-hash
+        # sample, strictly-greater bucket rule (quantile_cont ≡ Spark
+        # percentile, bit-identical interpolation)
+        "ppl_buckets_sampled": _KENLM_CORE + f""",
+            av AS (SELECT doc_id,
+                          round(-(s::DOUBLE) / n_grams, 6) AS avg_nlp
+                   FROM agg),
+            samp AS (SELECT avg_nlp FROM (
+                       SELECT ('0x' || substr(sha256(doc_id::VARCHAR),
+                                              1, 15))::BIGINT AS h,
+                              doc_id, avg_nlp
+                       FROM av ORDER BY h, doc_id LIMIT 300)),
+            th AS (SELECT
+                     round(quantile_cont(avg_nlp, {1 / 3!r}), 6) AS t1,
+                     round(quantile_cont(avg_nlp, {2 / 3!r}), 6) AS t2
+                   FROM samp)
+            SELECT doc_id, avg_nlp,
+                   (1 + CASE WHEN avg_nlp > t1 THEN 1 ELSE 0 END
+                      + CASE WHEN avg_nlp > t2 THEN 1 ELSE 0 END)
+                     AS ppl_bucket
+            FROM av, th ORDER BY doc_id
         """,
         # bm25: tokenization, pruned postings, tf/df/N, the identical
         # repr-emitted scoring expression, decimal sums, and the

@@ -413,9 +413,17 @@ def score_kn_trigram(docs: DataFrame, model: KNTrigramModel, *,
                         / F.col("n_grams")))))
 
 
+def _avg_nlp(id_col: str = "doc_id") -> F.Column:
+    """The bucketing key: average negative log-prob, quantized to 6 dp
+    so cross-engine ordering and threshold comparisons are stable."""
+    return F.round(
+        -(F.col("sum_logp").cast("double")) / F.col("n_grams"), 6)
+
+
 def with_ppl_buckets(scored: DataFrame, n_buckets: int = 3, *,
                      id_col: str = "doc_id",
-                     out_col: str = "ppl_bucket") -> DataFrame:
+                     out_col: str = "ppl_bucket",
+                     by_col: str | None = None) -> DataFrame:
     """CCNet-style perplexity bucketing (Wenzek et al. 2020): split
     the corpus into head/middle/tail by LM score — bucket 1 = most
     natural text.  Input is :func:`score_kn_bigram` output; the
@@ -424,15 +432,62 @@ def with_ppl_buckets(scored: DataFrame, n_buckets: int = 3, *,
     id as the tie-break — a fully deterministic total order, hence a
     deterministic NTILE.
 
-    Scale note: NTILE is a global sort of FIXED-WIDTH (id, double)
-    rows — fine into the billions, but at 10¹²-doc scale compute the
-    bucket thresholds on a sample (CCNet itself does) and bucket
-    map-side against the broadcast thresholds instead."""
+    ``by_col`` buckets per group (CCNet's actual recipe is
+    per-LANGUAGE tertiles — a language's own score distribution
+    decides its head/middle/tail); it also turns the global-order
+    window into a partitioned one.
+
+    Scale note: the global NTILE sorts FIXED-WIDTH (id, double) rows
+    — fine into the billions; at 10¹²-doc scale use
+    :func:`with_ppl_buckets_sampled` (thresholds from a sample,
+    bucketing map-side — CCNet's own approach)."""
     from pyspark.sql import Window
 
-    avg_nlp = F.round(
-        -(F.col("sum_logp").cast("double")) / F.col("n_grams"), 6)
-    w = Window.orderBy(F.col("avg_nlp").asc(), F.col(id_col).asc())
+    w = (Window.partitionBy(by_col) if by_col else Window) \
+        .orderBy(F.col("avg_nlp").asc(), F.col(id_col).asc())
     return (scored
-            .withColumn("avg_nlp", avg_nlp)
+            .withColumn("avg_nlp", _avg_nlp(id_col))
             .withColumn(out_col, F.ntile(n_buckets).over(w)))
+
+
+def with_ppl_buckets_sampled(
+    scored: DataFrame,
+    n_buckets: int = 3,
+    *,
+    id_col: str = "doc_id",
+    out_col: str = "ppl_bucket",
+    sample_k: int = 10_000,
+) -> DataFrame:
+    """The 10¹²-doc form of :func:`with_ppl_buckets`, as real code
+    rather than a docstring note: bucket thresholds come from a
+    deterministic bottom-k-by-hash sample
+    (:func:`metacrafter_spark.ops.sketches.bottomk_sample` — uniform,
+    engine-replayable, mergeable across dumps), broadcast back as one
+    row, and every document buckets MAP-SIDE by threshold comparison
+    — the corpus is never globally sorted.
+
+    ``bucket = 1 + #thresholds strictly below avg_nlp`` with
+    thresholds ``round(percentile(sample avg_nlp, i/n), 6)`` — a value
+    equal to a threshold stays in the lower bucket.  Unlike NTILE the
+    bucket sizes are approximate (sampling error), which is exactly
+    CCNet's trade; the assignment itself is a pure function of the
+    data (quantized key, quantized thresholds, deterministic
+    sample)."""
+    from metacrafter_spark.ops.sketches import bottomk_sample
+
+    if n_buckets < 2:
+        raise ValueError("need n_buckets >= 2")
+    base = scored.withColumn("avg_nlp", _avg_nlp(id_col))
+    samp = bottomk_sample(base, id_col, k=sample_k,
+                          keep_cols=("avg_nlp",))
+    ths = samp.agg(*[
+        F.round(F.percentile(F.col("avg_nlp"),
+                             F.lit(i / n_buckets)), 6).alias(f"__t{i}")
+        for i in range(1, n_buckets)
+    ])
+    bucket = F.lit(1)
+    for i in range(1, n_buckets):
+        bucket = bucket + (F.col("avg_nlp") > F.col(f"__t{i}")).cast("int")
+    return (base.crossJoin(F.broadcast(ths))
+            .withColumn(out_col, bucket)
+            .drop(*[f"__t{i}" for i in range(1, n_buckets)]))

@@ -306,3 +306,50 @@ def test_trigram_beats_bigram_on_training_text(spark, corpus):
     p3 = {r.doc_id: r.ppl
           for r in score_kn_trigram(corpus, m3).collect()}
     assert p3[6] < p2[6]
+
+
+def test_ppl_buckets_by_col_partitions_groups(spark, corpus):
+    """by_col buckets per group (the CCNet per-language recipe): each
+    group's own distribution decides its tertiles, so every group gets
+    a bucket-1 member even when one group scores uniformly worse."""
+    from pyspark.sql import functions as F
+
+    from metacrafter_spark.corpus.kenlm import with_ppl_buckets
+
+    model = train_kn_bigram(corpus, vocab_size=12)
+    scored = score_kn_bigram(corpus, model).withColumn(
+        "grp", (F.col("doc_id") % 2).cast("int"))
+    out = with_ppl_buckets(scored, 2, by_col="grp").collect()
+    for g in (0, 1):
+        grp = [r for r in out if r.grp == g]
+        assert sorted(r.ppl_bucket for r in grp) == [1, 1, 2, 2]
+        by_nlp = sorted(grp, key=lambda r: (r.avg_nlp, r.doc_id))
+        assert [r.ppl_bucket for r in by_nlp] == sorted(
+            r.ppl_bucket for r in grp)
+
+
+def test_ppl_buckets_sampled_tracks_exact(spark, corpus):
+    """The map-side sampled variant: with the sample = the whole
+    corpus, thresholds are the exact quantiles — buckets must be
+    monotone in avg_nlp and sizes near the NTILE split; assignment is
+    a pure function of the data (partitioning-invariant)."""
+    from metacrafter_spark.corpus.kenlm import (
+        with_ppl_buckets_sampled)
+
+    model = train_kn_bigram(corpus, vocab_size=12)
+    scored = score_kn_bigram(corpus, model)
+    out = sorted(
+        with_ppl_buckets_sampled(scored, 3, sample_k=100).collect(),
+        key=lambda r: (r.avg_nlp, r.doc_id))
+    ranks = [r.ppl_bucket for r in out]
+    assert ranks == sorted(ranks) and ranks[0] == 1 and ranks[-1] == 3
+    out2 = sorted(
+        with_ppl_buckets_sampled(
+            scored.repartition(7), 3, sample_k=100).collect(),
+        key=lambda r: (r.avg_nlp, r.doc_id))
+    assert [(r.doc_id, r.ppl_bucket) for r in out2] == \
+        [(r.doc_id, r.ppl_bucket) for r in out]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        with_ppl_buckets_sampled(scored, 1)
