@@ -445,17 +445,21 @@ def containment_pairs(
 
     Scale shape (the 100-TB contract): the corpus explodes ONCE into
     distinct ``(32-byte gram sha256, id)`` rows — gram text never
-    shuffles; a broadcast hot-gram guard drops grams appearing in more
-    than ``max_gram_docs`` documents from BOTH the pair join and the
-    size denominators (boilerplate phrases generate quadratic pairs
-    and carry no subset signal — dropping them from one side only
-    would bias the ratio, so both sides see the same guarded gram
-    universe); grams in a single document skip the self-join (they
-    cannot intersect) but still count in sizes, so a small doc full of
-    unique grams is correctly NOT contained.  Candidates come from the
-    gram-key equi-join (never a cartesian product); everything is
-    exact integer arithmetic plus one quantized division, so the full
-    chain replays in SQL."""
+    shuffles; the hot-gram guard drops grams appearing in more than
+    ``max_gram_docs`` documents from BOTH the pair join and the size
+    denominators (boilerplate phrases generate quadratic pairs and
+    carry no subset signal — dropping them from one side only would
+    bias the ratio, so both sides see the same guarded gram universe).
+    The guard is a plain gram-key count join, NOT a broadcast: the
+    gram-count table is itself corpus-sized (only its HOT slice is
+    small), and the join co-partitions with the count aggregate and
+    the pair self-join on the same ``__h`` key, so it adds no extra
+    Exchange of the gram stream.  Grams in a single document skip the
+    self-join (they cannot intersect) but still count in sizes, so a
+    small doc full of unique grams is correctly NOT contained.
+    Candidates come from the gram-key equi-join (never a cartesian
+    product); everything is exact integer arithmetic plus one
+    quantized division, so the full chain replays in SQL."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     base = df.select(F.col(id_col).alias("__id"),
@@ -467,8 +471,8 @@ def containment_pairs(
         .select("__id", F.sha2(F.col("__g"), 256).alias("__h"))
     )
     cnt = grams.groupBy("__h").agg(F.count("*").alias("__docs"))
-    guarded = (grams.join(F.broadcast(
-        cnt.filter(F.col("__docs") <= max_gram_docs)), "__h"))
+    guarded = (grams.join(cnt, "__h")
+               .filter(F.col("__docs") <= max_gram_docs))
     sizes = guarded.groupBy("__id").agg(F.count("*").alias("__ng"))
     joinable = guarded.filter(F.col("__docs") >= 2).select("__id", "__h")
     a = joinable.withColumnRenamed("__id", "id_a")

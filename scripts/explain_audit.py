@@ -946,16 +946,17 @@ def main() -> None:
             "sketch top-k runs Python!"
 
     # §49: containment pairs — candidates from a gram-key equi-join
-    # (never a cartesian product), hot-gram guard rides a broadcast,
-    # all native Columns.
+    # (never a cartesian product); the hot-gram count guard is a plain
+    # co-partitioned join (broadcasting the corpus-sized cold slice of
+    # the gram-count table would be the scale bug), all native Columns.
     from metacrafter_spark.ops.dedup import containment_pairs
 
     cplan = plan_of(containment_pairs(docs.limit(200), threshold=0.8))
     sections.append((
-        "Containment pairs (gram-key equi-join + broadcast hot-gram "
-        "guard; no cartesian product, no Python)",
+        "Containment pairs (gram-key equi-join + co-partitioned "
+        "count guard; no cartesian product, no Python)",
         cplan,
-        ["BroadcastHashJoin", "HashAggregate"],
+        ["HashAggregate", "Exchange"],
     ))
     assert "Cartesian" not in cplan, "containment join is cartesian!"
     assert "EvalPython" not in cplan and "MapInPandas" not in cplan, \
