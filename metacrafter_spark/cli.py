@@ -222,12 +222,20 @@ def main(argv=None) -> int:
         help="overlap between two value sets via KMV sketches: "
              "Jaccard + union-cardinality estimates (the recrawl-rate "
              "metric between dumps)")
-    ho.add_argument("input_a", help="parquet A")
-    ho.add_argument("input_b", help="parquet B")
+    ho.add_argument("input_a", help="parquet A (the new dump when "
+                    "--store is used)")
+    ho.add_argument("input_b", nargs="?",
+                    help="parquet B; omit with --store to compare "
+                         "against the persisted corpus-so-far sketch")
     ho.add_argument("--col", default="url")
     ho.add_argument("--k", type=int, default=1024,
                     help="sketch size (default 1024: ~3%% Jaccard "
                          "std error)")
+    ho.add_argument("--store", metavar="DIR",
+                    help="persisted KMV sketch of everything ingested "
+                         "so far: report input_a's overlap against it, "
+                         "then atomically advance it to the merge — "
+                         "the per-dump recrawl-rate flow")
     ho.add_argument("--cores", type=int)
 
     pg = sub.add_parser("pagerank", help="link-quality ranks over an "
@@ -659,24 +667,51 @@ def main(argv=None) -> int:
                 "store_advanced": bool(args.store),
             }))
         elif args.cmd == "sketch-overlap":
+            from pyspark.sql import functions as F
+
+            from metacrafter_spark.corpus.resume import (
+                advance_key_store, read_key_store)
             from metacrafter_spark.ops.sketches import (
                 kmv_estimate_distinct, kmv_jaccard, kmv_merge, kmv_sketch)
 
+            if bool(args.input_b) == bool(args.store):
+                raise SystemExit(
+                    "pass exactly one of: a second input, or --store")
             sa = kmv_sketch(spark.read.parquet(args.input_a), args.col,
                             k=args.k)
-            sb = kmv_sketch(spark.read.parquet(args.input_b), args.col,
-                            k=args.k)
+            if args.store:
+                prior = read_key_store(spark, args.store)
+                if prior is not None:
+                    bad = prior.filter(F.col("k") != args.k).count()
+                    if bad:
+                        raise SystemExit(
+                            f"store was built at a different sketch "
+                            f"size than --k {args.k}")
+                    sb = prior.select("h")
+                else:
+                    # first dump: overlap vs the empty corpus is 0;
+                    # seed the store below
+                    sb = sa.limit(0)
+            else:
+                sb = kmv_sketch(spark.read.parquet(args.input_b),
+                                args.col, k=args.k)
+            merged = kmv_merge(sa, sb, k=args.k)
             j = kmv_jaccard(sa, sb, k=args.k).first()
-            u = kmv_estimate_distinct(kmv_merge(sa, sb, k=args.k),
-                                      k=args.k).first()
-            jac = float(j["jaccard"])
+            u = kmv_estimate_distinct(merged, k=args.k).first()
+            jac = (float(j["jaccard"])
+                   if j["n_union_sample"] else 0.0)
             union_est = float(u["est_distinct"])
+            if args.store:
+                advance_key_store(
+                    merged.select(F.lit(args.k).alias("k"), "h"),
+                    args.store)
             print(json.dumps({
                 "k": args.k,
                 "jaccard": jac,
                 "union_distinct_est": union_est,
                 "intersection_est": round(jac * union_est, 1),
                 "union_exact": bool(u["exact"]),
+                "store_advanced": bool(args.store),
             }))
         elif args.cmd == "pagerank":
             from pyspark.sql import functions as F

@@ -391,8 +391,15 @@ def kmv_jaccard(a: DataFrame, b: DataFrame, *, k: int = 256) -> DataFrame:
     )
     return marked.agg(
         F.count("*").cast("long").alias("n_union_sample"),
-        F.sum(((F.col("__in_a") == 1) & (F.col("__in_b") == 1))
-              .cast("long")).alias("n_both"),
+        # isNotNull, not ==1: a row absent from one sketch carries a
+        # NULL marker, and (NULL == 1) AND true is NULL — sum() skips
+        # NULLs so mixed rows still count right, but an all-NULL
+        # column (zero overlap) sums to NULL instead of 0
+        F.coalesce(
+            F.sum((F.col("__in_a").isNotNull()
+                   & F.col("__in_b").isNotNull()).cast("long")),
+            F.lit(0).cast("long"),
+        ).alias("n_both"),
     ).select(
         "n_union_sample", "n_both",
         F.round(F.col("n_both").cast("double")

@@ -405,3 +405,45 @@ def test_cli_sketch_overlap(spark, tmp_path):
     assert abs(got["jaccard"] - 1 / 3) < 0.12
     assert abs(got["union_distinct_est"] / 1500 - 1) < 0.25
     assert abs(got["intersection_est"] / 500 - 1) < 0.35
+
+
+def test_cli_sketch_overlap_store_flow(spark, tmp_path):
+    """Per-dump recrawl-rate flow: dump 1 vs the empty store reports
+    overlap 0 and seeds it; dump 2 (half recrawled) reports its
+    overlap against the corpus-so-far and advances the store to the
+    merge; passing both a second input AND --store is refused."""
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    from metacrafter_spark.cli import main
+
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    _urls(spark, 0, 1000).write.parquet(d1)
+    _urls(spark, 500, 1500).write.parquet(d2)
+    store = str(tmp_path / "kmv")
+
+    def run(argv):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            rc = main(argv)
+        assert rc == 0
+        return json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    r1 = run(["sketch-overlap", d1, "--col", "u", "--k", "256",
+              "--store", store])
+    assert r1["jaccard"] == 0.0 and r1["store_advanced"]
+    assert abs(r1["union_distinct_est"] / 1000 - 1) < 0.25
+    # dump 2: 500 of its 1000 urls were already in the corpus
+    r2 = run(["sketch-overlap", d2, "--col", "u", "--k", "256",
+              "--store", store])
+    assert abs(r2["jaccard"] - 1 / 3) < 0.12       # true J = 500/1500
+    assert abs(r2["union_distinct_est"] / 1500 - 1) < 0.25
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="exactly one"):
+        main(["sketch-overlap", d1, d2, "--col", "u",
+              "--store", store])
+    with _pytest.raises(SystemExit, match="different sketch size"):
+        main(["sketch-overlap", d1, "--col", "u", "--k", "128",
+              "--store", store])
