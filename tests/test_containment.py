@@ -116,3 +116,43 @@ def test_cli_dedup_containment(spark, tmp_path):
     got = spark.read.parquet(out).collect()[0]
     assert (got.id_small, got.id_big, float(got.containment)) == (
         1, 2, 1.0)
+
+
+# ------------------------------------------------------- property tests
+
+from hypothesis import given, settings, strategies as st
+
+_word = st.text(alphabet="abcdefgh", min_size=1, max_size=4)
+_doc = st.lists(_word, min_size=0, max_size=25).map(" ".join)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_doc, min_size=2, max_size=8), st.integers(0, 24))
+def test_containment_properties_random(spark, docs, cut):
+    """Random corpora through the real plan: (a) exact agreement with
+    the pure-Python replay, (b) every emitted containment in
+    (0, 1] and >= threshold, (c) a planted prefix doc (grams ⊆ its
+    parent's) surfaces at exactly 1.0 whenever it has any guarded
+    grams shared with the parent."""
+    rows = [(i, t) for i, t in enumerate(docs)]
+    parent = docs[0]
+    words = parent.split()
+    prefix = " ".join(words[:max(cut, 3)])
+    rows.append((9000, prefix))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.id_small, r.id_big, r.n_small, r.n_big, r.inter,
+         float(r.containment))
+        for r in containment_pairs(df, threshold=0.3, n=3,
+                                   max_gram_docs=50).collect())
+    assert got == _py_containment(rows, threshold=0.3,
+                                  max_gram_docs=50)
+    for *_ids, c in got:
+        assert 0.3 <= c <= 1.0
+    planted = [t for t in got if 9000 in (t[0], t[1])
+               and 0 in (t[0], t[1])]
+    if len(words) >= 3 and len(prefix.split()) >= 3:
+        # the prefix's trigram set is a subset of the parent's, so if
+        # the pair appears at all its containment is exactly 1.0
+        for t in planted:
+            assert t[5] == 1.0
