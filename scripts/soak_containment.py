@@ -1,0 +1,67 @@
+# -*- coding: utf-8 -*-
+"""Bench-scale soak for containment_pairs: 20k real documents
+(sf0.1), every one carrying the SAME injected boilerplate sentence
+(the hot-gram worst case — without the guard those grams alone
+generate ~20k^2/2 candidate pairs), plus 500 planted excerpt docs
+(first 25 words of every 40th doc).  Asserts all 500 planted pairs
+surface at containment 1.0 and that the guard keeps the run flat.
+
+Run:  python scripts/soak_containment.py [SF_DIR]
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    from pyspark.sql import functions as F
+
+    from metacrafter_spark.ops.dedup import containment_pairs, split_words
+    from metacrafter_spark.session import get_spark
+
+    spark = get_spark(app_name="soak-containment", cores=32,
+                      shuffle_partitions=32)
+    boiler = ("all rights reserved subscribe to our newsletter for "
+              "more updates and exclusive content today")
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id",
+                    F.concat(F.lit(boiler + " "), F.col("text"))
+                    .alias("text")))
+    n = docs.count()
+    exc = docs.filter(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(F.slice(split_words(F.col("text")), 1, 25), " ")
+        .alias("text"))
+    n_exc = exc.count()
+    corpus = docs.unionByName(exc)
+
+    t0 = time.time()
+    pairs = containment_pairs(corpus, threshold=0.95, n=3,
+                              max_gram_docs=200)
+    planted = pairs.filter(
+        (F.greatest("id_small", "id_big")
+         - F.least("id_small", "id_big")) == 1_000_000)
+    n_pairs = pairs.count()
+    n_planted = planted.count()
+    bad = planted.filter(F.col("containment") < 1.0).count()
+    wall = time.time() - t0
+    assert n_planted == n_exc, (n_planted, n_exc)
+    assert bad == 0
+    print(json.dumps({
+        "docs": n + n_exc, "planted": n_exc,
+        "pairs": n_pairs, "planted_found": n_planted,
+        "all_planted_at_1": bad == 0,
+        "sec": round(wall, 2),
+        "docs_per_sec": round((n + n_exc) / wall),
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
