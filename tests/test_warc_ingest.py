@@ -445,3 +445,45 @@ def test_warc_ingest_url_hll_store(spark, warc_corpus, tmp_path, capsys):
               str(tmp_path / "d3"), str(tmp_path / "m3"),
               "--stream", str(tmp_path / "cp"),
               "--url-hll-store", store])
+
+
+def test_warc_ingest_all_three_stores_combined(spark, warc_corpus,
+                                               tmp_path, capsys):
+    """The combined production flow: paragraph-dedup, MinHash near-dup
+    and unique-URL stores all active in ONE ingest.  Dump 1 seeds all
+    three; re-ingesting the same pages as dump 2 must (a) near-dup
+    every page against the minhash store, (b) strip every
+    content-bearing paragraph against the para store, (c) leave the
+    URL estimate and all three stores unchanged (fixed points), and
+    (d) keep all summary fields consistent in one JSON."""
+    import os
+
+    ps, ms, hs = (str(tmp_path / n) for n in ("ps", "ms", "hs"))
+
+    def run(i):
+        rc = main(["warc-ingest", warc_corpus + "/*.cdx", warc_corpus,
+                   str(tmp_path / f"d{i}"), str(tmp_path / f"m{i}"),
+                   "--buckets", "8", "--plain-parquet",
+                   "--para-dedup-store", ps, "--minhash-store", ms,
+                   "--url-hll-store", hs])
+        assert rc == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    p1 = run(1)
+    assert p1["processed"] == 200
+    assert p1["minhash_seen"] == 200
+    assert abs(p1["url_distinct_est"] / 200 - 1) < 0.10
+    assert all(os.path.isdir(s) for s in (ps, ms, hs))
+    state1 = [sorted(map(tuple, spark.read.parquet(s).collect()))
+              for s in (ps, ms, hs)]
+
+    p2 = run(2)
+    # every page near-dups the prior dump; nothing survives
+    assert p2["minhash_dropped"] == 200 and p2["kept_total"] == 0
+    # every content-bearing paragraph was already in the para store
+    assert p2["para_removed"] > 0
+    # the URL universe did not grow
+    assert p2["url_distinct_est"] == p1["url_distinct_est"]
+    state2 = [sorted(map(tuple, spark.read.parquet(s).collect()))
+              for s in (ps, ms, hs)]
+    assert state1 == state2  # all three stores are fixed points
