@@ -1,0 +1,169 @@
+# -*- coding: utf-8 -*-
+"""Persist / load trained model artifacts across Spark jobs.
+
+The production curation flow (CCNet, FineWeb, DCLM) trains its models
+ONCE — the Kneser-Ney LM on a reference corpus, the quality classifier
+on labeled seed pages, the supervised langid on a labeled sample — and
+then scores every monthly crawl dump in a *separate* job, often weeks
+later on a different cluster.  The in-session model dataclasses
+(:class:`corpus.kenlm.KNBigramModel` / ``KNTrigramModel``,
+:class:`ops.quality_classifier.LogRegModel`,
+:class:`corpus.langid_ft.LangIdFTModel`) hold live DataFrames, which
+die with the session; this module makes them durable artifacts:
+
+- every model table writes as parquet under ``<path>/tables/<name>``
+  (parquet round-trips the decimal(18,9) model columns exactly, so a
+  loaded model scores BYTE-identically to the freshly trained one —
+  the round-trip tests assert equality on the decimal score columns);
+- ``<path>/manifest.json`` carries the model type, the scalar params
+  (max_words / buckets / classes / …) and each table's schema string;
+  :func:`load_model` refuses a manifest whose recorded schema does not
+  match what the parquet actually decodes to (corrupt or
+  version-skewed artifacts fail loudly, never score subtly wrong);
+- the write is atomic in the key-store sense (the
+  :func:`corpus.resume.advance_key_store` idiom): write-aside to
+  ``<path>.tmp``, rename current → ``<path>.old``, rename tmp into
+  place, drop ``.old`` — a crash at any point leaves a complete model
+  at ``path`` or ``path.old`` (:func:`load_model` recovers the
+  latter), never a torn half-artifact.
+
+Scale note: model tables are small by construction (≤ bigram/trigram
+type counts, ≤ hash-bucket counts) — the save is a driver-coordinated
+parquet write of broadcast-sized frames, and the load is a plain
+parquet scan whose frames ride the same broadcast joins the in-session
+model rides.  Nothing here ever touches corpus-scale data.
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST = "manifest.json"
+_FORMAT = "metacrafter-model"
+_VERSION = 1
+
+# model_type -> (qualified class path, table field names, scalar param
+# field names).  Table order is cosmetic; params must be
+# JSON-serializable (LangIdFTModel.classes is a list of strings).
+_SPECS: dict[str, tuple[str, tuple[str, ...], tuple[str, ...]]] = {
+    "kn_bigram": (
+        "metacrafter_spark.corpus.kenlm.KNBigramModel",
+        ("vocab", "pairs", "backoff", "cont", "consts"),
+        ("max_words",),
+    ),
+    "kn_trigram": (
+        "metacrafter_spark.corpus.kenlm.KNTrigramModel",
+        ("vocab", "tri", "ctx", "mid", "midctx", "cont", "consts"),
+        ("max_words",),
+    ),
+    "logreg_quality": (
+        "metacrafter_spark.ops.quality_classifier.LogRegModel",
+        ("weights", "bias"),
+        ("buckets", "max_words", "binary"),
+    ),
+    "langid_ft": (
+        "metacrafter_spark.corpus.langid_ft.LangIdFTModel",
+        ("weights", "bias"),
+        ("classes", "buckets", "max_chars"),
+    ),
+}
+
+
+def _import_class(qualname: str):
+    mod, _, cls = qualname.rpartition(".")
+    import importlib
+
+    return getattr(importlib.import_module(mod), cls)
+
+
+def _type_of(model: Any) -> str:
+    for mtype, (qualname, _, _) in _SPECS.items():
+        if type(model) is _import_class(qualname):
+            return mtype
+    raise TypeError(
+        f"unsupported model type {type(model).__name__}; supported: "
+        + ", ".join(sorted(_SPECS)))
+
+
+def save_model(model: Any, path: str, *, overwrite: bool = False) -> None:
+    """Persist a trained model directory at ``path`` atomically.
+
+    Refuses to replace an existing model unless ``overwrite=True``
+    (models are immutable artifacts; an accidental re-train over a
+    deployed model should be a deliberate act).
+    """
+    mtype = _type_of(model)
+    _, tables, params = _SPECS[mtype]
+    base = path.rstrip("/")
+    if os.path.isdir(base) and not overwrite:
+        raise FileExistsError(
+            f"model already exists at {base}; pass overwrite=True")
+    tmp, old = base + ".tmp", base + ".old"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    manifest = {
+        "format": _FORMAT,
+        "version": _VERSION,
+        "model_type": mtype,
+        "params": {p: getattr(model, p) for p in params},
+        "tables": {},
+    }
+    for name in tables:
+        frame: DataFrame = getattr(model, name)
+        frame.write.mode("overwrite").parquet(
+            os.path.join(tmp, "tables", name))
+        manifest["tables"][name] = frame.schema.simpleString()
+    with open(os.path.join(tmp, MANIFEST), "w", encoding="utf-8") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    if os.path.isdir(base):
+        os.rename(base, old)
+    os.rename(tmp, base)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+
+
+def load_model(spark: SparkSession, path: str) -> Any:
+    """Load a model saved by :func:`save_model`; recovers the
+    ``.old`` form a crash mid-save can leave behind."""
+    base = path.rstrip("/")
+    old = base + ".old"
+    if not os.path.isdir(base) and os.path.isdir(old):
+        os.rename(old, base)
+    mpath = os.path.join(base, MANIFEST)
+    if not os.path.isfile(mpath):
+        raise FileNotFoundError(f"no model manifest at {mpath}")
+    with open(mpath, encoding="utf-8") as f:
+        manifest = json.load(f)
+    if manifest.get("format") != _FORMAT:
+        raise ValueError(f"not a model artifact: {mpath}")
+    if manifest.get("version", 0) > _VERSION:
+        raise ValueError(
+            f"model version {manifest['version']} is newer than this "
+            f"reader (max {_VERSION})")
+    mtype = manifest["model_type"]
+    if mtype not in _SPECS:
+        raise ValueError(f"unknown model_type {mtype!r} in {mpath}")
+    qualname, tables, params = _SPECS[mtype]
+    cls = _import_class(qualname)
+    kwargs: dict[str, Any] = {}
+    for name in tables:
+        frame = spark.read.parquet(os.path.join(base, "tables", name))
+        want = manifest["tables"][name]
+        got = frame.schema.simpleString()
+        if got != want:
+            raise ValueError(
+                f"model table {name!r} schema drift at {base}: "
+                f"manifest says {want}, parquet decodes {got}")
+        kwargs[name] = frame
+    for p in params:
+        v = manifest["params"][p]
+        if p == "classes":
+            v = list(v)
+        kwargs[p] = v
+    return cls(**kwargs)

@@ -1,0 +1,158 @@
+# -*- coding: utf-8 -*-
+"""Model persistence (corpus/modelstore.py).
+
+Contract under test: a loaded model scores BYTE-identically to the
+freshly trained one (the decimal score columns are compared exactly),
+for all four model families; plus the artifact-handling edges —
+overwrite refusal, crash-window (.old) recovery, schema-drift
+refusal, unknown-type refusal.
+"""
+import json
+import os
+
+import pytest
+
+from metacrafter_spark.corpus.modelstore import load_model, save_model
+
+DOCS = [
+    (0, "the cat sat on the mat"),
+    (1, "the dog sat on the log"),
+    (2, "a cat and a dog play in the park"),
+    (3, "the mat and the log are old but fine"),
+    (4, "zq zq unusual rareword here with exotic tokens"),
+    (5, "numbers 123 and 456 mix with words"),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_kn_bigram_roundtrip(spark, corpus, tmp_path):
+    from metacrafter_spark.corpus.kenlm import score_kn_bigram, train_kn_bigram
+
+    m = train_kn_bigram(corpus, vocab_size=12)
+    before = _rows(score_kn_bigram(corpus, m),
+                   "doc_id", "n_grams", "sum_logp")
+    path = str(tmp_path / "lm2")
+    save_model(m, path)
+    m2 = load_model(spark, path)
+    assert m2.max_words == m.max_words
+    after = _rows(score_kn_bigram(corpus, m2),
+                  "doc_id", "n_grams", "sum_logp")
+    assert after == before
+
+
+def test_kn_trigram_roundtrip(spark, corpus, tmp_path):
+    from metacrafter_spark.corpus.kenlm import (
+        score_kn_trigram, train_kn_trigram)
+
+    m = train_kn_trigram(corpus, vocab_size=12)
+    before = _rows(score_kn_trigram(corpus, m),
+                   "doc_id", "n_grams", "sum_logp")
+    path = str(tmp_path / "lm3")
+    save_model(m, path)
+    m2 = load_model(spark, path)
+    after = _rows(score_kn_trigram(corpus, m2),
+                  "doc_id", "n_grams", "sum_logp")
+    assert after == before
+
+
+def test_logreg_roundtrip(spark, tmp_path):
+    from metacrafter_spark.ops.quality_classifier import (
+        score_logreg, train_logreg_hashed)
+
+    rows = [(i, ("good clean prose with many words " * 3) if i % 2
+             else "buy now cheap pills spam spam", i % 2)
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    m = train_logreg_hashed(df, label_col="y", buckets=256,
+                            iterations=2, binary=True)
+    before = _rows(score_logreg(df, m), "doc_id", "score", "p", "pred")
+    path = str(tmp_path / "qc")
+    save_model(m, path)
+    m2 = load_model(spark, path)
+    assert (m2.buckets, m2.max_words, m2.binary) == \
+        (m.buckets, m.max_words, m.binary)
+    after = _rows(score_logreg(df, m2), "doc_id", "score", "p", "pred")
+    assert after == before
+
+
+def test_langid_ft_roundtrip(spark, tmp_path):
+    from metacrafter_spark.corpus.langid_ft import (
+        predict_langid_ft, train_langid_ft)
+
+    rows = [(0, "en", "the quick brown fox jumps over the lazy dog"),
+            (1, "en", "all work and no play makes a dull day"),
+            (2, "fr", "le renard brun saute par dessus le chien"),
+            (3, "fr", "tout le travail et pas de jeu du jour"),
+            (4, "de", "der schnelle braune fuchs springt hoch"),
+            (5, "de", "alle arbeit und kein spiel den ganzen tag")]
+    df = spark.createDataFrame(rows, "doc_id int, lang string, text string")
+    m = train_langid_ft(df, buckets=512, iterations=2, lr=8.0)
+    before = _rows(predict_langid_ft(df, m),
+                   "doc_id", "pred_lang", "score")
+    path = str(tmp_path / "lid")
+    save_model(m, path)
+    m2 = load_model(spark, path)
+    assert m2.classes == m.classes
+    after = _rows(predict_langid_ft(df, m2),
+                  "doc_id", "pred_lang", "score")
+    assert after == before
+
+
+def test_overwrite_refusal_and_replace(spark, corpus, tmp_path):
+    from metacrafter_spark.corpus.kenlm import train_kn_bigram
+
+    m = train_kn_bigram(corpus, vocab_size=12)
+    path = str(tmp_path / "lm")
+    save_model(m, path)
+    with pytest.raises(FileExistsError):
+        save_model(m, path)
+    save_model(m, path, overwrite=True)  # deliberate replace works
+    assert load_model(spark, path).max_words == m.max_words
+
+
+def test_crash_window_recovery(spark, corpus, tmp_path):
+    """A crash between the two renames leaves only <path>.old;
+    load_model must recover it (the read_key_store contract)."""
+    from metacrafter_spark.corpus.kenlm import train_kn_bigram
+
+    m = train_kn_bigram(corpus, vocab_size=12)
+    path = str(tmp_path / "lm")
+    save_model(m, path)
+    os.rename(path, path + ".old")
+    m2 = load_model(spark, path)
+    assert m2.max_words == m.max_words
+    assert os.path.isdir(path) and not os.path.isdir(path + ".old")
+
+
+def test_schema_drift_refusal(spark, corpus, tmp_path):
+    from metacrafter_spark.corpus.kenlm import train_kn_bigram
+
+    m = train_kn_bigram(corpus, vocab_size=12)
+    path = str(tmp_path / "lm")
+    save_model(m, path)
+    mpath = os.path.join(path, "manifest.json")
+    with open(mpath, encoding="utf-8") as f:
+        manifest = json.load(f)
+    manifest["tables"]["pairs"] = "struct<w1:string,w2:string,lp:double>"
+    with open(mpath, "w", encoding="utf-8") as f:
+        json.dump(manifest, f)
+    with pytest.raises(ValueError, match="schema drift"):
+        load_model(spark, path)
+
+
+def test_unknown_type_refused(tmp_path):
+    with pytest.raises(TypeError, match="unsupported model type"):
+        save_model(object(), str(tmp_path / "x"))
+
+
+def test_not_a_model_dir(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        load_model(spark, str(tmp_path / "absent"))
