@@ -149,7 +149,68 @@ def main(argv=None) -> int:
                          "Iceberg as partition swaps (exactly-once on "
                          "replay); the value is the stream checkpoint "
                          "location")
+    wi.add_argument("--kenlm-model", metavar="PATH",
+                    help="persisted KN language model (mc train-lm): "
+                         "attach the trained word-LM perplexity as "
+                         "kn_ppl (the CCNet quality signal)")
+    wi.add_argument("--kenlm-ppl-max", type=float, default=None,
+                    help="with --kenlm-model: drop documents whose "
+                         "kn_ppl exceeds this "
+                         "(drop_reason='lm_perplexity'); default "
+                         "signal-only")
+    wi.add_argument("--quality-model", metavar="PATH",
+                    help="persisted quality classifier (mc "
+                         "train-quality): attach the trained keep-"
+                         "probability as q_model_p (FineWeb-Edu shape)")
+    wi.add_argument("--quality-min-p", type=float, default=None,
+                    help="with --quality-model: drop documents scoring "
+                         "below this probability "
+                         "(drop_reason='model_quality'); default "
+                         "signal-only")
     wi.add_argument("--cores", type=int)
+
+    tl = sub.add_parser(
+        "train-lm",
+        help="train a Kneser-Ney word LM on a reference corpus and "
+             "persist it as a model artifact (the CCNet shape: train "
+             "once on e.g. Wikipedia, score every dump via warc-ingest "
+             "--kenlm-model)")
+    tl.add_argument("input", help="training corpus: Iceberg table "
+                                  "location or plain parquet")
+    tl.add_argument("model", help="model artifact directory to write")
+    tl.add_argument("--trigram", action="store_true",
+                    help="order-3 interpolated KN (default bigram)")
+    tl.add_argument("--text-col", default="text")
+    tl.add_argument("--vocab-size", type=int, default=4096)
+    tl.add_argument("--max-words", type=int, default=500)
+    tl.add_argument("--overwrite", action="store_true")
+    tl.add_argument("--cores", type=int)
+
+    tq = sub.add_parser(
+        "train-quality",
+        help="train the hashed-n-gram logistic quality classifier on "
+             "a labeled corpus and persist it (FineWeb-Edu shape: "
+             "label a seed set, train once, score every dump via "
+             "warc-ingest --quality-model)")
+    tq.add_argument("input", help="labeled corpus: Iceberg table "
+                                  "location or plain parquet")
+    tq.add_argument("model", help="model artifact directory to write")
+    tq.add_argument("--label-col", required=True,
+                    help="0/1 integer column (1 = keep-worthy)")
+    tq.add_argument("--id-col", default="doc_id")
+    tq.add_argument("--text-col", default="text")
+    tq.add_argument("--buckets", type=int, default=4096)
+    tq.add_argument("--max-words", type=int, default=200)
+    tq.add_argument("--iterations", type=int, default=6)
+    tq.add_argument("--lr", type=float, default=0.5)
+    tq.add_argument("--w-neg", type=float, default=1.0,
+                    help="negative-class residual weight (set ≈ "
+                         "N_pos/N_neg when junk is the minority)")
+    tq.add_argument("--w-pos", type=float, default=1.0)
+    tq.add_argument("--binary", action="store_true",
+                    help="binary-presence features instead of counts")
+    tq.add_argument("--overwrite", action="store_true")
+    tq.add_argument("--cores", type=int)
 
     dd = sub.add_parser("dedup", help="near-duplicate detection over a "
                         "parquet table (MinHash-LSH + exact-Jaccard verify, "
@@ -564,6 +625,66 @@ def main(argv=None) -> int:
             n = out.count()
             print(json.dumps({"selected": n, "requested": args.k,
                               "output": args.output}))
+        elif args.cmd == "train-lm":
+            from metacrafter_spark.corpus.kenlm import (
+                train_kn_bigram, train_kn_trigram,
+            )
+            from metacrafter_spark.corpus.modelstore import save_model
+
+            try:
+                from metacrafter_spark.io.iceberg import IcebergTable
+
+                docs = IcebergTable.load(args.input).read(spark)
+            except Exception:
+                docs = spark.read.parquet(args.input)
+            train = train_kn_trigram if args.trigram else train_kn_bigram
+            model = train(docs, text_col=args.text_col,
+                          vocab_size=args.vocab_size,
+                          max_words=args.max_words)
+            save_model(model, args.model, overwrite=args.overwrite)
+            b = model.consts.first()
+            print(json.dumps({
+                "model": args.model,
+                "order": 3 if args.trigram else 2,
+                "vocab_size": args.vocab_size,
+                "ngram_types": int(b["B2"] if args.trigram else b["B"]),
+            }))
+        elif args.cmd == "train-quality":
+            from pyspark.sql import functions as F
+
+            from metacrafter_spark.corpus.modelstore import save_model
+            from metacrafter_spark.ops.quality_classifier import (
+                score_logreg, train_logreg_hashed,
+            )
+
+            try:
+                from metacrafter_spark.io.iceberg import IcebergTable
+
+                docs = IcebergTable.load(args.input).read(spark)
+            except Exception:
+                docs = spark.read.parquet(args.input)
+            model = train_logreg_hashed(
+                docs, label_col=args.label_col, id_col=args.id_col,
+                text_col=args.text_col, buckets=args.buckets,
+                max_words=args.max_words, iterations=args.iterations,
+                lr=args.lr, class_weights=(args.w_neg, args.w_pos),
+                binary=args.binary)
+            save_model(model, args.model, overwrite=args.overwrite)
+            # train accuracy as the sanity readout (the honest metric
+            # is held-out — the caller owns the split)
+            scored = score_logreg(docs, model, id_col=args.id_col,
+                                  text_col=args.text_col)
+            acc = (scored.join(
+                docs.select(args.id_col,
+                            F.col(args.label_col).cast("int").alias("y")),
+                args.id_col)
+                .agg(F.avg((F.col("pred") == F.col("y"))
+                           .cast("double")).alias("a")).first()["a"])
+            print(json.dumps({
+                "model": args.model, "buckets": args.buckets,
+                "iterations": args.iterations,
+                "train_accuracy": round(float(acc), 4),
+            }))
         elif args.cmd == "dedup":
             docs = spark.read.parquet(args.input)
             if args.containment:
@@ -811,6 +932,10 @@ def main(argv=None) -> int:
                 raise SystemExit(
                     "--drop-noindex applies to batch mode only for "
                     "now; run a batch pass")
+            if args.kenlm_model or args.quality_model:
+                raise SystemExit(
+                    "--kenlm-model/--quality-model apply to batch "
+                    "mode only for now; run a batch pass")
             wl = (tuple(w.strip()
                         for w in args.toxicity_wordlist.split(","))
                   if args.toxicity_wordlist else None)
@@ -827,6 +952,10 @@ def main(argv=None) -> int:
             print(json.dumps({"table_total": row["n"],
                               "kept_total": int(row["k"] or 0)}))
         elif args.cmd == "warc-ingest":
+            if args.kenlm_ppl_max is not None and not args.kenlm_model:
+                raise SystemExit("--kenlm-ppl-max needs --kenlm-model")
+            if args.quality_min_p is not None and not args.quality_model:
+                raise SystemExit("--quality-min-p needs --quality-model")
             from pyspark.sql import functions as F
 
             from metacrafter_spark.corpus.html import with_extracted_text
@@ -873,6 +1002,19 @@ def main(argv=None) -> int:
                 {"n_buckets": args.buckets}
             if args.fix_mojibake:
                 kw["fix_mojibake"] = True
+            if args.kenlm_model:
+                from metacrafter_spark.corpus.modelstore import load_model
+
+                kw["kenlm_model"] = load_model(spark, args.kenlm_model)
+                if args.kenlm_ppl_max is not None:
+                    kw["kenlm_ppl_max"] = args.kenlm_ppl_max
+            if args.quality_model:
+                from metacrafter_spark.corpus.modelstore import load_model
+
+                kw["quality_model"] = load_model(spark,
+                                                 args.quality_model)
+                if args.quality_min_p is not None:
+                    kw["quality_min_p"] = args.quality_min_p
             if args.drop_noindex:
                 kw["drop_noindex"] = True
                 kw["robots_header_col"] = "x_robots"

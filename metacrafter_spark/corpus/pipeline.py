@@ -73,6 +73,10 @@ def classify_corpus(
     domain_ranks: Optional[DataFrame] = None,
     fix_mojibake: bool = False,
     near_dup_col: Optional[str] = None,
+    kenlm_model=None,
+    kenlm_ppl_max: Optional[float] = None,
+    quality_model=None,
+    quality_min_p: Optional[float] = None,
 ) -> DataFrame:
     """Attach langid/ppl/quality/pii/scrub columns + keep & drop_reason.
 
@@ -116,6 +120,28 @@ def classify_corpus(
     upstream) marking documents that near-duplicate an already-kept
     page; they get ``drop_reason='near_dup'`` ahead of every content
     check.  Default None keeps the stage out of the plan.
+
+    ``kenlm_model`` (optional, a :class:`corpus.kenlm.KNBigramModel`
+    or ``KNTrigramModel``, typically loaded via
+    :func:`corpus.modelstore.load_model`): attaches the trained
+    word-KN perplexity as ``kn_ppl`` — the CCNet quality signal, a
+    TRAINED model against the built-in char-trigram ``ppl``.  With
+    ``kenlm_ppl_max`` set, documents whose ``kn_ppl`` exceeds it get
+    ``drop_reason='lm_perplexity'`` (checked right after the built-in
+    perplexity gate); a NULL/unscorable ppl never drops.  The model
+    tables ride broadcast joins; the corpus adds one fixed-width
+    per-doc aggregation, never a text shuffle.
+
+    ``quality_model`` (optional, a
+    :class:`ops.quality_classifier.LogRegModel`): attaches the trained
+    keep-probability as ``q_model_p`` — the FineWeb-Edu/DCLM
+    model-based filter stage.  With ``quality_min_p`` set, documents
+    scoring below it get ``drop_reason='model_quality'`` (checked
+    right after the heuristic quality gate); NULL never drops.
+    Inference is one featurize pass + a broadcast weight join.
+
+    Both default None, keeping the default-path plan and its oracles
+    byte-stable.
     """
     rules = scrub_rules if scrub_rules is not None else default_scrub_rules()
     out = (
@@ -145,7 +171,24 @@ def classify_corpus(
                .drop("__moji_fixed"))
     out = with_langid(out, text_col)
     out = with_perplexity(out, text_col)
+    if kenlm_model is not None:
+        from metacrafter_spark.corpus.kenlm import (
+            score_kn_bigram, score_kn_trigram)
+
+        score = (score_kn_trigram if hasattr(kenlm_model, "tri")
+                 else score_kn_bigram)
+        kn = score(out.select("url", text_col), kenlm_model,
+                   id_col="url", text_col=text_col) \
+            .select("url", F.col("ppl").alias("kn_ppl"))
+        out = out.join(kn, "url", "left")
     out = with_quality(out, text_col, policy.quality)
+    if quality_model is not None:
+        from metacrafter_spark.ops.quality_classifier import score_logreg
+
+        qm = score_logreg(out.select("url", text_col), quality_model,
+                          id_col="url", text_col=text_col) \
+            .select("url", F.col("p").cast("double").alias("q_model_p"))
+        out = out.join(qm, "url", "left")
     if toxicity_wordlist is not None:
         from metacrafter_spark.corpus.toxicity import scrub_toxic, with_toxicity
 
@@ -180,13 +223,19 @@ def classify_corpus(
         .when(~lang_known if policy.require_known_lang else F.lit(False), "lang_unknown")
         .when(~q_ok, "quality")
     )
+    if quality_model is not None and quality_min_p is not None:
+        # NULL-safe: only an affirmative below-threshold score drops
+        reason = reason.when(
+            F.col("q_model_p") < F.lit(float(quality_min_p)),
+            "model_quality")
     if toxicity_wordlist is not None:
         reason = reason.when(F.col("tox_any"), "toxicity")
-    reason = (
-        reason
-        .when(~ppl_ok, "perplexity")
-        .when(~pii_ok, "pii_density")
-    )
+    reason = reason.when(~ppl_ok, "perplexity")
+    if kenlm_model is not None and kenlm_ppl_max is not None:
+        reason = reason.when(
+            F.col("kn_ppl") > F.lit(float(kenlm_ppl_max)),
+            "lm_perplexity")
+    reason = reason.when(~pii_ok, "pii_density")
     out = (
         out.withColumn("pii_total", pii_total)
         .withColumn("pii_per_kchar", pii_per_kchar)

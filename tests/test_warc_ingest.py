@@ -487,3 +487,76 @@ def test_warc_ingest_all_three_stores_combined(spark, warc_corpus,
     state2 = [sorted(map(tuple, spark.read.parquet(s).collect()))
               for s in (ps, ms, hs)]
     assert state1 == state2  # all three stores are fixed points
+
+
+def test_train_and_ingest_with_models(spark, warc_corpus, tmp_path,
+                                      capsys):
+    """The train-once / score-every-dump production flow on the CLI:
+    mc train-lm + mc train-quality persist model artifacts, then
+    warc-ingest --kenlm-model/--quality-model attaches the trained
+    kn_ppl and q_model_p signal columns during ingestion."""
+    corpus = synth_webpages(spark, 200, seed=5, partitions=4)
+    train_dir = str(tmp_path / "train.parquet")
+    (corpus.select(F.col("url").alias("doc_id"), "text",
+                   # crude labels just to exercise the trainer: long
+                   # pages are "good" — the plumbing is under test,
+                   # not the model
+                   (F.length("text") > 800).cast("int").alias("y"))
+     .write.parquet(train_dir))
+
+    lm = str(tmp_path / "lm_model")
+    rc = main(["train-lm", train_dir, lm, "--vocab-size", "2048"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["order"] == 2 and out["ngram_types"] > 100
+
+    qm = str(tmp_path / "q_model")
+    rc = main(["train-quality", train_dir, qm, "--label-col", "y",
+               "--iterations", "3", "--binary"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0.5 <= out["train_accuracy"] <= 1.0
+
+    docs_tbl = str(tmp_path / "docs_tbl")
+    met_tbl = str(tmp_path / "metrics_tbl")
+    rc = main(["warc-ingest", warc_corpus + "/*.cdx", warc_corpus,
+               docs_tbl, met_tbl, "--buckets", "8",
+               "--kenlm-model", lm, "--quality-model", qm])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["processed"] == 200
+    docs = IcebergTable.load(docs_tbl).read(spark)
+    assert {"kn_ppl", "q_model_p"} <= set(docs.columns)
+    # signal-only: both columns scored for every document, no new
+    # drop reasons introduced
+    assert docs.filter(F.col("kn_ppl").isNull()).count() == 0
+    assert docs.filter(F.col("q_model_p").isNull()).count() == 0
+    reasons = {r["drop_reason"] for r in
+               docs.select("drop_reason").distinct().collect()}
+    assert "lm_perplexity" not in reasons
+    assert "model_quality" not in reasons
+
+    # a biting LM bar flips previously-kept docs to lm_perplexity
+    rc = main(["warc-ingest", warc_corpus + "/*.cdx", warc_corpus,
+               str(tmp_path / "docs2"), str(tmp_path / "met2"),
+               "--buckets", "8", "--kenlm-model", lm,
+               "--kenlm-ppl-max", "0.5"])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["kept_total"] == 0
+    docs2 = IcebergTable.load(str(tmp_path / "docs2")).read(spark)
+    assert docs2.filter(
+        F.col("drop_reason") == "lm_perplexity").count() > 0
+
+
+def test_model_flag_validation(tmp_path):
+    with pytest.raises(SystemExit):
+        main(["warc-ingest", "x/*.cdx", "x", "o", "m",
+              "--kenlm-ppl-max", "10"])
+    with pytest.raises(SystemExit):
+        main(["warc-ingest", "x/*.cdx", "x", "o", "m",
+              "--quality-min-p", "0.5"])
+    with pytest.raises(SystemExit):
+        main(["warc-ingest", "x/*.cdx", "x", "o", "m",
+              "--stream", str(tmp_path / "ckpt"),
+              "--kenlm-model", "some/model"])
