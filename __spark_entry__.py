@@ -3318,6 +3318,38 @@ def q_kenlm_perplexity(spark, sf_dir):
         .orderBy("doc_id"))
 
 
+def q_kenlm_persisted(spark, sf_dir):
+    """Model persistence (round 5, corpus/modelstore.py): the SAME
+    KN chain as q_kenlm_perplexity, but the trained model is saved to
+    a parquet+manifest artifact and RELOADED before scoring — the
+    train-once / score-every-dump production flow (CCNet trains its
+    LM once, then scores each monthly dump in a separate job).  The
+    oracle is the identical SQL replay: a hash match proves the
+    artifact round-trips the decimal(18,9) model tables byte-exactly
+    (parquet decimals are lossless), so a model scored weeks later
+    from disk is bit-equal to the freshly trained one."""
+    import tempfile
+
+    from metacrafter_spark.corpus.kenlm import (
+        train_kn_bigram, score_kn_bigram)
+    from metacrafter_spark.corpus.modelstore import (
+        load_model, save_model)
+
+    docs = _t(spark, sf_dir, "documents") \
+        .select("doc_id", "lang", "text").filter(F.col("doc_id") < 2000)
+    model = train_kn_bigram(
+        docs.filter(F.col("lang") == "en").select("text"),
+        vocab_size=512, max_words=200)
+    path = tempfile.mkdtemp(prefix="kenlm_persist_") + "/model"
+    save_model(model, path)
+    reloaded = load_model(spark, path)
+    scored = score_kn_bigram(docs.select("doc_id", "text"), reloaded)
+    return (scored.select(
+        "doc_id", "n_grams",
+        F.round(F.col("sum_logp").cast("double"), 6).alias("sum_logp"))
+        .orderBy("doc_id"))
+
+
 def q_fix_mojibake(spark, sf_dir):
     """Mojibake repair (round 5, corpus/mojibake.py — the ftfy
     use-case): each document is deterministically corrupted in-plan
@@ -3990,6 +4022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fix_mojibake": q_fix_mojibake,
         "page_rank": q_page_rank,
         "kenlm_perplexity": q_kenlm_perplexity,
+        "kenlm_persisted": q_kenlm_persisted,
         "kenlm_trigram": q_kenlm_trigram,
         "ppl_buckets": q_ppl_buckets,
         "ppl_buckets_sampled": q_ppl_buckets_sampled,
@@ -6826,6 +6859,13 @@ def oracle_sql() -> dict[str, str]:
         # continuation tables quantized to decimal(18,9), and the
         # exact decimal per-doc sums
         "kenlm_perplexity": _KENLM_CORE + """
+            SELECT doc_id, n_grams, round(s::DOUBLE, 6) AS sum_logp
+            FROM agg ORDER BY doc_id
+        """,
+        # kenlm_persisted: identical replay — the Spark side scores
+        # from a saved+reloaded model artifact; hash match proves the
+        # parquet+manifest round trip is byte-exact
+        "kenlm_persisted": _KENLM_CORE + """
             SELECT doc_id, n_grams, round(s::DOUBLE, 6) AS sum_logp
             FROM agg ORDER BY doc_id
         """,
