@@ -3328,6 +3328,7 @@ def q_kenlm_persisted(spark, sf_dir):
     artifact round-trips the decimal(18,9) model tables byte-exactly
     (parquet decimals are lossless), so a model scored weeks later
     from disk is bit-equal to the freshly trained one."""
+    import os
     import tempfile
 
     from metacrafter_spark.corpus.kenlm import (
@@ -3340,8 +3341,13 @@ def q_kenlm_persisted(spark, sf_dir):
     model = train_kn_bigram(
         docs.filter(F.col("lang") == "en").select("text"),
         vocab_size=512, max_words=200)
-    path = tempfile.mkdtemp(prefix="kenlm_persist_") + "/model"
-    save_model(model, path)
+    # fixed path + overwrite, NOT mkdtemp: the loaded model reads the
+    # artifact lazily (the caller collects after we return), so the
+    # dir can't be deleted here — reuse one location so repeated
+    # bench/oracle runs never accumulate temp artifacts
+    path = os.path.join(tempfile.gettempdir(),
+                        "metacrafter_kenlm_persist_demo")
+    save_model(model, path, overwrite=True)
     reloaded = load_model(spark, path)
     scored = score_kn_bigram(docs.select("doc_id", "text"), reloaded)
     return (scored.select(
@@ -3647,7 +3653,8 @@ def _kmv_overlap_sql() -> str:
         e AS (SELECT count(*)::BIGINT AS n_sketch, max(h) AS hk FROM uk),
         fin AS (
           SELECT n_union_sample, n_both,
-                 round(n_both::DOUBLE / n_union_sample, 6)::DECIMAL(18,6)
+                 coalesce(round(n_both::DOUBLE / n_union_sample, 6),
+                          0.0)::DECIMAL(18,6)
                    AS jaccard,
                  n_sketch, n_sketch < {k} AS exact,
                  round(CASE WHEN n_sketch < {k} THEN n_sketch::DOUBLE

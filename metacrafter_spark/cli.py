@@ -932,10 +932,13 @@ def main(argv=None) -> int:
                 raise SystemExit(
                     "--drop-noindex applies to batch mode only for "
                     "now; run a batch pass")
-            if args.kenlm_model or args.quality_model:
+            if args.kenlm_model or args.quality_model \
+                    or args.kenlm_ppl_max is not None \
+                    or args.quality_min_p is not None:
                 raise SystemExit(
-                    "--kenlm-model/--quality-model apply to batch "
-                    "mode only for now; run a batch pass")
+                    "--kenlm-model/--quality-model (and their "
+                    "thresholds) apply to batch mode only for now; "
+                    "run a batch pass")
             wl = (tuple(w.strip()
                         for w in args.toxicity_wordlist.split(","))
                   if args.toxicity_wordlist else None)

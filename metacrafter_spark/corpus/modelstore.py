@@ -99,6 +99,13 @@ def save_model(model: Any, path: str, *, overwrite: bool = False) -> None:
     mtype = _type_of(model)
     _, tables, params = _SPECS[mtype]
     base = path.rstrip("/")
+    old_pre = base + ".old"
+    # recover a crash mid-previous-save first (the load_model rule):
+    # otherwise the only surviving copy sits at <path>.old, where it
+    # would (a) dodge the overwrite refusal and (b) be rmtree'd below
+    # before the new model is in place
+    if not os.path.isdir(base) and os.path.isdir(old_pre):
+        os.rename(old_pre, base)
     if os.path.isdir(base) and not overwrite:
         raise FileExistsError(
             f"model already exists at {base}; pass overwrite=True")

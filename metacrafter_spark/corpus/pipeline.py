@@ -129,8 +129,12 @@ def classify_corpus(
     ``kenlm_ppl_max`` set, documents whose ``kn_ppl`` exceeds it get
     ``drop_reason='lm_perplexity'`` (checked right after the built-in
     perplexity gate); a NULL/unscorable ppl never drops.  The model
-    tables ride broadcast joins; the corpus adds one fixed-width
-    per-doc aggregation, never a text shuffle.
+    tables ride broadcast joins; the corpus side pays one scoring
+    aggregation per model plus ONE (url, text-hash)-keyed join
+    rebuilding the corpus with the merged fixed-width score columns
+    (scores key on the composite so duplicate-url captures each get
+    their own text's score — :func:`kenlm.with_kn_perplexity` joins
+    per-id and is not used here for that reason).
 
     ``quality_model`` (optional, a
     :class:`ops.quality_classifier.LogRegModel`): attaches the trained
@@ -171,24 +175,49 @@ def classify_corpus(
                .drop("__moji_fixed"))
     out = with_langid(out, text_col)
     out = with_perplexity(out, text_col)
-    if kenlm_model is not None:
-        from metacrafter_spark.corpus.kenlm import (
-            score_kn_bigram, score_kn_trigram)
-
-        score = (score_kn_trigram if hasattr(kenlm_model, "tri")
-                 else score_kn_bigram)
-        kn = score(out.select("url", text_col), kenlm_model,
-                   id_col="url", text_col=text_col) \
-            .select("url", F.col("ppl").alias("kn_ppl"))
-        out = out.join(kn, "url", "left")
     out = with_quality(out, text_col, policy.quality)
-    if quality_model is not None:
-        from metacrafter_spark.ops.quality_classifier import score_logreg
+    if kenlm_model is not None or quality_model is not None:
+        # Score per DISTINCT (url, text-hash), not per url: a dump can
+        # carry two captures of one url (revisits) — joining per-url
+        # scores back would fan rows out AND blend both captures'
+        # grams into one score.  The composite key gives every row the
+        # score of ITS text and preserves row count exactly.  The
+        # narrow (key, text) frame persists once so each enabled model
+        # scores from the cache instead of re-executing the upstream
+        # scan/extraction lineage per model; the score frames are
+        # fixed-width, merged first, and joined back to the corpus in
+        # ONE id-keyed Exchange (the remove_dup_spans rebuild shape —
+        # with distinct texts per row this join cannot broadcast).
+        from pyspark.storagelevel import StorageLevel
 
-        qm = score_logreg(out.select("url", text_col), quality_model,
-                          id_col="url", text_col=text_col) \
-            .select("url", F.col("p").cast("double").alias("q_model_p"))
-        out = out.join(qm, "url", "left")
+        mid = F.concat_ws(
+            "\x00", F.col("url"),
+            F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256))
+        score_src = (out.select(mid.alias("__mid"), text_col)
+                     .dropDuplicates(["__mid"])
+                     .persist(StorageLevel.MEMORY_AND_DISK))
+        signals = None
+        if kenlm_model is not None:
+            from metacrafter_spark.corpus.kenlm import (
+                score_kn_bigram, score_kn_trigram)
+
+            score = (score_kn_trigram if hasattr(kenlm_model, "tri")
+                     else score_kn_bigram)
+            signals = score(score_src, kenlm_model, id_col="__mid",
+                            text_col=text_col) \
+                .select("__mid", F.col("ppl").alias("kn_ppl"))
+        if quality_model is not None:
+            from metacrafter_spark.ops.quality_classifier import (
+                score_logreg)
+
+            qm = score_logreg(score_src, quality_model,
+                              id_col="__mid", text_col=text_col) \
+                .select("__mid",
+                        F.col("p").cast("double").alias("q_model_p"))
+            signals = qm if signals is None else \
+                signals.join(qm, "__mid", "full")
+        out = (out.withColumn("__mid", mid)
+               .join(signals, "__mid", "left").drop("__mid"))
     if toxicity_wordlist is not None:
         from metacrafter_spark.corpus.toxicity import scrub_toxic, with_toxicity
 

@@ -402,9 +402,16 @@ def kmv_jaccard(a: DataFrame, b: DataFrame, *, k: int = 256) -> DataFrame:
         ).alias("n_both"),
     ).select(
         "n_union_sample", "n_both",
-        F.round(F.col("n_both").cast("double")
-                / F.col("n_union_sample").cast("double"), 6)
-        .cast("decimal(18,6)").alias("jaccard"),
+        # empty union (both sketches empty): a bare 0/0 THROWS under
+        # Spark 4's ANSI default — try_divide + coalesce so J(∅, ∅)
+        # reports 0 and callers can always float() the column (DuckDB
+        # divide-by-zero yields NULL, so the oracle's coalesce agrees)
+        F.coalesce(
+            F.round(F.try_divide(F.col("n_both").cast("double"),
+                                 F.col("n_union_sample").cast("double")),
+                    6),
+            F.lit(0.0),
+        ).cast("decimal(18,6)").alias("jaccard"),
     )
 
 

@@ -156,3 +156,20 @@ def test_unknown_type_refused(tmp_path):
 def test_not_a_model_dir(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         load_model(spark, str(tmp_path / "absent"))
+
+
+def test_save_recovers_crashed_predecessor(spark, corpus, tmp_path):
+    """A retry-save after a crash that left only <path>.old must (a)
+    still hit the overwrite refusal (a deployed model exists) and (b)
+    never hold a window with no complete model anywhere."""
+    from metacrafter_spark.corpus.kenlm import train_kn_bigram
+
+    m = train_kn_bigram(corpus, vocab_size=12)
+    path = str(tmp_path / "lm")
+    save_model(m, path)
+    os.rename(path, path + ".old")  # simulate the crash window
+    with pytest.raises(FileExistsError):
+        save_model(m, path)  # recovery must not dodge the refusal
+    assert os.path.isdir(path)  # ...and must have restored the model
+    save_model(m, path, overwrite=True)
+    assert load_model(spark, path).max_words == m.max_words

@@ -107,3 +107,31 @@ def test_quality_model_signal_only(spark, junked):
             for r in base.select("url", "keep", "drop_reason").collect()}
     assert got == want
     assert "q_model_p" in out.columns
+
+
+def test_duplicate_url_captures_score_independently(spark, corpus):
+    """Two captures of one url (a revisit) must keep exactly two rows
+    and each must carry the score of ITS text — not a fan-out, not a
+    blended score of both captures' grams."""
+    m = train_kn_bigram(corpus.withColumnRenamed("url", "doc_id"),
+                        vocab_size=2048)
+    one = corpus.limit(1).collect()[0]
+    dup = spark.createDataFrame(
+        [(one["url"], one["text"]),
+         (one["url"], one["text"] + " zq zq unusual rareword tokens")],
+        "url string, text string")
+    both = corpus.filter(F.col("url") != one["url"]).unionByName(dup)
+    out = classify_corpus(both, kenlm_model=m)
+    assert out.count() == corpus.count() + 1  # no fan-out
+    rows = out.filter(F.col("url") == one["url"]) \
+        .select("text", "kn_ppl").collect()
+    assert len(rows) == 2
+    # per-text scores match scoring the two texts under distinct ids
+    from metacrafter_spark.corpus.kenlm import score_kn_bigram
+    solo = spark.createDataFrame(
+        [(i, r["text"]) for i, r in enumerate(rows)],
+        "doc_id long, text string")
+    want = {r2["text"]: s["ppl"] for r2, s in zip(
+        rows, score_kn_bigram(solo, m).orderBy("doc_id").collect())}
+    for r in rows:
+        assert r["kn_ppl"] == pytest.approx(want[r["text"]], rel=1e-12)

@@ -447,3 +447,16 @@ def test_cli_sketch_overlap_store_flow(spark, tmp_path):
     with _pytest.raises(SystemExit, match="different sketch size"):
         main(["sketch-overlap", d1, "--col", "u", "--k", "128",
               "--store", store])
+
+
+def test_kmv_jaccard_empty_union_is_zero(spark):
+    """Two empty sketches: J(∅, ∅) must report 0.0, not the NULL a
+    bare 0/0 division would produce (callers float() the column)."""
+    from metacrafter_spark.ops.sketches import kmv_jaccard, kmv_sketch
+
+    empty = spark.createDataFrame([], "u string")
+    ea = kmv_sketch(empty, "u", k=16)
+    eb = kmv_sketch(empty, "u", k=16)
+    row = kmv_jaccard(ea, eb, k=16).first()
+    assert row["n_union_sample"] == 0 and row["n_both"] == 0
+    assert row["jaccard"] is not None and float(row["jaccard"]) == 0.0
