@@ -962,6 +962,31 @@ def main() -> None:
     assert "EvalPython" not in cplan and "MapInPandas" not in cplan, \
         "containment pairs run Python!"
 
+    # §50: trained-model pipeline stages — the KN model tables must
+    # ride BroadcastHashJoins (never shuffle the model against the
+    # exploded gram stream), and the score frame must rebuild the
+    # corpus through one equi-join keyed on the composite
+    # (url, text-hash) id — no cartesian, no fan-out path.
+    from metacrafter_spark.corpus.kenlm import train_kn_bigram
+    from metacrafter_spark.corpus.pipeline import classify_corpus
+
+    pages = docs.limit(300).select(
+        F.concat(F.lit("https://ex.org/"), F.col("doc_id")).alias("url"),
+        "text")
+    knm = train_kn_bigram(pages.withColumnRenamed("url", "doc_id"),
+                          vocab_size=256, max_words=100)
+    mplan = plan_of(classify_corpus(pages, kenlm_model=knm)
+                    .select("url", "kn_ppl", "keep"))
+    sections.append((
+        "Trained-model pipeline stage (KN model tables broadcast; "
+        "composite-key score join, no cartesian)",
+        mplan,
+        ["BroadcastHashJoin", "HashAggregate"],
+    ))
+    assert "Cartesian" not in mplan, "model score join is cartesian!"
+    assert mplan.count("BroadcastHashJoin") >= 3, \
+        "KN model tables not broadcast!"
+
     out = ["# BENCH/EXPLAIN — physical-plan audit\n"]
     ok = True
     for title, plan, must in sections:
