@@ -197,6 +197,32 @@ def main() -> None:
         best = min(best, time.perf_counter() - t0)
     qtimes["quality_classifier"] = round(best, 3)
 
+    # model-scored pipeline row: the composed production flow — the
+    # full keep/drop + scrub pipeline with BOTH trained models loaded
+    # from persisted artifacts (train-once / score-every-dump; training
+    # time is the two rows above, this row measures scoring at ingest)
+    import shutil
+    import tempfile
+
+    from metacrafter_spark.corpus.modelstore import load_model, save_model
+
+    mdir = tempfile.mkdtemp(prefix="bench_models_")
+    try:
+        save_model(model, mdir + "/lm")
+        save_model(m, mdir + "/qc")
+        lm_loaded = load_model(spark, mdir + "/lm")
+        qc_loaded = load_model(spark, mdir + "/qc")
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            classify_corpus(corpus, kenlm_model=lm_loaded,
+                            quality_model=qc_loaded).write.format(
+                "noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        qtimes["model_scored_pipeline"] = round(best, 3)
+    finally:
+        shutil.rmtree(mdir, ignore_errors=True)
+
     # k-means row: 3 integer-exact Lloyd iterations over the full
     # embeddings table (k=16) + final assignment — the centroid stage
     # upstream of IVF/SemDeDup; assignment is map-side against
