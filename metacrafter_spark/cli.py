@@ -932,13 +932,22 @@ def main(argv=None) -> int:
                 raise SystemExit(
                     "--drop-noindex applies to batch mode only for "
                     "now; run a batch pass")
-            if args.kenlm_model or args.quality_model \
-                    or args.kenlm_ppl_max is not None \
-                    or args.quality_min_p is not None:
-                raise SystemExit(
-                    "--kenlm-model/--quality-model (and their "
-                    "thresholds) apply to batch mode only for now; "
-                    "run a batch pass")
+            if args.kenlm_ppl_max is not None and not args.kenlm_model:
+                raise SystemExit("--kenlm-ppl-max needs --kenlm-model")
+            if args.quality_min_p is not None and not args.quality_model:
+                raise SystemExit("--quality-min-p needs --quality-model")
+            model_kw = {}
+            if args.kenlm_model or args.quality_model:
+                from metacrafter_spark.corpus.modelstore import load_model
+
+                if args.kenlm_model:
+                    model_kw["kenlm_model"] = load_model(
+                        spark, args.kenlm_model)
+                    model_kw["kenlm_ppl_max"] = args.kenlm_ppl_max
+                if args.quality_model:
+                    model_kw["quality_model"] = load_model(
+                        spark, args.quality_model)
+                    model_kw["quality_min_p"] = args.quality_min_p
             wl = (tuple(w.strip()
                         for w in args.toxicity_wordlist.split(","))
                   if args.toxicity_wordlist else None)
@@ -946,7 +955,8 @@ def main(argv=None) -> int:
                                args.output, args.metrics, args.stream,
                                n_buckets=args.buckets,
                                toxicity_wordlist=wl,
-                               fix_mojibake=args.fix_mojibake)
+                               fix_mojibake=args.fix_mojibake,
+                               **model_kw)
             # one scan for the cumulative summary (the stream's own
             # per-run counts live in the metrics table per batch)
             row = PyIcebergTableIO(spark).read(args.output).agg(

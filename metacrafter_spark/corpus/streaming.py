@@ -328,6 +328,10 @@ def stream_warc_ingest(
     n_buckets: Optional[int] = None,
     toxicity_wordlist: Optional[tuple[str, ...]] = None,
     fix_mojibake: bool = False,
+    kenlm_model=None,
+    kenlm_ppl_max=None,
+    quality_model=None,
+    quality_min_p=None,
     available_now: bool = True,
     fault_hook=None,
 ):
@@ -363,13 +367,35 @@ def stream_warc_ingest(
     src = pages.select("url", "warc_ts", "html", "text",
                        F.lit("").alias("lang"))
     kw = {} if n_buckets is None else {"n_buckets": n_buckets}
-    classified = classify_corpus(src, scrub_rules=rules,
-                                 toxicity_wordlist=toxicity_wordlist,
-                                 fix_mojibake=fix_mojibake,
-                                 **kw)
+    model_kw = {}
+    if kenlm_model is not None:
+        model_kw["kenlm_model"] = kenlm_model
+        if kenlm_ppl_max is not None:
+            model_kw["kenlm_ppl_max"] = kenlm_ppl_max
+    if quality_model is not None:
+        model_kw["quality_model"] = quality_model
+        if quality_min_p is not None:
+            model_kw["quality_min_p"] = quality_min_p
+
+    def _classify(frame: DataFrame) -> DataFrame:
+        return classify_corpus(frame, scrub_rules=rules,
+                               toxicity_wordlist=toxicity_wordlist,
+                               fix_mojibake=fix_mojibake,
+                               **kw, **model_kw)
+
+    # The trained-model stages score through dedup + aggregation +
+    # join shapes Structured Streaming forbids on an unbounded frame,
+    # so with models enabled classification moves INSIDE foreachBatch
+    # (each micro-batch is a bounded DataFrame with full batch
+    # semantics — the same plan the batch CLI runs per dump).  The
+    # default path keeps classifying the stream frame itself, leaving
+    # its plan and the exactly-once tests byte-stable.
+    classified = src if model_kw else _classify(src)
     io = PyIcebergTableIO(spark)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if model_kw:
+            batch_df = _classify(batch_df)
         out = batch_df.withColumn("batch_id", F.lit(batch_id)).persist()
         try:
             flat = flatten_struct_columns(out)

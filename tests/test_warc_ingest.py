@@ -556,7 +556,54 @@ def test_model_flag_validation(tmp_path):
     with pytest.raises(SystemExit):
         main(["warc-ingest", "x/*.cdx", "x", "o", "m",
               "--quality-min-p", "0.5"])
+    # stream mode validates thresholds-need-model the same way
     with pytest.raises(SystemExit):
         main(["warc-ingest", "x/*.cdx", "x", "o", "m",
               "--stream", str(tmp_path / "ckpt"),
-              "--kenlm-model", "some/model"])
+              "--kenlm-ppl-max", "10"])
+
+
+def test_cli_warc_ingest_stream_with_models(spark, tmp_path, capsys):
+    """Streaming ingest with trained models: classification moves into
+    the foreachBatch sink (batch semantics per micro-batch), so the
+    model joins run and kn_ppl/q_model_p land in the Iceberg table —
+    and the incremental second wave scores too."""
+    from metacrafter_spark.corpus.webpages import synth_webpages
+    from metacrafter_spark.io.warc import write_warc_shards
+
+    d = tmp_path / "src"
+    d.mkdir()
+    out, met = str(tmp_path / "docs"), str(tmp_path / "met")
+    ckpt = str(tmp_path / "ckpt")
+
+    corpus = synth_webpages(spark, 60, seed=21, partitions=2)
+    train_dir = str(tmp_path / "train.parquet")
+    corpus.select(F.col("url").alias("doc_id"), "text") \
+        .write.parquet(train_dir)
+    lm = str(tmp_path / "lm_model")
+    assert main(["train-lm", train_dir, lm,
+                 "--vocab-size", "1024"]) == 0
+    capsys.readouterr()
+
+    write_warc_shards(corpus, str(d), 2, prefix="w1").collect()
+    rc = main(["warc-ingest", str(d / "*.cdx"), str(d), out, met,
+               "--buckets", "8", "--stream", ckpt,
+               "--kenlm-model", lm])
+    assert rc == 0
+    docs = IcebergTable.load(out).read(spark)
+    assert docs.count() == 60
+    assert "kn_ppl" in docs.columns
+    assert docs.filter(F.col("kn_ppl").isNull()).count() == 0
+
+    # second wave: only the new shard streams in, scored the same way
+    corpus2 = synth_webpages(spark, 90, seed=22, partitions=2) \
+        .filter(F.regexp_extract("url", r"/article/(\d+)$", 1)
+                .cast("long") >= 60)
+    write_warc_shards(corpus2, str(d), 1, prefix="w2").collect()
+    rc = main(["warc-ingest", str(d / "*.cdx"), str(d), out, met,
+               "--buckets", "8", "--stream", ckpt,
+               "--kenlm-model", lm])
+    assert rc == 0
+    docs = IcebergTable.load(out).read(spark)
+    assert docs.count() == 90
+    assert docs.filter(F.col("kn_ppl").isNull()).count() == 0
