@@ -167,6 +167,13 @@ def main(argv=None) -> int:
                          "below this probability "
                          "(drop_reason='model_quality'); default "
                          "signal-only")
+    wi.add_argument("--langid-model", metavar="PATH",
+                    help="persisted supervised langid (mc "
+                         "train-langid): attach ft_lang/ft_score "
+                         "signal columns next to the rule-pack "
+                         "langid_lang (signal only — the trained "
+                         "model has no 'und' class, so the rule pack "
+                         "stays the keep/drop gate)")
     wi.add_argument("--cores", type=int)
 
     tl = sub.add_parser(
@@ -211,6 +218,28 @@ def main(argv=None) -> int:
                     help="binary-presence features instead of counts")
     tq.add_argument("--overwrite", action="store_true")
     tq.add_argument("--cores", type=int)
+
+    tli = sub.add_parser(
+        "train-langid",
+        help="train the supervised hashed-char-gram language "
+             "classifier on a labeled corpus and persist it "
+             "(the north rule's fastText-style langid as a trained "
+             "model; score via warc-ingest --langid-model)")
+    tli.add_argument("input", help="labeled corpus: Iceberg table "
+                                   "location or plain parquet")
+    tli.add_argument("model", help="model artifact directory to write")
+    tli.add_argument("--label-col", default="lang")
+    tli.add_argument("--id-col", default="doc_id")
+    tli.add_argument("--text-col", default="text")
+    tli.add_argument("--buckets", type=int, default=2048)
+    tli.add_argument("--max-chars", type=int, default=200)
+    tli.add_argument("--iterations", type=int, default=6)
+    tli.add_argument("--lr", type=float, default=8.0)
+    tli.add_argument("--w-pos", type=float, default=33.0,
+                     help="one-vs-rest positive-residual weight "
+                          "(≈ K−1 for balanced classes)")
+    tli.add_argument("--overwrite", action="store_true")
+    tli.add_argument("--cores", type=int)
 
     dd = sub.add_parser("dedup", help="near-duplicate detection over a "
                         "parquet table (MinHash-LSH + exact-Jaccard verify, "
@@ -685,6 +714,38 @@ def main(argv=None) -> int:
                 "iterations": args.iterations,
                 "train_accuracy": round(float(acc), 4),
             }))
+        elif args.cmd == "train-langid":
+            from pyspark.sql import functions as F
+
+            from metacrafter_spark.corpus.langid_ft import (
+                predict_langid_ft, train_langid_ft,
+            )
+            from metacrafter_spark.corpus.modelstore import save_model
+
+            try:
+                from metacrafter_spark.io.iceberg import IcebergTable
+
+                docs = IcebergTable.load(args.input).read(spark)
+            except Exception:
+                docs = spark.read.parquet(args.input)
+            model = train_langid_ft(
+                docs, label_col=args.label_col, id_col=args.id_col,
+                text_col=args.text_col, buckets=args.buckets,
+                max_chars=args.max_chars, iterations=args.iterations,
+                lr=args.lr, w_pos=args.w_pos)
+            save_model(model, args.model, overwrite=args.overwrite)
+            pred = predict_langid_ft(docs, model, id_col=args.id_col,
+                                     text_col=args.text_col)
+            acc = (pred.join(
+                docs.select(args.id_col,
+                            F.col(args.label_col).alias("__t")),
+                args.id_col)
+                .agg(F.avg((F.col("pred_lang") == F.col("__t"))
+                           .cast("double")).alias("a")).first()["a"])
+            print(json.dumps({
+                "model": args.model, "classes": len(model.classes),
+                "train_accuracy": round(float(acc), 4),
+            }))
         elif args.cmd == "dedup":
             docs = spark.read.parquet(args.input)
             if args.containment:
@@ -937,7 +998,8 @@ def main(argv=None) -> int:
             if args.quality_min_p is not None and not args.quality_model:
                 raise SystemExit("--quality-min-p needs --quality-model")
             model_kw = {}
-            if args.kenlm_model or args.quality_model:
+            if args.kenlm_model or args.quality_model \
+                    or args.langid_model:
                 from metacrafter_spark.corpus.modelstore import load_model
 
                 if args.kenlm_model:
@@ -948,6 +1010,9 @@ def main(argv=None) -> int:
                     model_kw["quality_model"] = load_model(
                         spark, args.quality_model)
                     model_kw["quality_min_p"] = args.quality_min_p
+                if args.langid_model:
+                    model_kw["langid_model"] = load_model(
+                        spark, args.langid_model)
             wl = (tuple(w.strip()
                         for w in args.toxicity_wordlist.split(","))
                   if args.toxicity_wordlist else None)
@@ -1028,6 +1093,10 @@ def main(argv=None) -> int:
                                                  args.quality_model)
                 if args.quality_min_p is not None:
                     kw["quality_min_p"] = args.quality_min_p
+            if args.langid_model:
+                from metacrafter_spark.corpus.modelstore import load_model
+
+                kw["langid_model"] = load_model(spark, args.langid_model)
             if args.drop_noindex:
                 kw["drop_noindex"] = True
                 kw["robots_header_col"] = "x_robots"

@@ -77,6 +77,7 @@ def classify_corpus(
     kenlm_ppl_max: Optional[float] = None,
     quality_model=None,
     quality_min_p: Optional[float] = None,
+    langid_model=None,
 ) -> DataFrame:
     """Attach langid/ppl/quality/pii/scrub columns + keep & drop_reason.
 
@@ -144,8 +145,16 @@ def classify_corpus(
     right after the heuristic quality gate); NULL never drops.
     Inference is one featurize pass + a broadcast weight join.
 
-    Both default None, keeping the default-path plan and its oracles
-    byte-stable.
+    ``langid_model`` (optional, a :class:`corpus.langid_ft.LangIdFTModel`):
+    attaches the TRAINED supervised language prediction as
+    ``ft_lang``/``ft_score`` signal columns next to the rule-pack
+    ``langid_lang`` (which stays the policy language: the trained
+    model always answers with a class — it has no ``und`` — so it is
+    a signal, not the keep/drop gate).  Shares the cached composite-key
+    score source with the other model stages.
+
+    All model params default None, keeping the default-path plan and
+    its oracles byte-stable.
     """
     rules = scrub_rules if scrub_rules is not None else default_scrub_rules()
     out = (
@@ -176,7 +185,8 @@ def classify_corpus(
     out = with_langid(out, text_col)
     out = with_perplexity(out, text_col)
     out = with_quality(out, text_col, policy.quality)
-    if kenlm_model is not None or quality_model is not None:
+    if kenlm_model is not None or quality_model is not None \
+            or langid_model is not None:
         # Score per DISTINCT (url, text-hash), not per url: a dump can
         # carry two captures of one url (revisits) — joining per-url
         # scores back would fan rows out AND blend both captures'
@@ -216,6 +226,17 @@ def classify_corpus(
                         F.col("p").cast("double").alias("q_model_p"))
             signals = qm if signals is None else \
                 signals.join(qm, "__mid", "full")
+        if langid_model is not None:
+            from metacrafter_spark.corpus.langid_ft import (
+                predict_langid_ft)
+
+            lf = predict_langid_ft(score_src, langid_model,
+                                   id_col="__mid", text_col=text_col) \
+                .select("__mid",
+                        F.col("pred_lang").alias("ft_lang"),
+                        F.col("score").alias("ft_score"))
+            signals = lf if signals is None else \
+                signals.join(lf, "__mid", "full")
         out = (out.withColumn("__mid", mid)
                .join(signals, "__mid", "left").drop("__mid"))
     if toxicity_wordlist is not None:

@@ -332,6 +332,7 @@ def stream_warc_ingest(
     kenlm_ppl_max=None,
     quality_model=None,
     quality_min_p=None,
+    langid_model=None,
     available_now: bool = True,
     fault_hook=None,
 ):
@@ -376,6 +377,8 @@ def stream_warc_ingest(
         model_kw["quality_model"] = quality_model
         if quality_min_p is not None:
             model_kw["quality_min_p"] = quality_min_p
+    if langid_model is not None:
+        model_kw["langid_model"] = langid_model
 
     def _classify(frame: DataFrame) -> DataFrame:
         return classify_corpus(frame, scrub_rules=rules,

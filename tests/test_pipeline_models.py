@@ -135,3 +135,27 @@ def test_duplicate_url_captures_score_independently(spark, corpus):
         rows, score_kn_bigram(solo, m).orderBy("doc_id").collect())}
     for r in rows:
         assert r["kn_ppl"] == pytest.approx(want[r["text"]], rel=1e-12)
+
+
+def test_langid_model_signal_columns(spark, corpus):
+    from metacrafter_spark.corpus.langid_ft import train_langid_ft
+    from metacrafter_spark.corpus.pipeline import classify_corpus
+
+    labeled = spark.createDataFrame(
+        [(0, "en", "the quick brown fox jumps over the lazy dog"),
+         (1, "en", "all work and no play makes a dull day today"),
+         (2, "fr", "le renard brun saute par dessus le chien"),
+         (3, "fr", "tout le travail et pas de jeu du jour")],
+        "doc_id int, lang string, text string")
+    m = train_langid_ft(labeled, buckets=512, iterations=2, lr=8.0)
+    out = classify_corpus(corpus, langid_model=m)
+    rows = out.select("url", "ft_lang", "ft_score",
+                      "keep", "drop_reason").collect()
+    assert all(r["ft_lang"] in ("en", "fr") for r in rows)
+    assert all(r["ft_score"] is not None for r in rows)
+    # signal-only: keep/drop identical to the default path
+    base = {r["url"]: (r["keep"], r["drop_reason"])
+            for r in classify_corpus(corpus)
+            .select("url", "keep", "drop_reason").collect()}
+    assert {r["url"]: (r["keep"], r["drop_reason"])
+            for r in rows} == base

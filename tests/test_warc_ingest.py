@@ -607,3 +607,32 @@ def test_cli_warc_ingest_stream_with_models(spark, tmp_path, capsys):
     docs = IcebergTable.load(out).read(spark)
     assert docs.count() == 90
     assert docs.filter(F.col("kn_ppl").isNull()).count() == 0
+
+
+def test_train_langid_and_ingest(spark, warc_corpus, tmp_path, capsys):
+    """mc train-langid persists the supervised langid; warc-ingest
+    --langid-model attaches ft_lang/ft_score signal columns."""
+    labeled = spark.createDataFrame(
+        [(0, "en", "the quick brown fox jumps over the lazy dog"),
+         (1, "en", "all work and no play makes a dull day today"),
+         (2, "fr", "le renard brun saute par dessus le chien"),
+         (3, "fr", "tout le travail et pas de jeu du jour")],
+        "doc_id int, lang string, text string")
+    train_dir = str(tmp_path / "langid_train.parquet")
+    labeled.write.parquet(train_dir)
+    lid = str(tmp_path / "langid_model")
+    rc = main(["train-langid", train_dir, lid, "--buckets", "512",
+               "--iterations", "2"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["classes"] == 2 and out["train_accuracy"] == 1.0
+
+    docs_tbl = str(tmp_path / "docs_tbl")
+    rc = main(["warc-ingest", warc_corpus + "/*.cdx", warc_corpus,
+               docs_tbl, str(tmp_path / "met_tbl"), "--buckets", "8",
+               "--langid-model", lid])
+    assert rc == 0
+    capsys.readouterr()
+    docs = IcebergTable.load(docs_tbl).read(spark)
+    assert {"ft_lang", "ft_score"} <= set(docs.columns)
+    assert docs.filter(F.col("ft_lang").isNull()).count() == 0
