@@ -3668,6 +3668,71 @@ def _kmv_overlap_sql() -> str:
     """
 
 
+def q_bloom_membership(spark, sf_dir):
+    """Cross-dump exact-URL membership via a mergeable Bloom filter
+    (ops/sketches.py) — the third leg of the per-dump store family
+    (HLL counts distinct, KMV estimates overlap, Bloom answers "was
+    this exact URL ever seen?"): a prior dump (doc_id < 300; the
+    window sits inside doc_id < 500 so the value set is identical at
+    every sf) persists only its ~64-row packed-word table, and every
+    probe rides k broadcast joins — the probe stream never shuffles
+    (EXPLAIN audit).  Membership is a pure integer function of the
+    value set (60-bit sha256 hash, Kirsch–Mitzenmacher double
+    hashing, 63-bit word packing), so the oracle replays every probe
+    — including any false positives — bit-for-bit.  In-plan
+    ``nfn_ok`` asserts the no-false-negative guarantee per row."""
+    from metacrafter_spark.ops.sketches import bloom_contains, bloom_sketch
+
+    m_bits, k = 4096, 5
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://s"), F.col("doc_id"),
+                   F.lit("/p")).alias("url")
+    prior = docs.filter(F.col("doc_id") < 300).select(url)
+    sk = bloom_sketch(prior, "url", m_bits=m_bits, k=k)
+    probes = docs.filter(F.col("doc_id") < 500).select(
+        F.col("doc_id").cast("long").alias("doc_id"), url)
+    out = bloom_contains(probes, "url", sk, m_bits=m_bits, k=k)
+    return out.select(
+        "doc_id", "member",
+        (F.col("doc_id") < 300).alias("inserted"),
+        (F.col("member") | (F.col("doc_id") >= 300)).alias("nfn_ok"),
+    ).orderBy("doc_id")
+
+
+def _bloom_membership_sql() -> str:
+    """Oracle for q_bloom_membership: the position/word fragments are
+    GENERATED from the same module constants (bloom_sql_snippets — the
+    hll/cms pattern, engine and oracle cannot drift); the packed-word
+    build, the k-way probe and the AND-fold are all replayed."""
+    from metacrafter_spark.ops.sketches import bloom_sql_snippets
+
+    sn = bloom_sql_snippets(m_bits=4096, k=5)
+    probe_pos = sn["positions"].replace("__items", "__probes")
+    return f"""
+        WITH __items AS (
+          SELECT 'https://s' || doc_id || '/p' AS item
+          FROM documents WHERE doc_id < 300),
+        words AS ({sn["words"]}),
+        __probes AS (
+          SELECT 'https://s' || doc_id || '/p' AS item
+          FROM documents WHERE doc_id < 500),
+        ppos AS ({probe_pos}),
+        mem AS (
+          SELECT p.doc_id::BIGINT AS doc_id,
+                 bool_and(coalesce((w.bits & pp.mask) <> 0, FALSE))
+                   AS member
+          FROM documents p
+          JOIN ppos pp ON pp.item = 'https://s' || p.doc_id || '/p'
+          LEFT JOIN words w ON pp.word = w.word
+          WHERE p.doc_id < 500
+          GROUP BY 1)
+        SELECT doc_id, member,
+               doc_id < 300 AS inserted,
+               member OR doc_id >= 300 AS nfn_ok
+        FROM mem ORDER BY doc_id
+    """
+
+
 def q_containment_pairs(spark, sf_dir):
     """Directional n-gram containment (ops/dedup.containment_pairs) —
     the syndication/subset-duplication signal: 20 excerpt documents
@@ -3993,6 +4058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "cms_word_counts": q_cms_word_counts,
         "kmv_overlap": q_kmv_overlap,
+        "bloom_membership": q_bloom_membership,
         "quantile_sketch": q_quantile_sketch,
         "containment_pairs": q_containment_pairs,
         "media_type_route": q_media_type_route,
@@ -7145,6 +7211,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _hll_distinct_sql(),
         "cms_word_counts": _cms_word_counts_sql(),
         "kmv_overlap": _kmv_overlap_sql(),
+        "bloom_membership": _bloom_membership_sql(),
         "quantile_sketch": _quantile_sketch_sql(),
         "media_type_route": _media_type_route_sql(),
         "containment_pairs": r"""

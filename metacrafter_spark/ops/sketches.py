@@ -482,3 +482,168 @@ def cms_sql_snippets(*, depth: int = 4, width: int = 1024) -> dict[str, str]:
         for d in range(depth)
     )
     return {"buckets": arms}
+
+
+# --------------------------------------------------------------------
+# Bloom filter (mergeable membership sketch)
+
+#: bits packed per BIGINT word — 63, not 64: the high mask would be
+#: ``1 << 63`` which a signed long cannot represent positively, and
+#: DuckDB's ``<<`` on BIGINT overflows there too.  63 keeps every mask
+#: a positive exact long in BOTH engines.
+BLOOM_WORD_BITS = 63
+
+
+def _check_bloom(m_bits: int, k: int) -> None:
+    if m_bits < BLOOM_WORD_BITS:
+        raise ValueError(f"m_bits must be >= {BLOOM_WORD_BITS}, got {m_bits}")
+    if not 1 <= k <= 16:
+        raise ValueError(f"k must be in [1, 16], got {k}")
+
+
+def _bloom_positions(item: Column, *, m_bits: int, k: int) -> list[Column]:
+    """The k bit positions of one item: Kirsch–Mitzenmacher double
+    hashing ``pos_i = (h1 + i*h2) mod m`` over the repo's 60-bit
+    sha256-family hash — h1 = low 30 bits, h2 = high 30 bits forced
+    odd.  Max operand ``h1 + 15*h2 < 2^30 + 15*2^31 < 2^35``: exact
+    long arithmetic, no overflow in any engine."""
+    h = _hash60(item)
+    h1 = F.pmod(h, F.lit(1 << 30))
+    h2 = F.shiftright(h, 30) * F.lit(2) + F.lit(1)
+    return [F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k)]
+
+
+def _bloom_word(pos: Column) -> Column:
+    """Portable floor division pos // 63 (pos is non-negative)."""
+    n = F.lit(BLOOM_WORD_BITS)
+    return ((pos - F.pmod(pos, n)) / n).cast("long")
+
+
+def _bloom_mask(pos: Column) -> Column:
+    # F.shiftleft wants a Python int shift; the SQL function takes a
+    # column expression
+    return F.call_function(
+        "shiftleft", F.lit(1).cast("long"),
+        F.pmod(pos, F.lit(BLOOM_WORD_BITS)).cast("int"))
+
+
+def bloom_sketch(
+    df: DataFrame, item_col: str, *, m_bits: int, k: int = 7
+) -> DataFrame:
+    """Bloom filter over the values of ``item_col`` as a packed-word
+    table ``(word, bits)`` — at most ``ceil(m_bits/63)`` rows, only
+    words with a set bit present.
+
+    The MEMBERSHIP leg of the per-dump store family (HLL counts
+    distinct, KMV estimates overlap, this answers "was this exact
+    key ever seen?" — the cross-dump exact-URL revisit check at
+    10^12 docs, where keeping the URL set itself is corpus-sized but
+    ~1.2 bits/key/% gives a fixed-size filter).  No false negatives
+    ever; false-positive rate ~ ``(1 - e^(-k*n/m))^k``.
+
+    Repo exactness contract: positions are exact integer arithmetic
+    over the DuckDB-replayable sha256-family hash; the table is a
+    pure function of the distinct value set (bit-identical across
+    runs, partitionings and engines); two filters with equal (m, k)
+    merge by per-word ``bit_or`` (:func:`bloom_merge`) — associative,
+    commutative, idempotent, and ``merge(bloom(A), bloom(B)) ==
+    bloom(A UNION B)`` exactly.
+
+    Plan shape: one groupBy over at most m/63 word keys — partial
+    ``bit_or`` is map-side, the Exchange carries (word, bits) pairs,
+    output is O(m) **regardless of input size**.  NULL items are
+    ignored (consistent with the other sketches)."""
+    _check_bloom(m_bits, k)
+    item = F.col(item_col).cast("string")
+    pos = F.explode(F.array(*_bloom_positions(item, m_bits=m_bits, k=k)))
+    return (
+        df.filter(F.col(item_col).isNotNull())
+        .select(pos.alias("__pos"))
+        .select(_bloom_word(F.col("__pos")).alias("word"),
+                _bloom_mask(F.col("__pos")).alias("__m"))
+        .groupBy("word")
+        .agg(F.bit_or("__m").alias("bits"))
+    )
+
+
+def bloom_merge(*tables: DataFrame) -> DataFrame:
+    """Merge Bloom filters built with the SAME (m_bits, k): union ->
+    per-word ``bit_or``.  Idempotent: re-merging a dump changes
+    nothing, so a crashed-run replay cannot corrupt the store."""
+    if not tables:
+        raise ValueError("need at least one bloom table")
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_contains(
+    df: DataFrame,
+    item_col: str,
+    sketch: DataFrame,
+    *,
+    m_bits: int,
+    k: int = 7,
+    out_col: str = "member",
+) -> DataFrame:
+    """Probe every row of ``df`` against a Bloom filter: adds boolean
+    ``out_col`` (True = possibly inserted, False = DEFINITELY never
+    inserted; NULL items probe False).
+
+    Scale shape: the filter is O(m/63) rows and rides ``k`` broadcast
+    hash joins — the corpus stream itself never shuffles and no
+    per-probe groupBy exists (each hash index joins its own word
+    column and the k hit bits AND together row-local).  EXPLAIN
+    audit asserts zero Exchange on the probe side."""
+    _check_bloom(m_bits, k)
+    item = F.col(item_col).cast("string")
+    positions = _bloom_positions(item, m_bits=m_bits, k=k)
+    out = df
+    hits = []
+    for i, pos in enumerate(positions):
+        w, b = f"__bw{i}", f"__bb{i}"
+        side = F.broadcast(sketch.select(F.col("word").alias(w),
+                                         F.col("bits").alias(b)))
+        out = out.join(side, _bloom_word(pos) == F.col(w), "left").drop(w)
+        hits.append(
+            F.coalesce(F.col(b).bitwiseAND(_bloom_mask(pos)) != 0,
+                       F.lit(False)))
+    member = hits[0]
+    for hcol in hits[1:]:
+        member = member & hcol
+    return out.withColumn(out_col, member).drop(
+        *[f"__bb{i}" for i in range(k)])
+
+
+def bloom_fp_rate(n_items: int, *, m_bits: int, k: int) -> float:
+    """Expected false-positive probability after n insertions —
+    the classic ``(1 - e^(-k*n/m))^k`` envelope (test helper)."""
+    return (1.0 - math.exp(-k * n_items / m_bits)) ** k
+
+
+def bloom_sql_snippets(*, m_bits: int, k: int = 7) -> dict[str, str]:
+    """DuckDB fragments replaying the Bloom arithmetic, generated from
+    the SAME constants (engine and oracle cannot drift).
+
+    Keys: ``positions`` — SELECT body over ``__items(item)`` producing
+    (item, word, mask), one row per hash index; ``words`` — SELECT
+    body folding positions into the packed (word, bits) table."""
+    _check_bloom(m_bits, k)
+    wb = BLOOM_WORD_BITS
+    arms = " UNION ALL ".join(
+        f"""SELECT item,
+               ((h1 + {i} * h2) % {m_bits}) // {wb} AS word,
+               1::BIGINT << (((h1 + {i} * h2) % {m_bits}) % {wb})::INT
+                 AS mask
+           FROM (SELECT item,
+                        h % {1 << 30} AS h1,
+                        (h // {1 << 30}) * 2 + 1 AS h2
+                 FROM (SELECT item,
+                              ('0x' || substr(sha256(item), 1, 15))::BIGINT
+                                AS h
+                       FROM __items))"""
+        for i in range(k)
+    )
+    words = f"SELECT word, bit_or(mask) AS bits FROM ({arms}) GROUP BY 1"
+    return {"positions": arms, "words": words}

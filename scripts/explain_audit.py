@@ -987,6 +987,38 @@ def main() -> None:
     assert mplan.count("BroadcastHashJoin") >= 3, \
         "KN model tables not broadcast!"
 
+    # §51: Bloom membership — the build is one partial-agg groupBy
+    # whose Exchange carries (word, bits) pairs only; the PROBE side
+    # rides k BroadcastHashJoins and must have ZERO Exchange (the
+    # corpus stream never shuffles to ask "seen before?"), no Python.
+    from metacrafter_spark.ops.sketches import bloom_contains, bloom_sketch
+
+    burls = docs.filter(F.col("doc_id") < 400).select(
+        F.concat(F.lit("https://ex.org/"), F.col("doc_id")).alias("url"))
+    bsk = bloom_sketch(burls, "url", m_bits=1 << 14, k=7)
+    bsk.persist().count()  # probe plan reads the materialized sketch
+    bplan = plan_of(bloom_contains(burls, "url", bsk, m_bits=1 << 14, k=7))
+    sections.append((
+        "Bloom membership probe (k broadcast joins, zero shuffle "
+        "Exchange anywhere, no Python)",
+        bplan,
+        ["BroadcastHashJoin"],
+    ))
+    # the tree prints the probe spine (scan -> filter -> project ->
+    # join left arms) before the first broadcast side; the Exchange
+    # that IS allowed to exist — the sketch build's groupBy — appears
+    # only inside the broadcast sides' cached-plan echo
+    spine = bplan.split("BroadcastExchange", 1)[0]
+    assert "Exchange" not in spine, "bloom probe shuffles the corpus!"
+    assert "InMemoryTableScan" in bplan, "bloom sketch not materialized"
+    # formatted explain lists each node in the tree AND the detail
+    # section, so k joins appear 2k times
+    assert bplan.count("BroadcastHashJoin") == 14, \
+        "bloom probe must ride exactly k broadcast joins"
+    assert "EvalPython" not in bplan and "MapInPandas" not in bplan, \
+        "bloom probe runs Python!"
+    bsk.unpersist()
+
     out = ["# BENCH/EXPLAIN — physical-plan audit\n"]
     ok = True
     for title, plan, must in sections:

@@ -460,3 +460,122 @@ def test_kmv_jaccard_empty_union_is_zero(spark):
     row = kmv_jaccard(ea, eb, k=16).first()
     assert row["n_union_sample"] == 0 and row["n_both"] == 0
     assert row["jaccard"] is not None and float(row["jaccard"]) == 0.0
+
+
+# ---------------------------------------------------------------- Bloom
+
+
+def _py_bloom_words(vals, m_bits, k):
+    words = {}
+    for v in vals:
+        h = int(hashlib.sha256(v.encode()).hexdigest()[:15], 16)
+        h1, h2 = h % (1 << 30), (h >> 30) * 2 + 1
+        for i in range(k):
+            pos = (h1 + i * h2) % m_bits
+            words[pos // 63] = words.get(pos // 63, 0) | (1 << (pos % 63))
+    return words
+
+
+def test_bloom_python_replay_exact(spark):
+    """The packed-word table matches an independent pure-Python
+    implementation word-for-word (hash family, double hashing, 63-bit
+    packing all replayed)."""
+    from metacrafter_spark.ops.sketches import bloom_sketch
+
+    n, m_bits, k = 500, 4096, 5
+    vals = [f"https://s{i}/p" for i in range(n)]
+    got = sorted(
+        (r.word, r.bits)
+        for r in bloom_sketch(_urls(spark, 0, n), "u",
+                              m_bits=m_bits, k=k).collect()
+    )
+    assert got == sorted(_py_bloom_words(vals, m_bits, k).items())
+
+
+def test_bloom_no_false_negatives_and_fp_envelope(spark):
+    """Every inserted key probes True (the Bloom guarantee); fresh
+    keys false-positive within 3x the published envelope (the corpus
+    is deterministic, so this is a fixed number, not a flake)."""
+    from metacrafter_spark.ops.sketches import (
+        bloom_contains, bloom_fp_rate, bloom_sketch)
+
+    m_bits, k, n = 1 << 14, 7, 1000
+    sk = bloom_sketch(_urls(spark, 0, n), "u", m_bits=m_bits, k=k)
+    ins = bloom_contains(_urls(spark, 0, n), "u", sk, m_bits=m_bits, k=k)
+    assert ins.filter(~F.col("member")).count() == 0
+    fresh = bloom_contains(
+        _urls(spark, 10_000, 14_000), "u", sk, m_bits=m_bits, k=k)
+    fp = fresh.filter(F.col("member")).count() / 4000
+    assert fp <= 3 * bloom_fp_rate(n, m_bits=m_bits, k=k) + 0.002
+
+
+def test_bloom_merge_equals_union_and_idempotent(spark):
+    """merge(bloom(A), bloom(B)) == bloom(A UNION B) as exact table
+    equality, and re-merging a dump is a no-op."""
+    from metacrafter_spark.ops.sketches import bloom_merge, bloom_sketch
+
+    m_bits, k = 4096, 5
+    a, b = _urls(spark, 0, 300), _urls(spark, 200, 600)
+    merged = bloom_merge(bloom_sketch(a, "u", m_bits=m_bits, k=k),
+                         bloom_sketch(b, "u", m_bits=m_bits, k=k))
+    direct = bloom_sketch(a.unionByName(b), "u", m_bits=m_bits, k=k)
+    as_rows = lambda d: sorted((r.word, r.bits) for r in d.collect())
+    assert as_rows(merged) == as_rows(direct)
+    again = bloom_merge(merged, bloom_sketch(a, "u", m_bits=m_bits, k=k))
+    assert as_rows(again) == as_rows(merged)
+
+
+def test_bloom_determinism_null_and_empty(spark):
+    """Identical table under different partitionings; NULL items are
+    ignored on build and probe False; probing an EMPTY filter is all
+    False (missing word rows coalesce, never NULL)."""
+    from metacrafter_spark.ops.sketches import bloom_contains, bloom_sketch
+
+    m_bits, k = 4096, 5
+    df = _urls(spark, 0, 400)
+    as_rows = lambda d: sorted((r.word, r.bits) for r in d.collect())
+    assert as_rows(
+        bloom_sketch(df.repartition(1), "u", m_bits=m_bits, k=k)
+    ) == as_rows(bloom_sketch(df.repartition(13), "u", m_bits=m_bits, k=k))
+    withnull = df.unionByName(
+        spark.range(1).select(F.lit(None).cast("string").alias("u")))
+    assert as_rows(bloom_sketch(withnull, "u", m_bits=m_bits, k=k)) \
+        == as_rows(bloom_sketch(df, "u", m_bits=m_bits, k=k))
+    empty = bloom_sketch(df.filter(F.lit(False)), "u", m_bits=m_bits, k=k)
+    probed = bloom_contains(withnull, "u", empty, m_bits=m_bits, k=k)
+    assert probed.filter(F.col("member")).count() == 0
+    assert probed.filter(F.col("member").isNull()).count() == 0
+
+
+def test_bloom_rejects_bad_params(spark):
+    from metacrafter_spark.ops.sketches import bloom_sketch
+
+    df = _urls(spark, 0, 10)
+    with pytest.raises(ValueError):
+        bloom_sketch(df, "u", m_bits=10, k=5)
+    with pytest.raises(ValueError):
+        bloom_sketch(df, "u", m_bits=4096, k=0)
+    with pytest.raises(ValueError):
+        bloom_sketch(df, "u", m_bits=4096, k=17)
+
+
+def test_bloom_duckdb_differential(spark):
+    """The generated SQL snippets reproduce the Spark table exactly in
+    DuckDB (the oracle mechanism, exercised as a unit test)."""
+    import duckdb
+
+    from metacrafter_spark.ops.sketches import bloom_sketch, bloom_sql_snippets
+
+    m_bits, k, n = 4096, 5, 300
+    sn = bloom_sql_snippets(m_bits=m_bits, k=k)
+    got = sorted(
+        (r.word, r.bits)
+        for r in bloom_sketch(_urls(spark, 0, n), "u",
+                              m_bits=m_bits, k=k).collect()
+    )
+    exp = duckdb.sql(f"""
+        WITH __items AS (
+            SELECT 'https://s' || r || '/p' AS item FROM range({n}) t(r))
+        {sn["words"]} ORDER BY word
+    """).fetchall()
+    assert got == [(w, b) for w, b in exp]
