@@ -142,6 +142,24 @@ def main(argv=None) -> int:
                          "idempotent, so crashed-run replays cannot "
                          "double-count) and report url_distinct_est "
                          "in the summary")
+    wi.add_argument("--url-bloom-store", metavar="PATH",
+                    help="cross-dump exact-URL revisit dedup: probe "
+                         "each page's canonical URL against the "
+                         "persisted Bloom filter of every previously "
+                         "ingested dump's URLs (PATH = packed-word "
+                         "parquet store, created on first run, "
+                         "bit_or-merged after each successful ingest "
+                         "— idempotent, so crashed-run replays cannot "
+                         "corrupt it); revisits get "
+                         "drop_reason='url_revisit' (marked, never "
+                         "removed). No false negatives; false-positive "
+                         "rate governed by --bloom-bits/--bloom-hashes")
+    wi.add_argument("--bloom-bits", type=int, default=1 << 22,
+                    help="Bloom filter size in bits (default 2^22; "
+                         "size ~1.2*n*ln(1/fp)/ln(2)^2 bits for n "
+                         "expected URLs at rate fp)")
+    wi.add_argument("--bloom-hashes", type=int, default=7,
+                    help="Bloom hash count k (default 7)")
     wi.add_argument("--stream", metavar="CHECKPOINT",
                     help="run as a Structured Streaming job instead of "
                          "a batch: new CDXJ index files ingest "
@@ -977,9 +995,10 @@ def main(argv=None) -> int:
                     "partition swaps; --plain-parquet applies to batch "
                     "mode only")
             if args.para_dedup_store or args.minhash_store \
-                    or args.url_hll_store:
+                    or args.url_hll_store or args.url_bloom_store:
                 raise SystemExit(
-                    "--para-dedup-store/--minhash-store/--url-hll-store "
+                    "--para-dedup-store/--minhash-store/--url-hll-store/"
+                    "--url-bloom-store "
                     "apply to batch mode only: a store advances once "
                     "per successfully ingested dump, not per "
                     "micro-batch")
@@ -1112,6 +1131,33 @@ def main(argv=None) -> int:
                 advance_key_store, read_key_store,
             )
 
+            bloom_prior = None
+            if args.url_bloom_store:
+                from metacrafter_spark.ops.sketches import bloom_contains
+                from metacrafter_spark.ops.urls import canonicalize_url
+
+                bloom_prior = read_key_store(spark, args.url_bloom_store)
+                if bloom_prior is not None:
+                    bad = bloom_prior.filter(
+                        (F.col("m_bits") != args.bloom_bits)
+                        | (F.col("k") != args.bloom_hashes)).count()
+                    if bad:
+                        raise SystemExit(
+                            "--url-bloom-store was built with different "
+                            "--bloom-bits/--bloom-hashes; Bloom filters "
+                            "with different parameters cannot be merged")
+                    # k broadcast joins — the page stream never shuffles
+                    src = bloom_contains(
+                        src.withColumn(
+                            "__curl", canonicalize_url(F.col("url"))),
+                        "__curl",
+                        bloom_prior.select("word", "bits"),
+                        m_bits=args.bloom_bits, k=args.bloom_hashes,
+                        out_col="url_revisit").drop("__curl")
+                else:
+                    src = src.withColumn("url_revisit", F.lit(False))
+                kw["url_seen_col"] = "url_revisit"
+
             nd_counts = None
             if args.minhash_store:
                 from metacrafter_spark.ops.dedup import (
@@ -1229,6 +1275,30 @@ def main(argv=None) -> int:
                     read_key_store(spark, args.url_hll_store)
                     .select("bucket", "reg"), p=12).first()
                 summary["url_distinct_est"] = float(est["est_distinct"])
+            if args.url_bloom_store:
+                from metacrafter_spark.ops.sketches import (
+                    bloom_merge, bloom_sketch)
+                from metacrafter_spark.ops.urls import canonicalize_url
+
+                batch_bloom = bloom_sketch(
+                    classified.select(
+                        canonicalize_url(F.col("url")).alias("__cu")),
+                    "__cu", m_bits=args.bloom_bits, k=args.bloom_hashes)
+                new_bloom = (bloom_merge(
+                    bloom_prior.select("word", "bits"), batch_bloom)
+                    if bloom_prior is not None else batch_bloom)
+                # advance only after the successful ingest above; the
+                # bit_or merge is idempotent, so a crashed run's
+                # partial progress cannot corrupt the filter
+                advance_key_store(
+                    new_bloom.select(
+                        F.lit(args.bloom_bits).cast("long").alias("m_bits"),
+                        F.lit(args.bloom_hashes).cast("int").alias("k"),
+                        "word", "bits"),
+                    args.url_bloom_store)
+                summary["url_revisits_total"] = int(
+                    io.read(args.output)
+                    .filter(F.col("drop_reason") == "url_revisit").count())
             print(json.dumps(summary))
         else:
             from pyspark.sql import functions as F

@@ -73,6 +73,7 @@ def classify_corpus(
     domain_ranks: Optional[DataFrame] = None,
     fix_mojibake: bool = False,
     near_dup_col: Optional[str] = None,
+    url_seen_col: Optional[str] = None,
     kenlm_model=None,
     kenlm_ppl_max: Optional[float] = None,
     quality_model=None,
@@ -121,6 +122,14 @@ def classify_corpus(
     upstream) marking documents that near-duplicate an already-kept
     page; they get ``drop_reason='near_dup'`` ahead of every content
     check.  Default None keeps the stage out of the plan.
+
+    ``url_seen_col`` (optional): name of a pre-computed boolean column
+    (e.g. a Bloom-filter probe against prior dumps' canonical URLs —
+    :func:`ops.sketches.bloom_contains` on the ingest CLI) marking
+    documents whose exact URL was already ingested; they get
+    ``drop_reason='url_revisit'`` ahead of near-dup and every content
+    check (an exact revisit needs no fuzzy matching or quality work).
+    Default None keeps the stage out of the plan.
 
     ``kenlm_model`` (optional, a :class:`corpus.kenlm.KNBigramModel`
     or ``KNTrigramModel``, typically loaded via
@@ -263,6 +272,10 @@ def classify_corpus(
                              "robots_disallowed")
     if drop_noindex:
         reason = reason.when(F.col("noindex"), "robots_noindex")
+    if url_seen_col is not None:
+        # exact-URL revisit (cross-dump Bloom probe upstream): drops
+        # before near-dup — no fuzzy work for a byte-identical revisit
+        reason = reason.when(F.col(url_seen_col), "url_revisit")
     if near_dup_col is not None:
         # a pre-computed near-dup verdict (e.g. incremental_keep_decisions
         # on the ingest CLI): dedup precedes content judgement — a page

@@ -636,3 +636,51 @@ def test_train_langid_and_ingest(spark, warc_corpus, tmp_path, capsys):
     docs = IcebergTable.load(docs_tbl).read(spark)
     assert {"ft_lang", "ft_score"} <= set(docs.columns)
     assert docs.filter(F.col("ft_lang").isNull()).count() == 0
+
+
+def test_warc_ingest_url_bloom_store(spark, warc_corpus, tmp_path, capsys):
+    """Cross-dump exact-URL revisit dedup on the ingest CLI: dump 1
+    seeds the Bloom store (no prior — zero revisits); re-ingesting the
+    SAME pages marks ALL of them drop_reason='url_revisit' (the Bloom
+    no-false-negative guarantee makes this deterministic, not
+    probabilistic), kept_total drops to 0, and the store is a fixed
+    point (bit_or idempotence).  Parameter-mismatch refusal and
+    --stream refusal close the contract."""
+    import os
+
+    store = str(tmp_path / "bloomstore")
+
+    def run(i, extra=()):
+        rc = main(["warc-ingest", warc_corpus + "/*.cdx", warc_corpus,
+                   str(tmp_path / f"d{i}"), str(tmp_path / f"m{i}"),
+                   "--buckets", "8", "--plain-parquet",
+                   "--url-bloom-store", store, *extra])
+        assert rc == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    p1 = run(1)
+    assert p1["processed"] == 200
+    assert p1["url_revisits_total"] == 0
+    assert p1["kept_total"] > 0
+    assert os.path.isdir(store)
+    st = spark.read.parquet(store)
+    assert {r["m_bits"] for r in st.select("m_bits").collect()} == {1 << 22}
+    words1 = sorted(map(tuple, st.select("word", "bits").collect()))
+
+    p2 = run(2)
+    # every page's canonical URL is in the prior filter: all revisits
+    assert p2["url_revisits_total"] == 200
+    assert p2["kept_total"] == 0
+    d2 = spark.read.parquet(str(tmp_path / "d2"))
+    assert d2.filter(F.col("drop_reason") == "url_revisit").count() == 200
+    # the store is a fixed point under an already-seen dump
+    assert sorted(map(tuple, spark.read.parquet(store)
+                      .select("word", "bits").collect())) == words1
+
+    with pytest.raises(SystemExit, match="different"):
+        run(3, extra=("--bloom-bits", "8192"))
+    with pytest.raises(SystemExit, match="batch mode only"):
+        main(["warc-ingest", warc_corpus + "/*.cdx", warc_corpus,
+              str(tmp_path / "d4"), str(tmp_path / "m4"),
+              "--stream", str(tmp_path / "cp"),
+              "--url-bloom-store", store])
