@@ -2718,6 +2718,70 @@ def q_iceberg_data_skipping(spark, sf_dir):
                       "files_pruned").orderBy("lang")
 
 
+def q_zorder_prune(spark, sf_dir):
+    """Z-order multi-column layout (io/zorder.py) + Iceberg bounds
+    skipping: a 25x20 grid derived from doc_id (window inside
+    doc_id < 500, identical at every sf) is written as 8 z-ordered
+    files; the Morton key makes every file a compact RECTANGLE of the
+    (x, y) space, so the file planner prunes on EITHER column — the
+    single-column-sort layout would prune only on its sort column.
+    In-plan ``x_pruned``/``y_pruned`` assert both filters planned
+    fewer than all files; the returned rows (a pruned y-filter read,
+    Morton key attached) must equal the oracle's flat filter + its
+    replay of the exact quantize/interleave arithmetic
+    (:func:`zorder_sql` — generated from the same bounds/bits, so
+    engine and oracle cannot drift)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from metacrafter_spark.io.iceberg import IcebergTable
+    from metacrafter_spark.io.zorder import zorder_key, zordered
+
+    loc = os.path.join(
+        tempfile.gettempdir(),
+        "mc_zorder_q_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    if os.path.exists(loc):
+        shutil.rmtree(loc)
+    cols = [("x", 0, 25), ("y", 0, 20)]
+    grid = (_t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 500)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.pmod(F.col("doc_id"), F.lit(25)).cast("int").alias("x"),
+                    (F.col("doc_id") / 25).cast("int").alias("y")))
+    t = IcebergTable.create(loc, grid.schema)
+    t.append(zordered(grid, cols, num_files=8))
+    t = IcebergTable.load(loc)
+    n_all = len(t.plan_files())
+    x_pruned = F.lit(0 < len(t.plan_files(where=[("x", "<", 5)])) < n_all)
+    y_pruned = F.lit(0 < len(t.plan_files(where=[("y", "<", 4)])) < n_all)
+    return (t.read(spark, where=[("y", "<", 4)])
+            .select("doc_id", "x", "y",
+                    zorder_key(cols).alias("zkey"),
+                    x_pruned.alias("x_pruned"), y_pruned.alias("y_pruned"))
+            .orderBy("doc_id"))
+
+
+def _zorder_prune_sql() -> str:
+    """Oracle for q_zorder_prune: the grid derivation, the flat
+    y-filter and the full Morton arithmetic replayed via zorder_sql
+    (same bounds/bits constants)."""
+    from metacrafter_spark.io.zorder import zorder_sql
+
+    z = zorder_sql([("x", 0, 25), ("y", 0, 20)])
+    return f"""
+        WITH grid AS (
+          SELECT doc_id::BIGINT AS doc_id,
+                 (doc_id % 25)::INT AS x,
+                 (doc_id // 25)::INT AS y
+          FROM documents WHERE doc_id < 500)
+        SELECT doc_id, x, y, {z} AS zkey,
+               TRUE AS x_pruned, TRUE AS y_pruned
+        FROM grid WHERE y < 4 ORDER BY doc_id
+    """
+
+
 def q_robots_meta(spark, sf_dir):
     """Robots-meta directive detection (round 5, corpus/html.py
     with_robots_meta): production pipelines drop noindex pages.  Meta
@@ -4059,6 +4123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_word_counts": q_cms_word_counts,
         "kmv_overlap": q_kmv_overlap,
         "bloom_membership": q_bloom_membership,
+        "zorder_prune": q_zorder_prune,
         "quantile_sketch": q_quantile_sketch,
         "containment_pairs": q_containment_pairs,
         "media_type_route": q_media_type_route,
@@ -7212,6 +7277,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_word_counts": _cms_word_counts_sql(),
         "kmv_overlap": _kmv_overlap_sql(),
         "bloom_membership": _bloom_membership_sql(),
+        "zorder_prune": _zorder_prune_sql(),
         "quantile_sketch": _quantile_sketch_sql(),
         "media_type_route": _media_type_route_sql(),
         "containment_pairs": r"""

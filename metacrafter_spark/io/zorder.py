@@ -1,0 +1,137 @@
+"""Z-order (Morton-curve) multi-column data layout.
+
+The file-skipping layer (io/iceberg.py lower/upper bounds) prunes a
+file when the filter column's min/max proves no match — but bounds are
+only tight for columns the data is CLUSTERED by.  A table sorted by
+``doc_id`` skips beautifully on ``doc_id`` and not at all on
+``domain_rank``: every file's rank range spans the whole domain.  At
+100 TB that second-column query reads the full table.
+
+Z-ordering interleaves the bits of several columns into one sort key,
+so files cover small HYPER-RECTANGLES of the value space instead of
+slabs: each file's min/max is tight on EVERY participating column, and
+bounds pruning works for filters on any of them (the Databricks
+OPTIMIZE ZORDER BY / Iceberg sort-order use case, built here from
+arithmetic the whole repo can replay).
+
+Exactness contract: quantization and bit interleaving are pure integer
+expressions of the inputs (portable floor division, shift/and/or) —
+the key is a deterministic function of each row, identical in Spark
+and DuckDB, so oracle queries replay it value-for-value.
+
+Scale shape: the key itself is map-side codegen arithmetic (zero
+Exchange); the layout write is ONE range repartition on the key —
+exactly the shuffle any global sort pays, amortized once at write time
+to make every later scan cheaper.  No Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: quantization width per column (2^bits ranks); 12 bits = 4096 ranks,
+#: far finer than any realistic file count, while 4 columns still fit
+#: a 48-bit key in an exact long
+DEFAULT_BITS = 12
+
+
+def _check(cols, bits: int) -> None:
+    if not 1 <= bits <= 21:
+        raise ValueError(f"bits must be in [1, 21], got {bits}")
+    if len(cols) < 2:
+        raise ValueError("z-ordering needs >= 2 columns (sort instead)")
+    if len(cols) * bits > 62:
+        raise ValueError(
+            f"{len(cols)} cols x {bits} bits = {len(cols) * bits} key "
+            "bits; must be <= 62 to stay an exact positive long")
+    for name, lo, hi in cols:
+        if hi <= lo:
+            raise ValueError(f"column {name}: hi ({hi}) must be > lo ({lo})")
+        if (hi - lo) >= (1 << 40):
+            raise ValueError(
+                f"column {name}: range {hi - lo} too wide — the exact "
+                "integer quantization product would overflow; pre-scale "
+                "the column")
+
+
+def zorder_key(
+    cols: list[tuple[str, int, int]], *, bits: int = DEFAULT_BITS
+) -> Column:
+    """The Morton key for ``cols`` — a list of ``(name, lo, hi)``
+    integer columns with their (inclusive-lo, exclusive-hi) value
+    bounds, e.g. from a prior min/max aggregate or domain knowledge.
+
+    Each column quantizes to a ``bits``-wide rank with EXACT integer
+    arithmetic — ``q = ((x - lo) * (2^bits - 1)) // (hi - 1 - lo)``
+    (portable floor division; out-of-bounds values clamp to the edge
+    ranks, so a stray row can never corrupt the key) — then ranks
+    interleave bit-by-bit, column c claiming bit positions
+    ``i * ncols + c``.  NULLs clamp to rank 0 (sort first) — an
+    explicit coalesce, because Spark's greatest/least skip NULLs
+    while DuckDB's propagate them."""
+    _check(cols, bits)
+    n = len(cols)
+    qmax = (1 << bits) - 1
+    ranks = []
+    for name, lo, hi in cols:
+        x = F.coalesce(F.col(name).cast("long"), F.lit(lo).cast("long"))
+        span = hi - 1 - lo  # inclusive value span
+        if span == 0:
+            ranks.append(F.lit(0).cast("long"))
+            continue
+        num = (x - F.lit(lo)) * F.lit(qmax)
+        den = F.lit(span)
+        q = ((num - F.pmod(num, den)) / den).cast("long")
+        q = F.least(F.greatest(q, F.lit(0)), F.lit(qmax))
+        ranks.append(q)
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        for c, q in enumerate(ranks):
+            key = key + F.shiftleft(
+                F.shiftright(q, i).bitwiseAND(F.lit(1)).cast("long"),
+                i * n + c)
+    return key
+
+
+def zordered(
+    df: DataFrame,
+    cols: list[tuple[str, int, int]],
+    *,
+    bits: int = DEFAULT_BITS,
+    num_files: int = 8,
+) -> DataFrame:
+    """Lay ``df`` out in ``num_files`` z-order ranges: one range
+    repartition on the Morton key + an in-partition sort, so each
+    output file covers a compact hyper-rectangle of the column space
+    and the file-skipping layer prunes on EVERY participating column.
+    Feed the result straight to ``IcebergTable.append`` (one parquet
+    file per partition) or a plain parquet write."""
+    key = zorder_key(cols, bits=bits)
+    return df.repartitionByRange(num_files, key).sortWithinPartitions(key)
+
+
+def zorder_sql(
+    cols: list[tuple[str, int, int]], *, bits: int = DEFAULT_BITS
+) -> str:
+    """DuckDB expression replaying :func:`zorder_key` over the same
+    column names — generated from the SAME bounds/bits (the sketch
+    sql-snippet pattern: engine and oracle cannot drift)."""
+    _check(cols, bits)
+    n = len(cols)
+    qmax = (1 << bits) - 1
+    qs = []
+    for name, lo, hi in cols:
+        span = hi - 1 - lo
+        if span == 0:
+            qs.append("0")
+            continue
+        q = f"((coalesce({name}::BIGINT, {lo}) - {lo}) * {qmax}) // {span}"
+        qs.append(f"least(greatest({q}, 0), {qmax})")
+    # every term fully parenthesized: + binds TIGHTER than << in
+    # DuckDB, so "a << 0 + b << 1" would parse as cascading shifts
+    terms = [
+        f"(((({q}) >> {i}) & 1) << {i * n + c})"
+        for i in range(bits)
+        for c, q in enumerate(qs)
+    ]
+    return "(" + " + ".join(terms) + ")"

@@ -1019,6 +1019,28 @@ def main() -> None:
         "bloom probe runs Python!"
     bsk.unpersist()
 
+    # §52: z-order layout — the Morton key is map-side codegen
+    # arithmetic (zero Python); the layout write pays exactly ONE
+    # range Exchange (the shuffle any global sort costs, amortized
+    # once at write time so every later scan prunes on all columns).
+    from metacrafter_spark.io.zorder import zordered
+
+    zgrid = docs.filter(F.col("doc_id") < 400).select(
+        F.pmod(F.col("doc_id"), F.lit(20)).cast("int").alias("x"),
+        (F.col("doc_id") / 20).cast("int").alias("y"))
+    zplan = plan_of(zordered(zgrid, [("x", 0, 20), ("y", 0, 20)],
+                             num_files=8))
+    sections.append((
+        "Z-order layout write (one range Exchange, key is codegen "
+        "arithmetic, no Python)",
+        zplan,
+        ["rangepartitioning", "Sort"],
+    ))
+    assert zplan.count("Exchange") == 2, \
+        "z-order layout must pay exactly one range Exchange"  # tree+detail
+    assert "EvalPython" not in zplan and "MapInPandas" not in zplan, \
+        "z-order key runs Python!"
+
     out = ["# BENCH/EXPLAIN — physical-plan audit\n"]
     ok = True
     for title, plan, must in sections:
