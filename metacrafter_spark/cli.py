@@ -392,6 +392,13 @@ def main(argv=None) -> int:
     cp.add_argument("dst")
     cp.add_argument("--target-mb", type=int, default=256)
     cp.add_argument("--sort-cols", help="comma-separated sort columns")
+    cp.add_argument("--zorder-cols",
+                    help="comma-separated integer columns (>= 2) to "
+                         "Z-ORDER the rewrite by: every output file "
+                         "covers a compact hyper-rectangle, so min/max "
+                         "stats prune filters on ANY listed column "
+                         "(mutually exclusive with --sort-cols; bounds "
+                         "derived from one min/max aggregate)")
     cp.add_argument("--cores", type=int)
 
     cs = sub.add_parser("corpus-stream",
@@ -972,9 +979,12 @@ def main(argv=None) -> int:
             from metacrafter_spark.io.compaction import compact_parquet
 
             sort_cols = (args.sort_cols.split(",") if args.sort_cols else None)
+            zorder_cols = (args.zorder_cols.split(",")
+                           if args.zorder_cols else None)
             res = compact_parquet(spark, args.src, args.dst,
                                   target_file_mb=args.target_mb,
-                                  sort_cols=sort_cols)
+                                  sort_cols=sort_cols,
+                                  zorder_cols=zorder_cols)
             print(json.dumps(res))
         elif args.cmd == "serve":
             from metacrafter_spark.server import make_server

@@ -57,17 +57,40 @@ def compact_parquet(
     dst_path: str,
     target_file_mb: int = 256,
     sort_cols: "list[str] | None" = None,
+    zorder_cols: "list[str] | None" = None,
 ) -> dict:
     """Rewrite ``src_path`` (parquet dir) into ``dst_path`` with
     near-``target_file_mb`` files; optionally range-sorted so row-group
-    stats prune on ``sort_cols``.  Returns the plan dict plus the
-    resulting file count.  Writes to a NEW directory — swap or re-point
-    readers atomically yourself (or use the Iceberg path in
-    ``corpus.resume`` where snapshot isolation exists)."""
+    stats prune on ``sort_cols``, or z-ordered (``zorder_cols``, >= 2
+    integer columns — mutually exclusive with ``sort_cols``) so stats
+    prune on EVERY listed column (:mod:`io.zorder`; bounds come from
+    one min/max aggregate over the table — a driver row per column).
+    Returns the plan dict plus the resulting file count.  Writes to a
+    NEW directory — swap or re-point readers atomically yourself (or
+    use the Iceberg path in ``corpus.resume`` where snapshot isolation
+    exists)."""
+    if sort_cols and zorder_cols:
+        raise ValueError("sort_cols and zorder_cols are mutually exclusive")
     plan = plan_compaction(src_path, target_file_mb)
     df: DataFrame = spark.read.parquet(src_path)
     n = plan["target_files"]
-    if sort_cols:
+    if zorder_cols:
+        from pyspark.sql import functions as F
+
+        from metacrafter_spark.io.zorder import zordered
+
+        bounds = df.agg(*[f(c).cast("long").alias(f"{w}_{c}")
+                          for c in zorder_cols
+                          for w, f in (("lo", F.min), ("hi", F.max))]
+                        ).first()
+        if any(bounds[f"lo_{c}"] is None for c in zorder_cols):
+            raise ValueError(
+                "zorder_cols need non-NULL integer bounds (empty table "
+                "or all-NULL column?)")
+        spec = [(c, int(bounds[f"lo_{c}"]), int(bounds[f"hi_{c}"]) + 1)
+                for c in zorder_cols]
+        out = zordered(df, spec, num_files=n)
+    elif sort_cols:
         out = df.repartitionByRange(n, *sort_cols).sortWithinPartitions(*sort_cols)
     else:
         out = df.repartition(n)

