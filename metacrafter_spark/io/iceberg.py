@@ -1205,6 +1205,79 @@ class IcebergTable:
             now_ms=now_ms,
         )
 
+    def rewrite_data(
+        self,
+        spark: SparkSession,
+        *,
+        zorder: "Optional[list[tuple]]" = None,
+        sort_cols: "Optional[list[str]]" = None,
+        num_files: int = 8,
+        now_ms: Optional[int] = None,
+    ) -> Optional[Snapshot]:
+        """Data-file rewrite — Iceberg's OPTIMIZE / OPTIMIZE ZORDER —
+        as ONE atomic ``replace`` snapshot: the live rows (position
+        deletes APPLIED — the read path merges them) rewrite into
+        ``num_files`` compacted files, optionally z-ordered
+        (``zorder`` = ``(name, lo, hi)`` triples, :mod:`io.zorder`) so
+        file bounds prune on every listed column, or range-sorted on
+        ``sort_cols``.  Every prior data entry marks DELETED and the
+        delete manifests drop (their targets no longer exist in the
+        new snapshot); table rows are bit-identical before and after.
+        Time travel to prior snapshots is unaffected;
+        :meth:`expire_snapshots` reclaims the old files later.
+        Returns ``None`` without committing on an empty table."""
+        if zorder and sort_cols:
+            raise ValueError("zorder and sort_cols are mutually exclusive")
+        if not self.plan_files():
+            return None
+        df = self.read(spark)
+        if zorder:
+            from metacrafter_spark.io.zorder import zordered
+
+            out = zordered(df, zorder, num_files=num_files)
+        elif sort_cols:
+            out = df.repartitionByRange(
+                num_files, *sort_cols).sortWithinPartitions(*sort_cols)
+        else:
+            out = df.repartition(num_files)
+        added = self._write_data(out)
+        seq = self.metadata["last-sequence-number"] + 1
+        parent = self.current_snapshot
+        snap_id = parent.snapshot_id + 1
+        manifests = [self._write_manifest(
+            [{
+                "status": STATUS_ADDED,
+                "snapshot_id": snap_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": f,
+            } for f in added],
+            snap_id, seq)]
+        deleted_files = 0
+        for mf in self._read_manifest_list(parent):
+            if mf.get("content", 0) == 1:
+                continue  # position deletes are applied in the rewrite
+            live = [e for e in read_ocf(mf["manifest_path"])
+                    if e["status"] != STATUS_DELETED]
+            if not live:
+                continue
+            deleted_files += len(live)
+            manifests.append(self._write_manifest(
+                [{**e, "status": STATUS_DELETED, "snapshot_id": snap_id}
+                 for e in live],
+                snap_id, seq))
+        return self._commit_snapshot(
+            manifests,
+            operation="replace",
+            summary={
+                "added-data-files": str(len(added)),
+                "deleted-data-files": str(deleted_files),
+                "rewritten-layout": ("zorder" if zorder else
+                                     "sort" if sort_cols else "compact"),
+            },
+            now_ms=now_ms,
+        )
+
     def delete_where(
         self, spark: SparkSession, condition, *,
         now_ms: Optional[int] = None,

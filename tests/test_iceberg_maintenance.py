@@ -295,3 +295,75 @@ def test_cli_iceberg_maintenance(spark, table, capsys):
 
     t = IcebergTable.load(loc)
     assert t.read(spark, ref="v1").count() == 40
+
+
+def test_rewrite_data_optimize_zorder(spark, tmp_path):
+    """rewrite_data = OPTIMIZE [ZORDER]: live rows (position deletes
+    APPLIED) rewrite into num_files z-ordered files in one atomic
+    replace snapshot — rows bit-identical before/after, bounds prune
+    on both z columns, delete manifests drop, time travel to the
+    pre-rewrite snapshots still works, expire reclaims old files."""
+    loc = str(tmp_path / "zt")
+    schema = T.StructType([
+        T.StructField("rid", T.LongType(), False),
+        T.StructField("x", T.IntegerType(), True),
+        T.StructField("y", T.IntegerType(), True),
+    ])
+    grid = spark.range(1600).select(
+        F.col("id").alias("rid"),
+        (F.col("id") % 40).cast("int").alias("x"),
+        (F.col("id") / 40).cast("int").alias("y"))
+    t = IcebergTable.create(loc, schema, now_ms=1_700_000_000_000)
+    t.append(grid.filter(F.col("rid") < 800).repartition(7),
+             now_ms=1_700_000_001_000)
+    t.append(grid.filter(F.col("rid") >= 800).repartition(5),
+             now_ms=1_700_000_002_000)
+    t = IcebergTable.load(loc)
+    t.delete_where(spark, "rid % 100 = 7", now_ms=1_700_000_003_000)
+
+    t = IcebergTable.load(loc)
+    before = sorted(map(tuple, t.read(spark).collect()))
+    pre_snap = t.current_snapshot.snapshot_id
+    n_files_before = len(t.plan_files())
+
+    snap = t.rewrite_data(spark, zorder=[("x", 0, 40), ("y", 0, 40)],
+                          num_files=8, now_ms=1_700_000_004_000)
+    assert snap.operation == "replace"
+    assert snap.summary["rewritten-layout"] == "zorder"
+
+    t = IcebergTable.load(loc)
+    assert len(t.plan_files()) == 8
+    assert sorted(map(tuple, t.read(spark).collect())) == before
+    assert not t.plan_deletes()  # deletes applied, manifests dropped
+    # bounds prune on BOTH columns now
+    assert 0 < len(t.plan_files(where=[("x", "<", 5)])) < 8
+    assert 0 < len(t.plan_files(where=[("y", "<", 5)])) < 8
+    # time travel: the pre-rewrite snapshot still reads its own files
+    old = t.read(spark, snapshot_id=pre_snap)
+    assert sorted(map(tuple, old.collect())) == before
+    assert len(t.plan_files(snapshot_id=pre_snap)) == n_files_before
+
+    # expiry reclaims the replaced files
+    stats = t.expire_snapshots(keep_last=1)
+    assert stats["deleted_files"]
+    t = IcebergTable.load(loc)
+    assert sorted(map(tuple, t.read(spark).collect())) == before
+
+
+def test_rewrite_data_plain_and_edges(spark, tmp_path):
+    """Plain compaction path, mutual-exclusion refusal, empty-table
+    no-op."""
+    loc = str(tmp_path / "pt")
+    schema = T.StructType([T.StructField("rid", T.LongType(), False)])
+    t = IcebergTable.create(loc, schema, now_ms=1_700_000_000_000)
+    assert t.rewrite_data(spark) is None  # empty: no commit
+    t.append(spark.range(100).select(F.col("id").alias("rid"))
+             .repartition(9), now_ms=1_700_000_001_000)
+    t = IcebergTable.load(loc)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        t.rewrite_data(spark, zorder=[("rid", 0, 10)], sort_cols=["rid"])
+    snap = t.rewrite_data(spark, num_files=2, now_ms=1_700_000_002_000)
+    assert snap.summary["rewritten-layout"] == "compact"
+    t = IcebergTable.load(loc)
+    assert len(t.plan_files()) == 2
+    assert t.read(spark).count() == 100
