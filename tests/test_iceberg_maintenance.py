@@ -367,3 +367,36 @@ def test_rewrite_data_plain_and_edges(spark, tmp_path):
     t = IcebergTable.load(loc)
     assert len(t.plan_files()) == 2
     assert t.read(spark).count() == 100
+
+
+def test_rewrite_data_partitioned(spark, table):
+    """rewrite_data on a PARTITIONED table: every output file stays
+    within one partition (the spec invariant — _write_data partitionBy),
+    partition pruning still works, rows bit-identical, and a live
+    position delete is applied (not resurrected)."""
+    loc = table.location
+    t = IcebergTable.load(loc)
+    t.delete_where(spark, "url = 'https://a.example.com/p1'",
+                   now_ms=1_700_000_004_000)
+    t = IcebergTable.load(loc)
+    before = sorted(map(tuple, t.read(spark).collect()))
+    # 60 appended − 15 (bucket-0 partition overwrite) + 3 new − 1 deleted
+    assert len(before) == 47
+
+    snap = t.rewrite_data(spark, num_files=2, now_ms=1_700_000_005_000)
+    assert snap.operation == "replace"
+
+    t = IcebergTable.load(loc)
+    assert sorted(map(tuple, t.read(spark).collect())) == before
+    assert not t.plan_deletes()
+    # every data file carries exactly one partition value; pruning holds
+    files = t.plan_files()
+    parts = {f["partition"]["bucket_id"] for f in files}
+    assert parts == {0, 1, 2, 3}
+    pruned = t.plan_files(partition_filter={"bucket_id": 2})
+    assert pruned and all(
+        f["partition"]["bucket_id"] == 2 for f in pruned)
+    got = t.read(spark, partition_filter={"bucket_id": 2}).collect()
+    assert all(r.bucket_id == 2 for r in got)
+    assert sorted(r.url for r in got) == sorted(
+        u for (u, b, _x) in before if b == 2)
