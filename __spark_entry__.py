@@ -2006,6 +2006,53 @@ def q_pdf_extract_text(spark, sf_dir):
         F.length("ptext").alias("n_chars")).orderBy("doc_id")
 
 
+def q_office_extract_text(spark, sf_dir):
+    """Office-document text extraction (io/office_codec.py, clean-room
+    ECMA-376 / ODF 1.2 / RTF 1.9.1 / [MS-DOC] / EPUB-OCF — the crawl
+    payloads that are not HTML): each document's XML-legal projection
+    is rendered IN-PLAN into one of five containers chosen by
+    ``doc_id % 5`` (DOCX zip, ODT OCF package, RTF with ``\\uN``
+    unicode escapes, legacy DOC with a multi-piece mixed-encoding
+    piece table, multi-chapter EPUB), then the unified byte-router +
+    per-format extractors recover the text.  The oracle hashes the
+    same projection computed directly from the text column and pins
+    the expected route — the sha256s match on every document only if
+    all five write→route→extract chains are byte-exact inverses, and
+    ``routed_ok`` only if magic-byte sniffing (which must peek INSIDE
+    zip/CFB containers — docx/odt/epub share ``PK``, doc/xls share
+    the CFB magic) picked the right extractor every time."""
+    from metacrafter_spark.io.office_codec import (
+        with_document_text, write_doc, write_docx, write_epub,
+        write_odt, write_rtf)
+
+    fmts = ["docx", "odt", "rtf", "doc", "epub"]
+    writers = {"docx": write_docx, "odt": write_odt, "rtf": write_rtf,
+               "doc": write_doc, "epub": write_epub}
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace("text", r"[\x00-\x08\x0B-\x1F\x7F]", "")
+        .alias("ptext"),
+        F.element_at(F.array(*[F.lit(x) for x in fmts]),
+                     (F.col("doc_id") % 5 + 1).cast("int")).alias("fmt"))
+
+    def gen(batches):
+        for b in batches:
+            b = b.copy()
+            b["payload"] = [writers[f](t)
+                            for f, t in zip(b["fmt"], b["ptext"])]
+            yield b[["doc_id", "fmt", "payload"]]
+
+    blobs = docs.mapInPandas(gen, "doc_id long, fmt string, payload binary")
+    out = with_document_text(blobs, "payload", "etext", "etype")
+    return out.select(
+        "doc_id",
+        "fmt",
+        (F.col("etype") == F.col("fmt")).alias("routed_ok"),
+        F.sha2(F.col("etext"), 256).alias("text_sha"),
+        F.length("etext").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
 def q_warc_roundtrip(spark, sf_dir):
     """WARC container round-trip under the north rule's Common-Crawl
     input shape (io/warc.py, clean-room ISO 28500 — the reference has
@@ -4132,6 +4179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract_text": q_html_extract_text,
         # pdf:binary → text layer, byte-identity per doc (round 5)
         "pdf_extract_text": q_pdf_extract_text,
+        "office_extract_text": q_office_extract_text,
         "warc_roundtrip": q_warc_roundtrip,
         # WET (extracted-text conversion records) export + scan (round 5)
         "wet_roundtrip": q_wet_roundtrip,
@@ -7634,6 +7682,23 @@ def oracle_sql() -> dict[str, str]:
                                          'g')) AS pdf_sha,
                    length(regexp_replace(text, '[^\x20-\x7e\n]', '?',
                                          'g'))::BIGINT AS n_chars
+            FROM documents
+            ORDER BY doc_id
+        """,
+        # office_extract_text: the oracle hashes the XML-legal
+        # projection computed directly from the text column and pins
+        # the per-doc_id container route; the Spark side must recover
+        # it from the docx/odt/rtf/doc/epub bytes it rendered in-plan
+        "office_extract_text": r"""
+            SELECT doc_id,
+                   (['docx','odt','rtf','doc','epub'])[(doc_id % 5) + 1]
+                       AS fmt,
+                   TRUE AS routed_ok,
+                   sha256(regexp_replace(text,
+                       '[\x00-\x08\x0B-\x1F\x7F]', '', 'g')) AS text_sha,
+                   length(regexp_replace(text,
+                       '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'))::BIGINT
+                       AS n_chars
             FROM documents
             ORDER BY doc_id
         """,

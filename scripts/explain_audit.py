@@ -1041,6 +1041,32 @@ def main() -> None:
     assert "EvalPython" not in zplan and "MapInPandas" not in zplan, \
         "z-order key runs Python!"
 
+    # §53: office-document extraction — write + route + extract is two
+    # chained map-side MapInPandas kernels over the scan: zero Exchange
+    # (the binary payloads never shuffle), same shape as the html/pdf
+    # legs (§15).
+    from metacrafter_spark.io.office_codec import (with_document_text,
+                                                   write_docx)
+
+    def _gen_docx(batches):
+        for b in batches:
+            b = b.copy()
+            b["payload"] = [write_docx(t) for t in b["text"]]
+            yield b[["doc_id", "payload"]]
+
+    oblobs = docs.filter(F.col("doc_id") < 200).select(
+        "doc_id", "text").mapInPandas(
+            _gen_docx, "doc_id long, payload binary")
+    oplan = plan_of(with_document_text(oblobs, "payload"))
+    sections.append((
+        "Office-document extraction (map-side MapInPandas chain, "
+        "payloads never shuffle)",
+        oplan,
+        ["MapInPandas"],
+    ))
+    assert "Exchange" not in oplan, \
+        "office extraction must not shuffle the binary payloads"
+
     out = ["# BENCH/EXPLAIN — physical-plan audit\n"]
     ok = True
     for title, plan, must in sections:

@@ -1,0 +1,305 @@
+# -*- coding: utf-8 -*-
+"""Office-document text extraction (io/office_codec.py): round-trips
+per format, HAND-WRITTEN spec-shaped fixtures (independent of our
+writers, so a shared writer/reader bug can't hide), router, strict/lax
+contract, and the distributed kernel."""
+from __future__ import annotations
+
+import io
+import struct
+import zipfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from metacrafter_spark.io.office_codec import (
+    extract_doc_text, extract_document_text, extract_docx_text,
+    extract_epub_text, extract_odt_text, extract_rtf_text,
+    sniff_document_type, with_document_text, write_doc, write_docx,
+    write_epub, write_odt, write_rtf,
+)
+
+SAMPLES = [
+    "",
+    "one line",
+    "para one\npara two\nthird",
+    "tabs\there\nand\ttwo\tmore",
+    "unicode: žluťoučký кůň — café 北京 한글 🚀",
+    "trailing newline\n",
+    "a" * 300 + "\nlong doc with päragraph two\n" + "б" * 150,
+    "quotes \"x\" & <tags> aren't 'broken'",
+]
+
+
+@pytest.mark.parametrize("text", SAMPLES)
+@pytest.mark.parametrize("codec", ["docx", "odt", "rtf", "doc", "epub"])
+def test_roundtrip(codec, text):
+    w = {"docx": write_docx, "odt": write_odt, "rtf": write_rtf,
+         "doc": write_doc, "epub": write_epub}[codec]
+    r = {"docx": extract_docx_text, "odt": extract_odt_text,
+         "rtf": extract_rtf_text, "doc": extract_doc_text,
+         "epub": extract_epub_text}[codec]
+    data = w(text)
+    assert r(data) == text
+    assert sniff_document_type(data) == codec
+    assert extract_document_text(data) == text
+
+
+def test_writers_deterministic():
+    for w in (write_docx, write_odt, write_rtf, write_doc, write_epub):
+        assert w("same text\ntwice") == w("same text\ntwice")
+
+
+# ---------------------------------------------------------------- DOCX
+
+DOCX_NS = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+
+
+def _docx_from_xml(document_xml: str) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        z.writestr("word/document.xml", document_xml)
+    return buf.getvalue()
+
+
+def test_docx_hand_fixture_rich():
+    """Hand-built WordprocessingML: split runs, w:tab, w:br, a table
+    (cell paragraphs are lines), field instructions dropped but field
+    RESULTS kept, deleted revision text dropped, entities decoded,
+    inter-element whitespace ignored."""
+    xml = f"""<?xml version="1.0"?>
+    <w:document xmlns:w="{DOCX_NS}">
+      <w:body>
+        <w:p>
+          <w:r><w:t>Hello </w:t></w:r>
+          <w:r><w:rPr/><w:t>world</w:t><w:tab/><w:t>x &amp; y</w:t></w:r>
+          <w:r><w:br/><w:t>after break</w:t></w:r>
+        </w:p>
+        <w:p>
+          <w:r><w:fldChar w:fldCharType="begin"/></w:r>
+          <w:r><w:instrText> PAGE </w:instrText></w:r>
+          <w:r><w:fldChar w:fldCharType="separate"/></w:r>
+          <w:r><w:t>7</w:t></w:r>
+          <w:r><w:fldChar w:fldCharType="end"/></w:r>
+          <w:del><w:r><w:delText>gone</w:delText></w:r></w:del>
+        </w:p>
+        <w:tbl><w:tr>
+          <w:tc><w:p><w:r><w:t>cell A</w:t></w:r></w:p></w:tc>
+          <w:tc><w:p><w:r><w:t>cell B</w:t></w:r></w:p></w:tc>
+        </w:tr></w:tbl>
+      </w:body>
+    </w:document>"""
+    assert extract_docx_text(_docx_from_xml(xml)) == (
+        "Hello world\tx & y\nafter break\n7\ncell A\ncell B")
+
+
+# ----------------------------------------------------------------- ODT
+
+def _odt_from_content(content_xml: str) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        zi = zipfile.ZipInfo("mimetype")
+        zi.compress_type = zipfile.ZIP_STORED
+        z.writestr(zi, "application/vnd.oasis.opendocument.text")
+        z.writestr("content.xml", content_xml)
+    return buf.getvalue()
+
+
+def test_odt_hand_fixture_rich():
+    """Hand-built ODF content.xml: mixed content with tails, text:s
+    c=3, text:tab, text:line-break, nested span, heading, a note
+    skipped (its tail kept)."""
+    xml = """<?xml version="1.0"?>
+    <office:document-content
+        xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+        xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">
+      <office:body><office:text>
+        <text:h>Title</text:h>
+        <text:p>a<text:s text:c="3"/>b<text:tab/>c<text:line-break/>d</text:p>
+        <text:p>x <text:span>in<text:span>ner</text:span> span</text:span> y</text:p>
+        <text:p>before<text:note><text:note-body><text:p>footnote</text:p>
+          </text:note-body></text:note>after</text:p>
+      </office:text></office:body>
+    </office:document-content>"""
+    # note: the nested note's own text:p must NOT appear as a paragraph
+    assert extract_odt_text(_odt_from_content(xml)) == (
+        "Title\na   b\tc\nd\nx inner span y\nbeforeafter")
+
+
+# ----------------------------------------------------------------- RTF
+
+def test_rtf_hand_fixture_spec_constructs():
+    """Hand-written RTF exercising the published spec's machinery:
+    header destinations skipped, \\'xx cp1252 hex bytes, \\uN with
+    \\uc2 skipping two fallback tokens (one raw char + one hex escape),
+    nested groups restoring state, \\*-unknown destination skipped,
+    \\bin raw bytes skipped, escaped delimiters, \\tab/\\par/\\emdash."""
+    rtf = (b"{\\rtf1\\ansi\\ansicpg1252\\deff0"
+           b"{\\fonttbl{\\f0\\froman Times New Roman;}}"
+           b"{\\colortbl;\\red0\\green0\\blue0;}"
+           b"{\\stylesheet{\\s0 Normal;}}"
+           b"{\\info{\\title secret title}}"
+           b"{\\*\\generator Acme Writer 1.0;}"
+           b"\\pard caf\\'e9 costs 5\\'80"
+           b"{\\uc2 snowman \\u9731x\\'3f}"
+           b" back to uc1 \\uc1\\u1055?"
+           b"\\tab col\\par"
+           b"\\{lit\\} \\\\slash\\emdash end"
+           b"{\\*\\unknowndest {\\nested stuff}}"
+           b"\\bin5 XXXXXtail}")
+    assert extract_rtf_text(rtf) == (
+        "caf\u00e9 costs 5\u20ac"
+        "snowman \u2603"
+        " back to uc1 \u041f"
+        "\tcol\n"
+        # the space after \emdash is the control-word delimiter, not text
+        "{lit} \\slash\u2014end"
+        "tail")
+
+
+def test_rtf_surrogate_pair_recombines():
+    rtf = b"{\\rtf1\\ansi\\uc1 hi \\u-10179?\\u-8704? there}"
+    assert extract_rtf_text(rtf) == "hi \U0001F600 there"
+
+
+def test_rtf_not_rtf_raises():
+    with pytest.raises(ValueError):
+        extract_rtf_text(b"plain text, no header")
+
+
+# ----------------------------------------------------------------- DOC
+
+def test_doc_hand_fixture_control_chars():
+    """Word control characters in the text stream: cell marks → tab,
+    \\x0b line break, field instruction dropped / result kept, object
+    anchor dropped, non-breaking hyphen normalized."""
+    body = ("A\rcell1\x07cell2\x07\rline\x0bbreak\r"
+            "\x13 HYPERLINK \x14shown\x15\r"
+            "an\x01chor\rnon\x1ebreaking\r")
+    # write_doc maps \n→\r, so feed the \r-free spelling of the body
+    data = write_doc(body.replace("\r", "\n")[:-1])
+    assert extract_doc_text(data) == (
+        "A\ncell1\tcell2\t\nline\nbreak\nshown\nanchor\nnon-breaking")
+
+
+def test_doc_multipiece_mixed_encoding():
+    """>100 chars with ASCII first half and Cyrillic second half →
+    two pieces, cp1252 + utf-16le (the writer's split rule), and the
+    reader stitches them at the right cp boundary."""
+    text = "a" * 80 + "\n" + "п" * 60
+    data = write_doc(text)
+    # prove both encodings are actually present in the file
+    from metacrafter_spark.io.xls_codec import CfbFile
+    from metacrafter_spark.io.office_codec import _fib_offsets, _parse_clx
+    cfb = CfbFile(data)
+    word = cfb.stream("WordDocument")
+    name, ccp, fc, lcb = _fib_offsets(word)
+    pieces = _parse_clx(cfb.stream(name)[fc:fc + lcb])
+    assert len(pieces) == 2
+    assert pieces[0][3] is True and pieces[1][3] is False
+    assert ccp == len(text) + 1  # final paragraph mark
+    assert extract_doc_text(data) == text
+
+
+def test_doc_rejects_non_word_cfb(tmp_path):
+    """An XLS compound file routes to 'xls' and the doc extractor
+    refuses it (no WordDocument stream)."""
+    from metacrafter_spark.io.xls_codec import write_xls
+    p = tmp_path / "t.xls"
+    write_xls(str(p), [{"a": 1.0}])
+    data = p.read_bytes()
+    assert sniff_document_type(data) == "xls"
+    with pytest.raises(KeyError):
+        extract_doc_text(data)
+
+
+# ---------------------------------------------------------------- EPUB
+
+def test_epub_spine_order_and_chapters():
+    data = write_epub("ch1 p1\nch1 p2\nch2 p1\nch2 p2", chapters=2)
+    with zipfile.ZipFile(io.BytesIO(data)) as z:
+        names = z.namelist()
+        assert names[0] == "mimetype"  # OCF: stored first member
+        info = z.getinfo("mimetype")
+        assert info.compress_type == zipfile.ZIP_STORED
+        assert len({"OEBPS/c0.xhtml", "OEBPS/c1.xhtml"} & set(names)) == 2
+    assert extract_epub_text(data) == "ch1 p1\nch1 p2\nch2 p1\nch2 p2"
+
+
+# -------------------------------------------------------- router + lax
+
+def test_router_all_types():
+    from metacrafter_spark.io.pdf_codec import write_simple_pdf
+    assert sniff_document_type(write_docx("x")) == "docx"
+    assert sniff_document_type(write_odt("x")) == "odt"
+    assert sniff_document_type(write_epub("x")) == "epub"
+    assert sniff_document_type(write_rtf("x")) == "rtf"
+    assert sniff_document_type(write_doc("x")) == "doc"
+    assert sniff_document_type(write_simple_pdf(["x"])) == "pdf"
+    assert sniff_document_type(b"<!DOCTYPE html><p>hi</p>") == "html"
+    assert sniff_document_type(b"  <html><body>x</body></html>") == "html"
+    assert sniff_document_type(b"\x00\x01\x02") == "unknown"
+    # a plain zip that is no document format
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("data.txt", "x")
+    assert sniff_document_type(buf.getvalue()) == "zip"
+
+
+def test_extract_document_text_html_and_pdf():
+    from metacrafter_spark.io.pdf_codec import write_simple_pdf
+    html = b"<html><head><title>t</title></head><body>body text</body></html>"
+    assert extract_document_text(html) == "body text"
+    pdf = write_simple_pdf(["pdf line"])
+    assert extract_document_text(pdf) == "pdf line"
+
+
+def test_strict_lax_contract():
+    truncated = write_docx("hello")[:40]
+    assert extract_document_text(truncated) is None
+    with pytest.raises(Exception):
+        extract_document_text(truncated, "docx", strict=True)
+    assert extract_document_text(b"garbage") is None
+    with pytest.raises(NotImplementedError):
+        extract_document_text(b"garbage", strict=True)
+    assert extract_document_text(None) is None
+    # truncated CFB / RTF / zip payloads all follow the contract
+    assert extract_document_text(write_doc("hello world " * 20)[:600]) \
+        is None
+    # truncated-but-parsable RTF still extracts what's there
+    # (\u12 is a real unicode escape: chr(12))
+    assert extract_document_text(b"{\\rtf1 trunc \\u12", "rtf") \
+        == "trunc \x0c"
+
+
+# ---------------------------------------------------- distributed path
+
+def test_with_document_text_mixed_corpus(spark):
+    rows = []
+    for i, text in enumerate(SAMPLES[1:6]):
+        for kind, w in (("docx", write_docx), ("odt", write_odt),
+                        ("rtf", write_rtf), ("doc", write_doc),
+                        ("epub", write_epub)):
+            rows.append((f"{kind}-{i}", w(text), text))
+    rows.append(("null-1", None, None))
+    rows.append(("junk-1", b"\x99\x98\x97", None))
+    df = spark.createDataFrame(rows, "name string, payload binary, "
+                                     "expected string")
+    out = with_document_text(df, "payload").cache()
+    got = {r["name"]: (r["doc_type"], r["doc_text"])
+           for r in out.collect()}
+    for name, _payload, expected in rows:
+        kind = name.split("-")[0]
+        if kind == "null":
+            assert got[name] == (None, None)
+        elif kind == "junk":
+            assert got[name] == ("unknown", None)
+        else:
+            assert got[name] == (kind, expected)
+    # determinism across partitioning
+    re_got = {r["name"]: (r["doc_type"], r["doc_text"])
+              for r in with_document_text(
+                  df.repartition(7), "payload").collect()}
+    assert re_got == got
+    out.unpersist()
