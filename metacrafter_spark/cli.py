@@ -92,6 +92,13 @@ def main(argv=None) -> int:
                          "(block-level link-density filter) instead "
                          "of raw text for the pipeline's text column; "
                          "the raw extraction is kept as text_raw")
+    wi.add_argument("--doc-attachments", action="store_true",
+                    help="route every payload through the unified "
+                         "document extractor (magic-byte router + "
+                         "Content-Type hint): html AND pdf/docx/odt/"
+                         "rtf/doc/epub/plain-text responses all yield "
+                         "text; incompatible with --main-text (which "
+                         "is html-only)")
     wi.add_argument("--robots-from-crawl", action="store_true",
                     help="harvest /robots.txt responses from the WARC "
                          "input itself (CC shards carry them), parse "
@@ -1089,6 +1096,10 @@ def main(argv=None) -> int:
                 n_edges = spark.read.parquet(args.outlinks).count()
             # crawl-policy columns ride along only when requested
             policy_cols = ("x_robots",) if args.drop_noindex else ()
+            if args.main_text and args.doc_attachments:
+                raise SystemExit(
+                    "--main-text is html-only; it cannot combine with "
+                    "--doc-attachments")
             if args.main_text:
                 from metacrafter_spark.corpus.html import with_main_text
 
@@ -1096,6 +1107,17 @@ def main(argv=None) -> int:
                 pages = with_main_text(pages, "html", "text")
                 src = pages.select(
                     "url", "warc_ts", "html", "text", "text_raw",
+                    *policy_cols, F.lit("").alias("lang"))
+            elif args.doc_attachments:
+                from metacrafter_spark.io.office_codec import (
+                    with_document_text,
+                )
+
+                pages = with_document_text(pages, "html", "text",
+                                           "payload_type",
+                                           mime_col="mime")
+                src = pages.select(
+                    "url", "warc_ts", "html", "text", "payload_type",
                     *policy_cols, F.lit("").alias("lang"))
             else:
                 pages = with_extracted_text(pages, "html", "text")

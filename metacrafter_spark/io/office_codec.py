@@ -867,8 +867,10 @@ def sniff_document_type(data: bytes) -> str:
         except (ValueError, struct.error, IndexError, StopIteration):
             pass
         return "cfb"
-    head = data[:256].lstrip(b" \t\r\n\x0c")
-    if head[:1] == b"<":
+    head = data[:256]
+    if head[:3] == b"\xef\xbb\xbf":  # UTF-8 BOM before markup
+        head = head[3:]
+    if head[:1] == b"<" or head.lstrip(b" \t\r\n\x0c")[:1] == b"<":
         return "html"
     return "unknown"
 
@@ -895,10 +897,15 @@ def extract_document_text(data: Optional[bytes], fmt: str = "auto",
     try:
         if kind == "html":
             from metacrafter_spark.corpus.html import extract_text
-            return extract_text(data, mode="raw")
+            return extract_text(data, mode="raw", encoding="sniff")
         if kind == "pdf":
             from metacrafter_spark.io.pdf_codec import extract_pdf_text
             return extract_pdf_text(data)
+        if kind == "text":
+            from metacrafter_spark.corpus.html import sniff_charset
+            txt = data.decode(sniff_charset(data[:2048]),
+                              errors="replace")
+            return txt[1:] if txt[:1] == "\ufeff" else txt
         fn = _EXTRACTORS.get(kind)
         if fn is None:
             raise NotImplementedError(
@@ -910,30 +917,49 @@ def extract_document_text(data: Optional[bytes], fmt: str = "auto",
         return None
 
 
+#: sniff results a MIME hint may override (magic was inconclusive)
+_SNIFF_INCONCLUSIVE = frozenset({"unknown", "zip", "cfb", "xls"})
+
+
 def with_document_text(df, binary_col: str = "payload",
                        out_col: str = "doc_text",
                        type_col: str = "doc_type",
                        *, fmt: str = "auto",
-                       strict: bool = False):
+                       strict: bool = False,
+                       mime_col: Optional[str] = None):
     """Attach extracted text + detected container type for a binary
     document column.  Arrow-batched ``mapInPandas``, map-side only —
     the binary column never shuffles; at 10^12 rows this is one
     embarrassingly-parallel pass, the same plan shape as the html/pdf
-    extraction legs (EXPLAIN §15)."""
+    extraction legs (EXPLAIN §15, §53).
+
+    ``mime_col`` (e.g. the WARC scan's ``mime``) breaks ties ONLY when
+    the magic bytes are inconclusive: a payload that sniffs as a
+    document container is believed over its declared Content-Type
+    (servers mislabel; bytes don't), but an unknown payload declared
+    ``text/html`` / ``text/*`` extracts as html / plain text."""
     out_schema = appended_schema(df, {out_col: "string",
                                       type_col: "string"})
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             b = b.copy()
+            mimes = (list(b[mime_col]) if mime_col is not None
+                     else [None] * len(b))
             types, texts = [], []
-            for v in b[binary_col]:
+            for v, mime in zip(b[binary_col], mimes):
                 if v is None:
                     types.append(None)
                     texts.append(None)
                     continue
                 raw = bytes(v)
                 kind = sniff_document_type(raw) if fmt == "auto" else fmt
+                if kind in _SNIFF_INCONCLUSIVE and mime:
+                    base = str(mime).split(";")[0].strip().lower()
+                    if base in ("text/html", "application/xhtml+xml"):
+                        kind = "html"
+                    elif base.startswith("text/"):
+                        kind = "text"
                 types.append(kind)
                 texts.append(extract_document_text(raw, kind,
                                                    strict=strict))

@@ -530,6 +530,7 @@ def scan_warc_cdx(spark: SparkSession, cdx_glob: str, warc_dir: str, *,
 def write_warc_shards(df: DataFrame, out_dir: str, num_shards: int, *,
                       url_col: str = "url", ts_col: str = "warc_ts",
                       html_col: str = "html",
+                      mime_col: str | None = None,
                       prefix: str = "part") -> DataFrame:
     """Distributed WARC export: shard by ``crc32(url) mod num_shards``
     (deterministic across partitionings), each group writes one
@@ -548,11 +549,18 @@ def write_warc_shards(df: DataFrame, out_dir: str, num_shards: int, *,
         shard = int(pdf["__shard"].iloc[0])
         pdf = pdf.sort_values(url_col, kind="mergesort")
         name = f"{prefix}-{shard:05d}.warc.gz"
-        recs = [{"url": u, "ts": ts.to_pydatetime()
+        mimes = (list(pdf[mime_col]) if mime_col is not None
+                 else [None] * len(pdf))
+        recs = []
+        for u, ts, h, mime in zip(pdf[url_col], pdf[ts_col],
+                                  pdf[html_col], mimes):
+            r = {"url": u, "ts": ts.to_pydatetime()
                  if hasattr(ts, "to_pydatetime") else ts,
                  "html": bytes(h)}
-                for u, ts, h in zip(pdf[url_col], pdf[ts_col],
-                                    pdf[html_col])]
+            if mime:
+                r["content_type"] = str(mime)
+                r["mime"] = str(mime).split(";")[0].strip()
+            recs.append(r)
         path = os.path.join(out_dir, name)
         n = write_warc(recs, path, os.path.join(
             out_dir, f"{prefix}-{shard:05d}.cdx"))

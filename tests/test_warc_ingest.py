@@ -684,3 +684,65 @@ def test_warc_ingest_url_bloom_store(spark, warc_corpus, tmp_path, capsys):
               str(tmp_path / "d4"), str(tmp_path / "m4"),
               "--stream", str(tmp_path / "cp"),
               "--url-bloom-store", store])
+
+
+def test_warc_ingest_doc_attachments(spark, tmp_path, capsys):
+    """--doc-attachments: a crawl whose responses are html AND
+    pdf/docx/odt/rtf/doc/epub/plain-text payloads — every one yields
+    its text through the unified router; Content-Type breaks ties only
+    where magic is inconclusive (text/plain)."""
+    from datetime import datetime, timezone
+
+    from metacrafter_spark.io.office_codec import (
+        write_doc, write_docx, write_epub, write_odt, write_rtf,
+    )
+    from metacrafter_spark.io.pdf_codec import write_simple_pdf
+    from metacrafter_spark.io.warc import write_warc
+
+    body = "Attachment body text.\nSecond paragraph with detail."
+    recs, expected = [], {}
+    mk = {
+        "html": (lambda t: f"<html><body>{t}</body></html>"
+                 .encode(), "text/html; charset=utf-8"),
+        "pdf": (lambda t: write_simple_pdf([t]), "application/pdf"),
+        "docx": (lambda t: write_docx(t),
+                 "application/vnd.openxmlformats-officedocument"
+                 ".wordprocessingml.document"),
+        "odt": (lambda t: write_odt(t),
+                "application/vnd.oasis.opendocument.text"),
+        "rtf": (lambda t: write_rtf(t), "application/rtf"),
+        "doc": (lambda t: write_doc(t), "application/msword"),
+        "epub": (lambda t: write_epub(t), "application/epub+zip"),
+        # magic-inconclusive: only the Content-Type says it's text
+        "txt": (lambda t: t.encode(), "text/plain; charset=utf-8"),
+    }
+    for i, (kind, (build, ctype)) in enumerate(sorted(mk.items())):
+        url = f"https://files.example.com/{kind}/item{i}"
+        recs.append({"url": url,
+                     "ts": datetime(2025, 3, 1, tzinfo=timezone.utc),
+                     "html": build(body), "content_type": ctype,
+                     "mime": ctype.split(";")[0]})
+        expected[url] = body
+    d = tmp_path / "mixedwarc"
+    d.mkdir()
+    write_warc(recs, str(d / "part-00000.warc.gz"),
+               str(d / "part-00000.cdx"))
+
+    out = str(tmp_path / "docs_tbl")
+    met = str(tmp_path / "metrics_tbl")
+    rc = main(["warc-ingest", str(d) + "/*.cdx", str(d), out, met,
+               "--buckets", "2", "--doc-attachments"])
+    assert rc == 0
+    docs = IcebergTable.load(out).read(spark)
+    got = {r["url"]: (r["text"], r["payload_type"])
+           for r in docs.collect()}
+    assert len(got) == len(recs)
+    for url, text in expected.items():
+        kind = url.split("/")[3]
+        want_type = {"txt": "text"}.get(kind, kind)
+        assert got[url] == (text, want_type), (url, got[url][1])
+
+    # --main-text is html-only: the combination must refuse
+    with pytest.raises(SystemExit):
+        main(["warc-ingest", str(d) + "/*.cdx", str(d), out, met,
+              "--doc-attachments", "--main-text"])
