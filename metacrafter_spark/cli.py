@@ -1070,6 +1070,10 @@ def main(argv=None) -> int:
                 raise SystemExit("--kenlm-ppl-max needs --kenlm-model")
             if args.quality_min_p is not None and not args.quality_model:
                 raise SystemExit("--quality-min-p needs --quality-model")
+            if args.main_text and args.doc_attachments:
+                raise SystemExit(
+                    "--main-text is html-only; it cannot combine with "
+                    "--doc-attachments")
             from pyspark.sql import functions as F
 
             from metacrafter_spark.corpus.html import with_extracted_text
@@ -1096,10 +1100,6 @@ def main(argv=None) -> int:
                 n_edges = spark.read.parquet(args.outlinks).count()
             # crawl-policy columns ride along only when requested
             policy_cols = ("x_robots",) if args.drop_noindex else ()
-            if args.main_text and args.doc_attachments:
-                raise SystemExit(
-                    "--main-text is html-only; it cannot combine with "
-                    "--doc-attachments")
             if args.main_text:
                 from metacrafter_spark.corpus.html import with_main_text
 

@@ -86,10 +86,22 @@ def _attr(el, name: str) -> Optional[str]:
 _DOCX_NS = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
 
 
+#: Subtrees that are out-of-flow or non-text machinery: field
+#: instructions, deleted revisions, drawings/shapes (whose textbox
+#: content would otherwise surface TWICE — inline through the host
+#: paragraph's runs AND as standalone nested w:p paragraphs — and for
+#: mc:AlternateContent twice more via the Choice/Fallback copies).
+_DOCX_SKIP = frozenset({
+    "instrText", "delText", "delInstrText", "drawing", "pict",
+    "object", "AlternateContent", "commentRangeStart",
+    "commentRangeEnd", "footnoteReference", "endnoteReference",
+})
+
+
 def _walk_docx_runs(el, out: list) -> None:
     tag = _local(el.tag)
-    if tag in ("instrText", "delText", "delInstrText"):
-        return  # field instructions / deleted revision text are not text
+    if tag in _DOCX_SKIP:
+        return
     if tag == "t":
         out.append(el.text or "")
         return
@@ -103,22 +115,37 @@ def _walk_docx_runs(el, out: list) -> None:
         _walk_docx_runs(ch, out)
 
 
+def _collect_docx_paras(el, paras: list[str]) -> None:
+    """Document-order paragraph collection that never descends into
+    skipped subtrees — a textbox's nested ``w:p`` must not surface as
+    its own paragraph when the host paragraph's run walk already
+    excluded the drawing."""
+    tag = _local(el.tag)
+    if tag in _DOCX_SKIP:
+        return
+    if tag == "p":
+        out: list = []
+        for ch in el:
+            _walk_docx_runs(ch, out)
+        paras.append("".join(out))
+        return
+    for ch in el:
+        _collect_docx_paras(ch, paras)
+
+
 def extract_docx_text(data: bytes) -> str:
-    """WordprocessingML text: every ``w:p`` paragraph in document order
-    (including table-cell paragraphs) becomes one line; only ``w:t``
-    content is document text (inter-element whitespace is markup, not
-    text — OOXML mixed-content tails are ignored by design);
-    ``w:tab``/``w:br``/``w:cr`` map to tab/newline."""
+    """WordprocessingML text: every in-flow ``w:p`` paragraph in
+    document order (including table-cell paragraphs) becomes one line;
+    only ``w:t`` content is document text (inter-element whitespace is
+    markup, not text — OOXML mixed-content tails are ignored by
+    design); ``w:tab``/``w:br``/``w:cr`` map to tab/newline;
+    out-of-flow machinery (field instructions, deleted revisions,
+    drawings/textboxes, AlternateContent) contributes nothing."""
     with zipfile.ZipFile(io.BytesIO(data)) as z:
         doc = z.read("word/document.xml")
     root = ElementTree.fromstring(doc)
-    paras = []
-    for el in root.iter():
-        if _local(el.tag) == "p":
-            out: list = []
-            for ch in el:
-                _walk_docx_runs(ch, out)
-            paras.append("".join(out))
+    paras: list[str] = []
+    _collect_docx_paras(root, paras)
     return "\n".join(paras)
 
 
@@ -341,11 +368,13 @@ def extract_rtf_text(data: bytes) -> str:
             stack.append(state[:])
             i += 1
             star_pending = False
+            pending_skip = 0  # \uN fallback cannot cross a group brace
         elif c == 0x7D:  # }
             if stack:
                 state = stack.pop()
             i += 1
             star_pending = False
+            pending_skip = 0
         elif c == 0x5C:  # backslash
             if i + 1 >= n:
                 break
@@ -372,12 +401,16 @@ def extract_rtf_text(data: bytes) -> str:
                 continue
             if nxt == 0x7E:  # \~ nbsp
                 i += 2
-                if not state[1] and not pending_skip:
+                if pending_skip:
+                    pending_skip -= 1
+                elif not state[1]:
                     out.append("\u00a0")
                 continue
             if nxt == 0x5F:  # \_ non-breaking hyphen
                 i += 2
-                if not state[1] and not pending_skip:
+                if pending_skip:
+                    pending_skip -= 1
+                elif not state[1]:
                     out.append("\u2011")
                 continue
             if nxt == 0x2D:  # \- optional hyphen: no text
@@ -389,7 +422,9 @@ def extract_rtf_text(data: bytes) -> str:
                 continue
             if nxt in (0x0D, 0x0A):  # escaped CR/LF = \par
                 i += 2
-                if not state[1]:
+                if pending_skip:
+                    pending_skip -= 1
+                elif not state[1]:
                     out.append("\n")
                 continue
             m = _RTF_WORD_RE.match(data, i + 1)
@@ -500,6 +535,8 @@ def _parse_clx(clx: bytes) -> list[tuple[int, int, int, bool]]:
     i = 0
     while i < len(clx) and clx[i] == 0x01:  # Prc (property data): skip
         (cb,) = struct.unpack_from("<h", clx, i + 1)
+        if cb < 0:
+            raise ValueError("Clx: negative Prc size")
         i += 3 + cb
     if i >= len(clx) or clx[i] != 0x02:
         raise ValueError("Clx: missing Pcdt")
@@ -578,106 +615,6 @@ def extract_doc_text(data: bytes) -> str:
     return "".join(out)
 
 
-def _cfb_multi(streams: list[tuple[str, bytes]]) -> bytes:
-    """[MS-CFB] v3 container holding several streams (the xls writer's
-    single-stream layout generalized): small streams (< 4096 B) live in
-    the mini stream per spec, large ones in plain FAT chains.  Single
-    FAT sector — ample for fixture-scale documents."""
-    ENDOFCHAIN, FREESECT, FATSECT = 0xFFFFFFFE, 0xFFFFFFFF, 0xFFFFFFFD
-    ssz, msz, cutoff = 512, 64, 4096
-
-    def pad(b: bytes, unit: int) -> bytes:
-        return b + b"\x00" * (-len(b) % unit)
-
-    mini_parts: list[bytes] = []
-    minifat: list[int] = []
-    placements: list[tuple[str, int, int, bool]] = []  # name,start,size,mini
-    large_parts: list[bytes] = []
-    large_sizes: list[int] = []
-    for name, payload in streams:
-        if len(payload) < cutoff:
-            start = sum(len(p) for p in mini_parts) // msz
-            part = pad(payload, msz)
-            mini_parts.append(part)
-            k = len(part) // msz
-            minifat.extend([start + j + 1 for j in range(k - 1)]
-                           + [ENDOFCHAIN])
-            placements.append((name, start, len(payload), True))
-        else:
-            large_parts.append(pad(payload, ssz))
-            large_sizes.append(len(payload))
-            placements.append((name, -1, len(payload), False))
-
-    mini = b"".join(mini_parts)
-    minifat_bytes = pad(struct.pack(f"<{len(minifat)}I", *minifat), ssz) \
-        if minifat else b""
-    n_minifat_sec = len(minifat_bytes) // ssz
-    mini_padded = pad(mini, ssz)
-    n_dir_sec = (128 * max(4, len(streams) + 1) + ssz - 1) // ssz
-
-    # sector map: 0 FAT | dir | miniFAT | mini container | large streams
-    fat: list[int] = [FATSECT]
-    dir_start = 1
-    fat += [dir_start + j + 1 for j in range(n_dir_sec - 1)] + [ENDOFCHAIN]
-    minifat_start = dir_start + n_dir_sec if n_minifat_sec else ENDOFCHAIN
-    if n_minifat_sec:
-        fat += [len(fat) + 1 + j for j in range(n_minifat_sec - 1)] \
-            + [ENDOFCHAIN]
-    cont_start = len(fat) if mini_padded else ENDOFCHAIN
-    if mini_padded:
-        k = len(mini_padded) // ssz
-        fat += [len(fat) + 1 + j for j in range(k - 1)] + [ENDOFCHAIN]
-    large_starts = []
-    for part in large_parts:
-        large_starts.append(len(fat))
-        k = len(part) // ssz
-        fat += [len(fat) + 1 + j for j in range(k - 1)] + [ENDOFCHAIN]
-    if len(fat) > ssz // 4:
-        raise ValueError("streams too large for the single-FAT writer")
-    fat_bytes = struct.pack(f"<{ssz // 4}I",
-                            *(fat + [FREESECT] * (ssz // 4 - len(fat))))
-
-    def dir_entry(name: str, typ: int, start: int, size: int,
-                  right: int = FREESECT, child: int = FREESECT) -> bytes:
-        raw = name.encode("utf-16-le") + b"\x00\x00"
-        e = raw.ljust(64, b"\x00")
-        e += struct.pack("<HBB", len(raw), typ, 1)
-        e += struct.pack("<III", FREESECT, right, child)
-        e += b"\x00" * 36
-        e += struct.pack("<I", start & 0xFFFFFFFF)
-        e += struct.pack("<Q", size)
-        return e
-
-    li = 0
-    entries = [dir_entry("Root Entry", 5,
-                         cont_start, len(mini), child=1)]
-    for idx, (name, start, size, is_mini) in enumerate(placements):
-        if not is_mini:
-            start = large_starts[li]
-            li += 1
-        right = idx + 2 if idx + 1 < len(placements) else FREESECT
-        entries.append(dir_entry(name, 2, start, size, right=right))
-    directory = pad(b"".join(entries), ssz)
-    directory += b"\x00" * (n_dir_sec * ssz - len(directory))
-
-    header = bytearray(512)
-    header[0:8] = _CFB_MAGIC
-    struct.pack_into("<H", header, 24, 0x003E)
-    struct.pack_into("<H", header, 26, 0x0003)
-    struct.pack_into("<H", header, 28, 0xFFFE)
-    struct.pack_into("<H", header, 30, 9)
-    struct.pack_into("<H", header, 32, 6)
-    struct.pack_into("<I", header, 44, 1)
-    struct.pack_into("<I", header, 48, dir_start)
-    struct.pack_into("<I", header, 56, cutoff)
-    struct.pack_into("<I", header, 60, minifat_start)
-    struct.pack_into("<I", header, 64, n_minifat_sec)
-    struct.pack_into("<I", header, 68, ENDOFCHAIN)
-    struct.pack_into("<I", header, 72, 0)
-    struct.pack_into("<109I", header, 76, 0, *([FREESECT] * 108))
-    return (bytes(header) + fat_bytes + directory
-            + minifat_bytes + mini_padded + b"".join(large_parts))
-
 
 def write_doc(text: str) -> bytes:
     """Minimal [MS-DOC] writer (fixtures + the round-trip oracle):
@@ -706,7 +643,11 @@ def write_doc(text: str) -> bytes:
                 piece_blobs.append(b"\x00")
                 off += 1
         piece_blobs.append(blob)
-        piece_meta.append((off, len(h), compressed))
+        # CP counts are in-piece units: bytes for cp1252 pieces,
+        # 16-bit code units for utf-16 pieces (astral chars are TWO
+        # units — len(h) codepoints would under-count them)
+        ncp = len(blob) if compressed else len(blob) // 2
+        piece_meta.append((off, ncp, compressed))
         off += len(blob)
     word.extend(b"".join(piece_blobs))
 
@@ -735,7 +676,10 @@ def write_doc(text: str) -> bytes:
     struct.pack_into("<I", word, lw + 12, cps[-1])     # ccpText
     struct.pack_into("<H", word, 152, 0x005D)          # cbRgFcLcb
     struct.pack_into("<II", word, 154 + 33 * 8, 0, len(clx))  # fc/lcbClx
-    return _cfb_multi([("WordDocument", bytes(word)), ("1Table", table)])
+    from metacrafter_spark.io.xls_codec import cfb_container
+
+    return cfb_container([("WordDocument", bytes(word)),
+                          ("1Table", table)])
 
 
 # ---------------------------------------------------------------------------
@@ -826,6 +770,26 @@ def write_epub(text: str, *, chapters: int = 2) -> bytes:
 # Unified routing + the distributed surface
 # ---------------------------------------------------------------------------
 
+def _cfb_first_sector_names(data: bytes) -> set[str]:
+    """Directory names from the FIRST directory sector only — a
+    constant-cost peek that avoids the full FAT walk on the sniff path
+    (WordDocument/Workbook virtually always sit among the first four
+    entries; the caller falls back to a full parse when neither
+    appears)."""
+    (sshift,) = struct.unpack_from("<H", data, 30)
+    (dir_start,) = struct.unpack_from("<I", data, 48)
+    ssz = 1 << sshift
+    sector = data[512 + dir_start * ssz:512 + dir_start * ssz + ssz]
+    names: set[str] = set()
+    for off in range(0, len(sector) - 127, 128):
+        e = sector[off:off + 128]
+        (name_len,) = struct.unpack_from("<H", e, 64)
+        if e[66] == 0 or name_len < 2 or name_len > 64:
+            continue
+        names.add(e[:name_len - 2].decode("utf-16-le", errors="replace"))
+    return names
+
+
 def sniff_document_type(data: bytes) -> str:
     """Container type of a document payload — the Python-side half of
     the decode router.  Zip-based formats (docx/odt/epub) and CFB-based
@@ -858,8 +822,11 @@ def sniff_document_type(data: bytes) -> str:
         return "zip"
     if data[:8] == _CFB_MAGIC:
         try:
-            from metacrafter_spark.io.xls_codec import CfbFile
-            names = {e[0] for e in CfbFile(data).entries}
+            names = _cfb_first_sector_names(data)
+            if not names & {"WordDocument", "Workbook", "Book"}:
+                # rare layout: directory spans sectors — full parse
+                from metacrafter_spark.io.xls_codec import CfbFile
+                names = {e[0] for e in CfbFile(data).entries}
             if "WordDocument" in names:
                 return "doc"
             if names & {"Workbook", "Book"}:
@@ -917,8 +884,11 @@ def extract_document_text(data: Optional[bytes], fmt: str = "auto",
         return None
 
 
-#: sniff results a MIME hint may override (magic was inconclusive)
-_SNIFF_INCONCLUSIVE = frozenset({"unknown", "zip", "cfb", "xls"})
+#: sniff results a MIME hint may override.  ONLY "unknown": zip/cfb/xls
+#: are conclusive byte identifications — a server mislabeling an .xls
+#: as text/html must not get its binary decoded into mojibake corpus
+#: text (bytes beat labels).
+_SNIFF_INCONCLUSIVE = frozenset({"unknown"})
 
 
 def with_document_text(df, binary_col: str = "payload",

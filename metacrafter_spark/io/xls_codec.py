@@ -450,90 +450,112 @@ def _workbook_stream(rows: list[dict[str, Any]], sheet: str) -> bytes:
     return globals_part(size) + sheet_stream
 
 
-def _cfb_container(stream: bytes) -> bytes:
-    """Wrap one 'Workbook' stream in a [MS-CFB] v3 container.
+def cfb_container(streams: list[tuple[str, bytes]]) -> bytes:
+    """[MS-CFB] v3 container holding several named streams: small
+    streams (< 4096 B) live in the mini stream per spec, large ones in
+    plain FAT chains.  Single FAT sector — ample for fixture-scale
+    files.  The one CFB writer in the repo: the xls writer and the
+    [MS-DOC] writer (io/office_codec.py) both build on it."""
+    ENDOFCHAIN, FREESECT, FATSECT = 0xFFFFFFFE, 0xFFFFFFFF, 0xFFFFFFFD
+    ssz, msz, cutoff = 512, 64, 4096
 
-    Streams under the 4096-byte cutoff live in the mini stream (per
-    spec); larger ones get a plain FAT chain.  Layout: sector 0 = FAT,
-    sector 1 = directory, then miniFAT + mini-stream / stream sectors.
-    """
-    ssz, msz = 512, 64
-    use_mini = len(stream) < 4096
+    def pad(b: bytes, unit: int) -> bytes:
+        return b + b"\x00" * (-len(b) % unit)
 
-    def pad(b: bytes, n: int) -> bytes:
-        return b + b"\x00" * (-len(b) % n)
+    mini_parts: list[bytes] = []
+    minifat: list[int] = []
+    placements: list[tuple[str, int, int, bool]] = []  # name,start,size,mini
+    large_parts: list[bytes] = []
+    large_sizes: list[int] = []
+    for name, payload in streams:
+        if len(payload) < cutoff:
+            start = sum(len(p) for p in mini_parts) // msz
+            part = pad(payload, msz)
+            mini_parts.append(part)
+            k = len(part) // msz
+            minifat.extend([start + j + 1 for j in range(k - 1)]
+                           + [ENDOFCHAIN])
+            placements.append((name, start, len(payload), True))
+        else:
+            large_parts.append(pad(payload, ssz))
+            large_sizes.append(len(payload))
+            placements.append((name, -1, len(payload), False))
 
-    if use_mini:
-        mini = pad(stream, msz)
-        n_mini = len(mini) // msz
-        minifat = [i + 1 for i in range(n_mini - 1)] + [_ENDOFCHAIN]
-        minifat_bytes = pad(struct.pack(f"<{n_mini}I", *minifat), ssz)
-        n_minifat_sec = len(minifat_bytes) // ssz
-        container = pad(mini, ssz)
-        n_cont = len(container) // ssz
-        # sectors: 0 FAT, 1 dir, 2..2+n_minifat_sec-1 miniFAT, then container
-        minifat_start, cont_start = 2, 2 + n_minifat_sec
-        fat = [_FATSECT, _ENDOFCHAIN]
-        fat += [minifat_start + i + 1 for i in range(n_minifat_sec - 1)] + [_ENDOFCHAIN]
-        fat += [cont_start + i + 1 for i in range(n_cont - 1)] + [_ENDOFCHAIN]
-        body_sectors = minifat_bytes + container
-        root_start, root_size = cont_start, len(container)
-        wb_start, wb_size = 0, len(stream)
-        n_minifat_entries = n_mini
-    else:
-        body = pad(stream, ssz)
-        n_body = len(body) // ssz
-        fat = [_FATSECT, _ENDOFCHAIN]
-        fat += [2 + i + 1 for i in range(n_body - 1)] + [_ENDOFCHAIN]
-        body_sectors = body
-        minifat_start, n_minifat_sec, n_minifat_entries = _ENDOFCHAIN, 0, 0
-        root_start, root_size = _ENDOFCHAIN, 0
-        wb_start, wb_size = 2, len(stream)
+    mini = b"".join(mini_parts)
+    minifat_bytes = pad(struct.pack(f"<{len(minifat)}I", *minifat), ssz) \
+        if minifat else b""
+    n_minifat_sec = len(minifat_bytes) // ssz
+    mini_padded = pad(mini, ssz)
+    n_dir_sec = (128 * max(4, len(streams) + 1) + ssz - 1) // ssz
 
+    # sector map: 0 FAT | dir | miniFAT | mini container | large streams
+    fat: list[int] = [FATSECT]
+    dir_start = 1
+    fat += [dir_start + j + 1 for j in range(n_dir_sec - 1)] + [ENDOFCHAIN]
+    minifat_start = dir_start + n_dir_sec if n_minifat_sec else ENDOFCHAIN
+    if n_minifat_sec:
+        fat += [len(fat) + 1 + j for j in range(n_minifat_sec - 1)] \
+            + [ENDOFCHAIN]
+    cont_start = len(fat) if mini_padded else ENDOFCHAIN
+    if mini_padded:
+        k = len(mini_padded) // ssz
+        fat += [len(fat) + 1 + j for j in range(k - 1)] + [ENDOFCHAIN]
+    large_starts = []
+    for part in large_parts:
+        large_starts.append(len(fat))
+        k = len(part) // ssz
+        fat += [len(fat) + 1 + j for j in range(k - 1)] + [ENDOFCHAIN]
     if len(fat) > ssz // 4:
-        raise ValueError("stream too large for the minimal single-FAT writer")
-    fat_bytes = struct.pack(
-        f"<{ssz // 4}I", *(fat + [_FREESECT] * (ssz // 4 - len(fat)))
-    )
+        raise ValueError("streams too large for the single-FAT writer")
+    fat_bytes = struct.pack(f"<{ssz // 4}I",
+                            *(fat + [FREESECT] * (ssz // 4 - len(fat))))
 
     def dir_entry(name: str, typ: int, start: int, size: int,
-                  color: int = 1, child: int = _FREESECT) -> bytes:
+                  right: int = FREESECT, child: int = FREESECT) -> bytes:
         raw = name.encode("utf-16-le") + b"\x00\x00"
         e = raw.ljust(64, b"\x00")
-        e += struct.pack("<HBB", len(raw), typ, color)
-        e += struct.pack("<III", _FREESECT, _FREESECT, child)  # siblings/child
-        e += b"\x00" * 16  # CLSID
-        e += b"\x00" * 4   # state bits
-        e += b"\x00" * 16  # timestamps
-        e += struct.pack("<I", start)
+        e += struct.pack("<HBB", len(raw), typ, 1)
+        e += struct.pack("<III", FREESECT, right, child)
+        e += b"\x00" * 36
+        e += struct.pack("<I", start & 0xFFFFFFFF)
         e += struct.pack("<Q", size)
         return e
 
-    directory = (
-        dir_entry("Root Entry", 5, root_start, root_size, child=1)
-        + dir_entry("Workbook", 2, wb_start, wb_size)
-        + b"\x00" * 128 * 2
-    )
+    li = 0
+    entries = [dir_entry("Root Entry", 5,
+                         cont_start, len(mini), child=1)]
+    for idx, (name, start, size, is_mini) in enumerate(placements):
+        if not is_mini:
+            start = large_starts[li]
+            li += 1
+        right = idx + 2 if idx + 1 < len(placements) else FREESECT
+        entries.append(dir_entry(name, 2, start, size, right=right))
+    directory = pad(b"".join(entries), ssz)
+    directory += b"\x00" * (n_dir_sec * ssz - len(directory))
 
     header = bytearray(512)
     header[0:8] = _CFB_MAGIC
-    struct.pack_into("<H", header, 24, 0x003E)   # minor version
-    struct.pack_into("<H", header, 26, 0x0003)   # major version 3
-    struct.pack_into("<H", header, 28, 0xFFFE)   # little-endian
-    struct.pack_into("<H", header, 30, 9)        # sector shift → 512
-    struct.pack_into("<H", header, 32, 6)        # mini shift → 64
-    struct.pack_into("<I", header, 44, 1)        # one FAT sector
-    struct.pack_into("<I", header, 48, 1)        # directory at sector 1
-    struct.pack_into("<I", header, 56, 4096)     # mini cutoff
-    struct.pack_into("<I", header, 60,
-                     minifat_start if n_minifat_sec else _ENDOFCHAIN)
+    struct.pack_into("<H", header, 24, 0x003E)
+    struct.pack_into("<H", header, 26, 0x0003)
+    struct.pack_into("<H", header, 28, 0xFFFE)
+    struct.pack_into("<H", header, 30, 9)
+    struct.pack_into("<H", header, 32, 6)
+    struct.pack_into("<I", header, 44, 1)
+    struct.pack_into("<I", header, 48, dir_start)
+    struct.pack_into("<I", header, 56, cutoff)
+    struct.pack_into("<I", header, 60, minifat_start)
     struct.pack_into("<I", header, 64, n_minifat_sec)
-    struct.pack_into("<I", header, 68, _ENDOFCHAIN)  # no DIFAT sectors
+    struct.pack_into("<I", header, 68, ENDOFCHAIN)
     struct.pack_into("<I", header, 72, 0)
-    difat = [0] + [_FREESECT] * 108
-    struct.pack_into("<109I", header, 76, *difat)
+    struct.pack_into("<109I", header, 76, 0, *([FREESECT] * 108))
+    return (bytes(header) + fat_bytes + directory
+            + minifat_bytes + mini_padded + b"".join(large_parts))
 
-    return bytes(header) + fat_bytes + directory.ljust(ssz, b"\x00") + body_sectors
+
+def _cfb_container(stream: bytes) -> bytes:
+    """One 'Workbook' stream in a [MS-CFB] v3 container (delegates to
+    the general multi-stream writer)."""
+    return cfb_container([("Workbook", stream)])
 
 
 def write_xls(path: str, rows: list[dict[str, Any]],

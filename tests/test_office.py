@@ -303,3 +303,77 @@ def test_with_document_text_mixed_corpus(spark):
                   df.repartition(7), "payload").collect()}
     assert re_got == got
     out.unpersist()
+
+
+# ------------------------------------------------- review regressions
+
+def test_doc_negative_prc_raises_not_hangs():
+    """A Clx whose Prc carries a negative cbGrpprl must raise (lax:
+    None), never loop forever in the piece-table walk."""
+    from metacrafter_spark.io.office_codec import _parse_clx
+    bad = b"\x01\xfd\xff" + b"\x02\x00\x00\x00\x00"  # cbGrpprl = -3
+    with pytest.raises(ValueError, match="negative Prc"):
+        _parse_clx(bad)
+
+
+def test_doc_astral_text_roundtrip():
+    """CP counts are UTF-16 code units: astral chars are TWO units, so
+    text following several emoji must not truncate."""
+    text = "\U0001F600\U0001F600x tail stays intact"
+    assert extract_doc_text(write_doc(text)) == text
+    long = ("\U0001F680" * 30) + "\n" + "y" * 80  # multi-piece path
+    assert extract_doc_text(write_doc(long)) == long
+
+
+def test_docx_textbox_not_duplicated():
+    """mc:AlternateContent / w:drawing textboxes: Word emits the same
+    text in Choice AND Fallback, and the textbox holds nested w:p —
+    none of it may surface (neither inline nor as extra paragraphs)."""
+    xml = f"""<?xml version="1.0"?>
+    <w:document xmlns:w="{DOCX_NS}"
+        xmlns:mc="http://schemas.openxmlformats.org/markup-compatibility/2006">
+      <w:body>
+        <w:p><w:r><w:t>host</w:t></w:r>
+          <w:r><mc:AlternateContent>
+            <mc:Choice><w:drawing><w:txbxContent>
+              <w:p><w:r><w:t>Box</w:t></w:r></w:p>
+            </w:txbxContent></w:drawing></mc:Choice>
+            <mc:Fallback><w:pict><w:txbxContent>
+              <w:p><w:r><w:t>Box</w:t></w:r></w:p>
+            </w:txbxContent></w:pict></mc:Fallback>
+          </mc:AlternateContent></w:r>
+          <w:r><w:t> flow</w:t></w:r>
+        </w:p>
+      </w:body>
+    </w:document>"""
+    assert extract_docx_text(_docx_from_xml(xml)) == "host flow"
+
+
+def test_rtf_pending_skip_group_scoped():
+    """\\uN fallback skipping cannot cross a group brace and must
+    count \\~ (and escaped CR/LF) as swallowed fallback tokens."""
+    assert extract_rtf_text(b"{\\rtf1\\uc1 {\\u9731}AB}") == "☃AB"
+    assert extract_rtf_text(b"{\\rtf1\\uc1 \\u9731\\~AB}") == "☃AB"
+    assert extract_rtf_text(b"{\\rtf1\\uc1 \\u9731\\\r\nAB}") \
+        == "☃AB"
+
+
+def test_mime_hint_never_overrides_conclusive_bytes(spark, tmp_path):
+    """A server mislabeling an .xls as text/html must not get its
+    binary decoded into mojibake corpus text — bytes beat labels; the
+    hint applies only to magic-unknown payloads."""
+    from metacrafter_spark.io.xls_codec import write_xls
+    p = tmp_path / "t.xls"
+    write_xls(str(p), [{"a": 1.0}])
+    rows = [("xls-mislabeled", p.read_bytes(), "text/html"),
+            ("true-plain", b"just some plain text", "text/plain"),
+            ("true-html-unknown-magic", b"\xef\xbb\xbf<p>bom page</p>",
+             "text/html")]
+    df = spark.createDataFrame(rows, "name string, payload binary, "
+                                     "mime string")
+    got = {r["name"]: (r["doc_type"], r["doc_text"])
+           for r in with_document_text(df, "payload",
+                                       mime_col="mime").collect()}
+    assert got["xls-mislabeled"] == ("xls", None)
+    assert got["true-plain"] == ("text", "just some plain text")
+    assert got["true-html-unknown-magic"] == ("html", "bom page")
