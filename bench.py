@@ -388,6 +388,42 @@ def main() -> None:
     assert removed is not None and removed > n // 4, \
         f"para dedup removed only {removed}"
     qtimes["global_para_dedup"] = round(best, 3)
+
+    # office-document extraction: 2k docs round-tripped in-plan through
+    # all five containers (docx/odt/rtf/doc/epub) and extracted back —
+    # the non-HTML-attachment leg of the ingest path, best-of-2
+    from metacrafter_spark.io.office_codec import (
+        with_document_text, write_doc, write_docx, write_epub,
+        write_odt, write_rtf)
+
+    writers = {"docx": write_docx, "odt": write_odt, "rtf": write_rtf,
+               "doc": write_doc, "epub": write_epub}
+    fmts = list(writers)
+    osrc = corpus.limit(2000).select(
+        "url", F.col("text").alias("ptext"),
+        F.element_at(F.array(*[F.lit(x) for x in fmts]),
+                     (F.abs(F.xxhash64("url")) % 5 + 1).cast("int"))
+        .alias("fmt"))
+
+    def _ogen(batches):
+        for b in batches:
+            b = b.copy()
+            b["payload"] = [writers[f](t)
+                            for f, t in zip(b["fmt"], b["ptext"])]
+            yield b[["url", "fmt", "payload"]]
+
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n_ok = with_document_text(
+            osrc.mapInPandas(_ogen, "url string, fmt string, "
+                                    "payload binary"),
+            "payload").filter(
+                F.col("doc_text").isNotNull()
+                & (F.col("doc_type") == F.col("fmt"))).count()
+        best = min(best, time.perf_counter() - t0)
+    assert n_ok == 2000, f"office extraction only {n_ok}/2000"
+    qtimes["office_extract"] = round(best, 3)
     total = round(sum(qtimes.values()), 3)
 
     print(json.dumps({
