@@ -301,6 +301,18 @@ def main(argv=None) -> int:
     card.add_argument("--lang-col", default="langid_lang")
     card.add_argument("--cores", type=int)
 
+    xd = sub.add_parser(
+        "extract-docs",
+        help="directory/glob of mixed document files (html/pdf/docx/"
+             "odt/rtf/doc/epub/txt) → parquet text table via the "
+             "unified magic-byte router; one Spark task per file")
+    xd.add_argument("input", help="file glob, e.g. /data/docs/**")
+    xd.add_argument("output", help="parquet output path")
+    xd.add_argument("--strict", action="store_true",
+                    help="raise on undecodable payloads instead of "
+                         "emitting NULL text")
+    xd.add_argument("--cores", type=int)
+
     pdp = sub.add_parser(
         "para-dedup",
         help="corpus-wide paragraph dedup (CCNet: drop duplicated / "
@@ -821,6 +833,32 @@ def main(argv=None) -> int:
                 print(json.dumps({"written": args.output}))
             else:
                 print(payload)
+        elif args.cmd == "extract-docs":
+            from pyspark.sql import functions as F
+
+            from metacrafter_spark.io.office_codec import (
+                with_document_text,
+            )
+
+            files = (spark.read.format("binaryFile").load(args.input)
+                     .select(F.col("path"),
+                             F.col("length").alias("n_bytes"),
+                             F.col("content")))
+            out = with_document_text(
+                files, "content", "text", "doc_type",
+                strict=args.strict).drop("content")
+            out.write.mode("error").parquet(args.output)
+            res = spark.read.parquet(args.output)
+            stats = res.agg(
+                F.count("*").alias("files"),
+                F.sum(F.col("text").isNotNull().cast("long"))
+                .alias("extracted")).first()
+            by_type = {r["doc_type"]: r["n"] for r in
+                       res.groupBy("doc_type")
+                       .agg(F.count("*").alias("n")).collect()}
+            print(json.dumps({"files": stats["files"],
+                              "extracted": int(stats["extracted"] or 0),
+                              "by_type": by_type}, sort_keys=True))
         elif args.cmd == "para-dedup":
             from pyspark.sql import functions as F
 

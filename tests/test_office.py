@@ -377,3 +377,36 @@ def test_mime_hint_never_overrides_conclusive_bytes(spark, tmp_path):
     assert got["xls-mislabeled"] == ("xls", None)
     assert got["true-plain"] == ("text", "just some plain text")
     assert got["true-html-unknown-magic"] == ("html", "bom page")
+
+
+def test_cli_extract_docs(spark, tmp_path, capsys):
+    """mc extract-docs: a directory of mixed files → parquet text
+    table, one task per file, route + per-type counts reported."""
+    from metacrafter_spark.cli import main
+    from metacrafter_spark.io.pdf_codec import write_simple_pdf
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    (d / "a.docx").write_bytes(write_docx("docx body"))
+    (d / "b.rtf").write_bytes(write_rtf("rtf body"))
+    (d / "c.doc").write_bytes(write_doc("doc body"))
+    (d / "d.pdf").write_bytes(write_simple_pdf(["pdf body"]))
+    (d / "e.html").write_bytes(b"<html><body>html body</body></html>")
+    (d / "f.bin").write_bytes(b"\x00\x01garbage")
+    out = str(tmp_path / "texts")
+    rc = main(["extract-docs", str(d) + "/*", out])
+    assert rc == 0
+    import json as _json
+    payload = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["files"] == 6
+    assert payload["extracted"] == 5
+    assert payload["by_type"] == {"docx": 1, "rtf": 1, "doc": 1,
+                                  "pdf": 1, "html": 1, "unknown": 1}
+    got = {r["path"].rsplit("/", 1)[-1]: r["text"]
+           for r in spark.read.parquet(out).collect()}
+    assert got["a.docx"] == "docx body"
+    assert got["b.rtf"] == "rtf body"
+    assert got["c.doc"] == "doc body"
+    assert got["d.pdf"] == "pdf body"
+    assert got["e.html"] == "html body"
+    assert got["f.bin"] is None
