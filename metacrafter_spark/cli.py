@@ -15,6 +15,12 @@ import json
 import sys
 
 
+def _json_scalar(v):
+    """Bounds values → JSON-safe (datetime/date/Decimal → str)."""
+    return v if isinstance(v, (int, float, str, bool, type(None))) \
+        else str(v)
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="metacrafter-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -489,12 +495,14 @@ def main(argv=None) -> int:
         "iceberg", help="table maintenance on a pure-Python Iceberg "
         "table: expire / compact / orphans / tag / snapshots")
     it.add_argument("action", choices=["expire", "compact", "orphans",
-                                       "tag", "untag", "snapshots"])
+                                       "tag", "untag", "snapshots",
+                                       "count", "bounds"])
     it.add_argument("table", help="table directory location")
     it.add_argument("--keep-last", type=int)
     it.add_argument("--older-than-ms", type=int)
     it.add_argument("--dry-run", action="store_true")
-    it.add_argument("--name", help="tag name (tag/untag)")
+    it.add_argument("--name", help="tag name (tag/untag) / column "
+                                   "name (bounds)")
     it.add_argument("--snapshot-id", type=int)
     it.add_argument("--cores", type=int)  # unused; uniform interface
 
@@ -552,6 +560,23 @@ def main(argv=None) -> int:
                 raise SystemExit("--name is required for untag")
             t.remove_tag(args.name)
             print(json.dumps({"removed": args.name}))
+        elif args.action == "count":
+            # O(metadata) when provably exact; refuses (exit 1) when
+            # live deletes would make the metadata sum wrong
+            try:
+                n = t.count_rows(snapshot_id=args.snapshot_id)
+            except ValueError as exc:
+                raise SystemExit(str(exc))
+            print(json.dumps({"rows": n, "source": "metadata"}))
+        elif args.action == "bounds":
+            if not args.name:
+                raise SystemExit("--name (column) is required for bounds")
+            b = t.column_bounds(args.name, snapshot_id=args.snapshot_id)
+            print(json.dumps(
+                {"column": args.name,
+                 "min": None if b is None else _json_scalar(b[0]),
+                 "max": None if b is None else _json_scalar(b[1]),
+                 "exact": b is not None}))
         else:  # snapshots
             print(json.dumps([
                 {"snapshot_id": s.snapshot_id, "operation": s.operation,

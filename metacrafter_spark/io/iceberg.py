@@ -1278,6 +1278,62 @@ class IcebergTable:
             now_ms=now_ms,
         )
 
+    def count_rows(self, spark: "Optional[SparkSession]" = None, *,
+                   snapshot_id: Optional[int] = None,
+                   partition_filter: Optional[dict] = None) -> int:
+        """O(metadata) ``COUNT(*)`` — the fast path a 10^12-row table
+        needs: when the snapshot has no live merge-on-read deletes the
+        exact count is the sum of live data-file ``record_count``
+        stats (driver-side, no data file opens, partition filters
+        prune whole files).  With live deletes the metadata sum would
+        over-count (and delete files may overlap), so the count falls
+        back to a real scan — pass ``spark`` to allow that; without it
+        the method refuses rather than return a wrong number."""
+        files = self.plan_files(snapshot_id=snapshot_id,
+                                partition_filter=partition_filter)
+        if not self.plan_deletes(snapshot_id=snapshot_id):
+            return sum(f["record_count"] for f in files)
+        if spark is None:
+            raise ValueError(
+                "snapshot has live merge-on-read deletes: an exact "
+                "count needs a scan — pass a SparkSession")
+        return self.read(spark, snapshot_id=snapshot_id,
+                         partition_filter=partition_filter).count()
+
+    def column_bounds(self, column: str, *,
+                      snapshot_id: Optional[int] = None,
+                      partition_filter: Optional[dict] = None
+                      ) -> Optional[tuple]:
+        """Exact table-level ``(min, max)`` for ``column`` straight
+        from file metadata — valid only when EVERY live data file
+        publishes bounds for the column (long strings/binary omit
+        them) AND no merge-on-read deletes are live (a delete could
+        remove the extreme row).  Returns ``None`` whenever exactness
+        cannot be proven; never returns an approximate answer."""
+        field = next((f for f in self.schema["fields"]
+                      if f["name"] == column), None)
+        if field is None:
+            raise ValueError(f"no column {column!r} in schema")
+        if self.plan_deletes(snapshot_id=snapshot_id):
+            return None
+        files = self.plan_files(snapshot_id=snapshot_id,
+                                partition_filter=partition_filter)
+        if not files:
+            return None
+        los, his = [], []
+        for f in files:
+            lo_map = {kv["key"]: kv["value"]
+                      for kv in (f.get("lower_bounds") or [])}
+            hi_map = {kv["key"]: kv["value"]
+                      for kv in (f.get("upper_bounds") or [])}
+            lo_raw = lo_map.get(field["id"])
+            hi_raw = hi_map.get(field["id"])
+            if lo_raw is None or hi_raw is None:
+                return None
+            los.append(single_value_deserialize(field["type"], lo_raw))
+            his.append(single_value_deserialize(field["type"], hi_raw))
+        return min(los), max(his)
+
     def delete_where(
         self, spark: SparkSession, condition, *,
         now_ms: Optional[int] = None,

@@ -6,6 +6,7 @@ torn-write residue case), and manifest compaction (replace snapshot).
 from __future__ import annotations
 
 import glob
+import json
 import os
 
 import pytest
@@ -400,3 +401,66 @@ def test_rewrite_data_partitioned(spark, table):
     assert all(r.bucket_id == 2 for r in got)
     assert sorted(r.url for r in got) == sorted(
         u for (u, b, _x) in before if b == 2)
+
+
+def test_count_rows_metadata_only(spark, table, capsys):
+    """COUNT(*) from manifest record_count stats — exact without
+    opening a data file; live position deletes force the scan
+    fallback (refuse without spark, exact with it); the rewrite
+    applies the deletes and restores the metadata path."""
+    loc = table.location
+    t = IcebergTable.load(loc)
+    real = t.read(spark).count()
+    assert t.count_rows() == real  # no spark arg: pure metadata
+    assert t.count_rows(partition_filter={"bucket_id": 2}) == \
+        t.read(spark, partition_filter={"bucket_id": 2}).count()
+    # snapshot-scoped: pre-overwrite snapshot counts its own files
+    assert t.count_rows(snapshot_id=2) == 60
+
+    t.delete_where(spark, "bucket_id = 1 AND url LIKE '%p1'",
+                   now_ms=1_700_000_004_000)
+    t = IcebergTable.load(loc)
+    with pytest.raises(ValueError, match="live merge-on-read"):
+        t.count_rows()
+    assert t.count_rows(spark) == real - 1
+
+    t.rewrite_data(spark, num_files=2, now_ms=1_700_000_005_000)
+    t = IcebergTable.load(loc)
+    assert t.count_rows() == real - 1  # metadata-exact again
+
+    # CLI: count refuses on a deleted snapshot... current is clean now
+    from metacrafter_spark.cli import main
+    rc = main(["iceberg", "count", loc])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"rows": real - 1, "source": "metadata"}
+
+
+def test_column_bounds_metadata(spark, table, capsys):
+    """Table-level (min, max) from file bounds: exact when every live
+    file has bounds and no deletes are live; None (never approximate)
+    otherwise."""
+    loc = table.location
+    t = IcebergTable.load(loc)
+    lo, hi = t.column_bounds("url")
+    rows = t.read(spark).collect()
+    assert lo == min(r.url for r in rows)
+    assert hi == max(r.url for r in rows)
+    # partition-scoped bounds
+    lo2, hi2 = t.column_bounds("url", partition_filter={"bucket_id": 3})
+    assert lo2 == min(r.url for r in rows if r.bucket_id == 3)
+    assert hi2 == max(r.url for r in rows if r.bucket_id == 3)
+    with pytest.raises(ValueError, match="no column"):
+        t.column_bounds("nope")
+
+    from metacrafter_spark.cli import main
+    rc = main(["iceberg", "bounds", loc, "--name", "url"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"column": "url", "min": lo, "max": hi, "exact": True}
+
+    # live deletes → exactness unprovable → None
+    t.delete_where(spark, "url = '" + lo + "'",
+                   now_ms=1_700_000_004_000)
+    t = IcebergTable.load(loc)
+    assert t.column_bounds("url") is None
