@@ -2053,6 +2053,80 @@ def q_office_extract_text(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_web_table_columns(spark, sf_dir):
+    """Web-table harvesting + distributed column classification
+    (corpus/webtables.py — the crawl-scale bridge to the reference's
+    tabular rule engine): one html page per document source is built
+    IN-PLAN with a real <table> (lang / n_chars / doc_ref columns,
+    rows ordered by doc_id, planted empties at doc_id%13 and invalid
+    refs at doc_id%29), the stdlib parser explodes it to the long cell
+    frame, and the dynamic-column classifier — ONE groupBy over
+    (url, table_idx, col_idx) with per-rule gated sums, matches
+    emitted in-plan — scores a field-name rule on the header plus two
+    data rules (keyword languagetag, ppr hex ref) at the reference's
+    success*100/(total−empty) strict-> semantics.  The oracle rebuilds
+    the same cells from the documents table and replays counts,
+    confidence math and thresholding in SQL — equality proves the
+    html build → table extraction → long frame → distributed
+    confidence chain end-to-end."""
+    from metacrafter_spark.corpus.webtables import (
+        classify_web_table_columns, with_web_table_cells)
+    from metacrafter_spark.rules.model import (CompiledRule,
+                                               CompiledRulePack)
+
+    pack = CompiledRulePack(rules=(
+        CompiledRule(
+            seq=0, id="hdr_lang", dataclass="language", rtype="field",
+            match="text", lang="common", contexts=("common",),
+            group="wt", group_desc="wt", country=None, imprecise=False,
+            is_pii=False, minlen=4, maxlen=4,
+            keywords=frozenset({"lang"})),
+        CompiledRule(
+            seq=1, id="langtag", dataclass="languagetag", rtype="data",
+            match="text", lang="common", contexts=("common",),
+            group="wt", group_desc="wt", country=None, imprecise=False,
+            is_pii=False, minlen=2, maxlen=2,
+            keywords=frozenset({"en", "fr", "de", "es", "zh"})),
+        CompiledRule(
+            seq=2, id="hex8", dataclass="hexref", rtype="data",
+            match="ppr", lang="common", contexts=("common",),
+            group="wt", group_desc="wt", country=None, imprecise=False,
+            is_pii=False, minlen=8, maxlen=8,
+            pattern=r"[0-9a-f]{8}", pattern_re2=r"[0-9a-f]{8}"),
+    ))
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id", "lang", "n_chars")
+
+    def build(pdf):
+        pdf = pdf.sort_values("doc_id")
+        rows = []
+        for did, lang, nch in zip(pdf["doc_id"], pdf["lang"],
+                                  pdf["n_chars"]):
+            v_lang = "" if did % 13 == 0 else lang
+            v_ref = "zz" if did % 29 == 0 else f"{did:08x}"
+            rows.append(f"<tr><td>{v_lang}</td><td>{nch}</td>"
+                        f"<td>{v_ref}</td></tr>")
+        src = pdf["source"].iloc[0]
+        html = ("<html><body><table><tr><th>lang</th><th>n_chars</th>"
+                "<th>doc_ref</th></tr>" + "".join(rows)
+                + "</table></body></html>")
+        import pandas as _pd
+        return _pd.DataFrame(
+            [{"url": f"https://tables.example/{src}",
+              "html": html.encode()}])
+
+    pages = docs.groupBy("source").applyInPandas(
+        build, "url string, html binary")
+    cells = with_web_table_cells(pages)
+    out = classify_web_table_columns(cells, pack, confidence=50.0,
+                                     max_rows_per_col=1_000_000)
+    return out.select(
+        "url", "col_idx", "header", "n_rows", "n_empty", "ruletype",
+        "ruleid", "dataclass", "confidence", "is_pii",
+    ).orderBy("url", "col_idx", "ruleid")
+
+
 def q_warc_roundtrip(spark, sf_dir):
     """WARC container round-trip under the north rule's Common-Crawl
     input shape (io/warc.py, clean-room ISO 28500 — the reference has
@@ -4180,6 +4254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pdf:binary → text layer, byte-identity per doc (round 5)
         "pdf_extract_text": q_pdf_extract_text,
         "office_extract_text": q_office_extract_text,
+        "web_table_columns": q_web_table_columns,
         "warc_roundtrip": q_warc_roundtrip,
         # WET (extracted-text conversion records) export + scan (round 5)
         "wet_roundtrip": q_wet_roundtrip,
@@ -7701,6 +7776,61 @@ def oracle_sql() -> dict[str, str]:
                        AS n_chars
             FROM documents
             ORDER BY doc_id
+        """,
+        # web_table_columns: rebuild the planted table cells straight
+        # from the documents table and replay the per-column counts,
+        # confidence formula and strict-> threshold; the Spark side
+        # must recover identical numbers from the html it built,
+        # parsed and classified distributively
+        "web_table_columns": r"""
+            WITH base AS (
+              SELECT 'https://tables.example/' || source AS url, doc_id,
+                     CASE WHEN doc_id % 13 = 0 THEN ''
+                          ELSE lang END AS v_lang,
+                     CAST(n_chars AS VARCHAR) AS v_n,
+                     CASE WHEN doc_id % 29 = 0 THEN 'zz'
+                          ELSE printf('%08x', doc_id) END AS v_ref
+              FROM documents),
+            cols AS (
+              SELECT url, 0 AS col_idx, 'lang' AS header,
+                     v_lang AS value FROM base
+              UNION ALL
+              SELECT url, 1, 'n_chars', v_n FROM base
+              UNION ALL
+              SELECT url, 2, 'doc_ref', v_ref FROM base),
+            agg AS (
+              SELECT url, col_idx, any_value(header) AS header,
+                     COUNT(*)::BIGINT AS n_rows,
+                     SUM(CASE WHEN length(value) = 0
+                              THEN 1 ELSE 0 END)::BIGINT AS n_empty,
+                     SUM(CASE WHEN length(value) = 2 AND lower(value)
+                              IN ('en','fr','de','es','zh')
+                              THEN 1 ELSE 0 END) AS s_lang,
+                     SUM(CASE WHEN length(value) = 8 AND
+                              regexp_matches(value, '^[0-9a-f]{8}')
+                              THEN 1 ELSE 0 END) AS s_hex
+              FROM cols GROUP BY url, col_idx),
+            hits AS (
+              SELECT url, col_idx, header, n_rows, n_empty,
+                     'field' AS ruletype, 'hdr_lang' AS ruleid,
+                     'language' AS dataclass, 100.0 AS confidence,
+                     FALSE AS is_pii
+              FROM agg WHERE lower(header) = 'lang'
+              UNION ALL
+              SELECT url, col_idx, header, n_rows, n_empty,
+                     'data', 'langtag', 'languagetag',
+                     round(s_lang * 100.0 / (n_rows - n_empty), 6),
+                     FALSE
+              FROM agg WHERE n_rows > n_empty
+                AND round(s_lang * 100.0 / (n_rows - n_empty), 6) > 50.0
+              UNION ALL
+              SELECT url, col_idx, header, n_rows, n_empty,
+                     'data', 'hex8', 'hexref',
+                     round(s_hex * 100.0 / (n_rows - n_empty), 6),
+                     FALSE
+              FROM agg WHERE n_rows > n_empty
+                AND round(s_hex * 100.0 / (n_rows - n_empty), 6) > 50.0)
+            SELECT * FROM hits ORDER BY url, col_idx, ruleid
         """,
         "warc_roundtrip": ("""
             SELECT regexp_extract(url, '/article/(\\d+)$', 1)::BIGINT AS doc_id,

@@ -1,0 +1,292 @@
+# -*- coding: utf-8 -*-
+"""Web-table harvesting + column classification at crawl scale.
+
+The bridge between the webtext pipeline and the reference's tabular
+classifier: a Common-Crawl shard carries millions of HTML ``<table>``
+elements (the WDC web-table corpus shape), and every table column is a
+candidate field for the metacrafter rule engine — "which web tables on
+the crawl leak emails / phones / national IDs" is exactly the
+reference's question asked at 10^12-document scale.
+
+Two stages, both fully distributed:
+
+1. :func:`with_web_table_cells` — a map-side ``mapInPandas`` kernel
+   (stdlib ``html.parser``) explodes each page's tables into a LONG
+   cell frame ``(url, table_idx, col_idx, header, row_idx, value)``.
+   The html never shuffles; the output rows are fixed-width strings.
+2. :func:`classify_web_table_columns` — the rule engine re-expressed
+   for DYNAMIC columns: at crawl scale there are millions of distinct
+   table columns, so the reference's driver-side per-column planning
+   (matcher.py) cannot apply; instead every distinct rule compiles to
+   ONE flag expression over the single value column (text rules as
+   JVM ``lower(v).isin``, ppr/func rules as the matcher's own
+   Arrow-vectorized kernels), and one ``groupBy(url, table_idx,
+   col_idx)`` aggregation with gated sums computes per-column
+   success/empty counts — a single shuffle carrying fixed-width
+   flags, map-side partial aggregation, O(#rules) plan expressions.
+   Confidence math is the reference's (``success*100/(total-empty)``,
+   strict ``>`` threshold — processor.py:898-906); header names get
+   the field-rule pass (keyword + ppr name rules, confidence 100).
+   Matches are emitted IN-PLAN (no driver collect): one output row
+   per (column, matched rule).
+
+Semantics notes (documented limits): cell text is entity-decoded with
+whitespace runs collapsed (the WDC convention); column identity is
+POSITION (``colspan``/``rowspan`` are ignored — a spanned cell fills
+one grid slot); nested tables are collected as their own tables and
+excluded from the host cell's value; every web-table value is a
+string, so the scanner's numeric/date ftype shortcuts don't apply
+(parity with ``scan_dataframe`` holds for string columns — tested).
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+from metacrafter_spark.rules.model import CompiledRulePack
+
+_WS_RE = re.compile(r"\s+")
+
+CELL_SCHEMA = ("url string, table_idx int, col_idx int, header string, "
+               "row_idx int, value string")
+
+
+class _TableCollector(HTMLParser):
+    """Collect every <table> on the page (nested tables become their
+    own entries; their text never leaks into the host cell)."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.tables: list[list[list[tuple[str, bool]]]] = []  # rows of (text, is_th)
+        self._stack: list[list] = []      # open tables: list of rows
+        self._row: list[list] = []        # per-open-table current row
+        self._cell: list[Optional[list]] = []  # per-open-table text parts
+        self._cell_is_th: list[bool] = []
+        self._skip = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in ("script", "style"):
+            self._skip += 1
+            return
+        if tag == "table":
+            self._stack.append([])
+            self._row.append([])
+            self._cell.append(None)
+            self._cell_is_th.append(False)
+            return
+        if not self._stack:
+            return
+        if tag == "tr":
+            self._flush_cell()
+            if self._row[-1]:
+                self._stack[-1].append(self._row[-1])
+            self._row[-1] = []
+        elif tag in ("td", "th"):
+            self._flush_cell()
+            self._cell[-1] = []
+            self._cell_is_th[-1] = tag == "th"
+
+    def handle_endtag(self, tag):
+        if tag in ("script", "style"):
+            self._skip = max(0, self._skip - 1)
+            return
+        if tag in ("td", "th") and self._stack:
+            self._flush_cell()
+        elif tag == "tr" and self._stack:
+            self._flush_cell()
+            if self._row[-1]:
+                self._stack[-1].append(self._row[-1])
+                self._row[-1] = []
+        elif tag == "table" and self._stack:
+            self._flush_cell()
+            rows = self._stack.pop()
+            if self._row[-1]:
+                rows.append(self._row[-1])
+            self._row.pop()
+            self._cell.pop()
+            self._cell_is_th.pop()
+            self.tables.append(rows)
+
+    def handle_data(self, data):
+        if self._skip or not self._stack:
+            return
+        if self._cell[-1] is not None:
+            self._cell[-1].append(data)
+
+    def _flush_cell(self):
+        if self._stack and self._cell[-1] is not None:
+            text = _WS_RE.sub(" ", "".join(self._cell[-1])).strip()
+            self._row[-1].append([text, self._cell_is_th[-1]])
+            self._cell[-1] = None
+
+
+def extract_html_tables(html: bytes | str, *, encoding: str = "utf-8",
+                        min_rows: int = 2) -> list[dict]:
+    """Parse every table on a page into ``{"header": [...] | None,
+    "rows": [[...]]}``.  The first row is the header iff every cell in
+    it is a ``<th>``; tables with fewer than ``min_rows`` data rows
+    (layout scaffolding, single-row noise) are dropped."""
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode(encoding, errors="replace")
+    p = _TableCollector()
+    p.feed(html)
+    p.close()
+    out = []
+    # the collector appends INNER tables first (they close first);
+    # re-order to document order by tracking nothing extra: parse
+    # order of table STARTS is what a reader expects, so sort by the
+    # first cell's appearance is overkill — nested tables are rare and
+    # the (url, table_idx) key only needs to be deterministic.
+    for rows in p.tables:
+        if not rows:
+            continue
+        header = None
+        data = rows
+        if all(is_th for _t, is_th in rows[0]):
+            header = [t for t, _ in rows[0]]
+            data = rows[1:]
+        if len(data) < min_rows:
+            continue
+        out.append({"header": header,
+                    "rows": [[t for t, _ in r] for r in data]})
+    return out
+
+
+def with_web_table_cells(df: DataFrame, html_col: str = "html",
+                         url_col: str = "url", *,
+                         encoding: str = "utf-8", min_rows: int = 2,
+                         max_cells_per_doc: int = 100_000) -> DataFrame:
+    """Explode each page's tables into the long cell frame
+    (:data:`CELL_SCHEMA`).  Map-side only — the html never shuffles.
+    ``header`` falls back to ``col_<idx>`` for headerless tables;
+    ``max_cells_per_doc`` caps adversarially table-stuffed pages
+    (truncation is per-document and deterministic)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            recs = []
+            for url, html in zip(b[url_col], b[html_col]):
+                if html is None:
+                    continue
+                budget = max_cells_per_doc
+                for t_idx, tab in enumerate(
+                        extract_html_tables(html, encoding=encoding,
+                                            min_rows=min_rows)):
+                    header = tab["header"]
+                    for r_idx, row in enumerate(tab["rows"]):
+                        for c_idx, value in enumerate(row):
+                            if budget <= 0:
+                                break
+                            name = (header[c_idx]
+                                    if header and c_idx < len(header)
+                                    else f"col_{c_idx}")
+                            recs.append((url, t_idx, c_idx, name,
+                                         r_idx, value))
+                            budget -= 1
+            yield pd.DataFrame(recs, columns=["url", "table_idx",
+                                              "col_idx", "header",
+                                              "row_idx", "value"])
+
+    return df.select(url_col, html_col).mapInPandas(kernel, CELL_SCHEMA)
+
+
+def classify_web_table_columns(
+    cells: DataFrame,
+    pack: CompiledRulePack,
+    *,
+    confidence: float = 95.0,
+    max_rows_per_col: int = 1000,
+    filter_contexts: Optional[list[str]] = None,
+    filter_langs: Optional[list[str]] = None,
+    ignore_imprecise: bool = True,
+    round_to: int = 6,
+) -> DataFrame:
+    """Classify every web-table column with the rule pack — reference
+    confidence semantics, fully distributed (see module docstring).
+
+    Returns one row per (column, matched rule): ``url, table_idx,
+    col_idx, header, n_rows, n_empty, ruletype('field'|'data'),
+    ruleid, dataclass, confidence, is_pii``.  ``max_rows_per_col``
+    samples by the table's own row ordinal (``row_idx <`` — no window,
+    no extra shuffle), mirroring the scanner's first-N limit."""
+    from metacrafter_spark.matcher import _func_flag_udf, _regex_flag_udf
+
+    field_rules = pack.filtered("field", filter_contexts, filter_langs,
+                                ignore_imprecise)
+    data_rules = pack.filtered("data", filter_contexts, filter_langs,
+                               ignore_imprecise)
+
+    v = F.col("value")
+    ln = F.length(v)
+    empty = v.isNull() | (ln == 0)
+    live = ~empty
+
+    sample = cells.filter(F.col("row_idx") < max_rows_per_col)
+    flag_cols, aggs = [], [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(empty.cast("long")).alias("n_empty"),
+    ]
+    for r in data_rules:
+        if r.match == "text":
+            pred = F.lower(v).isin(*sorted(r.keywords))
+        elif r.match == "ppr":
+            pred = _regex_flag_udf(r.pattern)(v)
+        else:
+            pred = _func_flag_udf(r.func_name)(v)
+        flag_cols.append(pred.alias(f"flag_{r.id}"))
+        aggs.append(F.sum(
+            F.when(live & ln.between(r.minlen, r.maxlen)
+                   & F.col(f"flag_{r.id}"), 1).otherwise(0)
+        ).alias(f"succ_{r.id}"))
+
+    # header rides as a GROUP KEY (it is functionally dependent on the
+    # column id, so the groups are identical) — aggregating it instead
+    # (first/max) would put a string in the agg buffer and force the
+    # whole aggregation onto SortAggregate; as a key the buffers stay
+    # all-numeric and the plan is a two-phase HashAggregate
+    agg = (sample.select("url", "table_idx", "col_idx", "header",
+                         "value", *flag_cols)
+           .groupBy("url", "table_idx", "col_idx", "header")
+           .agg(*aggs))
+
+    # in-plan match assembly: per rule a struct-or-null, then one
+    # explode of the compacted array — no driver-side matrix
+    h = F.col("header")
+    subtotal = F.col("n_rows") - F.col("n_empty")
+    match_structs: list[Column] = []
+    for r in field_rules:
+        if r.match == "text":
+            hit = F.lower(h).isin(*sorted(r.keywords))
+        elif r.match == "ppr":
+            hit = _regex_flag_udf(r.pattern)(h)
+        else:
+            hit = _func_flag_udf(r.func_name)(h)
+        match_structs.append(F.when(hit, F.struct(
+            F.lit("field").alias("ruletype"),
+            F.lit(r.id).alias("ruleid"),
+            F.lit(r.dataclass).alias("dataclass"),
+            F.lit(100.0).alias("confidence"),
+            F.lit(bool(r.is_pii)).alias("is_pii"))))
+    for r in data_rules:
+        conf = F.round(F.col(f"succ_{r.id}") * 100.0 / subtotal, round_to)
+        match_structs.append(F.when(
+            (subtotal > 0) & (conf > F.lit(confidence)),
+            F.struct(F.lit("data").alias("ruletype"),
+                     F.lit(r.id).alias("ruleid"),
+                     F.lit(r.dataclass).alias("dataclass"),
+                     conf.alias("confidence"),
+                     F.lit(bool(r.is_pii)).alias("is_pii"))))
+
+    exploded = (agg.select(
+        "url", "table_idx", "col_idx", "header", "n_rows", "n_empty",
+        F.explode(F.filter(F.array(*match_structs),
+                           lambda x: x.isNotNull())).alias("m"))
+        .select("url", "table_idx", "col_idx", "header", "n_rows",
+                "n_empty", "m.ruletype", "m.ruleid", "m.dataclass",
+                "m.confidence", "m.is_pii"))
+    return exploded

@@ -1067,6 +1067,43 @@ def main() -> None:
     assert "Exchange" not in oplan, \
         "office extraction must not shuffle the binary payloads"
 
+    # §54: web-table column classification — extraction is map-side
+    # MapInPandas; the classifier pays exactly ONE Exchange keyed by
+    # the (url, table_idx, col_idx) column id with map-side partial
+    # aggregation (HashAggregate below the Exchange), carrying only
+    # fixed-width rule flags — the raw cell text never shuffles past
+    # the partial agg.
+    from metacrafter_spark.corpus.webtables import (
+        classify_web_table_columns, with_web_table_cells)
+
+    wt_pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://t.example/"), F.col("doc_id")).alias("url"),
+        F.encode(F.concat(
+            F.lit("<table><tr><th>lang</th></tr><tr><td>"),
+            F.col("lang"), F.lit("</td></tr><tr><td>en</td></tr></table>")),
+            "utf-8").alias("html"))
+    wt_cells = with_web_table_cells(wt_pages)
+    from metacrafter_spark.rules.model import CompiledRule, CompiledRulePack
+    wt_pack = CompiledRulePack(rules=(CompiledRule(
+        seq=0, id="langtag", dataclass="languagetag", rtype="data",
+        match="text", lang="common", contexts=("common",), group="wt",
+        group_desc="wt", country=None, imprecise=False, is_pii=False,
+        minlen=2, maxlen=2,
+        keywords=frozenset({"en", "fr", "de", "es", "zh"})),))
+    wtplan = plan_of(classify_web_table_columns(wt_cells, wt_pack))
+    sections.append((
+        "Web-table column classification (one partial-agg Exchange on "
+        "the column id; cell text absent above it)",
+        wtplan,
+        ["MapInPandas", "HashAggregate", "Exchange"],
+    ))
+    assert "hashpartitioning(url" in wtplan, \
+        "web-table classify must shuffle on the column id"
+    assert wtplan.count("Exchange") == 2, \
+        "web-table classify must pay exactly one column-id Exchange" \
+        "  (tree + detail)"
+
     out = ["# BENCH/EXPLAIN — physical-plan audit\n"]
     ok = True
     for title, plan, must in sections:

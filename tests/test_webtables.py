@@ -1,0 +1,189 @@
+# -*- coding: utf-8 -*-
+"""Web-table harvesting + distributed column classification
+(corpus/webtables.py): extraction fixtures, the long-frame kernel, and
+PARITY of the dynamic-column classifier against scan_dataframe (the
+reference-parity-tested engine) on the pivoted equivalent."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from metacrafter_spark.corpus.webtables import (
+    classify_web_table_columns, extract_html_tables, with_web_table_cells,
+)
+from metacrafter_spark.rules.model import CompiledRule, CompiledRulePack
+
+
+def _pack():
+    return CompiledRulePack(rules=(
+        CompiledRule(
+            seq=0, id="hdr_email", dataclass="email", rtype="field",
+            match="text", lang="common", contexts=("common",),
+            group="t", group_desc="t", country=None, imprecise=False,
+            is_pii=True, minlen=5, maxlen=5,
+            keywords=frozenset({"email", "e-mail"})),
+        CompiledRule(
+            seq=1, id="langtag", dataclass="languagetag", rtype="data",
+            match="text", lang="common", contexts=("common",),
+            group="t", group_desc="t", country=None, imprecise=False,
+            is_pii=False, minlen=2, maxlen=2,
+            keywords=frozenset({"en", "fr", "de", "es", "zh"})),
+        CompiledRule(
+            seq=2, id="hex8", dataclass="hexref", rtype="data",
+            match="ppr", lang="common", contexts=("common",),
+            group="t", group_desc="t", country=None, imprecise=False,
+            is_pii=False, minlen=8, maxlen=8,
+            pattern=r"[0-9a-f]{8}", pattern_re2=r"[0-9a-f]{8}"),
+    ))
+
+
+# ------------------------------------------------------------ extraction
+
+def test_extract_tables_header_and_shapes():
+    html = """
+    <html><body>
+      <table>
+        <tr><th>Name</th><th>Email</th></tr>
+        <tr><td>Ann &amp; Bo</td><td> a@x.io </td></tr>
+        <tr><td>Cy</td><td>c@y.io</td></tr>
+      </table>
+      <p>between</p>
+      <table><tr><td>only one row</td></tr></table>
+      <table>
+        <tr><td>r1c1</td><td>r1c2</td></tr>
+        <tr><td>r2c1</td></tr>
+      </table>
+    </body></html>"""
+    tabs = extract_html_tables(html)
+    assert len(tabs) == 2  # the 1-row table is dropped (min_rows)
+    assert tabs[0]["header"] == ["Name", "Email"]
+    # entity decode + whitespace collapse/strip
+    assert tabs[0]["rows"] == [["Ann & Bo", "a@x.io"], ["Cy", "c@y.io"]]
+    assert tabs[1]["header"] is None
+    assert tabs[1]["rows"] == [["r1c1", "r1c2"], ["r2c1"]]  # ragged kept
+
+
+def test_extract_tables_nested_and_script():
+    html = """
+    <table>
+      <tr><td>host A <script>var t = '<table>'</script></td>
+          <td><table><tr><td>in1</td></tr><tr><td>in2</td></tr></table>
+              after</td></tr>
+      <tr><td>host B</td><td>host C</td></tr>
+    </table>"""
+    tabs = extract_html_tables(html)
+    assert len(tabs) == 2
+    inner = next(t for t in tabs if t["rows"] == [["in1"], ["in2"]])
+    outer = next(t for t in tabs if t is not inner)
+    # inner-table text never leaks into the host cell
+    assert outer["rows"] == [["host A", "after"], ["host B", "host C"]]
+    assert inner["header"] is None
+
+
+def test_extract_tables_bytes_and_no_close_tags():
+    # real-web sloppiness: unclosed td/tr, bytes input
+    html = b"<table><tr><td>a<td>b<tr><td>c<td>d</table>"
+    tabs = extract_html_tables(html)
+    assert tabs == [{"header": None, "rows": [["a", "b"], ["c", "d"]]}]
+
+
+# ---------------------------------------------------------- cell kernel
+
+def test_with_web_table_cells(spark):
+    html = ("<table><tr><th>lang</th><th>ref</th></tr>"
+            "<tr><td>en</td><td>deadbeef</td></tr>"
+            "<tr><td></td><td>cafe0000</td></tr></table>"
+            "<table><tr><td>x</td></tr><tr><td>y</td></tr></table>")
+    df = spark.createDataFrame(
+        [("u1", html.encode()), ("u2", None)], "url string, html binary")
+    cells = with_web_table_cells(df).collect()
+    got = {(r.url, r.table_idx, r.col_idx, r.header, r.row_idx): r.value
+           for r in cells}
+    assert got[("u1", 0, 0, "lang", 0)] == "en"
+    assert got[("u1", 0, 1, "ref", 1)] == "cafe0000"
+    assert got[("u1", 0, 0, "lang", 1)] == ""       # empty cell kept
+    assert got[("u1", 1, 0, "col_0", 0)] == "x"     # headerless name
+    assert len(got) == 6  # u2 (null html) contributes nothing
+
+    # determinism across partitioning
+    again = {(r.url, r.table_idx, r.col_idx, r.header, r.row_idx): r.value
+             for r in with_web_table_cells(df.repartition(5)).collect()}
+    assert again == got
+
+
+def test_max_cells_budget(spark):
+    rows = "".join(f"<tr><td>v{i}</td></tr>" for i in range(50))
+    df = spark.createDataFrame([("u", f"<table>{rows}</table>".encode())],
+                               "url string, html binary")
+    n = with_web_table_cells(df, max_cells_per_doc=10).count()
+    assert n == 10
+
+
+# ------------------------------------------------------- classification
+
+def test_classify_columns_end_to_end(spark):
+    html = ("<table><tr><th>Email</th><th>lang</th><th>ref</th></tr>"
+            + "".join(
+                f"<tr><td>p{i}@x.io</td>"
+                f"<td>{'' if i == 7 else 'en'}</td>"
+                f"<td>{'zz' if i == 5 else f'{i:08x}'}</td></tr>"
+                for i in range(20))
+            + "</table>")
+    df = spark.createDataFrame([("u", html.encode())],
+                               "url string, html binary")
+    out = classify_web_table_columns(
+        with_web_table_cells(df), _pack(), confidence=90.0)
+    got = {(r.col_idx, r.ruletype, r.ruleid):
+           (r.header, r.confidence, r.n_rows, r.n_empty, r.is_pii)
+           for r in out.collect()}
+    # header field rule: case-insensitive 'Email' hit, is_pii rides
+    assert got[(0, "field", "hdr_email")] == ("Email", 100.0, 20, 0, True)
+    # lang column: one empty cell → 19/19 live match = 100
+    assert got[(1, "data", "langtag")][1] == 100.0
+    assert got[(1, "data", "langtag")][3] == 1  # n_empty
+    # ref column: 19/20 valid → 95.0 > 90 threshold
+    assert got[(2, "data", "hex8")][1] == 95.0
+    # no other matches (email values match no data rule in this pack)
+    assert len(got) == 3
+
+
+def test_classify_parity_vs_scan_dataframe(spark):
+    """The dynamic-column classifier must agree with scan_dataframe
+    (the reference-parity-tested engine) on the pivoted table: same
+    data-rule hits, same confidences, same field-name hits."""
+    from metacrafter_spark.scanner import labels_dataframe, scan_dataframe
+
+    vals = [("en" if i % 5 else "xx", f"{i:08x}" if i % 7 else "nope")
+            for i in range(40)]
+    pivot = spark.createDataFrame(vals, "lang string, email string") \
+        .withColumn("email", F.col("email"))  # header 'email' → field rule
+    rep = scan_dataframe(pivot, pack=_pack(), limit=1000, confidence=50.0)
+    ref = {(r.field, r.ruletype, r.ruleid): round(r.confidence, 6)
+           for r in labels_dataframe(spark, rep).collect()}
+
+    html = ("<table><tr><th>lang</th><th>email</th></tr>"
+            + "".join(f"<tr><td>{a}</td><td>{b}</td></tr>"
+                      for a, b in vals) + "</table>")
+    df = spark.createDataFrame([("u", html.encode())],
+                               "url string, html binary")
+    out = classify_web_table_columns(
+        with_web_table_cells(df), _pack(), confidence=50.0)
+    got = {(r.header, r.ruletype, r.ruleid): round(r.confidence, 6)
+           for r in out.collect()}
+    assert got == ref
+
+
+def test_classify_sampling_uses_row_ordinal(spark):
+    html = ("<table>"
+            + "".join(f"<tr><td>{'en' if i < 10 else 'junkjunk'}</td></tr>"
+                      for i in range(30)) + "</table>")
+    df = spark.createDataFrame([("u", html.encode())],
+                               "url string, html binary")
+    cells = with_web_table_cells(df)
+    full = classify_web_table_columns(cells, _pack(), confidence=90.0)
+    assert full.filter(F.col("ruleid") == "langtag").count() == 0
+    head = classify_web_table_columns(cells, _pack(), confidence=90.0,
+                                      max_rows_per_col=10)
+    row = head.filter(F.col("ruleid") == "langtag").collect()
+    assert len(row) == 1 and row[0].confidence == 100.0
+    assert row[0].n_rows == 10
