@@ -307,6 +307,22 @@ def main(argv=None) -> int:
     card.add_argument("--lang-col", default="langid_lang")
     card.add_argument("--cores", type=int)
 
+    wt = sub.add_parser(
+        "classify-webtables",
+        help="harvest every <table> on a crawl and classify each "
+             "table column with the rule pack (which web tables leak "
+             "PII, at crawl scale)")
+    wt.add_argument("cdx_glob", help="CDXJ index glob of the WARC dump")
+    wt.add_argument("warc_dir", help="directory holding the WARC shards")
+    wt.add_argument("output", help="parquet output: one row per "
+                                   "(table column, matched rule)")
+    wt.add_argument("--rules", help="YAML rule-pack directory "
+                                    "(default: builtin pack)")
+    wt.add_argument("--confidence", type=float, default=95.0)
+    wt.add_argument("--min-rows", type=int, default=2)
+    wt.add_argument("--max-rows-per-col", type=int, default=1000)
+    wt.add_argument("--cores", type=int)
+
     xd = sub.add_parser(
         "extract-docs",
         help="directory/glob of mixed document files (html/pdf/docx/"
@@ -858,6 +874,40 @@ def main(argv=None) -> int:
                 print(json.dumps({"written": args.output}))
             else:
                 print(payload)
+        elif args.cmd == "classify-webtables":
+            from pyspark.sql import functions as F
+
+            from metacrafter_spark.corpus.webtables import (
+                classify_web_table_columns, with_web_table_cells,
+            )
+            from metacrafter_spark.io.warc import scan_warc_cdx
+
+            if args.rules:
+                from metacrafter_spark.rules.model import (
+                    load_pack_from_yaml_dir,
+                )
+                pack = load_pack_from_yaml_dir(args.rules)
+            else:
+                from metacrafter_spark.rules import load_builtin_pack
+                pack = load_builtin_pack()
+            pages = scan_warc_cdx(spark, args.cdx_glob, args.warc_dir)
+            cells = with_web_table_cells(pages,
+                                         min_rows=args.min_rows)
+            out = classify_web_table_columns(
+                cells, pack, confidence=args.confidence,
+                max_rows_per_col=args.max_rows_per_col)
+            out.write.mode("error").parquet(args.output)
+            res = spark.read.parquet(args.output)
+            stats = res.agg(
+                F.count("*").alias("hits"),
+                F.countDistinct("url", "table_idx", "col_idx")
+                .alias("columns_matched"),
+                F.sum(F.col("is_pii").cast("long")).alias("pii_hits"),
+            ).first()
+            print(json.dumps({
+                "hits": stats["hits"],
+                "columns_matched": stats["columns_matched"],
+                "pii_hits": int(stats["pii_hits"] or 0)}))
         elif args.cmd == "extract-docs":
             from pyspark.sql import functions as F
 

@@ -187,3 +187,79 @@ def test_classify_sampling_uses_row_ordinal(spark):
     row = head.filter(F.col("ruleid") == "langtag").collect()
     assert len(row) == 1 and row[0].confidence == 100.0
     assert row[0].n_rows == 10
+
+
+def test_classify_with_full_builtin_pack(spark):
+    """The real-user shape: the full 139-rule builtin pack compiles to
+    one flag-expression battery.  Reference semantics hold: email is a
+    FIELD-NAME detection (the reference pack has no email data rule,
+    so an email column named 'Contact' finds nothing — by design),
+    uuid is a data-rule detection on the values."""
+    from metacrafter_spark.rules import load_builtin_pack
+
+    rows = "".join(
+        f"<tr><td>user{i}@example.org</td>"
+        f"<td>6f9619ff-8b86-d011-b42d-00c04fc9{i:04x}</td>"
+        f"<td>{i}</td></tr>"
+        for i in range(12))
+    html = ("<table><tr><th>Email</th><th>Id</th><th>n</th></tr>"
+            + rows + "</table>")
+    df = spark.createDataFrame([("u", html.encode())],
+                               "url string, html binary")
+    out = classify_web_table_columns(
+        with_web_table_cells(df), load_builtin_pack(), confidence=95.0)
+    hits = out.collect()
+    by_col = {}
+    for r in hits:
+        by_col.setdefault(r.col_idx, set()).add((r.ruletype, r.ruleid))
+    assert ("field", "emailknown") in by_col.get(0, set()), by_col
+    assert ("data", "uuidbyvalue") in by_col.get(1, set()), by_col
+    # a 'Contact'-headed email column finds nothing (reference
+    # behavior: no email data rule exists in the pack)
+    html2 = html.replace("<th>Email</th>", "<th>Contact</th>")
+    df2 = spark.createDataFrame([("u", html2.encode())],
+                                "url string, html binary")
+    out2 = classify_web_table_columns(
+        with_web_table_cells(df2), load_builtin_pack(), confidence=95.0)
+    assert out2.filter(F.col("col_idx") == 0).count() == 0
+
+
+def test_cli_classify_webtables(spark, tmp_path, capsys):
+    """mc classify-webtables: WARC dump with table-bearing pages →
+    per-column rule hits parquet (the builtin pack finds uuid columns
+    by value and email columns by header)."""
+    from datetime import datetime, timezone
+
+    from metacrafter_spark.cli import main
+    from metacrafter_spark.io.warc import write_warc
+
+    recs = []
+    for p in range(3):
+        rows = "".join(
+            f"<tr><td>u{p}{i}@ex.org</td>"
+            f"<td>6f9619ff-8b86-d011-b42d-00c04fc9{p:02x}{i:02x}</td>"
+            f"</tr>"
+            for i in range(8))
+        html = (f"<html><body><h1>page {p}</h1>"
+                "<table><tr><th>email</th><th>token</th></tr>"
+                + rows + "</table></body></html>")
+        recs.append({"url": f"https://t.example/{p}",
+                     "ts": datetime(2025, 4, 1, tzinfo=timezone.utc),
+                     "html": html.encode()})
+    d = tmp_path / "warc"
+    d.mkdir()
+    write_warc(recs, str(d / "p-00000.warc.gz"), str(d / "p-00000.cdx"))
+
+    out = str(tmp_path / "hits")
+    rc = main(["classify-webtables", str(d) + "/*.cdx", str(d), out])
+    assert rc == 0
+    import json as _json
+    payload = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    res = spark.read.parquet(out)
+    rows = res.collect()
+    assert payload["hits"] == len(rows)
+    assert payload["columns_matched"] == 6  # 2 columns × 3 pages
+    got = {(r.url, r.col_idx, r.ruletype, r.ruleid) for r in rows}
+    for p in range(3):
+        assert (f"https://t.example/{p}", 0, "field", "emailknown") in got
+        assert (f"https://t.example/{p}", 1, "data", "uuidbyvalue") in got
