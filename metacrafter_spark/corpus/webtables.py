@@ -52,40 +52,6 @@ from metacrafter_spark.rules.model import CompiledRulePack
 
 _WS_RE = re.compile(r"\s+")
 
-
-def _multi_flag_udf(specs: tuple):
-    """One Arrow-batched pandas UDF evaluating EVERY Python-side rule
-    predicate (ppr anchored regex / func validators) and returning the
-    flags as one ``array<boolean>`` — a single serialization boundary
-    instead of one UDF column per rule.  Same kernels as the matcher's
-    per-rule UDFs (``str.match`` on the anchored pattern; the func
-    registry's PATTERN with its lowercase convention)."""
-    from pyspark.sql.functions import pandas_udf
-
-    from metacrafter_spark.rules.validators_compat import FUNC_REGISTRY
-
-    @pandas_udf("array<boolean>")
-    def flags(s: pd.Series) -> pd.Series:
-        base = s.fillna("")
-        lowered = None
-        cols = []
-        for kind, arg in specs:
-            if kind == "ppr":
-                cols.append(base.str.match(re.compile(arg)))
-            else:
-                fn = FUNC_REGISTRY[arg]
-                src = base
-                if arg == "validators.domain":
-                    if lowered is None:
-                        lowered = base.str.lower()
-                    src = lowered
-                cols.append(src.str.match(fn.PATTERN))
-        if not cols:
-            return pd.Series([[]] * len(s))
-        return pd.Series(pd.concat(cols, axis=1).values.tolist())
-
-    return flags
-
 CELL_SCHEMA = ("url string, table_idx int, col_idx int, header string, "
                "row_idx int, value string")
 
@@ -248,7 +214,9 @@ def classify_web_table_columns(
     ruleid, dataclass, confidence, is_pii``.  ``max_rows_per_col``
     samples by the table's own row ordinal (``row_idx <`` — no window,
     no extra shuffle), mirroring the scanner's first-N limit."""
-    from metacrafter_spark.matcher import _func_flag_udf, _regex_flag_udf
+    from metacrafter_spark.matcher import (_func_flag_udf,
+                                           _multi_flag_udf,
+                                           _regex_flag_udf)
 
     field_rules = pack.filtered("field", filter_contexts, filter_langs,
                                 ignore_imprecise)

@@ -83,6 +83,39 @@ def _func_flag_udf(func_name: str):
     return flag
 
 
+def _multi_flag_udf(specs: tuple):
+    """One Arrow-batched pandas UDF evaluating EVERY Python-side rule
+    predicate (ppr anchored regex / func validators) and returning the
+    flags as one ``array<boolean>`` — a single serialization boundary
+    instead of one UDF column per rule.  Same kernels as the matcher's
+    per-rule UDFs (``str.match`` on the anchored pattern; the func
+    registry's PATTERN with its lowercase convention)."""
+    @pandas_udf("array<boolean>")
+    def flags(s: pd.Series) -> pd.Series:
+        base = s.fillna("")
+        lowered = None
+        cols = []
+        for kind, arg in specs:
+            if kind == "ppr":
+                cols.append(base.str.match(re.compile(arg)))
+            else:
+                fn = FUNC_REGISTRY[arg]
+                src = base
+                if arg == "validators.domain":
+                    if lowered is None:
+                        lowered = base.str.lower()
+                    src = lowered
+                cols.append(src.str.match(fn.PATTERN))
+        if not cols:
+            return pd.Series([[]] * len(s))
+        return pd.Series(pd.concat(cols, axis=1).values.tolist())
+
+    return flags
+
+CELL_SCHEMA = ("url string, table_idx int, col_idx int, header string, "
+               "row_idx int, value string")
+
+
 def match_field_rules(
     field: str, field_rules: tuple[CompiledRule, ...], stop_on_match: bool
 ) -> list[RuleHit]:
@@ -232,14 +265,26 @@ def match_columns(
         distinct_rules: dict[str, CompiledRule] = {}
         for _, rule in pairs:
             distinct_rules.setdefault(rule.id, rule)
+        # every Python-side rule (ppr regex / func) evaluates inside
+        # ONE Arrow-batched pandas UDF returning a flag array — a
+        # single serialization boundary instead of one UDF column per
+        # rule (the builtin pack has ~40 of them); text rules stay
+        # pure-JVM isin predicates.  Flags are unchanged bit-for-bit,
+        # so parity/golden results are identical by construction.
+        py_rules = [r for r in distinct_rules.values()
+                    if r.match in ("ppr", "func")]
+        py_idx = {r.id: i + 1 for i, r in enumerate(py_rules)}
+        if py_rules:
+            fused = _multi_flag_udf(tuple(
+                (r.match, r.pattern if r.match == "ppr"
+                 else r.func_name) for r in py_rules))(v)
+            long = long.select("c", "v", fused.alias("__pyflags"))
         flag_exprs = []
         for rid, rule in distinct_rules.items():
             if rule.match == "text":
                 pred = F.lower(v).isin(*sorted(rule.keywords))
-            elif rule.match == "ppr":
-                pred = _regex_flag_udf(rule.pattern)(v)
-            else:  # func
-                pred = _func_flag_udf(rule.func_name)(v)
+            else:
+                pred = F.element_at(F.col("__pyflags"), py_idx[rid])
             flag_exprs.append(pred.alias(f"flag_{rid}"))
         long = long.select("c", "v", *flag_exprs)
 
