@@ -31,9 +31,9 @@ Two stages, both fully distributed:
    per (column, matched rule).
 
 Semantics notes (documented limits): cell text is entity-decoded with
-whitespace runs collapsed (the WDC convention); column identity is
-POSITION (``colspan``/``rowspan`` are ignored — a spanned cell fills
-one grid slot); nested tables are collected as their own tables and
+whitespace runs collapsed (the WDC convention); ``colspan``/
+``rowspan`` resolve into the grid with values replicated into every
+covered slot (spans clamped at 256 against span bombs); nested tables are collected as their own tables and
 excluded from the host cell's value; every web-table value is a
 string, so the scanner's numeric/date ftype shortcuts don't apply
 (parity with ``scan_dataframe`` holds for string columns — tested).
@@ -52,8 +52,46 @@ from metacrafter_spark.rules.model import CompiledRulePack
 
 _WS_RE = re.compile(r"\s+")
 
+#: spans are clamped — an adversarial colspan=10^9 must not allocate
+_MAX_SPAN = 256
+
 CELL_SCHEMA = ("url string, table_idx int, col_idx int, header string, "
                "row_idx int, value string")
+
+
+def _assemble_grid(raw_rows: list[list[list]]) -> list[list[list]]:
+    """Resolve colspan/rowspan into a rectangular-enough grid: a
+    spanned cell's VALUE replicates into every slot it covers (the
+    WDC web-table convention — the value logically applies to each
+    covered row/column, which is what column classification needs).
+    Rows remain ragged where the source is ragged."""
+    if not any(cs > 1 or rs > 1
+               for row in raw_rows for _t, _h, cs, rs in row):
+        return [[[t, h] for t, h, _c, _r in row] for row in raw_rows]
+    out: list[list] = []
+    # carry[col] = (remaining_rows, text, is_th) from rowspans above
+    carry: dict[int, list] = {}
+    for row in raw_rows:
+        slots: dict[int, list] = {}
+        for col, c in sorted(carry.items()):
+            slots[col] = [c[1], c[2]]
+        it = iter(row)
+        col = 0
+        for text, is_th, cs, rs in it:
+            while col in slots:
+                col += 1
+            for k in range(cs):
+                slots[col + k] = [text, is_th]
+                if rs > 1:
+                    carry[col + k] = [rs, text, is_th]
+            col += cs
+        for k in list(carry):
+            carry[k][0] -= 1
+            if carry[k][0] <= 0:
+                del carry[k]
+        width = max(slots) + 1 if slots else 0
+        out.append([slots.get(i, ["", False]) for i in range(width)])
+    return out
 
 
 class _TableCollector(HTMLParser):
@@ -62,12 +100,24 @@ class _TableCollector(HTMLParser):
 
     def __init__(self):
         super().__init__(convert_charrefs=True)
-        self.tables: list[list[list[tuple[str, bool]]]] = []  # rows of (text, is_th)
+        # rows of (text, is_th, colspan, rowspan)
+        self.tables: list[list[list[list]]] = []
         self._stack: list[list] = []      # open tables: list of rows
         self._row: list[list] = []        # per-open-table current row
         self._cell: list[Optional[list]] = []  # per-open-table text parts
         self._cell_is_th: list[bool] = []
+        self._spans: list[tuple[int, int]] = []  # per-open-table spans
         self._skip = 0
+
+    @staticmethod
+    def _span(attrs, name: str) -> int:
+        for k, v in attrs:
+            if k == name:
+                try:
+                    return max(1, min(int(v), _MAX_SPAN))
+                except (TypeError, ValueError):
+                    return 1
+        return 1
 
     def handle_starttag(self, tag, attrs):
         if tag in ("script", "style"):
@@ -78,6 +128,7 @@ class _TableCollector(HTMLParser):
             self._row.append([])
             self._cell.append(None)
             self._cell_is_th.append(False)
+            self._spans.append((1, 1))
             return
         if not self._stack:
             return
@@ -90,6 +141,8 @@ class _TableCollector(HTMLParser):
             self._flush_cell()
             self._cell[-1] = []
             self._cell_is_th[-1] = tag == "th"
+            self._spans[-1] = (self._span(attrs, "colspan"),
+                               self._span(attrs, "rowspan"))
 
     def handle_endtag(self, tag):
         if tag in ("script", "style"):
@@ -110,6 +163,7 @@ class _TableCollector(HTMLParser):
             self._row.pop()
             self._cell.pop()
             self._cell_is_th.pop()
+            self._spans.pop()
             self.tables.append(rows)
 
     def handle_data(self, data):
@@ -121,7 +175,8 @@ class _TableCollector(HTMLParser):
     def _flush_cell(self):
         if self._stack and self._cell[-1] is not None:
             text = _WS_RE.sub(" ", "".join(self._cell[-1])).strip()
-            self._row[-1].append([text, self._cell_is_th[-1]])
+            cs, rs = self._spans[-1]
+            self._row[-1].append([text, self._cell_is_th[-1], cs, rs])
             self._cell[-1] = None
 
 
@@ -142,12 +197,13 @@ def extract_html_tables(html: bytes | str, *, encoding: str = "utf-8",
     # order of table STARTS is what a reader expects, so sort by the
     # first cell's appearance is overkill — nested tables are rare and
     # the (url, table_idx) key only needs to be deterministic.
-    for rows in p.tables:
-        if not rows:
+    for raw in p.tables:
+        if not raw:
             continue
+        rows = _assemble_grid(raw)
         header = None
         data = rows
-        if all(is_th for _t, is_th in rows[0]):
+        if rows and rows[0] and all(is_th for _t, is_th in rows[0]):
             header = [t for t, _ in rows[0]]
             data = rows[1:]
         if len(data) < min_rows:

@@ -263,3 +263,32 @@ def test_cli_classify_webtables(spark, tmp_path, capsys):
     for p in range(3):
         assert (f"https://t.example/{p}", 0, "field", "emailknown") in got
         assert (f"https://t.example/{p}", 1, "data", "uuidbyvalue") in got
+
+
+def test_extract_tables_spans_resolved():
+    """colspan/rowspan resolve into the grid with values replicated
+    into every covered slot (the WDC convention) — column positions
+    stay aligned for classification."""
+    html = """
+    <table>
+      <tr><th>a</th><th colspan="2">bc</th></tr>
+      <tr><td rowspan="2">left</td><td>m1</td><td>r1</td></tr>
+      <tr><td>m2</td><td>r2</td></tr>
+      <tr><td>x</td><td colspan="2">wide</td></tr>
+    </table>"""
+    tabs = extract_html_tables(html)
+    assert len(tabs) == 1
+    assert tabs[0]["header"] == ["a", "bc", "bc"]
+    assert tabs[0]["rows"] == [
+        ["left", "m1", "r1"],
+        ["left", "m2", "r2"],   # rowspan carried down
+        ["x", "wide", "wide"],  # colspan replicated
+    ]
+
+
+def test_extract_tables_span_bomb_clamped():
+    """colspan=10^9 must not allocate a billion slots."""
+    html = ('<table><tr><td colspan="1000000000">boom</td></tr>'
+            "<tr><td>x</td></tr></table>")
+    tabs = extract_html_tables(html, min_rows=1)
+    assert len(tabs[0]["rows"][0]) == 256  # clamped to _MAX_SPAN
