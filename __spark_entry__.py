@@ -2118,9 +2118,14 @@ def q_web_table_columns(spark, sf_dir):
 
     pages = docs.groupBy("source").applyInPandas(
         build, "url string, html binary")
-    cells = with_web_table_cells(pages)
+    # the oracle counts EVERY document: disable the kernel's noise
+    # filters so the Spark side can never truncate what SQL counts
+    # (min_rows=1 keeps a 1-document source's table; the cell budget
+    # comfortably exceeds 3 cells/doc at any tested SF)
+    cells = with_web_table_cells(pages, min_rows=1,
+                                 max_cells_per_doc=100_000_000)
     out = classify_web_table_columns(cells, pack, confidence=50.0,
-                                     max_rows_per_col=1_000_000)
+                                     max_rows_per_col=1_000_000_000)
     return out.select(
         "url", "col_idx", "header", "n_rows", "n_empty", "ruletype",
         "ruleid", "dataclass", "confidence", "is_pii",
@@ -7822,14 +7827,14 @@ def oracle_sql() -> dict[str, str]:
                      round(s_lang * 100.0 / (n_rows - n_empty), 6),
                      FALSE
               FROM agg WHERE n_rows > n_empty
-                AND round(s_lang * 100.0 / (n_rows - n_empty), 6) > 50.0
+                AND s_lang * 100.0 / (n_rows - n_empty) > 50.0
               UNION ALL
               SELECT url, col_idx, header, n_rows, n_empty,
                      'data', 'hex8', 'hexref',
                      round(s_hex * 100.0 / (n_rows - n_empty), 6),
                      FALSE
               FROM agg WHERE n_rows > n_empty
-                AND round(s_hex * 100.0 / (n_rows - n_empty), 6) > 50.0)
+                AND s_hex * 100.0 / (n_rows - n_empty) > 50.0)
             SELECT * FROM hits ORDER BY url, col_idx, ruleid
         """,
         "warc_roundtrip": ("""

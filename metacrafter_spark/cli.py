@@ -587,7 +587,11 @@ def main(argv=None) -> int:
         elif args.action == "bounds":
             if not args.name:
                 raise SystemExit("--name (column) is required for bounds")
-            b = t.column_bounds(args.name, snapshot_id=args.snapshot_id)
+            try:
+                b = t.column_bounds(args.name,
+                                    snapshot_id=args.snapshot_id)
+            except ValueError as exc:
+                raise SystemExit(str(exc))
             print(json.dumps(
                 {"column": args.name,
                  "min": None if b is None else _json_scalar(b[0]),
@@ -890,7 +894,15 @@ def main(argv=None) -> int:
             else:
                 from metacrafter_spark.rules import load_builtin_pack
                 pack = load_builtin_pack()
-            pages = scan_warc_cdx(spark, args.cdx_glob, args.warc_dir)
+            from metacrafter_spark.ops.urls import dedup_url_revisits
+
+            # multi-crawl dumps revisit the same URL; the classifier
+            # keys column groups on (url, table_idx, col_idx), so two
+            # captures of one page would blend their counts — keep the
+            # newest capture per canonical URL before harvesting
+            pages = dedup_url_revisits(
+                scan_warc_cdx(spark, args.cdx_glob, args.warc_dir),
+                keep_canon=False)
             cells = with_web_table_cells(pages,
                                          min_rows=args.min_rows)
             out = classify_web_table_columns(

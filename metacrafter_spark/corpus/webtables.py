@@ -81,6 +81,11 @@ def _assemble_grid(raw_rows: list[list[list]]) -> list[list[list]]:
             while col in slots:
                 col += 1
             for k in range(cs):
+                # a malformed colspan can run into a slot occupied by
+                # a rowspan carried from above: the earlier cell keeps
+                # the slot (the HTML table model never overwrites)
+                if (col + k) in slots:
+                    continue
                 slots[col + k] = [text, is_th]
                 if rs > 1:
                     carry[col + k] = [rs, text, is_th]
@@ -172,6 +177,12 @@ class _TableCollector(HTMLParser):
         if self._cell[-1] is not None:
             self._cell[-1].append(data)
 
+    def finish(self) -> None:
+        """Flush tables left open at EOF (truncated captures, missing
+        ``</table>``) — their collected rows are still harvestable."""
+        while self._stack:
+            self.handle_endtag("table")
+
     def _flush_cell(self):
         if self._stack and self._cell[-1] is not None:
             text = _WS_RE.sub(" ", "".join(self._cell[-1])).strip()
@@ -191,6 +202,7 @@ def extract_html_tables(html: bytes | str, *, encoding: str = "utf-8",
     p = _TableCollector()
     p.feed(html)
     p.close()
+    p.finish()
     out = []
     # the collector appends INNER tables first (they close first);
     # re-order to document order by tracking nothing extra: parse
@@ -233,17 +245,20 @@ def with_web_table_cells(df: DataFrame, html_col: str = "html",
                 for t_idx, tab in enumerate(
                         extract_html_tables(html, encoding=encoding,
                                             min_rows=min_rows)):
+                    if budget <= 0:
+                        break  # exhausted docs stop iterating entirely
                     header = tab["header"]
                     for r_idx, row in enumerate(tab["rows"]):
-                        for c_idx, value in enumerate(row):
-                            if budget <= 0:
-                                break
+                        if budget <= 0:
+                            break
+                        for c_idx, value in enumerate(
+                                row[:budget]):
                             name = (header[c_idx]
                                     if header and c_idx < len(header)
                                     else f"col_{c_idx}")
                             recs.append((url, t_idx, c_idx, name,
                                          r_idx, value))
-                            budget -= 1
+                        budget -= min(len(row), budget)
             yield pd.DataFrame(recs, columns=["url", "table_idx",
                                               "col_idx", "header",
                                               "row_idx", "value"])
@@ -269,7 +284,12 @@ def classify_web_table_columns(
     col_idx, header, n_rows, n_empty, ruletype('field'|'data'),
     ruleid, dataclass, confidence, is_pii``.  ``max_rows_per_col``
     samples by the table's own row ordinal (``row_idx <`` — no window,
-    no extra shuffle), mirroring the scanner's first-N limit."""
+    no extra shuffle), mirroring the scanner's first-N limit.
+
+    Column groups key on ``(url, table_idx, col_idx)`` — the input
+    must carry ONE capture per url (multi-crawl revisits of the same
+    page would blend their counts; the CLI dedups via
+    :func:`metacrafter_spark.ops.urls.dedup_url_revisits` first)."""
     from metacrafter_spark.matcher import (_func_flag_udf,
                                            _multi_flag_udf,
                                            _regex_flag_udf)
@@ -343,13 +363,16 @@ def classify_web_table_columns(
             F.lit(100.0).alias("confidence"),
             F.lit(bool(r.is_pii)).alias("is_pii"))))
     for r in data_rules:
-        conf = F.round(F.col(f"succ_{r.id}") * 100.0 / subtotal, round_to)
+        # threshold on the UNROUNDED ratio (the reference's strict >,
+        # processor.py:898-906); rounding applies only to the emitted
+        # value
+        raw_conf = F.col(f"succ_{r.id}") * 100.0 / subtotal
         match_structs.append(F.when(
-            (subtotal > 0) & (conf > F.lit(confidence)),
+            (subtotal > 0) & (raw_conf > F.lit(confidence)),
             F.struct(F.lit("data").alias("ruletype"),
                      F.lit(r.id).alias("ruleid"),
                      F.lit(r.dataclass).alias("dataclass"),
-                     conf.alias("confidence"),
+                     F.round(raw_conf, round_to).alias("confidence"),
                      F.lit(bool(r.is_pii)).alias("is_pii"))))
 
     exploded = (agg.select(

@@ -97,7 +97,7 @@ def _multi_flag_udf(specs: tuple):
         cols = []
         for kind, arg in specs:
             if kind == "ppr":
-                cols.append(base.str.match(re.compile(arg)))
+                cols.append(base.str.match(_rx(arg)))
             else:
                 fn = FUNC_REGISTRY[arg]
                 src = base
@@ -111,9 +111,6 @@ def _multi_flag_udf(specs: tuple):
         return pd.Series(pd.concat(cols, axis=1).values.tolist())
 
     return flags
-
-CELL_SCHEMA = ("url string, table_idx int, col_idx int, header string, "
-               "row_idx int, value string")
 
 
 def match_field_rules(

@@ -292,3 +292,57 @@ def test_extract_tables_span_bomb_clamped():
             "<tr><td>x</td></tr></table>")
     tabs = extract_html_tables(html, min_rows=1)
     assert len(tabs[0]["rows"][0]) == 256  # clamped to _MAX_SPAN
+
+
+def test_extract_unclosed_table_at_eof():
+    """A truncated capture whose <table> never closes still yields its
+    rows (flushed at EOF)."""
+    html = (b"<html><body><p>x</p><table><tr><td>a@x.io</td></tr>"
+            b"<tr><td>b@x.io</td></tr>")
+    tabs = extract_html_tables(html)
+    assert tabs == [{"header": None, "rows": [["a@x.io"], ["b@x.io"]]}]
+
+
+def test_colspan_does_not_overwrite_carried_rowspan():
+    """A malformed colspan running into a slot held by a rowspan from
+    the row above leaves the carried value in place (the HTML table
+    model never overwrites a slot)."""
+    html = """
+    <table>
+      <tr><td>x</td><td>y</td><td rowspan="2">Z</td></tr>
+      <tr><td>p</td><td colspan="2">Q</td></tr>
+    </table>"""
+    tabs = extract_html_tables(html)
+    assert tabs[0]["rows"] == [["x", "y", "Z"], ["p", "Q", "Z"]]
+
+
+def test_cli_webtables_dedups_revisits(spark, tmp_path, capsys):
+    """Two captures of the same URL: only the newest capture's table
+    is classified (counts don't blend across crawls)."""
+    from datetime import datetime, timezone
+
+    from metacrafter_spark.cli import main
+    from metacrafter_spark.io.warc import write_warc
+
+    def page(tag, n):
+        rows = "".join(f"<tr><td>{tag}{i}@ex.org</td></tr>"
+                       for i in range(n))
+        return (f"<table><tr><th>email</th></tr>{rows}"
+                "</table>").encode()
+
+    recs = [
+        {"url": "https://t.example/p", "html": page("old", 4),
+         "ts": datetime(2025, 1, 1, tzinfo=timezone.utc)},
+        {"url": "https://t.example/p", "html": page("new", 9),
+         "ts": datetime(2025, 6, 1, tzinfo=timezone.utc)},
+    ]
+    d = tmp_path / "warc"
+    d.mkdir()
+    write_warc(recs, str(d / "p-00000.warc.gz"), str(d / "p-00000.cdx"))
+    out = str(tmp_path / "hits")
+    rc = main(["classify-webtables", str(d) + "/*.cdx", str(d), out])
+    assert rc == 0
+    rows = spark.read.parquet(out).collect()
+    # exactly the one (newest) capture's column, with ITS row count
+    assert {(r.url, r.col_idx, r.ruleid, r.n_rows) for r in rows} == \
+        {("https://t.example/p", 0, "emailknown", 9)}
