@@ -149,12 +149,29 @@ def extract_docx_text(data: bytes) -> str:
     return "\n".join(paras)
 
 
+#: \r escapes as a char ref — XML 1.0 line-ending normalization folds
+#: a literal \r (or \r\n) to \n on ANY conforming parse, but character
+#: references are exempt, so &#13; survives the round trip
 _XML_ESC = {"&": "&amp;", "<": "&lt;", ">": "&gt;",
-            '"': "&quot;", "'": "&apos;"}
+            '"': "&quot;", "'": "&apos;", "\r": "&#13;"}
+
+# chars XML 1.0 cannot carry even escaped (C0 controls minus \t\n\r,
+# surrogate code points, the two non-characters)
+_XML_ILLEGAL = re.compile(
+    "[\x00-\x08\x0b\x0c\x0e-\x1f\ud800-\udfff￾￿]")
 
 
 def _xml_escape(s: str) -> str:
-    return re.sub(r"[&<>\"']", lambda m: _XML_ESC[m.group(0)], s)
+    """Escape for embedding in an XML document part.  XML-illegal
+    characters RAISE — silently embedding them would produce a package
+    the (spec-conforming) reader must reject, breaking the documented
+    ``extract(write(text)) == text`` round-trip contract.  RTF and
+    legacy DOC carry such text instead (their writers accept it)."""
+    if _XML_ILLEGAL.search(s):
+        raise ValueError(
+            "text contains XML-illegal control/surrogate characters; "
+            "use the RTF or DOC writer for such payloads")
+    return re.sub(r"[&<>\"'\r]", lambda m: _XML_ESC[m.group(0)], s)
 
 
 def _zip_bytes(members: list[tuple[str, bytes, bool]]) -> bytes:

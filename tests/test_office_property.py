@@ -1,0 +1,67 @@
+# -*- coding: utf-8 -*-
+"""Hypothesis property tests for the office codecs: the round-trip
+contract ``extract(write(text)) == text`` over randomized unicode, per
+format with its documented carrying capacity — RTF carries anything,
+DOC carries everything outside Word's in-band control range, the XML
+packages (DOCX/ODT/EPUB) carry exactly XML 1.0 text and REFUSE the
+rest at write time (never a corrupt package)."""
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from metacrafter_spark.io.office_codec import (
+    extract_doc_text, extract_docx_text, extract_epub_text,
+    extract_odt_text, extract_rtf_text, write_doc, write_docx,
+    write_epub, write_odt, write_rtf,
+)
+
+_XML_ILLEGAL = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f\ud800-\udfff￾￿]")
+
+# any unicode text hypothesis generates (no lone surrogates by default)
+ANY_TEXT = st.text(max_size=400)
+
+# XML 1.0-carriable text
+XML_TEXT = st.text(max_size=400).filter(
+    lambda s: not _XML_ILLEGAL.search(s))
+
+# DOC identity domain: Word maps in-band C0 controls (cell marks,
+# field chars, line breaks...) per its own semantics, so identity
+# holds outside them; \n and \t round-trip (\t via 0x09 text)
+DOC_TEXT = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",),
+                           blacklist_characters=[chr(c) for c in
+                                                 range(0x00, 0x20)
+                                                 if c != 0x0A]),
+    max_size=400)
+
+
+@settings(max_examples=60, deadline=None)
+@given(ANY_TEXT)
+def test_rtf_roundtrip_any_text(text):
+    assert extract_rtf_text(write_rtf(text)) == text
+
+
+@settings(max_examples=60, deadline=None)
+@given(DOC_TEXT)
+def test_doc_roundtrip(text):
+    assert extract_doc_text(write_doc(text)) == text
+
+
+@settings(max_examples=40, deadline=None)
+@given(XML_TEXT)
+def test_docx_odt_epub_roundtrip(text):
+    assert extract_docx_text(write_docx(text)) == text
+    assert extract_odt_text(write_odt(text)) == text
+    assert extract_epub_text(write_epub(text)) == text
+
+
+@pytest.mark.parametrize("writer", [write_docx, write_odt, write_epub])
+def test_xml_writers_refuse_illegal_chars(writer):
+    for bad in ("a\x01b", "x\x0bz", "nul\x00", "ff￾"):
+        with pytest.raises(ValueError, match="XML-illegal"):
+            writer(bad)
+    # RTF and DOC carry the C0 payloads the XML writers refuse
+    assert extract_rtf_text(write_rtf("a\x01b")) == "a\x01b"
