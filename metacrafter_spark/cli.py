@@ -1411,8 +1411,13 @@ def main(argv=None) -> int:
                     hll_estimate, hll_merge, hll_registers)
                 from metacrafter_spark.ops.urls import canonicalize_url
 
+                # sketch from the WRITTEN table, not the lazy plan:
+                # once a store advanced (para/minhash above), the plan's
+                # lineage still references the REPLACED store files and
+                # a re-execution here would fail (or silently re-dedup
+                # against a different store state)
                 batch_regs = hll_registers(
-                    classified.select(
+                    io.read(args.output).select(
                         canonicalize_url(F.col("url")).alias("__cu")),
                     "__cu", p=12)
                 hll_prior = read_key_store(spark, args.url_hll_store)
@@ -1437,8 +1442,10 @@ def main(argv=None) -> int:
                     bloom_merge, bloom_sketch)
                 from metacrafter_spark.ops.urls import canonicalize_url
 
+                # from the WRITTEN table — same store-replacement
+                # lineage hazard as the HLL branch above
                 batch_bloom = bloom_sketch(
-                    classified.select(
+                    io.read(args.output).select(
                         canonicalize_url(F.col("url")).alias("__cu")),
                     "__cu", m_bits=args.bloom_bits, k=args.bloom_hashes)
                 new_bloom = (bloom_merge(

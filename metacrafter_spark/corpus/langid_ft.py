@@ -48,12 +48,17 @@ def char_grams(text_col: str, max_chars: int = 200) -> Column:
     """Character unigrams + bigrams of the lowercased text (first
     ``max_chars`` chars) — the fastText langid feature set."""
     ch = F.slice(
-        F.regexp_extract_all(F.lower(F.col(text_col)),
+        F.regexp_extract_all(F.lower(F.coalesce(F.col(text_col),
+                                                F.lit(""))),
                              F.lit("(?s)."), 0),
         1, max_chars)
     n = F.size(ch)
-    bi = F.zip_with(F.slice(ch, 1, n - 1), F.slice(ch, 2, n - 1),
-                    lambda a, b: F.concat(a, b))
+    # guard: slice length n-1 is -1 for an empty/NULL text (crashes);
+    # a <2-char document simply has no bigrams
+    bi = F.when(n >= 2, F.zip_with(
+        F.slice(ch, 1, n - 1), F.slice(ch, 2, n - 1),
+        lambda a, b: F.concat(a, b))).otherwise(
+            F.array().cast("array<string>"))
     return F.concat(ch, bi)
 
 

@@ -746,3 +746,116 @@ def test_warc_ingest_doc_attachments(spark, tmp_path, capsys):
     with pytest.raises(SystemExit):
         main(["warc-ingest", str(d) + "/*.cdx", str(d), out, met,
               "--doc-attachments", "--main-text"])
+
+
+def test_warc_ingest_grand_finale_all_subsystems(spark, tmp_path,
+                                                 capsys):
+    """Every subsystem in ONE composed run — the full production shape:
+    mixed html + document-attachment payloads, robots.txt harvested
+    from the crawl itself, all three trained models scoring, mojibake
+    repair, a toxicity wordlist, and all three cross-dump stores
+    (paragraph keys, MinHash signatures, URL Bloom).  A second
+    ingestion of the same dump against the advanced stores then marks
+    every page as a revisit — the cross-dump effects compose with the
+    model/attachment machinery instead of fighting it."""
+    from datetime import datetime, timezone
+
+    from metacrafter_spark.io.office_codec import write_docx, write_rtf
+    from metacrafter_spark.io.pdf_codec import write_simple_pdf
+    from metacrafter_spark.io.warc import write_warc
+
+    corpus = synth_webpages(spark, 120, seed=11, partitions=4)
+    rows = corpus.select("url", "warc_ts", "html", "text").collect()
+    ts = datetime(2025, 5, 1, tzinfo=timezone.utc)
+    recs = [{"url": r["url"], "ts": ts, "html": bytes(r["html"])}
+            for r in rows]
+    # DISTINCT bodies: the cross-corpus paragraph dedup correctly
+    # strips a paragraph repeated across documents (found the hard way
+    # — identical attachment bodies came back empty for all but the
+    # first)
+    def att_body(kind):
+        return (f"Unique {kind} paragraph one.\n"
+                f"Unique {kind} paragraph two.")
+
+    for kind, payload, ctype in [
+            ("docx", write_docx(att_body("docx")),
+             "application/vnd.openxmlformats-officedocument"
+             ".wordprocessingml.document"),
+            ("pdf", write_simple_pdf([att_body("pdf")]),
+             "application/pdf"),
+            ("rtf", write_rtf(att_body("rtf")), "application/rtf")]:
+        recs.append({"url": f"https://files.example.com/a.{kind}",
+                     "ts": ts, "html": payload, "content_type": ctype,
+                     "mime": ctype})
+    host = rows[0]["url"].split("/")[2]
+    recs.append({"url": f"https://{host}/robots.txt", "ts": ts,
+                 "html": b"User-agent: *\nDisallow: /private/\n",
+                 "content_type": "text/plain", "mime": "text/plain"})
+    d = tmp_path / "dump"
+    d.mkdir()
+    write_warc(recs, str(d / "p-00000.warc.gz"), str(d / "p-00000.cdx"))
+
+    # train all three models on the synthetic corpus
+    train_dir = str(tmp_path / "train.parquet")
+    corpus.select(F.col("url").alias("doc_id"), "text", "lang",
+                  (F.length("text") > 800).cast("int").alias("y")) \
+        .write.parquet(train_dir)
+    lm, qm, lid = (str(tmp_path / m) for m in ("lm", "qm", "lid"))
+    assert main(["train-lm", train_dir, lm,
+                 "--vocab-size", "2048"]) == 0
+    assert main(["train-quality", train_dir, qm, "--label-col", "y",
+                 "--iterations", "2", "--binary"]) == 0
+    assert main(["train-langid", train_dir, lid, "--buckets", "512",
+                 "--iterations", "2"]) == 0
+    capsys.readouterr()
+
+    stores = {f: str(tmp_path / f)
+              for f in ("para_store", "mh_store", "bloom_store")}
+    args = ["warc-ingest", str(d) + "/*.cdx", str(d),
+            str(tmp_path / "docs1"), str(tmp_path / "met1"),
+            "--buckets", "4", "--doc-attachments", "--fix-mojibake",
+            "--toxicity-wordlist", "zorbly,grumph",
+            "--robots-from-crawl",
+            "--kenlm-model", lm, "--quality-model", qm,
+            "--langid-model", lid,
+            "--para-dedup-store", stores["para_store"],
+            "--minhash-store", stores["mh_store"],
+            "--url-bloom-store", stores["bloom_store"],
+            "--bloom-bits", str(1 << 18)]
+    assert main(args) == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # robots.txt is consumed as policy, not corpus
+    assert payload["processed"] == 123
+
+    docs = IcebergTable.load(str(tmp_path / "docs1")).read(spark)
+    assert docs.count() == 123
+    # attachments extracted through the router with their route
+    att = {r["url"].rsplit(".", 1)[-1]: (r["payload_type"], r["text"])
+           for r in docs.filter(
+               F.col("url").startswith("https://files.")).collect()}
+    for kind in ("docx", "pdf", "rtf"):
+        assert att[kind] == (kind, att_body(kind)), kind
+    # html pages: byte-identical extraction vs the source corpus
+    src = corpus.select("url", F.col("text").alias("src_text"))
+    joined = docs.join(src, "url")
+    assert joined.count() == 120
+    assert joined.filter(F.col("text") != F.col("src_text")).count() == 0
+    # all three models scored every document
+    for c in ("kn_ppl", "q_model_p", "ft_lang"):
+        assert docs.filter(F.col(c).isNull()).count() == 0, c
+    # all three stores advanced
+    for p in stores.values():
+        assert spark.read.parquet(p).count() > 0
+
+    # second ingestion of the SAME dump: the Bloom store marks every
+    # page a url_revisit (drop), models/attachments still compose
+    assert main(args[:3] + [str(tmp_path / "docs2"),
+                            str(tmp_path / "met2")] + args[5:]) == 0
+    payload2 = json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload2["processed"] == 123
+    assert payload2["kept_total"] == 0
+    docs2 = IcebergTable.load(str(tmp_path / "docs2")).read(spark)
+    assert docs2.filter(F.col("drop_reason") == "url_revisit") \
+        .count() == 123
+    assert docs2.filter(F.col("kn_ppl").isNull()).count() == 0
