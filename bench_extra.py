@@ -1,0 +1,246 @@
+"""Extra benchmarks: per-stage isolation with the noop sink (guide §1.4).
+
+NOT the driver-timed bench (bench.py is frozen); this file exists so
+optimization work can attribute wall-clock to individual stages and so
+OPTIMIZATION_r06.md can cite isolated numbers.
+
+Usage:
+    python bench_extra.py pipeline    # classify_corpus stage breakdown
+    python bench_extra.py core        # frozen r4 16-row core subset total
+    python bench_extra.py <stage>     # single stage
+
+Every run computes from the parquet/synth inputs — nothing is cached
+across processes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_DOCS = int(os.environ.get("SPARK_GRAFT_CORPUS_DOCS", "20000"))
+REPEATS = int(os.environ.get("BENCH_EXTRA_REPEATS", "3"))
+
+#: the r4-era 16-row headline set (VERDICT r5 ask #4): a forever-
+#: round-comparable core total, reported by `core` below.
+CORE_ROWS = [
+    "tpch_q1_pricing_summary", "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue", "top_customers_by_spend",
+    "rule_confidence_minipack", "regex_match_rate", "exact_dedup_events",
+    "minhash_near_dups", "ann_topk_cosine", "token_counts",
+    "langid_documents", "events_json_agg", "dup_span_stats",
+    "decontaminate",
+]
+
+
+def _noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _best(fn, n=REPEATS):
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from metacrafter_spark.session import get_spark
+
+    what = sys.argv[1] if len(sys.argv) > 1 else "pipeline"
+    spark = get_spark(app_name=f"bench-extra-{what}", cores=CPUS,
+                      shuffle_partitions=max(CPUS, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    sc = spark.sparkContext
+
+    # warm the Python workers like bench.py does
+    from pyspark.sql.functions import pandas_udf
+    import pandas as pd
+
+    @pandas_udf("long")
+    def _warm(s):
+        return s
+
+    spark.range(0, CPUS * 1000, 1, CPUS).select(_warm("id")) \
+        .write.format("noop").mode("overwrite").save()
+
+    out: dict[str, float] = {}
+
+    if what in ("pipeline", "langid"):
+        from metacrafter_spark.corpus.langid import with_langid
+        from metacrafter_spark.corpus.perplexity import with_perplexity
+        from metacrafter_spark.corpus.pipeline import classify_corpus
+        from metacrafter_spark.corpus.quality import with_quality
+        from metacrafter_spark.corpus.scrub import with_scrub
+        from metacrafter_spark.corpus.webpages import synth_webpages
+
+        corpus = synth_webpages(spark, N_DOCS, seed=42,
+                                partitions=CPUS * 2).cache()
+        corpus.count()
+        stages = {
+            "langid": lambda: _noop(with_langid(corpus, "text")),
+            "perplexity": lambda: _noop(with_perplexity(corpus, "text")),
+            "quality": lambda: _noop(with_quality(corpus, "text")),
+            "scrub": lambda: _noop(with_scrub(corpus, "text")),
+            "full_pipeline": lambda: _noop(classify_corpus(corpus)),
+            "baseline_noop": lambda: _noop(corpus),
+        }
+        if what == "langid":
+            stages = {"langid": stages["langid"],
+                      "baseline_noop": stages["baseline_noop"]}
+        for name, fn in stages.items():
+            sc.setJobDescription(f"bench_extra:{name}")
+            out[name] = _best(fn)
+        corpus.unpersist()
+
+    elif what == "core":
+        import __spark_entry__ as entry_mod
+
+        qs = entry_mod.queries()
+        for name in CORE_ROWS:
+            sc.setJobDescription(f"bench_extra:core:{name}")
+            out[name] = _best(lambda: _noop(qs[name](spark, SF_DIR)))
+        # stats-engine row (part of the frozen core, bench.py inline)
+        from metacrafter_spark.scanner import scan_dataframe
+
+        def _stats():
+            docs = entry_mod._t(spark, SF_DIR, "documents")
+            scan_dataframe(docs, stats_only=True)
+
+        sc.setJobDescription("bench_extra:core:stats_engine_documents")
+        out["stats_engine_documents"] = _best(_stats)
+        out["core_total_sec"] = round(sum(out.values()), 3)
+
+    elif what == "classifier":
+        from metacrafter_spark.corpus.webpages import synth_webpages
+        from metacrafter_spark.ops.quality_classifier import (
+            score_logreg, train_logreg_hashed)
+
+        corpus = synth_webpages(spark, N_DOCS, seed=42,
+                                partitions=CPUS * 2).cache()
+        corpus.count()
+        labeled = corpus.select(
+            "url", "text",
+            (~(F.col("text").contains("lorem ipsum")
+               | F.col("text").contains("function f() {")))
+            .cast("int").alias("y"))
+
+        def _train_only():
+            train_logreg_hashed(
+                labeled, label_col="y", id_col="url", buckets=1024,
+                max_words=100, iterations=3, lr=2.0,
+                class_weights=(50.0, 1.0), binary=True)
+
+        def _train_score():
+            m = train_logreg_hashed(
+                labeled, label_col="y", id_col="url", buckets=1024,
+                max_words=100, iterations=3, lr=2.0,
+                class_weights=(50.0, 1.0), binary=True)
+            _noop(score_logreg(labeled, m, id_col="url"))
+
+        sc.setJobDescription("bench_extra:classifier:train")
+        out["train_only"] = _best(_train_only, 2)
+        sc.setJobDescription("bench_extra:classifier:train+score")
+        out["train_score"] = _best(_train_score, 2)
+        corpus.unpersist()
+
+    elif what == "webtable":
+        from metacrafter_spark.corpus.webpages import synth_webpages
+        from metacrafter_spark.corpus.webtables import (
+            classify_web_table_columns, with_web_table_cells)
+        from metacrafter_spark.rules import load_builtin_pack
+
+        corpus = synth_webpages(spark, N_DOCS, seed=42,
+                                partitions=CPUS * 2).cache()
+        corpus.count()
+        wt_pages = corpus.limit(4000).select(
+            "url",
+            F.encode(F.concat(
+                F.lit("<table><tr><th>email</th><th>uid</th></tr>"
+                      "<tr><td>a@ex.org</td><td>6f9619ff-8b86-d011-b42d-"
+                      "00c04fc964ff</td></tr><tr><td></td><td>"),
+                F.sha2(F.col("url"), 256),
+                F.lit("</td></tr></table>")), "utf-8").alias("html"))
+        pack = load_builtin_pack()
+        sc.setJobDescription("bench_extra:webtable:harvest")
+        out["harvest_only"] = _best(
+            lambda: with_web_table_cells(wt_pages).count())
+        sc.setJobDescription("bench_extra:webtable:harvest+classify")
+        out["harvest_classify"] = _best(
+            lambda: classify_web_table_columns(
+                with_web_table_cells(wt_pages), pack,
+                confidence=40.0).count())
+        corpus.unpersist()
+
+    elif what == "pagerank":
+        from metacrafter_spark.corpus.html import with_outlinks
+        from metacrafter_spark.corpus.webpages import synth_webpages
+        from metacrafter_spark.ops.linkgraph import page_link_edges, pagerank
+
+        corpus = synth_webpages(spark, N_DOCS, seed=42,
+                                partitions=CPUS * 2).cache()
+        n = corpus.count()
+        d = F.regexp_extract("url", r"/article/(\d+)$", 1).cast("long")
+        injected = corpus.select(
+            "url",
+            F.regexp_replace(
+                F.decode("html", "utf-8"), "</body>",
+                F.concat(F.lit('<a href="/p/'), (d * 7 + 1) % n,
+                         F.lit('">x</a><a href=../article/'),
+                         (d * 13 + 3) % n,
+                         F.lit('>y</a></body>'))).alias("html"))
+        sc.setJobDescription("bench_extra:pagerank:outlinks")
+        out["outlinks_only"] = _best(
+            lambda: _noop(with_outlinks(injected, "html", "url")))
+        sc.setJobDescription("bench_extra:pagerank:edges")
+        out["edges_only"] = _best(
+            lambda: _noop(page_link_edges(
+                with_outlinks(injected, "html", "url"))))
+        sc.setJobDescription("bench_extra:pagerank:full")
+        out["full_pagerank"] = _best(
+            lambda: _noop(pagerank(page_link_edges(
+                with_outlinks(injected, "html", "url")), iterations=3)), 2)
+        corpus.unpersist()
+
+    elif what == "kenlm":
+        from metacrafter_spark.corpus.kenlm import (
+            score_kn_bigram, train_kn_bigram)
+        from metacrafter_spark.corpus.webpages import synth_webpages
+
+        corpus = synth_webpages(spark, N_DOCS, seed=42,
+                                partitions=CPUS * 2).cache()
+        corpus.count()
+        kdocs = corpus.select("url", "text")
+        sc.setJobDescription("bench_extra:kenlm:train")
+        out["train_only"] = _best(
+            lambda: train_kn_bigram(kdocs, vocab_size=4096, max_words=100),
+            2)
+
+        def _ts():
+            m = train_kn_bigram(kdocs, vocab_size=4096, max_words=100)
+            _noop(score_kn_bigram(kdocs, m, id_col="url"))
+
+        sc.setJobDescription("bench_extra:kenlm:train+score")
+        out["train_score"] = _best(_ts, 2)
+        corpus.unpersist()
+
+    else:
+        raise SystemExit(f"unknown stage {what!r}")
+
+    print(json.dumps({"what": what, "sf_dir": SF_DIR, "cpus": CPUS,
+                      "stages": out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -42,6 +42,7 @@ Pure function of the text prefix → same label at any parallelism.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Optional
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -275,17 +276,73 @@ def _script_ratio(nl: Column, head: Column, script_key: str) -> Column:
 
 
 def _spec_score(spec: LangSpec, toks: Column, n_tokens_f: Column,
-                script_cols: dict) -> Column:
+                script_cols: dict, hits: Optional[Column] = None) -> Column:
     """token_hits/n + Σ w×ratio, terms added left-to-right in spec order
-    (the SQL twin mirrors the exact operation order for bit-equality)."""
+    (the SQL twin mirrors the exact operation order for bit-equality).
+
+    ``hits`` (optional) supplies a pre-computed integer hit count for
+    this spec (the fused one-pass kernel below); when absent the count
+    is the original per-language ``isin`` filter pass.  Both are the
+    same integer, so the score expression is bit-identical."""
     score = None
     if spec.stopwords:
-        hits = F.size(F.filter(toks, lambda w: w.isin(*spec.stopwords)))
+        if hits is None:
+            hits = F.size(F.filter(toks, lambda w: w.isin(*spec.stopwords)))
         score = hits.cast("double") / n_tokens_f
     for key, w in spec.scripts:
         term = F.lit(float(w)) * script_cols[key]
         score = term if score is None else score + term
     return score if score is not None else F.lit(0.0)
+
+
+def _stopword_counts_udf(specs: tuple):
+    """ONE Arrow kernel computing every language's stopword hit count in
+    a single pass over the token array (round-6: replaces ~30
+    independent JVM ``filter(toks, isin)`` array passes — the verdict's
+    top perf item).
+
+    ``specs`` is an ordered tuple of ``(lang, stopword_tuple)``.  Tokens
+    map to a per-token language BITMASK through one vectorized hash
+    lookup (``pd.Index.get_indexer``); per-language counts are then
+    bincounts of the mask bits over document segments.  The counts are
+    exactly ``size(filter(toks, isin(stopwords)))`` — integer-identical
+    by construction (same token strings, exact string equality), so
+    every downstream score/argmax/oracle hash is unchanged.
+    """
+    import numpy as np
+    import pandas as pd
+
+    masks: dict[str, int] = {}
+    for j, (_lang, words) in enumerate(specs):
+        for w in words:
+            masks[w] = masks.get(w, 0) | (1 << j)
+    n_langs = len(specs)
+    key_index = pd.Index(list(masks.keys()), dtype=object)
+    mask_vals = np.fromiter(masks.values(), dtype=np.int64,
+                            count=len(masks))
+
+    @F.pandas_udf("array<int>")
+    def counts(toks):
+        nd = len(toks)
+        res = np.zeros((nd, n_langs), dtype=np.int32)
+        if nd:
+            lens = np.fromiter((len(t) for t in toks), dtype=np.int64,
+                               count=nd)
+            if int(lens.sum()):
+                flat = np.concatenate(
+                    [np.asarray(t, dtype=object) for t in toks])
+                idx = key_index.get_indexer(flat)
+                m = np.where(idx >= 0, mask_vals[idx], 0)
+                doc_idx = np.repeat(np.arange(nd), lens)
+                sel = m != 0
+                if sel.any():
+                    mi, di = m[sel], doc_idx[sel]
+                    for j in range(n_langs):
+                        hit = (mi >> j) & 1 != 0
+                        res[:, j] = np.bincount(di[hit], minlength=nd)
+        return pd.Series(list(res))
+
+    return counts
 
 
 def _scored_structs(pack: LangPack, toks: Column, n_tokens_f: Column,
@@ -346,14 +403,24 @@ def with_langid(df: DataFrame, text_col: str = "text",
     / ``best`` as intermediate columns pins each to one evaluation;
     results are row-identical to ``langid_struct`` (asserted in
     tests)."""
-    head_c, toks_c, nt_c, best_c, nl_c = (
-        "__lid_head", "__lid_toks", "__lid_nt", "__lid_best", "__lid_nl")
+    head_c, sp_c, toks_c, nt_c, best_c, nl_c, cnt_c = (
+        "__lid_head", "__lid_sp", "__lid_toks", "__lid_nt", "__lid_best",
+        "__lid_nl", "__lid_cnt")
     scripts = pack_scripts(pack)
     script_c = {k: f"__lid_s_{k}" for k in scripts}
     out = df.withColumn(head_c, F.substring(F.col(text_col), 1, prefix_chars))
     h = F.col(head_c)
-    out = out.withColumn(toks_c, _tokens(h))
-    out = out.withColumn(nt_c, F.size(F.split(F.trim(h), r"\s+")))
+    # the raw whitespace split is materialized ONCE and feeds both the
+    # token array and the raw token count (round-6: previously two
+    # independent regex split passes; identical arrays by construction)
+    out = out.withColumn(sp_c, F.split(F.trim(h), r"\s+"))
+    out = out.withColumn(
+        toks_c,
+        F.transform(
+            F.filter(F.col(sp_c), lambda w: F.length(w) > 0),
+            lambda w: F.lower(F.regexp_replace(w, _EDGE_PUNCT_RE, "")),
+        ))
+    out = out.withColumn(nt_c, F.size(F.col(sp_c)))
     ntf = F.greatest(F.col(nt_c), F.lit(1)).cast("double")
     # ONE regex pass pulls every script char; per-script ratios are
     # range filters over that (usually empty) array
@@ -365,10 +432,33 @@ def with_langid(df: DataFrame, text_col: str = "text",
     for k in scripts:
         out = out.withColumn(script_c[k], _script_ratio(F.col(nl_c), h, k))
     script_cols = {k: F.col(script_c[k]) for k in scripts}
+    # ONE fused Arrow kernel yields every language's stopword hit count
+    # (integer-identical to the per-language isin passes — see
+    # _stopword_counts_udf); the scored structs then reference the
+    # counts array instead of re-scanning the token array per language
+    ordered = sorted(pack, key=lambda s: s.lang)
+    sw_specs = [s for s in ordered if s.stopwords]
+    hit_by_lang: dict[str, Column] = {}
+    if sw_specs:
+        out = out.withColumn(
+            cnt_c,
+            _stopword_counts_udf(tuple(
+                (s.lang, tuple(s.stopwords)) for s in sw_specs
+            ))(F.col(toks_c)))
+        hit_by_lang = {
+            s.lang: F.element_at(F.col(cnt_c), i + 1)
+            for i, s in enumerate(sw_specs)
+        }
     out = out.withColumn(
         best_c,
-        F.array_max(F.array(*_scored_structs(pack, F.col(toks_c), ntf,
-                                             script_cols))),
+        F.array_max(F.array(*[
+            F.struct(
+                _spec_score(spec, F.col(toks_c), ntf, script_cols,
+                            hits=hit_by_lang.get(spec.lang)).alias("score"),
+                F.lit(spec.lang).alias("lang"),
+            )
+            for spec in ordered
+        ])),
     )
     final = F.when(
         (F.length(F.trim(F.col(text_col))) == 0)
@@ -382,8 +472,8 @@ def with_langid(df: DataFrame, text_col: str = "text",
         out.withColumn(f"{out_prefix}_tmp", final)
         .withColumn(f"{out_prefix}_lang", F.col(f"{out_prefix}_tmp.lang"))
         .withColumn(f"{out_prefix}_score", F.col(f"{out_prefix}_tmp.score"))
-        .drop(f"{out_prefix}_tmp", head_c, toks_c, nt_c, best_c, nl_c,
-              *script_c.values())
+        .drop(f"{out_prefix}_tmp", head_c, sp_c, toks_c, nt_c, best_c,
+              nl_c, cnt_c, *script_c.values())
     )
 
 

@@ -54,18 +54,31 @@ def featurize(df: DataFrame, *, id_col: str = "doc_id",
     yields presence features (x = 1), which train better on
     short-document classes (the fastText default is counts; CCNet-
     style quality filters often binarize)."""
-    counted = (df
-               .select(F.col(id_col),
-                       F.explode(word_grams(text_col, max_words))
-                       .alias("__g"))
-               .select(id_col,
-                       feature_bucket(F.col("__g"), buckets)
-                       .alias("bucket"))
-               .groupBy(id_col, "bucket")
-               .agg(F.count(F.lit(1)).alias("x")))
     if binary:
-        counted = counted.withColumn("x", F.lit(1).cast("long"))
-    return counted
+        # Round-6: presence features need no (id, bucket) aggregation
+        # at all — a document's grams live in ONE array, so the
+        # distinct bucket set is computable map-side
+        # (array_distinct over the per-gram hash) and the explode
+        # yields exactly the groupBy's output rows with ZERO Exchange
+        # (guide §2.4 "remove shuffles outright"; set-equality with the
+        # old groupBy path is asserted in tests).  Downstream partial
+        # aggregation also improves: one doc's rows stay contiguous in
+        # one partition, so a per-doc agg collapses map-side.
+        per_doc = F.array_distinct(
+            F.transform(word_grams(text_col, max_words),
+                        lambda g: feature_bucket(g, buckets)))
+        return (df
+                .select(F.col(id_col), F.explode(per_doc).alias("bucket"))
+                .withColumn("x", F.lit(1).cast("long")))
+    return (df
+            .select(F.col(id_col),
+                    F.explode(word_grams(text_col, max_words))
+                    .alias("__g"))
+            .select(id_col,
+                    feature_bucket(F.col("__g"), buckets)
+                    .alias("bucket"))
+            .groupBy(id_col, "bucket")
+            .agg(F.count(F.lit(1)).alias("x")))
 
 
 @dataclass
@@ -121,11 +134,20 @@ def train_logreg_hashed(df: DataFrame, *, label_col: str,
     the unpersisted recursion would re-execute the whole lineage per
     reference)."""
     w_neg, w_pos = class_weights
+    # Round-6: persist features AND labels hash-partitioned on the id
+    # (explicit partition count from conf, so AQE coalescing cannot
+    # de-align the two sides).  Every iteration joins resid⋈feats and
+    # labels⋈zs on the id — co-partitioned caches make those joins and
+    # the per-doc aggregation Exchange-free, so the wide feature frame
+    # is shuffled ONCE at cache fill instead of once per iteration
+    # (guide §2.4: two operations keyed the same way share one
+    # exchange).
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     feats = featurize(df, id_col=id_col, text_col=text_col,
                       buckets=buckets, max_words=max_words,
-                      binary=binary).persist()
-    labels = df.select(id_col,
-                       F.col(label_col).cast("int").alias("y")).persist()
+                      binary=binary).repartition(n_part, id_col).persist()
+    labels = (df.select(id_col, F.col(label_col).cast("int").alias("y"))
+              .repartition(n_part, id_col).persist())
     # N is a single driver-side long and never changes — a literal
     # avoids re-running the count agg inside every iteration's plan
     # (it used to ride along as a crossJoined 1-row frame, recomputed

@@ -1,0 +1,60 @@
+"""Dump .explain('formatted') for declared queries into plans/<tag>/.
+
+Usage:
+    python scripts/explain_dump.py <tag> <suffix> [query ...]
+
+Writes plans/<tag>/<query>_<suffix>.txt for each query (default list =
+the round-6 optimization targets).  SF_DIR selects the data directory
+(default sf0.1 — the bench scale, so plan shapes match the bench).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEFAULT = [
+    "langid_documents",
+    "corpus_pipeline",
+    "quality_classifier",
+    "web_table_columns",
+    "minhash_near_dups",
+    "page_rank",
+    "kmeans",
+    "kenlm_perplexity",
+    "rule_confidence_minipack",
+    "tpch_q1_pricing_summary",
+    "tpch_q5_local_supplier",
+]
+
+
+def main() -> int:
+    import __spark_entry__ as E
+    from metacrafter_spark.session import get_spark
+
+    tag, suffix = sys.argv[1], sys.argv[2]
+    names = sys.argv[3:] or DEFAULT
+    sf = os.environ.get("SF_DIR", "/root/testdata/sf0.1")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "plans", tag)
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = E.queries()
+    for name in names:
+        df = qs[name](spark, sf)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+        with open(path, "w") as f:
+            f.write(plan)
+        print(f"wrote {path} ({len(plan)} bytes)")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -124,6 +124,28 @@ def test_binary_features(spark, two_pool):
     assert f.agg(F.max("x")).collect()[0][0] == 1
 
 
+def test_binary_featurize_mapside_matches_groupby(spark, two_pool):
+    """Round-6: the binary path computes the per-doc distinct bucket
+    set map-side (array_distinct over the per-gram hash, zero
+    Exchange) — its output must be row-set-identical to the old
+    explode→groupBy(id, bucket) formulation, and its plan must carry
+    no Exchange."""
+    from metacrafter_spark.ops.dsir import feature_bucket, word_grams
+
+    fast = featurize(two_pool, buckets=64, max_words=50, binary=True)
+    slow = (two_pool
+            .select(F.col("doc_id"),
+                    F.explode(word_grams("text", 50)).alias("g"))
+            .select("doc_id", feature_bucket(F.col("g"), 64)
+                    .alias("bucket"))
+            .groupBy("doc_id", "bucket")
+            .agg(F.lit(1).cast("long").alias("x")))
+    assert (sorted(map(tuple, fast.collect()))
+            == sorted(map(tuple, slow.collect())))
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_distills_junk_markers_on_webcorpus(spark):
     """The driver-query configuration: junk labels from lorem-ipsum /
     code markers, 50x minority upweighting — the trained model must
