@@ -37,10 +37,30 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     corpus scan has thousands of splits).  Repartition only when the
     scan is narrower than half the configured parallelism; on real
     multi-split inputs this is a no-op, so no gratuitous shuffle at
-    scale."""
+    scale.
+
+    Round-6: the split count is estimated from FILE BYTES and
+    ``spark.sql.files.maxPartitionBytes`` instead of probing
+    ``df.rdd.getNumPartitions()`` — the ``.rdd`` conversion forced a
+    full physical-planning pass per call (~80 ms; q5 touches six
+    tables × three bench repeats).  The estimate reproduces the scan
+    split rule for the decision threshold (a parquet file can't split
+    below row-group granularity, so byte-count // maxPartitionBytes is
+    a lower bound and single-file fixtures still yield 1)."""
+    import glob as _glob
+    import os as _os
+
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    root = f"{sf_dir}/{name}.parquet"
+    paths = ([root] if _os.path.isfile(root)
+             else _glob.glob(f"{root}/**/*.parquet", recursive=True)
+             or [root])
+    total = sum(_os.path.getsize(p) for p in paths if _os.path.exists(p))
+    max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes",
+                                   str(128 * 1024 * 1024)).rstrip("b"))
+    est_splits = max(len(paths), total // max(max_split, 1))
+    if est_splits < max(2, target // 2):
         df = df.repartition(target)
     return df
 
@@ -3534,9 +3554,16 @@ def q_kenlm_persisted(spark, sf_dir):
     # fixed path + overwrite, NOT mkdtemp: the loaded model reads the
     # artifact lazily (the caller collects after we return), so the
     # dir can't be deleted here — reuse one location so repeated
-    # bench/oracle runs never accumulate temp artifacts
-    path = os.path.join(tempfile.gettempdir(),
-                        "metacrafter_kenlm_persist_demo")
+    # bench/oracle runs never accumulate temp artifacts.  The location
+    # keys on sf_dir (ADVICE r5): two concurrent runs at different SFs
+    # previously shared one path, so one run's save_model rotation
+    # could delete files the other's scoring job was still reading.
+    import hashlib as _hl
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "metacrafter_kenlm_persist_"
+        + _hl.sha256(sf_dir.encode()).hexdigest()[:12])
     save_model(model, path, overwrite=True)
     reloaded = load_model(spark, path)
     scored = score_kn_bigram(docs.select("doc_id", "text"), reloaded)

@@ -421,7 +421,6 @@ def with_langid(df: DataFrame, text_col: str = "text",
             lambda w: F.lower(F.regexp_replace(w, _EDGE_PUNCT_RE, "")),
         ))
     out = out.withColumn(nt_c, F.size(F.col(sp_c)))
-    ntf = F.greatest(F.col(nt_c), F.lit(1)).cast("double")
     # ONE regex pass pulls every script char; per-script ratios are
     # range filters over that (usually empty) array
     out = out.withColumn(
@@ -438,28 +437,37 @@ def with_langid(df: DataFrame, text_col: str = "text",
     # counts array instead of re-scanning the token array per language
     ordered = sorted(pack, key=lambda s: s.lang)
     sw_specs = [s for s in ordered if s.stopwords]
-    hit_by_lang: dict[str, Column] = {}
+    sw_idx = {s.lang: i + 1 for i, s in enumerate(sw_specs)}
     if sw_specs:
         out = out.withColumn(
             cnt_c,
             _stopword_counts_udf(tuple(
                 (s.lang, tuple(s.stopwords)) for s in sw_specs
             ))(F.col(toks_c)))
-        hit_by_lang = {
-            s.lang: F.element_at(F.col(cnt_c), i + 1)
-            for i, s in enumerate(sw_specs)
-        }
+    # The 34-struct argmax array is assembled as ONE SQL string parsed
+    # by a single F.expr (round-6): building it through the Column API
+    # cost ~0.9 s of DRIVER time per call in py4j round-trips — and the
+    # pipeline constructs this plan on every invocation.  The parsed
+    # tree is operator-identical (double literals via the D suffix,
+    # terms added in the same left-to-right spec order), so scores and
+    # oracle hashes are unchanged.
+    ntf_sql = f"CAST(greatest({nt_c}, 1) AS DOUBLE)"
+    struct_sqls = []
+    for spec in ordered:
+        terms = []
+        if spec.stopwords:
+            terms.append(
+                f"CAST(element_at({cnt_c}, {sw_idx[spec.lang]}) AS DOUBLE)"
+                f" / {ntf_sql}")
+        for key, w in spec.scripts:
+            terms.append(f"{float(w)!r}D * {script_c[key]}")
+        score_sql = " + ".join(terms) if terms else "0.0D"
+        lang_lit = "'" + spec.lang.replace("'", "''") + "'"
+        struct_sqls.append(
+            f"named_struct('score', {score_sql}, 'lang', {lang_lit})")
     out = out.withColumn(
         best_c,
-        F.array_max(F.array(*[
-            F.struct(
-                _spec_score(spec, F.col(toks_c), ntf, script_cols,
-                            hits=hit_by_lang.get(spec.lang)).alias("score"),
-                F.lit(spec.lang).alias("lang"),
-            )
-            for spec in ordered
-        ])),
-    )
+        F.expr("array_max(array(" + ", ".join(struct_sqls) + "))"))
     final = F.when(
         (F.length(F.trim(F.col(text_col))) == 0)
         | ((F.col(nt_c) < min_tokens) & (_script_max(script_cols)

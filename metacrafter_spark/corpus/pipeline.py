@@ -43,6 +43,10 @@ from metacrafter_spark.corpus.scrub import (
 
 DEFAULT_N_BUCKETS = 256
 
+#: persisted model-score source frames from prior classify_corpus
+#: calls, released on the next call (see the model branch below)
+_SCORE_CACHES: list = []
+
 
 @dataclass(frozen=True)
 class KeepPolicy:
@@ -212,9 +216,21 @@ def classify_corpus(
         mid = F.concat_ws(
             "\x00", F.col("url"),
             F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256))
+        # ADVICE r5: this persisted frame used to leak (one cached
+        # frame per call — and per micro-batch under foreachBatch).
+        # Release the previous call's cache here (sequential callers,
+        # e.g. bench repeats, now hold at most one), and hand the
+        # handle to the caller via ``out._mc_score_cache`` so batch
+        # sinks can release it deterministically after their write.  A
+        # concurrent pipeline whose cache is released early just
+        # recomputes — correctness is unaffected.
+        for prev in _SCORE_CACHES:
+            prev.unpersist(blocking=False)
+        _SCORE_CACHES.clear()
         score_src = (out.select(mid.alias("__mid"), text_col)
                      .dropDuplicates(["__mid"])
                      .persist(StorageLevel.MEMORY_AND_DISK))
+        _SCORE_CACHES.append(score_src)
         signals = None
         if kenlm_model is not None:
             from metacrafter_spark.corpus.kenlm import (
@@ -305,6 +321,9 @@ def classify_corpus(
         .withColumn("drop_reason", reason)
         .withColumn("keep", reason.isNull())
     )
+    if _SCORE_CACHES:
+        # caller-releasable handle to the model-score cache (see above)
+        out._mc_score_cache = _SCORE_CACHES[-1]
     return out
 
 

@@ -191,36 +191,29 @@ def _rx(pattern: str) -> "re.Pattern[str]":
     return re.compile(pattern)
 
 
-def _combined_rx(rules: tuple[SpanRule, ...]) -> "re.Pattern[str]":
-    return _rx("|".join(f"(?:{r.pattern})" for r in rules))
-
-
 def scrub_series(s: pd.Series, rules: tuple[SpanRule, ...]) -> pd.Series:
     """Sequential per-rule replace over the series.
 
-    Prescan short-circuit: a row where NO rule pattern matches the
-    ORIGINAL text is a byte-identical passthrough (inductively — the
-    first rule doesn't fire, so the text is unchanged, so later rules
-    see the original and don't fire either), so the 16-pass replace
-    cascade runs only on rows the combined alternation hits (observed
-    2× wall-clock at a 48% hit rate; validators are a superset concern —
-    prescan may select a row whose only match fails Luhn/mod-97, which
-    just wastes the cascade, never changes bytes)."""
-    mask = s.str.contains(_combined_rx(rules), regex=True).fillna(False)
-    if not mask.any():
-        return s.copy()
+    Round-6 note: an earlier combined-alternation PRESCAN
+    (short-circuit rows no rule matches) is gone — re-measured on the
+    current 16-rule set, the single 16-branch alternation scan cost
+    MORE than the whole per-rule cascade (19.7 s vs 13.9 s
+    single-threaded on the 20k-doc corpus: Python ``re`` tries every
+    branch at every position, and the ipv4/ipv6/credit-card branches
+    are pathological in an alternation).  A no-match ``re.sub`` pass
+    returns the original string object, so cascading over every row is
+    just 16 cheap scans.  Output bytes are identical by construction
+    (asserted against the prescan form before removal)."""
     out = s.copy()
-    sel = s[mask]
     for rule in rules:
         rx = _rx(rule.pattern)
         if rule.validator is None:
-            sel = sel.str.replace(rx, rule.replacement, regex=True)
+            out = out.str.replace(rx, rule.replacement, regex=True)
         else:
             v, repl = rule.validator, rule.replacement
-            sel = sel.str.replace(
+            out = out.str.replace(
                 rx, lambda m: repl if v(m.group(0)) else m.group(0), regex=True
             )
-    out[mask] = sel
     return out
 
 
@@ -269,15 +262,27 @@ def fused_scrub_udf(rules: tuple[SpanRule, ...]):
 
     @pandas_udf(f"struct<scrubbed:string, {fields}>")
     def kernel(s: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
         src = s.fillna("")
         out = scrub_series(src, rules)
         data = {"scrubbed": out}
+        # Round-6: token counting runs only on rows the cascade
+        # CHANGED — an unchanged row has count(out) == count(src) for
+        # every token by construction, so its delta is 0 without
+        # scanning (cuts the 2×16 literal count passes to the changed
+        # fraction of the batch; values identical).
+        changed = out.ne(src).to_numpy()
+        och, sch = out[changed], src[changed]
+        n = len(src)
         for r in rules:
             tok = re.escape(r.replacement)
-            pre = src.str.count(tok)
-            data[r.name] = (
-                (out.str.count(tok) - pre).clip(lower=0).astype("int64")
-            )
+            c = np.zeros(n, dtype=np.int64)
+            if changed.any():
+                c[changed] = np.maximum(
+                    och.str.count(tok).to_numpy(np.int64)
+                    - sch.str.count(tok).to_numpy(np.int64), 0)
+            data[r.name] = pd.Series(c, index=src.index)
         return pd.DataFrame(data)
 
     return kernel

@@ -399,6 +399,10 @@ def stream_warc_ingest(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if model_kw:
             batch_df = _classify(batch_df)
+        # model-score cache handle (ADVICE r5): released after this
+        # batch's writes so foreachBatch no longer accumulates one
+        # persisted frame per micro-batch
+        score_cache = getattr(batch_df, "_mc_score_cache", None)
         out = batch_df.withColumn("batch_id", F.lit(batch_id)).persist()
         try:
             flat = flatten_struct_columns(out)
@@ -413,6 +417,8 @@ def stream_warc_ingest(
                                     partition_by=["batch_id", "bucket_id"])
         finally:
             out.unpersist()
+            if score_cache is not None:
+                score_cache.unpersist(blocking=False)
 
     writer = (classified.writeStream.foreachBatch(sink)
               .option("checkpointLocation", checkpoint_path))

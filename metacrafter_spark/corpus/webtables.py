@@ -59,6 +59,13 @@ CELL_SCHEMA = ("url string, table_idx int, col_idx int, header string, "
                "row_idx int, value string")
 
 
+def _sql_str(s: str) -> str:
+    """Spark SQL string literal (single quotes doubled, backslashes
+    escaped — backslash is an escape character in Spark SQL literals
+    under the default parser)."""
+    return "'" + str(s).replace("\\", "\\\\").replace("'", "''") + "'"
+
+
 def _assemble_grid(raw_rows: list[list[list]]) -> list[list[list]]:
     """Resolve colspan/rowspan into a rectangular-enough grid: a
     spanned cell's VALUE replicates into every slot it covers (the
@@ -290,19 +297,12 @@ def classify_web_table_columns(
     must carry ONE capture per url (multi-crawl revisits of the same
     page would blend their counts; the CLI dedups via
     :func:`metacrafter_spark.ops.urls.dedup_url_revisits` first)."""
-    from metacrafter_spark.matcher import (_func_flag_udf,
-                                           _multi_flag_udf,
-                                           _regex_flag_udf)
+    from metacrafter_spark.matcher import _multi_flag_udf
 
     field_rules = pack.filtered("field", filter_contexts, filter_langs,
                                 ignore_imprecise)
     data_rules = pack.filtered("data", filter_contexts, filter_langs,
                                ignore_imprecise)
-
-    v = F.col("value")
-    ln = F.length(v)
-    empty = v.isNull() | (ln == 0)
-    live = ~empty
 
     sample = cells.filter(F.col("row_idx") < max_rows_per_col)
     # ALL Python-side rules (ppr regex + func) evaluate inside ONE
@@ -310,29 +310,40 @@ def classify_web_table_columns(
     # builtin pack that fuses ~45 separate UDF columns into a single
     # serialization boundary (measured ~15% on the bench row's full
     # harvest+classify wall; the win grows with cell count as Arrow
-    # transfer amortizes); text rules stay pure-JVM isin predicates
+    # transfer amortizes); text rules stay pure-JVM isin predicates.
+    #
+    # Round-6: the JVM-side expressions (per-rule gated sums, the
+    # per-rule match structs) are assembled as SQL STRINGS parsed by a
+    # handful of F.expr calls instead of thousands of Column-API
+    # calls: profiling showed ~4.3 s of the 4.7 s harvest+classify
+    # wall was DRIVER-side py4j chatter constructing the expression
+    # trees (execution was 1.6 s).  The parsed trees are semantically
+    # identical (double literals spelled with the D suffix, same
+    # operator shapes), so all counts/confidences — and the oracle
+    # hash — are unchanged.
     py_rules = [r for r in data_rules if r.match in ("ppr", "func")]
     py_flags = (_multi_flag_udf(tuple(
         (r.match, r.pattern if r.match == "ppr" else r.func_name)
-        for r in py_rules))(v).alias("__pyflags")
+        for r in py_rules))(F.col("value")).alias("__pyflags")
         if py_rules else F.array().alias("__pyflags"))
     py_idx = {r.id: i + 1 for i, r in enumerate(py_rules)}
 
-    flag_cols, aggs = [py_flags], [
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(empty.cast("long")).alias("n_empty"),
-    ]
+    empty_sql = "(value IS NULL OR length(value) = 0)"
+    flag_sqls: list[str] = []
+    agg_sqls = ["count(1) AS n_rows",
+                f"sum(CAST({empty_sql} AS BIGINT)) AS n_empty"]
     for r in data_rules:
         if r.match == "text":
-            pred = F.lower(v).isin(*sorted(r.keywords))
-            flag_cols.append(pred.alias(f"flag_{r.id}"))
-            flag = F.col(f"flag_{r.id}")
+            kw = ", ".join(_sql_str(k) for k in sorted(r.keywords))
+            flag_sqls.append(f"(lower(value) IN ({kw})) AS `flag_{r.id}`")
+            flag = f"`flag_{r.id}`"
         else:
-            flag = F.element_at(F.col("__pyflags"), py_idx[r.id])
-        aggs.append(F.sum(
-            F.when(live & ln.between(r.minlen, r.maxlen) & flag,
-                   1).otherwise(0)
-        ).alias(f"succ_{r.id}"))
+            flag = f"element_at(__pyflags, {py_idx[r.id]})"
+        agg_sqls.append(
+            f"sum(CASE WHEN (NOT {empty_sql})"
+            f" AND length(value) BETWEEN {int(r.minlen)}"
+            f" AND {int(r.maxlen)} AND {flag}"
+            f" THEN 1 ELSE 0 END) AS `succ_{r.id}`")
 
     # header rides as a GROUP KEY (it is functionally dependent on the
     # column id, so the groups are identical) — aggregating it instead
@@ -340,45 +351,57 @@ def classify_web_table_columns(
     # whole aggregation onto SortAggregate; as a key the buffers stay
     # all-numeric and the plan is a two-phase HashAggregate
     agg = (sample.select("url", "table_idx", "col_idx", "header",
-                         "value", *flag_cols)
+                         "value", py_flags,
+                         *[F.expr(s) for s in flag_sqls])
            .groupBy("url", "table_idx", "col_idx", "header")
-           .agg(*aggs))
+           .agg(*[F.expr(s) for s in agg_sqls]))
 
     # in-plan match assembly: per rule a struct-or-null, then one
-    # explode of the compacted array — no driver-side matrix
-    h = F.col("header")
-    subtotal = F.col("n_rows") - F.col("n_empty")
-    match_structs: list[Column] = []
+    # explode of the compacted array — no driver-side matrix.
+    # Round-6: ALL Python-side FIELD rules (ppr name regexes + func
+    # validators over the header) evaluate in ONE fused Arrow kernel
+    # too (previously one ArrowEvalPython node per ppr field rule).
+    py_field = [r for r in field_rules if r.match in ("ppr", "func")]
+    if py_field:
+        agg = agg.withColumn("__hdrflags", _multi_flag_udf(tuple(
+            (r.match, r.pattern if r.match == "ppr" else r.func_name)
+            for r in py_field))(F.col("header")))
+    hdr_idx = {r.id: i + 1 for i, r in enumerate(py_field)}
+    sub = "(n_rows - n_empty)"
+    structs: list[str] = []
+
+    def _mstruct(ruletype: str, r, conf_sql: str) -> str:
+        return (f"named_struct('ruletype', {_sql_str(ruletype)},"
+                f" 'ruleid', {_sql_str(r.id)},"
+                f" 'dataclass', {_sql_str(r.dataclass)},"
+                f" 'confidence', {conf_sql},"
+                f" 'is_pii', {str(bool(r.is_pii)).lower()})")
+
     for r in field_rules:
         if r.match == "text":
-            hit = F.lower(h).isin(*sorted(r.keywords))
-        elif r.match == "ppr":
-            hit = _regex_flag_udf(r.pattern)(h)
+            kw = ", ".join(_sql_str(k) for k in sorted(r.keywords))
+            hit = f"(lower(header) IN ({kw}))"
         else:
-            hit = _func_flag_udf(r.func_name)(h)
-        match_structs.append(F.when(hit, F.struct(
-            F.lit("field").alias("ruletype"),
-            F.lit(r.id).alias("ruleid"),
-            F.lit(r.dataclass).alias("dataclass"),
-            F.lit(100.0).alias("confidence"),
-            F.lit(bool(r.is_pii)).alias("is_pii"))))
+            hit = f"element_at(__hdrflags, {hdr_idx[r.id]})"
+        structs.append(
+            f"CASE WHEN {hit} THEN {_mstruct('field', r, '100.0D')} END")
     for r in data_rules:
         # threshold on the UNROUNDED ratio (the reference's strict >,
         # processor.py:898-906); rounding applies only to the emitted
         # value
-        raw_conf = F.col(f"succ_{r.id}") * 100.0 / subtotal
-        match_structs.append(F.when(
-            (subtotal > 0) & (raw_conf > F.lit(confidence)),
-            F.struct(F.lit("data").alias("ruletype"),
-                     F.lit(r.id).alias("ruleid"),
-                     F.lit(r.dataclass).alias("dataclass"),
-                     F.round(raw_conf, round_to).alias("confidence"),
-                     F.lit(bool(r.is_pii)).alias("is_pii"))))
+        raw_conf = f"(`succ_{r.id}` * 100.0D / {sub})"
+        structs.append(
+            f"CASE WHEN ({sub} > 0) AND {raw_conf}"
+            f" > {float(confidence)!r}D THEN "
+            + _mstruct("data", r,
+                       f"round({raw_conf}, {int(round_to)})")
+            + " END")
 
+    matches_arr = ("filter(array(" + ", ".join(structs)
+                   + "), x -> x IS NOT NULL)")
     exploded = (agg.select(
         "url", "table_idx", "col_idx", "header", "n_rows", "n_empty",
-        F.explode(F.filter(F.array(*match_structs),
-                           lambda x: x.isNotNull())).alias("m"))
+        F.explode(F.expr(matches_arr)).alias("m"))
         .select("url", "table_idx", "col_idx", "header", "n_rows",
                 "n_empty", "m.ruletype", "m.ruleid", "m.dataclass",
                 "m.confidence", "m.is_pii"))

@@ -856,6 +856,26 @@ def sniff_document_type(data: bytes) -> str:
         head = head[3:]
     if head[:1] == b"<" or head.lstrip(b" \t\r\n\x0c")[:1] == b"<":
         return "html"
+    # Decodable non-markup payloads are plain text (ADVICE r5: a .txt
+    # attachment routed 'unknown', producing NULL text lax / a raise
+    # strict, while the CLI help promised txt support).  Conservative
+    # rule so binary junk stays 'unknown': the sample must be STRICT
+    # UTF-8 (up to 3 trailing bytes trimmed for a truncated multi-byte
+    # sequence at the sample edge) and free of C0 control characters
+    # other than whitespace.
+    sample = data[:4096]
+    if sample[:3] == b"\xef\xbb\xbf":
+        sample = sample[3:]
+    txt = None
+    for trim in range(4):
+        try:
+            txt = sample[:len(sample) - trim].decode("utf-8")
+            break
+        except UnicodeDecodeError:
+            continue
+    if txt and not any(ch < " " and ch not in "\t\n\r\x0b\x0c"
+                       for ch in txt):
+        return "text"
     return "unknown"
 
 

@@ -75,6 +75,13 @@ def zorder_key(
     ranks = []
     for name, lo, hi in cols:
         x = F.coalesce(F.col(name).cast("long"), F.lit(lo).cast("long"))
+        # clamp BEFORE the multiply (ADVICE r5): a stray value far
+        # outside caller-supplied bounds would overflow the long
+        # multiply below and throw under Spark 4's ANSI default — the
+        # docstring's clamp guarantee must hold pre-arithmetic.
+        # In-bounds values are unchanged.
+        x = F.least(F.greatest(x, F.lit(lo).cast("long")),
+                    F.lit(hi - 1).cast("long"))
         span = hi - 1 - lo  # inclusive value span
         if span == 0:
             ranks.append(F.lit(0).cast("long"))

@@ -140,7 +140,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     unit_scale: int = 10**12,
-    checkpoint_every: int = 0,
+    checkpoint_every: int = 1,
     persist: bool = True,
 ) -> DataFrame:
     """PageRank over a distinct edge list →
@@ -162,12 +162,23 @@ def pagerank(
     unrolls the same iterations).  Total mass stays within
     ``~3·N·iterations`` units of S (each floor loses under one unit).
 
-    Node count and dangling mass are one-row aggregates broadcast back
-    — never a driver collect; nodes/edges stay distributed throughout.
+    The node count is a single driver-side long collected once (one
+    1-row aggregate — the dedup convergence-check idiom) and applied
+    as plan literals: round-6 measurement showed the per-iteration
+    ``crossJoin(broadcast(n_df))`` rebuilding the one-row broadcast in
+    every iteration's job for no benefit.  Dangling mass is
+    data-dependent per iteration and stays a broadcast 1-row aggregate;
+    nodes/edges stay distributed throughout.
     ``checkpoint_every=k`` EAGERLY localCheckpoints the rank frame
     every k iterations — truncates lineage AND releases the
-    intermediate rank caches accumulated since the last checkpoint
-    (required for deep runs; off for short ones).
+    intermediate rank caches accumulated since the last checkpoint.
+    Round-6 default is ``1`` (every iteration): each iteration
+    references the previous ranks twice, so an unrolled lineage doubles
+    per step — at 3 iterations the physical plan was already 2.2 MB and
+    analysis/optimization of that tree dominated wall-clock (observed
+    3.5-21 s for the same data that runs in a stable ~1.5 s with
+    per-iteration truncation; guide §7.3 "very large plans").
+    ``checkpoint_every=0`` restores the lazy single-action form.
 
     ``persist=True`` (default) persists the loop-invariant frames —
     edges, nodes, out-degrees — since every iteration references them:
@@ -200,12 +211,16 @@ def pagerank(
 
         nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
         outdeg = outdeg.persist(StorageLevel.MEMORY_AND_DISK)
-    n_df = nodes.agg(F.count("*").alias("n"))
-
-    ranks = (nodes.crossJoin(F.broadcast(n_df))
-             .select("node",
-                     _idiv(F.lit(unit_scale), F.col("n"))
-                     .alias("pr_units")))
+    # ONE driver-side long (also warms the nodes/edges caches for the
+    # loop); every use below is a literal, so no iteration rebuilds a
+    # one-row broadcast.  `or 1` only guards the n=0 Python division —
+    # with an empty graph there are no rows for the literal to touch.
+    n_nodes = nodes.count() or 1
+    # integer floor-division with both operands constant folds to a
+    # Python literal — identical to the SQL _idiv on non-negative longs
+    ranks = nodes.select(
+        "node", F.lit(unit_scale // n_nodes).alias("pr_units"))
+    teleport = ((dden - dnum) * unit_scale) // (dden * n_nodes)
     for i in range(iterations):
         rd = ranks.join(outdeg, "node", "left")
         contrib = (rd.filter(F.col("deg").isNotNull())
@@ -220,34 +235,32 @@ def pagerank(
                     .agg(F.sum("c").cast("long").alias("s")))
         ranks = (nodes.join(incoming, "node", "left")
                  .crossJoin(F.broadcast(dangle))
-                 .crossJoin(F.broadcast(n_df))
                  .select(
                      "node",
-                     (_idiv(F.lit((dden - dnum) * unit_scale),
-                            F.lit(dden) * F.col("n"))
+                     (F.lit(teleport)
                       + _idiv(F.lit(dnum)
                               * (F.coalesce(F.col("s"), F.lit(0))
-                                 + _idiv(F.col("dangle"), F.col("n"))),
+                                 + _idiv(F.col("dangle"),
+                                         F.lit(n_nodes))),
                               F.lit(dden))).alias("pr_units")))
-        if persist:
-            # each iteration references the previous ranks TWICE
-            # (contributions + dangling mass); unpersisted, the
-            # recursion re-executes 2x per reference → O(2^iterations)
-            from pyspark import StorageLevel
-
-            ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
-            rank_caches.append(ranks)
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            # EAGER checkpoint: materializes the current ranks so every
+            # EAGER checkpoint: truncates the doubling lineage (each
+            # iteration reads the previous ranks twice) so plan
+            # analysis stays O(1) per iteration, and releases every
             # intermediate rank cache accumulated since the last
-            # checkpoint can be released — otherwise a deep run leaves
-            # one cached frame per iteration registered for the
-            # session's lifetime.  (The loop-invariant edges/nodes/
-            # outdeg caches stay: later iterations still read them.)
+            # checkpoint.  (The loop-invariant edges/nodes/outdeg
+            # caches stay: later iterations still read them.)
             ranks = ranks.localCheckpoint(eager=True)
             for f in rank_caches:
                 f.unpersist(blocking=False)
             rank_caches.clear()
+        elif persist:
+            # between checkpoints the double reference still needs a
+            # cache or the recursion re-executes 2x per reference
+            from pyspark import StorageLevel
+
+            ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+            rank_caches.append(ranks)
     return ranks.select(
         "node", "pr_units",
         (F.col("pr_units") / F.lit(float(unit_scale))).alias("pr"))

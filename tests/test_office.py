@@ -240,6 +240,16 @@ def test_router_all_types():
     assert sniff_document_type(b"<!DOCTYPE html><p>hi</p>") == "html"
     assert sniff_document_type(b"  <html><body>x</body></html>") == "html"
     assert sniff_document_type(b"\x00\x01\x02") == "unknown"
+    # ADVICE r5: decodable non-markup payloads route as plain text;
+    # binary junk, control bytes and invalid UTF-8 stay unknown
+    assert sniff_document_type(b"plain text") == "text"
+    assert sniff_document_type("café — utf-8 text\n"
+                               .encode("utf-8")) == "text"
+    assert sniff_document_type(b"\xef\xbb\xbfbom text") == "text"
+    assert sniff_document_type(b"\x99\x98\x97") == "unknown"   # bad utf-8
+    assert sniff_document_type(b"text\x00with nul") == "unknown"
+    from metacrafter_spark.io.office_codec import extract_document_text
+    assert extract_document_text(b"plain text", "auto") == "plain text"
     # a plain zip that is no document format
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w") as z:
@@ -260,9 +270,13 @@ def test_strict_lax_contract():
     assert extract_document_text(truncated) is None
     with pytest.raises(Exception):
         extract_document_text(truncated, "docx", strict=True)
-    assert extract_document_text(b"garbage") is None
+    # ASCII "garbage" is decodable → routes as plain text since the
+    # ADVICE-r5 txt fallback; true binary junk keeps the lax/strict
+    # unknown contract
+    assert extract_document_text(b"garbage") == "garbage"
+    assert extract_document_text(b"\x00\xffgarbage") is None
     with pytest.raises(NotImplementedError):
-        extract_document_text(b"garbage", strict=True)
+        extract_document_text(b"\x00\xffgarbage", strict=True)
     assert extract_document_text(None) is None
     # truncated CFB / RTF / zip payloads all follow the contract
     assert extract_document_text(write_doc("hello world " * 20)[:600]) \
@@ -393,15 +407,19 @@ def test_cli_extract_docs(spark, tmp_path, capsys):
     (d / "d.pdf").write_bytes(write_simple_pdf(["pdf body"]))
     (d / "e.html").write_bytes(b"<html><body>html body</body></html>")
     (d / "f.bin").write_bytes(b"\x00\x01garbage")
+    # plain text routes through the 'text' extractor (ADVICE r5: the
+    # help promised txt support but sniff returned 'unknown')
+    (d / "g.txt").write_bytes("plain text body – utf-8".encode("utf-8"))
     out = str(tmp_path / "texts")
     rc = main(["extract-docs", str(d) + "/*", out])
     assert rc == 0
     import json as _json
     payload = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert payload["files"] == 6
-    assert payload["extracted"] == 5
+    assert payload["files"] == 7
+    assert payload["extracted"] == 6
     assert payload["by_type"] == {"docx": 1, "rtf": 1, "doc": 1,
-                                  "pdf": 1, "html": 1, "unknown": 1}
+                                  "pdf": 1, "html": 1, "unknown": 1,
+                                  "text": 1}
     got = {r["path"].rsplit("/", 1)[-1]: r["text"]
            for r in spark.read.parquet(out).collect()}
     assert got["a.docx"] == "docx body"
@@ -410,3 +428,4 @@ def test_cli_extract_docs(spark, tmp_path, capsys):
     assert got["d.pdf"] == "pdf body"
     assert got["e.html"] == "html body"
     assert got["f.bin"] is None
+    assert got["g.txt"] == "plain text body – utf-8"
