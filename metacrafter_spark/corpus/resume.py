@@ -153,24 +153,66 @@ def run_with_resume(
     io.overwrite_partitions(metrics_df, metrics_path, partition_by=["bucket_id"])
 
 
+#: bucket count for key-hashed stores (round-6).  Scale-parameterised:
+#: production sets MC_KEYSTORE_BUCKETS ≈ store_bytes / 128 MB; the
+#: local default keeps fixture stores at a handful of files.
+import os as _os
+
+KEYSTORE_BUCKETS = int(_os.environ.get("MC_KEYSTORE_BUCKETS", "16"))
+
+_BUCKET_SPEC_FILE = "_mc_bucket_spec.json"
+
+
+def _store_table_name(base: str) -> str:
+    import hashlib
+
+    return "mc_keystore_" + hashlib.sha256(base.encode()).hexdigest()[:12]
+
+
 def read_key_store(spark: SparkSession, path: str) -> Optional[DataFrame]:
     """Read a persisted cross-dump dedup store (paragraph keys or
     MinHash signatures), recovering a crash mid-:func:`advance_key_store`:
     if only ``<path>.old`` exists, the crash hit between the two
     renames — the previous store is intact there and is moved back.
-    Returns None when no store exists yet (first dump)."""
+    Returns None when no store exists yet (first dump).
+
+    Round-6: a store written bucketed (``advance_key_store`` buckets
+    any frame carrying a ``key`` column by ``hash(key)``) is
+    re-registered as an EXTERNAL bucketed table over the same files,
+    so the ingest anti-join reads bucket i directly — the store side
+    of the join carries NO Exchange (plan-asserted in tests).  The
+    spec rides inside the directory (``_mc_bucket_spec.json``), so the
+    atomic .tmp/.old rename protocol — and its crash-window contract —
+    is unchanged."""
+    import json
     import os
 
     base = path.rstrip("/")
     old = base + ".old"
     if not os.path.isdir(base) and os.path.isdir(old):
         os.rename(old, base)
-    if os.path.isdir(base):
-        return spark.read.parquet(base)
-    return None
+    if not os.path.isdir(base):
+        return None
+    spec_path = os.path.join(base, _BUCKET_SPEC_FILE)
+    if os.path.isfile(spec_path):
+        with open(spec_path) as f:
+            spec = json.load(f)
+        name = _store_table_name(base)
+        schema_sql = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in spark.read.parquet(base).schema.fields)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        cols = ", ".join(f"`{c}`" for c in spec["cols"])
+        spark.sql(
+            f"CREATE TABLE {name} ({schema_sql}) USING parquet "
+            f"CLUSTERED BY ({cols}) SORTED BY ({cols}) "
+            f"INTO {int(spec['n'])} BUCKETS LOCATION '{base}'")
+        return spark.table(name)
+    return spark.read.parquet(base)
 
 
-def advance_key_store(new_store: DataFrame, path: str) -> None:
+def advance_key_store(new_store: DataFrame, path: str, *,
+                      n_buckets: Optional[int] = None) -> None:
     """Materialize the next dedup store and swap it in with NO window
     where the store is lost: write-aside to ``<path>.tmp`` (never
     overwrite the directory a lazy plan still reads), rename the
@@ -179,7 +221,16 @@ def advance_key_store(new_store: DataFrame, path: str) -> None:
     ``path`` or ``path.old`` (:func:`read_key_store` recovers the
     latter) — unlike rmtree-then-rename, which has a window holding
     neither.  Local-FS/HDFS rename semantics; on object storage the
-    store belongs in the Iceberg layer (atomic snapshot commits)."""
+    store belongs in the Iceberg layer (atomic snapshot commits).
+
+    Round-6: a store carrying a ``key`` column is written BUCKETED by
+    ``hash(key)`` (``repartition(n, key)`` + ``bucketBy`` → exactly one
+    compacted file per bucket) so the next ingest's anti-join is
+    co-located on the store side and the advance itself is the
+    per-bucket compaction.  Sketch-shaped stores (HLL registers, Bloom
+    words, MinHash signature tables — no ``key`` equi-join anywhere in
+    their read paths) keep the plain layout."""
+    import json
     import os
     import shutil
 
@@ -187,7 +238,21 @@ def advance_key_store(new_store: DataFrame, path: str) -> None:
     tmp, old = base + ".tmp", base + ".old"
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)
-    new_store.write.mode("overwrite").parquet(tmp)
+    if "key" in new_store.columns:
+        n = int(n_buckets or KEYSTORE_BUCKETS)
+        spark = new_store.sparkSession
+        name = _store_table_name(tmp)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (new_store.repartition(n, "key")
+         .write.mode("overwrite").bucketBy(n, "key").sortBy("key")
+         .option("path", tmp).saveAsTable(name))
+        # external table: dropping the metadata leaves the files;
+        # ownership passes to the rename protocol below
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        with open(os.path.join(tmp, _BUCKET_SPEC_FILE), "w") as f:
+            json.dump({"cols": ["key"], "n": n}, f)
+    else:
+        new_store.write.mode("overwrite").parquet(tmp)
     if os.path.isdir(old):
         shutil.rmtree(old)
     if os.path.isdir(base):

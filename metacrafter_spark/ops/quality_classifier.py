@@ -160,6 +160,11 @@ def train_logreg_hashed(df: DataFrame, *, label_col: str,
     # whole parameter state in a single eager action — the previous
     # separate w/b checkpoints each re-executed the scored→resid
     # lineage, doubling per-iteration work.
+    # (A round-6 experiment replaced the distinct() with a
+    # range(-1, buckets) literal table — semantically identical, but
+    # measurably slower end-to-end: the distinct's checkpoint job
+    # doubles as the feature-cache warm-up, overlapping the fill with
+    # setup instead of serializing it into iteration 1.)
     wb = (feats.select("bucket").distinct()
           .select("bucket", F.lit(0).cast(_DEC).alias("w"))
           .unionByName(df.sparkSession.range(1).select(

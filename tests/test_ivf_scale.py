@@ -1,0 +1,48 @@
+# -*- coding: utf-8 -*-
+"""IVF at the production cell-count shape (round-5 verdict ask #3).
+
+The toy-scale oracle queries exercise nlist=16; this test runs the
+docstring's actual target shape — nlist=1024 cells trained on a
+bounded 4096-row driver sample over 200k clustered embeddings, the
+centroid matrix distributed as a ``sc.broadcast`` handle (torrent,
+once per executor — not pickled into every task closure), queries
+probing nprobe=4 cells — and holds recall@10 against the exact brute
+force at >= 0.9."""
+import sys
+from pathlib import Path
+
+from pyspark.sql import functions as F
+from pyspark.broadcast import Broadcast
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def test_ivf_nlist1024_broadcast_recall(spark):
+    from bench_extra import synth_clustered_embeddings
+    from metacrafter_spark.ops.similarity import (
+        broadcast_centroids, ivf_topk, topk_join, train_ivf_centroids)
+
+    emb = synth_clustered_embeddings(spark, 200_000).cache()
+    assert emb.count() == 200_000
+
+    cent = train_ivf_centroids(emb, nlist=1024, sample=4096, iters=10,
+                               seed=42)
+    assert len(cent) == 1024  # the sample supports the full cell count
+
+    bc = broadcast_centroids(spark, cent)
+    assert isinstance(bc, Broadcast)  # the production distribution shape
+
+    queries = emb.filter(F.col("vec_id") % 20_000 == 7) \
+        .selectExpr("vec_id as qid", "embedding")
+    approx = ivf_topk(queries, emb, bc, k=10, nprobe=4)
+    # the candidate join broadcasts the (tiny) probing query side; the
+    # corpus side is never shuffled by anything but the cell key
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+    got = {(r.qid, r.vec_id) for r in approx.collect()}
+    truth = {(r.qid, r.vec_id)
+             for r in topk_join(queries, emb, k=10).collect()}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, f"ivf recall {recall:.3f} < 0.9"
+    emb.unpersist()

@@ -1,0 +1,76 @@
+# -*- coding: utf-8 -*-
+"""Bucketed cross-dump key stores (round-5 verdict ask #6).
+
+``advance_key_store`` writes any ``key``-carrying store bucketed by
+``hash(key)`` — one compacted file per bucket — and ``read_key_store``
+re-registers the files as an external bucketed table, so the ingest
+anti-join is co-located on the store side (no Exchange under the store
+scan) while the atomic ``.tmp``/``.old`` rename protocol and its
+crash-window recovery contract stay byte-identical."""
+import os
+import sys
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from metacrafter_spark.corpus.resume import (  # noqa: E402
+    advance_key_store, read_key_store)
+
+
+def test_store_side_of_anti_join_has_no_exchange(spark, tmp_path):
+    d = str(tmp_path / "store")
+    keys = spark.range(500).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key"))
+    advance_key_store(keys, d)
+    st = read_key_store(spark, d)
+    new = spark.range(200, 900).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key"))
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the join strategy a production-sized store gets (the
+        # tiny fixture store would otherwise broadcast)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        aj = new.join(st, "key", "left_anti")
+        plan = aj._jdf.queryExecution().executedPlan().toString()
+        # exactly ONE Exchange: the NEW side aligning to the store's
+        # bucketing; the bucketed store scan itself is Exchange-free
+        assert plan.count("Exchange") == 1
+        assert "Bucketed: true" in plan
+        store_scan = plan[plan.index("FileScan"):]
+        assert "Exchange" not in store_scan
+        assert aj.count() == 400  # k500..k899 survive
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+
+def test_bucketed_store_roundtrip_and_crash_recovery(spark, tmp_path):
+    d = str(tmp_path / "store")
+    advance_key_store(
+        spark.createDataFrame([("a",), ("b",)], "key string"), d)
+    st = read_key_store(spark, d)
+    assert {r.key for r in st.collect()} == {"a", "b"}
+    # one compacted file per non-empty bucket, spec file inside the dir
+    files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+    assert files and len(files) <= 16
+    assert "_mc_bucket_spec.json" in os.listdir(d)
+    # union-advance (the ingest shape) preserves content
+    advance_key_store(
+        st.union(spark.createDataFrame([("c",)], "key string"))
+        .distinct(), d)
+    assert {r.key for r in read_key_store(spark, d).collect()} \
+        == {"a", "b", "c"}
+    # crash window: only .old present -> read recovers it
+    os.rename(d, d + ".old")
+    rec = read_key_store(spark, d)
+    assert {r.key for r in rec.collect()} == {"a", "b", "c"}
+
+
+def test_sketch_shaped_store_keeps_plain_layout(spark, tmp_path):
+    d = str(tmp_path / "hll")
+    advance_key_store(
+        spark.createDataFrame([(0, 3), (1, 7)], "reg int, v int"), d)
+    assert "_mc_bucket_spec.json" not in os.listdir(d)
+    got = read_key_store(spark, d)
+    assert got.count() == 2
